@@ -1,0 +1,50 @@
+"""Extract-load pipeline: scan → prune/cast/rename projection →
+(optionally hive-partitioned) Parquet sink.
+
+Replaces the reference's whole EL phase
+(/root/reference/mongo2pq/extract_load.py:13-88): the hand-rolled
+distinct-partition discovery, per-partition cursors, adaptive batch
+sizing, and asyncio pipelining all collapse into one declarative write —
+``df.write.partitionBy(key).parquet(...)`` produces the identical
+``key=value/`` hive layout, with partition fan-out executed in parallel
+by Spark tasks instead of event-loop tasks.
+
+Scale notes (100 TB): the projection is a single narrow stage (no
+shuffle). The partitioned write shuffles once on the partition key so
+each task owns whole partition directories — without it, every task
+writes a file into every partition (task_count × partition_count small
+files). AQE coalesces post-shuffle partitions to the target size.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+from mongo2pq_spark.schema.model import Schema
+
+
+def extract_load_collection(
+    df: DataFrame,
+    schema: Schema,
+    outdir: str | Path,
+    partition_key: str | None = None,
+    strict_compat: bool = False,
+    mode: str = "overwrite",
+) -> str:
+    """Run the EL pipe for one collection; returns the dataset path
+    (``<outdir>/<name>.parquet``, same naming as the reference)."""
+    out_path = str(Path(outdir) / f"{schema.name}.parquet")
+    projected = schema.apply(df, strict_compat=strict_compat)
+    writer = projected.write.mode(mode)
+    if partition_key:
+        if partition_key not in projected.columns:
+            raise ValueError(
+                f"partition key {partition_key!r} not in schema fields"
+            )
+        # One shuffle on the key co-locates each hive partition's rows.
+        projected = projected.repartition(partition_key)
+        writer = projected.write.mode(mode).partitionBy(partition_key)
+    writer.parquet(out_path)
+    return out_path

@@ -1,0 +1,134 @@
+"""Config engine tests — rule parsing, first-match-wins application,
+rename collision suffixes (reference config.py + schema.py:55-84;
+fixture shapes from FIXTURES.md F3)."""
+
+from pathlib import Path
+
+import pyarrow as pa
+import pytest
+
+from mongo2pq_spark.config import parse_config, parse_schema_config
+from mongo2pq_spark.exceptions import ConfigParseError
+from mongo2pq_spark.schema.model import Schema
+
+F3_YAML = """
+schema:
+  telemetry_data:
+    - type: retype_equals
+      fieldname: telemetry_snapshot_time
+      fieldtype: timestamp[ms]
+    - type: retype_regex
+      fieldname: (?<!numeric_)id
+      fieldtype: string
+    - type: retype_contains
+      fieldname: orientation
+      fieldtype: float
+    - type: rename_regex
+      oldname: (\\S+)_(\\S+)
+      newname: \\2_\\1
+"""
+
+
+@pytest.fixture
+def f3_config(tmp_path: Path):
+    path = tmp_path / "config.yaml"
+    path.write_text(F3_YAML)
+    return parse_config(path)
+
+
+def test_parse_config_structure(f3_config):
+    rules = f3_config["schema"]["telemetry_data"]
+    assert [r["type"] for r in rules] == ["retype", "retype", "retype", "rename"]
+    assert rules[0]["field_type"].equals(pa.timestamp("ms"))
+
+
+def test_retype_tests(f3_config):
+    rules = f3_config["schema"]["telemetry_data"]
+    equals, regex, contains = rules[0], rules[1], rules[2]
+    assert equals["field_test"]("telemetry_snapshot_time")
+    assert not equals["field_test"]("other")
+    assert regex["field_test"]("big_id")
+    assert not regex["field_test"]("numeric_id")  # lookbehind honored
+    assert contains["field_test"]("flap_orientation")
+
+
+def test_use_config_first_match_wins(f3_config):
+    schema = Schema(
+        "telemetry_data",
+        {
+            "telemetry_snapshot_time": pa.date64(),
+            "numeric_id": pa.int32(),
+            "big_id": pa.int64(),
+            "flap_orientation": pa.int32(),
+            "note": pa.string(),
+        },
+    )
+    schema.use_config(f3_config["schema"])
+    fields = schema.fields
+    # retype_equals fired, and the rename rule also applied to the name
+    # (greedy \S+ makes (\S+)_(\S+) split at the LAST underscore)
+    assert fields["time_telemetry_snapshot"].equals(pa.timestamp("ms"))
+    # regex (?<!numeric_)id skips numeric_id: keeps int32, renamed
+    assert fields["id_numeric"].equals(pa.int32())
+    # big_id matches the regex retype → string (first matching retype wins)
+    assert fields["id_big"].equals(pa.string())
+    # contains rule fires for orientation → float32 alias 'float'
+    assert fields["orientation_flap"].equals(pa.float32())
+    # rename map records original → final
+    assert schema.rename_map["numeric_id"] == "id_numeric"
+
+
+def test_rename_collision_suffix():
+    config = parse_schema_config(
+        {"c": [{"type": "rename_regex", "oldname": "^(a|b)$", "newname": "x"}]}
+    )
+    schema = Schema("c", {"a": pa.int32(), "b": pa.int64(), "x": pa.string()})
+    schema.use_config(config)
+    # 'a' → 'x' collides with existing 'x' → 'x_1'; 'b' → 'x_2'
+    assert list(schema.fields) == ["x_1", "x_2", "x"]
+
+
+def test_rename_regex_upper():
+    config = parse_schema_config(
+        {
+            "c": [
+                {
+                    "type": "rename_regex_upper",
+                    "oldname": r"(\S+)_(\S+)",
+                    "newname": r"\2_\1",
+                    "upper": [2],
+                }
+            ]
+        }
+    )
+    schema = Schema("c", {"datapoint_source": pa.string()})
+    schema.use_config(config)
+    assert list(schema.fields) == ["SOURCE_datapoint"]
+
+
+def test_malformed_nodes_skipped():
+    config = parse_schema_config(
+        {
+            "c": [
+                {"type": "retype_equals", "fieldname": "a"},       # missing fieldtype
+                {"type": "retype_equals", "fieldname": "a", "fieldtype": "notatype"},
+                {"type": "bogus_rule"},
+                {"no_type": True},
+                {"type": "retype_equals", "fieldname": "a", "fieldtype": "int64"},
+            ]
+        }
+    )
+    assert len(config["c"]) == 1  # only the final valid rule survives
+
+
+def test_schema_section_must_be_mapping():
+    with pytest.raises(ConfigParseError):
+        parse_schema_config(["not", "a", "dict"])
+    with pytest.raises(ConfigParseError):
+        parse_schema_config({"c": {"not": "a list"}})
+
+
+def test_non_mapping_root_ignored(tmp_path: Path):
+    path = tmp_path / "bad.yaml"
+    path.write_text("- just\n- a list\n")
+    assert parse_config(path) == {}

@@ -1,0 +1,105 @@
+"""Inference ruleset tests — every branch of the reference's
+infer_type/cast_from_string/is_timestamp (schema.py:306-389), with the
+epoch anchor pinned for determinism."""
+
+from datetime import datetime
+
+import pyarrow as pa
+import pytest
+
+from mongo2pq_spark.schema.inference import (
+    cast_from_string,
+    infer_fields_from_rows,
+    infer_type,
+    is_epoch_timestamp,
+)
+
+NOW = datetime(2026, 1, 1, 12, 0, 0)
+
+
+# -- cast_from_string -------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "raw, expected",
+    [
+        ("true", True), ("YES", True), ("False", False), ("no", False),
+        ("42", 42), ("-7", -7),
+        ("3.5", 3.5), ("1e3", 1000.0),
+        ("2020-05-01", datetime(2020, 5, 1)),
+        ("2020-05-01T10:30:00", datetime(2020, 5, 1, 10, 30)),
+        ("42abc", "42abc"), ("", ""),
+    ],
+)
+def test_cast_from_string(raw, expected):
+    assert cast_from_string(raw) == expected
+
+
+# -- epoch heuristic --------------------------------------------------------
+
+def test_epoch_window():
+    anchor = NOW.timestamp()
+    year = 31_536_000
+    assert is_epoch_timestamp(anchor, now=NOW)
+    assert is_epoch_timestamp(anchor - 4 * year, now=NOW)
+    assert is_epoch_timestamp(anchor + 5 * year, now=NOW)
+    assert not is_epoch_timestamp(anchor - 6 * year, now=NOW)
+    assert not is_epoch_timestamp(100_000, now=NOW)
+
+
+# -- infer_type -------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "value, expected",
+    [
+        ("free text", pa.string()),
+        ("60af1f2e93f8a7c3d4e5f601", pa.string()),  # hexish string stays string
+        (True, pa.bool_()), ("yes", pa.bool_()),
+        (datetime(2020, 1, 1), pa.date32()),            # midnight → date32
+        (datetime(2020, 1, 1, 10, 0), pa.date64()),     # intraday → date64
+        ("2020-01-01", pa.date32()),                     # string-speculated date
+        (12345, pa.int32()),
+        (2**40, pa.int64()),
+        (2**80, pa.string()),                            # too wide for int64
+        ("12345", pa.int32()),                           # string-speculated int
+        (1.5, pa.float32()),
+        (1e300, pa.float64()),
+        (b"\x00\x01", pa.binary()),
+        (None, pa.string()),                             # no info → string
+    ],
+)
+def test_infer_type(value, expected):
+    assert infer_type(value, "f", now=NOW).equals(expected)
+
+
+def test_infer_type_epoch_seconds():
+    assert infer_type(NOW.timestamp(), "ts", now=NOW).equals(pa.timestamp("s"))
+    assert infer_type(int(NOW.timestamp()), "ts", now=NOW).equals(pa.timestamp("s"))
+    # outside the window the plain numeric rules apply
+    assert infer_type(100_000, "n", now=NOW).equals(pa.int32())
+
+
+def test_infer_type_rejects_nested():
+    with pytest.raises(NotImplementedError):
+        infer_type({"a": 1}, "f")
+    with pytest.raises(NotImplementedError):
+        infer_type([1, 2], "f")
+
+
+# -- batch fold -------------------------------------------------------------
+
+def test_infer_fields_from_rows_unifies():
+    rows = [
+        {"a": 1, "b": 1.5, "c": "x"},
+        {"a": 2**40, "b": 2, "d": b"z"},
+        {"a": None, "c": 3, "d": "s"},
+    ]
+    fields = infer_fields_from_rows(rows, now=NOW)
+    assert fields["a"].equals(pa.int64())      # int32 ⊔ int64
+    assert fields["b"].equals(pa.float32())    # float ⊔ int
+    assert fields["c"].equals(pa.string())     # string ⊔ int → string
+    assert fields["d"].equals(pa.binary())     # binary contagion
+
+
+def test_infer_fields_missing_keys_absent():
+    fields = infer_fields_from_rows([{"a": 1}, {"b": "x"}], now=NOW)
+    assert set(fields) == {"a", "b"}
