@@ -1,0 +1,276 @@
+"""Deduplication operators for large-scale document pipelines.
+
+All hashes are MD5-derived (functions/hashing.py) so every operator is
+oracle-checkable value-for-value against DuckDB — and deterministic
+across engines, runs, and cluster sizes.
+
+Scale design (100 TB):
+- exact dedup: single hash-shuffle on the text digest; map-side partial
+  aggregation keeps the shuffle at one digest row per distinct text per
+  task.
+- MinHash: signatures are computed in ONE aggregation pass (k min()
+  aggregates over the exploded shingle-hash stream — no k-pass loop),
+  then LSH banding turns the quadratic candidate search into an
+  equi-join on (band, band_hash): only same-bucket docs ever meet.
+  Skewed buckets (boilerplate shingles) are handled by AQE skew-join.
+- n-gram Jaccard: the shingle equi-join is the scalable candidate
+  generator; hot shingles (appearing in > ~1% of docs) carry no
+  near-dup signal and can be dropped before the join (`max_shingle_df`).
+- SimHash: one aggregation pass computes all bit-position votes; the
+  fingerprint is a plain BIGINT usable for banded Hamming search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mongo2pq_spark.functions.hashing import (
+    MERSENNE_P,
+    hash64,
+    minhash_perms,
+    token_hash32,
+)
+from mongo2pq_spark.functions.textfns import tokens, word_shingles
+
+DEFAULT_K = 32          # minhash permutations
+DEFAULT_BANDS = 8       # LSH bands (rows per band = K / BANDS = 4)
+SIMHASH_BITS = 60       # md5-prefix hash width (fits signed int64)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: digest, kept (min) id, copy count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per distinct text (deterministic, unlike
+    dropDuplicates which keeps an arbitrary row)."""
+    keepers = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keeper_doc_id").alias(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+def _doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, h): distinct 32-bit shingle hashes per document."""
+    sh = word_shingles(tokens(F.col(text_col)), n)
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .select(F.col(id_col), token_hash32(F.col("shingle")).alias("h"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """doc → k-wide MinHash signature, computed in a single groupBy
+    pass (columns mh0..mh{k-1})."""
+    hashes = _doc_shingle_hashes(df, id_col, text_col, shingle_n)
+    perms = minhash_perms(k, seed)
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    return hashes.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of ≥1 band become a
+    candidate pair (doc_a < doc_b). The only join is an equi-join on
+    (band_id, band_hash) — linear-ish in corpus size."""
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    rows = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k, shingle_n, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                    ).cast("binary")
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
+        id_col, "band.band_id", "band.band_hash"
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs over n-word-shingle sets.
+
+    Candidate pairs come from the shingle equi-join (only docs sharing
+    ≥1 shingle meet); intersection sizes fall out of the join group-by;
+    union = |A| + |B| − inter. ``max_shingle_df`` drops shingles that
+    occur in more than that many docs before the join (hot-key guard
+    for web-scale corpora; boilerplate carries no near-dup signal).
+    """
+    hashes = _doc_shingle_hashes(df, id_col, text_col, shingle_n)
+    sizes = hashes.groupBy(id_col).agg(F.count("*").alias("sz"))
+    if max_shingle_df is not None:
+        rare = (
+            hashes.groupBy("h")
+            .agg(F.count("*").alias("df_count"))
+            .filter(F.col("df_count") <= max_shingle_df)
+            .select("h")
+        )
+        hashes = hashes.join(rare, "h", "left_semi")
+    a = hashes.alias("a")
+    b = hashes.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash fingerprint per doc (one aggregation pass: per-bit votes
+    over distinct token hashes, then bit assembly)."""
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        )
+        .select(F.col(id_col), hash64(F.col("tok")).alias("h"))
+    )
+    vote_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    votes = toks.groupBy(id_col).agg(*vote_aggs)
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("bigint") * (1 << i)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidates come from 4-way band blocking (a pair within Hamming 3
+    must agree exactly on ≥1 of 4 15-bit bands — pigeonhole), so the
+    join is an equi-join on (band_id, band_value), not a cross join.
+    """
+    fp = simhash_fingerprints(df, id_col, text_col, bits)
+    n_bands = max_hamming + 1
+    band_width = bits // n_bands
+    mask = (1 << band_width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("simhash"), b * band_width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_value"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = fp.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("band")).select(
+        id_col, "simhash", "band.band_id", "band.band_value"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_value") == F.col("b.band_value"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        candidates.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

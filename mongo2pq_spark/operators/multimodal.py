@@ -1,0 +1,107 @@
+"""Multimodal column plumbing.
+
+Media (image/audio/video) travels as an opaque ``binary`` payload
+column plus a typed metadata struct. The Spark-side plumbing — schema,
+partition-friendly batch iteration, Arrow-batched UDF signatures — is
+real and tested; the actual media decoding is stubbed (codec libraries
+are not in this container): ``decode_stub='fake'`` produces a
+deterministic fake feature vector from the payload bytes,
+``decode_stub='raise'`` raises NotImplementedError where a real
+decoder (PIL/librosa/av) would plug in.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: metadata struct carried alongside every payload
+MEDIA_META_FIELDS = "mime string, n_bytes int, payload_md5 string"
+
+DECODED_SCHEMA = (
+    "doc_id bigint, mime string, n_bytes int, payload_md5 string, "
+    "feature array<double>"
+)
+
+
+def attach_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mime: str = "text/plain",
+) -> DataFrame:
+    """Build a multimodal-shaped table from the documents fixture:
+    payload = utf-8 bytes of the text (stand-in for image/audio bytes),
+    plus the metadata struct every real ingest would carry."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    meta = F.struct(
+        F.lit(mime).alias("mime"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
+    return df.select(F.col(id_col), payload.alias("payload"), meta.alias("meta"))
+
+
+def decode_features(
+    df: DataFrame,
+    decode_stub: str = "fake",
+    feature_dim: int = 4,
+) -> DataFrame:
+    """Arrow-batched decode: mapInPandas over (id, payload, meta).
+
+    Real deployments replace ``_fake_features`` with an actual decoder
+    (image resize / audio frames); the batch shape, schema contract,
+    and partition parallelism stay exactly as tested here.
+    """
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def decode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "media decoding requires codec libraries (PIL/librosa/av) "
+                    "not present in this environment"
+                )
+            features = pdf["payload"].map(lambda b: _fake_features(b, feature_dim))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                    "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"]),
+                    "payload_md5": pdf["meta"].map(lambda m: m["payload_md5"]),
+                    "feature": features,
+                }
+            )
+
+    return df.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def _fake_features(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in feature vector: mean byte value of ``dim``
+    equal chunks of the payload (a real decoder returns e.g. pooled
+    image embeddings with the same shape contract)."""
+    if not payload:
+        return [0.0] * dim
+    chunk = max(1, len(payload) // dim)
+    feats = []
+    for i in range(dim):
+        piece = payload[i * chunk : (i + 1) * chunk] or payload[-chunk:]
+        feats.append(round(sum(piece) / len(piece), 6))
+    return feats
+
+
+def media_metadata(df_with_payload: DataFrame) -> DataFrame:
+    """Flat metadata projection (oracle-checkable: octet_length + md5
+    are portable)."""
+    return df_with_payload.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.payload_md5").alias("payload_md5"),
+    )

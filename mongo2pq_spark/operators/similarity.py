@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  The query set is broadcast, so cost is |queries| × |corpus| dot
+  products with no shuffle on the corpus side; fine for small query
+  sets at any corpus size.
+- ``embedding_near_dup_pairs``: all-pairs above a cosine threshold —
+  quadratic, for modest corpora / verification.
+- ``lsh_bucket_assignments`` / ``lsh_topk``: random-hyperplane LSH —
+  the scale path. Each vector lands in one of 2^H buckets; candidate
+  search becomes an equi-join on the bucket id. Hyperplanes are
+  deterministic (fixed-seed LCG), so results are reproducible and
+  oracle-checkable.
+
+All math is built-in higher-order functions (JVM codegen); no Python
+UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mongo2pq_spark.functions.hashing import _lcg
+from mongo2pq_spark.functions.vectors import cosine, dot
+
+DEFAULT_HYPERPLANES = 16
+
+
+def hyperplanes(n: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim (fixed
+    LCG — the same constants are baked into oracle SQL)."""
+    gen = _lcg(seed)
+    return [
+        [(next(gen) % 2_000_001) / 1_000_000.0 - 1.0 for _ in range(dim)]
+        for _ in range(n)
+    ]
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (self-matches excluded).
+
+    Similarity is rounded to 6 dp BEFORE ranking so ordering is stable
+    across engines; ties break on neighbor id.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("query_vec"), F.col("vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (vec_a < vec_b)."""
+    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def lsh_bucket_assignments(
+    df: DataFrame,
+    n_hyperplanes: int = DEFAULT_HYPERPLANES,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """vector → sign-bucket id (bit h set ⇔ dot(v, hyperplane_h) > 0)."""
+    planes = hyperplanes(n_hyperplanes, dim, seed)
+    bucket = None
+    for h, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(c) for c in plane])
+        bit = F.when(
+            dot(F.col(vec_col), plane_col) > 0, F.lit(1).cast("bigint") * (1 << h)
+        ).otherwise(F.lit(0).cast("bigint"))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    k: int = 5,
+    n_hyperplanes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket, then exact
+    cosine ranks within bucket. Recall < 1 by construction; use
+    fewer hyperplanes (bigger buckets) for higher recall."""
+    from pyspark.sql import Window
+
+    buckets = lsh_bucket_assignments(df, n_hyperplanes, dim, seed, id_col, vec_col)
+    vecs = df.select(F.col(id_col), F.col(vec_col)).join(buckets, id_col)
+    a = vecs.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("bucket"),
+    )
+    b = vecs.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col("bucket"),
+    )
+    sims = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

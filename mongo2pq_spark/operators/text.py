@@ -1,0 +1,90 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting. Pure built-in column expressions — each
+operator has an exact SQL equivalent for oracle checking, and none
+leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mongo2pq_spark.functions.hashing import hash64
+from mongo2pq_spark.functions.textfns import STOPWORDS, stopword_hits, tokens
+
+#: BPE-ish word/number/punctuation regex (word pieces, digit runs,
+#: single punctuation marks) — a cheap token-count proxy.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace-token and regex-token counts plus char length."""
+    toks = tokens(F.col(text_col))
+    regex_tokens = F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_ws_tokens"),
+        regex_tokens.cast("bigint").alias("n_bpeish_tokens"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+    length score (saturating at 500 chars), English stopword ratio
+    (saturating at 0.3), alpha-char ratio. All components rounded to
+    6 dp so the composite is engine-exact."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    sw_ratio = F.round(
+        stopword_hits(toks, STOPWORDS["en"]) / F.greatest(n_tokens, F.lit(1)), 6
+    )
+    len_score = F.round(F.least(n_chars / F.lit(500.0), F.lit(1.0)), 6)
+    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
+    sw_score = F.round(F.least(sw_ratio / F.lit(0.3), F.lit(1.0)), 6)
+    quality = F.round((len_score + alpha_ratio + sw_score) / 3.0, 6)
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        sw_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        len_score.alias("len_score"),
+        quality.alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-voting language ID: the language whose stopword list
+    hits the most tokens wins; ties resolve by fixed language order;
+    zero hits → 'und'."""
+    toks = tokens(F.col(text_col))
+    langs = list(STOPWORDS)
+    hit_cols = {lang: stopword_hits(toks, STOPWORDS[lang]) for lang in langs}
+    scored = df.select(
+        F.col(id_col),
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in langs],
+    )
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in langs:  # earlier language wins ties (strict > below)
+        is_better = F.col(f"hits_{lang}") > best_hits
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_hits = F.when(is_better, F.col(f"hits_{lang}")).otherwise(best_hits)
+    return scored.select(
+        F.col(id_col),
+        best.alias("predicted_lang"),
+        best_hits.cast("bigint").alias("stopword_hits"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic 60-bit content fingerprint over normalized text
+    (lowercase, whitespace collapsed) — the cheap exact-dup key."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    return df.select(
+        F.col(id_col),
+        hash64(normalized).alias("fingerprint"),
+        F.length(normalized).cast("bigint").alias("n_chars_normalized"),
+    )

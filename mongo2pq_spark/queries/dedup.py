@@ -1,0 +1,185 @@
+"""Dedup queries over the documents table, oracle-checked
+value-for-value (portable MD5-derived hashing makes the MinHash /
+SimHash signatures bit-identical across engines).
+
+The DuckDB SQL is generated from the same constants
+(minhash_perms / band layout) the Spark operators use.
+"""
+
+from __future__ import annotations
+
+from mongo2pq_spark.functions.hashing import (
+    MERSENNE_P,
+    minhash_perms,
+    sql_hash64,
+    sql_token_hash32,
+)
+from mongo2pq_spark.functions.textfns import sql_tokens, sql_word_shingles
+from mongo2pq_spark.operators import dedup as ops
+from mongo2pq_spark.queries.registry import register
+
+_K, _BANDS = ops.DEFAULT_K, ops.DEFAULT_BANDS
+_ROWS = _K // _BANDS
+_PERMS = minhash_perms(_K)
+
+# Shared CTE: distinct 3-word shingles per doc, then 32-bit hashes.
+_SHINGLE_HASH_CTE = f"""
+toks AS (
+    SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+),
+shingles AS (
+    SELECT doc_id, list_distinct({sql_word_shingles('t', 3)}) AS sh FROM toks
+),
+h AS (
+    SELECT doc_id, {sql_token_hash32('s')} AS h
+    FROM (SELECT doc_id, unnest(sh) AS s FROM shingles)
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_md5,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="exact dedup groups: one hash-shuffle on the text digest",
+)
+def dedup_exact(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.exact_dedup_groups(docs)
+
+
+def _minhash_sig_sql() -> str:
+    mins = ",\n           ".join(
+        f"min((h * {a} + {b}) % {MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_PERMS)
+    )
+    return f"""
+    WITH {_SHINGLE_HASH_CTE},
+    sig AS (
+        SELECT doc_id,
+           {mins}
+        FROM h GROUP BY doc_id
+    )
+    """
+
+
+@register(
+    "dedup_minhash_candidates",
+    _minhash_sig_sql()
+    + ",\n    bands AS (\n"
+    + "\n        UNION ALL\n".join(
+        "        SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(f"mh{b * _ROWS + r}" for r in range(_ROWS)),
+        )
+        for b in range(_BANDS)
+    )
+    + """
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+    """,
+    doc=f"MinHash+LSH near-dup candidates (k={_K}, {_BANDS} bands × {_ROWS} rows; "
+        "equi-join on band buckets, never all-pairs)",
+)
+def dedup_minhash_candidates(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.minhash_candidate_pairs(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_HASH_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.5
+    """,
+    doc="exact n-gram (3-word shingle) Jaccard pairs ≥ 0.5; candidates from "
+        "the shingle equi-join",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def _simhash_fp_sql(bits: int = ops.SIMHASH_BITS) -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct({sql_tokens('text')})) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, {sql_hash64('tok')} AS h FROM toks),
+    votes AS (
+        SELECT doc_id,
+           {votes}
+        FROM h GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, {assemble} AS simhash FROM votes)
+    """
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    _simhash_fp_sql() + "SELECT doc_id, simhash FROM fp",
+    doc=f"{ops.SIMHASH_BITS}-bit SimHash fingerprints (one aggregation pass)",
+)
+def dedup_simhash_fingerprints(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.simhash_fingerprints(docs)
+
+
+@register(
+    "dedup_simhash_pairs",
+    _simhash_fp_sql()
+    + f"""
+    , banded AS (
+        SELECT doc_id, simhash, band_id,
+               (simhash >> (band_id * 15)) & 32767 AS band_value
+        FROM fp, (VALUES (0), (1), (2), (3)) AS bands(band_id)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a
+    JOIN banded b ON a.band_id = b.band_id AND a.band_value = b.band_value
+                 AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole band blocking — "
+        "equi-join on 15-bit bands, never all-pairs",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.simhash_near_pairs(docs, max_hamming=3)

@@ -1,0 +1,236 @@
+"""Reference-parity operators as oracle-checked queries (SURVEY.md §2
+rows O-1…O-24 restated over the testdata tables).
+
+Each builder reads parquet directly (Catalyst pushes the projection and
+filters into the scan) and aliases every computed column identically to
+its oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo2pq_spark.queries.registry import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    return read_sf_table(spark, sf_dir, "events")
+
+
+@register(
+    "scan_projection",
+    "SELECT event_id, event_type, value FROM events",
+    doc="O-1/O-6: source scan with column pruning pushed into the parquet reader",
+)
+def scan_projection(spark, sf_dir):
+    return _events(spark, sf_dir).select("event_id", "event_type", "value")
+
+
+@register(
+    "filter_equality",
+    "SELECT event_id, user_id, value FROM events WHERE event_type = 'click'",
+    doc="O-5: equality predicate, pushed down to the scan",
+)
+def filter_equality(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "distinct_values",
+    "SELECT DISTINCT event_type FROM events",
+    doc="O-3: distinct partition values (hash aggregate; reference pushes $group to mongod)",
+)
+def distinct_values(spark, sf_dir):
+    return _events(spark, sf_dir).select("event_type").distinct()
+
+
+@register(
+    "count_rows",
+    "SELECT COUNT(*) AS n_rows FROM events",
+    doc="O-4: exact count (reference uses collection metadata estimate)",
+)
+def count_rows(spark, sf_dir):
+    return _events(spark, sf_dir).agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "partition_counts",
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    doc="O-3/O-17: per-partition-value row counts (verifies partitioned sink fan-out)",
+)
+def partition_counts(spark, sf_dir):
+    return _events(spark, sf_dir).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "column_casts",
+    """
+    SELECT event_id,
+           CAST(event_id AS VARCHAR) AS event_id_str,
+           CAST(floor(value) AS BIGINT) AS value_int,
+           CAST(ts AS DATE) AS event_date
+    FROM events
+    """,
+    doc="O-8: Catalyst casts replace the reference's per-row Python cast table "
+        "(floor() pinned in both engines: Spark truncates double→int, DuckDB rounds)",
+)
+def column_casts(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    return df.select(
+        "event_id",
+        F.col("event_id").cast("string").alias("event_id_str"),
+        F.floor("value").cast("bigint").alias("value_int"),
+        F.col("ts").cast("date").alias("event_date"),
+    )
+
+
+@register(
+    "falsy_suppression",
+    """
+    SELECT event_id,
+           NULLIF(event_type, '') AS event_type,
+           CASE WHEN value = 0 THEN NULL ELSE value END AS value
+    FROM events
+    """,
+    doc="O-7: None/''→null plus the strict-compat zero-suppression quirk "
+        "(reference schema.py:115)",
+)
+def falsy_suppression(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    return df.select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("")).alias("event_type"),
+        F.when(F.col("value") == 0, F.lit(None)).otherwise(F.col("value")).alias("value"),
+    )
+
+
+@register(
+    "speculative_parse",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS parsed_k
+    FROM events
+    """,
+    doc="O-9: string→typed speculative parse (reference cast_from_string) as a "
+        "runtime expression",
+)
+def speculative_parse(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    return df.select(
+        "event_id",
+        F.regexp_extract("props", "[0-9]+", 0).cast("int").alias("parsed_k"),
+    )
+
+
+@register(
+    "epoch_seconds",
+    """
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           date_trunc('second', ts) AS ts_second
+    FROM events
+    """,
+    doc="O-10: epoch-seconds round-trip (reference's timestamp[s] semantics)",
+)
+def epoch_seconds(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    return df.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_trunc("second", F.col("ts")).alias("ts_second"),
+    )
+
+
+@register(
+    "rename_projection",
+    "SELECT event_id AS id, event_type AS kind, user_id AS uid FROM events",
+    doc="O-13: column renames compiled into the projection",
+)
+def rename_projection(spark, sf_dir):
+    return _events(spark, sf_dir).select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("kind"),
+        F.col("user_id").alias("uid"),
+    )
+
+
+@register(
+    "top_k",
+    """
+    SELECT event_id, value FROM events
+    ORDER BY value DESC, event_id LIMIT 10
+    """,
+    doc="sort/top-k (absent from the reference; Spark TakeOrderedAndProject — "
+        "no global sort materialized)",
+)
+def top_k(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .select("event_id", "value")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(10)
+    )
+
+
+@register(
+    "systematic_sample",
+    "SELECT event_id, user_id FROM events WHERE event_id % 20 = 0",
+    doc="O-2: deterministic systematic sample (stand-in for $sample, which is "
+        "inherently random; the engine's random path is df.sample(seed))",
+)
+def systematic_sample(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") % 20 == 0)
+        .select("event_id", "user_id")
+    )
+
+
+@register(
+    "el_partitioned_roundtrip",
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    doc="O-16/O-17 end-to-end: schema apply → hive-partitioned parquet sink → "
+        "re-read → per-partition counts (layout equals the reference's "
+        "key=value/ fan-out)",
+)
+def el_partitioned_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from mongo2pq_spark.plans.pipeline import extract_load_collection
+    from mongo2pq_spark.schema.model import Schema
+    from mongo2pq_spark.schema.types import spark_to_arrow
+
+    df = _events(spark, sf_dir)
+    fields = {f.name: spark_to_arrow(f.dataType) for f in df.schema.fields}
+    schema = Schema("events", fields)
+    outdir = tempfile.mkdtemp(prefix="el_roundtrip_")
+    path = extract_load_collection(df, schema, outdir, partition_key="event_type")
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("event_type").cast("string").alias("event_type"), "n")
+    )
+
+
+@register(
+    "limit_page",
+    """
+    SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 100
+    """,
+    doc="O-24: bounded page fetch (cursor page → deterministic ORDER BY + LIMIT)",
+)
+def limit_page(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+        .limit(100)
+    )

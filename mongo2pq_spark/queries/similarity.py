@@ -1,0 +1,129 @@
+"""Similarity-search queries over the embeddings table.
+
+Cosine values are computed in double precision in both engines and
+rounded to 6 dp before ranking/compare; ranking ties break on
+neighbor id, so orderings are engine-stable.
+"""
+
+from __future__ import annotations
+
+from mongo2pq_spark.operators import similarity as ops
+from mongo2pq_spark.queries.registry import register
+
+_DIM = 64
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+@register(
+    "ann_topk_bruteforce",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+    ),
+    sims AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round({_sql_cosine('q.qv', 'e.embedding')}, 6) AS cosine_sim
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+               ) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="exact top-5 cosine neighbors for 10 query vectors: queries broadcast, "
+        "corpus never shuffled",
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ops.cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND round({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.4
+    """,
+    doc="embedding-cosine near-dup pairs (≥ 0.4); exact all-pairs verification "
+        "path (LSH buckets are the scale path)",
+)
+def embedding_near_dup(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    return ops.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+def _lsh_bucket_sql(n_hyperplanes: int, seed: int = 7) -> str:
+    planes = ops.hyperplanes(n_hyperplanes, _DIM, seed)
+    terms = []
+    for h, plane in enumerate(planes):
+        lits = ", ".join(repr(c) for c in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{lits}]) > 0 "
+            f"THEN (CAST(1 AS BIGINT) << {h}) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "ann_lsh_buckets",
+    f"""
+    SELECT vec_id, {_lsh_bucket_sql(ops.DEFAULT_HYPERPLANES)} AS bucket
+    FROM embeddings
+    """,
+    doc=f"random-hyperplane LSH bucket assignment ({ops.DEFAULT_HYPERPLANES} "
+        "planes → 2^16 buckets); deterministic fixed-seed hyperplanes",
+)
+def ann_lsh_buckets(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    return ops.lsh_bucket_assignments(emb, dim=_DIM)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH buckets AS (
+        SELECT vec_id, embedding, {_lsh_bucket_sql(8)} AS bucket FROM embeddings
+    ),
+    sims AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine_sim
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+               ) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="approximate top-5 via LSH bucket candidates (8 planes → 256 buckets); "
+        "the equi-join on bucket replaces the all-pairs cross join",
+)
+def ann_lsh_topk(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    return ops.lsh_topk(emb, k=5, n_hyperplanes=8, dim=_DIM)

@@ -1,0 +1,122 @@
+"""Text-analysis queries over the documents table."""
+
+from __future__ import annotations
+
+from mongo2pq_spark.functions.hashing import sql_hash64
+from mongo2pq_spark.functions.textfns import (
+    STOPWORDS,
+    sql_stopword_hits,
+    sql_tokens,
+)
+from mongo2pq_spark.operators import text as ops
+from mongo2pq_spark.queries.registry import register
+
+_BPE_SQL_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({sql_tokens('text')}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')) AS n_bpeish_tokens
+    FROM documents
+    """,
+    doc="token counting: whitespace tokens + BPE-ish regex tokens",
+)
+def text_token_stats(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.token_stats(docs)
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, {sql_tokens('text')} AS toks,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round({sql_stopword_hits('toks', STOPWORDS['en'])}
+                     * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio,
+               round(n_alpha * 1.0 / greatest(n_chars, 1), 6) AS alpha_ratio,
+               round(least(n_chars / 500.0, 1.0), 6) AS len_score
+        FROM t
+    )
+    SELECT doc_id, n_tokens, stopword_ratio, alpha_ratio, len_score,
+           round((len_score + alpha_ratio
+                  + round(least(stopword_ratio / 0.3, 1.0), 6)) / 3.0, 6) AS quality
+    FROM feats
+    """,
+    doc="quality scoring: length/stopword/alpha-ratio composite in [0,1]",
+)
+def text_quality_scores(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.quality_scores(docs)
+
+
+def _lang_id_sql() -> str:
+    langs = list(STOPWORDS)
+    hits = ",\n               ".join(
+        f"{sql_stopword_hits('toks', STOPWORDS[lang])} AS hits_{lang}"
+        for lang in langs
+    )
+    mx = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    first_match = " ".join(
+        f"WHEN hits_{lang} = {mx} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    scored AS (
+        SELECT doc_id,
+               {hits}
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN {mx} = 0 THEN 'und' {first_match} END AS predicted_lang,
+           {mx} AS stopword_hits
+    FROM scored
+    """
+
+
+@register(
+    "text_language_id",
+    _lang_id_sql(),
+    doc="stopword-voting language ID (first language attaining the max wins; "
+        "0 hits → 'und')",
+)
+def text_language_id(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.language_id(docs)
+
+
+@register(
+    "text_fingerprints",
+    f"""
+    WITH n AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents
+    )
+    SELECT doc_id, {sql_hash64('norm')} AS fingerprint,
+           length(norm) AS n_chars_normalized
+    FROM n
+    """,
+    doc="60-bit content fingerprint over normalized text",
+)
+def text_fingerprints(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.fingerprints(docs)

@@ -146,7 +146,9 @@ def infer_schema_from_df(
     ``mapInPandas``, and only those tiny partials reach the driver for
     the lattice fold. Scales to any input size.
     """
-    from pyspark.sql import functions as F
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
 
     total = df.count()
     if total == 0:

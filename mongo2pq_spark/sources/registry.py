@@ -34,5 +34,43 @@ def read_table(spark: SparkSession, path: str | Path, fmt: str | None = None) ->
 
 
 def read_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Convenience: read one of the driver-generated testdata tables."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one of the driver-generated testdata tables, normalizing
+    nanosecond-precision parquet timestamps.
+
+    The testdata writes INT64 TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects outright (PARQUET_TYPE_ILLEGAL). We flip the legacy
+    escape hatch (nanos read as LongType) and rebuild real timestamps
+    by truncating to microseconds — exactly what DuckDB's µs TIMESTAMP
+    does, so both engines see identical values. Conversion happens in
+    the projection (codegen; no extra pass).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nano_cols = _nano_timestamp_columns(path)
+    df = spark.read.parquet(path)
+    if not nano_cols:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.timestamp_micros((F.col(c) / 1000).cast("long")).alias(c)
+            if c in nano_cols
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def _nano_timestamp_columns(path: str) -> set[str]:
+    """Columns stored as timestamp[ns], from the parquet footer
+    (driver-side metadata read; no data scan)."""
+    import pyarrow.dataset as ds
+    import pyarrow.types as pat
+
+    schema = ds.dataset(path, format="parquet").schema
+    return {
+        field.name
+        for field in schema
+        if pat.is_timestamp(field.type) and field.type.unit == "ns"
+    }
