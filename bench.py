@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: headline queries: reference-parity EL path, heavy analytics, and the
+#: large-scale extension operators
+HEADLINE = [
+    "el_partitioned_roundtrip",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_local_supplier_volume",
+    "window_top_orders_per_customer",
+    "user_session_stats",
+    "dedup_exact",
+    "dedup_minhash_candidates",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_fingerprints",
+    "ann_topk_bruteforce",
+    "ann_lsh_buckets",
+    "text_quality_scores",
+    "text_language_id",
+    "streaming_window_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from mongo2pq_spark.queries.registry import load_all
+    from mongo2pq_spark.session import get_spark
+
+    spark = get_spark(app_name="mongo2pq_spark_bench")
+    specs = load_all()
+
+    # JVM/session warmup outside the timed region
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        spec = specs[name]
+        start = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()  # materialize the full result
+        elapsed = time.perf_counter() - start
+        timings[name] = round(elapsed, 3)
+        total += elapsed
+        print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

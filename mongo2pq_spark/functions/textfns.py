@@ -34,16 +34,22 @@ def tokens(col: Column) -> Column:
 
 def word_shingles(tokens_col: Column, n: int = 3) -> Column:
     """array<string> of n-word shingles joined by single spaces.
-    Texts shorter than n tokens yield an empty array."""
-    return F.when(
-        F.size(tokens_col) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tokens_col) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens_col, i + j + 1) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    Texts shorter than n tokens yield an empty array.
+
+    Built from n shifted slices folded with zip_with, NOT per-index
+    element_at in a transform lambda: Catalyst inlines ``tokens_col``
+    into every reference, so an element_at-per-position formulation
+    re-tokenizes the text O(tokens) times per row (measured 100×
+    slowdown at sf0.1); the slice/zip_with form references it a
+    constant ~2n times."""
+    length = F.greatest(F.size(tokens_col) - (n - 1), F.lit(0))
+    shingles = F.slice(tokens_col, 1, length)
+    for j in range(1, n):
+        shifted = F.slice(tokens_col, j + 1, length)
+        shingles = F.zip_with(
+            shingles, shifted, lambda acc, tok: F.concat(acc, F.lit(" "), tok)
+        )
+    return shingles
 
 
 def stopword_hits(tokens_col: Column, words: list[str]) -> Column:
