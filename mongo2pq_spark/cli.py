@@ -1,0 +1,199 @@
+"""Command-line surface: migrate MongoDB collections to Parquet.
+
+Mirrors the reference CLI argument-for-argument
+(/root/reference/mongo2pq/main.py:100-172): ``-u/-o/-s/-d/-c/-p/-S/-C/-D``,
+URI from ``$MONGODB_URI``, config from ``$MONGO2PQ_CONFIG``, schema
+files validated with warn-and-infer fallback.
+
+Two source schemes:
+- ``mongodb://…`` — production path via the Spark MongoDB connector
+  (sources/mongo.py; gated on the connector jar).
+- ``file:<dir>`` — test/stand-in path: every ``<name>.parquet`` /
+  ``<name>.jsonl`` in the directory is a collection. This keeps the
+  whole orchestration (infer → YAML dump → config rewrite → EL) runnable
+  end-to-end without a live MongoDB.
+
+Per collection the flow matches the reference's two phases
+(main.py:45-95): schema phase (load YAML or infer by sampling, dump,
+apply config) then EL phase (projection + partitioned parquet write).
+"""
+
+from __future__ import annotations
+
+import sys
+from argparse import ArgumentParser, Namespace
+from os import environ
+from pathlib import Path
+
+from mongo2pq_spark import PROJECT_NAME
+from mongo2pq_spark.exceptions import SchemaParseError
+
+
+def main(
+    uri: str,
+    *,
+    db: str | None = None,
+    collections: list[str] | None = None,
+    outdir: Path = Path("."),
+    schema_paths: list[Path] | None = None,
+    samples: int = 20_000,
+    partition_key: str | None = None,
+    config_file: Path | None = None,
+    debug_config: bool = False,
+    strict_compat: bool = False,
+    spark=None,
+) -> int:
+    from mongo2pq_spark.config import parse_config
+    from mongo2pq_spark.plans.pipeline import extract_load_collection
+    from mongo2pq_spark.schema.inference import infer_schema_from_df
+    from mongo2pq_spark.schema.model import Schema
+    from mongo2pq_spark.schema.yaml_io import dump_schema_to_file, load_schema_from_file
+    from mongo2pq_spark.session import get_spark
+
+    spark = spark or get_spark(app_name=PROJECT_NAME)
+    outdir = Path(outdir)
+
+    try:
+        readers = _collection_readers(spark, uri, db, collections)
+    except ConnectionError as err:
+        print(f"Error: could not connect to source: {err}", file=sys.stderr)
+        return 1
+
+    config = parse_config(config_file) if config_file else {}
+    schema_files = {p.stem: p for p in (schema_paths or [])}
+
+    schemas: dict[str, Schema] = {}
+    for name, read in readers.items():
+        schema = None
+        if schema_path := schema_files.get(name):
+            try:
+                schema = load_schema_from_file(schema_path)
+            except SchemaParseError as err:
+                print(
+                    f"WARNING: schema file for '{name}' unusable ({err}); inferring",
+                    file=sys.stderr,
+                )
+        if schema is None:
+            fields = infer_schema_from_df(read(), samples=samples)
+            schema = Schema(name, fields)
+            dump_schema_to_file(schema, destination=outdir)
+        if schema_config := config.get("schema"):
+            schema.use_config(schema_config)
+            if debug_config:
+                dump_schema_to_file(
+                    schema, filename=f"{name}_config_applied.yaml", destination=outdir
+                )
+        schemas[name] = schema
+
+    for name, read in readers.items():
+        extract_load_collection(
+            read(),
+            schemas[name],
+            outdir,
+            partition_key=partition_key,
+            strict_compat=strict_compat,
+        )
+    return 0
+
+
+def _collection_readers(spark, uri: str, db: str | None, collections: list[str] | None):
+    """name → zero-arg DataFrame factory for each collection."""
+    if uri.startswith("file:"):
+        root = Path(uri.removeprefix("file:"))
+        if db:
+            root = root / db
+        if not root.is_dir():
+            raise ConnectionError(f"source directory {root} does not exist")
+        found = {
+            p.stem: p
+            for p in sorted(root.iterdir())
+            if p.suffix in (".parquet", ".jsonl", ".json", ".ndjson")
+        }
+        if collections:
+            found = {n: p for n, p in found.items() if n in collections}
+        from mongo2pq_spark.sources.registry import read_table
+
+        return {name: (lambda p=path: read_table(spark, p)) for name, path in found.items()}
+
+    from mongo2pq_spark.sources.mongo import list_collections, read_collection
+
+    try:
+        db_name, names = list_collections(uri, db)
+    except Exception as err:
+        raise ConnectionError(str(err))
+    if collections:
+        names = [n for n in names if n in collections]
+    return {
+        name: (lambda n=name: read_collection(spark, uri, db_name, n)) for name in names
+    }
+
+
+def parse_args(argv: list[str] | None = None) -> Namespace | None:
+    parser = ArgumentParser(
+        prog=PROJECT_NAME,
+        description="Migrate MongoDB collections (or a file: directory of "
+        "parquet/jsonl stand-ins) to Apache Parquet datasets",
+    )
+    parser.add_argument(
+        "-u", "--uri",
+        default=environ.get("MONGODB_URI"),
+        help="MongoDB URI or file:<dir>; also via $MONGODB_URI",
+    )
+    parser.add_argument("-o", "--outdir", default="./", type=Path)
+    parser.add_argument("-s", "--samples", type=int, default=20_000,
+                        help="sample size for schema inference")
+    parser.add_argument("-d", "--db", help="database (default: first found)")
+    parser.add_argument("-c", "--collections", nargs="*")
+    parser.add_argument("-p", "--partition", help="hive partition key")
+    parser.add_argument("-S", "--schemas", type=Path, nargs="*",
+                        help="YAML schema files (stem = collection name)")
+    parser.add_argument("-C", "--config", type=Path,
+                        default=environ.get("MONGO2PQ_CONFIG"),
+                        help="YAML config with retype/rename rules")
+    parser.add_argument("-D", "--debug_config", action="store_true",
+                        help="dump post-config schemas")
+    parser.add_argument("--strict-compat", action="store_true",
+                        help="reproduce the reference's literal quirks "
+                             "(falsy-drop of 0/False, string→bool always False)")
+
+    parsed = parser.parse_args(argv)
+    if not parsed.uri:
+        print("ERROR: source URI not given (use --uri or $MONGODB_URI)", file=sys.stderr)
+        parser.print_help()
+        return None
+    if parsed.schemas:
+        kept = []
+        for schema in parsed.schemas:
+            if schema.is_file():
+                kept.append(schema)
+            else:
+                print(f"WARNING: schema '{schema}' doesn't exist; will infer",
+                      file=sys.stderr)
+        parsed.schemas = kept
+    if parsed.config and not parsed.config.is_file():
+        print(f"WARNING: config '{parsed.config}' doesn't exist; ignored",
+              file=sys.stderr)
+        parsed.config = None
+    return parsed
+
+
+def run(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    if not args:
+        return 1
+    return main(
+        args.uri,
+        db=args.db,
+        collections=args.collections,
+        outdir=args.outdir,
+        schema_paths=args.schemas,
+        samples=args.samples,
+        partition_key=args.partition,
+        config_file=args.config,
+        debug_config=args.debug_config,
+        strict_compat=args.strict_compat,
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(run())

@@ -121,7 +121,10 @@ def infer_fields_from_rows(
     fields: dict[str, pa.DataType] = {}
     for row in rows:
         for field_name, value in row.items():
-            if value is None:
+            # None and "" carry no type signal: both are suppressed to
+            # null at export (falsy-drop, SURVEY O-7), so they must not
+            # drag a column to `string` during inference either.
+            if value is None or (isinstance(value, str) and value == ""):
                 continue
             inferred = infer_type(value, field_name, now=now)
             known = fields.get(field_name)
@@ -195,7 +198,7 @@ def infer_schema_from_df(
 
 def _is_missing(value: Any) -> bool:
     """pandas-level missing check that tolerates arrays."""
-    if value is None:
+    if value is None or (isinstance(value, str) and value == ""):
         return True
     try:
         import pandas as pd

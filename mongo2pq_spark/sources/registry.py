@@ -29,7 +29,11 @@ def read_table(spark: SparkSession, path: str | Path, fmt: str | None = None) ->
     if fmt == "parquet":
         return spark.read.parquet(path)
     if fmt == "json":
-        return spark.read.json(path)
+        # primitivesAsString: deliver raw values and let the engine's
+        # own sampler decide types (string speculation, epoch heuristic,
+        # int-width fitting) — mirrors the reference seeing raw BSON
+        # instead of Spark's JSON inference, which has different rules.
+        return spark.read.option("primitivesAsString", "true").json(path)
     raise ValueError(f"unsupported source format {fmt!r}")
 
 

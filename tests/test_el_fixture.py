@@ -1,0 +1,222 @@
+"""End-to-end EL tests over the FIXTURES.md F1 dirty-inference fixture:
+JSONL source (Mongo stand-in) → CLI orchestration → inferred YAML
+schema → config rewrite → partitioned parquet → re-read assertions.
+"""
+
+import json
+import random
+from datetime import datetime, timedelta
+from pathlib import Path
+
+import pyarrow as pa
+import pytest
+
+from mongo2pq_spark.cli import main as cli_main, parse_args
+from mongo2pq_spark.schema.yaml_io import dump_schema_to_file, load_schema_from_file
+from mongo2pq_spark.schema.model import Schema
+
+N_ROWS = 600
+
+F3_CONFIG = """
+schema:
+  telemetry_data:
+    - type: retype_equals
+      fieldname: telemetry_snapshot_time
+      fieldtype: timestamp[ms]
+    - type: retype_regex
+      fieldname: (?<!numeric_)id
+      fieldtype: string
+    - type: retype_contains
+      fieldname: orientation
+      fieldtype: float
+    - type: rename_regex
+      oldname: (\\S+)_(\\S+)
+      newname: \\2_\\1
+"""
+
+
+def _generate_f1(path: Path, n: int = N_ROWS) -> None:
+    """FIXTURES.md F1 telemetry_data rows, deterministic (seed 42)."""
+    rng = random.Random(42)
+    now = datetime.now()
+    with path.open("w") as out:
+        for i in range(n):
+            row = {
+                "_id": "".join(rng.choices("0123456789abcdef", k=24)),
+                "numeric_id": str(rng.randint(1, 2**31 - 1)),
+                "big_id": str(rng.randint(2**31, 2**62)),
+                "huge_id": str(rng.randint(2**63 + 1, 2**80)),
+                "flap_orientation": (
+                    f"{rng.uniform(0, 40):.1f}" if rng.random() < 0.10
+                    else str(rng.randint(0, 40))
+                ),
+                "telemetry_snapshot_time": (
+                    now - timedelta(hours=rng.randint(1, 5000))
+                ).isoformat(timespec="seconds"),
+                "event_day": (now - timedelta(days=rng.randint(0, 800))).strftime(
+                    "%Y-%m-%d"
+                ),
+                "recorded_ts": (
+                    f"{now.timestamp() - rng.uniform(0, 3.1e7):.2f}"
+                    if rng.random() < 0.10
+                    else str(int(now.timestamp()) - rng.randint(0, 31_000_000))
+                ),
+                "plain_count": str(rng.randint(100_000, 10**9)),
+                "is_active": (
+                    rng.choice(["yes", "no"]) if rng.random() < 0.20
+                    else rng.choice(["true", "false"])
+                ),
+                "engine_temp": (
+                    None if rng.random() < 0.05
+                    else "" if rng.random() < 0.05
+                    else f"{rng.uniform(50, 150):.2f}"
+                ),
+                "zero_val": "0" if rng.random() < 0.30 else str(rng.randint(1, 100)),
+                "note": rng.choice(["all good", "42abc", "needs check", "ok"]),
+                "mixed_chaos": rng.choice(["7", "seven", "true"]),
+                "datapoint_source": rng.choice(["sensor_a", "sensor_b"]),
+            }
+            if rng.random() < 0.01:
+                row["sparse_field"] = "rare"
+            if rng.random() < 0.02:
+                row["ghost_field"] = "boo"
+            out.write(json.dumps(row) + "\n")
+
+
+@pytest.fixture(scope="module")
+def f1_run(spark, tmp_path_factory):
+    src = tmp_path_factory.mktemp("f1_src")
+    out = tmp_path_factory.mktemp("f1_out")
+    _generate_f1(src / "telemetry_data.jsonl")
+    cfg = src / "config.yaml"
+    cfg.write_text(F3_CONFIG)
+    rc = cli_main(
+        f"file:{src}",
+        outdir=out,
+        config_file=cfg,
+        samples=N_ROWS,
+        debug_config=True,
+        spark=spark,
+    )
+    assert rc == 0
+    return src, out
+
+
+def test_inferred_schema_types(f1_run):
+    _, out = f1_run
+    schema = load_schema_from_file(out / "telemetry_data.yaml")
+    fields = schema.fields
+    assert fields["_id"].equals(pa.string())
+    assert fields["numeric_id"].equals(pa.int32())
+    assert fields["big_id"].equals(pa.int64())
+    assert fields["huge_id"].equals(pa.string())          # > int64 → string
+    assert fields["flap_orientation"].equals(pa.float32())  # int ⊔ float
+    assert fields["telemetry_snapshot_time"].equals(pa.date64())
+    assert fields["event_day"].equals(pa.date32())
+    assert fields["recorded_ts"].equals(pa.timestamp("s"))  # epoch heuristic
+    assert fields["plain_count"].equals(pa.int32())       # heuristic must NOT fire
+    assert fields["is_active"].equals(pa.bool_())
+    assert fields["engine_temp"].equals(pa.float32())     # ""/None don't poison
+    assert fields["note"].equals(pa.string())
+    assert fields["mixed_chaos"].equals(pa.string())      # lattice fallback
+    assert "sparse_field" in fields
+
+
+def test_config_applied_schema(f1_run):
+    _, out = f1_run
+    applied = load_schema_from_file(out / "telemetry_data_config_applied.yaml")
+    fields = applied.fields
+    # retype_equals + rename (\S+)_(\S+) → \2_\1 (greedy: split at LAST _)
+    assert fields["time_telemetry_snapshot"].equals(pa.timestamp("ms"))
+    # (?<!numeric_)id: big_id retyped to string, numeric_id untouched
+    assert fields["id_big"].equals(pa.string())
+    assert fields["id_numeric"].equals(pa.int32())
+    assert fields["orientation_flap"].equals(pa.float32())
+
+
+def test_exported_parquet(f1_run, spark):
+    _, out = f1_run
+    df = spark.read.parquet(str(out / "telemetry_data.parquet"))
+    assert df.count() == N_ROWS
+    dtypes = dict(df.dtypes)
+    assert dtypes["id_numeric"] == "int"
+    assert dtypes["id_big"] == "string"
+    assert dtypes["ts_recorded"] == "timestamp"
+    assert dtypes["active_is"] == "boolean"
+    assert dtypes["day_event"] == "date"
+    # falsy-drop: empty-string engine_temp exported as null, not 0
+    temps = df.select("temp_engine").collect()
+    assert any(r.temp_engine is None for r in temps)
+    # ghost_field was inferred (it exists in data) — full-sample run keeps it
+    assert "field_ghost" in df.columns
+
+
+def test_partitioned_cli_layout(spark, tmp_path):
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    _generate_f1(src / "telemetry_data.jsonl", n=200)
+    rc = cli_main(
+        f"file:{src}",
+        outdir=out,
+        partition_key="datapoint_source",
+        samples=200,
+        spark=spark,
+    )
+    assert rc == 0
+    dataset = out / "telemetry_data.parquet"
+    parts = {p.name for p in dataset.iterdir() if p.is_dir()}
+    assert parts == {"datapoint_source=sensor_a", "datapoint_source=sensor_b"}
+
+
+def test_schema_file_prunes_ghost(spark, tmp_path):
+    """A supplied schema (as if inferred from a sample missing
+    ghost_field) drops the column at export — SURVEY O-6."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    _generate_f1(src / "telemetry_data.jsonl", n=150)
+    fields = {
+        "_id": pa.string(),
+        "numeric_id": pa.int32(),
+        "is_active": pa.bool_(),
+        "datapoint_source": pa.string(),
+    }
+    schema_file_dir = tmp_path / "schemas"
+    dump_schema_to_file(Schema("telemetry_data", fields), destination=schema_file_dir)
+    rc = cli_main(
+        f"file:{src}",
+        outdir=out,
+        schema_paths=[schema_file_dir / "telemetry_data.yaml"],
+        spark=spark,
+    )
+    assert rc == 0
+    df = spark.read.parquet(str(out / "telemetry_data.parquet"))
+    assert set(df.columns) == set(fields)
+
+
+def test_broken_schema_file_falls_back(spark, tmp_path):
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    _generate_f1(src / "telemetry_data.jsonl", n=100)
+    bad = tmp_path / "telemetry_data.yaml"
+    bad.write_text("!schema\nname: telemetry_data\nfields:\n  a: notatype\n")
+    rc = cli_main(
+        f"file:{src}", outdir=out, schema_paths=[bad], samples=100, spark=spark
+    )
+    assert rc == 0  # warned, inferred instead
+    assert (out / "telemetry_data.yaml").exists()
+
+
+def test_missing_source_dir_fails(spark, tmp_path):
+    assert cli_main(f"file:{tmp_path}/nope", outdir=tmp_path, spark=spark) == 1
+
+
+def test_parse_args_surface(tmp_path, capsys):
+    assert parse_args([]) is None  # no URI → usage error
+    ns = parse_args(["-u", "file:/x", "-p", "key", "-s", "500"])
+    assert ns.partition == "key" and ns.samples == 500
+    missing = tmp_path / "missing.yaml"
+    ns = parse_args(["-u", "file:/x", "-S", str(missing)])
+    assert ns.schemas == []  # warned and dropped
