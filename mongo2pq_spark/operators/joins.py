@@ -1,0 +1,159 @@
+"""Join operators Spark lacks natively: as-of join and salted
+(skew-resistant) equi-join.
+
+As-of join — two implementations with identical semantics:
+- ``asof_join`` (default): union + carry-forward window. Pure JVM
+  (whole-stage codegen), ONE shuffle on (by-keys); the right side's
+  payload is carried forward with ``last(..., ignorenulls)`` over an
+  ordered window. This is the 100 TB path: no per-group Python, no
+  cartesian candidate blow-up, skew handled by AQE.
+- ``asof_join_pandas``: cogrouped ``applyInPandas`` over
+  ``pd.merge_asof`` per key group — the escape hatch pattern for
+  semantics the window form can't express (tolerance windows,
+  nearest-direction). Arrow-batched; still one shuffle.
+
+Salted join — ``salted_join`` spreads a skewed build key over
+``n_salts`` sub-keys: the probe side gets a deterministic salt from a
+row hash, the build side is exploded n_salts×. Result is exactly the
+plain equi-join (each probe row meets its build rows exactly once).
+Use when one key dominates (AQE skew-join handles moderate skew;
+salting is the explicit fix for pathological keys).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | Sequence[str],
+    right_payload: Sequence[str] = (),
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.on <= left.on`` within the same ``by`` group (backward
+    as-of, exact matches allowed — pd.merge_asof / DuckDB ASOF JOIN
+    defaults). Left rows with no prior right row keep nulls.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    payload = list(right_payload) or [
+        c for c in right.columns if c not in by_cols and c != on
+    ]
+
+    tagged_right = right.select(
+        *by_cols,
+        F.col(on).alias("__ord"),
+        F.lit(0).alias("__pri"),  # right sorts first at equal ts → "<=" match
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}")
+            for c in left.columns
+        ],
+    )
+    tagged_left = left.select(
+        *by_cols,
+        F.col(on).alias("__ord"),
+        F.lit(1).alias("__pri"),
+        F.lit(None).cast(dict(right.dtypes)[on]).alias(f"{on}{suffix}"),
+        *[
+            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}")
+            for c in payload
+        ],
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    unioned = tagged_right.unionByName(tagged_left)
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy("__ord", "__pri")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *[F.col(c) for c in by_cols if c not in left.columns],  # avoid dupes
+        "__pri",
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in [on, *payload]
+        ],
+    )
+    return carried.filter(F.col("__pri") == 1).drop("__pri")
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_payload: Sequence[str] = (),
+    suffix: str = "_right",
+) -> DataFrame:
+    """Same semantics via cogrouped applyInPandas + pd.merge_asof.
+
+    Demonstrates the custom-stateful escape hatch; prefer ``asof_join``
+    unless you need merge_asof-only options (tolerance/nearest).
+    """
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(left.sparkSession)
+
+    payload = list(right_payload) or [
+        c for c in right.columns if c != by and c != on
+    ]
+    right_slim = right.select(by, on, *payload)
+    out_fields = (
+        [f"{name} {dtype}" for name, dtype in left.dtypes]
+        + [f"{on}{suffix} {dict(right.dtypes)[on]}"]
+        + [f"{c}{suffix} {dict(right.dtypes)[c]}" for c in payload]
+    )
+    out_schema = ", ".join(out_fields)
+
+    def merge(lpdf, rpdf):
+        import pandas as pd
+
+        lpdf = lpdf.sort_values(on)
+        rpdf = rpdf.sort_values(on).rename(
+            columns={on: f"{on}{suffix}", **{c: f"{c}{suffix}" for c in payload}}
+        )
+        if lpdf.empty:
+            return lpdf.assign()
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf.drop(columns=[by]),
+            left_on=on,
+            right_on=f"{on}{suffix}",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged
+
+    return (
+        left.groupBy(by)
+        .cogroup(right_slim.groupBy(by))
+        .applyInPandas(lambda l, r: merge(l, r), out_schema)
+    )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: probe rows get a deterministic salt in
+    [0, n_salts); the build side is exploded once per salt; the join
+    runs on (key, salt). Output columns = probe ⋈ build minus the
+    duplicate key (same as ``probe.join(build, key)``)."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(n_salts))
+    salted_probe = probe.withColumn("__salt", salt)
+    salted_build = build.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    return salted_probe.join(salted_build, [key, "__salt"], how).drop("__salt")

@@ -1,0 +1,173 @@
+"""Extended join + aggregate queries: as-of join, salted skew join,
+cube, exact/approx distinct, exact percentiles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo2pq_spark.operators.joins import asof_join, salted_join
+from mongo2pq_spark.queries.registry import register
+
+_DEC = "decimal(18,2)"
+
+
+def _t(spark, sf_dir, name):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    return read_sf_table(spark, sf_dir, name)
+
+
+@register(
+    "asof_purchase_last_click",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           c.event_id AS click_event_id,
+           c.ts AS ts_right
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="as-of join: each purchase ⋈ most recent prior click per user "
+        "(union + carry-forward window: one shuffle, no Python)",
+)
+def asof_purchase_last_click(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id", right_payload=["event_id"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_right").alias("click_event_id"),
+        "ts_right",
+    )
+
+
+@register(
+    "salted_join_revenue",
+    f"""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="salted equi-join (explicit skew mitigation): lineitem ⋈ orders with "
+        "8-way salt, result identical to the plain join",
+)
+def salted_join_revenue(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    joined = salted_join(l, o, key="l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT CAST(sum(CAST(l_extendedprice AS {_DEC}) * CAST(l_discount AS {_DEC})) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6-style: pure scan + predicate + single agg (pushdown check)",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC)
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "cube_order_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dimensions (all grouping-set combinations)",
+)
+def cube_order_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "distinct_users_exact",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="exact distinct aggregation (two-phase partial/final)",
+)
+def distinct_users_exact(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "distinct_users_approx",
+    None,  # HLL sketches differ per engine: rows-only check
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB path for distinct "
+        "counts; sketch values are engine-specific so no SQL oracle",
+)
+def distinct_users_approx(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("n_users_approx"))
+    )
+
+
+@register(
+    "median_value_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS median_value,
+           round(quantile_cont(value, 0.95), 6) AS p95_value
+    FROM events GROUP BY event_type
+    """,
+    doc="exact interpolated percentiles (Spark percentile ≡ DuckDB "
+        "quantile_cont); percentile_approx is the sketch path at scale",
+)
+def median_value_by_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("median_value"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95_value"),
+    )

@@ -56,9 +56,11 @@ def read_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return df
     from pyspark.sql import functions as F
 
+    # `div` = exact integer division; a double `/` would round (ns
+    # epochs exceed 2^53) and drift ±1µs from DuckDB's truncation.
     return df.select(
         *[
-            F.timestamp_micros((F.col(c) / 1000).cast("long")).alias(c)
+            F.timestamp_micros(F.expr(f"`{c}` div 1000")).alias(c)
             if c in nano_cols
             else F.col(c)
             for c in df.columns

@@ -42,7 +42,7 @@ def run_tumbling_window_counts(
     stream = spark.readStream.schema(static.schema).parquet(stream_dir)
     if dict(static.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     stream = stream.withWatermark("ts", "10 minutes")
     agg = (

@@ -1,0 +1,92 @@
+"""Operator-level equivalence and contract tests (beyond the SQL
+oracles): alternative implementations must agree with primaries, and
+banded candidate generation must not lose pairs."""
+
+from pyspark.sql import functions as F
+
+from mongo2pq_spark.operators.dedup import (
+    drop_exact_duplicates,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from mongo2pq_spark.operators.joins import asof_join, asof_join_pandas, salted_join
+from mongo2pq_spark.operators.multimodal import (
+    attach_payload,
+    decode_features,
+    _fake_features,
+)
+from mongo2pq_spark.sources.registry import read_sf_table
+
+
+def _sorted_rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_asof_window_equals_pandas(spark, sf_dir):
+    e = read_sf_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    a = asof_join(purchases, clicks, on="ts", by="user_id", right_payload=["event_id"])
+    b = asof_join_pandas(
+        purchases, clicks, on="ts", by="user_id", right_payload=["event_id"]
+    )
+    cols = ["event_id", "user_id", "ts", "ts_right", "event_id_right"]
+    assert _sorted_rows(a.select(*cols)) == _sorted_rows(b.select(*cols))
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    l = read_sf_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = read_sf_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    salted = salted_join(l, o, key="l_orderkey", n_salts=4)
+    plain = l.join(o, "l_orderkey")
+    assert _sorted_rows(salted) == _sorted_rows(plain)
+
+
+def test_drop_exact_duplicates_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y"), (5, "x"), (4, "z")], "doc_id long, text string"
+    )
+    kept = drop_exact_duplicates(df)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 4]
+
+
+def test_simhash_banding_is_lossless(spark, sf_dir):
+    """Pigeonhole blocking must find every Hamming≤3 pair the brute
+    force finds."""
+    docs = read_sf_table(spark, sf_dir, "documents")
+    banded = simhash_near_pairs(docs, max_hamming=3)
+    fp = simhash_fingerprints(docs)
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    assert _sorted_rows(banded) == _sorted_rows(brute)
+
+
+def test_fake_features_deterministic_and_shaped():
+    payload = "hello multimodal world".encode()
+    f1 = _fake_features(payload, 4)
+    assert len(f1) == 4 and f1 == _fake_features(payload, 4)
+    assert _fake_features(b"", 4) == [0.0] * 4
+
+
+def test_decode_features_schema_and_rows(spark, sf_dir):
+    docs = read_sf_table(spark, sf_dir, "documents")
+    out = decode_features(attach_payload(docs))
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "mime", "n_bytes", "payload_md5", "feature",
+    ]
+    rows = out.limit(5).collect()
+    assert all(len(r.feature) == 4 for r in rows)
+    assert all(r.mime == "text/plain" for r in rows)
