@@ -50,6 +50,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         streaming,
         text,
+        udfs,
     )
 
     return QUERIES

@@ -24,3 +24,28 @@ from mongo2pq_spark.streaming.windows import run_tumbling_window_counts
 )
 def streaming_window_counts(spark, sf_dir):
     return run_tumbling_window_counts(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "streaming_stateful_sessions",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+    doc="custom stateful streaming operator (applyInPandasWithState): "
+        "per-user sessionization with O(1) state; final emissions equal "
+        "the batch lag/gap sessionization",
+)
+def streaming_stateful_sessions(spark, sf_dir):
+    from mongo2pq_spark.streaming.stateful import run_stateful_sessionization
+
+    return run_stateful_sessionization(spark, f"{sf_dir}/events.parquet")

