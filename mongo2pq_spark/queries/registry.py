@@ -44,6 +44,7 @@ def load_all() -> dict[str, QuerySpec]:
     from mongo2pq_spark.queries import (  # noqa: F401
         analytics,
         dedup,
+        functions_lib,
         joins_ext,
         multimodal,
         relational,
