@@ -152,6 +152,12 @@ def ngram_jaccard_pairs(
     for web-scale corpora; boilerplate carries no near-dup signal).
     """
     hashes = _doc_shingle_hashes(df, id_col, text_col, shingle_n)
+    # referenced 3× (sizes + both join sides): persist instead of
+    # recomputing tokenize+md5 over the corpus three times. At cluster
+    # scale this is a deliberate DISK-backed materialization.
+    from pyspark import StorageLevel
+
+    hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = hashes.groupBy(id_col).agg(F.count("*").alias("sz"))
     if max_shingle_df is not None:
         rare = (

@@ -25,6 +25,37 @@ from pyspark.sql import DataFrame
 from mongo2pq_spark.schema.model import Schema
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_key: str,
+    n_buckets: int = 16,
+    sort_key: str | None = None,
+) -> None:
+    """Persist a DataFrame hash-bucketed on ``bucket_key``.
+
+    Bucketing pre-shuffles the data ONCE at write time; every later
+    join or aggregation on the bucket key reads co-located buckets and
+    skips its shuffle entirely (verified by plan test: no Exchange in a
+    bucketed⋈bucketed join). This is the 100 TB answer to repeated
+    fact-fact joins — pay the shuffle once, reuse it forever.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # a crashed previous run can leave an orphan managed location that
+    # DROP TABLE doesn't know about; clear it or saveAsTable refuses
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    orphan = Path(warehouse.removeprefix("file:")) / table_name.lower()
+    if orphan.exists():
+        import shutil
+
+        shutil.rmtree(orphan, ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    if sort_key:
+        writer = writer.sortBy(sort_key)
+    writer.saveAsTable(table_name)
+
+
 def extract_load_collection(
     df: DataFrame,
     schema: Schema,

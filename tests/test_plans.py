@@ -71,3 +71,54 @@ def test_minhash_single_aggregation_pass(spark, sf_dir):
 def test_exact_dedup_has_partial_aggregation(spark, sf_dir):
     plan = _formatted(spark, sf_dir, "dedup_exact")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """bucketBy co-location: joining two tables bucketed on the same
+    key must plan ZERO exchanges (the 100 TB repeated-join strategy)."""
+    from mongo2pq_spark.plans.pipeline import write_bucketed_table
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    l = read_sf_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = read_sf_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    write_bucketed_table(l, "bucketed_lineitem", "l_orderkey", n_buckets=8)
+    write_bucketed_table(o, "bucketed_orders", "o_orderkey", n_buckets=8)
+    # disable broadcast so the planner exercises the bucketed SMJ path
+    # (at real scale neither side broadcasts; that's when bucketing pays)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bucketed_lineitem").join(
+            spark.table("bucketed_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located buckets: shuffle-free
+        assert (
+            joined.count() == read_sf_table(spark, sf_dir, "lineitem").count()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partition_pruning_on_hive_output(spark, sf_dir, tmp_path):
+    """Reading back the partitioned EL output with a partition-key
+    filter must prune directories (PartitionFilters), not scan-all."""
+    from mongo2pq_spark.plans.pipeline import extract_load_collection
+    from mongo2pq_spark.schema.model import Schema
+    from mongo2pq_spark.schema.types import spark_to_arrow
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    df = read_sf_table(spark, sf_dir, "events")
+    schema = Schema("events", {f.name: spark_to_arrow(f.dataType) for f in df.schema.fields})
+    path = extract_load_collection(df, schema, tmp_path, partition_key="event_type")
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = _plan(back)
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    # only the click partition rows are read
+    assert back.count() == df.filter(F.col("event_type") == "click").count()
