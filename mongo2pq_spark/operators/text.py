@@ -79,6 +79,47 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the classic smooth-idf; scores rounded
+    to 6 dp before ranking, ties break on the term string).
+
+    Shape at scale: one aggregation for per-doc term counts, one tiny
+    aggregated df-count side (broadcast), one window for the top-k —
+    two shuffles total, all JVM-side.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.count()  # driver-side scalar; one metadata-cheap job
+    docfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "idf", F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+        )
+    )
+    scored = tf.join(F.broadcast(docfreq), "term").select(
+        F.col(id_col),
+        "term",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic 60-bit content fingerprint over normalized text
     (lowercase, whitespace collapsed) — the cheap exact-dup key."""

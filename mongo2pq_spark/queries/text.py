@@ -102,6 +102,40 @@ def text_language_id(spark, sf_dir):
 
 
 @register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    docfreq AS (
+        SELECT term, ln((n.n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+        FROM tf, n GROUP BY term, n.n_docs
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term, round(tf.tf * docfreq.idf, 6) AS tfidf
+        FROM tf JOIN docfreq ON tf.term = docfreq.term
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="TF-IDF vectorization: top-3 terms per doc by smoothed tf-idf "
+        "(two shuffles; df table broadcast)",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.tfidf_top_terms(docs)
+
+
+@register(
     "text_fingerprints",
     f"""
     WITH n AS (

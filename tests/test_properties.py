@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the pure driver-side core:
+the unify lattice's algebraic laws and inference total-ness."""
+
+from datetime import datetime, timezone
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mongo2pq_spark.schema.inference import cast_from_string, infer_type
+from mongo2pq_spark.schema.unify import unify_types
+
+NOW = datetime(2026, 1, 1, 12, 0, 0)
+
+LATTICE_TYPES = [
+    pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+    pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
+    pa.float16(), pa.float32(), pa.float64(),
+    pa.date32(), pa.date64(), pa.timestamp("s"), pa.timestamp("ms"),
+    pa.bool_(), pa.string(), pa.binary(),
+]
+
+types = st.sampled_from(LATTICE_TYPES)
+
+
+@given(t=types)
+def test_unify_idempotent(t):
+    assert unify_types(t, t).equals(t)
+
+
+@given(t1=types, t2=types)
+def test_unify_commutative(t1, t2):
+    assert unify_types(t1, t2).equals(unify_types(t2, t1))
+
+
+@given(t1=types, t2=types)
+def test_unify_closed_over_lattice(t1, t2):
+    result = unify_types(t1, t2)
+    assert any(result.equals(t) for t in LATTICE_TYPES)
+
+
+@given(t1=types, t2=types, t3=types)
+@settings(max_examples=300)
+def test_unify_associative_within_numeric(t1, t2, t3):
+    """Within the numeric families the fold IS associative (widest
+    wins, int⊔float→float)."""
+    numeric = [
+        pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+        pa.float16(), pa.float32(), pa.float64(),
+    ]
+    if not all(any(t.equals(n) for n in numeric) for t in (t1, t2, t3)):
+        return
+    left = unify_types(unify_types(t1, t2), t3)
+    right = unify_types(t1, unify_types(t2, t3))
+    assert left.equals(right)
+
+
+def test_unify_is_not_associative_on_mixed_temporal_numeric():
+    """Documented quirk (same as the reference's resolver): merge order
+    matters when temporal and numeric types mix —
+    (ts ⊔ date32) ⊔ int32 = string, but ts ⊔ (date32 ⊔ int32) = int32.
+    Sample-order-dependent schemas are inherent to this ruleset; the
+    engine mitigates by folding in deterministic row order."""
+    ts, d32, i32 = pa.timestamp("s"), pa.date32(), pa.int32()
+    left = unify_types(unify_types(ts, d32), i32)
+    right = unify_types(ts, unify_types(d32, i32))
+    assert left.equals(pa.string())
+    assert right.equals(pa.int32())
+
+
+@given(
+    value=st.one_of(
+        st.integers(min_value=-(2**100), max_value=2**100),
+        st.floats(allow_nan=False),
+        st.text(max_size=40),
+        st.binary(max_size=20),
+        st.booleans(),
+        st.datetimes(),
+        st.none(),
+    )
+)
+@settings(max_examples=500)
+def test_infer_type_total_and_closed(value):
+    """infer_type never raises on scalars and always lands in the
+    lattice type set."""
+    result = infer_type(value, "f", now=NOW)
+    assert any(result.equals(t) for t in LATTICE_TYPES)
+
+
+@given(text=st.text(max_size=60))
+@settings(max_examples=500)
+def test_cast_from_string_total(text):
+    result = cast_from_string(text)
+    assert isinstance(result, (bool, int, float, str, datetime))
+
+
+@given(n=st.integers(min_value=-(2**62), max_value=2**62))
+def test_int_inference_width_consistent(n):
+    t = infer_type(n, "f", now=NOW)
+    if t.equals(pa.int32()):
+        assert -(2**31) <= n <= 2**31 - 1
+    elif t.equals(pa.int64()):
+        assert abs(n) < 2**63
+    # timestamp[s] allowed inside the epoch window
