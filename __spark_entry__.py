@@ -8,9 +8,17 @@ from SURVEY.md §2 plus the mandated large-scale extensions registers a
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+# make the engine importable even when this file is loaded by path
+# from a foreign cwd (the driver's loader may not add the repo root)
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -285,6 +285,50 @@ def event_type_matrix(spark, sf_dir):
 
 
 @register(
+    "lag_lead_values",
+    """
+    SELECT event_id, user_id,
+           lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events
+    """,
+    doc="lag/lead window navigation (deterministic ordering with id tiebreak)",
+)
+def lag_lead_values(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "unpivot_event_counts",
+    """
+    WITH wide AS (
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS n_click,
+               count(*) FILTER (WHERE event_type = 'view')  AS n_view
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, 'n_click' AS metric, n_click AS n FROM wide
+    UNION ALL
+    SELECT user_id, 'n_view' AS metric, n_view AS n FROM wide
+    """,
+    doc="unpivot/melt: wide per-type counts back to long form",
+)
+def unpivot_event_counts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    wide = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+    )
+    return wide.unpivot("user_id", ["n_click", "n_view"], "metric", "n")
+
+
+@register(
     "user_session_stats",
     """
     WITH gaps AS (
