@@ -21,6 +21,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped",
     "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
     "window_top_orders_per_customer",
     "user_session_stats",
     "dedup_exact",

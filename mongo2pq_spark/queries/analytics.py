@@ -234,15 +234,141 @@ def users_click_and_purchase(spark, sf_dir):
     "customers_without_orders",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+    )
     """,
-    doc="anti join (NOT EXISTS → broadcast anti)",
+    doc="anti join (NOT EXISTS → broadcast anti); the date predicate keeps "
+        "the result non-trivial on this data",
 )
 def customers_without_orders(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice AS {_DEC}) * (1 - CAST(l_discount AS {_DEC}))) AS DOUBLE) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10-style: returned-item revenue per customer, top 20",
+)
+def q10_returned_items(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast(_DEC) * (1 - F.col("l_discount").cast(_DEC))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+    SELECT round(
+             100.00
+             * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(l_extendedprice AS {_DEC}) * (1 - CAST(l_discount AS {_DEC}))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS {_DEC}) * (1 - CAST(l_discount AS {_DEC}))) AS DOUBLE),
+           6) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    doc="TPC-H Q14-style: promo revenue share. Sums stay decimal (exact); "
+        "the DIVISION runs in double in BOTH engines — decimal division "
+        "precision/rounding rules differ across engines and would break the "
+        "value hash",
+)
+def q14_promo_revenue(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice").cast(_DEC) * (1 - F.col("l_discount").cast(_DEC))
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), disc_price
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.00)
+                * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double"),
+                6,
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    f"""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    HAVING sum(CAST(l_quantity AS {_DEC})) > 150
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="TPC-H Q18-style: large-volume orders (HAVING over grouped decimal sum)",
+)
+def q18_large_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_DEC)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(qty).alias("_qty_dec"))
+        .filter(F.col("_qty_dec") > 150)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("_qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(25)
     )
 
 

@@ -27,6 +27,28 @@ def streaming_window_counts(spark, sf_dir):
 
 
 @register(
+    "streaming_sliding_window_counts",
+    """
+    WITH slid AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes'
+                   AS window_start
+        FROM events, unnest([0, 1]) AS offsets(k)
+    )
+    SELECT window_start, event_type, count(*) AS n
+    FROM slid GROUP BY 1, 2
+    """,
+    doc="sliding windows (10 min / 5 min slide): each event counted in two "
+        "overlapping windows; streaming result equals the batch unnest "
+        "formulation",
+)
+def streaming_sliding_window_counts(spark, sf_dir):
+    from mongo2pq_spark.streaming.windows import run_sliding_window_counts
+
+    return run_sliding_window_counts(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
     "streaming_stateful_sessions",
     """
     WITH gaps AS (

@@ -26,6 +26,41 @@ def _as_stream_dir(path: str) -> str:
     return staged
 
 
+def run_sliding_window_counts(
+    spark: SparkSession,
+    events_path: str,
+    window_duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    table_name: str = "streaming_sliding_out",
+) -> DataFrame:
+    """Sliding-window counts (each event lands in duration/slide
+    overlapping windows) via a streaming query; same drain semantics as
+    the tumbling variant."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(events_path)
+    stream = spark.readStream.schema(static.schema).parquet(_as_stream_dir(events_path))
+    if dict(static.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", window_duration, slide), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table_name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(table_name).select(
+        F.col("window.start").alias("window_start"), "event_type", "n"
+    )
+
+
 def run_tumbling_window_counts(
     spark: SparkSession,
     events_path: str,

@@ -209,6 +209,43 @@ def test_broken_schema_file_falls_back(spark, tmp_path):
     assert (out / "telemetry_data.yaml").exists()
 
 
+def test_binary_column_parquet_el(spark, tmp_path):
+    """Binary payloads can't ride JSONL; the parquet source path must
+    infer `binary` (contagion) and round-trip bytes exactly."""
+    import pyarrow as pa_mod
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    table = pa_mod.table(
+        {
+            "blob_id": pa_mod.array([1, 2, 3], pa_mod.int64()),
+            "payload": pa_mod.array([b"\x00\x01", b"xyz", None], pa_mod.binary()),
+            "kind": pa_mod.array(["a", "b", "a"], pa_mod.string()),
+        }
+    )
+    pq.write_table(table, src / "blobs.parquet")
+    rc = cli_main(f"file:{src}", outdir=out, samples=10, spark=spark)
+    assert rc == 0
+    schema = load_schema_from_file(out / "blobs.yaml")
+    assert schema.fields["payload"].equals(pa.binary())
+    back = {r.blob_id: r.payload for r in
+            spark.read.parquet(str(out / "blobs.parquet")).collect()}
+    assert back[1] == b"\x00\x01" and back[2] == b"xyz" and back[3] is None
+
+
+def test_cli_rerun_overwrites(spark, tmp_path):
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    _generate_f1(src / "telemetry_data.jsonl", n=120)
+    for _ in range(2):  # second run must overwrite cleanly
+        assert cli_main(f"file:{src}", outdir=out, samples=120, spark=spark) == 0
+    df = spark.read.parquet(str(out / "telemetry_data.parquet"))
+    assert df.count() == 120  # not doubled
+
+
 def test_missing_source_dir_fails(spark, tmp_path):
     assert cli_main(f"file:{tmp_path}/nope", outdir=tmp_path, spark=spark) == 1
 
