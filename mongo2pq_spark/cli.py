@@ -41,6 +41,7 @@ def main(
     config_file: Path | None = None,
     debug_config: bool = False,
     strict_compat: bool = False,
+    use_source_types: bool = False,
     spark=None,
 ) -> int:
     from mongo2pq_spark.config import parse_config
@@ -74,8 +75,10 @@ def main(
                     file=sys.stderr,
                 )
         if schema is None:
-            fields = infer_schema_from_df(read(), samples=samples)
-            schema = Schema(name, fields)
+            if use_source_types:
+                schema = Schema.from_df(name, read())
+            else:
+                schema = Schema(name, infer_schema_from_df(read(), samples=samples))
             dump_schema_to_file(schema, destination=outdir)
         if schema_config := config.get("schema"):
             schema.use_config(schema_config)
@@ -155,6 +158,10 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
     parser.add_argument("--strict-compat", action="store_true",
                         help="reproduce the reference's literal quirks "
                              "(falsy-drop of 0/False, string→bool always False)")
+    parser.add_argument("--use-source-types", action="store_true",
+                        help="trust the source's existing types instead of "
+                             "value-based sampling inference (no int narrowing; "
+                             "for already-typed parquet sources)")
 
     parsed = parser.parse_args(argv)
     if not parsed.uri:
@@ -192,6 +199,7 @@ def run(argv: list[str] | None = None) -> int:
         config_file=args.config,
         debug_config=args.debug_config,
         strict_compat=args.strict_compat,
+        use_source_types=args.use_source_types,
     )
 
 

@@ -99,6 +99,23 @@ def ann_lsh_buckets(spark, sf_dir):
 
 
 @register(
+    "ann_ivf_topk",
+    None,  # approximate (KMeans lists); deterministic but not SQL-expressible
+    doc="IVF-style ANN: KMeans coarse quantizer (fixed seed), n_probe=2 "
+        "inverted lists per query, exact cosine within lists; recall vs "
+        "brute force asserted in tests",
+)
+def ann_ivf_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ops.ivf_topk(emb, queries, k=5)
+
+
+@register(
     "ann_lsh_topk",
     f"""
     WITH buckets AS (

@@ -38,6 +38,17 @@ from mongo2pq_spark.schema.unify import unify_types
 class Schema:
     """Named, ordered field→type mapping over Arrow types."""
 
+    @classmethod
+    def from_df(cls, name: str, df: DataFrame) -> "Schema":
+        """Schema mirroring a DataFrame's existing types (no value-based
+        inference/narrowing) — for already-typed sources like parquet
+        where type preservation beats the reference's sampling rules."""
+        from mongo2pq_spark.schema.types import spark_to_arrow
+
+        return cls(
+            name, {f.name: spark_to_arrow(f.dataType) for f in df.schema.fields}
+        )
+
     def __init__(
         self,
         name: str,

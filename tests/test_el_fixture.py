@@ -235,6 +235,25 @@ def test_binary_column_parquet_el(spark, tmp_path):
     assert back[1] == b"\x00\x01" and back[2] == b"xyz" and back[3] is None
 
 
+def test_use_source_types_preserves_widths(spark, tmp_path):
+    """--use-source-types: parquet→parquet EL is type-preserving (no
+    value-based int narrowing)."""
+    import pyarrow as pa_mod
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    pq.write_table(
+        pa_mod.table({"small_id": pa_mod.array([1, 2, 3], pa_mod.int64())}),
+        src / "typed.parquet",
+    )
+    rc = cli_main(f"file:{src}", outdir=out, use_source_types=True, spark=spark)
+    assert rc == 0
+    schema = load_schema_from_file(out / "typed.yaml")
+    assert schema.fields["small_id"].equals(pa.int64())  # NOT narrowed
+
+
 def test_cli_rerun_overwrites(spark, tmp_path):
     src = tmp_path / "src"
     out = tmp_path / "out"

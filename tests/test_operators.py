@@ -74,6 +74,30 @@ def test_simhash_banding_is_lossless(spark, sf_dir):
     assert _sorted_rows(banded) == _sorted_rows(brute)
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with n_probe=2 of 8 lists must recover a solid fraction of
+    the true top-5 neighbors (and be deterministic across runs)."""
+    from mongo2pq_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx1 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=2).collect()
+    }
+    approx2 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=2).collect()
+    }
+    assert approx1 == approx2  # fixed seed → deterministic
+    recall = len(exact & approx1) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
 def test_fake_features_deterministic_and_shaped():
     payload = "hello multimodal world".encode()
     f1 = _fake_features(payload, 4)
