@@ -114,16 +114,24 @@ def asof_join_pandas(
     )
     out_schema = ", ".join(out_fields)
 
+    out_columns = [name for name, _ in left.dtypes] + [
+        f"{on}{suffix}",
+        *[f"{c}{suffix}" for c in payload],
+    ]
+
     def merge(lpdf, rpdf):
         import pandas as pd
 
+        if lpdf.empty:
+            # key exists only on the right side of the cogroup: emit an
+            # empty frame with the FULL output schema (a bare left frame
+            # would be missing the suffix columns)
+            return pd.DataFrame(columns=out_columns)
         lpdf = lpdf.sort_values(on)
         rpdf = rpdf.sort_values(on).rename(
             columns={on: f"{on}{suffix}", **{c: f"{c}{suffix}" for c in payload}}
         )
-        if lpdf.empty:
-            return lpdf.assign()
-        merged = pd.merge_asof(
+        return pd.merge_asof(
             lpdf,
             rpdf.drop(columns=[by]),
             left_on=on,
@@ -131,7 +139,6 @@ def asof_join_pandas(
             direction="backward",
             allow_exact_matches=True,
         )
-        return merged
 
     return (
         left.groupBy(by)

@@ -411,6 +411,33 @@ def event_type_matrix(spark, sf_dir):
 
 
 @register(
+    "sql_api_revenue_by_day",
+    """
+    SELECT CAST(ts AS DATE) AS event_day,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY CAST(ts AS DATE)
+    """,
+    doc="spark.sql() API surface: the engine accepts raw SQL over registered "
+        "views (identical text runs on both engines)",
+)
+def sql_api_revenue_by_day(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_view")
+    return spark.sql(
+        """
+        SELECT CAST(ts AS DATE) AS event_day,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events_view
+        WHERE event_type IN ('purchase', 'click')
+        GROUP BY CAST(ts AS DATE)
+        """
+    )
+
+
+@register(
     "lag_lead_values",
     """
     SELECT event_id, user_id,

@@ -54,6 +54,26 @@ def dedup_exact(spark, sf_dir):
     return ops.exact_dedup_groups(docs)
 
 
+@register(
+    "dedup_cleaned_corpus",
+    """
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id IN (
+        SELECT min(doc_id) FROM documents GROUP BY md5(text)
+    )
+    """,
+    doc="end-to-end dedup: return the cleaned corpus (deterministic min-id "
+        "survivor per distinct text)",
+)
+def dedup_cleaned_corpus(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.drop_exact_duplicates(docs).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def _minhash_sig_sql() -> str:
     mins = ",\n           ".join(
         f"min((h * {a} + {b}) % {MERSENNE_P}) AS mh{i}"
