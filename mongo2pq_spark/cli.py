@@ -42,6 +42,7 @@ def main(
     debug_config: bool = False,
     strict_compat: bool = False,
     use_source_types: bool = False,
+    parallel_collections: int = 1,
     spark=None,
 ) -> int:
     from mongo2pq_spark.config import parse_config
@@ -88,14 +89,26 @@ def main(
                 )
         schemas[name] = schema
 
-    for name, read in readers.items():
+    def _run_el(name: str) -> None:
         extract_load_collection(
-            read(),
+            readers[name](),
             schemas[name],
             outdir,
             partition_key=partition_key,
             strict_compat=strict_compat,
         )
+
+    if parallel_collections > 1 and len(readers) > 1:
+        # Spark's scheduler runs concurrent jobs fine; driver threads
+        # overlap the per-collection planning/IO (the reference used
+        # asyncio tasks for the same effect, main.py:88-95)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallel_collections) as pool:
+            list(pool.map(_run_el, readers))
+    else:
+        for name in readers:
+            _run_el(name)
     return 0
 
 
@@ -158,6 +171,9 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
     parser.add_argument("--strict-compat", action="store_true",
                         help="reproduce the reference's literal quirks "
                              "(falsy-drop of 0/False, string→bool always False)")
+    parser.add_argument("--parallel-collections", type=int, default=1,
+                        help="run N collections' extract-load concurrently "
+                             "(Spark schedules the jobs in parallel)")
     parser.add_argument("--use-source-types", action="store_true",
                         help="trust the source's existing types instead of "
                              "value-based sampling inference (no int narrowing; "
@@ -200,6 +216,7 @@ def run(argv: list[str] | None = None) -> int:
         debug_config=args.debug_config,
         strict_compat=args.strict_compat,
         use_source_types=args.use_source_types,
+        parallel_collections=args.parallel_collections,
     )
 
 

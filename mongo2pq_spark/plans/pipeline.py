@@ -63,12 +63,17 @@ def extract_load_collection(
     partition_key: str | None = None,
     strict_compat: bool = False,
     mode: str = "overwrite",
+    max_records_per_file: int | None = None,
 ) -> str:
     """Run the EL pipe for one collection; returns the dataset path
-    (``<outdir>/<name>.parquet``, same naming as the reference)."""
+    (``<outdir>/<name>.parquet``, same naming as the reference).
+
+    ``max_records_per_file`` caps output file size (small-file control's
+    dual): at 100 TB a single giant partition would otherwise become a
+    single giant file per task.
+    """
     out_path = str(Path(outdir) / f"{schema.name}.parquet")
     projected = schema.apply(df, strict_compat=strict_compat)
-    writer = projected.write.mode(mode)
     if partition_key:
         if partition_key not in projected.columns:
             raise ValueError(
@@ -76,6 +81,10 @@ def extract_load_collection(
             )
         # One shuffle on the key co-locates each hive partition's rows.
         projected = projected.repartition(partition_key)
-        writer = projected.write.mode(mode).partitionBy(partition_key)
+    writer = projected.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_key:
+        writer = writer.partitionBy(partition_key)
     writer.parquet(out_path)
     return out_path

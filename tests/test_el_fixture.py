@@ -265,6 +265,35 @@ def test_cli_rerun_overwrites(spark, tmp_path):
     assert df.count() == 120  # not doubled
 
 
+def test_parallel_collections_and_file_cap(spark, sf_dir, tmp_path):
+    """Two collections EL'd concurrently; maxRecordsPerFile splits
+    output files."""
+    from mongo2pq_spark.plans.pipeline import extract_load_collection
+    from mongo2pq_spark.schema.model import Schema
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    _generate_f1(src / "coll_a.jsonl", n=80)
+    _generate_f1(src / "coll_b.jsonl", n=80)
+    rc = cli_main(
+        f"file:{src}", outdir=out, samples=80, parallel_collections=2, spark=spark
+    )
+    assert rc == 0
+    for name in ("coll_a", "coll_b"):
+        assert spark.read.parquet(str(out / f"{name}.parquet")).count() == 80
+
+    # small-file control: cap forces multiple part files
+    df = read_sf_table(spark, sf_dir, "events").coalesce(1)
+    schema = Schema.from_df("events_capped", df)
+    path = extract_load_collection(
+        df, schema, tmp_path, max_records_per_file=300
+    )
+    parts = [p for p in Path(path).iterdir() if p.suffix == ".parquet"]
+    assert len(parts) >= 3  # 1000 rows / 300-cap → ≥4 files from one task
+
+
 def test_missing_source_dir_fails(spark, tmp_path):
     assert cli_main(f"file:{tmp_path}/nope", outdir=tmp_path, spark=spark) == 1
 
