@@ -43,6 +43,7 @@ def main(
     strict_compat: bool = False,
     use_source_types: bool = False,
     parallel_collections: int = 1,
+    max_records_per_file: int | None = None,
     spark=None,
 ) -> int:
     from mongo2pq_spark.config import parse_config
@@ -64,8 +65,10 @@ def main(
     config = parse_config(config_file) if config_file else {}
     schema_files = {p.stem: p for p in (schema_paths or [])}
 
-    schemas: dict[str, Schema] = {}
-    for name, read in readers.items():
+    def _process_collection(name: str) -> None:
+        """Both phases for one collection (the parallel unit): schema
+        (load-or-infer, dump, config rewrite) then extract-load."""
+        read = readers[name]
         schema = None
         if schema_path := schema_files.get(name):
             try:
@@ -87,29 +90,38 @@ def main(
                 dump_schema_to_file(
                     schema, filename=f"{name}_config_applied.yaml", destination=outdir
                 )
-        schemas[name] = schema
-
-    def _run_el(name: str) -> None:
         extract_load_collection(
-            readers[name](),
-            schemas[name],
+            read(),
+            schema,
             outdir,
             partition_key=partition_key,
             strict_compat=strict_compat,
+            max_records_per_file=max_records_per_file,
         )
 
+    failures: list[tuple[str, Exception]] = []
     if parallel_collections > 1 and len(readers) > 1:
-        # Spark's scheduler runs concurrent jobs fine; driver threads
-        # overlap the per-collection planning/IO (the reference used
-        # asyncio tasks for the same effect, main.py:88-95)
+        # Driver threads overlap whole per-collection pipelines (Spark's
+        # scheduler interleaves the jobs). NOTE: this goes beyond the
+        # reference, whose asyncio tasks parallelize partitions WITHIN
+        # one collection (extract_load.py:38-56) while collections run
+        # serially (main.py:88-95).
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=parallel_collections) as pool:
-            list(pool.map(_run_el, readers))
+            futures = {name: pool.submit(_process_collection, name) for name in readers}
+        for name, future in futures.items():
+            if (err := future.exception()) is not None:
+                failures.append((name, err))
     else:
         for name in readers:
-            _run_el(name)
-    return 0
+            try:
+                _process_collection(name)
+            except Exception as err:
+                failures.append((name, err))
+    for name, err in failures:
+        print(f"ERROR: collection '{name}' failed: {err}", file=sys.stderr)
+    return 1 if failures else 0
 
 
 def _collection_readers(spark, uri: str, db: str | None, collections: list[str] | None):
@@ -172,8 +184,11 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
                         help="reproduce the reference's literal quirks "
                              "(falsy-drop of 0/False, string→bool always False)")
     parser.add_argument("--parallel-collections", type=int, default=1,
-                        help="run N collections' extract-load concurrently "
-                             "(Spark schedules the jobs in parallel)")
+                        help="process N collections concurrently (schema "
+                             "inference + extract-load per thread)")
+    parser.add_argument("--max-records-per-file", type=int, default=None,
+                        help="cap rows per output parquet file (small-file "
+                             "control's dual: prevents giant single files)")
     parser.add_argument("--use-source-types", action="store_true",
                         help="trust the source's existing types instead of "
                              "value-based sampling inference (no int narrowing; "
@@ -217,6 +232,7 @@ def run(argv: list[str] | None = None) -> int:
         strict_compat=args.strict_compat,
         use_source_types=args.use_source_types,
         parallel_collections=args.parallel_collections,
+        max_records_per_file=args.max_records_per_file,
     )
 
 

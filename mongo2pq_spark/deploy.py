@@ -14,14 +14,21 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 import zipfile
 
 from pyspark.sql import SparkSession
 
 _SHIPPED: set[int] = set()
+_LOCK = threading.Lock()  # callers may run in driver thread pools
 
 
 def ensure_shipped(spark: SparkSession) -> None:
+    with _LOCK:
+        _ensure_shipped_locked(spark)
+
+
+def _ensure_shipped_locked(spark: SparkSession) -> None:
     sc = spark.sparkContext
     key = id(sc)
     if key in _SHIPPED:

@@ -291,7 +291,32 @@ def test_parallel_collections_and_file_cap(spark, sf_dir, tmp_path):
         df, schema, tmp_path, max_records_per_file=300
     )
     parts = [p for p in Path(path).iterdir() if p.suffix == ".parquet"]
-    assert len(parts) >= 3  # 1000 rows / 300-cap → ≥4 files from one task
+    assert len(parts) == 4  # 1000 rows / 300-cap from one task: 300×3 + 100
+    import pyarrow.parquet as pq
+
+    assert all(pq.read_metadata(p).num_rows <= 300 for p in parts)
+
+
+def test_partial_failure_reports_and_continues(spark, tmp_path, capsys):
+    """One collection fails (partition key absent) → exit 1, the other
+    collection still completes, and the failure names the collection."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    _generate_f1(src / "good.jsonl", n=60)
+    (src / "bad.jsonl").write_text('{"only_field": "x"}\n' * 30)
+    rc = cli_main(
+        f"file:{src}",
+        outdir=out,
+        partition_key="datapoint_source",  # absent from 'bad'
+        samples=60,
+        parallel_collections=2,
+        spark=spark,
+    )
+    assert rc == 1
+    assert (out / "good.parquet").exists()
+    err = capsys.readouterr().err
+    assert "collection 'bad' failed" in err
 
 
 def test_missing_source_dir_fails(spark, tmp_path):
