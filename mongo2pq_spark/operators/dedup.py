@@ -26,8 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mongo2pq_spark.functions.hashing import (
-    MERSENNE_P,
     hash64,
+    minhash_col,
     minhash_perms,
     token_hash32,
 )
@@ -80,7 +80,7 @@ def minhash_signatures(
     hashes = _doc_shingle_hashes(df, id_col, text_col, shingle_n)
     perms = minhash_perms(k, seed)
     aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
+        F.min(minhash_col(F.col("h"), a, b)).alias(f"mh{i}")
         for i, (a, b) in enumerate(perms)
     ]
     return hashes.groupBy(id_col).agg(*aggs)
@@ -152,13 +152,6 @@ def ngram_jaccard_pairs(
     for web-scale corpora; boilerplate carries no near-dup signal).
     """
     hashes = _doc_shingle_hashes(df, id_col, text_col, shingle_n)
-    # referenced 3× (sizes + both join sides): persist instead of
-    # recomputing tokenize+md5 over the corpus three times. At cluster
-    # scale this is a deliberate DISK-backed materialization.
-    from pyspark import StorageLevel
-
-    hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = hashes.groupBy(id_col).agg(F.count("*").alias("sz"))
     if max_shingle_df is not None:
         rare = (
             hashes.groupBy("h")
@@ -167,6 +160,11 @@ def ngram_jaccard_pairs(
             .select("h")
         )
         hashes = hashes.join(rare, "h", "left_semi")
+    # sizes come from the SAME (post-filter) stream as the join, so
+    # Jaccard is consistently "over retained shingles" — mixing an
+    # unfiltered denominator with a filtered intersection would deflate
+    # every score when the hot-shingle guard is active
+    sizes = hashes.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = hashes.alias("a")
     b = hashes.alias("b")
     inter = (

@@ -45,13 +45,19 @@ def asof_join(
     payload = list(right_payload) or [
         c for c in right.columns if c not in by_cols and c != on
     ]
+    right_fields = [on, *payload]
+
+    # the whole right row rides as ONE struct: a right row with a null
+    # payload column is a NON-null struct, so last(ignorenulls) cannot
+    # blend columns from different right rows (pd.merge_asof parity)
+    right_struct = F.struct(*[F.col(c).alias(c) for c in right_fields])
+    struct_type = f"struct<{', '.join(f'{c}:{dict(right.dtypes)[c]}' for c in right_fields)}>"
 
     tagged_right = right.select(
         *by_cols,
         F.col(on).alias("__ord"),
         F.lit(0).alias("__pri"),  # right sorts first at equal ts → "<=" match
-        F.col(on).alias(f"{on}{suffix}"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        right_struct.alias("__rrow"),
         *[
             F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}")
             for c in left.columns
@@ -61,29 +67,27 @@ def asof_join(
         *by_cols,
         F.col(on).alias("__ord"),
         F.lit(1).alias("__pri"),
-        F.lit(None).cast(dict(right.dtypes)[on]).alias(f"{on}{suffix}"),
-        *[
-            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}")
-            for c in payload
-        ],
+        F.lit(None).cast(struct_type).alias("__rrow"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
     unioned = tagged_right.unionByName(tagged_left)
+    # __rrow in the ordering breaks ties among equal-timestamp right
+    # rows deterministically (struct comparison); left rows order after
+    # right rows at the same instant via __pri
     w = (
         Window.partitionBy(*by_cols)
-        .orderBy("__ord", "__pri")
+        .orderBy("__ord", "__pri", "__rrow")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
-        *[F.col(c) for c in by_cols if c not in left.columns],  # avoid dupes
         "__pri",
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in [on, *payload]
-        ],
+        F.last("__rrow", ignorenulls=True).over(w).alias("__carried"),
     )
-    return carried.filter(F.col("__pri") == 1).drop("__pri")
+    return carried.filter(F.col("__pri") == 1).select(
+        *left.columns,
+        *[F.col(f"__carried.{c}").alias(f"{c}{suffix}") for c in right_fields],
+    )
 
 
 def asof_join_pandas(
@@ -157,7 +161,16 @@ def salted_join(
     """Skew-resistant equi-join: probe rows get a deterministic salt in
     [0, n_salts); the build side is exploded once per salt; the join
     runs on (key, salt). Output columns = probe ⋈ build minus the
-    duplicate key (same as ``probe.join(build, key)``)."""
+    duplicate key (same as ``probe.join(build, key)``).
+
+    Only probe-preserving join types are allowed: build-preserving ones
+    (right/full) would emit each unmatched build row n_salts times.
+    """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r} "
+            "(build-preserving joins would duplicate unmatched build rows)"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(n_salts))
     salted_probe = probe.withColumn("__salt", salt)
     salted_build = build.withColumn(

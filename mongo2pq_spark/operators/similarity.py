@@ -97,6 +97,25 @@ def embedding_near_dup_pairs(
     )
 
 
+def lsh_bucket_column(
+    vec_col: Column,
+    n_hyperplanes: int = DEFAULT_HYPERPLANES,
+    dim: int = 64,
+    seed: int = 7,
+) -> Column:
+    """sign-bucket id as a plain Column expression (bit h set ⇔
+    dot(v, hyperplane_h) > 0) — attachable in-place with zero shuffles."""
+    planes = hyperplanes(n_hyperplanes, dim, seed)
+    bucket = None
+    for h, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(c) for c in plane])
+        bit = F.when(
+            dot(vec_col, plane_col) > 0, F.lit(1).cast("bigint") * (1 << h)
+        ).otherwise(F.lit(0).cast("bigint"))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
 def lsh_bucket_assignments(
     df: DataFrame,
     n_hyperplanes: int = DEFAULT_HYPERPLANES,
@@ -105,16 +124,11 @@ def lsh_bucket_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """vector → sign-bucket id (bit h set ⇔ dot(v, hyperplane_h) > 0)."""
-    planes = hyperplanes(n_hyperplanes, dim, seed)
-    bucket = None
-    for h, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(c) for c in plane])
-        bit = F.when(
-            dot(F.col(vec_col), plane_col) > 0, F.lit(1).cast("bigint") * (1 << h)
-        ).otherwise(F.lit(0).cast("bigint"))
-        bucket = bit if bucket is None else bucket + bit
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+    """vector → sign-bucket id (narrow projection, no shuffle)."""
+    return df.select(
+        F.col(id_col),
+        lsh_bucket_column(F.col(vec_col), n_hyperplanes, dim, seed).alias("bucket"),
+    )
 
 
 def ivf_topk(
@@ -126,6 +140,7 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_train_rows: int = 10_000,
 ) -> DataFrame:
     """IVF-style ANN: a KMeans coarse quantizer (Spark ML, fixed seed)
     partitions the corpus into inverted lists; each query probes its
@@ -146,7 +161,11 @@ def ivf_topk(
     corpus_vec = df.select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
     )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(corpus_vec)
+    # train the quantizer on a bounded, DETERMINISTIC sample (ordered
+    # limit), never the full corpus — 20 KMeans passes over 100 TB
+    # would dwarf the search itself; assignment still covers every row
+    train = corpus_vec.orderBy(id_col).limit(max_train_rows)
+    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
     assigned = model.transform(corpus_vec).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nv"),
@@ -218,8 +237,13 @@ def lsh_topk(
     fewer hyperplanes (bigger buckets) for higher recall."""
     from pyspark.sql import Window
 
-    buckets = lsh_bucket_assignments(df, n_hyperplanes, dim, seed, id_col, vec_col)
-    vecs = df.select(F.col(id_col), F.col(vec_col)).join(buckets, id_col)
+    # bucket attached in-place (narrow projection) — re-joining the
+    # corpus to its own assignments on id would add a full shuffle
+    vecs = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_column(F.col(vec_col), n_hyperplanes, dim, seed).alias("bucket"),
+    )
     a = vecs.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),

@@ -166,24 +166,30 @@ def infer_schema_from_df(
     fixed_now = now or datetime.now()
 
     def infer_partition(batches: Iterator) -> Iterator:
-        import pandas as pd
-
+        # mapInArrow, NOT mapInPandas: pandas converts a nullable int
+        # column to float64 (1 → 1.0) before inference would see it,
+        # silently turning optional int fields into float32. Arrow
+        # batches keep exact types; to_pylist yields ints with None.
         partial: dict[str, pa.DataType] = {}
-        for pdf in batches:
-            rows = pdf.to_dict("records")
-            clean = [
-                {k: v for k, v in row.items() if not _is_missing(v)} for row in rows
+        for batch in batches:
+            columns = {
+                name: batch.column(i).to_pylist()
+                for i, name in enumerate(batch.schema.names)
+            }
+            rows = [
+                {name: values[r] for name, values in columns.items()}
+                for r in range(batch.num_rows)
             ]
-            for name, dtype in infer_fields_from_rows(clean, now=fixed_now).items():
+            for name, dtype in infer_fields_from_rows(rows, now=fixed_now).items():
                 known = partial.get(name)
                 partial[name] = (
                     dtype if known is None or known.equals(dtype) else unify_types(known, dtype)
                 )
-        yield pd.DataFrame(
+        yield pa.RecordBatch.from_pydict(
             {"field": list(partial), "alias": [str(t) for t in partial.values()]}
         )
 
-    partials = sampled.mapInPandas(infer_partition, "field string, alias string")
+    partials = sampled.mapInArrow(infer_partition, "field string, alias string")
     merged: dict[str, pa.DataType] = {}
     ordered_names = list(df.columns)
     for row in partials.collect():
@@ -196,14 +202,3 @@ def infer_schema_from_df(
     return {name: merged[name] for name in ordered_names if name in merged}
 
 
-def _is_missing(value: Any) -> bool:
-    """pandas-level missing check that tolerates arrays."""
-    if value is None or (isinstance(value, str) and value == ""):
-        return True
-    try:
-        import pandas as pd
-
-        result = pd.isna(value)
-        return bool(result) if isinstance(result, bool) else False
-    except (TypeError, ValueError):
-        return False

@@ -53,6 +53,15 @@ def unify_types(type1: pa.DataType, type2: pa.DataType) -> pa.DataType:
         rank = _CATEGORY_RANK[cat1]
         return max((type1, type2), key=lambda t: rank[str(t)])
 
+    # mixed signed/unsigned integers: the reference's resolver probes
+    # the SIGNED widths first against both operands and returns the
+    # first signed match (reference schema.py:260-265 — is_integer
+    # admits unsigned types into the signed category scan), so
+    # int32 ⊔ uint64 → int32. Quirky but parity.
+    if {cat1, cat2} == {"int", "uint"}:
+        signed = type1 if cat1 == "int" else type2
+        return signed
+
     # int ⊔ float → float
     if pat.is_integer(type1) and pat.is_floating(type2):
         return type2

@@ -38,6 +38,54 @@ def test_asof_window_equals_pandas(spark, sf_dir):
     assert _sorted_rows(a.select(*cols)) == _sorted_rows(b.select(*cols))
 
 
+def test_asof_null_payload_not_blended(spark):
+    """A right row whose payload is NULL must carry as NULL — not blend
+    in an older row's non-null payload (merge_asof parity)."""
+    left = spark.createDataFrame([(1, 5, 3.0)], "id long, user_id long, ts double")
+    right = spark.createDataFrame(
+        [(5, 1.0, 10), (5, 2.0, None)], "user_id long, ts double, price int"
+    )
+    for impl in (asof_join, asof_join_pandas):
+        row = impl(left, right, on="ts", by="user_id", right_payload=["price"]).collect()[0]
+        assert row.ts_right == 2.0 and row.price_right is None, impl.__name__
+
+
+def test_salted_join_rejects_build_preserving(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    with _pytest.raises(ValueError):
+        salted_join(df, df, key="k", how="full")
+
+
+def test_jaccard_hot_shingle_guard_consistent(spark):
+    """With max_shingle_df active, sizes and intersections come from the
+    same filtered stream: identical docs keep jaccard 1.0."""
+    from mongo2pq_spark.operators.dedup import ngram_jaccard_pairs
+
+    text = "common common common " + " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words here entirely now")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, threshold=0.9, max_shingle_df=2).collect()
+    assert [(p.doc_a, p.doc_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_distributed_inference_keeps_nullable_ints(spark):
+    """mapInArrow path: optional int columns must stay int, not drift to
+    float via pandas null-coercion."""
+    import pyarrow as pa
+
+    from mongo2pq_spark.schema.inference import infer_schema_from_df
+
+    df = spark.createDataFrame(
+        [(1, 34), (2, None), (3, 7)], "doc_id long, age long"
+    )
+    fields = infer_schema_from_df(df, samples=10)
+    assert fields["age"].equals(pa.int32())  # NOT float32
+
+
 def test_salted_join_equals_plain(spark, sf_dir):
     l = read_sf_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = read_sf_table(spark, sf_dir, "orders").select(

@@ -27,6 +27,11 @@ from mongo2pq_spark.schema.unify import unify_types
         (pa.binary(), pa.string(), pa.binary()),
         (pa.int32(), pa.binary(), pa.binary()),
         (pa.timestamp("s"), pa.binary(), pa.binary()),
+        # mixed signed/unsigned → the signed operand (reference parity:
+        # the signed-width probe matches only the signed side)
+        (pa.int32(), pa.uint32(), pa.int32()),
+        (pa.uint64(), pa.int8(), pa.int8()),
+        (pa.int64(), pa.uint8(), pa.int64()),
         # fallback → string
         (pa.bool_(), pa.int32(), pa.string()),
         (pa.string(), pa.int64(), pa.string()),
