@@ -501,9 +501,12 @@ def unpivot_event_counts(spark, sf_dir):
 def user_session_stats(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = _t(spark, sf_dir, "events")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # exact microsecond gap: cast('long') truncates to seconds, and a
+    # true gap of 1800.3s would floor to exactly 1800 → "same session"
+    # while the oracle's INTERVAL comparison says "new session"
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     new_session = F.when(
-        gap.isNull() | (gap > 30 * 60), F.lit(1)
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     return (
         e.select("user_id", "ts", new_session.alias("new_session"))

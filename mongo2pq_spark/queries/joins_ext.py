@@ -28,7 +28,10 @@ def _t(spark, sf_dir, name):
     FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     doc="as-of join: each purchase ⋈ most recent prior click per user "
-        "(union + carry-forward window: one shuffle, no Python)",
+        "(union + carry-forward window: one shuffle, no Python). Latent "
+        "caveat: at EQUAL right timestamps Spark picks the max struct "
+        "deterministically while DuckDB ASOF's tie choice is unspecified; "
+        "fixture timestamps are unique at µs precision so ties cannot occur",
 )
 def asof_purchase_last_click(spark, sf_dir):
     e = _t(spark, sf_dir, "events")

@@ -201,6 +201,7 @@ def systematic_sample(spark, sf_dir):
         "key=value/ fan-out)",
 )
 def el_partitioned_roundtrip(spark, sf_dir):
+    import os
     import tempfile
 
     from mongo2pq_spark.plans.pipeline import extract_load_collection
@@ -210,7 +211,9 @@ def el_partitioned_roundtrip(spark, sf_dir):
     df = _events(spark, sf_dir)
     fields = {f.name: spark_to_arrow(f.dataType) for f in df.schema.fields}
     schema = Schema("events", fields)
-    outdir = tempfile.mkdtemp(prefix="el_roundtrip_")
+    # fixed path, overwritten each run (mkdtemp would accumulate a full
+    # events copy in /tmp per bench repeat / test session)
+    outdir = os.path.join(tempfile.gettempdir(), "el_roundtrip_out")
     path = extract_load_collection(df, schema, outdir, partition_key="event_type")
     return (
         spark.read.parquet(path)

@@ -16,11 +16,20 @@ from pyspark.sql import functions as F
 from mongo2pq_spark.queries.registry import register
 
 
+#: one explicit ASCII whitespace class everywhere: pandas .split()
+#: also eats NBSP/Unicode spaces, SQL trim() only eats ' ', and Java
+#: vs RE2 disagree on \x0B — an explicit class keeps all three engines
+#: byte-identical on edge whitespace
+_WS = "[ \\t\\n\\f\\r]"
+
+
 @register(
     "udf_text_normalize",
-    """
+    f"""
     SELECT doc_id,
-           length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_len,
+           length(regexp_replace(
+               lower(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g')),
+               '{_WS}+', ' ', 'g')) AS norm_len,
            length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowels
     FROM documents
     """,
@@ -34,7 +43,8 @@ def udf_text_normalize(spark, sf_dir):
 
     @pandas_udf("string")
     def normalize_text(texts: pd.Series) -> pd.Series:
-        return texts.str.strip().str.lower().str.split().str.join(" ")
+        trimmed = texts.str.replace("^[ \t\n\f\r]+|[ \t\n\f\r]+$", "", regex=True)
+        return trimmed.str.lower().str.replace("[ \t\n\f\r]+", " ", regex=True)
 
     @pandas_udf("bigint")
     def vowel_count(texts: pd.Series) -> pd.Series:

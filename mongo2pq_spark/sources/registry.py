@@ -8,6 +8,7 @@ operators) is source-agnostic.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,7 +50,7 @@ def read_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the projection (codegen; no extra pass).
     """
     path = f"{sf_dir}/{name}.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_nanos_conf(spark)
     nano_cols = _nano_timestamp_columns(path)
     df = spark.read.parquet(path)
     if not nano_cols:
@@ -68,15 +69,29 @@ def read_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
-def _nano_timestamp_columns(path: str) -> set[str]:
+_NANOS_CONF_SET: set[int] = set()
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """Set the nanos escape hatch once per session (repeated conf sets
+    go through py4j on every table read otherwise)."""
+    key = id(spark.sparkContext)
+    if key not in _NANOS_CONF_SET:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _NANOS_CONF_SET.add(key)
+
+
+@lru_cache(maxsize=256)
+def _nano_timestamp_columns(path: str) -> frozenset[str]:
     """Columns stored as timestamp[ns], from the parquet footer
-    (driver-side metadata read; no data scan)."""
+    (driver-side metadata read; cached — testdata files are
+    immutable and queries re-read the same tables constantly)."""
     import pyarrow.dataset as ds
     import pyarrow.types as pat
 
     schema = ds.dataset(path, format="parquet").schema
-    return {
+    return frozenset(
         field.name
         for field in schema
         if pat.is_timestamp(field.type) and field.type.unit == "ns"
-    }
+    )

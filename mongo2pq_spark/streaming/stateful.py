@@ -15,6 +15,7 @@ Arrow batches in/out; state size is O(1) per user.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,14 +57,10 @@ def run_stateful_sessionization(
     table_name: str = "stateful_sessions_out",
 ) -> DataFrame:
     from mongo2pq_spark.deploy import ensure_shipped
-    from mongo2pq_spark.streaming.windows import _as_stream_dir
+    from mongo2pq_spark.streaming.windows import read_event_stream
 
     ensure_shipped(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(events_path)
-    stream = spark.readStream.schema(static.schema).parquet(_as_stream_dir(events_path))
-    if dict(static.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = read_event_stream(spark, events_path)
     events = stream.select(
         "user_id", F.col("ts").cast("double").alias("ts_epoch"), "event_id"
     )
@@ -76,7 +73,9 @@ def run_stateful_sessionization(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-    checkpoint = tempfile.mkdtemp(prefix="stateful_ckpt_")
+    # fixed, wiped-per-run checkpoint: no /tmp accumulation across runs
+    checkpoint = os.path.join(tempfile.gettempdir(), f"stateful_ckpt_{table_name}")
+    shutil.rmtree(checkpoint, ignore_errors=True)
     query = (
         sessions.writeStream.outputMode("update")
         .format("memory")

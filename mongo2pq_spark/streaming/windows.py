@@ -9,6 +9,7 @@ window over a bounded stream equals the batch GROUP BY time_bucket).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -18,12 +19,42 @@ from pyspark.sql import functions as F
 
 def _as_stream_dir(path: str) -> str:
     """Spark's file stream source requires a directory; stage a
-    symlink dir when given a bare parquet file (no data copied)."""
+    symlink dir when given a bare parquet file (no data copied).
+    Fixed per-source path: repeated calls reuse it (no /tmp growth)."""
     if os.path.isdir(path):
         return path
-    staged = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(os.path.abspath(path), os.path.join(staged, os.path.basename(path)))
+    digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+    staged = os.path.join(tempfile.gettempdir(), f"stream_src_{digest}")
+    os.makedirs(staged, exist_ok=True)
+    link = os.path.join(staged, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(path), link)
     return staged
+
+
+def read_event_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """File-source stream over the events parquet, with the same
+    nanos-timestamp normalization as sources.registry.read_sf_table
+    (single definition shared by every streaming operator)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(events_path)
+    stream = spark.readStream.schema(static.schema).parquet(_as_stream_dir(events_path))
+    if dict(static.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _drain_to_memory(agg, table_name: str, output_mode: str) -> None:
+    query = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(table_name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
 
 
 def run_sliding_window_counts(
@@ -34,28 +65,12 @@ def run_sliding_window_counts(
     table_name: str = "streaming_sliding_out",
 ) -> DataFrame:
     """Sliding-window counts (each event lands in duration/slide
-    overlapping windows) via a streaming query; same drain semantics as
-    the tumbling variant."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(events_path)
-    stream = spark.readStream.schema(static.schema).parquet(_as_stream_dir(events_path))
-    if dict(static.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    agg = (
-        stream.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", window_duration, slide), "event_type")
-        .agg(F.count("*").alias("n"))
+    overlapping windows) via a streaming query."""
+    stream = read_event_stream(spark, events_path).withWatermark("ts", "10 minutes")
+    agg = stream.groupBy(F.window("ts", window_duration, slide), "event_type").agg(
+        F.count("*").alias("n")
     )
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(table_name)
-        .start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    _drain_to_memory(agg, table_name, "complete")
     return spark.table(table_name).select(
         F.col("window.start").alias("window_start"), "event_type", "n"
     )
@@ -69,38 +84,13 @@ def run_tumbling_window_counts(
 ) -> DataFrame:
     """Tumbling-window event counts via a real streaming query
     (file source → window agg → memory sink), drained to completion."""
-    # testdata stores INT64 TIMESTAMP(NANOS): read as long, rebuild µs
-    # timestamps (same normalization as sources.registry.read_sf_table)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(events_path)
-    stream_dir = _as_stream_dir(events_path)
-    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
-    if dict(static.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    stream = stream.withWatermark("ts", "10 minutes")
-    agg = (
-        stream.groupBy(F.window("ts", window_duration), "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            # decimal sum → exact, order-independent (oracle-identical)
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
-        )
+    stream = read_event_stream(spark, events_path).withWatermark("ts", "10 minutes")
+    agg = stream.groupBy(F.window("ts", window_duration), "event_type").agg(
+        F.count("*").alias("n"),
+        # decimal sum → exact, order-independent (oracle-identical)
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
     )
-    spark.catalog.dropTempView(table_name) if table_name in [
-        t.name for t in spark.catalog.listTables()
-    ] else None
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(table_name)
-        .start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    _drain_to_memory(agg, table_name, "complete")
     return spark.table(table_name).select(
         F.col("window.start").alias("window_start"),
         "event_type",
