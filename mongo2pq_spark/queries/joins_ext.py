@@ -158,6 +158,20 @@ def distinct_users_approx(spark, sf_dir):
 
 
 @register(
+    "percentile_approx_values",
+    None,  # sketch values are engine-specific: rows-only check
+    doc="approx_percentile sketch (the 100 TB percentile path — exact "
+        "percentiles need a full sort per group, the sketch is one pass)",
+)
+def percentile_approx_values(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5).alias("median_approx"),
+        F.percentile_approx("value", 0.95).alias("p95_approx"),
+    )
+
+
+@register(
     "median_value_by_type",
     """
     SELECT event_type,
