@@ -224,6 +224,41 @@ def el_partitioned_roundtrip(spark, sf_dir):
 
 
 @register(
+    "merge_upsert_events",
+    """
+    WITH updates AS (
+        SELECT event_id, ts, user_id, 'corrected' AS event_type,
+               round(value * 2, 2) AS value, props
+        FROM events WHERE event_id % 100 = 0
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+    FROM (
+        SELECT * FROM events WHERE event_id NOT IN (SELECT event_id FROM updates)
+        UNION ALL
+        SELECT * FROM updates
+    )
+    GROUP BY event_id, user_id, event_type
+    """,
+    doc="MERGE INTO emulation (CDC upsert): anti-join survivors UNION ALL "
+        "updates — one shuffle on the key; the pre-lakehouse upsert pattern",
+)
+def merge_upsert_events(spark, sf_dir):
+    from mongo2pq_spark.operators.merge import merge_upsert
+
+    base = _events(spark, sf_dir)
+    updates = (
+        base.filter(F.col("event_id") % 100 == 0)
+        .withColumn("event_type", F.lit("corrected"))
+        .withColumn("value", F.round(F.col("value") * 2, 2))
+    )
+    merged = merge_upsert(base, updates, key="event_id")
+    return merged.groupBy("event_id", "user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value")
+    )
+
+
+@register(
     "limit_page",
     """
     SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 100

@@ -1,0 +1,37 @@
+"""MERGE/SCD2 operator tests."""
+
+from pyspark.sql import functions as F
+
+from mongo2pq_spark.operators.merge import merge_upsert, scd2_close_and_append
+
+
+def test_merge_upsert_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k long, v string"
+    )
+    out = {r.k: r.v for r in merge_upsert(base, updates, "k").collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_merge_upsert_empty_updates(spark):
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    updates = spark.createDataFrame([], "k long, v string")
+    assert merge_upsert(base, updates, "k").count() == 1
+
+
+def test_scd2_close_and_append(spark):
+    current = spark.createDataFrame(
+        [(1, "old-a", None), (2, "old-b", None)],
+        "k long, v string, valid_to timestamp",
+    )
+    updates = spark.createDataFrame([(1, "new-a")], "k long, v string")
+    stamp = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    out = scd2_close_and_append(current, updates, "k", closed_at=stamp).collect()
+    rows = {(r.k, r.v): r.valid_to for r in out}
+    assert rows[(1, "old-a")] is not None     # closed
+    assert rows[(1, "new-a")] is None         # new current row
+    assert rows[(2, "old-b")] is None         # untouched
+    assert len(rows) == 3
