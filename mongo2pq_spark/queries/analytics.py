@@ -482,6 +482,47 @@ def unpivot_event_counts(spark, sf_dir):
 
 
 @register(
+    "session_window_native",
+    """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM islands GROUP BY user_id, session_id
+    """,
+    doc="Spark's native session_window cross-validated against the classic "
+        "gaps-and-islands SQL: per-session start + event count. Boundary "
+        "semantics verified to AGREE: an event at exactly prev_ts + gap "
+        "joins the session in both (probed with a synthetic 1800.000000s "
+        "gap → one session on each side)",
+)
+def session_window_native(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "user_session_stats",
     """
     WITH gaps AS (
