@@ -44,6 +44,8 @@ def main(
     use_source_types: bool = False,
     parallel_collections: int = 1,
     max_records_per_file: int | None = None,
+    dedup_text_col: str | None = None,
+    dedup_id_col: str | None = None,
     spark=None,
 ) -> int:
     from mongo2pq_spark.config import parse_config
@@ -90,8 +92,25 @@ def main(
                 dump_schema_to_file(
                     schema, filename=f"{name}_config_applied.yaml", destination=outdir
                 )
+        df = read()
+        if dedup_text_col and dedup_text_col not in df.columns:
+            print(
+                f"WARNING: dedup column {dedup_text_col!r} not in '{name}'; "
+                "collection not deduplicated",
+                file=sys.stderr,
+            )
+        if dedup_text_col and dedup_text_col in df.columns:
+            from mongo2pq_spark.operators.dedup import drop_exact_duplicates
+
+            # survivor-selection key: explicit, else the first non-text
+            # column (JSON sources sort columns alphabetically, so
+            # "first column" alone could be the text column itself)
+            id_col = dedup_id_col or next(
+                c for c in df.columns if c != dedup_text_col
+            )
+            df = drop_exact_duplicates(df, text_col=dedup_text_col, id_col=id_col)
         extract_load_collection(
-            read(),
+            df,
             schema,
             outdir,
             partition_key=partition_key,
@@ -189,6 +208,13 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
     parser.add_argument("--max-records-per-file", type=int, default=None,
                         help="cap rows per output parquet file (small-file "
                              "control's dual: prevents giant single files)")
+    parser.add_argument("--dedup-text-col", default=None,
+                        help="exact-dedup collections on this text column "
+                             "during extract-load (keeps the min-id row per "
+                             "distinct value; skipped where the column is absent)")
+    parser.add_argument("--dedup-id-col", default=None,
+                        help="survivor-selection key for --dedup-text-col "
+                             "(default: first non-text column)")
     parser.add_argument("--use-source-types", action="store_true",
                         help="trust the source's existing types instead of "
                              "value-based sampling inference (no int narrowing; "
@@ -233,6 +259,8 @@ def run(argv: list[str] | None = None) -> int:
         use_source_types=args.use_source_types,
         parallel_collections=args.parallel_collections,
         max_records_per_file=args.max_records_per_file,
+        dedup_text_col=args.dedup_text_col,
+        dedup_id_col=args.dedup_id_col,
     )
 
 

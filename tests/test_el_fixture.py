@@ -297,6 +297,29 @@ def test_parallel_collections_and_file_cap(spark, sf_dir, tmp_path):
     assert all(pq.read_metadata(p).num_rows <= 300 for p in parts)
 
 
+def test_dedup_during_el(spark, tmp_path):
+    """--dedup-text-col drops exact duplicate texts (min-id survivor)
+    during extract-load; collections without the column are untouched."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    rows = [
+        {"rec_id": "1", "body": "same text", "tag": "x"},
+        {"rec_id": "2", "body": "same text", "tag": "y"},
+        {"rec_id": "3", "body": "unique text", "tag": "z"},
+    ]
+    (src / "docs.jsonl").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    (src / "other.jsonl").write_text('{"k": "1"}\n{"k": "2"}\n')
+    rc = cli_main(
+        f"file:{src}", outdir=out, samples=10, dedup_text_col="body", spark=spark
+    )
+    assert rc == 0
+    docs = spark.read.parquet(str(out / "docs.parquet"))
+    kept = sorted(r.rec_id for r in docs.collect())
+    assert kept == [1, 3]  # min-id survivor of the dup pair + the unique row
+    assert spark.read.parquet(str(out / "other.parquet")).count() == 2
+
+
 def test_partial_failure_reports_and_continues(spark, tmp_path, capsys):
     """One collection fails (partition key absent) → exit 1, the other
     collection still completes, and the failure names the collection."""
