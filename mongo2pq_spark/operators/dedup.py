@@ -194,6 +194,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every doc appearing in
+    a pair gets a ``cluster_id`` = the min doc id reachable through the
+    pair graph — the final step of near-dedup (cluster → keep one).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(cluster diameter) rounds (near-dup clusters are tiny — pairs and
+    small cliques — so 2-3 rounds in practice; hard cap as a backstop).
+    Each round is one join + one aggregation on the EDGE set, which is
+    orders of magnitude smaller than the corpus.
+    """
+    edges_directed = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges_directed.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_labels = (
+            edges_directed.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("n_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("n_label").alias("min_neighbor"))
+        )
+        updated = (
+            labels.join(
+                neighbor_labels.select(
+                    F.col("src").alias("node"), "min_neighbor"
+                ),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("min_neighbor"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -144,6 +144,48 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ops.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+@register(
+    "dedup_near_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLE_HASH_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+    doc="near-dup cluster formation: connected components over the Jaccard "
+        "pair graph (Spark: iterative min-label propagation on the edge set; "
+        "oracle: recursive-CTE transitive closure) — the final dedup step "
+        "(cluster → keep one representative)",
+)
+def dedup_near_clusters(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    pairs = ops.ngram_jaccard_pairs(docs, threshold=0.5)
+    return ops.near_dup_clusters(pairs)
+
+
 def _simhash_fp_sql(bits: int = ops.SIMHASH_BITS) -> str:
     votes = ",\n           ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"

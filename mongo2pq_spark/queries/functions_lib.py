@@ -153,6 +153,32 @@ def array_functions(spark, sf_dir):
 
 
 @register(
+    "json_schema_promotion",
+    """
+    SELECT event_type,
+           count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_parsed,
+           CAST(sum(CAST(CAST(json_extract(props, '$.k') AS INTEGER)
+                    AS DECIMAL(18,2))) AS DOUBLE) AS total_k
+    FROM events GROUP BY event_type
+    """,
+    doc="semi-structured promotion: parse the JSON props column into typed "
+        "fields (from_json → struct) and aggregate on them",
+)
+def json_schema_promotion(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    e = _t(spark, sf_dir, "events")
+    props_schema = T.StructType([T.StructField("k", T.IntegerType())])
+    parsed = e.withColumn("props_struct", F.from_json("props", props_schema))
+    return parsed.groupBy("event_type").agg(
+        F.count("props_struct.k").alias("n_parsed"),
+        F.sum(F.col("props_struct.k").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_k"),
+    )
+
+
+@register(
     "case_when_bucketing",
     """
     SELECT CASE WHEN value < 10 THEN 'low'

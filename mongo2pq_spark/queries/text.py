@@ -136,6 +136,37 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "text_top_bigrams",
+    f"""
+    WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+    bigrams AS (
+        SELECT unnest(CASE WHEN len(t) >= 2
+               THEN [t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t)-1)]
+               ELSE [] END) AS bigram
+        FROM toks
+    )
+    SELECT bigram, count(*) AS n FROM bigrams
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+    doc="corpus-wide bigram frequency profile (top 20, deterministic tiebreak)",
+)
+def text_top_bigrams(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.functions.textfns import tokens, word_shingles
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@register(
     "text_fingerprints",
     f"""
     WITH n AS (

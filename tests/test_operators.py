@@ -122,6 +122,18 @@ def test_simhash_banding_is_lossless(spark, sf_dir):
     assert _sorted_rows(banded) == _sorted_rows(brute)
 
 
+def test_near_dup_clusters_multi_hop(spark):
+    """Label propagation must traverse chains: a–b, b–c, c–d collapse
+    into one cluster labeled by the min id; disjoint pair separate."""
+    from mongo2pq_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(7, 3), (3, 9), (9, 12), (100, 101)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert out == {3: 3, 7: 3, 9: 3, 12: 3, 100: 100, 101: 100}
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     """IVF with n_probe=2 of 8 lists must recover a solid fraction of
     the true top-5 neighbors (and be deterministic across runs)."""
