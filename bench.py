@@ -29,6 +29,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_candidates",
     "dedup_ngram_jaccard",
+    "dedup_near_clusters",
     "dedup_simhash_fingerprints",
     "ann_topk_bruteforce",
     "ann_lsh_buckets",

@@ -211,12 +211,16 @@ def near_dup_clusters(
     Each round is one join + one aggregation on the EDGE set, which is
     orders of magnitude smaller than the corpus.
     """
+    # materialize the edge set ONCE: `pairs` is typically an expensive
+    # lazy pipeline (shingle join), and every loop iteration would
+    # otherwise recompute it from scratch (measured 15s → ~1s at sf0.1)
     edges_directed = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges_directed.select(F.col("src").alias("node"))
@@ -249,6 +253,9 @@ def near_dup_clusters(
                 ).alias("label"),
             )
         )
+        # checkpoint per round: truncates the exponentially-growing
+        # iterative lineage (standard practice for Spark loop algorithms)
+        updated = updated.localCheckpoint(eager=True)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "node")
