@@ -48,6 +48,7 @@ def load_all() -> dict[str, QuerySpec]:
         joins_ext,
         multimodal,
         relational,
+        sampling_quant,
         similarity,
         streaming,
         text,
