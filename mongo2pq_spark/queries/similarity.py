@@ -51,25 +51,6 @@ def ann_topk_bruteforce(spark, sf_dir):
     return ops.cosine_topk(emb, queries, k=5)
 
 
-@register(
-    "embedding_near_dup",
-    f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine_sim
-    FROM embeddings a, embeddings b
-    WHERE a.vec_id < b.vec_id
-      AND round({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.4
-    """,
-    doc="embedding-cosine near-dup pairs (≥ 0.4); exact all-pairs verification "
-        "path (LSH buckets are the scale path)",
-)
-def embedding_near_dup(spark, sf_dir):
-    from mongo2pq_spark.sources.registry import read_sf_table
-
-    emb = read_sf_table(spark, sf_dir, "embeddings")
-    return ops.embedding_near_dup_pairs(emb, threshold=0.4)
-
-
 def _lsh_bucket_sql(n_hyperplanes: int, seed: int = 7) -> str:
     planes = ops.hyperplanes(n_hyperplanes, _DIM, seed)
     terms = []
@@ -80,6 +61,53 @@ def _lsh_bucket_sql(n_hyperplanes: int, seed: int = 7) -> str:
             f"THEN (CAST(1 AS BIGINT) << {h}) ELSE CAST(0 AS BIGINT) END)"
         )
     return " + ".join(terms)
+
+
+def _lsh_multi_cte(n_tables: int, n_hyperplanes: int, seed: int = 7,
+                   cap: int = ops.DEFAULT_MAX_BUCKET) -> str:
+    """CTEs mirroring lsh_multi_assignments + the bucket-size cap."""
+    per_table = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, {t} AS table_id, "
+        f"{_lsh_bucket_sql(n_hyperplanes, seed + t)} AS bucket FROM embeddings"
+        for t in range(n_tables)
+    )
+    return f"""
+    asg AS (
+        {per_table}
+    ),
+    capped AS (
+        SELECT vec_id, table_id, bucket FROM asg
+        QUALIFY count(*) OVER (PARTITION BY table_id, bucket) <= {cap}
+    )"""
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    WITH {_lsh_multi_cte(ops.NEAR_DUP_TABLES, ops.NEAR_DUP_PLANES)},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM capped a JOIN capped b
+          ON a.table_id = b.table_id AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    )
+    SELECT id_a AS vec_a, id_b AS vec_b,
+           round({_sql_cosine('ea.embedding', 'eb.embedding')}, 6) AS cosine_sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = id_a
+    JOIN embeddings eb ON eb.vec_id = id_b
+    WHERE round({_sql_cosine('ea.embedding', 'eb.embedding')}, 6) >= 0.4
+    """,
+    doc=f"embedding-cosine near-dup pairs (≥ 0.4) via multi-table LSH "
+        f"({ops.NEAR_DUP_TABLES} tables × 2^{ops.NEAR_DUP_PLANES} buckets, "
+        "per-bucket cap) + exact cosine verify — candidate cost L·n·cap, "
+        "linear in corpus size; all-pairs kept only as the test oracle",
+)
+def embedding_near_dup(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    return ops.embedding_near_dup_lsh(emb, threshold=0.4, dim=_DIM)
 
 
 @register(
@@ -118,14 +146,19 @@ def ann_ivf_topk(spark, sf_dir):
 @register(
     "ann_lsh_topk",
     f"""
-    WITH buckets AS (
-        SELECT vec_id, embedding, {_lsh_bucket_sql(8)} AS bucket FROM embeddings
+    WITH {_lsh_multi_cte(ops.TOPK_TABLES, ops.TOPK_PLANES)},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM capped a JOIN capped b
+          ON a.table_id = b.table_id AND a.bucket = b.bucket
+         AND a.vec_id <> b.vec_id
     ),
     sims AS (
-        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-               round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine_sim
-        FROM buckets a JOIN buckets b
-          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        SELECT query_id, neighbor_id,
+               round({_sql_cosine('eq.embedding', 'en.embedding')}, 6) AS cosine_sim
+        FROM cand
+        JOIN embeddings eq ON eq.vec_id = query_id
+        JOIN embeddings en ON en.vec_id = neighbor_id
     ),
     ranked AS (
         SELECT query_id, neighbor_id, cosine_sim,
@@ -136,11 +169,12 @@ def ann_ivf_topk(spark, sf_dir):
     )
     SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
     """,
-    doc="approximate top-5 via LSH bucket candidates (8 planes → 256 buckets); "
-        "the equi-join on bucket replaces the all-pairs cross join",
+    doc=f"approximate top-5 via multi-table LSH ({ops.TOPK_TABLES} tables × "
+        f"2^{ops.TOPK_PLANES} buckets, per-bucket cap, candidate union) — no "
+        "self-join on a small key; recall grows with table count at linear cost",
 )
 def ann_lsh_topk(spark, sf_dir):
     from mongo2pq_spark.sources.registry import read_sf_table
 
     emb = read_sf_table(spark, sf_dir, "embeddings")
-    return ops.lsh_topk(emb, k=5, n_hyperplanes=8, dim=_DIM)
+    return ops.lsh_topk(emb, k=5, dim=_DIM)
