@@ -33,8 +33,11 @@ HEADLINE = [
     "dedup_simhash_fingerprints",
     "ann_topk_bruteforce",
     "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "embedding_near_dup",
     "text_quality_scores",
     "text_language_id",
+    "text_tfidf_top_terms",
     "streaming_window_counts",
 ]
 

@@ -46,6 +46,7 @@ def main(
     max_records_per_file: int | None = None,
     dedup_text_col: str | None = None,
     dedup_id_col: str | None = None,
+    single_file: bool = False,
     spark=None,
 ) -> int:
     from mongo2pq_spark.config import parse_config
@@ -104,7 +105,10 @@ def main(
 
             # survivor-selection key: explicit, else the first non-text
             # column (JSON sources sort columns alphabetically, so
-            # "first column" alone could be the text column itself)
+            # "first column" alone could be the text column itself).
+            # Dedup is complete even when this key is non-unique —
+            # drop_exact_duplicates keeps exactly one row per digest
+            # partition — the key only decides WHICH row survives.
             id_col = dedup_id_col or next(
                 c for c in df.columns if c != dedup_text_col
             )
@@ -116,6 +120,7 @@ def main(
             partition_key=partition_key,
             strict_compat=strict_compat,
             max_records_per_file=max_records_per_file,
+            single_file=single_file,
         )
 
     failures: list[tuple[str, Exception]] = []
@@ -215,6 +220,10 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
     parser.add_argument("--dedup-id-col", default=None,
                         help="survivor-selection key for --dedup-text-col "
                              "(default: first non-text column)")
+    parser.add_argument("--single-file", action="store_true",
+                        help="write ONE parquet file per collection (the "
+                             "reference's exact layout) via coalesce(1); "
+                             "small-data compat mode, incompatible with -p")
     parser.add_argument("--use-source-types", action="store_true",
                         help="trust the source's existing types instead of "
                              "value-based sampling inference (no int narrowing; "
@@ -261,6 +270,7 @@ def run(argv: list[str] | None = None) -> int:
         max_records_per_file=args.max_records_per_file,
         dedup_text_col=args.dedup_text_col,
         dedup_id_col=args.dedup_id_col,
+        single_file=args.single_file,
     )
 
 

@@ -50,12 +50,27 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the min-id row per distinct text (deterministic, unlike
-    dropDuplicates which keeps an arbitrary row)."""
-    keepers = exact_dedup_groups(df, text_col, id_col).select(
-        F.col("keeper_doc_id").alias(id_col)
+    """Keep exactly ONE row per distinct text: the min-``id_col`` row.
+
+    Survivor selection is a row_number over the digest partition —
+    one shuffle (vs. the groupBy + semi-join formulation's two), and
+    complete even when ``id_col`` is not unique: a duplicate row can
+    no longer survive by sharing its id value with another group's
+    minimum. Among rows tying on (digest, id) the survivor is made
+    deterministic by a whole-row digest tiebreak."""
+    from pyspark.sql import Window
+
+    row_digest = F.md5(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).cast("binary")
     )
-    return df.join(keepers, id_col, "left_semi")
+    w = Window.partitionBy(
+        F.md5(F.col(text_col).cast("binary"))
+    ).orderBy(F.col(id_col), row_digest)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def _doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -199,6 +214,7 @@ def near_dup_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs: every doc appearing in
     a pair gets a ``cluster_id`` = the min doc id reachable through the
@@ -207,20 +223,36 @@ def near_dup_clusters(
     Iterative min-label propagation: each round every node adopts the
     smallest label among itself and its neighbors; converges in
     O(cluster diameter) rounds (near-dup clusters are tiny — pairs and
-    small cliques — so 2-3 rounds in practice; hard cap as a backstop).
+    small cliques — so 2-3 rounds in practice; hard cap as a backstop,
+    with a warning if the cap is hit before convergence — long chains
+    of templated/boilerplate text can exceed it, and silently split
+    clusters would corrupt the dedup).
     Each round is one join + one aggregation on the EDGE set, which is
     orders of magnitude smaller than the corpus.
+
+    ``checkpoint_dir``: when given, per-round lineage truncation uses a
+    RELIABLE checkpoint in that directory (HDFS/object-store path on a
+    real cluster) — ``localCheckpoint`` stores blocks on executors
+    only, so an executor loss mid-loop kills the job at cluster scale.
+    Default stays local (fastest for single-node/test runs).
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate_lineage(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     # materialize the edge set ONCE: `pairs` is typically an expensive
     # lazy pipeline (shingle join), and every loop iteration would
     # otherwise recompute it from scratch (measured 15s → ~1s at sf0.1)
-    edges_directed = (
+    edges_directed = _truncate_lineage(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     labels = (
         edges_directed.select(F.col("src").alias("node"))
@@ -255,7 +287,7 @@ def near_dup_clusters(
         )
         # checkpoint per round: truncates the exponentially-growing
         # iterative lineage (standard practice for Spark loop algorithms)
-        updated = updated.localCheckpoint(eager=True)
+        updated = _truncate_lineage(updated)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "node")
@@ -266,6 +298,18 @@ def near_dup_clusters(
         labels = updated
         if changed == 0:
             break
+    else:
+        if changed != 0:
+            import warnings
+
+            warnings.warn(
+                f"near_dup_clusters hit the {max_iterations}-iteration cap "
+                "before converging: some components have a diameter larger "
+                "than the cap and their labels are still split. Raise "
+                "max_iterations (propagation is O(diameter)).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

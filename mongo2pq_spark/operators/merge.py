@@ -33,16 +33,26 @@ def scd2_close_and_append(
     valid_to_col: str = "valid_to",
     closed_at: Column | None = None,
 ) -> DataFrame:
-    """SCD2: rows whose key appears in ``updates`` get ``valid_to``
-    stamped (closed); updates append as open rows (valid_to null)."""
+    """SCD2: OPEN rows (``valid_to`` null) whose key appears in
+    ``updates`` get ``valid_to`` stamped (closed); updates append as new
+    open rows. Already-closed history rows pass through untouched, so
+    the full history table is a safe input — without the open-row
+    filter a second application would re-stamp previously-closed rows
+    and corrupt the history."""
     stamp = closed_at if closed_at is not None else F.current_timestamp()
     update_keys = updates.select(key)
-    closed = (
-        current.join(update_keys, key, "left_semi")
+    open_rows = current.filter(F.col(valid_to_col).isNull())
+    closed_history = current.filter(F.col(valid_to_col).isNotNull())
+    newly_closed = (
+        open_rows.join(update_keys, key, "left_semi")
         .withColumn(valid_to_col, stamp)
     )
-    untouched = current.join(update_keys, key, "left_anti")
+    untouched = open_rows.join(update_keys, key, "left_anti")
     fresh = updates.select(*[c for c in current.columns if c != valid_to_col]).withColumn(
         valid_to_col, F.lit(None).cast(dict(current.dtypes)[valid_to_col])
     )
-    return untouched.unionByName(closed).unionByName(fresh)
+    return (
+        closed_history.unionByName(untouched)
+        .unionByName(newly_closed)
+        .unionByName(fresh)
+    )

@@ -89,9 +89,12 @@ def tfidf_top_terms(
     (idf = ln((N+1)/(df+1)) + 1, the classic smooth-idf; scores rounded
     to 6 dp before ranking, ties break on the term string).
 
-    Shape at scale: one aggregation for per-doc term counts, one tiny
-    aggregated df-count side (broadcast), one window for the top-k —
-    two shuffles total, all JVM-side.
+    Shape at scale: one aggregation for per-doc term counts, a join on
+    ``term`` against the docfreq side, one window for the top-k — all
+    JVM-side. The docfreq join carries NO broadcast hint: a web-scale
+    vocabulary exceeds broadcast limits, so the plan stays a shuffle
+    join and AQE converts it to broadcast only when the side actually
+    fits.
     """
     from pyspark.sql import Window
 
@@ -107,7 +110,7 @@ def tfidf_top_terms(
             "idf", F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
         )
     )
-    scored = tf.join(F.broadcast(docfreq), "term").select(
+    scored = tf.join(docfreq, "term").select(
         F.col(id_col),
         "term",
         F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),

@@ -64,6 +64,7 @@ def extract_load_collection(
     strict_compat: bool = False,
     mode: str = "overwrite",
     max_records_per_file: int | None = None,
+    single_file: bool = False,
 ) -> str:
     """Run the EL pipe for one collection; returns the dataset path
     (``<outdir>/<name>.parquet``, same naming as the reference).
@@ -71,9 +72,19 @@ def extract_load_collection(
     ``max_records_per_file`` caps output file size (small-file control's
     dual): at 100 TB a single giant partition would otherwise become a
     single giant file per task.
+
+    ``single_file`` reproduces the reference's exact layout — ONE
+    parquet file per collection (extract_load.py:40-45) via
+    ``coalesce(1)``. Strictly a small-data compat mode: it serializes
+    the write through one task, so it is rejected alongside
+    ``partition_key`` and should never be used at scale.
     """
+    if single_file and partition_key:
+        raise ValueError("single_file is incompatible with partition_key")
     out_path = str(Path(outdir) / f"{schema.name}.parquet")
     projected = schema.apply(df, strict_compat=strict_compat)
+    if single_file:
+        projected = projected.coalesce(1)
     if partition_key:
         if partition_key not in projected.columns:
             raise ValueError(

@@ -36,6 +36,32 @@ h AS (
 )
 """
 
+# Hot-shingle guard for the Jaccard candidate join: shingles present in
+# more than max(50, 1% of corpus) docs are boilerplate — they carry no
+# near-dup signal but make the self-join quadratic at web scale. The
+# Spark queries compute the SAME bound via _shingle_guard below.
+_GUARD_SQL = (
+    "greatest(50, CAST(floor(0.01 * (SELECT count(*) FROM documents)) AS BIGINT))"
+)
+
+#: guarded shingle-hash stream: _SHINGLE_HASH_CTE's `h` minus hot shingles
+_GUARDED_HASH_CTE = (
+    _SHINGLE_HASH_CTE
+    + f""",
+hg AS (
+    SELECT doc_id, h FROM h
+    QUALIFY count(*) OVER (PARTITION BY h) <= {_GUARD_SQL}
+)
+"""
+)
+
+
+def _shingle_guard(docs) -> int:
+    """max(50, floor(1% of corpus)) — the Spark mirror of _GUARD_SQL.
+    The count(*) is a metadata-cheap parquet job; the floor keeps small
+    test corpora from dropping legitimate near-dup groups."""
+    return max(50, int(docs.count() * 0.01))
+
 
 @register(
     "dedup_exact",
@@ -120,11 +146,11 @@ def dedup_minhash_candidates(spark, sf_dir):
 @register(
     "dedup_ngram_jaccard",
     f"""
-    WITH {_SHINGLE_HASH_CTE},
-    sizes AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id),
+    WITH {_GUARDED_HASH_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM hg GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+        FROM hg a JOIN hg b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -135,23 +161,26 @@ def dedup_minhash_candidates(spark, sf_dir):
     WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.5
     """,
     doc="exact n-gram (3-word shingle) Jaccard pairs ≥ 0.5; candidates from "
-        "the shingle equi-join",
+        "the shingle equi-join with the hot-shingle guard ON "
+        "(df ≤ max(50, 1%·N) — boilerplate shingles never reach the join)",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     from mongo2pq_spark.sources.registry import read_sf_table
 
     docs = read_sf_table(spark, sf_dir, "documents")
-    return ops.ngram_jaccard_pairs(docs, threshold=0.5)
+    return ops.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=_shingle_guard(docs)
+    )
 
 
 @register(
     "dedup_near_clusters",
     f"""
-    WITH RECURSIVE {_SHINGLE_HASH_CTE},
-    sizes AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id),
+    WITH RECURSIVE {_GUARDED_HASH_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM hg GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+        FROM hg a JOIN hg b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     pairs AS (
@@ -182,7 +211,9 @@ def dedup_near_clusters(spark, sf_dir):
     from mongo2pq_spark.sources.registry import read_sf_table
 
     docs = read_sf_table(spark, sf_dir, "documents")
-    pairs = ops.ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = ops.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=_shingle_guard(docs)
+    )
     return ops.near_dup_clusters(pairs)
 
 

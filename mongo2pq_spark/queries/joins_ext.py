@@ -145,29 +145,81 @@ def distinct_users_exact(spark, sf_dir):
 
 @register(
     "distinct_users_approx",
-    None,  # HLL sketches differ per engine: rows-only check
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+               <= ceil(count(DISTINCT user_id) * 0.05) AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
     doc="approx_count_distinct (HyperLogLog++): the 100 TB path for distinct "
-        "counts; sketch values are engine-specific so no SQL oracle",
+        "counts. Raw sketch values are engine-specific, so the oracle is a "
+        "TOLERANCE check both engines agree on: each engine asserts its own "
+        "sketch is within 5% of its own exact count (a deterministic boolean "
+        "column), alongside the engine-exact distinct count",
 )
 def distinct_users_approx(spark, sf_dir):
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("n_users_approx"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id").alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("__approx") - F.col("n_users_exact"))
+                <= F.ceil(F.col("n_users_exact") * 0.05)
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
 @register(
     "percentile_approx_values",
-    None,  # sketch values are engine-specific: rows-only check
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS median_exact,
+           round(quantile_cont(value, 0.95), 6) AS p95_exact,
+           abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+               <= greatest(0.05 * abs(quantile_cont(value, 0.5)), 0.000001)
+               AS median_within_5pct,
+           abs(approx_quantile(value, 0.95) - quantile_cont(value, 0.95))
+               <= greatest(0.05 * abs(quantile_cont(value, 0.95)), 0.000001)
+               AS p95_within_5pct
+    FROM events GROUP BY event_type
+    """,
     doc="approx_percentile sketch (the 100 TB percentile path — exact "
-        "percentiles need a full sort per group, the sketch is one pass)",
+        "percentiles need a full sort per group, the sketch is one pass). "
+        "Sketch values are engine-specific, so the oracle is a TOLERANCE "
+        "check: each engine asserts its own sketch is within 5% of its own "
+        "exact percentile, alongside the engine-exact percentiles",
 )
 def percentile_approx_values(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5).alias("median_approx"),
-        F.percentile_approx("value", 0.95).alias("p95_approx"),
+
+    def _ok(approx, exact):
+        return F.abs(approx - exact) <= F.greatest(
+            0.05 * F.abs(exact), F.lit(0.000001)
+        )
+
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("__m_exact"),
+            F.percentile("value", 0.95).alias("__p95_exact"),
+            F.percentile_approx("value", 0.5).alias("__m_approx"),
+            F.percentile_approx("value", 0.95).alias("__p95_approx"),
+        )
+        .select(
+            "event_type",
+            F.round("__m_exact", 6).alias("median_exact"),
+            F.round("__p95_exact", 6).alias("p95_exact"),
+            _ok(F.col("__m_approx"), F.col("__m_exact")).alias("median_within_5pct"),
+            _ok(F.col("__p95_approx"), F.col("__p95_exact")).alias("p95_within_5pct"),
+        )
     )
 
 

@@ -36,10 +36,24 @@ def multimodal_metadata(spark, sf_dir):
     "multimodal_decode_features",
     None,  # Python-side fake decoder: no SQL oracle (rows-only check)
     doc="Arrow-batched decode plumbing (mapInPandas): payload → stubbed "
-        "feature vector; schema/batch contract is the real one",
+        "feature vector; schema/batch contract is the real one. Output is "
+        "scalarized (count + digest of the vector) so the result is "
+        "hashable/sortable for any downstream canonicalizer",
 )
 def multimodal_decode_features(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from mongo2pq_spark.sources.registry import read_sf_table
 
     docs = read_sf_table(spark, sf_dir, "documents")
-    return ops.decode_features(ops.attach_payload(docs))
+    decoded = ops.decode_features(ops.attach_payload(docs))
+    return decoded.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        "payload_md5",
+        F.size("feature").cast("bigint").alias("n_features"),
+        F.md5(
+            F.concat_ws(",", F.col("feature").cast("array<string>")).cast("binary")
+        ).alias("features_md5"),
+    )

@@ -39,8 +39,78 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
     return wrap
 
 
+# The driver's correctness gate checks the FIRST 50 registry entries.
+# This list pins the window: queries with no hard correctness signal
+# yet (round-1 positions > 50) and queries whose implementation or
+# oracle changed this round come first; long-stable round-1-green
+# parity queries rotate to the back. Every name must exist — load_all
+# fails loudly on a typo.
+_DRIVER_WINDOW_FIRST = [
+    # round-1 unchecked: relational tail
+    "epoch_seconds",
+    "rename_projection",
+    "top_k",
+    "systematic_sample",
+    "el_partitioned_roundtrip",
+    "merge_upsert_events",
+    "limit_page",
+    # round-1 unchecked: sampling / quantization
+    "stratified_sample",
+    "ntile_value_quartiles",
+    "embedding_quantize_int8",
+    # round-1 unchecked: ANN / similarity
+    "ann_topk_bruteforce",
+    "embedding_near_dup",
+    "ann_lsh_buckets",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    # round-1 unchecked: streaming
+    "streaming_window_counts",
+    "streaming_sliding_window_counts",
+    "streaming_stateful_sessions",
+    # round-1 unchecked: text analysis
+    "text_token_stats",
+    "text_quality_scores",
+    "text_language_id",
+    "text_tfidf_top_terms",
+    "text_top_bigrams",
+    "text_fingerprints",
+    "udf_text_normalize",
+    # fixed or changed this round
+    "multimodal_decode_features",
+    "distinct_users_approx",
+    "percentile_approx_values",
+    "dedup_ngram_jaccard",
+    "dedup_near_clusters",
+    "dedup_cleaned_corpus",
+    "dedup_exact",
+    "multimodal_metadata",
+    # stable round-1-green anchors filling out the window
+    "q1_pricing_summary",
+    "dedup_minhash_candidates",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_pairs",
+    "asof_purchase_last_click",
+    "salted_join_revenue",
+    "scan_projection",
+    "filter_equality",
+    "distinct_values",
+    "count_rows",
+    "partition_counts",
+    "column_casts",
+    "falsy_suppression",
+    "speculative_parse",
+    "session_window_native",
+    "median_value_by_type",
+    "distinct_users_exact",
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module so registration side effects run."""
+    """Import every query module so registration side effects run;
+    return the registry reordered so the driver's 50-query correctness
+    window covers every query lacking a hard signal (see
+    _DRIVER_WINDOW_FIRST)."""
     from mongo2pq_spark.queries import (  # noqa: F401
         analytics,
         dedup,
@@ -55,4 +125,8 @@ def load_all() -> dict[str, QuerySpec]:
         udfs,
     )
 
-    return QUERIES
+    ordered = {name: QUERIES[name] for name in _DRIVER_WINDOW_FIRST}
+    for name, spec in QUERIES.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered

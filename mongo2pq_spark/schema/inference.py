@@ -7,8 +7,12 @@ Python rows with two deliberate changes:
 1. ``now`` is injectable into the epoch heuristic (the reference anchors
    the ±5-year window at wall-clock time — schema.py:327 — which makes
    inferred schemas drift across days; tests pin it).
-2. No BSON dependency: ``bson.Int64`` is an ``int`` subclass and needs
-   no special case; ObjectId-like values are recognized structurally.
+2. No BSON dependency: ``bson.Int64`` and ``bson.ObjectId`` values are
+   recognized structurally (type-name check), so the rules match the
+   reference without importing bson. The reference maps Int64 straight
+   to int64 BEFORE the epoch heuristic (schema.py:318-325); the
+   structural check reproduces that — an explicit Int64 never narrows
+   to int32 and never infers as a timestamp.
 
 Distribution note (100 TB): inference runs over a bounded sample
 (default 20 000 rows), so the lattice fold is O(sample) driver-side
@@ -68,6 +72,12 @@ def _looks_like_objectid(value: Any) -> bool:
     return type(value).__name__ == "ObjectId"
 
 
+def _looks_like_bson_int64(value: Any) -> bool:
+    """bson.Int64 detected structurally (int subclass named Int64) —
+    no bson import needed, parity with reference schema.py:318-325."""
+    return type(value).__name__ == "Int64"
+
+
 def infer_type(value: Any, name: str, now: datetime | None = None) -> pa.DataType:
     """Single-value type inference. Full ruleset in SURVEY.md §1.2."""
     if isinstance(value, (dict, list)):
@@ -90,6 +100,12 @@ def infer_type(value: Any, name: str, now: datetime | None = None) -> pa.DataTyp
         if (value.hour, value.minute, value.second, value.microsecond) == (0, 0, 0, 0):
             return pa.date32()
         return pa.date64()
+
+    # Explicit bson.Int64 maps straight to int64 — BEFORE the epoch
+    # heuristic, like the reference: the sender already declared the
+    # width, so neither timestamp inference nor int32 narrowing applies.
+    if _looks_like_bson_int64(value):
+        return pa.int64()
 
     if isinstance(value, (int, float)) and is_epoch_timestamp(value, now=now):
         return pa.timestamp("s")

@@ -32,6 +32,37 @@ def is_mongo_available(spark: SparkSession) -> bool:
         return False
 
 
+def reader_options(
+    uri: str,
+    database: str,
+    collection: str,
+    pipeline: list[dict[str, Any]] | None = None,
+    sample_size: int | None = None,
+) -> dict[str, str]:
+    """Connector option map for one collection read — factored out of
+    ``read_collection`` so the contract (option names, pipeline JSON
+    encoding) is testable without a live server or the connector jar.
+
+    Parity: the reference's read path is a raw cursor per collection
+    plus a server-side ``$sample`` for inference
+    (/root/reference/mongo2pq/extract_load.py:59-74, schema.py:219);
+    here both ride the connector's ``aggregation.pipeline`` /
+    ``sampleSize`` options, with ``$match``/``$project`` stages pushed
+    to the server by Catalyst."""
+    import json
+
+    options = {
+        "connection.uri": uri,
+        "database": database,
+        "collection": collection,
+    }
+    if pipeline is not None:
+        options["aggregation.pipeline"] = json.dumps(pipeline)
+    if sample_size is not None:
+        options["sampleSize"] = str(sample_size)
+    return options
+
+
 def read_collection(
     spark: SparkSession,
     uri: str,
@@ -48,19 +79,11 @@ def read_collection(
             "MongoDB Spark connector not on the classpath; add "
             f"--packages {MONGO_CONNECTOR_COORDS} (test path uses parquet/JSON)"
         )
-    reader = (
+    return (
         spark.read.format("mongodb")
-        .option("connection.uri", uri)
-        .option("database", database)
-        .option("collection", collection)
+        .options(**reader_options(uri, database, collection, pipeline, sample_size))
+        .load()
     )
-    if pipeline is not None:
-        import json
-
-        reader = reader.option("aggregation.pipeline", json.dumps(pipeline))
-    if sample_size is not None:
-        reader = reader.option("sampleSize", str(sample_size))
-    return reader.load()
 
 
 def list_collections(uri: str, database: str | None = None) -> tuple[str, list[str]]:

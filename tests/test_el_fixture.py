@@ -353,3 +353,34 @@ def test_parse_args_surface(tmp_path, capsys):
     missing = tmp_path / "missing.yaml"
     ns = parse_args(["-u", "file:/x", "-S", str(missing)])
     assert ns.schemas == []  # warned and dropped
+
+
+def test_single_file_compat_layout(spark, tmp_path):
+    """--single-file reproduces the reference's exact layout: ONE
+    part file per collection dataset (extract_load.py:40-45)."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    _generate_f1(src / "telemetry_data.jsonl", n=100)
+    rc = cli_main(
+        f"file:{src}", outdir=out, samples=100, single_file=True, spark=spark
+    )
+    assert rc == 0
+    dataset = out / "telemetry_data.parquet"
+    parts = [p for p in dataset.iterdir() if p.name.startswith("part-")]
+    assert len(parts) == 1
+    assert spark.read.parquet(str(dataset)).count() == 100
+
+
+def test_single_file_rejects_partition_key(spark, tmp_path):
+    import pytest as _pytest
+
+    from mongo2pq_spark.plans.pipeline import extract_load_collection
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    events = read_sf_table(spark, "/root/testdata/sf0.001", "events")
+    schema = Schema.from_df("events", events)
+    with _pytest.raises(ValueError, match="single_file"):
+        extract_load_collection(
+            events, schema, tmp_path, partition_key="event_type", single_file=True
+        )

@@ -35,3 +35,23 @@ def test_scd2_close_and_append(spark):
     assert rows[(1, "new-a")] is None         # new current row
     assert rows[(2, "old-b")] is None         # untouched
     assert len(rows) == 3
+
+
+def test_scd2_full_history_input_is_safe(spark):
+    """Already-closed rows pass through untouched even when their key
+    is updated again — re-stamping closed history corrupts SCD2
+    (ADVICE r1)."""
+    old_stamp = "2025-06-01 00:00:00"
+    current = spark.createDataFrame(
+        [(1, "v1", old_stamp), (1, "v2", None), (2, "w1", None)],
+        "k long, v string, valid_to string",
+    ).withColumn("valid_to", F.col("valid_to").cast("timestamp"))
+    updates = spark.createDataFrame([(1, "v3")], "k long, v string")
+    stamp = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    out = scd2_close_and_append(current, updates, "k", closed_at=stamp).collect()
+    rows = {(r.k, r.v): r.valid_to for r in out}
+    assert str(rows[(1, "v1")]) == old_stamp  # closed history untouched
+    assert str(rows[(1, "v2")]).startswith("2026-01-01")  # open row closed
+    assert rows[(1, "v3")] is None  # new current
+    assert rows[(2, "w1")] is None  # unrelated open row untouched
+    assert len(rows) == 4

@@ -174,3 +174,117 @@ def test_decode_features_schema_and_rows(spark, sf_dir):
     rows = out.limit(5).collect()
     assert all(len(r.feature) == 4 for r in rows)
     assert all(r.mime == "text/plain" for r in rows)
+
+
+def test_drop_exact_duplicates_complete_with_nonunique_id(spark):
+    """A duplicate row must NOT survive by sharing its (non-unique) id
+    value with another group's minimum — exactly one row per distinct
+    text, whatever the key's cardinality (ADVICE r1)."""
+    df = spark.createDataFrame(
+        # id 1 is the min of the "x" group AND appears in the "y" group;
+        # under the old id-only semi-join both "y" rows would survive.
+        [(1, "x"), (2, "x"), (1, "y"), (3, "y"), (1, "z")],
+        "doc_id long, text string",
+    )
+    kept = drop_exact_duplicates(df).collect()
+    assert len(kept) == 3
+    assert sorted((r.doc_id, r.text) for r in kept) == [(1, "x"), (1, "y"), (1, "z")]
+
+
+def test_near_dup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable
+    checkpoint() files; result identical to the local path."""
+    from mongo2pq_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(7, 3), (3, 9), (9, 12), (100, 101)], "doc_a long, doc_b long"
+    )
+    ckdir = str(tmp_path / "ck")
+    out = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert out == {3: 3, 7: 3, 9: 3, 12: 3, 100: 100, 101: 100}
+    ck_files = list((tmp_path / "ck").rglob("*"))
+    assert ck_files, "reliable checkpoint wrote nothing"
+
+
+def test_near_dup_clusters_warns_on_iteration_cap(spark):
+    """Exiting via the iteration cap with labels still moving must warn
+    (silently split clusters corrupt the dedup) — ADVICE r1."""
+    import pytest as _pytest
+
+    from mongo2pq_spark.operators.dedup import near_dup_clusters
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    with _pytest.warns(RuntimeWarning, match="iteration cap"):
+        near_dup_clusters(chain, max_iterations=1).collect()
+
+
+def _planted_embeddings(spark, n_groups=20, group_size=5, dim=32, seed=11):
+    """Clusters of near-identical vectors (cos ≳ 0.95 within a group)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for _ in range(n_groups):
+        base = rng.normal(size=dim)
+        base /= np.linalg.norm(base)
+        for _ in range(group_size):
+            noisy = base + rng.normal(scale=0.08, size=dim)
+            rows.append((vid, [float(x) for x in noisy]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_topk_recall_on_planted_neighbors(spark):
+    """Multi-table LSH top-k must recover most true neighbors when the
+    data HAS neighbor structure (planted near-identical groups)."""
+    from mongo2pq_spark.operators.similarity import (
+        TOPK_PLANES,
+        cosine_topk,
+        lsh_topk,
+    )
+
+    # scale-guard: per-table key space must never be a small key
+    assert 2**TOPK_PLANES > 256
+
+    emb = _planted_embeddings(spark)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, emb, k=4).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(emb, k=4, dim=32).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH top-k recall {recall:.2f} too low"
+
+
+def test_embedding_near_dup_lsh_exact_precision_and_recall(spark, sf_dir):
+    """Every LSH-found pair must be a true ≥-threshold pair with the
+    identical cosine (precision 1.0); recall vs all-pairs ≥ 0.8 at the
+    registered parameters."""
+    from mongo2pq_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    brute = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in embedding_near_dup_lsh(emb, threshold=0.4).collect()
+    }
+    assert set(lsh) <= set(brute), "LSH emitted a pair below threshold"
+    for pair, sim in lsh.items():
+        assert sim == brute[pair]
+    recall = len(lsh) / len(brute)
+    assert recall >= 0.8, f"near-dup recall {recall:.2f} too low"
