@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mongo2pq_spark.functions.hashing import _lcg
-from mongo2pq_spark.functions.vectors import cosine, dot
+from mongo2pq_spark.functions.vectors import cosine, dot, norm
 
 DEFAULT_HYPERPLANES = 16
 #: multi-table defaults for the near-dup path: 16 tables × 2^5 buckets.
@@ -75,18 +75,29 @@ def cosine_topk(
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("query_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("vec_norm"),
     )
+    # norms live below the join (once per vector, not per pair); the
+    # per-pair expression is a single dot fold — same IEEE op order as
+    # cosine(), so values stay oracle-exact
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("query_vec"), F.col("vec")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("query_vec"), F.col("vec"))
+                / (F.col("query_norm") * F.col("vec_norm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -251,15 +262,28 @@ def embedding_near_dup_lsh(
     cand = lsh_candidate_pairs(
         df, n_tables, n_hyperplanes, dim, seed, max_bucket_size, id_col, vec_col
     )
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms precomputed ONCE per vector (below the join) — cosine on
+    # every candidate pair then costs one array fold instead of three;
+    # same IEEE ops in the same order, so values stay oracle-exact
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select(
             F.col("id_a").alias("vec_a"),
             F.col("id_b").alias("vec_b"),
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -389,12 +413,23 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    # norms precomputed once per vector below the join (not per pair)
+    q = df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        norm(F.col(vec_col)).alias("nn"),
+    )
     sims = cand.join(q, "query_id").join(c, "neighbor_id").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+        F.round(
+            dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
