@@ -157,6 +157,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    materialize_hashes: bool = True,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs over n-word-shingle sets.
 
@@ -165,6 +166,13 @@ def ngram_jaccard_pairs(
     union = |A| + |B| − inter. ``max_shingle_df`` drops shingles that
     occur in more than that many docs before the join (hot-key guard
     for web-scale corpora; boilerplate carries no near-dup signal).
+
+    ``materialize_hashes`` persists the (guarded) shingle-hash stream:
+    it feeds three consumers (sizes, both join sides) and Catalyst has
+    no cross-branch CSE, so without the persist the tokenize→shingle→
+    md5 pipeline runs three times (measured 3× at sf0.1). Spill-safe
+    (MEMORY_AND_DISK); disable when a one-shot plan matters more than
+    recompute cost.
     """
     hashes = _doc_shingle_hashes(df, id_col, text_col, shingle_n)
     if max_shingle_df is not None:
@@ -175,6 +183,8 @@ def ngram_jaccard_pairs(
             .select("h")
         )
         hashes = hashes.join(rare, "h", "left_semi")
+    if materialize_hashes:
+        hashes = hashes.persist()
     # sizes come from the SAME (post-filter) stream as the join, so
     # Jaccard is consistently "over retained shingles" — mixing an
     # unfiltered denominator with a filtered intersection would deflate
