@@ -159,7 +159,7 @@ def _collection_readers(spark, uri: str, db: str | None, collections: list[str] 
         found = {
             p.stem: p
             for p in sorted(root.iterdir())
-            if p.suffix in (".parquet", ".jsonl", ".json", ".ndjson")
+            if p.suffix in (".parquet", ".jsonl", ".json", ".ndjson", ".csv", ".tsv")
         }
         if collections:
             found = {n: p for n, p in found.items() if n in collections}

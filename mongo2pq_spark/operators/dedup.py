@@ -360,13 +360,24 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
+    max_band_bucket: int = 100_000,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming.
 
     Candidates come from 4-way band blocking (a pair within Hamming 3
     must agree exactly on ≥1 of 4 15-bit bands — pigeonhole), so the
     join is an equi-join on (band_id, band_value), not a cross join.
+
+    ``max_band_bucket``: at billions of docs a 15-bit band (32 768
+    values) collides heavily — band buckets larger than the cap are
+    dropped before the self-join, bounding it at bands·n·cap candidate
+    rows (a pair losing a bucket can still meet in any other band it
+    agrees on; only pairs ALL of whose agreeing bands are degenerate
+    are lost). The cap never triggers at test scale, so the blocking
+    stays provably lossless there (asserted vs brute force in tests).
     """
+    from pyspark.sql import Window
+
     fp = simhash_fingerprints(df, id_col, text_col, bits)
     n_bands = max_hamming + 1
     band_width = bits // n_bands
@@ -384,6 +395,12 @@ def simhash_near_pairs(
     )
     banded = fp.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("band")).select(
         id_col, "simhash", "band.band_id", "band.band_value"
+    )
+    w = Window.partitionBy("band_id", "band_value")
+    banded = (
+        banded.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") <= max_band_bucket)
+        .drop("bucket_n")
     )
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (

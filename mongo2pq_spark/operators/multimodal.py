@@ -96,6 +96,52 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
     return feats
 
 
+_EXT_MIME = {
+    "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
+    "gif": "image/gif", "webp": "image/webp",
+    "wav": "audio/wav", "mp3": "audio/mpeg", "flac": "audio/flac",
+    "mp4": "video/mp4", "webm": "video/webm", "mkv": "video/x-matroska",
+}
+
+
+def ingest_binary_dir(
+    spark, path: str, glob: str | None = None
+) -> DataFrame:
+    """Real media ingestion: ``spark.read.format("binaryFile")`` over a
+    directory of image/audio/video files → the same (doc_id, payload,
+    meta) shape ``attach_payload`` builds from the text fixture, so the
+    whole downstream (metadata projection, Arrow-batched decode) works
+    unchanged on real files.
+
+    Scale shape: binaryFile is a distributed file-parallel scan (one
+    task per file group); mime comes from the extension (a column
+    expression), md5/size from the payload — no driver-side listing
+    loop. doc_id is the md5-derived 60-bit hash of the file path
+    (portable, deterministic, join-friendly).
+    """
+    from mongo2pq_spark.functions.hashing import hash64
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    mime = F.lit("application/octet-stream")
+    for e, m in _EXT_MIME.items():
+        mime = F.when(ext == e, F.lit(m)).otherwise(mime)
+    meta = F.struct(
+        mime.alias("mime"),
+        F.octet_length(F.col("content")).alias("n_bytes"),
+        F.md5(F.col("content")).alias("payload_md5"),
+    )
+    return raw.select(
+        hash64(F.col("path")).alias("doc_id"),
+        F.col("path").alias("source_path"),
+        F.col("content").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
 def media_metadata(df_with_payload: DataFrame) -> DataFrame:
     """Flat metadata projection (oracle-checkable: octet_length + md5
     are portable)."""

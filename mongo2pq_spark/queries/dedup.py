@@ -260,6 +260,7 @@ def dedup_simhash_fingerprints(spark, sf_dir):
         SELECT doc_id, simhash, band_id,
                (simhash >> (band_id * 15)) & 32767 AS band_value
         FROM fp, (VALUES (0), (1), (2), (3)) AS bands(band_id)
+        QUALIFY count(*) OVER (PARTITION BY band_id, band_value) <= 100000
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming

@@ -25,6 +25,8 @@ def read_table(spark: SparkSession, path: str | Path, fmt: str | None = None) ->
             fmt = "parquet"
         elif path.endswith((".json", ".jsonl", ".ndjson")):
             fmt = "json"
+        elif path.endswith((".csv", ".tsv")):
+            fmt = "csv"
         else:
             fmt = "parquet"
     if fmt == "parquet":
@@ -35,6 +37,13 @@ def read_table(spark: SparkSession, path: str | Path, fmt: str | None = None) ->
         # int-width fitting) — mirrors the reference seeing raw BSON
         # instead of Spark's JSON inference, which has different rules.
         return spark.read.option("primitivesAsString", "true").json(path)
+    if fmt == "csv":
+        # all-string delivery for the same reason as JSON: the engine's
+        # sampler owns typing (Spark's CSV inferSchema has other rules)
+        sep = "\t" if path.endswith(".tsv") else ","
+        return (
+            spark.read.option("header", "true").option("sep", sep).csv(path)
+        )
     raise ValueError(f"unsupported source format {fmt!r}")
 
 

@@ -384,3 +384,21 @@ def test_single_file_rejects_partition_key(spark, tmp_path):
         extract_load_collection(
             events, schema, tmp_path, partition_key="event_type", single_file=True
         )
+
+
+def test_csv_collection_el(spark, tmp_path):
+    """A .csv stand-in collection flows through the full pipeline:
+    all-string delivery -> speculative-parse inference -> typed parquet."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    (src / "metrics.csv").write_text(
+        "rec_id,score,label\n1,10.5,a\n2,11.25,b\n3,9.75,a\n"
+    )
+    rc = cli_main(f"file:{src}", outdir=out, samples=10, spark=spark)
+    assert rc == 0
+    got = spark.read.parquet(str(out / "metrics.parquet"))
+    types = dict(got.dtypes)
+    assert types["rec_id"] == "int"
+    assert types["score"] == "float"
+    assert got.count() == 3

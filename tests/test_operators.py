@@ -288,3 +288,41 @@ def test_embedding_near_dup_lsh_exact_precision_and_recall(spark, sf_dir):
         assert sim == brute[pair]
     recall = len(lsh) / len(brute)
     assert recall >= 0.8, f"near-dup recall {recall:.2f} too low"
+
+
+def test_ingest_binary_dir_real_files(spark, tmp_path):
+    """binaryFile ingestion produces the standard (doc_id, payload,
+    meta) multimodal shape from real files on disk, and the decode
+    plumbing runs unchanged on it."""
+    import hashlib
+
+    from mongo2pq_spark.operators.multimodal import (
+        decode_features,
+        ingest_binary_dir,
+    )
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG-fake-bytes")
+    (tmp_path / "b.wav").write_bytes(b"RIFF-fake-audio")
+    out = ingest_binary_dir(spark, str(tmp_path), glob="*.{png,wav}")
+    rows = {r.source_path.rsplit("/", 1)[-1]: r for r in out.collect()}
+    assert set(rows) == {"a.png", "b.wav"}
+    assert rows["a.png"].meta.mime == "image/png"
+    assert rows["b.wav"].meta.mime == "audio/wav"
+    assert rows["a.png"].meta.n_bytes == 15
+    assert rows["a.png"].meta.payload_md5 == hashlib.md5(b"\x89PNG-fake-bytes").hexdigest()
+    assert bytes(rows["a.png"].payload) == b"\x89PNG-fake-bytes"
+    decoded = decode_features(out.drop("source_path"))
+    assert decoded.count() == 2
+    assert len(decoded.collect()[0].feature) == 4
+
+
+def test_csv_source_roundtrip(spark, tmp_path):
+    """CSV stand-in collections read as all-string (the engine's own
+    sampler owns typing, like the JSON path)."""
+    from mongo2pq_spark.sources.registry import read_table
+
+    p = tmp_path / "c.csv"
+    p.write_text("rec_id,value\n1,10.5\n2,bye\n")
+    df = read_table(spark, p)
+    assert df.dtypes == [("rec_id", "string"), ("value", "string")]
+    assert df.count() == 2
