@@ -132,3 +132,16 @@ def test_non_mapping_root_ignored(tmp_path: Path):
     path = tmp_path / "bad.yaml"
     path.write_text("- just\n- a list\n")
     assert parse_config(path) == {}
+
+
+def test_registry_window_ordering():
+    """load_all returns every registered query exactly once, with the
+    driver-window priority list fully resolved (a typo there would
+    silently drop a query from the correctness window)."""
+    from mongo2pq_spark.queries.registry import _DRIVER_WINDOW_FIRST, load_all
+
+    specs = load_all()
+    names = list(specs)
+    assert len(names) == len(set(names))
+    assert len(_DRIVER_WINDOW_FIRST) == 50
+    assert names[:50] == _DRIVER_WINDOW_FIRST
