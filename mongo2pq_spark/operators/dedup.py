@@ -230,15 +230,18 @@ def near_dup_clusters(
     a pair gets a ``cluster_id`` = the min doc id reachable through the
     pair graph — the final step of near-dedup (cluster → keep one).
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(cluster diameter) rounds (near-dup clusters are tiny — pairs and
-    small cliques — so 2-3 rounds in practice; hard cap as a backstop,
-    with a warning if the cap is hit before convergence — long chains
-    of templated/boilerplate text can exceed it, and silently split
-    clusters would corrupt the dedup).
-    Each round is one join + one aggregation on the EDGE set, which is
-    orders of magnitude smaller than the corpus.
+    Iterative min-label propagation WITH pointer doubling: each round
+    every node adopts the smallest label among itself, its neighbors'
+    labels, and its label's label (one pointer jump). The jump halves
+    the remaining distance to the component minimum each round, so
+    convergence is O(log diameter) instead of O(diameter) — a
+    10 000-node boilerplate chain converges in ~15 rounds, not 10 000.
+    The hard cap stays as a backstop, with a warning if it is hit
+    before convergence (silently split clusters would corrupt the
+    dedup).
+    Each round is one join + one aggregation on the EDGE set plus one
+    self-join on the label table — both orders of magnitude smaller
+    than the corpus.
 
     ``checkpoint_dir``: when given, per-round lineage truncation uses a
     RELIABLE checkpoint in that directory (HDFS/object-store path on a
@@ -294,6 +297,18 @@ def near_dup_clusters(
                     F.col("label"), F.coalesce(F.col("min_neighbor"), F.col("label"))
                 ).alias("label"),
             )
+        )
+        # pointer doubling: follow the label one more hop (labels are
+        # always node ids, so label[label] is defined); halves the
+        # distance to the component minimum every round
+        grand = updated.select(
+            F.col("node").alias("label"), F.col("label").alias("grand_label")
+        )
+        updated = updated.join(grand, "label", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("grand_label"), F.col("label"))
+            ).alias("label"),
         )
         # checkpoint per round: truncates the exponentially-growing
         # iterative lineage (standard practice for Spark loop algorithms)

@@ -326,3 +326,21 @@ def test_csv_source_roundtrip(spark, tmp_path):
     df = read_table(spark, p)
     assert df.dtypes == [("rec_id", "string"), ("value", "string")]
     assert df.count() == 2
+
+
+def test_near_dup_clusters_long_chain_converges_logarithmically(spark):
+    """Pointer doubling: a 60-node chain (diameter 59) must converge
+    inside the default 20-iteration cap — O(log d) rounds, without the
+    doubling it needs 59 — with every node labeled by the chain min."""
+    import warnings
+
+    from mongo2pq_spark.operators.dedup import near_dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = {r.doc_id: r.cluster_id for r in near_dup_clusters(chain).collect()}
+    assert set(out.values()) == {1}
+    assert len(out) == 60
