@@ -10,7 +10,7 @@ Python rows with two deliberate changes:
 2. No BSON dependency: ``bson.Int64`` and ``bson.ObjectId`` values are
    recognized structurally (type-name check), so the rules match the
    reference without importing bson. The reference maps Int64 straight
-   to int64 BEFORE the epoch heuristic (schema.py:318-325); the
+   to int64 BEFORE the epoch heuristic (schema.py:345-346); the
    structural check reproduces that — an explicit Int64 never narrows
    to int32 and never infers as a timestamp.
 
@@ -74,7 +74,7 @@ def _looks_like_objectid(value: Any) -> bool:
 
 def _looks_like_bson_int64(value: Any) -> bool:
     """bson.Int64 detected structurally (int subclass named Int64) —
-    no bson import needed, parity with reference schema.py:318-325."""
+    no bson import needed, parity with reference schema.py:345-346."""
     return type(value).__name__ == "Int64"
 
 
