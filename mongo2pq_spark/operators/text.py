@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mongo2pq_spark.functions.hashing import hash64
+from mongo2pq_spark.functions.hashing import hash64, token_hash32
 from mongo2pq_spark.functions.textfns import STOPWORDS, stopword_hits, tokens
 
 #: BPE-ish word/number/punctuation regex (word pieces, digit runs,
@@ -120,6 +120,52 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= top_k)
         .select(id_col, "term", "tfidf", "rank")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken):
+    the distinct set of minimum shingle-hashes over every sliding
+    window of ``window`` consecutive shingles. Guarantee: any two
+    documents sharing a run of ≥ window + shingle_n - 1 tokens share at
+    least one fingerprint — the standard sub-document near-dup /
+    provenance primitive (a rolling selection over the full ordered
+    hash stream, unlike MinHash's global set sketch).
+
+    Shape at scale: posexplode → per-document window min (documents
+    are small, so window partitions are tiny and fully parallel) → one
+    hash-shuffle distinct. No joins.
+    """
+    from pyspark.sql import Window
+
+    from mongo2pq_spark.functions.textfns import word_shingles as _shingles
+
+    # ORDERED shingles (no distinct): winnowing operates on the
+    # positional hash stream, duplicates included
+    sh = _shingles(tokens(F.col(text_col)), shingle_n)
+    positioned = df.select(
+        F.col(id_col), F.posexplode(sh).alias("pos", "shingle")
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        token_hash32(F.col("shingle")).alias("h"),
+    )
+    win = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    )
+    per_doc = Window.partitionBy(id_col)
+    return (
+        positioned.withColumn("win_min", F.min("h").over(win))
+        .withColumn("n_shingles", F.count("*").over(per_doc))
+        .filter(F.col("pos") <= F.col("n_shingles") - window)
+        .select(F.col(id_col), F.col("win_min").alias("fingerprint"))
+        .distinct()
     )
 
 

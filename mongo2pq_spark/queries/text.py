@@ -2,11 +2,12 @@
 
 from __future__ import annotations
 
-from mongo2pq_spark.functions.hashing import sql_hash64
+from mongo2pq_spark.functions.hashing import sql_hash64, sql_token_hash32
 from mongo2pq_spark.functions.textfns import (
     STOPWORDS,
     sql_stopword_hits,
     sql_tokens,
+    sql_word_shingles,
 )
 from mongo2pq_spark.operators import text as ops
 from mongo2pq_spark.queries.registry import register
@@ -185,3 +186,44 @@ def text_fingerprints(spark, sf_dir):
 
     docs = read_sf_table(spark, sf_dir, "documents")
     return ops.fingerprints(docs)
+
+
+@register(
+    "text_winnow_fingerprints",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, {sql_word_shingles('t', 3)} AS s FROM toks
+    ),
+    pos AS (
+        SELECT doc_id,
+               unnest(s) AS shingle,
+               generate_subscripts(s, 1) - 1 AS pos
+        FROM sh
+    ),
+    h AS (
+        SELECT doc_id, pos, {sql_token_hash32('shingle')} AS h FROM pos
+    ),
+    wm AS (
+        SELECT doc_id, pos,
+               min(h) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+               ) AS win_min,
+               count(*) OVER (PARTITION BY doc_id) AS n_shingles
+        FROM h
+    )
+    SELECT DISTINCT doc_id, win_min AS fingerprint
+    FROM wm WHERE pos <= n_shingles - 4
+    """,
+    doc="MOSS-style winnowing fingerprints: distinct min shingle-hash per "
+        "sliding window of 4 shingles — any shared run of ≥ 6 tokens shares "
+        "a fingerprint (sub-document near-dup / provenance primitive)",
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.winnow_fingerprints(docs, shingle_n=3, window=4)

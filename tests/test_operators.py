@@ -344,3 +344,28 @@ def test_near_dup_clusters_long_chain_converges_logarithmically(spark):
         out = {r.doc_id: r.cluster_id for r in near_dup_clusters(chain).collect()}
     assert set(out.values()) == {1}
     assert len(out) == 60
+
+
+def test_winnow_fingerprints_shared_run_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a run of >= window +
+    shingle_n - 1 = 6 tokens share at least one fingerprint; disjoint
+    docs share none."""
+    from mongo2pq_spark.operators.text import winnow_fingerprints
+
+    shared = "one two three four five six"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"zeta eta {shared} theta iota"),
+            (3, "completely different words with no overlap here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, shingle_n=3, window=4)
+    by_doc = {
+        i: {r.fingerprint for r in fps.filter(fps.doc_id == i).collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2], "docs sharing a 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
