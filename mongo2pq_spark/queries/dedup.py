@@ -277,3 +277,61 @@ def dedup_simhash_pairs(spark, sf_dir):
 
     docs = read_sf_table(spark, sf_dir, "documents")
     return ops.simhash_near_pairs(docs, max_hamming=3)
+
+
+@register(
+    "dedup_near_cleaned_corpus",
+    f"""
+    WITH RECURSIVE {_GUARDED_HASH_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM hg GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM hg a JOIN hg b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+    doc="end-to-end NEAR dedup: the corpus with every near-dup cluster "
+        "reduced to its min-id representative (docs in no cluster pass "
+        "through) — exact dedup's counterpart for the fuzzy pipeline",
+)
+def dedup_near_cleaned_corpus(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    pairs = ops.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=_shingle_guard(docs)
+    )
+    clusters = ops.near_dup_clusters(pairs)
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .filter(
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -76,7 +76,9 @@ _DRIVER_WINDOW_FIRST = [
     "text_top_bigrams",
     "text_fingerprints",
     "udf_text_normalize",
-    # fixed or changed this round
+    # new or fixed or changed this round
+    "text_winnow_fingerprints",
+    "dedup_near_cleaned_corpus",
     "multimodal_decode_features",
     "distinct_users_approx",
     "percentile_approx_values",
@@ -101,8 +103,6 @@ _DRIVER_WINDOW_FIRST = [
     "falsy_suppression",
     "speculative_parse",
     "session_window_native",
-    "median_value_by_type",
-    "distinct_users_exact",
 ]
 
 
