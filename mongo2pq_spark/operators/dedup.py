@@ -101,22 +101,13 @@ def minhash_signatures(
     return hashes.groupBy(id_col).agg(*aggs)
 
 
-def minhash_candidate_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = DEFAULT_K,
-    bands: int = DEFAULT_BANDS,
-    shingle_n: int = 3,
-    seed: int = 42,
+def _minhash_band_candidates(
+    sig: DataFrame, id_col: str, k: int, bands: int
 ) -> DataFrame:
-    """LSH banding: docs agreeing on all rows of ≥1 band become a
-    candidate pair (doc_a < doc_b). The only join is an equi-join on
-    (band_id, band_hash) — linear-ish in corpus size."""
-    if k % bands:
-        raise ValueError("k must be divisible by bands")
+    """Distinct candidate pairs (doc_a < doc_b) from LSH banding over a
+    signature table: docs agreeing on all rows of ≥1 band meet in an
+    equi-join on (band_id, band_hash) — linear-ish in corpus size."""
     rows = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k, shingle_n, seed)
     band_structs = F.array(
         *[
             F.struct(
@@ -147,6 +138,67 @@ def minhash_candidate_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
         )
         .distinct()
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH banding candidate pairs; see _minhash_band_candidates."""
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    sig = minhash_signatures(df, id_col, text_col, k, shingle_n, seed)
+    return _minhash_band_candidates(sig, id_col, k, bands)
+
+
+def minhash_jaccard_estimates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Sketch-only similarity for LSH candidate pairs: Jaccard
+    estimated as the fraction of agreeing MinHash components
+    (E[agreement] = true Jaccard; σ ≈ 1/√k).
+
+    This is the 100 TB verification path that never re-reads text:
+    the k-int signature table is orders of magnitude smaller than the
+    corpus, candidates come from the band equi-join, and the estimate
+    is k integer comparisons per pair. Exact Jaccard
+    (ngram_jaccard_pairs) re-joins the full shingle stream instead.
+    """
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    # signatures feed banding AND both sides of the estimate join —
+    # persist so the shingle aggregation runs once (no cross-branch CSE)
+    sig = minhash_signatures(df, id_col, text_col, k, shingle_n, seed).persist()
+    cand = _minhash_band_candidates(sig, id_col, k, bands)
+    sa = sig.select(
+        F.col(id_col).alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)]
+    )
+    sb = sig.select(
+        F.col(id_col).alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(k)), 6).alias("jaccard_est"),
+        )
     )
 
 

@@ -144,6 +144,46 @@ def dedup_minhash_candidates(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_jaccard_est",
+    _minhash_sig_sql()
+    + ",\n    bands AS (\n"
+    + "\n        UNION ALL\n".join(
+        "        SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(f"mh{b * _ROWS + r}" for r in range(_ROWS)),
+        )
+        for b in range(_BANDS)
+    )
+    + """
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(("""
+    + " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(_K)
+    )
+    + f""") / {float(_K)}, 6) AS jaccard_est
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    """,
+    doc=f"sketch-only Jaccard estimate for LSH candidate pairs (fraction of "
+        f"agreeing MinHash components, k={_K}; σ≈1/√k) — the verification "
+        "path that never re-reads text at scale",
+)
+def dedup_minhash_jaccard_est(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.minhash_jaccard_estimates(docs)
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH {_GUARDED_HASH_CTE},

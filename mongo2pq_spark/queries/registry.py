@@ -79,6 +79,7 @@ _DRIVER_WINDOW_FIRST = [
     # new or fixed or changed this round
     "text_winnow_fingerprints",
     "dedup_near_cleaned_corpus",
+    "dedup_minhash_jaccard_est",
     "multimodal_decode_features",
     "distinct_users_approx",
     "percentile_approx_values",
@@ -102,7 +103,6 @@ _DRIVER_WINDOW_FIRST = [
     "column_casts",
     "falsy_suppression",
     "speculative_parse",
-    "session_window_native",
 ]
 
 

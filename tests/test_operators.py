@@ -369,3 +369,26 @@ def test_winnow_fingerprints_shared_run_guarantee(spark):
     assert by_doc[1] & by_doc[2], "docs sharing a 6-token run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_minhash_jaccard_estimate_tracks_exact(spark, sf_dir):
+    """Sketch estimate vs exact Jaccard on the fixture's candidate
+    pairs: mean absolute error within ~2σ of the k=32 sketch bound."""
+    from mongo2pq_spark.operators.dedup import (
+        minhash_jaccard_estimates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    est = {
+        (r.doc_a, r.doc_b): r.jaccard_est
+        for r in minhash_jaccard_estimates(docs).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    common = set(est) & set(exact)
+    assert len(common) >= 10
+    mae = sum(abs(est[p] - exact[p]) for p in common) / len(common)
+    assert mae <= 2 / (32**0.5), f"MinHash estimate MAE {mae:.3f} too high"

@@ -122,3 +122,19 @@ def test_partition_pruning_on_hive_output(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(event_type" in plan
     # only the click partition rows are read
     assert back.count() == df.filter(F.col("event_type") == "click").count()
+
+
+def test_lsh_plans_have_no_cartesian_products(spark, sf_dir):
+    """The similarity scale paths must never fall back to an all-pairs
+    join — candidates come from (table, bucket) equi-joins."""
+    for name in ("embedding_near_dup", "ann_lsh_topk"):
+        plan = _formatted(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ngram_guard_semi_join_in_plan(spark, sf_dir):
+    """The registered Jaccard query must carry the hot-shingle guard
+    (a LeftSemi join against the rare-shingle set)."""
+    plan = _formatted(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "LeftSemi" in plan
