@@ -380,15 +380,41 @@ def test_minhash_jaccard_estimate_tracks_exact(spark, sf_dir):
     )
 
     docs = read_sf_table(spark, sf_dir, "documents")
-    est = {
-        (r.doc_a, r.doc_b): r.jaccard_est
-        for r in minhash_jaccard_estimates(docs).collect()
-    }
-    exact = {
-        (r.doc_a, r.doc_b): r.jaccard
-        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
-    }
+    try:
+        est = {
+            (r.doc_a, r.doc_b): r.jaccard_est
+            for r in minhash_jaccard_estimates(docs).collect()
+        }
+        exact = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+        }
+    finally:
+        # the operators persist their signature/shingle streams; drop
+        # them so later plan-shape tests see fresh (uncached) plans
+        spark.catalog.clearCache()
     common = set(est) & set(exact)
     assert len(common) >= 10
     mae = sum(abs(est[p] - exact[p]) for p in common) / len(common)
     assert mae <= 2 / (32**0.5), f"MinHash estimate MAE {mae:.3f} too high"
+
+
+def test_near_dup_clusters_compose_with_embedding_pairs(spark, sf_dir):
+    """The cluster operator is modality-generic: embedding near-dup
+    pairs (LSH + cosine verify) feed it directly, giving vector-space
+    dedup clusters end-to-end."""
+    from mongo2pq_spark.operators.dedup import near_dup_clusters
+    from mongo2pq_spark.operators.similarity import embedding_near_dup_lsh
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_lsh(emb, threshold=0.4)
+    clusters = near_dup_clusters(pairs, a_col="vec_a", b_col="vec_b")
+    rows = clusters.collect()
+    assert rows, "fixture has near-dup embedding pairs, clusters expected"
+    labels = {r.doc_id: r.cluster_id for r in rows}
+    # every cluster label is the min member id of its cluster
+    by_label = {}
+    for node, lab in labels.items():
+        by_label.setdefault(lab, []).append(node)
+    for lab, members in by_label.items():
+        assert lab == min(members)
