@@ -68,6 +68,7 @@ _DRIVER_WINDOW_FIRST = [
     "streaming_window_counts",
     "streaming_sliding_window_counts",
     "streaming_stateful_sessions",
+    "streaming_dedup_events",
     # round-1 unchecked: text analysis
     "text_token_stats",
     "text_quality_scores",
@@ -99,7 +100,6 @@ _DRIVER_WINDOW_FIRST = [
     "filter_equality",
     "distinct_values",
     "count_rows",
-    "partition_counts",
     "column_casts",
     "falsy_suppression",
     "speculative_parse",

@@ -71,3 +71,19 @@ def streaming_stateful_sessions(spark, sf_dir):
     from mongo2pq_spark.streaming.stateful import run_stateful_sessionization
 
     return run_stateful_sessionization(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "streaming_dedup_events",
+    """
+    SELECT DISTINCT user_id, event_type, ts FROM events
+    """,
+    doc="streaming exact dedup: the file source replays events TWICE "
+        "(staged duplicate links) and dropDuplicates on "
+        "(user_id, event_type, ts) + watermark collapses the replay to the "
+        "distinct set with bounded state — equals batch SELECT DISTINCT",
+)
+def streaming_dedup_events(spark, sf_dir):
+    from mongo2pq_spark.streaming.windows import run_streaming_dedup
+
+    return run_streaming_dedup(spark, f"{sf_dir}/events.parquet")

@@ -57,6 +57,55 @@ def _drain_to_memory(agg, table_name: str, output_mode: str) -> None:
         query.stop()
 
 
+def _as_duplicated_stream_dir(path: str, copies: int = 2) -> str:
+    """Stage a directory with ``copies`` symlinks to the same file —
+    the stream then delivers every row ``copies`` times, giving real
+    duplicates for the streaming-dedup demonstration (no data copied)."""
+    digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+    staged = os.path.join(tempfile.gettempdir(), f"stream_dup{copies}_{digest}")
+    os.makedirs(staged, exist_ok=True)
+    base = os.path.basename(path)
+    for i in range(copies):
+        link = os.path.join(staged, f"copy{i}_{base}")
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(path), link)
+    return staged
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    events_path: str,
+    table_name: str = "streaming_dedup_out",
+) -> DataFrame:
+    """Streaming exact dedup: the source replays the events file TWICE
+    (symlink staging), and ``dropDuplicates`` on
+    (user_id, event_type, ts) collapses the replay back to the distinct
+    set — each first-seen key emits exactly once (append mode).
+
+    State-bounding note: the dedup key includes the event-time column
+    and the stream carries a watermark, so Spark evicts dedup state
+    older than the watermark — the bounded-state streaming dedup
+    pattern (keying WITHOUT event time keeps state forever). Rows of
+    the second replay are either dropped by state or, once the
+    watermark has passed them, dropped as late — either way duplicates
+    never re-emit.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(events_path)
+    stream = spark.readStream.schema(static.schema).parquet(
+        _as_duplicated_stream_dir(events_path)
+    )
+    if dict(static.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["user_id", "event_type", "ts"])
+        .select("user_id", "event_type", "ts")
+    )
+    _drain_to_memory(deduped, table_name, "append")
+    return spark.table(table_name)
+
+
 def run_sliding_window_counts(
     spark: SparkSession,
     events_path: str,
