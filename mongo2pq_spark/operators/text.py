@@ -123,6 +123,71 @@ def tfidf_top_terms(
     )
 
 
+def clean_text(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Standard corpus cleaning projection: strip HTML-ish tags,
+    drop control characters, collapse whitespace runs, trim. Pure
+    column expressions (one narrow pass, no shuffle); emits the
+    cleaned text plus before/after lengths for shrinkage auditing."""
+    no_tags = F.regexp_replace(F.col(text_col), "<[^>]{1,256}>", " ")
+    no_ctrl = F.regexp_replace(no_tags, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    collapsed = F.trim(F.regexp_replace(no_ctrl, "\\s+", " "))
+    return df.select(
+        F.col(id_col),
+        collapsed.alias("clean_text"),
+        F.length(text_col).cast("bigint").alias("n_chars_raw"),
+        F.length(collapsed).cast("bigint").alias("n_chars_clean"),
+    )
+
+
+def decontaminate_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    shingle_n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing
+    ≥ ``min_overlap`` distinct n-gram shingles with ANY benchmark
+    text — the standard guard against test-set leakage in training
+    corpora.
+
+    Shape at scale: the benchmark shingle set is tiny relative to the
+    corpus (evaluation suites, not web data), so the overlap join is an
+    equi-join on the shingle hash against a small build side (AQE
+    broadcasts it when it fits); one aggregation per flagged doc. The
+    corpus is never self-joined.
+    """
+    from mongo2pq_spark.functions.textfns import word_shingles as _shingles
+
+    doc_sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(_shingles(tokens(F.col(text_col)), shingle_n))
+        ).alias("shingle"),
+    ).select(F.col(id_col), token_hash32(F.col("shingle")).alias("h"))
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(_shingles(tokens(F.col(bench_text_col)), shingle_n))
+            ).alias("shingle")
+        )
+        .select(token_hash32(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    overlap = (
+        doc_sh.join(bench_sh, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("bench_overlap"))
+    )
+    return df.select(F.col(id_col)).join(overlap, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("bench_overlap"), F.lit(0)).cast("bigint").alias("bench_overlap"),
+        (F.coalesce(F.col("bench_overlap"), F.lit(0)) >= min_overlap).alias("contaminated"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -227,3 +227,73 @@ def text_winnow_fingerprints(spark, sf_dir):
 
     docs = read_sf_table(spark, sf_dir, "documents")
     return ops.winnow_fingerprints(docs, shingle_n=3, window=4)
+
+
+@register(
+    "text_clean",
+    r"""
+    WITH c AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '<[^>]{1,256}>', ' ', 'g'),
+                       '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'),
+                   '\s+', ' ', 'g')) AS clean_text
+        FROM documents
+    )
+    SELECT doc_id, clean_text,
+           length(text) AS n_chars_raw,
+           length(clean_text) AS n_chars_clean
+    FROM c
+    """,
+    doc="corpus cleaning projection: strip HTML-ish tags, drop control "
+        "chars, collapse whitespace — one narrow codegen pass, with "
+        "before/after lengths for shrinkage auditing",
+)
+def text_clean(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.clean_text(docs)
+
+
+_BENCH_FILTER = "doc_id % 100 = 0"
+
+
+@register(
+    "text_decontaminate",
+    f"""
+    WITH bench AS (SELECT text FROM documents WHERE {_BENCH_FILTER}),
+    btoks AS (SELECT {sql_tokens('text')} AS t FROM bench),
+    bsh AS (
+        SELECT DISTINCT {sql_token_hash32('s')} AS h
+        FROM (SELECT unnest(list_distinct({sql_word_shingles('t', 3)})) AS s FROM btoks)
+    ),
+    dtoks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+    dsh AS (
+        SELECT doc_id, {sql_token_hash32('s')} AS h
+        FROM (SELECT doc_id, unnest(list_distinct({sql_word_shingles('t', 3)})) AS s FROM dtoks)
+    ),
+    ov AS (
+        SELECT doc_id, count(*) AS bench_overlap FROM dsh
+        WHERE h IN (SELECT h FROM bsh)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(ov.bench_overlap, 0) AS BIGINT) AS bench_overlap,
+           coalesce(ov.bench_overlap, 0) >= 2 AS contaminated
+    FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+    """,
+    doc="benchmark decontamination: flag training docs sharing ≥2 distinct "
+        "3-gram shingles with any benchmark text (deterministic fixture "
+        "stand-in: every 100th doc is 'benchmark') — the test-set-leakage "
+        "guard; shingle equi-join against the small benchmark build side",
+)
+def text_decontaminate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select("text")
+    return ops.decontaminate_flags(docs, bench, min_overlap=2)

@@ -418,3 +418,28 @@ def test_near_dup_clusters_compose_with_embedding_pairs(spark, sf_dir):
         by_label.setdefault(lab, []).append(node)
     for lab, members in by_label.items():
         assert lab == min(members)
+
+
+def test_decontaminate_flags_semantics(spark):
+    """Docs overlapping the benchmark by >= min_overlap distinct
+    shingles are flagged; clean docs carry overlap 0."""
+    from mongo2pq_spark.operators.text import decontaminate_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # = benchmark
+            (2, "note the quick brown fox jumps in this other sentence"),  # run of 5
+            (3, "completely unrelated content with no overlap at all"),
+            (4, "a quick brown fox tale diverges immediately afterward"),  # 1 shingle
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    out = {r.doc_id: (r.bench_overlap, r.contaminated)
+           for r in decontaminate_flags(docs, bench, min_overlap=2).collect()}
+    assert out[1][1] is True and out[1][0] >= 6
+    assert out[2] == (3, True)   # "the quick brown/quick brown fox/brown fox jumps"
+    assert out[3] == (0, False)
+    assert out[4] == (1, False)  # true overlap reported, below min_overlap
