@@ -141,16 +141,27 @@ def lsh_bucket_column(
     seed: int = 7,
 ) -> Column:
     """sign-bucket id as a plain Column expression (bit h set ⇔
-    dot(v, hyperplane_h) > 0) — attachable in-place with zero shuffles."""
+    dot(v, hyperplane_h) > 0) — attachable in-place with zero shuffles.
+
+    Data-driven form: ONE transform over a constant array-of-planes
+    literal computes every dot, one fold assembles the bits — a single
+    small generated class instead of H inlined dot trees (many distinct
+    codegen classes turn the lambda-eval call sites megamorphic and
+    slow every later HOF in the session ~3×)."""
     planes = hyperplanes(n_hyperplanes, dim, seed)
-    bucket = None
-    for h, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(c) for c in plane])
-        bit = F.when(
-            dot(vec_col, plane_col) > 0, F.lit(1).cast("bigint") * (1 << h)
-        ).otherwise(F.lit(0).cast("bigint"))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket
+    planes_lit = F.array(*[F.array(*[F.lit(c) for c in p]) for p in planes])
+    weights_lit = F.array(
+        *[F.lit(1 << h).cast("bigint") for h in range(n_hyperplanes)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            F.transform(planes_lit, lambda p: dot(vec_col, p)),
+            weights_lit,
+            lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
 
 
 def lsh_bucket_assignments(
@@ -179,24 +190,47 @@ def lsh_multi_assignments(
 ) -> DataFrame:
     """(id, table_id, bucket): one row per (vector, hash table).
 
-    Narrow projection — vectors are NOT shipped through the explode;
-    candidate verification re-joins them by id later, so the exploded
-    stream is three small ints per row per table."""
-    tables = F.array(
+    All L·H hyperplane dot products are computed by ONE data-driven
+    ``transform`` over a constant array-of-planes literal (a single
+    small generated class), then exploded as (table, sign·2^bit)
+    contributions and summed into buckets by a partial-aggregated
+    groupBy. The per-table-inlined alternative (L·H separate dot
+    expression trees) generates dozens of distinct codegen classes,
+    which turns the JVM's lambda-eval call sites megamorphic and was
+    measured ~3× slower steady-state once other large expressions had
+    run in the session.
+
+    The exploded stream is three small ints per row per table —
+    vectors are NOT shipped; candidate verification re-joins them by
+    id later."""
+    planes: list[list[float]] = []
+    metas: list[tuple[int, int]] = []
+    for t in range(n_tables):
+        for h, plane in enumerate(hyperplanes(n_hyperplanes, dim, seed + t)):
+            planes.append(plane)
+            metas.append((t, 1 << h))
+    planes_lit = F.array(*[F.array(*[F.lit(c) for c in p]) for p in planes])
+    meta_lit = F.array(
         *[
             F.struct(
-                F.lit(t).alias("table_id"),
-                lsh_bucket_column(
-                    F.col(vec_col), n_hyperplanes, dim, seed + t
-                ).alias("bucket"),
+                F.lit(t).cast("int").alias("table_id"),
+                F.lit(w).cast("bigint").alias("w"),
             )
-            for t in range(n_tables)
+            for t, w in metas
         ]
     )
-    return df.select(F.col(id_col), F.explode(tables).alias("tb")).select(
-        id_col,
-        F.col("tb.table_id").alias("table_id"),
-        F.col("tb.bucket").alias("bucket"),
+    contrib = F.zip_with(
+        F.transform(planes_lit, lambda p: dot(F.col(vec_col), p)),
+        meta_lit,
+        lambda d, m: F.struct(
+            m["table_id"].alias("table_id"),
+            F.when(d > 0, m["w"]).otherwise(F.lit(0).cast("bigint")).alias("w"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(contrib).alias("c"))
+        .groupBy(id_col, F.col("c.table_id").alias("table_id"))
+        .agg(F.sum("c.w").alias("bucket"))
     )
 
 
