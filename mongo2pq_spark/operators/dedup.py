@@ -50,26 +50,44 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep exactly ONE row per distinct text: the min-``id_col`` row.
+    """Keep exactly ONE row per distinct text: the min-``id_col`` row
+    (ties on id broken by a whole-row digest, so the survivor is
+    deterministic even with non-unique ids).
 
-    Survivor selection is a row_number over the digest partition —
-    one shuffle (vs. the groupBy + semi-join formulation's two), and
-    complete even when ``id_col`` is not unique: a duplicate row can
-    no longer survive by sharing its id value with another group's
-    minimum. Among rows tying on (digest, id) the survivor is made
-    deterministic by a whole-row digest tiebreak."""
-    from pyspark.sql import Window
-
+    Survivor selection is two-phase: aggregate ``min(struct(id,
+    row_digest))`` per text digest — partial-aggregation-friendly, so a
+    boilerplate text duplicated millions of times combines map-side
+    instead of routing every copy into one straggler task (the skew
+    trap of the row_number-over-digest-partition formulation) — then a
+    multi-key semi-join picks the winning rows back out. A final
+    whole-row dropDuplicates collapses fully-identical copies of a
+    winning row (same id AND same bytes), whose join keys tie; its key
+    is the entire row, so it is skew-free too. Costs one extra shuffle
+    vs the window form; at corpus scale, skew resilience wins."""
+    digest = F.md5(F.col(text_col).cast("binary"))
     row_digest = F.md5(
         F.to_json(F.struct(*[F.col(c) for c in df.columns])).cast("binary")
     )
-    w = Window.partitionBy(
-        F.md5(F.col(text_col).cast("binary"))
-    ).orderBy(F.col(id_col), row_digest)
+    keyed = df.withColumn("__digest", digest).withColumn("__rd", row_digest)
+    winners = (
+        keyed.groupBy("__digest")
+        .agg(F.min(F.struct(F.col(id_col).alias("id"), F.col("__rd").alias("rd"))).alias("w"))
+        .select(
+            F.col("__digest").alias("__wdigest"),
+            F.col("w.id").alias("__wid"),
+            F.col("w.rd").alias("__wrd"),
+        )
+    )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        keyed.join(
+            winners,
+            (F.col("__digest") == F.col("__wdigest"))
+            & (F.col(id_col) == F.col("__wid"))
+            & (F.col("__rd") == F.col("__wrd")),
+            "left_semi",
+        )
+        .dropDuplicates(["__rd"])
+        .drop("__digest", "__rd")
     )
 
 
@@ -175,30 +193,57 @@ def minhash_jaccard_estimates(
     corpus, candidates come from the band equi-join, and the estimate
     is k integer comparisons per pair. Exact Jaccard
     (ngram_jaccard_pairs) re-joins the full shingle stream instead.
+
+    Plan shape: the full k-wide signature rides along WITH the band
+    rows into the self-join, so the agreement count falls out of the
+    single band equi-join — no separate sig re-joins, no persist. Both
+    join sides are the identical plan, so Spark's ReuseExchange runs
+    the signature aggregation + band shuffle ONCE; the query leaves no
+    cached RDDs behind (asserted in tests/test_operators.py).
     """
     if k % bands:
         raise ValueError("k must be divisible by bands")
-    # signatures feed banding AND both sides of the estimate join —
-    # persist so the shingle aggregation runs once (no cross-branch CSE)
-    sig = minhash_signatures(df, id_col, text_col, k, shingle_n, seed).persist()
-    cand = _minhash_band_candidates(sig, id_col, k, bands)
-    sa = sig.select(
-        F.col(id_col).alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)]
+    rows = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k, shingle_n, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                    ).cast("binary")
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
     )
-    sb = sig.select(
-        F.col(id_col).alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)]
-    )
+    banded = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("band"), *[
+            F.col(f"mh{i}") for i in range(k)
+        ]
+    ).select(id_col, "band.band_id", "band.band_hash", *[f"mh{i}" for i in range(k)])
+    a, b = banded.alias("a"), banded.alias("b")
     agree = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(k)
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(agree / F.lit(float(k)), 6).alias("jaccard_est"),
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            agree.alias("agree"),
+        )
+        # a pair colliding in several bands appears once per band with
+        # the same agreement count — collapse, then scale to [0, 1]
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.max("agree") / F.lit(float(k)), 6).alias("jaccard_est"))
     )
 
 
@@ -209,7 +254,6 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
-    materialize_hashes: bool = True,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs over n-word-shingle sets.
 
@@ -219,13 +263,19 @@ def ngram_jaccard_pairs(
     occur in more than that many docs before the join (hot-key guard
     for web-scale corpora; boilerplate carries no near-dup signal).
 
-    ``materialize_hashes`` persists the (guarded) shingle-hash stream:
-    it feeds three consumers (sizes, both join sides) and Catalyst has
-    no cross-branch CSE, so without the persist the tokenize→shingle→
-    md5 pipeline runs three times (measured 3× at sf0.1). Spill-safe
-    (MEMORY_AND_DISK); disable when a one-shot plan matters more than
-    recompute cost.
+    Plan shape: each doc's retained-shingle count rides along with the
+    hash stream (a window count over ``id_col`` — a high-cardinality
+    key, so no straggler partitions), so Jaccard falls out of the ONE
+    shingle self-join with no separate sizes joins. Both join sides
+    are the identical plan, so Spark's ReuseExchange computes the
+    tokenize→shingle→md5→window pipeline once — no persist, and the
+    query leaves no cached RDDs behind. Sizes come from the SAME
+    (post-guard) stream as the join, so Jaccard is consistently "over
+    retained shingles" — an unfiltered denominator under a filtered
+    intersection would deflate every score.
     """
+    from pyspark.sql import Window
+
     hashes = _doc_shingle_hashes(df, id_col, text_col, shingle_n)
     if max_shingle_df is not None:
         rare = (
@@ -235,16 +285,12 @@ def ngram_jaccard_pairs(
             .select("h")
         )
         hashes = hashes.join(rare, "h", "left_semi")
-    if materialize_hashes:
-        hashes = hashes.persist()
-    # sizes come from the SAME (post-filter) stream as the join, so
-    # Jaccard is consistently "over retained shingles" — mixing an
-    # unfiltered denominator with a filtered intersection would deflate
-    # every score when the hot-shingle guard is active
-    sizes = hashes.groupBy(id_col).agg(F.count("*").alias("sz"))
+    hashes = hashes.withColumn(
+        "sz", F.count("*").over(Window.partitionBy(id_col))
+    )
     a = hashes.alias("a")
     b = hashes.alias("b")
-    inter = (
+    return (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
@@ -253,13 +299,11 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.max(F.col("a.sz")).alias("sz_a"),
+            F.max(F.col("b.sz")).alias("sz_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -300,19 +344,50 @@ def near_dup_clusters(
     real cluster) — ``localCheckpoint`` stores blocks on executors
     only, so an executor loss mid-loop kills the job at cluster scale.
     Default stays local (fastest for single-node/test runs).
-    """
-    if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def _truncate_lineage(df: DataFrame) -> DataFrame:
+    Cache hygiene: each round's localCheckpoint supersedes the previous
+    round's blocks, which would otherwise sit in executor storage until
+    driver GC triggers the ContextCleaner. Superseded checkpoint RDDs
+    (and the edge set, once the loop ends) are unpersisted eagerly, so
+    the only blocks a finished call leaves behind are the ones backing
+    the RETURNED labels table (its lineage is truncated, so they must
+    outlive the caller's terminal action). Best-effort under concurrent
+    checkpointing in the same session.
+    """
+    sc = pairs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set[int]:
+        ids = set()
+        it = sc._jsc.sc().getPersistentRDDs().iterator()  # noqa: SLF001
+        while it.hasNext():
+            ids.add(it.next()._1())
+        return ids
+
+    def _unpersist_ids(ids: set[int]) -> None:
+        stale = []
+        it = sc._jsc.sc().getPersistentRDDs().iterator()  # noqa: SLF001
+        while it.hasNext():
+            t = it.next()
+            if t._1() in ids:
+                stale.append(t._2())
+        for rdd in stale:
+            rdd.unpersist(False)
+
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+
+    def _truncate_lineage(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        before = _persistent_ids()
         if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+            cp = df.checkpoint(eager=True)
+        else:
+            cp = df.localCheckpoint(eager=True)
+        return cp, _persistent_ids() - before
 
     # materialize the edge set ONCE: `pairs` is typically an expensive
     # lazy pipeline (shingle join), and every loop iteration would
     # otherwise recompute it from scratch (measured 15s → ~1s at sf0.1)
-    edges_directed = _truncate_lineage(
+    edges_directed, edge_block_ids = _truncate_lineage(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
@@ -324,6 +399,7 @@ def near_dup_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    label_block_ids: set[int] = set()
     for _ in range(max_iterations):
         neighbor_labels = (
             edges_directed.join(
@@ -364,7 +440,7 @@ def near_dup_clusters(
         )
         # checkpoint per round: truncates the exponentially-growing
         # iterative lineage (standard practice for Spark loop algorithms)
-        updated = _truncate_lineage(updated)
+        updated, new_block_ids = _truncate_lineage(updated)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "node")
@@ -372,6 +448,10 @@ def near_dup_clusters(
             .limit(1)
             .count()
         )
+        # the previous round's checkpoint blocks are superseded the
+        # moment `updated` is materialized and compared — release them
+        _unpersist_ids(label_block_ids)
+        label_block_ids = new_block_ids
         labels = updated
         if changed == 0:
             break
@@ -387,6 +467,8 @@ def near_dup_clusters(
                 RuntimeWarning,
                 stacklevel=2,
             )
+    # the loop is over: only the final labels checkpoint must survive
+    _unpersist_ids(edge_block_ids)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

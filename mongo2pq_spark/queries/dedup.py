@@ -84,12 +84,15 @@ def dedup_exact(spark, sf_dir):
     "dedup_cleaned_corpus",
     """
     SELECT doc_id, lang, source, n_chars FROM documents
-    WHERE doc_id IN (
-        SELECT min(doc_id) FROM documents GROUP BY md5(text)
-    )
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
     """,
-    doc="end-to-end dedup: return the cleaned corpus (deterministic min-id "
-        "survivor per distinct text)",
+    doc="end-to-end dedup: return the cleaned corpus — exactly ONE "
+        "deterministic min-id survivor per distinct text. The oracle pins "
+        "the one-row-per-digest contract (a min-id IN-subquery would keep "
+        "every row sharing a group-min id when ids are not unique); the "
+        "Spark side additionally breaks id ties with a whole-row digest, "
+        "which SQL cannot portably express — parity holds whenever ids "
+        "are unique per digest group, as in the fixtures",
 )
 def dedup_cleaned_corpus(spark, sf_dir):
     from mongo2pq_spark.sources.registry import read_sf_table

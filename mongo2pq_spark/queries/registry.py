@@ -78,6 +78,8 @@ _DRIVER_WINDOW_FIRST = [
     "text_fingerprints",
     "udf_text_normalize",
     # new or fixed or changed this round
+    "text_clean",
+    "text_decontaminate",
     "text_winnow_fingerprints",
     "dedup_near_cleaned_corpus",
     "dedup_minhash_jaccard_est",
@@ -99,10 +101,8 @@ _DRIVER_WINDOW_FIRST = [
     "scan_projection",
     "filter_equality",
     "distinct_values",
-    "count_rows",
     "column_casts",
     "falsy_suppression",
-    "speculative_parse",
 ]
 
 

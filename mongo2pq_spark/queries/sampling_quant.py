@@ -87,15 +87,24 @@ def ntile_value_quartiles(spark, sf_dir):
                list_max([abs(x) FOR x IN CAST(embedding AS DOUBLE[])]) AS max_abs,
                CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id,
+               round(max_abs, 6) AS scale,
+               [CAST(round(x * 127.0 / max_abs, 0) AS BIGINT) FOR x IN emb] AS qv
+        FROM scaled WHERE max_abs > 0
     )
-    SELECT vec_id,
-           round(max_abs, 6) AS scale,
-           [CAST(round(x * 127.0 / max_abs, 0) AS BIGINT) FOR x IN emb] AS q
-    FROM scaled WHERE max_abs > 0
+    SELECT vec_id, scale,
+           CAST(len(qv) AS BIGINT) AS n_dims,
+           md5(array_to_string(qv, ',')) AS q_md5
+    FROM q
     """,
     doc="int8 symmetric quantization of embeddings (per-vector max-abs "
         "scale): 4x storage cut for 100 TB vector tables; dequantize is "
-        "q * scale / 127",
+        "q * scale / 127. Output is scalarized (n_dims + md5 digest of "
+        "the int array) — registered queries never return top-level "
+        "array/struct columns, so any downstream canonicalizer can "
+        "sort/hash the result (see tests/test_config.py registry guard)",
 )
 def embedding_quantize_int8(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -111,5 +120,8 @@ def embedding_quantize_int8(spark, sf_dir):
     return scaled.select(
         "vec_id",
         F.round(F.col("max_abs"), 6).alias("scale"),
-        q.alias("q"),
+        F.size(q).cast("bigint").alias("n_dims"),
+        F.md5(F.concat_ws(",", q.cast("array<string>")).cast("binary")).alias(
+            "q_md5"
+        ),
     )

@@ -443,3 +443,65 @@ def test_decontaminate_flags_semantics(spark):
     assert out[2] == (3, True)   # "the quick brown/quick brown fox/brown fox jumps"
     assert out[3] == (0, False)
     assert out[4] == (1, False)  # true overlap reported, below min_overlap
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()  # noqa: SLF001
+
+
+def test_dedup_queries_leave_no_cached_rdds(spark, sf_dir):
+    """minhash_jaccard_estimates and ngram_jaccard_pairs are persist-free
+    (the multi-consumer reuse comes from ReuseExchange on the identical
+    self-join sides): a finished query must leave zero new cached RDDs —
+    a long-running pipeline invoking them per-shard must not accumulate
+    executor storage."""
+    from mongo2pq_spark.operators.dedup import (
+        minhash_jaccard_estimates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    before = _n_persistent_rdds(spark)
+    minhash_jaccard_estimates(docs).collect()
+    ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    # <= not ==: the async ContextCleaner may release OTHER tests'
+    # checkpoint blocks between the two snapshots; these two queries
+    # themselves must add nothing
+    assert _n_persistent_rdds(spark) <= before
+
+
+def test_jaccard_self_joins_reuse_exchange(spark, sf_dir):
+    """The persist-free plans only run the expensive shingle/signature
+    pipeline once because both self-join sides share one exchange —
+    assert the runtime (AQE-final) plan actually reused it."""
+    from mongo2pq_spark.operators.dedup import (
+        minhash_jaccard_estimates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    for df in (
+        minhash_jaccard_estimates(docs),
+        ngram_jaccard_pairs(docs, threshold=0.5),
+    ):
+        df.collect()
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "ReusedExchange" in plan
+
+
+def test_near_dup_clusters_releases_superseded_checkpoints(spark):
+    """Superseded per-round checkpoint blocks and the edge set must be
+    unpersisted by the time the call returns; only the blocks backing
+    the returned labels table may remain."""
+    from mongo2pq_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 13), (13, 14)],
+        ["doc_a", "doc_b"],
+    )
+    before = _n_persistent_rdds(spark)
+    clusters = near_dup_clusters(pairs)
+    clusters.collect()
+    assert _n_persistent_rdds(spark) - before <= 1
