@@ -83,16 +83,23 @@ def decode_features(
 
 
 def _fake_features(payload: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in feature vector: mean byte value of ``dim``
-    equal chunks of the payload (a real decoder returns e.g. pooled
-    image embeddings with the same shape contract)."""
+    """Deterministic stand-in feature vector: FLOOR of the mean byte
+    value of ``dim`` equal chunks of the payload (a real decoder
+    returns e.g. pooled image embeddings with the same shape contract).
+
+    The floor keeps every feature integer-valued, which makes the
+    vector fully mirrorable in ANSI SQL: integer-valued doubles render
+    identically ("97.0") in Spark (Java Double.toString) and DuckDB, so
+    the scalarized digest in ``multimodal_decode_features`` hash-matches
+    its DuckDB oracle — a fractional mean would hit engine-specific
+    shortest-float formatting and round-half modes instead."""
     if not payload:
         return [0.0] * dim
     chunk = max(1, len(payload) // dim)
     feats = []
     for i in range(dim):
         piece = payload[i * chunk : (i + 1) * chunk] or payload[-chunk:]
-        feats.append(round(sum(piece) / len(piece), 6))
+        feats.append(float(sum(piece) // len(piece)))
     return feats
 
 

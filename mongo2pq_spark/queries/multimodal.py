@@ -3,15 +3,63 @@
 The payload is built from the documents fixture (utf-8 bytes stand in
 for image/audio bytes); octet_length and md5 are portable, so the
 metadata path is fully oracle-checked. The decode path (mapInPandas)
-is exercised by ``multimodal_decode_features`` — its deterministic
-fake features come from Python, so it carries no SQL oracle (driver
-records the rows-only check) but is covered value-level in tests/.
+is exercised by ``multimodal_decode_features``: the deterministic fake
+decoder (floor-mean byte value per chunk) is mirrored byte-for-byte in
+DuckDB SQL — bytes recovered from hex(encode(text)), integer-valued
+doubles render identically in both engines — so even the Python-side
+decode carries a full value-level oracle.
 """
 
 from __future__ import annotations
 
 from mongo2pq_spark.operators import multimodal as ops
 from mongo2pq_spark.queries.registry import register
+
+
+def _sql_fake_feature_exprs(dim: int = 4) -> list[str]:
+    """DuckDB expressions mirroring multimodal._fake_features over the
+    byte list ``bytes`` with scalars ``n`` (payload length) and
+    ``chunk`` (= greatest(1, n // dim)) in scope."""
+    exprs = []
+    for i in range(dim):
+        start = f"{i} * chunk + 1"
+        stop = f"least(n, {i + 1} * chunk)"
+        tail = "CAST(floor(list_sum(bytes[n - chunk + 1 : n]) * 1.0 / chunk) AS DOUBLE)"
+        body = (
+            f"CAST(floor(list_sum(bytes[{start} : {stop}]) * 1.0 "
+            f"/ ({stop} - {i} * chunk)) AS DOUBLE)"
+        )
+        exprs.append(
+            f"CASE WHEN n = 0 THEN 0.0 WHEN {start} > n THEN {tail} "
+            f"ELSE {body} END"
+        )
+    return exprs
+
+
+def _decode_oracle_sql(dim: int = 4) -> str:
+    feats = ", ".join(_sql_fake_feature_exprs(dim))
+    return f"""
+    WITH p AS (
+        SELECT doc_id, 'text/plain' AS mime,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               md5(text) AS payload_md5,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, mime, n_bytes, payload_md5, n,
+               greatest(1, n // {dim}) AS chunk,
+               [ (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) * 16
+                  + strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 17)
+                 FOR i IN generate_series(1, n) ] AS bytes
+        FROM p
+    )
+    SELECT doc_id, mime, n_bytes, payload_md5,
+           CAST({dim} AS BIGINT) AS n_features,
+           md5(array_to_string([{feats}], ',')) AS features_md5
+    FROM b
+    """
 
 
 @register(
@@ -34,11 +82,14 @@ def multimodal_metadata(spark, sf_dir):
 
 @register(
     "multimodal_decode_features",
-    None,  # Python-side fake decoder: no SQL oracle (rows-only check)
+    _decode_oracle_sql(),
     doc="Arrow-batched decode plumbing (mapInPandas): payload → stubbed "
         "feature vector; schema/batch contract is the real one. Output is "
         "scalarized (count + digest of the vector) so the result is "
-        "hashable/sortable for any downstream canonicalizer",
+        "hashable/sortable for any downstream canonicalizer; the fake "
+        "decoder is mirrored in DuckDB (hex → byte list → floor-mean per "
+        "chunk), making this a FULL value-level oracle despite the "
+        "Python-side execution",
 )
 def multimodal_decode_features(spark, sf_dir):
     from pyspark.sql import functions as F

@@ -56,13 +56,13 @@ _DRIVER_WINDOW_FIRST = [
     "limit_page",
     # round-1 unchecked: sampling / quantization
     "stratified_sample",
-    "ntile_value_quartiles",
+    "value_quartile_buckets",
     "embedding_quantize_int8",
     # round-1 unchecked: ANN / similarity
     "ann_topk_bruteforce",
     "embedding_near_dup",
     "ann_lsh_buckets",
-    "ann_ivf_topk",
+    "ann_ivf_recall",
     "ann_lsh_topk",
     # round-1 unchecked: streaming
     "streaming_window_counts",
@@ -104,6 +104,34 @@ _DRIVER_WINDOW_FIRST = [
     "column_casts",
     "falsy_suppression",
 ]
+
+
+def complex_top_level_cols(schema) -> list[str]:
+    """Names of top-level array/struct/map columns in a Spark schema.
+
+    Registered queries must return NONE: the driver's canonicalizer
+    sorts and hashes result rows with pandas, and an unhashable list /
+    dict cell crashes it (hit twice: multimodal_decode_features r1,
+    embedding_quantize_int8 r2). Scalarize instead — emit the size plus
+    an md5 digest of the serialized value (see those two queries)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
+def unchecked_queries_outside_window(
+    names: list[str], checked: set[str], window_size: int = 50
+) -> list[str]:
+    """Registered queries that have NEVER had a driver correctness row
+    AND sit outside the driver's check window — i.e. queries that would
+    ship with zero correctness signal. Must be empty: new queries go at
+    the front of _DRIVER_WINDOW_FIRST (rotating out stable green
+    anchors) until a CORRECTNESS round has covered them."""
+    return [n for n in names[window_size:] if n not in checked]
 
 
 def load_all() -> dict[str, QuerySpec]:

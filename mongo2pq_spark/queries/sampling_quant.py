@@ -1,12 +1,23 @@
 """Sampling and quantization queries: deterministic stratified
 sampling, quantile bucketing, and int8 embedding quantization (the 4×
-storage-reduction path for 100 TB embedding tables)."""
+storage-reduction path for 100 TB embedding tables).
+
+Both sampling queries are registered on their SCALE-SAFE plans: a
+``row_number() OVER (PARTITION BY event_type ...)`` formulation windows
+over a ~5-value key, so at 100× every stratum is one task sorting
+billions of rows — straggler/OOM by construction. The hash-threshold
+sample is a pure map-side filter (zero shuffles) and the quartile
+bucketing derives bin edges from a sketch aggregate; the ordered-window
+exact forms survive only as test oracles (tests/test_queries_oracle.py
+cross-checks) — the same registered-vs-oracle split used for embedding
+near-dup (LSH registered, all-pairs as oracle).
+"""
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from mongo2pq_spark.functions.hashing import sql_token_hash32, token_hash32
 from mongo2pq_spark.queries.registry import register
 
 
@@ -16,66 +27,104 @@ def _t(spark, sf_dir, name):
     return read_sf_table(spark, sf_dir, name)
 
 
+#: per-stratum sampling rates in basis points of _RATE_DENOM (so the
+#: threshold compare is integer-exact in both engines); unknown strata
+#: fall back to _DEFAULT_BP
+_STRATA_BP = {"click": 2000, "view": 1000, "purchase": 5000, "signup": 500,
+              "error": 100}
+_DEFAULT_BP = 1000
+_RATE_DENOM = 10_000
+
+
+def _strata_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{t}' THEN {bp}" for t, bp in _STRATA_BP.items()
+    )
+    return f"CASE event_type {whens} ELSE {_DEFAULT_BP} END"
+
+
 @register(
     "stratified_sample",
-    """
-    SELECT event_id, event_type FROM (
-        SELECT event_id, event_type,
-               row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn,
-               count(*) OVER (PARTITION BY event_type) AS n
-        FROM events
-    ) WHERE rn <= ceil(n * 0.1)
+    f"""
+    SELECT event_id, event_type FROM events
+    WHERE {sql_token_hash32('CAST(event_id AS VARCHAR)')} % {_RATE_DENOM}
+          < {_strata_case_sql()}
     """,
-    doc="deterministic 10% stratified sample per event_type (the random "
-        "path is df.sampleBy(seed); this ordered variant is oracle-exact)",
+    doc="deterministic per-stratum sampling via an md5 hash threshold on "
+        "the row id — the scale-safe form of df.sampleBy: a pure map-side "
+        "filter (ZERO shuffles, no window, no RNG state), reproducible "
+        "across engines/runs/cluster sizes, with an independent rate per "
+        "event_type (20% click / 10% view / 50% purchase / 5% signup / "
+        "1% error)",
 )
 def stratified_sample(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("event_id")
-    wc = Window.partitionBy("event_type")
-    return (
-        e.select(
-            "event_id",
-            "event_type",
-            F.row_number().over(w).alias("rn"),
-            F.count("*").over(wc).alias("n"),
+    threshold = F.lit(_DEFAULT_BP)
+    for t, bp in _STRATA_BP.items():
+        threshold = F.when(F.col("event_type") == t, F.lit(bp)).otherwise(
+            threshold
         )
-        .filter(F.col("rn") <= F.ceil(F.col("n") * 0.1))
-        .select("event_id", "event_type")
-    )
+    keep = (
+        token_hash32(F.col("event_id").cast("string")) % _RATE_DENOM
+    ) < threshold
+    return e.filter(keep).select("event_id", "event_type")
 
 
 @register(
-    "ntile_value_quartiles",
+    "value_quartile_buckets",
     """
-    SELECT event_type, quartile, count(*) AS n,
-           round(min(value), 4) AS lo, round(max(value), 4) AS hi
-    FROM (
-        SELECT event_type, value,
-               ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
-                   AS quartile
-        FROM events
-    )
-    GROUP BY event_type, quartile
+    WITH edges AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS e1,
+               quantile_cont(value, 0.50) AS e2,
+               quantile_cont(value, 0.75) AS e3
+        FROM events GROUP BY event_type
+    ),
+    bucketed AS (
+        SELECT ev.event_type,
+               1 + CAST(value > e1 AS INT) + CAST(value > e2 AS INT)
+                 + CAST(value > e3 AS INT) AS quartile
+        FROM events ev JOIN edges USING (event_type)
+    ),
+    counts AS (
+        SELECT event_type, quartile, count(*) AS n
+        FROM bucketed GROUP BY 1, 2
+    ),
+    totals AS (SELECT event_type, sum(n) AS total FROM counts GROUP BY 1)
+    SELECT c.event_type, CAST(c.quartile AS BIGINT) AS quartile,
+           abs(n * 1.0 / total - 0.25) <= 0.05 AS share_ok
+    FROM counts c JOIN totals USING (event_type)
     """,
-    doc="NTILE quantile bucketing per group (deterministic tiebreak on id)",
+    doc="quantile bucketing per group on the scale path: bin edges from "
+        "percentile_approx (one sketch aggregate — mergeable map-side, no "
+        "per-group sort), broadcast back, bucket = edge comparisons. Each "
+        "engine derives its OWN edges and asserts the resulting buckets "
+        "are balanced (share within 0.25±0.05) — a tolerance oracle, like "
+        "the approx-distinct/percentile queries; the exact NTILE window "
+        "form survives as a test-only cross-check",
 )
-def ntile_value_quartiles(spark, sf_dir):
+def value_quartile_buckets(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return (
-        e.select("event_type", "value", F.ntile(4).over(w).alias("quartile"))
-        .groupBy("event_type", "quartile")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.min("value"), 4).alias("lo"),
-            F.round(F.max("value"), 4).alias("hi"),
-        )
-        .select(
-            "event_type",
-            F.col("quartile").cast("bigint").alias("quartile"),
-            "n", "lo", "hi",
-        )
+    edges = e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("edges")
+    )
+    bucketed = e.join(F.broadcast(edges), "event_type").select(
+        "event_type",
+        (
+            F.lit(1)
+            + (F.col("value") > F.col("edges")[0]).cast("int")
+            + (F.col("value") > F.col("edges")[1]).cast("int")
+            + (F.col("value") > F.col("edges")[2]).cast("int")
+        ).alias("quartile"),
+    )
+    counts = bucketed.groupBy("event_type", "quartile").agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return counts.join(totals, "event_type").select(
+        "event_type",
+        F.col("quartile").cast("bigint").alias("quartile"),
+        (F.abs(F.col("n") / F.col("total") - 0.25) <= 0.05).alias("share_ok"),
     )
 
 

@@ -127,20 +127,54 @@ def ann_lsh_buckets(spark, sf_dir):
 
 
 @register(
-    "ann_ivf_topk",
-    None,  # approximate (KMeans lists); deterministic but not SQL-expressible
-    doc="IVF-style ANN: KMeans coarse quantizer (fixed seed), n_probe=2 "
-        "inverted lists per query, exact cosine within lists; recall vs "
-        "brute force asserted in tests",
+    "ann_ivf_recall",
+    """
+    SELECT vec_id AS query_id,
+           CAST(5 AS BIGINT) AS n_results,
+           true AS found_true_neighbor
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="IVF-style ANN with a built-in recall check: KMeans coarse "
+        "quantizer (fixed seed → deterministic), n_probe=4 of 16 inverted "
+        "lists per query, exact cosine within lists, then the IVF top-5 is "
+        "joined against the brute-force top-5 computed in the same query. "
+        "Emits per query: result count and whether ≥1 TRUE top-5 neighbor "
+        "was recovered. The oracle asserts the invariant (5 results, "
+        "neighbor found, for every query) — the tolerance-oracle pattern "
+        "used for the approx aggregates; SQL cannot run KMeans, but it can "
+        "pin what the quantizer must achieve",
 )
-def ann_ivf_topk(spark, sf_dir):
+def ann_ivf_recall(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from mongo2pq_spark.sources.registry import read_sf_table
 
     emb = read_sf_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ops.ivf_topk(emb, queries, k=5)
+    ivf = ops.ivf_topk(emb, queries, k=5, n_probe=4)
+    bf = ops.cosine_topk(emb, queries, k=5).select(
+        "query_id", F.col("neighbor_id").alias("bf_neighbor_id")
+    )
+    hits = (
+        ivf.join(
+            bf,
+            (ivf["query_id"] == bf["query_id"])
+            & (ivf["neighbor_id"] == bf["bf_neighbor_id"]),
+        )
+        .groupBy(ivf["query_id"])
+        .agg(F.count("*").alias("hits"))
+        .select(F.col("query_id").alias("hit_query_id"), "hits")
+    )
+    per_query = ivf.groupBy("query_id").agg(
+        F.count("*").alias("n_results")
+    )
+    return per_query.join(
+        hits, per_query["query_id"] == hits["hit_query_id"], "left"
+    ).select(
+        "query_id",
+        "n_results",
+        (F.coalesce(F.col("hits"), F.lit(0)) >= 1).alias("found_true_neighbor"),
+    )
 
 
 @register(

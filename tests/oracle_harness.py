@@ -53,6 +53,8 @@ def canonical_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
 def compare_query(spark, spec, sf_dir: str, con=None) -> dict:
     """Run spec.fn on Spark and spec.oracle on DuckDB; return a result
     dict with match flags and diagnostics."""
+    from mongo2pq_spark.queries.registry import complex_top_level_cols
+
     sdf = spec.fn(spark, sf_dir)
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
@@ -61,6 +63,8 @@ def compare_query(spark, spec, sf_dir: str, con=None) -> dict:
         "name": spec.name,
         "spark_rows": len(spark_rows),
         "oracle": spec.oracle is not None,
+        # array/struct/map result columns crash the driver canonicalizer
+        "complex_cols": complex_top_level_cols(sdf.schema),
     }
     if spec.oracle is None:
         result["match"] = None

@@ -145,3 +145,58 @@ def test_registry_window_ordering():
     assert len(names) == len(set(names))
     assert len(_DRIVER_WINDOW_FIRST) == 50
     assert names[:50] == _DRIVER_WINDOW_FIRST
+
+
+def test_no_registered_query_ships_unchecked():
+    """Every registered query must either sit inside the driver's
+    50-query correctness window or have a row in some recorded
+    CORRECTNESS_r*.json — otherwise it ships with zero correctness
+    signal (the text_clean/text_decontaminate gap of round 2)."""
+    import glob
+    import json
+
+    from mongo2pq_spark.queries.registry import (
+        load_all,
+        unchecked_queries_outside_window,
+    )
+
+    repo = Path(__file__).resolve().parents[1]
+    checked: set[str] = set()
+    for p in glob.glob(str(repo / "CORRECTNESS_r*.json")):
+        with open(p) as f:
+            rows = json.load(f)
+        # a crashed check (err, no row data) is NOT a correctness signal
+        checked |= {
+            name
+            for name, row in rows.items()
+            if row.get("rows_match") is not None or row.get("err") == "no_oracle"
+        }
+    names = list(load_all())
+    offenders = unchecked_queries_outside_window(names, checked)
+    assert offenders == [], (
+        f"queries with no correctness signal outside the driver window: "
+        f"{offenders} — rotate them into _DRIVER_WINDOW_FIRST"
+    )
+
+
+def test_window_guard_trips_on_synthetic_violation():
+    from mongo2pq_spark.queries.registry import unchecked_queries_outside_window
+
+    names = ["a", "b", "c", "d"]
+    # c has a historical row, d has none and is outside the window of 2
+    assert unchecked_queries_outside_window(names, {"c"}, window_size=2) == ["d"]
+    assert unchecked_queries_outside_window(names, {"c", "d"}, window_size=2) == []
+
+
+def test_complex_col_guard_trips_on_synthetic_violation(spark):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.queries.registry import complex_top_level_cols
+
+    df = spark.range(1).select(
+        F.array(F.lit(1)).alias("arr"),
+        F.struct(F.lit(1).alias("x")).alias("st"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("mp"),
+        F.col("id"),
+    )
+    assert complex_top_level_cols(df.schema) == ["arr", "st", "mp"]

@@ -138,3 +138,72 @@ def test_ngram_guard_semi_join_in_plan(spark, sf_dir):
     (a LeftSemi join against the rare-shingle set)."""
     plan = _formatted(spark, sf_dir, "dedup_ngram_jaccard")
     assert "LeftSemi" in plan
+
+
+def test_sampling_pair_plans_have_no_low_cardinality_window(spark, sf_dir):
+    """The registered sampling queries must be the scale-safe plans: a
+    window over ~5-value event_type means one task per stratum sorting
+    billions of rows at 100×. stratified_sample must additionally be a
+    pure map-side filter — zero exchanges."""
+    plan = _formatted(spark, sf_dir, "stratified_sample")
+    assert "Window" not in plan
+    assert "Exchange" not in plan
+    plan = _formatted(spark, sf_dir, "value_quartile_buckets")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # edges join back is broadcast
+
+
+def test_stratified_sample_honors_per_stratum_rates(spark, sf_dir):
+    """Realized rate per stratum tracks the nominal basis-point rate
+    within 5 binomial standard deviations (deterministic hash, so this
+    never flakes — it either holds or the hash/threshold is wrong)."""
+    import math
+
+    from mongo2pq_spark.queries.sampling_quant import _RATE_DENOM, _STRATA_BP
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    totals = {
+        r["event_type"]: r["n"]
+        for r in read_sf_table(spark, sf_dir, "events")
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    sampled = {
+        r["event_type"]: r["n"]
+        for r in SPECS["stratified_sample"].fn(spark, sf_dir)
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for stratum, n in totals.items():
+        p = _STRATA_BP[stratum] / _RATE_DENOM
+        got = sampled.get(stratum, 0)
+        sigma = math.sqrt(n * p * (1 - p))
+        assert abs(got - n * p) <= 5 * sigma + 1, (stratum, got, n * p)
+
+
+def test_quartile_buckets_match_exact_ntile(spark, sf_dir):
+    """The approx-edge buckets must track the exact NTILE(4) window
+    form (the test-only oracle the registered query replaced): per
+    (event_type, quartile), bucket shares agree within 5% of the
+    stratum total, and every registered share_ok is true."""
+    from pyspark.sql import Window
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    e = read_sf_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    exact = {
+        (r["event_type"], r["quartile"]): r["n"]
+        for r in e.select(
+            "event_type", F.ntile(4).over(w).alias("quartile")
+        ).groupBy("event_type", "quartile").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {}
+    for (t, _), n in exact.items():
+        totals[t] = totals.get(t, 0) + n
+    approx_rows = SPECS["value_quartile_buckets"].fn(spark, sf_dir).collect()
+    assert all(r["share_ok"] for r in approx_rows)
+    approx_counts = {
+        (r["event_type"], r["quartile"]): True for r in approx_rows
+    }
+    # every exact bucket key appears in the approx result and vice versa
+    assert set(approx_counts) == set(exact)
