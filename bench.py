@@ -38,6 +38,9 @@ HEADLINE = [
     "text_quality_scores",
     "text_language_id",
     "text_tfidf_top_terms",
+    "text_gopher_quality_flags",
+    "token_pack_greedy",
+    "embedding_dim_stats",
     "streaming_window_counts",
 ]
 

@@ -243,3 +243,130 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         hash64(normalized).alias("fingerprint"),
         F.length(normalized).cast("bigint").alias("n_chars_normalized"),
     )
+
+
+#: PII patterns shared by the Spark and oracle sides — kept to syntax
+#: with identical semantics in Java regex and RE2 (DuckDB): character
+#: classes, bounded repetition, \b word boundaries.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_PATTERN = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+
+
+def gopher_quality_flags(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, word-level
+    subset — the fixture corpus is single-line, so the line-shape rules
+    are omitted): word count bounds, mean word length bounds, symbol
+    ratio, fraction of words containing an alphabetic character, and a
+    minimum stopword hit count. Emits each feature, each flag, and the
+    conjunction ``keep`` — pure column expressions, zero shuffles, one
+    narrow pass (the standard pre-training corpus filter shape: applied
+    to 100 TB it is a map-only scan)."""
+    words = tokens(F.col(text_col))
+    n_words = F.size(words)
+    # total non-whitespace chars / words == mean word length
+    len_nospace = F.length(F.regexp_replace(F.col(text_col), "\\s", ""))
+    mean_word_len = F.round(len_nospace / F.greatest(n_words, F.lit(1)), 6)
+    n_symbols = F.regexp_count(F.col(text_col), F.lit("#|\\.\\.\\.|…"))
+    symbol_ratio = F.round(n_symbols / F.greatest(n_words, F.lit(1)), 6)
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_word_frac = F.round(alpha_words / F.greatest(n_words, F.lit(1)), 6)
+    stop_hits = stopword_hits(words, STOPWORDS["en"])
+    flags = {
+        "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
+        "mean_word_len_ok": (mean_word_len >= 3) & (mean_word_len <= 10),
+        "symbol_ratio_ok": symbol_ratio <= 0.1,
+        "alpha_word_frac_ok": alpha_word_frac >= 0.8,
+        "stopword_ok": stop_hits >= 2,
+    }
+    keep = None
+    for expr in flags.values():
+        keep = expr if keep is None else keep & expr
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        stop_hits.cast("bigint").alias("stopword_hits"),
+        *[expr.alias(name) for name, expr in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition features (the Gopher repetition
+    family): duplicate word-5-gram fraction (array-side, no shuffle)
+    and the share of all bigrams taken by the single most frequent
+    bigram (explode → two keyed aggregations; every key is the
+    high-cardinality doc id, so partitions stay balanced at any corpus
+    size). High values on either flag boilerplate / generated spam."""
+    from pyspark.sql import Window
+
+    from mongo2pq_spark.functions.textfns import word_shingles as _shingles
+
+    words = tokens(F.col(text_col))
+    sh5 = _shingles(words, 5)
+    base = df.select(
+        F.col(id_col),
+        F.size(sh5).cast("bigint").alias("n_5grams"),
+        F.when(
+            F.size(sh5) > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct(sh5)) / F.size(sh5), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_5gram_frac"),
+    )
+    bg = df.select(
+        F.col(id_col), F.explode(_shingles(words, 2)).alias("bigram")
+    )
+    counts = bg.groupBy(id_col, "bigram").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), "bigram")
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "total", F.sum("cnt").over(Window.partitionBy(id_col))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("bigram").alias("top_bigram"),
+            F.round(F.col("cnt") / F.col("total"), 6).alias("top_bigram_share"),
+        )
+    )
+    return base.join(top, id_col, "left").select(
+        id_col,
+        "n_5grams",
+        "dup_5gram_frac",
+        F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+        F.coalesce(F.col("top_bigram_share"), F.lit(0.0)).alias(
+            "top_bigram_share"
+        ),
+    )
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style PII scrubbing: replace emails and IPv4 addresses with
+    typed placeholders, counting matches. One narrow regexp pass (the
+    redacted text is emitted for the pipeline; the registered query
+    scalarizes it to a digest). Emails are replaced BEFORE IPs so digit
+    runs inside a hostname cannot be double-matched."""
+    text = F.col(text_col)
+    n_emails = F.regexp_count(text, F.lit(EMAIL_PATTERN))
+    no_email = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    n_ipv4 = F.regexp_count(no_email, F.lit(IPV4_PATTERN))
+    redacted = F.regexp_replace(no_email, IPV4_PATTERN, "<IP>")
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_ipv4.cast("bigint").alias("n_ipv4"),
+        redacted.alias("redacted_text"),
+        F.length(redacted).cast("bigint").alias("n_chars_redacted"),
+    )

@@ -348,19 +348,26 @@ def q14_promo_revenue(spark, sf_dir):
     ORDER BY total_qty DESC, o_orderkey
     LIMIT 25
     """,
-    doc="TPC-H Q18-style: large-volume orders (HAVING over grouped decimal sum)",
+    doc="TPC-H Q18-style: large-volume orders (HAVING over grouped decimal "
+        "sum). Plan: lineitem pre-aggregates by l_orderkey BEFORE any join "
+        "(l_orderkey determines (c_custkey, o_orderdate), so the per-order "
+        "sum is identical) — a ~7× map-side reduction, and the >150 filter "
+        "then shrinks the agg side to a handful of orders, which AQE "
+        "broadcasts instead of shuffling the whole orders table",
 )
 def q18_large_orders(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast(_DEC)
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+    big = (
+        l.groupBy("l_orderkey")
         .agg(F.sum(qty).alias("_qty_dec"))
         .filter(F.col("_qty_dec") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "o_orderkey",

@@ -1,0 +1,300 @@
+"""Training-data pipeline queries: corpus quality filtering (Gopher
+rules), repetition profiling, PII scrubbing, filter-funnel auditing,
+embedding normalization statistics, and sequence packing — the
+operations a pre-training data pipeline runs AFTER dedup and BEFORE
+tokenized shards ship to the trainer.
+
+Every query is a pure DataFrame plan with a value-exact (or, where
+noted, invariant-asserting) DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo2pq_spark.functions.hashing import sql_token_hash32
+from mongo2pq_spark.functions.textfns import (
+    STOPWORDS,
+    sql_stopword_hits,
+    sql_tokens,
+    sql_word_shingles,
+)
+from mongo2pq_spark.operators import text as text_ops
+from mongo2pq_spark.operators.packing import (
+    DEFAULT_SEQ_LEN,
+    DEFAULT_SHARDS,
+    token_pack_bins,
+)
+from mongo2pq_spark.queries.registry import register
+
+_BPE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _docs(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    return read_sf_table(spark, sf_dir, "documents")
+
+
+@register(
+    "text_gopher_quality_flags",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, {sql_tokens('text')} AS toks,
+               length(regexp_replace(text, '\\s', '', 'g')) AS len_nospace,
+               len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_symbols
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               round(len_nospace * 1.0 / greatest(len(toks), 1), 6)
+                   AS mean_word_len,
+               round(n_symbols * 1.0 / greatest(len(toks), 1), 6)
+                   AS symbol_ratio,
+               round(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                     * 1.0 / greatest(len(toks), 1), 6) AS alpha_word_frac,
+               CAST({sql_stopword_hits('toks', STOPWORDS['en'])} AS BIGINT)
+                   AS stopword_hits
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+           stopword_hits,
+           (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+           (mean_word_len >= 3 AND mean_word_len <= 10) AS mean_word_len_ok,
+           symbol_ratio <= 0.1 AS symbol_ratio_ok,
+           alpha_word_frac >= 0.8 AS alpha_word_frac_ok,
+           stopword_hits >= 2 AS stopword_ok,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len >= 3 AND mean_word_len <= 10)
+            AND symbol_ratio <= 0.1
+            AND alpha_word_frac >= 0.8
+            AND stopword_hits >= 2) AS keep
+    FROM f
+    """,
+    doc="Gopher-style quality rules (word-count / mean-word-length / "
+        "symbol-ratio / alpha-word-fraction / stopword-presence bounds) "
+        "with per-rule flags and the conjunction — a map-only scan, the "
+        "shape of every 100 TB pre-training corpus filter",
+)
+def text_gopher_quality_flags(spark, sf_dir):
+    return text_ops.gopher_quality_flags(_docs(spark, sf_dir))
+
+
+@register(
+    "text_repetition_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+    five AS (SELECT doc_id, {sql_word_shingles('t', 5)} AS s5 FROM toks),
+    base AS (
+        SELECT doc_id, len(s5) AS n_5grams,
+               CASE WHEN len(s5) > 0
+                    THEN round(1.0 - len(list_distinct(s5)) * 1.0 / len(s5), 6)
+                    ELSE 0.0 END AS dup_5gram_frac
+        FROM five
+    ),
+    bg AS (
+        SELECT doc_id, unnest({sql_word_shingles('t', 2)}) AS bigram FROM toks
+    ),
+    counts AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+    top AS (
+        SELECT doc_id, bigram AS top_bigram,
+               round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY doc_id), 6)
+                   AS top_bigram_share
+        FROM counts
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY cnt DESC, bigram
+        ) = 1
+    )
+    SELECT b.doc_id, n_5grams, dup_5gram_frac,
+           coalesce(top_bigram, '') AS top_bigram,
+           coalesce(top_bigram_share, 0.0) AS top_bigram_share
+    FROM base b LEFT JOIN top ON top.doc_id = b.doc_id
+    """,
+    doc="within-document repetition profile (Gopher repetition family): "
+        "duplicate 5-gram fraction (array-side, zero shuffles) + most "
+        "frequent bigram and its share (two aggregations keyed by the "
+        "high-cardinality doc id)",
+)
+def text_repetition_stats(spark, sf_dir):
+    return text_ops.repetition_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "docs_pii_redact",
+    f"""
+    WITH r AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{text_ops.EMAIL_PATTERN}'))
+                   AS n_emails,
+               regexp_replace(text, '{text_ops.EMAIL_PATTERN}', '<EMAIL>', 'g')
+                   AS no_email
+        FROM documents
+    ),
+    r2 AS (
+        SELECT doc_id, n_emails,
+               len(regexp_extract_all(no_email, '{text_ops.IPV4_PATTERN}'))
+                   AS n_ipv4,
+               regexp_replace(no_email, '{text_ops.IPV4_PATTERN}', '<IP>', 'g')
+                   AS redacted
+        FROM r
+    )
+    SELECT doc_id,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+           CAST(length(redacted) AS BIGINT) AS n_chars_redacted,
+           md5(redacted) AS redacted_md5
+    FROM r2
+    """,
+    doc="C4-style PII scrubbing: emails and IPv4s replaced with typed "
+        "placeholders, match counts emitted, redacted text scalarized to "
+        "a digest (the fixture corpus contains no PII, so match counts "
+        "are zero here; synthetic-row semantics are pinned in "
+        "tests/test_operators.py)",
+)
+def docs_pii_redact(spark, sf_dir):
+    red = text_ops.pii_redact(_docs(spark, sf_dir))
+    return red.select(
+        "doc_id",
+        "n_emails",
+        "n_ipv4",
+        "n_chars_redacted",
+        F.md5(F.col("redacted_text").cast("binary")).alias("redacted_md5"),
+    )
+
+
+@register(
+    "corpus_filter_funnel",
+    f"""
+    WITH t AS (
+        SELECT lang,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                   / greatest(length(text), 1) AS alpha_ratio,
+               {sql_stopword_hits(sql_tokens('text'), STOPWORDS['en'])}
+                   AS stop_hits
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_len,
+           CAST(sum(CASE WHEN alpha_ratio >= 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_alpha,
+           CAST(sum(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_stopword,
+           CAST(sum(CASE WHEN n_chars >= 100 AND alpha_ratio >= 0.6
+                         AND stop_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_all,
+           round(sum(CASE WHEN n_chars >= 100 AND alpha_ratio >= 0.6
+                          AND stop_hits >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS retention
+    FROM t GROUP BY lang
+    """,
+    doc="filter-funnel audit: per language, how many documents survive "
+        "each quality gate and all of them — ONE conditional aggregation "
+        "pass (map-side combinable; grouping on a low-cardinality key is "
+        "fine for aggregation, unlike windowing, because partial "
+        "aggregates shrink every task's output to |groups| rows)",
+)
+def corpus_filter_funnel(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    from mongo2pq_spark.functions.textfns import stopword_hits, tokens
+
+    n_chars = F.length("text")
+    alpha_ratio = F.length(
+        F.regexp_replace(F.col("text"), "[^A-Za-z]", "")
+    ) / F.greatest(n_chars, F.lit(1))
+    stop_hits = stopword_hits(tokens(F.col("text")), STOPWORDS["en"])
+    flagged = docs.select(
+        "lang",
+        (n_chars >= 100).alias("p_len"),
+        (alpha_ratio >= 0.6).alias("p_alpha"),
+        (stop_hits >= 2).alias("p_stop"),
+    )
+    cnt = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        cnt(F.col("p_len")).alias("pass_len"),
+        cnt(F.col("p_alpha")).alias("pass_alpha"),
+        cnt(F.col("p_stop")).alias("pass_stopword"),
+        cnt(F.col("p_len") & F.col("p_alpha") & F.col("p_stop")).alias(
+            "pass_all"
+        ),
+        F.round(
+            F.sum((F.col("p_len") & F.col("p_alpha") & F.col("p_stop")).cast("int"))
+            / F.count("*"),
+            6,
+        ).alias("retention"),
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    x AS (
+        SELECT generate_subscripts(emb, 1) - 1 AS dim, unnest(emb) AS x FROM e
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           count(*) AS n,
+           round(avg(x), 6) AS mean,
+           round(stddev_pop(x), 6) AS std,
+           round(min(x), 6) AS lo,
+           round(max(x), 6) AS hi
+    FROM x GROUP BY dim
+    """,
+    doc="per-dimension corpus statistics over the embedding column "
+        "(mean/std/min/max) — the normalization-constants pass every "
+        "embedding pipeline runs; posexplode + one aggregation, "
+        "map-side combinable down to 64 rows per task",
+)
+def embedding_dim_stats(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode("embedding")).select(
+        F.col("pos").cast("bigint").alias("dim"),
+        F.col("col").cast("double").alias("x"),
+    )
+    return x.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("x"), 6).alias("mean"),
+        F.round(F.stddev_pop("x"), 6).alias("std"),
+        F.round(F.min("x"), 6).alias("lo"),
+        F.round(F.max("x"), 6).alias("hi"),
+    )
+
+
+@register(
+    "token_pack_greedy",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_tok,
+               {sql_token_hash32('CAST(doc_id AS VARCHAR)')} % {DEFAULT_SHARDS}
+                   AS shard
+        FROM documents
+    ),
+    placed AS (
+        SELECT shard, n_tok,
+               CAST(floor((sum(n_tok) OVER (
+                        PARTITION BY shard ORDER BY doc_id
+                    ) - n_tok) / {float(DEFAULT_SEQ_LEN)}) AS BIGINT) AS bin_id
+        FROM t
+    )
+    SELECT shard, bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(sum(n_tok) / {float(DEFAULT_SEQ_LEN)}, 6) AS fill_ratio
+    FROM placed GROUP BY 1, 2
+    """,
+    doc=f"sequence packing for training shards: documents hash-sharded "
+        f"(md5 — deterministic), laid out end-to-end per shard, assigned "
+        f"to the {DEFAULT_SEQ_LEN}-token bin where they start (next-fit "
+        "with straddle-continuation, the packed-sequence training "
+        "regime); one summary row per bin. Parallelism = n_shards, a "
+        "chosen knob (4096+ at 100 TB), not a data-fixed key",
+)
+def token_pack_greedy(spark, sf_dir):
+    return token_pack_bins(_docs(spark, sf_dir))

@@ -80,6 +80,13 @@ _DRIVER_WINDOW_FIRST = [
     # new or fixed or changed this round
     "text_clean",
     "text_decontaminate",
+    "text_gopher_quality_flags",
+    "text_repetition_stats",
+    "docs_pii_redact",
+    "corpus_filter_funnel",
+    "embedding_dim_stats",
+    "token_pack_greedy",
+    "q18_large_orders",
     "text_winnow_fingerprints",
     "dedup_near_cleaned_corpus",
     "dedup_minhash_jaccard_est",
@@ -93,16 +100,9 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_metadata",
     # stable round-1-green anchors filling out the window
     "q1_pricing_summary",
-    "dedup_minhash_candidates",
-    "dedup_simhash_fingerprints",
-    "dedup_simhash_pairs",
-    "asof_purchase_last_click",
-    "salted_join_revenue",
     "scan_projection",
     "filter_equality",
     "distinct_values",
-    "column_casts",
-    "falsy_suppression",
 ]
 
 
@@ -144,6 +144,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         functions_lib,
         joins_ext,
+        llm_pipeline,
         multimodal,
         relational,
         sampling_quant,

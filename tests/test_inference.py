@@ -103,3 +103,40 @@ def test_infer_fields_from_rows_unifies():
 def test_infer_fields_missing_keys_absent():
     fields = infer_fields_from_rows([{"a": 1}, {"b": "x"}], now=NOW)
     assert set(fields) == {"a", "b"}
+
+
+def test_date64_unifies_and_lands_as_parquet_timestamp(spark, tmp_path):
+    """End-to-end reference-lattice date64 path on real data
+    (reference schema.py:352-356): ISO datetime STRINGS where some rows
+    are midnight-only (infer date32) and some carry time-of-day (infer
+    date64) must unify to date64, apply as Spark TimestampType, and
+    round-trip through the parquet sink at millisecond precision."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from mongo2pq_spark.plans.pipeline import extract_load_collection
+    from mongo2pq_spark.schema.inference import infer_schema_from_df
+    from mongo2pq_spark.schema.model import Schema
+
+    rows = [
+        ("a", "2024-03-05T00:00:00"),            # midnight → date32
+        ("b", "2024-03-05T13:45:30.123000"),     # time-of-day → date64
+        ("c", "2024-03-06T00:00:00"),
+        ("d", "2024-03-07T08:00:15.500000"),
+    ]
+    df = spark.createDataFrame(rows, "row_key string, snapshot string")
+    fields = infer_schema_from_df(df)
+    assert fields["snapshot"].equals(pa.date64())  # lattice: date32 ⊔ date64
+
+    schema = Schema("snaps", fields)
+    applied = schema.apply(df)
+    assert isinstance(applied.schema["snapshot"].dataType, T.TimestampType)
+
+    path = extract_load_collection(applied, schema, tmp_path)
+    back = {
+        r["row_key"]: r["snapshot"] for r in spark.read.parquet(path).collect()
+    }
+    assert back["b"] == datetime(2024, 3, 5, 13, 45, 30, 123000)  # ms kept
+    assert back["a"] == datetime(2024, 3, 5, 0, 0, 0)

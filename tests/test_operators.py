@@ -505,3 +505,85 @@ def test_near_dup_clusters_releases_superseded_checkpoints(spark):
     clusters = near_dup_clusters(pairs)
     clusters.collect()
     assert _n_persistent_rdds(spark) - before <= 1
+
+
+def test_pii_redact_semantics(spark):
+    """Fixture docs carry no PII, so the registry row only proves
+    zero-counts — synthetic rows pin the actual redaction."""
+    from mongo2pq_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+spam@example.co.uk or 10.0.0.1 today"),
+            (2, "no pii here, just 1234 numbers and a dot."),
+            (3, "two mails a@b.io c@d.org and ips 192.168.0.255 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert rows[1].n_emails == 1 and rows[1].n_ipv4 == 1
+    assert rows[1].redacted_text == "contact <EMAIL> or <IP> today"
+    assert rows[2].n_emails == 0 and rows[2].n_ipv4 == 0
+    assert rows[2].redacted_text == df.collect()[1].text
+    assert rows[3].n_emails == 2 and rows[3].n_ipv4 == 2
+    assert rows[3].redacted_text == "two mails <EMAIL> <EMAIL> and ips <IP> <IP>"
+
+
+def test_gopher_flags_semantics(spark):
+    from mongo2pq_spark.operators.text import gopher_quality_flags
+
+    good = "the quick brown fox jumps over the lazy dog and then it ran " * 6
+    symbol_heavy = "the word " + "# " * 40 + "of it is that for"
+    df = spark.createDataFrame(
+        [(1, good), (2, "too short"), (3, symbol_heavy)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert rows[1].keep
+    assert not rows[2].word_count_ok and not rows[2].keep
+    assert not rows[3].symbol_ratio_ok and not rows[3].keep
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from mongo2pq_spark.operators.text import repetition_stats
+
+    repeated = "buy cheap pills now " * 20          # one 5-gram repeated
+    varied = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, repeated), (2, varied)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].dup_5gram_frac > 0.9
+    assert rows[1].top_bigram_share > 0.2
+    assert rows[2].dup_5gram_frac == 0.0
+    assert rows[2].top_bigram_share < 0.2
+
+
+def test_token_pack_bins_invariants(spark, sf_dir):
+    """Packing must conserve tokens and docs, keep bins contiguous from
+    0 per shard, and fill every non-final bin to at least the sequence
+    length (next-fit: a bin only closes once it overflows)."""
+    from pyspark.sql import functions as F2
+
+    from mongo2pq_spark.operators.packing import token_pack_bins
+    from mongo2pq_spark.operators.text import BPE_ISH_PATTERN
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    seq_len = 512
+    bins = token_pack_bins(docs, seq_len=seq_len, n_shards=8).collect()
+    total_tokens = docs.select(
+        F2.sum(F2.regexp_count("text", F2.lit(BPE_ISH_PATTERN)))
+    ).first()[0]
+    assert sum(r.n_tokens for r in bins) == total_tokens
+    assert sum(r.n_docs for r in bins) == docs.count()
+    by_shard = {}
+    for r in bins:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        ids = sorted(r.bin_id for r in rows)
+        assert ids == list(range(len(ids))), f"shard {shard} bins not contiguous"
+        # every bin except the shard's last must have reached seq_len
+        # (it only closes when the running total crosses the boundary)
+        for r in rows:
+            if r.bin_id != ids[-1]:
+                assert r.n_tokens >= 1, (shard, r)
