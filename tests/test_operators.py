@@ -449,46 +449,64 @@ def _n_persistent_rdds(spark) -> int:
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()  # noqa: SLF001
 
 
-def test_dedup_queries_leave_no_cached_rdds(spark, sf_dir):
-    """minhash_jaccard_estimates and ngram_jaccard_pairs are persist-free
-    (the multi-consumer reuse comes from ReuseExchange on the identical
-    self-join sides): a finished query must leave zero new cached RDDs —
-    a long-running pipeline invoking them per-shard must not accumulate
-    executor storage."""
+def test_dedup_cache_contract_is_bounded(spark, sf_dir):
+    """ngram_jaccard_pairs persists its guarded+windowed shingle stream
+    (the two self-join sides would otherwise recompute it — measured 2×
+    end-to-end at sf0.1). The bounded contract: each new operator call
+    releases its predecessor's cache, so a long-running pipeline
+    invoking these per-shard holds at most ONE live cache — and
+    release_caches() empties even that."""
     from mongo2pq_spark.operators.dedup import (
         minhash_jaccard_estimates,
         ngram_jaccard_pairs,
+        release_caches,
     )
 
     docs = read_sf_table(spark, sf_dir, "documents")
+    release_caches()
     before = _n_persistent_rdds(spark)
-    minhash_jaccard_estimates(docs).collect()
     ngram_jaccard_pairs(docs, threshold=0.5).collect()
-    # <= not ==: the async ContextCleaner may release OTHER tests'
-    # checkpoint blocks between the two snapshots; these two queries
-    # themselves must add nothing
+    ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    minhash_jaccard_estimates(docs).collect()
+    # three consecutive queries: at most one cache is live, not three
+    assert _n_persistent_rdds(spark) - before <= 1
+    release_caches()
     assert _n_persistent_rdds(spark) <= before
 
 
-def test_jaccard_self_joins_reuse_exchange(spark, sf_dir):
-    """The persist-free plans only run the expensive shingle/signature
-    pipeline once because both self-join sides share one exchange —
-    assert the runtime (AQE-final) plan actually reused it."""
+def test_minhash_estimate_self_join_reuses_exchange(spark, sf_dir):
+    """minhash_jaccard_estimates stays persist-free: its two self-join
+    sides are the identical banded-signature plan and the runtime
+    (AQE-final) plan must actually share one exchange, or the signature
+    aggregation would run twice."""
+    from mongo2pq_spark.operators.dedup import minhash_jaccard_estimates
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    df = minhash_jaccard_estimates(docs)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ReusedExchange" in plan
+
+
+def test_ngram_jaccard_uses_cached_stream(spark, sf_dir):
+    """Both self-join sides of ngram_jaccard_pairs must read the
+    persisted stream (InMemoryTableScan), not re-run the
+    tokenize→shingle→md5→window pipeline per side."""
     from mongo2pq_spark.operators.dedup import (
-        minhash_jaccard_estimates,
         ngram_jaccard_pairs,
+        release_caches,
     )
 
     docs = read_sf_table(spark, sf_dir, "documents")
-    for df in (
-        minhash_jaccard_estimates(docs),
-        ngram_jaccard_pairs(docs, threshold=0.5),
-    ):
-        df.collect()
-        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-            df._jdf.queryExecution(), "formatted"
-        )
-        assert "ReusedExchange" in plan
+    df = ngram_jaccard_pairs(docs, threshold=0.5)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("InMemoryTableScan") >= 2
+    release_caches()
 
 
 def test_near_dup_clusters_releases_superseded_checkpoints(spark):

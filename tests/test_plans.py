@@ -133,11 +133,16 @@ def test_lsh_plans_have_no_cartesian_products(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
-def test_ngram_guard_semi_join_in_plan(spark, sf_dir):
-    """The registered Jaccard query must carry the hot-shingle guard
-    (a LeftSemi join against the rare-shingle set)."""
+def test_ngram_guard_broadcast_anti_in_plan(spark, sf_dir):
+    """The registered Jaccard query must carry the hot-shingle guard as
+    a BROADCAST anti-join against the hot set (which is bounded at
+    ~100 × shingles-per-doc entries regardless of corpus size, so it
+    always broadcasts) — never a shuffle of the full hash stream."""
     plan = _formatted(spark, sf_dir, "dedup_ngram_jaccard")
-    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin LeftAnti" in plan.replace("  ", " ") or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    )
 
 
 def test_sampling_pair_plans_have_no_low_cardinality_window(spark, sf_dir):
