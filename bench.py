@@ -41,6 +41,9 @@ HEADLINE = [
     "text_gopher_quality_flags",
     "token_pack_greedy",
     "embedding_dim_stats",
+    "doc_chunks_fixed",
+    "range_join_click_attribution",
+    "events_rollup_gapfill",
     "streaming_window_counts",
 ]
 

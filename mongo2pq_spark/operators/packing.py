@@ -21,10 +21,11 @@ token count, and fill ratio.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mongo2pq_spark.functions.hashing import token_hash32
+from mongo2pq_spark.functions.textfns import tokens
 
 DEFAULT_SEQ_LEN = 2048
 DEFAULT_SHARDS = 32
@@ -75,3 +76,98 @@ def token_pack_bins(
             ),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 256,
+    stride: int = 192,
+) -> DataFrame:
+    """Split each document into fixed-token-count chunks with overlap
+    (stride < chunk_size ⇒ consecutive chunks share chunk_size−stride
+    tokens) — the standard long-document → context-window preparation.
+    Tokens are whitespace words; chunk text is scalarized to an md5
+    digest (driver canonicalizer contract: no top-level arrays).
+
+    Plan: tokenize ONCE per row into a materialized array column, then
+    posexplode a `sequence` of chunk-start offsets and `slice` the
+    array per chunk. The token array is projected BEFORE the generator,
+    so slicing after explode reads the materialized array — NOT a
+    re-tokenize per chunk (the Catalyst lambda-inlining trap: computing
+    the array inside a per-chunk lambda would re-run the tokenizer
+    O(chunks) times per row). One narrow pass, zero shuffles, output
+    rows ≈ corpus_tokens / stride.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col, "__toks", F.size("__toks").alias("__n")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = base.filter(F.col("__n") > 0).select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.col("__n"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("__start").cast("bigint").alias("start_tok"),
+        F.least(F.lit(chunk_size), F.col("__n") - F.col("__start"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start") + 1, chunk_size), " "
+            ).cast("binary")
+        ).alias("chunk_md5"),
+    )
+
+
+#: training-mix weights per language: >1 upsamples (epochs-style doc
+#: repetition), <1 downsamples. Fractional parts are realized by a
+#: deterministic md5-hash threshold, so the mix is reproducible across
+#: engines, runs, and cluster sizes.
+DEFAULT_MIX_WEIGHTS = {"en": 2.5, "de": 1.0, "fr": 1.0, "es": 0.5, "zh": 0.25}
+MIX_DENOM = 10_000
+
+
+def weighted_mix_upsample(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a training mix: each document appears
+    ``floor(w) + (hash < frac(w))`` times, where ``w`` is its
+    stratum's weight — the deterministic-expectation form of
+    "epochs per source" corpus mixing (w=2.5 ⇒ every doc twice, half
+    the docs a third time; w=0.25 ⇒ a quarter of the docs once).
+
+    A map-only pass: per-row CASE for the weight, md5-hash threshold
+    for the fractional copy, `explode(sequence(...))` for the
+    repetition — no shuffle, no RNG state, linear output in the mix
+    size. Emits (row per copy) with ``copy_idx`` so downstream shard
+    assignment can spread copies across shards.
+    """
+    w = weights or DEFAULT_MIX_WEIGHTS
+    base_copies: Column = F.lit(0)
+    frac_bp: Column = F.lit(0)
+    for k, wt in w.items():
+        base_copies = F.when(F.col(key_col) == k, int(wt)).otherwise(base_copies)
+        frac_bp = F.when(
+            F.col(key_col) == k, int(round((wt - int(wt)) * MIX_DENOM))
+        ).otherwise(frac_bp)
+    h = token_hash32(F.col(id_col).cast("string")) % MIX_DENOM
+    n_copies = (base_copies + (h < frac_bp).cast("int")).alias("n_copies")
+    counted = df.withColumn("n_copies", n_copies).filter(F.col("n_copies") > 0)
+    return counted.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+    ).withColumn("copy_idx", F.col("copy_idx").cast("bigint"))

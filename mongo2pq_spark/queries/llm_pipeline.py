@@ -298,3 +298,94 @@ def embedding_dim_stats(spark, sf_dir):
 )
 def token_pack_greedy(spark, sf_dir):
     return token_pack_bins(_docs(spark, sf_dir))
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 256, 192
+
+
+@register(
+    "doc_chunks_fixed",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    s AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(0, greatest(n - 1, 0), {_CHUNK_STRIDE}))
+                   AS start
+        FROM n
+    )
+    SELECT doc_id,
+           CAST(floor(start * 1.0 / {_CHUNK_STRIDE}) AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(least({_CHUNK_SIZE}, n - start) AS BIGINT) AS n_tokens,
+           md5(array_to_string(
+               list_slice(toks, start + 1, start + {_CHUNK_SIZE}), ' '
+           )) AS chunk_md5
+    FROM s
+    """,
+    doc=f"fixed-window document chunking ({_CHUNK_SIZE}-token chunks, "
+        f"stride {_CHUNK_STRIDE} ⇒ {_CHUNK_SIZE - _CHUNK_STRIDE}-token "
+        "overlap) — long-doc → context-window preparation. The token "
+        "array is materialized BEFORE the chunk generator (posexplode "
+        "of a sequence of starts + slice), so the tokenizer runs once "
+        "per doc, not once per chunk; one narrow pass, zero shuffles, "
+        "chunk text scalarized to md5",
+)
+def doc_chunks_fixed(spark, sf_dir):
+    from mongo2pq_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+
+
+def _mix_case_sql() -> tuple[str, str]:
+    from mongo2pq_spark.operators.packing import DEFAULT_MIX_WEIGHTS, MIX_DENOM
+
+    base = " ".join(
+        f"WHEN '{k}' THEN {int(w)}" for k, w in DEFAULT_MIX_WEIGHTS.items()
+    )
+    frac = " ".join(
+        f"WHEN '{k}' THEN {int(round((w - int(w)) * MIX_DENOM))}"
+        for k, w in DEFAULT_MIX_WEIGHTS.items()
+    )
+    return f"CASE lang {base} ELSE 0 END", f"CASE lang {frac} ELSE 0 END"
+
+
+def _mix_oracle() -> str:
+    from mongo2pq_spark.operators.packing import MIX_DENOM
+
+    base_case, frac_case = _mix_case_sql()
+    h = sql_token_hash32("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH c AS (
+        SELECT doc_id, lang,
+               {base_case}
+               + CASE WHEN {h} % {MIX_DENOM} < {frac_case}
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+    FROM c WHERE n_copies > 0
+    """
+
+
+@register(
+    "corpus_mix_upsample",
+    _mix_oracle(),
+    doc="training-mix materialization: every doc appears floor(w) + "
+        "(md5-hash < frac(w)) times for its language's mix weight "
+        "(en 2.5, de 1.0, fr 1.0, es 0.5, zh 0.25) — the deterministic "
+        "form of epochs-per-source corpus mixing. Map-only: CASE for "
+        "the weight, hash threshold for the fractional copy, "
+        "explode(sequence) for the repetition; no shuffle, no RNG "
+        "state, output linear in the mix size",
+)
+def corpus_mix_upsample(spark, sf_dir):
+    from mongo2pq_spark.operators.packing import weighted_mix_upsample
+
+    return weighted_mix_upsample(_docs(spark, sf_dir))

@@ -46,8 +46,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # round-1 unchecked: relational tail
-    "epoch_seconds",
+    # round-1 unchecked: relational tail (epoch_seconds rotated out
+    # after going green in r2)
     "rename_projection",
     "top_k",
     "systematic_sample",
@@ -87,6 +87,11 @@ _DRIVER_WINDOW_FIRST = [
     "embedding_dim_stats",
     "token_pack_greedy",
     "q18_large_orders",
+    "doc_chunks_fixed",
+    "corpus_mix_upsample",
+    "events_rollup_gapfill",
+    "range_join_click_attribution",
+    "events_value_histogram",
     "text_winnow_fingerprints",
     "dedup_near_cleaned_corpus",
     "dedup_minhash_jaccard_est",
@@ -98,11 +103,6 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_cleaned_corpus",
     "dedup_exact",
     "multimodal_metadata",
-    # stable round-1-green anchors filling out the window
-    "q1_pricing_summary",
-    "scan_projection",
-    "filter_equality",
-    "distinct_values",
 ]
 
 
@@ -151,6 +151,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         streaming,
         text,
+        timeseries,
         udfs,
     )
 

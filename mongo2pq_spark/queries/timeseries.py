@@ -1,0 +1,129 @@
+"""Time-series queries over the events stream: hypertable-style
+bucket rollup with gap fill, a bucketized interval range join, and a
+fixed-width value histogram. All value-exact against DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo2pq_spark.operators.timeseries import (
+    bucketed_range_join_count,
+    rollup_gapfill,
+)
+from mongo2pq_spark.queries.registry import register
+
+
+def _events(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    return read_sf_table(spark, sf_dir, "events")
+
+
+@register(
+    "events_rollup_gapfill",
+    """
+    WITH r AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               count(*) AS n_events,
+               round(avg(value), 6) AS avg_value,
+               round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM r),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM b
+    ),
+    grps AS (SELECT DISTINCT event_type FROM events)
+    SELECT g.event_type, s.bucket,
+           CAST(coalesce(r.n_events, 0) AS BIGINT) AS n_events,
+           r.avg_value, r.sum_value
+    FROM spine s CROSS JOIN grps g
+    LEFT JOIN r ON r.bucket = s.bucket AND r.event_type = g.event_type
+    """,
+    doc="hypertable-style hourly rollup with gap fill: every (type, "
+        "hour) cell in the data's bucket range appears exactly once, "
+        "empty hours as n_events=0 — ONE map-side-combinable aggregation "
+        "over the events; the spine (hours × types) is grid-sized and "
+        "broadcast, the raw table is never re-read",
+)
+def events_rollup_gapfill(spark, sf_dir):
+    return rollup_gapfill(_events(spark, sf_dir), unit="hour")
+
+
+@register(
+    "range_join_click_attribution",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(count(c.event_id) AS BIGINT) AS n_clicks_5min
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 300 SECOND
+     AND c.ts < p.ts
+    GROUP BY 1, 2, 3
+    """,
+    doc="interval range join (attribution: clicks by the same user in "
+        "the 5 minutes before each purchase), executed as a BUCKETIZED "
+        "equi-join: probes explode into the ≤2 width-w time cells their "
+        "window overlaps, build rows match by (user, cell), a residual "
+        "filter applies exact bounds — the naive BETWEEN theta-join "
+        "would be a broadcast nested loop, quadratic at scale",
+)
+def range_join_click_attribution(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return bucketed_range_join_count(
+        purchases,
+        clicks,
+        key_col="user_id",
+        probe_id_col="event_id",
+        probe_ts="ts",
+        build_ts="ts",
+        window_seconds=300,
+        count_alias="n_clicks_5min",
+    )
+
+
+@register(
+    "events_value_histogram",
+    """
+    WITH h AS (
+        SELECT CAST(floor(value / 25) AS BIGINT) AS bin,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT count(*) AS total FROM events)
+    SELECT bin,
+           round(bin * 25.0, 6) AS lo,
+           round((bin + 1) * 25.0, 6) AS hi,
+           CAST(n_events AS BIGINT) AS n_events,
+           round(n_events * 1.0 / total, 6) AS share
+    FROM h CROSS JOIN t
+    """,
+    doc="fixed-width histogram over the value column (width-25 bins "
+        "with explicit edges and corpus share) — one "
+        "map-side-combinable aggregation plus a broadcast of the "
+        "1-row total; the distributed form of `df.value_counts`",
+)
+def events_value_histogram(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    hist = ev.groupBy(
+        F.floor(F.col("value") / 25).cast("bigint").alias("bin")
+    ).agg(F.count("*").alias("n_events"))
+    total = ev.agg(F.count("*").alias("total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "bin",
+        F.round(F.col("bin") * 25.0, 6).alias("lo"),
+        F.round((F.col("bin") + 1) * 25.0, 6).alias("hi"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("n_events") / F.col("total"), 6).alias("share"),
+    )

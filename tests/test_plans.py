@@ -212,3 +212,30 @@ def test_quartile_buckets_match_exact_ntile(spark, sf_dir):
     }
     # every exact bucket key appears in the approx result and vice versa
     assert set(approx_counts) == set(exact)
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The interval range join must execute as a bucketized equi-join:
+    a BETWEEN theta-join plans as BroadcastNestedLoopJoin — quadratic
+    work at scale — so its absence IS the operator's scale guarantee."""
+    plan = _formatted(spark, sf_dir, "range_join_click_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_gapfill_spine_is_broadcast(spark, sf_dir):
+    """Gap-fill joins grid-sized tables: the spine×groups cross join
+    and the spine⋈rollup join must both be broadcast — a shuffle there
+    would mean the plan treats the grid as data-sized."""
+    plan = _formatted(spark, sf_dir, "events_rollup_gapfill")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan  # explicit broadcast cross join
+
+
+def test_map_only_llm_ops_have_no_exchange(spark, sf_dir):
+    """Chunking and mix upsampling are narrow per-row transforms; any
+    Exchange in their plans means an accidental shuffle of the corpus."""
+    for name in ("doc_chunks_fixed", "corpus_mix_upsample"):
+        plan = _formatted(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
