@@ -1,0 +1,48 @@
+"""Bounded cache registry for multi-consumer streams.
+
+Catalyst has no cross-branch common-subexpression elimination, and
+(verified empirically) exchange reuse does not fire across the
+alias-renamed sides of a self-join — so a computed stream feeding k
+consumers executes k times unless persisted. The contract that keeps
+persists from ACCUMULATING across a long-running session: each
+`cache_stream` call first releases every previously registered cache,
+UNLESS a live cache is semantically the same plan
+(`df.sameSemantics`), in which case it is returned as-is — repeated
+invocations of the same operator (a pairs query followed by a clusters
+query built on the same pairs, a bench repeat, a retried shard) hit
+the warm cache instead of recomputing. At most ONE stream is resident
+between calls — O(1), not O(#queries); `release_caches()` empties
+even that.
+
+The memo is keyed by the logical plan, so like Spark's own
+CacheManager it assumes the underlying source files do not change
+between calls. Not safe for two interleaved lazy queries (the second
+build would release the first's cache mid-flight); the driver/bench
+run queries strictly one at a time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every stream cached by a prior operator call."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist(False)
+
+
+def cache_stream(df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK) under the bounded contract
+    documented in the module docstring."""
+    from pyspark.storagelevel import StorageLevel
+
+    for live in _LIVE_CACHES:
+        if live.sameSemantics(df):
+            return live
+    release_caches()
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_CACHES.append(cached)
+    return cached

@@ -37,47 +37,13 @@ DEFAULT_K = 32          # minhash permutations
 DEFAULT_BANDS = 8       # LSH bands (rows per band = K / BANDS = 4)
 SIMHASH_BITS = 60       # md5-prefix hash width (fits signed int64)
 
-#: Bounded cache registry for multi-consumer streams. Catalyst has no
-#: cross-branch common-subexpression elimination and (with AQE) the
-#: identical-subtree exchange-reuse rule does not fire across the two
-#: alias-renamed sides of a self-join — so a computed stream feeding k
-#: consumers executes k times unless persisted (measured 2× end-to-end
-#: on ngram Jaccard at sf0.1). The contract that keeps persists from
-#: ACCUMULATING across a long-running session: each `_cache_stream`
-#: call first releases every previously registered cache, so at most
-#: ONE operator's stream is ever resident between calls — O(1), not
-#: O(#queries). Callers wanting a fully clean session call
-#: `release_caches()` after their terminal action.
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def release_caches() -> None:
-    """Unpersist every stream cached by a prior dedup operator call."""
-    while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist(False)
-
-
-def _cache_stream(df: DataFrame) -> DataFrame:
-    """Persist ``df`` (MEMORY_AND_DISK), releasing predecessor caches
-    first — UNLESS a live cache is semantically the same plan, in which
-    case it is returned as-is: repeated invocations of the same
-    operator (a pairs query followed by the clusters query built on the
-    same pairs, a bench repeat, a retried shard) hit the warm cache
-    instead of recomputing the stream. The memo is keyed by the logical
-    plan, so like Spark's own CacheManager it assumes the underlying
-    source files do not change between calls. Not safe for two
-    interleaved lazy queries from this module (the second build would
-    release the first's cache mid-flight); the driver/bench run
-    queries strictly one at a time."""
-    from pyspark.storagelevel import StorageLevel
-
-    for live in _LIVE_CACHES:
-        if live.sameSemantics(df):
-            return live
-    release_caches()
-    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _LIVE_CACHES.append(cached)
-    return cached
+# Bounded, memoized cache for multi-consumer streams (measured 2×
+# end-to-end on ngram Jaccard without it) — shared with the similarity
+# operators; see operators/cache.py for the full contract.
+from mongo2pq_spark.operators.cache import (  # noqa: E402
+    cache_stream as _cache_stream,
+    release_caches,
+)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

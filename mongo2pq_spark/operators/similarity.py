@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from mongo2pq_spark.functions.hashing import _lcg
 from mongo2pq_spark.functions.vectors import cosine, dot, norm
+from mongo2pq_spark.operators.cache import cache_stream
 
 DEFAULT_HYPERPLANES = 16
 #: multi-table defaults for the near-dup path: 16 tables × 2^5 buckets.
@@ -191,59 +192,64 @@ def lsh_multi_assignments(
     """(id, table_id, bucket): one row per (vector, hash table).
 
     All L·H hyperplane dot products are computed by ONE data-driven
-    ``transform`` over a constant array-of-planes literal (a single
-    small generated class), then exploded as (table, sign·2^bit)
-    contributions and summed into buckets by a partial-aggregated
-    groupBy. The per-table-inlined alternative (L·H separate dot
-    expression trees) generates dozens of distinct codegen classes,
-    which turns the JVM's lambda-eval call sites megamorphic and was
-    measured ~3× slower steady-state once other large expressions had
-    run in the session.
+    nested ``transform`` over a constant L×H array-of-planes literal (a
+    single small generated class — the per-table-inlined alternative of
+    L·H separate dot trees generates dozens of distinct codegen
+    classes, which turns the JVM's lambda-eval call sites megamorphic
+    and was measured ~3× slower steady-state). Each table's bucket is
+    folded ARRAY-SIDE into an L-element array, then ``posexplode``d —
+    a fully NARROW projection: no explode-then-groupBy shuffle (the
+    round-2 formulation shuffled 16 rows per vector through an
+    aggregation; measured −25% end-to-end on the near-dup query).
 
-    The exploded stream is three small ints per row per table —
+    The emitted rows are three small ints per (vector, table) —
     vectors are NOT shipped; candidate verification re-joins them by
     id later."""
-    planes: list[list[float]] = []
-    metas: list[tuple[int, int]] = []
-    for t in range(n_tables):
-        for h, plane in enumerate(hyperplanes(n_hyperplanes, dim, seed + t)):
-            planes.append(plane)
-            metas.append((t, 1 << h))
-    planes_lit = F.array(*[F.array(*[F.lit(c) for c in p]) for p in planes])
-    meta_lit = F.array(
+    planes_2d = [hyperplanes(n_hyperplanes, dim, seed + t) for t in range(n_tables)]
+    planes_lit = F.array(
         *[
-            F.struct(
-                F.lit(t).cast("int").alias("table_id"),
-                F.lit(w).cast("bigint").alias("w"),
-            )
-            for t, w in metas
+            F.array(*[F.array(*[F.lit(c) for c in p]) for p in table_planes])
+            for table_planes in planes_2d
         ]
     )
-    contrib = F.zip_with(
-        F.transform(planes_lit, lambda p: dot(F.col(vec_col), p)),
-        meta_lit,
-        lambda d, m: F.struct(
-            m["table_id"].alias("table_id"),
-            F.when(d > 0, m["w"]).otherwise(F.lit(0).cast("bigint")).alias("w"),
+    weights_lit = F.array(
+        *[F.lit(1 << h).cast("bigint") for h in range(n_hyperplanes)]
+    )
+    buckets = F.transform(
+        planes_lit,
+        lambda table_planes: F.aggregate(
+            F.zip_with(
+                F.transform(table_planes, lambda p: dot(F.col(vec_col), p)),
+                weights_lit,
+                lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("bigint")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
         ),
     )
-    return (
-        df.select(F.col(id_col), F.explode(contrib).alias("c"))
-        .groupBy(id_col, F.col("c.table_id").alias("table_id"))
-        .agg(F.sum("c.w").alias("bucket"))
+    return df.select(
+        F.col(id_col), F.posexplode(buckets).alias("table_id", "bucket")
     )
 
 
 def _cap_buckets(assignments: DataFrame, max_bucket_size: int) -> DataFrame:
     """Drop every (table, bucket) group larger than the cap BEFORE the
-    self-join — the guard that keeps candidate generation linear."""
-    from pyspark.sql import Window
+    self-join — the guard that keeps candidate generation linear.
 
-    w = Window.partitionBy("table_id", "bucket")
-    return (
-        assignments.withColumn("bucket_n", F.count("*").over(w))
-        .filter(F.col("bucket_n") <= max_bucket_size)
-        .drop("bucket_n")
+    The oversized-bucket set is bounded at L·n/cap entries (each holds
+    > cap of the L·n assignment rows), so it always broadcasts: the
+    guard is a map-side-combinable count + a broadcast anti-join —
+    never a window, which would shuffle the FULL assignment stream by
+    (table, bucket) just to count it (same pattern as the hot-shingle
+    guard in ngram dedup)."""
+    oversized = (
+        assignments.groupBy("table_id", "bucket")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+        .select("table_id", "bucket")
+    )
+    return assignments.join(
+        F.broadcast(oversized), ["table_id", "bucket"], "left_anti"
     )
 
 
@@ -260,8 +266,15 @@ def lsh_candidate_pairs(
     """Distinct undirected candidate pairs (id_a < id_b) that share a
     bucket in ≥1 of the L hash tables. Ids only — verification joins
     vectors back."""
+    # the assignment stream feeds the oversized-bucket build, the
+    # anti-join probe, and BOTH self-join sides — cache it once (the
+    # 80-dot-product projection would otherwise run per consumer)
     asg = _cap_buckets(
-        lsh_multi_assignments(df, n_tables, n_hyperplanes, dim, seed, id_col, vec_col),
+        cache_stream(
+            lsh_multi_assignments(
+                df, n_tables, n_hyperplanes, dim, seed, id_col, vec_col
+            )
+        ),
         max_bucket_size,
     )
     a = asg.select("table_id", "bucket", F.col(id_col).alias("id_a"))
@@ -436,7 +449,11 @@ def lsh_topk(
     from pyspark.sql import Window
 
     asg = _cap_buckets(
-        lsh_multi_assignments(df, n_tables, n_hyperplanes, dim, seed, id_col, vec_col),
+        cache_stream(
+            lsh_multi_assignments(
+                df, n_tables, n_hyperplanes, dim, seed, id_col, vec_col
+            )
+        ),
         max_bucket_size,
     )
     a = asg.select("table_id", "bucket", F.col(id_col).alias("query_id"))
