@@ -255,6 +255,112 @@ def minhash_jaccard_estimates(
     )
 
 
+def minhash_containment_estimates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Directed containment estimates for LSH candidate pairs.
+
+    Containment C(A→B) = |A∩B| / |A| is the right measure when one
+    document may be EMBEDDED in another (quote inclusion, boilerplate
+    wrapping, partial scrapes) — symmetric Jaccard under-scores those.
+    The sketch gives Ĵ; exact set sizes come free in the SAME signature
+    aggregation (one extra count column), and
+    |A∩B| ≈ Ĵ/(1+Ĵ)·(|A|+|B|) turns them into both directed
+    containments. Everything after the signature pass is arithmetic on
+    (k+1)-column rows — text is never re-read (the 100 TB verify
+    path), and all inputs are MD5-deterministic, so the DuckDB oracle
+    matches value-for-value.
+
+    Candidate-generation caveat: pairs surface through JACCARD banding
+    (P(candidate) ≈ 1−(1−Ĵ^rows)^bands), so a tiny document embedded in
+    a huge one (containment ≈ 1 but J ≈ |A|/|B| ≈ 0) will NOT band-
+    collide — this estimator scores asymmetry among near-dup
+    candidates; discovering extreme-ratio embeddings needs the shingle
+    equi-join path (`ngram_jaccard_pairs` candidates score containment
+    exactly from the same inter/size columns).
+    """
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    rows = k // bands
+    hashes = _doc_shingle_hashes(df, id_col, text_col, shingle_n)
+    perms = minhash_perms(k, seed)
+    aggs = [
+        F.min(minhash_col(F.col("h"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    # signature + exact set size in ONE aggregation; cached because the
+    # banded self-join reads it twice
+    sig = _cache_stream(
+        hashes.groupBy(id_col).agg(*aggs, F.count("*").alias("sz"))
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                    ).cast("binary")
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("band"),
+        *[F.col(f"mh{i}") for i in range(k)], F.col("sz"),
+    ).select(
+        id_col, "band.band_id", "band.band_hash",
+        *[f"mh{i}" for i in range(k)], "sz",
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    paired = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            agree.alias("agree"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("agree").alias("agree"),
+            F.max("sz_a").alias("sz_a"),
+            F.max("sz_b").alias("sz_b"),
+        )
+    )
+    jr = F.col("agree") / F.lit(float(k))
+    return paired.select(
+        "doc_a",
+        "doc_b",
+        F.round(jr, 6).alias("jaccard_est"),
+        F.round(
+            jr / (F.lit(1.0) + jr) * (F.col("sz_a") + F.col("sz_b")) / F.col("sz_a"),
+            6,
+        ).alias("containment_a"),
+        F.round(
+            jr / (F.lit(1.0) + jr) * (F.col("sz_a") + F.col("sz_b")) / F.col("sz_b"),
+            6,
+        ).alias("containment_b"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

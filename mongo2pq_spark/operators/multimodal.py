@@ -158,3 +158,61 @@ def media_metadata(df_with_payload: DataFrame) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.payload_md5").alias("payload_md5"),
     )
+
+
+FRAME_BYTES = 64          # stand-in frame size (a real video frame is KBs)
+FRAME_SAMPLE_EVERY = 4    # keep every 4th frame
+
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id bigint, n_frames bigint, n_sampled bigint, sampled_md5 string"
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    every: int = FRAME_SAMPLE_EVERY,
+) -> DataFrame:
+    """Video-style frame sampling over the opaque payload: treat the
+    payload as a sequence of fixed-size frames, keep every ``every``-th
+    frame (starting at frame 0), and emit per-doc frame counts plus an
+    md5 digest of the sampled stream — the decode-free stand-in for
+    "sample k fps and fingerprint the result".
+
+    Arrow-batched ``mapInPandas`` like the decode stub (a real
+    implementation swaps the byte slicing for an ``av``/ffmpeg frame
+    iterator; batch shape, schema contract, and parallelism stay as
+    tested). The digest is defined over the UPPERCASE HEX rendering of
+    the sampled bytes, which both Spark/Python and the DuckDB oracle
+    can produce byte-identically.
+    """
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    hex_per_frame = frame_bytes * 2
+
+    def sample_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "n_sampled": [], "sampled_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                hexstr = data.hex().upper()
+                n_frames = (len(data) + frame_bytes - 1) // frame_bytes
+                sampled_idx = range(0, n_frames, every)
+                sampled_hex = "".join(
+                    hexstr[i * hex_per_frame : (i + 1) * hex_per_frame]
+                    for i in sampled_idx
+                )
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n_frames)
+                out["n_sampled"].append(len(list(sampled_idx)))
+                out["sampled_md5"].append(
+                    hashlib.md5(sampled_hex.encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(sample_batches, FRAME_SAMPLE_SCHEMA)

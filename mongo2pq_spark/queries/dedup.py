@@ -378,3 +378,68 @@ def dedup_near_cleaned_corpus(spark, sf_dir):
         )
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+def _containment_oracle() -> str:
+    mins = ",\n           ".join(
+        f"min((h * {a} + {b}) % {MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_PERMS)
+    )
+    bands = "\n        UNION ALL\n".join(
+        "        SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sigz".format(
+            b=b,
+            concat=" || ',' || ".join(f"mh{b * _ROWS + r}" for r in range(_ROWS)),
+        )
+        for b in range(_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(_K)
+    )
+    return f"""
+    WITH {_SHINGLE_HASH_CTE},
+    sigz AS (
+        SELECT doc_id,
+           {mins},
+           count(*) AS sz
+        FROM h GROUP BY doc_id
+    ),
+    bands AS (
+{bands}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT doc_a, doc_b,
+               ({agree}) / {float(_K)} AS jr,
+               sa.sz AS sz_a, sb.sz AS sz_b
+        FROM cand
+        JOIN sigz sa ON sa.doc_id = doc_a
+        JOIN sigz sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(jr, 6) AS jaccard_est,
+           round(jr / (1.0 + jr) * (sz_a + sz_b) / sz_a, 6) AS containment_a,
+           round(jr / (1.0 + jr) * (sz_a + sz_b) / sz_b, 6) AS containment_b
+    FROM est
+    """
+
+
+@register(
+    "dedup_minhash_containment",
+    _containment_oracle(),
+    doc=f"directed containment estimates for LSH candidate pairs: "
+        f"C(A→B)=|A∩B|/|A| with |A∩B| ≈ Ĵ/(1+Ĵ)·(|A|+|B|) — Ĵ from the "
+        f"k={_K} sketch, set sizes exact from the SAME signature "
+        "aggregation. Catches quote-inclusion / partial-scrape embedding "
+        "that symmetric Jaccard under-scores; sketch-only after the "
+        "signature pass (text never re-read)",
+)
+def dedup_minhash_containment(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.minhash_containment_estimates(docs)

@@ -389,3 +389,48 @@ def corpus_mix_upsample(spark, sf_dir):
     from mongo2pq_spark.operators.packing import weighted_mix_upsample
 
     return weighted_mix_upsample(_docs(spark, sf_dir))
+
+
+_SHUFFLE_SHARDS = 32
+
+
+@register(
+    "corpus_shuffle_shards",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               {sql_token_hash32("'shuf:' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(h % {_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY h % {_SHUFFLE_SHARDS} ORDER BY h, doc_id
+           ) AS BIGINT) AS pos_in_shard
+    FROM t
+    """,
+    doc=f"deterministic corpus shuffle into {_SHUFFLE_SHARDS} training "
+        "shards: shard = md5-hash % S, within-shard order = the hash "
+        "itself — a reproducible global permutation with no RNG state. "
+        "The within-shard window partitions on the CHOSEN shard key "
+        "(4096+ at 100 TB), so sort size per task is corpus/S — "
+        "parallelism is a knob, not a data property; the salted 'shuf:' "
+        "prefix decorrelates the permutation from every other hash use "
+        "of doc_id",
+)
+def corpus_shuffle_shards(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from mongo2pq_spark.functions.hashing import token_hash32
+
+    docs = _docs(spark, sf_dir)
+    h = token_hash32(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    keyed = docs.select(F.col("doc_id"), h.alias("h")).withColumn(
+        "shard", (F.col("h") % _SHUFFLE_SHARDS).cast("bigint")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )

@@ -108,3 +108,53 @@ def multimodal_decode_features(spark, sf_dir):
             F.concat_ws(",", F.col("feature").cast("array<string>")).cast("binary")
         ).alias("features_md5"),
     )
+
+
+def _frame_sample_oracle() -> str:
+    fb = ops.FRAME_BYTES
+    ev = ops.FRAME_SAMPLE_EVERY
+    hex_per = fb * 2
+    return f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS hexstr,
+               CAST(ceil(octet_length(encode(text)) * 1.0 / {fb}) AS BIGINT)
+                   AS n_frames
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n_frames, hexstr,
+               unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), {ev}))
+                   AS i
+        FROM p WHERE n_frames > 0
+    ),
+    s AS (
+        SELECT doc_id,
+               max(n_frames) AS n_frames,
+               count(*) AS n_sampled,
+               md5(string_agg(substr(hexstr, CAST(i * {hex_per} + 1 AS BIGINT),
+                                     {hex_per}), '' ORDER BY i)) AS sampled_md5
+        FROM f GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.n_frames AS BIGINT) AS n_frames,
+           CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+           coalesce(s.sampled_md5, md5('')) AS sampled_md5
+    FROM p LEFT JOIN s ON s.doc_id = p.doc_id
+    """
+
+
+@register(
+    "multimodal_frame_sample",
+    _frame_sample_oracle(),
+    doc=f"video-style frame sampling over the opaque payload (fixed "
+        f"{ops.FRAME_BYTES}-byte frames, every {ops.FRAME_SAMPLE_EVERY}th "
+        "kept, md5 over the sampled hex stream) via Arrow-batched "
+        "mapInPandas — the decode-free stand-in for 'sample k fps and "
+        "fingerprint'; byte-identical DuckDB mirror makes it a full "
+        "value oracle despite Python-side execution",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.frame_sample(ops.attach_payload(docs))

@@ -46,14 +46,10 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # round-1 unchecked: relational tail (epoch_seconds rotated out
-    # after going green in r2)
-    "rename_projection",
-    "top_k",
-    "systematic_sample",
+    # round-1 unchecked: relational tail (epoch_seconds, rename_
+    # projection, top_k rotated out after going green in r2)
     "el_partitioned_roundtrip",
     "merge_upsert_events",
-    "limit_page",
     # round-1 unchecked: sampling / quantization
     "stratified_sample",
     "value_quartile_buckets",
@@ -66,7 +62,6 @@ _DRIVER_WINDOW_FIRST = [
     "ann_lsh_topk",
     # round-1 unchecked: streaming
     "streaming_window_counts",
-    "streaming_sliding_window_counts",
     "streaming_stateful_sessions",
     "streaming_dedup_events",
     # round-1 unchecked: text analysis
@@ -92,6 +87,11 @@ _DRIVER_WINDOW_FIRST = [
     "events_rollup_gapfill",
     "range_join_click_attribution",
     "events_value_histogram",
+    "streaming_enrich_static",
+    "multimodal_frame_sample",
+    "dedup_minhash_containment",
+    "el_jsonl_roundtrip",
+    "corpus_shuffle_shards",
     "text_winnow_fingerprints",
     "dedup_near_cleaned_corpus",
     "dedup_minhash_jaccard_est",

@@ -272,3 +272,33 @@ def limit_page(spark, sf_dir):
         .orderBy("event_id")
         .limit(100)
     )
+
+
+@register(
+    "el_jsonl_roundtrip",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="JSONL sink + source round-trip: the documents table is written "
+        "as line-delimited JSON (the lingua franca of training-corpus "
+        "interchange) and read back through Spark's distributed JSON "
+        "reader with schema inference, then aggregated — proving the "
+        "ingest path a real pipeline uses upstream of parquet",
+)
+def el_jsonl_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    # fixed path, overwritten each run (same policy as el_roundtrip_out)
+    outdir = os.path.join(tempfile.gettempdir(), "el_jsonl_out")
+    docs.write.mode("overwrite").json(outdir)
+    back = spark.read.json(outdir)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -87,3 +87,31 @@ def streaming_dedup_events(spark, sf_dir):
     from mongo2pq_spark.streaming.windows import run_streaming_dedup
 
     return run_streaming_dedup(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "streaming_enrich_static",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+           c.c_mktsegment,
+           count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="stream-static enrichment: the event stream joins the customer "
+        "dimension (broadcast, re-read per micro-batch — slowly-changing "
+        "dims pick up updates live) and aggregates hourly per market "
+        "segment; state bounded by (windows in watermark) × segments; "
+        "equals the batch join+time_bucket aggregate",
+)
+def streaming_enrich_static(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.streaming.windows import run_stream_static_enrichment
+
+    dim = read_sf_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return run_stream_static_enrichment(
+        spark, f"{sf_dir}/events.parquet", dim
+    )

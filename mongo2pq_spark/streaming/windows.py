@@ -146,3 +146,38 @@ def run_tumbling_window_counts(
         "n",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+def run_stream_static_enrichment(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    table_name: str = "streaming_enrich_out",
+) -> DataFrame:
+    """Stream-static join: the event stream joins a static dimension
+    (customer market segment) and aggregates hourly counts per
+    segment — the standard streaming-enrichment topology.
+
+    Scale shape: a stream-static join re-plans the static side per
+    micro-batch; a dimension that fits the broadcast threshold joins
+    map-side with NO shuffle of the stream, and state is bounded by
+    (windows in watermark) × segments. The static side is read fresh
+    each batch, so slowly-changing dimensions pick up updates without
+    restarting the query."""
+    stream = read_event_stream(spark, events_path).withWatermark("ts", "10 minutes")
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim[dim.columns[0]]
+    )
+    agg = enriched.groupBy(
+        F.window("ts", "1 hour"), F.col("c_mktsegment")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+    _drain_to_memory(agg, table_name, "complete")
+    return spark.table(table_name).select(
+        F.col("window.start").alias("window_start"),
+        "c_mktsegment",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )

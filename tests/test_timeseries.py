@@ -131,3 +131,59 @@ def test_bucketed_range_join_keeps_zero_match_probes(spark):
         probe_ts="ts", build_ts="ts", window_seconds=300, count_alias="n",
     ).collect()}
     assert out == {1: 1, 2: 0}
+
+
+def test_frame_sample_edges(spark):
+    """Frame boundaries: payloads of exactly k frames, a partial last
+    frame, fewer frames than the sampling stride, and empty payload."""
+    import hashlib
+
+    from mongo2pq_spark.operators.multimodal import frame_sample
+
+    rows = [
+        (1, bytearray(range(256))),        # 4 frames of 64 → samples frame 0
+        (2, b"x" * 65),                    # 2 frames (64 + 1 partial)
+        (3, b""),                          # empty → 0 frames
+        (4, bytes(range(64)) * 5),         # 5 frames → samples 0 and 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in frame_sample(df).collect()}
+    assert (out[1].n_frames, out[1].n_sampled) == (4, 1)
+    hex1 = bytes(range(256)).hex().upper()[:128]
+    assert out[1].sampled_md5 == hashlib.md5(hex1.encode()).hexdigest()
+    assert (out[2].n_frames, out[2].n_sampled) == (2, 1)
+    assert (out[3].n_frames, out[3].n_sampled) == (0, 0)
+    assert out[3].sampled_md5 == hashlib.md5(b"").hexdigest()
+    assert (out[4].n_frames, out[4].n_sampled) == (5, 2)
+    full = (bytes(range(64)) * 5).hex().upper()
+    expect = full[0:128] + full[4 * 128 : 5 * 128]
+    assert out[4].sampled_md5 == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_minhash_containment_detects_embedding(spark):
+    """A document embedded in a longer one scores containment≈1 in the
+    contained direction while the container's containment is lower —
+    the asymmetry this estimator exists for. MinHash estimates carry
+    ~1/sqrt(k) noise, so assert bands, not exact values.
+
+    Candidates come from JACCARD banding, so the embedded doc must
+    still share most shingles with its container (J ≈ sz_short/sz_long
+    must stay band-detectable) — extreme-ratio embeddings are the
+    documented non-goal."""
+    from mongo2pq_spark.operators.cache import release_caches
+    from mongo2pq_spark.operators.dedup import minhash_containment_estimates
+
+    short = " ".join(f"tok{i}" for i in range(60))
+    long_doc = short + " " + " ".join(f"extra{i}" for i in range(18))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short)], "doc_id long, text string"
+    )
+    rows = {(r.doc_a, r.doc_b): r for r in minhash_containment_estimates(df).collect()}
+    release_caches()
+    assert (1, 2) in rows, "prefix-embedded pair must band-collide"
+    r = rows[(1, 2)]
+    # doc 2 (the contained one) ≈ fully inside doc 1...
+    assert r.containment_b > 0.85, r
+    # ...while doc 1 is measurably NOT fully inside doc 2, and the
+    # asymmetry points the right way
+    assert r.containment_a < r.containment_b, r
