@@ -1,0 +1,455 @@
+"""Corpus- and dataset-level statistics queries: deterministic
+train/val/test splitting, unigram language-model quality scoring,
+contamination overlap profiling, embedding-norm QA, robust (median/MAD)
+anomaly detection, cohort retention, grouping-sets aggregation, and
+exact heavy-hitter detection.
+
+These extend the training-data-pipeline surface (llm_pipeline.py /
+text.py) with the audit/QA passes a 100 TB corpus runs between dedup
+and shipping shards. Every query is a pure DataFrame plan with a
+value-exact DuckDB oracle; medians are rounded to 6 decimals in BOTH
+engines before any downstream comparison so interpolation ulp noise
+cannot flip a flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo2pq_spark.functions.hashing import sql_token_hash32, token_hash32
+from mongo2pq_spark.functions.textfns import (
+    sql_tokens,
+    sql_word_shingles,
+    tokens,
+    word_shingles,
+)
+from mongo2pq_spark.functions.vectors import norm
+from mongo2pq_spark.queries.registry import register
+
+
+def _t(spark, sf_dir, name):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    return read_sf_table(spark, sf_dir, name)
+
+
+# -- deterministic train/val/test split --------------------------------------
+
+_SPLIT_SALT = "split:"
+_TRAIN_PCT, _VAL_PCT = 80, 10  # test = remainder
+
+
+@register(
+    "corpus_train_val_split",
+    f"""
+    WITH b AS (
+        SELECT doc_id,
+               {sql_token_hash32(f"'{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")}
+                   % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < {_TRAIN_PCT} THEN 'train'
+                WHEN bucket < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="deterministic train/val/test assignment: split = md5-hash of the "
+        "salted doc id mod 100 against fixed 80/10/10 cut points — a pure "
+        "map-side projection (ZERO shuffles, no RNG state), stable across "
+        "engines, runs, and cluster sizes, so a doc never migrates between "
+        "splits when the corpus is re-processed. The salt decorrelates the "
+        "split from every other hash use of doc_id",
+)
+def corpus_train_val_split(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        token_hash32(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string")))
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.cast("bigint").alias("bucket"),
+        F.when(bucket < _TRAIN_PCT, "train")
+        .when(bucket < _TRAIN_PCT + _VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# -- unigram LM quality proxy ------------------------------------------------
+
+
+@register(
+    "text_unigram_logprob",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+    ),
+    dt AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    cf AS (SELECT term, sum(tf) AS cf FROM dt GROUP BY 1),
+    tot AS (SELECT sum(cf) AS total FROM cf)
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * ln(CAST(total AS DOUBLE) / CAST(cf AS DOUBLE)))
+                 / sum(tf), 6) AS avg_neg_logp
+    FROM dt JOIN cf USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="unigram-LM quality proxy (perplexity stand-in): per-document "
+        "mean negative log-probability of its tokens under the corpus "
+        "unigram distribution — the classic cheap fluency score for "
+        "corpus filtering. Shape: doc×term counts (high-cardinality "
+        "groupBy, map-side combinable) → term frequencies derived from "
+        "that SAME aggregate (no second scan) → shuffle join on term "
+        "(AQE; vocab is too big to assume broadcast at 100 TB) → one "
+        "final agg per doc. The corpus-total is a 1-row cross join, "
+        "not a driver collect",
+)
+def text_unigram_logprob(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    cf = dt.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = cf.agg(F.sum("cf").alias("total"))
+    scored = dt.join(cf, "term").crossJoin(F.broadcast(tot))
+    neg_logp = F.col("tf") * F.log(
+        F.col("total").cast("double") / F.col("cf").cast("double")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.round(F.sum(neg_logp) / F.sum("tf"), 6).alias("avg_neg_logp"),
+    )
+
+
+# -- contamination overlap profile -------------------------------------------
+
+_BENCH_FILTER = "doc_id % 100 = 0"  # deterministic benchmark stand-in
+_CONTAM_FRAC = 0.05
+
+
+@register(
+    "contamination_overlap_frac",
+    f"""
+    WITH bench AS (SELECT text FROM documents WHERE {_BENCH_FILTER}),
+    btoks AS (SELECT {sql_tokens('text')} AS t FROM bench),
+    bsh AS (
+        SELECT DISTINCT {sql_token_hash32('s')} AS h
+        FROM (SELECT unnest(list_distinct({sql_word_shingles('t', 3)})) AS s
+              FROM btoks)
+    ),
+    dtoks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+    dsh AS (
+        SELECT doc_id, {sql_token_hash32('s')} AS h
+        FROM (SELECT doc_id, unnest(list_distinct({sql_word_shingles('t', 3)})) AS s
+              FROM dtoks)
+    ),
+    agg AS (
+        SELECT doc_id,
+               count(*) AS n_shingles,
+               sum(CASE WHEN h IN (SELECT h FROM bsh) THEN 1 ELSE 0 END)
+                   AS bench_overlap
+        FROM dsh GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(a.bench_overlap, 0) AS BIGINT) AS bench_overlap,
+           round(coalesce(a.bench_overlap, 0) * 1.0
+                 / greatest(coalesce(a.n_shingles, 0), 1), 6) AS overlap_frac,
+           round(coalesce(a.bench_overlap, 0) * 1.0
+                 / greatest(coalesce(a.n_shingles, 0), 1), 6)
+               >= {_CONTAM_FRAC} AS contaminated
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+    doc="contamination PROFILE (the graded companion to the boolean "
+        "text_decontaminate): per document, the fraction of its distinct "
+        "3-gram shingles that appear in any benchmark text, flagged at "
+        "≥ 5% overlap. The benchmark shingle set is tiny (eval suites, "
+        "not web data) and explicitly broadcast; the corpus side is one "
+        "explode → left join → per-doc aggregation, never self-joined",
+)
+def contamination_overlap_frac(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    doc_sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), 3))
+        ).alias("s"),
+    ).select("doc_id", token_hash32(F.col("s")).alias("h"))
+    bench_sh = (
+        docs.filter(F.expr(_BENCH_FILTER))
+        .select(
+            F.explode(
+                F.array_distinct(word_shingles(tokens(F.col("text")), 3))
+            ).alias("s")
+        )
+        .select(token_hash32(F.col("s")).alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        doc_sh.join(F.broadcast(bench_sh), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("bench_overlap"),
+        )
+    )
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0))
+    ov = F.coalesce(F.col("bench_overlap"), F.lit(0))
+    frac = F.round(ov * 1.0 / F.greatest(n_sh, F.lit(1)), 6)
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        n_sh.cast("bigint").alias("n_shingles"),
+        ov.cast("bigint").alias("bench_overlap"),
+        frac.alias("overlap_frac"),
+        (frac >= _CONTAM_FRAC).alias("contaminated"),
+    )
+
+
+# -- embedding norm QA -------------------------------------------------------
+
+
+@register(
+    "embedding_norm_outliers",
+    """
+    WITH n AS (
+        SELECT vec_id,
+               sqrt(list_sum([x * x FOR x IN CAST(embedding AS DOUBLE[])]))
+                   AS nrm
+        FROM embeddings
+    ),
+    m AS (SELECT round(median(nrm), 6) AS med FROM n)
+    SELECT vec_id,
+           round(nrm, 6) AS l2_norm,
+           round(nrm / med, 6) AS ratio_to_median,
+           nrm < 0.5 * med AS is_low,
+           nrm > 1.5 * med AS is_high
+    FROM n CROSS JOIN m
+    """,
+    doc="embedding-column QA: per-vector L2 norm versus the corpus "
+        "median norm, flagging degenerate (near-zero) and blown-up "
+        "vectors before they poison cosine math downstream. One narrow "
+        "fold per row + a 1-row median cross join (broadcast); the "
+        "median is rounded to 6 decimals in both engines so "
+        "interpolation ulp noise cannot flip a flag",
+)
+def embedding_norm_outliers(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    norms = emb.select("vec_id", norm(F.col("embedding")).alias("nrm"))
+    med = norms.agg(F.round(F.median("nrm"), 6).alias("med"))
+    return norms.crossJoin(F.broadcast(med)).select(
+        "vec_id",
+        F.round(F.col("nrm"), 6).alias("l2_norm"),
+        F.round(F.col("nrm") / F.col("med"), 6).alias("ratio_to_median"),
+        (F.col("nrm") < 0.5 * F.col("med")).alias("is_low"),
+        (F.col("nrm") > 1.5 * F.col("med")).alias("is_high"),
+    )
+
+
+# -- robust anomaly detection (median / MAD) ---------------------------------
+
+_MAD_K = 1.4826  # consistency constant for normal data
+_MAD_SIGMAS = 3.0
+
+
+@register(
+    "events_anomaly_mad",
+    f"""
+    WITH med AS (
+        SELECT event_type, round(median(value), 6) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, round(median(dev), 6) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n,
+           min(d.med) AS med,
+           min(m.mad) AS mad,
+           CAST(sum(CASE WHEN d.dev > {_MAD_SIGMAS} * {_MAD_K} * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           round(sum(CASE WHEN d.dev > {_MAD_SIGMAS} * {_MAD_K} * m.mad
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS anomaly_rate
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="robust per-group anomaly detection: |value − median| > "
+        "3·1.4826·MAD — the outlier rule that survives heavy tails where "
+        "mean/stddev z-scores break. Two exact-median aggregations "
+        "(grouping on low-cardinality event_type is fine for AGGREGATION "
+        "— partial aggregates shrink each task to |groups| rows — unlike "
+        "windowing) with the 5-row median tables broadcast back; medians "
+        "rounded to 6dp in both engines before the flag compare",
+)
+def events_anomaly_mad(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.median("dev"), 6).alias("mad")
+    )
+    joined = dev.join(F.broadcast(mad), "event_type")
+    is_anom = (
+        F.col("dev") > F.lit(_MAD_SIGMAS) * F.lit(_MAD_K) * F.col("mad")
+    ).cast("int")
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("med").alias("med"),
+        F.min("mad").alias("mad"),
+        F.sum(is_anom).cast("bigint").alias("n_anomalies"),
+        F.round(F.sum(is_anom) * 1.0 / F.count("*"), 6).alias("anomaly_rate"),
+    )
+
+
+# -- cohort retention --------------------------------------------------------
+
+
+@register(
+    "orders_retention_cohorts",
+    """
+    WITH f AS (
+        SELECT o_custkey, min(o_orderdate) AS first_dt
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT strftime(f.first_dt, '%Y-%m') AS cohort_month,
+           CAST((year(o.o_orderdate) - year(f.first_dt)) * 12
+                + (month(o.o_orderdate) - month(f.first_dt)) AS BIGINT)
+               AS month_offset,
+           count(DISTINCT o.o_custkey) AS n_customers
+    FROM orders o JOIN f USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+    doc="cohort retention matrix: customers grouped by first-order month, "
+        "counted distinct at each month offset — the standard retention "
+        "triangle. First-order dates via one aggregation on the "
+        "high-cardinality customer key, joined back on that same key "
+        "(co-partitioned — AQE reuses the exchange), then a distinct "
+        "count per (cohort, offset); integer month arithmetic keeps the "
+        "offset engine-portable",
+)
+def orders_retention_cohorts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    j = o.join(first, "o_custkey")
+    offset = (
+        (F.year("o_orderdate") - F.year("first_dt")) * 12
+        + (F.month("o_orderdate") - F.month("first_dt"))
+    ).cast("bigint")
+    return (
+        j.select(
+            F.date_format("first_dt", "yyyy-MM").alias("cohort_month"),
+            offset.alias("month_offset"),
+            "o_custkey",
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+# -- grouping sets -----------------------------------------------------------
+
+_DEC = "decimal(18,2)"
+
+
+@register(
+    "grouping_sets_revenue",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+               AS gid,
+           CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS {_DEC})
+                    * (1 - CAST(l_discount AS {_DEC}))) AS DOUBLE)
+               AS sum_disc_price,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="GROUPING SETS aggregation (detail + per-flag subtotal + grand "
+        "total in ONE pass) with grouping-id disambiguation — the "
+        "multi-granularity report shape; Spark expands the sets into a "
+        "single shuffle, decimal sums keep cross-engine exactness "
+        "(completes the rollup_customer_counts / cube_order_counts "
+        "grouping-family coverage)",
+)
+def grouping_sets_revenue(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("lineitem_gsq")
+    return spark.sql(
+        f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                    AS BIGINT) AS gid,
+               CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS {_DEC})
+                        * (1 - CAST(l_discount AS {_DEC}))) AS DOUBLE)
+                   AS sum_disc_price,
+               count(*) AS n_items
+        FROM lineitem_gsq
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+# -- exact heavy hitters -----------------------------------------------------
+
+_HH_FACTOR = 1.2
+
+
+@register(
+    "events_heavy_hitters",
+    f"""
+    WITH c AS (
+        SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    ),
+    t AS (SELECT sum(n_events) AS total, count(*) AS n_users FROM c)
+    SELECT user_id,
+           n_events,
+           round(n_events * 1.0 / total, 6) AS share
+    FROM c CROSS JOIN t
+    WHERE n_events * 1.0 > {_HH_FACTOR} * total / n_users
+    """,
+    doc=f"exact heavy-hitter detection: users with more than "
+        f"{_HH_FACTOR}× the mean event count, with their traffic share — "
+        "the skew-probe run before choosing join/salting strategy. One "
+        "aggregation on the high-cardinality user key (map-side "
+        "combinable) + a 1-row total cross join; no second scan, no "
+        "window, no sort",
+)
+def events_heavy_hitters(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    t = c.agg(
+        F.sum("n_events").alias("total"), F.count("*").alias("n_users")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(
+            F.col("n_events") * 1.0
+            > F.lit(_HH_FACTOR) * F.col("total") / F.col("n_users")
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") * 1.0 / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+    )

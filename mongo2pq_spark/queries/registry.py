@@ -46,28 +46,26 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # round-1 unchecked: relational tail (epoch_seconds, rename_
-    # projection, top_k rotated out after going green in r2)
-    "el_partitioned_roundtrip",
-    "merge_upsert_events",
-    # round-1 unchecked: sampling / quantization
+    # new this round: corpus stats / QA batch (corpus_stats.py)
+    "corpus_train_val_split",
+    "text_unigram_logprob",
+    "contamination_overlap_frac",
+    "embedding_norm_outliers",
+    "events_anomaly_mad",
+    "orders_retention_cohorts",
+    "grouping_sets_revenue",
+    "events_heavy_hitters",
+    # changed this round: sampling / quantization
     "stratified_sample",
     "value_quartile_buckets",
     "embedding_quantize_int8",
-    # round-1 unchecked: ANN / similarity
+    # changed this round (LSH optimization pass): ANN / similarity
     "ann_topk_bruteforce",
     "embedding_near_dup",
     "ann_lsh_buckets",
     "ann_ivf_recall",
     "ann_lsh_topk",
-    # round-1 unchecked: streaming
-    "streaming_window_counts",
-    "streaming_stateful_sessions",
-    "streaming_dedup_events",
-    # round-1 unchecked: text analysis
-    "text_token_stats",
-    "text_quality_scores",
-    "text_language_id",
+    # unchecked as of r2: text analysis tail
     "text_tfidf_top_terms",
     "text_top_bigrams",
     "text_fingerprints",
@@ -141,6 +139,7 @@ def load_all() -> dict[str, QuerySpec]:
     _DRIVER_WINDOW_FIRST)."""
     from mongo2pq_spark.queries import (  # noqa: F401
         analytics,
+        corpus_stats,
         dedup,
         functions_lib,
         joins_ext,
