@@ -65,11 +65,11 @@ _DRIVER_WINDOW_FIRST = [
     "ann_lsh_buckets",
     "ann_ivf_recall",
     "ann_lsh_topk",
-    # unchecked as of r2: text analysis tail
+    # new this round: formats / windows / streaming joins
+    "el_orc_roundtrip",
+    "events_rolling_1h_user",
+    "streaming_stream_join",
     "text_tfidf_top_terms",
-    "text_top_bigrams",
-    "text_fingerprints",
-    "udf_text_normalize",
     # new or fixed or changed this round
     "text_clean",
     "text_decontaminate",

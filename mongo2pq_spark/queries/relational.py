@@ -302,3 +302,36 @@ def el_jsonl_roundtrip(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "el_orc_roundtrip",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="ORC sink + source round-trip: the events table is written as "
+        "ORC (Spark's second first-class columnar format — built-in "
+        "vectorized reader/writer, same predicate-pushdown and "
+        "column-pruning surface as parquet) and read back, then "
+        "aggregated; the oracle aggregates the original table, so the "
+        "round-trip must be lossless for timestamps, doubles, and "
+        "strings alike",
+)
+def el_orc_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ev = read_sf_table(spark, sf_dir, "events")
+    outdir = os.path.join(tempfile.gettempdir(), "el_orc_out")
+    ev.write.mode("overwrite").orc(outdir)
+    back = spark.read.orc(outdir)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -115,3 +115,31 @@ def streaming_enrich_static(spark, sf_dir):
     return run_stream_static_enrichment(
         spark, f"{sf_dir}/events.parquet", dim
     )
+
+
+@register(
+    "streaming_stream_join",
+    """
+    SELECT p.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           CAST(p.value AS DOUBLE) AS purchase_value
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    """,
+    doc="stream-stream inner join with an event-time range condition "
+        "(clicks within 30 min before each purchase, per user): both "
+        "streams watermarked, and the time-bound join condition lets "
+        "Spark evict buffered state past the watermark — bounded-state "
+        "streaming attribution; equals the batch range join",
+)
+def streaming_stream_join(spark, sf_dir):
+    from mongo2pq_spark.streaming.windows import run_stream_stream_join
+
+    return run_stream_stream_join(spark, f"{sf_dir}/events.parquet")

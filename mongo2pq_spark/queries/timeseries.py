@@ -127,3 +127,46 @@ def events_value_histogram(spark, sf_dir):
         F.col("n_events").cast("bigint").alias("n_events"),
         F.round(F.col("n_events") / F.col("total"), 6).alias("share"),
     )
+
+
+@register(
+    "events_rolling_1h_user",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS sum_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="rolling 1-hour per-user window (RANGE frame over event time): "
+        "for every event, how many events and how much value the same "
+        "user produced in the preceding hour incl. the current row — "
+        "the per-entity trailing-window feature every fraud/abuse "
+        "pipeline computes. Frame ordered on exact epoch MICROS (the "
+        "fixture carries sub-second timestamps; second-truncation would "
+        "change frame membership between engines); decimal sum keeps "
+        "the windowed aggregate order-independent. Partitioning is on "
+        "user_id — a key whose cardinality GROWS with the data (150 at "
+        "sf0.01, millions at 100 TB), so per-task sort size stays "
+        "bounded, unlike a ~5-value event_type window",
+)
+def events_rolling_1h_user(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).withColumn("us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_value_1h"),
+    )

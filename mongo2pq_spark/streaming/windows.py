@@ -181,3 +181,63 @@ def run_stream_static_enrichment(
         "n",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    events_path: str,
+    table_name: str = "stream_join_out",
+) -> DataFrame:
+    """Stream-stream inner join with event-time range condition: the
+    click stream joins the purchase stream of the same user where the
+    click fell in the 30 minutes before the purchase — streaming
+    attribution, the canonical two-stream topology.
+
+    State-bounding shape: BOTH sides carry watermarks and the join
+    condition bounds click_ts relative to purchase_ts, so Spark derives
+    a state watermark per side and evicts buffered rows older than it —
+    state stays O(events within the watermark horizon), not O(stream).
+    Without the time-range condition the state would grow forever; this
+    is the stream-stream analog of keying streaming dedup by event
+    time."""
+    clicks = (
+        read_event_stream(spark, events_path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_event_stream(spark, events_path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            c_user = user_id
+            AND click_ts BETWEEN purchase_ts - INTERVAL 30 MINUTES
+                             AND purchase_ts
+            """
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        F.col("value").alias("purchase_value"),
+    )
+    _drain_to_memory(joined, table_name, "append")
+    return spark.table(table_name)
