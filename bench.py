@@ -45,6 +45,11 @@ HEADLINE = [
     "range_join_click_attribution",
     "events_rollup_gapfill",
     "streaming_window_counts",
+    "text_unigram_logprob",
+    "contamination_overlap_frac",
+    "events_anomaly_mad",
+    "orders_retention_cohorts",
+    "events_rolling_1h_user",
 ]
 
 

@@ -94,8 +94,8 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_near_cleaned_corpus",
     "dedup_minhash_jaccard_est",
     "multimodal_decode_features",
-    "distinct_users_approx",
-    "percentile_approx_values",
+    "udaf_user_value_gini",
+    "el_schema_evolution",
     "dedup_ngram_jaccard",
     "dedup_near_clusters",
     "dedup_cleaned_corpus",

@@ -335,3 +335,48 @@ def el_orc_roundtrip(spark, sf_dir):
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "el_schema_evolution",
+    """
+    SELECT CASE WHEN event_id % 2 = 1 THEN event_type
+                ELSE '<missing>' END AS event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+    doc="schema evolution on read: generation 1 of a dataset is written "
+        "WITHOUT the event_type column, generation 2 WITH it; a "
+        "mergeSchema read unifies the generations (missing column → "
+        "null, surfaced as '<missing>') and aggregates across both — "
+        "the add-a-column lifecycle every long-lived 100 TB dataset "
+        "goes through, resolved at the reader without rewriting old "
+        "partitions. The oracle simulates the split on the original "
+        "table, so null-fill and value fidelity are both pinned",
+)
+def el_schema_evolution(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ev = read_sf_table(spark, sf_dir, "events")
+    base = os.path.join(tempfile.gettempdir(), "el_evolution_out")
+    ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "value"
+    ).write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "value", "event_type"
+    ).write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("event_type"), F.lit("<missing>")).alias("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )

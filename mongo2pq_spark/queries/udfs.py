@@ -56,3 +56,60 @@ def udf_text_normalize(spark, sf_dir):
         F.length(normalize_text(F.col("text"))).cast("bigint").alias("norm_len"),
         vowel_count(F.col("text")).alias("n_vowels"),
     )
+
+
+@register(
+    "udaf_user_value_gini",
+    """
+    WITH r AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY value) AS i
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           round(2.0 * sum(i * value) / (count(*) * sum(value))
+                 - (count(*) + 1.0) / count(*), 6) AS value_gini
+    FROM r GROUP BY user_id
+    """,
+    doc="grouped-aggregate Pandas UDF (UDAF surface): per-user Gini "
+        "concentration of event values — Arrow ships each group's "
+        "column to pandas once, numpy sorts in-process, one scalar "
+        "returns. Grouped on user_id, a key whose cardinality GROWS "
+        "with the data (so per-group pandas memory stays bounded at "
+        "100 TB — a ~5-value key here would funnel billions of rows "
+        "into one Arrow batch). Values equal the pure-SQL sorted-rank "
+        "formulation; ties contribute identically under either tie "
+        "order, so the cross-engine hash is stable",
+)
+def udaf_user_value_gini(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    @pandas_udf("double")
+    def value_gini(v: pd.Series) -> float:
+        x = np.sort(v.to_numpy(dtype="float64"))
+        n = x.size
+        total = x.sum()
+        if n == 0 or total == 0.0:
+            return 0.0
+        ranks = np.arange(1, n + 1, dtype="float64")
+        return round(
+            2.0 * float((ranks * x).sum()) / (n * float(total))
+            - (n + 1.0) / n,
+            6,
+        )
+
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM
+    # aggregates in one agg() — the count is a pandas UDAF too
+    @pandas_udf("bigint")
+    def n_vals(v: pd.Series) -> int:
+        return int(v.size)
+
+    ev = read_sf_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        n_vals(F.col("value")).alias("n_events"),
+        value_gini(F.col("value")).alias("value_gini"),
+    )
