@@ -564,3 +564,69 @@ def user_session_stats(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "events_funnel_conversion",
+    """
+    WITH s AS (
+        SELECT user_id,
+               min(ts) FILTER (event_type = 'view') AS first_view,
+               min(ts) FILTER (event_type = 'click') AS first_click,
+               min(ts) FILTER (event_type = 'purchase') AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN first_view IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+           CAST(sum(CASE WHEN first_view IS NOT NULL
+                          AND first_click > first_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+           CAST(sum(CASE WHEN first_view IS NOT NULL
+                          AND first_click > first_view
+                          AND first_purchase > first_click
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS purchased_after_click,
+           round(sum(CASE WHEN first_view IS NOT NULL
+                           AND first_click > first_view
+                           AND first_purchase > first_click
+                          THEN 1 ELSE 0 END) * 1.0
+                 / greatest(sum(CASE WHEN first_view IS NOT NULL
+                                     THEN 1 ELSE 0 END), 1), 6)
+               AS view_to_purchase_rate
+    FROM s
+    """,
+    doc="ordered funnel conversion (view → click → purchase): per-user "
+        "first-touch timestamps via ONE conditional-min aggregation on "
+        "the high-cardinality user key (map-side combinable — no "
+        "sessionization window, no self-join per stage, the usual "
+        "funnel anti-pattern), then stage predicates enforce event "
+        "ORDER, not mere presence; one global summary row",
+)
+def events_funnel_conversion(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    first = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    s = ev.groupBy("user_id").agg(
+        first("view").alias("first_view"),
+        first("click").alias("first_click"),
+        first("purchase").alias("first_purchase"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return s.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("int")).cast("bigint").alias("viewed"),
+        F.sum(clicked.cast("int")).cast("bigint").alias("clicked_after_view"),
+        F.sum(purchased.cast("int"))
+        .cast("bigint")
+        .alias("purchased_after_click"),
+        F.round(
+            F.sum(purchased.cast("int"))
+            * 1.0
+            / F.greatest(F.sum(viewed.cast("int")), F.lit(1)),
+            6,
+        ).alias("view_to_purchase_rate"),
+    )

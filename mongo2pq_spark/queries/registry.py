@@ -69,7 +69,9 @@ _DRIVER_WINDOW_FIRST = [
     "el_orc_roundtrip",
     "events_rolling_1h_user",
     "streaming_stream_join",
-    "text_tfidf_top_terms",
+    "text_boilerplate_ngrams",
+    "text_zipf_slope",
+    "events_funnel_conversion",
     # new or fixed or changed this round
     "text_clean",
     "text_decontaminate",
@@ -90,7 +92,6 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_minhash_containment",
     "el_jsonl_roundtrip",
     "corpus_shuffle_shards",
-    "text_winnow_fingerprints",
     "dedup_near_cleaned_corpus",
     "dedup_minhash_jaccard_est",
     "multimodal_decode_features",
@@ -100,7 +101,6 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_near_clusters",
     "dedup_cleaned_corpus",
     "dedup_exact",
-    "multimodal_metadata",
 ]
 
 

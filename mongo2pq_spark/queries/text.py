@@ -297,3 +297,101 @@ def text_decontaminate(spark, sf_dir):
     docs = read_sf_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 100 == 0).select("text")
     return ops.decontaminate_flags(docs, bench, min_overlap=2)
+
+
+@register(
+    "text_boilerplate_ngrams",
+    f"""
+    WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct({sql_word_shingles('t', 3)})) AS s
+        FROM toks
+    )
+    SELECT {sql_token_hash32('s')} AS shingle_hash,
+           count(DISTINCT doc_id) AS n_docs
+    FROM sh
+    GROUP BY 1
+    HAVING count(DISTINCT doc_id) >= 5
+    """,
+    doc="cross-document boilerplate detection (the C4 line-dedup signal "
+        "at shingle granularity): 3-gram shingles appearing in ≥5 "
+        "DISTINCT documents, with their document frequency — exactly "
+        "the set a line/template-removal pass strips. One explode of "
+        "per-doc distinct shingles → one distinct-count aggregation "
+        "keyed by the high-cardinality shingle hash (map-side "
+        "combinable); no joins, no windows",
+)
+def text_boilerplate_ngrams(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.functions.hashing import token_hash32
+    from mongo2pq_spark.functions.textfns import tokens, word_shingles
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), 3))
+        ).alias("s"),
+    ).select("doc_id", token_hash32(F.col("s")).alias("shingle_hash"))
+    return (
+        sh.groupBy("shingle_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 5)
+    )
+
+
+@register(
+    "text_zipf_slope",
+    f"""
+    WITH toks AS (
+        SELECT unnest({sql_tokens('text')}) AS term FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS f FROM toks GROUP BY term),
+    ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r
+        FROM freq
+        ORDER BY f DESC, term
+        LIMIT 1000
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+               AS zipf_slope,
+           round(regr_r2(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+               AS zipf_r2
+    FROM ranked
+    """,
+    doc="Zipf fit over the vocabulary: OLS slope (and R²) of ln(freq) "
+        "vs ln(rank) for the top-1000 terms — natural corpora fit "
+        "slope ≈ −1, so a far-off slope flags synthetic/degenerate "
+        "text. Term freqs are one map-combinable aggregation; the "
+        "global rank is a TOP-K (orderBy+limit — per-partition top-k "
+        "then merge, never a full single-partition sort), and the "
+        "regression runs on 1000 rows; ties broken by term so the "
+        "rank is deterministic",
+)
+def text_zipf_slope(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.functions.textfns import tokens
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("f"))
+    )
+    top = freq.orderBy(F.col("f").desc(), "term").limit(1000)
+    # rank within the 1000-row top-k result (tiny single partition)
+    w = Window.orderBy(F.col("f").desc(), "term")
+    ranked = top.select("f", F.row_number().over(w).alias("r"))
+    lnf = F.log(F.col("f").cast("double"))
+    lnr = F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.round(F.regr_slope(lnf, lnr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lnf, lnr), 6).alias("zipf_r2"),
+    )
