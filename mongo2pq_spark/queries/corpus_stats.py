@@ -101,18 +101,25 @@ def corpus_train_val_split(spark, sf_dir):
         "mean negative log-probability of its tokens under the corpus "
         "unigram distribution — the classic cheap fluency score for "
         "corpus filtering. Shape: doc×term counts (high-cardinality "
-        "groupBy, map-side combinable) → term frequencies derived from "
-        "that SAME aggregate (no second scan) → shuffle join on term "
-        "(AQE; vocab is too big to assume broadcast at 100 TB) → one "
-        "final agg per doc. The corpus-total is a 1-row cross join, "
-        "not a driver collect",
+        "groupBy, map-side combinable), PERSISTED once via the bounded "
+        "cache — the aggregate feeds three consumers (term freqs, the "
+        "corpus total, and the scoring join) and Catalyst has no "
+        "cross-branch subtree reuse, so without the cache the corpus "
+        "would be scanned and exploded three times (verified in the "
+        "physical plan) → shuffle join on term (AQE; vocab is too big "
+        "to assume broadcast at 100 TB) → one final agg per doc. The "
+        "corpus-total is a 1-row cross join, not a driver collect",
 )
 def text_unigram_logprob(spark, sf_dir):
+    from mongo2pq_spark.operators.cache import cache_stream
+
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dt = cache_stream(
+        toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
     cf = dt.groupBy("term").agg(F.sum("tf").alias("cf"))
     tot = cf.agg(F.sum("cf").alias("total"))
     scored = dt.join(cf, "term").crossJoin(F.broadcast(tot))

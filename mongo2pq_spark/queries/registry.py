@@ -81,7 +81,7 @@ _DRIVER_WINDOW_FIRST = [
     "corpus_filter_funnel",
     "embedding_dim_stats",
     "token_pack_greedy",
-    "q18_large_orders",
+    "el_csv_roundtrip",
     "doc_chunks_fixed",
     "corpus_mix_upsample",
     "events_rollup_gapfill",

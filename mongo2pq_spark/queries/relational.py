@@ -380,3 +380,36 @@ def el_schema_evolution(spark, sf_dir):
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "el_csv_roundtrip",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="CSV sink + source round-trip: the documents table is written "
+        "as headered CSV and read back through the engine's CSV source "
+        "path (read_table handles .csv/.tsv) with an explicit schema — "
+        "no inference pass over the data — then aggregated; completes "
+        "the format matrix (parquet, JSONL, ORC, CSV) for the EL "
+        "surface. Explicit schema matters at scale: CSV inference is a "
+        "full extra read of the dataset",
+)
+def el_csv_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    outdir = os.path.join(tempfile.gettempdir(), "el_csv_out")
+    docs.write.mode("overwrite").option("header", "true").csv(outdir)
+    back = spark.read.option("header", "true").schema(docs.schema).csv(outdir)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -239,3 +239,59 @@ def test_map_only_llm_ops_have_no_exchange(spark, sf_dir):
     for name in ("doc_chunks_fixed", "corpus_mix_upsample"):
         plan = _formatted(spark, sf_dir, name)
         assert "Exchange" not in plan, name
+
+
+def test_train_val_split_is_map_only(spark, sf_dir):
+    """The split assignment must be a pure projection: zero exchanges,
+    zero windows — a doc's split is a function of its id alone."""
+    plan = _formatted(spark, sf_dir, "corpus_train_val_split")
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
+def test_rolling_window_partitions_on_user(spark, sf_dir):
+    """The trailing-hour window must partition on user_id (cardinality
+    grows with data), never on a data-fixed low-cardinality key."""
+    plan = _formatted(spark, sf_dir, "events_rolling_1h_user")
+    spec_lines = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l
+    ]
+    assert spec_lines, plan
+    assert all("user_id" in l for l in spec_lines)
+    assert not any("event_type" in l for l in spec_lines)
+
+
+def test_zipf_rank_is_topk_not_global_sort(spark, sf_dir):
+    """The top-1000 selection must plan as TakeOrderedAndProject
+    (per-partition top-k + merge), not a full global sort."""
+    plan = _formatted(spark, sf_dir, "text_zipf_slope")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_funnel_and_heavy_hitters_have_no_window(spark, sf_dir):
+    """Both are one-aggregation-pass shapes; a window (or per-stage
+    self-join) would be the classic funnel anti-pattern."""
+    for name in ("events_funnel_conversion", "events_heavy_hitters"):
+        plan = _formatted(spark, sf_dir, name)
+        assert "Window" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_unigram_logprob_explodes_corpus_once(spark, sf_dir):
+    """The doc×term aggregate feeds three consumers; it must be
+    persisted (bounded cache) so the corpus is scanned and exploded
+    exactly once — without the cache the physical plan contains three
+    Generate(explode) subtrees over the documents scan."""
+    from mongo2pq_spark.operators.cache import release_caches
+
+    import re
+
+    release_caches()
+    try:
+        plan = _formatted(spark, sf_dir, "text_unigram_logprob")
+        assert "InMemoryTableScan" in plan
+        # formatted explain re-prints the cached relation's child plan
+        # at every reference — distinct node ids is the real count
+        assert len(set(re.findall(r"Generate \((\d+)\)", plan))) == 1
+    finally:
+        release_caches()
