@@ -630,3 +630,70 @@ def events_funnel_conversion(spark, sf_dir):
             6,
         ).alias("view_to_purchase_rate"),
     )
+
+
+@register(
+    "q4_late_shipment_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4-shape: order-priority distribution of orders with at "
+        "least one late-shipped line (EXISTS → LEFT SEMI join, so each "
+        "order contributes once no matter how many lines qualify; the "
+        "date filter prunes the orders side BEFORE the join). The "
+        "fixture lacks commit/receipt dates, so 'late' is shipdate > "
+        "orderdate + 30 days — same plan shape as the official query",
+)
+def q4_late_shipment_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    joined = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    """
+    WITH c_orders AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    doc="TPC-H Q13-shape: distribution of customers by order count — "
+        "LEFT OUTER join so zero-order customers land in the c_count=0 "
+        "bucket (count(o_orderkey) skips nulls), then a second "
+        "aggregation over the tiny (c_count) domain; the first agg is "
+        "keyed by the high-cardinality customer key, map-side "
+        "combinable",
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    c_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))

@@ -59,8 +59,9 @@ _DRIVER_WINDOW_FIRST = [
     "stratified_sample",
     "value_quartile_buckets",
     "embedding_quantize_int8",
+    # new this round: TPC-H semi-join / outer-distribution shapes
+    "q4_late_shipment_priority",
     # changed this round (LSH optimization pass): ANN / similarity
-    "ann_topk_bruteforce",
     "embedding_near_dup",
     "ann_lsh_buckets",
     "ann_ivf_recall",
@@ -92,8 +93,8 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_minhash_containment",
     "el_jsonl_roundtrip",
     "corpus_shuffle_shards",
-    "dedup_near_cleaned_corpus",
-    "dedup_minhash_jaccard_est",
+    "streaming_parquet_sink",
+    "q13_customer_order_distribution",
     "multimodal_decode_features",
     "udaf_user_value_gini",
     "el_schema_evolution",

@@ -143,3 +143,30 @@ def streaming_stream_join(spark, sf_dir):
     from mongo2pq_spark.streaming.windows import run_stream_stream_join
 
     return run_stream_stream_join(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "streaming_parquet_sink",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="streaming EL to a parquet file sink with checkpointing (the "
+        "continuous-ingestion production topology — exactly-once via "
+        "sink transaction log + checkpointed offsets); the drained "
+        "output is re-read and aggregated, and must equal the batch "
+        "aggregate of the source",
+)
+def streaming_parquet_sink(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.streaming.windows import run_streaming_parquet_sink
+
+    out = run_streaming_parquet_sink(spark, f"{sf_dir}/events.parquet")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -241,3 +241,36 @@ def run_stream_stream_join(
     )
     _drain_to_memory(joined, table_name, "append")
     return spark.table(table_name)
+
+
+def run_streaming_parquet_sink(
+    spark: SparkSession,
+    events_path: str,
+    out_name: str = "stream_parquet_sink",
+) -> DataFrame:
+    """Streaming EL: file-source stream → parquet file sink with a
+    checkpoint — the production topology for continuous ingestion
+    (exactly-once via the sink's transaction log + checkpointed source
+    offsets; a restart resumes from the checkpoint instead of
+    re-writing). Output and checkpoint are cleared per run so the
+    bounded drain is deterministic; returns the re-read output."""
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), out_name)
+    out_dir = os.path.join(base, "data")
+    ckpt_dir = os.path.join(base, "checkpoint")
+    shutil.rmtree(base, ignore_errors=True)
+    stream = read_event_stream(spark, events_path)
+    query = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.read.parquet(out_dir)
