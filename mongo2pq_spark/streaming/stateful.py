@@ -100,3 +100,110 @@ def run_stateful_sessionization(
         )
     )
     return w_latest
+
+
+TWS_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+
+
+def run_tws_user_totals(
+    spark: SparkSession,
+    events_path: str,
+    table_name: str = "tws_user_totals_out",
+) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` —
+    the Spark-4 arbitrary-stateful API (StatefulProcessor + typed state
+    handles), successor to applyInPandasWithState. Requires the RocksDB
+    state-store provider (typed state lives in the store, not the JVM
+    heap — state scales to disk, not executor memory).
+
+    Each micro-batch folds its rows into a per-user ValueState and
+    emits the running (n_events, total_value); the final emission per
+    user equals the batch GROUP BY (the oracle). The total is rounded
+    at emission so pandas-vs-SQL float summation order cannot surface
+    in the compare."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.streaming.windows import read_event_stream
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events BIGINT, total_value DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            if self._state.exists():
+                prev_n, prev_total = self._state.get()
+                n += int(prev_n)
+                total += float(prev_total)
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ensure_shipped(spark)
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, events_path).select(
+            "user_id", "value"
+        )
+        totals = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        checkpoint = os.path.join(
+            tempfile.gettempdir(), f"stateful_ckpt_{table_name}"
+        )
+        shutil.rmtree(checkpoint, ignore_errors=True)
+        query = (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(table_name)
+            .option("checkpointLocation", os.path.join(checkpoint, "cp"))
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    out = spark.table(table_name)
+    # update-mode memory sink appends every emission; keep the LAST
+    # (largest n_events) emission per user
+    return (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("latest"))
+        .select(
+            "user_id",
+            F.col("latest.n_events").alias("n_events"),
+            F.col("latest.total_value").alias("total_value"),
+        )
+    )

@@ -605,3 +605,43 @@ def test_token_pack_bins_invariants(spark, sf_dir):
         for r in rows:
             if r.bin_id != ids[-1]:
                 assert r.n_tokens >= 1, (shard, r)
+
+
+def test_tws_user_totals_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas running totals (Spark-4 stateful v2).
+
+    Gated: the TWS state server needs the google.protobuf wheel —
+    absent in this sandbox (same class as the live-Mongo path). Where
+    available, the final emission per user must equal the batch
+    GROUP BY."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state server needs protobuf",
+    )
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.streaming.stateful import run_tws_user_totals
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in run_tws_user_totals(
+            spark, f"{sf_dir}/events.parquet"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in read_sf_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("t"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-5
