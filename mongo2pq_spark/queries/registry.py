@@ -63,7 +63,7 @@ _DRIVER_WINDOW_FIRST = [
     "q4_late_shipment_priority",
     # changed this round (LSH optimization pass): ANN / similarity
     "embedding_near_dup",
-    "ann_lsh_buckets",
+    "el_mongodump_scan",
     "ann_ivf_recall",
     "ann_lsh_topk",
     # new this round: formats / windows / streaming joins

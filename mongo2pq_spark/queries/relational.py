@@ -413,3 +413,74 @@ def el_csv_roundtrip(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "el_mongodump_scan",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT substr(md5(CAST(event_id AS VARCHAR)), 1, 24))
+               AS n_oids,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           max(ts) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+    doc="Mongo extended-JSON dump ingestion via a CUSTOM PYTHON DATA "
+        "SOURCE (Spark-4 spark.dataSource API): the events table is "
+        "staged as a mongoexport-style dump ($oid ObjectIds, $date "
+        "timestamps at microsecond fidelity, $numberLong wrappers) by a "
+        "distributed write, then read back through "
+        "format('mongodump') — one input partition per dump file, "
+        "wrappers unwrapped per the reference's BSON decode rules "
+        "(/root/reference/mongo2pq/schema.py:110-164) — and aggregated; "
+        "must equal the batch aggregate of the original table. The "
+        "offline companion to the gated live-connector path",
+)
+def el_mongodump_scan(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.sources.mongodump import register_mongodump_source
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    register_mongodump_source(spark)
+    ev = read_sf_table(spark, sf_dir, "events")
+    oid = F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 24)
+    doc = F.to_json(
+        F.struct(
+            F.struct(oid.alias("$oid")).alias("_id"),
+            F.col("event_id"),
+            F.struct(
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias(
+                    "$date"
+                )
+            ).alias("ts"),
+            F.struct(
+                F.col("user_id").cast("string").alias("$numberLong")
+            ).alias("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+        )
+    )
+    outdir = os.path.join(tempfile.gettempdir(), "el_mongodump_out")
+    ev.select(doc.alias("value")).write.mode("overwrite").text(outdir)
+    back = (
+        spark.read.format("mongodump")
+        .schema(
+            "_id STRING, event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE"
+        )
+        .option("path", outdir)
+        .load()
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("_id").alias("n_oids"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.max("ts").alias("max_ts"),
+    )
