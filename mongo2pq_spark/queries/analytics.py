@@ -697,3 +697,140 @@ def q13_customer_order_distribution(spark, sf_dir):
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q7_nation_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(l_extendedprice AS {_DEC})
+                    * (1 - CAST(l_discount AS {_DEC}))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7-shape (volume shipping): revenue between a nation "
+        "pair in both directions, per ship year. The two fact tables "
+        "join on the order key (the only shuffle axis); customer/"
+        "supplier/nation dims are broadcast, and the nation-name "
+        "filters prune through the dim joins BEFORE aggregation; "
+        "decimal sums for cross-engine exactness",
+)
+def q7_nation_volume(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice").cast(_DEC) * (
+        1 - F.col("l_discount").cast(_DEC)
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+@register(
+    "q8_market_share",
+    f"""
+    WITH all_nations AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(l_extendedprice AS {_DEC})
+                   * (1 - CAST(l_discount AS {_DEC})) AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region   ON n2.n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                               THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END)
+                      AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM all_nations GROUP BY o_year
+    """,
+    doc="TPC-H Q8-shape (national market share): NATION_3 suppliers' "
+        "share of revenue sold into ASIA customers, per order year. "
+        "Same single-shuffle fact join with broadcast dim chain "
+        "(nation→region pruning the customer side); decimal sums, "
+        "division in double in BOTH engines",
+)
+def q8_market_share(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_regionkey").alias("c_rk"),
+    )
+    volume = F.col("l_extendedprice").cast(_DEC) * (
+        1 - F.col("l_discount").cast(_DEC)
+    )
+    base = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("c_rk") == F.col("r_regionkey"),
+        )
+    )
+    nation_vol = F.when(
+        F.col("supp_nation") == "NATION_3", volume
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return base.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(
+        F.round(
+            F.sum(nation_vol).cast("double") / F.sum(volume).cast("double"),
+            6,
+        ).alias("mkt_share")
+    )

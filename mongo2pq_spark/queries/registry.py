@@ -98,8 +98,8 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_decode_features",
     "udaf_user_value_gini",
     "el_schema_evolution",
-    "dedup_ngram_jaccard",
-    "dedup_near_clusters",
+    "q7_nation_volume",
+    "q8_market_share",
     "dedup_cleaned_corpus",
     "dedup_exact",
 ]
