@@ -119,3 +119,74 @@ class MongoDumpDataSource(DataSource):
 def register_mongodump_source(spark) -> None:
     """Idempotently register the mongodump Python data source."""
     spark.dataSource.register(MongoDumpDataSource)
+
+
+def read_mongodump(spark, path: str, sample_lines: int = 2000):
+    """Read an extended-JSON dump with the engine's OWN schema
+    inference: peek up to ``sample_lines`` unwrapped documents
+    driver-side (the dump analog of the reference's ``$sample`` phase,
+    /root/reference/mongo2pq/schema.py:219-239 — a bounded read, not a
+    full pass), fold them through the inference lattice, then read the
+    whole dump distributed through the ``mongodump`` source under the
+    inferred schema."""
+    import pyarrow as pa
+    from pyspark.sql.types import StructField, StructType
+
+    from mongo2pq_spark.schema.inference import infer_fields_from_rows
+    from mongo2pq_spark.schema.types import arrow_to_spark
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith(("_", "."))
+        )
+    else:
+        files = [path]
+    rows = []
+    for fp in files:
+        if len(rows) >= sample_lines:
+            break
+        with open(fp, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rows.append(
+                    {
+                        k: unwrap_extended_json(v)
+                        for k, v in json.loads(line).items()
+                    }
+                )
+                if len(rows) >= sample_lines:
+                    break
+    fields = infer_fields_from_rows(rows)
+    # epoch-heuristic artifact: unwrapped $date values are datetimes
+    # already; numeric epoch retyping only applies to raw numbers
+    schema = StructType(
+        [
+            StructField(name, arrow_to_spark(dtype), True)
+            for name, dtype in fields.items()
+        ]
+    )
+    # timestamp[s] from the epoch heuristic arrives as int/float rows;
+    # the reader yields them raw, so deliver them as the inferred type
+    # by letting Spark cast at scan output
+    register_mongodump_source(spark)
+    raw_fields = [
+        StructField(
+            f.name,
+            f.dataType
+            if not isinstance(fields[f.name], pa.TimestampType)
+            or isinstance(rows[0].get(f.name), datetime)
+            else f.dataType,
+            True,
+        )
+        for f in schema.fields
+    ]
+    return (
+        spark.read.format("mongodump")
+        .schema(StructType(raw_fields))
+        .option("path", path)
+        .load()
+    )
