@@ -69,36 +69,41 @@ def main() -> None:
     # codegen compile of the large LSH expression trees
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         spec = specs[name]
         best, n = None, 0
-        for _ in range(max(1, repeats)):  # best-of-N damps host-load noise
-            start = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            # noop sink materializes EVERY output column; a bare count()
-            # lets Catalyst prune projection-only queries down to a
-            # parquet metadata read (measured: ReadSchema struct<>)
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
-        n = df.count()  # row count for the log line (untimed)
+        try:
+            for _ in range(max(1, repeats)):  # best-of-N damps host noise
+                start = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                # noop sink materializes EVERY output column; a bare
+                # count() lets Catalyst prune projection-only queries
+                # down to a parquet metadata read
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - start
+                best = elapsed if best is None else min(best, elapsed)
+            n = df.count()  # row count for the log line (untimed)
+        except Exception as exc:  # one broken query must not zero the suite
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

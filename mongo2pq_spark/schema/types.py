@@ -70,6 +70,10 @@ def spark_to_arrow(dtype: T.DataType) -> pa.DataType:
         T.DoubleType: pa.float64(),
         T.DateType: pa.date32(),
         T.TimestampType: pa.timestamp("us"),
+        # NTZ appears when parquet µs timestamps carry
+        # isAdjustedToUTC=false (Spark 4 default inference); the naive
+        # Arrow timestamp is the faithful round-trip.
+        T.TimestampNTZType: pa.timestamp("us"),
         T.BinaryType: pa.binary(),
     }
     try:

@@ -49,30 +49,61 @@ def read_table(spark: SparkSession, path: str | Path, fmt: str | None = None) ->
 
 def read_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the driver-generated testdata tables, normalizing
-    nanosecond-precision parquet timestamps.
+    parquet timestamps to plain TIMESTAMP.
 
-    The testdata writes INT64 TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects outright (PARQUET_TYPE_ILLEGAL). We flip the legacy
-    escape hatch (nanos read as LongType) and rebuild real timestamps
-    by truncating to microseconds — exactly what DuckDB's µs TIMESTAMP
-    does, so both engines see identical values. Conversion happens in
-    the projection (codegen; no extra pass).
+    Two generations of testdata exist: INT64 TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects outright (PARQUET_TYPE_ILLEGAL)
+    unless the legacy nanos-as-long escape hatch is on, and µs
+    timestamps with isAdjustedToUTC=false, which Spark 4 reads as
+    TIMESTAMP_NTZ — a type `unix_micros`, `withWatermark`, and every
+    event-time operator rejects. Both normalize to TimestampType here
+    (session timezone is pinned UTC, so the NTZ→TZ cast is
+    value-preserving and matches DuckDB's naive µs reading bit for
+    bit). Conversion happens in the projection (codegen; no extra
+    pass), and every query/streaming operator shares this one
+    definition instead of re-handling parquet timestamp dialects.
     """
     path = f"{sf_dir}/{name}.parquet"
     _ensure_nanos_conf(spark)
     nano_cols = _nano_timestamp_columns(path)
     df = spark.read.parquet(path)
-    if not nano_cols:
-        return df
-    from pyspark.sql import functions as F
+    if nano_cols:
+        from pyspark.sql import functions as F
 
-    # `div` = exact integer division; a double `/` would round (ns
-    # epochs exceed 2^53) and drift ±1µs from DuckDB's truncation.
+        # `div` = exact integer division; a double `/` would round (ns
+        # epochs exceed 2^53) and drift ±1µs from DuckDB's truncation.
+        df = df.select(
+            *[
+                F.timestamp_micros(F.expr(f"`{c}` div 1000")).alias(c)
+                if c in nano_cols
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+    return normalize_ntz_timestamps(df)
+
+
+def normalize_ntz_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every top-level TIMESTAMP_NTZ column to TIMESTAMP.
+
+    With the session timezone pinned to UTC the cast re-labels the
+    same wall-clock instant (no value shift), and downstream
+    event-time machinery (watermarks, unix_micros, window()) gets the
+    TIMESTAMP type it requires. No-op (returns df unchanged, no extra
+    projection) when nothing is NTZ."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ntz = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    }
+    if not ntz:
+        return df
     return df.select(
         *[
-            F.timestamp_micros(F.expr(f"`{c}` div 1000")).alias(c)
-            if c in nano_cols
-            else F.col(c)
+            F.col(c).cast("timestamp").alias(c) if c in ntz else F.col(c)
             for c in df.columns
         ]
     )
@@ -83,10 +114,14 @@ _NANOS_CONF_SET: set[int] = set()
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
     """Set the nanos escape hatch once per session (repeated conf sets
-    go through py4j on every table read otherwise)."""
+    go through py4j on every table read otherwise). Also pins the
+    session timezone to UTC so the NTZ→TIMESTAMP normalization in
+    read_sf_table is value-preserving even under a session this
+    package didn't build."""
     key = id(spark.sparkContext)
     if key not in _NANOS_CONF_SET:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         _NANOS_CONF_SET.add(key)
 
 

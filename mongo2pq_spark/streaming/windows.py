@@ -32,16 +32,28 @@ def _as_stream_dir(path: str) -> str:
     return staged
 
 
-def read_event_stream(spark: SparkSession, events_path: str) -> DataFrame:
-    """File-source stream over the events parquet, with the same
-    nanos-timestamp normalization as sources.registry.read_sf_table
-    (single definition shared by every streaming operator)."""
+def _open_event_stream(spark: SparkSession, events_path: str, staged_dir: str) -> DataFrame:
+    """readStream over a staged directory with the raw parquet schema,
+    then the same timestamp normalization as the batch path: legacy
+    bigint-nanos → TIMESTAMP via µs truncation, TIMESTAMP_NTZ →
+    TIMESTAMP (watermarks and event-time windows require TIMESTAMP;
+    the testdata's µs isAdjustedToUTC=false timestamps read as NTZ on
+    Spark 4)."""
+    from mongo2pq_spark.sources.registry import normalize_ntz_timestamps
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(events_path)
-    stream = spark.readStream.schema(static.schema).parquet(_as_stream_dir(events_path))
+    stream = spark.readStream.schema(static.schema).parquet(staged_dir)
     if dict(static.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_ntz_timestamps(stream)
+
+
+def read_event_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """File-source stream over the events parquet, with the same
+    timestamp normalization as sources.registry.read_sf_table
+    (single definition shared by every streaming operator)."""
+    return _open_event_stream(spark, events_path, _as_stream_dir(events_path))
 
 
 def _drain_to_memory(agg, table_name: str, output_mode: str) -> None:
@@ -90,13 +102,9 @@ def run_streaming_dedup(
     watermark has passed them, dropped as late — either way duplicates
     never re-emit.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(events_path)
-    stream = spark.readStream.schema(static.schema).parquet(
-        _as_duplicated_stream_dir(events_path)
+    stream = _open_event_stream(
+        spark, events_path, _as_duplicated_stream_dir(events_path)
     )
-    if dict(static.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     deduped = (
         stream.withWatermark("ts", "10 minutes")
         .dropDuplicates(["user_id", "event_type", "ts"])
