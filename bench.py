@@ -69,11 +69,12 @@ def main() -> None:
     # codegen compile of the large LSH expression trees
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         spec = specs[name]
-        best, n = None, 0
+        best, first, n = None, None, 0
         try:
             for _ in range(max(1, repeats)):  # best-of-N damps host noise
                 start = time.perf_counter()
@@ -83,6 +84,8 @@ def main() -> None:
                 # down to a parquet metadata read
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = time.perf_counter() - start
+                if first is None:
+                    first = elapsed  # includes codegen compile (cold)
                 best = elapsed if best is None else min(best, elapsed)
             n = df.count()  # row count for the log line (untimed)
         except Exception as exc:  # one broken query must not zero the suite
@@ -90,6 +93,7 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(best, 3)
+        first_run[name] = round(first, 3)
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -100,10 +104,40 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # cold (first-iteration) times carry the one-time codegen compile;
+        # "queries" is best-of-N (warm). Both reported so suite-growth JIT
+        # effects can be separated from real plan regressions across rounds.
+        "queries_cold": first_run,
     }
     if errors:
+        # a broken query's time is excluded from "value"; flag loudly so a
+        # round-over-round consumer can't mistake the drop for a speedup
         payload["errors"] = errors
+        payload["incomplete"] = True
+    baseline = _load_baseline()
+    if baseline:
+        ratios = {
+            q: round(timings[q] / baseline[q], 2)
+            for q in timings
+            if q in baseline and baseline[q] > 0
+        }
+        if ratios:
+            payload["vs_baseline_local"] = {
+                "max_ratio": max(ratios.values()),
+                "over_1_3x": {q: r for q, r in ratios.items() if r > 1.3},
+            }
     print(json.dumps(payload))
+
+
+def _load_baseline() -> dict[str, float]:
+    """Per-query reference seconds pinned for the current testdata generation."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_LOCAL.json")
+    try:
+        with open(path) as fh:
+            return json.load(fh).get("queries", {})
+    except Exception:
+        return {}
 
 
 if __name__ == "__main__":
