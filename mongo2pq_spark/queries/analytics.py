@@ -79,8 +79,11 @@ def q1_pricing_summary(spark, sf_dir):
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
     """,
-    doc="TPC-H Q3-style: broadcast customer dim into orders, shuffle join to "
-        "lineitem on orderkey, top-k by aggregated revenue",
+    doc="TPC-H Q3-style: shuffle join lineitem⋈orders on orderkey, top-k by "
+        "aggregated revenue. customer carries NO broadcast hint — it grows "
+        "with scale factor, so the join strategy is left to the planner "
+        "(statistics pick broadcast while it fits; AQE re-plans at runtime "
+        "when it doesn't, instead of a forced hint OOMing executors at 100×)",
 )
 def q3_top_unshipped(spark, sf_dir):
     cutoff = F.lit("1998-03-15").cast("timestamp")
@@ -90,7 +93,7 @@ def q3_top_unshipped(spark, sf_dir):
     revenue = F.col("l_extendedprice").cast(_DEC) * (1 - F.col("l_discount").cast(_DEC))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -115,8 +118,11 @@ def q3_top_unshipped(spark, sf_dir):
       AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n_name
     """,
-    doc="TPC-H Q5-style multi-join: all dims broadcast, single shuffle on "
-        "orderkey for the fact-fact join",
+    doc="TPC-H Q5-style multi-join: single shuffle on orderkey for the "
+        "fact-fact join. Only the FIXED-SIZE dims (nation 25 rows, region "
+        "5 rows) carry broadcast hints; customer/supplier grow with scale "
+        "factor, so their join strategy is left to statistics + AQE — a "
+        "forced hint there overrides AQE and OOMs executors at 100×",
 )
 def q5_local_supplier_volume(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
@@ -131,9 +137,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     revenue = F.col("l_extendedprice").cast(_DEC) * (1 - F.col("l_discount").cast(_DEC))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -283,7 +289,7 @@ def q10_returned_items(spark, sf_dir):
     revenue = F.col("l_extendedprice").cast(_DEC) * (1 - F.col("l_discount").cast(_DEC))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -323,7 +329,7 @@ def q14_promo_revenue(spark, sf_dir):
         F.col("p_type").like("PROMO%"), disc_price
     ).otherwise(F.lit(0).cast("decimal(18,4)"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.00)
@@ -367,7 +373,7 @@ def q18_large_orders(spark, sf_dir):
     )
     return (
         o.join(big, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "o_orderkey",
@@ -719,8 +725,9 @@ def q13_customer_order_distribution(spark, sf_dir):
     """,
     doc="TPC-H Q7-shape (volume shipping): revenue between a nation "
         "pair in both directions, per ship year. The two fact tables "
-        "join on the order key (the only shuffle axis); customer/"
-        "supplier/nation dims are broadcast, and the nation-name "
+        "join on the order key (the only shuffle axis); the fixed-size "
+        "nation dims are broadcast-hinted, customer/supplier (scale-"
+        "growing) are left to statistics + AQE, and the nation-name "
         "filters prune through the dim joins BEFORE aggregation; "
         "decimal sums for cross-engine exactness",
 )
@@ -741,8 +748,8 @@ def q7_nation_volume(spark, sf_dir):
     )
     joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(
@@ -814,8 +821,8 @@ def q8_market_share(spark, sf_dir):
     )
     base = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .join(

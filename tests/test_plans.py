@@ -39,6 +39,59 @@ def test_q5_broadcasts_dimensions(spark, sf_dir):
     assert plan.count("SortMergeJoin") <= 1
 
 
+def _broadcast_hint_subtrees(df) -> list[str]:
+    """Text of every broadcast-hint subtree in the analyzed logical plan
+    (indent-scoped: a subtree is the hint line plus all deeper lines)."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    lines = analyzed.splitlines()
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in ": +-":
+            i += 1
+        return i
+
+    subtrees = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line:
+            continue
+        d = depth(line)
+        sub = [line]
+        for nxt in lines[i + 1 :]:
+            if depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        subtrees.append("\n".join(sub))
+    return subtrees
+
+
+#: key columns that identify a scan of a fact-scaling table (customer,
+#: supplier, part, orders, lineitem all grow with scale factor; nation
+#: and region are fixed at 25/5 rows and MAY be broadcast-hinted)
+_FACT_MARKERS = ("c_custkey", "s_suppkey", "p_partkey", "l_orderkey", "o_orderkey")
+
+
+def test_no_broadcast_hint_on_fact_scaling_tables(spark, sf_dir):
+    """A forced F.broadcast on a table that grows with scale factor
+    overrides AQE and OOMs executors at 100× — the hint must only ever
+    sit on fixed-size dims (nation/region) or bounded derived sides
+    (an Aggregate/Limit above the fact scan caps the broadcast size)."""
+    for name in (
+        "q3_top_unshipped",
+        "q5_local_supplier_volume",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q10_returned_items",
+        "q14_promo_revenue",
+        "q18_large_orders",
+    ):
+        df = SPECS[name].fn(spark, sf_dir)
+        for sub in _broadcast_hint_subtrees(df):
+            if "Aggregate" in sub or "GlobalLimit" in sub:
+                continue  # size-bounded derived side: broadcast is safe
+            assert not any(m in sub for m in _FACT_MARKERS), (name, sub)
+
+
 def test_q1_uses_whole_stage_codegen_and_partial_agg(spark, sf_dir):
     df = SPECS["q1_pricing_summary"].fn(spark, sf_dir)
     qe = df._jdf.queryExecution()  # noqa: SLF001
