@@ -422,31 +422,42 @@ def el_csv_roundtrip(spark, sf_dir):
            count(*) AS n_events,
            count(DISTINCT substr(md5(CAST(event_id AS VARCHAR)), 1, 24))
                AS n_oids,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-           max(ts) AS max_ts
+           CAST(sum(CAST(CAST(value AS FLOAT) AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value,
+           max(ts) AS max_ts,
+           max(date_trunc('second', ts)) AS max_created
     FROM events GROUP BY event_type
     """,
     doc="Mongo extended-JSON dump ingestion via a CUSTOM PYTHON DATA "
         "SOURCE (Spark-4 spark.dataSource API): the events table is "
         "staged as a mongoexport-style dump ($oid ObjectIds, $date "
-        "timestamps at microsecond fidelity, $numberLong wrappers) by a "
-        "distributed write, then read back through "
-        "format('mongodump') — one input partition per dump file, "
-        "wrappers unwrapped per the reference's BSON decode rules "
+        "timestamps at microsecond fidelity, $numberLong wrappers, a "
+        "RAW epoch-seconds number, and a nested subdocument) by a "
+        "distributed write, then read back through read_mongodump — "
+        "the engine's OWN sampling inference over unwrapped documents, "
+        "one input partition per dump file, wrappers unwrapped per the "
+        "reference's BSON decode rules "
         "(/root/reference/mongo2pq/schema.py:110-164) — and aggregated; "
-        "must equal the batch aggregate of the original table. The "
-        "offline companion to the gated live-connector path",
+        "must equal the batch aggregate of the original table. "
+        "Inference consequences the oracle mirrors: `value` infers "
+        "float32 (reference rule: any float within float32 range), so "
+        "the oracle quantizes through CAST(value AS FLOAT); `created` "
+        "is a raw epoch int that the ±5-year heuristic types "
+        "timestamp[s] — delivered as DOUBLE at the scan and cast via "
+        "timestamp_seconds, equal to date_trunc('second', ts); the "
+        "nested `meta` subdoc is DROPPED by on_nested='skip' (the "
+        "reference fails outright on nested values, schema.py:331-335). "
+        "The offline companion to the gated live-connector path",
 )
 def el_mongodump_scan(spark, sf_dir):
     import os
     import tempfile
 
     from mongo2pq_spark.deploy import ensure_shipped
-    from mongo2pq_spark.sources.mongodump import register_mongodump_source
+    from mongo2pq_spark.sources.mongodump import read_mongodump
     from mongo2pq_spark.sources.registry import read_sf_table
 
     ensure_shipped(spark)
-    register_mongodump_source(spark)
     ev = read_sf_table(spark, sf_dir, "events")
     oid = F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 24)
     doc = F.to_json(
@@ -463,19 +474,20 @@ def el_mongodump_scan(spark, sf_dir):
             ).alias("user_id"),
             F.col("event_type"),
             F.col("value"),
+            # raw epoch seconds (no wrapper): exercises the ±5-year
+            # heuristic + DOUBLE-read + timestamp_seconds delivery
+            F.unix_timestamp("ts").alias("created"),
+            # nested subdocument: dropped by on_nested='skip'
+            F.struct(
+                F.col("event_type").alias("kind"),
+                F.col("user_id").alias("uid"),
+            ).alias("meta"),
         )
     )
     outdir = os.path.join(tempfile.gettempdir(), "el_mongodump_out")
     ev.select(doc.alias("value")).write.mode("overwrite").text(outdir)
-    back = (
-        spark.read.format("mongodump")
-        .schema(
-            "_id STRING, event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
-            "event_type STRING, value DOUBLE"
-        )
-        .option("path", outdir)
-        .load()
-    )
+    back = read_mongodump(spark, outdir)
+    assert "meta" not in back.columns  # nested subdoc must be dropped
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("_id").alias("n_oids"),
@@ -483,4 +495,5 @@ def el_mongodump_scan(spark, sf_dir):
         .cast("double")
         .alias("total_value"),
         F.max("ts").alias("max_ts"),
+        F.max("created").alias("max_created"),
     )

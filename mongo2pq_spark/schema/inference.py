@@ -30,6 +30,7 @@ from typing import Any, Iterable, Iterator, Mapping
 
 import pyarrow as pa
 
+from mongo2pq_spark.exceptions import NestedValueError
 from mongo2pq_spark.schema.unify import unify_types
 
 #: bounds of the embedded-able signed integer widths
@@ -81,9 +82,7 @@ def _looks_like_bson_int64(value: Any) -> bool:
 def infer_type(value: Any, name: str, now: datetime | None = None) -> pa.DataType:
     """Single-value type inference. Full ruleset in SURVEY.md §1.2."""
     if isinstance(value, (dict, list)):
-        raise NotImplementedError(
-            f"Nested value in field {name!r}: list/dict inference is not supported"
-        )
+        raise NestedValueError(name)
 
     if isinstance(value, str):
         value = cast_from_string(value)
@@ -129,12 +128,25 @@ def infer_type(value: Any, name: str, now: datetime | None = None) -> pa.DataTyp
 
 
 def infer_fields_from_rows(
-    rows: Iterable[Mapping[str, Any]], now: datetime | None = None
+    rows: Iterable[Mapping[str, Any]],
+    now: datetime | None = None,
+    on_nested: str = "raise",
 ) -> dict[str, pa.DataType]:
     """Fold the single-value rule over a batch of rows, unifying
     conflicts through the lattice. Missing keys are simply absent (the
-    reference drops schema-absent keys at export; SURVEY O-6)."""
+    reference drops schema-absent keys at export; SURVEY O-6).
+
+    ``on_nested`` controls the flat-schema boundary (the reference
+    fails outright on any dict/list value, schema.py:331-335):
+    ``"raise"`` is reference parity; ``"skip"`` drops a field that was
+    EVER observed nested from the inferred schema entirely — it then
+    falls under the schema-absent-keys-dropped-at-export rule, so a
+    real mongoexport with subdocuments still loads (documented
+    divergence, logged once per field)."""
+    if on_nested not in ("raise", "skip"):
+        raise ValueError(f"on_nested must be 'raise' or 'skip', got {on_nested!r}")
     fields: dict[str, pa.DataType] = {}
+    poisoned: set[str] = set()
     for row in rows:
         for field_name, value in row.items():
             # None and "" carry no type signal: both are suppressed to
@@ -142,13 +154,37 @@ def infer_fields_from_rows(
             # drag a column to `string` during inference either.
             if value is None or (isinstance(value, str) and value == ""):
                 continue
-            inferred = infer_type(value, field_name, now=now)
+            if field_name in poisoned:
+                continue
+            try:
+                inferred = infer_type(value, field_name, now=now)
+            except NestedValueError:
+                if on_nested == "raise":
+                    raise
+                # a field with ANY nested value can't be delivered under
+                # a scalar type (other rows' scalars would coexist with
+                # dicts) — drop the whole field, not just this value
+                poisoned.add(field_name)
+                fields.pop(field_name, None)
+                _warn_nested_skipped(field_name)
+                continue
             known = fields.get(field_name)
             if known is None:
                 fields[field_name] = inferred
             elif not known.equals(inferred):
                 fields[field_name] = unify_types(known, inferred)
     return fields
+
+
+def _warn_nested_skipped(field_name: str) -> None:
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "Field %r holds nested documents; dropped from the inferred "
+        "schema (flat schemas only — reference parity is to fail, "
+        "on_nested='skip' drops instead)",
+        field_name,
+    )
 
 
 def infer_schema_from_df(

@@ -121,16 +121,36 @@ def register_mongodump_source(spark) -> None:
     spark.dataSource.register(MongoDumpDataSource)
 
 
-def read_mongodump(spark, path: str, sample_lines: int = 2000):
+def read_mongodump(
+    spark,
+    path: str,
+    sample_lines: int = 2000,
+    on_nested: str = "skip",
+):
     """Read an extended-JSON dump with the engine's OWN schema
     inference: peek up to ``sample_lines`` unwrapped documents
     driver-side (the dump analog of the reference's ``$sample`` phase,
     /root/reference/mongo2pq/schema.py:219-239 — a bounded read, not a
     full pass), fold them through the inference lattice, then read the
     whole dump distributed through the ``mongodump`` source under the
-    inferred schema."""
+    inferred schema.
+
+    Epoch delivery: a field the heuristic types ``timestamp[s]`` from
+    RAW NUMBERS (not ``$date`` wrappers — those unwrap to datetimes)
+    arrives from the reader as int/float epoch seconds, so its READ
+    schema is DOUBLE and the timestamp materializes via
+    ``timestamp_seconds`` in the scan-output projection (the reference
+    does the same two-step: int/float passthrough into an Arrow
+    ``timestamp[s]`` column, schema.py:142-150).
+
+    ``on_nested="skip"`` (default) drops subdocument/array fields from
+    the schema with a warning so real mongoexports load;
+    ``on_nested="raise"`` is reference parity (schema.py:331-335 fails
+    on any nested value).
+    """
     import pyarrow as pa
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     from mongo2pq_spark.schema.inference import infer_fields_from_rows
     from mongo2pq_spark.schema.types import arrow_to_spark
@@ -160,33 +180,47 @@ def read_mongodump(spark, path: str, sample_lines: int = 2000):
                 )
                 if len(rows) >= sample_lines:
                     break
-    fields = infer_fields_from_rows(rows)
-    # epoch-heuristic artifact: unwrapped $date values are datetimes
-    # already; numeric epoch retyping only applies to raw numbers
-    schema = StructType(
-        [
-            StructField(name, arrow_to_spark(dtype), True)
-            for name, dtype in fields.items()
-        ]
-    )
-    # timestamp[s] from the epoch heuristic arrives as int/float rows;
-    # the reader yields them raw, so deliver them as the inferred type
-    # by letting Spark cast at scan output
+    if not rows:
+        raise ValueError(f"mongodump at {path!r} contains no documents")
+    fields = infer_fields_from_rows(rows, on_nested=on_nested)
+
+    # timestamp[s] fields whose sampled values are raw numbers (the
+    # epoch heuristic) vs unwrapped $date datetimes: only the numeric
+    # ones need the DOUBLE read schema + cast
+    def _first_value(name):
+        return next(
+            (r[name] for r in rows if r.get(name) is not None), None
+        )
+
+    numeric_epoch = {
+        name
+        for name, dtype in fields.items()
+        if isinstance(dtype, pa.TimestampType)
+        and isinstance(_first_value(name), (int, float))
+        and not isinstance(_first_value(name), (bool, datetime))
+    }
     register_mongodump_source(spark)
     raw_fields = [
         StructField(
-            f.name,
-            f.dataType
-            if not isinstance(fields[f.name], pa.TimestampType)
-            or isinstance(rows[0].get(f.name), datetime)
-            else f.dataType,
+            name,
+            DoubleType() if name in numeric_epoch else arrow_to_spark(dtype),
             True,
         )
-        for f in schema.fields
+        for name, dtype in fields.items()
     ]
-    return (
+    df = (
         spark.read.format("mongodump")
         .schema(StructType(raw_fields))
         .option("path", path)
         .load()
     )
+    if numeric_epoch:
+        df = df.select(
+            *[
+                F.timestamp_seconds(F.col(c)).alias(c)
+                if c in numeric_epoch
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+    return df

@@ -1,0 +1,111 @@
+"""read_mongodump: inference-driven extended-JSON dump ingestion.
+
+Covers the decode surface the reference implements per-row over BSON
+(/root/reference/mongo2pq/schema.py:110-164) plus the two dirty-dump
+paths the fixture-less r5 code never exercised: raw epoch-seconds
+numbers (±5-year heuristic → DOUBLE read schema → timestamp_seconds at
+scan output) and nested subdocuments (reference parity is to FAIL,
+schema.py:331-335; on_nested='skip' drops the field instead).
+"""
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+
+from mongo2pq_spark.exceptions import NestedValueError
+from mongo2pq_spark.sources.mongodump import read_mongodump
+
+#: an epoch-seconds value safely inside the ±5-year heuristic window
+#: regardless of when the test runs (pinned to "now" at import)
+EPOCH_NOW = int(datetime.now(tz=timezone.utc).timestamp())
+
+
+@pytest.fixture()
+def dump_path(tmp_path):
+    docs = [
+        {
+            "_id": {"$oid": "64b0c0ffee64b0c0ffee0001"},
+            "name": "alpha",
+            "created": EPOCH_NOW,  # raw epoch int → timestamp[s]
+            "score": 1.5,
+            "ts": {"$date": "2024-01-05T10:20:30.123456"},
+            "big": {"$numberLong": "9007199254740993"},
+            "meta": {"kind": "click", "depth": 2},  # nested subdoc
+        },
+        {
+            "_id": {"$oid": "64b0c0ffee64b0c0ffee0002"},
+            "name": "beta",
+            "created": EPOCH_NOW + 60,
+            "score": 2.5,
+            "ts": {"$date": {"$numberLong": "1704450030123"}},
+            "big": {"$numberLong": "3"},
+            "tags": ["a", "b"],  # nested array
+        },
+    ]
+    path = tmp_path / "dump.jsonl"
+    path.write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+    return str(path)
+
+
+def test_epoch_ints_deliver_as_timestamps(spark, dump_path):
+    df = read_mongodump(spark, dump_path)
+    assert dict(df.dtypes)["created"] == "timestamp"
+    got = {r["name"]: r["created"] for r in df.collect()}
+    assert got["alpha"] == datetime.fromtimestamp(EPOCH_NOW, tz=timezone.utc).replace(
+        tzinfo=None
+    )
+    assert got["beta"] == datetime.fromtimestamp(
+        EPOCH_NOW + 60, tz=timezone.utc
+    ).replace(tzinfo=None)
+
+
+def test_date_wrappers_deliver_microsecond_timestamps(spark, dump_path):
+    rows = {r["name"]: r for r in read_mongodump(spark, dump_path).collect()}
+    assert rows["alpha"]["ts"] == datetime(2024, 1, 5, 10, 20, 30, 123456)
+    # {$date: {$numberLong: ms}} decodes as epoch millis
+    assert rows["beta"]["ts"] == datetime(2024, 1, 5, 10, 20, 30, 123000)
+
+
+def test_nested_fields_skipped_by_default(spark, dump_path):
+    df = read_mongodump(spark, dump_path)
+    assert "meta" not in df.columns
+    assert "tags" not in df.columns
+    # scalar fields survive with reference-rule types
+    dtypes = dict(df.dtypes)
+    assert dtypes["_id"] == "string"  # ObjectId → 24-hex string
+    assert dtypes["big"] == "bigint"  # $numberLong beyond int32 → int64
+    assert dtypes["score"] == "float"  # float within float32 range
+
+
+def test_nested_fields_raise_in_strict_mode(spark, dump_path):
+    with pytest.raises(NestedValueError) as exc:
+        read_mongodump(spark, dump_path, on_nested="raise")
+    assert exc.value.field in ("meta", "tags")
+
+
+def test_nested_value_error_is_not_implemented_error(spark, dump_path):
+    # reference signal compatibility (schema.py:331-335 raises the
+    # not-implemented signal): callers catching NotImplementedError
+    # keep working
+    with pytest.raises(NotImplementedError):
+        read_mongodump(spark, dump_path, on_nested="raise")
+
+
+def test_empty_dump_raises(spark, tmp_path):
+    path = tmp_path / "empty.jsonl"
+    path.write_text("")
+    with pytest.raises(ValueError):
+        read_mongodump(spark, str(path))
+
+
+def test_infer_fields_skip_drops_mixed_scalar_nested_field():
+    """A field that is scalar in some docs and nested in others must be
+    dropped WHOLESALE under skip (a scalar read schema would choke on
+    the nested rows)."""
+    from mongo2pq_spark.schema.inference import infer_fields_from_rows
+
+    rows = [{"a": 1, "b": "x"}, {"a": {"k": 1}, "b": "y"}, {"a": 2, "b": "z"}]
+    fields = infer_fields_from_rows(rows, on_nested="skip")
+    assert "a" not in fields
+    assert "b" in fields
