@@ -46,62 +46,66 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # new this round: corpus stats / QA batch (corpus_stats.py)
-    "corpus_train_val_split",
-    "text_unigram_logprob",
-    "contamination_overlap_frac",
-    "embedding_norm_outliers",
-    "events_anomaly_mad",
-    "orders_retention_cohorts",
-    "grouping_sets_revenue",
-    "events_heavy_hitters",
-    # changed this round: sampling / quantization
-    "stratified_sample",
-    "value_quartile_buckets",
-    "embedding_quantize_int8",
-    # new this round: TPC-H semi-join / outer-distribution shapes
-    "q4_late_shipment_priority",
-    # changed this round (LSH optimization pass): ANN / similarity
-    "embedding_near_dup",
+    # NEW this round (never driver-checked): ts-filter pushdown probe
+    "events_time_slice",
+    # CHANGED this round: read_mongodump inference path (epoch ints,
+    # nested-skip) now backs the registered query
     "el_mongodump_scan",
-    "ann_ivf_recall",
-    "ann_lsh_topk",
-    # new this round: formats / windows / streaming joins
-    "el_orc_roundtrip",
-    "events_rolling_1h_user",
-    "streaming_stream_join",
-    "text_boilerplate_ngrams",
-    "text_zipf_slope",
-    "events_funnel_conversion",
-    # new or fixed or changed this round
-    "text_clean",
-    "text_decontaminate",
-    "text_gopher_quality_flags",
-    "text_repetition_stats",
-    "docs_pii_redact",
-    "corpus_filter_funnel",
-    "embedding_dim_stats",
-    "token_pack_greedy",
-    "el_csv_roundtrip",
-    "doc_chunks_fixed",
-    "corpus_mix_upsample",
-    "events_rollup_gapfill",
-    "range_join_click_attribution",
-    "events_value_histogram",
-    "streaming_enrich_static",
-    "multimodal_frame_sample",
-    "dedup_minhash_containment",
-    "el_jsonl_roundtrip",
-    "corpus_shuffle_shards",
-    "streaming_parquet_sink",
-    "q13_customer_order_distribution",
-    "multimodal_decode_features",
-    "udaf_user_value_gini",
-    "el_schema_evolution",
+    # CHANGED this round: broadcast hints dropped from fact-scaling
+    # tables (planner/AQE decides) — re-verify the join results
+    "q3_top_unshipped",
+    "q5_local_supplier_volume",
     "q7_nation_volume",
     "q8_market_share",
-    "dedup_cleaned_corpus",
-    "dedup_exact",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    # CHANGED this round: streaming shares _ensure_nanos_conf (UTC pin)
+    # with the batch path; every streaming query reads through it
+    "streaming_window_counts",
+    "streaming_sliding_window_counts",
+    "streaming_stateful_sessions",
+    "streaming_dedup_events",
+    "streaming_stream_join",
+    "streaming_enrich_static",
+    "streaming_parquet_sink",
+    # STALE rotation (verdict r5 #5): latest driver rows predate the
+    # round-3 testdata regeneration (r2 rows, different parquet bytes)
+    "el_partitioned_roundtrip",
+    "dedup_minhash_candidates",
+    "dedup_minhash_jaccard_est",
+    "dedup_ngram_jaccard",
+    "dedup_near_clusters",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_pairs",
+    "dedup_near_cleaned_corpus",
+    "ann_topk_bruteforce",
+    "ann_lsh_buckets",
+    # STALE rotation: r1 driver rows, never re-checked since
+    "window_top_orders_per_customer",
+    "rollup_customer_counts",
+    "events_except",
+    "users_click_and_purchase",
+    "customers_without_orders",
+    "suppliers_with_shipments",
+    "event_type_matrix",
+    "sql_api_revenue_by_day",
+    "lag_lead_values",
+    "unpivot_event_counts",
+    "session_window_native",
+    "user_session_stats",
+    "string_functions",
+    "date_functions",
+    "math_functions",
+    "json_extract_props",
+    "array_functions",
+    "json_schema_promotion",
+    "case_when_bucketing",
+    "q6_forecast_revenue",
+    "cube_order_counts",
+    "distinct_users_exact",
+    "median_value_by_type",
+    "partition_counts",
 ]
 
 

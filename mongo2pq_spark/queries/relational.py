@@ -43,6 +43,42 @@ def filter_equality(spark, sf_dir):
 
 
 @register(
+    "events_time_slice",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           min(ts) AS min_ts,
+           max(ts) AS max_ts
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY event_type
+    """,
+    doc="bounded time-slice aggregate: the ts predicate must reach the "
+        "parquet scan as PushedFilters THROUGH the NTZ-normalization "
+        "cast that read_sf_table interposes (Catalyst's cast-unwrap "
+        "rewrites the comparison onto the stored NTZ column under the "
+        "pinned-UTC session) — parquet min/max row-group stats then "
+        "prune chunks entirely outside the slice, the scan-level "
+        "guarantee every time-partitioned query at 100 TB relies on; "
+        "asserted by tests/test_plans.py",
+)
+def events_time_slice(spark, sf_dir):
+    lo = F.lit("2024-01-10").cast("timestamp")
+    hi = F.lit("2024-01-12").cast("timestamp")
+    return (
+        _events(spark, sf_dir)
+        .filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+
+
+@register(
     "distinct_values",
     "SELECT DISTINCT event_type FROM events",
     doc="O-3: distinct partition values (hash aggregate; reference pushes $group to mongod)",

@@ -84,32 +84,67 @@ def read_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_ntz_timestamps(df: DataFrame) -> DataFrame:
-    """Cast every top-level TIMESTAMP_NTZ column to TIMESTAMP.
+    """Cast every TIMESTAMP_NTZ column — including NTZ fields nested
+    inside struct/array/map — to TIMESTAMP.
 
     With the session timezone pinned to UTC the cast re-labels the
     same wall-clock instant (no value shift), and downstream
     event-time machinery (watermarks, unix_micros, window()) gets the
-    TIMESTAMP type it requires. No-op (returns df unchanged, no extra
-    projection) when nothing is NTZ."""
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
+    TIMESTAMP type it requires. Nested NTZ converts through one
+    struct-level cast (field-wise, codegen). No-op (returns df
+    unchanged, no extra projection) when nothing is NTZ.
 
-    ntz = {
-        f.name
-        for f in df.schema.fields
-        if isinstance(f.dataType, T.TimestampNTZType)
-    }
-    if not ntz:
+    Filter-pushdown note: predicates on a normalized column still
+    reach the parquet scan — Catalyst unwraps the cast in binary
+    comparisons and pushes the rewritten NTZ predicate
+    (plan-asserted by tests/test_plans.py on `events_time_slice`)."""
+    from pyspark.sql import functions as F
+
+    changed: dict[str, object] = {}
+    for f in df.schema.fields:
+        new_type, did_change = _replace_ntz(f.dataType)
+        if did_change:
+            changed[f.name] = new_type
+    if not changed:
         return df
     return df.select(
         *[
-            F.col(c).cast("timestamp").alias(c) if c in ntz else F.col(c)
+            F.col(c).cast(changed[c]).alias(c) if c in changed else F.col(c)
             for c in df.columns
         ]
     )
 
 
-_NANOS_CONF_SET: set[int] = set()
+def _replace_ntz(dtype):
+    """(new_type, changed): the type with every TIMESTAMP_NTZ replaced
+    by TIMESTAMP, recursing through struct/array/map."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.TimestampNTZType):
+        return T.TimestampType(), True
+    if isinstance(dtype, T.StructType):
+        fields, changed = [], False
+        for f in dtype.fields:
+            new_type, did_change = _replace_ntz(f.dataType)
+            changed = changed or did_change
+            fields.append(
+                T.StructField(f.name, new_type, f.nullable, f.metadata)
+            )
+        return T.StructType(fields), changed
+    if isinstance(dtype, T.ArrayType):
+        new_type, did_change = _replace_ntz(dtype.elementType)
+        return T.ArrayType(new_type, dtype.containsNull), did_change
+    if isinstance(dtype, T.MapType):
+        new_key, key_changed = _replace_ntz(dtype.keyType)
+        new_val, val_changed = _replace_ntz(dtype.valueType)
+        return (
+            T.MapType(new_key, new_val, dtype.valueContainsNull),
+            key_changed or val_changed,
+        )
+    return dtype, False
+
+
+_NANOS_CONF_SET: set[str] = set()
 
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
@@ -117,8 +152,14 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
     go through py4j on every table read otherwise). Also pins the
     session timezone to UTC so the NTZ→TIMESTAMP normalization in
     read_sf_table is value-preserving even under a session this
-    package didn't build."""
-    key = id(spark.sparkContext)
+    package didn't build.
+
+    Keyed on ``applicationId`` (stable, unique per SparkContext) — NOT
+    ``id(sparkContext)``, which CPython recycles after GC: a recycled
+    id would silently skip the conf for a brand-new context. The set
+    grows one short string per application ever seen in this process
+    (bounded by session churn, effectively one)."""
+    key = spark.sparkContext.applicationId
     if key not in _NANOS_CONF_SET:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")

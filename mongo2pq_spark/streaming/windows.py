@@ -38,10 +38,17 @@ def _open_event_stream(spark: SparkSession, events_path: str, staged_dir: str) -
     bigint-nanos → TIMESTAMP via µs truncation, TIMESTAMP_NTZ →
     TIMESTAMP (watermarks and event-time windows require TIMESTAMP;
     the testdata's µs isAdjustedToUTC=false timestamps read as NTZ on
-    Spark 4)."""
-    from mongo2pq_spark.sources.registry import normalize_ntz_timestamps
+    Spark 4). Shares ``_ensure_nanos_conf`` with the batch path so the
+    stream ALSO gets the UTC session pin — without it a non-UTC session
+    would shift every event time by the zone offset during the
+    NTZ→TIMESTAMP cast, skewing watermarks and window boundaries
+    relative to batch results."""
+    from mongo2pq_spark.sources.registry import (
+        _ensure_nanos_conf,
+        normalize_ntz_timestamps,
+    )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_nanos_conf(spark)
     static = spark.read.parquet(events_path)
     stream = spark.readStream.schema(static.schema).parquet(staged_dir)
     if dict(static.dtypes).get("ts") == "bigint":

@@ -92,6 +92,39 @@ def test_no_broadcast_hint_on_fact_scaling_tables(spark, sf_dir):
             assert not any(m in sub for m in _FACT_MARKERS), (name, sub)
 
 
+def test_ts_filter_pushed_through_ntz_normalization(spark, sf_dir):
+    """read_sf_table interposes an NTZ→TIMESTAMP cast over the scan; a
+    ts predicate must still reach the parquet reader (Catalyst unwraps
+    the cast in binary comparisons) so row-group min/max stats prune
+    chunks outside the time slice."""
+    plan = _formatted(spark, sf_dir, "events_time_slice")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThanOrEqual(ts," in pushed, pushed
+    assert "LessThan(ts," in pushed, pushed
+
+
+def test_normalize_ntz_recurses_into_nested_types(spark):
+    from pyspark.sql import types as T
+
+    from mongo2pq_spark.sources.registry import normalize_ntz_timestamps
+
+    df = spark.sql(
+        """
+        SELECT named_struct('t', TIMESTAMP_NTZ '2024-01-05 10:20:30',
+                            'k', 1) AS s,
+               array(TIMESTAMP_NTZ '2024-01-06 00:00:01') AS a,
+               TIMESTAMP_NTZ '2024-01-07 07:08:09' AS ts
+        """
+    )
+    out = normalize_ntz_timestamps(df)
+    flat = out.schema
+    assert isinstance(flat["ts"].dataType, T.TimestampType)
+    assert isinstance(flat["s"].dataType["t"].dataType, T.TimestampType)
+    assert isinstance(flat["a"].dataType.elementType, T.TimestampType)
+    row = out.collect()[0]
+    assert row["s"]["t"].hour == 10 and row["a"][0].second == 1
+
+
 def test_q1_uses_whole_stage_codegen_and_partial_agg(spark, sf_dir):
     df = SPECS["q1_pricing_summary"].fn(spark, sf_dir)
     qe = df._jdf.queryExecution()  # noqa: SLF001
