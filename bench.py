@@ -87,11 +87,14 @@ def main() -> None:
                 if first is None:
                     first = elapsed  # includes codegen compile (cold)
                 best = elapsed if best is None else min(best, elapsed)
-            n = df.count()  # row count for the log line (untimed)
         except Exception as exc:  # one broken query must not zero the suite
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
+        try:
+            n = df.count()  # row count for the log line (untimed)
+        except Exception:
+            n = "?"  # a log-line failure must not void a valid timing
         timings[name] = round(best, 3)
         first_run[name] = round(first, 3)
         total += best
@@ -124,7 +127,13 @@ def main() -> None:
         if ratios:
             payload["vs_baseline_local"] = {
                 "max_ratio": max(ratios.values()),
-                "over_1_3x": {q: r for q, r in ratios.items() if r > 1.3},
+                # ratio alone flags sub-second queries on ~0.1s of host
+                # jitter; require a real absolute regression too
+                "over_1_3x": {
+                    q: r
+                    for q, r in ratios.items()
+                    if r > 1.3 and timings[q] - baseline[q] > 0.2
+                },
             }
     print(json.dumps(payload))
 
