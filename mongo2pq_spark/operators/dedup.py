@@ -702,3 +702,35 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def normalized_token_fingerprint(text_col: Column) -> Column:
+    """Content fingerprint invariant to token order and repetition:
+    md5 of the sorted distinct-token bag. Catches re-crawled /
+    shuffled / re-serialized copies of a document that raw-text
+    hashing misses, while staying a pure column expression (codegen,
+    no UDF). Both engines sort with binary collation, so the digest is
+    bit-identical to the DuckDB oracle's."""
+    return F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(text_col, " "))), " "
+        )
+    )
+
+
+def incremental_new_docs(
+    new_docs: DataFrame, existing: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Incremental corpus dedup — the daily-increment ingestion
+    pattern: keep only new-batch documents whose normalized content
+    fingerprint does NOT already exist in the corpus.
+
+    Scale shape (100 TB): the fingerprint is a map-side projection on
+    both sides; the existing corpus reduces to DISTINCT hashes (one
+    partial-aggregated shuffle of ~16-byte digests, NOT documents)
+    before the LEFT ANTI equi-join; AQE broadcasts the hash set while
+    it fits and falls back to a shuffled anti join when it doesn't.
+    No window, no all-pairs comparison anywhere."""
+    fp = normalized_token_fingerprint(F.col(text_col))
+    existing_hashes = existing.select(fp.alias("h")).distinct()
+    return new_docs.withColumn("h", fp).join(existing_hashes, "h", "left_anti")

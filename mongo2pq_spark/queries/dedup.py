@@ -8,6 +8,8 @@ The DuckDB SQL is generated from the same constants
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from mongo2pq_spark.functions.hashing import (
     MERSENNE_P,
     minhash_perms,
@@ -100,6 +102,51 @@ def dedup_cleaned_corpus(spark, sf_dir):
     docs = read_sf_table(spark, sf_dir, "documents")
     return ops.drop_exact_duplicates(docs).select(
         "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "dedup_incremental_new_docs",
+    """
+    WITH fp AS (
+        SELECT source, n_chars,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS h
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_new_unique,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM fp d
+    WHERE source <> 'src0'
+      AND NOT EXISTS (
+          SELECT 1 FROM fp e WHERE e.source = 'src0' AND e.h = d.h
+      )
+    GROUP BY source
+    """,
+    doc="incremental corpus dedup (daily-increment ingestion): the new "
+        "batch (source != src0) LEFT ANTI joins the existing corpus "
+        "(src0) on a normalized bag-of-words fingerprint, dropping "
+        "re-crawled/reordered copies before they enter the corpus. "
+        "Scale shape: fingerprint is a map-side projection; the "
+        "existing side reduces to DISTINCT 16-byte digests before the "
+        "join; the anti join is an equi-join (AQE broadcasts while the "
+        "hash set fits, shuffles when it doesn't) — no window, no "
+        "all-pairs; plan-asserted in tests/test_plans.py",
+)
+def dedup_incremental_new_docs(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("source") != "src0")
+    existing = docs.filter(F.col("source") == "src0")
+    return (
+        ops.incremental_new_docs(new, existing)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_new_unique"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
     )
 
 

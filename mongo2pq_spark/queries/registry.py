@@ -47,7 +47,9 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
     # NEW this round (never driver-checked): ts-filter pushdown probe
+    # + incremental corpus dedup
     "events_time_slice",
+    "dedup_incremental_new_docs",
     # CHANGED this round: read_mongodump inference path (epoch ints,
     # nested-skip) now backs the registered query
     "el_mongodump_scan",
@@ -105,7 +107,6 @@ _DRIVER_WINDOW_FIRST = [
     "cube_order_counts",
     "distinct_users_exact",
     "median_value_by_type",
-    "partition_counts",
 ]
 
 

@@ -92,6 +92,16 @@ def test_no_broadcast_hint_on_fact_scaling_tables(spark, sf_dir):
             assert not any(m in sub for m in _FACT_MARKERS), (name, sub)
 
 
+def test_incremental_dedup_is_hash_anti_join(spark, sf_dir):
+    """The new-batch-vs-corpus dedup must be an equi anti-join on the
+    content hash — a nested-loop or cartesian fallback would be
+    all-pairs over the corpus at scale."""
+    plan = _formatted(spark, sf_dir, "dedup_incremental_new_docs")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ts_filter_pushed_through_ntz_normalization(spark, sf_dir):
     """read_sf_table interposes an NTZ→TIMESTAMP cast over the scan; a
     ts predicate must still reach the parquet reader (Catalyst unwraps
