@@ -50,6 +50,7 @@ _DRIVER_WINDOW_FIRST = [
     # + incremental corpus dedup
     "events_time_slice",
     "dedup_incremental_new_docs",
+    "udtf_token_runs",
     # CHANGED this round: read_mongodump inference path (epoch ints,
     # nested-skip) now backs the registered query
     "el_mongodump_scan",
@@ -106,7 +107,6 @@ _DRIVER_WINDOW_FIRST = [
     "q6_forecast_revenue",
     "cube_order_counts",
     "distinct_users_exact",
-    "median_value_by_type",
 ]
 
 

@@ -59,6 +59,68 @@ def udf_text_normalize(spark, sf_dir):
 
 
 @register(
+    "udtf_token_runs",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    runs AS (
+        SELECT doc_id, token, pos,
+               pos - row_number() OVER (
+                   PARTITION BY doc_id, token ORDER BY pos) AS grp
+        FROM toks
+    )
+    SELECT doc_id, token,
+           CAST(min(pos) AS INT) AS run_start,
+           CAST(count(*) AS INT) AS run_len
+    FROM runs
+    GROUP BY doc_id, token, grp
+    HAVING count(*) >= 2
+    """,
+    doc="Python UDTF surface (Spark-4 table function, Arrow-batched, "
+        "LATERAL-joined): run-length encoding of consecutively repeated "
+        "tokens per document — the repeated-span signal LLM quality "
+        "filters act on. One linear pass per row inside the UDTF vs the "
+        "pure-SQL islands decomposition (explode + window + regroup = "
+        "two shuffles) the oracle uses; completes the UDF/UDAF/UDTF "
+        "extension matrix (the reference exposes none, SURVEY §2.1). "
+        "Scale shape: the lateral call is map-side (zero shuffles; "
+        "per-row state only), so it pipelines with the scan",
+)
+def udtf_token_runs(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    @udtf(returnType="token string, run_start int, run_len int", useArrow=True)
+    class TokenRuns:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.split(" ")
+            start = 0
+            for i in range(1, len(toks) + 1):
+                if i == len(toks) or toks[i] != toks[start]:
+                    if i - start >= 2:
+                        yield toks[start], start + 1, i - start
+                    start = i
+
+    spark.udtf.register("token_runs", TokenRuns)
+    read_sf_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_docs_src"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, tr.token, tr.run_start, tr.run_len
+        FROM udtf_docs_src d, LATERAL token_runs(d.text) tr
+        """
+    )
+
+
+@register(
     "udaf_user_value_gini",
     """
     WITH r AS (

@@ -92,6 +92,36 @@ def test_no_broadcast_hint_on_fact_scaling_tables(spark, sf_dir):
             assert not any(m in sub for m in _FACT_MARKERS), (name, sub)
 
 
+def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
+    """In the 100 TB regime neither fact side broadcasts; Spark's
+    runtime bloom filter then builds a compact filter from the
+    selective (date-filtered) side and prunes the big side's shuffle
+    input at the scan. Local testdata sits far below the injection
+    thresholds, so the test pins them down to prove the mechanism the
+    at-scale configuration relies on stays available."""
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    thresh_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_thresh = spark.conf.get(thresh_key)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(thresh_key, "0")
+    try:
+        o = read_sf_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp")
+        )
+        l = read_sf_table(spark, sf_dir, "lineitem")
+        j = l.join(o, l.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderdate"
+        )
+        assert "bloom_filter_agg" in _plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(thresh_key, prev_thresh)
+
+
 def test_incremental_dedup_is_hash_anti_join(spark, sf_dir):
     """The new-batch-vs-corpus dedup must be an equi anti-join on the
     content hash — a nested-loop or cartesian fallback would be
