@@ -53,6 +53,70 @@ def asof_purchase_last_click(spark, sf_dir):
 
 
 @register(
+    "cogroup_asof_enrich",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           c.event_id AS click_event_id,
+           CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS gap_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="cogrouped applyInPandas as-of join: purchases and clicks "
+        "cogroup per user, pandas merge_asof aligns each purchase with "
+        "the most recent prior click in one sorted pass per group — "
+        "the canonical Spark pattern for as-of semantics the DataFrame "
+        "API lacks natively, and the last pandas-API surface "
+        "(cogroup) not yet demonstrated (scalar / grouped-agg / "
+        "mapInPandas / mapInArrow / applyInPandasWithState / UDTF all "
+        "are). Scale shape: ONE shuffle per side on user_id (a key "
+        "whose cardinality grows with data), Arrow-batched groups, "
+        "per-group memory bounded by a user's events. Same tie caveat "
+        "as asof_purchase_last_click: fixture timestamps are unique at "
+        "µs precision. Values must equal the JVM window-composition "
+        "as-of (asof_purchase_last_click) and the DuckDB ASOF oracle",
+)
+def cogroup_asof_enrich(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), "user_id", "ts"
+    )
+
+    def asof_merge(left, right):
+        import pandas as pd
+
+        left = left.sort_values("ts")
+        right = right.sort_values("ts")
+        right = right.assign(c_ts=right["ts"])[["ts", "c_ts", "click_event_id"]]
+        out = pd.merge_asof(left, right, on="ts", direction="backward")
+        td = out["ts"] - out["c_ts"]
+        # exact µs delta: int64 via timedelta64[us]; NaT → <NA>
+        us = td.values.astype("timedelta64[us]").astype("int64")
+        gap_us = pd.Series(us).mask(td.isna().to_numpy()).astype("Int64")
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"],
+                "user_id": out["user_id"],
+                "click_event_id": out["click_event_id"].astype("Int64"),
+                "gap_us": gap_us,
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            asof_merge,
+            schema="event_id bigint, user_id bigint, "
+            "click_event_id bigint, gap_us bigint",
+        )
+    )
+
+
+@register(
     "salted_join_revenue",
     f"""
     SELECT o_orderpriority,
