@@ -47,6 +47,7 @@ def main(
     dedup_text_col: str | None = None,
     dedup_id_col: str | None = None,
     single_file: bool = False,
+    compression: str | None = None,
     spark=None,
 ) -> int:
     from mongo2pq_spark.config import parse_config
@@ -121,6 +122,7 @@ def main(
             strict_compat=strict_compat,
             max_records_per_file=max_records_per_file,
             single_file=single_file,
+            compression=compression,
         )
 
     failures: list[tuple[str, Exception]] = []
@@ -213,6 +215,11 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
     parser.add_argument("--max-records-per-file", type=int, default=None,
                         help="cap rows per output parquet file (small-file "
                              "control's dual: prevents giant single files)")
+    parser.add_argument("--compression", default=None,
+                        help="parquet codec for the sink (e.g. zstd, snappy, "
+                             "gzip; default: session default, snappy) — cold "
+                             "corpus storage wants zstd, hot intermediates "
+                             "snappy")
     parser.add_argument("--dedup-text-col", default=None,
                         help="exact-dedup collections on this text column "
                              "during extract-load (keeps the min-id row per "
@@ -271,6 +278,7 @@ def run(argv: list[str] | None = None) -> int:
         dedup_text_col=args.dedup_text_col,
         dedup_id_col=args.dedup_id_col,
         single_file=args.single_file,
+        compression=args.compression,
     )
 
 

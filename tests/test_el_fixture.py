@@ -297,6 +297,31 @@ def test_parallel_collections_and_file_cap(spark, sf_dir, tmp_path):
     assert all(pq.read_metadata(p).num_rows <= 300 for p in parts)
 
 
+def test_compression_codec_roundtrip(spark, sf_dir, tmp_path):
+    """Per-write codec choice (cold corpus storage wants zstd, hot
+    intermediates snappy): files carry the codec marker and read back
+    value-identical."""
+    from mongo2pq_spark.plans.pipeline import extract_load_collection
+    from mongo2pq_spark.schema.model import Schema
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    df = read_sf_table(spark, sf_dir, "events")
+    schema = Schema.from_df("events_zstd", df)
+    path = extract_load_collection(df, schema, tmp_path, compression="zstd")
+    parts = [p for p in Path(path).iterdir() if p.suffix == ".parquet"]
+    assert parts and all(".zstd." in p.name for p in parts)
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(parts[0]).metadata
+    codecs = {
+        meta.row_group(i).column(0).compression
+        for i in range(meta.num_row_groups)
+    }
+    assert codecs == {"ZSTD"}
+
+
 def test_dedup_during_el(spark, tmp_path):
     """--dedup-text-col drops exact duplicate texts (min-id survivor)
     during extract-load; collections without the column are untouched."""
