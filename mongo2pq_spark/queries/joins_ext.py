@@ -242,6 +242,51 @@ def distinct_users_approx(spark, sf_dir):
 
 
 @register(
+    "sketch_rollup_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+               <= ceil(count(DISTINCT user_id) * 0.05) AS merged_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    doc="mergeable-sketch rollup — the pattern that makes distinct "
+        "counts incremental at 100 TB: per-shard HLL sketches "
+        "(hll_sketch_agg, the stand-in for per-day/per-partition "
+        "partial sketches stored alongside the data) union via "
+        "hll_union_agg into the corpus-wide estimate WITHOUT touching "
+        "raw rows again. Sketch bytes are engine-specific, so the "
+        "oracle is the established tolerance-boolean: each engine "
+        "asserts its own two-level pipeline lands within 5% of its own "
+        "exact count, alongside the engine-exact distinct count",
+)
+def sketch_rollup_distinct_users(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    # shard = stand-in for a storage partition (e.g. ingest day): the
+    # sketch is built per shard, persisted in the real pipeline, then
+    # merged — never re-scanning history
+    partials = (
+        e.withColumn("shard", F.pmod(F.col("user_id"), F.lit(8)))
+        .groupBy("event_type", "shard")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__merged_est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("__merged_est") - F.col("n_users_exact"))
+            <= F.ceil(F.col("n_users_exact") * 0.05)
+        ).alias("merged_within_5pct"),
+    )
+
+
+@register(
     "percentile_approx_values",
     """
     SELECT event_type,

@@ -52,6 +52,7 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_incremental_new_docs",
     "udtf_token_runs",
     "cogroup_asof_enrich",
+    "sketch_rollup_distinct_users",
     # CHANGED this round: read_mongodump inference path (epoch ints,
     # nested-skip) now backs the registered query
     "el_mongodump_scan",
@@ -106,7 +107,6 @@ _DRIVER_WINDOW_FIRST = [
     "json_schema_promotion",
     "case_when_bucketing",
     "q6_forecast_revenue",
-    "cube_order_counts",
 ]
 
 
