@@ -74,6 +74,7 @@ _DRIVER_WINDOW_FIRST = [
     "streaming_stream_join",
     "streaming_enrich_static",
     "streaming_parquet_sink",
+    "streaming_session_windows",
     # STALE rotation (verdict r5 #5): latest driver rows predate the
     # round-3 testdata regeneration (r2 rows, different parquet bytes)
     "el_partitioned_roundtrip",
@@ -106,7 +107,6 @@ _DRIVER_WINDOW_FIRST = [
     "array_functions",
     "json_schema_promotion",
     "case_when_bucketing",
-    "q6_forecast_revenue",
 ]
 
 

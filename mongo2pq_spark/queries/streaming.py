@@ -74,6 +74,40 @@ def streaming_stateful_sessions(spark, sf_dir):
 
 
 @register(
+    "streaming_session_windows",
+    """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM islands GROUP BY user_id, session_id
+    """,
+    doc="event-time SESSION windows on a stream (session_window in a "
+        "streaming aggregation): dynamic windows closing after 30 min "
+        "inactivity per user — completes the streaming window-type "
+        "matrix (tumbling/sliding/session); equals both the batch "
+        "session_window aggregate and the gaps-and-islands SQL",
+)
+def streaming_session_windows(spark, sf_dir):
+    from mongo2pq_spark.streaming.windows import run_streaming_session_windows
+
+    return run_streaming_session_windows(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
     "streaming_dedup_events",
     """
     SELECT DISTINCT user_id, event_type, ts FROM events

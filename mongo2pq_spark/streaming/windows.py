@@ -163,6 +163,35 @@ def run_tumbling_window_counts(
     )
 
 
+def run_streaming_session_windows(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    table_name: str = "streaming_sessions_window_out",
+) -> DataFrame:
+    """Event-time SESSION windows on a stream: dynamic-length windows
+    that close after ``gap`` of inactivity per user — the streaming
+    sessionization primitive, completing the window-type matrix
+    (tumbling/sliding/session) in streaming mode.
+
+    Complete mode lets Spark merge session fragments across
+    micro-batches without an eviction deadline, so the bounded drain
+    equals the batch ``session_window`` aggregate exactly. Production
+    unbounded streams run the same aggregation in append mode with a
+    watermark: state is one open window per (user, active session),
+    evicted once the watermark passes the session close."""
+    stream = read_event_stream(spark, events_path)
+    agg = stream.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    _drain_to_memory(agg, table_name, "complete")
+    return spark.table(table_name).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+    )
+
+
 def run_stream_static_enrichment(
     spark: SparkSession,
     events_path: str,
