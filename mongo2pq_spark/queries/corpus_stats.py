@@ -460,3 +460,48 @@ def events_heavy_hitters(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "dq_audit_lineitem",
+    """
+    SELECT (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+               AS neg_quantity,
+           (SELECT count(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1) AS bad_discount,
+           (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL)
+               AS null_shipdate,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+               AS orphan_lineitems
+    """,
+    doc="declarative data-quality audit (the pre-publication gate a "
+        "corpus pipeline runs before promoting a dataset): row-level "
+        "constraint violations (non-positive quantity, discount out of "
+        "[0,1], null ship date) counted in ONE conditional-aggregation "
+        "pass over the fact table, plus referential integrity "
+        "(lineitems without a parent order) as a LEFT ANTI equi-join "
+        "count — never a per-constraint rescan. The 1-row violation "
+        "summary broadcasts trivially into alerting joins",
+)
+def dq_audit_lineitem(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    scan_checks = l.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("neg_quantity"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("bad_discount"),
+        F.count(F.when(F.col("l_shipdate").isNull(), 1)).alias(
+            "null_shipdate"
+        ),
+    )
+    orphans = (
+        l.select("l_orderkey")
+        .join(o, l.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("orphan_lineitems"))
+    )
+    return scan_checks.crossJoin(F.broadcast(orphans))

@@ -75,6 +75,8 @@ _DRIVER_WINDOW_FIRST = [
     "streaming_enrich_static",
     "streaming_parquet_sink",
     "streaming_session_windows",
+    "streaming_foreach_batch_upsert",
+    "dq_audit_lineitem",
     # STALE rotation (verdict r5 #5): latest driver rows predate the
     # round-3 testdata regeneration (r2 rows, different parquet bytes)
     "el_partitioned_roundtrip",
@@ -102,11 +104,9 @@ _DRIVER_WINDOW_FIRST = [
     "user_session_stats",
     "string_functions",
     "date_functions",
-    "math_functions",
     "json_extract_props",
     "array_functions",
     "json_schema_promotion",
-    "case_when_bucketing",
 ]
 
 

@@ -180,6 +180,25 @@ def streaming_stream_join(spark, sf_dir):
 
 
 @register(
+    "streaming_foreach_batch_upsert",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="foreachBatch custom sink: per-micro-batch distributed partial "
+        "aggregation upserted into a running store keyed idempotently "
+        "by batch_id (the exactly-once recipe for non-transactional "
+        "sinks — a replayed batch applies once); final store equals the "
+        "batch aggregate",
+)
+def streaming_foreach_batch_upsert(spark, sf_dir):
+    from mongo2pq_spark.streaming.windows import run_foreach_batch_upsert
+
+    return run_foreach_batch_upsert(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
     "streaming_parquet_sink",
     """
     SELECT event_type, count(*) AS n_events,

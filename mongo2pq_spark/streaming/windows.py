@@ -287,6 +287,62 @@ def run_stream_stream_join(
     return spark.table(table_name)
 
 
+def run_foreach_batch_upsert(
+    spark: SparkSession,
+    events_path: str,
+) -> DataFrame:
+    """Streaming ``foreachBatch`` sink — the Swiss-army custom-sink API
+    (MERGE into warehouses, multi-sink fan-out, anything without a
+    native streaming writer): each micro-batch PRE-AGGREGATES
+    distributed (one partial row per event type), then upserts that
+    bounded partial into a running store keyed idempotently by
+    ``batch_id`` — the standard exactly-once recipe for sinks without
+    transactional support, because a replayed batch after failure
+    recovery applies exactly once.
+
+    The driver-side store holds one entry per event type (bounded by
+    key cardinality, not stream length — same class as the engine's
+    other bounded collects). At warehouse scale the upsert body becomes
+    a MERGE INTO against the target table; the batch_id dedupe and the
+    per-batch partial aggregation shape are identical. Decimal partials
+    keep the running totals exact and order-independent."""
+    from decimal import Decimal
+
+    state: dict = {"agg": {}, "seen": set()}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in state["seen"]:
+            return  # replayed batch: idempotent skip
+        state["seen"].add(batch_id)
+        partials = (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+            )
+            .collect()
+        )
+        for row in partials:
+            n0, s0 = state["agg"].get(row["event_type"], (0, Decimal(0)))
+            state["agg"][row["event_type"]] = (
+                n0 + row["n"],
+                s0 + (row["s"] if row["s"] is not None else Decimal(0)),
+            )
+
+    stream = read_event_stream(spark, events_path)
+    query = stream.writeStream.foreachBatch(upsert).outputMode("append").start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    rows = [
+        (etype, n, float(total)) for etype, (n, total) in state["agg"].items()
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, n_events bigint, total_value double"
+    )
+
+
 def run_streaming_parquet_sink(
     spark: SparkSession,
     events_path: str,
