@@ -114,6 +114,7 @@ def main(
                 c for c in df.columns if c != dedup_text_col
             )
             df = drop_exact_duplicates(df, text_col=dedup_text_col, id_col=id_col)
+        metrics: dict = {}
         extract_load_collection(
             df,
             schema,
@@ -123,6 +124,13 @@ def main(
             max_records_per_file=max_records_per_file,
             single_file=single_file,
             compression=compression,
+            metrics=metrics,
+        )
+        # rows-written observed by the write job itself (no recount) —
+        # the reference's tqdm progress accounting, Spark-style
+        print(
+            f"{name}: {metrics.get('rows_written', '?')} rows written",
+            file=sys.stderr,
         )
 
     failures: list[tuple[str, Exception]] = []

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pathlib import Path
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from mongo2pq_spark.schema.model import Schema
 
@@ -66,6 +67,7 @@ def extract_load_collection(
     max_records_per_file: int | None = None,
     single_file: bool = False,
     compression: str | None = None,
+    metrics: dict | None = None,
 ) -> str:
     """Run the EL pipe for one collection; returns the dataset path
     (``<outdir>/<name>.parquet``, same naming as the reference).
@@ -80,6 +82,10 @@ def extract_load_collection(
     because hot intermediate datasets and cold corpus storage want
     different trade-offs.
 
+    ``metrics``: pass a dict to receive write-job observation metrics
+    (currently ``rows_written``) measured by the write itself — no
+    second scan.
+
     ``single_file`` reproduces the reference's exact layout — ONE
     parquet file per collection (extract_load.py:40-45) via
     ``coalesce(1)``. Strictly a small-data compat mode: it serializes
@@ -90,6 +96,17 @@ def extract_load_collection(
         raise ValueError("single_file is incompatible with partition_key")
     out_path = str(Path(outdir) / f"{schema.name}.parquet")
     projected = schema.apply(df, strict_compat=strict_compat)
+    # Observation: rows-written metric piggybacks on the write job
+    # itself (zero extra scan) — the Spark answer to the reference's
+    # tqdm progress accounting (extract_load.py:24), which needed a
+    # separate estimated_document_count round-trip. Read it after the
+    # write via `observation.get` (surfaced by the CLI per collection).
+    from pyspark.sql import Observation
+
+    observation = Observation(f"el_{schema.name}")
+    projected = projected.observe(
+        observation, F.count(F.lit(1)).alias("rows_written")
+    )
     if single_file:
         projected = projected.coalesce(1)
     if partition_key:
@@ -107,4 +124,6 @@ def extract_load_collection(
     if partition_key:
         writer = writer.partitionBy(partition_key)
     writer.parquet(out_path)
+    if metrics is not None:
+        metrics.update(observation.get)
     return out_path

@@ -297,6 +297,23 @@ def test_parallel_collections_and_file_cap(spark, sf_dir, tmp_path):
     assert all(pq.read_metadata(p).num_rows <= 300 for p in parts)
 
 
+def test_write_observation_metrics(spark, sf_dir, tmp_path):
+    """rows_written is measured by the write job itself (Observation on
+    the sink projection) — it must equal the actual row count with no
+    second scan issued by the pipeline."""
+    from mongo2pq_spark.plans.pipeline import extract_load_collection
+    from mongo2pq_spark.schema.model import Schema
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    df = read_sf_table(spark, sf_dir, "events")
+    schema = Schema.from_df("events_obs", df)
+    metrics: dict = {}
+    path = extract_load_collection(
+        df, schema, tmp_path, partition_key="event_type", metrics=metrics
+    )
+    assert metrics["rows_written"] == spark.read.parquet(path).count()
+
+
 def test_compression_codec_roundtrip(spark, sf_dir, tmp_path):
     """Per-write codec choice (cold corpus storage wants zstd, hot
     intermediates snappy): files carry the codec marker and read back
