@@ -92,6 +92,51 @@ def test_no_broadcast_hint_on_fact_scaling_tables(spark, sf_dir):
             assert not any(m in sub for m in _FACT_MARKERS), (name, sub)
 
 
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """AQE skew-join handling (enabled in the session builder) must
+    actually SPLIT an oversized partition at runtime — the complement
+    to the explicit salting operator: Spark absorbs moderate skew
+    itself, salting is for the extreme tail. A test-sized skew (90% of
+    rows on one key, incompressible payload) crosses locally pinned
+    thresholds; the executed adaptive plan must carry the skew marker."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # the downstream global agg makes the split look shuffle-adding
+        # to the cost check; force mirrors real deployments where the
+        # skewed stage dominates
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.md5(F.col("id").cast("string").cast("binary")).alias("payload"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.col("id").alias("r")
+        )
+        j = left.join(right, "k").agg(
+            F.count("*").alias("n"), F.max("payload").alias("m")
+        )
+        assert j.collect()[0]["n"] == 300_000
+        plan = _plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
     """In the 100 TB regime neither fact side broadcasts; Spark's
     runtime bloom filter then builds a compact filter from the
