@@ -75,6 +75,14 @@ class MongoDumpReader(DataSourceReader):
     def __init__(self, schema, options):
         self._fields = [f.name for f in schema.fields]
         self._path = options.get("path")
+        # failfast (default): a malformed line kills the read WITH
+        # file+line context; permissive: skip malformed lines — at
+        # 100 TB one corrupt export line must not fail the whole job
+        self._mode = options.get("mode", "failfast").lower()
+        if self._mode not in ("failfast", "permissive"):
+            raise ValueError(
+                f"mongodump mode must be failfast or permissive, got {self._mode!r}"
+            )
         if not self._path:
             raise ValueError("mongodump source requires a 'path' option")
 
@@ -91,14 +99,22 @@ class MongoDumpReader(DataSourceReader):
 
     def read(self, partition: _DumpFilePartition) -> Iterator[tuple]:
         with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
+            for lineno, line in enumerate(fh, start=1):
                 line = line.strip()
                 if not line:
                     continue
-                doc = {
-                    k: unwrap_extended_json(v)
-                    for k, v in json.loads(line).items()
-                }
+                try:
+                    raw = json.loads(line)
+                    if not isinstance(raw, dict):
+                        raise ValueError("line is not a JSON object")
+                except ValueError as exc:
+                    if self._mode == "permissive":
+                        continue
+                    raise ValueError(
+                        f"malformed extended-JSON at {partition.path}:"
+                        f"{lineno}: {exc}"
+                    ) from exc
+                doc = {k: unwrap_extended_json(v) for k, v in raw.items()}
                 yield tuple(doc.get(name) for name in self._fields)
 
 
@@ -126,6 +142,7 @@ def read_mongodump(
     path: str,
     sample_lines: int = 2000,
     on_nested: str = "skip",
+    mode: str = "failfast",
 ):
     """Read an extended-JSON dump with the engine's OWN schema
     inference: peek up to ``sample_lines`` unwrapped documents
@@ -147,6 +164,11 @@ def read_mongodump(
     the schema with a warning so real mongoexports load;
     ``on_nested="raise"`` is reference parity (schema.py:331-335 fails
     on any nested value).
+
+    ``mode``: ``failfast`` (default) dies on the first malformed line
+    with file:line context; ``permissive`` skips malformed lines in
+    both the driver-side sample and the distributed read — at scale
+    one corrupt export line must not fail the whole job.
     """
     import pyarrow as pa
     from pyspark.sql import functions as F
@@ -168,15 +190,22 @@ def read_mongodump(
         if len(rows) >= sample_lines:
             break
         with open(fp, encoding="utf-8") as fh:
-            for line in fh:
+            for lineno, line in enumerate(fh, start=1):
                 line = line.strip()
                 if not line:
                     continue
+                try:
+                    raw = json.loads(line)
+                    if not isinstance(raw, dict):
+                        raise ValueError("line is not a JSON object")
+                except ValueError as exc:
+                    if mode == "permissive":
+                        continue
+                    raise ValueError(
+                        f"malformed extended-JSON at {fp}:{lineno}: {exc}"
+                    ) from exc
                 rows.append(
-                    {
-                        k: unwrap_extended_json(v)
-                        for k, v in json.loads(line).items()
-                    }
+                    {k: unwrap_extended_json(v) for k, v in raw.items()}
                 )
                 if len(rows) >= sample_lines:
                     break
@@ -212,6 +241,7 @@ def read_mongodump(
         spark.read.format("mongodump")
         .schema(StructType(raw_fields))
         .option("path", path)
+        .option("mode", mode)
         .load()
     )
     if numeric_epoch:

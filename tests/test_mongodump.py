@@ -99,6 +99,21 @@ def test_empty_dump_raises(spark, tmp_path):
         read_mongodump(spark, str(path))
 
 
+def test_malformed_line_failfast_names_file_and_line(spark, tmp_path):
+    path = tmp_path / "bad.jsonl"
+    path.write_text('{"a": 1}\nNOT JSON AT ALL\n{"a": 3}\n')
+    with pytest.raises(Exception) as exc:
+        read_mongodump(spark, str(path))
+    assert "bad.jsonl:2" in str(exc.value)
+
+
+def test_malformed_line_permissive_skips(spark, tmp_path):
+    path = tmp_path / "mixed.jsonl"
+    path.write_text('{"a": 1}\nNOT JSON\n[1, 2]\n{"a": 3}\n')
+    df = read_mongodump(spark, str(path), mode="permissive")
+    assert sorted(r["a"] for r in df.collect()) == [1, 3]
+
+
 def test_infer_fields_skip_drops_mixed_scalar_nested_field():
     """A field that is scalar in some docs and nested in others must be
     dropped WHOLESALE under skip (a scalar read schema would choke on
