@@ -32,7 +32,12 @@ def _as_stream_dir(path: str) -> str:
     return staged
 
 
-def _open_event_stream(spark: SparkSession, events_path: str, staged_dir: str) -> DataFrame:
+def _open_event_stream(
+    spark: SparkSession,
+    events_path: str,
+    staged_dir: str,
+    reader_options: dict | None = None,
+) -> DataFrame:
     """readStream over a staged directory with the raw parquet schema,
     then the same timestamp normalization as the batch path: legacy
     bigint-nanos → TIMESTAMP via µs truncation, TIMESTAMP_NTZ →
@@ -50,7 +55,10 @@ def _open_event_stream(spark: SparkSession, events_path: str, staged_dir: str) -
 
     _ensure_nanos_conf(spark)
     static = spark.read.parquet(events_path)
-    stream = spark.readStream.schema(static.schema).parquet(staged_dir)
+    reader = spark.readStream.schema(static.schema)
+    for key, value in (reader_options or {}).items():
+        reader = reader.option(key, value)
+    stream = reader.parquet(staged_dir)
     if dict(static.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return normalize_ntz_timestamps(stream)
@@ -349,11 +357,14 @@ def run_streaming_parquet_sink(
     out_name: str = "stream_parquet_sink",
 ) -> DataFrame:
     """Streaming EL: file-source stream → parquet file sink with a
-    checkpoint — the production topology for continuous ingestion
-    (exactly-once via the sink's transaction log + checkpointed source
-    offsets; a restart resumes from the checkpoint instead of
-    re-writing). Output and checkpoint are cleared per run so the
-    bounded drain is deterministic; returns the re-read output."""
+    checkpoint, driven by ``Trigger.AvailableNow`` — the
+    scheduled-incremental-ingest production pattern: process everything
+    available in rate-limited micro-batches (``maxFilesPerTrigger``),
+    then self-terminate; the next scheduled run resumes from the
+    checkpointed offsets and processes only NEW files. Exactly-once via
+    the sink's transaction log + checkpointed source offsets. Output
+    and checkpoint are cleared per run so the bounded drain is
+    deterministic; returns the re-read output."""
     import shutil
     import tempfile
 
@@ -361,16 +372,19 @@ def run_streaming_parquet_sink(
     out_dir = os.path.join(base, "data")
     ckpt_dir = os.path.join(base, "checkpoint")
     shutil.rmtree(base, ignore_errors=True)
-    stream = read_event_stream(spark, events_path)
+    stream = _open_event_stream(
+        spark,
+        events_path,
+        _as_stream_dir(events_path),
+        reader_options={"maxFilesPerTrigger": "1"},  # bounded batch size
+    )
     query = (
         stream.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", ckpt_dir)
         .outputMode("append")
+        .trigger(availableNow=True)
         .start()
     )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    query.awaitTermination()  # availableNow self-terminates when drained
     return spark.read.parquet(out_dir)
