@@ -103,6 +103,75 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
     return feats
 
 
+def parse_image_dimensions(payload: bytes):
+    """REAL (not stubbed) container-header parse in pure Python — no
+    codec libraries: PNG IHDR, GIF logical screen descriptor, JPEG SOF
+    marker scan. This is the pipeline stage that filters by resolution
+    BEFORE paying for pixel decode; only the pixel decode itself stays
+    stubbed in this environment.
+
+    Returns (mime, width, height) or None for unrecognized payloads."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        return (
+            "image/png",
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+        )
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        return (
+            "image/gif",
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+        )
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI; scan segments for SOF
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                return None  # corrupt segment stream
+            marker = payload[i + 1]
+            # SOF0-SOF15 carry dimensions, except DHT/JPG/DAC (C4/C8/CC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    "image/jpeg",
+                    int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    int.from_bytes(payload[i + 5 : i + 7], "big"),
+                )
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            i += 2 + seg_len
+        return None
+    return None
+
+
+IMAGE_DIMS_SCHEMA = "doc_id bigint, mime string, width int, height int"
+
+
+def image_dimensions(df: DataFrame) -> DataFrame:
+    """Arrow-batched header parse over (doc_id, payload): emits
+    (mime, width, height) per image, nulls for unrecognized payloads.
+    Map-side only — pipelines with the scan, no shuffle."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def parse_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            parsed = [
+                parse_image_dimensions(bytes(p or b"")) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [p[0] if p else None for p in parsed],
+                    "width": [p[1] if p else None for p in parsed],
+                    "height": [p[2] if p else None for p in parsed],
+                }
+            )
+
+    return df.mapInPandas(parse_batches, IMAGE_DIMS_SCHEMA)
+
+
 _EXT_MIME = {
     "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
     "gif": "image/gif", "webp": "image/webp",

@@ -110,6 +110,85 @@ def multimodal_decode_features(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_image_dims",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 'image/png'
+                WHEN 1 THEN 'image/gif'
+                ELSE 'image/jpeg' END AS mime,
+           CAST(n_chars AS INT) AS width,
+           CAST(doc_id % 256 + 1 AS INT) AS height
+    FROM documents
+    """,
+    doc="REAL (non-stubbed) media decode step: container-header "
+        "dimension parsing in pure Python — PNG IHDR, GIF logical "
+        "screen descriptor, JPEG SOF marker scan (through an APP0 "
+        "segment, exercising segment skipping). Each doc gets a "
+        "synthetic but format-correct header (format by doc_id % 3, "
+        "width = n_chars, height = doc_id % 256 + 1); the parser's "
+        "round-trip must reproduce those values exactly, which the "
+        "oracle computes directly from the table. This is the "
+        "resolution-filter stage that runs BEFORE paying for pixel "
+        "decode (which stays stubbed: no codec libs here); map-side "
+        "only, no shuffle",
+)
+def multimodal_image_dims(spark, sf_dir):
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    spark_docs = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    ensure_shipped(spark)
+
+    def make_payloads(batches):
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w, h = int(n_chars), int(doc_id) % 256 + 1
+                fmt = int(doc_id) % 3
+                if fmt == 0:  # PNG: magic + IHDR
+                    p = (
+                        b"\x89PNG\r\n\x1a\n"
+                        + struct.pack(">I", 13)
+                        + b"IHDR"
+                        + struct.pack(">II", w, h)
+                        + b"\x08\x06\x00\x00\x00"
+                        + b"\x00" * 4
+                    )
+                elif fmt == 1:  # GIF: magic + logical screen descriptor
+                    p = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+                else:  # JPEG: SOI + APP0 (skipped) + SOF0
+                    app0 = (
+                        b"\xff\xe0"
+                        + struct.pack(">H", 16)
+                        + b"JFIF\x00"
+                        + b"\x00" * 9
+                    )
+                    sof0 = (
+                        b"\xff\xc0"
+                        + struct.pack(">H", 17)
+                        + b"\x08"
+                        + struct.pack(">HH", h, w)
+                        + b"\x03"
+                        + b"\x00" * 10
+                    )
+                    p = b"\xff\xd8" + app0 + sof0
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = spark_docs.mapInPandas(
+        make_payloads, "doc_id bigint, payload binary"
+    )
+    return ops.image_dimensions(with_payload)
+
+
 def _frame_sample_oracle() -> str:
     fb = ops.FRAME_BYTES
     ev = ops.FRAME_SAMPLE_EVERY

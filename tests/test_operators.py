@@ -645,3 +645,34 @@ def test_tws_user_totals_matches_batch(spark, sf_dir):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-5
+
+
+def test_parse_image_dimensions_headers():
+    """Pure-Python container-header parser: PNG/GIF/JPEG dimensions,
+    JPEG segment skipping, and graceful None on garbage."""
+    import struct
+
+    from mongo2pq_spark.operators.multimodal import parse_image_dimensions
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    )
+    assert parse_image_dimensions(png) == ("image/png", 640, 480)
+
+    gif = b"GIF87a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert parse_image_dimensions(gif) == ("image/gif", 320, 200)
+
+    # JPEG: SOI + APP0 + DHT (both must be skipped) + SOF2 (progressive)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dht = b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+    sof2 = (
+        b"\xff\xc2" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 10
+    )
+    jpeg = b"\xff\xd8" + app0 + dht + sof2
+    assert parse_image_dimensions(jpeg) == ("image/jpeg", 1920, 1080)
+
+    assert parse_image_dimensions(b"not an image") is None
+    assert parse_image_dimensions(b"") is None
+    assert parse_image_dimensions(b"\xff\xd8\x00garbage") is None
