@@ -206,3 +206,35 @@ def case_when_bucketing(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
+
+
+@register(
+    "variant_props_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT)
+               AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Spark-4 VARIANT surface for semi-structured data: parse_json "
+        "into the binary variant encoding once, then typed variant_get "
+        "path extraction — at scale this replaces repeated per-path "
+        "string JSON parsing (each get_json_object call re-parses the "
+        "string; variant parses once and navigates the binary form). "
+        "The oracle mirrors with DuckDB json_extract",
+)
+def variant_props_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )

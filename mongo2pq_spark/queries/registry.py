@@ -78,6 +78,7 @@ _DRIVER_WINDOW_FIRST = [
     "streaming_foreach_batch_upsert",
     "dq_audit_lineitem",
     "multimodal_image_dims",
+    "variant_props_extract",
     # STALE rotation (verdict r5 #5): latest driver rows predate the
     # round-3 testdata regeneration (r2 rows, different parquet bytes)
     "el_partitioned_roundtrip",
@@ -106,7 +107,6 @@ _DRIVER_WINDOW_FIRST = [
     "string_functions",
     "date_functions",
     "json_extract_props",
-    "array_functions",
 ]
 
 
