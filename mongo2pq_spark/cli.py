@@ -48,6 +48,7 @@ def main(
     dedup_id_col: str | None = None,
     single_file: bool = False,
     compression: str | None = None,
+    source_format: str = "auto",
     spark=None,
 ) -> int:
     from mongo2pq_spark.config import parse_config
@@ -61,7 +62,9 @@ def main(
     outdir = Path(outdir)
 
     try:
-        readers = _collection_readers(spark, uri, db, collections)
+        readers = _collection_readers(
+            spark, uri, db, collections, source_format=source_format
+        )
     except ConnectionError as err:
         print(f"Error: could not connect to source: {err}", file=sys.stderr)
         return 1
@@ -158,8 +161,20 @@ def main(
     return 1 if failures else 0
 
 
-def _collection_readers(spark, uri: str, db: str | None, collections: list[str] | None):
-    """name → zero-arg DataFrame factory for each collection."""
+def _collection_readers(
+    spark,
+    uri: str,
+    db: str | None,
+    collections: list[str] | None,
+    source_format: str = "auto",
+):
+    """name → zero-arg DataFrame factory for each collection.
+
+    ``source_format="mongodump"`` routes file: JSON-lines through the
+    extended-JSON dump reader (``read_mongodump``): $oid/$date/
+    $numberLong wrappers unwrap per the reference's BSON decode rules
+    instead of surfacing as nested structs. ``auto`` keeps the plain
+    per-suffix readers."""
     if uri.startswith("file:"):
         root = Path(uri.removeprefix("file:"))
         if db:
@@ -173,6 +188,13 @@ def _collection_readers(spark, uri: str, db: str | None, collections: list[str] 
         }
         if collections:
             found = {n: p for n, p in found.items() if n in collections}
+        if source_format == "mongodump":
+            from mongo2pq_spark.sources.mongodump import read_mongodump
+
+            return {
+                name: (lambda p=path: read_mongodump(spark, str(p)))
+                for name, path in found.items()
+            }
         from mongo2pq_spark.sources.registry import read_table
 
         return {name: (lambda p=path: read_table(spark, p)) for name, path in found.items()}
@@ -223,6 +245,12 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
     parser.add_argument("--max-records-per-file", type=int, default=None,
                         help="cap rows per output parquet file (small-file "
                              "control's dual: prevents giant single files)")
+    parser.add_argument("--source-format", default="auto",
+                        choices=("auto", "mongodump"),
+                        help="file: source interpretation: auto = plain "
+                             "parquet/jsonl/csv readers; mongodump = "
+                             "extended-JSON dumps ($oid/$date/$numberLong "
+                             "unwrapped per Mongo's BSON decode rules)")
     parser.add_argument("--compression", default=None,
                         help="parquet codec for the sink (e.g. zstd, snappy, "
                              "gzip; default: session default, snappy) — cold "
@@ -287,6 +315,7 @@ def run(argv: list[str] | None = None) -> int:
         dedup_id_col=args.dedup_id_col,
         single_file=args.single_file,
         compression=args.compression,
+        source_format=args.source_format,
     )
 
 

@@ -114,6 +114,46 @@ def test_malformed_line_permissive_skips(spark, tmp_path):
     assert sorted(r["a"] for r in df.collect()) == [1, 3]
 
 
+def test_cli_mongodump_source_format(spark, tmp_path):
+    """CLI end-to-end over a real mongoexport-style dump: with
+    --source-format mongodump the wrappers unwrap (ObjectId → string,
+    $date → timestamp) and the EL output carries proper types instead
+    of nested structs."""
+    import json as jsonlib
+
+    from mongo2pq_spark.cli import main as cli_main
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    docs = [
+        {
+            "_id": {"$oid": f"64b0c0ffee64b0c0ffee{i:04d}"},
+            "ts": {"$date": "2024-01-05T10:20:30.123456"},
+            "amount": {"$numberLong": str(100 + i)},
+            "label": f"row{i}",
+        }
+        for i in range(20)
+    ]
+    (src / "ledger.jsonl").write_text(
+        "\n".join(jsonlib.dumps(d) for d in docs) + "\n"
+    )
+    rc = cli_main(
+        f"file:{src}",
+        outdir=out,
+        samples=20,
+        source_format="mongodump",
+        use_source_types=True,
+        spark=spark,
+    )
+    assert rc == 0
+    back = spark.read.parquet(str(out / "ledger.parquet"))
+    dtypes = dict(back.dtypes)
+    assert dtypes["_id"] == "string"
+    assert dtypes["ts"] == "timestamp"
+    assert back.count() == 20
+
+
 def test_infer_fields_skip_drops_mixed_scalar_nested_field():
     """A field that is scalar in some docs and nested in others must be
     dropped WHOLESALE under skip (a scalar read schema would choke on
