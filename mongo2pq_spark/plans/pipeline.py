@@ -68,6 +68,7 @@ def extract_load_collection(
     single_file: bool = False,
     compression: str | None = None,
     metrics: dict | None = None,
+    dynamic_partition_overwrite: bool = False,
 ) -> str:
     """Run the EL pipe for one collection; returns the dataset path
     (``<outdir>/<name>.parquet``, same naming as the reference).
@@ -85,6 +86,12 @@ def extract_load_collection(
     ``metrics``: pass a dict to receive write-job observation metrics
     (currently ``rows_written``) measured by the write itself — no
     second scan.
+
+    ``dynamic_partition_overwrite``: with ``mode="overwrite"`` and a
+    ``partition_key``, only the hive partitions PRESENT IN ``df`` are
+    replaced; untouched partitions survive. This is the incremental
+    backfill pattern — re-extract one day/segment without rewriting
+    (or losing) the rest of a 100 TB dataset.
 
     ``single_file`` reproduces the reference's exact layout — ONE
     parquet file per collection (extract_load.py:40-45) via
@@ -117,6 +124,12 @@ def extract_load_collection(
         # One shuffle on the key co-locates each hive partition's rows.
         projected = projected.repartition(partition_key)
     writer = projected.write.mode(mode)
+    if dynamic_partition_overwrite:
+        if not partition_key:
+            raise ValueError(
+                "dynamic_partition_overwrite requires a partition_key"
+            )
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if compression:
         writer = writer.option("compression", compression)
     if max_records_per_file:

@@ -297,6 +297,48 @@ def test_parallel_collections_and_file_cap(spark, sf_dir, tmp_path):
     assert all(pq.read_metadata(p).num_rows <= 300 for p in parts)
 
 
+def test_dynamic_partition_overwrite_backfill(spark, sf_dir, tmp_path):
+    """Incremental backfill: overwriting with only ONE partition's data
+    under dynamic mode replaces that partition and leaves the rest of
+    the dataset untouched (static overwrite would wipe them)."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.plans.pipeline import extract_load_collection
+    from mongo2pq_spark.schema.model import Schema
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    df = read_sf_table(spark, sf_dir, "events")
+    schema = Schema.from_df("events_dyn", df)
+    path = extract_load_collection(
+        df, schema, tmp_path, partition_key="event_type"
+    )
+    before = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+
+    # re-extract ONLY the click partition, doubled
+    clicks = df.filter(F.col("event_type") == "click")
+    doubled = clicks.unionByName(clicks)
+    extract_load_collection(
+        doubled,
+        schema,
+        tmp_path,
+        partition_key="event_type",
+        dynamic_partition_overwrite=True,
+    )
+    after = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert after["click"] == 2 * before["click"]
+    for etype, n in before.items():
+        if etype != "click":
+            assert after[etype] == n  # untouched partitions survive
+
+
 def test_write_observation_metrics(spark, sf_dir, tmp_path):
     """rows_written is measured by the write job itself (Observation on
     the sink projection) — it must equal the actual row count with no

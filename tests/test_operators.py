@@ -676,3 +676,32 @@ def test_parse_image_dimensions_headers():
     assert parse_image_dimensions(b"not an image") is None
     assert parse_image_dimensions(b"") is None
     assert parse_image_dimensions(b"\xff\xd8\x00garbage") is None
+
+
+def test_normalized_fingerprint_invariance(spark):
+    """The incremental-dedup fingerprint must be invariant under token
+    permutation and repetition, and must separate distinct token sets
+    (seeded generation, one Spark job for all cases)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.dedup import normalized_token_fingerprint
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    pairs = []
+    for _ in range(200):
+        base = rng.sample(vocab, rng.randint(1, 20))
+        variant = base * rng.randint(1, 3)
+        rng.shuffle(variant)
+        pairs.append((" ".join(base), " ".join(variant)))
+    df = spark.createDataFrame(pairs, "a string, b string")
+    fp = normalized_token_fingerprint
+    same = df.filter(fp(F.col("a")) != fp(F.col("b"))).count()
+    assert same == 0
+    # adding a token NOT in the vocab must change the fingerprint
+    changed = df.filter(
+        fp(F.col("a")) == fp(F.concat(F.col("a"), F.lit(" zzz")))
+    ).count()
+    assert changed == 0
