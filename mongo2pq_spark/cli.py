@@ -49,6 +49,7 @@ def main(
     single_file: bool = False,
     compression: str | None = None,
     source_format: str = "auto",
+    dynamic_partition_overwrite: bool = False,
     spark=None,
 ) -> int:
     from mongo2pq_spark.config import parse_config
@@ -128,6 +129,7 @@ def main(
             single_file=single_file,
             compression=compression,
             metrics=metrics,
+            dynamic_partition_overwrite=dynamic_partition_overwrite,
         )
         # rows-written observed by the write job itself (no recount) —
         # the reference's tqdm progress accounting, Spark-style
@@ -251,6 +253,10 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
                              "parquet/jsonl/csv readers; mongodump = "
                              "extended-JSON dumps ($oid/$date/$numberLong "
                              "unwrapped per Mongo's BSON decode rules)")
+    parser.add_argument("--dynamic-partition-overwrite", action="store_true",
+                        help="overwrite only the hive partitions present in "
+                             "the extracted data (incremental backfill); "
+                             "requires -p/--partition")
     parser.add_argument("--compression", default=None,
                         help="parquet codec for the sink (e.g. zstd, snappy, "
                              "gzip; default: session default, snappy) — cold "
@@ -316,6 +322,7 @@ def run(argv: list[str] | None = None) -> int:
         single_file=args.single_file,
         compression=args.compression,
         source_format=args.source_format,
+        dynamic_partition_overwrite=args.dynamic_partition_overwrite,
     )
 
 
