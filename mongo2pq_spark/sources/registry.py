@@ -158,8 +158,16 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
     ``id(sparkContext)``, which CPython recycles after GC: a recycled
     id would silently skip the conf for a brand-new context. The set
     grows one short string per application ever seen in this process
-    (bounded by session churn, effectively one)."""
-    key = spark.sparkContext.applicationId
+    (bounded by session churn, effectively one).
+
+    Spark Connect sessions expose no driver-side SparkContext; there
+    the app id comes from the conf, so the shared read path stays
+    Connect-clean (classic-only touchpoints elsewhere are listed in
+    SCALING.md)."""
+    try:
+        key = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no sparkContext on the client
+        key = spark.conf.get("spark.app.id", "spark-connect-session")
     if key not in _NANOS_CONF_SET:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
