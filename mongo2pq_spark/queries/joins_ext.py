@@ -349,3 +349,26 @@ def median_value_by_type(spark, sf_dir):
         F.round(F.percentile("value", 0.5), 6).alias("median_value"),
         F.round(F.percentile("value", 0.95), 6).alias("p95_value"),
     )
+
+
+@register(
+    "approx_topk_event_types",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+    doc="approx_top_k frequency sketch (Spark-4): one-pass mergeable "
+        "top-k item counting — at 100 TB this bounds memory at "
+        "maxItemsTracked entries per partial where an exact per-key "
+        "count would not. With maxItemsTracked ≥ the distinct "
+        "cardinality the sketch degenerates to EXACT counts, so the "
+        "oracle here is the exact GROUP BY — a full value oracle for "
+        "the sketch code path (the heavy-hitters exact query covers "
+        "the skew-probe use; this covers the sketch API)",
+)
+def approx_topk_event_types(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    sketch = e.agg(F.expr("approx_top_k(event_type, 10)").alias("tk"))
+    return sketch.select(F.explode("tk").alias("x")).select(
+        F.col("x.item").alias("event_type"),
+        F.col("x.count").cast("bigint").alias("n"),
+    )

@@ -79,6 +79,7 @@ _DRIVER_WINDOW_FIRST = [
     "dq_audit_lineitem",
     "multimodal_image_dims",
     "variant_props_extract",
+    "approx_topk_event_types",
     # STALE rotation (verdict r5 #5): latest driver rows predate the
     # round-3 testdata regeneration (r2 rows, different parquet bytes)
     "el_partitioned_roundtrip",
@@ -106,7 +107,6 @@ _DRIVER_WINDOW_FIRST = [
     "user_session_stats",
     "string_functions",
     "date_functions",
-    "json_extract_props",
 ]
 
 
