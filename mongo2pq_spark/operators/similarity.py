@@ -232,25 +232,42 @@ def lsh_multi_assignments(
     )
 
 
-def _cap_buckets(assignments: DataFrame, max_bucket_size: int) -> DataFrame:
+#: past this many oversized (table, bucket) entries the guard stops
+#: forcing a broadcast — L·n/cap is small for real corpora, but a
+#: pathological one (everything in a handful of buckets at a tiny cap)
+#: could push the build side past the driver's broadcast limit
+OVERSIZED_BROADCAST_LIMIT = 1_000_000
+
+
+def _cap_buckets(
+    assignments: DataFrame,
+    max_bucket_size: int,
+    broadcast_limit: int = OVERSIZED_BROADCAST_LIMIT,
+) -> DataFrame:
     """Drop every (table, bucket) group larger than the cap BEFORE the
     self-join — the guard that keeps candidate generation linear.
 
     The oversized-bucket set is bounded at L·n/cap entries (each holds
-    > cap of the L·n assignment rows), so it always broadcasts: the
+    > cap of the L·n assignment rows), so it normally broadcasts: the
     guard is a map-side-combinable count + a broadcast anti-join —
     never a window, which would shuffle the FULL assignment stream by
     (table, bucket) just to count it (same pattern as the hot-shingle
-    guard in ngram dedup)."""
+    guard in ngram dedup). The hint is gated on an exact count of the
+    oversized set (one extra map-side agg over the caller-cached
+    assignment stream): a degenerate corpus whose oversized set
+    exceeds ``broadcast_limit`` falls back to an unhinted join and
+    lets AQE pick the strategy at runtime — unconditionally safe."""
     oversized = (
         assignments.groupBy("table_id", "bucket")
         .agg(F.count("*").alias("bucket_n"))
         .filter(F.col("bucket_n") > max_bucket_size)
         .select("table_id", "bucket")
     )
-    return assignments.join(
-        F.broadcast(oversized), ["table_id", "bucket"], "left_anti"
+    n_oversized = oversized.count()
+    probe = (
+        F.broadcast(oversized) if n_oversized <= broadcast_limit else oversized
     )
+    return assignments.join(probe, ["table_id", "bucket"], "left_anti")
 
 
 def lsh_candidate_pairs(

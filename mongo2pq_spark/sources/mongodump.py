@@ -66,6 +66,45 @@ def _parse_iso(s: str) -> datetime:
     return datetime.fromisoformat(s)
 
 
+#: everything a corrupt wrapper value can raise while unwrapping:
+#: int("x")/float("x") → ValueError, fromisoformat(garbage) →
+#: ValueError, fromtimestamp overflow → OverflowError/OSError,
+#: a non-string inside a wrapper → TypeError. Permissive mode must
+#: skip ALL of these — "one corrupt export line must not fail the
+#: whole job" covers corrupt wrappers, not just corrupt JSON.
+_DECODE_ERRORS = (ValueError, TypeError, OverflowError, OSError)
+
+
+def flatten_doc(doc: dict, sep: str = ".") -> dict:
+    """Flatten nested subdocuments into dotted-path keys, recursively
+    (``{"a": {"b": {"c": 1}}}`` → ``{"a.b.c": 1}``). Applied AFTER
+    extended-JSON unwrapping, so type wrappers are already scalars and
+    only genuine subdocuments flatten. Lists are left in place (no
+    positional flattening) — under ``on_nested="flatten"`` a
+    list-valued field then falls to the skip rule. A dotted key
+    colliding with a flattened path resolves last-wins (insertion
+    order of the source document)."""
+    out: dict = {}
+    for k, v in doc.items():
+        if isinstance(v, dict):
+            for sk, sv in flatten_doc(v, sep).items():
+                out[f"{k}{sep}{sk}"] = sv
+        else:
+            out[k] = v
+    return out
+
+
+def _decode_line(line: str, flatten: bool) -> dict:
+    """json.loads + wrapper unwrap (+ optional subdoc flattening) —
+    the full per-line decode, inside ONE error boundary so permissive
+    mode skips corrupt wrappers exactly like corrupt JSON."""
+    raw = json.loads(line)
+    if not isinstance(raw, dict):
+        raise ValueError("line is not a JSON object")
+    doc = {k: unwrap_extended_json(v) for k, v in raw.items()}
+    return flatten_doc(doc) if flatten else doc
+
+
 class _DumpFilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -85,6 +124,14 @@ class MongoDumpReader(DataSourceReader):
             )
         if not self._path:
             raise ValueError("mongodump source requires a 'path' option")
+        # dotted-path subdocument flattening (on_nested="flatten")
+        self._flatten = options.get("flatten", "false").lower() == "true"
+        # fields read as DOUBLE epoch seconds (the ±5-year heuristic):
+        # a document carrying a $date wrapper for such a field (mixed
+        # raw-number / wrapper representation) unwraps to a datetime —
+        # the reader converts it so one consistent type reaches Spark
+        epoch = options.get("epochfields", "")
+        self._epoch_fields = frozenset(f for f in epoch.split(",") if f)
 
     def partitions(self):
         if os.path.isdir(self._path):
@@ -104,18 +151,26 @@ class MongoDumpReader(DataSourceReader):
                 if not line:
                     continue
                 try:
-                    raw = json.loads(line)
-                    if not isinstance(raw, dict):
-                        raise ValueError("line is not a JSON object")
-                except ValueError as exc:
+                    doc = _decode_line(line, self._flatten)
+                except _DECODE_ERRORS as exc:
                     if self._mode == "permissive":
                         continue
                     raise ValueError(
                         f"malformed extended-JSON at {partition.path}:"
                         f"{lineno}: {exc}"
                     ) from exc
-                doc = {k: unwrap_extended_json(v) for k, v in raw.items()}
-                yield tuple(doc.get(name) for name in self._fields)
+                yield tuple(
+                    self._field_value(doc, name) for name in self._fields
+                )
+
+    def _field_value(self, doc: dict, name: str):
+        value = doc.get(name)
+        if name in self._epoch_fields and isinstance(value, datetime):
+            # unwrap produces naive-UTC datetimes; deliver epoch
+            # seconds (float keeps sub-second fidelity) for fields the
+            # heuristic typed from raw numbers
+            return value.replace(tzinfo=timezone.utc).timestamp()
+        return value
 
 
 class MongoDumpDataSource(DataSource):
@@ -160,15 +215,26 @@ def read_mongodump(
     does the same two-step: int/float passthrough into an Arrow
     ``timestamp[s]`` column, schema.py:142-150).
 
+    A field mixing raw-number and ``$date``-wrapper representations is
+    typed from ALL sampled values: any raw-number occurrence forces
+    the DOUBLE path, and the reader converts wrapper-decoded datetimes
+    of that field to epoch seconds so one consistent type reaches the
+    scan (first-value-only sampling used to mistype such fields).
+
     ``on_nested="skip"`` (default) drops subdocument/array fields from
     the schema with a warning so real mongoexports load;
     ``on_nested="raise"`` is reference parity (schema.py:331-335 fails
-    on any nested value).
+    on any nested value); ``on_nested="flatten"`` flattens
+    subdocuments into dotted-path columns (``meta.kind``) — the mode a
+    real mongoexport user usually wants — with list-valued fields
+    still falling to the skip rule (no positional flattening).
 
     ``mode``: ``failfast`` (default) dies on the first malformed line
-    with file:line context; ``permissive`` skips malformed lines in
-    both the driver-side sample and the distributed read — at scale
-    one corrupt export line must not fail the whole job.
+    — corrupt JSON or a corrupt type wrapper like
+    ``{"$numberLong": "x"}`` — with file:line context; ``permissive``
+    skips such lines in both the driver-side sample and the
+    distributed read: at scale one corrupt export line must not fail
+    the whole job.
     """
     import pyarrow as pa
     from pyspark.sql import functions as F
@@ -185,6 +251,11 @@ def read_mongodump(
         )
     else:
         files = [path]
+    if on_nested not in ("raise", "skip", "flatten"):
+        raise ValueError(
+            f"on_nested must be 'raise', 'skip' or 'flatten', got {on_nested!r}"
+        )
+    flatten = on_nested == "flatten"
     rows = []
     for fp in files:
         if len(rows) >= sample_lines:
@@ -195,39 +266,49 @@ def read_mongodump(
                 if not line:
                     continue
                 try:
-                    raw = json.loads(line)
-                    if not isinstance(raw, dict):
-                        raise ValueError("line is not a JSON object")
-                except ValueError as exc:
+                    rows.append(_decode_line(line, flatten))
+                except _DECODE_ERRORS as exc:
                     if mode == "permissive":
                         continue
                     raise ValueError(
                         f"malformed extended-JSON at {fp}:{lineno}: {exc}"
                     ) from exc
-                rows.append(
-                    {k: unwrap_extended_json(v) for k, v in raw.items()}
-                )
                 if len(rows) >= sample_lines:
                     break
     if not rows:
         raise ValueError(f"mongodump at {path!r} contains no documents")
-    fields = infer_fields_from_rows(rows, on_nested=on_nested)
+    # flatten already removed subdocs; remaining nested values (lists,
+    # or subdocs under skip/raise) go through the requested rule
+    fields = infer_fields_from_rows(
+        rows, on_nested="skip" if flatten else on_nested
+    )
 
     # timestamp[s] fields whose sampled values are raw numbers (the
-    # epoch heuristic) vs unwrapped $date datetimes: only the numeric
-    # ones need the DOUBLE read schema + cast
-    def _first_value(name):
-        return next(
-            (r[name] for r in rows if r.get(name) is not None), None
+    # epoch heuristic) need the DOUBLE read schema + cast. Decided
+    # from ALL sampled values, not the first: a field mixing $date
+    # wrappers (→ datetimes) with raw epoch numbers must take the
+    # DOUBLE path for every row (the reader converts the datetimes to
+    # epoch seconds), or the scan would see two incompatible Python
+    # types. The unify lattice alone would degrade such a mixed field
+    # (timestamp[s] ⊔ date64 → string), so it is forced back to
+    # timestamp[s] here — both representations mean "point in time".
+    from mongo2pq_spark.schema.inference import is_epoch_timestamp
+
+    def _is_raw_epoch(v) -> bool:
+        return (
+            isinstance(v, (int, float))
+            and not isinstance(v, bool)
+            and is_epoch_timestamp(v)
         )
 
-    numeric_epoch = {
-        name
-        for name, dtype in fields.items()
-        if isinstance(dtype, pa.TimestampType)
-        and isinstance(_first_value(name), (int, float))
-        and not isinstance(_first_value(name), (bool, datetime))
-    }
+    numeric_epoch: set[str] = set()
+    for name in list(fields):
+        vals = [r.get(name) for r in rows if r.get(name) is not None]
+        if any(_is_raw_epoch(v) for v in vals) and all(
+            _is_raw_epoch(v) or isinstance(v, datetime) for v in vals
+        ):
+            fields[name] = pa.timestamp("s")
+            numeric_epoch.add(name)
     register_mongodump_source(spark)
     raw_fields = [
         StructField(
@@ -242,14 +323,21 @@ def read_mongodump(
         .schema(StructType(raw_fields))
         .option("path", path)
         .option("mode", mode)
+        .option("flatten", "true" if flatten else "false")
+        .option("epochfields", ",".join(sorted(numeric_epoch)))
         .load()
     )
     if numeric_epoch:
+        # dotted flattened names need backtick quoting or F.col reads
+        # them as struct navigation
+        def q(c: str):
+            return F.col("`" + c.replace("`", "``") + "`")
+
         df = df.select(
             *[
-                F.timestamp_seconds(F.col(c)).alias(c)
+                F.timestamp_seconds(q(c)).alias(c)
                 if c in numeric_epoch
-                else F.col(c)
+                else q(c)
                 for c in df.columns
             ]
         )

@@ -164,3 +164,84 @@ def test_infer_fields_skip_drops_mixed_scalar_nested_field():
     fields = infer_fields_from_rows(rows, on_nested="skip")
     assert "a" not in fields
     assert "b" in fields
+
+
+def test_corrupt_wrapper_permissive_skips(spark, tmp_path):
+    """A corrupt type WRAPPER (valid JSON, garbage inside) is the same
+    corruption class as a malformed line: permissive skips it instead
+    of failing the whole job."""
+    path = tmp_path / "wrap.jsonl"
+    path.write_text(
+        '{"a": 1}\n'
+        '{"a": 2, "w": {"$numberLong": "x"}}\n'
+        '{"a": 3, "w": {"$date": "garbage"}}\n'
+        '{"a": 4}\n'
+    )
+    df = read_mongodump(spark, str(path), mode="permissive")
+    assert sorted(r["a"] for r in df.collect()) == [1, 4]
+
+
+def test_corrupt_wrapper_failfast_names_file_and_line(spark, tmp_path):
+    path = tmp_path / "wrap2.jsonl"
+    path.write_text('{"a": 1}\n{"a": 2, "w": {"$numberLong": "x"}}\n')
+    with pytest.raises(Exception) as exc:
+        read_mongodump(spark, str(path))
+    assert "wrap2.jsonl:2" in str(exc.value)
+
+
+def test_mixed_epoch_and_date_wrapper_field(spark, tmp_path):
+    """A field mixing raw epoch numbers with $date wrappers must be
+    typed from ALL sampled values: every row lands as a timestamp with
+    the wrapper rows exact to the microsecond."""
+    docs = [
+        {"name": "n1", "when": EPOCH_NOW},  # raw epoch int
+        {"name": "n2", "when": {"$date": "2024-01-05T10:20:30.123456"}},
+        {"name": "n3", "when": EPOCH_NOW + 5},
+    ]
+    path = tmp_path / "mixed_epoch.jsonl"
+    path.write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+    df = read_mongodump(spark, str(path))
+    assert dict(df.dtypes)["when"] == "timestamp"
+    got = {r["name"]: r["when"] for r in df.collect()}
+    assert got["n1"] == datetime.fromtimestamp(
+        EPOCH_NOW, tz=timezone.utc
+    ).replace(tzinfo=None)
+    assert got["n2"] == datetime(2024, 1, 5, 10, 20, 30, 123456)
+    assert got["n3"] == datetime.fromtimestamp(
+        EPOCH_NOW + 5, tz=timezone.utc
+    ).replace(tzinfo=None)
+
+
+def test_on_nested_flatten_dotted_columns(spark, dump_path):
+    """on_nested='flatten' delivers subdocument leaves as dotted-path
+    columns with full inference (strings, ints); lists still fall to
+    the skip rule."""
+    df = read_mongodump(spark, dump_path, on_nested="flatten")
+    dtypes = dict(df.dtypes)
+    assert dtypes["meta.kind"] == "string"
+    assert dtypes["meta.depth"] == "int"
+    assert "meta" not in df.columns
+    assert "tags" not in df.columns  # lists are never flattened
+    got = {r["name"]: r for r in df.collect()}
+    assert got["alpha"]["meta.kind"] == "click"
+    assert got["alpha"]["meta.depth"] == 2
+    assert got["beta"]["meta.kind"] is None  # doc without the subdoc
+
+
+def test_flatten_recurses_multiple_levels(spark, tmp_path):
+    docs = [
+        {"n": 1, "a": {"b": {"c": 7, "d": "x"}}},
+        {"n": 2, "a": {"b": {"c": 9, "d": "y"}}},
+    ]
+    path = tmp_path / "deep.jsonl"
+    path.write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+    df = read_mongodump(spark, str(path), on_nested="flatten")
+    rows = {r["n"]: r for r in df.collect()}
+    assert rows[1]["a.b.c"] == 7 and rows[2]["a.b.d"] == "y"
+
+
+def test_bad_on_nested_value_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_mongodump(None, "/nonexistent", on_nested="explode")

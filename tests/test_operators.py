@@ -705,3 +705,61 @@ def test_normalized_fingerprint_invariance(spark):
         fp(F.col("a")) == fp(F.concat(F.col("a"), F.lit(" zzz")))
     ).count()
     assert changed == 0
+
+
+def test_cap_buckets_drops_broadcast_hint_on_degenerate_corpus(spark):
+    """A pathological corpus where (nearly) every bucket is oversized
+    must NOT force-broadcast the oversized set: past the limit the
+    guard hands the anti-join to the planner/AQE (a forced broadcast
+    of an unbounded build side is the exact failure the cap exists to
+    prevent). Results must be identical either way."""
+    from mongo2pq_spark.operators.similarity import (
+        _cap_buckets,
+        cache_stream,
+        lsh_multi_assignments,
+    )
+
+    # identical vectors -> every table hashes everything into ONE
+    # bucket, so with cap=1 every bucket is oversized
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    asg = cache_stream(
+        lsh_multi_assignments(emb, n_tables=4, n_hyperplanes=3, dim=8)
+    )
+    hinted = _cap_buckets(asg, max_bucket_size=1)
+    unhinted = _cap_buckets(asg, max_bucket_size=1, broadcast_limit=0)
+    plan_hinted = hinted._jdf.queryExecution().analyzed().toString()
+    plan_unhinted = unhinted._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan_hinted
+    assert "ResolvedHint" not in plan_unhinted
+    # every assignment sits in an oversized bucket -> both paths empty
+    assert hinted.count() == 0
+    assert unhinted.count() == 0
+
+
+def test_cap_buckets_survivors_identical_with_and_without_hint(spark):
+    """On a mixed corpus the hinted and unhinted guards must keep the
+    exact same assignment rows."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.similarity import (
+        _cap_buckets,
+        cache_stream,
+        lsh_multi_assignments,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    rows += [(100 + i, [1.0] * 8) for i in range(30)]  # one hot bucket
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    asg = cache_stream(
+        lsh_multi_assignments(emb, n_tables=4, n_hyperplanes=3, dim=8)
+    )
+    key = lambda df: sorted(
+        (r.vec_id, r.table_id, r.bucket) for r in df.collect()
+    )
+    hinted = key(_cap_buckets(asg, max_bucket_size=5))
+    unhinted = key(_cap_buckets(asg, max_bucket_size=5, broadcast_limit=0))
+    assert hinted == unhinted and len(hinted) > 0
