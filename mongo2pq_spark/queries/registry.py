@@ -46,67 +46,69 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # NEW this round (never driver-checked): ts-filter pushdown probe
-    # + incremental corpus dedup
-    "events_time_slice",
-    "dedup_incremental_new_docs",
-    "udtf_token_runs",
-    "cogroup_asof_enrich",
-    "sketch_rollup_distinct_users",
-    # CHANGED this round: read_mongodump inference path (epoch ints,
-    # nested-skip) now backs the registered query
+    # NEW this round (never driver-checked): dotted-path subdocument
+    # flattening on the mongodump source
+    "el_mongodump_flatten",
+    # CHANGED this round: mongodump decode hardening (permissive now
+    # covers corrupt wrappers; epoch typing from ALL sampled values)
     "el_mongodump_scan",
-    # CHANGED this round: broadcast hints dropped from fact-scaling
-    # tables (planner/AQE decides) — re-verify the join results
-    "q3_top_unshipped",
-    "q5_local_supplier_volume",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    # CHANGED this round: streaming shares _ensure_nanos_conf (UTC pin)
-    # with the batch path; every streaming query reads through it
-    "streaming_window_counts",
-    "streaming_sliding_window_counts",
-    "streaming_stateful_sessions",
-    "streaming_dedup_events",
-    "streaming_stream_join",
-    "streaming_enrich_static",
-    "streaming_parquet_sink",
-    "streaming_session_windows",
+    # CHANGED this round: _cap_buckets gates its broadcast hint on an
+    # exact oversized count — re-verify both LSH consumers
+    "embedding_near_dup",
+    "ann_lsh_topk",
+    # CHANGED this round: foreachBatch upsert re-backed by a parquet
+    # store (per-batch partition overwrite) instead of a driver dict
     "streaming_foreach_batch_upsert",
-    "dq_audit_lineitem",
-    "multimodal_image_dims",
-    "variant_props_extract",
-    "approx_topk_event_types",
-    # STALE rotation (verdict r5 #5): latest driver rows predate the
-    # round-3 testdata regeneration (r2 rows, different parquet bytes)
-    "el_partitioned_roundtrip",
-    "dedup_minhash_candidates",
-    "dedup_minhash_jaccard_est",
-    "dedup_ngram_jaccard",
-    "dedup_near_clusters",
-    "dedup_simhash_fingerprints",
-    "dedup_simhash_pairs",
-    "dedup_near_cleaned_corpus",
-    "ann_topk_bruteforce",
-    "ann_lsh_buckets",
-    # STALE rotation: r1 driver rows, never re-checked since
-    "window_top_orders_per_customer",
-    "rollup_customer_counts",
-    "events_except",
-    "users_click_and_purchase",
-    "customers_without_orders",
-    "suppliers_with_shipments",
-    "event_type_matrix",
-    "sql_api_revenue_by_day",
-    "lag_lead_values",
-    "unpivot_event_counts",
-    "session_window_native",
-    "user_session_stats",
-    "string_functions",
-    "date_functions",
+    # STALE rotation (verdict r6 #1): latest driver rows predate the
+    # round-3 testdata regeneration (r1/r2 rows, different parquet
+    # bytes) — with 50 slots this retires the entire backlog
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "count_rows",
+    "distinct_values",
+    "partition_counts",
+    "limit_page",
+    "top_k",
+    "filter_equality",
+    "scan_projection",
+    "rename_projection",
+    "column_casts",
+    "falsy_suppression",
+    "speculative_parse",
+    "epoch_seconds",
+    "systematic_sample",
+    "merge_upsert_events",
+    "salted_join_revenue",
+    "asof_purchase_last_click",
+    "case_when_bucketing",
+    "cube_order_counts",
+    "median_value_by_type",
+    "percentile_approx_values",
+    "distinct_users_exact",
+    "distinct_users_approx",
+    "array_functions",
+    "math_functions",
+    "json_extract_props",
+    "json_schema_promotion",
+    "multimodal_metadata",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprints",
+    "text_winnow_fingerprints",
+    "text_tfidf_top_terms",
+    "text_top_bigrams",
+    "udf_text_normalize",
+    # FRESHNESS fill (r5 rows, the oldest remaining): the heaviest /
+    # least-SQL-like operators where a hard signal is worth most
+    "ann_ivf_recall",
+    "dedup_exact",
+    "range_join_click_attribution",
+    "events_rollup_gapfill",
+    "token_pack_greedy",
+    "multimodal_decode_features",
+    "udaf_user_value_gini",
+    "stratified_sample",
 ]
 
 

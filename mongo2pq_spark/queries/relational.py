@@ -533,3 +533,61 @@ def el_mongodump_scan(spark, sf_dir):
         F.max("ts").alias("max_ts"),
         F.max("created").alias("max_created"),
     )
+
+
+@register(
+    "el_mongodump_flatten",
+    """
+    SELECT event_type AS kind,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(user_id) AS BIGINT) AS sum_uid
+    FROM events GROUP BY event_type
+    """,
+    doc="on_nested='flatten' on the mongodump source: subdocuments "
+        "become dotted-path columns (`meta.kind`, `meta.uid`) with "
+        "full inference — the mode a real mongoexport user wants for "
+        "nested collections (the reference FAILS on any nested value, "
+        "/root/reference/mongo2pq/schema.py:331-335; on_nested='skip' "
+        "drops the field). The events table is staged as an "
+        "extended-JSON dump whose scalars are tucked INSIDE a `meta` "
+        "subdoc plus a list field (lists are never flattened — they "
+        "fall to the skip rule), read back distributed through the "
+        "flattening reader, and aggregated purely from the flattened "
+        "columns; must equal the batch aggregate of the original "
+        "table.",
+)
+def el_mongodump_flatten(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.sources.mongodump import read_mongodump
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    ev = read_sf_table(spark, sf_dir, "events")
+    oid = F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 24)
+    doc = F.to_json(
+        F.struct(
+            F.struct(oid.alias("$oid")).alias("_id"),
+            F.col("event_id"),
+            # the aggregation columns live INSIDE the subdoc: the
+            # query only works if flattening delivers them
+            F.struct(
+                F.col("event_type").alias("kind"),
+                F.col("user_id").alias("uid"),
+            ).alias("meta"),
+            F.array(F.col("event_type")).alias("tags"),  # skipped list
+        )
+    )
+    outdir = os.path.join(tempfile.gettempdir(), "el_mongodump_flat_out")
+    ev.select(doc.alias("value")).write.mode("overwrite").text(outdir)
+    back = read_mongodump(spark, outdir, on_nested="flatten")
+    assert "meta.kind" in back.columns and "meta" not in back.columns
+    assert "tags" not in back.columns
+    return back.groupBy(F.col("`meta.kind`").alias("kind")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(F.col("`meta.uid`")).alias("n_users"),
+        F.sum(F.col("`meta.uid`")).cast("bigint").alias("sum_uid"),
+    )

@@ -99,7 +99,11 @@ def streaming_stateful_sessions(spark, sf_dir):
         "streaming aggregation): dynamic windows closing after 30 min "
         "inactivity per user — completes the streaming window-type "
         "matrix (tumbling/sliding/session); equals both the batch "
-        "session_window aggregate and the gaps-and-islands SQL",
+        "session_window aggregate and the gaps-and-islands SQL. "
+        "Exact-gap boundary: an event at exactly prev_ts + 30 min "
+        "stays in-session on BOTH sides (session_window merges "
+        "adjacent windows; the oracle's strict '>' agrees) — pinned "
+        "by test_session_window_exact_gap_boundary_matches_oracle",
 )
 def streaming_session_windows(spark, sf_dir):
     from mongo2pq_spark.streaming.windows import run_streaming_session_windows
@@ -186,11 +190,14 @@ def streaming_stream_join(spark, sf_dir):
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type
     """,
-    doc="foreachBatch custom sink: per-micro-batch distributed partial "
-        "aggregation upserted into a running store keyed idempotently "
-        "by batch_id (the exactly-once recipe for non-transactional "
-        "sinks — a replayed batch applies once); final store equals the "
-        "batch aggregate",
+    doc="foreachBatch custom sink backed by a REAL idempotent store: "
+        "each micro-batch's distributed partial aggregate lands in a "
+        "parquet partition keyed by batch_id via per-partition "
+        "overwrite (the exactly-once recipe for non-transactional "
+        "sinks — a replayed batch rewrites its partition instead of "
+        "appending; restart-safety tested in test_streaming_resume); "
+        "the final totals are a distributed fold over the store and "
+        "equal the batch aggregate",
 )
 def streaming_foreach_batch_upsert(spark, sf_dir):
     from mongo2pq_spark.streaming.windows import run_foreach_batch_upsert

@@ -160,18 +160,23 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
     grows one short string per application ever seen in this process
     (bounded by session churn, effectively one).
 
-    Spark Connect sessions expose no driver-side SparkContext; there
-    the app id comes from the conf, so the shared read path stays
-    Connect-clean (classic-only touchpoints elsewhere are listed in
-    SCALING.md)."""
+    Spark Connect sessions expose no driver-side SparkContext and may
+    not carry a usable ``spark.app.id`` — a constant fallback key
+    would make the SECOND Connect session in a process silently skip
+    the UTC pin (the exact value-shift bug the pin prevents). Connect
+    sessions therefore set the two confs unconditionally: the extra
+    round-trips are per-read on a remote session, negligible next to
+    the read itself, and the shared path stays Connect-clean
+    (classic-only touchpoints elsewhere are listed in SCALING.md)."""
     try:
         key = spark.sparkContext.applicationId
     except Exception:  # Spark Connect: no sparkContext on the client
-        key = spark.conf.get("spark.app.id", "spark-connect-session")
-    if key not in _NANOS_CONF_SET:
+        key = None
+    if key is None or key not in _NANOS_CONF_SET:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        _NANOS_CONF_SET.add(key)
+        if key is not None:
+            _NANOS_CONF_SET.add(key)
 
 
 @lru_cache(maxsize=256)

@@ -295,60 +295,90 @@ def run_stream_stream_join(
     return spark.table(table_name)
 
 
-def run_foreach_batch_upsert(
-    spark: SparkSession,
-    events_path: str,
-) -> DataFrame:
-    """Streaming ``foreachBatch`` sink — the Swiss-army custom-sink API
-    (MERGE into warehouses, multi-sink fan-out, anything without a
-    native streaming writer): each micro-batch PRE-AGGREGATES
-    distributed (one partial row per event type), then upserts that
-    bounded partial into a running store keyed idempotently by
-    ``batch_id`` — the standard exactly-once recipe for sinks without
-    transactional support, because a replayed batch after failure
-    recovery applies exactly once.
-
-    The driver-side store holds one entry per event type (bounded by
-    key cardinality, not stream length — same class as the engine's
-    other bounded collects). At warehouse scale the upsert body becomes
-    a MERGE INTO against the target table; the batch_id dedupe and the
-    per-batch partial aggregation shape are identical. Decimal partials
-    keep the running totals exact and order-independent."""
-    from decimal import Decimal
-
-    state: dict = {"agg": {}, "seen": set()}
+def make_batch_upsert(store_dir: str):
+    """The ``foreachBatch`` body for an idempotent partial-aggregate
+    sink: the micro-batch PRE-AGGREGATES distributed (one partial row
+    per event type), then lands that bounded partial in the store
+    under its OWN ``batch_id=<n>`` partition with ``mode=overwrite``
+    of just that directory. A replayed batch after failure recovery
+    REWRITES its partition instead of appending — the standard
+    exactly-once recipe for sinks without transactional support,
+    enforced by the store layout rather than driver memory (which a
+    restart would lose). Decimal partials keep the eventual totals
+    exact and order-independent; nothing ever passes through the
+    driver."""
+    import os
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in state["seen"]:
-            return  # replayed batch: idempotent skip
-        state["seen"].add(batch_id)
-        partials = (
+        (
             batch_df.groupBy("event_type")
             .agg(
                 F.count("*").alias("n"),
                 F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
             )
-            .collect()
+            .coalesce(1)  # partials are (n_event_types) rows — one file
+            .write.mode("overwrite")
+            .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
         )
-        for row in partials:
-            n0, s0 = state["agg"].get(row["event_type"], (0, Decimal(0)))
-            state["agg"][row["event_type"]] = (
-                n0 + row["n"],
-                s0 + (row["s"] if row["s"] is not None else Decimal(0)),
-            )
 
-    stream = read_event_stream(spark, events_path)
-    query = stream.writeStream.foreachBatch(upsert).outputMode("append").start()
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-    rows = [
-        (etype, n, float(total)) for etype, (n, total) in state["agg"].items()
-    ]
-    return spark.createDataFrame(
-        rows, "event_type string, n_events bigint, total_value double"
+    return upsert
+
+
+def read_upsert_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Fold the per-batch partials back to running totals — a
+    distributed agg over (n_batches × n_event_types) tiny rows."""
+    return (
+        spark.read.option("basePath", store_dir)
+        .parquet(store_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("s").cast("double").alias("total_value"),
+        )
     )
+
+
+def run_foreach_batch_upsert(
+    spark: SparkSession,
+    events_path: str,
+    store_dir: str | None = None,
+) -> DataFrame:
+    """Streaming ``foreachBatch`` sink — the Swiss-army custom-sink API
+    (MERGE into warehouses, multi-sink fan-out, anything without a
+    native streaming writer) — backed by a REAL idempotent store: each
+    micro-batch's bounded partial aggregate lands in a parquet
+    partition keyed by ``batch_id`` (see ``make_batch_upsert``), and
+    the final totals are a distributed fold over the store. At
+    warehouse scale the partition overwrite becomes a MERGE INTO
+    against the target table; the idempotency shape is identical."""
+    import shutil
+    import tempfile
+
+    if store_dir is None:
+        store_dir = tempfile.mkdtemp(prefix="foreach_batch_store_")
+        cleanup = True
+    else:
+        cleanup = False
+    try:
+        stream = read_event_stream(spark, events_path)
+        query = (
+            stream.writeStream.foreachBatch(make_batch_upsert(store_dir))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        result = read_upsert_store(spark, store_dir)
+        if cleanup:
+            # materialize before deleting the backing files
+            rows = result.collect()
+            return spark.createDataFrame(rows, result.schema)
+        return result
+    finally:
+        if cleanup:
+            shutil.rmtree(store_dir, ignore_errors=True)
 
 
 def run_streaming_parquet_sink(

@@ -72,3 +72,35 @@ def test_zorder_tightens_both_columns(spark, tmp_path):
     assert z_v < 0.6, z_v
     # and v is far tighter than in the single-sort layout
     assert z_v < s_v * 0.7, (z_v, s_v)
+
+
+def test_zorder_range_fits_wide_domains(spark, tmp_path):
+    """Epoch-scale values (≫ 2**bits) must still cluster: the range
+    fit right-shifts so the TOP bits interleave. The pre-fix key used
+    the LOW bits, which for a ~1.7e9-wide domain are noise — every row
+    group then spanned the full domain on both columns."""
+    base = 1_700_000_000
+    df = spark.range(100_000).select(
+        (F.lit(base) + F.col("id") * 17).alias("u"),  # timestamp-like
+        (
+            F.lit(10_000_000)
+            + F.pmod(F.hash(F.col("id")), F.lit(1_000_000)).cast("long")
+        ).alias("v"),  # large-id-like, independent of u
+    )
+    out = str(tmp_path / "wide")
+    write_zordered(df, out, "u", "v", bits=8, max_records_per_file=5000)
+    span_u = 100_000 * 17
+    z_u = _avg_range_fraction(out, "u", span_u)
+    z_v = _avg_range_fraction(out, "v", 1_000_000)
+    assert z_u < 0.6, z_u
+    assert z_v < 0.6, z_v
+
+
+def test_zorder_rejects_negative_domain(spark, tmp_path):
+    import pytest
+
+    df = spark.range(100).select(
+        (F.col("id") - 50).alias("u"), F.col("id").alias("v")
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        write_zordered(df, str(tmp_path / "neg"), "u", "v")

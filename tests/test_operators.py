@@ -763,3 +763,43 @@ def test_cap_buckets_survivors_identical_with_and_without_hint(spark):
     hinted = key(_cap_buckets(asg, max_bucket_size=5))
     unhinted = key(_cap_buckets(asg, max_bucket_size=5, broadcast_limit=0))
     assert hinted == unhinted and len(hinted) > 0
+
+
+def test_session_window_exact_gap_boundary_matches_oracle(spark):
+    """Boundary pin for every session query's oracle: an event at
+    EXACTLY prev_ts + gap stays in-session on BOTH sides — Spark's
+    session_window merges the adjacent [t, t+gap) windows, and the
+    gaps-and-islands oracles use strict '>' so an exact gap is also
+    in-session. (Advisor r6 suspected a strict-overlap divergence
+    here; this pins the probed agreement as a hard signal.)"""
+    import datetime
+
+    import duckdb
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + datetime.timedelta(seconds=1800)),  # exactly the gap
+        (1, t0 + datetime.timedelta(seconds=1800 * 2 + 1)),  # gap + 1s
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    n_spark = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .count()
+    )
+    n_oracle = duckdb.sql(
+        """
+        WITH e(user_id, ts) AS (VALUES
+            (1, TIMESTAMP '2024-01-01 00:00:00'),
+            (1, TIMESTAMP '2024-01-01 00:30:00'),
+            (1, TIMESTAMP '2024-01-01 01:00:01')),
+        marked AS (
+            SELECT CASE WHEN ts - lag(ts) OVER (ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER (ORDER BY ts) IS NULL
+                   THEN 1 ELSE 0 END AS ns FROM e)
+        SELECT CAST(sum(ns) AS BIGINT) FROM marked
+        """
+    ).fetchone()[0]
+    assert n_spark == n_oracle == 2

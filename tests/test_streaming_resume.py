@@ -56,3 +56,55 @@ def test_parquet_sink_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     assert result.count() == events.count()
     assert result.select("event_id").distinct().count() == events.count()
     assert os.path.isdir(ckpt)
+
+
+def test_foreach_batch_store_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batch_id after failure recovery)
+    must overwrite its own store partition, not double-count: the
+    exactly-once contract now lives in the store layout instead of
+    driver memory."""
+    from mongo2pq_spark.streaming.windows import (
+        make_batch_upsert,
+        read_upsert_store,
+    )
+
+    store = str(tmp_path / "store")
+    batch = spark.createDataFrame(
+        [("click", 1.0), ("click", 2.0), ("view", 3.0)],
+        "event_type string, value double",
+    )
+    upsert = make_batch_upsert(store)
+    upsert(batch, 0)
+    upsert(batch, 0)  # replay of the SAME batch id
+    upsert(batch, 1)  # a genuinely new batch
+    totals = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in read_upsert_store(spark, store).collect()
+    }
+    # batch 0 counted once + batch 1 once = exactly 2x the batch
+    assert totals["click"] == (4, 6.0)
+    assert totals["view"] == (2, 6.0)
+
+
+def test_run_foreach_batch_upsert_equals_batch_aggregate(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.streaming.windows import run_foreach_batch_upsert
+
+    got = {
+        r.event_type: (r.n_events, round(r.total_value, 2))
+        for r in run_foreach_batch_upsert(
+            spark, f"{sf_dir}/events.parquet", store_dir=str(tmp_path / "s")
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.n, round(r.s, 2))
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
