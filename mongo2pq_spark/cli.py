@@ -49,6 +49,7 @@ def main(
     single_file: bool = False,
     compression: str | None = None,
     source_format: str = "auto",
+    on_nested: str = "skip",
     dynamic_partition_overwrite: bool = False,
     spark=None,
 ) -> int:
@@ -64,7 +65,8 @@ def main(
 
     try:
         readers = _collection_readers(
-            spark, uri, db, collections, source_format=source_format
+            spark, uri, db, collections,
+            source_format=source_format, on_nested=on_nested,
         )
     except ConnectionError as err:
         print(f"Error: could not connect to source: {err}", file=sys.stderr)
@@ -169,14 +171,16 @@ def _collection_readers(
     db: str | None,
     collections: list[str] | None,
     source_format: str = "auto",
+    on_nested: str = "skip",
 ):
     """name → zero-arg DataFrame factory for each collection.
 
     ``source_format="mongodump"`` routes file: JSON-lines through the
     extended-JSON dump reader (``read_mongodump``): $oid/$date/
     $numberLong wrappers unwrap per the reference's BSON decode rules
-    instead of surfacing as nested structs. ``auto`` keeps the plain
-    per-suffix readers."""
+    instead of surfacing as nested structs, with subdocuments handled
+    per ``on_nested`` (skip / raise / flatten to dotted-path columns).
+    ``auto`` keeps the plain per-suffix readers."""
     if uri.startswith("file:"):
         root = Path(uri.removeprefix("file:"))
         if db:
@@ -194,7 +198,11 @@ def _collection_readers(
             from mongo2pq_spark.sources.mongodump import read_mongodump
 
             return {
-                name: (lambda p=path: read_mongodump(spark, str(p)))
+                name: (
+                    lambda p=path: read_mongodump(
+                        spark, str(p), on_nested=on_nested
+                    )
+                )
                 for name, path in found.items()
             }
         from mongo2pq_spark.sources.registry import read_table
@@ -253,6 +261,12 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
                              "parquet/jsonl/csv readers; mongodump = "
                              "extended-JSON dumps ($oid/$date/$numberLong "
                              "unwrapped per Mongo's BSON decode rules)")
+    parser.add_argument("--on-nested", default="skip",
+                        choices=("skip", "raise", "flatten"),
+                        help="mongodump subdocument handling: skip = drop "
+                             "nested fields with a warning (default); raise "
+                             "= reference parity (fail on any nested "
+                             "value); flatten = dotted-path columns (a.b)")
     parser.add_argument("--dynamic-partition-overwrite", action="store_true",
                         help="overwrite only the hive partitions present in "
                              "the extracted data (incremental backfill); "
@@ -322,6 +336,7 @@ def run(argv: list[str] | None = None) -> int:
         single_file=args.single_file,
         compression=args.compression,
         source_format=args.source_format,
+        on_nested=args.on_nested,
         dynamic_partition_overwrite=args.dynamic_partition_overwrite,
     )
 

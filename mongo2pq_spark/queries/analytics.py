@@ -841,3 +841,80 @@ def q8_market_share(spark, sf_dir):
             6,
         ).alias("mkt_share")
     )
+
+
+@register(
+    "scd2_user_state_history",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_state
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN prev_state IS NULL OR prev_state <> event_type
+                    THEN 1 ELSE 0 END AS chg,
+               event_id
+        FROM ordered
+    ), islands AS (
+        SELECT user_id, ts, event_type,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    ), grouped AS (
+        SELECT user_id, island, min(event_type) AS state,
+               min(ts) AS valid_from, count(*) AS n_events
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           n_events,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) IS NULL AS is_current
+    FROM grouped
+    """,
+    doc="SCD2 (slowly-changing-dimension type 2) history build: each "
+        "user's event_type stream collapses into [valid_from, "
+        "valid_to) state intervals — consecutive identical states "
+        "merge (gaps-and-islands), valid_to = next interval's start, "
+        "open interval flagged is_current. The warehouse pattern for "
+        "tracking attribute history without storing every version. "
+        "Scale shape: ONE exchange on user_id serves the lag window, "
+        "the cumulative island sum, the (user_id, island) aggregate "
+        "AND the lead window (hash(user_id) satisfies every "
+        "downstream clustered-distribution requirement) — "
+        "plan-asserted single-shuffle in tests/test_plans.py",
+)
+def scd2_user_state_history(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    marked = e.withColumn(
+        "chg",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    )
+    isl = marked.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    grouped = isl.groupBy("user_id", "island").agg(
+        # all rows in an island share one state; min() = that state,
+        # deterministically (first() is order-dependent)
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w2)
+    return grouped.select(
+        "user_id",
+        "state",
+        "valid_from",
+        nxt.alias("valid_to"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )

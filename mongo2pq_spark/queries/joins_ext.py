@@ -372,3 +372,78 @@ def approx_topk_event_types(spark, sf_dir):
         F.col("x.item").alias("event_type"),
         F.col("x.count").cast("bigint").alias("n"),
     )
+
+
+@register(
+    "histogram_quantile_rollup",
+    """
+    WITH hist AS (
+        SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS bin,
+               count(*) AS cnt
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, bin
+    ), c AS (
+        SELECT event_type, bin, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS tot
+        FROM hist
+    )
+    SELECT event_type,
+           min(CASE WHEN cum >= 0.5 * tot THEN bin END) / 10.0 AS p50_bin,
+           min(CASE WHEN cum >= 0.9 * tot THEN bin END) / 10.0 AS p90_bin,
+           min(CASE WHEN cum >= 0.99 * tot THEN bin END) / 10.0 AS p99_bin,
+           CAST(max(tot) AS BIGINT) AS n_values
+    FROM c GROUP BY event_type
+    """,
+    doc="mergeable HISTOGRAM sketch rollup — the deterministic sibling "
+        "of the HLL rollup (sketch_rollup_distinct_users) for "
+        "quantiles: per-shard fixed-width bin counts (map-side "
+        "combinable; persisted per storage partition in a real "
+        "pipeline) SUM into the corpus histogram without rescanning "
+        "raw rows, and the p50/p90/p99 extraction then runs over the "
+        "bounded merged histogram (n_types × n_bins rows), never the "
+        "event stream — at 100 TB the only full-data pass is the "
+        "first map-side count. Unlike percentile_approx's opaque "
+        "engine sketch, binned counts are engine-independent, so the "
+        "oracle is VALUE-EXACT (same bins, same cumulative-threshold "
+        "arithmetic), with precision bounded by bin width",
+)
+def histogram_quantile_rollup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # shard = stand-in for a storage partition; the double groupBy is
+    # the partial→merge shape (partials persistable between the steps)
+    hist = (
+        e.withColumn("shard", F.pmod(F.col("user_id"), F.lit(8)))
+        .groupBy(
+            "event_type",
+            "shard",
+            F.floor(F.col("value") * 10).cast("bigint").alias("bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cum_w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy("event_type")
+    c = hist.withColumn("cum", F.sum("cnt").over(cum_w)).withColumn(
+        "tot", F.sum("cnt").over(tot_w)
+    )
+
+    def qb(q: float):
+        return F.min(
+            F.when(F.col("cum") >= F.lit(q) * F.col("tot"), F.col("bin"))
+        ) / 10.0
+
+    return c.groupBy("event_type").agg(
+        qb(0.5).alias("p50_bin"),
+        qb(0.9).alias("p90_bin"),
+        qb(0.99).alias("p99_bin"),
+        F.max("tot").cast("bigint").alias("n_values"),
+    )

@@ -47,8 +47,11 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
     # NEW this round (never driver-checked): dotted-path subdocument
-    # flattening on the mongodump source
+    # flattening on the mongodump source, SCD2 interval build, and the
+    # deterministic mergeable-histogram quantile rollup
     "el_mongodump_flatten",
+    "scd2_user_state_history",
+    "histogram_quantile_rollup",
     # CHANGED this round: mongodump decode hardening (permissive now
     # covers corrupt wrappers; epoch typing from ALL sampled values)
     "el_mongodump_scan",
@@ -107,8 +110,6 @@ _DRIVER_WINDOW_FIRST = [
     "events_rollup_gapfill",
     "token_pack_greedy",
     "multimodal_decode_features",
-    "udaf_user_value_gini",
-    "stratified_sample",
 ]
 
 

@@ -154,7 +154,9 @@ class Schema:
             source = inverse_rename.get(final_name, final_name)
             if source not in source_cols:
                 continue  # schema field absent from this source: skip
-            col = F.col(source)
+            # backtick-quote: a flattened dotted name (meta.kind) must
+            # reference the literal column, not struct navigation
+            col = F.col("`" + source.replace("`", "``") + "`")
             col = _suppress_falsy(col, df.schema[source].dataType, strict_compat)
             col = _cast_expr(col, df.schema[source].dataType, dtype, strict_compat)
             exprs.append(col.alias(final_name))

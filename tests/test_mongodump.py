@@ -245,3 +245,67 @@ def test_bad_on_nested_value_raises():
 
     with _pytest.raises(ValueError):
         read_mongodump(None, "/nonexistent", on_nested="explode")
+
+
+def test_cli_on_nested_flatten(spark, tmp_path):
+    """--on-nested flatten end-to-end: nested subdocs land as typed
+    dotted-path columns in the EL parquet output."""
+    import json as jsonlib
+
+    from mongo2pq_spark.cli import main as cli_main
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    docs = [
+        {
+            "_id": {"$oid": f"64b0c0ffee64b0c0ffee{i:04d}"},
+            "meta": {"kind": "row", "depth": i},
+        }
+        for i in range(10)
+    ]
+    (src / "things.jsonl").write_text(
+        "\n".join(jsonlib.dumps(d) for d in docs) + "\n"
+    )
+    rc = cli_main(
+        f"file:{src}",
+        outdir=out,
+        samples=10,
+        source_format="mongodump",
+        on_nested="flatten",
+        use_source_types=True,
+        spark=spark,
+    )
+    assert rc == 0
+    back = spark.read.parquet(str(out / "things.parquet"))
+    dtypes = dict(back.dtypes)
+    assert dtypes["meta.kind"] == "string"
+    assert dtypes["meta.depth"] == "int"
+    assert back.count() == 10
+
+
+def test_flatten_nested_epoch_field_delivers_timestamp(spark, tmp_path):
+    """A raw epoch int INSIDE a subdocument must survive the full
+    pipeline: flatten → dotted field → ±5-year heuristic → DOUBLE read
+    schema → timestamp_seconds on a backtick-quoted dotted column."""
+    docs = [
+        {"n": 1, "meta": {"created": EPOCH_NOW}},
+        {"n": 2, "meta": {"created": EPOCH_NOW + 30}},
+    ]
+    path = tmp_path / "nested_epoch.jsonl"
+    path.write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+    df = read_mongodump(spark, str(path), on_nested="flatten")
+    assert dict(df.dtypes)["meta.created"] == "timestamp"
+    got = {r["n"]: r["meta.created"] for r in df.collect()}
+    assert got[1] == datetime.fromtimestamp(
+        EPOCH_NOW, tz=timezone.utc
+    ).replace(tzinfo=None)
+
+
+def test_flatten_dotted_key_collision_last_wins(spark, tmp_path):
+    """A literal dotted key colliding with a flattened path resolves
+    last-wins in document insertion order (documented in flatten_doc)."""
+    from mongo2pq_spark.sources.mongodump import flatten_doc
+
+    assert flatten_doc({"a.b": 1, "a": {"b": 2}}) == {"a.b": 2}
+    assert flatten_doc({"a": {"b": 2}, "a.b": 1}) == {"a.b": 1}

@@ -466,3 +466,28 @@ def test_unigram_logprob_explodes_corpus_once(spark, sf_dir):
         assert len(set(re.findall(r"Generate \((\d+)\)", plan))) == 1
     finally:
         release_caches()
+
+
+def test_scd2_history_is_single_shuffle(spark, sf_dir):
+    """The SCD2 build chains lag-window → cumulative-sum window →
+    (user_id, island) aggregate → lead window, and ALL of them must be
+    served by ONE exchange on user_id: hash(user_id) satisfies every
+    downstream clustered-distribution requirement (user_id ⊆ each key
+    set). A second exchange would re-shuffle the full fact stream at
+    100 TB for nothing."""
+    plan = _formatted(spark, sf_dir, "scd2_user_state_history")
+    # formatted mode renders each node once in the tree as "Exchange (n)"
+    n_exchanges = plan.count("Exchange (")
+    assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}"
+
+
+def test_histogram_rollup_windows_run_on_sketch_not_stream(spark, sf_dir):
+    """The quantile extraction's low-cardinality event_type windows
+    must sit ABOVE the two histogram aggregates (partial+merge), so
+    they only ever see n_types × n_bins sketch rows — the full-data
+    pass is the map-side binned count, nothing else."""
+    plan = _formatted(spark, sf_dir, "histogram_quantile_rollup")
+    assert "Window" in plan
+    agg_first = plan.index("HashAggregate")
+    win_first = plan.index("Window")
+    assert agg_first < win_first, "window must consume aggregated sketch rows"
