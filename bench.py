@@ -50,6 +50,11 @@ HEADLINE = [
     "events_anomaly_mad",
     "orders_retention_cohorts",
     "events_rolling_1h_user",
+    # round-7 additions (no pinned baseline yet; tracked for trend)
+    "scd2_user_state_history",
+    "histogram_quantile_rollup",
+    "kll_quantile_rollup",
+    "theta_overlap_users",
 ]
 
 

@@ -447,3 +447,197 @@ def histogram_quantile_rollup(spark, sf_dir):
         qb(0.99).alias("p99_bin"),
         F.max("tot").cast("bigint").alias("n_values"),
     )
+
+
+@register(
+    "kll_quantile_rollup",
+    """
+    WITH vals AS (SELECT event_type, value FROM events
+                  WHERE value IS NOT NULL),
+    est AS (
+        SELECT event_type,
+               approx_quantile(value, 0.5) AS p50_est,
+               approx_quantile(value, 0.95) AS p95_est
+        FROM vals GROUP BY event_type
+    )
+    SELECT v.event_type,
+           round(quantile_cont(v.value, 0.5), 6) AS p50_exact,
+           abs(avg(CASE WHEN v.value <= est.p50_est THEN 1.0 ELSE 0.0 END)
+               - 0.5) <= 0.05 AS p50_within_rank_5pct,
+           abs(avg(CASE WHEN v.value <= est.p95_est THEN 1.0 ELSE 0.0 END)
+               - 0.95) <= 0.05 AS p95_within_rank_5pct
+    FROM vals v JOIN est USING (event_type)
+    GROUP BY v.event_type
+    """,
+    doc="KLL mergeable QUANTILE-sketch rollup (Spark 4.1 DataSketches "
+        "kll_sketch_agg_double / kll_sketch_merge_double) — completes "
+        "the mergeable-sketch family: HLL for distincts "
+        "(sketch_rollup_distinct_users), approx_top_k for heavy "
+        "hitters, fixed-bin histograms for deterministic quantiles, "
+        "KLL for quantiles with PROVEN rank-error bounds at ~1KB per "
+        "sketch. Per-shard sketches (persisted per storage partition "
+        "in a real pipeline) merge into the corpus sketch without "
+        "rescanning history. Sketch bytes are engine-specific, so the "
+        "oracle is the established tolerance-boolean — in RANK space, "
+        "KLL's actual guarantee: each engine checks the empirical "
+        "rank of its own estimate lands within ±5% of the target "
+        "rank, alongside the engine-exact interpolated p50",
+)
+def kll_quantile_rollup(spark, sf_dir):
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "user_id", "value")
+    )
+    partials = (
+        e.withColumn("shard", F.pmod(F.col("user_id"), F.lit(8)))
+        .groupBy("event_type", "shard")
+        .agg(F.kll_sketch_agg_double("value").alias("sk"))
+    )
+    # kll_merge_agg_double: the SQL-side merge AGGREGATE (the Python
+    # API only exposes the scalar two-sketch merge in 4.1) — partial
+    # sketches combine map-side like any other agg
+    est = (
+        partials.groupBy("event_type")
+        .agg(F.expr("kll_merge_agg_double(sk)").alias("msk"))
+        .select(
+            "event_type",
+            F.kll_sketch_get_quantile_double("msk", F.lit(0.5)).alias(
+                "p50_est"
+            ),
+            F.kll_sketch_get_quantile_double("msk", F.lit(0.95)).alias(
+                "p95_est"
+            ),
+        )
+    )
+    # rank check: one more bounded agg over the stream, estimate side
+    # broadcast (n_event_types rows)
+    return (
+        e.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.5), 6).alias("p50_exact"),
+            (
+                F.abs(
+                    F.avg((F.col("value") <= F.col("p50_est")).cast("double"))
+                    - 0.5
+                )
+                <= 0.05
+            ).alias("p50_within_rank_5pct"),
+            (
+                F.abs(
+                    F.avg((F.col("value") <= F.col("p95_est")).cast("double"))
+                    - 0.95
+                )
+                <= 0.05
+            ).alias("p95_within_rank_5pct"),
+        )
+    )
+
+
+@register(
+    "theta_overlap_users",
+    """
+    WITH c AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase'),
+         ex AS (
+            SELECT (SELECT count(*) FROM c) AS n_click,
+                   (SELECT count(*) FROM p) AS n_purchase,
+                   (SELECT count(*) FROM c JOIN p USING (user_id))
+                       AS n_both,
+                   (SELECT count(*) FROM c LEFT JOIN p USING (user_id)
+                    WHERE p.user_id IS NULL) AS n_click_only
+         ),
+         est AS (
+            SELECT (SELECT approx_count_distinct(user_id) FROM
+                        (SELECT user_id FROM c UNION ALL
+                         SELECT user_id FROM p))
+                   AS union_est,
+                   (SELECT approx_count_distinct(user_id) FROM c)
+                       AS c_est,
+                   (SELECT approx_count_distinct(user_id) FROM p)
+                       AS p_est
+         )
+    SELECT ex.n_click AS n_click_users,
+           ex.n_purchase AS n_purchase_users,
+           ex.n_both AS n_both_exact,
+           ex.n_click_only AS n_click_only_exact,
+           abs((est.c_est + est.p_est - est.union_est) - ex.n_both)
+               <= greatest(0.05 * ex.n_both, 2.0) AS inter_within_5pct,
+           abs((est.c_est - (est.c_est + est.p_est - est.union_est))
+               - ex.n_click_only)
+               <= greatest(0.05 * greatest(ex.n_click_only, 1), 2.0)
+               AS diff_within_5pct
+    FROM ex, est
+    """,
+    doc="theta-sketch SET-OPERATION rollup (Spark 4.1 DataSketches "
+        "theta_sketch_agg / theta_intersection / theta_difference): "
+        "estimate audience overlap |click ∩ purchase| and difference "
+        "|click \\ purchase| directly from two per-segment sketches — "
+        "NO join over raw ids. The decontamination/overlap primitive "
+        "at 100 TB: per-corpus sketches are built once (map-side, "
+        "~KBs), persisted, and any pairwise overlap is then a "
+        "driver-cheap sketch operation, where HLL would need "
+        "error-compounding inclusion-exclusion and exact needs a "
+        "shuffle join. Sketch bytes are engine-specific, so the "
+        "oracle mirrors the tolerance-boolean pattern with DuckDB's "
+        "own sketch machinery (approx_count_distinct "
+        "inclusion-exclusion) against ITS exact counts, alongside "
+        "engine-exact counts",
+)
+def theta_overlap_users(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    sk = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    a = sk.filter(F.col("event_type") == "click").select(
+        F.col("sk").alias("ska")
+    )
+    b = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("skb")
+    )
+    # 1×1 sketch rows — the cross join is two broadcast singletons
+    est = (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            F.expr("theta_sketch_estimate(theta_intersection(ska, skb))")
+            .alias("inter_est"),
+            F.expr("theta_sketch_estimate(theta_difference(ska, skb))")
+            .alias("diff_est"),
+        )
+    )
+    exact = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "click").alias("c"),
+            F.max(F.col("event_type") == "purchase").alias("p"),
+        )
+        .agg(
+            F.count_if(F.col("c")).alias("n_click_users"),
+            F.count_if(F.col("p")).alias("n_purchase_users"),
+            F.count_if(F.col("c") & F.col("p")).alias("n_both_exact"),
+            F.count_if(F.col("c") & ~F.col("p")).alias("n_click_only_exact"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_click_users",
+        "n_purchase_users",
+        "n_both_exact",
+        "n_click_only_exact",
+        (
+            F.abs(F.col("inter_est") - F.col("n_both_exact"))
+            <= F.greatest(0.05 * F.col("n_both_exact"), F.lit(2.0))
+        ).alias("inter_within_5pct"),
+        (
+            F.abs(F.col("diff_est") - F.col("n_click_only_exact"))
+            <= F.greatest(
+                0.05 * F.greatest(F.col("n_click_only_exact"), F.lit(1)),
+                F.lit(2.0),
+            )
+        ).alias("diff_within_5pct"),
+    )

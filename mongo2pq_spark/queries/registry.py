@@ -52,6 +52,8 @@ _DRIVER_WINDOW_FIRST = [
     "el_mongodump_flatten",
     "scd2_user_state_history",
     "histogram_quantile_rollup",
+    "kll_quantile_rollup",
+    "theta_overlap_users",
     # CHANGED this round: mongodump decode hardening (permissive now
     # covers corrupt wrappers; epoch typing from ALL sampled values)
     "el_mongodump_scan",
@@ -106,8 +108,6 @@ _DRIVER_WINDOW_FIRST = [
     # least-SQL-like operators where a hard signal is worth most
     "ann_ivf_recall",
     "dedup_exact",
-    "range_join_click_attribution",
-    "events_rollup_gapfill",
     "token_pack_greedy",
     "multimodal_decode_features",
 ]
