@@ -429,7 +429,7 @@ def el_schema_evolution(spark, sf_dir):
         "as headered CSV and read back through the engine's CSV source "
         "path (read_table handles .csv/.tsv) with an explicit schema — "
         "no inference pass over the data — then aggregated; completes "
-        "the format matrix (parquet, JSONL, ORC, CSV) for the EL "
+        "the format matrix (parquet, JSONL, ORC, CSV, XML) for the EL "
         "surface. Explicit schema matters at scale: CSV inference is a "
         "full extra read of the dataset",
 )
@@ -590,4 +590,49 @@ def el_mongodump_flatten(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.countDistinct(F.col("`meta.uid`")).alias("n_users"),
         F.sum(F.col("`meta.uid`")).cast("bigint").alias("sum_uid"),
+    )
+
+
+@register(
+    "el_xml_roundtrip",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="XML sink + source round-trip (Spark 4 NATIVE XML, no external "
+        "package): the documents table is written as row-tagged XML "
+        "and read back with an explicit schema — XML inference, like "
+        "CSV's, is a full extra pass over the data — then aggregated; "
+        "extends the EL format matrix to parquet / JSONL / ORC / CSV "
+        "/ XML / mongodump. XML stays the interchange format of "
+        "record for enterprise feeds (and e.g. the Wikipedia dumps "
+        "LLM corpora start from)",
+)
+def el_xml_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    outdir = os.path.join(tempfile.gettempdir(), "el_xml_out")
+    (
+        docs.write.mode("overwrite")
+        .option("rootTag", "documents")
+        .option("rowTag", "document")
+        .format("xml")
+        .save(outdir)
+    )
+    back = (
+        spark.read.option("rowTag", "document")
+        .schema(docs.schema)
+        .format("xml")
+        .load(outdir)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
