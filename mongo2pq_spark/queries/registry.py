@@ -46,9 +46,9 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # NEW this round (never driver-checked): dotted-path subdocument
-    # flattening on the mongodump source, SCD2 interval build, and the
-    # deterministic mergeable-histogram quantile rollup
+    # NEW this round (never driver-checked): mongodump dotted-path
+    # flattening, SCD2 interval build, histogram/KLL/theta sketch
+    # rollups, native-XML EL roundtrip
     "el_mongodump_flatten",
     "scd2_user_state_history",
     "histogram_quantile_rollup",
