@@ -102,3 +102,75 @@ def test_int_inference_width_consistent(n):
     elif t.equals(pa.int64()):
         assert abs(n) < 2**63
     # timestamp[s] allowed inside the epoch window
+
+
+# -- mongodump decode surface -------------------------------------------
+
+json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=20),
+)
+
+nested_docs = st.recursive(
+    json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(
+            st.text(min_size=1, max_size=8).filter(lambda k: "$" not in k),
+            children,
+            max_size=4,
+        ),
+    ),
+    max_leaves=20,
+)
+
+docs = st.dictionaries(
+    st.text(min_size=1, max_size=8).filter(lambda k: "$" not in k),
+    nested_docs,
+    max_size=6,
+)
+
+
+@given(doc=docs)
+def test_flatten_doc_removes_all_dicts_and_is_idempotent(doc):
+    from mongo2pq_spark.sources.mongodump import flatten_doc
+
+    flat = flatten_doc(doc)
+    assert all(not isinstance(v, dict) for v in flat.values())
+    assert flatten_doc(flat) == flat  # idempotent
+    # no leaf is lost unless shadowed by a dotted-key collision
+    def leaves(d, prefix=""):
+        n = 0
+        for k, v in d.items():
+            if isinstance(v, dict):
+                n += leaves(v, prefix + k + ".")
+            else:
+                n += 1
+        return n
+
+    assert len(flat) <= leaves(doc)
+
+
+@given(doc=docs)
+def test_unwrap_extended_json_total_on_wrapper_free_docs(doc):
+    """Documents without $-wrappers pass through unwrap unchanged."""
+    from mongo2pq_spark.sources.mongodump import unwrap_extended_json
+
+    assert unwrap_extended_json(doc) == doc
+
+
+@given(line=st.text(max_size=60), flatten=st.booleans())
+def test_decode_line_never_raises_outside_decode_errors(line, flatten):
+    """The permissive contract: ANY input line either decodes or
+    raises one of _DECODE_ERRORS — nothing else can escape, so
+    permissive mode can never crash on a corrupt line."""
+    from mongo2pq_spark.sources.mongodump import _DECODE_ERRORS, _decode_line
+
+    try:
+        out = _decode_line(line, flatten)
+        assert isinstance(out, dict)
+    except _DECODE_ERRORS:
+        pass
