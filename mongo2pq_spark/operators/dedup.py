@@ -127,12 +127,14 @@ def minhash_signatures(
     return hashes.groupBy(id_col).agg(*aggs)
 
 
-def _minhash_band_candidates(
-    sig: DataFrame, id_col: str, k: int, bands: int
+def minhash_band_table(
+    sig: DataFrame, id_col: str = "doc_id", k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
-    """Distinct candidate pairs (doc_a < doc_b) from LSH banding over a
-    signature table: docs agreeing on all rows of ≥1 band meet in an
-    equi-join on (band_id, band_hash) — linear-ish in corpus size."""
+    """(id, band_id, band_hash) LSH band table from a signature table —
+    the PERSISTABLE index form: at scale the corpus band table is
+    written once and every future increment probes it by equi-join
+    without re-shingling history (see incremental_near_dup_candidates)."""
     rows = k // bands
     band_structs = F.array(
         *[
@@ -147,9 +149,18 @@ def _minhash_band_candidates(
             for b in range(bands)
         ]
     )
-    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
         id_col, "band.band_id", "band.band_hash"
     )
+
+
+def _minhash_band_candidates(
+    sig: DataFrame, id_col: str, k: int, bands: int
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) from LSH banding over a
+    signature table: docs agreeing on all rows of ≥1 band meet in an
+    equi-join on (band_id, band_hash) — linear-ish in corpus size."""
+    banded = minhash_band_table(sig, id_col, k, bands)
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -734,3 +745,41 @@ def incremental_new_docs(
     fp = normalized_token_fingerprint(F.col(text_col))
     existing_hashes = existing.select(fp.alias("h")).distinct()
     return new_docs.withColumn("h", fp).join(existing_hashes, "h", "left_anti")
+
+
+def incremental_near_dup_candidates(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(new_id, existing_id) NEAR-dup candidates of an incoming batch
+    against a PERSISTED corpus band index (``minhash_band_table``
+    output) — the incremental ingestion path beyond exact digests
+    (``incremental_new_docs``): re-crawls with small edits still
+    collide on ≥1 MinHash band.
+
+    Scale shape: only the NEW batch is shingled (cost ∝ increment, not
+    corpus); the probe is an equi-join on (band_id, band_hash) against
+    the index — AQE broadcasts the batch's band table while it fits,
+    shuffles when it doesn't. History is never re-read: the index is
+    the corpus's only trace. Same-seed signatures keep candidates
+    identical to a full-corpus banding restricted to new×existing."""
+    new_bands = minhash_band_table(
+        minhash_signatures(new_df, id_col, text_col, k, shingle_n, seed),
+        id_col, k, bands,
+    ).select(
+        F.col(id_col).alias("new_id"), "band_id", "band_hash"
+    )
+    probe = index.select(
+        F.col(id_col).alias("existing_id"), "band_id", "band_hash"
+    )
+    return (
+        new_bands.join(probe, ["band_id", "band_hash"])
+        .select("new_id", "existing_id")
+        .distinct()
+    )

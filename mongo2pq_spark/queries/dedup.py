@@ -490,3 +490,60 @@ def dedup_minhash_containment(spark, sf_dir):
 
     docs = read_sf_table(spark, sf_dir, "documents")
     return ops.minhash_containment_estimates(docs)
+
+
+@register(
+    "dedup_incremental_near_dups",
+    _minhash_sig_sql()
+    + ",\n    bands AS (\n"
+    + "\n        UNION ALL\n".join(
+        "        SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(f"mh{b * _ROWS + r}" for r in range(_ROWS)),
+        )
+        for b in range(_BANDS)
+    )
+    + """
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS existing_id
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+        JOIN documents da ON da.doc_id = a.doc_id
+        JOIN documents db ON db.doc_id = b.doc_id
+        WHERE da.source <> 'src0' AND db.source = 'src0'
+    )
+    SELECT d.source,
+           count(DISTINCT new_id) AS n_near_dup_new_docs,
+           count(*) AS n_candidate_pairs
+    FROM cand JOIN documents d ON d.doc_id = cand.new_id
+    GROUP BY d.source
+    """,
+    doc="incremental NEAR-dedup against a persisted MinHash band "
+        "index: the existing corpus (src0) is reduced ONCE to its "
+        "band table (the persistable index — minhash_band_table); "
+        "each incoming batch is shingled and probes the index by "
+        "(band_id, band_hash) equi-join, so re-crawls with small "
+        "edits are caught WITHOUT re-reading corpus text — the "
+        "near-dup sibling of dedup_incremental_new_docs (exact "
+        "digests). Cost ∝ increment size, never corpus size; "
+        "deterministic MD5 MinHash keeps the oracle value-exact",
+)
+def dedup_incremental_near_dups(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("source") != "src0")
+    existing = docs.filter(F.col("source") == "src0")
+    index = ops.minhash_band_table(ops.minhash_signatures(existing))
+    cand = ops.incremental_near_dup_candidates(new, index)
+    return (
+        cand.join(
+            new.select(F.col("doc_id").alias("new_id"), "source"), "new_id"
+        )
+        .groupBy("source")
+        .agg(
+            F.countDistinct("new_id").alias("n_near_dup_new_docs"),
+            F.count("*").alias("n_candidate_pairs"),
+        )
+    )

@@ -55,6 +55,7 @@ _DRIVER_WINDOW_FIRST = [
     "kll_quantile_rollup",
     "theta_overlap_users",
     "el_xml_roundtrip",
+    "dedup_incremental_near_dups",
     # CHANGED this round: mongodump decode hardening (permissive now
     # covers corrupt wrappers; epoch typing from ALL sampled values)
     "el_mongodump_scan",
@@ -108,7 +109,6 @@ _DRIVER_WINDOW_FIRST = [
     # FRESHNESS fill (r5 rows, the oldest remaining): the heaviest /
     # least-SQL-like operators where a hard signal is worth most
     "ann_ivf_recall",
-    "token_pack_greedy",
     "multimodal_decode_features",
 ]
 

@@ -803,3 +803,56 @@ def test_session_window_exact_gap_boundary_matches_oracle(spark):
         """
     ).fetchone()[0]
     assert n_spark == n_oracle == 2
+
+
+def test_incremental_near_dup_equals_full_banding_cross_pairs(spark, sf_dir):
+    """Probing the persisted index with only the NEW batch must find
+    exactly the full-corpus banding candidates restricted to
+    new×existing — the index path loses nothing."""
+    from mongo2pq_spark.operators.dedup import (
+        incremental_near_dup_candidates,
+        minhash_band_table,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("source") != "src0")
+    existing = docs.filter(F.col("source") == "src0")
+    idx = minhash_band_table(minhash_signatures(existing))
+    inc = {
+        (r.new_id, r.existing_id)
+        for r in incremental_near_dup_candidates(new, idx).collect()
+    }
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    full = set()
+    for r in minhash_candidate_pairs(docs).collect():
+        # full banding emits unordered (a<b) pairs over the whole corpus
+        if (r.doc_a in new_ids) != (r.doc_b in new_ids):
+            n, e = (r.doc_a, r.doc_b) if r.doc_a in new_ids else (r.doc_b, r.doc_a)
+            full.add((n, e))
+    assert inc == full and len(inc) > 0
+
+
+def test_incremental_near_dup_catches_small_edit(spark):
+    """A re-crawl with one word changed must collide on >=1 band (the
+    whole point of going beyond exact digests)."""
+    from mongo2pq_spark.operators.dedup import (
+        incremental_near_dup_candidates,
+        minhash_band_table,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = base.replace("lazy", "sleepy", 1)
+    existing = spark.createDataFrame(
+        [(1, base), (2, "a completely different document about spark joins " * 6)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame([(100, edited)], "doc_id long, text string")
+    idx = minhash_band_table(minhash_signatures(existing))
+    got = {
+        (r.new_id, r.existing_id)
+        for r in incremental_near_dup_candidates(new, idx).collect()
+    }
+    assert got == {(100, 1)}
