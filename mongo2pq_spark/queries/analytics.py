@@ -918,3 +918,64 @@ def scd2_user_state_history(spark, sf_dir):
         "n_events",
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "full_outer_daily_activity",
+    """
+    WITH c AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), p AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(c.day, p.day) AS day,
+           coalesce(n_clicks, 0) AS n_clicks,
+           coalesce(n_purchases, 0) AS n_purchases,
+           CASE WHEN c.user_id IS NULL THEN 'purchase_only'
+                WHEN p.user_id IS NULL THEN 'click_only'
+                ELSE 'both' END AS activity
+    FROM c FULL OUTER JOIN p
+      ON c.user_id = p.user_id AND c.day = p.day
+    """,
+    doc="FULL OUTER equi-join — the reconciliation shape (rows alive "
+        "on either side survive), completing the join-type matrix "
+        "(inner/left/semi/anti/cross-broadcast/as-of/range/full): "
+        "per-(user, day) click vs purchase counts with both-side "
+        "null-coalescing and a presence class. Scale shape: both "
+        "sides pre-aggregate map-side to (user, day) grain before "
+        "the join, so the shuffle carries one row per active "
+        "user-day, not per event",
+)
+def full_outer_daily_activity(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+
+    def side(etype, alias):
+        return (
+            e.filter(F.col("event_type") == etype)
+            .groupBy("user_id", F.to_date("ts").alias("day"))
+            .agg(F.count("*").alias(alias))
+        )
+
+    c = side("click", "n_clicks").alias("c")
+    p = side("purchase", "n_purchases").alias("p")
+    return (
+        c.join(
+            p,
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("c.day") == F.col("p.day")),
+            "full",
+        )
+        .select(
+            F.coalesce(F.col("c.user_id"), F.col("p.user_id")).alias("user_id"),
+            F.coalesce(F.col("c.day"), F.col("p.day")).alias("day"),
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+            F.when(F.col("c.user_id").isNull(), "purchase_only")
+            .when(F.col("p.user_id").isNull(), "click_only")
+            .otherwise("both")
+            .alias("activity"),
+        )
+    )

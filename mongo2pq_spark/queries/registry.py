@@ -56,6 +56,7 @@ _DRIVER_WINDOW_FIRST = [
     "theta_overlap_users",
     "el_xml_roundtrip",
     "dedup_incremental_near_dups",
+    "full_outer_daily_activity",
     # CHANGED this round: mongodump decode hardening (permissive now
     # covers corrupt wrappers; epoch typing from ALL sampled values)
     "el_mongodump_scan",
@@ -109,7 +110,6 @@ _DRIVER_WINDOW_FIRST = [
     # FRESHNESS fill (r5 rows, the oldest remaining): the heaviest /
     # least-SQL-like operators where a hard signal is worth most
     "ann_ivf_recall",
-    "multimodal_decode_features",
 ]
 
 
