@@ -55,6 +55,7 @@ HEADLINE = [
     "histogram_quantile_rollup",
     "kll_quantile_rollup",
     "theta_overlap_users",
+    "dedup_incremental_near_dups",
 ]
 
 
