@@ -390,9 +390,12 @@ def approx_topk_event_types(spark, sf_dir):
         FROM hist
     )
     SELECT event_type,
-           min(CASE WHEN cum >= 0.5 * tot THEN bin END) / 10.0 AS p50_bin,
-           min(CASE WHEN cum >= 0.9 * tot THEN bin END) / 10.0 AS p90_bin,
-           min(CASE WHEN cum >= 0.99 * tot THEN bin END) / 10.0 AS p99_bin,
+           min(CASE WHEN cum * 100 >= 50 * tot THEN bin END) / 10.0
+               AS p50_bin,
+           min(CASE WHEN cum * 100 >= 90 * tot THEN bin END) / 10.0
+               AS p90_bin,
+           min(CASE WHEN cum * 100 >= 99 * tot THEN bin END) / 10.0
+               AS p99_bin,
            CAST(max(tot) AS BIGINT) AS n_values
     FROM c GROUP BY event_type
     """,
@@ -436,15 +439,22 @@ def histogram_quantile_rollup(spark, sf_dir):
         "tot", F.sum("cnt").over(tot_w)
     )
 
-    def qb(q: float):
+    def qb(pct: int):
+        # INTEGER-space threshold (cum·100 ≥ pct·tot): `cum >= 0.9*tot`
+        # would compare Spark's binary double against DuckDB's exact
+        # DECIMAL and diverge when a cumulative count lands exactly on
+        # the quantile boundary (0.9 has no finite binary expansion)
         return F.min(
-            F.when(F.col("cum") >= F.lit(q) * F.col("tot"), F.col("bin"))
+            F.when(
+                F.col("cum") * 100 >= F.lit(pct) * F.col("tot"),
+                F.col("bin"),
+            )
         ) / 10.0
 
     return c.groupBy("event_type").agg(
-        qb(0.5).alias("p50_bin"),
-        qb(0.9).alias("p90_bin"),
-        qb(0.99).alias("p99_bin"),
+        qb(50).alias("p50_bin"),
+        qb(90).alias("p90_bin"),
+        qb(99).alias("p99_bin"),
         F.max("tot").cast("bigint").alias("n_values"),
     )
 

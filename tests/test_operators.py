@@ -856,3 +856,30 @@ def test_incremental_near_dup_catches_small_edit(spark):
         for r in incremental_near_dup_candidates(new, idx).collect()
     }
     assert got == {(100, 1)}
+
+
+def test_histogram_quantile_threshold_exact_boundary(spark, tmp_path):
+    """When a cumulative count lands EXACTLY on the quantile boundary
+    (cum·100 == pct·tot), the integer-space threshold must include
+    that bin — the old double compare (cum >= 0.9*tot) excluded it
+    because 0.9 has no finite binary expansion, silently diverging
+    from the decimal-exact oracle."""
+    import os
+
+    from mongo2pq_spark.queries.registry import load_all
+
+    # 10 values, one per 0.1-wide bin: p90 boundary sits exactly at
+    # cum=9 of tot=10 (bin 8, lower bound 0.8)
+    rows = [(i, i, "x", i / 10.0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(os.path.join(sf, "events.parquet"))
+    out = {
+        r.event_type: r
+        for r in load_all()["histogram_quantile_rollup"].fn(spark, sf).collect()
+    }
+    assert out["x"].p50_bin == 0.4  # cum=5 == 50%·10 exactly
+    assert out["x"].p90_bin == 0.8  # cum=9 == 90%·10 exactly
+    assert out["x"].p99_bin == 0.9  # 99%·10 = 9.9 → first cum ≥ is 10
