@@ -252,21 +252,29 @@ def _cap_buckets(
     guard is a map-side-combinable count + a broadcast anti-join —
     never a window, which would shuffle the FULL assignment stream by
     (table, bucket) just to count it (same pattern as the hot-shingle
-    guard in ngram dedup). The hint is gated on an exact count of the
-    oversized set (one extra map-side agg over the caller-cached
-    assignment stream): a degenerate corpus whose oversized set
-    exceeds ``broadcast_limit`` falls back to an unhinted join and
-    lets AQE pick the strategy at runtime — unconditionally safe."""
+    guard in ngram dedup). The hint is gated on a BOUNDED count of the
+    oversized set — ``limit(broadcast_limit + 1)`` short-circuits the
+    guard job as soon as the limit is provably cleared or exceeded, so
+    the common small-oversized-set case never pays a full count: a
+    degenerate corpus whose oversized set exceeds ``broadcast_limit``
+    falls back to an unhinted join and lets AQE pick the strategy at
+    runtime — unconditionally safe.
+
+    Self-contained: the assignment stream is cached HERE (idempotent
+    via ``cache_stream``'s sameSemantics memo when the caller already
+    cached it), so the guard job can never trigger a second full L×n
+    hyperplane projection for an uncached caller."""
+    assignments = cache_stream(assignments)
     oversized = (
         assignments.groupBy("table_id", "bucket")
         .agg(F.count("*").alias("bucket_n"))
         .filter(F.col("bucket_n") > max_bucket_size)
         .select("table_id", "bucket")
     )
-    n_oversized = oversized.count()
-    probe = (
-        F.broadcast(oversized) if n_oversized <= broadcast_limit else oversized
+    within_limit = (
+        oversized.limit(broadcast_limit + 1).count() <= broadcast_limit
     )
+    probe = F.broadcast(oversized) if within_limit else oversized
     return assignments.join(probe, ["table_id", "bucket"], "left_anti")
 
 
@@ -284,13 +292,12 @@ def lsh_candidate_pairs(
     bucket in ≥1 of the L hash tables. Ids only — verification joins
     vectors back."""
     # the assignment stream feeds the oversized-bucket build, the
-    # anti-join probe, and BOTH self-join sides — cache it once (the
-    # 80-dot-product projection would otherwise run per consumer)
+    # anti-join probe, and BOTH self-join sides — _cap_buckets caches
+    # it once (the 80-dot-product projection would otherwise run per
+    # consumer)
     asg = _cap_buckets(
-        cache_stream(
-            lsh_multi_assignments(
-                df, n_tables, n_hyperplanes, dim, seed, id_col, vec_col
-            )
+        lsh_multi_assignments(
+            df, n_tables, n_hyperplanes, dim, seed, id_col, vec_col
         ),
         max_bucket_size,
     )
@@ -466,10 +473,8 @@ def lsh_topk(
     from pyspark.sql import Window
 
     asg = _cap_buckets(
-        cache_stream(
-            lsh_multi_assignments(
-                df, n_tables, n_hyperplanes, dim, seed, id_col, vec_col
-            )
+        lsh_multi_assignments(
+            df, n_tables, n_hyperplanes, dim, seed, id_col, vec_col
         ),
         max_bucket_size,
     )

@@ -869,10 +869,11 @@ def q8_market_share(spark, sf_dir):
     )
     SELECT user_id, state, valid_from,
            lead(valid_from) OVER (PARTITION BY user_id
-                                  ORDER BY valid_from) AS valid_to,
+                                  ORDER BY valid_from, island) AS valid_to,
            n_events,
            lead(valid_from) OVER (PARTITION BY user_id
-                                  ORDER BY valid_from) IS NULL AS is_current
+                                  ORDER BY valid_from, island)
+             IS NULL AS is_current
     FROM grouped
     """,
     doc="SCD2 (slowly-changing-dimension type 2) history build: each "
@@ -908,7 +909,14 @@ def scd2_user_state_history(spark, sf_dir):
         F.min("ts").alias("valid_from"),
         F.count("*").alias("n_events"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    # island is the deterministic tiebreak: two islands of one user CAN
+    # share valid_from (identical ts, distinct event_id, alternating
+    # event_type — the first window tie-breaks on event_id, so such
+    # islands are legal); ordering by valid_from alone would make
+    # valid_to/is_current nondeterministic across runs. island numbers
+    # are strictly increasing per user in event order, so (valid_from,
+    # island) is a total order — mirrored in the SQL oracle above.
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "island")
     nxt = F.lead("valid_from").over(w2)
     return grouped.select(
         "user_id",

@@ -83,7 +83,15 @@ def flatten_doc(doc: dict, sep: str = ".") -> dict:
     positional flattening) — under ``on_nested="flatten"`` a
     list-valued field then falls to the skip rule. A dotted key
     colliding with a flattened path resolves last-wins (insertion
-    order of the source document)."""
+    order of the source document).
+
+    An EMPTY subdocument contributes no keys: ``{"a": {}}`` → ``{}``
+    — the field disappears from the flattened document entirely (there
+    is no scalar to carry, and a ``NULL`` placeholder column would
+    invent a path the data never contains). Unlike the driver-side
+    skip rule this emits no warning: flatten runs per-line inside
+    executors, where a per-row warning would be noise at scale. The
+    behavior is pinned by ``tests/test_mongodump.py``."""
     out: dict = {}
     for k, v in doc.items():
         if isinstance(v, dict):
@@ -227,7 +235,9 @@ def read_mongodump(
     on any nested value); ``on_nested="flatten"`` flattens
     subdocuments into dotted-path columns (``meta.kind``) — the mode a
     real mongoexport user usually wants — with list-valued fields
-    still falling to the skip rule (no positional flattening).
+    still falling to the skip rule (no positional flattening). A field
+    holding an EMPTY subdocument (``{"a": {}}``) flattens to nothing
+    and is absent from the inferred schema — see ``flatten_doc``.
 
     ``mode``: ``failfast`` (default) dies on the first malformed line
     — corrupt JSON or a corrupt type wrapper like

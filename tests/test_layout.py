@@ -104,3 +104,41 @@ def test_zorder_rejects_negative_domain(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="non-negative"):
         write_zordered(df, str(tmp_path / "neg"), "u", "v")
+
+
+def test_zorder_epoch_micros_and_large_id_domain(spark, tmp_path):
+    """Domains ≥ 2**32 — epoch MICROseconds (~1.7e15) × large ids
+    (> 4e9): the range fit must rebase + right-shift so the top bits
+    that actually vary interleave, keeping BOTH columns' row-group
+    min/max materially tighter than the single-sort layout leaves the
+    second column. This is the domain scale the round-7 range-fit fix
+    targets; the earlier wide-domain test stopped at ~1.7e9."""
+    base_us = 1_700_000_000_000_000  # epoch micros, ≈ 2**50
+    id_base = 5_000_000_000  # > 2**32
+    n = 100_000
+    df = spark.range(n).select(
+        (F.lit(base_us) + F.col("id") * 1_000_000).alias("u"),
+        (
+            F.lit(id_base)
+            + F.pmod(F.hash(F.col("id")), F.lit(1_000_000)).cast("long")
+        ).alias("v"),
+    )
+    z_dir = str(tmp_path / "z")
+    s_dir = str(tmp_path / "s")
+    write_zordered(df, z_dir, "u", "v", bits=8, max_records_per_file=5000)
+    (
+        df.repartitionByRange(4, "u")
+        .sortWithinPartitions("u")
+        .write.option("maxRecordsPerFile", 5000)
+        .parquet(s_dir)
+    )
+    span_u = float(n * 1_000_000)
+    span_v = 1_000_000.0
+    z_u = _avg_range_fraction(z_dir, "u", span_u)
+    z_v = _avg_range_fraction(z_dir, "v", span_v)
+    s_v = _avg_range_fraction(s_dir, "v", span_v)
+    assert z_u < 0.6, z_u
+    assert z_v < 0.6, z_v
+    # the single-sort layout leaves v full-width; z-order must not
+    assert s_v > 0.9, s_v
+    assert z_v < s_v * 0.7, (z_v, s_v)

@@ -309,3 +309,47 @@ def test_flatten_dotted_key_collision_last_wins(spark, tmp_path):
 
     assert flatten_doc({"a.b": 1, "a": {"b": 2}}) == {"a.b": 2}
     assert flatten_doc({"a": {"b": 2}, "a.b": 1}) == {"a.b": 1}
+
+
+def test_flatten_empty_subdoc_field_vanishes(spark, tmp_path):
+    """Pin the documented flatten_doc contract: a field holding an
+    EMPTY subdocument contributes no dotted-path keys — it is absent
+    from the flattened document and therefore from the inferred
+    schema (there is no scalar to carry; a NULL placeholder would
+    invent a path the data never contains)."""
+    from mongo2pq_spark.sources.mongodump import flatten_doc
+
+    assert flatten_doc({"a": {}, "n": 1}) == {"n": 1}
+    assert flatten_doc({"a": {"b": {}}, "n": 1}) == {"n": 1}
+
+    docs = [{"n": 1, "empty": {}}, {"n": 2, "empty": {}}]
+    path = tmp_path / "empty.jsonl"
+    path.write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+    df = read_mongodump(spark, str(path), on_nested="flatten")
+    assert df.columns == ["n"]
+    assert sorted(r["n"] for r in df.collect()) == [1, 2]
+
+
+def test_multi_file_dump_reads_one_partition_per_file(spark, tmp_path):
+    """The mongodump source assigns one input partition per dump file
+    (sources/mongodump.py::partitions), so a many-file dump dir reads
+    in parallel — the distributed-read contract a single-task scan
+    would silently break. Asserted from the executors' own
+    spark_partition_id, not the planner's claim."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    for i in range(4):
+        docs = [{"n": i * 10 + j, "f": f"file{i}"} for j in range(5)]
+        (d / f"part{i}.jsonl").write_text(
+            "\n".join(json.dumps(x) for x in docs) + "\n"
+        )
+    df = read_mongodump(spark, str(d))
+    pids = (
+        df.select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .collect()
+    )
+    assert len(pids) == 4, f"expected 4 input partitions, got {len(pids)}"
+    assert df.count() == 20

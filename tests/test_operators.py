@@ -883,3 +883,100 @@ def test_histogram_quantile_threshold_exact_boundary(spark, tmp_path):
     assert out["x"].p50_bin == 0.4  # cum=5 == 50%·10 exactly
     assert out["x"].p90_bin == 0.8  # cum=9 == 90%·10 exactly
     assert out["x"].p99_bin == 0.9  # 99%·10 = 9.9 → first cum ≥ is 10
+
+
+def test_scd2_tied_valid_from_is_deterministic_and_matches_oracle(
+    spark, tmp_path
+):
+    """Two state islands of one user CAN share valid_from (identical
+    ts, distinct event_id, alternating event_type — the first window
+    tie-breaks on event_id, so such islands are legal). The lead
+    window must tie-break on island in BOTH the DataFrame build and
+    the SQL oracle, or valid_to/is_current are nondeterministic and
+    can diverge between engines. This fixture forces the tie the
+    production data happens not to contain."""
+    import os
+    from datetime import datetime
+
+    import duckdb
+
+    from mongo2pq_spark.queries.registry import load_all
+    from tests.oracle_harness import canonical_rows
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = datetime(2024, 3, 1, 12, 0, 0)
+    # user 1: four single-event islands A,B,A,B all at the same ts —
+    # three islands share valid_from with a successor; user 2 is an
+    # untied control. Written as timestamp[us] via pyarrow — the same
+    # layout the driver testdata uses (read_sf_table normalizes it).
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["A", "B", "A", "B", "A", "A"]),
+            "ts": pa.array(
+                [ts, ts, ts, ts, ts, datetime(2024, 3, 1, 13, 0, 0)],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([1.0] * 6, pa.float64()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(table, os.path.join(sf, "events.parquet"))
+
+    spec = load_all()["scd2_user_state_history"]
+    sdf = spec.fn(spark, sf)
+    spark_out = canonical_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    rel = con.sql(spec.oracle)
+    duck_out = canonical_rows(list(rel.columns), rel.fetchall())
+    assert spark_out == duck_out
+
+    # user 1 must materialize as 4 closed/open intervals with exactly
+    # one is_current (the LAST island, B) — a valid_from-only ordering
+    # could mark any of the tied islands current
+    by_user = [r for r in sdf.collect() if r.user_id == 1]
+    assert len(by_user) == 4
+    current = [r for r in by_user if r.is_current]
+    assert len(current) == 1 and current[0].state == "B"
+    # determinism across runs: a second evaluation is value-identical
+    rerun = canonical_rows(
+        list(sdf.columns), [tuple(r) for r in spec.fn(spark, sf).collect()]
+    )
+    assert rerun == spark_out
+
+
+def test_near_dup_clusters_reliable_checkpoint_matches_local(spark, tmp_path):
+    """The checkpoint_dir= path is the 100 TB-critical variant
+    (localCheckpoint blocks die with an executor); it must produce
+    clusters identical to the local path, and must actually write
+    checkpoint data into the given directory."""
+    import os
+
+    from mongo2pq_spark.operators.dedup import near_dup_clusters
+
+    # two chains + a bridge + an isolate pair: multi-round convergence
+    pairs = spark.createDataFrame(
+        [(5, 2), (2, 9), (9, 4), (4, 1), (20, 30), (30, 25), (100, 101)],
+        ["doc_a", "doc_b"],
+    )
+    local = _sorted_rows(near_dup_clusters(pairs))
+    cp_dir = str(tmp_path / "cp")
+    reliable = _sorted_rows(
+        near_dup_clusters(pairs, checkpoint_dir=cp_dir)
+    )
+    assert reliable == local
+    # the reliable path really checkpointed into the directory
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(cp_dir)
+        for f in fs
+    ]
+    assert files, "reliable checkpoint wrote nothing into checkpoint_dir"

@@ -487,7 +487,21 @@ def test_histogram_rollup_windows_run_on_sketch_not_stream(spark, sf_dir):
     they only ever see n_types × n_bins sketch rows — the full-data
     pass is the map-side binned count, nothing else."""
     plan = _formatted(spark, sf_dir, "histogram_quantile_rollup")
-    assert "Window" in plan
-    agg_first = plan.index("HashAggregate")
-    win_first = plan.index("Window")
-    assert agg_first < win_first, "window must consume aggregated sketch rows"
+    # Only the TREE section is ordered root-first parent→child; the
+    # details that follow repeat names in arbitrary positions. (A naive
+    # "first HashAggregate before first Window" check is vacuous: the
+    # root-level extraction aggregate always prints first.)
+    tree = plan.split("\n\n")[0]
+    assert "Window (" in tree
+    below_window = tree[tree.rindex("Window ("):]
+    scan_at = below_window.index("Scan parquet")
+    # Between the deepest Window and the leaf scan there must be the
+    # binned-count aggregates — i.e. the windows consume sketch rows,
+    # not the raw event stream (which would plan Window→Sort→Exchange→
+    # Scan with zero aggregates in between).
+    n_aggs_below = below_window[:scan_at].count("HashAggregate (")
+    assert n_aggs_below >= 2, (
+        f"windows must sit above the partial+merge histogram "
+        f"aggregates; found {n_aggs_below} HashAggregates between the "
+        f"deepest Window and the scan"
+    )
