@@ -56,6 +56,10 @@ HEADLINE = [
     "kll_quantile_rollup",
     "theta_overlap_users",
     "dedup_incremental_near_dups",
+    # round-8 additions (no pinned baseline yet; tracked for trend)
+    "dedup_levenshtein_blocked",
+    "weighted_sample_quality",
+    "el_zorder_roundtrip",
 ]
 
 

@@ -783,3 +783,81 @@ def incremental_near_dup_candidates(
         .select("new_id", "existing_id")
         .distinct()
     )
+
+
+def levenshtein_blocked_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    len_col: str = "n_chars",
+    prefix_len: int = 32,
+    max_distance: int = 4,
+    band_width: int = 10,
+    max_band_size: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-dup pairs with LENGTH-BAND blocking: two
+    documents are candidates iff they share ``group_col`` and their
+    ``len_col`` falls in the same or an adjacent ``band_width``-wide
+    band; candidates are emitted when the Levenshtein distance of
+    their ``prefix_len``-char prefixes is ≤ ``max_distance``.
+
+    The edit-distance modality the shingle/MinHash/SimHash family
+    misses: character-level typo variants ("teh fast key order…")
+    share few word shingles but sit one edit apart. Levenshtein is
+    O(prefix_len²) per PAIR, so it can never run all-pairs — blocking
+    bounds candidates at Σ band_size² per group, and an explicit cap
+    (``max_band_size``, default max(200, 5 % of corpus)) drops
+    pathological bands outright (the analog of the hot-shingle guard:
+    a band holding half the corpus is boilerplate-length, not dedup
+    signal). Recall < 1 by blocking construction — a pair differing
+    by more than one band in length, or edited beyond the prefix, is
+    missed — the same documented trade every candidate generator in
+    this module makes.
+
+    Plan shape: one tiny (group, band) count aggregate → broadcast
+    anti-join guard → band equi-join (never cartesian) → codegen'd
+    ``levenshtein`` on the surviving candidates only. Deterministic,
+    so a SQL oracle running the identical pipeline matches
+    value-for-value.
+    """
+    if max_band_size is None:
+        max_band_size = max(200, int(df.count() * 0.05))
+    d = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("pfx"),
+        F.floor(F.col(len_col) / float(band_width)).cast("long").alias("band"),
+    )
+    oversized = (
+        d.groupBy("grp", "band")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_band_size)
+        .select("grp", "band")
+    )
+    keep = d.join(F.broadcast(oversized), ["grp", "band"], "left_anti")
+    expanded = keep.unionByName(
+        keep.withColumn("band", F.col("band") + F.lit(1))
+    )
+    a, b = keep.alias("a"), expanded.alias("b")
+    swap = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+            F.when(swap, F.col("a.pfx")).otherwise(F.col("b.pfx")).alias("pfx_a"),
+            F.when(swap, F.col("b.pfx")).otherwise(F.col("a.pfx")).alias("pfx_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein("pfx_a", "pfx_b").alias("prefix_distance"),
+    ).filter(F.col("prefix_distance") <= max_distance)

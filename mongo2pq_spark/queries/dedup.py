@@ -263,9 +263,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_near_clusters",
-    f"""
+#: connected components over the Jaccard pair graph via recursive-CTE
+#: transitive closure — shared by the local-checkpoint and
+#: reliable-checkpoint registered variants (identical semantics; only
+#: Spark's lineage-truncation mechanism differs)
+_NEAR_CLUSTERS_SQL = f"""
     WITH RECURSIVE {_GUARDED_HASH_CTE},
     sizes AS (SELECT doc_id, count(*) AS sz FROM hg GROUP BY doc_id),
     inter AS (
@@ -291,7 +293,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
     SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
     FROM reach GROUP BY src
-    """,
+    """
+
+
+@register(
+    "dedup_near_clusters",
+    _NEAR_CLUSTERS_SQL,
     doc="near-dup cluster formation: connected components over the Jaccard "
         "pair graph (Spark: iterative min-label propagation on the edge set; "
         "oracle: recursive-CTE transitive closure) — the final dedup step "
@@ -305,6 +312,33 @@ def dedup_near_clusters(spark, sf_dir):
         docs, threshold=0.5, max_shingle_df=_shingle_guard(docs)
     )
     return ops.near_dup_clusters(pairs)
+
+
+@register(
+    "dedup_near_clusters_checkpointed",
+    _NEAR_CLUSTERS_SQL,
+    doc="near-dup cluster formation driving the RELIABLE-checkpoint "
+        "lineage truncation (operators/dedup.py::near_dup_clusters "
+        "checkpoint_dir=): the 100 TB-critical variant — localCheckpoint "
+        "blocks live on executors and die with one, killing a long "
+        "convergence loop at cluster scale, while reliable checkpoints "
+        "land in a fault-tolerant store (HDFS/object store; a temp dir "
+        "under local mode). Results are identical to "
+        "dedup_near_clusters by construction, and this registration "
+        "keeps a hard driver signal on the path a real cluster runs",
+)
+def dedup_near_clusters_checkpointed(spark, sf_dir):
+    import tempfile
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    pairs = ops.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=_shingle_guard(docs)
+    )
+    return ops.near_dup_clusters(
+        pairs, checkpoint_dir=tempfile.mkdtemp(prefix="m2pq_cc_cp_")
+    )
 
 
 def _simhash_fp_sql(bits: int = ops.SIMHASH_BITS) -> str:
@@ -547,3 +581,49 @@ def dedup_incremental_near_dups(spark, sf_dir):
             F.count("*").alias("n_candidate_pairs"),
         )
     )
+
+
+@register(
+    "dedup_levenshtein_blocked",
+    """
+    WITH d AS (
+        SELECT doc_id, lang AS grp, substr(text, 1, 32) AS pfx,
+               CAST(floor(n_chars / 10.0) AS BIGINT) AS band
+        FROM documents
+    ),
+    keep AS (
+        SELECT doc_id, grp, pfx, band FROM d
+        QUALIFY count(*) OVER (PARTITION BY grp, band)
+            <= greatest(200, CAST(floor(0.05 * (SELECT count(*) FROM documents)) AS BIGINT))
+    ),
+    exp AS (
+        SELECT doc_id, grp, pfx, band FROM keep
+        UNION ALL
+        SELECT doc_id, grp, pfx, band + 1 FROM keep
+    ),
+    cand AS (
+        SELECT DISTINCT
+            least(a.doc_id, b.doc_id) AS doc_a,
+            greatest(a.doc_id, b.doc_id) AS doc_b,
+            CASE WHEN a.doc_id < b.doc_id THEN a.pfx ELSE b.pfx END AS pfx_a,
+            CASE WHEN a.doc_id < b.doc_id THEN b.pfx ELSE a.pfx END AS pfx_b
+        FROM keep a JOIN exp b
+          ON a.grp = b.grp AND a.band = b.band AND a.doc_id <> b.doc_id
+    )
+    SELECT doc_a, doc_b, levenshtein(pfx_a, pfx_b) AS prefix_distance
+    FROM cand WHERE levenshtein(pfx_a, pfx_b) <= 4
+    """,
+    doc="edit-distance near-dup pairs with length-band blocking "
+        "(operators/dedup.py::levenshtein_blocked_pairs): the "
+        "character-level modality the shingle/MinHash/SimHash family "
+        "misses — typo variants share few word shingles but sit a few "
+        "edits apart. Candidates are bounded by (lang, length-band) "
+        "blocking with an oversized-band guard (the hot-shingle "
+        "pattern); Levenshtein runs only on surviving candidates' "
+        "32-char prefixes, never all-pairs",
+)
+def dedup_levenshtein_blocked(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.levenshtein_blocked_pairs(docs)

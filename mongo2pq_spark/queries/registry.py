@@ -46,70 +46,66 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # NEW this round (never driver-checked): mongodump dotted-path
-    # flattening, SCD2 interval build, histogram/KLL/theta sketch
-    # rollups, native-XML EL roundtrip
-    "el_mongodump_flatten",
+    # NEW this round (never driver-checked): edit-distance blocked
+    # dedup, deterministic weighted sampling, reliable-checkpoint
+    # clustering, z-order layout roundtrip
+    "dedup_levenshtein_blocked",
+    "weighted_sample_quality",
+    "dedup_near_clusters_checkpointed",
+    "el_zorder_roundtrip",
+    # CHANGED this round: the SCD2 lead window gained a deterministic
+    # island tiebreak (DataFrame + oracle) — re-verify first
     "scd2_user_state_history",
-    "histogram_quantile_rollup",
-    "kll_quantile_rollup",
-    "theta_overlap_users",
-    "el_xml_roundtrip",
-    "dedup_incremental_near_dups",
-    "full_outer_daily_activity",
-    # CHANGED this round: mongodump decode hardening (permissive now
-    # covers corrupt wrappers; epoch typing from ALL sampled values)
-    "el_mongodump_scan",
-    # CHANGED this round: _cap_buckets gates its broadcast hint on an
-    # exact oversized count — re-verify both LSH consumers
+    # CHANGED this round: _cap_buckets now gates its broadcast hint on
+    # a bounded limit(N+1).count() and self-caches the assignment
+    # stream — re-verify both LSH consumers
     "embedding_near_dup",
     "ann_lsh_topk",
-    # CHANGED this round: foreachBatch upsert re-backed by a parquet
-    # store (per-batch partition overwrite) instead of a driver dict
-    "streaming_foreach_batch_upsert",
-    # STALE rotation (verdict r6 #1): latest driver rows predate the
-    # round-3 testdata regeneration (r1/r2 rows, different parquet
-    # bytes) — with 50 slots this retires the entire backlog
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "count_rows",
-    "distinct_values",
-    "partition_counts",
-    "limit_page",
-    "top_k",
-    "filter_equality",
-    "scan_projection",
-    "rename_projection",
-    "column_casts",
-    "falsy_suppression",
-    "speculative_parse",
-    "epoch_seconds",
-    "systematic_sample",
-    "merge_upsert_events",
-    "salted_join_revenue",
-    "asof_purchase_last_click",
-    "case_when_bucketing",
-    "cube_order_counts",
-    "median_value_by_type",
-    "percentile_approx_values",
-    "distinct_users_exact",
-    "distinct_users_approx",
-    "array_functions",
-    "math_functions",
-    "json_extract_props",
-    "json_schema_promotion",
-    "multimodal_metadata",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_language_id",
-    "text_fingerprints",
-    "text_winnow_fingerprints",
-    "text_tfidf_top_terms",
-    "text_top_bigrams",
-    "udf_text_normalize",
-    # FRESHNESS fill (r5 rows, the oldest remaining): the heaviest /
-    # least-SQL-like operators where a hard signal is worth most
-    "ann_ivf_recall",
+    # STALE rotation (verdict r7 #1): the 41 queries whose latest
+    # driver row is r5 — all green on current-generation parquet, but
+    # their hard signal is three rounds old. This window retires the
+    # r5 generation entirely (the ~3-round full-refresh cadence).
+    "contamination_overlap_frac",
+    "corpus_filter_funnel",
+    "corpus_mix_upsample",
+    "corpus_shuffle_shards",
+    "corpus_train_val_split",
+    "dedup_cleaned_corpus",
+    "dedup_exact",
+    "dedup_minhash_containment",
+    "doc_chunks_fixed",
+    "docs_pii_redact",
+    "el_csv_roundtrip",
+    "el_jsonl_roundtrip",
+    "el_orc_roundtrip",
+    "el_schema_evolution",
+    "embedding_dim_stats",
+    "embedding_norm_outliers",
+    "embedding_quantize_int8",
+    "events_anomaly_mad",
+    "events_funnel_conversion",
+    "events_heavy_hitters",
+    "events_rolling_1h_user",
+    "events_rollup_gapfill",
+    "events_value_histogram",
+    "grouping_sets_revenue",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "orders_retention_cohorts",
+    "q13_customer_order_distribution",
+    "q4_late_shipment_priority",
+    "range_join_click_attribution",
+    "stratified_sample",
+    "text_boilerplate_ngrams",
+    "text_clean",
+    "text_decontaminate",
+    "text_gopher_quality_flags",
+    "text_repetition_stats",
+    "text_unigram_logprob",
+    "text_zipf_slope",
+    "token_pack_greedy",
+    "udaf_user_value_gini",
+    "value_quartile_buckets",
 ]
 
 

@@ -636,3 +636,49 @@ def el_xml_roundtrip(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "el_zorder_roundtrip",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE user_id BETWEEN 100 AND 200 AND event_id BETWEEN 1000 AND 50000
+    GROUP BY event_type
+    """,
+    doc="Z-order layout round-trip (operators/layout.py::write_zordered): "
+        "events are rewritten clustered by the Morton interleave of "
+        "(user_id, event_id) — range-fit, range-partitioned, sorted — "
+        "then read back under a two-dimensional filter and aggregated; "
+        "the oracle aggregates the ORIGINAL table, so the layout "
+        "rewrite must be value-lossless while making row-group min/max "
+        "stats tight on BOTH filter columns (the footer-stats tightness "
+        "itself is pinned by tests/test_layout.py). The curation story "
+        "at 100 TB: one layout pass buys every later two-column scan "
+        "its pruning",
+)
+def el_zorder_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo2pq_spark.operators.layout import write_zordered
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ev = read_sf_table(spark, sf_dir, "events")
+    outdir = os.path.join(tempfile.gettempdir(), "el_zorder_out")
+    write_zordered(ev, outdir, "user_id", "event_id", bits=12)
+    back = spark.read.parquet(outdir)
+    return (
+        back.filter(
+            F.col("user_id").between(100, 200)
+            & F.col("event_id").between(1000, 50000)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

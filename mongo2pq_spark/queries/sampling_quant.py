@@ -174,3 +174,45 @@ def embedding_quantize_int8(spark, sf_dir):
             "q_md5"
         ),
     )
+
+
+@register(
+    "weighted_sample_quality",
+    """
+    WITH w AS (
+        SELECT doc_id, lang, n_chars,
+               least(1.0, n_chars / 400.0) AS weight
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, round(weight, 6) AS weight
+    FROM w
+    WHERE CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 1000000 < CAST(floor(weight * 1000000) AS BIGINT)
+    """,
+    doc="deterministic WEIGHTED sampling — the training-mix primitive: "
+        "each document is kept with probability proportional to a "
+        "quality weight (here length-derived, capped at 1), decided by "
+        "a portable MD5 hash of its id against the weight threshold. "
+        "Map-only (no shuffle, no RNG state): the same corpus always "
+        "yields the same sample on any cluster size, so mixes are "
+        "reproducible and resumable — rerunning after adding documents "
+        "re-decides only the new ids. Integer-space threshold compare "
+        "(hash % 1e6 < floor(weight·1e6)) keeps both engines exact",
+)
+def weighted_sample_quality(spark, sf_dir):
+    from mongo2pq_spark.functions.hashing import hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    weight = F.least(F.lit(1.0), F.col("n_chars") / 400.0)
+    accept = hash64(
+        F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))
+    ) % 1000000 < F.floor(weight * 1000000).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(weight, 6).alias("weight"),
+        )
+        .filter(accept)
+    )

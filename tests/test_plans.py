@@ -505,3 +505,19 @@ def test_histogram_rollup_windows_run_on_sketch_not_stream(spark, sf_dir):
         f"aggregates; found {n_aggs_below} HashAggregates between the "
         f"deepest Window and the scan"
     )
+
+
+def test_levenshtein_blocked_plan_is_equi_join_with_broadcast_guard(
+    spark, sf_dir
+):
+    """Edit-distance dedup must never plan an all-pairs shape: the
+    candidate generator is a band equi-join, the oversized-band guard
+    a broadcast LEFT ANTI, and levenshtein runs only above the join
+    (on surviving candidates)."""
+    plan = _formatted(spark, sf_dir, "dedup_levenshtein_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    squashed = plan.replace("  ", " ")
+    assert "BroadcastHashJoin LeftAnti" in squashed or (
+        "LeftAnti" in plan and "BroadcastExchange" in plan
+    )
