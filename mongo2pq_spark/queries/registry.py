@@ -106,6 +106,11 @@ _DRIVER_WINDOW_FIRST = [
     "token_pack_greedy",
     "udaf_user_value_gini",
     "value_quartile_buckets",
+    # FRESHNESS fill to 50 (r6-latest): the two queries the r7 driver
+    # bench flagged (1.88× / 1.49×) — a fresh hard signal alongside the
+    # round-8 two-session perf adjudication
+    "user_session_stats",
+    "dedup_near_clusters",
 ]
 
 
