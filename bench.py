@@ -60,6 +60,8 @@ HEADLINE = [
     "dedup_levenshtein_blocked",
     "weighted_sample_quality",
     "el_zorder_roundtrip",
+    "dedup_span_coverage",
+    "profile_events_stats",
 ]
 
 

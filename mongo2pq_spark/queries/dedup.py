@@ -627,3 +627,86 @@ def dedup_levenshtein_blocked(spark, sf_dir):
 
     docs = read_sf_table(spark, sf_dir, "documents")
     return ops.levenshtein_blocked_pairs(docs)
+
+
+@register(
+    "dedup_span_coverage",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+    ),
+    sp AS (
+        SELECT doc_id, {sql_token_hash32('s')} AS h
+        FROM (SELECT doc_id, unnest({sql_word_shingles('t', 8)}) AS s FROM toks)
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+    duph AS (
+        SELECT h FROM (
+            SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h
+        ) WHERE nd >= 2
+    ),
+    dupc AS (
+        SELECT doc_id, count(*) AS n_dup_spans FROM sp
+        WHERE h IN (SELECT h FROM duph) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(t.n_spans, 0) AS n_spans,
+           coalesce(c.n_dup_spans, 0) AS n_dup_spans,
+           CASE WHEN coalesce(t.n_spans, 0) = 0 THEN 0.0
+                ELSE round(coalesce(c.n_dup_spans, 0) * 1.0 / t.n_spans, 6)
+           END AS dup_span_frac
+    FROM documents d
+    LEFT JOIN totals t ON t.doc_id = d.doc_id
+    LEFT JOIN dupc c ON c.doc_id = d.doc_id
+    """,
+    doc="duplicated-span coverage (the ExactSubstr dedup signal of Lee "
+        "et al., 'Deduplicating Training Data Makes Language Models "
+        "Better'): per document, the fraction of its 8-token spans "
+        "that appear verbatim in at least one OTHER document — the "
+        "removal criterion for partially-copied documents that "
+        "whole-doc MinHash misses (a doc 30% copied from elsewhere "
+        "has low whole-doc Jaccard but high span coverage). Scale "
+        "shape: the span stream is linear in corpus tokens; "
+        "cross-doc span detection is ONE distinct + grouped count on "
+        "the span hash, per-doc coverage ONE semi-join + count — "
+        "equi-joins and aggregations only, never doc-pair joins",
+)
+def dedup_span_coverage(spark, sf_dir):
+    from mongo2pq_spark.functions.hashing import token_hash32
+    from mongo2pq_spark.functions.textfns import tokens, word_shingles
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    sp = docs.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), 8)).alias("span"),
+    ).select("doc_id", token_hash32(F.col("span")).alias("h"))
+    totals = sp.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    dup_hashes = (
+        sp.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_per_doc = (
+        sp.join(dup_hashes, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    n_spans = F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint")
+    n_dup = F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint")
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_spans.alias("n_spans"),
+            n_dup.alias("n_dup_spans"),
+            F.when(n_spans == 0, F.lit(0.0))
+            .otherwise(F.round(n_dup * 1.0 / F.col("n_spans"), 6))
+            .alias("dup_span_frac"),
+        )
+    )

@@ -53,6 +53,8 @@ _DRIVER_WINDOW_FIRST = [
     "weighted_sample_quality",
     "dedup_near_clusters_checkpointed",
     "el_zorder_roundtrip",
+    "dedup_span_coverage",
+    "profile_events_stats",
     # CHANGED this round: the SCD2 lead window gained a deterministic
     # island tiebreak (DataFrame + oracle) — re-verify first
     "scd2_user_state_history",
@@ -106,11 +108,6 @@ _DRIVER_WINDOW_FIRST = [
     "token_pack_greedy",
     "udaf_user_value_gini",
     "value_quartile_buckets",
-    # FRESHNESS fill to 50 (r6-latest): the two queries the r7 driver
-    # bench flagged (1.88× / 1.49×) — a fresh hard signal alongside the
-    # round-8 two-session perf adjudication
-    "user_session_stats",
-    "dedup_near_clusters",
 ]
 
 

@@ -682,3 +682,47 @@ def el_zorder_roundtrip(spark, sf_dir):
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "profile_events_stats",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT user_id) AS user_id_ndv,
+           count(DISTINCT event_type) AS event_type_ndv,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS value_nulls,
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS props_nulls,
+           round(min(value), 6) AS value_min,
+           round(max(value), 6) AS value_max,
+           CAST(min(user_id) AS BIGINT) AS user_id_min,
+           CAST(max(user_id) AS BIGINT) AS user_id_max
+    FROM events
+    """,
+    doc="table profiling (the ANALYZE/data-quality pass a pipeline runs "
+        "before publishing a dataset): row count, exact NDV, null "
+        "counts, and numeric min/max in ONE aggregation over the "
+        "table. Scale shape: a single pass with map-side partials — "
+        "count(distinct) compiles to a two-phase expand+agg, still one "
+        "scan; for monitoring cadence at 100 TB the exact NDVs swap to "
+        "the mergeable HLL rollup (sketch_rollup_distinct_users) "
+        "without changing the shape",
+)
+def profile_events_stats(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return e.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("user_id_ndv"),
+        F.countDistinct("event_type").alias("event_type_ndv"),
+        F.sum(F.col("value").isNull().cast("int"))
+        .cast("bigint")
+        .alias("value_nulls"),
+        F.sum(F.col("props").isNull().cast("int"))
+        .cast("bigint")
+        .alias("props_nulls"),
+        F.round(F.min("value"), 6).alias("value_min"),
+        F.round(F.max("value"), 6).alias("value_max"),
+        F.min("user_id").cast("bigint").alias("user_id_min"),
+        F.max("user_id").cast("bigint").alias("user_id_max"),
+    )

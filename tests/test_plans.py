@@ -521,3 +521,13 @@ def test_levenshtein_blocked_plan_is_equi_join_with_broadcast_guard(
     assert "BroadcastHashJoin LeftAnti" in squashed or (
         "LeftAnti" in plan and "BroadcastExchange" in plan
     )
+
+
+def test_span_coverage_plan_has_no_pair_joins(spark, sf_dir):
+    """Duplicated-span coverage must stay linear in corpus tokens:
+    span-hash aggregations and a semi-join — never a doc-pair join
+    (all-pairs would be quadratic at corpus scale)."""
+    plan = _formatted(spark, sf_dir, "dedup_span_coverage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
