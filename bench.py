@@ -62,6 +62,7 @@ HEADLINE = [
     "el_zorder_roundtrip",
     "dedup_span_coverage",
     "profile_events_stats",
+    "sessions_overlap_join",
 ]
 
 

@@ -153,3 +153,80 @@ def bucketed_range_join_count(
             count_alias, F.coalesce(F.col(count_alias), F.lit(0)).cast("bigint")
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    l_start: str = "s",
+    l_end: str = "e",
+    r_start: str = "s",
+    r_end: str = "e",
+    cell_seconds: int = 3600,
+) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join: all (left, right) pairs with
+    the same ``key_col`` whose CLOSED time intervals [start, end]
+    intersect (``l.s ≤ r.e AND r.s ≤ l.e``) — the interval sibling of
+    the point-in-window range join above, completing the temporal-join
+    matrix (as-of / point-range / interval-overlap).
+
+    A naive BETWEEN theta-join plans as BroadcastNestedLoopJoin —
+    quadratic per key at scale. Decomposition: every interval explodes
+    to the width-``cell_seconds`` grid cells it covers; two
+    overlapping intervals both cover the cell containing any shared
+    instant, so an equi-join on (key, cell) generates a candidate
+    superset, deduplicated and verified with the exact predicate.
+    Cost: Σ(interval_len / cell + 1) rows per side into one equi-join
+    — pick ``cell_seconds`` near the typical interval length so most
+    intervals explode to 1–2 cells (a multi-cell-spanning pair is
+    double-counted by the grid, hence the distinct).
+
+    Output: key, the four bounds (aliased ``l_start/l_end/r_start/
+    r_end``), and ``overlap_us`` (BIGINT microseconds, ≥ 0; 0 means
+    the intervals touch at a point). Timestamps compare at
+    microsecond precision, parquet's physical resolution.
+
+    CONTRACT: interval rows must be unique per (key, start, end) —
+    the grid-dedup ``distinct`` collapses exact duplicate intervals
+    (gaps-and-islands session sets satisfy this by construction: one
+    key's sessions are pairwise disjoint).
+    """
+    w_us = cell_seconds * 1_000_000
+
+    def cells(df, start, end, sa, ea):
+        s_us = F.unix_micros(F.col(start))
+        e_us = F.unix_micros(F.col(end))
+        return df.select(
+            F.col(key_col),
+            F.col(start).alias(sa),
+            F.col(end).alias(ea),
+            F.explode(
+                F.sequence(
+                    F.floor(s_us / F.lit(w_us)), F.floor(e_us / F.lit(w_us))
+                )
+            ).alias("__cell"),
+        )
+
+    lc = cells(left, l_start, l_end, "l_start", "l_end")
+    rc = cells(right, r_start, r_end, "r_start", "r_end")
+    pairs = (
+        lc.join(rc, [key_col, "__cell"])
+        .drop("__cell")
+        .distinct()
+        .filter(
+            (F.col("l_start") <= F.col("r_end"))
+            & (F.col("r_start") <= F.col("l_end"))
+        )
+    )
+    overlap = F.unix_micros(
+        F.least(F.col("l_end"), F.col("r_end"))
+    ) - F.unix_micros(F.greatest(F.col("l_start"), F.col("r_start")))
+    return pairs.select(
+        key_col,
+        "l_start",
+        "l_end",
+        "r_start",
+        "r_end",
+        overlap.cast("bigint").alias("overlap_us"),
+    )

@@ -531,3 +531,12 @@ def test_span_coverage_plan_has_no_pair_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
+
+
+def test_interval_overlap_plan_is_equi_join(spark, sf_dir):
+    """The interval-overlap join must decompose onto the grid and
+    equi-join (key, cell) — a BETWEEN theta-join would plan
+    BroadcastNestedLoopJoin, quadratic per key at scale."""
+    plan = _formatted(spark, sf_dir, "sessions_overlap_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

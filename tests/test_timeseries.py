@@ -187,3 +187,58 @@ def test_minhash_containment_detects_embedding(spark):
     # ...while doc 1 is measurably NOT fully inside doc 2, and the
     # asymmetry points the right way
     assert r.containment_a < r.containment_b, r
+
+
+def test_interval_overlap_join_matches_naive_theta_join(spark):
+    """Grid decomposition must emit exactly the naive theta-join's
+    pairs: multi-cell-spanning intervals (grid double-counting →
+    distinct), point-touching endpoints (overlap_us = 0), disjoint
+    intervals, and cross-key non-matches."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.timeseries import interval_overlap_join
+
+    t0 = datetime(2024, 1, 1)
+
+    def iv(key, s_h, e_h):
+        return (key, t0 + timedelta(hours=s_h), t0 + timedelta(hours=e_h))
+
+    left = spark.createDataFrame(
+        [iv(1, 0, 5), iv(1, 10, 11), iv(2, 0, 2)],
+        "user_id long, s timestamp, e timestamp",
+    )
+    right = spark.createDataFrame(
+        # overlaps [0,5]: [1,2] inside, [4,7] partial, [5,6] touches at
+        # a point, [7,8] disjoint; key 3 never matches key 1/2
+        [iv(1, 1, 2), iv(1, 4, 7), iv(1, 5, 6), iv(1, 7, 8), iv(3, 0, 9)],
+        "user_id long, s timestamp, e timestamp",
+    )
+    got = interval_overlap_join(
+        left, right, "user_id", cell_seconds=3600
+    )
+    naive = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.s") <= F.col("r.e"))
+            & (F.col("r.s") <= F.col("l.e")),
+        )
+        .select(
+            F.col("l.user_id"),
+            F.col("l.s").alias("l_start"),
+            F.col("l.e").alias("l_end"),
+            F.col("r.s").alias("r_start"),
+            F.col("r.e").alias("r_end"),
+            (
+                F.unix_micros(F.least(F.col("l.e"), F.col("r.e")))
+                - F.unix_micros(F.greatest(F.col("l.s"), F.col("r.s")))
+            ).cast("bigint").alias("overlap_us"),
+        )
+    )
+    key = lambda r: (r.user_id, r.l_start, r.l_end, r.r_start, r.r_end, r.overlap_us)
+    assert sorted(map(key, got.collect())) == sorted(map(key, naive.collect()))
+    # the point-touch pair is present with zero overlap
+    assert any(r.overlap_us == 0 for r in got.collect())
