@@ -674,13 +674,19 @@ def dedup_levenshtein_blocked(spark, sf_dir):
 def dedup_span_coverage(spark, sf_dir):
     from mongo2pq_spark.functions.hashing import token_hash32
     from mongo2pq_spark.functions.textfns import tokens, word_shingles
+    from mongo2pq_spark.operators.cache import cache_stream
     from mongo2pq_spark.sources.registry import read_sf_table
 
     docs = read_sf_table(spark, sf_dir, "documents")
-    sp = docs.select(
-        "doc_id",
-        F.explode(word_shingles(tokens(F.col("text")), 8)).alias("span"),
-    ).select("doc_id", token_hash32(F.col("span")).alias("h"))
+    # the span stream feeds totals, the dup-hash build AND the per-doc
+    # semi-join — cache it once (Catalyst has no cross-branch CSE; the
+    # tokenize+shingle+hash projection would otherwise run 3×)
+    sp = cache_stream(
+        docs.select(
+            "doc_id",
+            F.explode(word_shingles(tokens(F.col("text")), 8)).alias("span"),
+        ).select("doc_id", token_hash32(F.col("span")).alias("h"))
+    )
     totals = sp.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
     dup_hashes = (
         sp.select("h", "doc_id")
