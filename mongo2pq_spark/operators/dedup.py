@@ -829,6 +829,11 @@ def levenshtein_blocked_pairs(
         F.substring(F.col(text_col), 1, prefix_len).alias("pfx"),
         F.floor(F.col(len_col) / float(band_width)).cast("long").alias("band"),
     )
+    # `d` feeds the oversized-band count, the anti-join probe, and
+    # (via `keep`) BOTH join sides — cache once so the corpus scans
+    # once, not four times (the 100 TB cost is the scan, not the
+    # narrow projection)
+    d = _cache_stream(d)
     oversized = (
         d.groupBy("grp", "band")
         .agg(F.count("*").alias("n"))
