@@ -980,3 +980,54 @@ def test_near_dup_clusters_reliable_checkpoint_matches_local(spark, tmp_path):
         for f in fs
     ]
     assert files, "reliable checkpoint wrote nothing into checkpoint_dir"
+
+
+def test_levenshtein_blocking_band_semantics(spark):
+    """Pin the blocking contract: same-band and adjacent-band pairs
+    are candidates; a 2-band length gap excludes a pair even with
+    identical prefixes (documented recall trade); oversized bands are
+    dropped outright; cross-group pairs never match."""
+    from mongo2pq_spark.operators.dedup import levenshtein_blocked_pairs
+
+    base = "the quick brown fox jumps over it"  # 33 chars, prefix-stable
+    rows = [
+        # docs 1,2: same band (n_chars 100, 105 → bands 10, 10)
+        (1, base, "en", 100),
+        (2, base + " x", "en", 105),
+        # doc 3: adjacent band (115 → band 11)
+        (3, base + " yy", "en", 115),
+        # doc 4: two bands away (125 → band 12) — excluded from 1,2
+        (4, base + " zzz", "en", 125),
+        # doc 5: same band as 1 but different group
+        (5, base, "de", 100),
+        # doc 6: prefix beyond the edit threshold, same band as 1
+        (6, "completely different text entirely now", "en", 100),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in levenshtein_blocked_pairs(df, band_width=10).collect()
+    }
+    assert (1, 2) in got            # same band
+    assert (1, 3) in got and (2, 3) in got  # adjacent band
+    assert (3, 4) in got            # adjacent (11↔12)
+    assert (1, 4) not in got and (2, 4) not in got  # 2-band gap
+    assert (1, 5) not in got        # group mismatch
+    assert (1, 6) not in got        # distance > threshold
+
+    # oversized-band guard: 300 same-band docs with max_band_size=100
+    # → the band is dropped, zero pairs
+    import pyspark.sql.functions as SF
+
+    big = spark.range(300).select(
+        SF.col("id").alias("doc_id"),
+        SF.lit(base).alias("text"),
+        SF.lit("en").alias("lang"),
+        SF.lit(100).alias("n_chars"),
+    )
+    assert (
+        levenshtein_blocked_pairs(big, band_width=10, max_band_size=100).count()
+        == 0
+    )

@@ -242,3 +242,55 @@ def test_interval_overlap_join_matches_naive_theta_join(spark):
     assert sorted(map(key, got.collect())) == sorted(map(key, naive.collect()))
     # the point-touch pair is present with zero overlap
     assert any(r.overlap_us == 0 for r in got.collect())
+
+
+def test_interval_overlap_join_randomized_vs_naive(spark):
+    """200 random intervals per side (fixed seed), three keys, lengths
+    0–30h, on a 1h grid: grid decomposition must reproduce the naive
+    theta-join exactly — including intervals spanning many cells and
+    zero-length (point) intervals."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.timeseries import interval_overlap_join
+
+    rng = random.Random(20260814)
+    t0 = datetime(2024, 1, 1)
+
+    def make(n):
+        rows = []
+        for _ in range(n):
+            key = rng.randint(1, 3)
+            start_min = rng.randint(0, 7 * 24 * 60)
+            length_min = rng.choice([0, rng.randint(1, 30 * 60)])
+            s = t0 + timedelta(minutes=start_min)
+            rows.append((key, s, s + timedelta(minutes=length_min)))
+        return spark.createDataFrame(
+            rows, "user_id long, s timestamp, e timestamp"
+        ).distinct()  # operator contract: unique (key, s, e)
+
+    left, right = make(200), make(200)
+    got = interval_overlap_join(left, right, "user_id", cell_seconds=3600)
+    naive = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.s") <= F.col("r.e"))
+            & (F.col("r.s") <= F.col("l.e")),
+        )
+        .select(
+            F.col("l.user_id"),
+            F.col("l.s").alias("l_start"),
+            F.col("l.e").alias("l_end"),
+            F.col("r.s").alias("r_start"),
+            F.col("r.e").alias("r_end"),
+        )
+    )
+    k = lambda r: (r.user_id, r.l_start, r.l_end, r.r_start, r.r_end)
+    got_keys = sorted(k(r) for r in got.collect())
+    naive_keys = sorted(k(r) for r in naive.collect())
+    assert len(got_keys) > 100  # non-vacuous
+    assert got_keys == naive_keys
