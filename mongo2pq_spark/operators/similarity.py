@@ -512,3 +512,84 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def segment_mean_vectors(
+    df: DataFrame,
+    seg_col,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-segment per-dimension embedding means: ``(segment, dim,
+    mean_val, n_vecs)`` — the distributed column-mean primitive under
+    drift monitoring and centroid analyses.
+
+    ``seg_col`` may be a column name or an expression (e.g.
+    ``F.pmod("vec_id", 2)`` to split a corpus into comparison halves).
+
+    Scale shape: ONE posexplode (linear in n·dim) into ONE map-side-
+    combinable (segment, dim) aggregate — never a driver collect of
+    vectors; the result is segments × dim rows, grid-sized regardless
+    of corpus size."""
+    seg = F.col(seg_col) if isinstance(seg_col, str) else seg_col
+    return (
+        df.select(
+            seg.alias("segment"),
+            F.posexplode(F.col(vec_col)).alias("dim", "v"),
+        )
+        .groupBy("segment", "dim")
+        .agg(
+            F.avg("v").alias("mean_val"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
+def embedding_drift(
+    df: DataFrame,
+    seg_col,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drift report between exactly TWO segments of an embedding
+    corpus (today-vs-yesterday shards, model-A-vs-model-B encodings,
+    train-vs-eval splits): cosine similarity between the segment MEAN
+    vectors, the L2 norm of the mean shift, and the single dimension
+    with the largest absolute shift — the cheap first-line monitor
+    that catches encoder regressions and distribution shift before
+    expensive re-evaluation.
+
+    Built entirely on ``segment_mean_vectors``: after the one linear
+    pass, everything computes on 2 × dim rows (a broadcast-sized
+    self-join on dim). Output is ONE row:
+    ``(mean_cosine, shift_l2, max_shift_dim, max_shift)``.
+    Deterministic — exact means, no sampling."""
+    means = segment_mean_vectors(df, seg_col, vec_col)
+    segs = [r.segment for r in means.select("segment").distinct().collect()]
+    if len(segs) != 2:
+        raise ValueError(
+            f"embedding_drift needs exactly 2 segments, got {sorted(segs)!r}"
+        )
+    lo, hi = sorted(segs)
+    a = means.filter(F.col("segment") == lo).select(
+        "dim", F.col("mean_val").alias("ma")
+    )
+    b = means.filter(F.col("segment") == hi).select(
+        "dim", F.col("mean_val").alias("mb")
+    )
+    j = a.join(b, "dim")
+    return j.agg(
+        F.round(
+            F.sum(F.col("ma") * F.col("mb"))
+            / (
+                F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+            ),
+            6,
+        ).alias("mean_cosine"),
+        F.round(
+            F.sqrt(F.sum(F.pow(F.col("ma") - F.col("mb"), 2))), 6
+        ).alias("shift_l2"),
+        F.max_by("dim", F.abs(F.col("ma") - F.col("mb"))).alias(
+            "max_shift_dim"
+        ),
+        F.round(F.max(F.abs(F.col("ma") - F.col("mb"))), 6).alias("max_shift"),
+    )

@@ -1031,3 +1031,44 @@ def test_levenshtein_blocking_band_semantics(spark):
         levenshtein_blocked_pairs(big, band_width=10, max_band_size=100).count()
         == 0
     )
+
+
+def test_segment_mean_vectors_and_drift(spark, sf_dir):
+    """Column means must equal a driver-side numpy computation, and the
+    drift report's cosine/L2 must match the same numpy reference; an
+    identical-segments split reports zero drift."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.similarity import (
+        embedding_drift,
+        segment_mean_vectors,
+    )
+
+    emb = read_sf_table(spark, sf_dir, "embeddings").limit(400)
+    seg = F.pmod(F.col("vec_id"), F.lit(2))
+    means = {
+        (r.segment, r.dim): r.mean_val
+        for r in segment_mean_vectors(emb, seg).collect()
+    }
+    rows = [(int(r.vec_id) % 2, np.array(r.embedding, dtype="float64"))
+            for r in emb.collect()]
+    for s in (0, 1):
+        vecs = np.stack([v for k, v in rows if k == s])
+        ref = vecs.mean(axis=0)
+        got = np.array([means[(s, d)] for d in range(len(ref))])
+        assert np.allclose(got, ref, atol=1e-9)
+
+    drift = embedding_drift(emb, seg).collect()[0]
+    m0 = np.stack([v for k, v in rows if k == 0]).mean(axis=0)
+    m1 = np.stack([v for k, v in rows if k == 1]).mean(axis=0)
+    cos = float(m0 @ m1 / (np.linalg.norm(m0) * np.linalg.norm(m1)))
+    assert abs(drift.mean_cosine - round(cos, 6)) <= 1e-6
+    assert abs(drift.shift_l2 - round(float(np.linalg.norm(m0 - m1)), 6)) <= 1e-6
+    assert drift.max_shift_dim == int(np.abs(m0 - m1).argmax())
+
+    # self-vs-self: duplicate the corpus into both segments → no drift
+    dup = emb.select(F.lit(0).alias("s"), "embedding").unionByName(
+        emb.select(F.lit(1).alias("s"), "embedding")
+    )
+    z = embedding_drift(dup, "s").collect()[0]
+    assert z.mean_cosine == 1.0 and z.shift_l2 == 0.0 and z.max_shift == 0.0
