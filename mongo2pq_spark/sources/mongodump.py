@@ -14,8 +14,11 @@ unwraps the extended-JSON type wrappers:
 - ``{"$date": "ISO-8601"}``  → timestamp (also ``{"$date": {"$numberLong": ms}}``)
 - ``{"$numberLong"/"$numberInt"/"$numberDouble": "n"}`` → numeric
 
-Scale shape: one input partition PER DUMP FILE (``partitions()``), so
-a sharded export parallelizes across executors; rows stream through
+Scale shape: one input partition per dump file, and files larger than
+``splitsize`` (default 128 MB) further split into BYTE-RANGE
+partitions via the newline-delimited split protocol (``partitions()``)
+— a sharded export parallelizes across executors AND a single huge
+mongoexport is no longer a 1-task read; rows stream through
 ``json.loads`` line-at-a-time (bounded memory). This is deliberately
 the Python slow path — the API-surface demonstration for sources Spark
 has no native reader for; live collections use the JVM connector.
@@ -114,8 +117,16 @@ def _decode_line(line: str, flatten: bool) -> dict:
 
 
 class _DumpFilePartition(InputPartition):
-    def __init__(self, path: str):
+    """A byte range [start, end) of one dump file. ``start == 0``
+    owns the file head; a later split owns every line whose FIRST
+    byte falls inside its range (the standard newline-delimited
+    split protocol: seek, discard the partial line unless at 0,
+    stop after passing ``end``)."""
+
+    def __init__(self, path: str, start: int = 0, end: int | None = None):
         self.path = path
+        self.start = start
+        self.end = end
 
 
 class MongoDumpReader(DataSourceReader):
@@ -123,8 +134,8 @@ class MongoDumpReader(DataSourceReader):
         self._fields = [f.name for f in schema.fields]
         self._path = options.get("path")
         # failfast (default): a malformed line kills the read WITH
-        # file+line context; permissive: skip malformed lines — at
-        # 100 TB one corrupt export line must not fail the whole job
+        # file + byte-offset context; permissive: skip malformed lines
+        # — at 100 TB one corrupt export line must not fail the job
         self._mode = options.get("mode", "failfast").lower()
         if self._mode not in ("failfast", "permissive"):
             raise ValueError(
@@ -140,6 +151,12 @@ class MongoDumpReader(DataSourceReader):
         # the reader converts it so one consistent type reaches Spark
         epoch = options.get("epochfields", "")
         self._epoch_fields = frozenset(f for f in epoch.split(",") if f)
+        # intra-file parallelism: files larger than splitsize bytes are
+        # read as multiple byte-range partitions (the newline-delimited
+        # split protocol Spark's own text source uses) — without it a
+        # single huge mongoexport is a ONE-task read no matter how many
+        # executors the cluster has. 0 disables splitting.
+        self._split_size = int(options.get("splitsize", 128 * 1024 * 1024))
 
     def partitions(self):
         if os.path.isdir(self._path):
@@ -150,12 +167,41 @@ class MongoDumpReader(DataSourceReader):
             )
         else:
             files = [self._path]
-        return [_DumpFilePartition(p) for p in files]
+        parts: list[_DumpFilePartition] = []
+        for p in files:
+            size = os.path.getsize(p)
+            if self._split_size <= 0 or size <= self._split_size:
+                parts.append(_DumpFilePartition(p, 0, None))
+                continue
+            start = 0
+            while start < size:
+                end = min(start + self._split_size, size)
+                parts.append(_DumpFilePartition(p, start, end))
+                start = end
+        return parts
 
     def read(self, partition: _DumpFilePartition) -> Iterator[tuple]:
-        with open(partition.path, encoding="utf-8") as fh:
-            for lineno, line in enumerate(fh, start=1):
-                line = line.strip()
+        # binary mode: byte offsets must agree with os.path.getsize —
+        # text mode would count decoded characters
+        with open(partition.path, "rb") as fh:
+            if partition.start > 0:
+                # a line straddling the boundary belongs to the
+                # PREVIOUS split (which reads past its end to finish
+                # it). Seek to start-1, not start: if the byte at
+                # start-1 is the previous line's '\n', readline()
+                # consumes exactly that newline and a line beginning
+                # AT the boundary is correctly kept; seeking to start
+                # would discard it (it starts inside this range).
+                fh.seek(partition.start - 1)
+                fh.readline()
+            offset = fh.tell()
+            for raw_line in fh:
+                line_start = offset
+                offset += len(raw_line)
+                # a split owns lines that START inside [start, end)
+                if partition.end is not None and line_start >= partition.end:
+                    break
+                line = raw_line.decode("utf-8").strip()
                 if not line:
                     continue
                 try:
@@ -165,7 +211,7 @@ class MongoDumpReader(DataSourceReader):
                         continue
                     raise ValueError(
                         f"malformed extended-JSON at {partition.path}:"
-                        f"{lineno}: {exc}"
+                        f"byte {line_start}: {exc}"
                     ) from exc
                 yield tuple(
                     self._field_value(doc, name) for name in self._fields
@@ -206,6 +252,7 @@ def read_mongodump(
     sample_lines: int = 2000,
     on_nested: str = "skip",
     mode: str = "failfast",
+    split_size: int = 128 * 1024 * 1024,
 ):
     """Read an extended-JSON dump with the engine's OWN schema
     inference: peek up to ``sample_lines`` unwrapped documents
@@ -244,7 +291,15 @@ def read_mongodump(
     ``{"$numberLong": "x"}`` — with file:line context; ``permissive``
     skips such lines in both the driver-side sample and the
     distributed read: at scale one corrupt export line must not fail
-    the whole job.
+    the whole job. (The driver-side sample reports file:line; the
+    distributed read reports file:byte-offset — splits don't know
+    their global line number.)
+
+    ``split_size``: files larger than this many bytes are read as
+    multiple byte-range partitions (newline-delimited split protocol),
+    so ONE huge mongoexport still parallelizes across executors —
+    without it the file-per-partition layout makes it a 1-task read.
+    0 disables splitting.
     """
     import pyarrow as pa
     from pyspark.sql import functions as F
@@ -335,6 +390,7 @@ def read_mongodump(
         .option("mode", mode)
         .option("flatten", "true" if flatten else "false")
         .option("epochfields", ",".join(sorted(numeric_epoch)))
+        .option("splitsize", str(split_size))
         .load()
     )
     if numeric_epoch:

@@ -353,3 +353,49 @@ def test_multi_file_dump_reads_one_partition_per_file(spark, tmp_path):
     )
     assert len(pids) == 4, f"expected 4 input partitions, got {len(pids)}"
     assert df.count() == 20
+
+
+def test_split_single_file_parallel_and_identical(spark, tmp_path):
+    """A single dump file larger than splitsize must read as multiple
+    byte-range partitions (no more 1-task scans of a huge mongoexport)
+    and deliver EXACTLY the unsplit content — boundary lines belong to
+    the split where they start, the next split discards its leading
+    partial line."""
+    from pyspark.sql import functions as F
+
+    docs = [{"n": i, "pad": "x" * (17 + i % 13)} for i in range(500)]
+    path = tmp_path / "big.jsonl"
+    path.write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+
+    whole = read_mongodump(spark, str(path), split_size=0)
+    split = read_mongodump(spark, str(path), split_size=512)
+    n_parts = (
+        split.select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    assert n_parts > 10, f"expected many byte-range splits, got {n_parts}"
+    assert sorted(r["n"] for r in split.collect()) == sorted(
+        r["n"] for r in whole.collect()
+    ) == list(range(500))
+
+
+def test_split_permissive_skips_corrupt_line_mid_split(spark, tmp_path):
+    """Permissive mode must survive a corrupt line that lands inside an
+    arbitrary split; failfast must name the byte offset."""
+    import pytest as _pytest
+
+    lines = [json.dumps({"n": i}) for i in range(100)]
+    lines[57] = '{"n": 57, "w": {"$numberLong": "x"}}'
+    path = tmp_path / "corrupt_split.jsonl"
+    path.write_text("\n".join(lines) + "\n")
+
+    ok = read_mongodump(
+        spark, str(path), mode="permissive", sample_lines=10, split_size=256
+    )
+    got = sorted(r["n"] for r in ok.collect())
+    assert got == [i for i in range(100) if i != 57]
+
+    with _pytest.raises(Exception) as exc:
+        read_mongodump(
+            spark, str(path), sample_lines=10, split_size=256
+        ).collect()
+    assert "corrupt_split.jsonl:byte" in str(exc.value)
