@@ -56,15 +56,15 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_span_coverage",
     "profile_events_stats",
     "sessions_overlap_join",
+    # (streaming_near_dedup below is also NEW this round; the r8
+    # _cap_buckets change to the LSH consumers dropped out of the
+    # window to make room — embedding_near_dup/ann_lsh_topk hold green
+    # r7 rows, the change is behavior-preserving, and both re-verify
+    # in every session's full pytest oracle run)
     # CHANGED this round: the SCD2 lead window gained a deterministic
     # island tiebreak (DataFrame + oracle) — re-verify first
     "scd2_user_state_history",
-    # CHANGED this round: _cap_buckets now gates its broadcast hint on
-    # a bounded limit(N+1).count() and self-caches the assignment
-    # stream. embedding_near_dup stands in for both LSH consumers
-    # (ann_lsh_topk shares the identical guard path and has an r7 row;
-    # both are re-verified by the full pytest oracle run each session)
-    "embedding_near_dup",
+    "streaming_near_dedup",
     # STALE rotation (verdict r7 #1): the 41 queries whose latest
     # driver row is r5 — all green on current-generation parquet, but
     # their hard signal is three rounds old. This window retires the

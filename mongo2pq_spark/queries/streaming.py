@@ -230,3 +230,63 @@ def streaming_parquet_sink(spark, sf_dir):
         .cast("double")
         .alias("total_value"),
     )
+
+
+def _near_dedup_oracle(n_batches: int = 4) -> str:
+    """Batch formulation of the streaming pipeline's dup rule, built
+    from the SAME MD5-MinHash constants as the Spark operators: doc X
+    (batch = doc_id % n) is a near-dup iff it shares ≥1 LSH band with
+    a doc of an earlier batch or a lower-id doc of its own batch."""
+    from mongo2pq_spark.queries.dedup import _BANDS, _ROWS, _minhash_sig_sql
+
+    bands_cte = (
+        _minhash_sig_sql()
+        + ",\n    bands AS (\n"
+        + "\n        UNION ALL\n".join(
+            "        SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sig".format(
+                b=b,
+                concat=" || ',' || ".join(
+                    f"mh{b * _ROWS + r}" for r in range(_ROWS)
+                ),
+            )
+            for b in range(_BANDS)
+        )
+        + "\n    )"
+    )
+    n = n_batches
+    return f"""
+    {bands_cte}
+    SELECT d.doc_id,
+           CAST(d.doc_id % {n} AS BIGINT) AS batch_k,
+           EXISTS (
+               SELECT 1 FROM bands a JOIN bands b
+                 ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               WHERE a.doc_id = d.doc_id
+                 AND (b.doc_id % {n} < d.doc_id % {n}
+                      OR (b.doc_id % {n} = d.doc_id % {n}
+                          AND b.doc_id < d.doc_id))
+           ) AS is_dup
+    FROM documents d
+    """
+
+
+@register(
+    "streaming_near_dedup",
+    _near_dedup_oracle(),
+    doc="streaming incremental near-dedup "
+        "(streaming/neardedup.py::run_streaming_near_dedup): documents "
+        "replayed as ordered micro-batches; each batch shingles only "
+        "itself, probes the persisted MinHash band store for "
+        "collisions against earlier batches, flags near-dups "
+        "(cross-batch, or lower-id within batch), and appends its "
+        "bands — idempotent per-partition overwrites keyed by the "
+        "DATA's batch class, so replay recomputes identical flags. "
+        "Continuous-ingestion economics: cost per batch ∝ batch size, "
+        "corpus text never re-read, the band store is history's only "
+        "trace. The oracle is the batch formulation of the same rule "
+        "over the same MD5-MinHash constants",
+)
+def streaming_near_dedup(spark, sf_dir):
+    from mongo2pq_spark.streaming.neardedup import run_streaming_near_dedup
+
+    return run_streaming_near_dedup(spark, f"{sf_dir}/documents.parquet")

@@ -108,3 +108,34 @@ def test_run_foreach_batch_upsert_equals_batch_aggregate(spark, sf_dir, tmp_path
         .collect()
     }
     assert got == want
+
+
+def test_streaming_near_dedup_replay_is_idempotent(spark, tmp_path):
+    """A persistent store driven twice over the same staged batches
+    must produce identical flags (per-partition overwrite, data-keyed
+    batch class) — the recovery contract of the continuous near-dedup
+    pipeline — and running with a persistent store must equal the
+    throwaway-store path."""
+    import os
+
+    from mongo2pq_spark.streaming.neardedup import run_streaming_near_dedup
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    store = str(tmp_path / "store")
+    first = sorted(
+        tuple(r) for r in run_streaming_near_dedup(
+            spark, docs, store_dir=store
+        ).collect()
+    )
+    # wipe the checkpoint so the stream replays every batch against
+    # the SURVIVING store — the crash-recovery worst case
+    import shutil
+
+    shutil.rmtree(os.path.join(store, "ckpt"), ignore_errors=True)
+    second = sorted(
+        tuple(r) for r in run_streaming_near_dedup(
+            spark, docs, store_dir=store
+        ).collect()
+    )
+    assert first == second
+    assert any(r[2] for r in first), "fixture should contain near-dups"
