@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_span_coverage",
     "profile_events_stats",
     "sessions_overlap_join",
+    "streaming_near_dedup",
 ]
 
 
