@@ -63,7 +63,11 @@ HEADLINE = [
     "dedup_span_coverage",
     "profile_events_stats",
     "sessions_overlap_join",
-    "streaming_near_dedup",
+    # NOT benched: dedup_near_clusters_checkpointed and
+    # streaming_near_dedup re-run their batch siblings' work through
+    # checkpoint/foreachBatch machinery — pipeline-contract queries
+    # (driver-correctness-checked) whose wall-clock is staging I/O,
+    # not engine throughput
 ]
 
 
