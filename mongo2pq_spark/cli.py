@@ -50,6 +50,7 @@ def main(
     compression: str | None = None,
     source_format: str = "auto",
     on_nested: str = "skip",
+    split_size: int = 128 * 1024 * 1024,
     dynamic_partition_overwrite: bool = False,
     spark=None,
 ) -> int:
@@ -67,6 +68,7 @@ def main(
         readers = _collection_readers(
             spark, uri, db, collections,
             source_format=source_format, on_nested=on_nested,
+            split_size=split_size,
         )
     except ConnectionError as err:
         print(f"Error: could not connect to source: {err}", file=sys.stderr)
@@ -172,6 +174,7 @@ def _collection_readers(
     collections: list[str] | None,
     source_format: str = "auto",
     on_nested: str = "skip",
+    split_size: int = 128 * 1024 * 1024,
 ):
     """name → zero-arg DataFrame factory for each collection.
 
@@ -200,7 +203,8 @@ def _collection_readers(
             return {
                 name: (
                     lambda p=path: read_mongodump(
-                        spark, str(p), on_nested=on_nested
+                        spark, str(p), on_nested=on_nested,
+                        split_size=split_size,
                     )
                 )
                 for name, path in found.items()
@@ -261,6 +265,12 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
                              "parquet/jsonl/csv readers; mongodump = "
                              "extended-JSON dumps ($oid/$date/$numberLong "
                              "unwrapped per Mongo's BSON decode rules)")
+    parser.add_argument("--split-size", type=int,
+                        default=128 * 1024 * 1024,
+                        help="mongodump files larger than this many bytes "
+                             "read as multiple byte-range partitions "
+                             "(parallel scan of one huge export); 0 "
+                             "disables splitting")
     parser.add_argument("--on-nested", default="skip",
                         choices=("skip", "raise", "flatten"),
                         help="mongodump subdocument handling: skip = drop "
@@ -337,6 +347,7 @@ def run(argv: list[str] | None = None) -> int:
         compression=args.compression,
         source_format=args.source_format,
         on_nested=args.on_nested,
+        split_size=args.split_size,
         dynamic_partition_overwrite=args.dynamic_partition_overwrite,
     )
 

@@ -399,3 +399,27 @@ def test_split_permissive_skips_corrupt_line_mid_split(spark, tmp_path):
             spark, str(path), sample_lines=10, split_size=256
         ).collect()
     assert "corrupt_split.jsonl:byte" in str(exc.value)
+
+
+def test_cli_split_size_parallel_el(spark, tmp_path):
+    """--split-size end-to-end: a single large dump EL-loads through
+    byte-range partitions with content identical to the unsplit read."""
+    from mongo2pq_spark.cli import main as cli_main
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    docs = [{"n": i, "name": f"doc{i}"} for i in range(300)]
+    (src / "items.jsonl").write_text(
+        "\n".join(json.dumps(d) for d in docs) + "\n"
+    )
+    rc = cli_main(
+        uri=f"file:{src}",
+        outdir=out,
+        source_format="mongodump",
+        split_size=256,
+        spark=spark,
+    )
+    assert rc == 0
+    back = spark.read.parquet(str(out / "items.parquet"))
+    assert sorted(r["n"] for r in back.collect()) == list(range(300))
