@@ -148,7 +148,15 @@ def run_streaming_near_dedup(
 ) -> DataFrame:
     """Drive the continuous near-dedup pipeline over the documents
     table replayed as ``n_batches`` ordered micro-batches; returns the
-    per-document flag table ``(doc_id, batch_k, is_dup)``."""
+    per-document flag table ``(doc_id, batch_k, is_dup)``.
+
+    With ``store_dir=None`` (test/demo convenience) the flags are
+    materialized driver-side before the temp store is deleted — a
+    collect bounded by the corpus's DOC COUNT (three narrow columns),
+    same contract as ``run_foreach_batch_upsert``. A real deployment
+    passes a persistent ``store_dir`` and gets the lazy store-backed
+    DataFrame — nothing through the driver, and the band store + flag
+    history survive for the next increment."""
     cleanup = store_dir is None
     if store_dir is None:
         store_dir = tempfile.mkdtemp(prefix="stream_neardedup_")
