@@ -336,9 +336,14 @@ def dedup_near_clusters_checkpointed(spark, sf_dir):
     pairs = ops.ngram_jaccard_pairs(
         docs, threshold=0.5, max_shingle_df=_shingle_guard(docs)
     )
-    return ops.near_dup_clusters(
-        pairs, checkpoint_dir=tempfile.mkdtemp(prefix="m2pq_cc_cp_")
-    )
+    # fixed path, reused across runs (same policy as el_jsonl_out —
+    # a fresh mkdtemp per call would accrete /tmp dirs every bench
+    # repeat; Spark still namespaces each SparkContext under it)
+    import os
+
+    cp = os.path.join(tempfile.gettempdir(), "m2pq_cc_checkpoints")
+    os.makedirs(cp, exist_ok=True)
+    return ops.near_dup_clusters(pairs, checkpoint_dir=cp)
 
 
 def _simhash_fp_sql(bits: int = ops.SIMHASH_BITS) -> str:
