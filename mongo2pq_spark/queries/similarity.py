@@ -212,3 +212,31 @@ def ann_lsh_topk(spark, sf_dir):
 
     emb = read_sf_table(spark, sf_dir, "embeddings")
     return ops.lsh_topk(emb, k=5, dim=_DIM)
+
+
+#: DuckDB oracle for the r9-queued `embedding_drift` registration
+#: (operators/similarity.py::embedding_drift over a vec_id-parity
+#: split): per-dimension means via a list-comprehension unnest (DuckDB
+#: lacks WITH ORDINALITY), then the same cosine/L2/max-shift scalars.
+#: Cross-engine parity is pinned NOW by
+#: tests/test_operators.py::test_embedding_drift_matches_duckdb_oracle
+#: so the r9 window registration is a two-line change.
+DRIFT_ORACLE_SQL = """
+    WITH m AS (
+        SELECT vec_id % 2 AS segment, s.i AS dim, avg(s.v) AS mean_val
+        FROM (
+            SELECT vec_id,
+                   unnest([{'i': i - 1, 'v': embedding[i]}
+                           FOR i IN generate_series(1, len(embedding))]) AS s
+            FROM embeddings
+        )
+        GROUP BY 1, 2
+    ), a AS (SELECT dim, mean_val AS ma FROM m WHERE segment = 0),
+       b AS (SELECT dim, mean_val AS mb FROM m WHERE segment = 1)
+    SELECT round(sum(ma*mb) / (sqrt(sum(ma*ma)) * sqrt(sum(mb*mb))), 6)
+               AS mean_cosine,
+           round(sqrt(sum((ma-mb)*(ma-mb))), 6) AS shift_l2,
+           arg_max(dim, abs(ma-mb)) AS max_shift_dim,
+           round(max(abs(ma-mb)), 6) AS max_shift
+    FROM a JOIN b USING (dim)
+    """

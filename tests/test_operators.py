@@ -1072,3 +1072,24 @@ def test_segment_mean_vectors_and_drift(spark, sf_dir):
     )
     z = embedding_drift(dup, "s").collect()[0]
     assert z.mean_cosine == 1.0 and z.shift_l2 == 0.0 and z.max_shift == 0.0
+
+
+def test_embedding_drift_matches_duckdb_oracle(spark, sf_dir):
+    """Cross-engine parity for the r9-queued embedding_drift
+    registration: the Spark operator over a vec_id-parity split must
+    value-match the DuckDB formulation (DRIFT_ORACLE_SQL) at 6 dp."""
+    import duckdb
+
+    from mongo2pq_spark.operators.similarity import embedding_drift
+    from mongo2pq_spark.queries.similarity import DRIFT_ORACLE_SQL
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    got = embedding_drift(emb, F.pmod(F.col("vec_id"), F.lit(2))).collect()[0]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    ref = con.sql(DRIFT_ORACLE_SQL).fetchall()[0]
+    assert (got.mean_cosine, got.shift_l2, got.max_shift_dim, got.max_shift) == ref
