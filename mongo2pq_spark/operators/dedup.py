@@ -821,19 +821,20 @@ def levenshtein_blocked_pairs(
     so a SQL oracle running the identical pipeline matches
     value-for-value.
     """
-    if max_band_size is None:
-        max_band_size = max(200, int(df.count() * 0.05))
     d = df.select(
         F.col(id_col),
         F.col(group_col).alias("grp"),
         F.substring(F.col(text_col), 1, prefix_len).alias("pfx"),
         F.floor(F.col(len_col) / float(band_width)).cast("long").alias("band"),
     )
-    # `d` feeds the oversized-band count, the anti-join probe, and
-    # (via `keep`) BOTH join sides — cache once so the corpus scans
-    # once, not four times (the 100 TB cost is the scan, not the
-    # narrow projection)
+    # `d` feeds the default-cap count, the oversized-band count, the
+    # anti-join probe, and (via `keep`) BOTH join sides — cache FIRST
+    # so every action (including the default-cap count below) runs on
+    # the cached narrow projection and the corpus scans once, not
+    # five times (the 100 TB cost is the scan, not the projection)
     d = _cache_stream(d)
+    if max_band_size is None:
+        max_band_size = max(200, int(d.count() * 0.05))
     oversized = (
         d.groupBy("grp", "band")
         .agg(F.count("*").alias("n"))

@@ -561,7 +561,14 @@ def embedding_drift(
     pass, everything computes on 2 × dim rows (a broadcast-sized
     self-join on dim). Output is ONE row:
     ``(mean_cosine, shift_l2, max_shift_dim, max_shift)``.
-    Deterministic — exact means, no sampling."""
+    Deterministic — exact means, no sampling, and an explicit
+    tiebreak: ``max_shift_dim`` is the LOWEST dim achieving the max
+    absolute shift (``max_by`` alone is nondeterministic on ties, and
+    ties are guaranteed in the zero-drift case where every shift is
+    exactly 0.0). The unpartitioned window below runs on dim-sized
+    data (2 × dim rows), never on the corpus."""
+    from pyspark.sql import Window
+
     means = segment_mean_vectors(df, seg_col, vec_col)
     segs = [r.segment for r in means.select("segment").distinct().collect()]
     if len(segs) != 2:
@@ -575,7 +582,11 @@ def embedding_drift(
     b = means.filter(F.col("segment") == hi).select(
         "dim", F.col("mean_val").alias("mb")
     )
-    j = a.join(b, "dim")
+    j = (
+        a.join(b, "dim")
+        .withColumn("shift", F.abs(F.col("ma") - F.col("mb")))
+        .withColumn("mx", F.max("shift").over(Window.partitionBy()))
+    )
     return j.agg(
         F.round(
             F.sum(F.col("ma") * F.col("mb"))
@@ -586,10 +597,10 @@ def embedding_drift(
             6,
         ).alias("mean_cosine"),
         F.round(
-            F.sqrt(F.sum(F.pow(F.col("ma") - F.col("mb"), 2))), 6
+            F.sqrt(F.sum(F.col("shift") * F.col("shift"))), 6
         ).alias("shift_l2"),
-        F.max_by("dim", F.abs(F.col("ma") - F.col("mb"))).alias(
-            "max_shift_dim"
-        ),
-        F.round(F.max(F.abs(F.col("ma") - F.col("mb"))), 6).alias("max_shift"),
+        F.min(
+            F.when(F.col("shift") == F.col("mx"), F.col("dim"))
+        ).cast("bigint").alias("max_shift_dim"),
+        F.round(F.max("shift"), 6).alias("max_shift"),
     )

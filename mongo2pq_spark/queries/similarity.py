@@ -214,13 +214,15 @@ def ann_lsh_topk(spark, sf_dir):
     return ops.lsh_topk(emb, k=5, dim=_DIM)
 
 
-#: DuckDB oracle for the r9-queued `embedding_drift` registration
-#: (operators/similarity.py::embedding_drift over a vec_id-parity
-#: split): per-dimension means via a list-comprehension unnest (DuckDB
-#: lacks WITH ORDINALITY), then the same cosine/L2/max-shift scalars.
-#: Cross-engine parity is pinned NOW by
-#: tests/test_operators.py::test_embedding_drift_matches_duckdb_oracle
-#: so the r9 window registration is a two-line change.
+#: DuckDB oracle for `embedding_drift` (operators/similarity.py::
+#: embedding_drift over a vec_id-parity split): per-dimension means
+#: via a list-comprehension unnest (DuckDB lacks WITH ORDINALITY),
+#: then the same cosine/L2/max-shift scalars. The max_shift_dim
+#: tiebreak is EXPLICIT and mirrored in the Spark operator: the
+#: lowest dim achieving the max absolute shift (arg_max/max_by are
+#: nondeterministic on ties, and the zero-drift case ties every dim
+#: at exactly 0.0). Cross-engine parity is also pinned by
+#: tests/test_operators.py::test_embedding_drift_matches_duckdb_oracle.
 DRIFT_ORACLE_SQL = """
     WITH m AS (
         SELECT vec_id % 2 AS segment, s.i AS dim, avg(s.v) AS mean_val
@@ -232,11 +234,36 @@ DRIFT_ORACLE_SQL = """
         )
         GROUP BY 1, 2
     ), a AS (SELECT dim, mean_val AS ma FROM m WHERE segment = 0),
-       b AS (SELECT dim, mean_val AS mb FROM m WHERE segment = 1)
+       b AS (SELECT dim, mean_val AS mb FROM m WHERE segment = 1),
+       j AS (
+        SELECT dim, ma, mb, abs(ma - mb) AS shift,
+               max(abs(ma - mb)) OVER () AS mx
+        FROM a JOIN b USING (dim)
+       )
     SELECT round(sum(ma*mb) / (sqrt(sum(ma*ma)) * sqrt(sum(mb*mb))), 6)
                AS mean_cosine,
-           round(sqrt(sum((ma-mb)*(ma-mb))), 6) AS shift_l2,
-           arg_max(dim, abs(ma-mb)) AS max_shift_dim,
-           round(max(abs(ma-mb)), 6) AS max_shift
-    FROM a JOIN b USING (dim)
+           round(sqrt(sum(shift*shift)), 6) AS shift_l2,
+           CAST(min(CASE WHEN shift = mx THEN dim END) AS BIGINT)
+               AS max_shift_dim,
+           round(max(shift), 6) AS max_shift
+    FROM j
     """
+
+
+@register(
+    "embedding_drift",
+    DRIFT_ORACLE_SQL,
+    doc="drift report between two corpus halves (vec_id parity split): "
+        "cosine of the segment mean vectors, L2 norm of the mean shift, "
+        "and the lowest dimension achieving the max absolute shift — one "
+        "linear posexplode pass into a (segment, dim) aggregate, then "
+        "everything computes on 2×dim rows; deterministic tiebreak "
+        "mirrored in the DuckDB oracle",
+)
+def embedding_drift(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    return ops.embedding_drift(emb, F.pmod(F.col("vec_id"), F.lit(2)))

@@ -19,18 +19,31 @@ staged into ``n_batches`` files by ``doc_id % n_batches`` with strictly
 increasing modification times, and the file stream processes one file
 per trigger in (mtime, path) order — so micro-batch k contains exactly
 the docs with ``doc_id % n_batches == k``. "Seen before" is defined by
-the DATA (band-store partitions ``batch_k < k``), not by wall-clock
-trigger order, so a replayed/recovered batch recomputes the identical
-flags (its store partitions are overwritten, never appended). A
-document is flagged near-dup iff it shares ≥1 MinHash band with a
-document of an earlier batch, or with a lower-id document of its own
-batch — the dup-FLAGGING semantics (every document's bands enter the
-index regardless of flag), which keeps the rule non-iterative and
-exactly SQL-expressible for the oracle.
+the DATA (band-store partitions ``batch_k < offset + k``), not by
+wall-clock trigger order, so a replayed/recovered batch recomputes the
+identical flags (its store partitions are overwritten, never
+appended). A document is flagged near-dup iff it shares ≥1 MinHash
+band with a document of an earlier batch (any earlier increment
+included), or with a lower-id document of its own batch — the
+dup-FLAGGING semantics (every document's bands enter the index
+regardless of flag), which keeps the rule non-iterative and exactly
+SQL-expressible for the oracle.
+
+Multi-increment contract: each call with a persistent ``store_dir``
+is one INCREMENT over the NEW documents only (same contract as the
+batch ``dedup_incremental_*`` APIs — never re-feed already-ingested
+docs). An increment gets a run-unique stage + checkpoint directory
+(Spark's FileStreamSource keys its seen-files map by path, so reusing
+one stage dir would silently process zero new files), and its batches
+get GLOBAL sequence numbers ``batch_k = offset + k`` where ``offset``
+is persisted in a run manifest BEFORE any data is written — so a
+crashed increment resumes with its original offset and overwrites its
+own partitions, never a prior increment's.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -44,11 +57,17 @@ def _stage_batches(
 ) -> None:
     """Split the documents table into one parquet file per batch key
     (``doc_id % n_batches``) with ascending mtimes, so the file stream
-    replays them as ordered micro-batches."""
+    replays them as ordered micro-batches. Files that already exist
+    (a resumed increment) are left untouched — the checkpoint's
+    seen-files map is path-keyed, and the pinned mtimes keep the
+    (mtime, path) processing order stable across the resume."""
     docs = spark.read.parquet(documents_path)
     os.makedirs(stage_dir, exist_ok=True)
     base = 1_700_000_000
     for k in range(n_batches):
+        dst = os.path.join(stage_dir, f"batch_{k}.parquet")
+        if os.path.exists(dst):
+            continue
         part_dir = os.path.join(stage_dir, f"_build_{k}")
         (
             docs.filter(F.col("doc_id") % n_batches == k)
@@ -59,16 +78,53 @@ def _stage_batches(
         data = [
             f for f in os.listdir(part_dir) if f.endswith(".parquet")
         ][0]
-        dst = os.path.join(stage_dir, f"batch_{k}.parquet")
         shutil.move(os.path.join(part_dir, data), dst)
         shutil.rmtree(part_dir, ignore_errors=True)
         os.utime(dst, (base + k, base + k))
 
 
-def make_near_dedup_batch(store_dir: str, n_batches: int):
+def _begin_increment(store_dir: str, n_batches: int) -> tuple[str, int, int]:
+    """Allocate (or resume) this increment's run: returns
+    ``(run_id, offset, n_batches)``.
+
+    The manifest (``runs/<run_id>.json`` holding offset + n_batches)
+    is written atomically BEFORE any staging or store write, and a
+    ``.done`` marker lands only after the stream drains — so a crash
+    anywhere inside the increment leaves an un-``done`` manifest that
+    the next call resumes with the ORIGINAL offset and batch count
+    (partitions it half-wrote are simply overwritten; the flags are
+    data-defined, so the recomputation is identical). Offsets are the
+    running sum of completed manifests' n_batches — a pure metadata
+    read, never a store scan. At warehouse scale this manifest is a
+    catalog transaction / MERGE boundary; the shape is identical."""
+    runs_dir = os.path.join(store_dir, "runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    manifests = sorted(
+        f[:-5] for f in os.listdir(runs_dir) if f.endswith(".json")
+    )
+    if manifests:
+        last = manifests[-1]
+        if not os.path.exists(os.path.join(runs_dir, f"{last}.done")):
+            with open(os.path.join(runs_dir, f"{last}.json")) as fh:
+                m = json.load(fh)
+            return last, int(m["offset"]), int(m["n_batches"])
+    offset = 0
+    for name in manifests:
+        with open(os.path.join(runs_dir, f"{name}.json")) as fh:
+            offset += int(json.load(fh)["n_batches"])
+    run_id = f"r{len(manifests):04d}"
+    tmp = os.path.join(runs_dir, f"_{run_id}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"offset": offset, "n_batches": n_batches}, fh)
+    os.replace(tmp, os.path.join(runs_dir, f"{run_id}.json"))
+    return run_id, offset, n_batches
+
+
+def make_near_dedup_batch(store_dir: str, n_batches: int, offset: int = 0):
     """``foreachBatch`` body: flag near-dups vs the band store, then
-    append this batch's bands — both written as ``batch_k=<k>``
-    partition overwrites (idempotent under replay)."""
+    append this batch's bands — both written as
+    ``batch_k=<offset + k>`` partition overwrites (idempotent under
+    replay, collision-free across increments)."""
     from mongo2pq_spark.operators.dedup import (
         minhash_band_table,
         minhash_signatures,
@@ -86,6 +142,7 @@ def make_near_dedup_batch(store_dir: str, n_batches: int):
         k = batch_df.select(
             (F.col("doc_id") % n_batches).alias("k")
         ).first()["k"]
+        seq = offset + k
         bands = minhash_band_table(
             minhash_signatures(batch_df), "doc_id"
         ).select("doc_id", "band_id", "band_hash")
@@ -99,12 +156,14 @@ def make_near_dedup_batch(store_dir: str, n_batches: int):
             .select(F.col("hi").alias("doc_id"))
             .distinct()
         )
-        # cross-batch rule: collides with ANY band of batches < k —
-        # probed from the store's own partitions, so replay is exact.
-        # Explicit existence check, not try/except: a real read error
-        # must fail the batch (silently treating it as "empty store"
-        # would mass-unflag duplicates). At warehouse scale this
-        # becomes a catalog table-exists check / MERGE source.
+        # cross-batch rule: collides with ANY band of sequence < seq
+        # (earlier batches of this increment AND every prior
+        # increment) — probed from the store's own partitions, so
+        # replay is exact. Explicit existence check, not try/except: a
+        # real read error must fail the batch (silently treating it as
+        # "empty store" would mass-unflag duplicates). At warehouse
+        # scale this becomes a catalog table-exists check / MERGE
+        # source.
         has_store = os.path.isdir(bands_dir) and any(
             e.startswith("batch_k=") for e in os.listdir(bands_dir)
         )
@@ -112,7 +171,7 @@ def make_near_dedup_batch(store_dir: str, n_batches: int):
             index = (
                 spark.read.option("basePath", bands_dir)
                 .parquet(bands_dir)
-                .filter(F.col("batch_k") < k)
+                .filter(F.col("batch_k") < seq)
                 .select("band_id", "band_hash")
                 .distinct()
             )
@@ -131,13 +190,56 @@ def make_near_dedup_batch(store_dir: str, n_batches: int):
             F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
         )
         flags.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(flags_dir, f"batch_k={k}")
+            os.path.join(flags_dir, f"batch_k={seq}")
         )
         bands.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(bands_dir, f"batch_k={k}")
+            os.path.join(bands_dir, f"batch_k={seq}")
         )
 
     return body
+
+
+def compact_band_store(spark: SparkSession, store_dir: str) -> None:
+    """Compact the persisted band index so year-long ingestion doesn't
+    grow it without bound (~3 band rows/doc forever).
+
+    Future flags depend ONLY on whether some (band_id, band_hash)
+    exists with ``batch_k < seq`` — so keeping, per distinct
+    (band_id, band_hash), the single row with the MINIMAL batch_k
+    (min doc_id among ties, for determinism) preserves every future
+    probe's answer exactly while dropping all later re-occurrences of
+    a band (in a dup-heavy corpus, most of the store). The rewrite
+    stays partitioned by batch_k so subsequent increments keep
+    appending new partitions; it is one shuffle on the (band_id,
+    band_hash) key over the band store — never the corpus — and is
+    swapped in atomically (write aside, then directory rename). At
+    warehouse scale this is the MERGE/OPTIMIZE maintenance job run
+    between increments; only run it with no increment in flight."""
+    bands_dir = os.path.join(store_dir, "bands")
+    if not os.path.isdir(bands_dir):
+        return
+    compacted = (
+        spark.read.option("basePath", bands_dir)
+        .parquet(bands_dir)
+        .groupBy("band_id", "band_hash")
+        .agg(
+            F.min(F.struct("batch_k", "doc_id")).alias("first"),
+        )
+        .select(
+            F.col("first.doc_id").alias("doc_id"),
+            "band_id",
+            "band_hash",
+            F.col("first.batch_k").alias("batch_k"),
+        )
+    )
+    tmp_dir = bands_dir + "_compacting"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    compacted.write.mode("overwrite").partitionBy("batch_k").parquet(tmp_dir)
+    old_dir = bands_dir + "_old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(bands_dir, old_dir)
+    os.rename(tmp_dir, bands_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
 
 
 def run_streaming_near_dedup(
@@ -148,7 +250,8 @@ def run_streaming_near_dedup(
 ) -> DataFrame:
     """Drive the continuous near-dedup pipeline over the documents
     table replayed as ``n_batches`` ordered micro-batches; returns the
-    per-document flag table ``(doc_id, batch_k, is_dup)``.
+    per-document flag table ``(doc_id, batch_k, is_dup)`` covering
+    EVERY increment ingested into the store so far.
 
     With ``store_dir=None`` (test/demo convenience) the flags are
     materialized driver-side before the temp store is deleted — a
@@ -156,12 +259,19 @@ def run_streaming_near_dedup(
     same contract as ``run_foreach_batch_upsert``. A real deployment
     passes a persistent ``store_dir`` and gets the lazy store-backed
     DataFrame — nothing through the driver, and the band store + flag
-    history survive for the next increment."""
+    history survive so the NEXT call (with only the new documents as
+    ``documents_path``) dedups the new increment against everything
+    before it. Each increment stages into a run-unique directory and
+    gets a fresh checkpoint (see module docstring); an increment
+    interrupted by a crash is resumed — with its original offset and
+    batch count — by simply calling again before starting new work."""
     cleanup = store_dir is None
     if store_dir is None:
         store_dir = tempfile.mkdtemp(prefix="stream_neardedup_")
-    stage_dir = os.path.join(store_dir, "stage")
-    ckpt_dir = os.path.join(store_dir, "ckpt")
+    run_id, offset, n_batches = _begin_increment(store_dir, n_batches)
+    stage_dir = os.path.join(store_dir, f"stage_{run_id}")
+    ckpt_dir = os.path.join(store_dir, f"ckpt_{run_id}")
+    runs_dir = os.path.join(store_dir, "runs")
     try:
         _stage_batches(spark, documents_path, stage_dir, n_batches)
         static = spark.read.parquet(
@@ -174,7 +284,7 @@ def run_streaming_near_dedup(
         )
         query = (
             stream.writeStream.foreachBatch(
-                make_near_dedup_batch(store_dir, n_batches)
+                make_near_dedup_batch(store_dir, n_batches, offset)
             )
             .option("checkpointLocation", ckpt_dir)
             .outputMode("append")
@@ -184,6 +294,8 @@ def run_streaming_near_dedup(
             query.processAllAvailable()
         finally:
             query.stop()
+        with open(os.path.join(runs_dir, f"{run_id}.done"), "w") as fh:
+            fh.write("")
         result = (
             spark.read.option("basePath", os.path.join(store_dir, "flags"))
             .parquet(os.path.join(store_dir, "flags"))

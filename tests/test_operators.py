@@ -1073,6 +1073,17 @@ def test_segment_mean_vectors_and_drift(spark, sf_dir):
     z = embedding_drift(dup, "s").collect()[0]
     assert z.mean_cosine == 1.0 and z.shift_l2 == 0.0 and z.max_shift == 0.0
 
+    # guaranteed-tie tiebreak: one identical vector per segment makes
+    # every dim's shift EXACTLY 0.0 (single-element means are exact);
+    # the explicit rule must pick the lowest dim, not max_by's
+    # nondeterministic tie winner
+    one = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0])],
+        "s int, embedding array<double>",
+    )
+    tie = embedding_drift(one, "s").collect()[0]
+    assert tie.max_shift_dim == 0 and tie.max_shift == 0.0
+
 
 def test_embedding_drift_matches_duckdb_oracle(spark, sf_dir):
     """Cross-engine parity for the r9-queued embedding_drift

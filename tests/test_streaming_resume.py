@@ -110,28 +110,28 @@ def test_run_foreach_batch_upsert_equals_batch_aggregate(spark, sf_dir, tmp_path
     assert got == want
 
 
-def test_streaming_near_dedup_replay_is_idempotent(spark, tmp_path):
-    """A persistent store driven twice over the same staged batches
-    must produce identical flags (per-partition overwrite, data-keyed
-    batch class) — the recovery contract of the continuous near-dedup
-    pipeline — and running with a persistent store must equal the
-    throwaway-store path."""
-    import os
+def test_streaming_near_dedup_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """A crashed increment replayed against the SURVIVING store must
+    produce identical flags (per-partition overwrite, data-keyed batch
+    class, manifest-pinned offset) — the recovery contract of the
+    continuous near-dedup pipeline."""
+    import shutil
 
     from mongo2pq_spark.streaming.neardedup import run_streaming_near_dedup
 
-    docs = "/root/testdata/sf0.001/documents.parquet"
+    docs = f"{sf_dir}/documents.parquet"
     store = str(tmp_path / "store")
     first = sorted(
         tuple(r) for r in run_streaming_near_dedup(
             spark, docs, store_dir=store
         ).collect()
     )
-    # wipe the checkpoint so the stream replays every batch against
-    # the SURVIVING store — the crash-recovery worst case
-    import shutil
-
-    shutil.rmtree(os.path.join(store, "ckpt"), ignore_errors=True)
+    # simulate a crash AFTER the batches ran but before the increment
+    # was marked complete: drop the done marker + checkpoint so the
+    # next call resumes increment r0000 and replays every batch
+    # against the surviving store — the recovery worst case
+    os.remove(os.path.join(store, "runs", "r0000.done"))
+    shutil.rmtree(os.path.join(store, "ckpt_r0000"), ignore_errors=True)
     second = sorted(
         tuple(r) for r in run_streaming_near_dedup(
             spark, docs, store_dir=store
@@ -139,3 +139,54 @@ def test_streaming_near_dedup_replay_is_idempotent(spark, tmp_path):
     )
     assert first == second
     assert any(r[2] for r in first), "fixture should contain near-dups"
+
+
+def test_streaming_near_dedup_second_increment(spark, sf_dir, tmp_path):
+    """A second increment over NEW documents must dedup against the
+    first increment's persisted bands (run-unique stage + checkpoint,
+    global batch sequence): exact copies with fresh ids all come back
+    flagged, and the first increment's flags are untouched. Compacting
+    the band store between increments must not change any flag."""
+    from mongo2pq_spark.streaming.neardedup import (
+        compact_band_store,
+        run_streaming_near_dedup,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inc1_path = str(tmp_path / "inc1")
+    inc2_path = str(tmp_path / "inc2")
+    base.filter(F.col("doc_id") < 100).write.parquet(inc1_path)
+    # increment 2 = copies of 50 increment-1 texts under fresh ids
+    (
+        base.filter(F.col("doc_id") < 50)
+        .withColumn("doc_id", F.col("doc_id") + 10_000)
+        .write.parquet(inc2_path)
+    )
+
+    def run_two(store):
+        first = {
+            r.doc_id: (r.batch_k, r.is_dup)
+            for r in run_streaming_near_dedup(
+                spark, inc1_path, store_dir=store
+            ).collect()
+        }
+        if store.endswith("compacted"):
+            compact_band_store(spark, store)
+        both = {
+            r.doc_id: (r.batch_k, r.is_dup)
+            for r in run_streaming_near_dedup(
+                spark, inc2_path, store_dir=store
+            ).collect()
+        }
+        return first, both
+
+    first, both = run_two(str(tmp_path / "plain"))
+    # every copy collides with increment 1's band index
+    assert all(both[d + 10_000][1] for d in range(50))
+    # increment 2 landed in the next global sequence window (4..7)
+    assert {both[d + 10_000][0] for d in range(50)} <= {4, 5, 6, 7}
+    # increment 1's flags survive unchanged in the combined table
+    assert {d: v for d, v in both.items() if d < 10_000} == first
+
+    _, both_c = run_two(str(tmp_path / "compacted"))
+    assert both_c == both
