@@ -63,12 +63,26 @@ HEADLINE = [
     "dedup_span_coverage",
     "profile_events_stats",
     "sessions_overlap_join",
-    # NOT benched: dedup_near_clusters_checkpointed and
-    # streaming_near_dedup re-run their batch siblings' work through
-    # checkpoint/foreachBatch machinery — pipeline-contract queries
-    # (driver-correctness-checked) whose wall-clock is staging I/O,
-    # not engine throughput
 ]
+
+#: Registered queries DELIBERATELY excluded from the throughput suite
+#: (driver-correctness-checked like everything else, but their
+#: wall-clock is checkpoint/staging I/O, not engine throughput).
+#: Suite-composition changes are made by editing HEADLINE or THIS
+#: constant — pinned here so they are diffable rather than
+#: archaeological (SCALING.md round-8/9 logs reference this list).
+EXCLUDED_PIPELINE_CONTRACT = {
+    "streaming_near_dedup": (
+        "4 micro-batches of foreachBatch store staging (11.9 s at "
+        "sf0.1, measured round 8) — the per-batch cost a real "
+        "deployment amortizes over continuous arrival"
+    ),
+    "dedup_near_clusters_checkpointed": (
+        "re-runs dedup_near_clusters (which IS benched) through "
+        "reliable-checkpoint staging; the delta is checkpoint I/O"
+    ),
+}
+assert not set(HEADLINE) & set(EXCLUDED_PIPELINE_CONTRACT)
 
 
 def main() -> None:

