@@ -63,6 +63,12 @@ HEADLINE = [
     "dedup_span_coverage",
     "profile_events_stats",
     "sessions_overlap_join",
+    # round-9 additions (no pinned baseline yet; tracked for trend):
+    # the heavy TPC-H-completion shapes — derived part-supplier min
+    # cost, 4-way-join profit rollup, EXISTS/NOT-EXISTS self-joins
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

