@@ -190,3 +190,27 @@ def test_streaming_near_dedup_second_increment(spark, sf_dir, tmp_path):
 
     _, both_c = run_two(str(tmp_path / "compacted"))
     assert both_c == both
+
+
+def test_begin_increment_manifest_lifecycle(tmp_path):
+    """Offset allocation and crash-resume semantics of the run
+    manifest, without Spark: completed runs advance the offset by
+    their OWN n_batches; an un-done manifest is resumed with its
+    original (offset, n_batches) even if the caller passes different
+    arguments; the next run after completion gets a fresh id."""
+    from mongo2pq_spark.streaming.neardedup import _begin_increment
+
+    store = str(tmp_path / "store")
+    run1, off1, nb1 = _begin_increment(store, 4)
+    assert (run1, off1, nb1) == ("r0000", 0, 4)
+    # crash before .done: a retry (even with a different n_batches
+    # request) must resume r0000 with the ORIGINAL batch count
+    again = _begin_increment(store, 8)
+    assert again == ("r0000", 0, 4)
+    # mark complete -> next increment starts at offset 4
+    (tmp_path / "store" / "runs" / "r0000.done").write_text("")
+    run2, off2, nb2 = _begin_increment(store, 3)
+    assert (run2, off2, nb2) == ("r0001", 4, 3)
+    (tmp_path / "store" / "runs" / "r0001.done").write_text("")
+    # offsets are the running sum of completed n_batches (4 + 3)
+    assert _begin_increment(store, 5) == ("r0002", 7, 5)
