@@ -570,10 +570,17 @@ def embedding_drift(
     from pyspark.sql import Window
 
     means = segment_mean_vectors(df, seg_col, vec_col)
-    segs = [r.segment for r in means.select("segment").distinct().collect()]
+    # validation collect BOUNDED at 3 rows: enough to prove the
+    # segment count is not exactly 2, even under a mistakenly
+    # high-cardinality seg_col (never pulls the full distinct set)
+    segs = [
+        r.segment
+        for r in means.select("segment").distinct().limit(3).collect()
+    ]
     if len(segs) != 2:
         raise ValueError(
             f"embedding_drift needs exactly 2 segments, got {sorted(segs)!r}"
+            + (" (3+ shown as 3)" if len(segs) == 3 else "")
         )
     lo, hi = sorted(segs)
     a = means.filter(F.col("segment") == lo).select(
