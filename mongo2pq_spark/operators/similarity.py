@@ -578,8 +578,11 @@ def embedding_drift(
         for r in means.select("segment").distinct().limit(3).collect()
     ]
     if len(segs) != 2:
+        # key=repr: the diagnostic must not itself crash on mixed or
+        # NULL segment values (None < int raises TypeError)
+        shown = sorted(segs, key=repr)
         raise ValueError(
-            f"embedding_drift needs exactly 2 segments, got {sorted(segs)!r}"
+            f"embedding_drift needs exactly 2 segments, got {shown!r}"
             + (" (3+ shown as 3)" if len(segs) == 3 else "")
         )
     lo, hi = sorted(segs)

@@ -195,6 +195,11 @@ def load_all() -> dict[str, QuerySpec]:
         udfs,
     )
 
+    missing = [n for n in _NEXT_WINDOW_QUEUE if n not in QUERIES]
+    if missing:
+        raise ValueError(
+            f"_NEXT_WINDOW_QUEUE names unregistered queries: {missing}"
+        )
     ordered = {name: QUERIES[name] for name in _DRIVER_WINDOW_FIRST}
     for name, spec in QUERIES.items():
         if name not in ordered:

@@ -78,25 +78,38 @@ def _stage_batches(
         data = [
             f for f in os.listdir(part_dir) if f.endswith(".parquet")
         ][0]
-        shutil.move(os.path.join(part_dir, data), dst)
+        src = os.path.join(part_dir, data)
+        # pin the mtime BEFORE the move (a same-filesystem rename
+        # preserves it): a crash can then never leave a staged file
+        # with a wall-clock mtime that would reorder the (mtime, path)
+        # replay on resume — the file is either absent or fully pinned
+        os.utime(src, (base + k, base + k))
+        shutil.move(src, dst)
         shutil.rmtree(part_dir, ignore_errors=True)
-        os.utime(dst, (base + k, base + k))
 
 
-def _begin_increment(store_dir: str, n_batches: int) -> tuple[str, int, int]:
+def _begin_increment(
+    store_dir: str, n_batches: int, documents_path: str = ""
+) -> tuple[str, int, int]:
     """Allocate (or resume) this increment's run: returns
     ``(run_id, offset, n_batches)``.
 
-    The manifest (``runs/<run_id>.json`` holding offset + n_batches)
-    is written atomically BEFORE any staging or store write, and a
-    ``.done`` marker lands only after the stream drains — so a crash
-    anywhere inside the increment leaves an un-``done`` manifest that
-    the next call resumes with the ORIGINAL offset and batch count
-    (partitions it half-wrote are simply overwritten; the flags are
-    data-defined, so the recomputation is identical). Offsets are the
-    running sum of completed manifests' n_batches — a pure metadata
-    read, never a store scan. At warehouse scale this manifest is a
-    catalog transaction / MERGE boundary; the shape is identical."""
+    The manifest (``runs/<run_id>.json`` holding offset + n_batches +
+    the increment's documents_path) is written atomically BEFORE any
+    staging or store write, and a ``.done`` marker lands only after
+    the stream drains — so a crash anywhere inside the increment
+    leaves an un-``done`` manifest that the next call resumes with the
+    ORIGINAL offset and batch count (partitions it half-wrote are
+    simply overwritten; the flags are data-defined, so the
+    recomputation is identical). A resume with a DIFFERENT
+    documents_path raises instead of silently draining the crashed
+    increment's staged files under the new name — re-point the caller
+    at the original increment's input (same-path content changes
+    remain the caller's contract, as with any file source). Offsets
+    are the running sum of completed manifests' n_batches — a pure
+    metadata read, never a store scan. At warehouse scale this
+    manifest is a catalog transaction / MERGE boundary; the shape is
+    identical."""
     runs_dir = os.path.join(store_dir, "runs")
     os.makedirs(runs_dir, exist_ok=True)
     manifests = sorted(
@@ -107,6 +120,13 @@ def _begin_increment(store_dir: str, n_batches: int) -> tuple[str, int, int]:
         if not os.path.exists(os.path.join(runs_dir, f"{last}.done")):
             with open(os.path.join(runs_dir, f"{last}.json")) as fh:
                 m = json.load(fh)
+            if m.get("documents_path", "") != documents_path:
+                raise ValueError(
+                    f"increment {last} crashed mid-run over "
+                    f"{m.get('documents_path')!r}; resume it with that "
+                    f"documents_path (got {documents_path!r}) before "
+                    "starting new work"
+                )
             return last, int(m["offset"]), int(m["n_batches"])
     offset = 0
     for name in manifests:
@@ -115,7 +135,14 @@ def _begin_increment(store_dir: str, n_batches: int) -> tuple[str, int, int]:
     run_id = f"r{len(manifests):04d}"
     tmp = os.path.join(runs_dir, f"_{run_id}.json.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"offset": offset, "n_batches": n_batches}, fh)
+        json.dump(
+            {
+                "offset": offset,
+                "n_batches": n_batches,
+                "documents_path": documents_path,
+            },
+            fh,
+        )
     os.replace(tmp, os.path.join(runs_dir, f"{run_id}.json"))
     return run_id, offset, n_batches
 
@@ -199,6 +226,32 @@ def make_near_dedup_batch(store_dir: str, n_batches: int, offset: int = 0):
     return body
 
 
+def _recover_band_store_swap(store_dir: str) -> None:
+    """Finish a compaction swap interrupted between its two renames.
+
+    The swap sequence is: write ``bands_swapin`` aside → rename
+    ``bands`` → ``bands_old`` → rename ``bands_swapin`` → ``bands`` →
+    delete ``bands_old``. A crash between the renames leaves NO bands
+    directory — which the batch probe would silently read as an empty
+    store and mass-unflag duplicates — so every entry point
+    (compaction and increment start) first rolls the swap FORWARD
+    (swap-in dir is complete by construction: it only gets its name
+    after the parquet write succeeded) or, lacking one, BACK to the
+    old store. A leftover ``bands_old`` next to a live ``bands`` is
+    post-swap garbage and is dropped."""
+    bands_dir = os.path.join(store_dir, "bands")
+    swapin_dir = bands_dir + "_swapin"
+    old_dir = bands_dir + "_old"
+    if not os.path.isdir(bands_dir):
+        if os.path.isdir(swapin_dir):
+            os.rename(swapin_dir, bands_dir)
+        elif os.path.isdir(old_dir):
+            os.rename(old_dir, bands_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    if os.path.isdir(bands_dir):
+        shutil.rmtree(swapin_dir, ignore_errors=True)
+
+
 def compact_band_store(spark: SparkSession, store_dir: str) -> None:
     """Compact the persisted band index so year-long ingestion doesn't
     grow it without bound (~3 band rows/doc forever).
@@ -212,9 +265,11 @@ def compact_band_store(spark: SparkSession, store_dir: str) -> None:
     stays partitioned by batch_k so subsequent increments keep
     appending new partitions; it is one shuffle on the (band_id,
     band_hash) key over the band store — never the corpus — and is
-    swapped in atomically (write aside, then directory rename). At
-    warehouse scale this is the MERGE/OPTIMIZE maintenance job run
-    between increments; only run it with no increment in flight."""
+    swapped in via write-aside + two renames with crash recovery at
+    every entry point (``_recover_band_store_swap``). At warehouse
+    scale this is the MERGE/OPTIMIZE maintenance job run between
+    increments; only run it with no increment in flight."""
+    _recover_band_store_swap(store_dir)
     bands_dir = os.path.join(store_dir, "bands")
     if not os.path.isdir(bands_dir):
         return
@@ -232,13 +287,16 @@ def compact_band_store(spark: SparkSession, store_dir: str) -> None:
             F.col("first.batch_k").alias("batch_k"),
         )
     )
-    tmp_dir = bands_dir + "_compacting"
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    compacted.write.mode("overwrite").partitionBy("batch_k").parquet(tmp_dir)
+    build_dir = bands_dir + "_compacting"
+    swapin_dir = bands_dir + "_swapin"
+    shutil.rmtree(build_dir, ignore_errors=True)
+    compacted.write.mode("overwrite").partitionBy("batch_k").parquet(build_dir)
+    # only a COMPLETE build ever carries the _swapin name, so recovery
+    # may always roll a present _swapin forward
+    os.rename(build_dir, swapin_dir)
     old_dir = bands_dir + "_old"
-    shutil.rmtree(old_dir, ignore_errors=True)
     os.rename(bands_dir, old_dir)
-    os.rename(tmp_dir, bands_dir)
+    os.rename(swapin_dir, bands_dir)
     shutil.rmtree(old_dir, ignore_errors=True)
 
 
@@ -268,7 +326,10 @@ def run_streaming_near_dedup(
     cleanup = store_dir is None
     if store_dir is None:
         store_dir = tempfile.mkdtemp(prefix="stream_neardedup_")
-    run_id, offset, n_batches = _begin_increment(store_dir, n_batches)
+    _recover_band_store_swap(store_dir)
+    run_id, offset, n_batches = _begin_increment(
+        store_dir, n_batches, documents_path
+    )
     stage_dir = os.path.join(store_dir, f"stage_{run_id}")
     ckpt_dir = os.path.join(store_dir, f"ckpt_{run_id}")
     runs_dir = os.path.join(store_dir, "runs")
@@ -296,6 +357,13 @@ def run_streaming_near_dedup(
             query.stop()
         with open(os.path.join(runs_dir, f"{run_id}.done"), "w") as fh:
             fh.write("")
+        # the staged corpus copy and the checkpoint are only needed
+        # while the increment is un-done; dropping them here keeps a
+        # persistent store's footprint at bands+flags (the module
+        # contract: the store is the corpus's only trace) instead of
+        # accumulating a full duplicate of every increment's text
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
         result = (
             spark.read.option("basePath", os.path.join(store_dir, "flags"))
             .parquet(os.path.join(store_dir, "flags"))

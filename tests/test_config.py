@@ -178,6 +178,20 @@ def test_no_registered_query_ships_unchecked():
         f"{offenders} — rotate them into _DRIVER_WINDOW_FIRST"
     )
 
+    # the queue exemption must be SELF-EXPIRING: once a queued query
+    # has a driver correctness row, leaving it in the queue would let
+    # the bypass outlive its purpose (and hide a future regression of
+    # this guard). load_all() itself rejects queue entries that don't
+    # name a registered query.
+    from mongo2pq_spark.queries.registry import _NEXT_WINDOW_QUEUE
+
+    expired = sorted(set(_NEXT_WINDOW_QUEUE) & checked)
+    assert expired == [], (
+        f"_NEXT_WINDOW_QUEUE entries already driver-checked: {expired} "
+        f"— remove them from the queue (and keep them in the window "
+        f"rotation like any other query)"
+    )
+
 
 def test_window_guard_trips_on_synthetic_violation():
     from mongo2pq_spark.queries.registry import unchecked_queries_outside_window

@@ -198,19 +198,62 @@ def test_begin_increment_manifest_lifecycle(tmp_path):
     their OWN n_batches; an un-done manifest is resumed with its
     original (offset, n_batches) even if the caller passes different
     arguments; the next run after completion gets a fresh id."""
+    import pytest
+
     from mongo2pq_spark.streaming.neardedup import _begin_increment
 
     store = str(tmp_path / "store")
-    run1, off1, nb1 = _begin_increment(store, 4)
+    run1, off1, nb1 = _begin_increment(store, 4, "/data/a")
     assert (run1, off1, nb1) == ("r0000", 0, 4)
     # crash before .done: a retry (even with a different n_batches
     # request) must resume r0000 with the ORIGINAL batch count
-    again = _begin_increment(store, 8)
+    again = _begin_increment(store, 8, "/data/a")
     assert again == ("r0000", 0, 4)
+    # ... but a retry pointed at DIFFERENT documents must refuse to
+    # drain the crashed increment's staged files under the new name
+    with pytest.raises(ValueError, match="crashed mid-run"):
+        _begin_increment(store, 4, "/data/b")
     # mark complete -> next increment starts at offset 4
     (tmp_path / "store" / "runs" / "r0000.done").write_text("")
-    run2, off2, nb2 = _begin_increment(store, 3)
+    run2, off2, nb2 = _begin_increment(store, 3, "/data/b")
     assert (run2, off2, nb2) == ("r0001", 4, 3)
     (tmp_path / "store" / "runs" / "r0001.done").write_text("")
     # offsets are the running sum of completed n_batches (4 + 3)
-    assert _begin_increment(store, 5) == ("r0002", 7, 5)
+    assert _begin_increment(store, 5, "/data/c") == ("r0002", 7, 5)
+
+
+def test_band_store_swap_recovery(tmp_path):
+    """Every crash window of the compaction swap must be recoverable:
+    a complete _swapin rolls FORWARD, a stranded _old (no swapin)
+    rolls BACK, and post-swap leftovers are dropped — the store is
+    never left without a bands directory (which the batch probe would
+    read as 'empty store' and mass-unflag duplicates)."""
+    import shutil
+
+    from mongo2pq_spark.streaming.neardedup import _recover_band_store_swap
+
+    store = tmp_path / "s"
+    bands = store / "bands"
+
+    # window 1: crash between the two renames — only _swapin exists
+    (store / "bands_swapin").mkdir(parents=True)
+    (store / "bands_swapin" / "part").write_text("compacted")
+    _recover_band_store_swap(str(store))
+    assert (bands / "part").read_text() == "compacted"
+    assert not (store / "bands_swapin").exists()
+
+    # window 2: crash before the build got its _swapin name — the old
+    # store (renamed aside) must come back
+    shutil.rmtree(bands)
+    (store / "bands_old").mkdir()
+    (store / "bands_old" / "part").write_text("original")
+    _recover_band_store_swap(str(store))
+    assert (bands / "part").read_text() == "original"
+    assert not (store / "bands_old").exists()
+
+    # window 3: crash after the swap, before the old store was deleted
+    (store / "bands_old").mkdir()
+    (store / "bands_old" / "part").write_text("stale")
+    _recover_band_store_swap(str(store))
+    assert (bands / "part").read_text() == "original"
+    assert not (store / "bands_old").exists()
