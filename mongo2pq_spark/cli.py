@@ -46,6 +46,7 @@ def main(
     max_records_per_file: int | None = None,
     dedup_text_col: str | None = None,
     dedup_id_col: str | None = None,
+    near_dedup_store: Path | None = None,
     single_file: bool = False,
     compression: str | None = None,
     source_format: str = "auto",
@@ -122,6 +123,38 @@ def main(
                 c for c in df.columns if c != dedup_text_col
             )
             df = drop_exact_duplicates(df, text_col=dedup_text_col, id_col=id_col)
+        index_dir = None
+        if (
+            near_dedup_store
+            and dedup_text_col
+            and dedup_text_col in df.columns
+        ):
+            # cross-RUN incremental near-dedup: drop documents whose
+            # MinHash bands collide with the persistent per-collection
+            # index (built by previous EL runs), so a daily re-crawl
+            # with small edits is deduplicated against all history at
+            # O(increment) cost — only this run's docs are shingled,
+            # history's only trace is the band index (the same
+            # economics as streaming/neardedup.py, batch-shaped)
+            from mongo2pq_spark.operators.dedup import (
+                incremental_near_dup_candidates,
+            )
+            from pyspark.sql import functions as F
+
+            id_col = dedup_id_col or next(
+                c for c in df.columns if c != dedup_text_col
+            )
+            index_dir = Path(near_dedup_store) / name
+            if index_dir.is_dir() and any(index_dir.iterdir()):
+                index = spark.read.parquet(str(index_dir))
+                dups = (
+                    incremental_near_dup_candidates(
+                        df, index, id_col=id_col, text_col=dedup_text_col
+                    )
+                    .select(F.col("new_id").alias(id_col))
+                    .distinct()
+                )
+                df = df.join(dups, id_col, "left_anti")
         metrics: dict = {}
         extract_load_collection(
             df,
@@ -141,6 +174,24 @@ def main(
             f"{name}: {metrics.get('rows_written', '?')} rows written",
             file=sys.stderr,
         )
+        if index_dir is not None:
+            # index the SURVIVORS only, and only after the EL write
+            # succeeded — a crash before this append leaves the output
+            # and index consistent (docs never indexed-but-unwritten);
+            # a retry's double-append only duplicates band rows, which
+            # the candidate probe's DISTINCT already tolerates
+            from mongo2pq_spark.operators.dedup import (
+                minhash_band_table,
+                minhash_signatures,
+            )
+
+            id_col = dedup_id_col or next(
+                c for c in df.columns if c != dedup_text_col
+            )
+            bands = minhash_band_table(
+                minhash_signatures(df, id_col, dedup_text_col), id_col
+            ).select(id_col, "band_id", "band_hash")
+            bands.write.mode("append").parquet(str(index_dir))
 
     failures: list[tuple[str, Exception]] = []
     if parallel_collections > 1 and len(readers) > 1:
@@ -293,6 +344,14 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
     parser.add_argument("--dedup-id-col", default=None,
                         help="survivor-selection key for --dedup-text-col "
                              "(default: first non-text column)")
+    parser.add_argument("--near-dedup-store", type=Path, default=None,
+                        help="persistent MinHash band-index directory for "
+                             "cross-run incremental NEAR-dedup (requires "
+                             "--dedup-text-col): documents colliding with "
+                             "any previous run's bands are dropped, then "
+                             "this run's survivors are indexed — per-run "
+                             "cost scales with the increment, never the "
+                             "corpus")
     parser.add_argument("--single-file", action="store_true",
                         help="write ONE parquet file per collection (the "
                              "reference's exact layout) via coalesce(1); "
@@ -306,6 +365,13 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
     if not parsed.uri:
         print("ERROR: source URI not given (use --uri or $MONGODB_URI)", file=sys.stderr)
         parser.print_help()
+        return None
+    if parsed.near_dedup_store and not parsed.dedup_text_col:
+        print(
+            "ERROR: --near-dedup-store requires --dedup-text-col "
+            "(the column to shingle)",
+            file=sys.stderr,
+        )
         return None
     if parsed.schemas:
         kept = []
@@ -343,6 +409,7 @@ def run(argv: list[str] | None = None) -> int:
         max_records_per_file=args.max_records_per_file,
         dedup_text_col=args.dedup_text_col,
         dedup_id_col=args.dedup_id_col,
+        near_dedup_store=args.near_dedup_store,
         single_file=args.single_file,
         compression=args.compression,
         source_format=args.source_format,

@@ -486,3 +486,59 @@ def test_csv_collection_el(spark, tmp_path):
     assert types["rec_id"] == "int"
     assert types["score"] == "float"
     assert got.count() == 3
+
+
+def test_cli_near_dedup_store_across_runs(spark, sf_dir, tmp_path):
+    """--near-dedup-store: a second EL run over re-crawled copies of
+    already-ingested documents drops them against the persistent band
+    index at O(increment) cost; genuinely new documents pass. Also:
+    the flag without --dedup-text-col is an argparse-level error."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.cli import parse_args
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    run1_src = tmp_path / "run1"
+    run2_src = tmp_path / "run2"
+    run1_src.mkdir()
+    run2_src.mkdir()
+    docs.filter(F.col("doc_id") < 100).write.parquet(
+        str(run1_src / "docs.parquet")
+    )
+    # run 2 = 50 re-crawled copies (same text, fresh ids) + 30 new docs
+    copies = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    fresh = docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 130)
+    )
+    copies.unionByName(fresh).write.parquet(str(run2_src / "docs.parquet"))
+
+    store = tmp_path / "bandstore"
+    out1, out2 = tmp_path / "out1", tmp_path / "out2"
+    for src, out in ((run1_src, out1), (run2_src, out2)):
+        rc = cli_main(
+            f"file:{src}",
+            outdir=out,
+            dedup_text_col="text",
+            dedup_id_col="doc_id",
+            near_dedup_store=store,
+            use_source_types=True,
+            spark=spark,
+        )
+        assert rc == 0
+
+    written2 = spark.read.parquet(str(out2 / "docs.parquet"))
+    ids2 = {r.doc_id for r in written2.select("doc_id").collect()}
+    # every re-crawled copy collided with run 1's bands and was dropped
+    assert not any(i >= 10_000 for i in ids2)
+    # the genuinely new docs survived (near-dup-free fixture range)
+    assert {i for i in ids2 if 100 <= i < 130}
+    assert (store / "docs").is_dir()
+
+    # flag without the text column: hard error, not a silent no-op
+    assert parse_args(
+        ["-u", f"file:{run1_src}", "--near-dedup-store", str(store)]
+    ) is None
