@@ -110,7 +110,8 @@ def main(
                 "collection not deduplicated",
                 file=sys.stderr,
             )
-        if dedup_text_col and dedup_text_col in df.columns:
+        dedup_active = bool(dedup_text_col) and dedup_text_col in df.columns
+        if dedup_active:
             from mongo2pq_spark.operators.dedup import drop_exact_duplicates
 
             # survivor-selection key: explicit, else the first non-text
@@ -123,75 +124,55 @@ def main(
                 c for c in df.columns if c != dedup_text_col
             )
             df = drop_exact_duplicates(df, text_col=dedup_text_col, id_col=id_col)
-        index_dir = None
-        if (
-            near_dedup_store
-            and dedup_text_col
-            and dedup_text_col in df.columns
-        ):
+        store = batch_token = None
+        if near_dedup_store and dedup_active:
             # cross-RUN incremental near-dedup: drop documents whose
             # MinHash bands collide with the persistent per-collection
-            # index (built by previous EL runs), so a daily re-crawl
-            # with small edits is deduplicated against all history at
-            # O(increment) cost — only this run's docs are shingled,
-            # history's only trace is the band index (the same
-            # economics as streaming/neardedup.py, batch-shaped)
-            from mongo2pq_spark.operators.dedup import (
-                incremental_near_dup_candidates,
-            )
-            from pyspark.sql import functions as F
+            # store AND whose signature agreement confirms the match,
+            # so a daily re-crawl with small edits is deduplicated
+            # against all history at O(increment) cost. Batch-token
+            # partitioning + own-partition exclusion make reruns and
+            # crash-retries idempotent (see plans/neardedup_store.py).
+            from mongo2pq_spark.plans.neardedup_store import NearDedupStore
 
-            id_col = dedup_id_col or next(
-                c for c in df.columns if c != dedup_text_col
+            store = NearDedupStore(
+                near_dedup_store, name,
+                text_col=dedup_text_col, id_col=id_col,
             )
-            index_dir = Path(near_dedup_store) / name
-            if index_dir.is_dir() and any(index_dir.iterdir()):
-                index = spark.read.parquet(str(index_dir))
-                dups = (
-                    incremental_near_dup_candidates(
-                        df, index, id_col=id_col, text_col=dedup_text_col
-                    )
-                    .select(F.col("new_id").alias(id_col))
-                    .distinct()
-                )
-                df = df.join(dups, id_col, "left_anti")
-        metrics: dict = {}
-        extract_load_collection(
-            df,
-            schema,
-            outdir,
-            partition_key=partition_key,
-            strict_compat=strict_compat,
-            max_records_per_file=max_records_per_file,
-            single_file=single_file,
-            compression=compression,
-            metrics=metrics,
-            dynamic_partition_overwrite=dynamic_partition_overwrite,
-        )
-        # rows-written observed by the write job itself (no recount) —
-        # the reference's tqdm progress accounting, Spark-style
-        print(
-            f"{name}: {metrics.get('rows_written', '?')} rows written",
-            file=sys.stderr,
-        )
-        if index_dir is not None:
-            # index the SURVIVORS only, and only after the EL write
-            # succeeded — a crash before this append leaves the output
-            # and index consistent (docs never indexed-but-unwritten);
-            # a retry's double-append only duplicates band rows, which
-            # the candidate probe's DISTINCT already tolerates
-            from mongo2pq_spark.operators.dedup import (
-                minhash_band_table,
-                minhash_signatures,
+            batch_token = store.batch_token(df)
+            df = store.filter_new(df, batch_token)
+        try:
+            metrics: dict = {}
+            extract_load_collection(
+                df,
+                schema,
+                outdir,
+                partition_key=partition_key,
+                strict_compat=strict_compat,
+                max_records_per_file=max_records_per_file,
+                single_file=single_file,
+                compression=compression,
+                metrics=metrics,
+                dynamic_partition_overwrite=dynamic_partition_overwrite,
             )
-
-            id_col = dedup_id_col or next(
-                c for c in df.columns if c != dedup_text_col
+            # rows-written observed by the write job itself (no
+            # recount) — the reference's tqdm progress accounting,
+            # Spark-style
+            print(
+                f"{name}: {metrics.get('rows_written', '?')} rows written",
+                file=sys.stderr,
             )
-            bands = minhash_band_table(
-                minhash_signatures(df, id_col, dedup_text_col), id_col
-            ).select(id_col, "band_id", "band_hash")
-            bands.write.mode("append").parquet(str(index_dir))
+            if store is not None:
+                # index the SURVIVORS only, and only after the EL write
+                # succeeded — a crash before this commit leaves output
+                # and store consistent (docs never indexed-but-
+                # unwritten); the commit overwrites the batch's OWN
+                # partitions, so a retry is idempotent rather than
+                # self-colliding
+                store.commit(batch_token)
+        finally:
+            if store is not None:
+                store.close()  # release cached sig/drop artifacts
 
     failures: list[tuple[str, Exception]] = []
     if parallel_collections > 1 and len(readers) > 1:

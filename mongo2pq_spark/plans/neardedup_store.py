@@ -1,0 +1,246 @@
+"""Persistent cross-run incremental near-dedup store — the backend of
+the CLI's ``--near-dedup-store`` flag.
+
+Each EL run is one BATCH: the incoming documents are shingled once,
+probed against every PREVIOUSLY ingested batch's LSH bands, candidate
+collisions are VERIFIED against stored MinHash signatures (band
+collision alone is a candidate generator with a known false-positive
+rate — ~1.3 % at true Jaccard 0.2 for the 32/8 default — so dropping
+on candidacy would silently delete distinct documents), and the
+surviving documents' signatures + bands are committed to the store.
+Per-run cost scales with the increment, never the corpus; history's
+only trace is the k-integer signature table and its band projection.
+
+Idempotency (the rerun/retry hazard): a batch is identified by a
+DETERMINISTIC, order-independent token of its id set, its store
+writes go to ``batch=<token>`` partition directories (overwritten,
+never appended), and the probe EXCLUDES the batch's own partitions —
+so a rerun of the same input computes the same drop set as the first
+attempt instead of colliding with its own previous append, and a
+crash-retry after a partial commit simply overwrites its own
+partitions. Completion is marked by ``runs/<token>.done``.
+
+Parameter drift: MinHash parameters (k, bands, shingle width, seed)
+and the text column are pinned in ``meta.json`` at store creation —
+probing an index built with different parameters would silently
+produce garbage candidates, so a mismatch is a hard error. Ids are
+canonicalized to a string column internal to the store, so the
+caller's id column NAME or integer width may drift between runs
+without corrupting the index.
+
+Layout under ``<root>/<collection>/``::
+
+    meta.json              pinned minhash params + text column
+    runs/<token>.done      batch completion markers
+    sigs/batch=<token>/    (doc id [string], mh0..mh{k-1}) survivors
+    bands/batch=<token>/   (doc id [string], band_id, band_hash)
+
+The store root must be a driver-visible local directory (the manifest
+and gates are filesystem checks); at warehouse scale the same shape
+becomes catalog tables with MERGE commits — documented, not emulated.
+
+Scale shape: probe = one equi-join of the increment's bands against
+the stored band partitions; verify = one join of candidate pairs
+against two signature tables + a k-term agreement expression (no
+text, no UDF); the only cached artifacts are the increment's
+signatures and the dropped-id set (≪ increment size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mongo2pq_spark.operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_K,
+    minhash_band_table,
+    minhash_signatures,
+)
+
+#: canonical id column inside the store (callers' id columns are cast
+#: to string under this name, decoupling the index from column-name
+#: and integer-width drift between runs)
+STORE_ID = "__m2p_id"
+
+
+class NearDedupStore:
+    def __init__(
+        self,
+        root: str | os.PathLike,
+        collection: str,
+        text_col: str,
+        id_col: str,
+        threshold: float = 0.8,
+        k: int = DEFAULT_K,
+        bands: int = DEFAULT_BANDS,
+        shingle_n: int = 3,
+        seed: int = 42,
+    ) -> None:
+        root_str = str(root)
+        if "://" in root_str:
+            raise ValueError(
+                "--near-dedup-store must be a driver-visible local "
+                f"directory, got {root_str!r}; remote object-store "
+                "backends need the catalog-table variant of this "
+                "layout (see module docstring)"
+            )
+        self.dir = Path(root) / collection
+        self.text_col = text_col
+        self.id_col = id_col
+        self.threshold = threshold
+        self.k, self.bands = k, bands
+        self.shingle_n, self.seed = shingle_n, seed
+        self._sig = None
+        self._dropped = None
+        self._check_meta()
+
+    def _check_meta(self) -> None:
+        meta_path = self.dir / "meta.json"
+        pinned = {
+            "text_col": self.text_col,
+            "k": self.k,
+            "bands": self.bands,
+            "shingle_n": self.shingle_n,
+            "seed": self.seed,
+        }
+        if meta_path.is_file():
+            with open(meta_path) as fh:
+                stored = json.load(fh)
+            drift = {
+                key: (stored.get(key), val)
+                for key, val in pinned.items()
+                if stored.get(key) != val
+            }
+            if drift:
+                raise ValueError(
+                    f"near-dedup store {self.dir} was built with "
+                    f"different parameters: {drift} (stored, requested)"
+                    " — probing across parameter changes produces "
+                    "garbage candidates; use a fresh store directory"
+                )
+            return
+        self.dir.mkdir(parents=True, exist_ok=True)
+        tmp = meta_path.with_suffix(".json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(pinned, fh)
+        os.replace(tmp, meta_path)
+
+    # ---------------------------------------------------------- batch
+
+    def batch_token(self, df: DataFrame) -> str:
+        """Deterministic, order-independent fingerprint of the batch's
+        id set (row count + sum of crc32(md5(id))) — one map-side
+        aggregate; a rerun of the same input maps to the same token."""
+        sid = F.col(self.id_col).cast("string")
+        row = df.select(
+            F.count("*").alias("n"),
+            F.sum(F.crc32(F.encode(F.md5(F.encode(sid, "utf-8")), "utf-8")))
+            .alias("s"),
+        ).first()
+        return f"{row['n']}_{row['s']}"
+
+    def _other_batches(self, sub: str, token: str) -> list[str]:
+        """Partition dirs of OTHER batches that hold actual data files
+        (a crashed append's ``_temporary`` droppings or an empty-batch
+        partition holding only ``_SUCCESS`` must not poison the read)."""
+        base = self.dir / sub
+        if not base.is_dir():
+            return []
+        return [
+            str(p)
+            for p in sorted(base.glob("batch=*"))
+            if p.name != f"batch={token}" and any(p.glob("*.parquet"))
+        ]
+
+    def filter_new(self, df: DataFrame, token: str) -> DataFrame:
+        """Drop documents that near-duplicate ANY previously ingested
+        batch: band collision proposes, signature agreement ≥ threshold
+        confirms. The increment's signatures are computed ONCE and
+        cached (k integers per doc) for reuse by ``commit``."""
+        sig = minhash_signatures(
+            df.select(
+                F.col(self.id_col).cast("string").alias(STORE_ID),
+                F.col(self.text_col),
+            ),
+            STORE_ID,
+            self.text_col,
+            self.k,
+            self.shingle_n,
+            self.seed,
+        ).persist()
+        self._sig = sig
+
+        spark = df.sparkSession
+        band_dirs = self._other_batches("bands", token)
+        if not band_dirs:
+            self._dropped = None
+            return df
+        index_bands = spark.read.parquet(*band_dirs).select(
+            F.col(STORE_ID).alias("existing_id"), "band_id", "band_hash"
+        )
+        new_bands = minhash_band_table(sig, STORE_ID, self.k, self.bands)
+        cand = (
+            new_bands.join(index_bands, ["band_id", "band_hash"])
+            .filter(F.col(STORE_ID) != F.col("existing_id"))
+            .select(STORE_ID, "existing_id")
+            .distinct()
+        )
+        sig_dirs = self._other_batches("sigs", token)
+        index_sigs = spark.read.parquet(*sig_dirs)
+        renamed = index_sigs.select(
+            F.col(STORE_ID).alias("existing_id"),
+            *[F.col(f"mh{i}").alias(f"emh{i}") for i in range(self.k)],
+        )
+        agreement = sum(
+            F.when(F.col(f"mh{i}") == F.col(f"emh{i}"), 1).otherwise(0)
+            for i in range(self.k)
+        ) / float(self.k)
+        dropped = (
+            cand.join(sig, STORE_ID)
+            .join(renamed, "existing_id")
+            .filter(agreement >= self.threshold)
+            .select(STORE_ID)
+            .distinct()
+            .persist()
+        )
+        self._dropped = dropped
+        return df.join(
+            dropped.withColumnRenamed(STORE_ID, "__m2p_drop_id"),
+            F.col(self.id_col).cast("string") == F.col("__m2p_drop_id"),
+            "left_anti",
+        )
+
+    def commit(self, token: str) -> None:
+        """Index the batch's SURVIVORS (overwrite-by-partition, then
+        the done marker): called only after the EL write succeeded, so
+        a crash never leaves documents indexed-but-unwritten, and a
+        retry overwrites its own partitions instead of appending."""
+        if self._sig is None:
+            raise RuntimeError("commit() before filter_new()")
+        survivors = (
+            self._sig
+            if self._dropped is None
+            else self._sig.join(self._dropped, STORE_ID, "left_anti")
+        )
+        survivors.write.mode("overwrite").parquet(
+            str(self.dir / "sigs" / f"batch={token}")
+        )
+        minhash_band_table(survivors, STORE_ID, self.k, self.bands).write.mode(
+            "overwrite"
+        ).parquet(str(self.dir / "bands" / f"batch={token}"))
+        runs = self.dir / "runs"
+        runs.mkdir(exist_ok=True)
+        (runs / f"{token}.done").write_text("")
+        self.close()
+
+    def close(self) -> None:
+        """Release the cached increment artifacts."""
+        for cached in (self._sig, self._dropped):
+            if cached is not None:
+                cached.unpersist()
+        self._sig = self._dropped = None

@@ -536,9 +536,48 @@ def test_cli_near_dedup_store_across_runs(spark, sf_dir, tmp_path):
     assert not any(i >= 10_000 for i in ids2)
     # the genuinely new docs survived (near-dup-free fixture range)
     assert {i for i in ids2 if 100 <= i < 130}
-    assert (store / "docs").is_dir()
+    # store layout: per-batch sig + band partitions and done markers
+    assert len(list((store / "docs" / "sigs").glob("batch=*"))) == 2
+    assert len(list((store / "docs" / "bands").glob("batch=*"))) == 2
+    assert len(list((store / "docs" / "runs").glob("*.done"))) == 2
+
+    # RERUN of run 2 (operator retry / idempotent replay): the probe
+    # excludes the batch's own partitions, so the output must be
+    # byte-identical — NOT emptied by self-collision with the bands
+    # this very batch committed
+    rc = cli_main(
+        f"file:{run2_src}",
+        outdir=out2,
+        dedup_text_col="text",
+        dedup_id_col="doc_id",
+        near_dedup_store=store,
+        use_source_types=True,
+        spark=spark,
+    )
+    assert rc == 0
+    rerun_ids = {
+        r.doc_id
+        for r in spark.read.parquet(str(out2 / "docs.parquet"))
+        .select("doc_id")
+        .collect()
+    }
+    assert rerun_ids == ids2
 
     # flag without the text column: hard error, not a silent no-op
     assert parse_args(
         ["-u", f"file:{run1_src}", "--near-dedup-store", str(store)]
     ) is None
+
+    # parameter drift against an existing store: hard error (probing
+    # across minhash-parameter changes yields garbage candidates)
+    import pytest
+
+    from mongo2pq_spark.plans.neardedup_store import NearDedupStore
+
+    with pytest.raises(ValueError, match="different parameters"):
+        NearDedupStore(store, "docs", text_col="text", id_col="doc_id", k=16)
+    # non-local store roots are rejected up front, not silently no-op'd
+    with pytest.raises(ValueError, match="driver-visible"):
+        NearDedupStore(
+            "s3://bucket/bands", "docs", text_col="text", id_col="doc_id"
+        )
