@@ -47,6 +47,7 @@ def main(
     dedup_text_col: str | None = None,
     dedup_id_col: str | None = None,
     near_dedup_store: Path | None = None,
+    near_dedup_threshold: float = 0.8,
     single_file: bool = False,
     compression: str | None = None,
     source_format: str = "auto",
@@ -138,6 +139,7 @@ def main(
             store = NearDedupStore(
                 near_dedup_store, name,
                 text_col=dedup_text_col, id_col=id_col,
+                threshold=near_dedup_threshold,
             )
             batch_token = store.batch_token(df)
             df = store.filter_new(df, batch_token)
@@ -333,6 +335,11 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
                              "this run's survivors are indexed — per-run "
                              "cost scales with the increment, never the "
                              "corpus")
+    parser.add_argument("--near-dedup-threshold", type=float, default=0.8,
+                        help="minimum MinHash signature agreement (estimated "
+                             "Jaccard) for --near-dedup-store to drop a band-"
+                             "collision candidate (default 0.8; raw candidacy "
+                             "alone has a known false-positive rate)")
     parser.add_argument("--single-file", action="store_true",
                         help="write ONE parquet file per collection (the "
                              "reference's exact layout) via coalesce(1); "
@@ -391,6 +398,7 @@ def run(argv: list[str] | None = None) -> int:
         dedup_text_col=args.dedup_text_col,
         dedup_id_col=args.dedup_id_col,
         near_dedup_store=args.near_dedup_store,
+        near_dedup_threshold=args.near_dedup_threshold,
         single_file=args.single_file,
         compression=args.compression,
         source_format=args.source_format,
