@@ -39,6 +39,18 @@ The store root must be a driver-visible local directory (the manifest
 and gates are filesystem checks); at warehouse scale the same shape
 becomes catalog tables with MERGE commits — documented, not emulated.
 
+Growth: the store holds k integers + ``bands`` band rows per surviving
+document — orders of magnitude below corpus text — but gains one
+``batch=`` partition pair per run, so a many-years daily cadence
+accumulates thousands of small partitions (a listing cost, not a data
+cost). The compaction story mirrors
+``streaming/neardedup.py::compact_band_store`` with one extra
+requirement: a consolidated partition must carry each row's ORIGIN
+token as a column so the probe's own-batch exclusion (the idempotency
+backbone) survives consolidation. At warehouse scale this is the same
+OPTIMIZE/MERGE maintenance job; locally, partition counts stay small
+enough that consolidation is deliberately not implemented.
+
 Scale shape: probe = one equi-join of the increment's bands against
 the stored band partitions; verify = one join of candidate pairs
 against two signature tables + a k-term agreement expression (no
