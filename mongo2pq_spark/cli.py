@@ -138,7 +138,7 @@ def main(
 
             store = NearDedupStore(
                 near_dedup_store, name,
-                text_col=dedup_text_col, id_col=id_col,
+                text_col=dedup_text_col,
                 threshold=near_dedup_threshold,
             )
             batch_token = store.batch_token(df)

@@ -12,7 +12,7 @@ Per-run cost scales with the increment, never the corpus; history's
 only trace is the k-integer signature table and its band projection.
 
 Idempotency (the rerun/retry hazard): a batch is identified by a
-DETERMINISTIC, order-independent token of its id set, its store
+DETERMINISTIC, order-independent token of its text-digest set, its store
 writes go to ``batch=<token>`` partition directories (overwritten,
 never appended), and the probe EXCLUDES the batch's own partitions —
 so a rerun of the same input computes the same drop set as the first
@@ -23,10 +23,13 @@ partitions. Completion is marked by ``runs/<token>.done``.
 Parameter drift: MinHash parameters (k, bands, shingle width, seed)
 and the text column are pinned in ``meta.json`` at store creation —
 probing an index built with different parameters would silently
-produce garbage candidates, so a mismatch is a hard error. Ids are
-canonicalized to a string column internal to the store, so the
-caller's id column NAME or integer width may drift between runs
-without corrupting the index.
+produce garbage candidates, so a mismatch is a hard error. The store
+identifies documents by the md5 DIGEST of their text, not by any
+caller id column: digests are unique after the exact-dedup pass that
+precedes the store in the CLI (one survivor per digest), identical
+for identical texts even without it (so a merged signature is the
+same signature), and immune to id-column name/width/uniqueness drift
+between runs.
 
 Layout under ``<root>/<collection>/``::
 
@@ -64,7 +67,7 @@ import json
 import os
 from pathlib import Path
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mongo2pq_spark.operators.dedup import (
@@ -74,9 +77,8 @@ from mongo2pq_spark.operators.dedup import (
     minhash_signatures,
 )
 
-#: canonical id column inside the store (callers' id columns are cast
-#: to string under this name, decoupling the index from column-name
-#: and integer-width drift between runs)
+#: canonical id column inside the store: md5(text). Unique per
+#: distinct text, rerun-stable, independent of caller id columns
 STORE_ID = "__m2p_id"
 
 
@@ -86,7 +88,6 @@ class NearDedupStore:
         root: str | os.PathLike,
         collection: str,
         text_col: str,
-        id_col: str,
         threshold: float = 0.8,
         k: int = DEFAULT_K,
         bands: int = DEFAULT_BANDS,
@@ -103,7 +104,6 @@ class NearDedupStore:
             )
         self.dir = Path(root) / collection
         self.text_col = text_col
-        self.id_col = id_col
         self.threshold = threshold
         self.k, self.bands = k, bands
         self.shingle_n, self.seed = shingle_n, seed
@@ -144,15 +144,17 @@ class NearDedupStore:
 
     # ---------------------------------------------------------- batch
 
+    def _digest(self) -> Column:
+        return F.md5(F.encode(F.col(self.text_col), "utf-8"))
+
     def batch_token(self, df: DataFrame) -> str:
         """Deterministic, order-independent fingerprint of the batch's
-        id set (row count + sum of crc32(md5(id))) — one map-side
-        aggregate; a rerun of the same input maps to the same token."""
-        sid = F.col(self.id_col).cast("string")
+        text-digest set (row count + sum of crc32(digest)) — one
+        map-side aggregate; a rerun of the same input maps to the same
+        token."""
         row = df.select(
             F.count("*").alias("n"),
-            F.sum(F.crc32(F.encode(F.md5(F.encode(sid, "utf-8")), "utf-8")))
-            .alias("s"),
+            F.sum(F.crc32(F.encode(self._digest(), "utf-8"))).alias("s"),
         ).first()
         return f"{row['n']}_{row['s']}"
 
@@ -176,7 +178,7 @@ class NearDedupStore:
         cached (k integers per doc) for reuse by ``commit``."""
         sig = minhash_signatures(
             df.select(
-                F.col(self.id_col).cast("string").alias(STORE_ID),
+                self._digest().alias(STORE_ID),
                 F.col(self.text_col),
             ),
             STORE_ID,
@@ -196,9 +198,12 @@ class NearDedupStore:
             F.col(STORE_ID).alias("existing_id"), "band_id", "band_hash"
         )
         new_bands = minhash_band_table(sig, STORE_ID, self.k, self.bands)
+        # NOTE: no self-match guard on the ids — the probe already
+        # excludes this batch's own partitions, so an equal digest
+        # across batches IS a genuine duplicate (the same text
+        # re-ingested) and must be dropped, not skipped
         cand = (
             new_bands.join(index_bands, ["band_id", "band_hash"])
-            .filter(F.col(STORE_ID) != F.col("existing_id"))
             .select(STORE_ID, "existing_id")
             .distinct()
         )
@@ -223,7 +228,7 @@ class NearDedupStore:
         self._dropped = dropped
         return df.join(
             dropped.withColumnRenamed(STORE_ID, "__m2p_drop_id"),
-            F.col(self.id_col).cast("string") == F.col("__m2p_drop_id"),
+            self._digest() == F.col("__m2p_drop_id"),
             "left_anti",
         )
 

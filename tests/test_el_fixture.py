@@ -575,9 +575,7 @@ def test_cli_near_dedup_store_across_runs(spark, sf_dir, tmp_path):
     from mongo2pq_spark.plans.neardedup_store import NearDedupStore
 
     with pytest.raises(ValueError, match="different parameters"):
-        NearDedupStore(store, "docs", text_col="text", id_col="doc_id", k=16)
+        NearDedupStore(store, "docs", text_col="text", k=16)
     # non-local store roots are rejected up front, not silently no-op'd
     with pytest.raises(ValueError, match="driver-visible"):
-        NearDedupStore(
-            "s3://bucket/bands", "docs", text_col="text", id_col="doc_id"
-        )
+        NearDedupStore("s3://bucket/bands", "docs", text_col="text")
