@@ -125,7 +125,7 @@ def main(
                 c for c in df.columns if c != dedup_text_col
             )
             df = drop_exact_duplicates(df, text_col=dedup_text_col, id_col=id_col)
-        store = batch_token = None
+        store = batch_token = cached_df = None
         if near_dedup_store and dedup_active:
             # cross-RUN incremental near-dedup: drop documents whose
             # MinHash bands collide with the persistent per-collection
@@ -141,8 +141,14 @@ def main(
                 text_col=dedup_text_col,
                 threshold=near_dedup_threshold,
             )
-            batch_token = store.batch_token(df)
-            df = store.filter_new(df, batch_token)
+            # the token aggregate, the signature build, and the EL
+            # write each materialize this lineage (source scan + the
+            # exact-dedup shuffles); cache it once — spill-to-disk
+            # beats three full recomputations, and the finally block
+            # below releases it
+            cached_df = df.persist()
+            batch_token = store.batch_token(cached_df)
+            df = store.filter_new(cached_df, batch_token)
         try:
             metrics: dict = {}
             extract_load_collection(
@@ -175,6 +181,8 @@ def main(
         finally:
             if store is not None:
                 store.close()  # release cached sig/drop artifacts
+            if cached_df is not None:
+                cached_df.unpersist()
 
     failures: list[tuple[str, Exception]] = []
     if parallel_collections > 1 and len(readers) > 1:

@@ -102,6 +102,13 @@ class NearDedupStore:
                 "backends need the catalog-table variant of this "
                 "layout (see module docstring)"
             )
+        if not 0.0 < threshold <= 1.0:
+            raise ValueError(
+                f"near-dedup threshold must be in (0, 1], got {threshold}"
+                " — above 1 the verification can never pass (silent"
+                " no-op); at or below 0 every raw band-collision"
+                " candidate is dropped unverified"
+            )
         self.dir = Path(root) / collection
         self.text_col = text_col
         self.threshold = threshold
@@ -135,12 +142,55 @@ class NearDedupStore:
                     " — probing across parameter changes produces "
                     "garbage candidates; use a fresh store directory"
                 )
+            self._audit_done_markers()
             return
+        if self.dir.is_dir() and any(
+            e for e in self.dir.iterdir() if not e.name.endswith(".tmp")
+        ):
+            # a populated directory without meta.json is NOT this
+            # store's layout (e.g. an index built by an older version):
+            # initializing over it would silently dedup against
+            # nothing, discarding the accumulated history
+            raise ValueError(
+                f"{self.dir} exists and is non-empty but has no "
+                "meta.json — not a near-dedup store (or an "
+                "incompatible layout); refusing to initialize over it"
+            )
         self.dir.mkdir(parents=True, exist_ok=True)
         tmp = meta_path.with_suffix(".json.tmp")
         with open(tmp, "w") as fh:
             json.dump(pinned, fh)
         os.replace(tmp, meta_path)
+
+    def _audit_done_markers(self) -> None:
+        """Warn about batches with store data but no completion marker
+        (a crash between the EL write and the end of ``commit``): their
+        documents are in the corpus output but only partially indexed,
+        so future runs under-dedup against them until the SAME input is
+        re-run (the retry overwrites the partial partitions and lands
+        the marker). Warning, not error — the store stays usable and
+        the fix is exactly one rerun."""
+        import sys
+
+        done = {
+            p.name[:-5] for p in (self.dir / "runs").glob("*.done")
+        } if (self.dir / "runs").is_dir() else set()
+        partial = {
+            p.name.removeprefix("batch=")
+            for sub in ("sigs", "bands")
+            if (self.dir / sub).is_dir()
+            for p in (self.dir / sub).glob("batch=*")
+            if any(p.glob("*.parquet"))
+        } - done
+        if partial:
+            print(
+                f"WARNING: near-dedup store {self.dir} has "
+                f"partially-committed batches {sorted(partial)} (no "
+                "completion marker) — re-run those inputs to finish "
+                "their index entries; until then dedup against them "
+                "is incomplete",
+                file=sys.stderr,
+            )
 
     # ---------------------------------------------------------- batch
 
@@ -149,14 +199,33 @@ class NearDedupStore:
 
     def batch_token(self, df: DataFrame) -> str:
         """Deterministic, order-independent fingerprint of the batch's
-        text-digest set (row count + sum of crc32(digest)) — one
-        map-side aggregate; a rerun of the same input maps to the same
-        token."""
+        text-digest set: row count + decimal sums of both 64-bit md5
+        halves (~128 collision bits — a 32-bit checksum here would make
+        accidental or constructible token collisions alias two
+        DIFFERENT batches, corrupting both their index partitions) in
+        one map-side aggregate; a rerun of the same input maps to the
+        same token.
+
+        Deliberate consequence of content-only identity: an input
+        whose digest set EXACTLY equals an already-committed batch is
+        indistinguishable from a retry of that batch and replays it
+        (same output as the original, own partitions excluded from the
+        probe) rather than dropping everything as history-duplicates.
+        Between the two ways to resolve the ambiguity this is the safe
+        one — the alternative empties the output on every operator
+        retry — and byte-identical re-crawls are exactly what plain
+        exact dedup catches downstream; this store's value is the
+        EDITED re-crawl."""
+        dig = self._digest()
+        half = lambda lo, hi: F.sum(  # noqa: E731
+            F.conv(F.substring(dig, lo, hi), 16, 10).cast("decimal(38,0)")
+        )
         row = df.select(
             F.count("*").alias("n"),
-            F.sum(F.crc32(F.encode(self._digest(), "utf-8"))).alias("s"),
+            half(1, 16).alias("h1"),
+            half(17, 16).alias("h2"),
         ).first()
-        return f"{row['n']}_{row['s']}"
+        return f"{row['n']}_{row['h1']}_{row['h2']}"
 
     def _other_batches(self, sub: str, token: str) -> list[str]:
         """Partition dirs of OTHER batches that hold actual data files

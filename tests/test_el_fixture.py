@@ -579,3 +579,33 @@ def test_cli_near_dedup_store_across_runs(spark, sf_dir, tmp_path):
     # non-local store roots are rejected up front, not silently no-op'd
     with pytest.raises(ValueError, match="driver-visible"):
         NearDedupStore("s3://bucket/bands", "docs", text_col="text")
+
+
+def test_near_dedup_store_guards(tmp_path, capsys):
+    """Misconfiguration and partial-commit states must be loud:
+    out-of-range thresholds and meta-less non-empty directories are
+    hard errors; a batch with store data but no completion marker
+    (crash inside commit) warns on the next open."""
+    from mongo2pq_spark.plans.neardedup_store import NearDedupStore
+
+    root = tmp_path / "store"
+    for bad in (0.0, -1.0, 1.5):
+        with pytest.raises(ValueError, match="threshold"):
+            NearDedupStore(root, "c", text_col="text", threshold=bad)
+
+    # populated directory without meta.json: refuse, don't silently
+    # initialize over (and dedup against nothing)
+    legacy = root / "legacy"
+    legacy.mkdir(parents=True)
+    (legacy / "old_index.parquet").write_bytes(b"")
+    with pytest.raises(ValueError, match="no \n?meta.json|meta.json"):
+        NearDedupStore(root, "legacy", text_col="text")
+
+    # partial commit: batch data present, no done marker -> warning
+    NearDedupStore(root, "c", text_col="text")  # creates meta
+    part = root / "c" / "bands" / "batch=9_9_9"
+    part.mkdir(parents=True)
+    (part / "part-0.parquet").write_bytes(b"")
+    capsys.readouterr()
+    NearDedupStore(root, "c", text_col="text")
+    assert "partially-committed batches" in capsys.readouterr().err
