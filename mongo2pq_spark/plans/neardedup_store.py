@@ -35,8 +35,9 @@ Layout under ``<root>/<collection>/``::
 
     meta.json              pinned minhash params + text column
     runs/<token>.done      batch completion markers
-    sigs/batch=<token>/    (doc id [string], mh0..mh{k-1}) survivors
-    bands/batch=<token>/   (doc id [string], band_id, band_hash)
+    sigs/batch=<token>/    (doc id [string], mh0..mh{k-1}, src_token)
+    bands/batch=<token>/   (doc id [string], band_id, band_hash,
+                            src_token) — survivors only
 
 The store root must be a driver-visible local directory (the manifest
 and gates are filesystem checks); at warehouse scale the same shape
@@ -46,13 +47,12 @@ Growth: the store holds k integers + ``bands`` band rows per surviving
 document — orders of magnitude below corpus text — but gains one
 ``batch=`` partition pair per run, so a many-years daily cadence
 accumulates thousands of small partitions (a listing cost, not a data
-cost). The compaction story mirrors
-``streaming/neardedup.py::compact_band_store`` with one extra
-requirement: a consolidated partition must carry each row's ORIGIN
-token as a column so the probe's own-batch exclusion (the idempotency
-backbone) survives consolidation. At warehouse scale this is the same
-OPTIMIZE/MERGE maintenance job; locally, partition counts stay small
-enough that consolidation is deliberately not implemented.
+cost). ``consolidate()`` bounds it: every completed batch merges into
+one ``batch=c0`` partition per tree. Rows carry their ORIGIN token
+(``src_token``) precisely so the probe's own-batch exclusion — the
+idempotency backbone — survives consolidation as a row-level filter.
+At warehouse scale this is the OPTIMIZE/MERGE maintenance job run
+between increments.
 
 Scale shape: probe = one equi-join of the increment's bands against
 the stored band partitions; verify = one join of candidate pairs
@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from pathlib import Path
 
 from pyspark.sql import Column, DataFrame
@@ -117,10 +118,12 @@ class NearDedupStore:
         self._sig = None
         self._dropped = None
         self._check_meta()
+        self._recover_consolidation()
 
     def _check_meta(self) -> None:
         meta_path = self.dir / "meta.json"
         pinned = {
+            "layout": 2,  # v2: rows carry src_token (see consolidate)
             "text_col": self.text_col,
             "k": self.k,
             "bands": self.bands,
@@ -263,8 +266,14 @@ class NearDedupStore:
         if not band_dirs:
             self._dropped = None
             return df
-        index_bands = spark.read.parquet(*band_dirs).select(
-            F.col(STORE_ID).alias("existing_id"), "band_id", "band_hash"
+        # row-level own-batch exclusion (src_token) is the
+        # correctness backbone once batches are CONSOLIDATED into one
+        # partition; the path-level exclusion above remains as a pure
+        # read-avoidance optimization for unconsolidated batches
+        index_bands = (
+            spark.read.parquet(*band_dirs)
+            .filter(F.col("src_token") != token)
+            .select(F.col(STORE_ID).alias("existing_id"), "band_id", "band_hash")
         )
         new_bands = minhash_band_table(sig, STORE_ID, self.k, self.bands)
         # NOTE: no self-match guard on the ids — the probe already
@@ -277,7 +286,9 @@ class NearDedupStore:
             .distinct()
         )
         sig_dirs = self._other_batches("sigs", token)
-        index_sigs = spark.read.parquet(*sig_dirs)
+        index_sigs = spark.read.parquet(*sig_dirs).filter(
+            F.col("src_token") != token
+        )
         renamed = index_sigs.select(
             F.col(STORE_ID).alias("existing_id"),
             *[F.col(f"mh{i}").alias(f"emh{i}") for i in range(self.k)],
@@ -312,17 +323,102 @@ class NearDedupStore:
             self._sig
             if self._dropped is None
             else self._sig.join(self._dropped, STORE_ID, "left_anti")
-        )
+        ).withColumn("src_token", F.lit(token))
         survivors.write.mode("overwrite").parquet(
             str(self.dir / "sigs" / f"batch={token}")
         )
-        minhash_band_table(survivors, STORE_ID, self.k, self.bands).write.mode(
-            "overwrite"
-        ).parquet(str(self.dir / "bands" / f"batch={token}"))
+        minhash_band_table(survivors, STORE_ID, self.k, self.bands).withColumn(
+            "src_token", F.lit(token)
+        ).write.mode("overwrite").parquet(
+            str(self.dir / "bands" / f"batch={token}")
+        )
         runs = self.dir / "runs"
         runs.mkdir(exist_ok=True)
         (runs / f"{token}.done").write_text("")
         self.close()
+
+    def _recover_consolidation(self) -> None:
+        """Finish (or discard) a consolidation interrupted mid-swap.
+
+        ``_swapin_c0`` only ever holds a COMPLETE consolidated
+        partition (it gets that name by rename after the parquet write
+        succeeded), so it always rolls FORWARD; a stranded ``_build``
+        is dropped. At every crash point the index CONTENT is a
+        superset of the pre-consolidation content (sources are deleted
+        only after the swap), and the probe tolerates duplicate rows,
+        so recovery is about reclaiming space, never about restoring
+        correctness."""
+        for sub in ("sigs", "bands"):
+            base = self.dir / sub
+            if not base.is_dir():
+                continue
+            swapin = base / "_swapin_c0"
+            if swapin.is_dir():
+                shutil.rmtree(base / "batch=c0", ignore_errors=True)
+                os.rename(swapin, base / "batch=c0")
+            shutil.rmtree(base / "_build_c0", ignore_errors=True)
+
+    def _consolidate_tree(self, spark, sub: str, merge) -> None:
+        base = self.dir / sub
+        if not base.is_dir():
+            return
+        done = {
+            p.name[:-5] for p in (self.dir / "runs").glob("*.done")
+        } if (self.dir / "runs").is_dir() else set()
+        src = [
+            p
+            for p in sorted(base.glob("batch=*"))
+            if any(p.glob("*.parquet"))
+            and p.name.removeprefix("batch=") in done
+        ]
+        if len(src) < 2:
+            return
+        merged = merge(spark.read.parquet(*[str(p) for p in src]))
+        build, swapin = base / "_build_c0", base / "_swapin_c0"
+        shutil.rmtree(build, ignore_errors=True)
+        shutil.rmtree(swapin, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(str(build))
+        os.rename(build, swapin)  # complete-by-naming
+        shutil.rmtree(base / "batch=c0", ignore_errors=True)
+        os.rename(swapin, base / "batch=c0")
+        for p in src:
+            if p.name != "batch=c0":
+                shutil.rmtree(p, ignore_errors=True)
+
+    def consolidate(self, spark) -> None:
+        """Merge every COMPLETED batch partition into one
+        ``batch=c0`` per tree, bounding the partition-count growth of
+        long ingestion histories (a listing cost, not a data cost).
+
+        Rows keep their ORIGIN token (``src_token``), so the probe's
+        own-batch exclusion — the idempotency backbone — survives
+        consolidation: a retry of an absorbed batch still excludes its
+        own rows and overwrites only its own (re-created) partition.
+        Duplicate rows a retry re-commits after absorption are benign
+        (the probe's DISTINCT tolerates them) and are folded back in
+        by the next consolidation's group-by. Partitions without a
+        completion marker (mid-commit crashes) are left untouched so
+        their retry semantics are preserved. Each tree swap is
+        independently crash-safe (``_recover_consolidation``); the two
+        trees never need to swap atomically together because
+        consolidation is content-preserving per tree. Run it between
+        EL runs — never with an increment in flight."""
+        mh_mins = [F.min(f"mh{i}").alias(f"mh{i}") for i in range(self.k)]
+        self._consolidate_tree(
+            spark, "sigs",
+            lambda d: d.groupBy(STORE_ID).agg(
+                F.min("src_token").alias("src_token"), *mh_mins
+            ),
+        )
+        self._consolidate_tree(
+            spark, "bands",
+            lambda d: d.groupBy(STORE_ID, "band_id", "band_hash").agg(
+                F.min("src_token").alias("src_token")
+            ),
+        )
+        runs = self.dir / "runs"
+        runs.mkdir(exist_ok=True)
+        (runs / "c0.done").write_text("")
 
     def close(self) -> None:
         """Release the cached increment artifacts."""

@@ -609,3 +609,61 @@ def test_near_dedup_store_guards(tmp_path, capsys):
     capsys.readouterr()
     NearDedupStore(root, "c", text_col="text")
     assert "partially-committed batches" in capsys.readouterr().err
+
+
+def test_near_dedup_store_consolidation(spark, sf_dir, tmp_path):
+    """consolidate() merges completed batches into one batch=c0 per
+    tree without changing any future dedup decision, and a retry of an
+    ABSORBED batch stays idempotent (row-level src_token exclusion
+    replaces the path-level one after consolidation)."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.plans.neardedup_store import NearDedupStore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.filter(F.col("doc_id") < 60)
+    b2 = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 120))
+    # batch 3 = copies of batch-1 texts (must drop) + fresh docs
+    b3 = (
+        docs.filter(F.col("doc_id") < 30)
+        .withColumn("doc_id", F.col("doc_id") + 10_000)
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 150))
+        )
+    )
+
+    def ingest(store, batch):
+        token = store.batch_token(batch)
+        out = store.filter_new(batch, token)
+        ids = {r.doc_id for r in out.select("doc_id").collect()}
+        store.commit(token)
+        return ids
+
+    def run(root, consolidate_after_two):
+        for batch in (b1, b2):
+            ingest(
+                NearDedupStore(root, "docs", text_col="text"), batch
+            )
+        if consolidate_after_two:
+            NearDedupStore(root, "docs", text_col="text").consolidate(spark)
+        return ingest(NearDedupStore(root, "docs", text_col="text"), b3)
+
+    plain = run(tmp_path / "plain", consolidate_after_two=False)
+    cons = run(tmp_path / "cons", consolidate_after_two=True)
+    assert cons == plain
+    assert not any(i >= 10_000 for i in cons)  # copies dropped
+    # trees collapsed to exactly one partition each
+    for sub in ("sigs", "bands"):
+        parts = sorted(
+            p.name for p in (tmp_path / "cons" / "docs" / sub).glob("batch=*")
+        )
+        # batch 3 added its own partition after consolidation
+        assert len(parts) == 2 and "batch=c0" in parts
+
+    # retry an ABSORBED batch: its rows live only in c0 now; the
+    # row-level exclusion must keep the retry's drop set identical
+    # (batch 1 saw an empty store, so nothing may be dropped)
+    retry = ingest(NearDedupStore(tmp_path / "cons", "docs", text_col="text"), b1)
+    assert retry == {r.doc_id for r in b1.select("doc_id").collect()}
