@@ -20,8 +20,11 @@ attempt instead of colliding with its own previous append, and a
 crash-retry after a partial commit simply overwrites its own
 partitions. Completion is marked by ``runs/<token>.done``.
 
-Parameter drift: MinHash parameters (k, bands, shingle width, seed)
-and the text column are pinned in ``meta.json`` at store creation —
+Parameter drift: MinHash parameters (k, bands, shingle width, seed),
+the layout version, and the text column are pinned in ``meta.json``
+at store creation (layout v2 — rows carry ``src_token`` — is the
+first layout that ever persisted; the drift error path exists for
+future bumps, not for any deployed v1 store) —
 probing an index built with different parameters would silently
 produce garbage candidates, so a mismatch is a hard error. The store
 identifies documents by the md5 DIGEST of their text, not by any
@@ -175,16 +178,13 @@ class NearDedupStore:
         the fix is exactly one rerun."""
         import sys
 
-        done = {
-            p.name[:-5] for p in (self.dir / "runs").glob("*.done")
-        } if (self.dir / "runs").is_dir() else set()
         partial = {
             p.name.removeprefix("batch=")
             for sub in ("sigs", "bands")
             if (self.dir / sub).is_dir()
             for p in (self.dir / sub).glob("batch=*")
             if any(p.glob("*.parquet"))
-        } - done
+        } - self._done_tokens() - {"c0"}
         if partial:
             print(
                 f"WARNING: near-dedup store {self.dir} has "
@@ -194,6 +194,12 @@ class NearDedupStore:
                 "is incomplete",
                 file=sys.stderr,
             )
+
+    def _done_tokens(self) -> set:
+        runs = self.dir / "runs"
+        if not runs.is_dir():
+            return set()
+        return {p.name[:-5] for p in runs.glob("*.done")}
 
     # ---------------------------------------------------------- batch
 
@@ -358,25 +364,34 @@ class NearDedupStore:
                 os.rename(swapin, base / "batch=c0")
             shutil.rmtree(base / "_build_c0", ignore_errors=True)
 
-    def _consolidate_tree(self, spark, sub: str, merge) -> None:
+    def _consolidate_tree(self, spark, sub: str, merge, done: set) -> None:
         base = self.dir / sub
         if not base.is_dir():
             return
-        done = {
-            p.name[:-5] for p in (self.dir / "runs").glob("*.done")
-        } if (self.dir / "runs").is_dir() else set()
+        # batch=c0 is complete-BY-NAMING (it only ever gets that name
+        # via a rename of a fully-written build), so it joins the
+        # merge unconditionally — gating it on a marker written after
+        # the swaps would let a crash in that window orphan it, and
+        # the NEXT consolidation would rmtree it unread, destroying
+        # every previously absorbed index entry
         src = [
             p
             for p in sorted(base.glob("batch=*"))
             if any(p.glob("*.parquet"))
-            and p.name.removeprefix("batch=") in done
+            and (
+                p.name == "batch=c0"
+                or p.name.removeprefix("batch=") in done
+            )
         ]
         if len(src) < 2:
             return
         merged = merge(spark.read.parquet(*[str(p) for p in src]))
         build, swapin = base / "_build_c0", base / "_swapin_c0"
         shutil.rmtree(build, ignore_errors=True)
-        shutil.rmtree(swapin, ignore_errors=True)
+        # a stranded complete _swapin_c0 cannot exist here:
+        # consolidate() runs _recover_consolidation first, which rolls
+        # it forward (deleting it instead would destroy the only copy
+        # of previously merged data after a mid-swap failure)
         merged.write.mode("overwrite").parquet(str(build))
         os.rename(build, swapin)  # complete-by-naming
         shutil.rmtree(base / "batch=c0", ignore_errors=True)
@@ -398,27 +413,30 @@ class NearDedupStore:
         (the probe's DISTINCT tolerates them) and are folded back in
         by the next consolidation's group-by. Partitions without a
         completion marker (mid-commit crashes) are left untouched so
-        their retry semantics are preserved. Each tree swap is
+        their retry semantics are preserved; ``batch=c0`` itself needs
+        NO marker — it is complete by naming, which keeps every crash
+        window superset-preserving. Each tree swap is
         independently crash-safe (``_recover_consolidation``); the two
         trees never need to swap atomically together because
         consolidation is content-preserving per tree. Run it between
         EL runs — never with an increment in flight."""
+        self._recover_consolidation()  # roll forward any mid-swap crash
+        done = self._done_tokens()
         mh_mins = [F.min(f"mh{i}").alias(f"mh{i}") for i in range(self.k)]
         self._consolidate_tree(
             spark, "sigs",
             lambda d: d.groupBy(STORE_ID).agg(
                 F.min("src_token").alias("src_token"), *mh_mins
             ),
+            done,
         )
         self._consolidate_tree(
             spark, "bands",
             lambda d: d.groupBy(STORE_ID, "band_id", "band_hash").agg(
                 F.min("src_token").alias("src_token")
             ),
+            done,
         )
-        runs = self.dir / "runs"
-        runs.mkdir(exist_ok=True)
-        (runs / "c0.done").write_text("")
 
     def close(self) -> None:
         """Release the cached increment artifacts."""

@@ -667,3 +667,57 @@ def test_near_dedup_store_consolidation(spark, sf_dir, tmp_path):
     # (batch 1 saw an empty store, so nothing may be dropped)
     retry = ingest(NearDedupStore(tmp_path / "cons", "docs", text_col="text"), b1)
     assert retry == {r.doc_id for r in b1.select("doc_id").collect()}
+
+
+def test_near_dedup_store_consolidation_crash_recovery(spark, sf_dir, tmp_path):
+    """The two consolidation crash windows must preserve every
+    absorbed index entry: (a) a stranded complete _swapin_c0 (crash
+    between the rmtree of old c0 and the final rename) rolls FORWARD
+    at the next store open; (b) re-consolidating when batch=c0 exists
+    (c0 is complete-by-naming, no marker) must absorb it, never
+    delete it unread."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.plans.neardedup_store import NearDedupStore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    root = tmp_path / "store"
+
+    def ingest(batch):
+        store = NearDedupStore(root, "docs", text_col="text")
+        token = store.batch_token(batch)
+        out = store.filter_new(batch, token)
+        ids = {r.doc_id for r in out.select("doc_id").collect()}
+        store.commit(token)
+        return ids
+
+    ingest(docs.filter(F.col("doc_id") < 60))
+    ingest(docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 120)))
+    NearDedupStore(root, "docs", text_col="text").consolidate(spark)
+
+    # (a) simulate the mid-swap crash: c0 renamed away to _swapin_c0
+    sigs = root / "docs" / "sigs"
+    shutil.move(str(sigs / "batch=c0"), str(sigs / "_swapin_c0"))
+    NearDedupStore(root, "docs", text_col="text")  # open = recovery
+    assert (sigs / "batch=c0").is_dir()
+    assert not (sigs / "_swapin_c0").exists()
+
+    # (b) c0 exists with NO marker; a third batch lands and we
+    # consolidate again — copies of batch-1 docs (absorbed into c0)
+    # must STILL be dropped afterwards, proving c0 was merged, not
+    # rmtree'd unread
+    ingest(docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 150)))
+    NearDedupStore(root, "docs", text_col="text").consolidate(spark)
+    assert sorted(
+        p.name for p in sigs.glob("batch=*")
+    ) == ["batch=c0"]
+    copies = (
+        docs.filter(F.col("doc_id") < 30)
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+    )
+    survivors = ingest(copies)
+    assert survivors == set()  # every copy matched absorbed history
