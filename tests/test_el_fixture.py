@@ -721,3 +721,29 @@ def test_near_dedup_store_consolidation_crash_recovery(spark, sf_dir, tmp_path):
     )
     survivors = ingest(copies)
     assert survivors == set()  # every copy matched absorbed history
+
+
+def test_near_dedup_batch_token_is_layout_independent(spark, sf_dir, tmp_path):
+    """The batch token — the store's idempotency anchor — must depend
+    only on the batch's text-digest SET: row order, partitioning, and
+    column order must not move it, and any content change must."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.plans.neardedup_store import NearDedupStore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 100)
+    store = NearDedupStore(tmp_path / "s", "c", text_col="text")
+
+    base = store.batch_token(docs)
+    assert store.batch_token(docs.orderBy(F.col("doc_id").desc())) == base
+    assert store.batch_token(docs.repartition(17, "text")) == base
+    assert store.batch_token(docs.select("text", "doc_id")) == base
+    assert store.batch_token(docs.limit(99)) != base
+    changed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")),
+    )
+    assert store.batch_token(changed) != base
