@@ -285,3 +285,166 @@ def frame_sample(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(sample_batches, FRAME_SAMPLE_SCHEMA)
+
+
+# --------------------------------------------------------------- PNG
+# A REAL pixel codec in pure stdlib (zlib) + numpy — no PIL/codec
+# libraries. This retires the "pixel decode is stubbed" caveat for
+# PNG: 8-bit non-interlaced gray/gray+alpha/RGB/RGBA, all five scanline
+# filters. It is a REFERENCE decoder (per-byte unfiltering loops for
+# the left-dependent filters) — correctness over throughput; a
+# production deployment swaps in a codec library behind the same
+# function contract, exactly as documented for the other modalities.
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def encode_png(arr) -> bytes:
+    """Minimal PNG writer (filter 0 scanlines): h×w×c uint8 array,
+    c ∈ {1, 2, 3, 4} → standards-compliant non-interlaced PNG bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype="uint8")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color = _PNG_COLOR_TYPE[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes):
+    """Decode a PNG to ``(height, width, channels, uint8 ndarray)``.
+
+    Supports bit depth 8, color types 0/2/4/6, non-interlaced, and all
+    five scanline filters (None/Sub/Up/Average/Paeth per the PNG
+    spec's byte-wise definitions). Raises ``ValueError`` on a non-PNG
+    payload and ``NotImplementedError`` on unsupported variants — the
+    fail-loud contract of the header parser above."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"reference decoder handles 8-bit non-interlaced "
+            f"gray/RGB/alpha PNGs only (depth={depth}, color={color}, "
+            f"interlace={interlace})"
+        )
+    c = _PNG_CHANNELS[color]
+    stride = w * c
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline stream has the wrong length")
+    out = np.empty((h, stride), dtype="uint8")
+    prev = bytearray(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(
+            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        )
+        if f == 1:  # Sub
+            for i in range(c, stride):
+                line[i] = (line[i] + line[i - c]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - c] if i >= c else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - c] if i >= c else 0
+                b = prev[i]
+                cc = prev[i - c] if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = cc
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = np.frombuffer(bytes(line), dtype="uint8")
+        prev = line
+    return h, w, c, out.reshape(h, w, c)
+
+
+PNG_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, "
+    "pixel_sum bigint, n_pixels bigint"
+)
+
+
+def png_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched REAL pixel decode: mapInPandas over PNG payloads,
+    emitting exact integer pixel statistics per image — the scalars a
+    DuckDB oracle can recompute from a deterministic pixel-generation
+    rule, proving the encoder→decoder round trip end to end. Scale
+    shape: map-only (no shuffle), cost ∝ total payload bytes."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def stat_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "channels": [], "pixel_sum": [], "n_pixels": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                h, w, c, arr = decode_png_pixels(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["pixel_sum"].append(int(arr.astype("int64").sum()))
+                out["n_pixels"].append(arr.size)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(stat_batches, PNG_STATS_SCHEMA)

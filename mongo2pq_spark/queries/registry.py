@@ -152,6 +152,10 @@ _NEXT_WINDOW_QUEUE = [
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
+    # r9 late addition: real PNG pixel codec round trip (pure-stdlib
+    # encoder/decoder inside mapInPandas; invariant oracle recomputes
+    # the exact pixel sums from the generation rule)
+    "multimodal_png_pixel_roundtrip",
 ]
 
 
