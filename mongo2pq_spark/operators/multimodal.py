@@ -298,7 +298,7 @@ def frame_sample(
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
-_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+_PNG_COLOR_TYPE = {v: k for k, v in _PNG_CHANNELS.items()}
 
 
 def encode_png(arr) -> bytes:
@@ -312,7 +312,11 @@ def encode_png(arr) -> bytes:
     arr = np.ascontiguousarray(arr, dtype="uint8")
     if arr.ndim == 2:
         arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise ValueError(f"expected h×w or h×w×c array, got shape {arr.shape}")
     h, w, c = arr.shape
+    if c not in _PNG_COLOR_TYPE:
+        raise ValueError(f"unsupported channel count {c} (want 1, 2, 3, or 4)")
     color = _PNG_COLOR_TYPE[c]
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -347,18 +351,24 @@ def decode_png_pixels(payload: bytes):
 
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG payload")
-    pos, idat, ihdr = 8, [], None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos:pos + 4])
-        ctype = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        pos += 12 + length
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
+    # truncated/corrupt streams must surface as the documented
+    # ValueError, not leak struct.error/zlib.error past callers that
+    # skip bad rows per the fail-loud contract
+    try:
+        pos, idat, ihdr = 8, [], None
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos:pos + 4])
+            ctype = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + length]
+            pos += 12 + length
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+    except struct.error as exc:
+        raise ValueError(f"truncated PNG chunk stream: {exc}") from exc
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
@@ -370,7 +380,10 @@ def decode_png_pixels(payload: bytes):
         )
     c = _PNG_CHANNELS[color]
     stride = w * c
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline stream has the wrong length")
     out = np.empty((h, stride), dtype="uint8")
@@ -383,9 +396,20 @@ def decode_png_pixels(payload: bytes):
         if f == 1:  # Sub
             for i in range(c, stride):
                 line[i] = (line[i] + line[i - c]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 2:  # Up — no intra-row dependency, so vectorize
+            # (the per-byte loops below are only for the
+            # left-dependent filters)
+            line = bytearray(
+                (
+                    (
+                        np.frombuffer(bytes(line), dtype="uint8").astype(
+                            "uint16"
+                        )
+                        + np.frombuffer(bytes(prev), dtype="uint8")
+                    )
+                    & 0xFF
+                ).astype("uint8").tobytes()
+            )
         elif f == 3:  # Average
             for i in range(stride):
                 left = line[i - c] if i >= c else 0

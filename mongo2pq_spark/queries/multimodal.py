@@ -282,15 +282,14 @@ def multimodal_png_pixel_roundtrip(spark, sf_dir):
 
         from mongo2pq_spark.operators.multimodal import encode_png
 
+        y, x, ch = np.meshgrid(
+            np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+        )
+        base = 13 * x + 29 * y + 31 * ch
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
-                y, x, ch = np.meshgrid(
-                    np.arange(8), np.arange(8), np.arange(3), indexing="ij"
-                )
-                arr = ((7 * int(d) + 13 * x + 29 * y + 31 * ch) % 256).astype(
-                    "uint8"
-                )
+                arr = ((7 * int(d) + base) % 256).astype("uint8")
                 payloads.append(encode_png(arr))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 

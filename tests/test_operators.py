@@ -1203,3 +1203,17 @@ def test_png_decoder_fails_loud():
     ok[24] = 16  # IHDR bit-depth byte
     with _pytest.raises(NotImplementedError):
         decode_png_pixels(bytes(ok))
+    # truncated chunk stream / corrupt IDAT: the documented ValueError,
+    # never a leaked struct.error/zlib.error
+    whole = encode_png(np.zeros((2, 2, 3), dtype="uint8"))
+    with _pytest.raises(ValueError, match="truncated|missing"):
+        decode_png_pixels(whole[:20])
+    corrupt = bytearray(whole)
+    corrupt[41] ^= 0xFF  # flip a byte inside the IDAT payload
+    with _pytest.raises(ValueError, match="corrupt|wrong length"):
+        decode_png_pixels(bytes(corrupt))
+    # encoder rejects unsupported shapes with descriptive errors
+    with _pytest.raises(ValueError, match="channel count"):
+        encode_png(np.zeros((2, 2, 5), dtype="uint8"))
+    with _pytest.raises(ValueError, match="shape"):
+        encode_png(np.zeros(8, dtype="uint8"))

@@ -549,14 +549,19 @@ def test_tpch_completion_plans_have_no_quadratic_joins(spark, sf_dir):
     the same single-row-spine exception as the gapfill plan; a
     CartesianProduct or a nested loop against a multi-row side is
     quadratic at scale and always wrong."""
-    from mongo2pq_spark.queries.registry import _NEXT_WINDOW_QUEUE
-
+    tpch_completion = [
+        "q2_min_cost_supplier", "q9_product_profit",
+        "q11_important_parts", "q12_delay_priority", "q15_top_supplier",
+        "q16_supplier_part_counts", "q17_small_quantity_revenue",
+        "q19_disjunctive_revenue", "q20_dominant_suppliers",
+        "q21_waiting_suppliers", "q22_dormant_customers",
+    ]
     scalar_threshold = {
         "q11_important_parts",
         "q15_top_supplier",
         "q22_dormant_customers",
     }
-    for name in _NEXT_WINDOW_QUEUE:
+    for name in tpch_completion:
         plan = _formatted(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         if name not in scalar_threshold:
