@@ -18,12 +18,18 @@ end; divisions run in DOUBLE in both engines and are rounded;
 averages are exact regardless of aggregation order — correlated
 quantity thresholds (Q17, Q20) are therefore engine-stable.
 
-Scale notes: dimension sides (part subsets, supplier, nation, region,
-threshold scalars) are broadcast; fact-fact joins (lineitem⋈orders,
-lineitem self-joins in Q21) shuffle once on the join key and AQE
-handles skew; every correlated subquery is decorrelated into a
-grouped aggregate joined back on the correlation key — never a
-per-row re-scan.
+Scale notes: only FIXED-SIZE sides carry an explicit broadcast hint —
+nation/region (25/5 rows) and one-row scalar-subquery thresholds
+(Q11/Q15/Q22 global aggregates). part/supplier/customer/orders-derived
+sides GROW with scale factor, so they carry no hint: AQE broadcasts
+them at runtime when their measured size permits and falls back to a
+shuffle join when it doesn't (a forced hint would override that and
+OOM executors at 100×; policed by
+tests/test_plans.py::test_no_broadcast_hint_on_fact_scaling_tables).
+Fact-fact joins (lineitem⋈orders, lineitem self-joins in Q21) shuffle
+once on the join key and AQE handles skew; every correlated subquery
+is decorrelated into a grouped aggregate joined back on the
+correlation key — never a per-row re-scan.
 """
 
 from __future__ import annotations
@@ -89,7 +95,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         ).alias("unit_cost")
     )
     eu = (
-        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        ps.join(s, ps.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -100,7 +106,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         F.col("unit_cost") == F.col("min_cost")
     )
     return (
-        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        best.join(p, best.l_partkey == p.p_partkey)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
             "unit_cost",
@@ -151,8 +157,8 @@ def q9_product_profit(spark, sf_dir):
         _DEC
     ) * F.col("l_quantity").cast(_DEC)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
@@ -195,7 +201,7 @@ def q11_important_parts(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     supplied = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(
@@ -305,7 +311,7 @@ def q15_top_supplier(spark, sf_dir):
     return (
         revenue.crossJoin(F.broadcast(best))
         .filter(F.col("total_dec") == F.col("best_dec"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -332,8 +338,10 @@ def q15_top_supplier(spark, sf_dir):
     doc="TPC-H Q16-style supplier counts per (brand, type, size). The "
         "part–supplier relation is derived from lineitem; the excluded-"
         "supplier NOT IN subquery keys on negative acctbal instead of the "
-        "absent comment column. NOT IN over a non-null key set = broadcast "
-        "anti-join; distinct-count shuffles once on the group key",
+        "absent comment column. NOT IN over a non-null key set = anti-join "
+        "(both part and the excluded-supplier set grow with SF, so neither "
+        "is hint-broadcast — AQE decides at runtime); distinct-count "
+        "shuffles once on the group key",
 )
 def q16_supplier_part_counts(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
@@ -352,10 +360,8 @@ def q16_supplier_part_counts(spark, sf_dir):
         .select("s_suppkey")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(
-            F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti"
-        )
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -388,7 +394,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(part_avg, l.l_partkey == part_avg.pa_partkey)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -417,7 +423,8 @@ def q17_small_quantity_revenue(spark, sf_dir):
     doc="TPC-H Q19-style disjunctive revenue: the OR-of-ANDs predicate "
         "(brand × size band × quantity band, container/shipmode terms "
         "dropped with the absent columns) evaluated across a single "
-        "broadcast join — Catalyst splits the common p_partkey conjunct "
+        "equi-join (part scales with SF, so AQE — not a hint — picks the "
+        "join strategy) — Catalyst splits the common p_partkey conjunct "
         "and keeps the disjunction as one post-join filter",
 )
 def q19_disjunctive_revenue(spark, sf_dir):
@@ -431,7 +438,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.sum(
@@ -484,7 +491,7 @@ def q20_dominant_suppliers(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(p, l.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -494,7 +501,7 @@ def q20_dominant_suppliers(spark, sf_dir):
     return (
         pq.join(mx, pq.l_partkey == mx.mx_partkey)
         .filter(F.col("qty") > 0.5 * F.col("max_qty"))
-        .join(F.broadcast(s), pq.l_suppkey == s.s_suppkey)
+        .join(s, pq.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_suppkey", "s_name", "n_name")
         .distinct()
@@ -571,7 +578,7 @@ def q21_waiting_suppliers(spark, sf_dir):
         )
     )
     return (
-        waiting.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        waiting.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
@@ -629,9 +636,7 @@ def q22_dormant_customers(spark, sf_dir):
             F.col("c_acctbal").cast(_DEC) * F.col("n_pos")
             > F.col("total_bal")
         )
-        .join(
-            F.broadcast(recent), c.c_custkey == recent.o_custkey, "left_anti"
-        )
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
         .groupBy(
             (F.col("c_nationkey") % 5).cast("bigint").alias("cntrycode")
         )

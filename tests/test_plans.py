@@ -70,25 +70,54 @@ def _broadcast_hint_subtrees(df) -> list[str]:
 #: and region are fixed at 25/5 rows and MAY be broadcast-hinted)
 _FACT_MARKERS = ("c_custkey", "s_suppkey", "p_partkey", "l_orderkey", "o_orderkey")
 
+#: every registered TPC-H query shape (Q1–Q22) — the policy below
+#: applies to ALL of them, not a sample
+_ALL_TPCH = (
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_top_unshipped",
+    "q4_late_shipment_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_important_parts",
+    "q12_delay_priority", "q13_customer_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q20_dominant_suppliers",
+    "q21_waiting_suppliers", "q22_dormant_customers",
+)
+
+
+def _strip_tree_prefix(line: str) -> str:
+    return line.lstrip(": +-")
+
+
+def _is_size_bounded(subtree: str) -> bool:
+    """True iff the broadcast side is bounded regardless of scale
+    factor: a GlobalLimit caps the row count, and a GLOBAL Aggregate
+    (no grouping keys → exactly one row, printed as ``Aggregate
+    [aggExprs]`` with a single bracket list) is the scalar-subquery
+    threshold shape. A GROUPED aggregate (``Aggregate [keys],
+    [aggExprs]``) or a Deduplicate over a fact key grows with the
+    data and is NOT an escape — that was the hole the r9 TPC-H
+    queries slipped through."""
+    for raw in subtree.splitlines():
+        line = _strip_tree_prefix(raw)
+        if line.startswith("GlobalLimit"):
+            return True
+        if line.startswith("Aggregate [") and "], [" not in line:
+            return True
+    return False
+
 
 def test_no_broadcast_hint_on_fact_scaling_tables(spark, sf_dir):
     """A forced F.broadcast on a table that grows with scale factor
     overrides AQE and OOMs executors at 100× — the hint must only ever
-    sit on fixed-size dims (nation/region) or bounded derived sides
-    (an Aggregate/Limit above the fact scan caps the broadcast size)."""
-    for name in (
-        "q3_top_unshipped",
-        "q5_local_supplier_volume",
-        "q7_nation_volume",
-        "q8_market_share",
-        "q10_returned_items",
-        "q14_promo_revenue",
-        "q18_large_orders",
-    ):
+    sit on fixed-size dims (nation/region) or one-row/limited derived
+    sides (a global Aggregate or GlobalLimit above the fact scan caps
+    the broadcast size). Enumerates ALL 22 TPC-H shapes."""
+    for name in _ALL_TPCH:
         df = SPECS[name].fn(spark, sf_dir)
         for sub in _broadcast_hint_subtrees(df):
-            if "Aggregate" in sub or "GlobalLimit" in sub:
-                continue  # size-bounded derived side: broadcast is safe
+            if _is_size_bounded(sub):
+                continue
             assert not any(m in sub for m in _FACT_MARKERS), (name, sub)
 
 
