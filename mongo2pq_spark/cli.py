@@ -106,9 +106,18 @@ def main(
                 )
         df = read()
         if dedup_text_col and dedup_text_col not in df.columns:
+            # with a near-dedup store configured this is worse than a
+            # skipped dedup: the collection is also never INDEXED, so
+            # later runs cannot dedup against it — say so explicitly
+            store_note = (
+                " and NOT indexed in the near-dedup store (later runs "
+                "cannot deduplicate against it)"
+                if near_dedup_store
+                else ""
+            )
             print(
                 f"WARNING: dedup column {dedup_text_col!r} not in '{name}'; "
-                "collection not deduplicated",
+                f"collection not deduplicated{store_note}",
                 file=sys.stderr,
             )
         dedup_active = bool(dedup_text_col) and dedup_text_col in df.columns

@@ -62,6 +62,10 @@ the stored band partitions; verify = one join of candidate pairs
 against two signature tables + a k-term agreement expression (no
 text, no UDF); the only cached artifacts are the increment's
 signatures and the dropped-id set (≪ increment size).
+
+Crash-safety machinery (atomic manifests, done markers, partition
+listing, the consolidation swap protocol) is the shared audited core
+in ``plans/bandstore_core.py``, also backing the streaming store.
 """
 
 from __future__ import annotations
@@ -79,6 +83,13 @@ from mongo2pq_spark.operators.dedup import (
     DEFAULT_K,
     minhash_band_table,
     minhash_signatures,
+)
+from mongo2pq_spark.plans.bandstore_core import (
+    RunLog,
+    atomic_write_json,
+    data_partition_dirs,
+    recover_replace,
+    replace_dir,
 )
 
 #: canonical id column inside the store: md5(text). Unique per
@@ -163,10 +174,7 @@ class NearDedupStore:
                 "incompatible layout); refusing to initialize over it"
             )
         self.dir.mkdir(parents=True, exist_ok=True)
-        tmp = meta_path.with_suffix(".json.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(pinned, fh)
-        os.replace(tmp, meta_path)
+        atomic_write_json(meta_path, pinned)
 
     def _audit_done_markers(self) -> None:
         """Warn about batches with store data but no completion marker
@@ -181,9 +189,7 @@ class NearDedupStore:
         partial = {
             p.name.removeprefix("batch=")
             for sub in ("sigs", "bands")
-            if (self.dir / sub).is_dir()
-            for p in (self.dir / sub).glob("batch=*")
-            if any(p.glob("*.parquet"))
+            for p in data_partition_dirs(self.dir / sub)
         } - self._done_tokens() - {"c0"}
         if partial:
             print(
@@ -196,10 +202,7 @@ class NearDedupStore:
             )
 
     def _done_tokens(self) -> set:
-        runs = self.dir / "runs"
-        if not runs.is_dir():
-            return set()
-        return {p.name[:-5] for p in runs.glob("*.done")}
+        return RunLog(self.dir / "runs").done_tokens()
 
     # ---------------------------------------------------------- batch
 
@@ -234,19 +237,21 @@ class NearDedupStore:
             half(1, 16).alias("h1"),
             half(17, 16).alias("h2"),
         ).first()
-        return f"{row['n']}_{row['h1']}_{row['h2']}"
+        # sums over zero rows are NULL; coalesce so the empty batch
+        # gets the well-formed token 0_0_0 instead of embedding 'None'
+        # in partition dir names (only n=0 can null the halves, so no
+        # real batch can alias it)
+        return f"{row['n']}_{row['h1'] or 0}_{row['h2'] or 0}"
 
     def _other_batches(self, sub: str, token: str) -> list[str]:
         """Partition dirs of OTHER batches that hold actual data files
-        (a crashed append's ``_temporary`` droppings or an empty-batch
+        (shared listing: a crashed append's droppings or an empty-batch
         partition holding only ``_SUCCESS`` must not poison the read)."""
-        base = self.dir / sub
-        if not base.is_dir():
-            return []
         return [
             str(p)
-            for p in sorted(base.glob("batch=*"))
-            if p.name != f"batch={token}" and any(p.glob("*.parquet"))
+            for p in data_partition_dirs(
+                self.dir / sub, exclude=f"batch={token}"
+            )
         ]
 
     def filter_new(self, df: DataFrame, token: str) -> DataFrame:
@@ -338,64 +343,46 @@ class NearDedupStore:
         ).write.mode("overwrite").parquet(
             str(self.dir / "bands" / f"batch={token}")
         )
-        runs = self.dir / "runs"
-        runs.mkdir(exist_ok=True)
-        (runs / f"{token}.done").write_text("")
+        RunLog(self.dir / "runs").mark_done(token)
         self.close()
 
     def _recover_consolidation(self) -> None:
-        """Finish (or discard) a consolidation interrupted mid-swap.
-
-        ``_swapin_c0`` only ever holds a COMPLETE consolidated
-        partition (it gets that name by rename after the parquet write
-        succeeded), so it always rolls FORWARD; a stranded ``_build``
-        is dropped. At every crash point the index CONTENT is a
-        superset of the pre-consolidation content (sources are deleted
-        only after the swap), and the probe tolerates duplicate rows,
-        so recovery is about reclaiming space, never about restoring
-        correctness."""
+        """Finish (or discard) a consolidation interrupted mid-swap —
+        the shared ``recover_replace`` protocol on each tree's
+        ``batch=c0``. At every crash point the index CONTENT is a
+        superset of the pre-consolidation content (merge sources are
+        deleted only after the swap completes, and an ambiguous
+        swap-in is discarded, not preferred), and the probe tolerates
+        duplicate rows, so recovery is about reclaiming space, never
+        about restoring correctness."""
         for sub in ("sigs", "bands"):
-            base = self.dir / sub
-            if not base.is_dir():
-                continue
-            swapin = base / "_swapin_c0"
-            if swapin.is_dir():
-                shutil.rmtree(base / "batch=c0", ignore_errors=True)
-                os.rename(swapin, base / "batch=c0")
-            shutil.rmtree(base / "_build_c0", ignore_errors=True)
+            if (self.dir / sub).is_dir():
+                recover_replace(self.dir / sub / "batch=c0")
 
     def _consolidate_tree(self, spark, sub: str, merge, done: set) -> None:
         base = self.dir / sub
-        if not base.is_dir():
-            return
         # batch=c0 is complete-BY-NAMING (it only ever gets that name
-        # via a rename of a fully-written build), so it joins the
-        # merge unconditionally — gating it on a marker written after
-        # the swaps would let a crash in that window orphan it, and
-        # the NEXT consolidation would rmtree it unread, destroying
-        # every previously absorbed index entry
+        # via the replace_dir swap of a fully-written build), so it
+        # joins the merge unconditionally — gating it on a marker
+        # written after the swaps would let a crash in that window
+        # orphan it, and the NEXT consolidation would delete it
+        # unread, destroying every previously absorbed index entry
         src = [
             p
-            for p in sorted(base.glob("batch=*"))
-            if any(p.glob("*.parquet"))
-            and (
-                p.name == "batch=c0"
-                or p.name.removeprefix("batch=") in done
-            )
+            for p in data_partition_dirs(base)
+            if p.name == "batch=c0"
+            or p.name.removeprefix("batch=") in done
         ]
         if len(src) < 2:
             return
         merged = merge(spark.read.parquet(*[str(p) for p in src]))
-        build, swapin = base / "_build_c0", base / "_swapin_c0"
-        shutil.rmtree(build, ignore_errors=True)
-        # a stranded complete _swapin_c0 cannot exist here:
-        # consolidate() runs _recover_consolidation first, which rolls
-        # it forward (deleting it instead would destroy the only copy
-        # of previously merged data after a mid-swap failure)
-        merged.write.mode("overwrite").parquet(str(build))
-        os.rename(build, swapin)  # complete-by-naming
-        shutil.rmtree(base / "batch=c0", ignore_errors=True)
-        os.rename(swapin, base / "batch=c0")
+        # sources (including the old c0 — it is among them) stay in
+        # place until the swap returns, which is what licenses
+        # replace_dir's discard-ambiguous-swapin recovery choice
+        replace_dir(
+            base / "batch=c0",
+            lambda build: merged.write.mode("overwrite").parquet(build),
+        )
         for p in src:
             if p.name != "batch=c0":
                 shutil.rmtree(p, ignore_errors=True)

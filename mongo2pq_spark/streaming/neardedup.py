@@ -38,18 +38,27 @@ one stage dir would silently process zero new files), and its batches
 get GLOBAL sequence numbers ``batch_k = offset + k`` where ``offset``
 is persisted in a run manifest BEFORE any data is written — so a
 crashed increment resumes with its original offset and overwrites its
-own partitions, never a prior increment's.
+own partitions, never a prior increment's. Manifest allocation and
+the compaction swap protocol are the shared audited core in
+``plans/bandstore_core.py`` (also backing the batch EL store).
 """
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import tempfile
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from mongo2pq_spark.plans.bandstore_core import (
+    RunLog,
+    data_partition_dirs,
+    recover_replace,
+    replace_dir,
+)
 
 
 def _stage_batches(
@@ -92,59 +101,18 @@ def _begin_increment(
     store_dir: str, n_batches: int, documents_path: str = ""
 ) -> tuple[str, int, int]:
     """Allocate (or resume) this increment's run: returns
-    ``(run_id, offset, n_batches)``.
-
-    The manifest (``runs/<run_id>.json`` holding offset + n_batches +
-    the increment's documents_path) is written atomically BEFORE any
-    staging or store write, and a ``.done`` marker lands only after
-    the stream drains — so a crash anywhere inside the increment
-    leaves an un-``done`` manifest that the next call resumes with the
-    ORIGINAL offset and batch count (partitions it half-wrote are
-    simply overwritten; the flags are data-defined, so the
-    recomputation is identical). A resume with a DIFFERENT
-    documents_path raises instead of silently draining the crashed
-    increment's staged files under the new name — re-point the caller
-    at the original increment's input (same-path content changes
-    remain the caller's contract, as with any file source). Offsets
-    are the running sum of completed manifests' n_batches — a pure
-    metadata read, never a store scan. At warehouse scale this
-    manifest is a catalog transaction / MERGE boundary; the shape is
-    identical."""
-    runs_dir = os.path.join(store_dir, "runs")
-    os.makedirs(runs_dir, exist_ok=True)
-    manifests = sorted(
-        f[:-5] for f in os.listdir(runs_dir) if f.endswith(".json")
+    ``(run_id, offset, n_batches)``. Thin wrapper over the shared
+    ``RunLog.begin_numbered`` (manifest written atomically BEFORE any
+    staging or store write, crashed increments resumed with their
+    ORIGINAL parameters, numeric run-id ordering — see
+    ``plans/bandstore_core.py``). The ``.done`` marker lands in
+    ``run_streaming_near_dedup`` only after the stream drains; the
+    flags are data-defined, so a resumed recomputation is identical.
+    At warehouse scale this manifest is a catalog transaction / MERGE
+    boundary; the shape is identical."""
+    return RunLog(os.path.join(store_dir, "runs")).begin_numbered(
+        n_batches, documents_path
     )
-    if manifests:
-        last = manifests[-1]
-        if not os.path.exists(os.path.join(runs_dir, f"{last}.done")):
-            with open(os.path.join(runs_dir, f"{last}.json")) as fh:
-                m = json.load(fh)
-            if m.get("documents_path", "") != documents_path:
-                raise ValueError(
-                    f"increment {last} crashed mid-run over "
-                    f"{m.get('documents_path')!r}; resume it with that "
-                    f"documents_path (got {documents_path!r}) before "
-                    "starting new work"
-                )
-            return last, int(m["offset"]), int(m["n_batches"])
-    offset = 0
-    for name in manifests:
-        with open(os.path.join(runs_dir, f"{name}.json")) as fh:
-            offset += int(json.load(fh)["n_batches"])
-    run_id = f"r{len(manifests):04d}"
-    tmp = os.path.join(runs_dir, f"_{run_id}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "offset": offset,
-                "n_batches": n_batches,
-                "documents_path": documents_path,
-            },
-            fh,
-        )
-    os.replace(tmp, os.path.join(runs_dir, f"{run_id}.json"))
-    return run_id, offset, n_batches
 
 
 def make_near_dedup_batch(store_dir: str, n_batches: int, offset: int = 0):
@@ -191,8 +159,8 @@ def make_near_dedup_batch(store_dir: str, n_batches: int, offset: int = 0):
         # "empty store" would mass-unflag duplicates). At warehouse
         # scale this becomes a catalog table-exists check / MERGE
         # source.
-        has_store = os.path.isdir(bands_dir) and any(
-            e.startswith("batch_k=") for e in os.listdir(bands_dir)
+        has_store = bool(
+            data_partition_dirs(Path(bands_dir), prefix="batch_k=")
         )
         if has_store:
             index = (
@@ -227,29 +195,14 @@ def make_near_dedup_batch(store_dir: str, n_batches: int, offset: int = 0):
 
 
 def _recover_band_store_swap(store_dir: str) -> None:
-    """Finish a compaction swap interrupted between its two renames.
-
-    The swap sequence is: write ``bands_swapin`` aside → rename
-    ``bands`` → ``bands_old`` → rename ``bands_swapin`` → ``bands`` →
-    delete ``bands_old``. A crash between the renames leaves NO bands
-    directory — which the batch probe would silently read as an empty
-    store and mass-unflag duplicates — so every entry point
-    (compaction and increment start) first rolls the swap FORWARD
-    (swap-in dir is complete by construction: it only gets its name
-    after the parquet write succeeded) or, lacking one, BACK to the
-    old store. A leftover ``bands_old`` next to a live ``bands`` is
-    post-swap garbage and is dropped."""
-    bands_dir = os.path.join(store_dir, "bands")
-    swapin_dir = bands_dir + "_swapin"
-    old_dir = bands_dir + "_old"
-    if not os.path.isdir(bands_dir):
-        if os.path.isdir(swapin_dir):
-            os.rename(swapin_dir, bands_dir)
-        elif os.path.isdir(old_dir):
-            os.rename(old_dir, bands_dir)
-    shutil.rmtree(old_dir, ignore_errors=True)
-    if os.path.isdir(bands_dir):
-        shutil.rmtree(swapin_dir, ignore_errors=True)
+    """Finish a compaction swap interrupted at any crash window — the
+    shared ``recover_replace`` protocol (write-aside build →
+    complete-by-naming swap-in → ``.old`` rollback). A crash between
+    the swap renames would otherwise leave NO bands directory, which
+    the batch probe would silently read as an empty store and
+    mass-unflag duplicates, so every entry point (compaction and
+    increment start) runs this first."""
+    recover_replace(Path(store_dir) / "bands")
 
 
 def compact_band_store(spark: SparkSession, store_dir: str) -> None:
@@ -265,10 +218,10 @@ def compact_band_store(spark: SparkSession, store_dir: str) -> None:
     stays partitioned by batch_k so subsequent increments keep
     appending new partitions; it is one shuffle on the (band_id,
     band_hash) key over the band store — never the corpus — and is
-    swapped in via write-aside + two renames with crash recovery at
-    every entry point (``_recover_band_store_swap``). At warehouse
-    scale this is the MERGE/OPTIMIZE maintenance job run between
-    increments; only run it with no increment in flight."""
+    swapped in via the shared crash-safe ``replace_dir`` protocol
+    (recovery at every entry point via ``_recover_band_store_swap``).
+    At warehouse scale this is the MERGE/OPTIMIZE maintenance job run
+    between increments; only run it with no increment in flight."""
     _recover_band_store_swap(store_dir)
     bands_dir = os.path.join(store_dir, "bands")
     if not os.path.isdir(bands_dir):
@@ -287,17 +240,12 @@ def compact_band_store(spark: SparkSession, store_dir: str) -> None:
             F.col("first.batch_k").alias("batch_k"),
         )
     )
-    build_dir = bands_dir + "_compacting"
-    swapin_dir = bands_dir + "_swapin"
-    shutil.rmtree(build_dir, ignore_errors=True)
-    compacted.write.mode("overwrite").partitionBy("batch_k").parquet(build_dir)
-    # only a COMPLETE build ever carries the _swapin name, so recovery
-    # may always roll a present _swapin forward
-    os.rename(build_dir, swapin_dir)
-    old_dir = bands_dir + "_old"
-    os.rename(bands_dir, old_dir)
-    os.rename(swapin_dir, bands_dir)
-    shutil.rmtree(old_dir, ignore_errors=True)
+    replace_dir(
+        Path(bands_dir),
+        lambda build: compacted.write.mode("overwrite")
+        .partitionBy("batch_k")
+        .parquet(build),
+    )
 
 
 def run_streaming_near_dedup(
@@ -355,8 +303,7 @@ def run_streaming_near_dedup(
             query.processAllAvailable()
         finally:
             query.stop()
-        with open(os.path.join(runs_dir, f"{run_id}.done"), "w") as fh:
-            fh.write("")
+        RunLog(runs_dir).mark_done(run_id)
         # the staged corpus copy and the checkpoint are only needed
         # while the increment is un-done; dropping them here keeps a
         # persistent store's footprint at bands+flags (the module

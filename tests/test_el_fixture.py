@@ -671,11 +671,11 @@ def test_near_dedup_store_consolidation(spark, sf_dir, tmp_path):
 
 def test_near_dedup_store_consolidation_crash_recovery(spark, sf_dir, tmp_path):
     """The two consolidation crash windows must preserve every
-    absorbed index entry: (a) a stranded complete _swapin_c0 (crash
-    between the rmtree of old c0 and the final rename) rolls FORWARD
-    at the next store open; (b) re-consolidating when batch=c0 exists
-    (c0 is complete-by-naming, no marker) must absorb it, never
-    delete it unread."""
+    absorbed index entry: (a) a stranded complete swap-in with no
+    batch=c0 (crash between the rename-aside of old c0 and the final
+    rename) rolls FORWARD at the next store open; (b) re-consolidating
+    when batch=c0 exists (c0 is complete-by-naming, no marker) must
+    absorb it, never delete it unread."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -699,12 +699,15 @@ def test_near_dedup_store_consolidation_crash_recovery(spark, sf_dir, tmp_path):
     ingest(docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 120)))
     NearDedupStore(root, "docs", text_col="text").consolidate(spark)
 
-    # (a) simulate the mid-swap crash: c0 renamed away to _swapin_c0
+    # (a) simulate the mid-swap crash: c0 renamed away to the swap-in
+    from mongo2pq_spark.plans.bandstore_core import aux_path
+
     sigs = root / "docs" / "sigs"
-    shutil.move(str(sigs / "batch=c0"), str(sigs / "_swapin_c0"))
+    swapin = aux_path(sigs / "batch=c0", "swapin")
+    shutil.move(str(sigs / "batch=c0"), str(swapin))
     NearDedupStore(root, "docs", text_col="text")  # open = recovery
     assert (sigs / "batch=c0").is_dir()
-    assert not (sigs / "_swapin_c0").exists()
+    assert not swapin.exists()
 
     # (b) c0 exists with NO marker; a third batch lands and we
     # consolidate again — copies of batch-1 docs (absorbed into c0)

@@ -224,36 +224,83 @@ def test_begin_increment_manifest_lifecycle(tmp_path):
 
 def test_band_store_swap_recovery(tmp_path):
     """Every crash window of the compaction swap must be recoverable:
-    a complete _swapin rolls FORWARD, a stranded _old (no swapin)
-    rolls BACK, and post-swap leftovers are dropped — the store is
-    never left without a bands directory (which the batch probe would
-    read as 'empty store' and mass-unflag duplicates)."""
+    a complete swap-in rolls FORWARD when the store was renamed aside,
+    a stranded old copy (no swap-in) rolls BACK, and post-swap
+    leftovers are dropped — the store is never left without a bands
+    directory (which the batch probe would read as 'empty store' and
+    mass-unflag duplicates)."""
     import shutil
 
+    from mongo2pq_spark.plans.bandstore_core import aux_path
     from mongo2pq_spark.streaming.neardedup import _recover_band_store_swap
 
     store = tmp_path / "s"
     bands = store / "bands"
+    swapin, old = aux_path(bands, "swapin"), aux_path(bands, "old")
 
-    # window 1: crash between the two renames — only _swapin exists
-    (store / "bands_swapin").mkdir(parents=True)
-    (store / "bands_swapin" / "part").write_text("compacted")
+    # window 1: crash between the two renames — only the swap-in exists
+    swapin.mkdir(parents=True)
+    (swapin / "part").write_text("compacted")
     _recover_band_store_swap(str(store))
     assert (bands / "part").read_text() == "compacted"
-    assert not (store / "bands_swapin").exists()
+    assert not swapin.exists()
 
-    # window 2: crash before the build got its _swapin name — the old
+    # window 2: crash before the build got its swap-in name — the old
     # store (renamed aside) must come back
     shutil.rmtree(bands)
-    (store / "bands_old").mkdir()
-    (store / "bands_old" / "part").write_text("original")
+    old.mkdir()
+    (old / "part").write_text("original")
     _recover_band_store_swap(str(store))
     assert (bands / "part").read_text() == "original"
-    assert not (store / "bands_old").exists()
+    assert not old.exists()
 
     # window 3: crash after the swap, before the old store was deleted
-    (store / "bands_old").mkdir()
-    (store / "bands_old" / "part").write_text("stale")
+    old.mkdir()
+    (old / "part").write_text("stale")
     _recover_band_store_swap(str(store))
     assert (bands / "part").read_text() == "original"
-    assert not (store / "bands_old").exists()
+    assert not old.exists()
+
+    # window 4: ambiguous state (live bands AND a swap-in, i.e. crash
+    # before the store was renamed aside) — the live store wins, the
+    # recomputable swap-in is discarded
+    swapin.mkdir()
+    (swapin / "part").write_text("ambiguous")
+    _recover_band_store_swap(str(store))
+    assert (bands / "part").read_text() == "original"
+    assert not swapin.exists()
+
+
+def test_run_log_numeric_ordering_past_r9999(tmp_path):
+    """Run ids must order NUMERICALLY: lexicographically 'r10000' <
+    'r9999', so a string sort would resume-check the wrong manifest —
+    a crashed increment past the 10 000th would silently never resume
+    (under-dedup) while its batch count still leaked into offsets."""
+    import json
+
+    from mongo2pq_spark.plans.bandstore_core import RunLog
+
+    log = RunLog(tmp_path / "runs")
+    # fabricate a long-lived store: runs r9998 and r9999 done, two
+    # batches each (offset = running sum of completed n_batches)
+    (tmp_path / "runs").mkdir()
+    for i in range(9998, 10000):
+        with open(tmp_path / "runs" / f"r{i:04d}.json", "w") as fh:
+            json.dump({"offset": 2 * (i - 9998), "n_batches": 2,
+                       "documents_path": f"/d/{i}"}, fh)
+        log.mark_done(f"r{i:04d}")
+    # the next run crosses the 5-digit boundary and then crashes
+    rid, off, nb = log.begin_numbered(3, "/d/crashed")
+    assert rid == "r10000" and off == 4 and nb == 3
+    # a retry with the same path resumes IT (numeric max), with the
+    # original parameters — not r9999, and no offset drift
+    assert log.begin_numbered(7, "/d/crashed") == ("r10000", off, 3)
+    # pointed at different input, it refuses
+    import pytest
+
+    with pytest.raises(ValueError, match="crashed mid-run"):
+        log.begin_numbered(3, "/d/other")
+    # completed, the next id continues numerically
+    log.mark_done("r10000")
+    rid2, off2, _ = log.begin_numbered(1, "/d/next")
+    assert rid2 == "r10001" and off2 == off + 3
