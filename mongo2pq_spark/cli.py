@@ -48,6 +48,7 @@ def main(
     dedup_id_col: str | None = None,
     near_dedup_store: Path | None = None,
     near_dedup_threshold: float = 0.8,
+    near_dedup_consolidate: bool = False,
     single_file: bool = False,
     compression: str | None = None,
     source_format: str = "auto",
@@ -187,6 +188,7 @@ def main(
                 # partitions, so a retry is idempotent rather than
                 # self-colliding
                 store.commit(batch_token)
+                indexed_collections.append(name)
         finally:
             if store is not None:
                 store.close()  # release cached sig/drop artifacts
@@ -194,6 +196,7 @@ def main(
                 cached_df.unpersist()
 
     failures: list[tuple[str, Exception]] = []
+    indexed_collections: list[str] = []  # committed a store batch
     if parallel_collections > 1 and len(readers) > 1:
         # Driver threads overlap whole per-collection pipelines (Spark's
         # scheduler interleaves the jobs). NOTE: this goes beyond the
@@ -211,6 +214,26 @@ def main(
         for name in readers:
             try:
                 _process_collection(name)
+            except Exception as err:
+                failures.append((name, err))
+    if near_dedup_consolidate and near_dedup_store:
+        # post-run store maintenance: merge this and every prior run's
+        # completed batch partitions into one batch=c0 per tree. Runs
+        # AFTER all increments of this invocation committed (the
+        # consolidate contract: never with an increment in flight) and
+        # is content-preserving, so a failure here leaves the store
+        # fully usable — but it is still reported as a run failure so
+        # schedulers retry the maintenance rather than letting
+        # partition counts grow unbounded.
+        from mongo2pq_spark.plans.neardedup_store import NearDedupStore
+
+        for name in indexed_collections:
+            try:
+                NearDedupStore(
+                    near_dedup_store, name,
+                    text_col=dedup_text_col,
+                    threshold=near_dedup_threshold,
+                ).consolidate(spark)
             except Exception as err:
                 failures.append((name, err))
     for name, err in failures:
@@ -352,6 +375,13 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
                              "this run's survivors are indexed — per-run "
                              "cost scales with the increment, never the "
                              "corpus")
+    parser.add_argument("--near-dedup-consolidate", action="store_true",
+                        help="after this run's batches commit, merge all "
+                             "completed --near-dedup-store batch partitions "
+                             "into one per tree (bounds partition-count "
+                             "growth of long ingestion histories; "
+                             "content-preserving and crash-safe — "
+                             "recommended every ~50 runs)")
     parser.add_argument("--near-dedup-threshold", type=float, default=0.8,
                         help="minimum MinHash signature agreement (estimated "
                              "Jaccard) for --near-dedup-store to drop a band-"
@@ -375,6 +405,13 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
         print(
             "ERROR: --near-dedup-store requires --dedup-text-col "
             "(the column to shingle)",
+            file=sys.stderr,
+        )
+        return None
+    if parsed.near_dedup_consolidate and not parsed.near_dedup_store:
+        print(
+            "ERROR: --near-dedup-consolidate requires --near-dedup-store "
+            "(the store to consolidate)",
             file=sys.stderr,
         )
         return None
@@ -416,6 +453,7 @@ def run(argv: list[str] | None = None) -> int:
         dedup_id_col=args.dedup_id_col,
         near_dedup_store=args.near_dedup_store,
         near_dedup_threshold=args.near_dedup_threshold,
+        near_dedup_consolidate=args.near_dedup_consolidate,
         single_file=args.single_file,
         compression=args.compression,
         source_format=args.source_format,

@@ -581,6 +581,83 @@ def test_cli_near_dedup_store_across_runs(spark, sf_dir, tmp_path):
         NearDedupStore("s3://bucket/bands", "docs", text_col="text")
 
 
+def test_cli_near_dedup_consolidate_increment_parity(spark, sf_dir, tmp_path):
+    """--near-dedup-consolidate end to end at the CLI level: three EL
+    increments, consolidation as part of run 3, then a fourth
+    increment containing re-crawled copies of docs from EVERY earlier
+    increment — its written output must be IDENTICAL to the same four
+    runs against a never-consolidated store (consolidation changes
+    maintenance cost, never a dedup decision), and the consolidated
+    store's trees must have collapsed to batch=c0 (+ run 4's own
+    partition). Also: the flag without --near-dedup-store is an
+    argparse-level error."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.cli import parse_args
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    increments = [
+        docs.filter(F.col("doc_id") < 40),
+        docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80)),
+        docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 120)),
+        # run 4: one re-crawled copy-block per earlier increment
+        # (matches absorbed history from each) + genuinely new docs
+        docs.filter(F.col("doc_id") < 10)
+        .unionByName(docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 50)))
+        .unionByName(docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 90)))
+        .withColumn("doc_id", F.col("doc_id") + 10_000)
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 150))
+        ),
+    ]
+    for i, inc in enumerate(increments):
+        src = tmp_path / f"src{i}"
+        src.mkdir()
+        inc.write.parquet(str(src / "docs.parquet"))
+
+    def run_all(store, outbase, consolidate_on_run3):
+        for i in range(4):
+            rc = cli_main(
+                f"file:{tmp_path / f'src{i}'}",
+                outdir=outbase / f"out{i}",
+                dedup_text_col="text",
+                dedup_id_col="doc_id",
+                near_dedup_store=store,
+                near_dedup_consolidate=(consolidate_on_run3 and i == 2),
+                use_source_types=True,
+                spark=spark,
+            )
+            assert rc == 0
+        return {
+            r.doc_id
+            for r in spark.read.parquet(str(outbase / "out3" / "docs.parquet"))
+            .select("doc_id")
+            .collect()
+        }
+
+    plain = run_all(tmp_path / "plain_store", tmp_path / "plain", False)
+    cons = run_all(tmp_path / "cons_store", tmp_path / "cons", True)
+    assert cons == plain
+    # every re-crawled copy (from pre- AND post-consolidation history)
+    # was dropped; the genuinely new docs survived
+    assert not any(i >= 10_000 for i in cons)
+    assert {i for i in cons if 120 <= i < 150}
+    # consolidation collapsed runs 1-3 into c0; run 4 added one more
+    for sub in ("sigs", "bands"):
+        parts = sorted(
+            p.name
+            for p in (tmp_path / "cons_store" / "docs" / sub).glob("batch=*")
+        )
+        assert len(parts) == 2 and "batch=c0" in parts, parts
+    # flag without a store: hard error, not a silent no-op
+    assert parse_args(
+        ["-u", f"file:{tmp_path / 'src0'}", "--dedup-text-col", "text",
+         "--near-dedup-consolidate"]
+    ) is None
+
+
 def test_near_dedup_store_guards(tmp_path, capsys):
     """Misconfiguration and partial-commit states must be loud:
     out-of-range thresholds and meta-less non-empty directories are
