@@ -46,71 +46,74 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # NEW this round (never driver-checked): embedding drift monitor
-    # (r8 operator, registered r9 with the explicit lowest-dim
-    # tiebreak mirrored in the oracle)
-    "embedding_drift",
-    # CHANGED this round: multi-increment staging/manifest rework and
-    # the cached-projection default cap — both hold r8 rows that
-    # predate the r9 code, so re-verify first
+    # r9 _NEXT_WINDOW_QUEUE, landing first as staged (verdict r9 #2):
+    # the 11 TPC-H-completion queries — their first-ever driver rows
+    # verify the r10 broadcast-hint-removal code (verdict r9 #1) —
+    # plus the PNG pixel-codec roundtrip
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_delay_priority",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "multimodal_png_pixel_roundtrip",
+    # the 3 scalar/window-function parity queries deferred from the
+    # r9 rotation (latest driver row r6)
+    "date_functions",
+    "string_functions",
+    "lag_lead_values",
+    # CHANGED in r10 (band-store unification onto
+    # plans/bandstore_core.py): both hold pre-unification driver
+    # rows, so re-verify on the new code
     "streaming_near_dedup",
-    "dedup_levenshtein_blocked",
-    # STALE-SIGNAL (verdict r8 'Also noted'): both consumed the r8
-    # _cap_buckets bounded-count change while holding r7 driver rows —
-    # fold in ahead of the freshness rotation
-    "embedding_near_dup",
-    "ann_lsh_topk",
-    # FRESHNESS rotation (verdict r8 #1): 45 of the 48 queries whose
-    # latest driver row is r6. The 3 deferred to the r10 window —
-    # date_functions, string_functions, lag_lead_values — are pure
-    # deterministic scalar/window-function parity queries whose code
-    # is untouched since registration (lowest-risk tail; all three
-    # re-verify green in every session's full pytest oracle run).
-    "ann_lsh_buckets",
-    "ann_topk_bruteforce",
-    "approx_topk_event_types",
-    "cogroup_asof_enrich",
-    "customers_without_orders",
-    "dedup_incremental_new_docs",
-    "dedup_minhash_candidates",
-    "dedup_minhash_jaccard_est",
-    "dedup_near_cleaned_corpus",
-    "dedup_near_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_fingerprints",
-    "dedup_simhash_pairs",
-    "dq_audit_lineitem",
-    "el_partitioned_roundtrip",
-    "event_type_matrix",
-    "events_except",
-    "events_time_slice",
-    "multimodal_image_dims",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q3_top_unshipped",
-    "q5_local_supplier_volume",
-    "q7_nation_volume",
-    "q8_market_share",
-    "rollup_customer_counts",
-    "session_window_native",
-    "sketch_rollup_distinct_users",
-    "sql_api_revenue_by_day",
-    "streaming_dedup_events",
-    "streaming_enrich_static",
-    "streaming_parquet_sink",
-    "streaming_session_windows",
-    "streaming_sliding_window_counts",
-    "streaming_stateful_sessions",
-    "streaming_stream_join",
-    "streaming_window_counts",
-    "suppliers_with_shipments",
-    "udtf_token_runs",
-    "unpivot_event_counts",
-    "user_session_stats",
-    "users_click_and_purchase",
-    "variant_props_extract",
-    "window_top_orders_per_customer",
+    "dedup_incremental_near_dups",
+    # FRESHNESS rotation: 33 of the 47 queries whose latest driver
+    # row is r7. The 13 deferred to r11 — scan/filter/projection/
+    # cast/scalar-function parity queries (array_functions,
+    # case_when_bucketing, column_casts, count_rows, distinct_values,
+    # epoch_seconds, falsy_suppression, filter_equality, limit_page,
+    # math_functions, rename_projection, scan_projection,
+    # speculative_parse) — are the lowest-risk tail: untouched since
+    # registration and re-verified green in every session's full
+    # pytest oracle run.
+    "ann_ivf_recall",
+    "asof_purchase_last_click",
+    "cube_order_counts",
+    "distinct_users_approx",
+    "distinct_users_exact",
+    "el_mongodump_flatten",
+    "el_mongodump_scan",
+    "el_xml_roundtrip",
+    "full_outer_daily_activity",
+    "histogram_quantile_rollup",
+    "json_extract_props",
+    "json_schema_promotion",
+    "kll_quantile_rollup",
+    "median_value_by_type",
+    "merge_upsert_events",
+    "multimodal_metadata",
+    "partition_counts",
+    "percentile_approx_values",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "salted_join_revenue",
+    "streaming_foreach_batch_upsert",
+    "systematic_sample",
+    "text_fingerprints",
+    "text_language_id",
+    "text_quality_scores",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_top_bigrams",
+    "text_winnow_fingerprints",
+    "theta_overlap_users",
+    "top_k",
+    "udf_text_normalize",
 ]
 
 
@@ -137,25 +140,9 @@ def complex_top_level_cols(schema) -> list[str]:
 # must hold full DuckDB-oracle parity in tests/test_queries_oracle.py
 # NOW; the queue only defers the driver RECORDING, not the check.
 # Entries MUST move to the front of _DRIVER_WINDOW_FIRST next round.
-_NEXT_WINDOW_QUEUE = [
-    # r9: TPC-H completion (Q2/Q6/Q9/Q11/Q12/Q15/Q16/Q17/Q19/Q20/
-    # Q21/Q22 shapes) — queued for the r10 window together with the
-    # 3 deferred scalar-function queries
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_delay_priority",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # r9 late addition: real PNG pixel codec round trip (pure-stdlib
-    # encoder/decoder inside mapInPandas; invariant oracle recomputes
-    # the exact pixel sums from the generation rule)
-    "multimodal_png_pixel_roundtrip",
+_NEXT_WINDOW_QUEUE: list[str] = [
+    # empty this round: every r9-queued entry leads the r10 window
+    # above (verdict r9 #2), and r10 registered no new queries
 ]
 
 
