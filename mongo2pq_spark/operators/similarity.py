@@ -614,3 +614,102 @@ def embedding_drift(
         ).cast("bigint").alias("max_shift_dim"),
         F.round(F.max("shift"), 6).alias("max_shift"),
     )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.92,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_rows: int = 10_000,
+    max_cluster_size: int = 10_000,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): KMeans-cluster the embedding space, then within
+    each cluster drop every vector whose exact cosine similarity to a
+    LOWER-id cluster member reaches ``threshold`` — the deterministic
+    stand-in for the paper's keep-one-per-similar-group rule (lowest
+    id survives; the rule is non-iterative, so a vector's fate depends
+    only on its cluster's lower-id members, never on cascade order).
+    Returns ``(id, cluster, kept)`` for EVERY input vector.
+
+    This complements the LSH path (``embedding_near_dup_lsh``): LSH
+    finds near-DUPLICATES (very high cosine) with per-pair candidate
+    generation; SemDeDup prunes semantic REDUNDANCY regions at lower
+    thresholds, where LSH bucket collision rates degrade, by letting a
+    learned quantizer define the candidate scope instead.
+
+    Scale shape: the quantizer trains on a bounded deterministic
+    sample (never the corpus); assignment is one narrow map; the prune
+    is an equi-join on cluster id costing Σ cᵢ² pair evaluations. The
+    SemDeDup deployment contract is ``n_clusters`` ∝ corpus size (mean
+    cluster size held constant — the paper uses 50k clusters for
+    ~100M embeddings), which keeps that join linear. Against
+    assignment skew, clusters larger than ``max_cluster_size`` are
+    deterministically sub-bucketed by LSH sign-bits before the join —
+    bounding the worst cluster's cost at (size/2^B)·size pairs per
+    sub-bucket while only ever UNDER-pruning (cross-sub-bucket pairs
+    are missed, duplicates are never invented) — the same honesty
+    trade as ``_cap_buckets``. All cosine math is built-in HOFs
+    (JVM codegen); KMeans is Spark ML with a fixed seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_vec = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    train = corpus_vec.orderBy(id_col).limit(max_train_rows)
+    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
+    assigned = cache_stream(
+        model.transform(corpus_vec).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("prediction").alias("cluster"),
+        )
+    )
+    # skew guard: sub-bucket oversized clusters by deterministic LSH
+    # sign-bits (4 planes → 16 sub-buckets); normal clusters keep one
+    # sub-bucket so the guard is a no-op for them
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("c_size"))
+    sub = F.when(
+        F.col("c_size") > max_cluster_size,
+        lsh_bucket_column(F.col(vec_col), 4, dim, seed),
+    ).otherwise(F.lit(0).cast("bigint"))
+    keyed = assigned.join(F.broadcast(sizes), "cluster").select(
+        F.col(id_col), F.col(vec_col), "cluster", sub.alias("sub_key")
+    )
+    lo = keyed.select(
+        "cluster",
+        "sub_key",
+        F.col(id_col).alias("lo_id"),
+        F.col(vec_col).alias("lo_vec"),
+    )
+    hi = keyed.select(
+        "cluster",
+        "sub_key",
+        F.col(id_col).alias("hi_id"),
+        F.col(vec_col).alias("hi_vec"),
+    )
+    dropped = (
+        lo.join(hi, ["cluster", "sub_key"])
+        .filter(F.col("lo_id") < F.col("hi_id"))
+        .filter(
+            F.round(cosine(F.col("lo_vec"), F.col("hi_vec")), 6)
+            >= threshold
+        )
+        .select(F.col("hi_id").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("__dropped", F.lit(True)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+    )

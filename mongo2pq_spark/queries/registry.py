@@ -141,8 +141,12 @@ def complex_top_level_cols(schema) -> list[str]:
 # NOW; the queue only defers the driver RECORDING, not the check.
 # Entries MUST move to the front of _DRIVER_WINDOW_FIRST next round.
 _NEXT_WINDOW_QUEUE: list[str] = [
-    # empty this round: every r9-queued entry leads the r10 window
-    # above (verdict r9 #2), and r10 registered no new queries
+    # r10: SemDeDup-style semantic prune (KMeans + within-cluster
+    # cosine, invariant-oracle pattern) — registered after the r10
+    # window was already committed to the queued TPC-H rows + the
+    # freshness rotation; staged with full pytest-oracle parity for
+    # the r11 window
+    "semdedup_prune_consistency",
 ]
 
 

@@ -267,3 +267,65 @@ def embedding_drift(spark, sf_dir):
 
     emb = read_sf_table(spark, sf_dir, "embeddings")
     return ops.embedding_drift(emb, F.pmod(F.col("vec_id"), F.lit(2)))
+
+
+@register(
+    "semdedup_prune_consistency",
+    """
+    SELECT vec_id, true AS prune_consistent
+    FROM embeddings
+    """,
+    doc="SemDeDup-style semantic dedup (KMeans clusters + within-"
+        "cluster cosine prune at 0.4, lowest id kept — "
+        "operators/similarity.py::semdedup_prune, after Abbas et al. "
+        "2023). The tolerance/invariant oracle pattern (as "
+        "ann_ivf_recall): SQL cannot run KMeans, but it can pin what "
+        "the prune rule must satisfy for EVERY vector — the emitted "
+        "kept/dropped status is re-derived here from the returned "
+        "cluster assignment with an independent aggregation-based "
+        "formulation (per-vector max cosine to lower-id cluster "
+        "members via groupBy, vs the operator's filter+distinct+"
+        "anti-join path) and must agree on all rows",
+)
+def semdedup_prune_consistency(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.functions.vectors import cosine
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    res = ops.semdedup_prune(emb, n_clusters=8, threshold=0.4, dim=_DIM)
+    labeled = res.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = labeled.select(
+        "cluster",
+        F.col("vec_id").alias("lo_id"),
+        F.col("embedding").alias("lo_vec"),
+    )
+    b = labeled.select(
+        "cluster",
+        F.col("vec_id").alias("hi_id"),
+        F.col("embedding").alias("hi_vec"),
+    )
+    # independent re-derivation: a vector must be dropped iff its max
+    # exact cosine to any LOWER-id member of its cluster reaches the
+    # threshold (the fixture sits far below the operator's skew guard,
+    # so sub-bucketing is inactive and cluster scope is exact)
+    wit = (
+        a.join(b, "cluster")
+        .filter(F.col("lo_id") < F.col("hi_id"))
+        .groupBy("hi_id")
+        .agg(
+            F.max(
+                F.round(cosine(F.col("lo_vec"), F.col("hi_vec")), 6)
+            ).alias("max_cos")
+        )
+        .select(F.col("hi_id").alias("vec_id"), "max_cos")
+    )
+    consistent = F.when(
+        F.col("kept"),
+        F.coalesce(F.col("max_cos") < 0.4, F.lit(True)),
+    ).otherwise(F.coalesce(F.col("max_cos") >= 0.4, F.lit(False)))
+    return (
+        res.join(wit, "vec_id", "left")
+        .select("vec_id", consistent.alias("prune_consistent"))
+    )

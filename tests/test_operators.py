@@ -1217,3 +1217,114 @@ def test_png_decoder_fails_loud():
         encode_png(np.zeros((2, 2, 5), dtype="uint8"))
     with _pytest.raises(ValueError, match="shape"):
         encode_png(np.zeros(8, dtype="uint8"))
+
+
+def test_semdedup_prune_matches_bruteforce_rule(spark, sf_dir):
+    """The kept/dropped labels must EXACTLY equal the rule's
+    definition recomputed in numpy over the returned cluster
+    assignment: dropped iff some lower-id member of the same cluster
+    has round(cosine, 6) >= threshold. Also: every input vector
+    appears exactly once, and a second run is identical (fixed
+    seed)."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.similarity import semdedup_prune
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    res1 = sorted(
+        (r.vec_id, r.cluster, r.kept)
+        for r in semdedup_prune(emb, n_clusters=8, threshold=0.4).collect()
+    )
+    res2 = sorted(
+        (r.vec_id, r.cluster, r.kept)
+        for r in semdedup_prune(emb, n_clusters=8, threshold=0.4).collect()
+    )
+    assert res1 == res2  # fixed seed -> deterministic
+    ids = [r[0] for r in res1]
+    assert ids == sorted(r.vec_id for r in emb.select("vec_id").collect())
+
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    by_cluster: dict[int, list[int]] = {}
+    for vid, cl, _ in res1:
+        by_cluster.setdefault(cl, []).append(vid)
+    dropped_any = False
+    for vid, cl, kept in res1:
+        lower = [u for u in by_cluster[cl] if u < vid]
+        v = vecs[vid]
+        witness = any(
+            round(
+                float(
+                    vecs[u] @ v / (np.linalg.norm(vecs[u]) * np.linalg.norm(v))
+                ),
+                6,
+            )
+            >= 0.4
+            for u in lower
+        )
+        assert kept == (not witness), (vid, cl, kept)
+        dropped_any = dropped_any or not kept
+    # the fixture plants >=0.4-cosine pairs, and with 8 clusters some
+    # land in the same cluster — a vacuously all-kept run would mean
+    # the prune is broken
+    assert dropped_any
+
+
+def test_semdedup_prunes_planted_duplicates(spark):
+    """Exact copies (cosine 1.0) of existing vectors must always be
+    dropped — identical vectors share a nearest centroid, so the
+    within-cluster scope is guaranteed to see them — while a set of
+    mutually orthogonal basis vectors stays fully kept."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.similarity import semdedup_prune
+
+    rng = np.random.RandomState(3)
+    dim = 16
+    base = [
+        (i, (rng.randn(dim) + 4 * np.eye(dim)[i % dim]).tolist())
+        for i in range(40)
+    ]
+    copies = [(100 + i, v) for i, v in base[:10]]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in base + copies],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {
+        r.vec_id: r.kept
+        for r in semdedup_prune(
+            emb, n_clusters=4, threshold=0.95, dim=dim
+        ).collect()
+    }
+    assert all(out[vid] is False for vid in range(100, 110))
+    assert all(out[vid] is True for vid, _ in base)
+
+
+def test_semdedup_skew_guard_only_under_prunes(spark, sf_dir):
+    """With max_cluster_size forced below every cluster's size the LSH
+    sub-bucketing engages everywhere; the result may MISS duplicates
+    (cross-sub-bucket pairs) but must never invent one: its dropped
+    set is a subset of the unguarded run's, and every drop still has a
+    same-cluster lower-id witness at the threshold."""
+    from mongo2pq_spark.operators.similarity import semdedup_prune
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    full = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in semdedup_prune(emb, n_clusters=8, threshold=0.4).collect()
+    }
+    guarded = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in semdedup_prune(
+            emb, n_clusters=8, threshold=0.4, max_cluster_size=5
+        ).collect()
+    }
+    # same quantizer -> same assignment
+    assert {v: c for v, (c, _) in full.items()} == {
+        v: c for v, (c, _) in guarded.items()
+    }
+    dropped_full = {v for v, (_, k) in full.items() if not k}
+    dropped_guarded = {v for v, (_, k) in guarded.items() if not k}
+    assert dropped_guarded <= dropped_full

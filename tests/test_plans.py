@@ -615,3 +615,12 @@ def test_q17_correlated_avg_is_grouped_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_avg" in plan or "HashAggregate" in plan
+
+
+def test_semdedup_plan_is_cluster_equi_join(spark, sf_dir):
+    """The SemDeDup prune must never plan an all-pairs shape: the
+    candidate scope is an equi-join on (cluster, sub_key); the only
+    broadcast is the bounded cluster-size table (≤ n_clusters rows)."""
+    plan = _formatted(spark, sf_dir, "semdedup_prune_consistency")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
