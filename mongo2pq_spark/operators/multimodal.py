@@ -3,11 +3,14 @@
 Media (image/audio/video) travels as an opaque ``binary`` payload
 column plus a typed metadata struct. The Spark-side plumbing — schema,
 partition-friendly batch iteration, Arrow-batched UDF signatures — is
-real and tested; the actual media decoding is stubbed (codec libraries
-are not in this container): ``decode_stub='fake'`` produces a
-deterministic fake feature vector from the payload bytes,
-``decode_stub='raise'`` raises NotImplementedError where a real
-decoder (PIL/librosa/av) would plug in.
+real and tested. Pixel decoding is REAL for PNG (below) and baseline
+JPEG (``operators/jpeg.py``) via pure-stdlib+numpy reference codecs;
+the remaining decodes (audio/video, progressive/subsampled JPEG
+variants) are stubbed because their codec libraries are not in this
+container: ``decode_stub='fake'`` produces a deterministic fake
+feature vector from the payload bytes, ``decode_stub='raise'`` raises
+NotImplementedError where a real decoder (PIL/librosa/av) would plug
+in.
 """
 
 from __future__ import annotations

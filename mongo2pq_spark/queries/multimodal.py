@@ -297,3 +297,69 @@ def multimodal_png_pixel_roundtrip(spark, sf_dir):
     return ops.png_pixel_stats(with_png).select(
         "doc_id", "width", "height", "channels", "pixel_sum"
     )
+
+
+@register(
+    "multimodal_jpeg_pixel_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(64 * sum((7 * doc_id + 17 * bx.i + 23 * by.i) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM documents,
+         generate_series(0, 1) bx(i),
+         generate_series(0, 1) by(i)
+    WHERE doc_id < 200
+    GROUP BY doc_id
+    """,
+    doc="REAL baseline-JPEG pixel decode, end to end: deterministic "
+        "16×16 grayscale images whose four 8×8 blocks are each "
+        "CONSTANT (a closed-form function of doc_id and block "
+        "coordinates) are ENCODED to standards-compliant baseline "
+        "JPEG bytes (all-ones quantization) and DECODED back by the "
+        "pure-stdlib codec (operators/jpeg.py), both inside Arrow-"
+        "batched mapInPandas. DC-only blocks round-trip BIT-EXACTLY "
+        "through FDCT→quantize→Huffman→IDCT, so the oracle recomputes "
+        "the exact integer pixel sums from the generation rule alone — "
+        "a hash match proves decode∘encode = identity on the "
+        "executors, retiring the pixel-decode stub for baseline JPEG "
+        "the way multimodal_png_pixel_roundtrip did for PNG "
+        "(audio/video decodes remain documented stubs: their codec "
+        "libraries aren't in this container)",
+)
+def multimodal_jpeg_pixel_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import jpeg as jpeg_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.jpeg import encode_jpeg
+
+        by, bx = np.meshgrid(np.arange(2), np.arange(2), indexing="ij")
+        base = 17 * bx + 23 * by
+        ones8 = np.ones((8, 8), dtype="uint8")
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                blocks = ((7 * int(d) + base) % 256).astype("uint8")
+                payloads.append(encode_jpeg(np.kron(blocks, ones8)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_jpeg = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return jpeg_ops.jpeg_pixel_stats(with_jpeg).select(
+        "doc_id", "width", "height", "channels", "pixel_sum"
+    )

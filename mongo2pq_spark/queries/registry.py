@@ -147,6 +147,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # freshness rotation; staged with full pytest-oracle parity for
     # the r11 window
     "semdedup_prune_consistency",
+    # r10: baseline-JPEG pixel codec roundtrip (pure stdlib + numpy,
+    # operators/jpeg.py; DC-only blocks are bit-exact, so the oracle
+    # is closed-form — the PNG-codec pattern applied to JPEG)
+    "multimodal_jpeg_pixel_roundtrip",
 ]
 
 

@@ -1328,3 +1328,65 @@ def test_semdedup_skew_guard_only_under_prunes(spark, sf_dir):
     dropped_full = {v for v, (_, k) in full.items() if not k}
     dropped_guarded = {v for v, (_, k) in guarded.items() if not k}
     assert dropped_guarded <= dropped_full
+
+
+def test_jpeg_codec_roundtrip_and_envelope():
+    """The baseline JPEG reference codec: block-constant images
+    round-trip EXACTLY (DC-only blocks + all-ones quantization — the
+    property the registered oracle pins); arbitrary gray/RGB images
+    round-trip within IDCT/color rounding (±1 / ±2); a coarser
+    quantization table shrinks the stream; unsupported variants and
+    corrupt payloads fail loudly with the documented error types."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mongo2pq_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    blocks = np.array([[10, 200], [77, 128]], dtype="uint8")
+    img = np.kron(blocks, np.ones((8, 8), dtype="uint8"))
+    h, w, c, out = decode_jpeg_pixels(encode_jpeg(img))
+    assert (h, w, c) == (16, 16, 1)
+    assert np.array_equal(out[:, :, 0], img)
+
+    rng = np.random.RandomState(0)
+    gray = rng.randint(0, 256, (24, 17), dtype="uint8")  # non-8-multiple
+    h, w, c, out = decode_jpeg_pixels(encode_jpeg(gray))
+    assert (h, w, c) == (24, 17, 1)
+    assert np.abs(out[:, :, 0].astype(int) - gray.astype(int)).max() <= 1
+
+    rgb = rng.randint(0, 256, (16, 16, 3), dtype="uint8")
+    h, w, c, out = decode_jpeg_pixels(encode_jpeg(rgb))
+    assert (h, w, c) == (16, 16, 3)
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 2
+
+    coarse = encode_jpeg(gray, qtable=np.full((8, 8), 16))
+    assert len(coarse) < len(encode_jpeg(gray))
+    _, _, _, lossy = decode_jpeg_pixels(coarse)
+    assert np.abs(lossy[:, :, 0].astype(int) - gray.astype(int)).max() <= 64
+
+    # the pure-python header parser agrees with the codec's own output
+    from mongo2pq_spark.operators.multimodal import parse_image_dimensions
+
+    assert parse_image_dimensions(encode_jpeg(gray)) == ("image/jpeg", 17, 24)
+
+    # fail-loud envelope
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_pixels(b"\x89PNG1234")
+    with _pytest.raises(ValueError, match="truncated|missing"):
+        decode_jpeg_pixels(encode_jpeg(gray)[:40])
+    payload = bytearray(encode_jpeg(gray))
+    sof_at = payload.find(b"\xff\xc0")
+    payload[sof_at + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_pixels(bytes(payload))
+    payload = bytearray(encode_jpeg(gray))
+    payload[sof_at + 11] = 0x22  # claim 2x2 sampling on component 1
+    with _pytest.raises(NotImplementedError, match="subsampl"):
+        decode_jpeg_pixels(bytes(payload))
+    with _pytest.raises(ValueError, match="shape|array"):
+        encode_jpeg(np.zeros((4, 4, 2), dtype="uint8"))
+    with _pytest.raises(ValueError, match="quantization"):
+        encode_jpeg(gray, qtable=np.zeros((8, 8)))
