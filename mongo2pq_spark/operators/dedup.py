@@ -643,19 +643,22 @@ def simhash_fingerprints(
     return votes.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame,
+def hamming_near_pairs(
+    fp: DataFrame,
+    hash_col: str,
     id_col: str = "doc_id",
-    text_col: str = "text",
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
     max_band_bucket: int = 100_000,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) ≤ max_hamming.
+    """Pairs of rows with Hamming(``hash_col``) ≤ max_hamming, for ANY
+    ≤63-bit fingerprint column (simhash, image dhash, ...). Returns
+    ``(doc_a, doc_b, hamming)``.
 
-    Candidates come from 4-way band blocking (a pair within Hamming 3
-    must agree exactly on ≥1 of 4 15-bit bands — pigeonhole), so the
-    join is an equi-join on (band_id, band_value), not a cross join.
+    Candidates come from (max_hamming+1)-way band blocking (a pair
+    within Hamming h must agree exactly on ≥1 of h+1 disjoint bands —
+    pigeonhole), so the join is an equi-join on (band_id, band_value),
+    not a cross join.
 
     ``max_band_bucket``: at billions of docs a 15-bit band (32 768
     values) collides heavily — band buckets larger than the cap are
@@ -667,7 +670,6 @@ def simhash_near_pairs(
     """
     from pyspark.sql import Window
 
-    fp = simhash_fingerprints(df, id_col, text_col, bits)
     n_bands = max_hamming + 1
     band_width = bits // n_bands
     mask = (1 << band_width) - 1
@@ -675,16 +677,16 @@ def simhash_near_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.shiftright(F.col("simhash"), b * band_width)
+                F.shiftright(F.col(hash_col), b * band_width)
                 .bitwiseAND(F.lit(mask))
                 .alias("band_value"),
             )
             for b in range(n_bands)
         ]
     )
-    banded = fp.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("band")).select(
-        id_col, "simhash", "band.band_id", "band.band_value"
-    )
+    banded = fp.select(
+        F.col(id_col), F.col(hash_col), F.explode(bands).alias("band")
+    ).select(id_col, hash_col, "band.band_id", "band.band_value")
     w = Window.partitionBy("band_id", "band_value")
     banded = (
         banded.withColumn("bucket_n", F.count("*").over(w))
@@ -702,8 +704,8 @@ def simhash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col(f"a.{hash_col}").alias("sh_a"),
+            F.col(f"b.{hash_col}").alias("sh_b"),
         )
         .distinct()
     )
@@ -712,6 +714,24 @@ def simhash_near_pairs(
         candidates.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    max_band_bucket: int = 100_000,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming — simhash
+    fingerprints fed through the generic banded ``hamming_near_pairs``
+    (one audited blocking implementation backs text simhash and image
+    dhash alike)."""
+    fp = simhash_fingerprints(df, id_col, text_col, bits)
+    return hamming_near_pairs(
+        fp, "simhash", id_col, max_hamming, bits, max_band_bucket
     )
 
 

@@ -475,3 +475,93 @@ def png_pixel_stats(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(stat_batches, PNG_STATS_SCHEMA)
+
+
+# ------------------------------------------------ perceptual hashing
+# Image NEAR-dedup on top of the real pixel codecs: a 60-bit dHash
+# (difference hash) per image + the generic Hamming band blocking from
+# operators/dedup.py. 60 bits (6×11 luma grid → 6×10 horizontal
+# gradients) rather than the classic 64 keeps the fingerprint inside
+# a signed int64 in BOTH engines (the SIMHASH_BITS rationale: DuckDB
+# refuses 1<<63) and divides exactly into 4 pigeonhole bands.
+
+DHASH_ROWS, DHASH_COLS = 6, 11
+
+
+def decode_image_pixels(payload: bytes):
+    """Magic-dispatched pixel decode: PNG or baseline JPEG → the
+    codecs' ``(h, w, c, uint8 ndarray)`` contract; ``ValueError`` on
+    anything else (the fail-loud contract shared by both codecs)."""
+    from mongo2pq_spark.operators.jpeg import JPEG_MAGIC, decode_jpeg_pixels
+
+    if payload[:8] == PNG_MAGIC:
+        return decode_png_pixels(payload)
+    if payload[:2] == JPEG_MAGIC:
+        return decode_jpeg_pixels(payload)
+    raise ValueError("unrecognized image payload (PNG or baseline JPEG)")
+
+
+def dhash_bits(arr) -> int:
+    """60-bit dHash of an ``(h, w, c)`` uint8 pixel array: luma →
+    area-mean resample to a 6×11 grid → bit (y·10+x) set iff
+    grid[y, x+1] > grid[y, x]. Deterministic pure math; for an input
+    already sized 6×11 the resample is the identity, which is what
+    lets a SQL oracle recompute the hash from a closed-form pixel
+    rule."""
+    import numpy as np
+
+    a = arr.astype(np.float64)
+    c = a.shape[2]
+    if c >= 3:
+        gray = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    else:
+        gray = a[:, :, 0]  # gray / gray+alpha: luma IS channel 0
+    h, w = gray.shape
+    ys = [(i * h) // DHASH_ROWS for i in range(DHASH_ROWS + 1)]
+    xs = [(i * w) // DHASH_COLS for i in range(DHASH_COLS + 1)]
+    grid = np.empty((DHASH_ROWS, DHASH_COLS))
+    for y in range(DHASH_ROWS):
+        for x in range(DHASH_COLS):
+            grid[y, x] = gray[
+                ys[y]:max(ys[y + 1], ys[y] + 1),
+                xs[x]:max(xs[x + 1], xs[x] + 1),
+            ].mean()
+    bits = 0
+    for y in range(DHASH_ROWS):
+        for x in range(DHASH_COLS - 1):
+            if grid[y, x + 1] > grid[y, x]:
+                bits |= 1 << (y * (DHASH_COLS - 1) + x)
+    return bits
+
+
+IMAGE_DHASH_SCHEMA = "doc_id bigint, dhash bigint"
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched perceptual fingerprint: mapInPandas decoding each
+    PNG/JPEG payload through the REAL codecs and emitting its 60-bit
+    dHash. Map-only (no shuffle), cost ∝ total payload bytes; feed the
+    result to ``operators.dedup.hamming_near_pairs`` for banded image
+    near-dedup — byte-level dedup misses re-encoded/brightness-shifted
+    copies, which is exactly what a gradient hash survives."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def hash_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "dhash": [
+                        dhash_bits(decode_image_pixels(bytes(p))[3])
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(hash_batches, IMAGE_DHASH_SCHEMA)

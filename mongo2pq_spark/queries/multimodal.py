@@ -363,3 +363,87 @@ def multimodal_jpeg_pixel_roundtrip(spark, sf_dir):
     return jpeg_ops.jpeg_pixel_stats(with_jpeg).select(
         "doc_id", "width", "height", "channels", "pixel_sum"
     )
+
+
+@register(
+    "multimodal_image_dhash_neardup",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+    g AS (
+        SELECT doc_id, y.i AS y, x.i AS x,
+               ((17 * x.i * (y.i + 1) + 29 * y.i + 31 * (doc_id % 40)) % 150
+                + (doc_id // 40) % 46
+                + CASE WHEN doc_id % 5 = 0 AND y.i = 3 AND x.i = 4
+                       THEN 60 ELSE 0 END) AS p
+        FROM d, generate_series(0, 5) y(i), generate_series(0, 10) x(i)
+    ),
+    h AS (
+        SELECT a.doc_id,
+               CAST(sum(CASE WHEN b.p > a.p
+                             THEN CAST(1 AS BIGINT) << (a.y * 10 + a.x)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dhash
+        FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.y = b.y
+                         AND b.x = a.x + 1
+        WHERE a.x < 10
+        GROUP BY a.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.dhash, b.dhash)) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """,
+    doc="Image NEAR-dedup via perceptual hashing, end to end on the "
+        "REAL codec: deterministic 6×11 grayscale images (a closed-"
+        "form pixel rule planting groups that share a base pattern "
+        "under per-doc brightness shifts — different BYTES, same "
+        "gradients — plus a localized bump that flips 1-2 hash bits "
+        "for every 5th doc) are encoded to PNG, decoded back and "
+        "60-bit dHashed inside Arrow-batched mapInPandas, then paired "
+        "by the generic pigeonhole Hamming banding "
+        "(operators/dedup.py::hamming_near_pairs — the same audited "
+        "blocking as text simhash, never an all-pairs join). The "
+        "oracle recomputes the hashes from the pixel rule alone and "
+        "takes brute-force pairs, so a hash match proves "
+        "decode∘encode ∘ dhash ∘ banding = the exact Hamming "
+        "relation — byte-level dedup would find NONE of these pairs "
+        "(every payload differs); that is the capability gap this "
+        "operator closes for image corpora",
+)
+def multimodal_image_dhash_neardup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators.dedup import hamming_near_pairs
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 240
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.multimodal import encode_png
+
+        y, x = np.meshgrid(np.arange(6), np.arange(11), indexing="ij")
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                img = (
+                    (17 * x * (y + 1) + 29 * y + 31 * (d % 40)) % 150
+                    + (d // 40) % 46
+                )
+                if d % 5 == 0:
+                    img = img.copy()
+                    img[3, 4] += 60
+                payloads.append(encode_png(img.astype("uint8")))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_png = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    hashes = ops.image_dhash(with_png)
+    return hamming_near_pairs(hashes, "dhash", max_hamming=3, bits=60)

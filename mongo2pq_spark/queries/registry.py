@@ -67,20 +67,24 @@ _DRIVER_WINDOW_FIRST = [
     "date_functions",
     "string_functions",
     "lag_lead_values",
-    # CHANGED in r10 (band-store unification onto
-    # plans/bandstore_core.py): both hold pre-unification driver
-    # rows, so re-verify on the new code
+    # CHANGED in r10: band-store unification onto
+    # plans/bandstore_core.py (first two — both hold pre-unification
+    # driver rows) and the simhash banding extraction into the generic
+    # hamming_near_pairs (third — mechanical refactor, semantics
+    # identical, oracle unchanged, but its r9 row predates the code)
     "streaming_near_dedup",
     "dedup_incremental_near_dups",
-    # FRESHNESS rotation: 33 of the 47 queries whose latest driver
-    # row is r7. The 13 deferred to r11 — scan/filter/projection/
+    "dedup_simhash_pairs",
+    # FRESHNESS rotation: 32 of the 47 queries whose latest driver
+    # row is r7. The 14 deferred to r11 — scan/filter/projection/
     # cast/scalar-function parity queries (array_functions,
     # case_when_bucketing, column_casts, count_rows, distinct_values,
     # epoch_seconds, falsy_suppression, filter_equality, limit_page,
     # math_functions, rename_projection, scan_projection,
-    # speculative_parse) — are the lowest-risk tail: untouched since
-    # registration and re-verified green in every session's full
-    # pytest oracle run.
+    # speculative_parse) plus top_k (TakeOrderedAndProject, untouched
+    # since r1, displaced by the r10-changed dedup_simhash_pairs) —
+    # are the lowest-risk tail: untouched since registration and
+    # re-verified green in every session's full pytest oracle run.
     "ann_ivf_recall",
     "asof_purchase_last_click",
     "cube_order_counts",
@@ -112,7 +116,6 @@ _DRIVER_WINDOW_FIRST = [
     "text_top_bigrams",
     "text_winnow_fingerprints",
     "theta_overlap_users",
-    "top_k",
     "udf_text_normalize",
 ]
 
@@ -151,6 +154,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # operators/jpeg.py; DC-only blocks are bit-exact, so the oracle
     # is closed-form — the PNG-codec pattern applied to JPEG)
     "multimodal_jpeg_pixel_roundtrip",
+    # r10: image near-dedup via 60-bit dHash over the real codecs +
+    # the generic Hamming banding (full value oracle: closed-form
+    # pixel rule -> closed-form hashes -> brute-force pairs in SQL)
+    "multimodal_image_dhash_neardup",
 ]
 
 

@@ -1390,3 +1390,57 @@ def test_jpeg_codec_roundtrip_and_envelope():
         encode_jpeg(np.zeros((4, 4, 2), dtype="uint8"))
     with _pytest.raises(ValueError, match="quantization"):
         encode_jpeg(gray, qtable=np.zeros((8, 8)))
+
+
+def test_image_dhash_invariances_and_banded_pairs(spark):
+    """dHash must survive what byte-dedup can't: a global brightness
+    shift and a 2× re-render produce DIFFERENT payloads with the SAME
+    hash; the banded pair join must equal brute-force Hamming ≤ 3 over
+    the hashes (pigeonhole losslessness at test scale), across BOTH
+    codecs (PNG and baseline JPEG payloads in one corpus)."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.dedup import hamming_near_pairs
+    from mongo2pq_spark.operators.jpeg import encode_jpeg
+    from mongo2pq_spark.operators.multimodal import (
+        dhash_bits,
+        encode_png,
+        image_dhash,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(30, 180, (12, 22), dtype="uint8")
+    variants = {
+        0: encode_png(base),
+        1: encode_png((base + 40).astype("uint8")),     # brightness shift
+        2: encode_png(np.kron(base, np.ones((2, 2), dtype="uint8"))),
+        3: encode_jpeg(base),                           # re-encoded JPEG
+        4: encode_png(rng.randint(0, 256, (12, 22), dtype="uint8")),
+    }
+    assert len({v for v in variants.values()}) == 5  # all bytes differ
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in variants.items()],
+        "doc_id bigint, payload binary",
+    )
+    hashes = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
+    # executors computed the same hash the local reference does
+    assert hashes[0] == dhash_bits(base[:, :, None])
+    assert hashes[0] == hashes[1] == hashes[2]
+    # JPEG re-encode of the same image stays within the near-dup radius
+    assert bin(hashes[0] ^ hashes[3]).count("1") <= 3
+    # banded join == brute force over the hash set
+    pairs = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_near_pairs(
+            image_dhash(df), "dhash", max_hamming=3, bits=60
+        ).collect()
+    }
+    brute = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    assert pairs == brute
+    assert (0, 1, 0) in pairs and (0, 2, 0) in pairs
+    assert not any(4 in (a, b) for a, b, _ in pairs)  # unrelated image
