@@ -69,6 +69,11 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q21_waiting_suppliers",
+    # round-10 additions (no pinned baseline yet; tracked for trend):
+    # KMeans-scoped semantic prune + consistency re-derivation, and
+    # codec-decode dHash + banded Hamming join
+    "semdedup_prune_consistency",
+    "multimodal_image_dhash_neardup",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite
