@@ -665,7 +665,10 @@ def semdedup_prune(
         array_to_vector(F.col(vec_col)).alias("features"),
     )
     train = corpus_vec.orderBy(id_col).limit(max_train_rows)
-    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
+    # k-means|| init for quantizer quality, but 10 Lloyd iterations:
+    # the prune only needs a stable locality partition, not converged
+    # centroids, and the fit is the query's driver-side constant
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(train)
     assigned = cache_stream(
         model.transform(corpus_vec).select(
             F.col(id_col),

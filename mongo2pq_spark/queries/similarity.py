@@ -294,7 +294,7 @@ def semdedup_prune_consistency(spark, sf_dir):
     from mongo2pq_spark.sources.registry import read_sf_table
 
     emb = read_sf_table(spark, sf_dir, "embeddings")
-    res = ops.semdedup_prune(emb, n_clusters=8, threshold=0.4, dim=_DIM)
+    res = ops.semdedup_prune(emb, n_clusters=16, threshold=0.4, dim=_DIM)
     labeled = res.join(emb.select("vec_id", "embedding"), "vec_id")
     a = labeled.select(
         "cluster",
