@@ -447,3 +447,78 @@ def multimodal_image_dhash_neardup(spark, sf_dir):
     )
     hashes = ops.image_dhash(with_png)
     return hamming_near_pairs(hashes, "dhash", max_hamming=3, bits=60)
+
+
+@register(
+    "multimodal_wav_audio_stats",
+    """
+    WITH d AS (
+        SELECT doc_id, 1 + doc_id % 2 AS channels,
+               80 + (doc_id % 20) * 8 AS frames
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT d.doc_id, d.channels, d.frames,
+               ((31 * d.doc_id + 17 * i.i + 57 * c.i) % 2003) - 1001 AS v
+        FROM d, generate_series(0, 1) c(i), generate_series(0, 231) i(i)
+        WHERE c.i < d.channels AND i.i < d.frames
+    )
+    SELECT doc_id,
+           CAST(max(channels) AS INTEGER) AS channels,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(max(frames) AS BIGINT) AS n_frames,
+           CAST(max(frames) // 8 AS BIGINT) AS duration_ms,
+           CAST(sum(v) AS BIGINT) AS sample_sum,
+           CAST(max(abs(v)) AS INTEGER) AS peak_abs
+    FROM s GROUP BY doc_id
+    """,
+    doc="REAL PCM audio decode, end to end: deterministic int16 "
+        "sample streams (a closed-form function of doc_id, frame, and "
+        "channel; mono/stereo alternating per doc, 8 kHz) are ENCODED "
+        "to RIFF/WAVE bytes and DECODED back by the pure-stdlib codec "
+        "(operators/audio.py) inside Arrow-batched mapInPandas, "
+        "emitting the exact corpus-filter scalars (frame count, "
+        "integer-ms duration, sample sum, peak amplitude); the oracle "
+        "recomputes them from the generation rule alone, so a hash "
+        "match proves container parse + interleaved-PCM decode = "
+        "identity on the executors — retiring the audio-decode stub "
+        "for uncompressed WAV (lossy audio codecs remain documented "
+        "stubs: their libraries aren't in this container)",
+)
+def multimodal_wav_audio_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import audio as audio_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.audio import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                channels = 1 + d % 2
+                frames = 80 + (d % 20) * 8
+                i, c = np.meshgrid(
+                    np.arange(frames), np.arange(channels), indexing="ij"
+                )
+                samples = ((31 * d + 17 * i + 57 * c) % 2003 - 1001).astype(
+                    "int16"
+                )
+                payloads.append(encode_wav(samples, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_wav = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return audio_ops.wav_audio_stats(with_wav)

@@ -158,6 +158,9 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # the generic Hamming banding (full value oracle: closed-form
     # pixel rule -> closed-form hashes -> brute-force pairs in SQL)
     "multimodal_image_dhash_neardup",
+    # r10: PCM WAV audio decode roundtrip (pure-stdlib RIFF parse +
+    # interleaved int16 PCM, operators/audio.py; closed-form oracle)
+    "multimodal_wav_audio_stats",
 ]
 
 

@@ -1444,3 +1444,61 @@ def test_image_dhash_invariances_and_banded_pairs(spark):
     assert pairs == brute
     assert (0, 1, 0) in pairs and (0, 2, 0) in pairs
     assert not any(4 in (a, b) for a, b, _ in pairs)  # unrelated image
+
+
+def test_wav_codec_roundtrip_and_envelope():
+    """PCM WAV reference codec: int16 mono/stereo round-trip exactly;
+    unknown RIFF chunks (LIST etc., including odd-length + pad) are
+    skipped generically; 8-bit PCM decodes centered to signed; the
+    fail-loud envelope rejects non-RIFF, truncated, and compressed
+    (float-format) payloads with the documented error types."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from mongo2pq_spark.operators.audio import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    s = (np.arange(100) * 37 % 2003 - 1001).astype("int16")
+    ch, rate, arr = decode_wav_samples(encode_wav(s, 8000))
+    assert (ch, rate) == (1, 8000)
+    assert np.array_equal(arr[:, 0], s.astype("int32"))
+
+    st = np.stack([s, -s], axis=1).astype("int16")
+    ch, rate, arr = decode_wav_samples(encode_wav(st, 16000))
+    assert (ch, rate) == (2, 16000)
+    assert np.array_equal(arr, st.astype("int32"))
+
+    # odd-length LIST chunk inserted before data: skipped, word-aligned
+    raw = bytearray(encode_wav(s))
+    at = raw.find(b"data")
+    with_list = (
+        bytes(raw[:at])
+        + b"LIST" + (7).to_bytes(4, "little") + b"INFOxyz" + b"\x00"
+        + bytes(raw[at:])
+    )
+    _, _, arr = decode_wav_samples(with_list)
+    assert np.array_equal(arr[:, 0], s.astype("int32"))
+
+    # 8-bit PCM: unsigned on disk, centered on decode
+    u8 = bytes([0, 128, 255, 192])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav8 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(u8))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(u8)) + u8
+    )
+    _, _, arr8 = decode_wav_samples(wav8)
+    assert list(arr8[:, 0]) == [-128, 0, 127, 64]
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav_samples(b"OggS00000000")
+    with _pytest.raises(ValueError, match="truncated|missing"):
+        decode_wav_samples(encode_wav(s)[:30])
+    raw = bytearray(encode_wav(s))
+    raw[raw.find(b"fmt ") + 8] = 3  # IEEE-float format tag
+    with _pytest.raises(NotImplementedError, match="PCM"):
+        decode_wav_samples(bytes(raw))
