@@ -1,0 +1,198 @@
+"""MP4 / ISO-BMFF container metadata parsing in pure stdlib — the
+REAL half of the video modality's pipeline posture.
+
+A video pipeline's cheap, universal stage — filter by duration,
+resolution, track layout BEFORE paying for any frame decode — needs
+only the container's box tree, no codec. This module implements that
+stage for ISO-BMFF (MP4/MOV/3GP): a generic length-prefixed box walk
+(64-bit ``largesize`` supported) extracting the ``ftyp`` brand,
+``mvhd`` timescale/duration (versions 0 and 1), track count, handler
+types, and the video track's ``tkhd`` 16.16 fixed-point dimensions.
+FRAME decode stays a documented stub (H.264/AV1/HEVC decoders are
+codec libraries absent from this container) — the same split as
+images before round 9: header/metadata REAL, pixel decode stubbed,
+with ``parse_image_dimensions`` as the precedent.
+
+``build_mp4_stub`` writes a minimal-but-well-formed
+ftyp+moov(mvhd+trak(tkhd+mdia(hdlr))) tree so fixtures and oracles
+can round-trip through the parser; the parser itself walks ANY
+conforming box tree, so real camera/encoder output parses too.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def build_mp4_stub(
+    duration_ms: int,
+    width: int,
+    height: int,
+    n_audio_tracks: int = 0,
+    timescale: int = 1000,
+    brand: bytes = b"isom",
+) -> bytes:
+    """Minimal well-formed ISO-BMFF tree: ftyp + moov(mvhd + one video
+    trak + ``n_audio_tracks`` audio traks). Durations are expressed in
+    ``timescale`` units (default 1000 → milliseconds)."""
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0x200) + brand)
+    duration = duration_ms * timescale // 1000
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + b"\x00" * 80,  # rate/volume/matrix/predefined/next_track_id
+    )
+
+    def trak(track_id: int, handler: bytes, w: int, h: int) -> bytes:
+        tkhd = _box(
+            b"tkhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIIxxxxI", 0, 0, track_id, duration)
+            + b"\x00" * 52  # reserved/layer/group/volume/matrix
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        hdlr = _box(
+            b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + handler + b"\x00" * 13
+        )
+        return _box(b"trak", tkhd + _box(b"mdia", hdlr))
+
+    traks = trak(1, b"vide", width, height)
+    for i in range(n_audio_tracks):
+        traks += trak(2 + i, b"soun", 0, 0)
+    return ftyp + _box(b"moov", mvhd + traks)
+
+
+def _walk_boxes(data: bytes, pos: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in
+    data[pos:end]; raises ValueError on malformed sizes."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        btype = data[pos + 4:pos + 8]
+        header = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box header")
+            (size,) = struct.unpack(">Q", data[pos + 8:pos + 16])
+            header = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < header or pos + size > end:
+            raise ValueError(f"malformed box size {size} for {btype!r}")
+        yield btype, pos + header, pos + size
+        pos += size
+
+
+def parse_mp4_metadata(payload: bytes) -> dict:
+    """Parse an ISO-BMFF payload's metadata: ``{brand, timescale,
+    duration_ms, n_tracks, n_video_tracks, n_audio_tracks,
+    video_width, video_height}`` (dims from the first video track;
+    None when absent). ``ValueError`` on non-BMFF or malformed
+    payloads — this parser never needs a codec, so there is no
+    NotImplementedError envelope here."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no leading ftyp)")
+    meta = {
+        "brand": payload[8:12].decode("latin-1"),
+        "timescale": None,
+        "duration_ms": None,
+        "n_tracks": 0,
+        "n_video_tracks": 0,
+        "n_audio_tracks": 0,
+        "video_width": None,
+        "video_height": None,
+    }
+    for btype, start, end in _walk_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for mtype, mstart, mend in _walk_boxes(payload, start, end):
+            if mtype == b"mvhd":
+                version = payload[mstart]
+                if version == 1:
+                    ts, dur = struct.unpack(
+                        ">IQ", payload[mstart + 20:mstart + 32]
+                    )
+                else:
+                    ts, dur = struct.unpack(
+                        ">II", payload[mstart + 12:mstart + 20]
+                    )
+                meta["timescale"] = ts
+                meta["duration_ms"] = dur * 1000 // ts if ts else None
+            elif mtype == b"trak":
+                meta["n_tracks"] += 1
+                width = height = None
+                handler = None
+                for ttype, tstart, tend in _walk_boxes(payload, mstart, mend):
+                    if ttype == b"tkhd":
+                        version = payload[tstart]
+                        # width/height are the LAST 8 bytes, 16.16
+                        # fixed point, at the same offset-from-end in
+                        # both tkhd versions
+                        w_fp, h_fp = struct.unpack(
+                            ">II", payload[tend - 8:tend]
+                        )
+                        width, height = w_fp >> 16, h_fp >> 16
+                    elif ttype == b"mdia":
+                        for dtype, dstart, _dend in _walk_boxes(
+                            payload, tstart, tend
+                        ):
+                            if dtype == b"hdlr":
+                                handler = payload[dstart + 8:dstart + 12]
+                if handler == b"vide":
+                    meta["n_video_tracks"] += 1
+                    if meta["video_width"] is None:
+                        meta["video_width"] = width
+                        meta["video_height"] = height
+                elif handler == b"soun":
+                    meta["n_audio_tracks"] += 1
+    if meta["timescale"] is None:
+        raise ValueError("ISO-BMFF payload has no moov/mvhd")
+    return meta
+
+
+MP4_META_SCHEMA = (
+    "doc_id bigint, brand string, duration_ms bigint, n_tracks int, "
+    "n_video_tracks int, n_audio_tracks int, video_width int, "
+    "video_height int"
+)
+
+
+def mp4_metadata(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched REAL container-metadata extraction over MP4
+    payloads — the stage that filters a video corpus by duration /
+    resolution / track layout before any (stubbed) frame decode.
+    Map-only, cost ∝ total payload bytes."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_mp4_metadata(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "brand": m["brand"],
+                        "duration_ms": m["duration_ms"],
+                        "n_tracks": m["n_tracks"],
+                        "n_video_tracks": m["n_video_tracks"],
+                        "n_audio_tracks": m["n_audio_tracks"],
+                        "video_width": m["video_width"],
+                        "video_height": m["video_height"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(parse_batches, MP4_META_SCHEMA)

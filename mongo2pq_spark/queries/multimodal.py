@@ -522,3 +522,69 @@ def multimodal_wav_audio_stats(spark, sf_dir):
         build_batches, "doc_id bigint, payload binary"
     )
     return audio_ops.wav_audio_stats(with_wav)
+
+
+@register(
+    "multimodal_mp4_metadata",
+    """
+    SELECT doc_id,
+           'isom' AS brand,
+           CAST(1000 + (doc_id % 97) * 250 AS BIGINT) AS duration_ms,
+           CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
+           CAST(1 AS INTEGER) AS n_video_tracks,
+           CAST(doc_id % 3 AS INTEGER) AS n_audio_tracks,
+           CAST(320 + (doc_id % 4) * 320 AS INTEGER) AS video_width,
+           CAST((320 + (doc_id % 4) * 320) * 9 // 16 AS INTEGER)
+               AS video_height
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="REAL ISO-BMFF (MP4) container-metadata extraction, end to "
+        "end: minimal well-formed box trees (ftyp + moov(mvhd + video "
+        "trak + 0-2 audio traks), closed-form durations/dimensions "
+        "per doc_id) are BUILT and PARSED back by the pure-stdlib box "
+        "walker (operators/video.py) inside Arrow-batched "
+        "mapInPandas; the oracle recomputes every scalar from the "
+        "generation rule, proving the duration/resolution/track-"
+        "layout filter stage — the stage a video pipeline runs on "
+        "100% of its corpus BEFORE any frame decode — works without "
+        "any codec. Frame decode itself remains the video modality's "
+        "documented stub (H.264/AV1 decoders aren't in this "
+        "container), mirroring the image posture before the real "
+        "codecs landed",
+)
+def multimodal_mp4_metadata(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import video as video_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import pandas as pd
+
+        from mongo2pq_spark.operators.video import build_mp4_stub
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 320 + (d % 4) * 320
+                payloads.append(
+                    build_mp4_stub(
+                        duration_ms=1000 + (d % 97) * 250,
+                        width=w,
+                        height=w * 9 // 16,
+                        n_audio_tracks=d % 3,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_mp4 = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return video_ops.mp4_metadata(with_mp4)

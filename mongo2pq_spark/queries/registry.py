@@ -161,6 +161,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # r10: PCM WAV audio decode roundtrip (pure-stdlib RIFF parse +
     # interleaved int16 PCM, operators/audio.py; closed-form oracle)
     "multimodal_wav_audio_stats",
+    # r10: ISO-BMFF (MP4) container-metadata extraction (pure-stdlib
+    # box walk, operators/video.py; closed-form oracle) — the
+    # pre-decode filter stage of the video modality
+    "multimodal_mp4_metadata",
 ]
 
 

@@ -1502,3 +1502,35 @@ def test_wav_codec_roundtrip_and_envelope():
     raw[raw.find(b"fmt ") + 8] = 3  # IEEE-float format tag
     with _pytest.raises(NotImplementedError, match="PCM"):
         decode_wav_samples(bytes(raw))
+
+
+def test_mp4_metadata_parse_and_envelope():
+    """The ISO-BMFF box walker: full metadata from a multi-track tree
+    (64-bit durations via mvhd v1 offsets exercised through a 90 kHz
+    timescale), correct per-handler track classification, and loud
+    ValueError on non-BMFF / moov-less payloads."""
+    import pytest as _pytest
+
+    from mongo2pq_spark.operators.video import (
+        build_mp4_stub,
+        parse_mp4_metadata,
+    )
+
+    m = parse_mp4_metadata(build_mp4_stub(12345, 1920, 1080, n_audio_tracks=2))
+    assert m == {
+        "brand": "isom", "timescale": 1000, "duration_ms": 12345,
+        "n_tracks": 3, "n_video_tracks": 1, "n_audio_tracks": 2,
+        "video_width": 1920, "video_height": 1080,
+    }
+    m = parse_mp4_metadata(
+        build_mp4_stub(500, 640, 480, timescale=90000, brand=b"mp42")
+    )
+    assert (m["brand"], m["timescale"], m["duration_ms"]) == (
+        "mp42", 90000, 500
+    )
+    assert (m["video_width"], m["video_height"]) == (640, 480)
+
+    with _pytest.raises(ValueError, match="ftyp"):
+        parse_mp4_metadata(b"not an mp4 at all!!!")
+    with _pytest.raises(ValueError, match="moov"):
+        parse_mp4_metadata(build_mp4_stub(1000, 1, 1)[:20])  # ftyp only
