@@ -27,8 +27,10 @@ whose 8×8 blocks are each CONSTANT is DC-only — with an all-ones
 quantization table the FDCT/quantize/IDCT chain reproduces it
 bit-exactly (AC terms are ~1e-16 float noise that rounds to zero), so
 a closed-form SQL oracle can pin the full encode→decode pipeline.
-General images round-trip within ±1 (IDCT rounding), covered by unit
-tests.
+General images round-trip within a small rounding tolerance (the
+per-coefficient quantization round composes through the IDCT and, for
+color, the YCbCr matrix: ≤2 grayscale, ≤3 RGB — property-tested),
+covered by unit tests.
 """
 
 from __future__ import annotations
@@ -450,41 +452,14 @@ def decode_jpeg_pixels(payload: bytes):
     return h, w, n_comp, out
 
 
-JPEG_STATS_SCHEMA = (
-    "doc_id bigint, width int, height int, channels int, "
-    "pixel_sum bigint, n_pixels bigint"
-)
-
-
 def jpeg_pixel_stats(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """Arrow-batched REAL JPEG pixel decode: mapInPandas over baseline
-    JPEG payloads, emitting exact integer pixel statistics per image —
-    the scalars a DuckDB oracle can recompute from a deterministic
+    """Arrow-batched REAL JPEG pixel decode via the shared
+    ``pixel_stats_with`` harness (see ``multimodal.py``) — the DuckDB
+    oracle recomputes the emitted scalars from a deterministic
     block-constant generation rule (DC-only blocks round-trip
-    bit-exactly; see module docstring). Scale shape: map-only (no
-    shuffle), cost ∝ total payload bytes."""
-    from mongo2pq_spark.deploy import ensure_shipped
+    bit-exactly; see module docstring)."""
+    from mongo2pq_spark.operators.multimodal import pixel_stats_with
 
-    ensure_shipped(df.sparkSession)
-
-    def stat_batches(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            out = {
-                "doc_id": [], "width": [], "height": [],
-                "channels": [], "pixel_sum": [], "n_pixels": [],
-            }
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                h, w, c, arr = decode_jpeg_pixels(bytes(payload))
-                out["doc_id"].append(doc_id)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["channels"].append(c)
-                out["pixel_sum"].append(int(arr.astype("int64").sum()))
-                out["n_pixels"].append(arr.size)
-            yield pd.DataFrame(out)
-
-    return df.mapInPandas(stat_batches, JPEG_STATS_SCHEMA)
+    return pixel_stats_with(decode_jpeg_pixels, df, id_col, payload_col)

@@ -444,14 +444,16 @@ PNG_STATS_SCHEMA = (
 )
 
 
-def png_pixel_stats(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+def pixel_stats_with(
+    decoder, df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """Arrow-batched REAL pixel decode: mapInPandas over PNG payloads,
-    emitting exact integer pixel statistics per image — the scalars a
-    DuckDB oracle can recompute from a deterministic pixel-generation
-    rule, proving the encoder→decoder round trip end to end. Scale
-    shape: map-only (no shuffle), cost ∝ total payload bytes."""
+    """Arrow-batched REAL pixel decode through any ``payload →
+    (h, w, c, ndarray)`` decoder (PNG, baseline JPEG, or the magic-
+    dispatching ``decode_image_pixels``), emitting exact integer pixel
+    statistics per image — the scalars a DuckDB oracle can recompute
+    from a deterministic pixel-generation rule, proving the
+    encoder→decoder round trip end to end. Scale shape: map-only (no
+    shuffle), cost ∝ total payload bytes."""
     from mongo2pq_spark.deploy import ensure_shipped
 
     ensure_shipped(df.sparkSession)
@@ -465,7 +467,7 @@ def png_pixel_stats(
                 "channels": [], "pixel_sum": [], "n_pixels": [],
             }
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                h, w, c, arr = decode_png_pixels(bytes(payload))
+                h, w, c, arr = decoder(bytes(payload))
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -475,6 +477,12 @@ def png_pixel_stats(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(stat_batches, PNG_STATS_SCHEMA)
+
+
+def png_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    return pixel_stats_with(decode_png_pixels, df, id_col, payload_col)
 
 
 # ------------------------------------------------ perceptual hashing
@@ -565,3 +573,61 @@ def image_dhash(
             )
 
     return df.mapInPandas(hash_batches, IMAGE_DHASH_SCHEMA)
+
+
+IMAGE_CELL_SCHEMA = (
+    "doc_id bigint, cell_y int, cell_x int, n_px bigint, px_sum bigint"
+)
+
+
+def image_cell_sums(
+    df: DataFrame,
+    rows: int = 2,
+    cols: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image feature extraction / resize over the pixel codecs:
+    decode each PNG/JPEG payload, partition its pixel grid into a
+    ``rows×cols`` cell lattice (integer bin edges — the same area
+    binning the dHash resampler uses), and emit one row per cell with
+    the EXACT integer pixel count and pixel-value sum (summed across
+    channels, so the statistic is modality-agnostic and engine-exact;
+    a mean-pooled feature vector is ``px_sum / n_px`` downstream, and
+    a downscaled image is exactly these cells). Long format — (doc,
+    cell_y, cell_x) rows — keeps the output SQL-mirrorable and free of
+    array columns. Map-only; cost ∝ total payload bytes."""
+    import numpy as np  # noqa: F401  (imported for the closure)
+
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def cell_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "cell_y": [], "cell_x": [],
+                "n_px": [], "px_sum": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                h, w, c, arr = decode_image_pixels(bytes(payload))
+                a = arr.astype("int64")
+                ys = [(i * h) // rows for i in range(rows + 1)]
+                xs = [(i * w) // cols for i in range(cols + 1)]
+                for y in range(rows):
+                    for x in range(cols):
+                        cell = a[
+                            ys[y]:max(ys[y + 1], ys[y] + 1),
+                            xs[x]:max(xs[x + 1], xs[x] + 1),
+                        ]
+                        out["doc_id"].append(doc_id)
+                        out["cell_y"].append(y)
+                        out["cell_x"].append(x)
+                        out["n_px"].append(cell.size)
+                        out["px_sum"].append(int(cell.sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(cell_batches, IMAGE_CELL_SCHEMA)

@@ -588,3 +588,70 @@ def multimodal_mp4_metadata(spark, sf_dir):
         build_batches, "doc_id bigint, payload binary"
     )
     return video_ops.mp4_metadata(with_mp4)
+
+
+@register(
+    "multimodal_image_cell_features",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    px AS (
+        SELECT doc_id, y.i AS y, x.i AS x, ch.i AS ch,
+               (11 * doc_id + 5 * x.i + 7 * y.i + 13 * ch.i) % 251 AS p
+        FROM d,
+             generate_series(0, 11) y(i),
+             generate_series(0, 19) x(i),
+             generate_series(0, 2) ch(i)
+    )
+    SELECT doc_id,
+           CAST(y // 4 AS INTEGER) AS cell_y,
+           CAST(x // 5 AS INTEGER) AS cell_x,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(p) AS BIGINT) AS px_sum
+    FROM px
+    GROUP BY doc_id, y // 4, x // 5
+    """,
+    doc="REAL image feature extraction / resize, end to end on the "
+        "codec: deterministic 12×20 RGB images (closed-form pixel "
+        "rule) are encoded to PNG and decoded back inside Arrow-"
+        "batched mapInPandas, then area-pooled onto a 3×4 cell "
+        "lattice (operators/multimodal.py::image_cell_sums) — exact "
+        "integer per-cell pixel counts and sums, i.e. both the "
+        "downscaled image and the mean-pooled feature vector in long "
+        "format. The oracle recomputes every cell from the generation "
+        "rule alone, so a hash match proves decode∘encode∘pool = "
+        "identity; with the codecs real since r9/r10 this retires the "
+        "'feature-extract/resize is fake' caveat for images (the fake "
+        "path remains only as the audio/video feature stand-in)",
+)
+def multimodal_image_cell_features(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.multimodal import encode_png
+
+        y, x, ch = np.meshgrid(
+            np.arange(12), np.arange(20), np.arange(3), indexing="ij"
+        )
+        base = 5 * x + 7 * y + 13 * ch
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                arr = ((11 * int(d) + base) % 251).astype("uint8")
+                payloads.append(encode_png(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_png = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return ops.image_cell_sums(with_png, rows=3, cols=4)

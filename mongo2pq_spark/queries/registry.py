@@ -165,6 +165,9 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # box walk, operators/video.py; closed-form oracle) — the
     # pre-decode filter stage of the video modality
     "multimodal_mp4_metadata",
+    # r10: real image feature-extract/resize (area-pooled cell sums
+    # through the codecs; closed-form oracle, long format)
+    "multimodal_image_cell_features",
 ]
 
 

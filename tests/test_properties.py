@@ -213,3 +213,103 @@ def test_split_read_partition_protocol_is_exact(tmp_path_factory, pads, split_si
     whole = read_all(0)
     assert whole == list(range(len(pads)))
     assert read_all(split_size) == whole
+
+
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_tolerance_property(h, w, c, seed):
+    """Baseline-JPEG property: ANY uint8 image (odd sizes, all channel
+    modes) round-trips through the all-ones-quantization codec within
+    the documented tolerance — ≤2 grayscale (quantization rounding
+    composed through the IDCT), ≤3 RGB (plus the YCbCr matrix) — with
+    exact shape recovery."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if c == 1 else (h, w, c)
+    img = rng.randint(0, 256, shape, dtype="uint8")
+    hh, ww, cc, out = decode_jpeg_pixels(encode_jpeg(img))
+    assert (hh, ww, cc) == (h, w, c)
+    flat_in = img.reshape(h, w, c).astype(int)
+    assert np.abs(out.astype(int) - flat_in).max() <= (2 if c == 1 else 3)
+
+
+@given(
+    n=st.integers(1, 200),
+    ch=st.integers(1, 3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_exact_property(n, ch, rate, seed):
+    """PCM WAV property: ANY int16 frame matrix round-trips exactly
+    (PCM is lossless by construction; this pins the interleaving and
+    chunk arithmetic for every shape)."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.audio import decode_wav_samples, encode_wav
+
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(-32768, 32768, (n, ch)).astype("int16")
+    n_ch, r, arr = decode_wav_samples(encode_wav(frames, rate))
+    assert (n_ch, r) == (ch, rate)
+    assert np.array_equal(arr, frames.astype("int32"))
+
+
+@given(
+    dur=st.integers(0, 10**7),
+    w=st.integers(0, 8192),
+    hgt=st.integers(0, 8192),
+    n_audio=st.integers(0, 4),
+    ts=st.sampled_from([600, 1000, 90000]),
+)
+@settings(max_examples=40, deadline=None)
+def test_mp4_metadata_roundtrip_property(dur, w, hgt, n_audio, ts):
+    """ISO-BMFF property: build→parse recovers brand, track layout,
+    dimensions, and duration (up to the timescale's ms granularity)."""
+    from mongo2pq_spark.operators.video import (
+        build_mp4_stub,
+        parse_mp4_metadata,
+    )
+
+    m = parse_mp4_metadata(
+        build_mp4_stub(dur, w, hgt, n_audio_tracks=n_audio, timescale=ts)
+    )
+    assert m["brand"] == "isom"
+    assert m["n_tracks"] == 1 + n_audio
+    assert m["n_video_tracks"] == 1 and m["n_audio_tracks"] == n_audio
+    assert (m["video_width"], m["video_height"]) == (w, hgt)
+    # duration survives the unit conversion within its granularity:
+    # ms→units→ms floors twice, losing < 1000/ts ms + 1 ms, never gains
+    assert 0 <= dur - m["duration_ms"] < 1000 / ts + 1
+
+
+@given(
+    batches=st.lists(st.integers(1, 9), min_size=1, max_size=8),
+    crash_at=st.integers(0, 7),
+)
+@settings(max_examples=40, deadline=None)
+def test_run_log_offsets_property(tmp_path_factory, batches, crash_at):
+    """RunLog property: for ANY increment history with one crash-resume
+    anywhere in it, offsets equal the prefix sums of completed batch
+    counts and the crashed run resumes with its original parameters."""
+    from mongo2pq_spark.plans.bandstore_core import RunLog
+
+    log = RunLog(tmp_path_factory.mktemp("runlog") / "runs")
+    expected_offset = 0
+    for i, nb in enumerate(batches):
+        rid, off, got_nb = log.begin_numbered(nb, f"/inc/{i}")
+        assert off == expected_offset and got_nb == nb
+        if i == crash_at % len(batches):
+            # crash: a retry with the same path resumes identically,
+            # ignoring a different requested batch count
+            assert log.begin_numbered(nb + 3, f"/inc/{i}") == (rid, off, nb)
+        log.mark_done(rid)
+        expected_offset += nb
