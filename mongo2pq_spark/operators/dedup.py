@@ -668,30 +668,8 @@ def hamming_near_pairs(
     are lost). The cap never triggers at test scale, so the blocking
     stays provably lossless there (asserted vs brute force in tests).
     """
-    from pyspark.sql import Window
-
-    n_bands = max_hamming + 1
-    band_width = bits // n_bands
-    mask = (1 << band_width) - 1
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.shiftright(F.col(hash_col), b * band_width)
-                .bitwiseAND(F.lit(mask))
-                .alias("band_value"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = fp.select(
-        F.col(id_col), F.col(hash_col), F.explode(bands).alias("band")
-    ).select(id_col, hash_col, "band.band_id", "band.band_value")
-    w = Window.partitionBy("band_id", "band_value")
-    banded = (
-        banded.withColumn("bucket_n", F.count("*").over(w))
-        .filter(F.col("bucket_n") <= max_band_bucket)
-        .drop("bucket_n")
+    banded = _hamming_band_table(
+        fp, hash_col, id_col, max_hamming, bits, max_band_bucket
     )
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
@@ -714,6 +692,99 @@ def hamming_near_pairs(
         candidates.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _hamming_band_table(
+    fp: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int,
+    bits: int,
+    max_band_bucket: int,
+) -> DataFrame:
+    """(id, hash, band_id, band_value) rows: the (max_hamming+1)-way
+    disjoint band split of each fingerprint, with oversized band
+    buckets dropped (the shared candidate generator behind the pair
+    and incremental Hamming paths)."""
+    from pyspark.sql import Window
+
+    n_bands = max_hamming + 1
+    band_width = bits // n_bands
+    mask = (1 << band_width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col(hash_col), b * band_width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_value"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = fp.select(
+        F.col(id_col), F.col(hash_col), F.explode(bands).alias("band")
+    ).select(id_col, hash_col, "band.band_id", "band.band_value")
+    w = Window.partitionBy("band_id", "band_value")
+    return (
+        banded.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") <= max_band_bucket)
+        .drop("bucket_n")
+    )
+
+
+def hamming_incremental_new(
+    new_fp: DataFrame,
+    index_fp: DataFrame,
+    hash_col: str = "dhash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    max_band_bucket: int = 100_000,
+) -> DataFrame:
+    """Incremental Hamming dedup — the new-batch-vs-corpus ingestion
+    pattern for FINGERPRINTED content (image dhash, text simhash):
+    flag each new-batch row by whether its fingerprint lies within
+    ``max_hamming`` of ANY corpus-index fingerprint. Returns the new
+    batch's ``(id, hash, is_new)``.
+
+    Scale shape (the `dedup_incremental_near_dups` economics applied
+    to Hamming space): the corpus appears ONLY through its banded
+    fingerprint index — one int64 per document, never content — and
+    the probe is an equi-join of the increment's bands against the
+    index's bands (pigeonhole-complete for ≤ max_hamming, same
+    ``max_band_bucket`` degenerate-bucket guard), verified by exact
+    popcount. Cost O(increment · bands + collisions); history is never
+    re-scanned."""
+    inc = _hamming_band_table(
+        new_fp, hash_col, id_col, max_hamming, bits, max_band_bucket
+    ).select(
+        F.col(id_col), F.col(hash_col), "band_id", "band_value"
+    )
+    idx = _hamming_band_table(
+        index_fp, hash_col, id_col, max_hamming, bits, max_band_bucket
+    ).select(
+        F.col(hash_col).alias("idx_hash"), "band_id", "band_value"
+    )
+    matched = (
+        inc.join(idx, ["band_id", "band_value"])
+        .filter(
+            F.bit_count(F.col(hash_col).bitwiseXOR(F.col("idx_hash")))
+            <= max_hamming
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        new_fp.select(F.col(id_col), F.col(hash_col))
+        .join(matched, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(hash_col),
+            F.coalesce(~F.col("__hit"), F.lit(True)).alias("is_new"),
+        )
     )
 
 

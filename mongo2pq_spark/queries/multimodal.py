@@ -655,3 +655,133 @@ def multimodal_image_cell_features(spark, sf_dir):
         build_batches, "doc_id bigint, payload binary"
     )
     return ops.image_cell_sums(with_png, rows=3, cols=4)
+
+
+@register(
+    "multimodal_image_dhash_incremental",
+    """
+    WITH corpus_px AS (
+        SELECT doc_id, y.i AS y, x.i AS x,
+               ((17 * x.i * (y.i + 1) + 29 * y.i + 31 * (doc_id % 40)) % 150
+                + (doc_id // 40) % 46
+                + CASE WHEN doc_id % 5 = 0 AND y.i = 3 AND x.i = 4
+                       THEN 60 ELSE 0 END) AS p
+        FROM documents, generate_series(0, 5) y(i), generate_series(0, 10) x(i)
+        WHERE doc_id < 240
+    ),
+    corpus_h AS (
+        SELECT a.doc_id,
+               CAST(sum(CASE WHEN b.p > a.p
+                             THEN CAST(1 AS BIGINT) << (a.y * 10 + a.x)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dhash
+        FROM corpus_px a JOIN corpus_px b
+          ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+        WHERE a.x < 10 GROUP BY a.doc_id
+    ),
+    inc_px AS (
+        SELECT doc_id, y.i AS y, x.i AS x,
+               CASE WHEN doc_id % 3 = 0 THEN
+                   ((17 * x.i * (y.i + 1) + 29 * y.i
+                     + 31 * ((doc_id - 300) % 40)) % 150
+                    + ((doc_id - 300) // 40) % 46
+                    + CASE WHEN (doc_id - 300) % 5 = 0 AND y.i = 3
+                                AND x.i = 4 THEN 60 ELSE 0 END)
+               ELSE (13 * x.i * (y.i + 2) + 19 * y.i + 23 * doc_id) % 149
+               END AS p
+        FROM documents, generate_series(0, 5) y(i), generate_series(0, 10) x(i)
+        WHERE doc_id >= 300 AND doc_id < 400
+    ),
+    inc_h AS (
+        SELECT a.doc_id,
+               CAST(sum(CASE WHEN b.p > a.p
+                             THEN CAST(1 AS BIGINT) << (a.y * 10 + a.x)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dhash
+        FROM inc_px a JOIN inc_px b
+          ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+        WHERE a.x < 10 GROUP BY a.doc_id
+    )
+    SELECT i.doc_id, i.dhash,
+           NOT EXISTS (
+               SELECT 1 FROM corpus_h c
+               WHERE bit_count(xor(c.dhash, i.dhash)) <= 3
+           ) AS is_new
+    FROM inc_h i
+    """,
+    doc="Incremental IMAGE dedup against a corpus fingerprint index, "
+        "end to end on the real codec: the corpus is 240 closed-form "
+        "6×11 PNGs; the increment re-crawls a third of its docs "
+        "RE-RENDERED AT 2× RESOLUTION (different bytes, different "
+        "dimensions — byte dedup finds nothing) alongside genuinely "
+        "new images. dHash is resample-stable, so the re-renders "
+        "collide with the corpus index at Hamming 0 and are flagged, "
+        "via operators/dedup.py::hamming_incremental_new — the "
+        "increment's bands probe the index's bands (pigeonhole-"
+        "complete equi-join, O(increment·bands)); the corpus appears "
+        "only as one int64 per doc, never content. The oracle "
+        "recomputes both hash sets from the pixel rules and "
+        "brute-forces the Hamming relation",
+)
+def multimodal_image_dhash_incremental(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators.dedup import hamming_incremental_new
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id")
+    corpus_docs = docs.filter(F.col("doc_id") < 240)
+    inc_docs = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 400)
+    )
+
+    def _rule_a(np, d, y, x):
+        img = (
+            (17 * x * (y + 1) + 29 * y + 31 * (d % 40)) % 150
+            + (d // 40) % 46
+        )
+        if d % 5 == 0:
+            img = img.copy()
+            img[3, 4] += 60
+        return img.astype("uint8")
+
+    def corpus_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.multimodal import encode_png
+
+        y, x = np.meshgrid(np.arange(6), np.arange(11), indexing="ij")
+        for pdf in batches:
+            payloads = [
+                encode_png(_rule_a(np, int(d), y, x)) for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def inc_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.multimodal import encode_png
+
+        y, x = np.meshgrid(np.arange(6), np.arange(11), indexing="ij")
+        up = np.ones((2, 2), dtype="uint8")
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 3 == 0:  # 2x re-render of corpus doc d-300
+                    payloads.append(
+                        encode_png(np.kron(_rule_a(np, d - 300, y, x), up))
+                    )
+                else:
+                    img = (
+                        (13 * x * (y + 2) + 19 * y + 23 * d) % 149
+                    ).astype("uint8")
+                    payloads.append(encode_png(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    schema = "doc_id bigint, payload binary"
+    corpus_fp = ops.image_dhash(corpus_docs.mapInPandas(corpus_batches, schema))
+    inc_fp = ops.image_dhash(inc_docs.mapInPandas(inc_batches, schema))
+    return hamming_incremental_new(inc_fp, corpus_fp, bits=60)

@@ -168,6 +168,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # r10: real image feature-extract/resize (area-pooled cell sums
     # through the codecs; closed-form oracle, long format)
     "multimodal_image_cell_features",
+    # r10: incremental image dedup — new-batch dhashes probed against
+    # a corpus fingerprint index via the banded Hamming equi-join
+    # (full value oracle: both hash sets closed-form in SQL)
+    "multimodal_image_dhash_incremental",
 ]
 
 

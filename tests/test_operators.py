@@ -1534,3 +1534,39 @@ def test_mp4_metadata_parse_and_envelope():
         parse_mp4_metadata(b"not an mp4 at all!!!")
     with _pytest.raises(ValueError, match="moov"):
         parse_mp4_metadata(build_mp4_stub(1000, 1, 1)[:20])  # ftyp only
+
+
+def test_hamming_incremental_new_matches_bruteforce(spark):
+    """hamming_incremental_new must equal brute force: a new row is
+    flagged iff some index fingerprint lies within max_hamming —
+    verified over fingerprint sets engineered to straddle the band
+    boundaries (equal, 1-bit, 3-bit, 4-bit, far)."""
+    from mongo2pq_spark.operators.dedup import hamming_incremental_new
+
+    index_hashes = {10: 0b111100001111000011110000, 11: 0xABCDE, 12: 0}
+    new_hashes = {
+        0: 0b111100001111000011110000,          # hamming 0 -> hit
+        1: 0b111100001111000011110001,          # hamming 1 -> hit
+        2: 0b111100001111000011000000,          # hamming 2 -> hit
+        3: 0b011100001111000011110000 | (1 << 55) | (1 << 40),  # 3 -> hit
+        4: 0b111100001111000011110000 ^ 0b1111, # hamming 4 -> new
+        5: (1 << 59) - 1,                       # far from all -> new
+    }
+    idx = spark.createDataFrame(
+        [(k, v) for k, v in index_hashes.items()], "doc_id bigint, dhash bigint"
+    )
+    new = spark.createDataFrame(
+        [(k, v) for k, v in new_hashes.items()], "doc_id bigint, dhash bigint"
+    )
+    got = {
+        r.doc_id: r.is_new
+        for r in hamming_incremental_new(new, idx, bits=60).collect()
+    }
+    brute = {
+        nid: not any(
+            bin(nv ^ iv).count("1") <= 3 for iv in index_hashes.values()
+        )
+        for nid, nv in new_hashes.items()
+    }
+    assert got == brute
+    assert got[0] is False and got[4] is True and got[5] is True

@@ -624,3 +624,11 @@ def test_semdedup_plan_is_cluster_equi_join(spark, sf_dir):
     plan = _formatted(spark, sf_dir, "semdedup_prune_consistency")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_dhash_neardup_plan_is_banded_equi_join(spark, sf_dir):
+    """The image near-dedup must inherit the generic Hamming banding's
+    scale shape: band equi-join candidates, never an all-pairs join."""
+    plan = _formatted(spark, sf_dir, "multimodal_image_dhash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
