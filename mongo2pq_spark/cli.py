@@ -188,7 +188,6 @@ def main(
                 # partitions, so a retry is idempotent rather than
                 # self-colliding
                 store.commit(batch_token)
-                indexed_collections.append(name)
         finally:
             if store is not None:
                 store.close()  # release cached sig/drop artifacts
@@ -196,7 +195,6 @@ def main(
                 cached_df.unpersist()
 
     failures: list[tuple[str, Exception]] = []
-    indexed_collections: list[str] = []  # committed a store batch
     if parallel_collections > 1 and len(readers) > 1:
         # Driver threads overlap whole per-collection pipelines (Spark's
         # scheduler interleaves the jobs). NOTE: this goes beyond the
@@ -217,25 +215,41 @@ def main(
             except Exception as err:
                 failures.append((name, err))
     if near_dedup_consolidate and near_dedup_store:
-        # post-run store maintenance: merge this and every prior run's
-        # completed batch partitions into one batch=c0 per tree. Runs
-        # AFTER all increments of this invocation committed (the
+        # post-run store maintenance: merge every completed batch
+        # partition into one batch=c0 per tree — for EVERY collection
+        # tree in the store (each subdir with a meta.json, text_col
+        # read from its pin), not only the collections this run
+        # indexed: a scheduler's every-N-runs maintenance pass must
+        # not silently skip a store whose collection happened to fail
+        # or lack its dedup column THIS run, or its partition count
+        # grows unbounded — the exact cost the flag exists to bound.
+        # Runs AFTER all increments of this invocation committed (the
         # consolidate contract: never with an increment in flight) and
         # is content-preserving, so a failure here leaves the store
         # fully usable — but it is still reported as a run failure so
-        # schedulers retry the maintenance rather than letting
-        # partition counts grow unbounded.
+        # schedulers retry the maintenance.
+        import json as jsonlib
+
         from mongo2pq_spark.plans.neardedup_store import NearDedupStore
 
-        for name in indexed_collections:
+        store_root = Path(near_dedup_store)
+        trees = sorted(
+            p for p in store_root.iterdir()
+            if (p / "meta.json").is_file()
+        ) if store_root.is_dir() else []
+        for tree in trees:
             try:
+                with open(tree / "meta.json") as fh:
+                    pinned = jsonlib.load(fh)
                 NearDedupStore(
-                    near_dedup_store, name,
-                    text_col=dedup_text_col,
+                    near_dedup_store, tree.name,
+                    text_col=pinned["text_col"],
                     threshold=near_dedup_threshold,
+                    k=pinned["k"], bands=pinned["bands"],
+                    shingle_n=pinned["shingle_n"], seed=pinned["seed"],
                 ).consolidate(spark)
             except Exception as err:
-                failures.append((name, err))
+                failures.append((tree.name, err))
     for name, err in failures:
         print(f"ERROR: collection '{name}' failed: {err}", file=sys.stderr)
     return 1 if failures else 0

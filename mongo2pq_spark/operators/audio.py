@@ -91,6 +91,11 @@ def decode_wav_samples(payload: bytes):
         raise NotImplementedError(f"{bits}-bit PCM unsupported (8/16 only)")
     if n_ch == 0 or block_align != n_ch * (bits // 8):
         raise ValueError("inconsistent WAV channel/block layout")
+    if rate == 0:
+        # duration math downstream divides by the rate; a zero here
+        # must surface as the documented typed error, not a
+        # ZeroDivisionError escaping a whole mapInPandas stage
+        raise ValueError("WAV declares sample rate 0")
     usable = (len(data) // block_align) * block_align
     if bits == 16:
         arr = np.frombuffer(data[:usable], dtype="<i2").astype("int32")

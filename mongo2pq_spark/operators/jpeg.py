@@ -306,6 +306,11 @@ def decode_jpeg_pixels(payload: bytes):
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError("corrupt JPEG segment stream")
+            # ITU T.81 B.1.1.2: any number of 0xFF FILL bytes may
+            # precede a marker — conforming encoders use them for
+            # alignment, so skip to the last 0xFF of the run
+            while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+                pos += 1
             marker = payload[pos + 1]
             if marker == 0xD9:  # EOI before SOS
                 break
@@ -409,42 +414,39 @@ def decode_jpeg_pixels(payload: bytes):
                 return sym
         raise ValueError("invalid JPEG Huffman code")
 
-    try:
-        for by in range(ph // 8):
-            for bx in range(pw // 8):
-                for ci, ((_cid, tq), (_sc, td, ta)) in enumerate(
-                    zip(comps, scan_comps)
-                ):
-                    dc_tbl, ac_tbl = huff.get((0, td)), huff.get((1, ta))
-                    if dc_tbl is None or ac_tbl is None:
-                        raise ValueError("SOS references an undeclared DHT")
-                    q = qtables.get(tq)
-                    if q is None:
-                        raise ValueError("SOF references an undeclared DQT")
-                    zz = [0] * 64
-                    cat = decode_sym(dc_tbl)
-                    dc_prev[ci] += _extend(reader.read(cat), cat)
-                    zz[0] = dc_prev[ci]
-                    k = 1
-                    while k < 64:
-                        sym = decode_sym(ac_tbl)
-                        if sym == 0x00:  # EOB
-                            break
-                        if sym == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += sym >> 4
-                        if k > 63:
-                            raise ValueError("AC run overflows the block")
-                        zz[k] = _extend(reader.read(sym & 15), sym & 15)
-                        k += 1
-                    coef = np.zeros((8, 8))
-                    for idx, (y, x) in enumerate(_ZIGZAG):
-                        coef[y, x] = zz[idx]
-                    block = m.T @ (coef * q) @ m + 128.0
-                    planes[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, ci] = block
-    except ValueError:
-        raise
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci, ((_cid, tq), (_sc, td, ta)) in enumerate(
+                zip(comps, scan_comps)
+            ):
+                dc_tbl, ac_tbl = huff.get((0, td)), huff.get((1, ta))
+                if dc_tbl is None or ac_tbl is None:
+                    raise ValueError("SOS references an undeclared DHT")
+                q = qtables.get(tq)
+                if q is None:
+                    raise ValueError("SOF references an undeclared DQT")
+                zz = [0] * 64
+                cat = decode_sym(dc_tbl)
+                dc_prev[ci] += _extend(reader.read(cat), cat)
+                zz[0] = dc_prev[ci]
+                k = 1
+                while k < 64:
+                    sym = decode_sym(ac_tbl)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    if k > 63:
+                        raise ValueError("AC run overflows the block")
+                    zz[k] = _extend(reader.read(sym & 15), sym & 15)
+                    k += 1
+                coef = np.zeros((8, 8))
+                for idx, (y, x) in enumerate(_ZIGZAG):
+                    coef[y, x] = zz[idx]
+                block = m.T @ (coef * q) @ m + 128.0
+                planes[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, ci] = block
     if n_comp == 1:
         out = np.clip(np.rint(planes[:h, :w, :]), 0, 255).astype("uint8")
     else:

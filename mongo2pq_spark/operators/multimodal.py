@@ -54,9 +54,12 @@ def decode_features(
 ) -> DataFrame:
     """Arrow-batched decode: mapInPandas over (id, payload, meta).
 
-    Real deployments replace ``_fake_features`` with an actual decoder
-    (image resize / audio frames); the batch shape, schema contract,
-    and partition parallelism stay exactly as tested here.
+    For IMAGES the real path exists: ``image_cell_sums`` pools actual
+    decoded pixels through the PNG/JPEG codecs. This generic surface
+    keeps the fake-feature stand-in for the modalities whose decoders
+    aren't in this container (lossy audio, video frames); the batch
+    shape, schema contract, and partition parallelism are what a real
+    decoder plugs into unchanged.
     """
     from mongo2pq_spark.deploy import ensure_shipped
 
@@ -496,6 +499,25 @@ def png_pixel_stats(
 DHASH_ROWS, DHASH_COLS = 6, 11
 
 
+def cell_slices(h: int, w: int, rows: int, cols: int):
+    """The clamped integer-bin-edge cell lattice shared by the dHash
+    resampler and ``image_cell_sums``: yields ``(y, x, yslice,
+    xslice)`` per cell. Edges are ``i·extent // bins``; a bin that
+    would be empty (image smaller than the lattice) is clamped to one
+    pixel, so every cell is non-empty and cells of an evenly divisible
+    image exactly partition it."""
+    ys = [(i * h) // rows for i in range(rows + 1)]
+    xs = [(i * w) // cols for i in range(cols + 1)]
+    for y in range(rows):
+        for x in range(cols):
+            yield (
+                y,
+                x,
+                slice(ys[y], max(ys[y + 1], ys[y] + 1)),
+                slice(xs[x], max(xs[x + 1], xs[x] + 1)),
+            )
+
+
 def decode_image_pixels(payload: bytes):
     """Magic-dispatched pixel decode: PNG or baseline JPEG → the
     codecs' ``(h, w, c, uint8 ndarray)`` contract; ``ValueError`` on
@@ -525,15 +547,9 @@ def dhash_bits(arr) -> int:
     else:
         gray = a[:, :, 0]  # gray / gray+alpha: luma IS channel 0
     h, w = gray.shape
-    ys = [(i * h) // DHASH_ROWS for i in range(DHASH_ROWS + 1)]
-    xs = [(i * w) // DHASH_COLS for i in range(DHASH_COLS + 1)]
     grid = np.empty((DHASH_ROWS, DHASH_COLS))
-    for y in range(DHASH_ROWS):
-        for x in range(DHASH_COLS):
-            grid[y, x] = gray[
-                ys[y]:max(ys[y + 1], ys[y] + 1),
-                xs[x]:max(xs[x + 1], xs[x] + 1),
-            ].mean()
+    for y, x, ysl, xsl in cell_slices(h, w, DHASH_ROWS, DHASH_COLS):
+        grid[y, x] = gray[ysl, xsl].mean()
     bits = 0
     for y in range(DHASH_ROWS):
         for x in range(DHASH_COLS - 1):
@@ -597,14 +613,11 @@ def image_cell_sums(
     a downscaled image is exactly these cells). Long format — (doc,
     cell_y, cell_x) rows — keeps the output SQL-mirrorable and free of
     array columns. Map-only; cost ∝ total payload bytes."""
-    import numpy as np  # noqa: F401  (imported for the closure)
-
     from mongo2pq_spark.deploy import ensure_shipped
 
     ensure_shipped(df.sparkSession)
 
     def cell_batches(batches):
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -615,19 +628,13 @@ def image_cell_sums(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 h, w, c, arr = decode_image_pixels(bytes(payload))
                 a = arr.astype("int64")
-                ys = [(i * h) // rows for i in range(rows + 1)]
-                xs = [(i * w) // cols for i in range(cols + 1)]
-                for y in range(rows):
-                    for x in range(cols):
-                        cell = a[
-                            ys[y]:max(ys[y + 1], ys[y] + 1),
-                            xs[x]:max(xs[x + 1], xs[x] + 1),
-                        ]
-                        out["doc_id"].append(doc_id)
-                        out["cell_y"].append(y)
-                        out["cell_x"].append(x)
-                        out["n_px"].append(cell.size)
-                        out["px_sum"].append(int(cell.sum()))
+                for y, x, ysl, xsl in cell_slices(h, w, rows, cols):
+                    cell = a[ysl, xsl]
+                    out["doc_id"].append(doc_id)
+                    out["cell_y"].append(y)
+                    out["cell_x"].append(x)
+                    out["n_px"].append(cell.size)
+                    out["px_sum"].append(int(cell.sum()))
             yield pd.DataFrame(out)
 
     return df.mapInPandas(cell_batches, IMAGE_CELL_SCHEMA)

@@ -130,7 +130,14 @@ def parse_mp4_metadata(payload: bytes) -> dict:
                 handler = None
                 for ttype, tstart, tend in _walk_boxes(payload, mstart, mend):
                     if ttype == b"tkhd":
-                        version = payload[tstart]
+                        # v0 tkhd payload is 84 bytes, v1 is 96; a
+                        # shorter box would make the from-the-end read
+                        # below reach back into sibling bytes and
+                        # decode garbage dimensions — fail loud instead
+                        if tend - tstart < 84:
+                            raise ValueError(
+                                f"tkhd box too short ({tend - tstart} bytes)"
+                            )
                         # width/height are the LAST 8 bytes, 16.16
                         # fixed point, at the same offset-from-end in
                         # both tkhd versions
@@ -139,10 +146,15 @@ def parse_mp4_metadata(payload: bytes) -> dict:
                         )
                         width, height = w_fp >> 16, h_fp >> 16
                     elif ttype == b"mdia":
-                        for dtype, dstart, _dend in _walk_boxes(
+                        for dtype, dstart, dend in _walk_boxes(
                             payload, tstart, tend
                         ):
                             if dtype == b"hdlr":
+                                if dend - dstart < 12:
+                                    raise ValueError(
+                                        f"hdlr box too short "
+                                        f"({dend - dstart} bytes)"
+                                    )
                                 handler = payload[dstart + 8:dstart + 12]
                 if handler == b"vide":
                     meta["n_video_tracks"] += 1

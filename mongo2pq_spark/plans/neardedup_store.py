@@ -354,10 +354,25 @@ class NearDedupStore:
         deleted only after the swap completes, and an ambiguous
         swap-in is discarded, not preferred), and the probe tolerates
         duplicate rows, so recovery is about reclaiming space, never
-        about restoring correctness."""
+        about restoring correctness.
+
+        Pre-unification consolidations used ``_swapin_c0``/
+        ``_build_c0``; a store crashed mid-swap under those names is
+        migrated to the shared names first so its absorbed index
+        entries survive the upgrade."""
+        from mongo2pq_spark.plans.bandstore_core import aux_path
+
         for sub in ("sigs", "bands"):
-            if (self.dir / sub).is_dir():
-                recover_replace(self.dir / sub / "batch=c0")
+            base = self.dir / sub
+            if not base.is_dir():
+                continue
+            c0 = base / "batch=c0"
+            for legacy, kind in (("_swapin_c0", "swapin"), ("_build_c0", "build")):
+                legacy_dir = base / legacy
+                target = aux_path(c0, kind)
+                if legacy_dir.is_dir() and not target.exists():
+                    os.rename(legacy_dir, target)
+            recover_replace(c0)
 
     def _consolidate_tree(self, spark, sub: str, merge, done: set) -> None:
         base = self.dir / sub

@@ -201,8 +201,21 @@ def _recover_band_store_swap(store_dir: str) -> None:
     the swap renames would otherwise leave NO bands directory, which
     the batch probe would silently read as an empty store and
     mass-unflag duplicates, so every entry point (compaction and
-    increment start) runs this first."""
-    recover_replace(Path(store_dir) / "bands")
+    increment start) runs this first.
+
+    Pre-unification stores used the names ``bands_swapin``/
+    ``bands_old``; a store crashed mid-swap under THOSE names must not
+    become unrecoverable after an upgrade (silent mass-unflag), so
+    they are migrated to the shared names before recovery runs."""
+    from mongo2pq_spark.plans.bandstore_core import aux_path
+
+    bands = Path(store_dir) / "bands"
+    for legacy, kind in (("bands_swapin", "swapin"), ("bands_old", "old")):
+        legacy_dir = Path(store_dir) / legacy
+        target = aux_path(bands, kind)
+        if legacy_dir.is_dir() and not target.exists():
+            os.rename(legacy_dir, target)
+    recover_replace(bands)
 
 
 def compact_band_store(spark: SparkSession, store_dir: str) -> None:

@@ -827,3 +827,86 @@ def test_near_dedup_batch_token_is_layout_independent(spark, sf_dir, tmp_path):
         .otherwise(F.col("text")),
     )
     assert store.batch_token(changed) != base
+
+
+def test_consolidation_recovery_migrates_legacy_names(spark, sf_dir, tmp_path):
+    """A consolidation crashed mid-swap under the PRE-unification
+    naming (_swapin_c0, with batch=c0 already removed) must roll
+    forward at the next store open — the absorbed index entries are
+    the only copy."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.plans.neardedup_store import NearDedupStore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    root = tmp_path / "store"
+
+    def ingest(batch):
+        store = NearDedupStore(root, "docs", text_col="text")
+        token = store.batch_token(batch)
+        out = store.filter_new(batch, token)
+        ids = {r.doc_id for r in out.select("doc_id").collect()}
+        store.commit(token)
+        return ids
+
+    ingest(docs.filter(F.col("doc_id") < 60))
+    ingest(docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 120)))
+    NearDedupStore(root, "docs", text_col="text").consolidate(spark)
+
+    sigs = root / "docs" / "sigs"
+    shutil.move(str(sigs / "batch=c0"), str(sigs / "_swapin_c0"))
+    NearDedupStore(root, "docs", text_col="text")  # open = recovery
+    assert (sigs / "batch=c0").is_dir()
+    assert not (sigs / "_swapin_c0").exists()
+    # the absorbed history still dedups: copies of batch-1 docs drop
+    copies = docs.filter(F.col("doc_id") < 30).withColumn(
+        "doc_id", F.col("doc_id") + 50_000
+    )
+    assert ingest(copies) == set()
+
+
+def test_cli_consolidate_covers_trees_not_indexed_this_run(spark, sf_dir, tmp_path):
+    """--near-dedup-consolidate is store-wide maintenance: a tree
+    whose collection is ABSENT from the triggering run must still
+    collapse to batch=c0 (a scheduler's every-N-runs pass must not
+    silently skip a store that happened not to ingest that day)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = tmp_path / "bandstore"
+    # two EL runs build up the 'docs' tree (2 batch partitions)
+    for lo, hi in ((0, 50), (50, 100)):
+        src = tmp_path / f"src_{lo}"
+        src.mkdir()
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).write.parquet(str(src / "docs.parquet"))
+        assert cli_main(
+            f"file:{src}", outdir=tmp_path / f"out_{lo}",
+            dedup_text_col="text", dedup_id_col="doc_id",
+            near_dedup_store=store, use_source_types=True, spark=spark,
+        ) == 0
+    # the maintenance run ingests a DIFFERENT collection entirely
+    other = tmp_path / "src_other"
+    other.mkdir()
+    docs.filter(F.col("doc_id") < 20).write.parquet(
+        str(other / "other.parquet")
+    )
+    assert cli_main(
+        f"file:{other}", outdir=tmp_path / "out_other",
+        dedup_text_col="text", dedup_id_col="doc_id",
+        near_dedup_store=store, near_dedup_consolidate=True,
+        use_source_types=True, spark=spark,
+    ) == 0
+    # the docs tree consolidated even though this run never touched it
+    for sub in ("sigs", "bands"):
+        parts = sorted(
+            p.name for p in (store / "docs" / sub).glob("batch=*")
+        )
+        assert parts == ["batch=c0"], parts

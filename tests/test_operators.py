@@ -1570,3 +1570,78 @@ def test_hamming_incremental_new_matches_bruteforce(spark):
     }
     assert got == brute
     assert got[0] is False and got[4] is True and got[5] is True
+
+
+def test_image_cell_sums_partition_and_degenerate_shapes(spark):
+    """Cells over an evenly divisible image PARTITION it exactly (cell
+    sums add up to the total pixel sum); an image SMALLER than the
+    lattice still yields rows×cols rows with every cell non-empty
+    (clamped one-pixel bins, same rule as the dHash resampler)."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.multimodal import encode_png, image_cell_sums
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (12, 20, 3), dtype="uint8")
+    tiny = np.array([[7]], dtype="uint8")
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_png(img))), (1, bytearray(encode_png(tiny)))],
+        "doc_id bigint, payload binary",
+    )
+    rows = image_cell_sums(df, rows=3, cols=4).collect()
+    big = [r for r in rows if r.doc_id == 0]
+    assert len(big) == 12
+    assert sum(r.px_sum for r in big) == int(img.astype("int64").sum())
+    assert all(r.n_px == 4 * 5 * 3 for r in big)
+    small = [r for r in rows if r.doc_id == 1]
+    assert len(small) == 12
+    assert all(r.n_px == 1 and r.px_sum == 7 for r in small)
+
+
+def test_codec_review_hardening_envelope():
+    """Round-10 review fixes stay fixed: (a) WAV with a declared
+    sample rate of 0 is a typed ValueError, not a ZeroDivisionError
+    escaping a stage; (b) truncated tkhd/hdlr boxes raise instead of
+    decoding sibling bytes as dimensions/handlers; (c) JPEG segment
+    parsing accepts 0xFF fill bytes before markers (ITU T.81
+    B.1.1.2)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from mongo2pq_spark.operators.audio import decode_wav_samples, encode_wav
+    from mongo2pq_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+    from mongo2pq_spark.operators.video import (
+        build_mp4_stub,
+        parse_mp4_metadata,
+    )
+
+    # (a) rate 0
+    raw = bytearray(encode_wav(np.zeros(4, dtype="int16"), 8000))
+    at = raw.find(b"fmt ") + 8 + 4  # fmt body: format(2) ch(2) rate(4)
+    raw[at:at + 4] = (0).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="sample rate 0"):
+        decode_wav_samples(bytes(raw))
+
+    # (b) short tkhd: replace the 92-byte tkhd box with a 12-byte
+    # tkhd + an 80-byte free box (enclosing sizes stay consistent, so
+    # only the tkhd-specific guard can fire)
+    mp4 = bytearray(build_mp4_stub(1000, 64, 48))
+    tk = mp4.find(b"tkhd") - 4
+    orig_size = struct.unpack(">I", mp4[tk:tk + 4])[0]
+    assert orig_size == 92
+    short = (
+        struct.pack(">I", 12) + b"tkhd" + b"\x00" * 4
+        + struct.pack(">I", 80) + b"free" + b"\x00" * 72
+    )
+    mp4[tk:tk + orig_size] = short
+    with _pytest.raises(ValueError, match="tkhd box too short"):
+        parse_mp4_metadata(bytes(mp4))
+
+    # (c) fill bytes before a marker
+    jp = encode_jpeg(np.full((8, 8), 55, dtype="uint8"))
+    sof = jp.find(b"\xff\xc0")
+    padded = jp[:sof] + b"\xff\xff\xff" + jp[sof:]
+    h, w, c, out = decode_jpeg_pixels(padded)
+    assert (h, w, c) == (8, 8, 1) and int(out[0, 0, 0]) == 55

@@ -97,13 +97,22 @@ def _is_size_bounded(subtree: str) -> bool:
     threshold shape. A GROUPED aggregate (``Aggregate [keys],
     [aggExprs]``) or a Deduplicate over a fact key grows with the
     data and is NOT an escape — that was the hole the r9 TPC-H
-    queries slipped through."""
-    for raw in subtree.splitlines():
+    queries slipped through.
+
+    The bounding node must be the hint's effective CHILD — the first
+    structural node below it, looking through row-preserving wrappers
+    (Project/Filter/SubqueryAlias/LocalLimit). A bounded node deeper
+    in the tree does NOT cap the side (e.g. a fact scan JOINED with a
+    one-row threshold is still fact-sized), so scanning the whole
+    subtree for an Aggregate line would reopen the hole one level up."""
+    wrappers = ("Project", "Filter", "SubqueryAlias", "LocalLimit")
+    for raw in subtree.splitlines()[1:]:  # [0] is the ResolvedHint line
         line = _strip_tree_prefix(raw)
+        if line.startswith(wrappers):
+            continue
         if line.startswith("GlobalLimit"):
             return True
-        if line.startswith("Aggregate [") and "], [" not in line:
-            return True
+        return line.startswith("Aggregate [") and "], [" not in line
     return False
 
 
