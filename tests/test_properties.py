@@ -313,3 +313,28 @@ def test_run_log_offsets_property(tmp_path_factory, batches, crash_at):
             assert log.begin_numbered(nb + 3, f"/inc/{i}") == (rid, off, nb)
         log.mark_done(rid)
         expected_offset += nb
+
+
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_exact_property(h, w, c, seed):
+    """PNG property: ANY uint8 image, every supported channel count,
+    round-trips BIT-EXACTLY (PNG is lossless; this pins the scanline
+    serialization and IHDR color-type mapping for every shape)."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, c), dtype="uint8")
+    hh, ww, cc, out = decode_png_pixels(encode_png(img))
+    assert (hh, ww, cc) == (h, w, c)
+    assert np.array_equal(out, img)
