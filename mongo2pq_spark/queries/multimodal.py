@@ -326,8 +326,8 @@ def multimodal_png_pixel_roundtrip(spark, sf_dir):
         "a hash match proves decode∘encode = identity on the "
         "executors, retiring the pixel-decode stub for baseline JPEG "
         "the way multimodal_png_pixel_roundtrip did for PNG "
-        "(audio/video decodes remain documented stubs: their codec "
-        "libraries aren't in this container)",
+        "(lossy-audio and video-frame decodes remain documented "
+        "stubs: their codec libraries aren't in this container)",
 )
 def multimodal_jpeg_pixel_roundtrip(spark, sf_dir):
     from pyspark.sql import functions as F
