@@ -46,77 +46,75 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # r9 _NEXT_WINDOW_QUEUE, landing first as staged (verdict r9 #2):
-    # the 11 TPC-H-completion queries — their first-ever driver rows
-    # verify the r10 broadcast-hint-removal code (verdict r9 #1) —
-    # plus the PNG pixel-codec roundtrip
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_parts",
+    # r10 _NEXT_WINDOW_QUEUE, landing first as staged (verdict r10
+    # #2): first-ever driver rows for the r10 codec / semdedup /
+    # image-dedup capability work (all full-pytest-oracle green at
+    # both scale factors since r10)
+    "semdedup_prune_consistency",
+    "multimodal_jpeg_pixel_roundtrip",
+    "multimodal_image_dhash_neardup",
+    "multimodal_wav_audio_stats",
+    "multimodal_mp4_metadata",
+    "multimodal_image_cell_features",
+    "multimodal_image_dhash_incremental",
+    # CHANGED in r11 (verdict r10 #1): oracle sums now CAST AS BIGINT
+    # — DuckDB HUGEINT became float64 in the driver's pandas
+    # canonicalizer, the sole red row in CORRECTNESS_r10; Spark's
+    # values were already correct
     "q12_delay_priority",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "multimodal_png_pixel_roundtrip",
-    # the 3 scalar/window-function parity queries deferred from the
-    # r9 rotation (latest driver row r6)
-    "date_functions",
-    "string_functions",
-    "lag_lead_values",
-    # CHANGED in r10: band-store unification onto
-    # plans/bandstore_core.py (first two — both hold pre-unification
-    # driver rows) and the simhash banding extraction into the generic
-    # hamming_near_pairs (third — mechanical refactor, semantics
-    # identical, oracle unchanged, but its r9 row predates the code)
-    "streaming_near_dedup",
-    "dedup_incremental_near_dups",
-    "dedup_simhash_pairs",
-    # FRESHNESS rotation: 32 of the 47 queries whose latest driver
-    # row is r7. The 14 deferred to r11 — scan/filter/projection/
-    # cast/scalar-function parity queries (array_functions,
-    # case_when_bucketing, column_casts, count_rows, distinct_values,
-    # epoch_seconds, falsy_suppression, filter_equality, limit_page,
-    # math_functions, rename_projection, scan_projection,
-    # speculative_parse) plus top_k (TakeOrderedAndProject, untouched
-    # since r1, displaced by the r10-changed dedup_simhash_pairs) —
-    # are the lowest-risk tail: untouched since registration and
-    # re-verified green in every session's full pytest oracle run.
-    "ann_ivf_recall",
-    "asof_purchase_last_click",
-    "cube_order_counts",
-    "distinct_users_approx",
-    "distinct_users_exact",
-    "el_mongodump_flatten",
-    "el_mongodump_scan",
-    "el_xml_roundtrip",
-    "full_outer_daily_activity",
-    "histogram_quantile_rollup",
-    "json_extract_props",
-    "json_schema_promotion",
-    "kll_quantile_rollup",
-    "median_value_by_type",
-    "merge_upsert_events",
-    "multimodal_metadata",
-    "partition_counts",
-    "percentile_approx_values",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "salted_join_revenue",
-    "streaming_foreach_batch_upsert",
-    "systematic_sample",
-    "text_fingerprints",
-    "text_language_id",
-    "text_quality_scores",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "text_top_bigrams",
-    "text_winnow_fingerprints",
-    "theta_overlap_users",
-    "udf_text_normalize",
+    # FRESHNESS rotation, oldest first. The 14 r7-latest queries
+    # deferred from the r10 rotation (scan/filter/projection/cast/
+    # scalar-function parity + top_k):
+    "array_functions",
+    "case_when_bucketing",
+    "column_casts",
+    "count_rows",
+    "distinct_values",
+    "epoch_seconds",
+    "falsy_suppression",
+    "filter_equality",
+    "limit_page",
+    "math_functions",
+    "rename_projection",
+    "scan_projection",
+    "speculative_parse",
+    "top_k",
+    # ... then 28 of the 48 r8-latest queries, higher-churn code
+    # paths first (dedup / multimodal / embedding share helpers that
+    # moved in the r9-r10 band-store + codec refactors; el exercises
+    # the sink plumbing the stores build on; text/corpus share the
+    # shingle and quality expression library). The remaining 20
+    # r8-latest (token/sampling, events/timeseries, joins/analytics
+    # parity — untouched since registration, re-verified green in
+    # every session's full pytest oracle run) roll to the r12 window.
+    "dedup_cleaned_corpus",
+    "dedup_exact",
+    "dedup_minhash_containment",
+    "dedup_near_clusters_checkpointed",
+    "dedup_span_coverage",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "embedding_dim_stats",
+    "embedding_norm_outliers",
+    "embedding_quantize_int8",
+    "el_csv_roundtrip",
+    "el_jsonl_roundtrip",
+    "el_orc_roundtrip",
+    "el_schema_evolution",
+    "el_zorder_roundtrip",
+    "text_boilerplate_ngrams",
+    "text_clean",
+    "text_decontaminate",
+    "text_gopher_quality_flags",
+    "text_repetition_stats",
+    "text_unigram_logprob",
+    "text_zipf_slope",
+    "docs_pii_redact",
+    "contamination_overlap_frac",
+    "corpus_filter_funnel",
+    "corpus_mix_upsample",
+    "corpus_shuffle_shards",
+    "corpus_train_val_split",
 ]
 
 
@@ -144,34 +142,11 @@ def complex_top_level_cols(schema) -> list[str]:
 # NOW; the queue only defers the driver RECORDING, not the check.
 # Entries MUST move to the front of _DRIVER_WINDOW_FIRST next round.
 _NEXT_WINDOW_QUEUE: list[str] = [
-    # r10: SemDeDup-style semantic prune (KMeans + within-cluster
-    # cosine, invariant-oracle pattern) — registered after the r10
-    # window was already committed to the queued TPC-H rows + the
-    # freshness rotation; staged with full pytest-oracle parity for
-    # the r11 window
-    "semdedup_prune_consistency",
-    # r10: baseline-JPEG pixel codec roundtrip (pure stdlib + numpy,
-    # operators/jpeg.py; DC-only blocks are bit-exact, so the oracle
-    # is closed-form — the PNG-codec pattern applied to JPEG)
-    "multimodal_jpeg_pixel_roundtrip",
-    # r10: image near-dedup via 60-bit dHash over the real codecs +
-    # the generic Hamming banding (full value oracle: closed-form
-    # pixel rule -> closed-form hashes -> brute-force pairs in SQL)
-    "multimodal_image_dhash_neardup",
-    # r10: PCM WAV audio decode roundtrip (pure-stdlib RIFF parse +
-    # interleaved int16 PCM, operators/audio.py; closed-form oracle)
-    "multimodal_wav_audio_stats",
-    # r10: ISO-BMFF (MP4) container-metadata extraction (pure-stdlib
-    # box walk, operators/video.py; closed-form oracle) — the
-    # pre-decode filter stage of the video modality
-    "multimodal_mp4_metadata",
-    # r10: real image feature-extract/resize (area-pooled cell sums
-    # through the codecs; closed-form oracle, long format)
-    "multimodal_image_cell_features",
-    # r10: incremental image dedup — new-batch dhashes probed against
-    # a corpus fingerprint index via the banded Hamming equi-join
-    # (full value oracle: both hash sets closed-form in SQL)
-    "multimodal_image_dhash_incremental",
+    # empty at the start of r11: all 7 r10-queued entries moved to the
+    # front of _DRIVER_WINDOW_FIRST for their first driver rows, as
+    # the staging contract requires. New r11 queries either rotate
+    # into the window (displacing long-stable green anchors) or are
+    # staged here with full pytest-oracle parity.
 ]
 
 

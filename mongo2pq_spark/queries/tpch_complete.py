@@ -231,10 +231,10 @@ def q11_important_parts(spark, sf_dir):
     """
     SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
                 THEN 'SLOW' ELSE 'FAST' END AS delay_class,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -243,7 +243,11 @@ def q11_important_parts(spark, sf_dir):
     doc="TPC-H Q12-style shipping-priority split. No l_shipmode/commit "
         "dates, so lines bucket by shipping DELAY (ship − order > 60 days "
         "= SLOW); the priority CASE-sum shape is unchanged. Timestamps are "
-        "midnight-aligned, so day arithmetic is exact in both engines",
+        "midnight-aligned, so day arithmetic is exact in both engines. "
+        "The sums are CAST AS BIGINT: DuckDB types an un-cast integer "
+        "sum() HUGEINT, which the driver's pandas canonicalizer renders "
+        "as float ('2936.0' vs Spark's '2936') — the sole red row in "
+        "CORRECTNESS_r10",
 )
 def q12_delay_priority(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem").filter(

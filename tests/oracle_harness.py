@@ -76,6 +76,18 @@ def compare_query(spark, spec, sf_dir: str, con=None) -> dict:
     try:
         rel = con.sql(spec.oracle)
         duck_cols = list(rel.columns)
+        # Driver-typing guard: the driver canonicalizes through pandas,
+        # where a DuckDB HUGEINT (the type of any un-cast integer
+        # sum()) becomes float64 and renders '2936.0' vs Spark's
+        # '2936' — a hash mismatch this harness's fetchall() path
+        # (Python int) silently masks (CORRECTNESS_r10
+        # q12_delay_priority). Surface those columns so the test can
+        # demand an explicit CAST in the oracle SQL.
+        result["hugeint_cols"] = [
+            c
+            for c, t in zip(duck_cols, rel.types)
+            if str(t).upper() in ("HUGEINT", "UHUGEINT")
+        ]
         duck_rows = rel.fetchall()
     finally:
         if own_con:

@@ -214,3 +214,28 @@ def test_complex_col_guard_trips_on_synthetic_violation(spark):
         F.col("id"),
     )
     assert complex_top_level_cols(df.schema) == ["arr", "st", "mp"]
+
+
+def test_hugeint_guard_trips_on_uncast_integer_sum(tmp_path: Path):
+    """The oracle harness must flag DuckDB HUGEINT result columns: an
+    un-cast integer sum() types HUGEINT, which the DRIVER's pandas
+    canonicalizer converts to float64 ('2936.0' vs Spark's '2936' —
+    the sole red row in CORRECTNESS_r10, q12_delay_priority) while the
+    harness's fetchall() path preserves Python int and masks it."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        rel = con.sql("SELECT sum(x) AS s, CAST(sum(x) AS BIGINT) AS ok "
+                      "FROM (VALUES (1), (2)) t(x)")
+        flagged = [
+            c
+            for c, t in zip(rel.columns, rel.types)
+            if str(t).upper() in ("HUGEINT", "UHUGEINT")
+        ]
+        assert flagged == ["s"]
+        # and the pandas path really does diverge from fetchall
+        assert rel.fetchall() == [(3, 3)]
+        assert str(rel.df()["s"].dtype) == "float64"
+    finally:
+        con.close()
