@@ -147,3 +147,71 @@ def wav_audio_stats(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(stat_batches, WAV_STATS_SCHEMA)
+
+
+AUDIO_FP_WINDOWS = 61     # 61 envelope windows -> 60 gradient bits
+AUDIO_FP_SCHEMA = "doc_id bigint, afp bigint"
+
+
+def audio_envelope_bits(arr) -> int:
+    """60-bit energy-envelope fingerprint of an ``(n_frames, n_ch)``
+    sample array: channel-mean mono mix → mean-|amplitude| envelope
+    area-pooled to 61 windows (the 1-D analog of the dHash resample,
+    same clamped integer bin edges) → bit i set iff window i+1 is
+    louder than window i. Sign-of-gradient over the envelope is the
+    simplified Haitsma–Kalman audio-fingerprint shape: invariant to
+    any positive gain (scaling every sample scales every window mean,
+    preserving all comparisons) and to duplicating a channel, which is
+    exactly what byte-level dedup of re-mastered/re-encoded audio
+    misses. For input of exactly 61 frames the pooling is the
+    identity, which is what lets a SQL oracle recompute the hash from
+    a closed-form sample rule (the dHash oracle trick)."""
+    import numpy as np
+
+    mono = np.abs(arr.astype(np.float64).mean(axis=1))
+    n = mono.shape[0]
+    w = AUDIO_FP_WINDOWS
+    edges = [(i * n) // w for i in range(w + 1)]
+    env = np.array([
+        mono[edges[i]:max(edges[i + 1], edges[i] + 1)].mean()
+        for i in range(w)
+    ])
+    bits = 0
+    for i in range(w - 1):
+        if env[i + 1] > env[i]:
+            bits |= 1 << i
+    return bits
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched perceptual AUDIO fingerprint: mapInPandas decoding
+    each PCM WAV payload through the real codec and emitting its 60-bit
+    envelope hash. Map-only (no shuffle), cost ∝ total payload bytes;
+    feed the result to ``operators.dedup.hamming_near_pairs`` /
+    ``hamming_incremental_new`` — the same audited pigeonhole banding
+    that backs text simhash and image dHash, so audio near-dedup
+    inherits the equi-join (never all-pairs) scale shape and the
+    O(increment) corpus-index probe for free."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def fp_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "afp": [
+                        audio_envelope_bits(
+                            decode_wav_samples(bytes(p))[2]
+                        )
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(fp_batches, AUDIO_FP_SCHEMA)

@@ -5,14 +5,21 @@ Catalyst has no cross-branch common-subexpression elimination, and
 alias-renamed sides of a self-join — so a computed stream feeding k
 consumers executes k times unless persisted. The contract that keeps
 persists from ACCUMULATING across a long-running session: each
-`cache_stream` call first releases every previously registered cache,
-UNLESS a live cache is semantically the same plan
-(`df.sameSemantics`), in which case it is returned as-is — repeated
-invocations of the same operator (a pairs query followed by a clusters
-query built on the same pairs, a bench repeat, a retried shard) hit
-the warm cache instead of recomputing. At most ONE stream is resident
-between calls — O(1), not O(#queries); `release_caches()` empties
-even that.
+`cache_stream` call evicts the OLDEST registered cache beyond a
+capacity of ``_MAX_LIVE`` (2), UNLESS a live cache is semantically the
+same plan (`df.sameSemantics`), in which case it is returned as-is —
+repeated invocations of the same operator (a pairs query followed by
+a clusters query built on the same pairs, a bench repeat, a retried
+shard) hit the warm cache instead of recomputing. Capacity 2, not 1,
+because cached streams NEST one level: a query may cache an operator
+RESULT whose plan contains the operator's own internally cached
+sub-stream (semdedup_prune's assignment under
+semdedup_prune_consistency's result — the r11 case that forced this;
+with capacity 1 the outer registration evicted the inner cache before
+the outer ever materialized, and the assignment subtree recomputed
+per branch of the outer plan, measurably SLOWER than no outer cache
+at all). At most TWO streams are resident between calls — O(1), not
+O(#queries); `release_caches()` empties even those.
 
 The memo is keyed by the logical plan, so like Spark's own
 CacheManager it assumes the underlying source files do not change
@@ -26,6 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _LIVE_CACHES: list[DataFrame] = []
+
+#: max resident cached streams = max observed cache NESTING depth (an
+#: operator-internal sub-stream under a query-level result cache)
+_MAX_LIVE = 2
 
 
 def release_caches() -> None:
@@ -42,7 +53,10 @@ def cache_stream(df: DataFrame) -> DataFrame:
     for live in _LIVE_CACHES:
         if live.sameSemantics(df):
             return live
-    release_caches()
+    while len(_LIVE_CACHES) >= _MAX_LIVE:
+        # FIFO: the oldest stream is the one least likely to be a
+        # live sub-plan of the stream being registered now
+        _LIVE_CACHES.pop(0).unpersist(False)
     cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     _LIVE_CACHES.append(cached)
     return cached

@@ -142,11 +142,17 @@ def complex_top_level_cols(schema) -> list[str]:
 # NOW; the queue only defers the driver RECORDING, not the check.
 # Entries MUST move to the front of _DRIVER_WINDOW_FIRST next round.
 _NEXT_WINDOW_QUEUE: list[str] = [
-    # empty at the start of r11: all 7 r10-queued entries moved to the
-    # front of _DRIVER_WINDOW_FIRST for their first driver rows, as
-    # the staging contract requires. New r11 queries either rotate
-    # into the window (displacing long-stable green anchors) or are
-    # staged here with full pytest-oracle parity.
+    # (all 7 r10-queued entries moved to the front of
+    # _DRIVER_WINDOW_FIRST at the start of r11, as the staging
+    # contract requires)
+    #
+    # r11: audio near-dedup — gain/channel-invariant 60-bit envelope
+    # fingerprint through the real WAV codec + the generic Hamming
+    # banding (full value oracle: closed-form sample rule -> closed-
+    # form hashes -> brute-force pairs in SQL); registered after the
+    # r11 window was committed to the 7 queued r10 entries + q12 +
+    # the freshness rotation
+    "multimodal_audio_fp_neardup",
 ]
 
 

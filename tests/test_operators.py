@@ -452,10 +452,11 @@ def _n_persistent_rdds(spark) -> int:
 def test_dedup_cache_contract_is_bounded(spark, sf_dir):
     """ngram_jaccard_pairs persists its guarded+windowed shingle stream
     (the two self-join sides would otherwise recompute it — measured 2×
-    end-to-end at sf0.1). The bounded contract: each new operator call
-    releases its predecessor's cache, so a long-running pipeline
-    invoking these per-shard holds at most ONE live cache — and
-    release_caches() empties even that."""
+    end-to-end at sf0.1). The bounded contract: the registry holds at
+    most _MAX_LIVE (2) streams — capacity for one level of cache
+    NESTING, not one per query — so a long-running pipeline invoking
+    these per-shard stays O(1), and release_caches() empties even
+    those."""
     from mongo2pq_spark.operators.dedup import (
         minhash_jaccard_estimates,
         ngram_jaccard_pairs,
@@ -468,10 +469,42 @@ def test_dedup_cache_contract_is_bounded(spark, sf_dir):
     ngram_jaccard_pairs(docs, threshold=0.5).collect()
     ngram_jaccard_pairs(docs, threshold=0.4).collect()
     minhash_jaccard_estimates(docs).collect()
-    # three consecutive queries: at most one cache is live, not three
-    assert _n_persistent_rdds(spark) - before <= 1
+    # three consecutive queries: at most two caches live, not three
+    assert _n_persistent_rdds(spark) - before <= 2
     release_caches()
     assert _n_persistent_rdds(spark) <= before
+
+
+def test_cache_stream_nesting_keeps_inner_cache_alive(spark):
+    """A query-level cache of an operator RESULT must not evict the
+    operator's own internally cached sub-stream before the result
+    materializes (the r11 semdedup regression: with a 1-slot registry
+    the outer registration unpersisted the inner assignment cache, and
+    the assignment subtree recomputed per branch of the outer plan —
+    SLOWER than no outer cache at all)."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.cache import (
+        _LIVE_CACHES,
+        cache_stream,
+        release_caches,
+    )
+
+    release_caches()
+    def live(df):
+        # DataFrame.__eq__ builds a Column, so `in` can't be used
+        return any(c is df for c in _LIVE_CACHES)
+
+    inner = cache_stream(spark.range(100).withColumn("x", F.col("id") * 2))
+    outer = cache_stream(inner.groupBy((F.col("x") % 10).alias("b")).count())
+    assert live(inner) and live(outer)
+    assert outer.count() == 5  # even x -> 5 residues mod 10
+    # a third registration FIFO-evicts the oldest (inner) only
+    third = cache_stream(spark.range(7).select("id"))
+    assert not live(inner)
+    assert live(outer) and live(third)
+    release_caches()
+    assert _LIVE_CACHES == []
 
 
 def test_minhash_estimate_self_join_reuses_exchange(spark, sf_dir):
@@ -1645,3 +1678,63 @@ def test_codec_review_hardening_envelope():
     padded = jp[:sof] + b"\xff\xff\xff" + jp[sof:]
     h, w, c, out = decode_jpeg_pixels(padded)
     assert (h, w, c) == (8, 8, 1) and int(out[0, 0, 0]) == 55
+
+
+def test_audio_fingerprint_invariances_and_banded_pairs(spark):
+    """The envelope fingerprint must survive what byte-dedup can't: a
+    gain remaster and a channel duplication produce DIFFERENT payloads
+    with the SAME hash; long audio pools to the 61-window envelope
+    (pinned against a brute-force numpy recompute); the banded pair
+    join must equal brute-force Hamming <= 3 over the hashes."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.audio import (
+        AUDIO_FP_WINDOWS,
+        audio_envelope_bits,
+        audio_fingerprint,
+        encode_wav,
+    )
+    from mongo2pq_spark.operators.dedup import hamming_near_pairs
+
+    rng = np.random.RandomState(23)
+    base = rng.randint(-4000, 4000, (977,)).astype("int16")  # non-divisible
+    variants = {
+        0: encode_wav(base),
+        1: encode_wav((base * 3).astype("int16")),            # gain remaster
+        2: encode_wav(np.stack([base, base], axis=1)),        # mono -> stereo
+        3: encode_wav(rng.randint(-4000, 4000, (977,)).astype("int16")),
+    }
+    assert len(set(variants.values())) == 4  # all bytes differ
+    # pooling path pinned against an independent brute-force recompute
+    mono = np.abs(base.astype("float64"))
+    w = AUDIO_FP_WINDOWS
+    edges = [(i * 977) // w for i in range(w + 1)]
+    expected = 0
+    env = [mono[edges[i]:edges[i + 1]].mean() for i in range(w)]
+    for i in range(w - 1):
+        if env[i + 1] > env[i]:
+            expected |= 1 << i
+    assert audio_envelope_bits(base[:, None]) == expected
+
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in variants.items()],
+        "doc_id bigint, payload binary",
+    )
+    hashes = {r.doc_id: r.afp for r in audio_fingerprint(df).collect()}
+    assert hashes[0] == expected  # executors == local reference
+    assert hashes[0] == hashes[1] == hashes[2]
+    pairs = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_near_pairs(
+            audio_fingerprint(df), "afp", max_hamming=3, bits=60
+        ).collect()
+    }
+    brute = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    assert pairs == brute
+    assert (0, 1, 0) in pairs and (0, 2, 0) in pairs
+    assert not any(3 in (a, b) for a, b, _ in pairs)  # unrelated audio

@@ -641,3 +641,11 @@ def test_image_dhash_neardup_plan_is_banded_equi_join(spark, sf_dir):
     plan = _formatted(spark, sf_dir, "multimodal_image_dhash_neardup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audio_fp_neardup_plan_is_banded_equi_join(spark, sf_dir):
+    """Audio near-dedup must inherit the generic Hamming banding's
+    scale shape: band equi-join candidates, never an all-pairs join."""
+    plan = _formatted(spark, sf_dir, "multimodal_audio_fp_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
