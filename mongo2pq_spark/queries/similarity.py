@@ -8,7 +8,6 @@ neighbor id, so orderings are engine-stable.
 from __future__ import annotations
 
 from mongo2pq_spark.operators import similarity as ops
-from mongo2pq_spark.operators.cache import cache_stream
 from mongo2pq_spark.queries.registry import register
 
 _DIM = 64
@@ -295,13 +294,15 @@ def semdedup_prune_consistency(spark, sf_dir):
     from mongo2pq_spark.sources.registry import read_sf_table
 
     emb = read_sf_table(spark, sf_dir, "embeddings")
-    # cache: the prune result feeds THREE consumers below (labeled →
-    # a/b, plus the final join) and Catalyst re-executes the KMeans
-    # fit per consumer without it (verdict r10 "What's wrong" #2 — the
-    # suite's most expensive bench entry at 5.47 s was the doubled fit)
-    res = cache_stream(
-        ops.semdedup_prune(emb, n_clusters=16, threshold=0.4, dim=_DIM)
-    )
+    # DELIBERATELY not cache_stream-ed (measured r11, A/B at sf0.1):
+    # res feeds three consumers, but the a/b branches prune away the
+    # expensive dropped-set anti-join (they only need vec_id/cluster),
+    # so uncached the prune join runs ONCE (in the final branch) over
+    # the operator's cached assignment — warm 2.9 s. Caching res
+    # forces materializing the FULL plan incl. the left join before
+    # any branch can prune, measured 4.8 s warm. Catalyst's
+    # cross-branch column pruning beats the cache here.
+    res = ops.semdedup_prune(emb, n_clusters=16, threshold=0.4, dim=_DIM)
     labeled = res.join(emb.select("vec_id", "embedding"), "vec_id")
     a = labeled.select(
         "cluster",
