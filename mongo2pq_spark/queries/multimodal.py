@@ -880,3 +880,153 @@ def multimodal_audio_fp_neardup(spark, sf_dir):
     )
     fp = audio_ops.audio_fingerprint(with_wav)
     return hamming_near_pairs(fp, "afp", max_hamming=3, bits=60)
+
+
+@register(
+    "multimodal_audio_fp_incremental",
+    """
+    WITH corpus_s AS (
+        SELECT doc_id, i.i AS i,
+               CASE WHEN doc_id % 5 = 0 AND i.i = 30 THEN 32000
+                    ELSE (1 + (doc_id // 40) % 6) *
+                         (((23 * (i.i + 1) * ((doc_id % 40) + 3)
+                            + 41 * i.i) % 1901) - 950)
+               END AS v
+        FROM documents, generate_series(0, 60) i(i)
+        WHERE doc_id < 240
+    ),
+    corpus_h AS (
+        SELECT a.doc_id,
+               CAST(sum(CASE WHEN abs(b.v) > abs(a.v)
+                             THEN CAST(1 AS BIGINT) << a.i
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS afp
+        FROM corpus_s a JOIN corpus_s b
+          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE a.i < 60 GROUP BY a.doc_id
+    ),
+    inc_s AS (
+        SELECT doc_id, i.i AS i,
+               CASE WHEN doc_id % 3 = 0 THEN
+                   CASE WHEN (doc_id - 300) % 5 = 0 AND i.i = 30 THEN 32000
+                        ELSE 7 * (((23 * (i.i + 1)
+                                    * (((doc_id - 300) % 40) + 3)
+                                    + 41 * i.i) % 1901) - 950)
+                   END
+               ELSE ((29 * (i.i + 1) * ((doc_id % 37) + 5)
+                      + 13 * i.i) % 1801) - 900
+               END AS v
+        FROM documents, generate_series(0, 60) i(i)
+        WHERE doc_id >= 300 AND doc_id < 400
+    ),
+    inc_h AS (
+        SELECT a.doc_id,
+               CAST(sum(CASE WHEN abs(b.v) > abs(a.v)
+                             THEN CAST(1 AS BIGINT) << a.i
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS afp
+        FROM inc_s a JOIN inc_s b
+          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE a.i < 60 GROUP BY a.doc_id
+    )
+    SELECT i.doc_id, i.afp,
+           NOT EXISTS (
+               SELECT 1 FROM corpus_h c
+               WHERE bit_count(xor(c.afp, i.afp)) <= 3
+           ) AS is_new
+    FROM inc_h i
+    """,
+    doc="Incremental AUDIO dedup against a corpus fingerprint index, "
+        "end to end on the real WAV codec: the corpus is the 240 "
+        "closed-form envelope streams of multimodal_audio_fp_neardup; "
+        "the increment re-crawls a third of its docs RE-MASTERED at "
+        "gain 7 and collapsed to mono (different bytes, different "
+        "channel layout — byte dedup finds nothing) alongside "
+        "genuinely new streams. The envelope fingerprint is gain- and "
+        "channel-duplication-invariant, so the re-masters collide "
+        "with the corpus index at Hamming 0 and are flagged, via "
+        "operators/dedup.py::hamming_incremental_new — the "
+        "increment's bands probe the index's bands (pigeonhole-"
+        "complete equi-join, O(increment·bands)); the corpus appears "
+        "only as one int64 per stream, never samples. The oracle "
+        "recomputes both hash sets from the sample rules and "
+        "brute-forces the Hamming relation",
+)
+def multimodal_audio_fp_incremental(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import audio as audio_ops
+    from mongo2pq_spark.operators.dedup import hamming_incremental_new
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id")
+    corpus_docs = docs.filter(F.col("doc_id") < 240)
+    inc_docs = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 400)
+    )
+
+    def _corpus_rule(np, d, i):
+        gain = 1 + (d // 40) % 6
+        v = gain * ((23 * (i + 1) * ((d % 40) + 3) + 41 * i) % 1901 - 950)
+        if d % 5 == 0:
+            v = v.copy()
+            v[30] = 32000
+        return v
+
+    def corpus_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.audio import encode_wav
+
+        i = np.arange(61)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = _corpus_rule(np, d, i)
+                channels = 1 + d % 2
+                samples = np.repeat(
+                    v[:, None], channels, axis=1
+                ).astype("int16")
+                payloads.append(encode_wav(samples, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def inc_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.audio import encode_wav
+
+        i = np.arange(61)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 3 == 0:  # gain-7 mono re-master of corpus doc d-300
+                    c = d - 300
+                    v = 7 * (
+                        (23 * (i + 1) * ((c % 40) + 3) + 41 * i) % 1901 - 950
+                    )
+                    if c % 5 == 0:
+                        v = v.copy()
+                        v[30] = 32000
+                else:
+                    v = (
+                        (29 * (i + 1) * ((d % 37) + 5) + 13 * i) % 1801
+                    ) - 900
+                payloads.append(
+                    encode_wav(v[:, None].astype("int16"), 8000)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    schema = "doc_id bigint, payload binary"
+    corpus_fp = audio_ops.audio_fingerprint(
+        corpus_docs.mapInPandas(corpus_batches, schema)
+    )
+    inc_fp = audio_ops.audio_fingerprint(
+        inc_docs.mapInPandas(inc_batches, schema)
+    )
+    return hamming_incremental_new(
+        inc_fp, corpus_fp, hash_col="afp", bits=60
+    )

@@ -153,6 +153,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # r11 window was committed to the 7 queued r10 entries + q12 +
     # the freshness rotation
     "multimodal_audio_fp_neardup",
+    # r11: incremental audio dedup — gain-7 mono re-masters probed
+    # against the corpus fingerprint index via the banded Hamming
+    # equi-join (full value oracle: both hash sets closed-form in SQL)
+    "multimodal_audio_fp_incremental",
 ]
 
 
