@@ -74,6 +74,11 @@ HEADLINE = [
     # codec-decode dHash + banded Hamming join
     "semdedup_prune_consistency",
     "multimodal_image_dhash_neardup",
+    # round-11 additions (no pinned baseline yet; tracked for trend):
+    # WAV-codec envelope fingerprint + banded Hamming join, and the
+    # learned-BPE corpus round trip (histogram learn + encode+decode)
+    "multimodal_audio_fp_neardup",
+    "text_bpe_roundtrip_stats",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -1,0 +1,219 @@
+"""Real byte-pair-encoding tokenizer (Sennrich et al. 2016,
+arXiv:1508.07909) — the token-accounting stage of an LLM data pipeline
+(packing budgets, per-doc token costs, vocabulary design), upgrading
+the engine's regex token ESTIMATE (`queries/text.py::_BPE_SQL_PATTERN`)
+to an actual learned subword tokenizer with a lossless decode.
+
+Spark-first split of the algorithm:
+
+- **Learning is driver-side over a BOUNDED word histogram.** The only
+  corpus-scale pass is one JVM-side word count (split at
+  whitespace/non-whitespace boundaries with a built-in regex split +
+  explode + groupBy — map-side combinable, one shuffle), truncated to
+  the top ``max_words`` by (freq, word). The merge loop then runs on
+  that ≤max_words-row table on the driver — the same
+  count-words-then-train-locally shape every industrial tokenizer
+  trainer uses (HuggingFace tokenizers, SentencePiece), because pair
+  statistics over a word HISTOGRAM are exactly pair statistics over
+  the corpus, at 1/duplication the size. At 100 TB the histogram
+  shuffle is the cost; the driver sees ≤max_words rows, never text.
+- **Encoding is an Arrow-batched map.** Merge ranks broadcast via
+  task closure (a few KB); per-batch memoization over distinct words
+  (natural-language corpora repeat words heavily, so the per-word
+  merge loop amortizes to ~O(distinct words) per batch). Map-only —
+  no shuffle, cost ∝ total text bytes.
+
+Losslessness by construction: the pre-tokenizer splits at
+whitespace boundaries into alternating non-space/space runs whose
+concatenation is exactly the input (both runs are BPE'd as byte
+sequences — whitespace is vocabulary too, GPT-2-style), and a merge
+only ever concatenates adjacent byte strings, so joining the final
+tokens reproduces the input bytes verbatim. The registered query
+oracle-checks that round trip by md5 against the source column.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: split BETWEEN a space-run and a non-space-run (zero-width, both
+#: directions) — keeps every byte, yields alternating runs. The Java
+#: regex in learn_bpe's JVM split and this Python one must agree;
+#: test_bpe_pretokenize_matches_jvm_split pins that.
+_BOUNDARY = re.compile(r"(?<=\s)(?=\S)|(?<=\S)(?=\s)")
+_JVM_BOUNDARY = "(?<=\\s)(?=\\S)|(?<=\\S)(?=\\s)"
+
+#: merges below this corpus frequency are noise (standard BPE
+#: min_frequency): learning them would overfit the histogram tail
+_MIN_PAIR_FREQ = 2
+
+
+def pretokenize(text: str) -> list[str]:
+    """Lossless split into alternating non-space/space runs:
+    ``"".join(pretokenize(t)) == t`` for every string."""
+    return _BOUNDARY.split(text) if text else []
+
+
+def _pair_counts(vocab: list[tuple[list[bytes], int]]):
+    counts: dict[tuple[bytes, bytes], int] = {}
+    for symbols, freq in vocab:
+        for i in range(len(symbols) - 1):
+            pair = (symbols[i], symbols[i + 1])
+            counts[pair] = counts.get(pair, 0) + freq
+    return counts
+
+
+def _merge_pair(symbols: list[bytes], a: bytes, b: bytes) -> list[bytes]:
+    out: list[bytes] = []
+    i = 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def learn_bpe_local(
+    word_freqs: list[tuple[bytes, int]], n_merges: int = 200
+) -> list[tuple[bytes, bytes]]:
+    """Classic BPE merge learning over a word histogram: repeatedly
+    merge the most frequent adjacent symbol pair (ties broken by the
+    pair's bytes for determinism), stopping early when the best pair
+    drops below the noise floor. Pure local reference — the
+    distributed entry point is ``learn_bpe``."""
+    vocab = [
+        ([w[i:i + 1] for i in range(len(w))], f) for w, f in word_freqs if w
+    ]
+    merges: list[tuple[bytes, bytes]] = []
+    for _ in range(n_merges):
+        counts = _pair_counts(vocab)
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < _MIN_PAIR_FREQ:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        vocab = [
+            (_merge_pair(s, a, b) if a in s else s, f) for s, f in vocab
+        ]
+    return merges
+
+
+def word_histogram(
+    df: DataFrame, text_col: str = "text", max_words: int = 30_000
+) -> DataFrame:
+    """The corpus-scale half of BPE learning: JVM-side boundary split
+    → explode → groupBy(word) count (map-side combinable, ONE
+    shuffle), truncated to the ``max_words`` most frequent words
+    (ties by word for determinism). Returns ``(word, freq)``."""
+    return (
+        df.select(
+            F.explode(F.split(F.col(text_col), _JVM_BOUNDARY)).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(max_words)
+    )
+
+
+def learn_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    max_words: int = 30_000,
+) -> list[tuple[bytes, bytes]]:
+    """Distributed-histogram BPE learning (module docstring): the
+    corpus pass is ``word_histogram``; the merge loop runs driver-side
+    on the bounded result. Deterministic for a given corpus."""
+    rows = word_histogram(df, text_col, max_words).collect()
+    return learn_bpe_local(
+        [(r["word"].encode("utf-8"), r["freq"]) for r in rows], n_merges
+    )
+
+
+def encode_word(
+    wb: bytes, ranks: dict[tuple[bytes, bytes], int]
+) -> list[bytes]:
+    """Apply learned merges to one word: repeatedly merge every
+    occurrence of the present pair with the lowest (earliest-learned)
+    rank — the canonical BPE inference loop."""
+    parts = [wb[i:i + 1] for i in range(len(wb))]
+    while len(parts) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (parts[i], parts[i + 1])
+        if best_pair is None:
+            break
+        parts = _merge_pair(parts, *best_pair)
+    return parts
+
+
+BPE_STATS_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, n_tokens bigint, "
+    "max_token_len int, roundtrip_md5 string"
+)
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    merges: list[tuple[bytes, bytes]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched BPE encode emitting per-doc token accounting plus
+    a DECODED round-trip digest: ``n_bytes`` (UTF-8), ``n_tokens``,
+    the longest token's byte length, and md5 of the concatenated
+    decoded tokens — equal to md5 of the source text iff
+    pretokenize ∘ encode ∘ decode is the identity, which makes
+    losslessness fully value-oracle-checkable in SQL. Map-only; merge
+    ranks ride the task closure; per-batch word memoization."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def stat_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        cache: dict[str, list[bytes]] = {}
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_bytes": [], "n_tokens": [],
+                "max_token_len": [], "roundtrip_md5": [],
+            }
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                tokens: list[bytes] = []
+                for w in pretokenize(text):
+                    hit = cache.get(w)
+                    if hit is None:
+                        hit = cache[w] = encode_word(
+                            w.encode("utf-8"), ranks
+                        )
+                    tokens.extend(hit)
+                decoded = b"".join(tokens)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(text.encode("utf-8")))
+                out["n_tokens"].append(len(tokens))
+                out["max_token_len"].append(
+                    max((len(t) for t in tokens), default=0)
+                )
+                out["roundtrip_md5"].append(
+                    hashlib.md5(decoded).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(stat_batches, BPE_STATS_SCHEMA)

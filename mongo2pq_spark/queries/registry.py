@@ -157,6 +157,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # against the corpus fingerprint index via the banded Hamming
     # equi-join (full value oracle: both hash sets closed-form in SQL)
     "multimodal_audio_fp_incremental",
+    # r11: real learned BPE tokenization (operators/bpe.py) — 200
+    # merges from the corpus word histogram, encode+decode in
+    # mapInPandas; oracle value-checks the lossless round trip by md5
+    # against the source column
+    "text_bpe_roundtrip_stats",
 ]
 
 

@@ -395,3 +395,46 @@ def text_zipf_slope(spark, sf_dir):
         F.round(F.regr_slope(lnf, lnr), 6).alias("zipf_slope"),
         F.round(F.regr_r2(lnf, lnr), 6).alias("zipf_r2"),
     )
+
+
+@register(
+    "text_bpe_roundtrip_stats",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS roundtrip_md5,
+           true AS bounds_ok
+    FROM documents
+    """,
+    doc="REAL learned BPE tokenization (Sennrich et al. 2016), end to "
+        "end: 200 merges are learned from THIS corpus's word "
+        "histogram (one JVM-side boundary-split + groupBy shuffle, "
+        "driver sees only the bounded histogram — the industrial "
+        "count-words-then-train shape, operators/bpe.py), every doc "
+        "is encoded and DECODED back in Arrow-batched mapInPandas, "
+        "and the result carries md5 of the decoded bytes plus token-"
+        "count sanity bounds (n_tokens <= n_bytes and n_tokens * "
+        "max_token_len >= n_bytes). The oracle recomputes md5/strlen "
+        "from the source column, so a hash match PROVES the learned "
+        "tokenizer round-trips the whole corpus losslessly — the "
+        "property a packing/budgeting pipeline stakes its token "
+        "accounting on. Exact merge sequences and token counts are "
+        "pinned by unit tests (SQL cannot run the merge loop itself)",
+)
+def text_bpe_roundtrip_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.bpe import bpe_encode_stats, learn_bpe
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # eager bounded collect at build time (like the KMeans fit in
+    # semdedup): the driver sees <=30k histogram rows, never text
+    merges = learn_bpe(docs, n_merges=200)
+    stats = bpe_encode_stats(docs, merges)
+    bounds = (F.col("n_tokens") <= F.col("n_bytes")) & (
+        F.col("n_tokens") * F.col("max_token_len") >= F.col("n_bytes")
+    )
+    return stats.select(
+        "doc_id", "n_bytes", "roundtrip_md5", bounds.alias("bounds_ok")
+    )

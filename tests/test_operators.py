@@ -1738,3 +1738,113 @@ def test_audio_fingerprint_invariances_and_banded_pairs(spark):
     assert pairs == brute
     assert (0, 1, 0) in pairs and (0, 2, 0) in pairs
     assert not any(3 in (a, b) for a, b, _ in pairs)  # unrelated audio
+
+
+def test_bpe_learn_canonical_example():
+    """The Sennrich et al. reference corpus must learn the textbook
+    merge sequence (es, est, lo, low, ...) with deterministic
+    tie-breaks, and encoding must apply ranks lowest-first."""
+    from mongo2pq_spark.operators.bpe import encode_word, learn_bpe_local
+
+    wf = [(b"low", 5), (b"lower", 2), (b"newest", 6), (b"widest", 3)]
+    merges = learn_bpe_local(wf, n_merges=6)
+    assert merges[:4] == [
+        (b"e", b"s"), (b"es", b"t"), (b"l", b"o"), (b"lo", b"w"),
+    ]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert encode_word(b"lowest", ranks) == [b"low", b"est"]
+    # unseen bytes fall through as single-byte tokens, still lossless
+    assert b"".join(encode_word(b"z\xfflow", ranks)) == b"z\xfflow"
+
+
+def test_bpe_pretokenize_matches_jvm_split(spark):
+    """The Python encode-time pre-tokenizer and the JVM histogram-time
+    split must produce identical word units, or the learned merges
+    would not match the encoded text."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.bpe import _JVM_BOUNDARY, pretokenize
+
+    texts = ["hello  world", " lead", "trail ", "a\n\tb  c", "", "x",
+             "héllo  wörld ", "  "]
+    rows = (
+        spark.createDataFrame([(t,) for t in texts], "text string")
+        .select(
+            "text",
+            F.split(F.col("text"), _JVM_BOUNDARY).alias("jvm"),
+        )
+        .collect()
+    )
+    for r in rows:
+        jvm = [p for p in r["jvm"] if p]
+        assert jvm == pretokenize(r["text"]), repr(r["text"])
+        assert "".join(jvm) == r["text"]
+
+
+def test_bpe_distributed_learn_matches_local(spark):
+    """learn_bpe's JVM histogram + driver loop must equal the pure
+    local reference over the same corpus."""
+    from collections import Counter
+
+    from mongo2pq_spark.operators.bpe import (
+        learn_bpe,
+        learn_bpe_local,
+        pretokenize,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "cats and dogs and cats",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    hist = Counter(w for t in texts for w in pretokenize(t))
+    local = learn_bpe_local(
+        [(w.encode(), f) for w, f in
+         sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))],
+        n_merges=30,
+    )
+    assert learn_bpe(df, n_merges=30) == local
+
+
+def test_bpe_encode_stats_exact_and_lossless(spark):
+    """Exact per-doc token accounting pinned against a hand-traceable
+    vocabulary, and the decoded md5 equals the source md5 (the
+    property the registered query stakes its oracle on) — including
+    multi-byte UTF-8 and empty docs."""
+    import hashlib
+
+    from mongo2pq_spark.operators.bpe import (
+        bpe_encode_stats,
+        encode_word,
+        learn_bpe,
+        pretokenize,
+    )
+
+    texts = {
+        0: "aaa bb aaa bb aaa",
+        1: "aaa aaa  bbaaa",
+        2: "",
+        3: "héllo héllo héllo",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id bigint, text string"
+    )
+    merges = learn_bpe(df, n_merges=50)
+    ranks = {p: i for i, p in enumerate(merges)}
+    rows = {r["doc_id"]: r for r in bpe_encode_stats(df, merges).collect()}
+    for k, t in texts.items():
+        expected = [
+            tok for w in pretokenize(t)
+            for tok in encode_word(w.encode(), ranks)
+        ]
+        assert rows[k]["n_tokens"] == len(expected)
+        assert rows[k]["n_bytes"] == len(t.encode())
+        assert rows[k]["roundtrip_md5"] == hashlib.md5(
+            t.encode()
+        ).hexdigest()
+        assert rows[k]["max_token_len"] == max(
+            (len(x) for x in expected), default=0
+        )
+    # the learned vocabulary actually compresses the repeated words
+    assert rows[0]["n_tokens"] < len(texts[0].encode())

@@ -649,3 +649,11 @@ def test_audio_fp_neardup_plan_is_banded_equi_join(spark, sf_dir):
     plan = _formatted(spark, sf_dir, "multimodal_audio_fp_neardup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_roundtrip_encode_stage_is_map_only(spark, sf_dir):
+    """The BPE ENCODE stage must be shuffle-free: one scan feeding
+    mapInPandas and a projection (the histogram shuffle happens in the
+    separate bounded learning job at build time, never per-row)."""
+    plan = _formatted(spark, sf_dir, "text_bpe_roundtrip_stats")
+    assert "Exchange" not in plan

@@ -338,3 +338,29 @@ def test_png_roundtrip_exact_property(h, w, c, seed):
     hh, ww, cc, out = decode_png_pixels(encode_png(img))
     assert (hh, ww, cc) == (h, w, c)
     assert np.array_equal(out, img)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_bpe_pretokenize_is_lossless(text):
+    """Concatenating the pre-tokenizer's runs must reproduce any
+    input exactly — the foundation of the BPE round-trip oracle."""
+    from mongo2pq_spark.operators.bpe import pretokenize
+
+    parts = pretokenize(text)
+    assert "".join(parts) == text
+    assert all(parts)  # no empty runs
+
+
+@given(st.binary(max_size=40), st.integers(min_value=0, max_value=20))
+@settings(max_examples=150, deadline=None)
+def test_bpe_encode_word_roundtrips_any_bytes(word, n_merges):
+    """encode_word must be lossless for ANY byte string under ANY
+    (deterministically learned) merge table."""
+    from mongo2pq_spark.operators.bpe import encode_word, learn_bpe_local
+
+    merges = learn_bpe_local(
+        [(b"abab", 9), (b"bcbc", 5), (word, 3)], n_merges=n_merges
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert b"".join(encode_word(word, ranks)) == word
