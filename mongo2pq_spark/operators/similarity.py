@@ -716,3 +716,96 @@ def semdedup_prune(
         F.col("cluster").cast("bigint").alias("cluster"),
         F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
     )
+
+
+def embedding_incremental_near_dups(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    threshold: float = 0.4,
+    n_tables: int = NEAR_DUP_TABLES,
+    n_hyperplanes: int = NEAR_DUP_PLANES,
+    dim: int = 64,
+    seed: int = 7,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental EMBEDDING dedup — the new-batch-vs-corpus ingestion
+    pattern for the vector modality, completing the incremental matrix
+    (text digests/bands, image/audio Hamming fingerprints, now
+    embedding LSH buckets): flag each new-batch vector by whether its
+    exact cosine to ANY corpus vector reaches ``threshold``, with
+    candidates restricted to multi-table LSH bucket collisions.
+    Returns the new batch's ``(id, is_new)``.
+
+    Scale shape: the increment's L bucket ids probe the corpus
+    assignments via an equi-join on (table_id, bucket) —
+    O(increment·L + collisions), the corpus is never pair-joined with
+    itself. At deployment the corpus side is a PERSISTED index (the
+    (id, table_id, bucket) projection plus the id→vector table,
+    bucketed by id for a co-located verify join, appended per
+    increment exactly like the band stores in plans/bandstore_core) —
+    here it is computed in-flight because the registered fixture's
+    corpus is small. The bucket-size cap applies to the CORPUS side
+    (the increment is bounded by definition): a degenerate corpus
+    bucket is dropped from candidate generation, which can only
+    UNDER-flag (an is_new=false can still arise via any other table) —
+    the same honesty trade as ``_cap_buckets``. Precision of flagged
+    dups is exact (cosine-verified); recall < 1 by LSH construction,
+    tuned by (n_tables, n_hyperplanes)."""
+    inc_asg = lsh_multi_assignments(
+        new_df, n_tables, n_hyperplanes, dim, seed, id_col, vec_col
+    )
+    idx_asg = _cap_buckets(
+        lsh_multi_assignments(
+            index_df, n_tables, n_hyperplanes, dim, seed, id_col, vec_col
+        ),
+        max_bucket_size,
+    )
+    cand = (
+        inc_asg.select(
+            "table_id", "bucket", F.col(id_col).alias("inc_id")
+        )
+        .join(
+            idx_asg.select(
+                "table_id", "bucket", F.col(id_col).alias("idx_id")
+            ),
+            ["table_id", "bucket"],
+        )
+        .select("inc_id", "idx_id")
+        .distinct()
+    )
+    inc_vec = new_df.select(
+        F.col(id_col).alias("inc_id"),
+        F.col(vec_col).alias("iv"),
+        norm(F.col(vec_col)).alias("inorm"),
+    )
+    idx_vec = index_df.select(
+        F.col(id_col).alias("idx_id"),
+        F.col(vec_col).alias("xv"),
+        norm(F.col(vec_col)).alias("xnorm"),
+    )
+    dup_ids = (
+        cand.join(inc_vec, "inc_id")
+        .join(idx_vec, "idx_id")
+        .filter(
+            F.round(
+                dot(F.col("iv"), F.col("xv"))
+                / (F.col("inorm") * F.col("xnorm")),
+                6,
+            )
+            >= threshold
+        )
+        .select("inc_id")
+        .distinct()
+    )
+    return new_df.select(F.col(id_col)).join(
+        dup_ids.withColumnRenamed("inc_id", id_col).withColumn(
+            "__dup", F.lit(True)
+        ),
+        id_col,
+        "left",
+    ).select(
+        F.col(id_col),
+        F.coalesce(~F.col("__dup"), F.lit(True)).alias("is_new"),
+    )

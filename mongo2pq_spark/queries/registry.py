@@ -162,6 +162,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # mapInPandas; oracle value-checks the lossless round trip by md5
     # against the source column
     "text_bpe_roundtrip_stats",
+    # r11: incremental EMBEDDING dedup — new-batch vectors probe the
+    # corpus LSH bucket index, exact-cosine verified (full value
+    # oracle: identical fixed-seed pipeline in SQL); completes the
+    # incremental matrix across text/image/audio/embedding
+    "embedding_incremental_near_dups",
 ]
 
 

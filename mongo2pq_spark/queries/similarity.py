@@ -337,3 +337,72 @@ def semdedup_prune_consistency(spark, sf_dir):
         res.join(wit, "vec_id", "left")
         .select("vec_id", consistent.alias("prune_consistent"))
     )
+
+
+def _lsh_asg_sql(where: str, n_tables: int, n_hyperplanes: int,
+                 seed: int = 7) -> str:
+    """Per-table assignment UNION mirroring lsh_multi_assignments over
+    a filtered slice of the embeddings view."""
+    return "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, {t} AS table_id, "
+        f"{_lsh_bucket_sql(n_hyperplanes, seed + t)} AS bucket "
+        f"FROM embeddings WHERE {where}"
+        for t in range(n_tables)
+    )
+
+
+@register(
+    "embedding_incremental_near_dups",
+    f"""
+    WITH idx_asg AS (
+        {_lsh_asg_sql('vec_id % 2 = 0', ops.NEAR_DUP_TABLES,
+                      ops.NEAR_DUP_PLANES)}
+    ),
+    idx_capped AS (
+        SELECT vec_id, table_id, bucket FROM idx_asg
+        QUALIFY count(*) OVER (PARTITION BY table_id, bucket)
+                <= {ops.DEFAULT_MAX_BUCKET}
+    ),
+    inc_asg AS (
+        {_lsh_asg_sql('vec_id % 2 = 1', ops.NEAR_DUP_TABLES,
+                      ops.NEAR_DUP_PLANES)}
+    ),
+    cand AS (
+        SELECT DISTINCT i.vec_id AS inc_id, x.vec_id AS idx_id
+        FROM inc_asg i JOIN idx_capped x
+          ON i.table_id = x.table_id AND i.bucket = x.bucket
+    ),
+    dups AS (
+        SELECT DISTINCT inc_id FROM cand
+        JOIN embeddings ei ON ei.vec_id = inc_id
+        JOIN embeddings ex ON ex.vec_id = idx_id
+        WHERE round({_sql_cosine('ei.embedding', 'ex.embedding')}, 6) >= 0.4
+    )
+    SELECT vec_id,
+           NOT EXISTS (SELECT 1 FROM dups d WHERE d.inc_id = vec_id)
+               AS is_new
+    FROM embeddings WHERE vec_id % 2 = 1
+    """,
+    doc="Incremental EMBEDDING dedup against a corpus vector index "
+        "(operators/similarity.py::embedding_incremental_near_dups), "
+        "completing the incremental-ingestion matrix across all four "
+        "content modalities (text digests/bands, image dHash, audio "
+        "envelope, embedding LSH): odd-id vectors arrive as the new "
+        "batch and probe the even-id corpus via the multi-table LSH "
+        "bucket equi-join — O(increment·L + collisions), corpus never "
+        "self-joined — with exact cosine verify at 0.4 and the corpus-"
+        "side bucket cap (degenerate buckets only ever UNDER-flag). "
+        "Deterministic fixed-seed hyperplanes, so the oracle runs the "
+        "identical pipeline in SQL and values match bit-for-bit",
+)
+def embedding_incremental_near_dups(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    index = emb.filter(F.col("vec_id") % 2 == 0)
+    new_batch = emb.filter(F.col("vec_id") % 2 == 1)
+    return ops.embedding_incremental_near_dups(
+        new_batch, index, threshold=0.4, dim=_DIM
+    )

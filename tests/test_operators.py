@@ -1848,3 +1848,54 @@ def test_bpe_encode_stats_exact_and_lossless(spark):
         )
     # the learned vocabulary actually compresses the repeated words
     assert rows[0]["n_tokens"] < len(texts[0].encode())
+
+
+def test_embedding_incremental_flags_match_bruteforce(spark, sf_dir):
+    """The incremental probe's is_new flags must agree with brute-force
+    new-vs-corpus cosine >= threshold wherever LSH recall permits:
+    every flagged dup must be a TRUE dup (precision exact), and the
+    planted exact-duplicate vector must always be caught (identical
+    vectors share every bucket in every table)."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.similarity import (
+        embedding_incremental_near_dups,
+    )
+
+    emb = read_sf_table(spark, sf_dir, "embeddings").limit(60)
+    index = emb.filter(F.col("vec_id") % 2 == 0)
+    # new batch: odd ids + an exact copy of corpus vector 0 under a
+    # fresh id (the re-ingested-content case)
+    copy = index.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    new_batch = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding"
+    ).unionByName(copy)
+
+    res = {
+        r["vec_id"]: r["is_new"]
+        for r in embedding_incremental_near_dups(
+            new_batch, index, threshold=0.4
+        ).collect()
+    }
+    assert len(res) == new_batch.count()
+    assert res[100_000] is False  # exact copy always caught
+
+    # brute-force truth for precision: flagged dups must be real
+    import math
+
+    vecs = {r["vec_id"]: r["embedding"] for r in index.collect()}
+    news = {r["vec_id"]: r["embedding"] for r in new_batch.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d / (math.sqrt(sum(x * x for x in a))
+                 * math.sqrt(sum(y * y for y in b))), 6
+        )
+
+    for vid, is_new in res.items():
+        truly_dup = any(cos(news[vid], v) >= 0.4 for v in vecs.values())
+        if not is_new:
+            assert truly_dup, f"{vid} flagged dup but no corpus match"

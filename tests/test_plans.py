@@ -657,3 +657,11 @@ def test_bpe_roundtrip_encode_stage_is_map_only(spark, sf_dir):
     separate bounded learning job at build time, never per-row)."""
     plan = _formatted(spark, sf_dir, "text_bpe_roundtrip_stats")
     assert "Exchange" not in plan
+
+
+def test_embedding_incremental_plan_is_bucket_equi_join(spark, sf_dir):
+    """The embedding increment probe must stay an equi-join on
+    (table_id, bucket) — never an all-pairs/cartesian shape."""
+    plan = _formatted(spark, sf_dir, "embedding_incremental_near_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
