@@ -217,3 +217,34 @@ def bpe_encode_stats(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(stat_batches, BPE_STATS_SCHEMA)
+
+
+def save_merges(merges: list[tuple[bytes, bytes]], path: str) -> None:
+    """Persist a learned merge table as one hex-encoded pair per line
+    (binary-safe: merges may contain arbitrary bytes, so no text
+    encoding is assumed). The tokenizer artifact a pipeline pins —
+    token accounting is only reproducible under the exact merge table
+    that produced it (the `!schema` YAML round-trip discipline,
+    /root/reference/mongo2pq/schema.py:87, applied to the tokenizer;
+    format versioned for forward evolution)."""
+    lines = ["bpe-merges-v1"]
+    lines += [f"{a.hex()} {b.hex()}" for a, b in merges]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def load_merges(path: str) -> list[tuple[bytes, bytes]]:
+    """Inverse of ``save_merges``; fail-loud on unknown versions or
+    malformed lines (a silently mis-parsed merge table would corrupt
+    every token count downstream)."""
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    if not lines or lines[0] != "bpe-merges-v1":
+        raise ValueError(f"not a bpe-merges-v1 file: {path}")
+    merges = []
+    for ln in lines[1:]:
+        parts = ln.split(" ")
+        if len(parts) != 2:
+            raise ValueError(f"malformed merge line {ln!r} in {path}")
+        merges.append((bytes.fromhex(parts[0]), bytes.fromhex(parts[1])))
+    return merges

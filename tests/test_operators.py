@@ -1899,3 +1899,32 @@ def test_embedding_incremental_flags_match_bruteforce(spark, sf_dir):
         truly_dup = any(cos(news[vid], v) >= 0.4 for v in vecs.values())
         if not is_new:
             assert truly_dup, f"{vid} flagged dup but no corpus match"
+
+
+def test_bpe_merge_table_roundtrip(tmp_path):
+    """The persisted tokenizer artifact must round-trip exactly —
+    including non-UTF-8 byte merges — and fail loud on version or
+    format corruption (a mis-parsed table corrupts every downstream
+    token count)."""
+    import pytest as _pytest
+
+    from mongo2pq_spark.operators.bpe import (
+        encode_word,
+        load_merges,
+        save_merges,
+    )
+
+    merges = [(b"e", b"s"), (b"\xff\x00", b" t"), (b"lo", b"w")]
+    p = str(tmp_path / "merges.txt")
+    save_merges(merges, p)
+    loaded = load_merges(p)
+    assert loaded == merges
+    ranks = {m: i for i, m in enumerate(loaded)}
+    assert b"".join(encode_word(b"low\xff\x00 tes", ranks)) == b"low\xff\x00 tes"
+
+    (tmp_path / "bad1.txt").write_text("bpe-merges-v99\n61 62\n")
+    with _pytest.raises(ValueError, match="not a bpe-merges-v1"):
+        load_merges(str(tmp_path / "bad1.txt"))
+    (tmp_path / "bad2.txt").write_text("bpe-merges-v1\n61 62 63\n")
+    with _pytest.raises(ValueError, match="malformed merge line"):
+        load_merges(str(tmp_path / "bad2.txt"))
