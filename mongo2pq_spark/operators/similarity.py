@@ -729,6 +729,7 @@ def embedding_incremental_near_dups(
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index_asg: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental EMBEDDING dedup — the new-batch-vs-corpus ingestion
     pattern for the vector modality, completing the incremental matrix
@@ -737,6 +738,16 @@ def embedding_incremental_near_dups(
     exact cosine to ANY corpus vector reaches ``threshold``, with
     candidates restricted to multi-table LSH bucket collisions.
     Returns the new batch's ``(id, is_new)``.
+
+    ``index_asg``: the corpus's PRECOMPUTED ``(id, table_id, bucket)``
+    assignment table (as persisted by an ingestion store and appended
+    per increment). When omitted it is derived from ``index_df``
+    in-flight — fine for a one-shot query, but a steady-state pipeline
+    passes the persisted table so per-increment COMPUTE stays
+    O(increment): only the increment's L·n hyperplane dots run; the
+    corpus side is a columnar read of three small ints per (vector,
+    table). The assignments must have been produced with the same
+    (n_tables, n_hyperplanes, dim, seed).
 
     Scale shape: the increment's L bucket ids probe the corpus
     assignments via an equi-join on (table_id, bucket) —
@@ -759,7 +770,9 @@ def embedding_incremental_near_dups(
     idx_asg = _cap_buckets(
         lsh_multi_assignments(
             index_df, n_tables, n_hyperplanes, dim, seed, id_col, vec_col
-        ),
+        )
+        if index_asg is None
+        else index_asg,
         max_bucket_size,
     )
     cand = (

@@ -1928,3 +1928,33 @@ def test_bpe_merge_table_roundtrip(tmp_path):
     (tmp_path / "bad2.txt").write_text("bpe-merges-v1\n61 62 63\n")
     with _pytest.raises(ValueError, match="malformed merge line"):
         load_merges(str(tmp_path / "bad2.txt"))
+
+
+def test_embedding_incremental_precomputed_asg_parity(spark, sf_dir):
+    """Passing the persisted corpus assignment table must produce
+    byte-identical flags to deriving assignments in-flight (the
+    steady-state-pipeline path the scale drive exercises)."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.similarity import (
+        embedding_incremental_near_dups,
+        lsh_multi_assignments,
+    )
+
+    emb = read_sf_table(spark, sf_dir, "embeddings").limit(40)
+    index = emb.filter(F.col("vec_id") % 2 == 0)
+    new_batch = emb.filter(F.col("vec_id") % 2 == 1)
+    asg = lsh_multi_assignments(index, 16, 8, 64, 7)
+    inflight = {
+        r["vec_id"]: r["is_new"]
+        for r in embedding_incremental_near_dups(
+            new_batch, index, threshold=0.4
+        ).collect()
+    }
+    precomp = {
+        r["vec_id"]: r["is_new"]
+        for r in embedding_incremental_near_dups(
+            new_batch, index, threshold=0.4, index_asg=asg
+        ).collect()
+    }
+    assert inflight == precomp and inflight
