@@ -170,6 +170,11 @@ def audio_envelope_bits(arr) -> int:
 
     mono = np.abs(arr.astype(np.float64).mean(axis=1))
     n = mono.shape[0]
+    if n == 0:
+        # a zero-frame (headers-only) WAV has no envelope: define its
+        # fingerprint as 0 rather than letting empty-slice means emit
+        # NaN warnings and comparison-dependent garbage
+        return 0
     w = AUDIO_FP_WINDOWS
     edges = [(i * n) // w for i in range(w + 1)]
     env = np.array([

@@ -196,6 +196,12 @@ def bpe_encode_stats(
                 "max_token_len": [], "roundtrip_md5": [],
             }
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                text = text or ""  # null text tokenizes as empty
+                if len(cache) > 200_000:
+                    # bound executor memory on adversarial corpora
+                    # (distinct-word floods); a reset only costs
+                    # re-encoding, never correctness
+                    cache.clear()
                 tokens: list[bytes] = []
                 for w in pretokenize(text):
                     hit = cache.get(w)
