@@ -958,3 +958,44 @@ def levenshtein_blocked_pairs(
         "doc_b",
         F.levenshtein("pfx_a", "pfx_b").alias("prefix_distance"),
     ).filter(F.col("prefix_distance") <= max_distance)
+
+
+def cluster_survivors(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor selection — the step that turns a
+    near-dup CLUSTERING into a cleaned corpus: within every cluster
+    keep exactly the best-``quality_col`` doc (ties by lowest id, so
+    selection is deterministic); docs in no cluster keep themselves.
+    Returns every input doc with a ``kept`` flag (callers filter or
+    audit). Works over ANY (id, cluster_id) table — Jaccard text
+    clusters, image-dHash or audio-envelope Hamming clusters,
+    embedding LSH clusters — because cluster formation and survivor
+    policy are independent axes.
+
+    Scale shape: the cluster-label table is pair-graph-sized (docs
+    that had at least one near-dup), orders of magnitude smaller than
+    the corpus; the rank runs on the labeled subset only (one shuffle
+    by cluster_id on that subset), and the corpus-sized step is a
+    single left join against those labels. min-id-keeps semantics
+    (`drop_exact_duplicates`) is the quality_col=constant special
+    case."""
+    labeled = clusters.join(
+        docs.select(F.col(id_col), F.col(quality_col)), id_col
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    ranked = labeled.select(
+        F.col(id_col),
+        (F.row_number().over(w) == 1).alias("__kept"),
+    )
+    return docs.select(F.col(id_col)).join(ranked, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__kept"), F.lit(True)).alias("kept"),
+    )

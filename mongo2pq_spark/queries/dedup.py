@@ -721,3 +721,68 @@ def dedup_span_coverage(spark, sf_dir):
             .alias("dup_span_frac"),
         )
     )
+
+
+@register(
+    "dedup_cluster_survivors",
+    f"""
+    WITH RECURSIVE {_GUARDED_HASH_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM hg GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM hg a JOIN hg b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cc AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    ranked AS (
+        SELECT d.doc_id,
+               row_number() OVER (
+                   PARTITION BY cc.cluster_id
+                   ORDER BY d.n_chars DESC, d.doc_id
+               ) AS rn
+        FROM documents d JOIN cc ON cc.doc_id = d.doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.rn = 1, true) AS kept
+    FROM documents d LEFT JOIN ranked r ON r.doc_id = d.doc_id
+    """,
+    doc="quality-aware near-dup survivor selection, the step that "
+        "turns cluster labels into a cleaned corpus: within every "
+        "Jaccard connected component keep exactly the LONGEST doc "
+        "(n_chars, ties by lowest id) — the keep-best policy LLM "
+        "pipelines use where min-id would discard the richest copy; "
+        "singletons keep themselves. Composes three audited operators "
+        "(banded Jaccard pairs -> pointer-doubled components -> "
+        "windowed survivor rank over the label table only, corpus "
+        "touched once by a left join; operators/dedup.py::"
+        "cluster_survivors). The oracle re-derives the full chain in "
+        "SQL (recursive-CTE closure + the same rank), so kept flags "
+        "match bit-for-bit",
+)
+def dedup_cluster_survivors(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    pairs = ops.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=_shingle_guard(docs)
+    )
+    clusters = ops.near_dup_clusters(pairs)
+    return ops.cluster_survivors(docs, clusters, quality_col="n_chars")

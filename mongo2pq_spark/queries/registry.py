@@ -167,6 +167,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # oracle: identical fixed-seed pipeline in SQL); completes the
     # incremental matrix across text/image/audio/embedding
     "embedding_incremental_near_dups",
+    # r11: quality-aware near-dup survivor selection (keep the
+    # LONGEST doc per Jaccard component; full oracle re-derives the
+    # pair->closure->rank chain in SQL)
+    "dedup_cluster_survivors",
 ]
 
 

@@ -1992,3 +1992,26 @@ def test_audio_fingerprint_empty_and_null_edges(spark):
     rows = {r["doc_id"]: r for r in bpe_encode_stats(df, merges).collect()}
     assert rows[2]["n_tokens"] == 0
     assert rows[2]["roundtrip_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_cluster_survivors_policy_and_singletons(spark):
+    """Within a cluster exactly the best-quality doc is kept (ties by
+    lowest id); singletons always keep themselves; works over an
+    arbitrary (id, cluster_id) table — the policy is independent of
+    how clusters were formed."""
+    from mongo2pq_spark.operators.dedup import cluster_survivors
+
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (4, 10), (5, 70)],
+        "doc_id bigint, quality bigint",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)],  # 5 is a singleton
+        "doc_id bigint, cluster_id bigint",
+    )
+    res = {
+        r["doc_id"]: r["kept"]
+        for r in cluster_survivors(docs, clusters, "quality").collect()
+    }
+    # cluster 1: doc 2 wins (quality 90, lower id than 3)
+    assert res == {1: False, 2: True, 3: False, 4: True, 5: True}
