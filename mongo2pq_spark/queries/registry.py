@@ -171,6 +171,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # LONGEST doc per Jaccard component; full oracle re-derives the
     # pair->closure->rank chain in SQL)
     "dedup_cluster_survivors",
+    # r11: streaming Hamming near-dedup — the fingerprint-agnostic
+    # streaming store (simhash/dHash/audio envelope share it); oracle
+    # is the pure batch rule (banding pigeonhole-complete at <=3)
+    "streaming_hamming_dedup",
 ]
 
 

@@ -290,3 +290,51 @@ def streaming_near_dedup(spark, sf_dir):
     from mongo2pq_spark.streaming.neardedup import run_streaming_near_dedup
 
     return run_streaming_near_dedup(spark, f"{sf_dir}/documents.parquet")
+
+
+def _hamming_stream_oracle() -> str:
+    from mongo2pq_spark.queries.dedup import _simhash_fp_sql
+
+    return _simhash_fp_sql() + """,
+    b AS (
+        SELECT doc_id, simhash, CAST(doc_id % 4 AS BIGINT) AS batch_k
+        FROM fp
+    )
+    SELECT d.doc_id, d.batch_k,
+           EXISTS (
+               SELECT 1 FROM b e
+               WHERE (e.batch_k < d.batch_k
+                      OR (e.batch_k = d.batch_k AND e.doc_id < d.doc_id))
+                 AND bit_count(xor(e.simhash, d.simhash)) <= 3
+           ) AS is_dup
+    FROM b d
+    """
+
+
+@register(
+    "streaming_hamming_dedup",
+    _hamming_stream_oracle(),
+    doc="streaming incremental HAMMING near-dedup "
+        "(streaming/neardedup.py::run_streaming_hamming_dedup): the "
+        "fingerprint-modality face of the streaming store — documents "
+        "replayed as ordered micro-batches; each batch fingerprints "
+        "only itself (here text simhash; the same runner takes image "
+        "dHash / audio envelope — the store and probe are fingerprint-"
+        "agnostic), probes the persisted banded-fingerprint store with "
+        "exact popcount verify for Hamming<=3 hits against earlier "
+        "batches, flags, and appends its bands — idempotent partition "
+        "overwrites keyed by the DATA's batch class, shared staging/"
+        "manifest/crash core with the MinHash store. The banding is "
+        "pigeonhole-complete at <=3, so the oracle is the pure batch "
+        "rule: a doc is dup iff an earlier-batch (or lower-id same-"
+        "batch) doc sits within Hamming 3 of its simhash",
+)
+def streaming_hamming_dedup(spark, sf_dir):
+    from mongo2pq_spark.operators.dedup import simhash_fingerprints
+    from mongo2pq_spark.streaming.neardedup import (
+        run_streaming_hamming_dedup,
+    )
+
+    return run_streaming_hamming_dedup(
+        spark, f"{sf_dir}/documents.parquet", simhash_fingerprints
+    )

@@ -340,3 +340,212 @@ def run_streaming_near_dedup(
     finally:
         if cleanup:
             shutil.rmtree(store_dir, ignore_errors=True)
+
+
+def make_hamming_dedup_batch(
+    store_dir: str,
+    n_batches: int,
+    offset: int,
+    fingerprint_fn,
+    max_hamming: int = 3,
+    bits: int = 60,
+    max_band_bucket: int = 100_000,
+):
+    """``foreachBatch`` body for FINGERPRINTED content — the streaming
+    face of ``operators/dedup.py::hamming_incremental_new``, serving
+    every fingerprint modality (text simhash, image dHash, audio
+    envelope) through one code path: fingerprint ONLY this batch's
+    rows, flag each doc whose fingerprint lies within ``max_hamming``
+    of any EARLIER-batch fingerprint (any prior increment included)
+    or a lower-id same-batch one, then append this batch's banded
+    fingerprints as a ``batch_k=<offset + k>`` partition overwrite
+    (idempotent under replay, exactly the MinHash store's contract).
+
+    The store keeps (doc_id, fp, band_id, band_value) — four small
+    ints per (doc, band); content is never stored or re-read. The
+    cross-batch probe is an equi-join of this batch's bands against
+    the store's bands plus an exact popcount verify: the banding is
+    pigeonhole-complete for ≤ max_hamming, so (modulo the degenerate-
+    bucket cap, which only ever UNDER-flags) the flag rule is exactly
+    "∃ earlier doc at Hamming ≤ max_hamming" — non-iterative and
+    SQL-expressible for the oracle."""
+    from mongo2pq_spark.operators.dedup import _hamming_band_table
+
+    bands_dir = os.path.join(store_dir, "bands")
+    flags_dir = os.path.join(store_dir, "flags")
+
+    def body(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        k = batch_df.select(
+            (F.col("doc_id") % n_batches).alias("k")
+        ).first()["k"]
+        seq = offset + k
+        fp = fingerprint_fn(batch_df)
+        hash_col = [c for c in fp.columns if c != "doc_id"][0]
+        banded = _hamming_band_table(
+            fp, hash_col, "doc_id", max_hamming, bits, max_band_bucket
+        ).select(
+            "doc_id", F.col(hash_col).alias("fp"), "band_id", "band_value"
+        )
+
+        ham = F.bit_count(F.col("fp").bitwiseXOR(F.col("other_fp")))
+        a = banded.select(
+            "band_id", "band_value", F.col("doc_id").alias("hi"),
+            F.col("fp"),
+        )
+        b = banded.select(
+            "band_id", "band_value", F.col("doc_id").alias("lo"),
+            F.col("fp").alias("other_fp"),
+        )
+        intra = (
+            a.join(b, ["band_id", "band_value"])
+            .filter(F.col("lo") < F.col("hi"))
+            .filter(ham <= max_hamming)
+            .select(F.col("hi").alias("doc_id"))
+            .distinct()
+        )
+        has_store = bool(
+            data_partition_dirs(Path(bands_dir), prefix="batch_k=")
+        )
+        if has_store:
+            index = (
+                spark.read.option("basePath", bands_dir)
+                .parquet(bands_dir)
+                .filter(F.col("batch_k") < seq)
+                .select(
+                    "band_id", "band_value",
+                    F.col("fp").alias("other_fp"),
+                )
+            )
+            inter = (
+                banded.join(index, ["band_id", "band_value"])
+                .filter(ham <= max_hamming)
+                .select("doc_id")
+                .distinct()
+            )
+            dup_ids = intra.unionByName(inter).distinct()
+        else:
+            dup_ids = intra
+        flags = batch_df.select("doc_id").join(
+            dup_ids.withColumn("is_dup", F.lit(True)), "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        )
+        flags.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(flags_dir, f"batch_k={seq}")
+        )
+        banded.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(bands_dir, f"batch_k={seq}")
+        )
+
+    return body
+
+
+def compact_hamming_store(spark: SparkSession, store_dir: str) -> None:
+    """Compaction for the Hamming band store: future probes verify by
+    exact popcount against ``fp``, so the preservation key is the full
+    (band_id, band_value, fp) triple — keep each triple's minimal
+    (batch_k, doc_id) row and every future flag is unchanged while
+    re-occurrences of the same fingerprint's band (the bulk of a
+    dup-heavy stream) are dropped. Same crash-safe swap protocol as
+    the MinHash store."""
+    _recover_band_store_swap(store_dir)
+    bands_dir = os.path.join(store_dir, "bands")
+    if not os.path.isdir(bands_dir):
+        return
+    compacted = (
+        spark.read.option("basePath", bands_dir)
+        .parquet(bands_dir)
+        .groupBy("band_id", "band_value", "fp")
+        .agg(F.min(F.struct("batch_k", "doc_id")).alias("first"))
+        .select(
+            F.col("first.doc_id").alias("doc_id"),
+            "fp",
+            "band_id",
+            "band_value",
+            F.col("first.batch_k").alias("batch_k"),
+        )
+    )
+    replace_dir(
+        Path(bands_dir),
+        lambda build: compacted.write.mode("overwrite")
+        .partitionBy("batch_k")
+        .parquet(build),
+    )
+
+
+def run_streaming_hamming_dedup(
+    spark: SparkSession,
+    documents_path: str,
+    fingerprint_fn,
+    n_batches: int = 4,
+    store_dir: str | None = None,
+    max_hamming: int = 3,
+    bits: int = 60,
+) -> DataFrame:
+    """Drive continuous fingerprint near-dedup over the table at
+    ``documents_path`` replayed as ``n_batches`` ordered micro-batches
+    (same staging/manifest/crash contracts as
+    ``run_streaming_near_dedup`` — shared helpers, shared RunLog);
+    returns ``(doc_id, batch_k, is_dup)`` for every increment ingested
+    so far. ``fingerprint_fn`` maps a batch DataFrame to
+    (doc_id, <fp column>) — ``simhash_fingerprints`` for text,
+    ``image_dhash``/``audio_fingerprint`` over payload tables for
+    media; the store and probe are fingerprint-agnostic."""
+    cleanup = store_dir is None
+    if store_dir is None:
+        store_dir = tempfile.mkdtemp(prefix="stream_hammingdedup_")
+    _recover_band_store_swap(store_dir)
+    run_id, offset, n_batches = _begin_increment(
+        store_dir, n_batches, documents_path
+    )
+    stage_dir = os.path.join(store_dir, f"stage_{run_id}")
+    ckpt_dir = os.path.join(store_dir, f"ckpt_{run_id}")
+    runs_dir = os.path.join(store_dir, "runs")
+    try:
+        _stage_batches(spark, documents_path, stage_dir, n_batches)
+        static = spark.read.parquet(
+            os.path.join(stage_dir, "batch_0.parquet")
+        )
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage_dir)
+        )
+        query = (
+            stream.writeStream.foreachBatch(
+                make_hamming_dedup_batch(
+                    store_dir, n_batches, offset, fingerprint_fn,
+                    max_hamming, bits,
+                )
+            )
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        RunLog(runs_dir).mark_done(run_id)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        result = (
+            spark.read.option("basePath", os.path.join(store_dir, "flags"))
+            .parquet(os.path.join(store_dir, "flags"))
+            .select(
+                "doc_id",
+                F.col("batch_k").cast("bigint").alias("batch_k"),
+                "is_dup",
+            )
+        )
+        if cleanup:
+            rows = result.collect()
+            return spark.createDataFrame(rows, result.schema)
+        return result
+    finally:
+        if cleanup:
+            shutil.rmtree(store_dir, ignore_errors=True)

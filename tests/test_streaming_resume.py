@@ -331,3 +331,69 @@ def test_band_store_swap_recovery_migrates_legacy_names(tmp_path):
     _recover_band_store_swap(str(store))
     assert (bands / "part").read_text() == "original"
     assert not (store / "bands_old").exists()
+
+
+def test_streaming_hamming_dedup_second_increment(spark, sf_dir, tmp_path):
+    """The Hamming store's multi-increment contract, mirrored from the
+    MinHash store: a second increment of exact text copies under fresh
+    ids must all flag against the first increment's persisted banded
+    fingerprints (simhash of identical text is identical -> Hamming 0);
+    first-increment flags untouched; compaction between increments
+    changes no flag. Also pins flag parity with the pure batch rule
+    (banding is pigeonhole-complete at <=3)."""
+    from mongo2pq_spark.operators.dedup import simhash_fingerprints
+    from mongo2pq_spark.streaming.neardedup import (
+        compact_hamming_store,
+        run_streaming_hamming_dedup,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inc1_path = str(tmp_path / "inc1")
+    inc2_path = str(tmp_path / "inc2")
+    base.filter(F.col("doc_id") < 100).write.parquet(inc1_path)
+    (
+        base.filter(F.col("doc_id") < 50)
+        .withColumn("doc_id", F.col("doc_id") + 10_000)
+        .write.parquet(inc2_path)
+    )
+
+    def run_two(store):
+        first = {
+            r.doc_id: (r.batch_k, r.is_dup)
+            for r in run_streaming_hamming_dedup(
+                spark, inc1_path, simhash_fingerprints, store_dir=store
+            ).collect()
+        }
+        if store.endswith("compacted"):
+            compact_hamming_store(spark, store)
+        both = {
+            r.doc_id: (r.batch_k, r.is_dup)
+            for r in run_streaming_hamming_dedup(
+                spark, inc2_path, simhash_fingerprints, store_dir=store
+            ).collect()
+        }
+        return first, both
+
+    first, both = run_two(str(tmp_path / "plain"))
+    assert all(both[d + 10_000][1] for d in range(50))
+    assert {both[d + 10_000][0] for d in range(50)} <= {4, 5, 6, 7}
+    assert {d: v for d, v in both.items() if d < 10_000} == first
+
+    # batch-rule parity for increment 1: dup iff an earlier-batch or
+    # lower-id same-batch doc sits within Hamming 3
+    fps = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(
+            base.filter(F.col("doc_id") < 100)
+        ).collect()
+    }
+    for d, (k, flag) in first.items():
+        expected = any(
+            bin(fps[e] ^ fps[d]).count("1") <= 3
+            for e in fps
+            if (e % 4 < k) or (e % 4 == k and e < d)
+        )
+        assert flag == expected, d
+
+    _, both_c = run_two(str(tmp_path / "compacted"))
+    assert both_c == both
