@@ -364,3 +364,26 @@ def test_bpe_encode_word_roundtrips_any_bytes(word, n_merges):
     )
     ranks = {p: i for i, p in enumerate(merges)}
     assert b"".join(encode_word(word, ranks)) == word
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-8000, max_value=8000),
+        min_size=0, max_size=300,
+    ),
+    st.integers(min_value=1, max_value=4),  # gain
+    st.integers(min_value=1, max_value=3),  # channel duplication
+)
+@settings(max_examples=150, deadline=None)
+def test_audio_fp_gain_and_channel_invariance(samples, gain, n_ch):
+    """For ANY sample stream: a positive gain remaster and a channel
+    duplication never change the envelope fingerprint (the invariance
+    the audio near-dedup queries stake their fixtures on)."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.audio import audio_envelope_bits
+
+    arr = np.asarray(samples, dtype="int32")[:, None]
+    base = audio_envelope_bits(arr)
+    assert audio_envelope_bits(arr * gain) == base
+    assert audio_envelope_bits(np.repeat(arr, n_ch, axis=1)) == base
