@@ -52,6 +52,10 @@ def cache_stream(df: DataFrame) -> DataFrame:
 
     for live in _LIVE_CACHES:
         if live.sameSemantics(df):
+            # refresh recency: a just-reused stream must not be the
+            # next eviction victim
+            _LIVE_CACHES.remove(live)
+            _LIVE_CACHES.append(live)
             return live
     while len(_LIVE_CACHES) >= _MAX_LIVE:
         # FIFO: the oldest stream is the one least likely to be a

@@ -383,7 +383,15 @@ def make_hamming_dedup_batch(
         ).first()["k"]
         seq = offset + k
         fp = fingerprint_fn(batch_df)
-        hash_col = [c for c in fp.columns if c != "doc_id"][0]
+        extra = [c for c in fp.columns if c != "doc_id"]
+        if len(extra) != 1:
+            # silently picking "the first" of several columns would
+            # bind the wrong fingerprint and mass-mis-flag
+            raise ValueError(
+                "fingerprint_fn must return exactly (doc_id, <fp>); "
+                f"got columns {fp.columns}"
+            )
+        hash_col = extra[0]
         banded = _hamming_band_table(
             fp, hash_col, "doc_id", max_hamming, bits, max_band_bucket
         ).select(
