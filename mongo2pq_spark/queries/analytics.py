@@ -987,3 +987,60 @@ def full_outer_daily_activity(spark, sf_dir):
             .alias("activity"),
         )
     )
+
+
+@register(
+    "events_pivot_daily",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+               AS click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+               AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+               AS signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+               AS view,
+           CAST(sum(value) FILTER (event_type = 'purchase')
+                AS DOUBLE) AS purchase_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="PIVOT / wide-format daily rollup: one row per day, one count "
+        "column per event type plus the purchase-value sum — the "
+        "dashboard/report shape. Spark's relational pivot with an "
+        "EXPLICIT value list (passing values= skips the extra "
+        "distinct-scan job Spark otherwise runs to discover the "
+        "column set, and makes the output schema deterministic for "
+        "the oracle — at 100 TB the discovery scan is a full pass "
+        "over the fact table, never worth it for a known domain); "
+        "the oracle is the equivalent conditional-aggregate "
+        "formulation. Counts of absent (day, type) combinations "
+        "coalesce to 0 on both sides",
+)
+def events_pivot_daily(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ev = read_sf_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", types)
+        .agg(
+            # count(*) is rejected inside a pivot aggregate
+            # (INVALID_USAGE_OF_STAR_OR_REGEX); count(lit(1)) is the
+            # same aggregate
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("v"),
+        )
+    )
+    cols = [
+        F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(t) for t in types
+    ]
+    return pivoted.select(
+        "day",
+        *cols,
+        F.col("purchase_v").cast("double").alias("purchase_value"),
+    )

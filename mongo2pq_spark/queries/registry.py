@@ -175,6 +175,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # streaming store (simhash/dHash/audio envelope share it); oracle
     # is the pure batch rule (banding pigeonhole-complete at <=3)
     "streaming_hamming_dedup",
+    # r11: PIVOT / wide-format daily rollup with an explicit value
+    # list (skips Spark's distinct-discovery scan; deterministic
+    # schema); oracle = conditional aggregates
+    "events_pivot_daily",
 ]
 
 
