@@ -77,6 +77,16 @@ def main(
         print(f"Error: could not connect to source: {err}", file=sys.stderr)
         return 1
 
+    if source_format == "media" and not use_source_types:
+        # sampling inference speculative-parses STRING columns; a
+        # binary payload column has no textual interpretation, and the
+        # binaryFile scan already yields exact types
+        print(
+            "NOTE: --source-format media implies --use-source-types",
+            file=sys.stderr,
+        )
+        use_source_types = True
+
     config = parse_config(config_file) if config_file else {}
     schema_files = {p.stem: p for p in (schema_paths or [])}
 
@@ -278,6 +288,57 @@ def _collection_readers(
             root = root / db
         if not root.is_dir():
             raise ConnectionError(f"source directory {root} does not exist")
+        if source_format == "media":
+            # media lake ingestion: every SUBDIRECTORY holding at
+            # least one known media file is a collection (the
+            # db/collection layout applied to file trees); the reader
+            # is the distributed binaryFile scan + typed metadata
+            # (operators/multimodal.py::ingest_binary_dir). Discovery
+            # lists directory entries only — payloads are opened by
+            # executors, never the driver.
+            from mongo2pq_spark.operators.multimodal import (
+                _EXT_MIME,
+                ingest_binary_dir,
+            )
+
+            media_suffixes = {f".{e}" for e in _EXT_MIME}
+            media = {
+                d.name: d
+                for d in sorted(root.iterdir())
+                if d.is_dir()
+                and any(
+                    f.suffix.lower() in media_suffixes
+                    for f in d.iterdir()
+                    if f.is_file()
+                )
+            }
+            if collections:
+                media = {n: p for n, p in media.items() if n in collections}
+            if not media:
+                raise ConnectionError(
+                    f"no media collection directories under {root}"
+                )
+            def _read_media(p):
+                from pyspark.sql import functions as F
+
+                # flatten the meta struct: the EL schema model is
+                # deliberately scalar (the reference's column model),
+                # and a flat lake table is the queryable shape anyway;
+                # operators that want the struct use ingest_binary_dir
+                # directly
+                return ingest_binary_dir(spark, str(p)).select(
+                    "doc_id",
+                    "source_path",
+                    "payload",
+                    F.col("meta.mime").alias("mime"),
+                    F.col("meta.n_bytes").alias("n_bytes"),
+                    F.col("meta.payload_md5").alias("payload_md5"),
+                )
+
+            return {
+                name: (lambda p=path: _read_media(p))
+                for name, path in media.items()
+            }
         found = {
             p.stem: p
             for p in sorted(root.iterdir())
@@ -348,11 +409,18 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
                         help="cap rows per output parquet file (small-file "
                              "control's dual: prevents giant single files)")
     parser.add_argument("--source-format", default="auto",
-                        choices=("auto", "mongodump"),
+                        choices=("auto", "mongodump", "media"),
                         help="file: source interpretation: auto = plain "
                              "parquet/jsonl/csv readers; mongodump = "
                              "extended-JSON dumps ($oid/$date/$numberLong "
-                             "unwrapped per Mongo's BSON decode rules)")
+                             "unwrapped per Mongo's BSON decode rules); "
+                             "media = each subdirectory of image/audio/"
+                             "video files becomes a collection via the "
+                             "distributed binaryFile scan (doc_id, "
+                             "source_path, payload, mime/size/md5 "
+                             "metadata) — source types are used as-is "
+                             "(text-oriented sampling inference is "
+                             "meaningless on binary payloads)")
     parser.add_argument("--split-size", type=int,
                         default=128 * 1024 * 1024,
                         help="mongodump files larger than this many bytes "

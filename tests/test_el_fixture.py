@@ -910,3 +910,60 @@ def test_cli_consolidate_covers_trees_not_indexed_this_run(spark, sf_dir, tmp_pa
             p.name for p in (store / "docs" / sub).glob("batch=*")
         )
         assert parts == ["batch=c0"], parts
+
+
+def test_cli_media_source_format(spark, tmp_path):
+    """--source-format media: a directory tree of real media files
+    (PNG + WAV, through the engine's own encoders) lands as one
+    parquet dataset per subdirectory with exact binaryFile-derived
+    types (inference bypassed), correct per-file mime/size/md5
+    metadata, and payload bytes that round-trip bit-for-bit."""
+    import hashlib
+
+    import numpy as np
+
+    from mongo2pq_spark.operators.audio import encode_wav
+    from mongo2pq_spark.operators.multimodal import encode_png
+
+    src = tmp_path / "lake"
+    (src / "images").mkdir(parents=True)
+    (src / "sounds").mkdir()
+    (src / "not_media").mkdir()
+    rng = np.random.default_rng(5)
+    payloads = {}
+    for i in range(4):
+        p = encode_png(rng.integers(0, 256, (8, 9, 3), dtype="uint8"))
+        (src / "images" / f"img_{i}.png").write_bytes(p)
+        payloads[f"img_{i}.png"] = p
+    wav = encode_wav(
+        rng.integers(-500, 500, (100,)).astype("int16"), 8000
+    )
+    (src / "sounds" / "a.wav").write_bytes(wav)
+    payloads["a.wav"] = wav
+    (src / "not_media" / "notes.txt").write_text("no media here")
+
+    out = tmp_path / "out"
+    out.mkdir()
+    rc = cli_main(f"file:{src}", source_format="media", outdir=out,
+                  spark=spark)
+    assert rc == 0
+
+    imgs = spark.read.parquet(str(out / "images.parquet"))
+    assert set(imgs.columns) == {
+        "doc_id", "source_path", "payload", "mime", "n_bytes",
+        "payload_md5",
+    }
+    rows = {r["source_path"].rsplit("/", 1)[-1]: r for r in imgs.collect()}
+    assert set(rows) == {f"img_{i}.png" for i in range(4)}
+    for name, r in rows.items():
+        assert bytes(r["payload"]) == payloads[name]
+        assert r["mime"] == "image/png"
+        assert r["n_bytes"] == len(payloads[name])
+        assert r["payload_md5"] == hashlib.md5(payloads[name]).hexdigest()
+
+    snd = spark.read.parquet(str(out / "sounds.parquet")).collect()
+    assert len(snd) == 1 and snd[0]["mime"] == "audio/wav"
+
+    # the non-media directory is not a collection; schemas were dumped
+    assert not (out / "not_media.parquet").exists()
+    assert (out / "images.yaml").exists() and (out / "sounds.yaml").exists()
