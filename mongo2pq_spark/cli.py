@@ -49,6 +49,8 @@ def main(
     near_dedup_store: Path | None = None,
     near_dedup_threshold: float = 0.8,
     near_dedup_consolidate: bool = False,
+    media_dhash_store: Path | None = None,
+    media_dhash_max_hamming: int = 3,
     single_file: bool = False,
     compression: str | None = None,
     source_format: str = "auto",
@@ -146,7 +148,26 @@ def main(
             )
             df = drop_exact_duplicates(df, text_col=dedup_text_col, id_col=id_col)
         store = batch_token = cached_df = None
-        if near_dedup_store and dedup_active:
+        if media_dhash_store and source_format == "media":
+            # cross-RUN incremental IMAGE near-dedup: drop image rows
+            # whose real-codec dHash lies within the Hamming radius of
+            # any previously ingested batch's fingerprints — the
+            # --near-dedup-store contract applied to the image
+            # modality (brightness-shifted / re-encoded re-crawls that
+            # byte-level payload_md5 dedup misses). Same token-
+            # partitioned idempotency; commit after the EL write.
+            from mongo2pq_spark.plans.imagededup_store import (
+                ImageDedupStore,
+            )
+
+            store = ImageDedupStore(
+                media_dhash_store, name,
+                max_hamming=media_dhash_max_hamming,
+            )
+            cached_df = df.persist()
+            batch_token = store.batch_token(cached_df)
+            df = store.filter_new(cached_df, batch_token)
+        elif near_dedup_store and dedup_active:
             # cross-RUN incremental near-dedup: drop documents whose
             # MinHash bands collide with the persistent per-collection
             # store AND whose signature agreement confirms the match,
@@ -469,6 +490,20 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
                              "Jaccard) for --near-dedup-store to drop a band-"
                              "collision candidate (default 0.8; raw candidacy "
                              "alone has a known false-positive rate)")
+    parser.add_argument("--media-dhash-store", type=Path, default=None,
+                        help="persistent cross-run incremental IMAGE "
+                             "near-dedup store (requires --source-format "
+                             "media): decodable image payloads are "
+                             "dHashed, probed against all previously "
+                             "ingested batches (banded Hamming join + "
+                             "exact popcount), near-dup re-crawls "
+                             "dropped before the write, survivors "
+                             "indexed after it")
+    parser.add_argument("--media-dhash-max-hamming", type=int, default=3,
+                        help="Hamming radius for --media-dhash-store "
+                             "(dHash bits differing; 3 = re-encode/"
+                             "brightness tolerance, 0 = exact "
+                             "perceptual match)")
     parser.add_argument("--single-file", action="store_true",
                         help="write ONE parquet file per collection (the "
                              "reference's exact layout) via coalesce(1); "
@@ -487,6 +522,13 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
         print(
             "ERROR: --near-dedup-store requires --dedup-text-col "
             "(the column to shingle)",
+            file=sys.stderr,
+        )
+        return None
+    if parsed.media_dhash_store and parsed.source_format != "media":
+        print(
+            "ERROR: --media-dhash-store requires --source-format media "
+            "(it fingerprints binary image payloads)",
             file=sys.stderr,
         )
         return None
@@ -536,6 +578,8 @@ def run(argv: list[str] | None = None) -> int:
         near_dedup_store=args.near_dedup_store,
         near_dedup_threshold=args.near_dedup_threshold,
         near_dedup_consolidate=args.near_dedup_consolidate,
+        media_dhash_store=args.media_dhash_store,
+        media_dhash_max_hamming=args.media_dhash_max_hamming,
         single_file=args.single_file,
         compression=args.compression,
         source_format=args.source_format,

@@ -967,3 +967,70 @@ def test_cli_media_source_format(spark, tmp_path):
     # the non-media directory is not a collection; schemas were dumped
     assert not (out / "not_media.parquet").exists()
     assert (out / "images.yaml").exists() and (out / "sounds.yaml").exists()
+
+
+def test_cli_media_dhash_store_across_runs(spark, tmp_path):
+    """--media-dhash-store: run 2's brightness-shifted re-crawls of
+    run 1's images (different BYTES and payload_md5 — byte dedup sees
+    nothing) are dropped against the persisted fingerprint index;
+    fresh images and non-decodable payloads pass through; a rerun of
+    run 2 is idempotent (same survivors, own batch excluded from its
+    probe)."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(31)
+    arrs = [
+        rng.integers(10, 230, (8, 9, 3), dtype="uint8") for _ in range(5)
+    ]
+    run1 = tmp_path / "run1" / "images"
+    run2 = tmp_path / "run2" / "images"
+    run1.mkdir(parents=True)
+    run2.mkdir(parents=True)
+    for i, a in enumerate(arrs):
+        (run1 / f"orig_{i}.png").write_bytes(encode_png(a))
+    # run 2: 3 shifted re-crawls + 2 genuinely new + 1 fake "png"
+    for i in range(3):
+        shifted = (arrs[i].astype("int16") + 5).astype("uint8")
+        (run2 / f"recrawl_{i}.png").write_bytes(encode_png(shifted))
+    fresh = [
+        rng.integers(10, 230, (8, 9, 3), dtype="uint8") for _ in range(2)
+    ]
+    for i, a in enumerate(fresh):
+        (run2 / f"fresh_{i}.png").write_bytes(encode_png(a))
+    (run2 / "broken.png").write_bytes(b"\x89PNG\r\n\x1a\nnot really")
+
+    store = tmp_path / "imgstore"
+    out1, out2, out2b = (tmp_path / d for d in ("out1", "out2", "out2b"))
+    for o in (out1, out2, out2b):
+        o.mkdir()
+
+    def run(src, out):
+        rc = cli_main(
+            f"file:{src}", source_format="media", outdir=out,
+            media_dhash_store=store, spark=spark,
+        )
+        assert rc == 0
+        return {
+            r["source_path"].rsplit("/", 1)[-1]
+            for r in spark.read.parquet(str(out / "images.parquet")).collect()
+        }
+
+    names1 = run(tmp_path / "run1", out1)
+    assert names1 == {f"orig_{i}.png" for i in range(5)}
+
+    names2 = run(tmp_path / "run2", out2)
+    # re-crawls dropped; fresh kept; undecodable passes through
+    assert names2 == {"fresh_0.png", "fresh_1.png", "broken.png"}
+
+    # idempotent rerun: same survivors, not self-colliding
+    assert run(tmp_path / "run2", out2b) == names2
+
+    # drift guard: different radius refuses the store
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="different parameters"):
+        from mongo2pq_spark.plans.imagededup_store import ImageDedupStore
+
+        ImageDedupStore(store, "images", max_hamming=1)
