@@ -51,6 +51,9 @@ def main(
     near_dedup_consolidate: bool = False,
     media_dhash_store: Path | None = None,
     media_dhash_max_hamming: int = 3,
+    media_afp_store: Path | None = None,
+    media_afp_max_hamming: int = 3,
+    media_store_consolidate: bool = False,
     single_file: bool = False,
     compression: str | None = None,
     source_format: str = "auto",
@@ -147,26 +150,41 @@ def main(
                 c for c in df.columns if c != dedup_text_col
             )
             df = drop_exact_duplicates(df, text_col=dedup_text_col, id_col=id_col)
-        store = batch_token = cached_df = None
-        if media_dhash_store and source_format == "media":
-            # cross-RUN incremental IMAGE near-dedup: drop image rows
-            # whose real-codec dHash lies within the Hamming radius of
-            # any previously ingested batch's fingerprints — the
-            # --near-dedup-store contract applied to the image
-            # modality (brightness-shifted / re-encoded re-crawls that
+        stores: list = []
+        tokens: list[str] = []
+        cached_df = None
+        if source_format == "media" and (media_dhash_store or media_afp_store):
+            # cross-RUN incremental MEDIA near-dedup: drop rows whose
+            # perceptual fingerprint (real-codec image dHash / audio
+            # envelope) lies within the Hamming radius of any
+            # previously ingested batch's fingerprints — the
+            # --near-dedup-store contract applied to binary media
+            # (brightness-shifted / re-mastered re-crawls that
             # byte-level payload_md5 dedup misses). Same token-
-            # partitioned idempotency; commit after the EL write.
-            from mongo2pq_spark.plans.imagededup_store import (
+            # partitioned idempotency; commit after the EL write. The
+            # two modality stores filter DISJOINT mime sets, so they
+            # chain without interaction.
+            from mongo2pq_spark.plans.mediadedup_store import (
+                AudioDedupStore,
                 ImageDedupStore,
             )
 
-            store = ImageDedupStore(
-                media_dhash_store, name,
-                max_hamming=media_dhash_max_hamming,
-            )
+            if media_dhash_store:
+                stores.append(ImageDedupStore(
+                    media_dhash_store, name,
+                    max_hamming=media_dhash_max_hamming,
+                ))
+            if media_afp_store:
+                stores.append(AudioDedupStore(
+                    media_afp_store, name,
+                    max_hamming=media_afp_max_hamming,
+                ))
             cached_df = df.persist()
-            batch_token = store.batch_token(cached_df)
-            df = store.filter_new(cached_df, batch_token)
+            df = cached_df
+            for st in stores:
+                tok = st.batch_token(cached_df)
+                tokens.append(tok)
+                df = st.filter_new(df, tok)
         elif near_dedup_store and dedup_active:
             # cross-RUN incremental near-dedup: drop documents whose
             # MinHash bands collide with the persistent per-collection
@@ -182,14 +200,15 @@ def main(
                 text_col=dedup_text_col,
                 threshold=near_dedup_threshold,
             )
+            stores.append(store)
             # the token aggregate, the signature build, and the EL
             # write each materialize this lineage (source scan + the
             # exact-dedup shuffles); cache it once — spill-to-disk
             # beats three full recomputations, and the finally block
             # below releases it
             cached_df = df.persist()
-            batch_token = store.batch_token(cached_df)
-            df = store.filter_new(cached_df, batch_token)
+            tokens.append(store.batch_token(cached_df))
+            df = store.filter_new(cached_df, tokens[0])
         try:
             metrics: dict = {}
             extract_load_collection(
@@ -211,17 +230,17 @@ def main(
                 f"{name}: {metrics.get('rows_written', '?')} rows written",
                 file=sys.stderr,
             )
-            if store is not None:
+            for st, tok in zip(stores, tokens):
                 # index the SURVIVORS only, and only after the EL write
                 # succeeded — a crash before this commit leaves output
                 # and store consistent (docs never indexed-but-
                 # unwritten); the commit overwrites the batch's OWN
                 # partitions, so a retry is idempotent rather than
                 # self-colliding
-                store.commit(batch_token)
+                st.commit(tok)
         finally:
-            if store is not None:
-                store.close()  # release cached sig/drop artifacts
+            for st in stores:
+                st.close()  # release cached sig/drop artifacts
             if cached_df is not None:
                 cached_df.unpersist()
 
@@ -281,6 +300,27 @@ def main(
                 ).consolidate(spark)
             except Exception as err:
                 failures.append((tree.name, err))
+    if media_store_consolidate:
+        # same maintenance contract for the MEDIA fingerprint stores:
+        # every tree under each configured store root (parameters read
+        # from its meta.json pin — never guessed), after all of this
+        # run's increments committed; content-preserving, failures
+        # reported so schedulers retry.
+        from mongo2pq_spark.plans.mediadedup_store import open_store
+
+        for root in (media_dhash_store, media_afp_store):
+            if not root:
+                continue
+            store_root = Path(root)
+            trees = sorted(
+                p for p in store_root.iterdir()
+                if (p / "meta.json").is_file()
+            ) if store_root.is_dir() else []
+            for tree in trees:
+                try:
+                    open_store(store_root, tree.name).consolidate(spark)
+                except Exception as err:
+                    failures.append((tree.name, err))
     for name, err in failures:
         print(f"ERROR: collection '{name}' failed: {err}", file=sys.stderr)
     return 1 if failures else 0
@@ -504,6 +544,28 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
                              "(dHash bits differing; 3 = re-encode/"
                              "brightness tolerance, 0 = exact "
                              "perceptual match)")
+    parser.add_argument("--media-afp-store", type=Path, default=None,
+                        help="persistent cross-run incremental AUDIO "
+                             "near-dedup store (requires --source-format "
+                             "media): decodable PCM-WAV payloads are "
+                             "envelope-fingerprinted (gain/channel "
+                             "invariant), probed against all previously "
+                             "ingested batches (banded Hamming join + "
+                             "exact popcount), re-mastered re-crawls "
+                             "dropped before the write, survivors "
+                             "indexed after it; combinable with "
+                             "--media-dhash-store (disjoint mimes)")
+    parser.add_argument("--media-afp-max-hamming", type=int, default=3,
+                        help="Hamming radius for --media-afp-store "
+                             "(envelope bits differing; 3 = re-master "
+                             "tolerance, 0 = exact perceptual match)")
+    parser.add_argument("--media-store-consolidate", action="store_true",
+                        help="after this run's batches commit, merge all "
+                             "completed batch partitions of every tree "
+                             "under each --media-*-store root into one "
+                             "batch=c0 (parameters read from each tree's "
+                             "meta.json pin; content-preserving and "
+                             "crash-safe)")
     parser.add_argument("--single-file", action="store_true",
                         help="write ONE parquet file per collection (the "
                              "reference's exact layout) via coalesce(1); "
@@ -529,6 +591,22 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
         print(
             "ERROR: --media-dhash-store requires --source-format media "
             "(it fingerprints binary image payloads)",
+            file=sys.stderr,
+        )
+        return None
+    if parsed.media_afp_store and parsed.source_format != "media":
+        print(
+            "ERROR: --media-afp-store requires --source-format media "
+            "(it fingerprints binary audio payloads)",
+            file=sys.stderr,
+        )
+        return None
+    if parsed.media_store_consolidate and not (
+        parsed.media_dhash_store or parsed.media_afp_store
+    ):
+        print(
+            "ERROR: --media-store-consolidate requires a media store "
+            "(--media-dhash-store / --media-afp-store) to consolidate",
             file=sys.stderr,
         )
         return None
@@ -580,6 +658,9 @@ def run(argv: list[str] | None = None) -> int:
         near_dedup_consolidate=args.near_dedup_consolidate,
         media_dhash_store=args.media_dhash_store,
         media_dhash_max_hamming=args.media_dhash_max_hamming,
+        media_afp_store=args.media_afp_store,
+        media_afp_max_hamming=args.media_afp_max_hamming,
+        media_store_consolidate=args.media_store_consolidate,
         single_file=args.single_file,
         compression=args.compression,
         source_format=args.source_format,

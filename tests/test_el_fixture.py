@@ -437,6 +437,19 @@ def test_parse_args_surface(tmp_path, capsys):
     missing = tmp_path / "missing.yaml"
     ns = parse_args(["-u", "file:/x", "-S", str(missing)])
     assert ns.schemas == []  # warned and dropped
+    # media store flags demand the media source format (they
+    # fingerprint binary payload columns that only it produces), and
+    # the consolidate flag demands a store — hard errors, not no-ops
+    assert parse_args(["-u", "file:/x", "--media-afp-store", "/s"]) is None
+    assert parse_args(
+        ["-u", "file:/x", "--source-format", "media",
+         "--media-store-consolidate"]
+    ) is None
+    ns = parse_args(
+        ["-u", "file:/x", "--source-format", "media",
+         "--media-afp-store", "/s", "--media-store-consolidate"]
+    )
+    assert ns is not None and ns.media_store_consolidate
 
 
 def test_single_file_compat_layout(spark, tmp_path):
@@ -1031,6 +1044,152 @@ def test_cli_media_dhash_store_across_runs(spark, tmp_path):
     import pytest as _pytest
 
     with _pytest.raises(Exception, match="different parameters"):
-        from mongo2pq_spark.plans.imagededup_store import ImageDedupStore
+        from mongo2pq_spark.plans.mediadedup_store import ImageDedupStore
 
         ImageDedupStore(store, "images", max_hamming=1)
+
+
+def test_cli_media_afp_store_across_runs(spark, tmp_path):
+    """--media-afp-store: run 2's re-MASTERED re-crawls of run 1's
+    audio (gain ×2 and a mono→stereo duplication — different BYTES and
+    payload_md5, byte dedup sees nothing; the envelope fingerprint is
+    invariant to both) are dropped against the persisted index; fresh
+    audio and undecodable payloads pass through; a rerun of run 2 is
+    idempotent; the kind pin refuses an image-store open of the same
+    tree."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.audio import encode_wav
+
+    rng = np.random.default_rng(7)
+    base = [
+        rng.integers(-500, 500, (200,)).astype("int16") for _ in range(4)
+    ]
+    run1 = tmp_path / "run1" / "sounds"
+    run2 = tmp_path / "run2" / "sounds"
+    run1.mkdir(parents=True)
+    run2.mkdir(parents=True)
+    for i, s in enumerate(base):
+        (run1 / f"orig_{i}.wav").write_bytes(encode_wav(s, 8000))
+    # re-masters: exact gain x2 (|-500..500| doubles without clipping)
+    # and a stereo duplication of base[2] — envelope-hash invariants
+    for i in range(2):
+        (run2 / f"remaster_{i}.wav").write_bytes(
+            encode_wav((base[i] * 2).astype("int16"), 8000)
+        )
+    stereo = np.stack([base[2], base[2]], axis=1).astype("int16")
+    (run2 / "stereo_2.wav").write_bytes(encode_wav(stereo, 8000))
+    (run2 / "fresh.wav").write_bytes(
+        encode_wav(rng.integers(-500, 500, (200,)).astype("int16"), 8000)
+    )
+    (run2 / "broken.wav").write_bytes(b"RIFF\x10\x00\x00\x00WAVEjunk")
+
+    store = tmp_path / "afpstore"
+    out1, out2, out2b = (tmp_path / d for d in ("out1", "out2", "out2b"))
+    for o in (out1, out2, out2b):
+        o.mkdir()
+
+    def run(src, out):
+        rc = cli_main(
+            f"file:{src}", source_format="media", outdir=out,
+            media_afp_store=store, spark=spark,
+        )
+        assert rc == 0
+        return {
+            r["source_path"].rsplit("/", 1)[-1]
+            for r in spark.read.parquet(str(out / "sounds.parquet")).collect()
+        }
+
+    assert run(tmp_path / "run1", out1) == {
+        f"orig_{i}.wav" for i in range(4)
+    }
+
+    names2 = run(tmp_path / "run2", out2)
+    # re-masters dropped; fresh kept; undecodable passes through
+    assert names2 == {"fresh.wav", "broken.wav"}
+
+    # idempotent rerun: same survivors, not self-colliding
+    assert run(tmp_path / "run2", out2b) == names2
+
+    # kind pin: an IMAGE-store open of the audio tree is refused
+    import pytest as _pytest
+
+    from mongo2pq_spark.plans.mediadedup_store import ImageDedupStore
+
+    with _pytest.raises(Exception, match="different parameters"):
+        ImageDedupStore(store, "sounds")
+
+
+def test_cli_media_store_consolidate(spark, tmp_path):
+    """--media-store-consolidate: after two committed image batches,
+    the store's fps tree collapses to a single batch=c0; a later run's
+    re-crawls of BOTH absorbed batches are still dropped (the probe's
+    answer is consolidation-invariant), and a retry of an absorbed
+    batch stays idempotent (src_token-based own-row exclusion survives
+    absorption)."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(43)
+    arrs1 = [
+        rng.integers(10, 230, (8, 9, 3), dtype="uint8") for _ in range(3)
+    ]
+    arrs2 = [
+        rng.integers(10, 230, (8, 9, 3), dtype="uint8") for _ in range(2)
+    ]
+    run1 = tmp_path / "run1" / "images"
+    run2 = tmp_path / "run2" / "images"
+    run3 = tmp_path / "run3" / "images"
+    for d in (run1, run2, run3):
+        d.mkdir(parents=True)
+    for i, a in enumerate(arrs1):
+        (run1 / f"one_{i}.png").write_bytes(encode_png(a))
+    for i, a in enumerate(arrs2):
+        (run2 / f"two_{i}.png").write_bytes(encode_png(a))
+    # run 3: one shifted re-crawl of each absorbed batch + one fresh
+    (run3 / "re1.png").write_bytes(
+        encode_png((arrs1[0].astype("int16") + 5).astype("uint8"))
+    )
+    (run3 / "re2.png").write_bytes(
+        encode_png((arrs2[0].astype("int16") + 5).astype("uint8"))
+    )
+    (run3 / "new.png").write_bytes(
+        encode_png(rng.integers(10, 230, (8, 9, 3), dtype="uint8"))
+    )
+
+    store = tmp_path / "imgstore"
+    outs = {n: tmp_path / f"out{n}" for n in ("1", "2", "3", "2b")}
+    for o in outs.values():
+        o.mkdir()
+
+    def run(src, out, consolidate=False):
+        rc = cli_main(
+            f"file:{src}", source_format="media", outdir=out,
+            media_dhash_store=store,
+            media_store_consolidate=consolidate, spark=spark,
+        )
+        assert rc == 0
+        return {
+            r["source_path"].rsplit("/", 1)[-1]
+            for r in spark.read.parquet(str(out / "images.parquet")).collect()
+        }
+
+    run(tmp_path / "run1", outs["1"])
+    run(tmp_path / "run2", outs["2"], consolidate=True)
+
+    fps = store / "images" / "fps"
+    assert [p.name for p in sorted(fps.iterdir()) if p.is_dir()] == [
+        "batch=c0"
+    ]
+
+    # probe answer unchanged by consolidation: both absorbed batches'
+    # re-crawls dropped, the fresh image kept
+    assert run(tmp_path / "run3", outs["3"]) == {"new.png"}
+
+    # retry of the ABSORBED run 2: own rows (now inside batch=c0)
+    # excluded via src_token, so the rerun reproduces run 2's original
+    # survivors instead of self-colliding into an empty output
+    assert run(tmp_path / "run2", outs["2b"]) == {
+        "two_0.png", "two_1.png"
+    }
