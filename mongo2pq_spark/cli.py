@@ -54,6 +54,9 @@ def main(
     media_afp_store: Path | None = None,
     media_afp_max_hamming: int = 3,
     media_store_consolidate: bool = False,
+    bpe_merges: Path | None = None,
+    bpe_text_col: str | None = None,
+    bpe_learn: int | None = None,
     single_file: bool = False,
     compression: str | None = None,
     source_format: str = "auto",
@@ -95,10 +98,67 @@ def main(
     config = parse_config(config_file) if config_file else {}
     schema_files = {p.stem: p for p in (schema_paths or [])}
 
+    bpe_merges_table = None
+    if bpe_merges:
+        # tokenize-at-ingest under a PINNED merge table: token counts
+        # are only reproducible under the exact artifact that priced
+        # them, so the artifact is load-if-present; --bpe-learn N
+        # trains it ONCE from this run's corpus (union of collections
+        # carrying the column — order-independent) and pins it
+        # atomically before any collection is priced.
+        from mongo2pq_spark.operators.bpe import (
+            learn_bpe,
+            load_merges,
+            save_merges,
+        )
+
+        bpe_path = Path(bpe_merges)
+        if bpe_path.is_file():
+            bpe_merges_table = load_merges(str(bpe_path))
+        elif bpe_learn:
+            import os as _os
+            from functools import reduce
+
+            from pyspark.sql import functions as F
+
+            parts = []
+            for nm in readers:
+                d = readers[nm]()
+                if bpe_text_col in d.columns:
+                    parts.append(
+                        d.select(F.col(bpe_text_col).alias("text"))
+                    )
+            if not parts:
+                print(
+                    f"Error: --bpe-learn found no collection with "
+                    f"column {bpe_text_col!r} to train on",
+                    file=sys.stderr,
+                )
+                return 1
+            corpus = reduce(lambda a, b: a.unionByName(b), parts)
+            bpe_merges_table = learn_bpe(corpus, "text", n_merges=bpe_learn)
+            tmp = bpe_path.with_name(f"_{bpe_path.name}.tmp")
+            save_merges(bpe_merges_table, str(tmp))
+            _os.replace(tmp, bpe_path)  # pin atomically — never torn
+            print(
+                f"BPE merge table learned ({len(bpe_merges_table)} "
+                f"merges) and pinned at {bpe_path}",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"Error: BPE merge table {bpe_path} does not exist; "
+                "pass --bpe-learn N to train and pin it from this "
+                "run's corpus",
+                file=sys.stderr,
+            )
+            return 1
+
     def _process_collection(name: str) -> None:
         """Both phases for one collection (the parallel unit): schema
         (load-or-infer, dump, config rewrite) then extract-load."""
         read = readers[name]
+        df = read()
         schema = None
         if schema_path := schema_files.get(name):
             try:
@@ -108,11 +168,28 @@ def main(
                     f"WARNING: schema file for '{name}' unusable ({err}); inferring",
                     file=sys.stderr,
                 )
+        dump_inferred = schema is None
         if schema is None:
             if use_source_types:
-                schema = Schema.from_df(name, read())
+                schema = Schema.from_df(name, df)
             else:
-                schema = Schema(name, infer_schema_from_df(read(), samples=samples))
+                schema = Schema(name, infer_schema_from_df(df, samples=samples))
+        bpe_active = bpe_merges_table is not None
+        if bpe_active and bpe_text_col not in df.columns:
+            print(
+                f"WARNING: BPE column {bpe_text_col!r} not in '{name}'; "
+                "collection written without token accounting",
+                file=sys.stderr,
+            )
+            bpe_active = False
+        if bpe_active:
+            # the written dataset gains the engine-computed count
+            # column, so the schema (and its YAML dump below) must
+            # describe it — the dump is the contract for re-ingestion
+            import pyarrow as pa
+
+            schema.merge(Schema(schema.name, {"n_bpe_tokens": pa.int64()}))
+        if dump_inferred:
             dump_schema_to_file(schema, destination=outdir)
         if schema_config := config.get("schema"):
             schema.use_config(schema_config)
@@ -120,7 +197,6 @@ def main(
                 dump_schema_to_file(
                     schema, filename=f"{name}_config_applied.yaml", destination=outdir
                 )
-        df = read()
         if dedup_text_col and dedup_text_col not in df.columns:
             # with a near-dedup store configured this is worse than a
             # skipped dedup: the collection is also never INDEXED, so
@@ -209,6 +285,13 @@ def main(
             cached_df = df.persist()
             tokens.append(store.batch_token(cached_df))
             df = store.filter_new(cached_df, tokens[0])
+        if bpe_active:
+            # price the rows that will actually be WRITTEN (post-dedup,
+            # post-store-filtering); map-only, so placement changes
+            # cost, never values
+            from mongo2pq_spark.operators.bpe import with_token_counts
+
+            df = with_token_counts(df, bpe_merges_table, bpe_text_col)
         try:
             metrics: dict = {}
             extract_load_collection(
@@ -566,6 +649,22 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
                              "batch=c0 (parameters read from each tree's "
                              "meta.json pin; content-preserving and "
                              "crash-safe)")
+    parser.add_argument("--bpe-merges", type=Path, default=None,
+                        help="tokenize-at-ingest: pinned BPE merge-table "
+                             "artifact (bpe-merges-v1). If the file "
+                             "exists it is loaded and applied; every "
+                             "collection carrying --bpe-text-col gains "
+                             "an n_bpe_tokens column in its output")
+    parser.add_argument("--bpe-text-col", default=None,
+                        help="column to tokenize for --bpe-merges "
+                             "(collections lacking it are written "
+                             "without token accounting, with a warning)")
+    parser.add_argument("--bpe-learn", type=int, default=None,
+                        help="if the --bpe-merges artifact does not "
+                             "exist, learn this many merges from this "
+                             "run's corpus (union of collections with "
+                             "--bpe-text-col) and pin the artifact "
+                             "atomically before pricing")
     parser.add_argument("--single-file", action="store_true",
                         help="write ONE parquet file per collection (the "
                              "reference's exact layout) via coalesce(1); "
@@ -607,6 +706,20 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
         print(
             "ERROR: --media-store-consolidate requires a media store "
             "(--media-dhash-store / --media-afp-store) to consolidate",
+            file=sys.stderr,
+        )
+        return None
+    if parsed.bpe_merges and not parsed.bpe_text_col:
+        print(
+            "ERROR: --bpe-merges requires --bpe-text-col "
+            "(the column to tokenize)",
+            file=sys.stderr,
+        )
+        return None
+    if parsed.bpe_learn is not None and not parsed.bpe_merges:
+        print(
+            "ERROR: --bpe-learn requires --bpe-merges "
+            "(the artifact path to pin)",
             file=sys.stderr,
         )
         return None
@@ -661,6 +774,9 @@ def run(argv: list[str] | None = None) -> int:
         media_afp_store=args.media_afp_store,
         media_afp_max_hamming=args.media_afp_max_hamming,
         media_store_consolidate=args.media_store_consolidate,
+        bpe_merges=args.bpe_merges,
+        bpe_text_col=args.bpe_text_col,
+        bpe_learn=args.bpe_learn,
         single_file=args.single_file,
         compression=args.compression,
         source_format=args.source_format,

@@ -225,6 +225,47 @@ def bpe_encode_stats(
     return df.mapInPandas(stat_batches, BPE_STATS_SCHEMA)
 
 
+def with_token_counts(
+    df: DataFrame,
+    merges: list[tuple[bytes, bytes]],
+    text_col: str,
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Append a per-row BPE token count under a PINNED merge table —
+    the tokenize-at-ingest shape: rows keep every source column, one
+    long column is added, so the EL sink writes token accounting next
+    to the data it priced. Scalar Arrow-batched pandas_udf (map-only,
+    no shuffle, no join-back); the same per-batch distinct-word
+    memoization as ``bpe_encode_stats``; null text counts 0 tokens."""
+    from pyspark.sql.functions import pandas_udf
+
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf("long")
+    def n_tokens(texts):
+        import pandas as pd
+
+        cache: dict[str, int] = {}
+        counts = []
+        for text in texts:
+            text = text or ""
+            if len(cache) > 200_000:
+                cache.clear()  # bound executor memory; cost = re-encode
+            total = 0
+            for w in pretokenize(text):
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = len(encode_word(w.encode("utf-8"), ranks))
+                total += hit
+            counts.append(total)
+        return pd.Series(counts, dtype="int64")
+
+    return df.withColumn(out_col, n_tokens(F.col(text_col)))
+
+
 def save_merges(merges: list[tuple[bytes, bytes]], path: str) -> None:
     """Persist a learned merge table as one hex-encoded pair per line
     (binary-safe: merges may contain arbitrary bytes, so no text

@@ -450,6 +450,14 @@ def test_parse_args_surface(tmp_path, capsys):
          "--media-afp-store", "/s", "--media-store-consolidate"]
     )
     assert ns is not None and ns.media_store_consolidate
+    # BPE pinning: merges need the column, learning needs the artifact
+    assert parse_args(["-u", "file:/x", "--bpe-merges", "/m"]) is None
+    assert parse_args(["-u", "file:/x", "--bpe-learn", "50"]) is None
+    ns = parse_args(
+        ["-u", "file:/x", "--bpe-merges", "/m",
+         "--bpe-text-col", "text", "--bpe-learn", "50"]
+    )
+    assert ns is not None and ns.bpe_learn == 50
 
 
 def test_single_file_compat_layout(spark, tmp_path):
@@ -1047,6 +1055,93 @@ def test_cli_media_dhash_store_across_runs(spark, tmp_path):
         from mongo2pq_spark.plans.mediadedup_store import ImageDedupStore
 
         ImageDedupStore(store, "images", max_hamming=1)
+
+
+def test_cli_bpe_tokenize_at_ingest(spark, tmp_path):
+    """--bpe-merges/--bpe-learn: a missing artifact without --bpe-learn
+    is a hard error; with it, run 1 trains from the corpus, pins the
+    artifact atomically, and writes every doc row with an
+    n_bpe_tokens column whose values equal the stats operator's
+    accounting under the loaded artifact (and the schema YAML
+    documents the column); collections lacking the text column are
+    written without it; run 2 over NEW data reuses the pinned artifact
+    byte-identically, keeping token accounting comparable across
+    ingests."""
+    import json as jsonlib
+
+    docs1 = ["the cat sat on the mat", "the dog sat", "", "cats and dogs"]
+    docs2 = ["the the the", "an unseen zebra word"]
+    src1, src2 = tmp_path / "src1", tmp_path / "src2"
+    src1.mkdir()
+    src2.mkdir()
+    (src1 / "docs.jsonl").write_text("\n".join(
+        jsonlib.dumps({"doc_id": i, "text": t})
+        for i, t in enumerate(docs1)
+    ))
+    (src1 / "plain.jsonl").write_text("\n".join(
+        jsonlib.dumps({"doc_id": i, "v": i * 2}) for i in range(3)
+    ))
+    (src2 / "docs.jsonl").write_text("\n".join(
+        jsonlib.dumps({"doc_id": i, "text": t})
+        for i, t in enumerate(docs2)
+    ))
+    art = tmp_path / "merges.bpe"
+    out0, out1, out2 = (tmp_path / d for d in ("out0", "out1", "out2"))
+    for o in (out0, out1, out2):
+        o.mkdir()
+
+    # missing artifact, no --bpe-learn: refuse rather than silently
+    # train (token accounting must be pinned, not accidental)
+    rc = cli_main(f"file:{src1}", outdir=out0, bpe_merges=art,
+                  bpe_text_col="text", spark=spark)
+    assert rc == 1 and not art.exists()
+
+    rc = cli_main(f"file:{src1}", outdir=out1, bpe_merges=art,
+                  bpe_text_col="text", bpe_learn=30, spark=spark)
+    assert rc == 0 and art.is_file()
+
+    from mongo2pq_spark.operators.bpe import bpe_encode_stats, load_merges
+
+    merges = load_merges(str(art))
+    expected = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode_stats(
+            spark.createDataFrame(
+                list(enumerate(docs1)), "doc_id bigint, text string"
+            ),
+            merges,
+        ).collect()
+    }
+    priced = spark.read.parquet(str(out1 / "docs.parquet"))
+    assert "n_bpe_tokens" in priced.columns
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in priced.collect()}
+    assert got == expected
+    # the dumped schema documents the engine-computed column
+    assert "n_bpe_tokens" in (out1 / "docs.yaml").read_text()
+    # the no-text-column collection is written, without the column
+    plain = spark.read.parquet(str(out1 / "plain.parquet"))
+    assert plain.count() == 3 and "n_bpe_tokens" not in plain.columns
+
+    # run 2: the pinned artifact is REUSED, not retrained (even with
+    # --bpe-learn set), so counts stay comparable across ingests
+    pinned = art.read_bytes()
+    rc = cli_main(f"file:{src2}", outdir=out2, bpe_merges=art,
+                  bpe_text_col="text", bpe_learn=30, spark=spark)
+    assert rc == 0 and art.read_bytes() == pinned
+    expected2 = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode_stats(
+            spark.createDataFrame(
+                list(enumerate(docs2)), "doc_id bigint, text string"
+            ),
+            merges,
+        ).collect()
+    }
+    got2 = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in spark.read.parquet(str(out2 / "docs.parquet")).collect()
+    }
+    assert got2 == expected2
 
 
 def test_cli_media_afp_store_across_runs(spark, tmp_path):

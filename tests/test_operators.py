@@ -1850,6 +1850,33 @@ def test_bpe_encode_stats_exact_and_lossless(spark):
     assert rows[0]["n_tokens"] < len(texts[0].encode())
 
 
+def test_bpe_with_token_counts_matches_stats(spark):
+    """The tokenize-at-ingest column (with_token_counts) must price
+    every row exactly as the stats operator does under the same merge
+    table — including empty and null text — while preserving all
+    source columns and appending exactly one."""
+    from mongo2pq_spark.operators.bpe import (
+        bpe_encode_stats,
+        learn_bpe,
+        with_token_counts,
+    )
+
+    texts = {0: "the cat sat on the mat", 1: "", 2: None, 3: "cats cats"}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id bigint, text string"
+    )
+    merges = learn_bpe(df, n_merges=20)
+    priced = with_token_counts(df, merges, "text")
+    assert priced.columns == ["doc_id", "text", "n_bpe_tokens"]
+    counts = {r["doc_id"]: r["n_bpe_tokens"] for r in priced.collect()}
+    stats = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode_stats(df, merges).collect()
+    }
+    assert counts == stats and counts[1] == 0 and counts[2] == 0
+    assert counts[0] > 0
+
+
 def test_embedding_incremental_flags_match_bruteforce(spark, sf_dir):
     """The incremental probe's is_new flags must agree with brute-force
     new-vs-corpus cosine >= threshold wherever LSH recall permits:
