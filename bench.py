@@ -79,6 +79,10 @@ HEADLINE = [
     # learned-BPE corpus round trip (histogram learn + encode+decode)
     "multimodal_audio_fp_neardup",
     "text_bpe_roundtrip_stats",
+    # round-11 continuation additions (no pinned baseline yet;
+    # tracked for trend): sub-document dedup — cross-doc 8-word-chunk
+    # survivor selection + in-order reassembly (two-shuffle shape)
+    "dedup_chunk_reassemble",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -999,3 +999,93 @@ def cluster_survivors(
         F.col(id_col),
         F.coalesce(F.col("__kept"), F.lit(True)).alias("kept"),
     )
+
+
+def chunk_dedup_reassemble(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """Cross-document CHUNK-level exact dedup with document
+    reassembly — the CCNet/RefinedWeb paragraph-dedup shape (every
+    paragraph hashed, only the corpus-first occurrence kept, documents
+    rebuilt from their surviving paragraphs), generalized to fixed
+    ``chunk_words``-word chunks for corpora without paragraph markers.
+    Sub-document dedup catches boilerplate SHARED ACROSS documents
+    (headers, license blocks, templated intros) that document-level
+    exact/near dedup never removes because the surrounding text
+    differs.
+
+    Semantics: docs split into consecutive ``chunk_words``-word chunks
+    (single-space split so reassembly is faithful; last partial chunk
+    kept); a chunk survives iff its (doc_id, chunk_id) is the MINIMAL
+    occurrence of its md5 key corpus-wide (deterministic first-wins);
+    ``clean_text`` is the in-order join of a doc's surviving chunks
+    (possibly empty), with before/after chunk counts for pruning
+    decisions downstream.
+
+    Scale shape: tokenize+chunk is one narrow pass (materialized token
+    array projected BEFORE the posexplode — the `chunk_documents`
+    anti-inlining pattern); survivor selection is ONE shuffle on the
+    chunk key (window min-struct — identical chunks land in one
+    group, so state per distinct chunk is a single struct and hot
+    boilerplate keys stay one group each, never a join fan-out); the
+    rebuild is ONE shuffle back on the doc id (collect_list of
+    (chunk_id, text) sorted in-group — per-group memory is one
+    document). No self-join, no driver materialization."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    ).select(id_col, "__toks", F.size("__toks").alias("__n"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("__n") - 1, F.lit(0)),
+        F.lit(chunk_words),
+    )
+    chunks = (
+        base.filter(F.col("__n") > 0)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start") + 1, chunk_words),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+    keyed = chunks.withColumn(
+        "__key", F.md5(F.col("chunk_text").cast("binary"))
+    )
+    first = F.min(F.struct(id_col, "chunk_id")).over(
+        Window.partitionBy("__key")
+    )
+    flagged = keyed.select(
+        F.col(id_col),
+        "chunk_id",
+        "chunk_text",
+        (
+            (first[id_col] == F.col(id_col))
+            & (first["chunk_id"] == F.col("chunk_id"))
+        ).alias("__keep"),
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("chunk_id", "chunk_text", "__keep"))
+        ).alias("__cs")
+    )
+    kept = F.filter(F.col("__cs"), lambda c: c["__keep"])
+    return per_doc.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept, lambda c: c["chunk_text"]), " "
+        ).alias("clean_text"),
+        F.size("__cs").cast("bigint").alias("n_chunks"),
+        F.size(kept).cast("bigint").alias("n_chunks_kept"),
+    )

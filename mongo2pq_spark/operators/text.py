@@ -370,3 +370,45 @@ def pii_redact(
         redacted.alias("redacted_text"),
         F.length(redacted).cast("bigint").alias("n_chars_redacted"),
     )
+
+
+def collapse_repeated_tokens(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document consecutive-duplicate-token removal — the
+    repetition NORMALIZATION companion to ``repetition_stats`` (which
+    only measures): keep token i iff it differs from token i−1, then
+    rejoin. Stutter runs ("the the the") collapse to one token;
+    non-adjacent repeats are untouched (they are legitimate prose).
+
+    Split is plain single-space (not the lossy ``tokens`` helper) so
+    the output is a faithful reconstruction: for any input with no
+    adjacent duplicates, ``clean_text`` round-trips byte-identically.
+
+    Scale shape: built-in array expressions only — map-only, zero
+    shuffle, whole-stage codegen. The pairing with the previous token
+    is a SHIFTED zip_with (the ``word_shingles`` pattern), not a
+    per-index ``get`` inside a lambda: Catalyst inlines outer
+    expressions into lambda bodies, so an indexed self-reference would
+    re-evaluate the split per ELEMENT (O(n²) per doc). The token array
+    is materialized in its own projection first. zip_with pads the
+    shorter side with NULLs: the one trailing pad element maps to NULL
+    and is filtered with the collapsed duplicates (split never yields
+    NULL tokens, so NULL is a safe sentinel); the first token survives
+    via null-safe inequality against its NULL predecessor."""
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")), F.col("__toks")
+    )
+    marked = F.zip_with(
+        F.col("__toks"), prev, lambda a, b: F.when(~a.eqNullSafe(b), a)
+    )
+    kept = F.filter(marked, lambda x: x.isNotNull())
+    return base.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("__toks").cast("bigint").alias("n_tokens_before"),
+        F.size(kept).cast("bigint").alias("n_tokens_after"),
+    )

@@ -786,3 +786,45 @@ def dedup_cluster_survivors(spark, sf_dir):
     )
     clusters = ops.near_dup_clusters(pairs)
     return ops.cluster_survivors(docs, clusters, quality_col="n_chars")
+
+
+@register(
+    "dedup_chunk_reassemble",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_id,
+               array_to_string(t[(i*8+1):((i+1)*8)], ' ') AS chunk_text
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(
+                 0, CAST(floor((len(t)-1)/8.0) AS BIGINT))) AS i) s
+    ),
+    flagged AS (
+        SELECT doc_id, chunk_id, chunk_text,
+               min(struct_pack(d := doc_id, c := chunk_id))
+                   OVER (PARTITION BY md5(chunk_text)) AS f
+        FROM chunks
+    )
+    SELECT doc_id,
+           coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_id)
+                    FILTER (WHERE f.d = doc_id AND f.c = chunk_id),
+                    '') AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE f.d = doc_id
+                                 AND f.c = chunk_id) AS BIGINT)
+               AS n_chunks_kept
+    FROM flagged GROUP BY doc_id
+    """,
+    doc="cross-doc CHUNK-level exact dedup with reassembly (CCNet "
+        "paragraph dedup over fixed 8-word chunks): only the "
+        "corpus-first occurrence of each chunk survives (min "
+        "(doc_id, chunk_id) per md5 key), docs rebuilt from surviving "
+        "chunks in order — one key shuffle + one doc shuffle",
+)
+def dedup_chunk_reassemble(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.chunk_dedup_reassemble(docs)

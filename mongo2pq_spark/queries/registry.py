@@ -179,6 +179,15 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # list (skips Spark's distinct-discovery scan; deterministic
     # schema); oracle = conditional aggregates
     "events_pivot_daily",
+    # r11 continuation: intra-doc consecutive-duplicate-token removal
+    # (stutter normalization; map-only shifted-zip_with, zero
+    # shuffle, full value oracle incl. the rebuilt text)
+    "text_collapse_repeats",
+    # r11 continuation: cross-doc chunk-level exact dedup with
+    # document reassembly (CCNet paragraph dedup over fixed 8-word
+    # chunks; corpus-first survivor per chunk md5, one key shuffle +
+    # one doc shuffle; full value oracle incl. the rebuilt text)
+    "dedup_chunk_reassemble",
 ]
 
 

@@ -438,3 +438,32 @@ def text_bpe_roundtrip_stats(spark, sf_dir):
     return stats.select(
         "doc_id", "n_bytes", "roundtrip_md5", bounds.alias("bounds_ok")
     )
+
+
+@register(
+    "text_collapse_repeats",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, t,
+               [t[i] FOR i IN generate_series(1, len(t))
+                IF i = 1 OR t[i] <> t[i-1]] AS k
+        FROM toks
+    )
+    SELECT doc_id,
+           array_to_string(k, ' ') AS clean_text,
+           CAST(len(t) AS BIGINT) AS n_tokens_before,
+           CAST(len(k) AS BIGINT) AS n_tokens_after
+    FROM kept
+    """,
+    doc="intra-doc consecutive-duplicate-token removal (stutter-run "
+        "normalization): keep token i iff it differs from token i-1, "
+        "rejoin in order — map-only shifted-zip_with, zero shuffle",
+)
+def text_collapse_repeats(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.collapse_repeated_tokens(docs)

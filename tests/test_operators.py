@@ -1850,6 +1850,58 @@ def test_bpe_encode_stats_exact_and_lossless(spark):
     assert rows[0]["n_tokens"] < len(texts[0].encode())
 
 
+def test_collapse_repeated_tokens_semantics(spark):
+    """Stutter runs collapse to one token, non-adjacent repeats stay
+    (legitimate prose), and dup-free text round-trips byte-identically
+    — with exact before/after accounting."""
+    from mongo2pq_spark.operators.text import collapse_repeated_tokens
+
+    rows = {
+        1: "the the the cat sat sat",
+        2: "x y x y",
+        3: "",
+        4: "one two three",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in rows.items()], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in collapse_repeated_tokens(df).collect()}
+    assert out[1]["clean_text"] == "the cat sat"
+    assert (out[1]["n_tokens_before"], out[1]["n_tokens_after"]) == (6, 3)
+    assert out[2]["clean_text"] == "x y x y"  # non-adjacent untouched
+    assert out[3]["clean_text"] == "" and out[3]["n_tokens_after"] == 1
+    assert out[4]["clean_text"] == rows[4]  # identity round trip
+
+
+def test_chunk_dedup_reassemble_boilerplate(spark):
+    """Shared boilerplate chunks survive only in the minimal
+    (doc_id, chunk_id) occurrence: later docs lose them but keep their
+    unique tails in order; a fully duplicated doc reassembles to
+    empty; partial last chunks dedup as their own unit."""
+    from mongo2pq_spark.operators.dedup import chunk_dedup_reassemble
+
+    boiler = "terms of use apply to this web page"  # 8 words
+    tail_a = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    tail_b = "one two three four five six seven eight"  # 8 words
+    rows = [
+        (1, f"{boiler} {tail_a}"),
+        (2, f"{boiler} {tail_b}"),
+        (3, f"{boiler} {tail_a}"),  # full dup of doc 1
+        (4, "short partial chunk"),
+        (5, "short partial chunk"),  # dup of doc 4's partial chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in chunk_dedup_reassemble(df).collect()}
+    assert out[1]["clean_text"] == f"{boiler} {tail_a}"
+    assert (out[1]["n_chunks"], out[1]["n_chunks_kept"]) == (2, 2)
+    assert out[2]["clean_text"] == tail_b  # boilerplate stripped
+    assert (out[2]["n_chunks"], out[2]["n_chunks_kept"]) == (2, 1)
+    assert out[3]["clean_text"] == ""  # fully duplicated doc
+    assert (out[3]["n_chunks"], out[3]["n_chunks_kept"]) == (2, 0)
+    assert out[4]["clean_text"] == "short partial chunk"
+    assert out[5]["clean_text"] == "" and out[5]["n_chunks"] == 1
+
+
 def test_bpe_with_token_counts_matches_stats(spark):
     """The tokenize-at-ingest column (with_token_counts) must price
     every row exactly as the stats operator does under the same merge

@@ -443,11 +443,32 @@ def test_rollup_gapfill_spine_is_broadcast(spark, sf_dir):
 
 
 def test_map_only_llm_ops_have_no_exchange(spark, sf_dir):
-    """Chunking and mix upsampling are narrow per-row transforms; any
-    Exchange in their plans means an accidental shuffle of the corpus."""
-    for name in ("doc_chunks_fixed", "corpus_mix_upsample"):
+    """Chunking, mix upsampling, and stutter collapse are narrow
+    per-row transforms; any Exchange in their plans means an
+    accidental shuffle of the corpus. The collapse plan must also
+    materialize the token split ONCE — an indexed self-reference
+    inside its lambda would let Catalyst inline the split per element
+    (O(n²) per doc)."""
+    for name in ("doc_chunks_fixed", "corpus_mix_upsample",
+                 "text_collapse_repeats"):
         plan = _formatted(spark, sf_dir, name)
         assert "Exchange" not in plan, name
+    opt = (
+        SPECS["text_collapse_repeats"].fn(spark, sf_dir)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert opt.count("split(") == 1, opt
+
+
+def test_chunk_reassemble_is_two_shuffles(spark, sf_dir):
+    """Chunk-level dedup + reassembly needs exactly its two semantic
+    shuffles — one on the chunk key (survivor window), one back on the
+    doc id (rebuild aggregate) — and no join: a third exchange or a
+    self-join would re-shuffle the exploded chunk stream at 100 TB."""
+    plan = _formatted(spark, sf_dir, "dedup_chunk_reassemble")
+    n_exchanges = plan.count("Exchange (")
+    assert n_exchanges == 2, f"expected 2 exchanges, plan has {n_exchanges}"
+    assert "Join" not in plan
 
 
 def test_train_val_split_is_map_only(spark, sf_dir):
