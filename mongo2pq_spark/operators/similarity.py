@@ -111,6 +111,64 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query
+    vector, the k most-similar corpus vectors with a DIFFERENT label —
+    the near-misses a contrastive loss learns most from (random
+    in-batch negatives are overwhelmingly trivial). ``cosine_topk``
+    with the label-mismatch predicate pushed below the ranking window,
+    same scale shape: queries broadcast, corpus scanned once and never
+    shuffled, per-pair work one dot fold, similarity rounded to 6 dp
+    before ranking (ties on neighbor id) so ordering is
+    oracle-stable."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("query_norm"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("vec_norm"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(
+                dot(F.col("query_vec"), F.col("vec"))
+                / (F.col("query_norm") * F.col("vec_norm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "neighbor_label",
+            "cosine_sim", "rank",
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,

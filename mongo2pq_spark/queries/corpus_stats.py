@@ -505,3 +505,81 @@ def dq_audit_lineitem(spark, sf_dir):
         .agg(F.count("*").alias("orphan_lineitems"))
     )
     return scan_checks.crossJoin(F.broadcast(orphans))
+
+
+@register(
+    "text_bigram_logprob",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+    ),
+    bgs AS (
+        SELECT doc_id, unnest({sql_word_shingles('t', 2)}) AS bg
+        FROM toks
+    ),
+    db AS (SELECT doc_id, bg, count(*) AS tf FROM bgs GROUP BY 1, 2),
+    cb AS (SELECT bg, sum(tf) AS cbg FROM db GROUP BY 1),
+    ctx AS (
+        SELECT string_split(bg, ' ')[1] AS w, sum(cbg) AS cctx
+        FROM cb GROUP BY 1
+    ),
+    voc AS (
+        SELECT count(DISTINCT u) AS v
+        FROM (SELECT unnest(t) AS u FROM toks)
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           round(sum(tf * ln(CAST(cctx + v AS DOUBLE)
+                             / CAST(cbg + 1 AS DOUBLE))) / sum(tf),
+                 6) AS avg_neg_logp
+    FROM db
+    JOIN cb USING (bg)
+    JOIN ctx ON string_split(bg, ' ')[1] = ctx.w
+    CROSS JOIN voc
+    GROUP BY doc_id
+    """,
+    doc="bigram-LM fluency score (the unigram proxy's next rung, the "
+        "KenLM-filtering shape): per-doc mean -ln P(w_i | w_i-1) under "
+        "add-1-smoothed corpus bigram counts, P = (C(bigram)+1) / "
+        "(C(context)+V). Shape: doc x bigram counts cached once "
+        "(feeds corpus counts AND scoring; no cross-branch reuse in "
+        "Catalyst), context counts derived FROM the bigram table "
+        "(vocab-sized, not corpus-sized), scoring join on the bigram "
+        "key (AQE; vocab too big to assume broadcast at 100 TB), "
+        "1-row V broadcast, one final doc agg. Docs with <2 tokens "
+        "have no bigram rows and drop out in both engines",
+)
+def text_bigram_logprob(spark, sf_dir):
+    from mongo2pq_spark.operators.cache import cache_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    bgs = toks.select(
+        "doc_id", F.explode(word_shingles(F.col("t"), 2)).alias("bg")
+    )
+    db = cache_stream(
+        bgs.groupBy("doc_id", "bg").agg(F.count("*").alias("tf"))
+    )
+    cb = db.groupBy("bg").agg(F.sum("tf").alias("cbg"))
+    ctx = (
+        cb.groupBy(F.split(F.col("bg"), " ")[0].alias("w"))
+        .agg(F.sum("cbg").alias("cctx"))
+    )
+    voc = toks.select(F.explode("t").alias("u")).agg(
+        F.countDistinct("u").alias("v")
+    )
+    scored = (
+        db.join(cb, "bg")
+        .join(ctx, F.split(F.col("bg"), " ")[0] == F.col("w"))
+        .crossJoin(F.broadcast(voc))
+    )
+    neg = F.col("tf") * F.log(
+        (F.col("cctx") + F.col("v")).cast("double")
+        / (F.col("cbg") + 1).cast("double")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum(neg) / F.sum("tf"), 6).alias("avg_neg_logp"),
+    )

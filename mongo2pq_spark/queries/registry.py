@@ -188,6 +188,14 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # chunks; corpus-first survivor per chunk md5, one key shuffle +
     # one doc shuffle; full value oracle incl. the rebuilt text)
     "dedup_chunk_reassemble",
+    # r11 continuation: bigram-LM fluency score (add-1 smoothed corpus
+    # bigram counts; doc x bigram cache feeds counts + scoring; full
+    # value oracle)
+    "text_bigram_logprob",
+    # r11 continuation: ANN hard-negative mining (top-k most-similar
+    # different-label corpus vectors per query; broadcast + windowed
+    # top-k, corpus never shuffled; full value oracle)
+    "ann_hard_negatives",
 ]
 
 

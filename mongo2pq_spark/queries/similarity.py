@@ -406,3 +406,45 @@ def embedding_incremental_near_dups(spark, sf_dir):
     return ops.embedding_incremental_near_dups(
         new_batch, index, threshold=0.4, dim=_DIM
     )
+
+
+@register(
+    "ann_hard_negatives",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        FROM embeddings WHERE vec_id < 10
+    ),
+    sims AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               e.label AS neighbor_label,
+               round({_sql_cosine('q.qv', 'e.embedding')}, 6)
+                   AS cosine_sim
+        FROM q, embeddings e
+        WHERE e.label <> q.ql
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, neighbor_label, cosine_sim,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id
+               ) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="hard-negative mining (contrastive-training data prep): per "
+        "query vector the 5 most-similar corpus vectors with a "
+        "DIFFERENT label — label mismatch filtered below the ranking "
+        "window; queries broadcast, corpus scanned once, never "
+        "shuffled (self-match excluded for free: same vector => same "
+        "label)",
+)
+def ann_hard_negatives(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    return ops.hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)

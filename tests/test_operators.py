@@ -1850,6 +1850,30 @@ def test_bpe_encode_stats_exact_and_lossless(spark):
     assert rows[0]["n_tokens"] < len(texts[0].encode())
 
 
+def test_hard_negatives_semantics(spark):
+    """Every mined negative carries a label different from its query's;
+    a planted identical vector under another label is the rank-1 hard
+    negative; same-label near-duplicates never appear."""
+    from mongo2pq_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),   # query
+        (1, [1.0, 0.0, 0.0], 1),   # identical, other label → rank 1
+        (2, [0.99, 0.1, 0.0], 0),  # near-dup, SAME label → excluded
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label bigint"
+    )
+    import pyspark.sql.functions as F
+
+    out = hard_negatives(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 3, 4]
+    assert all(r["neighbor_label"] != 0 for r in out)
+    assert out[0]["rank"] == 1 and out[0]["cosine_sim"] == 1.0
+
+
 def test_collapse_repeated_tokens_semantics(spark):
     """Stutter runs collapse to one token, non-adjacent repeats stay
     (legitimate prose), and dup-free text round-trips byte-identically

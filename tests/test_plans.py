@@ -342,6 +342,18 @@ def test_lsh_plans_have_no_cartesian_products(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_hard_negatives_broadcasts_queries(spark, sf_dir):
+    """Hard-negative mining scans the corpus once against BROADCAST
+    queries (BroadcastNestedLoopJoin is the intended shape here — the
+    query side is tiny and the predicate is a label inequality, not an
+    equi-key); the corpus side must never sort-merge or shuffle below
+    the ranking window."""
+    plan = _formatted(spark, sf_dir, "ann_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ngram_guard_broadcast_anti_in_plan(spark, sf_dir):
     """The registered Jaccard query must carry the hot-shingle guard as
     a BROADCAST anti-join against the hot set (which is bounded at
