@@ -37,10 +37,20 @@ def build_mp4_stub(
     n_audio_tracks: int = 0,
     timescale: int = 1000,
     brand: bytes = b"isom",
+    sample_sizes: list[int] | None = None,
+    sample_delta: int = 512,
+    keyframe_every: int = 8,
 ) -> bytes:
     """Minimal well-formed ISO-BMFF tree: ftyp + moov(mvhd + one video
     trak + ``n_audio_tracks`` audio traks). Durations are expressed in
-    ``timescale`` units (default 1000 → milliseconds)."""
+    ``timescale`` units (default 1000 → milliseconds).
+
+    With ``sample_sizes``, the video trak gains real sample tables
+    (mdia/minf/stbl): one-entry ``stts`` (every sample lasts
+    ``sample_delta`` units), a variable-size ``stsz`` listing
+    ``sample_sizes`` verbatim, and an ``stss`` marking samples
+    1, 1+k, 1+2k, … (1-based, k = ``keyframe_every``) as sync
+    samples."""
     ftyp = _box(b"ftyp", brand + struct.pack(">I", 0x200) + brand)
     duration = duration_ms * timescale // 1000
     mvhd = _box(
@@ -61,7 +71,29 @@ def build_mp4_stub(
         hdlr = _box(
             b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + handler + b"\x00" * 13
         )
-        return _box(b"trak", tkhd + _box(b"mdia", hdlr))
+        mdia = hdlr
+        if handler == b"vide" and sample_sizes is not None:
+            n = len(sample_sizes)
+            stts = _box(
+                b"stts",
+                struct.pack(">I", 0)  # version/flags
+                + struct.pack(">III", 1, n, sample_delta),
+            )
+            stsz = _box(
+                b"stsz",
+                struct.pack(">I", 0)
+                + struct.pack(">II", 0, n)  # variable sizes
+                + b"".join(struct.pack(">I", s) for s in sample_sizes),
+            )
+            syncs = list(range(1, n + 1, keyframe_every))
+            stss = _box(
+                b"stss",
+                struct.pack(">I", 0)
+                + struct.pack(">I", len(syncs))
+                + b"".join(struct.pack(">I", s) for s in syncs),
+            )
+            mdia += _box(b"minf", _box(b"stbl", stts + stsz + stss))
+        return _box(b"trak", tkhd + _box(b"mdia", mdia))
 
     traks = trak(1, b"vide", width, height)
     for i in range(n_audio_tracks):
@@ -208,3 +240,142 @@ def mp4_metadata(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(parse_batches, MP4_META_SCHEMA)
+
+
+def parse_mp4_sample_stats(payload: bytes) -> dict:
+    """Parse the FIRST video track's sample tables (mdia/minf/stbl):
+    ``{n_samples, total_sample_bytes, n_keyframes, duration_units}``.
+
+    This is the pre-decode stage below ``parse_mp4_metadata``: sample
+    counts and byte totals (stsz), per-sample timing (stts), and sync-
+    sample density (stss) answer bitrate / fps / keyframe-interval
+    triage questions for 100 % of a video corpus with zero codec work.
+    Per ISO-BMFF, an ABSENT stss means every sample is a sync sample.
+    ``ValueError`` on payloads without a video stbl or with malformed
+    tables — triage over a real corpus wraps this in the same typed
+    fail-loud envelope as every codec path."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no leading ftyp)")
+
+    def u32s(base: int, count: int) -> list[int]:
+        end = base + 4 * count
+        if end > len(payload):
+            raise ValueError("sample table truncated")
+        return list(
+            struct.unpack(f">{count}I", payload[base:end])
+        ) if count else []
+
+    for btype, start, end in _walk_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for mtype, mstart, mend in _walk_boxes(payload, start, end):
+            if mtype != b"trak":
+                continue
+            handler = None
+            stbl_span = None
+            for ttype, tstart, tend in _walk_boxes(payload, mstart, mend):
+                if ttype != b"mdia":
+                    continue
+                for dtype, dstart, dend in _walk_boxes(
+                    payload, tstart, tend
+                ):
+                    if dtype == b"hdlr":
+                        if dend - dstart < 12:
+                            raise ValueError("hdlr box too short")
+                        handler = payload[dstart + 8:dstart + 12]
+                    elif dtype == b"minf":
+                        for ntype, nstart, nend in _walk_boxes(
+                            payload, dstart, dend
+                        ):
+                            if ntype == b"stbl":
+                                stbl_span = (nstart, nend)
+            if handler != b"vide" or stbl_span is None:
+                continue
+            n_samples = total_bytes = duration_units = None
+            n_keyframes = None
+            for stype, sstart, send in _walk_boxes(payload, *stbl_span):
+                if send - sstart < 8:
+                    raise ValueError(f"{stype!r} box too short")
+                if stype == b"stts":
+                    (n_entries,) = struct.unpack(
+                        ">I", payload[sstart + 4:sstart + 8]
+                    )
+                    flat = u32s(sstart + 8, 2 * n_entries)
+                    n_stts = sum(flat[0::2])
+                    duration_units = sum(
+                        c * d for c, d in zip(flat[0::2], flat[1::2])
+                    )
+                    if n_samples is None:
+                        n_samples = n_stts
+                    elif n_samples != n_stts:
+                        raise ValueError("stts/stsz sample-count mismatch")
+                elif stype == b"stsz":
+                    fixed, count = struct.unpack(
+                        ">II", payload[sstart + 4:sstart + 12]
+                    )
+                    if fixed:
+                        total_bytes = fixed * count
+                    else:
+                        total_bytes = sum(u32s(sstart + 12, count))
+                    if n_samples is None:
+                        n_samples = count
+                    elif n_samples != count:
+                        raise ValueError("stts/stsz sample-count mismatch")
+                elif stype == b"stss":
+                    (n_keyframes,) = struct.unpack(
+                        ">I", payload[sstart + 4:sstart + 8]
+                    )
+            if n_samples is None or total_bytes is None:
+                raise ValueError("video stbl missing stts/stsz")
+            return {
+                "n_samples": n_samples,
+                "total_sample_bytes": total_bytes,
+                # absent stss ⇒ every sample is sync (ISO 14496-12)
+                "n_keyframes": (
+                    n_samples if n_keyframes is None else n_keyframes
+                ),
+                "duration_units": duration_units,
+            }
+    raise ValueError("no video track with sample tables")
+
+
+MP4_SAMPLE_SCHEMA = (
+    "doc_id bigint, n_samples bigint, total_sample_bytes bigint, "
+    "n_keyframes bigint, duration_units bigint, keyframe_ratio double"
+)
+
+
+def mp4_sample_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched REAL sample-table extraction over MP4 payloads —
+    bitrate / fps / keyframe-density triage for a video corpus with
+    zero codec work. Map-only, cost ∝ total payload bytes."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_mp4_sample_stats(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": m["n_samples"],
+                        "total_sample_bytes": m["total_sample_bytes"],
+                        "n_keyframes": m["n_keyframes"],
+                        "duration_units": m["duration_units"],
+                        "keyframe_ratio": round(
+                            m["n_keyframes"] / m["n_samples"], 6
+                        )
+                        if m["n_samples"]
+                        else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(parse_batches, MP4_SAMPLE_SCHEMA)

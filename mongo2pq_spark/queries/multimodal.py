@@ -1030,3 +1030,81 @@ def multimodal_audio_fp_incremental(spark, sf_dir):
     return hamming_incremental_new(
         inc_fp, corpus_fp, hash_col="afp", bits=60
     )
+
+
+@register(
+    "multimodal_mp4_sample_tables",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               24 + (doc_id % 5) * 12 AS n,
+               800 + (doc_id % 11) * 50 AS base
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT doc_id, n, base, unnest(generate_series(0, n - 1)) AS i
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(base + (i % 7) * 16) AS BIGINT)
+               AS total_sample_bytes,
+           CAST((n + 7) // 8 AS BIGINT) AS n_keyframes,
+           CAST(n * 512 AS BIGINT) AS duration_units,
+           round(CAST((n + 7) // 8 AS DOUBLE) / n, 6) AS keyframe_ratio
+    FROM s GROUP BY doc_id, n, base
+    """,
+    doc="REAL ISO-BMFF sample-table extraction (stts/stsz/stss), end "
+        "to end: per doc a well-formed video trak with closed-form "
+        "sample tables (n = 24+(id%5)*12 samples of 512 units each, "
+        "sizes base+(i%7)*16, sync samples every 8th) is BUILT and "
+        "parsed back by the pure-stdlib stbl walker "
+        "(operators/video.py::parse_mp4_sample_stats) inside "
+        "Arrow-batched mapInPandas; the oracle recomputes sample "
+        "count, byte total, keyframe count/ratio, and duration from "
+        "the generation rule. This is the bitrate/fps/keyframe-"
+        "density triage a video pipeline runs on 100% of its corpus "
+        "with zero codec work — one level below the mvhd/tkhd "
+        "metadata query",
+)
+def multimodal_mp4_sample_tables(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import video as video_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import pandas as pd
+
+        from mongo2pq_spark.operators.video import build_mp4_stub
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 24 + (d % 5) * 12
+                base = 800 + (d % 11) * 50
+                payloads.append(
+                    build_mp4_stub(
+                        duration_ms=1000,
+                        width=640,
+                        height=360,
+                        sample_sizes=[
+                            base + (i % 7) * 16 for i in range(n)
+                        ],
+                        sample_delta=512,
+                        keyframe_every=8,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_mp4 = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return video_ops.mp4_sample_stats(with_mp4)

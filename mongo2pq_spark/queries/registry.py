@@ -196,6 +196,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # different-label corpus vectors per query; broadcast + windowed
     # top-k, corpus never shuffled; full value oracle)
     "ann_hard_negatives",
+    # r11 continuation: ISO-BMFF sample-table triage (stts/stsz/stss
+    # walked by the pure-stdlib parser; closed-form build rule ->
+    # closed-form oracle for counts/bytes/keyframes/duration)
+    "multimodal_mp4_sample_tables",
 ]
 
 

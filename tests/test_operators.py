@@ -1537,6 +1537,62 @@ def test_wav_codec_roundtrip_and_envelope():
         decode_wav_samples(bytes(raw))
 
 
+def test_mp4_sample_stats_parse_and_envelope():
+    """The stbl walker: exact stts/stsz/stss stats from a built tree,
+    the absent-stss ⇒ all-sync rule, fixed-size stsz arithmetic, and
+    loud ValueErrors on count mismatches, truncated tables, and
+    payloads without a video stbl."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from mongo2pq_spark.operators.video import (
+        _box,
+        build_mp4_stub,
+        parse_mp4_sample_stats,
+    )
+
+    sizes = [800 + (i % 7) * 16 for i in range(30)]
+    p = build_mp4_stub(3000, 640, 360, n_audio_tracks=1,
+                       sample_sizes=sizes, sample_delta=512,
+                       keyframe_every=8)
+    assert parse_mp4_sample_stats(p) == {
+        "n_samples": 30,
+        "total_sample_bytes": sum(sizes),
+        "n_keyframes": 4,  # samples 1, 9, 17, 25
+        "duration_units": 30 * 512,
+    }
+
+    # hand-built stbl: FIXED-size stsz + no stss ⇒ bytes = fixed*count
+    # and every sample is a sync sample (ISO 14496-12 default)
+    stts = _box(b"stts", _struct.pack(">I", 0) + _struct.pack(">III", 1, 10, 100))
+    stsz = _box(b"stsz", _struct.pack(">I", 0) + _struct.pack(">II", 640, 10))
+    hdlr = _box(b"hdlr", _struct.pack(">I", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 13)
+    tkhd_payload = _struct.pack(">B3x", 0) + b"\x00" * 80
+    tree = _box(b"ftyp", b"isom" + _struct.pack(">I", 0x200) + b"isom") + _box(
+        b"moov",
+        _box(b"trak", _box(b"tkhd", tkhd_payload) + _box(
+            b"mdia", hdlr + _box(b"minf", _box(b"stbl", stts + stsz))
+        )),
+    )
+    assert parse_mp4_sample_stats(tree) == {
+        "n_samples": 10,
+        "total_sample_bytes": 6400,
+        "n_keyframes": 10,
+        "duration_units": 1000,
+    }
+
+    # stts/stsz disagreement is a loud error, not a silent stat
+    bad_stsz = _box(b"stsz", _struct.pack(">I", 0) + _struct.pack(">II", 640, 9))
+    bad = tree.replace(stsz, bad_stsz)
+    with _pytest.raises(ValueError, match="mismatch"):
+        parse_mp4_sample_stats(bad)
+
+    # no video stbl at all
+    with _pytest.raises(ValueError, match="no video track"):
+        parse_mp4_sample_stats(build_mp4_stub(1000, 64, 64))
+
+
 def test_mp4_metadata_parse_and_envelope():
     """The ISO-BMFF box walker: full metadata from a multi-track tree
     (64-bit durations via mvhd v1 offsets exercised through a 90 kHz
