@@ -220,3 +220,67 @@ def audio_fingerprint(
             )
 
     return df.mapInPandas(fp_batches, AUDIO_FP_SCHEMA)
+
+
+WAV_WINDOW_SCHEMA = (
+    "doc_id bigint, win int, n_frames bigint, abs_sum bigint, "
+    "sq_sum bigint, n_zero_cross bigint"
+)
+
+
+def wav_window_features(
+    df: DataFrame,
+    n_windows: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Framewise audio features over the real PCM-WAV codec — the
+    voice-activity / silence-trim primitives a speech pipeline runs
+    before any model: per doc per time window (frame i belongs to
+    window ``(i·w)//n`` — the standard integer resample map, exactly
+    SQL-reproducible), the exact INTEGER energy and
+    sign statistics of the per-frame CHANNEL-SUM signal — frame count,
+    |v| sum, v² sum, and zero crossings (strict sign flips v·prev < 0,
+    attributed to the later frame's window, so boundary-straddling
+    pairs count exactly once). Channel SUM (not mean) keeps every
+    emitted value integer, which is what lets a SQL oracle recompute
+    them exactly. Long format (doc_id, win) rows; Arrow-batched
+    map-only, cost ∝ payload bytes."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def feat_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "win": [], "n_frames": [],
+                "abs_sum": [], "sq_sum": [], "n_zero_cross": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                _, _, arr = decode_wav_samples(bytes(payload))
+                fv = arr.astype(np.int64).sum(axis=1)
+                n = fv.shape[0]
+                if n == 0:
+                    continue  # headers-only WAV: no windows
+                w = n_windows
+                wins = (np.arange(n) * w) // n
+                cross_at = np.zeros(n, dtype=np.int64)
+                if n > 1:
+                    cross_at[1:] = (fv[1:] * fv[:-1] < 0).astype(np.int64)
+                for j in range(w):
+                    mask = wins == j
+                    if not mask.any():
+                        continue  # n < n_windows: empty tail windows
+                    seg = fv[mask]
+                    out["doc_id"].append(doc_id)
+                    out["win"].append(j)
+                    out["n_frames"].append(int(mask.sum()))
+                    out["abs_sum"].append(int(np.abs(seg).sum()))
+                    out["sq_sum"].append(int((seg * seg).sum()))
+                    out["n_zero_cross"].append(int(cross_at[mask].sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(feat_batches, WAV_WINDOW_SCHEMA)

@@ -1108,3 +1108,81 @@ def multimodal_mp4_sample_tables(spark, sf_dir):
         build_batches, "doc_id bigint, payload binary"
     )
     return video_ops.mp4_sample_stats(with_mp4)
+
+
+@register(
+    "multimodal_wav_window_features",
+    """
+    WITH d AS (
+        SELECT doc_id, 1 + doc_id % 2 AS channels,
+               80 + (doc_id % 20) * 8 AS frames
+        FROM documents WHERE doc_id < 200
+    ),
+    fr AS (
+        SELECT d.doc_id, d.frames, i.i AS i,
+               sum(((31 * d.doc_id + 17 * i.i + 57 * c.i) % 2003)
+                   - 1001) AS v
+        FROM d, generate_series(0, 231) i(i), generate_series(0, 1) c(i)
+        WHERE i.i < d.frames AND c.i < d.channels
+        GROUP BY d.doc_id, d.frames, i.i
+    ),
+    w AS (
+        SELECT doc_id, i, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv,
+               CAST((i * 8) // frames AS INTEGER) AS win
+        FROM fr
+    )
+    SELECT doc_id, win,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+           CAST(sum(v * v) AS BIGINT) AS sq_sum,
+           CAST(count(*) FILTER (WHERE pv IS NOT NULL AND v * pv < 0)
+                AS BIGINT) AS n_zero_cross
+    FROM w GROUP BY doc_id, win
+    """,
+    doc="REAL framewise audio feature extraction, end to end: the "
+        "closed-form int16 streams of multimodal_wav_audio_stats are "
+        "encoded to RIFF/WAVE, decoded back by the pure-stdlib codec, "
+        "and reduced to per-window integer energy/sign features "
+        "(frame count, |v| and v-squared sums of the channel-sum "
+        "signal, strict-sign-flip zero crossings) — the VAD / "
+        "silence-trim primitives of a speech pipeline; the oracle "
+        "recomputes every window row from the generation rule alone",
+)
+def multimodal_wav_window_features(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import audio as audio_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.audio import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                channels = 1 + d % 2
+                frames = 80 + (d % 20) * 8
+                i, c = np.meshgrid(
+                    np.arange(frames), np.arange(channels), indexing="ij"
+                )
+                samples = ((31 * d + 17 * i + 57 * c) % 2003 - 1001).astype(
+                    "int16"
+                )
+                payloads.append(encode_wav(samples, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_wav = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return audio_ops.wav_window_features(with_wav, n_windows=8)

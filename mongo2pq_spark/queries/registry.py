@@ -200,6 +200,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # walked by the pure-stdlib parser; closed-form build rule ->
     # closed-form oracle for counts/bytes/keyframes/duration)
     "multimodal_mp4_sample_tables",
+    # r11 continuation: framewise audio energy/ZCR window features
+    # through the real WAV codec (integer channel-sum signal keeps
+    # every emitted value SQL-exact; closed-form oracle)
+    "multimodal_wav_window_features",
 ]
 
 

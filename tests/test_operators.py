@@ -1537,6 +1537,46 @@ def test_wav_codec_roundtrip_and_envelope():
         decode_wav_samples(bytes(raw))
 
 
+def test_wav_window_features_hand_traced(spark):
+    """Exact window features on a hand-traceable signal: channel-sum
+    semantics (stereo +v/-v cancels to silence), strict-sign-flip zero
+    crossings counted once across window boundaries, and short docs
+    (n < n_windows) emitting only their non-empty windows."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.audio import (
+        encode_wav,
+        wav_window_features,
+    )
+
+    mono = np.array([3, -2, 4, -5, 0, 6, -1, 2], dtype="int16")
+    stereo = np.stack([[5, 7], [-5, -7]], axis=1).astype("int16")  # cancels
+    short = np.array([1, -1, 1], dtype="int16")
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(mono, 8000))),
+            (2, bytearray(encode_wav(stereo, 8000))),
+            (3, bytearray(encode_wav(short, 8000))),
+        ],
+        "doc_id bigint, payload binary",
+    )
+    rows = {
+        (r["doc_id"], r["win"]): r
+        for r in wav_window_features(df, n_windows=4).collect()
+    }
+    # doc 1: windows of 2 frames; v = [3,-2 | 4,-5 | 0,6 | -1,2]
+    assert rows[(1, 0)]["abs_sum"] == 5 and rows[(1, 0)]["sq_sum"] == 13
+    assert rows[(1, 0)]["n_zero_cross"] == 1          # 3 → -2
+    assert rows[(1, 1)]["n_zero_cross"] == 2          # -2→4 straddle + 4→-5
+    assert rows[(1, 2)]["n_zero_cross"] == 0          # -5→0, 0→6: no strict flip
+    assert rows[(1, 3)]["n_zero_cross"] == 2          # 6→-1 straddle + -1→2
+    # doc 2: channel-sum cancels — all-zero signal, no crossings
+    assert rows[(2, 0)]["abs_sum"] == 0 and rows[(2, 0)]["n_zero_cross"] == 0
+    # doc 3: 3 frames into 4 windows → win (i*4)//3 = 0,1,2; win 3 absent
+    assert {w for (d, w) in rows if d == 3} == {0, 1, 2}
+    assert rows[(3, 1)]["n_zero_cross"] == 1 and rows[(3, 2)]["n_zero_cross"] == 1
+
+
 def test_mp4_sample_stats_parse_and_envelope():
     """The stbl walker: exact stts/stsz/stss stats from a built tree,
     the absent-stss ⇒ all-sync rule, fixed-size stsz arithmetic, and
