@@ -1946,6 +1946,66 @@ def test_bpe_encode_stats_exact_and_lossless(spark):
     assert rows[0]["n_tokens"] < len(texts[0].encode())
 
 
+def test_subdoc_dedup_ops_match_python_model(spark):
+    """Differential check of both sub-document ops against a direct
+    Python model over a randomized corpus engineered for edge shapes:
+    heavy stutter runs, cross-doc repeated chunks, docs shorter than
+    one chunk, and chunk-boundary-straddling repeats."""
+    import hashlib
+    import random
+
+    from mongo2pq_spark.operators.dedup import chunk_dedup_reassemble
+    from mongo2pq_spark.operators.text import collapse_repeated_tokens
+
+    rng = random.Random(1109)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab → many collisions
+    shared = " ".join(rng.choices(vocab, k=8))  # cross-doc chunk
+    texts = {}
+    for d in range(60):
+        k = rng.randint(1, 40)
+        words = rng.choices(vocab, k=k)
+        if rng.random() < 0.4:  # inject stutter runs
+            pos = rng.randrange(len(words))
+            words[pos:pos] = [words[pos]] * rng.randint(1, 3)
+        t = " ".join(words)
+        if rng.random() < 0.3:  # inject the shared chunk mid-text
+            t = f"{t} {shared}" if rng.random() < 0.5 else f"{shared} {t}"
+        texts[d] = t
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id bigint, text string"
+    )
+
+    # collapse model
+    got = {r["doc_id"]: r for r in collapse_repeated_tokens(df).collect()}
+    for d, t in texts.items():
+        toks = t.split(" ")
+        kept = [w for i, w in enumerate(toks) if i == 0 or w != toks[i - 1]]
+        assert got[d]["clean_text"] == " ".join(kept), d
+        assert got[d]["n_tokens_before"] == len(toks)
+        assert got[d]["n_tokens_after"] == len(kept)
+
+    # chunk-dedup model: corpus-first survivor per chunk md5
+    first: dict[str, tuple[int, int]] = {}
+    chunks: dict[int, list[str]] = {}
+    for d in sorted(texts):
+        toks = texts[d].split(" ")
+        cs = [" ".join(toks[s:s + 8]) for s in range(0, len(toks), 8)]
+        chunks[d] = cs
+        for ci, c in enumerate(cs):
+            key = hashlib.md5(c.encode()).hexdigest()
+            if key not in first or (d, ci) < first[key]:
+                first[key] = (d, ci)
+    got = {r["doc_id"]: r for r in chunk_dedup_reassemble(df).collect()}
+    for d in texts:
+        keep = [
+            c for ci, c in enumerate(chunks[d])
+            if first[hashlib.md5(c.encode()).hexdigest()] == (d, ci)
+        ]
+        assert got[d]["clean_text"] == " ".join(keep), d
+        assert got[d]["n_chunks"] == len(chunks[d])
+        assert got[d]["n_chunks_kept"] == len(keep)
+
+
 def test_hard_negatives_semantics(spark):
     """Every mined negative carries a label different from its query's;
     a planted identical vector under another label is the rank-1 hard
