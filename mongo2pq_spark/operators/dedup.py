@@ -1027,15 +1027,18 @@ def chunk_dedup_reassemble(
 
     Scale shape: tokenize+chunk is one narrow pass (materialized token
     array projected BEFORE the posexplode — the `chunk_documents`
-    anti-inlining pattern); survivor selection is ONE shuffle on the
-    chunk key (window min-struct — identical chunks land in one
-    group, so state per distinct chunk is a single struct and hot
-    boilerplate keys stay one group each, never a join fan-out); the
-    rebuild is ONE shuffle back on the doc id (collect_list of
-    (chunk_id, text) sorted in-group — per-group memory is one
-    document). No self-join, no driver materialization."""
-    from pyspark.sql import Window
-
+    anti-inlining pattern). Survivor selection is the TWO-PHASE
+    min-struct of ``drop_exact_duplicates``, not a window over the
+    chunk key: ``groupBy(key).agg(min(struct(doc, chunk)))`` combines
+    map-side, so a boilerplate chunk duplicated millions of times
+    never routes every copy into one straggler task (the
+    window-over-key formulation cannot partial-aggregate and AQE
+    cannot split a window partition — it CAN split the skewed join
+    that picks winners back out). The rebuild is one shuffle back on
+    the doc id (collect_list of (chunk_id, text) sorted in-group —
+    per-group memory is one document). Costs one extra exchange vs
+    the window form; at corpus scale, skew resilience wins — the same
+    trade `drop_exact_duplicates` documents."""
     base = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
     ).select(id_col, "__toks", F.size("__toks").alias("__n"))
@@ -1063,16 +1066,20 @@ def chunk_dedup_reassemble(
     keyed = chunks.withColumn(
         "__key", F.md5(F.col("chunk_text").cast("binary"))
     )
-    first = F.min(F.struct(id_col, "chunk_id")).over(
-        Window.partitionBy("__key")
+    winners = keyed.groupBy("__key").agg(
+        F.min(
+            F.struct(
+                F.col(id_col).alias("d"), F.col("chunk_id").alias("c")
+            )
+        ).alias("__w")
     )
-    flagged = keyed.select(
+    flagged = keyed.join(winners, "__key").select(
         F.col(id_col),
         "chunk_id",
         "chunk_text",
         (
-            (first[id_col] == F.col(id_col))
-            & (first["chunk_id"] == F.col("chunk_id"))
+            (F.col("__w.d") == F.col(id_col))
+            & (F.col("__w.c") == F.col("chunk_id"))
         ).alias("__keep"),
     )
     per_doc = flagged.groupBy(id_col).agg(

@@ -472,15 +472,19 @@ def test_map_only_llm_ops_have_no_exchange(spark, sf_dir):
     assert opt.count("split(") == 1, opt
 
 
-def test_chunk_reassemble_is_two_shuffles(spark, sf_dir):
-    """Chunk-level dedup + reassembly needs exactly its two semantic
-    shuffles — one on the chunk key (survivor window), one back on the
-    doc id (rebuild aggregate) — and no join: a third exchange or a
-    self-join would re-shuffle the exploded chunk stream at 100 TB."""
+def test_chunk_reassemble_survivor_selection_is_skew_safe(spark, sf_dir):
+    """Chunk-level dedup must pick survivors with the partial-agg
+    groupBy + join-back shape, NOT a window over the chunk key: a
+    boilerplate chunk duplicated millions of times partial-aggregates
+    map-side and AQE can split the skewed winners join, but a window
+    partition cannot be split — one hot chunk would become one
+    straggler task at 100 TB. Exchange budget: chunk-key aggregate +
+    winners join + doc rebuild, nothing more."""
     plan = _formatted(spark, sf_dir, "dedup_chunk_reassemble")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
     n_exchanges = plan.count("Exchange (")
-    assert n_exchanges == 2, f"expected 2 exchanges, plan has {n_exchanges}"
-    assert "Join" not in plan
+    assert n_exchanges <= 3, f"expected <=3 exchanges, plan has {n_exchanges}"
 
 
 def test_train_val_split_is_map_only(spark, sf_dir):
