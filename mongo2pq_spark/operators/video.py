@@ -257,9 +257,12 @@ def parse_mp4_sample_stats(payload: bytes) -> dict:
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF payload (no leading ftyp)")
 
-    def u32s(base: int, count: int) -> list[int]:
+    def u32s(base: int, count: int, box_end: int) -> list[int]:
         end = base + 4 * count
-        if end > len(payload):
+        if end > box_end:
+            # bound by the ENCLOSING box, not the payload: a lying
+            # entry count must not silently read the next box's bytes
+            # as table entries
             raise ValueError("sample table truncated")
         return list(
             struct.unpack(f">{count}I", payload[base:end])
@@ -300,7 +303,7 @@ def parse_mp4_sample_stats(payload: bytes) -> dict:
                     (n_entries,) = struct.unpack(
                         ">I", payload[sstart + 4:sstart + 8]
                     )
-                    flat = u32s(sstart + 8, 2 * n_entries)
+                    flat = u32s(sstart + 8, 2 * n_entries, send)
                     n_stts = sum(flat[0::2])
                     duration_units = sum(
                         c * d for c, d in zip(flat[0::2], flat[1::2])
@@ -316,7 +319,7 @@ def parse_mp4_sample_stats(payload: bytes) -> dict:
                     if fixed:
                         total_bytes = fixed * count
                     else:
-                        total_bytes = sum(u32s(sstart + 12, count))
+                        total_bytes = sum(u32s(sstart + 12, count, send))
                     if n_samples is None:
                         n_samples = count
                     elif n_samples != count:

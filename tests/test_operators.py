@@ -1632,6 +1632,14 @@ def test_mp4_sample_stats_parse_and_envelope():
     with _pytest.raises(ValueError, match="no video track"):
         parse_mp4_sample_stats(build_mp4_stub(1000, 64, 64))
 
+    # a lying stsz entry count must be rejected against its OWN box
+    # end — never read into the sibling box's bytes
+    var = build_mp4_stub(1000, 64, 64, sample_sizes=[100] * 10)
+    i = var.index(b"stsz")
+    lying = var[: i + 12] + _struct.pack(">I", 99) + var[i + 16:]
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_mp4_sample_stats(lying)
+
 
 def test_mp4_metadata_parse_and_envelope():
     """The ISO-BMFF box walker: full metadata from a multi-track tree
