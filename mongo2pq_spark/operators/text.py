@@ -412,3 +412,99 @@ def collapse_repeated_tokens(
         F.size("__toks").cast("bigint").alias("n_tokens_before"),
         F.size(kept).cast("bigint").alias("n_tokens_after"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 5,
+) -> DataFrame:
+    """BM25 retrieval: the top-k documents per query for a fixed query
+    set — the sparse-retrieval half of a RAG / data-curation stack
+    (embedding ANN in operators/similarity.py is the dense half).
+
+    Scoring is Lucene-style Okapi BM25:
+    ``score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))``
+    with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``; scores are
+    rounded to 6 dp BEFORE ranking and ties break on doc id, so the
+    ordering is engine-portable (the tfidf_top_terms contract).
+
+    Shape at scale: ONE pass builds per-doc term counts; doc lengths
+    and the corpus stats (N, avgdl) derive from that table (the text is
+    never re-read); the query-term table is a literal — broadcast by
+    construction — so the tf table is pruned to matching terms before
+    any scoring work, and df counts for those terms are a
+    queries×terms-bounded broadcast. The final top-k is TWO-PHASE:
+    a per-(query, doc_id%salt) local row_number prunes to
+    salt·top_k candidates per query before the global per-query
+    window — a single-partition-per-query window over millions of
+    matching docs would serialize at 100 TB (the drop_exact_duplicates
+    skew lesson applied to ranking).
+    """
+    from pyspark.sql import Window
+
+    qterms = df.sparkSession.createDataFrame(
+        [(q, t) for q, terms in queries.items() for t in terms],
+        "query_id string, term string",
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    from mongo2pq_spark.operators.cache import cache_stream
+
+    tf = cache_stream(tf)  # feeds doc lengths, df counts AND scoring
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtf = tf.join(F.broadcast(qterms), "term")
+    # tf has exactly one row per (doc, term), so a plain count IS the
+    # document frequency — no distinct aggregation needed
+    docfreq = qtf.groupBy("query_id", "term").agg(
+        F.count("*").alias("df")
+    )
+    scored = (
+        qtf.join(F.broadcast(docfreq), ["query_id", "term"])
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    local = Window.partitionBy(
+        "query_id", F.col(id_col) % 32
+    ).orderBy(F.col("score").desc(), F.col(id_col))
+    pruned = (
+        scored.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= top_k)
+        .drop("__lr")
+    )
+    final = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(final).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", id_col, "score", "rank")
+    )

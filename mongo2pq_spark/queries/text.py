@@ -467,3 +467,84 @@ def text_collapse_repeats(spark, sf_dir):
 
     docs = read_sf_table(spark, sf_dir, "documents")
     return ops.collapse_repeated_tokens(docs)
+
+
+#: fixed retrieval query set for the BM25 surface (terms drawn from the
+#: synthetic corpus vocabulary; the SAME literals are baked into the
+#: oracle SQL below)
+BM25_QUERIES: dict[str, list[str]] = {
+    "q_hashjoin": ["hash", "join"],
+    "q_windowed_sort": ["window", "sort", "merge"],
+    "q_streaming": ["spark", "stream"],
+    "q_columnar": ["vector", "scan", "column"],
+}
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 5
+
+
+def _bm25_oracle() -> str:
+    values = ", ".join(
+        f"('{q}', '{t}')" for q, terms in BM25_QUERIES.items() for t in terms
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    q(query_id, term) AS (VALUES {values}),
+    docfreq AS (
+        SELECT query_id, q.term, count(*) AS df
+        FROM tf JOIN q ON tf.term = q.term GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               round(sum(
+                   ln(1.0 + (stats.n_docs - docfreq.df + 0.5)
+                          / (docfreq.df + 0.5))
+                   * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / stats.avgdl))
+               ), 6) AS score
+        FROM tf
+        JOIN q ON tf.term = q.term
+        JOIN docfreq ON q.query_id = docfreq.query_id
+                    AND q.term = docfreq.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= {_BM25_TOPK}
+    """
+
+
+@register(
+    "text_bm25_topk",
+    _bm25_oracle(),
+    doc="BM25 sparse retrieval: top-5 docs per query for a fixed "
+        "4-query set under Lucene-style Okapi BM25 (k1=1.2, b=0.75, "
+        "idf = ln(1+(N-df+0.5)/(df+0.5))) — the lexical-retrieval "
+        "companion to the dense ANN queries. One tokenize pass feeds "
+        "tf, doc lengths, df AND scoring (tf cached); the literal "
+        "query-term table broadcasts and prunes tf before any scoring "
+        "work; corpus stats ride a 1-row broadcast; the top-k is a "
+        "two-phase (salted local then global) window so no single "
+        "per-query partition ever ranks the full match set. Scores "
+        "rounded to 6 dp before ranking, ties break on doc_id",
+)
+def text_bm25_topk(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.bm25_topk(
+        docs, BM25_QUERIES, k1=_BM25_K1, b=_BM25_B, top_k=_BM25_TOPK
+    )

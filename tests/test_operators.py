@@ -2282,3 +2282,62 @@ def test_cluster_survivors_policy_and_singletons(spark):
     }
     # cluster 1: doc 2 wins (quality 90, lower id than 3)
     assert res == {1: False, 2: True, 3: False, 4: True, 5: True}
+
+
+def test_bm25_topk_matches_python_model(spark):
+    """Differential check of the distributed BM25 against a direct
+    Python reference on a small corpus with skewed term frequencies
+    and varied doc lengths — covers idf ordering (rare beats common),
+    length normalization (short doc beats long at equal tf), and the
+    rounded-score + doc_id tiebreak."""
+    import math
+
+    from mongo2pq_spark.operators.text import bm25_topk
+
+    corpus = {
+        1: "spark spark spark join",
+        2: "spark join join hash filter sort merge scan table query",
+        3: "hash join",
+        4: "sort merge sort merge sort merge",
+        5: "spark",
+    }
+    queries = {"qa": ["spark", "hash"], "qb": ["sort", "merge", "join"]}
+    k1, b, top_k = 1.2, 0.75, 3
+
+    tf = {
+        (d, t): text.split().count(t)
+        for d, text in corpus.items()
+        for t in set(text.split())
+    }
+    dl = {d: len(text.split()) for d, text in corpus.items()}
+    n, avgdl = len(corpus), sum(dl.values()) / len(corpus)
+    expect = {}
+    for q, terms in queries.items():
+        scores = {}
+        for t in terms:
+            df_t = sum(1 for d in corpus if (d, t) in tf)
+            if not df_t:
+                continue
+            idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+            for d in corpus:
+                f = tf.get((d, t))
+                if f:
+                    w = idf * f * (k1 + 1) / (
+                        f + k1 * (1 - b + b * dl[d] / avgdl)
+                    )
+                    scores[d] = scores.get(d, 0.0) + w
+        ranked = sorted(
+            ((round(s, 6), d) for d, s in scores.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:top_k]
+        for rank, (s, d) in enumerate(ranked, 1):
+            expect[(q, d)] = (s, rank)
+
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id bigint, text string"
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+        for r in bm25_topk(docs, queries, k1=k1, b=b, top_k=top_k).collect()
+    }
+    assert got == expect

@@ -702,3 +702,19 @@ def test_embedding_incremental_plan_is_bucket_equi_join(spark, sf_dir):
     plan = _formatted(spark, sf_dir, "embedding_incremental_near_dups")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    """BM25's scale posture: the literal query-term table and the
+    per-term df table join as broadcasts (never a shuffle join on the
+    tiny side), the corpus-stats join is the one 1-row broadcast
+    nested loop, the tf table is cached (one tokenize pass feeds
+    lengths, df and scoring), and the top-k windows carry
+    WindowGroupLimit pushdown so no partition ranks more than it
+    must."""
+    plan = _formatted(spark, sf_dir, "text_bm25_topk")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin Cross") == 1
+    assert "InMemoryRelation" in plan
+    assert "WindowGroupLimit" in plan
