@@ -30,6 +30,40 @@ def _box(btype: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + btype + payload
 
 
+def _expand_stsc_runs(
+    runs: list[tuple[int, int]], n_samples: int
+) -> list[int]:
+    """Expand stsc (first_chunk, samples_per_chunk) runs into a
+    per-chunk sample-count list covering exactly ``n_samples``.
+    ValueError when the runs cannot tile the sample count — the same
+    consistency rule the parser enforces."""
+    if not runs or runs[0][0] != 1:
+        raise ValueError("stsc runs must start at chunk 1")
+    firsts = [fc for fc, _ in runs]
+    if firsts != sorted(firsts) or len(set(firsts)) != len(firsts):
+        raise ValueError("stsc first_chunk values must strictly increase")
+    counts: list[int] = []
+    remaining = n_samples
+    for i, (fc, spc) in enumerate(runs):
+        if spc <= 0:
+            raise ValueError("samples_per_chunk must be positive")
+        if i + 1 < len(runs):
+            n_chunks = runs[i + 1][0] - fc
+            need = n_chunks * spc
+            if need > remaining:
+                raise ValueError("stsc runs overrun the sample count")
+            counts.extend([spc] * n_chunks)
+            remaining -= need
+        else:
+            if remaining % spc:
+                raise ValueError(
+                    "trailing samples do not fill whole chunks"
+                )
+            counts.extend([spc] * (remaining // spc))
+            remaining = 0
+    return counts
+
+
 def build_mp4_stub(
     duration_ms: int,
     width: int,
@@ -40,6 +74,8 @@ def build_mp4_stub(
     sample_sizes: list[int] | None = None,
     sample_delta: int = 512,
     keyframe_every: int = 8,
+    stsc_runs: list[tuple[int, int]] | None = None,
+    chunk_gap: int = 8,
 ) -> bytes:
     """Minimal well-formed ISO-BMFF tree: ftyp + moov(mvhd + one video
     trak + ``n_audio_tracks`` audio traks). Durations are expressed in
@@ -50,9 +86,24 @@ def build_mp4_stub(
     ``sample_delta`` units), a variable-size ``stsz`` listing
     ``sample_sizes`` verbatim, and an ``stss`` marking samples
     1, 1+k, 1+2k, … (1-based, k = ``keyframe_every``) as sync
-    samples."""
+    samples.
+
+    With ``stsc_runs`` (``[(first_chunk, samples_per_chunk), …]``,
+    1-based, first entry must start at chunk 1), the file additionally
+    gains a real chunk layout: an ``stsc`` with exactly those runs, an
+    ``stco`` of absolute file offsets, and an ``mdat`` whose chunks are
+    laid out in order with ``chunk_gap`` dead bytes before every chunk
+    after the first — so sample byte ranges are only recoverable by
+    actually walking stsc+stco (a flat prefix-sum over stsz would land
+    mid-gap). Sample payload bytes are a deterministic fill; only their
+    SIZES carry information."""
     ftyp = _box(b"ftyp", brand + struct.pack(">I", 0x200) + brand)
     duration = duration_ms * timescale // 1000
+    chunk_sizes: list[int] = []
+    if stsc_runs is not None:
+        if sample_sizes is None:
+            raise ValueError("stsc_runs requires sample_sizes")
+        chunk_sizes = _expand_stsc_runs(stsc_runs, len(sample_sizes))
     mvhd = _box(
         b"mvhd",
         struct.pack(">B3x", 0)  # version 0
@@ -60,7 +111,13 @@ def build_mp4_stub(
         + b"\x00" * 80,  # rate/volume/matrix/predefined/next_track_id
     )
 
-    def trak(track_id: int, handler: bytes, w: int, h: int) -> bytes:
+    def trak(
+        track_id: int,
+        handler: bytes,
+        w: int,
+        h: int,
+        stco_offsets: list[int] | None = None,
+    ) -> bytes:
         tkhd = _box(
             b"tkhd",
             struct.pack(">B3x", 0)
@@ -92,13 +149,55 @@ def build_mp4_stub(
                 + struct.pack(">I", len(syncs))
                 + b"".join(struct.pack(">I", s) for s in syncs),
             )
-            mdia += _box(b"minf", _box(b"stbl", stts + stsz + stss))
+            stbl = stts + stsz + stss
+            if stco_offsets is not None:
+                stsc = _box(
+                    b"stsc",
+                    struct.pack(">I", 0)
+                    + struct.pack(">I", len(stsc_runs))
+                    + b"".join(
+                        struct.pack(">III", fc, spc, 1)
+                        for fc, spc in stsc_runs
+                    ),
+                )
+                stco = _box(
+                    b"stco",
+                    struct.pack(">I", 0)
+                    + struct.pack(">I", len(stco_offsets))
+                    + b"".join(
+                        struct.pack(">I", o) for o in stco_offsets
+                    ),
+                )
+                stbl += stsc + stco
+            mdia += _box(b"minf", _box(b"stbl", stbl))
         return _box(b"trak", tkhd + _box(b"mdia", mdia))
 
-    traks = trak(1, b"vide", width, height)
-    for i in range(n_audio_tracks):
-        traks += trak(2 + i, b"soun", 0, 0)
-    return ftyp + _box(b"moov", mvhd + traks)
+    def assemble(stco_offsets: list[int] | None) -> bytes:
+        traks = trak(1, b"vide", width, height, stco_offsets)
+        for i in range(n_audio_tracks):
+            traks += trak(2 + i, b"soun", 0, 0)
+        return ftyp + _box(b"moov", mvhd + traks)
+
+    if stsc_runs is None:
+        return assemble(None)
+    # two-pass: moov size is independent of the OFFSET VALUES (stco is
+    # fixed-width), so assemble once with zeros to learn where mdat's
+    # data starts, then re-assemble with the real chunk offsets
+    header_len = len(assemble([0] * len(chunk_sizes)))
+    mdat_data_start = header_len + 8
+    offsets, rel, s = [], 0, 0
+    for c, n_in_chunk in enumerate(chunk_sizes):
+        if c:
+            rel += chunk_gap
+        offsets.append(mdat_data_start + rel)
+        rel += sum(sample_sizes[s:s + n_in_chunk])
+        s += n_in_chunk
+    # deterministic non-zero fill, period-256 pattern (37 is odd so the
+    # LCG cycles all 256 values) — content is never read back, only
+    # sample SIZES carry information
+    pattern = bytes((i * 37 + 11) & 0xFF for i in range(256))
+    mdat_payload = (pattern * (rel // 256 + 1))[:rel]
+    return assemble(offsets) + _box(b"mdat", mdat_payload)
 
 
 def _walk_boxes(data: bytes, pos: int, end: int):
@@ -382,3 +481,203 @@ def mp4_sample_stats(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(parse_batches, MP4_SAMPLE_SCHEMA)
+
+
+def parse_mp4_sample_ranges(payload: bytes) -> list[dict]:
+    """Resolve every sample of the FIRST video track to its byte range:
+    ``[{sample_idx (1-based), n_bytes, rel_offset, is_sync}, …]`` with
+    ``rel_offset`` relative to the start of the ``mdat`` payload.
+
+    This is the read PLAN a frame extractor executes — the step between
+    sample-table triage (``parse_mp4_sample_stats``) and the (stubbed)
+    codec: walk the ``stsc`` chunk runs against the ``stco``/``co64``
+    chunk offsets, accumulate ``stsz`` sizes within each chunk, and
+    mark sync samples from ``stss`` (absent ⇒ every sample is sync,
+    ISO 14496-12). With these ranges a pipeline slices exactly the
+    keyframe bytes out of a 100 TB corpus without touching the rest.
+
+    Offsets are validated to land inside ``mdat``; sample-count
+    mismatches between stsz and the stsc×stco expansion, truncated
+    tables, or a missing chunk layout all raise ``ValueError`` — the
+    typed fail-loud envelope of every codec-adjacent path."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no leading ftyp)")
+
+    mdat_span = None
+    moov_span = None
+    for btype, start, end in _walk_boxes(payload, 0, len(payload)):
+        if btype == b"mdat" and mdat_span is None:
+            mdat_span = (start, end)
+        elif btype == b"moov":
+            moov_span = (start, end)
+    if moov_span is None:
+        raise ValueError("ISO-BMFF payload has no moov")
+
+    def u32s(base: int, count: int, box_end: int) -> list[int]:
+        end = base + 4 * count
+        if end > box_end:
+            raise ValueError("sample table truncated")
+        return list(
+            struct.unpack(f">{count}I", payload[base:end])
+        ) if count else []
+
+    for mtype, mstart, mend in _walk_boxes(payload, *moov_span):
+        if mtype != b"trak":
+            continue
+        handler = None
+        stbl_span = None
+        for ttype, tstart, tend in _walk_boxes(payload, mstart, mend):
+            if ttype != b"mdia":
+                continue
+            for dtype, dstart, dend in _walk_boxes(payload, tstart, tend):
+                if dtype == b"hdlr":
+                    if dend - dstart < 12:
+                        raise ValueError("hdlr box too short")
+                    handler = payload[dstart + 8:dstart + 12]
+                elif dtype == b"minf":
+                    for ntype, nstart, nend in _walk_boxes(
+                        payload, dstart, dend
+                    ):
+                        if ntype == b"stbl":
+                            stbl_span = (nstart, nend)
+        if handler != b"vide" or stbl_span is None:
+            continue
+
+        sizes: list[int] | None = None
+        stsc: list[tuple[int, int]] | None = None
+        chunk_offsets: list[int] | None = None
+        syncs: set[int] | None = None
+        for stype, sstart, send in _walk_boxes(payload, *stbl_span):
+            if send - sstart < 8:
+                raise ValueError(f"{stype!r} box too short")
+            if stype == b"stsz":
+                fixed, count = struct.unpack(
+                    ">II", payload[sstart + 4:sstart + 12]
+                )
+                sizes = (
+                    [fixed] * count
+                    if fixed
+                    else u32s(sstart + 12, count, send)
+                )
+            elif stype == b"stsc":
+                (n_entries,) = struct.unpack(
+                    ">I", payload[sstart + 4:sstart + 8]
+                )
+                flat = u32s(sstart + 8, 3 * n_entries, send)
+                stsc = list(zip(flat[0::3], flat[1::3]))
+            elif stype == b"stco":
+                (n_chunks,) = struct.unpack(
+                    ">I", payload[sstart + 4:sstart + 8]
+                )
+                chunk_offsets = u32s(sstart + 8, n_chunks, send)
+            elif stype == b"co64":
+                (n_chunks,) = struct.unpack(
+                    ">I", payload[sstart + 4:sstart + 8]
+                )
+                end = sstart + 8 + 8 * n_chunks
+                if end > send:
+                    raise ValueError("sample table truncated")
+                chunk_offsets = list(
+                    struct.unpack(
+                        f">{n_chunks}Q", payload[sstart + 8:end]
+                    )
+                ) if n_chunks else []
+            elif stype == b"stss":
+                (n_syncs,) = struct.unpack(
+                    ">I", payload[sstart + 4:sstart + 8]
+                )
+                syncs = set(u32s(sstart + 8, n_syncs, send))
+
+        if sizes is None:
+            raise ValueError("video stbl missing stsz")
+        if stsc is None or chunk_offsets is None:
+            raise ValueError("video stbl has no chunk layout (stsc+stco)")
+        if not stsc or stsc[0][0] != 1:
+            raise ValueError("stsc runs must start at chunk 1")
+
+        # expand stsc runs against the stco chunk count
+        per_chunk: list[int] = []
+        for i, (fc, spc) in enumerate(stsc):
+            last = (
+                stsc[i + 1][0] - 1
+                if i + 1 < len(stsc)
+                else len(chunk_offsets)
+            )
+            if fc > last:
+                raise ValueError("stsc first_chunk beyond chunk count")
+            per_chunk.extend([spc] * (last - fc + 1))
+        if sum(per_chunk) != len(sizes):
+            raise ValueError("stsc×stco expansion does not match stsz")
+
+        # only once the tables are consistent does resolving ranges
+        # require the media data itself
+        if mdat_span is None:
+            raise ValueError("ISO-BMFF payload has no mdat")
+        mstart_data, mend_data = mdat_span
+        out: list[dict] = []
+        idx = 0
+        for chunk_off, n_in_chunk in zip(chunk_offsets, per_chunk):
+            intra = 0
+            for _ in range(n_in_chunk):
+                idx += 1
+                size = sizes[idx - 1]
+                abs_off = chunk_off + intra
+                if abs_off < mstart_data or abs_off + size > mend_data:
+                    raise ValueError(
+                        f"sample {idx} byte range escapes mdat"
+                    )
+                out.append(
+                    {
+                        "sample_idx": idx,
+                        "n_bytes": size,
+                        "rel_offset": abs_off - mstart_data,
+                        "is_sync": syncs is None or idx in syncs,
+                    }
+                )
+                intra += size
+        return out
+    raise ValueError("no video track with sample tables")
+
+
+MP4_RANGE_SCHEMA = (
+    "doc_id bigint, sample_idx bigint, n_bytes bigint, rel_offset bigint"
+)
+
+
+def mp4_keyframe_ranges(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched keyframe read-plan extraction: one row per SYNC
+    sample with its exact byte range inside ``mdat`` — what a
+    keyframe-thumbnail / scene-sample stage feeds to its (stubbed)
+    frame decoder, computed for 100 % of a corpus with zero codec
+    work. Map-only, cost ∝ total payload bytes; output rows ∝
+    keyframes, a ~k-fold reduction before any pixel work."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for s in parse_mp4_sample_ranges(bytes(payload)):
+                    if s["is_sync"]:
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "sample_idx": s["sample_idx"],
+                                "n_bytes": s["n_bytes"],
+                                "rel_offset": s["rel_offset"],
+                            }
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_idx", "n_bytes", "rel_offset"
+                ],
+            )
+
+    return df.mapInPandas(parse_batches, MP4_RANGE_SCHEMA)

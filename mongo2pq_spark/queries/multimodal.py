@@ -1186,3 +1186,84 @@ def multimodal_wav_window_features(spark, sf_dir):
         build_batches, "doc_id bigint, payload binary"
     )
     return audio_ops.wav_window_features(with_wav, n_windows=8)
+
+
+@register(
+    "multimodal_mp4_keyframe_ranges",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               24 + (doc_id % 5) * 12 AS n,
+               800 + (doc_id % 11) * 50 AS base
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT doc_id, n, base, unnest(generate_series(0, n - 1)) AS i
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(i + 1 AS BIGINT) AS sample_idx,
+           CAST(base + (i % 7) * 16 AS BIGINT) AS n_bytes,
+           CAST(i * base
+                + 16 * ((i // 7) * 21 + (i % 7) * ((i % 7) - 1) // 2)
+                + 8 * (CASE WHEN i < 12 THEN i // 6
+                            ELSE 2 + (i - 12) // 4 END)
+                AS BIGINT) AS rel_offset
+    FROM s WHERE i % 8 = 0
+    """,
+    doc="REAL keyframe read-plan extraction, end to end: per doc a "
+        "well-formed MP4 with a CHUNKED layout (stsc runs [(1,6),"
+        "(3,4)], stco absolute offsets, mdat with 8 dead bytes before "
+        "every chunk after the first) is BUILT and resolved back to "
+        "per-sample byte ranges by the pure-stdlib stsc/stco/co64 "
+        "walker (operators/video.py::parse_mp4_sample_ranges); only "
+        "sync samples (every 8th) are emitted — the exact byte slices "
+        "a thumbnail/scene-sampling stage would read. The oracle "
+        "recomputes each range in closed form: prefix sum of the size "
+        "rule base+(i%7)*16 plus 8·chunk_idx of the two-run chunk "
+        "layout — a flat stsz prefix sum WITHOUT the chunk walk would "
+        "be wrong for every sample past the first gap",
+)
+def multimodal_mp4_keyframe_ranges(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import video as video_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import pandas as pd
+
+        from mongo2pq_spark.operators.video import build_mp4_stub
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 24 + (d % 5) * 12
+                base = 800 + (d % 11) * 50
+                payloads.append(
+                    build_mp4_stub(
+                        duration_ms=1000,
+                        width=640,
+                        height=360,
+                        sample_sizes=[
+                            base + (i % 7) * 16 for i in range(n)
+                        ],
+                        sample_delta=512,
+                        keyframe_every=8,
+                        stsc_runs=[(1, 6), (3, 4)],
+                        chunk_gap=8,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_mp4 = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return video_ops.mp4_keyframe_ranges(with_mp4)

@@ -2341,3 +2341,92 @@ def test_bm25_topk_matches_python_model(spark):
         for r in bm25_topk(docs, queries, k1=k1, b=b, top_k=top_k).collect()
     }
     assert got == expect
+
+
+def test_mp4_sample_ranges_chunk_walk_and_envelope():
+    """The stsc/stco walker resolves every sample to the byte range the
+    builder actually laid out — including the inter-chunk gaps that
+    make a flat stsz prefix-sum wrong — and fails loud on mismatched
+    or missing chunk tables; co64 parses like stco; absent stss marks
+    every sample sync."""
+    import struct
+
+    import pytest
+
+    from mongo2pq_spark.operators.video import (
+        _box,
+        build_mp4_stub,
+        parse_mp4_sample_ranges,
+    )
+
+    sizes = [10, 20, 30, 40, 50, 60, 70]
+    p = build_mp4_stub(
+        1000, 64, 64, sample_sizes=sizes, keyframe_every=3,
+        stsc_runs=[(1, 2), (2, 1), (3, 4)], chunk_gap=8,
+    )
+    # chunks: [10,20] gap [30] gap [40,50,60,70]
+    got = parse_mp4_sample_ranges(p)
+    rel = [s["rel_offset"] for s in got]
+    assert rel == [0, 10, 38, 76, 116, 166, 226]
+    assert [s["n_bytes"] for s in got] == sizes
+    assert [s["is_sync"] for s in got] == [
+        True, False, False, True, False, False, True
+    ]
+    # a flat prefix sum ignores the gaps: wrong from sample 3 on
+    flat = [sum(sizes[:i]) for i in range(len(sizes))]
+    assert rel != flat and rel[:2] == flat[:2]
+
+    # absent stss ⇒ all sync: strip the stss box by rebuilding without
+    # keyframes every 1 (builder always writes stss, so patch: sizes
+    # fixed via keyframe_every=1 means all sync anyway — assert that)
+    p_all = build_mp4_stub(
+        1000, 64, 64, sample_sizes=sizes, keyframe_every=1,
+        stsc_runs=[(1, 7)],
+    )
+    assert all(s["is_sync"] for s in parse_mp4_sample_ranges(p_all))
+
+    # co64 parses identically: rewrite the stco box as co64
+    stco_at = p.find(b"stco") - 4
+    (stco_size,) = struct.unpack(">I", p[stco_at:stco_at + 4])
+    n_chunks = struct.unpack(
+        ">I", p[stco_at + 12:stco_at + 16]
+    )[0]
+    offs = struct.unpack(
+        f">{n_chunks}I",
+        p[stco_at + 16:stco_at + 16 + 4 * n_chunks],
+    )
+    # co64 is 4 bytes/chunk larger, shifting mdat; rebuild offsets by
+    # the size delta so ranges still land inside mdat
+    delta = 8 + 4 + 4 + 8 * n_chunks - stco_size
+    co64 = _box(
+        b"co64",
+        struct.pack(">I", 0) + struct.pack(">I", n_chunks)
+        + b"".join(struct.pack(">Q", o + delta) for o in offs),
+    )
+
+    p64 = p[:stco_at] + co64 + p[stco_at + stco_size:]
+    # grow moov/trak/mdia/minf/stbl headers by delta
+    for marker in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        mat = p64.find(marker) - 4
+        (msz,) = struct.unpack(">I", p64[mat:mat + 4])
+        p64 = p64[:mat] + struct.pack(">I", msz + delta) + p64[mat + 4:]
+    got64 = parse_mp4_sample_ranges(p64)
+    assert [s["rel_offset"] for s in got64] == rel
+    assert [s["n_bytes"] for s in got64] == sizes
+
+    # fail-loud: stsc×stco expansion that does not cover stsz — the
+    # builder refuses to WRITE such a file, so corrupt a valid one:
+    # patch the single run's samples_per_chunk from 7 to 6
+    ok = build_mp4_stub(
+        1000, 64, 64, sample_sizes=sizes, stsc_runs=[(1, 7)]
+    )
+    spc_at = ok.find(b"stsc") + 4 + 8 + 4  # payload + count + first fc
+    assert struct.unpack(">I", ok[spc_at:spc_at + 4]) == (7,)
+    bad = ok[:spc_at] + struct.pack(">I", 6) + ok[spc_at + 4:]
+    with pytest.raises(ValueError, match="does not match stsz"):
+        parse_mp4_sample_ranges(bad)
+    # fail-loud: no chunk layout at all
+    with pytest.raises(ValueError, match="no chunk layout"):
+        parse_mp4_sample_ranges(
+            build_mp4_stub(1000, 64, 64, sample_sizes=sizes)
+        )
