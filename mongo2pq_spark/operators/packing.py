@@ -171,3 +171,72 @@ def weighted_mix_upsample(
         F.col("n_copies").cast("bigint").alias("n_copies"),
         F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
     ).withColumn("copy_idx", F.col("copy_idx").cast("bigint"))
+
+
+def temperature_mix_epochs(
+    df: DataFrame,
+    alpha: float = 0.5,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    budget_mult: float = 1.0,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing with DATA-DERIVED weights — the
+    multilingual-LM sampling recipe (p_i ∝ c_i^α): small domains are
+    upsampled toward parity, large ones damped, α=1 keeps natural
+    proportions and α=0 gives uniform. Per-domain epochs follow from
+    holding the total budget at ``budget_mult · N`` docs:
+    ``epochs_i = N·mult·c_i^(α−1) / Σ_j c_j^α``.
+
+    Where ``weighted_mix_upsample`` materializes a FIXED weight table,
+    this derives the table from the corpus itself, then materializes
+    copies by the same deterministic rule — ``floor(e) + (md5-hash <
+    frac(e))`` — with the fractional part quantized to integer basis
+    points via ``floor(x·10⁴ + 0.5)`` (explicit half-up in BOTH
+    engines; engine round() builtins disagree on ties). ``epochs_bp``
+    (epochs in basis points, an exact integer) rides along for
+    observability.
+
+    Shape at scale: one tiny per-domain count aggregate (domain
+    cardinality is bounded — languages/sources — never data-scaling),
+    a 1-row Σc^α broadcast onto it, then the epochs table broadcast
+    into a map-side join with the corpus; copy materialization is the
+    same map-only explode as the fixed-weight path. No shuffle touches
+    the full corpus."""
+    counts = df.groupBy(key_col).agg(F.count("*").alias("c"))
+    z = counts.agg(
+        F.sum(F.pow(F.col("c").cast("double"), F.lit(alpha))).alias("z"),
+        F.sum("c").alias("n_total"),
+    )
+    epochs_tbl = counts.crossJoin(F.broadcast(z)).select(
+        key_col,
+        (
+            F.col("n_total").cast("double")
+            * F.lit(budget_mult)
+            * F.pow(F.col("c").cast("double"), F.lit(alpha - 1.0))
+            / F.col("z")
+        ).alias("epochs"),
+    )
+    with_e = df.select(id_col, key_col).join(
+        F.broadcast(epochs_tbl), key_col
+    )
+    n_base = F.floor(F.col("epochs")).cast("bigint")
+    frac_bp = F.floor(
+        (F.col("epochs") - F.floor(F.col("epochs"))) * MIX_DENOM + 0.5
+    ).cast("bigint")
+    h = token_hash32(F.col(id_col).cast("string")) % MIX_DENOM
+    counted = (
+        with_e.withColumn(
+            "n_copies", (n_base + (h < frac_bp).cast("bigint"))
+        )
+        .withColumn(
+            "epochs_bp", (n_base * MIX_DENOM + frac_bp).cast("bigint")
+        )
+        .filter(F.col("n_copies") > 0)
+    )
+    return counted.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.col("epochs_bp"),
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+    ).withColumn("copy_idx", F.col("copy_idx").cast("bigint"))

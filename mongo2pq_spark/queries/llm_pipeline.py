@@ -434,3 +434,66 @@ def corpus_shuffle_shards(spark, sf_dir):
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
     )
+
+
+_TEMP_ALPHA = 0.5
+
+
+def _temperature_mix_oracle() -> str:
+    from mongo2pq_spark.functions.hashing import sql_token_hash32
+    from mongo2pq_spark.operators.packing import MIX_DENOM
+
+    h = sql_token_hash32("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH counts AS (
+        SELECT lang, count(*) AS c FROM documents GROUP BY lang
+    ),
+    z AS (
+        SELECT sum(pow(CAST(c AS DOUBLE), {_TEMP_ALPHA})) AS z,
+               sum(c) AS n_total
+        FROM counts
+    ),
+    epochs AS (
+        SELECT lang,
+               CAST(z.n_total AS DOUBLE)
+               * pow(CAST(c AS DOUBLE), {_TEMP_ALPHA} - 1.0) / z.z
+               AS e
+        FROM counts, z
+    ),
+    marked AS (
+        SELECT doc_id, documents.lang,
+               CAST(floor(e) AS BIGINT) * {MIX_DENOM}
+               + CAST(floor((e - floor(e)) * {MIX_DENOM} + 0.5) AS BIGINT)
+               AS epochs_bp,
+               CAST(floor(e) AS BIGINT)
+               + CASE WHEN {h} % {MIX_DENOM}
+                      < CAST(floor((e - floor(e)) * {MIX_DENOM} + 0.5)
+                             AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents JOIN epochs ON documents.lang = epochs.lang
+    )
+    SELECT doc_id, lang, epochs_bp,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+    FROM marked WHERE n_copies > 0
+    """
+
+
+@register(
+    "corpus_mix_temperature",
+    _temperature_mix_oracle(),
+    doc="temperature-scaled corpus mixing (p_i ∝ c_i^0.5, the "
+        "multilingual-LM sampling recipe): per-language epochs derive "
+        "from the corpus's own counts at a fixed total budget — rare "
+        "languages upsample toward parity, the head language damps — "
+        "then every doc materializes floor(e) + (md5-hash < frac(e)) "
+        "copies, with frac quantized to integer basis points via an "
+        "explicit half-up floor(x*1e4+0.5) (engine round() builtins "
+        "disagree on ties). Shape: bounded-cardinality domain count "
+        "agg + 1-row Σc^α broadcast + domain-table broadcast join + "
+        "map-only explode; no shuffle touches the corpus",
+)
+def corpus_mix_temperature(spark, sf_dir):
+    from mongo2pq_spark.operators.packing import temperature_mix_epochs
+
+    return temperature_mix_epochs(_docs(spark, sf_dir), alpha=_TEMP_ALPHA)

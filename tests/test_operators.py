@@ -2430,3 +2430,37 @@ def test_mp4_sample_ranges_chunk_walk_and_envelope():
         parse_mp4_sample_ranges(
             build_mp4_stub(1000, 64, 64, sample_sizes=sizes)
         )
+
+
+def test_temperature_mix_epochs_invariants(spark):
+    """α=1 keeps natural proportions (every doc exactly once); α=0
+    drives per-domain budgets uniform; α=0.5 conserves the total
+    budget within quantization and monotonically reorders epochs
+    against domain size (rare up, head down)."""
+    from mongo2pq_spark.operators.packing import temperature_mix_epochs
+
+    rows = [(i, "big" if i < 80 else ("mid" if i < 95 else "rare"))
+            for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+    r1 = temperature_mix_epochs(docs, alpha=1.0).collect()
+    assert len(r1) == 100
+    assert all(r["n_copies"] == 1 and r["epochs_bp"] == 10_000 for r in r1)
+
+    # α=0: epochs_i = N/(k·c_i) → per-domain doc budget equalizes at
+    # N/k = 33.33 docs; epochs are 10000/80·... in bp
+    r0 = temperature_mix_epochs(docs, alpha=0.0).collect()
+    by_lang = {}
+    for r in r0:
+        by_lang.setdefault(r["lang"], set()).add(r["epochs_bp"])
+    assert by_lang["big"] == {4167}    # 100/(3·80) = 0.41667
+    assert by_lang["mid"] == {22222}   # 100/(3·15)
+    assert by_lang["rare"] == {66667}  # 100/(3·5)
+
+    rh = temperature_mix_epochs(docs, alpha=0.5).collect()
+    eb = {r["lang"]: r["epochs_bp"] for r in rh}
+    assert eb["rare"] > eb["mid"] > eb["big"]
+    assert eb["big"] < 10_000 < eb["rare"]
+    total = sum(r["n_copies"] for r in
+                {r["doc_id"]: r for r in rh}.values())
+    assert abs(total - 100) <= 15  # budget conserved in expectation
