@@ -1096,3 +1096,116 @@ def chunk_dedup_reassemble(
         F.size("__cs").cast("bigint").alias("n_chunks"),
         F.size(kept).cast("bigint").alias("n_chunks_kept"),
     )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_words: int = 3,
+    divisor: int = 4,
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup statistics — the
+    SHIFT-ROBUST counterpart to ``chunk_dedup_reassemble``'s fixed
+    8-word grid. Fixed-grid chunking breaks when one word is inserted
+    upstream: every later chunk boundary moves, so a shared paragraph
+    stops matching. CDC places boundaries where a rolling CONTENT hash
+    satisfies a predicate, so boundaries re-synchronize right after an
+    edit — the rsync/LBFS/dedup-storage technique applied to corpus
+    text at word granularity.
+
+    Rule: a boundary falls AFTER token position p (1-based,
+    ``window_words`` ≤ p < n) iff the md5-derived 32-bit hash of the
+    ``window_words``-token window ending at p is ≡ 0 mod ``divisor``
+    (expected chunk length ≈ ``divisor`` tokens + window warm-up).
+    Chunk identity is the md5 of its space-joined tokens; a chunk is a
+    cross-doc duplicate iff it occurs in ≥ 2 distinct documents.
+    Output: per-doc ``n_chunks``, ``n_dup_chunks``,
+    ``dup_chunk_frac`` (rounded 6 dp).
+
+    Shape at scale: per-position rows ride ONE doc-keyed shuffle that
+    serves the boundary-prefix window AND the chunk rebuild aggregate
+    (doc_id is data-scaling and high-cardinality — no skew); chunk →
+    distinct-doc counting is two partial-agg groupBys on the chunk
+    key (never a window over the chunk key — a boilerplate chunk
+    shared by millions of docs is exactly the skewed-key case the
+    drop_exact_duplicates docstring warns about); the dup-flag table
+    is one row per distinct chunk and joins back on the chunk key
+    under AQE. The token array materializes BEFORE the position
+    generator, so window hashes slice the materialized array — not a
+    re-tokenize per position (the Catalyst lambda-inlining trap)."""
+    from pyspark.sql import Window
+
+    w = window_words
+    base = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+    )
+    pos = base.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.col("__n"),
+        F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("p"),
+    )
+    cut = pos.select(
+        F.col(id_col),
+        F.col("p"),
+        F.element_at("__toks", F.col("p")).alias("tok"),
+        F.when(
+            (F.col("p") >= w) & (F.col("p") < F.col("__n")),
+            (
+                token_hash32(
+                    F.concat_ws(
+                        " ", F.slice(F.col("__toks"), F.col("p") - (w - 1), w)
+                    )
+                )
+                % divisor
+                == 0
+            ).cast("int"),
+        )
+        .otherwise(F.lit(0))
+        .alias("cut"),
+    )
+    prefix = (
+        Window.partitionBy(id_col)
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = cut.withColumn(
+        "chunk_id", F.coalesce(F.sum("cut").over(prefix), F.lit(0))
+    )
+    chunks = chunked.groupBy(id_col, "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("m")
+    )
+    chunks = _cache_stream(chunks)  # feeds the dup-flag agg AND the join
+    per_doc_chunk = chunks.groupBy("m", id_col).agg(F.count("*").alias("__c"))
+    dup_flags = (
+        per_doc_chunk.groupBy("m")
+        .agg(F.count("*").alias("n_docs_with"))
+        .select("m", (F.col("n_docs_with") >= 2).alias("is_dup"))
+    )
+    return (
+        chunks.join(dup_flags, "m")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("is_dup").cast("bigint")).alias("n_dup_chunks"),
+        )
+        .select(
+            id_col,
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.col("n_dup_chunks").cast("bigint").alias("n_dup_chunks"),
+            F.round(
+                F.col("n_dup_chunks") / F.col("n_chunks"), 6
+            ).alias("dup_chunk_frac"),
+        )
+    )

@@ -828,3 +828,78 @@ def dedup_chunk_reassemble(spark, sf_dir):
 
     docs = read_sf_table(spark, sf_dir, "documents")
     return ops.chunk_dedup_reassemble(docs)
+
+
+_CDC_W, _CDC_D = 3, 4
+
+
+def _cdc_oracle() -> str:
+    win = " || ' ' || ".join(f"t[p - {_CDC_W - 1 - j}]" for j in range(_CDC_W))
+    h = sql_token_hash32(f"({win})")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t, len(t) AS n,
+               unnest(generate_series(1, len(t))) AS p
+        FROM toks WHERE len(t) > 0
+    ),
+    cut AS (
+        SELECT doc_id, p, t[p] AS tok,
+               CASE WHEN p >= {_CDC_W} AND p < n
+                         AND {h} % {_CDC_D} = 0
+                    THEN 1 ELSE 0 END AS c
+        FROM pos
+    ),
+    chunked AS (
+        SELECT doc_id, p, tok,
+               coalesce(sum(c) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS chunk_id
+        FROM cut
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id,
+               md5(string_agg(tok, ' ' ORDER BY p)) AS m
+        FROM chunked GROUP BY doc_id, chunk_id
+    ),
+    dup AS (
+        SELECT m, count(DISTINCT doc_id) >= 2 AS is_dup
+        FROM chunks GROUP BY m
+    )
+    SELECT chunks.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_chunk_frac
+    FROM chunks JOIN dup USING (m)
+    GROUP BY chunks.doc_id
+    """
+
+
+@register(
+    "dedup_cdc_chunks",
+    _cdc_oracle(),
+    doc="content-defined chunking dedup (the rsync/LBFS boundary "
+        "technique at word granularity): a chunk boundary falls where "
+        "the md5-hash of the trailing 3-token window is divisible by "
+        "4, so boundaries RE-SYNCHRONIZE after an upstream edit — the "
+        "shift-robust counterpart to dedup_chunk_reassemble's fixed "
+        "8-word grid, which mismatches every chunk after a one-word "
+        "insertion. Per doc: chunk count, chunks shared with >=2 "
+        "distinct docs, dup fraction. One doc-keyed shuffle serves "
+        "the boundary prefix-sum window AND the chunk rebuild; chunk-"
+        "key counting is partial-agg groupBy (never a window over the "
+        "skewable chunk key); token arrays materialize before the "
+        "position generator (lambda-inlining trap)",
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.cdc_chunk_stats(
+        docs, window_words=_CDC_W, divisor=_CDC_D
+    )

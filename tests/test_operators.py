@@ -2464,3 +2464,63 @@ def test_temperature_mix_epochs_invariants(spark):
     total = sum(r["n_copies"] for r in
                 {r["doc_id"]: r for r in rh}.values())
     assert abs(total - 100) <= 15  # budget conserved in expectation
+
+
+def test_cdc_chunks_resync_after_edit_and_model_parity(spark):
+    """The property that justifies CDC over a fixed grid: prepend ONE
+    word to a document and most chunk boundaries re-synchronize, so
+    the shared text still dedups; and the distributed stats match a
+    direct Python model of the same boundary rule exactly."""
+    import hashlib
+
+    # deterministic ~60-word text over a small vocabulary
+    vocab = ["alpha", "beta", "gamma", "delta", "omega", "kappa",
+             "sigma", "theta"]
+    base_words = [vocab[(7 * i + 3) % len(vocab)] for i in range(60)]
+    doc_a = " ".join(base_words)
+    doc_b = "prefixword " + doc_a          # one-word upstream edit
+    doc_c = " ".join(vocab[::-1] * 3)      # unrelated
+
+    w, d = 3, 4
+
+    def model_chunks(text):
+        t = text.split()
+        cuts = []
+        for p in range(w, len(t)):  # 1-based p in [w, n-1]
+            window = " ".join(t[p - w:p])
+            h = int(hashlib.md5(window.encode()).hexdigest()[:8], 16)
+            cuts.append(1 if h % d == 0 else 0)
+        chunks, cur = [], [t[0]] if t else []
+        for i in range(1, len(t)):
+            if i - 1 >= w - 1 and cuts[i - w]:
+                chunks.append(" ".join(cur))
+                cur = []
+            cur.append(t[i])
+        if cur:
+            chunks.append(" ".join(cur))
+        return chunks
+
+    ca, cb, cc = (model_chunks(x) for x in (doc_a, doc_b, doc_c))
+    shared = set(ca) & set(cb)
+    assert len(shared) >= len(ca) // 2, (ca, cb)
+    assert not (set(ca) | set(cb)) & set(cc)
+
+    from mongo2pq_spark.operators.dedup import cdc_chunk_stats
+
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"])
+        for r in cdc_chunk_stats(docs, window_words=w, divisor=d).collect()
+    }
+    all_chunks = {1: ca, 2: cb, 3: cc}
+
+    def expect(doc_id):
+        mine = all_chunks[doc_id]
+        others = set().union(
+            *(set(v) for k, v in all_chunks.items() if k != doc_id)
+        )
+        return (len(mine), sum(1 for c in mine if c in others))
+
+    assert got == {i: expect(i) for i in (1, 2, 3)}

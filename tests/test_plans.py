@@ -718,3 +718,18 @@ def test_bm25_plan_shape(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin Cross") == 1
     assert "InMemoryRelation" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_cdc_chunks_windows_only_on_doc_key(spark, sf_dir):
+    """CDC dedup's only window is the per-doc boundary prefix sum —
+    partitioned on the data-scaling doc key, NEVER on the chunk hash
+    (a boilerplate chunk shared by millions of docs is the classic
+    skewed key); chunk-frequency counting must stay partial-agg
+    groupBys and the flag join must never degrade to a nested loop."""
+    import re
+
+    plan = _formatted(spark, sf_dir, "dedup_cdc_chunks")
+    keys = set(re.findall(r"windowspecdefinition\(([^,#]+)#", plan))
+    assert keys == {"doc_id"}, keys
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
