@@ -1,0 +1,89 @@
+"""Graph rank propagation over DataFrames.
+
+PageRank is the crawl-graph quality signal of web-corpus curation
+(page importance from link structure weights which crawled documents
+are worth keeping/upsampling). This module implements the standard
+damped power iteration as pure DataFrame ops — a FIXED number of
+iterations so the computation is deterministic, unrollable into an
+oracle, and bounded in lineage (each iteration is one shuffle; the
+pointer-doubling label propagation in operators/dedup.py covers the
+unbounded-convergence pattern with checkpointing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mongo2pq_spark.operators.cache import cache_stream
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Damped PageRank over a directed edge list, ``iterations`` full
+    power steps from a uniform start:
+    ``r'(v) = (1−d)/N + d · Σ_{(u,v)∈E} r(u)/outdeg(u)``.
+
+    The node set is the nodes APPEARING IN THE EDGE LIST (src ∪ dst) —
+    with a symmetrized input every node then has out-degree ≥ 1, so no
+    dangling-mass correction is needed and the rank total is conserved
+    exactly (asserting that is the test's invariant).
+
+    Shape at scale: the edge list and out-degree table are computed
+    once and cached; each iteration is ONE shuffle — join ranks to
+    edges on ``src`` then aggregate contributions by ``dst``. Hub
+    nodes (a popular page / event type) make ``src`` and ``dst`` hot
+    keys: both sides stay AQE-splittable (plain shuffle join + partial
+    aggregation; no windows, no per-key serialization). N rides a
+    1-row broadcast. Rank rounding happens ONLY at the end — rounding
+    inside the loop would compound across iterations.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    e = cache_stream(e)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = cache_stream(nodes)
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n_tbl = nodes.agg(F.count("*").alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_tbl)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(outdeg, "src")
+            .join(
+                ranks.select(
+                    F.col("node").alias("src"), F.col("rank")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(
+                contrib.select(F.col("dst").alias("node"), "inflow"),
+                "node",
+                "left",
+            )
+            .crossJoin(F.broadcast(n_tbl))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

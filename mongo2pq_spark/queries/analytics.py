@@ -1044,3 +1044,85 @@ def events_pivot_daily(spark, sf_dir):
         *cols,
         F.col("purchase_v").cast("double").alias("purchase_value"),
     )
+
+
+_PR_D = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    step = """
+    r{k} AS (
+        SELECT nodes.node,
+               (1 - {d}) / n.n + {d} * coalesce(c.inflow, 0) AS rank
+        FROM nodes CROSS JOIN n
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / od.deg) AS inflow
+            FROM e
+            JOIN od ON e.src = od.src
+            JOIN r{prev} r ON e.src = r.node
+            GROUP BY e.dst
+        ) c ON nodes.node = c.node
+    )"""
+    iters = ",".join(
+        step.format(k=k, prev=k - 1, d=_PR_D)
+        for k in range(1, _PR_ITERS + 1)
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+                        't:' || event_type AS t
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    e AS (
+        SELECT u AS src, t AS dst FROM pairs
+        UNION ALL
+        SELECT t AS src, u AS dst FROM pairs
+    ),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+        )
+    ),
+    od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    n AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),
+    {iters}
+    SELECT node, round(rank, 6) AS rank FROM r{_PR_ITERS}
+    """
+
+
+@register(
+    "graph_pagerank_interactions",
+    _pagerank_oracle(),
+    doc="damped PageRank (3 power steps, d=0.85) over the symmetrized "
+        "user<->event-type interaction graph — the crawl-graph quality "
+        "signal of web-corpus curation (link-structure importance "
+        "weights which documents are worth keeping/upsampling), here "
+        "exercised on the bipartite graph the testdata offers. Node "
+        "set = nodes appearing in edges, so symmetrization leaves no "
+        "dangling mass and total rank is conserved exactly. Each "
+        "iteration is one shuffle (ranks join edges on src, "
+        "contributions aggregate by dst); hub event-type nodes make "
+        "both keys hot, which stays AQE-splittable because the plan "
+        "is plain shuffle join + partial agg — no windows. Oracle: "
+        "the same three steps UNROLLED as SQL CTEs",
+)
+def graph_pagerank_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2pq_spark.operators.graph import pagerank
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ev = read_sf_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    pairs = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("t"),
+    ).distinct()
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("t").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("t").alias("src"), F.col("u").alias("dst"))
+    )
+    return pagerank(edges, iterations=_PR_ITERS, damping=_PR_D)

@@ -2524,3 +2524,40 @@ def test_cdc_chunks_resync_after_edit_and_model_parity(spark):
         return (len(mine), sum(1 for c in mine if c in others))
 
     assert got == {i: expect(i) for i in (1, 2, 3)}
+
+
+def test_pagerank_invariants_and_model_parity(spark):
+    """A directed cycle stays exactly uniform under any damping; a
+    symmetric star concentrates rank in the hub per the closed power
+    iteration (checked against a direct Python model); total rank is
+    conserved (no dangling leakage on symmetrized graphs)."""
+    from mongo2pq_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    r = {x["node"]: x["rank"] for x in pagerank(cycle, 3).collect()}
+    assert r == {"a": round(1 / 3, 6), "b": round(1 / 3, 6),
+                 "c": round(1 / 3, 6)}
+
+    star_pairs = [("hub", f"leaf{i}") for i in range(4)]
+    star = spark.createDataFrame(
+        star_pairs + [(d, s) for s, d in star_pairs],
+        "src string, dst string",
+    )
+    got = {x["node"]: x["rank"] for x in pagerank(star, 3).collect()}
+
+    nodes = ["hub"] + [f"leaf{i}" for i in range(4)]
+    deg = {"hub": 4, **{f"leaf{i}": 1 for i in range(4)}}
+    inn = {"hub": [f"leaf{i}" for i in range(4)],
+           **{f"leaf{i}": ["hub"] for i in range(4)}}
+    rank = {v: 1 / 5 for v in nodes}
+    for _ in range(3):
+        rank = {
+            v: (1 - 0.85) / 5
+            + 0.85 * sum(rank[u] / deg[u] for u in inn[v])
+            for v in nodes
+        }
+    assert got == {v: round(rank[v], 6) for v in nodes}
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    assert got["hub"] > got["leaf0"]
