@@ -880,3 +880,159 @@ def embedding_incremental_near_dups(
         F.col(id_col),
         F.coalesce(~F.col("__dup"), F.lit(True)).alias("is_new"),
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Population covariance matrix of an embedding column as
+    (dim_i, dim_j, cov) rows for the upper triangle (i ≤ j) — the
+    cross-dimension statistic ``embedding_dim_stats`` (per-dim
+    mean/std) cannot see: correlated/collapsed dimensions, the input
+    to whitening and PCA.
+
+    Shape at 100 TB: the classic MAP-SIDE GRAM pattern — each Arrow
+    batch reduces to one d×d partial (Σxxᵀ, Σx, n) on the executor,
+    so the shuffle carries O(batches · d²) tiny rows, never the
+    vectors; a per-pair self-join formulation would amplify the
+    corpus d²-fold through a shuffle instead. Final assembly is one
+    partial-agg groupBy plus two bounded broadcast joins (d-row means,
+    1-row count). Output is d(d+1)/2 rows — bounded by the embedding
+    width, independent of corpus size.
+    """
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = pdf[vec_col].tolist()
+            if not vecs:
+                continue
+            X = np.asarray(vecs, dtype=np.float64)
+            d = X.shape[1]
+            g = X.T @ X
+            sx = X.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            out = pd.DataFrame(
+                {"i": iu, "j": ju, "s": g[iu, ju]}
+            )
+            lin = pd.DataFrame(
+                {"i": np.arange(d), "j": np.full(d, -1), "s": sx}
+            )
+            cnt = pd.DataFrame({"i": [-1], "j": [-1], "s": [float(len(X))]})
+            yield pd.concat([out, lin, cnt], ignore_index=True)
+
+    partials = df.select(vec_col).mapInPandas(
+        gram_partials, "i int, j int, s double"
+    )
+    sums = partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    sums = cache_stream(sums)
+    n_tbl = (
+        sums.filter((F.col("i") == -1) & (F.col("j") == -1))
+        .select(F.col("s").alias("n"))
+    )
+    means = (
+        sums.filter((F.col("j") == -1) & (F.col("i") >= 0))
+        .crossJoin(F.broadcast(n_tbl))
+        .select(F.col("i").alias("d"), (F.col("s") / F.col("n")).alias("m"))
+    )
+    cross = sums.filter(F.col("j") >= 0)
+    return (
+        cross.join(
+            F.broadcast(means.select(F.col("d").alias("i"), F.col("m").alias("mi"))),
+            "i",
+        )
+        .join(
+            F.broadcast(means.select(F.col("d").alias("j"), F.col("m").alias("mj"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(n_tbl))
+        .select(
+            F.col("i").cast("bigint").alias("dim_i"),
+            F.col("j").cast("bigint").alias("dim_j"),
+            # + 0.0 canonicalizes IEEE -0.0 (a tiny negative rounds
+            # to negative zero, which string-renders as "-0")
+            (
+                F.round(
+                    F.col("s") / F.col("n") - F.col("mi") * F.col("mj"), 6
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project embeddings onto their top-k principal components — the
+    dimensionality-reduction step that makes downstream near-dup /
+    clustering passes cheaper at equal recall (SemDeDup-style
+    pipelines run on reduced vectors).
+
+    The covariance matrix is BOUNDED (d×d, independent of corpus
+    size), so its collect here is a documented bounded driver
+    materialization — same class as the 3-row drift validation; the
+    eigendecomposition is driver-side numpy on that d×d matrix, and
+    the PROJECTION is JVM-side column arithmetic: per component an
+    ``aggregate(zip_with(x − μ, w, ·*·), +)`` fold over literal
+    component arrays — no Python in the per-row path, no shuffle.
+    Component sign is fixed deterministically (largest-|coordinate|
+    made positive) so results are reproducible across BLAS builds.
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(df, vec_col, id_col).collect()
+    d = max(r["dim_j"] for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["dim_i"], r["dim_j"]] = r["cov"]
+        C[r["dim_j"], r["dim_i"]] = r["cov"]
+    mean_rows = (
+        df.select(F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in mean_rows:
+        mu[r["dim"]] = r["m"]
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # k × d
+    for c in range(comps.shape[0]):
+        pivot = np.argmax(np.abs(comps[c]))
+        if comps[c, pivot] < 0:
+            comps[c] = -comps[c]
+
+    centered = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.array(*[F.lit(float(v)) for v in mu]),
+        lambda x, m: x - m,
+    )
+    out = df.select(F.col(id_col), centered.alias("__c"))
+    projections = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__c"),
+                    F.array(*[F.lit(float(w)) for w in comps[c]]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias(f"pc{c}")
+        for c in range(comps.shape[0])
+    ]
+    return out.select(F.col(id_col), *projections)

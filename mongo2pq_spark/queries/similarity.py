@@ -448,3 +448,43 @@ def ann_hard_negatives(spark, sf_dir):
 
     emb = read_sf_table(spark, sf_dir, "embeddings")
     return ops.hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "embedding_covariance",
+    """
+    WITH x AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(embedding))) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    n AS (SELECT count(*) AS n FROM embeddings),
+    m AS (SELECT i, avg(v) AS m FROM x GROUP BY i),
+    xx AS (
+        SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS s
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    )
+    SELECT CAST(xx.i - 1 AS BIGINT) AS dim_i,
+           CAST(xx.j - 1 AS BIGINT) AS dim_j,
+           round(s / n.n - mi.m * mj.m, 6) + 0.0 AS cov
+    FROM xx
+    JOIN m mi ON xx.i = mi.i
+    JOIN m mj ON xx.j = mj.i
+    CROSS JOIN n
+    """,
+    doc="embedding covariance matrix (upper triangle as rows) — the "
+        "cross-dimension statistic behind whitening/PCA that per-dim "
+        "stats cannot see. Spark side is the map-side GRAM pattern: "
+        "each Arrow batch reduces to one dxd partial (sum xx^T, sum "
+        "x, n) on the executor, so the shuffle carries O(batches*d^2) "
+        "tiny rows and the corpus is read once; the oracle's per-pair "
+        "self-join formulation (d^2-amplifying) is exactly the shape "
+        "the operator avoids. Output bounded at d(d+1)/2 rows",
+)
+def embedding_covariance(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    return ops.embedding_covariance(emb)

@@ -2561,3 +2561,51 @@ def test_pagerank_invariants_and_model_parity(spark):
     assert got == {v: round(rank[v], 6) for v in nodes}
     assert abs(sum(got.values()) - 1.0) < 1e-4
     assert got["hub"] > got["leaf0"]
+
+
+def test_pca_project_matches_numpy_reference(spark):
+    """pca_project equals a direct numpy mirror of its own pipeline
+    (population covariance rounded 6dp → eigh → sign-fixed top-k →
+    centered projection rounded 6dp) on correlated synthetic data,
+    and pc0 captures the dominant planted direction."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.similarity import pca_project
+
+    rng_state = 12345
+    rows, d, k = 40, 6, 2
+    # deterministic correlated data: strong dim0↔dim1 axis
+    X = np.zeros((rows, d))
+    for i in range(rows):
+        t = ((i * 37 + rng_state) % 97) / 97.0 - 0.5
+        noise = [(((i * 13 + j * 7) % 23) / 23.0 - 0.5) * 0.1
+                 for j in range(d)]
+        X[i] = [4 * t + noise[0], 4 * t + noise[1], *noise[2:]]
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(rows)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["pc0"], r["pc1"])
+        for r in pca_project(df, k=k).collect()
+    }
+
+    Xf = X.astype(np.float32).astype(np.float64)  # the storage round-trip
+    mu = Xf.mean(axis=0)
+    C = np.round(np.cov(Xf, rowvar=False, bias=True), 6)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    for c in range(k):
+        p = np.argmax(np.abs(comps[c]))
+        if comps[c, p] < 0:
+            comps[c] = -comps[c]
+    ref = np.round((Xf - mu) @ comps.T, 6)
+
+    for i in range(rows):
+        assert got[i] == (ref[i, 0], ref[i, 1]), i
+    # the planted dominant axis loads dims 0+1 together
+    spread0 = np.ptp(ref[:, 0])
+    spread1 = np.ptp(ref[:, 1])
+    assert spread0 > 10 * spread1
