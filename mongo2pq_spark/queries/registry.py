@@ -204,6 +204,29 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # through the real WAV codec (integer channel-sum signal keeps
     # every emitted value SQL-exact; closed-form oracle)
     "multimodal_wav_window_features",
+    # r11 second continuation: BM25 sparse retrieval (fixed 4-query
+    # set, Lucene idf, two-phase salted top-k; full value oracle)
+    "text_bm25_topk",
+    # r11 second continuation: MP4 keyframe byte ranges via the
+    # stsc/stco/co64 chunk walk (closed-form two-run chunk layout ->
+    # closed-form oracle; inter-chunk gaps prove the walk is real)
+    "multimodal_mp4_keyframe_ranges",
+    # r11 second continuation: temperature-scaled corpus mixing
+    # (p_i ∝ c_i^0.5 epochs derived from corpus counts; basis-point
+    # quantized hash-accept; full value oracle)
+    "corpus_mix_temperature",
+    # r11 second continuation: content-defined chunking dedup
+    # (rolling-window boundary rule, shift-robust chunks; full value
+    # oracle mirrors the window prefix-sum + chunk md5 pipeline)
+    "dedup_cdc_chunks",
+    # r11 second continuation: fixed-iteration damped PageRank over
+    # the symmetrized user<->event-type graph (oracle = 3 power steps
+    # unrolled as CTEs)
+    "graph_pagerank_interactions",
+    # r11 second continuation: embedding covariance via map-side Gram
+    # partials (oracle = the d²-amplifying self-join formulation the
+    # operator exists to avoid; -0.0 canonicalized via +0.0)
+    "embedding_covariance",
 ]
 
 
