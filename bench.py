@@ -83,6 +83,15 @@ HEADLINE = [
     # tracked for trend): sub-document dedup — cross-doc 8-word-chunk
     # survivor selection + in-order reassembly (two-shuffle shape)
     "dedup_chunk_reassemble",
+    # round-11 second-continuation additions (no pinned baseline yet;
+    # tracked for trend): the four with nontrivial engine wall-clock —
+    # BM25 (tokenize + two-phase top-k), CDC chunking (per-position
+    # explode + doc-window prefix sum), PageRank (3 shuffle
+    # iterations), covariance (map-side Gram partials)
+    "text_bm25_topk",
+    "dedup_cdc_chunks",
+    "graph_pagerank_interactions",
+    "embedding_covariance",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -177,3 +177,40 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
     )
     return salted_probe.join(salted_build, [key, "__salt"], how).drop("__salt")
+
+
+def salted_topk(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    salt_src: Column,
+    n_salts: int = 32,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Skew-safe top-k per group: a single ``row_number`` window over a
+    LOW-cardinality partition key serializes every group's full match
+    set through one task — at 100 TB a per-query/per-domain top-k is
+    exactly that shape. This runs TWO phases: a local window over
+    (partition, ``salt_src % n_salts``) prunes each group to
+    ``n_salts · k`` candidates, then the global per-group window ranks
+    only those. Semantically identical to the single window for any
+    deterministic total order (pass tie-breaking ``order_cols``).
+
+    ``salt_src`` must be deterministic (an id column, not rand()) so
+    re-runs rank identically. Spark's WindowGroupLimit already pushes
+    partial limits ahead of both exchanges; the salt bounds the FINAL
+    partition at n_salts·k rows regardless of group fan-in."""
+    local = Window.partitionBy(
+        *partition_cols, (salt_src % n_salts).alias("__salt")
+    ).orderBy(*order_cols)
+    pruned = (
+        df.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr")
+    )
+    final = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        pruned.withColumn(rank_col, F.row_number().over(final).cast("bigint"))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -638,3 +638,100 @@ def image_cell_sums(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(cell_batches, IMAGE_CELL_SCHEMA)
+
+
+PHASH_SIZE = 32          # resample grid for the DCT
+PHASH_BITS = 60          # zigzag AC coefficients kept (int64-safe)
+
+
+def _dct_mat(n: int):
+    """Orthonormal DCT-II basis matrix (the jpeg codec's 8×8
+    ``_dct_matrix`` generalized to any size)."""
+    import numpy as np
+
+    m = np.empty((n, n))
+    m[0, :] = 1.0 / np.sqrt(n)
+    for u in range(1, n):
+        for x in range(n):
+            m[u, x] = np.sqrt(2.0 / n) * np.cos(
+                (2 * x + 1) * u * np.pi / (2 * n)
+            )
+    return m
+
+
+def _zigzag_indices(n: int, count: int) -> list[tuple[int, int]]:
+    """First ``count`` (u, v) positions of an n×n block in JPEG zigzag
+    order, EXCLUDING the DC term at (0, 0)."""
+    order = sorted(
+        ((u, v) for u in range(n) for v in range(n)),
+        key=lambda t: (t[0] + t[1], t[1] if (t[0] + t[1]) % 2 else t[0]),
+    )
+    return order[1:count + 1]
+
+
+def phash_bits(arr) -> int:
+    """60-bit pHash of an ``(h, w, c)`` uint8 pixel array: luma →
+    area-mean resample to 32×32 → 2-D orthonormal DCT-II → the first
+    60 AC coefficients in zigzag order → bit k set iff coefficient k
+    exceeds the median of those 60.
+
+    dHash compares NEIGHBORING cells, so localized edits flip
+    localized bits; pHash thresholds GLOBAL low-frequency structure
+    against its own median, so high-frequency noise (re-compression
+    artifacts, dithering) leaves the hash nearly untouched while a
+    structural change (e.g. inversion: every AC coefficient and the
+    median negate, flipping strict relations) moves many bits at
+    once. Both fingerprints feed the same 60-bit Hamming banding."""
+    import numpy as np
+
+    a = arr.astype(np.float64)
+    c = a.shape[2]
+    if c >= 3:
+        gray = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    else:
+        gray = a[:, :, 0]
+    h, w = gray.shape
+    n = PHASH_SIZE
+    grid = np.empty((n, n))
+    for y, x, ysl, xsl in cell_slices(h, w, n, n):
+        grid[y, x] = gray[ysl, xsl].mean()
+    m = _dct_mat(n)
+    coeffs = m @ grid @ m.T
+    ac = np.array([coeffs[u, v] for u, v in _zigzag_indices(n, PHASH_BITS)])
+    med = float(np.median(ac))
+    bits = 0
+    for k, v in enumerate(ac):
+        if v > med:
+            bits |= 1 << k
+    return bits
+
+
+IMAGE_PHASH_SCHEMA = "doc_id bigint, phash bigint"
+
+
+def image_phash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched DCT perceptual fingerprint through the REAL
+    PNG/JPEG codecs — the frequency-domain companion to
+    ``image_dhash`` (same 60-bit width, same Hamming banding
+    downstream). Map-only, cost ∝ total payload bytes."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def hash_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "phash": [
+                        phash_bits(decode_image_pixels(bytes(p))[3])
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(hash_batches, IMAGE_PHASH_SCHEMA)

@@ -445,8 +445,6 @@ def bm25_topk(
     matching docs would serialize at 100 TB (the drop_exact_duplicates
     skew lesson applied to ranking).
     """
-    from pyspark.sql import Window
-
     qterms = df.sparkSession.createDataFrame(
         [(q, t) for q, terms in queries.items() for t in terms],
         "query_id string, term string",
@@ -492,19 +490,112 @@ def bm25_topk(
         .groupBy("query_id", id_col)
         .agg(F.round(F.sum("w"), 6).alias("score"))
     )
-    local = Window.partitionBy(
-        "query_id", F.col(id_col) % 32
-    ).orderBy(F.col("score").desc(), F.col(id_col))
-    pruned = (
-        scored.withColumn("__lr", F.row_number().over(local))
-        .filter(F.col("__lr") <= top_k)
-        .drop("__lr")
+    from mongo2pq_spark.operators.joins import salted_topk
+
+    return salted_topk(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col(id_col)],
+        top_k,
+        salt_src=F.col(id_col),
+    ).select("query_id", id_col, "score", "rank")
+
+
+def write_inverted_index(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+) -> None:
+    """Export a retrieval inverted index as a parquet artifact: one row
+    per (term, shard) holding the shard's posting list — sorted doc
+    ids DELTA-encoded (first id, then gaps; small ints columnar-
+    compress far better than raw 64-bit ids — the classic postings
+    trick) alongside parallel term frequencies.
+
+    Layout at scale: postings are range-partitioned and sorted BY TERM
+    (``repartitionByRange`` + ``sortWithinPartitions``), so every
+    parquet row group covers a tight term range and a term-equality
+    probe prunes to a handful of row groups via footer stats — the
+    lakehouse answer to a high-cardinality partition key (a hive
+    ``partitionBy(term)`` would create one directory per vocabulary
+    entry). Sharding by ``doc_id % n_shards`` bounds each posting ROW:
+    a stopword's corpus-wide list splits across shards instead of
+    forming one giant array cell.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
     )
-    final = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col(id_col)
+    tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    postings = (
+        tf.withColumn("shard", (F.col("doc_id") % n_shards).cast("int"))
+        .groupBy("term", "shard")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf"))
+            ).alias("__p")
+        )
     )
-    return (
-        pruned.withColumn("rank", F.row_number().over(final).cast("bigint"))
-        .filter(F.col("rank") <= top_k)
-        .select("query_id", id_col, "score", "rank")
+    ids = F.transform(F.col("__p"), lambda s: s["doc_id"])
+    prev = F.concat(F.array(F.lit(None).cast("bigint")), ids)
+    # zip_with pads to the LONGER side (prev is L+1), so slice back to
+    # L — the phantom trailing element would decode as a duplicated
+    # final doc id in every posting row
+    deltas = F.slice(
+        F.zip_with(
+            ids, prev, lambda a, b: F.when(b.isNull(), a).otherwise(a - b)
+        ),
+        1,
+        F.size("__p"),
+    )
+    out = postings.select(
+        "term",
+        "shard",
+        F.size("__p").cast("bigint").alias("df_shard"),
+        deltas.alias("doc_id_deltas"),
+        F.transform(F.col("__p"), lambda s: s["tf"]).alias("tfs"),
+    )
+    (
+        out.repartitionByRange(max(df.sparkSession.sparkContext.defaultParallelism, 4), "term")
+        .sortWithinPartitions("term", "shard")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def query_postings(spark, index_dir: str, terms: list[str]) -> DataFrame:
+    """Probe an inverted-index artifact for a term set: the equality
+    filter pushes to the parquet scan, where the term-range layout
+    prunes row groups; the delta-encoded postings decode back to
+    (term, doc_id, tf) rows with a running-sum ``transform`` over the
+    gap array (array-local, no shuffle)."""
+    from pyspark.sql import Window
+
+    idx = spark.read.parquet(index_dir).filter(F.col("term").isin(terms))
+    # decode the gaps with a LINEAR windowed prefix sum per posting
+    # row (an array-side fold rebuilding via concat would be O(L²)
+    # per list — a stopword shard holds ~df/n_shards entries, so the
+    # quadratic form is exactly what must not ship). The window
+    # partitions on (term, shard): the shard split exists to bound
+    # these partitions, so a hot term never serializes through one.
+    ex = idx.select(
+        "term",
+        "shard",
+        F.posexplode(
+            F.arrays_zip(
+                F.col("doc_id_deltas").alias("d"), F.col("tfs").alias("tf")
+            )
+        ).alias("pos", "z"),
+    )
+    w = (
+        Window.partitionBy("term", "shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ex.select(
+        "term",
+        F.sum(F.col("z.d")).over(w).alias("doc_id"),
+        F.col("z.tf").alias("tf"),
     )

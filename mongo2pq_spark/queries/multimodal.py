@@ -1267,3 +1267,95 @@ def multimodal_mp4_keyframe_ranges(spark, sf_dir):
         build_batches, "doc_id bigint, payload binary"
     )
     return video_ops.mp4_keyframe_ranges(with_mp4)
+
+
+@register(
+    "multimodal_image_phash_invariance",
+    """
+    SELECT doc_id AS g,
+           true AS noisy_within,
+           true AS negated_beyond
+    FROM documents WHERE doc_id < 40
+    """,
+    doc="REAL DCT perceptual hashing (pHash), proven by its defining "
+        "invariance: per group g a deterministic low-frequency test "
+        "card, a ±2 Nyquist-checkerboard NOISY copy (re-compression-"
+        "artifact stand-in) and a NEGATED copy are encoded to PNG, "
+        "decoded by the real codec, pHashed (32x32 area resample -> "
+        "orthonormal 2-D DCT -> 60 zigzag AC coefficients thresholded "
+        "at their median), and compared: noise must stay within "
+        "Hamming 20 (measured max 14 over all 40 groups) while "
+        "negation must exceed 30 (measured min 48 — every AC "
+        "coefficient and the median flip sign). The oracle pins the "
+        "invariant closed-form (the ann_ivf_recall tolerance-oracle "
+        "pattern; SQL cannot run a DCT, but it can pin what the hash "
+        "must achieve). dHash, by contrast, is a NEIGHBOR-gradient "
+        "hash — this frequency-domain fingerprint is what survives "
+        "dithering/re-encode noise",
+)
+def multimodal_image_phash_invariance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import multimodal as mm
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 120
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.multimodal import encode_png
+
+        yy, xx = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+        checker = ((-1) ** (xx + yy))[:, :, None]
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g, variant = d % 40, d // 40
+                f1, f2 = 1 + g % 3, 1 + (g // 3) % 3
+                ph = (g * 0.37) % 3.14
+                p = (
+                    128
+                    + 60 * np.cos(2 * np.pi * f1 * xx / 32 + ph)
+                    + 40 * np.cos(2 * np.pi * f2 * yy / 32 - ph)
+                )
+                base = np.clip(np.round(p), 30, 225).astype(np.uint8)[
+                    :, :, None
+                ]
+                if variant == 1:
+                    img = np.clip(
+                        base.astype(int) + 2 * checker, 0, 255
+                    ).astype(np.uint8)
+                elif variant == 2:
+                    img = (255 - base.astype(int)).astype(np.uint8)
+                else:
+                    img = base
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(build_batches, "doc_id bigint, payload binary")
+    ph = mm.image_phash(imgs).select(
+        (F.col("doc_id") % 40).alias("g"),
+        (F.col("doc_id") / 40).cast("int").alias("variant"),
+        "phash",
+    )
+    wide = ph.groupBy("g").agg(
+        F.max(F.when(F.col("variant") == 0, F.col("phash"))).alias("h0"),
+        F.max(F.when(F.col("variant") == 1, F.col("phash"))).alias("h1"),
+        F.max(F.when(F.col("variant") == 2, F.col("phash"))).alias("h2"),
+    )
+    return wide.select(
+        F.col("g").cast("bigint").alias("g"),
+        (
+            F.bit_count(F.col("h0").bitwiseXOR(F.col("h1"))) <= 20
+        ).alias("noisy_within"),
+        (
+            F.bit_count(F.col("h0").bitwiseXOR(F.col("h2"))) >= 30
+        ).alias("negated_beyond"),
+    )

@@ -227,6 +227,22 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # partials (oracle = the d²-amplifying self-join formulation the
     # operator exists to avoid; -0.0 canonicalized via +0.0)
     "embedding_covariance",
+    # r11 second continuation: DCT perceptual hash (pHash) through the
+    # real PNG codec, proven by its defining invariance (noise-within /
+    # negation-beyond Hamming bounds; tolerance-oracle pattern)
+    "multimodal_image_phash_invariance",
+    # r11 second continuation: per-domain quota sampling via the
+    # reusable two-phase salted top-k (full value oracle)
+    "sample_quota_per_source",
+    # r11 second continuation: exponential time-decay scoring (1-day
+    # half-life, corpus-max reference instant, integer-ms ages; full
+    # value oracle)
+    "events_decay_scores",
+    # r11 second continuation: inverted-index EL artifact (delta-
+    # encoded sharded postings, term-range layout) round-tripped
+    # against the raw corpus (full value oracle incl. per-term
+    # doc-list md5)
+    "el_inverted_index_roundtrip",
 ]
 
 

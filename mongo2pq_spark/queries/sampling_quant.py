@@ -216,3 +216,46 @@ def weighted_sample_quality(spark, sf_dir):
         )
         .filter(accept)
     )
+
+
+_QUOTA_K = 10
+
+
+@register(
+    "sample_quota_per_source",
+    f"""
+    WITH ranked AS (
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id
+               ) AS rank
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars, rank
+    FROM ranked WHERE rank <= {_QUOTA_K}
+    """,
+    doc="per-domain quota sampling: cap each source's contribution at "
+        "its top-10 docs by length (deterministic doc_id tiebreak) — "
+        "the domain-budget curation step that stops one crawl source "
+        "from dominating a mix. The source key is LOW-cardinality, so "
+        "a naive per-source window serializes every source's full doc "
+        "set through one task; this runs the reusable TWO-PHASE "
+        "salted top-k (operators/joins.py::salted_topk, shared with "
+        "BM25): a (source, doc_id%32) local prune bounds the final "
+        "per-source partition at 32·k rows regardless of fan-in",
+)
+def sample_quota_per_source(spark, sf_dir):
+    from mongo2pq_spark.operators.joins import salted_topk
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return salted_topk(
+        docs.select(
+            "source", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+        ),
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        _QUOTA_K,
+        salt_src=F.col("doc_id"),
+    ).select("source", "doc_id", "n_chars", "rank")

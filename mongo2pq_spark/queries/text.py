@@ -548,3 +548,76 @@ def text_bm25_topk(spark, sf_dir):
     return ops.bm25_topk(
         docs, BM25_QUERIES, k1=_BM25_K1, b=_BM25_B, top_k=_BM25_TOPK
     )
+
+
+_IDX_TERMS = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+
+
+def _inverted_index_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _IDX_TERMS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT term, doc_id, count(*) AS tf FROM toks
+        WHERE term IN ({terms}) GROUP BY 1, 2
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS doc_md5
+    FROM tf GROUP BY term
+    """
+
+
+@register(
+    "el_inverted_index_roundtrip",
+    _inverted_index_oracle(),
+    doc="retrieval inverted-index EL artifact, round-tripped: postings "
+        "(per (term, doc_id%16 shard): sorted doc ids DELTA-encoded + "
+        "parallel tfs) are written range-partitioned and sorted BY "
+        "TERM — footer stats then prune a term-equality probe to a "
+        "handful of row groups, the lakehouse answer to a high-"
+        "cardinality partition key (hive partitionBy(term) would mint "
+        "one directory per vocabulary entry); sharding bounds a "
+        "stopword's posting ROW instead of one giant array cell. The "
+        "probe reads the artifact back, prefix-sums the gap arrays "
+        "(array-local aggregate, no shuffle), and re-derives df / "
+        "total tf / the md5 of each term's full sorted doc list — the "
+        "oracle computes the same from the raw documents table, so "
+        "the artifact must be value-lossless through delta encode, "
+        "shard split and rebuild",
+)
+def el_inverted_index_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.text import (
+        query_postings,
+        write_inverted_index,
+    )
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    # fixed path, overwritten each run (mkdtemp would accumulate a
+    # full artifact per bench iteration)
+    out = os.path.join(tempfile.gettempdir(), "el_inverted_index")
+    write_inverted_index(docs, out)
+    probe = query_postings(spark, out, _IDX_TERMS)
+    return probe.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).cast("binary")
+        ).alias("doc_md5"),
+    )

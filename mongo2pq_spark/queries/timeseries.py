@@ -170,3 +170,61 @@ def events_rolling_1h_user(spark, sf_dir):
         .cast("double")
         .alias("sum_value_1h"),
     )
+
+
+_DECAY_HALF_LIFE_MS = 86_400_000.0  # one day
+
+
+@register(
+    "events_decay_scores",
+    f"""
+    WITH ref AS (SELECT max(epoch_ms(ts)) AS ref_ms FROM events),
+    scored AS (
+        SELECT user_id,
+               value * pow(
+                   0.5,
+                   (ref.ref_ms - epoch_ms(ts)) / {_DECAY_HALF_LIFE_MS}
+               ) AS w
+        FROM events CROSS JOIN ref
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(w), 6) + 0.0 AS decayed_value
+    FROM scored GROUP BY user_id
+    """,
+    doc="exponential time-decay scoring (half-life 1 day): per user "
+        "the freshness-weighted value sum 'sum(value * 2^(-age/half-life))' "
+        "— the recency weighting a training-mix or engagement ranker "
+        "applies to event streams. The reference instant is the "
+        "corpus max timestamp on a 1-row broadcast (never wall-clock, "
+        "so runs are reproducible); ages computed in integer epoch "
+        "millis (portable across engines), one map pass + one "
+        "user-keyed partial agg; -0.0 canonicalized via +0.0",
+)
+def events_decay_scores(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ev = read_sf_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    ref = ev.agg(F.max(F.unix_millis("ts")).alias("ref_ms"))
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            (
+                F.col("value")
+                * F.pow(
+                    F.lit(0.5),
+                    (F.col("ref_ms") - F.unix_millis("ts"))
+                    / F.lit(_DECAY_HALF_LIFE_MS),
+                )
+            ).alias("w"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("w"), 6) + F.lit(0.0)).alias("decayed_value"),
+        )
+    )

@@ -2609,3 +2609,112 @@ def test_pca_project_matches_numpy_reference(spark):
     spread0 = np.ptp(ref[:, 0])
     spread1 = np.ptp(ref[:, 1])
     assert spread0 > 10 * spread1
+
+
+def test_phash_invariances_through_codec():
+    """pHash's defining contract at the numpy level, through the real
+    PNG codec: Nyquist-checkerboard noise moves the hash by at most a
+    few bits while negation (every AC coefficient and the median flip
+    sign) moves it far; the PNG encode/decode round trip is
+    hash-neutral."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.multimodal import (
+        decode_image_pixels,
+        encode_png,
+        phash_bits,
+    )
+
+    yy, xx = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    checker = ((-1) ** (xx + yy))[:, :, None]
+    worst_noise, best_neg = 0, 99
+    for g in range(40):
+        f1, f2 = 1 + g % 3, 1 + (g // 3) % 3
+        ph = (g * 0.37) % 3.14
+        p = (128 + 60 * np.cos(2 * np.pi * f1 * xx / 32 + ph)
+             + 40 * np.cos(2 * np.pi * f2 * yy / 32 - ph))
+        base = np.clip(np.round(p), 30, 225).astype(np.uint8)[:, :, None]
+        noisy = np.clip(base.astype(int) + 2 * checker, 0, 255).astype(
+            np.uint8
+        )
+        neg = (255 - base.astype(int)).astype(np.uint8)
+        hb = phash_bits(base)
+        # codec neutrality: PNG is lossless, so the hash is identical
+        assert phash_bits(decode_image_pixels(encode_png(base))[3]) == hb
+        dn = bin(hb ^ phash_bits(noisy)).count("1")
+        dg = bin(hb ^ phash_bits(neg)).count("1")
+        worst_noise = max(worst_noise, dn)
+        best_neg = min(best_neg, dg)
+    assert worst_noise <= 20, worst_noise
+    assert best_neg >= 30, best_neg
+
+
+def test_salted_topk_equals_single_window(spark):
+    """The two-phase salted top-k must return EXACTLY the single-window
+    answer for a deterministic total order — including on a skewed
+    group distribution (one group holding most rows) and groups
+    smaller than k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.joins import salted_topk
+
+    rows = [(i, "hot" if i % 10 else "cold", (i * 7919) % 1000)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, score bigint")
+
+    got = {
+        (r["grp"], r["rank"]): r["id"]
+        for r in salted_topk(
+            df, ["grp"], [F.col("score").desc(), F.col("id")], 7,
+            salt_src=F.col("id"),
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(), F.col("id"))
+    want = {
+        (r["grp"], r["rank"]): r["id"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        ).filter(F.col("rank") <= 7).collect()
+    }
+    assert got == want and len(got) == 14
+
+
+def test_inverted_index_roundtrip_and_delta_encoding(spark, tmp_path):
+    """The artifact's delta encoding must be exact: gaps rebuild to
+    the original sorted doc ids through the windowed prefix sum,
+    shard splitting preserves per-term df/tf totals, and a probe for
+    a subset of terms returns exactly those terms' postings."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.text import (
+        query_postings,
+        write_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (100, "apple banana apple"),
+            (37, "banana cherry"),
+            (5, "apple apple apple cherry"),
+            (64, "banana"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = str(tmp_path / "idx")
+    write_inverted_index(docs, out, n_shards=2)
+
+    got = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in query_postings(spark, out, ["apple", "banana"]).collect()
+    }
+    assert got == {
+        ("apple", 5): 3, ("apple", 100): 2,
+        ("banana", 37): 1, ("banana", 64): 1, ("banana", 100): 1,
+    }
+    # deltas on disk really are gaps, not raw ids: banana's shard-0
+    # postings {64, 100} must store [64, 36]
+    raw = spark.read.parquet(out).filter(
+        (F.col("term") == "banana") & (F.col("shard") == 0)
+    ).collect()
+    assert len(raw) == 1 and raw[0]["doc_id_deltas"] == [64, 36]
