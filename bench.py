@@ -92,6 +92,10 @@ HEADLINE = [
     "dedup_cdc_chunks",
     "graph_pagerank_interactions",
     "embedding_covariance",
+    # registered after this round's two bench sessions ran; first
+    # timings land with the r12 sessions (same as every post-bench
+    # registration in earlier rounds)
+    "el_inverted_index_roundtrip",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite
