@@ -507,6 +507,7 @@ def write_inverted_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_shards: int = 16,
+    batch_token: str = "b0",
 ) -> None:
     """Export a retrieval inverted index as a parquet artifact: one row
     per (term, shard) holding the shard's posting list — sorted doc
@@ -523,6 +524,15 @@ def write_inverted_index(
     entry). Sharding by ``doc_id % n_shards`` bounds each posting ROW:
     a stopword's corpus-wide list splits across shards instead of
     forming one giant array cell.
+
+    Incremental maintenance: each call writes ONE
+    ``batch=<batch_token>`` partition under ``out_dir`` — indexing a
+    daily increment costs O(increment) and never re-reads earlier
+    batches (the near-dedup stores' economics applied to retrieval);
+    a rerun with the same token overwrites its own partition, so
+    retries are idempotent. ``query_postings`` probes across all
+    batches; ``consolidate_inverted_index`` folds them back into one
+    via the audited crash-safe swap.
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -557,11 +567,13 @@ def write_inverted_index(
         deltas.alias("doc_id_deltas"),
         F.transform(F.col("__p"), lambda s: s["tf"]).alias("tfs"),
     )
+    import os
+
     (
         out.repartitionByRange(max(df.sparkSession.sparkContext.defaultParallelism, 4), "term")
         .sortWithinPartitions("term", "shard")
         .write.mode("overwrite")
-        .parquet(out_dir)
+        .parquet(os.path.join(out_dir, f"batch={batch_token}"))
     )
 
 
@@ -569,8 +581,9 @@ def query_postings(spark, index_dir: str, terms: list[str]) -> DataFrame:
     """Probe an inverted-index artifact for a term set: the equality
     filter pushes to the parquet scan, where the term-range layout
     prunes row groups; the delta-encoded postings decode back to
-    (term, doc_id, tf) rows with a running-sum ``transform`` over the
-    gap array (array-local, no shuffle)."""
+    (term, doc_id, tf) rows. The probe spans every ``batch=`` partition
+    (corpus + increments); the increment contract is that batches hold
+    DISJOINT doc sets, so the union IS the merged index."""
     from pyspark.sql import Window
 
     idx = spark.read.parquet(index_dir).filter(F.col("term").isin(terms))
@@ -583,14 +596,17 @@ def query_postings(spark, index_dir: str, terms: list[str]) -> DataFrame:
     ex = idx.select(
         "term",
         "shard",
+        F.col("batch"),
         F.posexplode(
             F.arrays_zip(
                 F.col("doc_id_deltas").alias("d"), F.col("tfs").alias("tf")
             )
         ).alias("pos", "z"),
     )
+    # one posting ROW is one (batch, term, shard) gap run — the prefix
+    # sum must not leak across batches
     w = (
-        Window.partitionBy("term", "shard")
+        Window.partitionBy("batch", "term", "shard")
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -599,3 +615,80 @@ def query_postings(spark, index_dir: str, terms: list[str]) -> DataFrame:
         F.sum(F.col("z.d")).over(w).alias("doc_id"),
         F.col("z.tf").alias("tf"),
     )
+
+
+def consolidate_inverted_index(spark, index_dir: str) -> None:
+    """Fold every ``batch=`` partition of an inverted-index artifact
+    into a single ``batch=c0`` — bounding a year of daily increments
+    back to one posting row per (term, shard), with probe answers
+    unchanged (batches hold disjoint doc sets, so consolidation is a
+    pure regroup: decode every batch's gap runs, re-sort the union per
+    (term, shard), re-encode). The swap rides the audited crash-safe
+    ``replace_dir`` protocol shared with the near-dedup stores — at
+    every crash point the store reads as either the complete old or
+    the complete new layout."""
+    import os
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    from mongo2pq_spark.plans.bandstore_core import (
+        recover_replace,
+        replace_dir,
+    )
+
+    root = Path(index_dir)
+    recover_replace(root)
+    idx = spark.read.parquet(str(root))
+    ex = idx.select(
+        "term",
+        "shard",
+        F.col("batch"),
+        F.posexplode(
+            F.arrays_zip(
+                F.col("doc_id_deltas").alias("d"), F.col("tfs").alias("tf")
+            )
+        ).alias("pos", "z"),
+    )
+    w = (
+        Window.partitionBy("batch", "term", "shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    decoded = ex.select(
+        "term",
+        "shard",
+        F.sum(F.col("z.d")).over(w).alias("doc_id"),
+        F.col("z.tf").alias("tf"),
+    )
+    postings = decoded.groupBy("term", "shard").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("__p")
+    )
+    ids = F.transform(F.col("__p"), lambda s: s["doc_id"])
+    prev = F.concat(F.array(F.lit(None).cast("bigint")), ids)
+    deltas = F.slice(
+        F.zip_with(
+            ids, prev, lambda a, b: F.when(b.isNull(), a).otherwise(a - b)
+        ),
+        1,
+        F.size("__p"),
+    )
+    out = postings.select(
+        "term",
+        "shard",
+        F.size("__p").cast("bigint").alias("df_shard"),
+        deltas.alias("doc_id_deltas"),
+        F.transform(F.col("__p"), lambda s: s["tf"]).alias("tfs"),
+    )
+
+    def writer(build_path: str) -> None:
+        (
+            out.repartitionByRange(
+                max(spark.sparkContext.defaultParallelism, 4), "term"
+            )
+            .sortWithinPartitions("term", "shard")
+            .write.mode("overwrite")
+            .parquet(os.path.join(build_path, "batch=c0"))
+        )
+
+    replace_dir(root, writer)

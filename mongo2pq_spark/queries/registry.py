@@ -243,6 +243,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # against the raw corpus (full value oracle incl. per-term
     # doc-list md5)
     "el_inverted_index_roundtrip",
+    # r11 second continuation: incremental index maintenance —
+    # corpus + increment batches probe as one index, O(increment)
+    # writes, crash-safe consolidation (full value oracle)
+    "el_inverted_index_incremental",
 ]
 
 

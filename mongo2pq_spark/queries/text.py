@@ -621,3 +621,80 @@ def el_inverted_index_roundtrip(spark, sf_dir):
             ).cast("binary")
         ).alias("doc_md5"),
     )
+
+
+def _inverted_incremental_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _IDX_TERMS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS term
+        FROM documents WHERE doc_id < 600
+    ),
+    tf AS (
+        SELECT term, doc_id, count(*) AS tf FROM toks
+        WHERE term IN ({terms}) GROUP BY 1, 2
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS doc_md5
+    FROM tf GROUP BY term
+    """
+
+
+@register(
+    "el_inverted_index_incremental",
+    _inverted_incremental_oracle(),
+    doc="incremental inverted-index maintenance: the corpus batch "
+        "(doc_id<400) is indexed once, then a new-doc increment "
+        "(400<=doc_id<600) is indexed WITHOUT re-reading the corpus — "
+        "each write is one batch= partition, O(increment) like every "
+        "store in the engine — and the probe spans both batches. The "
+        "oracle computes the merged answer (df / total tf / sorted "
+        "doc-list md5 per term) directly from the raw documents, so "
+        "the batched artifact must equal a from-scratch index; "
+        "consolidation back to one batch rides the audited crash-safe "
+        "swap (equivalence + idempotent-rerun pinned in unit tests)",
+)
+def el_inverted_index_incremental(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.text import (
+        query_postings,
+        write_inverted_index,
+    )
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.gettempdir(), "el_inverted_index_inc")
+    # the query must be a pure function of the tables: rebuild the
+    # two-batch store from scratch each run (stale batches from an
+    # earlier run would leak extra docs into the probe)
+    shutil.rmtree(out, ignore_errors=True)
+    write_inverted_index(
+        docs.filter(F.col("doc_id") < 400), out, batch_token="corpus"
+    )
+    write_inverted_index(
+        docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 600)),
+        out,
+        batch_token="inc1",
+    )
+    probe = query_postings(spark, out, _IDX_TERMS)
+    return probe.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).cast("binary")
+        ).alias("doc_md5"),
+    )

@@ -2718,3 +2718,57 @@ def test_inverted_index_roundtrip_and_delta_encoding(spark, tmp_path):
         (F.col("term") == "banana") & (F.col("shard") == 0)
     ).collect()
     assert len(raw) == 1 and raw[0]["doc_id_deltas"] == [64, 36]
+
+
+def test_inverted_index_incremental_and_consolidation(spark, tmp_path):
+    """Batched index maintenance: corpus + increment batches probe
+    identically to a from-scratch index over the union; consolidation
+    to batch=c0 changes no probe answer and leaves exactly one batch;
+    re-running an increment with the same token is idempotent."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.text import (
+        consolidate_inverted_index,
+        query_postings,
+        write_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{(i * 3) % 5} common") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    terms = ["common", "w0", "w3"]
+
+    def probe(d):
+        return sorted(
+            (r["term"], r["doc_id"], r["tf"])
+            for r in query_postings(spark, str(d), terms).collect()
+        )
+
+    full = tmp_path / "full"
+    write_inverted_index(docs, str(full))
+
+    inc = tmp_path / "inc"
+    write_inverted_index(
+        docs.filter(F.col("doc_id") < 25), str(inc), batch_token="corpus"
+    )
+    write_inverted_index(
+        docs.filter(F.col("doc_id") >= 25), str(inc), batch_token="i1"
+    )
+    assert probe(inc) == probe(full)
+
+    # rerun idempotency: same token overwrites its own partition
+    write_inverted_index(
+        docs.filter(F.col("doc_id") >= 25), str(inc), batch_token="i1"
+    )
+    assert probe(inc) == probe(full)
+
+    before = probe(inc)
+    consolidate_inverted_index(spark, str(inc))
+    assert probe(inc) == before
+    batches = sorted(
+        p.name for p in Path(inc).glob("batch=*") if p.is_dir()
+    )
+    assert batches == ["batch=c0"]
