@@ -34,6 +34,11 @@ def pagerank(
     dangling-mass correction is needed and the rank total is conserved
     exactly (asserting that is the test's invariant).
 
+    SIMPLE-graph semantics: the edge list is deduplicated first, so
+    parallel edges (one row per interaction event) do NOT weight
+    out-degree or contributions — pre-aggregate to weighted edges and
+    use a weighted variant if repetition should count.
+
     Shape at scale: the edge list and out-degree table are computed
     once and cached; each iteration is ONE shuffle — join ranks to
     edges on ``src`` then aggregate contributions by ``dst``. Hub

@@ -646,8 +646,14 @@ PHASH_BITS = 60          # zigzag AC coefficients kept (int64-safe)
 
 def _dct_mat(n: int):
     """Orthonormal DCT-II basis matrix (the jpeg codec's 8×8
-    ``_dct_matrix`` generalized to any size)."""
+    ``_dct_matrix`` generalized to any size). Memoized: phash_bits
+    runs once per IMAGE inside mapInPandas — rebuilding a constant
+    1024-entry basis per row would be pure per-row recomputation."""
     import numpy as np
+
+    cached = _DCT_CACHE.get(n)
+    if cached is not None:
+        return cached
 
     m = np.empty((n, n))
     m[0, :] = 1.0 / np.sqrt(n)
@@ -656,17 +662,26 @@ def _dct_mat(n: int):
             m[u, x] = np.sqrt(2.0 / n) * np.cos(
                 (2 * x + 1) * u * np.pi / (2 * n)
             )
+    _DCT_CACHE[n] = m
     return m
+
+
+_DCT_CACHE: dict = {}
+_ZIGZAG_CACHE: dict = {}
 
 
 def _zigzag_indices(n: int, count: int) -> list[tuple[int, int]]:
     """First ``count`` (u, v) positions of an n×n block in JPEG zigzag
-    order, EXCLUDING the DC term at (0, 0)."""
-    order = sorted(
-        ((u, v) for u in range(n) for v in range(n)),
-        key=lambda t: (t[0] + t[1], t[1] if (t[0] + t[1]) % 2 else t[0]),
-    )
-    return order[1:count + 1]
+    order, EXCLUDING the DC term at (0, 0). Memoized like _dct_mat."""
+    key = (n, count)
+    cached = _ZIGZAG_CACHE.get(key)
+    if cached is None:
+        order = sorted(
+            ((u, v) for u in range(n) for v in range(n)),
+            key=lambda t: (t[0] + t[1], t[1] if (t[0] + t[1]) % 2 else t[0]),
+        )
+        cached = _ZIGZAG_CACHE[key] = order[1:count + 1]
+    return cached
 
 
 def phash_bits(arr) -> int:

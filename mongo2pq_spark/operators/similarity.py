@@ -882,26 +882,12 @@ def embedding_incremental_near_dups(
     )
 
 
-def embedding_covariance(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Population covariance matrix of an embedding column as
-    (dim_i, dim_j, cov) rows for the upper triangle (i ≤ j) — the
-    cross-dimension statistic ``embedding_dim_stats`` (per-dim
-    mean/std) cannot see: correlated/collapsed dimensions, the input
-    to whitening and PCA.
-
-    Shape at 100 TB: the classic MAP-SIDE GRAM pattern — each Arrow
-    batch reduces to one d×d partial (Σxxᵀ, Σx, n) on the executor,
-    so the shuffle carries O(batches · d²) tiny rows, never the
-    vectors; a per-pair self-join formulation would amplify the
-    corpus d²-fold through a shuffle instead. Final assembly is one
-    partial-agg groupBy plus two bounded broadcast joins (d-row means,
-    1-row count). Output is d(d+1)/2 rows — bounded by the embedding
-    width, independent of corpus size.
-    """
+def _gram_sums(df: DataFrame, vec_col: str) -> DataFrame:
+    """Map-side Gram partials reduced to one bounded sums table:
+    rows (i, j≥0, Σx_i·x_j) for the upper triangle, (i, -1, Σx_i)
+    linear sums, and (-1, -1, n). ONE corpus pass feeds covariance
+    AND the per-dimension means PCA needs — callers must not rescan
+    the vectors for statistics this table already carries."""
     from mongo2pq_spark.deploy import ensure_shipped
 
     ensure_shipped(df.sparkSession)
@@ -931,8 +917,32 @@ def embedding_covariance(
     partials = df.select(vec_col).mapInPandas(
         gram_partials, "i int, j int, s double"
     )
-    sums = partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
-    sums = cache_stream(sums)
+    return cache_stream(
+        partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Population covariance matrix of an embedding column as
+    (dim_i, dim_j, cov) rows for the upper triangle (i ≤ j) — the
+    cross-dimension statistic ``embedding_dim_stats`` (per-dim
+    mean/std) cannot see: correlated/collapsed dimensions, the input
+    to whitening and PCA.
+
+    Shape at 100 TB: the classic MAP-SIDE GRAM pattern — each Arrow
+    batch reduces to one d×d partial (Σxxᵀ, Σx, n) on the executor,
+    so the shuffle carries O(batches · d²) tiny rows, never the
+    vectors; a per-pair self-join formulation would amplify the
+    corpus d²-fold through a shuffle instead. Final assembly is one
+    partial-agg groupBy plus two bounded broadcast joins (d-row means,
+    1-row count). Output is d(d+1)/2 rows — bounded by the embedding
+    width, independent of corpus size.
+    """
+    sums = _gram_sums(df, vec_col)
     n_tbl = (
         sums.filter((F.col("i") == -1) & (F.col("j") == -1))
         .select(F.col("s").alias("n"))
@@ -979,10 +989,11 @@ def pca_project(
     clustering passes cheaper at equal recall (SemDeDup-style
     pipelines run on reduced vectors).
 
-    The covariance matrix is BOUNDED (d×d, independent of corpus
+    The Gram-sums table is BOUNDED (O(d²) rows, independent of corpus
     size), so its collect here is a documented bounded driver
-    materialization — same class as the 3-row drift validation; the
-    eigendecomposition is driver-side numpy on that d×d matrix, and
+    materialization — same class as the 3-row drift validation; ONE
+    corpus pass yields covariance and means together, the
+    eigendecomposition is driver-side numpy on the d×d matrix, and
     the PROJECTION is JVM-side column arithmetic: per component an
     ``aggregate(zip_with(x − μ, w, ·*·), +)`` fold over literal
     component arrays — no Python in the per-row path, no shuffle.
@@ -991,21 +1002,25 @@ def pca_project(
     """
     import numpy as np
 
-    cov_rows = embedding_covariance(df, vec_col, id_col).collect()
-    d = max(r["dim_j"] for r in cov_rows) + 1
+    # ONE corpus pass: the Gram sums table carries Σxxᵀ, Σx and n, so
+    # covariance AND means both come from this bounded (O(d²)-row)
+    # collect — re-scanning the vectors for means would double the
+    # scan the map-side-Gram shape exists to avoid
+    sums = {
+        (r["i"], r["j"]): r["s"]
+        for r in _gram_sums(df, vec_col).collect()
+    }
+    n = sums[(-1, -1)]
+    d = max(j for _, j in sums) + 1
+    mu = np.array([sums[(i, -1)] / n for i in range(d)])
     C = np.zeros((d, d))
-    for r in cov_rows:
-        C[r["dim_i"], r["dim_j"]] = r["cov"]
-        C[r["dim_j"], r["dim_i"]] = r["cov"]
-    mean_rows = (
-        df.select(F.posexplode(vec_col).alias("dim", "x"))
-        .groupBy("dim")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
-        .collect()
-    )
-    mu = np.zeros(d)
-    for r in mean_rows:
-        mu[r["dim"]] = r["m"]
+    for i in range(d):
+        for j in range(i, d):
+            # same rounding as embedding_covariance's published rows,
+            # so the numpy-mirror test pins one definition
+            C[i, j] = C[j, i] = round(
+                sums[(i, j)] / n - mu[i] * mu[j], 6
+            )
     vals, vecs = np.linalg.eigh(C)
     order = np.argsort(vals)[::-1][:k]
     comps = vecs[:, order].T  # k × d

@@ -534,19 +534,42 @@ def write_inverted_index(
     batches; ``consolidate_inverted_index`` folds them back into one
     via the audited crash-safe swap.
     """
+    import os
+    from pathlib import Path
+
+    from mongo2pq_spark.plans.bandstore_core import recover_replace
+
+    # roll forward/back any interrupted consolidation BEFORE touching
+    # the root: Spark would happily create a missing out_dir and write
+    # just this batch into it, after which recovery would discard the
+    # stranded complete store as stale (the other stores' rule)
+    recover_replace(Path(out_dir))
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
     tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
-    postings = (
+    out = _encode_postings(tf, n_shards)
+    (
+        out.repartitionByRange(max(df.sparkSession.sparkContext.defaultParallelism, 4), "term")
+        .sortWithinPartitions("term", "shard")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, f"batch={batch_token}"))
+    )
+
+
+def _encode_postings(tf: DataFrame, n_shards: int | None = None) -> DataFrame:
+    """(term, doc_id, tf) rows → encoded posting rows (term, shard,
+    df_shard, doc_id_deltas, tfs). The single definition of the gap
+    encoding — write and consolidate must never diverge. With
+    ``n_shards`` None the input already carries a ``shard`` column."""
+    sharded = (
         tf.withColumn("shard", (F.col("doc_id") % n_shards).cast("int"))
-        .groupBy("term", "shard")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "tf"))
-            ).alias("__p")
-        )
+        if n_shards is not None
+        else tf
+    )
+    postings = sharded.groupBy("term", "shard").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("__p")
     )
     ids = F.transform(F.col("__p"), lambda s: s["doc_id"])
     prev = F.concat(F.array(F.lit(None).cast("bigint")), ids)
@@ -560,39 +583,26 @@ def write_inverted_index(
         1,
         F.size("__p"),
     )
-    out = postings.select(
+    return postings.select(
         "term",
         "shard",
         F.size("__p").cast("bigint").alias("df_shard"),
         deltas.alias("doc_id_deltas"),
         F.transform(F.col("__p"), lambda s: s["tf"]).alias("tfs"),
     )
-    import os
-
-    (
-        out.repartitionByRange(max(df.sparkSession.sparkContext.defaultParallelism, 4), "term")
-        .sortWithinPartitions("term", "shard")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, f"batch={batch_token}"))
-    )
 
 
-def query_postings(spark, index_dir: str, terms: list[str]) -> DataFrame:
-    """Probe an inverted-index artifact for a term set: the equality
-    filter pushes to the parquet scan, where the term-range layout
-    prunes row groups; the delta-encoded postings decode back to
-    (term, doc_id, tf) rows. The probe spans every ``batch=`` partition
-    (corpus + increments); the increment contract is that batches hold
-    DISJOINT doc sets, so the union IS the merged index."""
+def _decode_postings(idx: DataFrame, keep_shard: bool = False) -> DataFrame:
+    """Encoded posting rows → (term[, shard], doc_id, tf). The single
+    definition of the gap decode: a LINEAR windowed prefix sum per
+    (batch, term, shard) run — an array-side fold rebuilding via
+    concat would be O(L²) per list, and a stopword shard holds
+    ~df/n_shards entries. The window partitions on (batch, term,
+    shard): the shard split exists to bound these partitions, so a
+    hot term never serializes through one task, and the prefix sum
+    never leaks across batches."""
     from pyspark.sql import Window
 
-    idx = spark.read.parquet(index_dir).filter(F.col("term").isin(terms))
-    # decode the gaps with a LINEAR windowed prefix sum per posting
-    # row (an array-side fold rebuilding via concat would be O(L²)
-    # per list — a stopword shard holds ~df/n_shards entries, so the
-    # quadratic form is exactly what must not ship). The window
-    # partitions on (term, shard): the shard split exists to bound
-    # these partitions, so a hot term never serializes through one.
     ex = idx.select(
         "term",
         "shard",
@@ -603,18 +613,36 @@ def query_postings(spark, index_dir: str, terms: list[str]) -> DataFrame:
             )
         ).alias("pos", "z"),
     )
-    # one posting ROW is one (batch, term, shard) gap run — the prefix
-    # sum must not leak across batches
     w = (
         Window.partitionBy("batch", "term", "shard")
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    cols = ["term"] + (["shard"] if keep_shard else [])
     return ex.select(
-        "term",
+        *cols,
         F.sum(F.col("z.d")).over(w).alias("doc_id"),
         F.col("z.tf").alias("tf"),
     )
+
+
+def query_postings(spark, index_dir: str, terms: list[str]) -> DataFrame:
+    """Probe an inverted-index artifact for a term set: the equality
+    filter pushes to the parquet scan, where the term-range layout
+    prunes row groups; the delta-encoded postings decode back to
+    (term, doc_id, tf) rows. The probe spans every ``batch=`` partition
+    (corpus + increments); the increment contract is that batches hold
+    DISJOINT doc sets, so the union IS the merged index."""
+    from pathlib import Path
+
+    from mongo2pq_spark.plans.bandstore_core import recover_replace
+
+    # a probe must never read a half-swapped store: roll any
+    # interrupted consolidation forward/back first (the other stores'
+    # open-time rule)
+    recover_replace(Path(index_dir))
+    idx = spark.read.parquet(index_dir).filter(F.col("term").isin(terms))
+    return _decode_postings(idx)
 
 
 def consolidate_inverted_index(spark, index_dir: str) -> None:
@@ -630,8 +658,6 @@ def consolidate_inverted_index(spark, index_dir: str) -> None:
     import os
     from pathlib import Path
 
-    from pyspark.sql import Window
-
     from mongo2pq_spark.plans.bandstore_core import (
         recover_replace,
         replace_dir,
@@ -640,46 +666,7 @@ def consolidate_inverted_index(spark, index_dir: str) -> None:
     root = Path(index_dir)
     recover_replace(root)
     idx = spark.read.parquet(str(root))
-    ex = idx.select(
-        "term",
-        "shard",
-        F.col("batch"),
-        F.posexplode(
-            F.arrays_zip(
-                F.col("doc_id_deltas").alias("d"), F.col("tfs").alias("tf")
-            )
-        ).alias("pos", "z"),
-    )
-    w = (
-        Window.partitionBy("batch", "term", "shard")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    decoded = ex.select(
-        "term",
-        "shard",
-        F.sum(F.col("z.d")).over(w).alias("doc_id"),
-        F.col("z.tf").alias("tf"),
-    )
-    postings = decoded.groupBy("term", "shard").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("__p")
-    )
-    ids = F.transform(F.col("__p"), lambda s: s["doc_id"])
-    prev = F.concat(F.array(F.lit(None).cast("bigint")), ids)
-    deltas = F.slice(
-        F.zip_with(
-            ids, prev, lambda a, b: F.when(b.isNull(), a).otherwise(a - b)
-        ),
-        1,
-        F.size("__p"),
-    )
-    out = postings.select(
-        "term",
-        "shard",
-        F.size("__p").cast("bigint").alias("df_shard"),
-        deltas.alias("doc_id_deltas"),
-        F.transform(F.col("__p"), lambda s: s["tf"]).alias("tfs"),
-    )
+    out = _encode_postings(_decode_postings(idx, keep_shard=True))
 
     def writer(build_path: str) -> None:
         (

@@ -220,6 +220,20 @@ def _walk_boxes(data: bytes, pos: int, end: int):
         pos += size
 
 
+#: minimum payload bytes of each sample-table box BEFORE its variable
+#: table: version/flags + entry count (stsz adds the fixed-size field).
+#: Boxes not listed are skipped, whatever their size — an empty `free`
+#: in stbl is valid padding, not corruption.
+_STBL_HEADER_BYTES = {
+    b"stts": 8,
+    b"stsz": 12,
+    b"stss": 8,
+    b"stsc": 8,
+    b"stco": 8,
+    b"co64": 8,
+}
+
+
 def parse_mp4_metadata(payload: bytes) -> dict:
     """Parse an ISO-BMFF payload's metadata: ``{brand, timescale,
     duration_ms, n_tracks, n_video_tracks, n_audio_tracks,
@@ -396,7 +410,13 @@ def parse_mp4_sample_stats(payload: bytes) -> dict:
             n_samples = total_bytes = duration_units = None
             n_keyframes = None
             for stype, sstart, send in _walk_boxes(payload, *stbl_span):
-                if send - sstart < 8:
+                # bound the fixed HEADER reads by the box itself, and
+                # only for the table boxes parsed here — a benign
+                # short box (an empty `free`) must pass through, and a
+                # truncated table header must never read the next
+                # box's bytes as its fields
+                need = _STBL_HEADER_BYTES.get(stype)
+                if need is not None and send - sstart < need:
                     raise ValueError(f"{stype!r} box too short")
                 if stype == b"stts":
                     (n_entries,) = struct.unpack(
@@ -548,7 +568,10 @@ def parse_mp4_sample_ranges(payload: bytes) -> list[dict]:
         chunk_offsets: list[int] | None = None
         syncs: set[int] | None = None
         for stype, sstart, send in _walk_boxes(payload, *stbl_span):
-            if send - sstart < 8:
+            # same per-type header bounding as parse_mp4_sample_stats:
+            # short UNKNOWN boxes pass, short TABLE boxes fail loud
+            need = _STBL_HEADER_BYTES.get(stype)
+            if need is not None and send - sstart < need:
                 raise ValueError(f"{stype!r} box too short")
             if stype == b"stsz":
                 fixed, count = struct.unpack(

@@ -553,6 +553,27 @@ def text_bm25_topk(spark, sf_dir):
 _IDX_TERMS = sorted({t for ts in BM25_QUERIES.values() for t in ts})
 
 
+def _postings_summary(probe):
+    """Per-term df / total tf / md5 of the full sorted doc list — the
+    one definition both el_inverted_index queries aggregate their
+    probes through (and both oracles mirror)."""
+    from pyspark.sql import functions as F
+
+    return probe.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).cast("binary")
+        ).alias("doc_md5"),
+    )
+
+
 def _inverted_index_oracle() -> str:
     terms = ", ".join(f"'{t}'" for t in _IDX_TERMS)
     return f"""
@@ -608,19 +629,7 @@ def el_inverted_index_roundtrip(spark, sf_dir):
     out = os.path.join(tempfile.gettempdir(), "el_inverted_index")
     write_inverted_index(docs, out)
     probe = query_postings(spark, out, _IDX_TERMS)
-    return probe.groupBy("term").agg(
-        F.count("*").alias("df"),
-        F.sum("tf").cast("bigint").alias("total_tf"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list("doc_id")),
-                    lambda d: d.cast("string"),
-                ),
-                ",",
-            ).cast("binary")
-        ).alias("doc_md5"),
-    )
+    return _postings_summary(probe)
 
 
 def _inverted_incremental_oracle() -> str:
@@ -685,16 +694,4 @@ def el_inverted_index_incremental(spark, sf_dir):
         batch_token="inc1",
     )
     probe = query_postings(spark, out, _IDX_TERMS)
-    return probe.groupBy("term").agg(
-        F.count("*").alias("df"),
-        F.sum("tf").cast("bigint").alias("total_tf"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list("doc_id")),
-                    lambda d: d.cast("string"),
-                ),
-                ",",
-            ).cast("binary")
-        ).alias("doc_md5"),
-    )
+    return _postings_summary(probe)

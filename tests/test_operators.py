@@ -2772,3 +2772,122 @@ def test_inverted_index_incremental_and_consolidation(spark, tmp_path):
         p.name for p in Path(inc).glob("batch=*") if p.is_dir()
     )
     assert batches == ["batch=c0"]
+
+
+def test_mp4_stbl_header_bounds_and_free_box():
+    """A truncated table HEADER must fail loud (never read the next
+    box's bytes as its fields), while a short unknown box (empty
+    `free` padding) inside stbl must parse through — both parsers."""
+    import struct
+
+    import pytest
+
+    from mongo2pq_spark.operators.video import (
+        _box,
+        build_mp4_stub,
+        parse_mp4_sample_ranges,
+        parse_mp4_sample_stats,
+    )
+
+    sizes = [10, 20, 30, 40]
+    ok = build_mp4_stub(
+        1000, 64, 64, sample_sizes=sizes, stsc_runs=[(1, 4)]
+    )
+
+    # inject an EMPTY `free` box at the front of stbl: valid padding
+    stbl_at = ok.find(b"stbl") - 4
+    (stbl_sz,) = struct.unpack(">I", ok[stbl_at:stbl_at + 4])
+    free = _box(b"free", b"")
+    patched = bytearray(
+        ok[:stbl_at]
+        + struct.pack(">I", stbl_sz + len(free))
+        + b"stbl"
+        + free
+        + ok[stbl_at + 8:]
+    )
+    # grow every enclosing box (moov/trak/mdia/minf) and shift stco
+    # offsets by the inserted bytes
+    for marker in (b"moov", b"trak", b"mdia", b"minf"):
+        at = bytes(patched).find(marker) - 4
+        (sz,) = struct.unpack(">I", patched[at:at + 4])
+        struct.pack_into(">I", patched, at, sz + len(free))
+    stco_at = bytes(patched).find(b"stco") - 4
+    (n_chunks,) = struct.unpack(
+        ">I", patched[stco_at + 12:stco_at + 16]
+    )
+    for c in range(n_chunks):
+        off_at = stco_at + 16 + 4 * c
+        (off,) = struct.unpack(">I", patched[off_at:off_at + 4])
+        struct.pack_into(">I", patched, off_at, off + len(free))
+    got = parse_mp4_sample_ranges(bytes(patched))
+    assert [s_["n_bytes"] for s_ in got] == sizes
+    assert parse_mp4_sample_stats(bytes(patched))["n_samples"] == 4
+
+    # truncate the stsz box to an 8-byte payload: the 12-byte header
+    # read must raise, not decode the next box's bytes as a count
+    stsz_at = ok.find(b"stsz") - 4
+    (stsz_sz,) = struct.unpack(">I", ok[stsz_at:stsz_at + 4])
+    shrunk = bytearray(
+        ok[:stsz_at]
+        + struct.pack(">I", 16)          # 8-byte payload
+        + b"stsz"
+        + ok[stsz_at + 8:stsz_at + 16]   # keep only 8 payload bytes
+        + ok[stsz_at + stsz_sz:]
+    )
+    delta = stsz_sz - 16
+    for marker in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        at = bytes(shrunk).find(marker) - 4
+        (sz,) = struct.unpack(">I", shrunk[at:at + 4])
+        struct.pack_into(">I", shrunk, at, sz - delta)
+    with pytest.raises(ValueError, match="stsz.*too short"):
+        parse_mp4_sample_ranges(bytes(shrunk))
+    with pytest.raises(ValueError, match="stsz.*too short"):
+        parse_mp4_sample_stats(bytes(shrunk))
+
+
+def test_inverted_index_probe_recovers_interrupted_swap(spark, tmp_path):
+    """A crash between replace_dir's two renames leaves the store root
+    missing with the complete content stranded at the swap-in path;
+    both the probe and an increment write must roll it forward before
+    touching the root (a probe reading 'empty store' or a write
+    recreating the root would silently drop every indexed posting)."""
+    import os
+
+    from mongo2pq_spark.operators.text import (
+        consolidate_inverted_index,
+        query_postings,
+        write_inverted_index,
+    )
+    from mongo2pq_spark.plans.bandstore_core import aux_path
+
+    store = tmp_path / "idx"
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} common") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    write_inverted_index(docs, str(store))
+    want = sorted(
+        tuple(r)
+        for r in query_postings(spark, str(store), ["common"]).collect()
+    )
+
+    # simulate the crash window: root renamed aside, swap-in complete
+    os.rename(store, aux_path(store, "swapin"))
+    got = sorted(
+        tuple(r)
+        for r in query_postings(spark, str(store), ["common"]).collect()
+    )
+    assert got == want
+
+    # same window again, healed by a WRITE this time
+    consolidate_inverted_index(spark, str(store))
+    os.rename(store, aux_path(store, "swapin"))
+    extra = spark.createDataFrame(
+        [(100, "common common")], "doc_id bigint, text string"
+    )
+    write_inverted_index(extra, str(store), batch_token="i1")
+    got = sorted(
+        tuple(r)
+        for r in query_postings(spark, str(store), ["common"]).collect()
+    )
+    assert got == sorted(want + [("common", 100, 2)])
