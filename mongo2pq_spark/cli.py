@@ -29,6 +29,31 @@ from mongo2pq_spark import PROJECT_NAME
 from mongo2pq_spark.exceptions import SchemaParseError
 
 
+def _index_batch_token(df, id_col: str) -> str:
+    """Deterministic, order-independent content token for one index
+    batch: row count + decimal sums of both 64-bit md5 halves of the
+    id strings (~128 collision bits — the NearDedupStore.batch_token
+    rationale: a narrow checksum would let two DIFFERENT batches alias
+    one partition). A rerun of the same input maps to the same token,
+    so retries overwrite their own batch."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    dig = F.md5(F.col(id_col).cast("string").cast("binary"))
+    half = lambda lo, n: F.sum(  # noqa: E731
+        F.conv(F.substring(dig, lo, n), 16, 10).cast("decimal(38,0)")
+    )
+    row = df.select(
+        F.count("*").alias("n"),
+        half(1, 16).alias("h1"),
+        half(17, 16).alias("h2"),
+    ).first()
+    return "b" + hashlib.md5(
+        f"{row['n']}:{row['h1']}:{row['h2']}".encode()
+    ).hexdigest()[:16]
+
+
 def main(
     uri: str,
     *,
@@ -57,6 +82,10 @@ def main(
     bpe_merges: Path | None = None,
     bpe_text_col: str | None = None,
     bpe_learn: int | None = None,
+    inverted_index: Path | None = None,
+    index_text_col: str | None = None,
+    index_id_col: str = "doc_id",
+    index_consolidate: bool = False,
     single_file: bool = False,
     compression: str | None = None,
     source_format: str = "auto",
@@ -321,6 +350,41 @@ def main(
                 # partitions, so a retry is idempotent rather than
                 # self-colliding
                 st.commit(tok)
+            if inverted_index and index_text_col:
+                # retrieval-index-at-ingest: append this run's WRITTEN
+                # rows as one batch= partition of the collection's
+                # inverted-index tree — O(increment) maintenance, same
+                # post-write commit rule as the dedup stores (a crash
+                # before this point leaves no rows indexed-but-
+                # unwritten; the content-derived token makes retries
+                # overwrite their own batch)
+                if index_text_col not in df.columns or (
+                    index_id_col not in df.columns
+                ):
+                    print(
+                        f"WARNING: index columns ({index_text_col!r}, "
+                        f"{index_id_col!r}) not both in '{name}'; "
+                        "collection not indexed",
+                        file=sys.stderr,
+                    )
+                else:
+                    from mongo2pq_spark.operators.text import (
+                        write_inverted_index,
+                    )
+
+                    tok = _index_batch_token(df, index_id_col)
+                    write_inverted_index(
+                        df,
+                        str(Path(inverted_index) / name),
+                        id_col=index_id_col,
+                        text_col=index_text_col,
+                        batch_token=tok,
+                    )
+                    print(
+                        f"{name}: postings appended to inverted index "
+                        f"(batch={tok})",
+                        file=sys.stderr,
+                    )
         finally:
             for st in stores:
                 st.close()  # release cached sig/drop artifacts
@@ -381,6 +445,24 @@ def main(
                     k=pinned["k"], bands=pinned["bands"],
                     shingle_n=pinned["shingle_n"], seed=pinned["seed"],
                 ).consolidate(spark)
+            except Exception as err:
+                failures.append((tree.name, err))
+    if index_consolidate and inverted_index:
+        # same maintenance contract as the dedup stores: fold every
+        # collection tree's batches into one batch=c0 through the
+        # crash-safe swap, after all of this run's increments landed;
+        # content-preserving, failures reported so schedulers retry
+        from mongo2pq_spark.operators.text import (
+            consolidate_inverted_index,
+        )
+
+        index_root = Path(inverted_index)
+        trees = sorted(
+            p for p in index_root.iterdir() if p.is_dir()
+        ) if index_root.is_dir() else []
+        for tree in trees:
+            try:
+                consolidate_inverted_index(spark, str(tree))
             except Exception as err:
                 failures.append((tree.name, err))
     if media_store_consolidate:
@@ -665,6 +747,25 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
                              "run's corpus (union of collections with "
                              "--bpe-text-col) and pin the artifact "
                              "atomically before pricing")
+    parser.add_argument("--inverted-index", type=Path, default=None,
+                        help="retrieval-index-at-ingest: append every "
+                             "collection's postings (delta-encoded, "
+                             "sharded, term-range layout) as one batch "
+                             "of <store>/<collection>/ — O(increment) "
+                             "incremental maintenance; probe with "
+                             "operators.text.query_postings")
+    parser.add_argument("--index-text-col", default=None,
+                        help="column to tokenize for --inverted-index "
+                             "(collections lacking it or the id column "
+                             "are written unindexed, with a warning)")
+    parser.add_argument("--index-id-col", default="doc_id",
+                        help="numeric id column for --inverted-index "
+                             "posting lists (default doc_id)")
+    parser.add_argument("--index-consolidate", action="store_true",
+                        help="after this run's batches commit, fold "
+                             "every collection tree of the inverted "
+                             "index into one batch=c0 via the "
+                             "crash-safe swap")
     parser.add_argument("--single-file", action="store_true",
                         help="write ONE parquet file per collection (the "
                              "reference's exact layout) via coalesce(1); "
@@ -723,6 +824,20 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
             file=sys.stderr,
         )
         return None
+    if parsed.inverted_index and not parsed.index_text_col:
+        print(
+            "ERROR: --inverted-index requires --index-text-col "
+            "(the column to tokenize)",
+            file=sys.stderr,
+        )
+        return None
+    if parsed.index_consolidate and not parsed.inverted_index:
+        print(
+            "ERROR: --index-consolidate requires --inverted-index "
+            "(the store to consolidate)",
+            file=sys.stderr,
+        )
+        return None
     if parsed.near_dedup_consolidate and not parsed.near_dedup_store:
         print(
             "ERROR: --near-dedup-consolidate requires --near-dedup-store "
@@ -777,6 +892,10 @@ def run(argv: list[str] | None = None) -> int:
         bpe_merges=args.bpe_merges,
         bpe_text_col=args.bpe_text_col,
         bpe_learn=args.bpe_learn,
+        inverted_index=args.inverted_index,
+        index_text_col=args.index_text_col,
+        index_id_col=args.index_id_col,
+        index_consolidate=args.index_consolidate,
         single_file=args.single_file,
         compression=args.compression,
         source_format=args.source_format,

@@ -1288,3 +1288,83 @@ def test_cli_media_store_consolidate(spark, tmp_path):
     assert run(tmp_path / "run2", outs["2b"]) == {
         "two_0.png", "two_1.png"
     }
+
+
+def test_cli_inverted_index_at_ingest(spark, tmp_path):
+    """--inverted-index: run 1 indexes the ingested collection as one
+    batch; run 2 over NEW docs appends a second batch without
+    re-reading the first; the probe over the store equals a direct
+    posting computation over everything ingested; a rerun of run 2 is
+    idempotent (same content token, same batch count); consolidation
+    folds to batch=c0 with probe answers unchanged; a collection
+    lacking the columns is written unindexed with a warning."""
+    import json as jsonlib
+    from pathlib import Path
+
+    from mongo2pq_spark.operators.text import query_postings
+
+    docs1 = ["apple banana", "banana banana cherry", "apple"]
+    docs2 = ["cherry apple apple", "banana"]
+    src1, src2 = tmp_path / "src1", tmp_path / "src2"
+    src1.mkdir(); src2.mkdir()
+    (src1 / "docs.jsonl").write_text("\n".join(
+        jsonlib.dumps({"doc_id": i, "text": t})
+        for i, t in enumerate(docs1)
+    ))
+    (src1 / "plain.jsonl").write_text(
+        jsonlib.dumps({"doc_id": 0, "v": 1})
+    )
+    (src2 / "docs.jsonl").write_text("\n".join(
+        jsonlib.dumps({"doc_id": 10 + i, "text": t})
+        for i, t in enumerate(docs2)
+    ))
+    store = tmp_path / "idx"
+    out1, out2, out3 = (tmp_path / d for d in ("o1", "o2", "o3"))
+    for o in (out1, out2, out3):
+        o.mkdir()
+
+    rc = cli_main(f"file:{src1}", outdir=out1, inverted_index=store,
+                  index_text_col="text", spark=spark)
+    assert rc == 0
+    tree = store / "docs"
+    assert len(list(tree.glob("batch=*"))) == 1
+    assert not (store / "plain").exists()  # columns missing → skipped
+
+    rc = cli_main(f"file:{src2}", outdir=out2, inverted_index=store,
+                  index_text_col="text", spark=spark)
+    assert rc == 0
+    assert len(list(tree.glob("batch=*"))) == 2
+
+    def probe():
+        return sorted(
+            tuple(r) for r in query_postings(
+                spark, str(tree), ["apple", "banana", "cherry"]
+            ).collect()
+        )
+
+    all_docs = {i: t for i, t in enumerate(docs1)}
+    all_docs.update({10 + i: t for i, t in enumerate(docs2)})
+    want = sorted(
+        (term, d, t.split().count(term))
+        for d, t in all_docs.items()
+        for term in set(t.split())
+        if term in ("apple", "banana", "cherry")
+    )
+    assert probe() == want
+
+    # rerun of increment 2: content token unchanged → same batches
+    rc = cli_main(f"file:{src2}", outdir=out3, inverted_index=store,
+                  index_text_col="text", spark=spark)
+    assert rc == 0
+    assert len(list(tree.glob("batch=*"))) == 2
+    assert probe() == want
+
+    # consolidation folds to one batch, probe invariant
+    rc = cli_main(f"file:{src2}", outdir=out3, inverted_index=store,
+                  index_text_col="text", index_consolidate=True,
+                  spark=spark)
+    assert rc == 0
+    assert sorted(
+        p.name for p in Path(tree).glob("batch=*") if p.is_dir()
+    ) == ["batch=c0"]
+    assert probe() == want
