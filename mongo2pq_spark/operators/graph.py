@@ -24,6 +24,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Damped PageRank over a directed edge list, ``iterations`` full
     power steps from a uniform start:
@@ -34,10 +35,12 @@ def pagerank(
     dangling-mass correction is needed and the rank total is conserved
     exactly (asserting that is the test's invariant).
 
-    SIMPLE-graph semantics: the edge list is deduplicated first, so
-    parallel edges (one row per interaction event) do NOT weight
-    out-degree or contributions — pre-aggregate to weighted edges and
-    use a weighted variant if repetition should count.
+    SIMPLE-graph semantics by default: the edge list is deduplicated
+    first, so parallel edges (one row per interaction event) do NOT
+    weight out-degree or contributions. Pass ``weight_col`` for the
+    WEIGHTED variant — edges must then already be unique (src, dst)
+    rows with a positive weight (pre-aggregate event streams to
+    counts), and contributions become ``r(u)·w(u,v) / Σ_v w(u,v)``.
 
     Shape at scale: the edge list and out-degree table are computed
     once and cached; each iteration is ONE shuffle — join ranks to
@@ -48,9 +51,17 @@ def pagerank(
     1-row broadcast. Rank rounding happens ONLY at the end — rounding
     inside the loop would compound across iterations.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    if weight_col is None:
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+            F.lit(1.0).alias("w"),
+        ).distinct()
+    else:
+        e = edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
     e = cache_stream(e)
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -58,7 +69,7 @@ def pagerank(
         .distinct()
     )
     nodes = cache_stream(nodes)
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     n_tbl = nodes.agg(F.count("*").alias("n"))
 
     ranks = nodes.crossJoin(F.broadcast(n_tbl)).select(
@@ -74,7 +85,11 @@ def pagerank(
                 "src",
             )
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("inflow"))
+            .agg(
+                F.sum(
+                    F.col("rank") * F.col("w") / F.col("outdeg")
+                ).alias("inflow")
+            )
         )
         ranks = (
             nodes.join(

@@ -626,10 +626,14 @@ def _decode_postings(idx: DataFrame, keep_shard: bool = False) -> DataFrame:
     )
 
 
-def query_postings(spark, index_dir: str, terms: list[str]) -> DataFrame:
-    """Probe an inverted-index artifact for a term set: the equality
-    filter pushes to the parquet scan, where the term-range layout
-    prunes row groups; the delta-encoded postings decode back to
+def query_postings(
+    spark, index_dir: str, terms: list[str] | None = None
+) -> DataFrame:
+    """Probe an inverted-index artifact for a term set (``terms=None``
+    decodes the FULL index, distributed — no driver-side vocabulary
+    materialization): the equality filter pushes to the parquet scan,
+    where the term-range layout prunes row groups; the delta-encoded
+    postings decode back to
     (term, doc_id, tf) rows. The probe spans every ``batch=`` partition
     (corpus + increments); the increment contract is that batches hold
     DISJOINT doc sets, so the union IS the merged index."""
@@ -641,7 +645,9 @@ def query_postings(spark, index_dir: str, terms: list[str]) -> DataFrame:
     # interrupted consolidation forward/back first (the other stores'
     # open-time rule)
     recover_replace(Path(index_dir))
-    idx = spark.read.parquet(index_dir).filter(F.col("term").isin(terms))
+    idx = spark.read.parquet(index_dir)
+    if terms is not None:
+        idx = idx.filter(F.col("term").isin(terms))
     return _decode_postings(idx)
 
 

@@ -1126,3 +1126,80 @@ def graph_pagerank_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("t").alias("src"), F.col("u").alias("dst"))
     )
     return pagerank(edges, iterations=_PR_ITERS, damping=_PR_D)
+
+
+def _pagerank_weighted_oracle() -> str:
+    step = """
+    r{k} AS (
+        SELECT nodes.node,
+               (1 - {d}) / n.n + {d} * coalesce(c.inflow, 0) AS rank
+        FROM nodes CROSS JOIN n
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank * e.w / od.wdeg) AS inflow
+            FROM e
+            JOIN od ON e.src = od.src
+            JOIN r{prev} r ON e.src = r.node
+            GROUP BY e.dst
+        ) c ON nodes.node = c.node
+    )"""
+    iters = ",".join(
+        step.format(k=k, prev=k - 1, d=_PR_D)
+        for k in range(1, _PR_ITERS + 1)
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT 'u:' || CAST(user_id AS VARCHAR) AS u,
+               't:' || event_type AS t,
+               CAST(count(*) AS DOUBLE) AS w
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT u AS src, t AS dst, w FROM pairs
+        UNION ALL
+        SELECT t AS src, u AS dst, w FROM pairs
+    ),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+        )
+    ),
+    od AS (SELECT src, sum(w) AS wdeg FROM e GROUP BY src),
+    n AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),
+    {iters}
+    SELECT node, round(rank, 6) AS rank FROM r{_PR_ITERS}
+    """
+
+
+@register(
+    "graph_pagerank_weighted",
+    _pagerank_weighted_oracle(),
+    doc="WEIGHTED damped PageRank (3 power steps, d=0.85): parallel "
+        "interactions count — edges are pre-aggregated to (user, "
+        "event_type, n_events) and contributions become "
+        "r(u)·w(u,v)/Σw(u,·), so a user's rank flows toward the event "
+        "types they actually do most (the multigraph semantics the "
+        "simple-graph variant documents away). Same one-shuffle-per-"
+        "iteration shape; oracle = the weighted steps unrolled as "
+        "CTEs",
+)
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2pq_spark.operators.graph import pagerank
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ev = read_sf_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    pairs = ev.groupBy(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("t"),
+    ).agg(F.count("*").cast("double").alias("w"))
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("t").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(F.col("t").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    return pagerank(edges, iterations=_PR_ITERS, damping=_PR_D,
+                    weight_col="w")

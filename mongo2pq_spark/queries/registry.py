@@ -247,6 +247,13 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # corpus + increment batches probe as one index, O(increment)
     # writes, crash-safe consolidation (full value oracle)
     "el_inverted_index_incremental",
+    # r11 second continuation: streaming retrieval-index maintenance
+    # (foreachBatch, batch-id-keyed idempotent partitions; oracle =
+    # from-scratch index over the whole table, full vocabulary)
+    "streaming_index_append",
+    # r11 second continuation: weighted PageRank (edge weights =
+    # interaction counts; oracle = weighted power steps unrolled)
+    "graph_pagerank_weighted",
 ]
 
 

@@ -338,3 +338,50 @@ def streaming_hamming_dedup(spark, sf_dir):
     return run_streaming_hamming_dedup(
         spark, f"{sf_dir}/documents.parquet", simhash_fingerprints
     )
+
+
+def _streaming_index_oracle() -> str:
+    from mongo2pq_spark.functions.textfns import sql_tokens
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS doc_md5
+    FROM tf GROUP BY term
+    """
+
+
+@register(
+    "streaming_index_append",
+    _streaming_index_oracle(),
+    doc="streaming retrieval-index maintenance "
+        "(streaming/indexing.py::run_streaming_index_append): the "
+        "documents table replayed as 4 ordered micro-batches, each "
+        "appending ONLY ITS OWN postings to the shared inverted-index "
+        "artifact via foreachBatch — per-batch cost ∝ batch size, "
+        "earlier postings never re-read; partitions keyed by the "
+        "deterministic micro-batch id so checkpoint replays overwrite "
+        "rather than duplicate (the foreach_batch_upsert exactly-once "
+        "recipe). The drained store must equal a from-scratch index "
+        "over the WHOLE table: the oracle recomputes every term's "
+        "df / total tf / sorted-doc-list md5 directly from documents, "
+        "a full value check of the complete vocabulary",
+)
+def streaming_index_append(spark, sf_dir):
+    from mongo2pq_spark.queries.text import _postings_summary
+    from mongo2pq_spark.streaming.indexing import (
+        run_streaming_index_append,
+    )
+
+    postings = run_streaming_index_append(
+        spark, f"{sf_dir}/documents.parquet"
+    )
+    return _postings_summary(postings)

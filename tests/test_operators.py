@@ -2891,3 +2891,38 @@ def test_inverted_index_probe_recovers_interrupted_swap(spark, tmp_path):
         for r in query_postings(spark, str(store), ["common"]).collect()
     )
     assert got == sorted(want + [("common", 100, 2)])
+
+
+def test_pagerank_weighted_matches_model(spark):
+    """Weighted PageRank: a hub→leaf edge with triple weight pulls
+    rank toward that leaf exactly as the weighted power iteration
+    predicts (Python model parity), while the unweighted variant on
+    the same deduplicated edges stays symmetric."""
+    from mongo2pq_spark.operators.graph import pagerank
+
+    pairs = [("hub", "a", 3.0), ("hub", "b", 1.0),
+             ("a", "hub", 1.0), ("b", "hub", 1.0)]
+    edges = spark.createDataFrame(
+        pairs, "src string, dst string, w double"
+    )
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, 3, weight_col="w").collect()}
+
+    nodes = ["hub", "a", "b"]
+    wout = {"hub": 4.0, "a": 1.0, "b": 1.0}
+    inn = {"hub": [("a", 1.0), ("b", 1.0)],
+           "a": [("hub", 3.0)], "b": [("hub", 1.0)]}
+    rank = {v: 1 / 3 for v in nodes}
+    for _ in range(3):
+        rank = {
+            v: 0.15 / 3 + 0.85 * sum(
+                rank[u] * w / wout[u] for u, w in inn[v]
+            )
+            for v in nodes
+        }
+    assert got == {v: round(rank[v], 6) for v in nodes}
+    assert got["a"] > got["b"]
+
+    sym = {r["node"]: r["rank"]
+           for r in pagerank(edges.drop("w"), 3).collect()}
+    assert sym["a"] == sym["b"]
