@@ -105,6 +105,12 @@ HEADLINE = [
 #: constant — pinned here so they are diffable rather than
 #: archaeological (SCALING.md round-8/9 logs reference this list).
 EXCLUDED_PIPELINE_CONTRACT = {
+    "streaming_index_append": (
+        "4 micro-batches of foreachBatch index staging — wall-clock "
+        "is checkpoint/staging I/O like streaming_near_dedup; the "
+        "batch index write path IS benched via "
+        "el_inverted_index_roundtrip"
+    ),
     "streaming_near_dedup": (
         "4 micro-batches of foreachBatch store staging (11.9 s at "
         "sf0.1, measured round 8) — the per-batch cost a real "

@@ -445,14 +445,32 @@ def bm25_topk(
     matching docs would serialize at 100 TB (the drop_exact_duplicates
     skew lesson applied to ranking).
     """
-    qterms = df.sparkSession.createDataFrame(
-        [(q, t) for q, terms in queries.items() for t in terms],
-        "query_id string, term string",
-    )
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    return bm25_from_tf(
+        tf, queries, id_col=id_col, k1=k1, b=b, top_k=top_k
+    )
+
+
+def bm25_from_tf(
+    tf: DataFrame,
+    queries: dict[str, list[str]],
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 5,
+) -> DataFrame:
+    """BM25 scoring over a (id, term, tf) table — the shared back half
+    of ``bm25_topk`` (tf from raw text) and index-served retrieval
+    (tf decoded from the inverted-index artifact, which is
+    SELF-SUFFICIENT: doc lengths, N, avgdl and df all derive from the
+    postings alone). Same rounding/tiebreak contract as bm25_topk."""
+    qterms = tf.sparkSession.createDataFrame(
+        [(q, t) for q, terms in queries.items() for t in terms],
+        "query_id string, term string",
+    )
     from mongo2pq_spark.operators.cache import cache_stream
 
     tf = cache_stream(tf)  # feeds doc lengths, df counts AND scoring

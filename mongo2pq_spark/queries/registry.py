@@ -254,6 +254,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # r11 second continuation: weighted PageRank (edge weights =
     # interaction counts; oracle = weighted power steps unrolled)
     "graph_pagerank_weighted",
+    # r11 second continuation: BM25 served FROM the index artifact —
+    # postings alone supply tf/dl/N/avgdl/df; oracle = the from-text
+    # BM25 oracle verbatim (index-served == text-served ranking)
+    "el_index_bm25_topk",
 ]
 
 

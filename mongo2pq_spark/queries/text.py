@@ -695,3 +695,43 @@ def el_inverted_index_incremental(spark, sf_dir):
     )
     probe = query_postings(spark, out, _IDX_TERMS)
     return _postings_summary(probe)
+
+
+@register(
+    "el_index_bm25_topk",
+    _bm25_oracle(),
+    doc="BM25 retrieval SERVED FROM the inverted-index artifact — the "
+        "proof the artifact is self-sufficient for ranked retrieval: "
+        "the index is built, read back, and its decoded postings "
+        "alone supply everything BM25 needs (tf directly; doc "
+        "lengths, N and avgdl from one groupBy over the decoded "
+        "postings; df from the pruned term set) — the raw text is "
+        "never consulted at query time. The oracle is EXACTLY "
+        "text_bm25_topk's: index-served ranking must equal "
+        "from-the-text ranking score for score, rank for rank",
+)
+def el_index_bm25_topk(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo2pq_spark.operators.text import (
+        bm25_from_tf,
+        query_postings,
+        write_inverted_index,
+    )
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    # path is per SCALE FACTOR, not one fixed dir: the decoded-postings
+    # plan is cached (cache_stream in bm25_from_tf keys on plan
+    # semantics = the read path), so two scale factors sharing a path
+    # would serve the first scale's cached postings to the second
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"el_index_bm25_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_inverted_index(docs, out)
+    tf = query_postings(spark, out, None)  # full decode, distributed
+    return bm25_from_tf(
+        tf, BM25_QUERIES, k1=_BM25_K1, b=_BM25_B, top_k=_BM25_TOPK
+    ).select("query_id", "doc_id", "score", "rank")
