@@ -258,6 +258,15 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # postings alone supply tf/dl/N/avgdl/df; oracle = the from-text
     # BM25 oracle verbatim (index-served == text-served ranking)
     "el_index_bm25_topk",
+    # r11 second continuation: weighted sampling WITHOUT replacement
+    # (Efraimidis-Spiliotis A-Res: top-k by ln(u)/w; full value
+    # oracle, salted global top-k)
+    "sample_weighted_priority",
+    # r11 second continuation: mongodump EXPORT round trip — the
+    # WRITE side of the Python DataSource; oracle aggregates the
+    # original table (export must be value-lossless, µs timestamps
+    # included)
+    "el_mongodump_export_roundtrip",
 ]
 
 

@@ -726,3 +726,71 @@ def profile_events_stats(spark, sf_dir):
         F.min("user_id").cast("bigint").alias("user_id_min"),
         F.max("user_id").cast("bigint").alias("user_id_max"),
     )
+
+
+@register(
+    "el_mongodump_export_roundtrip",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(user_id AS BIGINT)) AS BIGINT) AS user_id_sum,
+           round(sum(value), 4) AS value_sum,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM events
+    WHERE event_id < 20000
+    GROUP BY event_type
+    """,
+    doc="mongodump EXPORT round trip — the WRITE side of the Python "
+        "DataSource (sources/mongodump.py::MongoDumpWriter): events "
+        "rows are serialized to line-delimited extended JSON ($date "
+        "with lossless sub-ms widening, $numberLong beyond the "
+        "double-safe range, $oid for 24-hex _id, per-task atomic "
+        "part-file rename so retries are idempotent), read back "
+        "through the existing mongodump READER, and aggregated; the "
+        "oracle aggregates the original table directly, so the "
+        "export must be value-lossless through both directions of "
+        "the interchange — timestamps at microsecond precision "
+        "included. Completes the offline-Mongo story: the engine can "
+        "now CONSUME and PRODUCE the dump format",
+)
+def el_mongodump_export_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.sources.mongodump import register_mongodump_source
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    # the writer class executes ON EXECUTORS (pickled) — without the
+    # package shipped, any session whose cwd is not the repo root
+    # fails the import (the vanilla-session probe catches exactly this)
+    ensure_shipped(spark)
+    register_mongodump_source(spark)
+    ev = read_sf_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 20000
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    # per-SCALE path (the el_index_bm25 lesson: a shared path lets one
+    # scale's cached/read state leak into the other)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"el_mongodump_export_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ev.write.format("mongodump").mode("overwrite").save(out)
+    back = (
+        spark.read.format("mongodump")
+        .schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .load(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("user_id").cast("bigint").alias("user_id_sum"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -259,3 +259,63 @@ def sample_quota_per_source(spark, sf_dir):
         _QUOTA_K,
         salt_src=F.col("doc_id"),
     ).select("source", "doc_id", "n_chars", "rank")
+
+
+_ES_K = 100
+
+
+@register(
+    "sample_weighted_priority",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               round(
+                   ln(({sql_token_hash32("'es:' || CAST(doc_id AS VARCHAR)")}
+                       + 1.0) / 4294967296.0)
+                   / greatest(n_chars, 1), 9) AS priority
+        FROM documents
+    )
+    SELECT doc_id, n_chars, priority, rank FROM (
+        SELECT doc_id, n_chars, priority,
+               row_number() OVER (
+                   ORDER BY priority DESC, doc_id
+               ) AS rank
+        FROM keyed
+    ) WHERE rank <= {_ES_K}
+    """,
+    doc="weighted sampling WITHOUT replacement (Efraimidis-Spiliotis "
+        "A-Res): each doc draws u in (0,1] from its md5 hash and the "
+        "top-k by ln(u)/w are the exact weighted sample — one pass, "
+        "no RNG state, reproducible across runs and cluster sizes; "
+        "weights here are doc lengths, the long-doc-favoring "
+        "subsample a token-budgeted corpus cut wants (the existing "
+        "weighted_sample_quality is Bernoulli WITH replacement "
+        "semantics — this completes the pair). Priorities rounded to "
+        "9 dp before ranking, doc_id tiebreak; the global top-k runs "
+        "through the reusable two-phase salted window so no single "
+        "partition ranks the corpus",
+)
+def sample_weighted_priority(spark, sf_dir):
+    from mongo2pq_spark.functions.hashing import token_hash32
+    from mongo2pq_spark.operators.joins import salted_topk
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    u = (
+        token_hash32(F.concat(F.lit("es:"), F.col("doc_id").cast("string")))
+        + 1.0
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round(
+            F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)), 9
+        ).alias("priority"),
+    )
+    return salted_topk(
+        keyed,
+        [],
+        [F.col("priority").desc(), F.col("doc_id")],
+        _ES_K,
+        salt_src=F.col("doc_id"),
+    ).select("doc_id", "n_chars", "priority", "rank")

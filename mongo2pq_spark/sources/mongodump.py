@@ -34,6 +34,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
 )
 
@@ -240,6 +241,9 @@ class MongoDumpDataSource(DataSource):
     def reader(self, schema) -> MongoDumpReader:
         return MongoDumpReader(schema, self.options)
 
+    def writer(self, schema, overwrite: bool) -> "MongoDumpWriter":
+        return MongoDumpWriter(schema, self.options, overwrite)
+
 
 def register_mongodump_source(spark) -> None:
     """Idempotently register the mongodump Python data source."""
@@ -408,3 +412,102 @@ def read_mongodump(
             ]
         )
     return df
+
+
+# -- writer: the mongoexport side of the interchange ------------------------
+
+_OID_HEX = frozenset("0123456789abcdef")
+
+
+def wrap_extended_json(value, field: str | None = None):
+    """Inverse of ``unwrap_extended_json``: Python/Row values →
+    extended-JSON. ``datetime`` → ``{"$date": ISO-8601}``; ints beyond
+    the double-safe range → ``{"$numberLong": "n"}`` (smaller ints are
+    plain JSON numbers, which the reader accepts as-is); non-finite
+    floats → ``{"$numberDouble": "..."}``; a 24-hex string in the
+    ``_id`` field → ``{"$oid": ...}`` (the mongoexport convention);
+    nested dicts/lists recurse. Binary is a loud TypeError — extended
+    JSON would need base64 ``$binary`` support on BOTH sides, and a
+    silent str() would corrupt payloads."""
+    import math
+
+    if isinstance(value, datetime):
+        # canonical extended JSON is millisecond $date; sub-ms values
+        # widen to microseconds so the round trip is LOSSLESS (the
+        # reader's fromisoformat accepts both)
+        spec = "microseconds" if value.microsecond % 1000 else "milliseconds"
+        return {"$date": value.isoformat(timespec=spec) + "Z"}
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, int):
+        if abs(value) > (1 << 53):
+            return {"$numberLong": str(value)}
+        return value
+    if isinstance(value, float):
+        if not math.isfinite(value):
+            return {"$numberDouble": str(value)}
+        return value
+    if isinstance(value, str):
+        if (
+            field == "_id"
+            and len(value) == 24
+            and set(value) <= _OID_HEX
+        ):
+            return {"$oid": value}
+        return value
+    if isinstance(value, dict):
+        return {k: wrap_extended_json(v, k) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [wrap_extended_json(v) for v in value]
+    if isinstance(value, (bytes, bytearray)):
+        raise TypeError(
+            "binary columns cannot round-trip through extended JSON "
+            "(no $binary support); drop or encode them first"
+        )
+    return value
+
+
+class MongoDumpWriter(DataSourceWriter):
+    """Per-partition writer: each task streams its rows as one
+    ``part-<pid>.jsonl`` of extended JSON, written to a temp name and
+    atomically renamed — a re-executed task overwrites its own file,
+    so speculative/retried tasks are idempotent. ``commit`` drops a
+    ``_SUCCESS`` marker after every task reported in."""
+
+    def __init__(self, schema, options, overwrite: bool):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mongodump write requires a path")
+        self.overwrite = overwrite
+
+    def write(self, rows):
+        from pyspark import TaskContext
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        dst = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        tmp = os.path.join(self.path, f"_tmp-part-{pid:05d}.jsonl")
+        names = [f.name for f in self.schema.fields]
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in rows:
+                doc = {
+                    name: wrap_extended_json(value, name)
+                    for name, value in zip(names, row)
+                    if value is not None
+                }
+                fh.write(json.dumps(doc, separators=(",", ":")) + "\n")
+                n += 1
+        os.replace(tmp, dst)
+        return WriterCommitMessage()
+
+    def commit(self, messages):
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages):
+        # partial part- files may remain; the _SUCCESS marker is the
+        # completeness signal, matching the Hadoop committer contract
+        pass

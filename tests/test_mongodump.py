@@ -423,3 +423,51 @@ def test_cli_split_size_parallel_el(spark, tmp_path):
     assert rc == 0
     back = spark.read.parquet(str(out / "items.parquet"))
     assert sorted(r["n"] for r in back.collect()) == list(range(300))
+
+
+def test_mongodump_writer_roundtrip_and_wrap_rules(spark, tmp_path):
+    """The write side of the interchange: $oid/$date/$numberLong/
+    $numberDouble wrapping is the exact inverse of the reader's
+    unwrapping (lossless round trip incl. sub-ms timestamps and
+    beyond-double-safe longs); nulls are omitted like mongoexport;
+    binary columns fail loud; a rerun overwrites its own part files."""
+    from datetime import datetime
+
+    import pytest
+
+    from mongo2pq_spark.sources.mongodump import (
+        register_mongodump_source,
+        wrap_extended_json,
+    )
+
+    register_mongodump_source(spark)
+    rows = [
+        ("64b5f0a1c2d3e4f5a6b7c8d9", 2**60, 1.5,
+         datetime(2024, 1, 2, 3, 4, 5, 123456), "hi"),
+        ("not-an-oid-string-xyz-!!", -7, float("inf"),
+         datetime(2020, 6, 7), None),
+    ]
+    ddl = "_id string, big long, x double, ts timestamp, s string"
+    df = spark.createDataFrame(rows, ddl)
+    out = str(tmp_path / "dump")
+    df.write.format("mongodump").mode("overwrite").save(out)
+    df.write.format("mongodump").mode("overwrite").save(out)  # rerun
+
+    back = spark.read.format("mongodump").schema(ddl).load(out)
+    got = sorted([tuple(r) for r in back.collect()])
+    assert got == sorted(rows)
+
+    # wrap rules, directly
+    assert wrap_extended_json("64b5f0a1c2d3e4f5a6b7c8d9", "_id") == {
+        "$oid": "64b5f0a1c2d3e4f5a6b7c8d9"
+    }
+    assert wrap_extended_json(
+        "64b5f0a1c2d3e4f5a6b7c8d9", "other"
+    ) == "64b5f0a1c2d3e4f5a6b7c8d9"
+    assert wrap_extended_json(5) == 5
+    assert wrap_extended_json(2**60) == {
+        "$numberLong": str(2**60)
+    }
+    assert wrap_extended_json(True) is True  # bool is not wrapped int
+    with pytest.raises(TypeError, match="binary"):
+        wrap_extended_json(b"\x00\x01")

@@ -2926,3 +2926,22 @@ def test_pagerank_weighted_matches_model(spark):
     sym = {r["node"]: r["rank"]
            for r in pagerank(edges.drop("w"), 3).collect()}
     assert sym["a"] == sym["b"]
+
+
+def test_weighted_priority_sample_overrepresents_heavy(spark, sf_dir):
+    """Efraimidis-Spiliotis sampling must actually express the
+    weights: the length-weighted sample's mean doc length exceeds the
+    corpus mean (the oracle pins exact values; this pins the
+    statistical INTENT the formula encodes)."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.queries.registry import load_all
+
+    specs = load_all()
+    sample = specs["sample_weighted_priority"].fn(spark, sf_dir)
+    m_sample = sample.agg(F.avg("n_chars")).first()[0]
+    m_corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.avg("n_chars")).first()[0]
+    )
+    assert m_sample > m_corpus * 1.1, (m_sample, m_corpus)
