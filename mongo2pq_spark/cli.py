@@ -76,6 +76,8 @@ def main(
     near_dedup_consolidate: bool = False,
     media_dhash_store: Path | None = None,
     media_dhash_max_hamming: int = 3,
+    media_phash_store: Path | None = None,
+    media_phash_max_hamming: int = 8,
     media_afp_store: Path | None = None,
     media_afp_max_hamming: int = 3,
     media_store_consolidate: bool = False,
@@ -258,7 +260,9 @@ def main(
         stores: list = []
         tokens: list[str] = []
         cached_df = None
-        if source_format == "media" and (media_dhash_store or media_afp_store):
+        if source_format == "media" and (
+            media_dhash_store or media_phash_store or media_afp_store
+        ):
             # cross-RUN incremental MEDIA near-dedup: drop rows whose
             # perceptual fingerprint (real-codec image dHash / audio
             # envelope) lies within the Hamming radius of any
@@ -272,12 +276,20 @@ def main(
             from mongo2pq_spark.plans.mediadedup_store import (
                 AudioDedupStore,
                 ImageDedupStore,
+                PhashImageDedupStore,
             )
 
             if media_dhash_store:
                 stores.append(ImageDedupStore(
                     media_dhash_store, name,
                     max_hamming=media_dhash_max_hamming,
+                ))
+            if media_phash_store:
+                # image stores CHAIN: pHash probes the dHash
+                # survivors — only ever drops MORE re-crawls
+                stores.append(PhashImageDedupStore(
+                    media_phash_store, name,
+                    max_hamming=media_phash_max_hamming,
                 ))
             if media_afp_store:
                 stores.append(AudioDedupStore(
@@ -473,7 +485,7 @@ def main(
         # reported so schedulers retry.
         from mongo2pq_spark.plans.mediadedup_store import open_store
 
-        for root in (media_dhash_store, media_afp_store):
+        for root in (media_dhash_store, media_phash_store, media_afp_store):
             if not root:
                 continue
             store_root = Path(root)
@@ -709,6 +721,15 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
                              "(dHash bits differing; 3 = re-encode/"
                              "brightness tolerance, 0 = exact "
                              "perceptual match)")
+    parser.add_argument("--media-phash-store", type=Path, default=None,
+                        help="cross-run incremental image near-dedup by "
+                             "DCT pHash (frequency-domain; catches "
+                             "dithered/re-encoded copies the gradient "
+                             "dHash reacts to); chains with "
+                             "--media-dhash-store on the same run")
+    parser.add_argument("--media-phash-max-hamming", type=int, default=8,
+                        help="pHash Hamming radius counted as the same "
+                             "image (default 8 of 60 bits)")
     parser.add_argument("--media-afp-store", type=Path, default=None,
                         help="persistent cross-run incremental AUDIO "
                              "near-dedup store (requires --source-format "
@@ -794,6 +815,13 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
             file=sys.stderr,
         )
         return None
+    if parsed.media_phash_store and parsed.source_format != "media":
+        print(
+            "ERROR: --media-phash-store requires --source-format media "
+            "(it fingerprints binary image payloads)",
+            file=sys.stderr,
+        )
+        return None
     if parsed.media_afp_store and parsed.source_format != "media":
         print(
             "ERROR: --media-afp-store requires --source-format media "
@@ -802,7 +830,9 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
         )
         return None
     if parsed.media_store_consolidate and not (
-        parsed.media_dhash_store or parsed.media_afp_store
+        parsed.media_dhash_store
+        or parsed.media_phash_store
+        or parsed.media_afp_store
     ):
         print(
             "ERROR: --media-store-consolidate requires a media store "
@@ -886,6 +916,8 @@ def run(argv: list[str] | None = None) -> int:
         near_dedup_consolidate=args.near_dedup_consolidate,
         media_dhash_store=args.media_dhash_store,
         media_dhash_max_hamming=args.media_dhash_max_hamming,
+        media_phash_store=args.media_phash_store,
+        media_phash_max_hamming=args.media_phash_max_hamming,
         media_afp_store=args.media_afp_store,
         media_afp_max_hamming=args.media_afp_max_hamming,
         media_store_consolidate=args.media_store_consolidate,

@@ -373,6 +373,26 @@ class ImageDedupStore(MediaFingerprintStore):
         return dhash_bits(decode_image_pixels(payload)[3])
 
 
+class PhashImageDedupStore(MediaFingerprintStore):
+    """Image modality, frequency-domain: 60-bit DCT pHash through the
+    real codecs (CLI ``--media-phash-store``) — catches the dithered /
+    re-encoded near-copies whose high-frequency noise moves the
+    gradient dHash. Covers the same mimes as the dHash store: when
+    both are configured the stores CHAIN (this one probes the dHash
+    survivors), which only ever drops more re-crawls, never fewer."""
+
+    KIND = "image-phash"
+    DECODABLE_MIMES = ("image/png", "image/jpeg")
+
+    def _fingerprint_payload(self, payload: bytes) -> int:
+        from mongo2pq_spark.operators.multimodal import (
+            decode_image_pixels,
+            phash_bits,
+        )
+
+        return phash_bits(decode_image_pixels(payload)[3])
+
+
 class AudioDedupStore(MediaFingerprintStore):
     """Audio modality: the gain/channel-invariant 60-bit energy-
     envelope fingerprint through the real PCM-WAV codec (CLI
@@ -392,7 +412,8 @@ class AudioDedupStore(MediaFingerprintStore):
 
 #: kind marker → store class, for opening an existing tree by its pin
 KIND_TO_STORE: dict[str, type[MediaFingerprintStore]] = {
-    cls.KIND: cls for cls in (ImageDedupStore, AudioDedupStore)
+    cls.KIND: cls
+    for cls in (ImageDedupStore, PhashImageDedupStore, AudioDedupStore)
 }
 
 

@@ -1368,3 +1368,60 @@ def test_cli_inverted_index_at_ingest(spark, tmp_path):
         p.name for p in Path(tree).glob("batch=*") if p.is_dir()
     ) == ["batch=c0"]
     assert probe() == want
+
+
+def test_cli_media_phash_store_across_runs(spark, tmp_path):
+    """--media-phash-store: the frequency-domain image store rides the
+    same lifecycle — run 2's brightness-shifted re-crawls (identical
+    DCT AC coefficients, distance 0) drop against the persisted pHash
+    index, fresh images survive, a rerun is idempotent, and the
+    kind-pin refuses opening the tree as a dHash store."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mongo2pq_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(47)
+    arrs = [
+        rng.integers(10, 230, (8, 9, 3), dtype="uint8") for _ in range(4)
+    ]
+    run1 = tmp_path / "run1" / "images"
+    run2 = tmp_path / "run2" / "images"
+    run1.mkdir(parents=True)
+    run2.mkdir(parents=True)
+    for i, a in enumerate(arrs):
+        (run1 / f"orig_{i}.png").write_bytes(encode_png(a))
+    for i in range(2):  # +5 brightness: bytes differ, pHash identical
+        shifted = (arrs[i].astype("int16") + 5).astype("uint8")
+        (run2 / f"recrawl_{i}.png").write_bytes(encode_png(shifted))
+    fresh = rng.integers(10, 230, (8, 9, 3), dtype="uint8")
+    (run2 / "fresh.png").write_bytes(encode_png(fresh))
+
+    store = tmp_path / "phashstore"
+    out1, out2, out2b = (tmp_path / d for d in ("o1", "o2", "o2b"))
+    for o in (out1, out2, out2b):
+        o.mkdir()
+
+    def run(src, out):
+        rc = cli_main(
+            f"file:{src}", source_format="media", outdir=out,
+            media_phash_store=store, spark=spark,
+        )
+        assert rc == 0
+        return {
+            r["source_path"].rsplit("/", 1)[-1]
+            for r in spark.read.parquet(str(out / "images.parquet")).collect()
+        }
+
+    assert run(tmp_path / "run1", out1) == {
+        f"orig_{i}.png" for i in range(4)
+    }
+    names2 = run(tmp_path / "run2", out2)
+    assert names2 == {"fresh.png"}
+    assert run(tmp_path / "run2", out2b) == names2
+
+    # kind pin: the tree refuses to open as a different modality
+    from mongo2pq_spark.plans.mediadedup_store import ImageDedupStore
+
+    with _pytest.raises(ValueError, match="kind"):
+        ImageDedupStore(store, "images").batch_token  # noqa: B018
