@@ -29,29 +29,25 @@ from mongo2pq_spark import PROJECT_NAME
 from mongo2pq_spark.exceptions import SchemaParseError
 
 
-def _index_batch_token(df, id_col: str) -> str:
-    """Deterministic, order-independent content token for one index
-    batch: row count + decimal sums of both 64-bit md5 halves of the
-    id strings (~128 collision bits — the NearDedupStore.batch_token
-    rationale: a narrow checksum would let two DIFFERENT batches alias
-    one partition). A rerun of the same input maps to the same token,
-    so retries overwrite their own batch."""
-    import hashlib
-
+def _index_batch_token(df, id_col: str, text_col: str) -> str:
+    """Deterministic CONTENT token for one index batch — the shared
+    digest_batch_token over md5(id ':' text), so an edited re-crawl of
+    the same doc ids maps to a NEW token (content identity, the same
+    rationale as the dedup stores' tokens) while a retry of identical
+    input overwrites its own batch. Batches must still hold disjoint
+    doc-id sets across DIFFERENT tokens — query_postings' documented
+    contract; the index never re-reads history to police it (that
+    would break the O(increment) economics)."""
     from pyspark.sql import functions as F
 
-    dig = F.md5(F.col(id_col).cast("string").cast("binary"))
-    half = lambda lo, n: F.sum(  # noqa: E731
-        F.conv(F.substring(dig, lo, n), 16, 10).cast("decimal(38,0)")
+    from mongo2pq_spark.plans.bandstore_core import digest_batch_token
+
+    dig = F.md5(
+        F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.col(text_col)
+        ).cast("binary")
     )
-    row = df.select(
-        F.count("*").alias("n"),
-        half(1, 16).alias("h1"),
-        half(17, 16).alias("h2"),
-    ).first()
-    return "b" + hashlib.md5(
-        f"{row['n']}:{row['h1']}:{row['h2']}".encode()
-    ).hexdigest()[:16]
+    return digest_batch_token(df, dig)
 
 
 def main(
@@ -333,6 +329,18 @@ def main(
             from mongo2pq_spark.operators.bpe import with_token_counts
 
             df = with_token_counts(df, bpe_merges_table, bpe_text_col)
+        if (
+            inverted_index
+            and index_text_col
+            and cached_df is None
+            and index_text_col in df.columns
+            and index_id_col in df.columns
+        ):
+            # the EL write, the token aggregate and the index write
+            # each materialize this lineage — cache it once (the
+            # near-dedup branch's rationale); released in finally
+            cached_df = df.persist()
+            df = cached_df
         try:
             metrics: dict = {}
             extract_load_collection(
@@ -384,7 +392,7 @@ def main(
                         write_inverted_index,
                     )
 
-                    tok = _index_batch_token(df, index_id_col)
+                    tok = _index_batch_token(df, index_id_col, index_text_col)
                     write_inverted_index(
                         df,
                         str(Path(inverted_index) / name),

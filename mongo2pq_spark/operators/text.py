@@ -562,6 +562,13 @@ def write_inverted_index(
     # just this batch into it, after which recovery would discard the
     # stranded complete store as stale (the other stores' rule)
     recover_replace(Path(out_dir))
+    if batch_token in _absorbed_tokens(out_dir):
+        # post-absorption retry exclusion (the media stores'
+        # src_token rule): this batch's postings already live inside
+        # batch=c0 — re-writing them next to it would permanently
+        # duplicate every posting, and consolidation (a pure regroup)
+        # would bake the duplicates in
+        return
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
@@ -669,6 +676,20 @@ def query_postings(
     return _decode_postings(idx)
 
 
+def _absorbed_tokens(index_dir: str) -> set[str]:
+    """Tokens of batches already folded into ``batch=c0`` — recorded
+    by consolidation in ``_absorbed.json`` (underscore-prefixed so
+    Spark's parquet discovery ignores it)."""
+    import json as jsonlib
+    from pathlib import Path
+
+    p = Path(index_dir) / "_absorbed.json"
+    if not p.is_file():
+        return set()
+    with open(p) as fh:
+        return set(jsonlib.load(fh))
+
+
 def consolidate_inverted_index(spark, index_dir: str) -> None:
     """Fold every ``batch=`` partition of an inverted-index artifact
     into a single ``batch=c0`` — bounding a year of daily increments
@@ -687,10 +708,20 @@ def consolidate_inverted_index(spark, index_dir: str) -> None:
         replace_dir,
     )
 
+    import json as jsonlib
+
     root = Path(index_dir)
     recover_replace(root)
     idx = spark.read.parquet(str(root))
     out = _encode_postings(_decode_postings(idx, keep_shard=True))
+    # every batch folded here (prior absorptions included) is recorded
+    # so a RETRIED producer run whose batch was absorbed cannot
+    # re-append it next to c0 (write_inverted_index's exclusion above)
+    absorbed = _absorbed_tokens(str(root)) | {
+        p.name.split("=", 1)[1]
+        for p in root.glob("batch=*")
+        if p.is_dir() and p.name != "batch=c0"
+    }
 
     def writer(build_path: str) -> None:
         (
@@ -701,5 +732,9 @@ def consolidate_inverted_index(spark, index_dir: str) -> None:
             .write.mode("overwrite")
             .parquet(os.path.join(build_path, "batch=c0"))
         )
+        with open(
+            os.path.join(build_path, "_absorbed.json"), "w"
+        ) as fh:
+            jsonlib.dump(sorted(absorbed), fh)
 
     replace_dir(root, writer)

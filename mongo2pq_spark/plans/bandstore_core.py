@@ -46,6 +46,33 @@ def atomic_write_json(path: Path, obj) -> None:
     os.replace(tmp, path)
 
 
+def digest_batch_token(df, dig) -> str:
+    """Deterministic, order-independent content token of a batch:
+    row count + decimal sums of both 64-bit halves of a per-row md5
+    digest column (~128 collision bits — a narrow checksum would let
+    two DIFFERENT batches alias one partition). One map-side
+    aggregate; the same input always maps to the same token, so
+    retries overwrite their own partition. Sums over zero rows are
+    NULL; coalesced so the empty batch gets the well-formed token
+    0_0_0 instead of embedding 'None' in partition dir names (only
+    n=0 can null the halves, so no real batch can alias it).
+
+    The one definition behind the near-dedup, media and inverted-index
+    stores' batch identity — their on-disk token format is this
+    string."""
+    from pyspark.sql import functions as F
+
+    half = lambda lo, ln: F.sum(  # noqa: E731
+        F.conv(F.substring(dig, lo, ln), 16, 10).cast("decimal(38,0)")
+    )
+    row = df.select(
+        F.count("*").alias("n"),
+        half(1, 16).alias("h1"),
+        half(17, 16).alias("h2"),
+    ).first()
+    return f"{row['n']}_{row['h1'] or 0}_{row['h2'] or 0}"
+
+
 def data_partition_dirs(
     base: Path, prefix: str = "batch=", exclude: str | None = None
 ) -> list[Path]:

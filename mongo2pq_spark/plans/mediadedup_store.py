@@ -172,16 +172,9 @@ class MediaFingerprintStore:
         """Deterministic, order-independent fingerprint of the batch's
         payload-digest set (same construction and collision margin as
         the text store's token: count + both 64-bit md5-half sums)."""
-        dig = F.col("payload_md5")
-        half = lambda lo, ln: F.sum(  # noqa: E731
-            F.conv(F.substring(dig, lo, ln), 16, 10).cast("decimal(38,0)")
-        )
-        row = df.select(
-            F.count("*").alias("n"),
-            half(1, 16).alias("h1"),
-            half(17, 16).alias("h2"),
-        ).first()
-        return f"{row['n']}_{row['h1'] or 0}_{row['h2'] or 0}"
+        from mongo2pq_spark.plans.bandstore_core import digest_batch_token
+
+        return digest_batch_token(df, F.col("payload_md5"))
 
     def _fp_or_null(self, df: DataFrame) -> DataFrame:
         """(payload_md5, fp, decode_err) for DECODABLE-mime rows: the

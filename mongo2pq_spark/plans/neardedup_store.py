@@ -228,20 +228,9 @@ class NearDedupStore:
         retry — and byte-identical re-crawls are exactly what plain
         exact dedup catches downstream; this store's value is the
         EDITED re-crawl."""
-        dig = self._digest()
-        half = lambda lo, hi: F.sum(  # noqa: E731
-            F.conv(F.substring(dig, lo, hi), 16, 10).cast("decimal(38,0)")
-        )
-        row = df.select(
-            F.count("*").alias("n"),
-            half(1, 16).alias("h1"),
-            half(17, 16).alias("h2"),
-        ).first()
-        # sums over zero rows are NULL; coalesce so the empty batch
-        # gets the well-formed token 0_0_0 instead of embedding 'None'
-        # in partition dir names (only n=0 can null the halves, so no
-        # real batch can alias it)
-        return f"{row['n']}_{row['h1'] or 0}_{row['h2'] or 0}"
+        from mongo2pq_spark.plans.bandstore_core import digest_batch_token
+
+        return digest_batch_token(df, self._digest())
 
     def _other_batches(self, sub: str, token: str) -> list[str]:
         """Partition dirs of OTHER batches that hold actual data files

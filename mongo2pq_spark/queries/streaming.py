@@ -381,7 +381,9 @@ def streaming_index_append(spark, sf_dir):
         run_streaming_index_append,
     )
 
-    postings = run_streaming_index_append(
-        spark, f"{sf_dir}/documents.parquet"
+    # finalize aggregates INSIDE the runner so the ephemeral store's
+    # end-of-run materialization is vocabulary-bounded (term summary
+    # rows), never the full posting list
+    return run_streaming_index_append(
+        spark, f"{sf_dir}/documents.parquet", finalize=_postings_summary
     )
-    return _postings_summary(postings)

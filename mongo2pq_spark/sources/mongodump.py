@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -430,7 +431,19 @@ def wrap_extended_json(value, field: str | None = None):
     JSON would need base64 ``$binary`` support on BOTH sides, and a
     silent str() would corrupt payloads."""
     import math
+    from datetime import date as _date
+    from decimal import Decimal as _Decimal
 
+    from pyspark.sql import Row as _Row
+
+    if isinstance(value, _Row):
+        # Row subclasses tuple — without this branch a struct column
+        # would serialize as a field-nameless JSON array and never
+        # round-trip back into a subdocument
+        return {
+            k: wrap_extended_json(v, k)
+            for k, v in value.asDict().items()
+        }
     if isinstance(value, datetime):
         # canonical extended JSON is millisecond $date; sub-ms values
         # widen to microseconds so the round trip is LOSSLESS (the
@@ -464,7 +477,26 @@ def wrap_extended_json(value, field: str | None = None):
             "binary columns cannot round-trip through extended JSON "
             "(no $binary support); drop or encode them first"
         )
+    if isinstance(value, _date):  # plain date (datetime handled above)
+        raise TypeError(
+            "DateType columns cannot round-trip through extended JSON "
+            "($date implies a timestamp); cast to timestamp or string "
+            "first"
+        )
+    if isinstance(value, _Decimal):
+        raise TypeError(
+            "DecimalType columns cannot round-trip through extended "
+            "JSON losslessly; cast to double or string first"
+        )
     return value
+
+
+class _DumpCommit(WriterCommitMessage):
+    """Commit message carrying the task's part-file name, so commit()
+    can distinguish this write's files from stale leftovers."""
+
+    def __init__(self, filename: str):
+        self.filename = filename
 
 
 class MongoDumpWriter(DataSourceWriter):
@@ -483,14 +515,12 @@ class MongoDumpWriter(DataSourceWriter):
 
     def write(self, rows):
         from pyspark import TaskContext
-        from pyspark.sql.datasource import WriterCommitMessage
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
-        dst = os.path.join(self.path, f"part-{pid:05d}.jsonl")
-        tmp = os.path.join(self.path, f"_tmp-part-{pid:05d}.jsonl")
+        fname = f"part-{pid:05d}.jsonl"
+        tmp = os.path.join(self.path, f"_tmp-{fname}")
         names = [f.name for f in self.schema.fields]
-        n = 0
         with open(tmp, "w") as fh:
             for row in rows:
                 doc = {
@@ -499,11 +529,18 @@ class MongoDumpWriter(DataSourceWriter):
                     if value is not None
                 }
                 fh.write(json.dumps(doc, separators=(",", ":")) + "\n")
-                n += 1
-        os.replace(tmp, dst)
-        return WriterCommitMessage()
+        os.replace(tmp, os.path.join(self.path, fname))
+        return _DumpCommit(fname)
 
     def commit(self, messages):
+        # drop part files no task of THIS write produced — a previous
+        # larger dataset's leftover parts would otherwise be read back
+        # mixed into the new one (the writer owns overwrite semantics
+        # in the Python DataSource contract)
+        expected = {m.filename for m in messages}
+        for f in os.listdir(self.path):
+            if f.startswith("part-") and f not in expected:
+                os.remove(os.path.join(self.path, f))
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
 

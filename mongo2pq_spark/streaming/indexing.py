@@ -31,13 +31,20 @@ def run_streaming_index_append(
     store_dir: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    finalize=None,
 ) -> DataFrame:
     """Replay the table at ``documents_path`` as ``n_batches`` ordered
     micro-batches, appending each batch's postings to one shared
     inverted-index store; returns the decoded (term, doc_id, tf)
-    postings of the final store. Draining the stream must leave the
-    store equal to a from-scratch index over the whole table — that
-    equality is the registered query's full value oracle."""
+    postings of the final store, reduced through ``finalize`` (a
+    DataFrame→DataFrame callable) when given. Draining the stream must
+    leave the store equal to a from-scratch index over the whole table
+    — that equality is the registered query's full value oracle.
+
+    With the default ephemeral store the result must outlive the
+    cleanup rmtree, so it is materialized on the driver — pass a
+    ``finalize`` that AGGREGATES (e.g. the per-term summary) so the
+    materialization is vocabulary-bounded, not posting-bounded."""
     from mongo2pq_spark.operators.text import (
         query_postings,
         write_inverted_index,
@@ -86,6 +93,8 @@ def run_streaming_index_append(
         # collect of the vocabulary would be the unbounded-collect
         # anti-pattern this engine bans
         result = query_postings(spark, index_dir, None)
+        if finalize is not None:
+            result = finalize(result)
         if cleanup:
             rows = result.collect()
             return spark.createDataFrame(rows, result.schema)

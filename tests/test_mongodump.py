@@ -471,3 +471,63 @@ def test_mongodump_writer_roundtrip_and_wrap_rules(spark, tmp_path):
     assert wrap_extended_json(True) is True  # bool is not wrapped int
     with pytest.raises(TypeError, match="binary"):
         wrap_extended_json(b"\x00\x01")
+
+
+def test_mongodump_writer_overwrite_drops_stale_parts(spark, tmp_path):
+    """mode('overwrite') after a WIDER previous write must not leave
+    the old extra part files mixed into the read-back — commit prunes
+    parts no task of the current write produced."""
+    from mongo2pq_spark.sources.mongodump import register_mongodump_source
+
+    register_mongodump_source(spark)
+    ddl = "k long, v string"
+    out = str(tmp_path / "dump")
+    wide = spark.createDataFrame(
+        [(i, f"w{i}") for i in range(8)], ddl
+    ).repartition(6)
+    wide.write.format("mongodump").mode("overwrite").save(out)
+    narrow = spark.createDataFrame([(100, "only")], ddl).repartition(1)
+    narrow.write.format("mongodump").mode("overwrite").save(out)
+    back = spark.read.format("mongodump").schema(ddl).load(out)
+    assert [tuple(r) for r in back.collect()] == [(100, "only")]
+
+
+def test_mongodump_writer_struct_and_unsupported_types(spark, tmp_path):
+    """Nested struct columns serialize as subdocuments (Row is a tuple
+    subclass — the dedicated branch must win), and DateType / Decimal
+    fail loud with guidance instead of a bare json error."""
+    import json as jsonlib
+    from datetime import date
+
+    import pytest
+
+    from mongo2pq_spark.sources.mongodump import (
+        register_mongodump_source,
+        wrap_extended_json,
+    )
+
+    register_mongodump_source(spark)
+    ddl = "k long, s struct<a:int,b:string>"
+    df = spark.createDataFrame([(1, (7, "x"))], ddl)
+    out = str(tmp_path / "dump")
+    df.write.format("mongodump").mode("overwrite").save(out)
+    lines = []
+    for f in sorted((tmp_path / "dump").glob("part-*")):
+        lines += [l for l in f.read_text().splitlines() if l]
+    assert jsonlib.loads(lines[0])["s"] == {"a": 7, "b": "x"}
+    # flatten=true reads it back as dotted paths — the round trip the
+    # reader advertises for subdocuments
+    back = (
+        spark.read.format("mongodump")
+        .schema("k long, `s.a` int, `s.b` string")
+        .option("flatten", "true")
+        .load(out)
+    )
+    assert [tuple(r) for r in back.collect()] == [(1, 7, "x")]
+
+    from decimal import Decimal
+
+    with pytest.raises(TypeError, match="DateType"):
+        wrap_extended_json(date(2024, 1, 2))
+    with pytest.raises(TypeError, match="Decimal"):
+        wrap_extended_json(Decimal("1.5"))

@@ -2945,3 +2945,43 @@ def test_weighted_priority_sample_overrepresents_heavy(spark, sf_dir):
         .agg(F.avg("n_chars")).first()[0]
     )
     assert m_sample > m_corpus * 1.1, (m_sample, m_corpus)
+
+
+def test_inverted_index_absorbed_batch_retry_excluded(spark, tmp_path):
+    """A batch folded into batch=c0 and then RE-WRITTEN by a retried
+    producer run must be a no-op: without the absorbed-token record
+    the retry would append its postings next to c0 and permanently
+    double every df/tf."""
+    from mongo2pq_spark.operators.text import (
+        consolidate_inverted_index,
+        query_postings,
+        write_inverted_index,
+    )
+
+    store = tmp_path / "idx"
+    docs = spark.createDataFrame(
+        [(i, "apple shared") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    write_inverted_index(docs, str(store), batch_token="t1")
+    want = sorted(
+        tuple(r)
+        for r in query_postings(spark, str(store), ["apple"]).collect()
+    )
+    consolidate_inverted_index(spark, str(store))
+    # retried producer re-computes the SAME token and re-writes
+    write_inverted_index(docs, str(store), batch_token="t1")
+    got = sorted(
+        tuple(r)
+        for r in query_postings(spark, str(store), ["apple"]).collect()
+    )
+    assert got == want  # no duplicated postings
+    # and the absorbed record survives a SECOND consolidation
+    consolidate_inverted_index(spark, str(store))
+    write_inverted_index(docs, str(store), batch_token="t1")
+    assert sorted(
+        tuple(r)
+        for r in query_postings(spark, str(store), ["apple"]).collect()
+    ) == want
+
+
