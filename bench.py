@@ -96,6 +96,10 @@ HEADLINE = [
     # timings land with the r12 sessions (same as every post-bench
     # registration in earlier rounds)
     "el_inverted_index_roundtrip",
+    # round-11 third-continuation addition (no pinned baseline yet;
+    # tracked for trend): hybrid RRF fusion — tokenize + BM25 scoring
+    # + broadcast cosine + bounded fusion join
+    "retrieval_rrf_fusion",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -471,6 +471,34 @@ def bm25_from_tf(
         [(q, t) for q, terms in queries.items() for t in terms],
         "query_id string, term string",
     )
+    scored = bm25_scores(tf, qterms, id_col=id_col, k1=k1, b=b)
+    from mongo2pq_spark.operators.joins import salted_topk
+
+    return salted_topk(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col(id_col)],
+        top_k,
+        salt_src=F.col(id_col),
+    ).select("query_id", id_col, "score", "rank")
+
+
+def bm25_scores(
+    tf: DataFrame,
+    qterms: DataFrame,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-(query, doc) BM25 scores over a (id, term, tf) table for a
+    ``(query_id string, term string)`` query-term table — the scoring
+    core behind ``bm25_from_tf`` (literal query sets) and the hybrid
+    retrieval fusion (query-by-example term tables). ``qterms`` must be
+    small relative to the corpus (a query workload, not a table scan):
+    it is broadcast, so the tf table is pruned to matching terms before
+    any scoring work. Scores round to 6 dp (the engine-portable
+    ordering contract); ranking/tiebreaks are the CALLER's, so top-k
+    depth and exclusion rules stay out of the scoring core."""
     from mongo2pq_spark.operators.cache import cache_stream
 
     tf = cache_stream(tf)  # feeds doc lengths, df counts AND scoring
@@ -484,7 +512,7 @@ def bm25_from_tf(
     docfreq = qtf.groupBy("query_id", "term").agg(
         F.count("*").alias("df")
     )
-    scored = (
+    return (
         qtf.join(F.broadcast(docfreq), ["query_id", "term"])
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
@@ -508,15 +536,6 @@ def bm25_from_tf(
         .groupBy("query_id", id_col)
         .agg(F.round(F.sum("w"), 6).alias("score"))
     )
-    from mongo2pq_spark.operators.joins import salted_topk
-
-    return salted_topk(
-        scored,
-        ["query_id"],
-        [F.col("score").desc(), F.col(id_col)],
-        top_k,
-        salt_src=F.col(id_col),
-    ).select("query_id", id_col, "score", "rank")
 
 
 def write_inverted_index(

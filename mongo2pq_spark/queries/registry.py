@@ -267,6 +267,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # original table (export must be value-lossless, µs timestamps
     # included)
     "el_mongodump_export_roundtrip",
+    # r11 third continuation: hybrid retrieval — reciprocal-rank
+    # fusion (k=60) of BM25 and exact-cosine rankings for 3 query-by-
+    # example docs (full value oracle mirrors both rankings + the
+    # fusion)
+    "retrieval_rrf_fusion",
 ]
 
 

@@ -488,3 +488,128 @@ def embedding_covariance(spark, sf_dir):
 
     emb = read_sf_table(spark, sf_dir, "embeddings")
     return ops.embedding_covariance(emb)
+
+
+#: fixed query-by-example documents for the hybrid retrieval surface
+#: (ids exist at every scale factor; the SAME literals are baked into
+#: the oracle SQL below)
+RRF_EXAMPLES = [7, 123, 321]
+_RRF_DEPTH = 50
+_RRF_K = 60
+_RRF_TOPN = 10
+
+
+def _rrf_oracle() -> str:
+    from mongo2pq_spark.functions.textfns import sql_tokens
+
+    ex_values = ", ".join(f"('ex{i}', {i})" for i in RRF_EXAMPLES)
+    return f"""
+    WITH ex(query_id, qid) AS (VALUES {ex_values}),
+    toks AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    q AS (
+        SELECT ex.query_id, ex.qid, tf.term
+        FROM tf JOIN ex ON tf.doc_id = ex.qid
+    ),
+    docfreq AS (
+        SELECT q.query_id, q.term, count(*) AS df
+        FROM tf JOIN q ON tf.term = q.term GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT q.query_id, q.qid, tf.doc_id,
+               round(sum(
+                   ln(1.0 + (stats.n_docs - docfreq.df + 0.5)
+                          / (docfreq.df + 0.5))
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                      + 0.75 * dl.dl / stats.avgdl))
+               ), 6) AS score
+        FROM tf
+        JOIN q ON tf.term = q.term
+        JOIN docfreq ON q.query_id = docfreq.query_id
+                    AND q.term = docfreq.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY q.query_id, q.qid, tf.doc_id
+    ),
+    lex AS (
+        SELECT query_id, doc_id, rank AS lex_rank FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id
+                   ) AS rank
+            FROM scored WHERE doc_id <> qid
+        ) WHERE rank <= {_RRF_DEPTH}
+    ),
+    dense AS (
+        SELECT query_id, doc_id, rank AS dense_rank FROM (
+            SELECT ex.query_id, e.vec_id AS doc_id,
+                   row_number() OVER (
+                       PARTITION BY ex.query_id
+                       ORDER BY round({_sql_cosine('qe.embedding',
+                                                   'e.embedding')}, 6)
+                                DESC, e.vec_id
+                   ) AS rank
+            FROM ex
+            JOIN embeddings qe ON qe.vec_id = ex.qid
+            CROSS JOIN embeddings e
+            WHERE e.vec_id <> ex.qid
+        ) WHERE rank <= {_RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT coalesce(l.query_id, d.query_id) AS query_id,
+               coalesce(l.doc_id, d.doc_id) AS doc_id,
+               l.lex_rank, d.dense_rank,
+               round(coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+                     + coalesce(1.0 / ({_RRF_K} + d.dense_rank), 0.0),
+                     9) AS rrf_score
+        FROM lex l FULL OUTER JOIN dense d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, rank, lex_rank, dense_rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, doc_id
+               ) AS rank
+        FROM fused
+    ) WHERE rank <= {_RRF_TOPN}
+    """
+
+
+@register(
+    "retrieval_rrf_fusion",
+    _rrf_oracle(),
+    doc="hybrid retrieval: reciprocal-rank fusion (k=60) of BM25 and "
+        "exact-cosine rankings for 3 query-by-example documents — "
+        "each example's distinct tokens form its sparse query and its "
+        "embedding its dense query, both rankings truncated at depth "
+        "50 with the example excluded, fused over the candidate UNION "
+        "(absent rank contributes 0), top-10 emitted. Composes the "
+        "BM25 scoring core with cosine_topk: one cached tokenize "
+        "pass, broadcast query terms, two-phase salted lexical top-k, "
+        "broadcast example vectors (corpus never shuffled); fusion "
+        "joins two pre-truncated <=150-row rankings, so its full-"
+        "outer join and final window are bounded by construction. "
+        "rrf_score rounds to 9 dp before ranking, ties break on "
+        "doc_id; lex_rank/dense_rank are NULL where one side did not "
+        "surface the candidate",
+)
+def retrieval_rrf_fusion(spark, sf_dir):
+    from mongo2pq_spark.operators.retrieval import hybrid_rrf_topk
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(
+        docs,
+        emb,
+        RRF_EXAMPLES,
+        depth=_RRF_DEPTH,
+        rrf_k=_RRF_K,
+        top_n=_RRF_TOPN,
+    )

@@ -2985,3 +2985,56 @@ def test_inverted_index_absorbed_batch_retry_excluded(spark, tmp_path):
     ) == want
 
 
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF fusion on a hand-built corpus: a candidate surfaced by BOTH
+    sides outranks equally-placed one-sided candidates; one-sided
+    candidates carry a NULL rank for the absent side and exactly
+    1/(k+rank) of fused score; the example doc never appears."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.retrieval import hybrid_rrf_topk
+
+    # doc 0 is the example. doc 1 shares its exact text (lexical hit)
+    # AND its embedding direction (dense hit); doc 2 shares only text;
+    # doc 3 shares only the embedding; doc 4 is unrelated on both.
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma delta"),
+            (3, "zig zag"),
+            (4, "unrelated words entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.95, 0.05, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = hybrid_rrf_topk(
+        docs, emb, [0], depth=3, rrf_k=60, top_n=5
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert 0 not in rows  # example excluded from its own results
+    assert all(r["query_id"] == "ex0" for r in out)
+    # doc 1: lexical rank 1 (identical text) and dense rank 1 or 2
+    assert rows[1]["lex_rank"] == 1 and rows[1]["dense_rank"] is not None
+    # doc 3: no query term overlap -> lexical side absent
+    assert rows[3]["lex_rank"] is None and rows[3]["dense_rank"] is not None
+    # one-sided scores are exactly the single reciprocal
+    r3 = rows[3]
+    assert abs(r3["rrf_score"] - 1.0 / (60 + r3["dense_rank"])) < 1e-9
+    # two-sided fusion dominates: doc 1 must rank first overall
+    assert rows[1]["rank"] == 1
+    # fused score equals the sum of its two reciprocals
+    r1 = rows[1]
+    want = 1.0 / (60 + r1["lex_rank"]) + 1.0 / (60 + r1["dense_rank"])
+    assert abs(r1["rrf_score"] - want) < 1e-9
+    # ranks are contiguous from 1 per query
+    assert sorted(r["rank"] for r in out) == list(range(1, len(out) + 1))
