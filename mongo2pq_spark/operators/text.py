@@ -757,3 +757,63 @@ def consolidate_inverted_index(spark, index_dir: str) -> None:
             jsonlib.dump(sorted(absorbed), fh)
 
     replace_dir(root, writer)
+
+
+def phrase_matches(
+    df: DataFrame,
+    phrases: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search over a document corpus for a fixed phrase
+    set — the positional-retrieval surface BM25's bag-of-words scoring
+    cannot express ("slow hash batch" must match only consecutive,
+    in-order occurrences).
+
+    Algorithm is the classic positional-index ANCHOR reduction: every
+    occurrence of phrase term i at token position p votes for anchor
+    p − i; an anchor where ALL |phrase| distinct offsets voted is an
+    exact match starting there. One aggregation replaces the naive
+    (|phrase| − 1)-way self-join chain, and repeated phrase terms
+    ("value value") fall out correctly because each occurrence votes
+    once per offset the term holds.
+
+    Shape at scale: one posexplode pass; the literal phrase-term table
+    broadcasts and prunes positions to phrase vocabulary BEFORE any
+    shuffle; the anchor aggregation keys on (query, doc, anchor) —
+    cardinality ~matching tokens, hash-distributed with no skewable
+    low-cardinality key (doc_id is in the key); the per-doc rollup is
+    a second partial-agg groupBy. No windows, no self-joins.
+
+    Output: (query_id, doc_id, n_matches, first_pos) for documents
+    with ≥ 1 exact occurrence; positions are 0-based token offsets.
+    """
+    rows = [
+        (q, t, i, len(terms))
+        for q, terms in phrases.items()
+        for i, t in enumerate(terms)
+    ]
+    qterms = df.sparkSession.createDataFrame(
+        rows, "query_id string, term string, off int, n_terms int"
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+    j = toks.join(F.broadcast(qterms), "term")
+    anchors = (
+        j.groupBy(
+            "query_id",
+            id_col,
+            (F.col("pos") - F.col("off")).alias("anchor"),
+        )
+        .agg(
+            F.countDistinct("off").alias("k"),
+            F.first("n_terms").alias("n_terms"),
+        )
+        .filter(F.col("k") == F.col("n_terms"))
+    )
+    return anchors.groupBy("query_id", id_col).agg(
+        F.count("*").cast("bigint").alias("n_matches"),
+        F.min("anchor").cast("bigint").alias("first_pos"),
+    )

@@ -272,6 +272,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # example docs (full value oracle mirrors both rankings + the
     # fusion)
     "retrieval_rrf_fusion",
+    # r11 third continuation: exact phrase search via the positional
+    # anchor reduction (one aggregation, repeated-term phrases
+    # correct; full value oracle mirrors the anchor construction)
+    "text_phrase_matches",
 ]
 
 

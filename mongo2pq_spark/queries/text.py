@@ -735,3 +735,64 @@ def el_index_bm25_topk(spark, sf_dir):
     return bm25_from_tf(
         tf, BM25_QUERIES, k1=_BM25_K1, b=_BM25_B, top_k=_BM25_TOPK
     ).select("query_id", "doc_id", "score", "rank")
+
+
+#: fixed phrase-query set (phrases drawn from the synthetic corpus so
+#: every query has nonzero matches; 'value value' exercises the
+#: repeated-term offset edge); the SAME literals are baked into the
+#: oracle SQL below
+PHRASE_QUERIES: dict[str, list[str]] = {
+    "p_table_hash": ["table", "hash"],
+    "p_value_value": ["value", "value"],
+    "p_slow_hash_batch": ["slow", "hash", "batch"],
+    "p_window_fast_query": ["window", "fast", "query"],
+}
+
+
+def _phrase_oracle() -> str:
+    values = ", ".join(
+        f"('{q}', '{t}', {i}, {len(terms)})"
+        for q, terms in PHRASE_QUERIES.items()
+        for i, t in enumerate(terms)
+    )
+    return f"""
+    WITH q(query_id, term, off, n_terms) AS (VALUES {values}),
+    toks AS (
+        SELECT doc_id,
+               unnest({sql_tokens('text')}) AS term,
+               generate_subscripts({sql_tokens('text')}, 1) - 1 AS pos
+        FROM documents
+    ),
+    anch AS (
+        SELECT q.query_id, t.doc_id, t.pos - q.off AS anchor,
+               count(DISTINCT q.off) AS k, min(q.n_terms) AS n_terms
+        FROM toks t JOIN q ON t.term = q.term
+        GROUP BY 1, 2, 3
+    )
+    SELECT query_id, doc_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(anchor) AS BIGINT) AS first_pos
+    FROM anch WHERE k = n_terms
+    GROUP BY query_id, doc_id
+    """
+
+
+@register(
+    "text_phrase_matches",
+    _phrase_oracle(),
+    doc="exact phrase search for a fixed 4-phrase set via the "
+        "positional-index anchor reduction: each occurrence of phrase "
+        "term i at token position p votes for anchor p-i, and an "
+        "anchor with all |phrase| distinct offsets voting is an exact "
+        "in-order match — ONE aggregation instead of the naive "
+        "(|phrase|-1)-way positional self-join; repeated phrase terms "
+        "('value value') vote once per offset they hold. One "
+        "posexplode pass, broadcast literal phrase terms prune before "
+        "the shuffle, anchor groupBy keys include doc_id (no skew), "
+        "no windows",
+)
+def text_phrase_matches(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.phrase_matches(docs, PHRASE_QUERIES)

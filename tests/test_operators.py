@@ -3038,3 +3038,33 @@ def test_hybrid_rrf_fusion_semantics(spark):
     assert abs(r1["rrf_score"] - want) < 1e-9
     # ranks are contiguous from 1 per query
     assert sorted(r["rank"] for r in out) == list(range(1, len(out) + 1))
+
+
+def test_phrase_matches_anchor_edges(spark):
+    """Anchor-reduction edges: overlapping occurrences both count
+    ('x x x' holds TWO 'x x' matches), repeated-term phrases need
+    genuinely consecutive tokens, out-of-order and gapped term pairs
+    never match, and positions are 0-based."""
+    from mongo2pq_spark.operators.text import phrase_matches
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),        # exact match at 0
+            (2, "b a c"),        # both terms, wrong order
+            (3, "a z b"),        # both terms, gap
+            (4, "x x x"),        # overlapping repeated-term matches
+            (5, "x y x"),        # 'x' twice but never consecutive
+            (6, "z a b"),        # match at nonzero position
+        ],
+        "doc_id bigint, text string",
+    )
+    out = phrase_matches(
+        docs, {"ab": ["a", "b"], "xx": ["x", "x"]}
+    ).collect()
+    got = {(r["query_id"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+           for r in out}
+    assert got == {
+        ("ab", 1): (1, 0),
+        ("ab", 6): (1, 1),
+        ("xx", 4): (2, 0),  # anchors 0 and 1 both full matches
+    }
