@@ -545,6 +545,7 @@ def write_inverted_index(
     text_col: str = "text",
     n_shards: int = 16,
     batch_token: str = "b0",
+    positions: bool = False,
 ) -> None:
     """Export a retrieval inverted index as a parquet artifact: one row
     per (term, shard) holding the shard's posting list — sorted doc
@@ -570,6 +571,15 @@ def write_inverted_index(
     retries are idempotent. ``query_postings`` probes across all
     batches; ``consolidate_inverted_index`` folds them back into one
     via the audited crash-safe swap.
+
+    ``positions=True`` makes the index POSITIONAL: each posting also
+    carries the sorted 0-based token positions of the term in the doc
+    (``pos_lists``), enabling exact phrase queries served from the
+    artifact (``phrase_query_index``). Positions are stored absolute,
+    not gap-encoded — they are already small ints bounded by document
+    token length (unlike 64-bit doc ids), so delta gains are marginal
+    and the decode stays array-local. A store is positional or not
+    from its first batch; do not mix within one store.
     """
     import os
     from pathlib import Path
@@ -588,11 +598,21 @@ def write_inverted_index(
         # duplicate every posting, and consolidation (a pure regroup)
         # would bake the duplicates in
         return
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
-    )
-    tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    if positions:
+        toks = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+        )
+        tf = toks.groupBy("term", "doc_id").agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    else:
+        toks = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
     out = _encode_postings(tf, n_shards)
     (
         out.repartitionByRange(max(df.sparkSession.sparkContext.defaultParallelism, 4), "term")
@@ -606,14 +626,21 @@ def _encode_postings(tf: DataFrame, n_shards: int | None = None) -> DataFrame:
     """(term, doc_id, tf) rows → encoded posting rows (term, shard,
     df_shard, doc_id_deltas, tfs). The single definition of the gap
     encoding — write and consolidate must never diverge. With
-    ``n_shards`` None the input already carries a ``shard`` column."""
+    ``n_shards`` None the input already carries a ``shard`` column.
+    A ``positions`` column (sorted array<int> per posting), when
+    present, rides along as a parallel ``pos_lists`` array — the
+    positional-index variant."""
     sharded = (
         tf.withColumn("shard", (F.col("doc_id") % n_shards).cast("int"))
         if n_shards is not None
         else tf
     )
+    positional = "positions" in sharded.columns
+    struct_cols = ["doc_id", "tf"] + (["positions"] if positional else [])
+    # doc_id is unique within (term, shard), so struct sort order never
+    # reaches the array field
     postings = sharded.groupBy("term", "shard").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("__p")
+        F.sort_array(F.collect_list(F.struct(*struct_cols))).alias("__p")
     )
     ids = F.transform(F.col("__p"), lambda s: s["doc_id"])
     prev = F.concat(F.array(F.lit(None).cast("bigint")), ids)
@@ -627,13 +654,20 @@ def _encode_postings(tf: DataFrame, n_shards: int | None = None) -> DataFrame:
         1,
         F.size("__p"),
     )
-    return postings.select(
-        "term",
-        "shard",
+    out_cols = [
+        F.col("term"),
+        F.col("shard"),
         F.size("__p").cast("bigint").alias("df_shard"),
         deltas.alias("doc_id_deltas"),
         F.transform(F.col("__p"), lambda s: s["tf"]).alias("tfs"),
-    )
+    ]
+    if positional:
+        out_cols.append(
+            F.transform(F.col("__p"), lambda s: s["positions"]).alias(
+                "pos_lists"
+            )
+        )
+    return postings.select(*out_cols)
 
 
 def _decode_postings(idx: DataFrame, keep_shard: bool = False) -> DataFrame:
@@ -647,15 +681,16 @@ def _decode_postings(idx: DataFrame, keep_shard: bool = False) -> DataFrame:
     never leaks across batches."""
     from pyspark.sql import Window
 
+    positional = "pos_lists" in idx.columns
+    zipped = [
+        F.col("doc_id_deltas").alias("d"),
+        F.col("tfs").alias("tf"),
+    ] + ([F.col("pos_lists").alias("ps")] if positional else [])
     ex = idx.select(
         "term",
         "shard",
         F.col("batch"),
-        F.posexplode(
-            F.arrays_zip(
-                F.col("doc_id_deltas").alias("d"), F.col("tfs").alias("tf")
-            )
-        ).alias("pos", "z"),
+        F.posexplode(F.arrays_zip(*zipped)).alias("pos", "z"),
     )
     w = (
         Window.partitionBy("batch", "term", "shard")
@@ -667,6 +702,7 @@ def _decode_postings(idx: DataFrame, keep_shard: bool = False) -> DataFrame:
         *cols,
         F.sum(F.col("z.d")).over(w).alias("doc_id"),
         F.col("z.tf").alias("tf"),
+        *([F.col("z.ps").alias("positions")] if positional else []),
     )
 
 
@@ -693,6 +729,31 @@ def query_postings(
     if terms is not None:
         idx = idx.filter(F.col("term").isin(terms))
     return _decode_postings(idx)
+
+
+def phrase_query_index(
+    spark, index_dir: str, phrases: dict[str, list[str]]
+) -> DataFrame:
+    """Exact phrase search served FROM a positional index artifact
+    (``write_inverted_index(..., positions=True)``): the probe prunes
+    the parquet scan to the phrase vocabulary (term-equality pushdown
+    over the term-range layout), decodes only those postings'
+    position lists, and runs the same anchor reduction as the
+    from-text ``phrase_matches`` — the two faces must answer
+    identically, which is the registered query's oracle. Never
+    touches raw text: the per-query scan cost is the phrase terms'
+    postings, not the corpus."""
+    vocab = sorted({t for terms in phrases.values() for t in terms})
+    decoded = query_postings(spark, index_dir, vocab)
+    if "positions" not in decoded.columns:
+        raise ValueError(
+            "phrase_query_index needs a POSITIONAL index (written "
+            "with positions=True); this artifact has no pos_lists"
+        )
+    tokpos = decoded.select(
+        "doc_id", "term", F.explode("positions").alias("pos")
+    )
+    return _phrase_anchor_matches(tokpos, phrases)
 
 
 def _absorbed_tokens(index_dir: str) -> set[str]:
@@ -788,19 +849,32 @@ def phrase_matches(
     Output: (query_id, doc_id, n_matches, first_pos) for documents
     with ≥ 1 exact occurrence; positions are 0-based token offsets.
     """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+    return _phrase_anchor_matches(toks, phrases, id_col=id_col)
+
+
+def _phrase_anchor_matches(
+    tokpos: DataFrame,
+    phrases: dict[str, list[str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The anchor reduction over a (id, pos, term) position table —
+    shared by ``phrase_matches`` (positions from tokenization) and
+    ``phrase_query_index`` (positions decoded from the positional
+    index artifact); both faces MUST rank identically, which is each
+    one's oracle."""
     rows = [
         (q, t, i, len(terms))
         for q, terms in phrases.items()
         for i, t in enumerate(terms)
     ]
-    qterms = df.sparkSession.createDataFrame(
+    qterms = tokpos.sparkSession.createDataFrame(
         rows, "query_id string, term string, off int, n_terms int"
     )
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
-    )
-    j = toks.join(F.broadcast(qterms), "term")
+    j = tokpos.join(F.broadcast(qterms), "term")
     anchors = (
         j.groupBy(
             "query_id",

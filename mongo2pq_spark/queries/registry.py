@@ -276,6 +276,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # anchor reduction (one aggregation, repeated-term phrases
     # correct; full value oracle mirrors the anchor construction)
     "text_phrase_matches",
+    # r11 third continuation: phrase search served FROM the
+    # positional index artifact (positions ride the delta-encoded
+    # postings through write/probe/consolidate; oracle = the from-
+    # text phrase oracle verbatim)
+    "el_index_phrase_matches",
 ]
 
 

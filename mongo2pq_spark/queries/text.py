@@ -796,3 +796,33 @@ def text_phrase_matches(spark, sf_dir):
 
     docs = read_sf_table(spark, sf_dir, "documents")
     return ops.phrase_matches(docs, PHRASE_QUERIES)
+
+
+@register(
+    "el_index_phrase_matches",
+    _phrase_oracle(),
+    doc="exact phrase search served FROM the positional inverted-"
+        "index artifact (positions=True postings carry each term's "
+        "sorted 0-based token positions): the probe prunes the scan "
+        "to the 4 phrases' vocabulary via term-equality pushdown, "
+        "decodes only those position lists, and runs the same anchor "
+        "reduction as text_phrase_matches — oracle is the from-text "
+        "phrase oracle VERBATIM, so index-served must equal "
+        "text-served on every row (value-lossless positional "
+        "round trip)",
+)
+def el_index_phrase_matches(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo2pq_spark.operators.text import (
+        phrase_query_index,
+        write_inverted_index,
+    )
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    # fixed path, overwritten each run (the el_ queries' precedent)
+    out = os.path.join(tempfile.gettempdir(), "el_positional_index")
+    write_inverted_index(docs, out, positions=True)
+    return phrase_query_index(spark, out, PHRASE_QUERIES)

@@ -3068,3 +3068,66 @@ def test_phrase_matches_anchor_edges(spark):
         ("ab", 6): (1, 1),
         ("xx", 4): (2, 0),  # anchors 0 and 1 both full matches
     }
+
+
+def test_positional_index_roundtrip_and_consolidation(spark, tmp_path):
+    """Positional postings survive the full store lifecycle: decode
+    returns exactly the tokenizer's positions, incremental batches
+    union correctly, and consolidation to batch=c0 re-encodes the
+    position lists losslessly (phrase answers unchanged)."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.text import (
+        consolidate_inverted_index,
+        phrase_query_index,
+        write_inverted_index,
+    )
+
+    store = tmp_path / "pidx"
+    b1 = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a")],
+        "doc_id bigint, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "a b c a b")],
+        "doc_id bigint, text string",
+    )
+    write_inverted_index(b1, str(store), positions=True, batch_token="t1")
+    write_inverted_index(b2, str(store), positions=True, batch_token="t2")
+
+    phrases = {"ab": ["a", "b"], "ba": ["b", "a"]}
+
+    def probe():
+        return sorted(
+            tuple(r)
+            for r in phrase_query_index(spark, str(store), phrases)
+            .select("query_id", "doc_id", "n_matches", "first_pos")
+            .collect()
+        )
+
+    want = [
+        ("ab", 1, 2, 0),  # "a b a b": matches at 0 and 2
+        ("ab", 3, 2, 0),  # "a b c a b": matches at 0 and 3
+        ("ba", 1, 1, 1),  # "a b a b": b a at 1
+        ("ba", 2, 1, 0),
+    ]
+    assert probe() == want
+    consolidate_inverted_index(spark, str(store))
+    assert [p.name for p in store.glob("batch=*")] == ["batch=c0"]
+    assert probe() == want
+    # decoded positions equal the tokenizer's ground truth
+    from mongo2pq_spark.operators.text import query_postings
+
+    got = {
+        (r["term"], r["doc_id"]): list(r["positions"])
+        for r in query_postings(spark, str(store), ["a", "b"]).collect()
+    }
+    assert got[("a", 1)] == [0, 2] and got[("b", 1)] == [1, 3]
+    assert got[("a", 3)] == [0, 3] and got[("b", 3)] == [1, 4]
+    # a non-positional store refuses phrase service with guidance
+    import pytest
+
+    flat = tmp_path / "flat"
+    write_inverted_index(b1, str(flat))
+    with pytest.raises(ValueError, match="POSITIONAL"):
+        phrase_query_index(spark, str(flat), phrases)
