@@ -583,3 +583,189 @@ def text_bigram_logprob(spark, sf_dir):
         F.sum("tf").cast("bigint").alias("n_bigrams"),
         F.round(F.sum(neg) / F.sum("tf"), 6).alias("avg_neg_logp"),
     )
+
+
+@register(
+    "text_trigram_backoff",
+    f"""
+    WITH train AS (
+        SELECT {sql_tokens('text')} AS t FROM documents
+        WHERE doc_id % 5 <> 0
+    ),
+    score AS (
+        SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+        WHERE doc_id % 5 = 0
+    ),
+    tri_c AS (
+        SELECT tg, count(*) AS c3
+        FROM (SELECT unnest({sql_word_shingles('t', 3)}) AS tg FROM train)
+        GROUP BY 1
+    ),
+    bi_c AS (
+        SELECT bg, count(*) AS c2
+        FROM (SELECT unnest({sql_word_shingles('t', 2)}) AS bg FROM train)
+        GROUP BY 1
+    ),
+    uni_c AS (
+        SELECT w, count(*) AS c1
+        FROM (SELECT unnest(t) AS w FROM train) q(w)
+        GROUP BY 1
+    ),
+    stats AS (
+        SELECT sum(c1) AS n, count(*) AS v FROM uni_c
+    ),
+    dt AS (
+        SELECT doc_id, tg, count(*) AS tf,
+               string_split(tg, ' ')[1] || ' ' || string_split(tg, ' ')[2]
+                   AS ctx12,
+               string_split(tg, ' ')[2] || ' ' || string_split(tg, ' ')[3]
+                   AS b23,
+               string_split(tg, ' ')[2] AS w2,
+               string_split(tg, ' ')[3] AS w3
+        FROM (SELECT doc_id, unnest({sql_word_shingles('t', 3)}) AS tg
+              FROM score)
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT dt.doc_id, dt.tf,
+               CASE
+                   WHEN t3.c3 IS NOT NULL
+                       THEN CAST(t3.c3 AS DOUBLE) / bctx.c2
+                   WHEN b23c.c2 IS NOT NULL
+                       THEN 0.4 * CAST(b23c.c2 AS DOUBLE) / u2.c1
+                   ELSE 0.16 * (CAST(coalesce(u3.c1, 0) AS DOUBLE) + 1)
+                        / (stats.n + stats.v)
+               END AS sb,
+               CASE WHEN t3.c3 IS NULL THEN dt.tf ELSE 0 END AS backed
+        FROM dt
+        LEFT JOIN tri_c t3 ON dt.tg = t3.tg
+        LEFT JOIN bi_c bctx ON dt.ctx12 = bctx.bg
+        LEFT JOIN bi_c b23c ON dt.b23 = b23c.bg
+        LEFT JOIN uni_c u2 ON dt.w2 = u2.w
+        LEFT JOIN uni_c u3 ON dt.w3 = u3.w
+        CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_trigrams,
+           round(sum(tf * -ln(sb)) / sum(tf), 6) AS avg_neg_logp,
+           round(CAST(sum(backed) AS DOUBLE) / sum(tf), 6)
+               AS backoff_frac
+    FROM s GROUP BY doc_id
+    """,
+    doc="stupid-backoff trigram LM (Brants et al. 2007, the web-scale "
+        "LM scoring that skips normalization): docs with doc_id%5==0 "
+        "are scored against counts from the OTHER 80% — a held-out "
+        "split, so backoff genuinely fires (self-scoring would make "
+        "every trigram seen). S(w3|w1w2) = c3/c2(ctx) when the "
+        "trigram is attested, else 0.4*c2(w2w3)/c1(w2), else "
+        "0.4^2*(c1(w3)+1)/(N+V) (add-1 floor keeps OOV finite). "
+        "Shape: count tables derive from one tokenize pass each, "
+        "scoring joins are all equi-joins on n-gram keys (AQE "
+        "decides broadcast; vocab too big to assume it at 100 TB), "
+        "1-row N/V broadcast, one final doc agg. backoff_frac = "
+        "fraction of trigram tokens that fell below the full "
+        "trigram — the score's reliability diagnostic",
+)
+def text_trigram_backoff(spark, sf_dir):
+    from mongo2pq_spark.operators.cache import cache_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0).select(
+        tokens(F.col("text")).alias("t")
+    )
+    score = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    tri_c = (
+        train.select(F.explode(word_shingles(F.col("t"), 3)).alias("tg"))
+        .groupBy("tg")
+        .agg(F.count("*").alias("c3"))
+    )
+    bi_c = cache_stream(
+        train.select(F.explode(word_shingles(F.col("t"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c2"))
+    )
+    uni_c = cache_stream(
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    stats = uni_c.agg(
+        F.sum("c1").alias("n"), F.count("*").alias("v")
+    )
+    parts = F.split(F.col("tg"), " ")
+    dt = (
+        score.select(
+            "doc_id", F.explode(word_shingles(F.col("t"), 3)).alias("tg")
+        )
+        .groupBy("doc_id", "tg")
+        .agg(F.count("*").alias("tf"))
+        .select(
+            "doc_id",
+            "tg",
+            "tf",
+            F.concat_ws(" ", parts[0], parts[1]).alias("ctx12"),
+            F.concat_ws(" ", parts[1], parts[2]).alias("b23"),
+            parts[1].alias("w2"),
+            parts[2].alias("w3"),
+        )
+    )
+    j = (
+        dt.join(tri_c.withColumnRenamed("tg", "tg3"),
+                F.col("tg") == F.col("tg3"), "left")
+        .join(
+            bi_c.select(
+                F.col("bg").alias("ctx_bg"), F.col("c2").alias("cctx")
+            ),
+            F.col("ctx12") == F.col("ctx_bg"),
+            "left",
+        )
+        .join(
+            bi_c.select(
+                F.col("bg").alias("b23_bg"), F.col("c2").alias("cb23")
+            ),
+            F.col("b23") == F.col("b23_bg"),
+            "left",
+        )
+        .join(
+            uni_c.select(F.col("w").alias("u2_w"), F.col("c1").alias("cw2")),
+            F.col("w2") == F.col("u2_w"),
+            "left",
+        )
+        .join(
+            uni_c.select(F.col("w").alias("u3_w"), F.col("c1").alias("cw3")),
+            F.col("w3") == F.col("u3_w"),
+            "left",
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+    sb = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("cctx"),
+        )
+        .when(
+            F.col("cb23").isNotNull(),
+            0.4 * F.col("cb23").cast("double") / F.col("cw2"),
+        )
+        .otherwise(
+            0.16
+            * (F.coalesce(F.col("cw3"), F.lit(0)).cast("double") + 1)
+            / (F.col("n") + F.col("v"))
+        )
+    )
+    backed = F.when(F.col("c3").isNull(), F.col("tf")).otherwise(F.lit(0))
+    return (
+        j.select("doc_id", "tf", sb.alias("sb"), backed.alias("backed"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_trigrams"),
+            F.round(
+                F.sum(F.col("tf") * -F.log("sb")) / F.sum("tf"), 6
+            ).alias("avg_neg_logp"),
+            F.round(
+                F.sum("backed").cast("double") / F.sum("tf"), 6
+            ).alias("backoff_frac"),
+        )
+    )

@@ -281,6 +281,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # postings through write/probe/consolidate; oracle = the from-
     # text phrase oracle verbatim)
     "el_index_phrase_matches",
+    # r11 third continuation: stupid-backoff trigram LM on a held-out
+    # 80/20 split so backoff genuinely fires (full value oracle +
+    # differential Python-model test covering the tiers)
+    "text_trigram_backoff",
 ]
 
 

@@ -3131,3 +3131,72 @@ def test_positional_index_roundtrip_and_consolidation(spark, tmp_path):
     write_inverted_index(b1, str(flat))
     with pytest.raises(ValueError, match="POSITIONAL"):
         phrase_query_index(spark, str(flat), phrases)
+
+
+def test_trigram_backoff_tiers_match_python_model(spark, sf_dir):
+    """Differential test on the real corpus slice: the registered
+    stupid-backoff query must equal a direct Python model, and the
+    fixture corpus must exercise at least the full-trigram tier plus
+    one backoff tier (else the test is vacuous)."""
+    import math
+    from collections import Counter
+
+    from mongo2pq_spark.queries.registry import load_all
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    spec = load_all()["text_trigram_backoff"]
+    got = {
+        r["doc_id"]: (
+            r["n_trigrams"],
+            r["avg_neg_logp"],
+            r["backoff_frac"],
+        )
+        for r in spec.fn(spark, sf_dir).collect()
+    }
+
+    rows = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    tri, bi, uni = Counter(), Counter(), Counter()
+    for r in rows:
+        if r["doc_id"] % 5 == 0:
+            continue
+        t = r["text"].split()
+        uni.update(t)
+        bi.update(tuple(t[i:i + 2]) for i in range(len(t) - 1))
+        tri.update(tuple(t[i:i + 3]) for i in range(len(t) - 2))
+    n, v = sum(uni.values()), len(uni)
+    tiers = set()
+    want = {}
+    for r in rows:
+        if r["doc_id"] % 5 != 0:
+            continue
+        t = r["text"].split()
+        tgs = [tuple(t[i:i + 3]) for i in range(len(t) - 2)]
+        if not tgs:
+            continue
+        s_sum = backed = 0.0
+        for tg in tgs:
+            if tg in tri:
+                s = tri[tg] / bi[tg[:2]]
+                tiers.add(3)
+            elif tg[1:] in bi:
+                s = 0.4 * bi[tg[1:]] / uni[tg[1]]
+                backed += 1
+                tiers.add(2)
+            else:
+                s = 0.16 * (uni.get(tg[2], 0) + 1) / (n + v)
+                backed += 1
+                tiers.add(1)
+            s_sum += -math.log(s)
+        want[r["doc_id"]] = (
+            len(tgs),
+            round(s_sum / len(tgs), 6),
+            round(backed / len(tgs), 6),
+        )
+    assert tiers >= {3, 2}, tiers  # corpus must exercise backoff
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert abs(got[d][1] - want[d][1]) < 2e-6, (d, got[d], want[d])
+        assert abs(got[d][2] - want[d][2]) < 2e-6
