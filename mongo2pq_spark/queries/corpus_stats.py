@@ -769,3 +769,105 @@ def text_trigram_backoff(spark, sf_dir):
             ).alias("backoff_frac"),
         )
     )
+
+
+@register(
+    "corpus_perplexity_buckets",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+    ),
+    bgs AS (
+        SELECT doc_id, unnest({sql_word_shingles('t', 2)}) AS bg
+        FROM toks
+    ),
+    db AS (SELECT doc_id, bg, count(*) AS tf FROM bgs GROUP BY 1, 2),
+    cb AS (SELECT bg, sum(tf) AS cbg FROM db GROUP BY 1),
+    ctx AS (
+        SELECT string_split(bg, ' ')[1] AS w, sum(cbg) AS cctx
+        FROM cb GROUP BY 1
+    ),
+    voc AS (
+        SELECT count(DISTINCT u) AS v
+        FROM (SELECT unnest(t) AS u FROM toks)
+    ),
+    scores AS (
+        SELECT doc_id,
+               round(sum(tf * ln(CAST(cctx + v AS DOUBLE)
+                                 / CAST(cbg + 1 AS DOUBLE))) / sum(tf),
+                     6) AS nlp
+        FROM db
+        JOIN cb USING (bg)
+        JOIN ctx ON string_split(bg, ' ')[1] = ctx.w
+        CROSS JOIN voc
+        GROUP BY doc_id
+    ),
+    binned AS (
+        SELECT doc_id, CAST(floor(nlp * 100) AS BIGINT) AS ppl_bin
+        FROM scores
+    ),
+    hist AS (
+        SELECT ppl_bin, count(*) AS cnt FROM binned GROUP BY 1
+    ),
+    cdf AS (
+        SELECT ppl_bin,
+               sum(cnt) OVER (ORDER BY ppl_bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS below,
+               sum(cnt) OVER () AS n_total
+        FROM hist
+    )
+    SELECT b.doc_id, b.ppl_bin,
+           CASE WHEN 3 * coalesce(cdf.below, 0) < cdf.n_total
+                    THEN 'head'
+                WHEN 3 * coalesce(cdf.below, 0) < 2 * cdf.n_total
+                    THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM binned b JOIN cdf USING (ppl_bin)
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): every "
+        "doc's bigram-LM score quantizes to a 0.01-wide bin, the "
+        "BOUNDED bin histogram (score range x100 rows, one partial-agg "
+        "shuffle) yields an exact cumulative distribution, and docs "
+        "split into head/middle/tail terciles by INTEGER comparison "
+        "(3*below < n) — no global sort, no per-group value collect, "
+        "no float threshold: the 100 TB answer to 'bucket by "
+        "percentile'. Bin-boundary docs share a bucket "
+        "deterministically (binned CDF semantics). The tiny CDF "
+        "broadcasts back onto the per-doc scores",
+)
+def corpus_perplexity_buckets(spark, sf_dir):
+    from pyspark.sql import Window
+
+    scores = text_bigram_logprob(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("avg_neg_logp") * 100).cast("bigint").alias(
+            "ppl_bin"
+        ),
+    )
+    hist = scores.groupBy("ppl_bin").agg(F.count("*").alias("cnt"))
+    # the histogram is bounded (score-range x 100 rows), so the
+    # single-partition cumulative window is safe by construction —
+    # the salting lesson applies to unbounded fan-in, not to a
+    # pre-aggregated few-hundred-row table
+    w = (
+        Window.orderBy("ppl_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cdf = hist.select(
+        "ppl_bin",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+        F.sum("cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    bucket = (
+        F.when(3 * F.col("below") < F.col("n_total"), F.lit("head"))
+        .when(3 * F.col("below") < 2 * F.col("n_total"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scores.join(F.broadcast(cdf), "ppl_bin").select(
+        "doc_id", "ppl_bin", bucket.alias("bucket")
+    )

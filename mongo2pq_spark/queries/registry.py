@@ -285,6 +285,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # 80/20 split so backoff genuinely fires (full value oracle +
     # differential Python-model test covering the tiers)
     "text_trigram_backoff",
+    # r11 third continuation: CCNet perplexity terciles via the
+    # integer-exact binned CDF (no global sort / float thresholds;
+    # full value oracle)
+    "corpus_perplexity_buckets",
 ]
 
 

@@ -3200,3 +3200,34 @@ def test_trigram_backoff_tiers_match_python_model(spark, sf_dir):
         assert got[d][0] == want[d][0]
         assert abs(got[d][1] - want[d][1]) < 2e-6, (d, got[d], want[d])
         assert abs(got[d][2] - want[d][2]) < 2e-6
+
+
+def test_perplexity_buckets_tercile_invariants(spark, sf_dir):
+    """Bucketing invariants on the real corpus: every scored doc gets
+    exactly one bucket, bucket populations are within one BIN of a
+    perfect third (the binned-CDF guarantee), and bucket boundaries
+    respect score order (max head bin <= min middle bin <= ...)."""
+    from mongo2pq_spark.queries.registry import load_all
+
+    out = load_all()["corpus_perplexity_buckets"].fn(
+        spark, sf_dir
+    ).collect()
+    n = len(out)
+    assert n > 0
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["ppl_bin"])
+    assert set(by_bucket) <= {"head", "middle", "tail"}
+    # order: head bins strictly below middle bins strictly below tail
+    if "head" in by_bucket and "middle" in by_bucket:
+        assert max(by_bucket["head"]) < min(by_bucket["middle"])
+    if "middle" in by_bucket and "tail" in by_bucket:
+        assert max(by_bucket["middle"]) < min(by_bucket["tail"])
+    # tercile balance up to one bin's population: a bucket can only
+    # overshoot n/3 by the size of its boundary bin
+    from collections import Counter
+
+    bin_sizes = Counter(r["ppl_bin"] for r in out)
+    for b, members in by_bucket.items():
+        boundary = bin_sizes[max(members)]
+        assert len(members) <= n / 3 + boundary, (b, len(members))
