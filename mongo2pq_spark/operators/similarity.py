@@ -1051,3 +1051,158 @@ def pca_project(
         for c in range(comps.shape[0])
     ]
     return out.select(F.col(id_col), *projections)
+
+
+def pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_rows: int = 10_000,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou, Douze & Schmid 2011, TPAMI): vectors L2-normalize and
+    split into ``m`` subspaces, each quantized to ``ksub`` centroids,
+    so the corpus compresses to ``m`` small codes per vector (here
+    8 bytes for 64 float dims — 32×) and search never touches raw
+    vectors. ADC scores a query against a code by summing per-subspace
+    query→centroid distances from a precomputed lookup table; on
+    normalized vectors the squared-L2 ranking equals the cosine
+    ranking, keeping PQ consistent with the rest of the ANN family
+    (brute / LSH / IVF).
+
+    Scale shape: codebooks train driver-side on a BOUNDED deterministic
+    sample (``orderBy(id).limit(max_train_rows)`` — the inference-
+    partials bounded-collect rule; Lloyd's on ≤10k×8 floats is
+    microseconds and 20 passes over 100 TB would dwarf the search);
+    encoding is ONE Arrow-batched corpus pass emitting m ints per row;
+    the per-query lookup tables are a queries×(m·ksub) literal
+    broadcast; ADC scoring is a JVM-side array fold over the broadcast
+    LUT (zip_with + element_at + aggregate — no Python in the
+    per-pair hot path); top-k is the two-phase salted window.
+    Deterministic for a fixed seed (seeded init, fixed iterations,
+    first-index argmin ties), but approximate — the registered query
+    wraps it in the recall-invariant oracle (the IVF pattern).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators.joins import salted_topk
+
+    ensure_shipped(df.sparkSession)
+
+    def _normalize(X: "np.ndarray") -> "np.ndarray":
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return X / n
+
+    # -- train codebooks on the bounded sample (driver) --------------
+    sample = (
+        df.orderBy(id_col).limit(max_train_rows).select(vec_col).collect()
+    )
+    X = _normalize(np.asarray([r[0] for r in sample], dtype=np.float64))
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    codebooks = np.empty((m, ksub, dsub))
+    for mi in range(m):
+        sub = X[:, mi * dsub:(mi + 1) * dsub]
+        C = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
+        for _ in range(10):  # fixed Lloyd iterations → deterministic
+            d2 = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * sub @ C.T
+                + (C * C).sum(1)[None, :]
+            )
+            a = d2.argmin(1)
+            for j in range(ksub):
+                pts = sub[a == j]
+                if len(pts):
+                    C[j] = pts.mean(0)
+        codebooks[mi] = C
+
+    # -- encode the corpus: one Arrow-batched pass --------------------
+    cb = codebooks
+
+    def encode_batches(batches):
+        import numpy as np  # noqa: F811 (executor-side import)
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Xb = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            n = np.linalg.norm(Xb, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            Xb = Xb / n
+            codes = np.empty((len(Xb), m), dtype=np.int32)
+            for mi in range(m):
+                sub = Xb[:, mi * dsub:(mi + 1) * dsub]
+                d2 = (
+                    (sub * sub).sum(1)[:, None]
+                    - 2.0 * sub @ cb[mi].T
+                    + (cb[mi] * cb[mi]).sum(1)[None, :]
+                )
+                codes[:, mi] = d2.argmin(1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": [c.tolist() for c in codes]}
+            )
+
+    coded = df.select(id_col, vec_col).mapInPandas(
+        encode_batches, f"{id_col} long, codes array<int>"
+    )
+
+    # -- per-query ADC lookup tables (bounded query workload) --------
+    qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    luts = []
+    for r in qrows:
+        q = _normalize(np.asarray([r[1]], dtype=np.float64))[0]
+        lut = np.concatenate(
+            [
+                ((cb[mi] - q[mi * dsub:(mi + 1) * dsub]) ** 2).sum(1)
+                for mi in range(m)
+            ]
+        )
+        luts.append((r[0], [float(x) for x in lut]))
+    lut_df = df.sparkSession.createDataFrame(
+        luts, f"query_id long, lut array<double>"
+    )
+
+    # -- ADC scoring: JVM-side fold over the broadcast LUT -----------
+    idxs = F.sequence(F.lit(0), F.lit(m - 1))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            idxs,
+            lambda c, i: F.element_at(
+                F.col("lut"), (i * ksub + c + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(lut_df))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(dist, 6).alias("adc_dist"),
+        )
+    )
+    return salted_topk(
+        scored,
+        ["query_id"],
+        [F.col("adc_dist").asc(), F.col("neighbor_id")],
+        k,
+        salt_src=F.col("neighbor_id"),
+    ).select("query_id", "neighbor_id", "adc_dist", "rank")

@@ -289,6 +289,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # integer-exact binned CDF (no global sort / float thresholds;
     # full value oracle)
     "corpus_perplexity_buckets",
+    # r11 third continuation: product-quantization ANN (16x32
+    # codebooks, JVM-side ADC fold over broadcast LUTs; recall-
+    # invariant oracle, the IVF pattern)
+    "ann_pq_recall",
 ]
 
 

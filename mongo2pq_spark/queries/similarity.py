@@ -613,3 +613,60 @@ def retrieval_rrf_fusion(spark, sf_dir):
         rrf_k=_RRF_K,
         top_n=_RRF_TOPN,
     )
+
+
+@register(
+    "ann_pq_recall",
+    """
+    SELECT vec_id AS query_id,
+           CAST(10 AS BIGINT) AS n_results,
+           true AS found_true_neighbor
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="product-quantization ANN with a built-in recall check "
+        "(Jegou et al. 2011): vectors L2-normalize and split into 16 "
+        "subspaces quantized to 32 centroids each (the corpus "
+        "compresses ~25x and search never touches raw vectors); ADC "
+        "ranks each query by summing per-subspace lookup-table "
+        "distances in a JVM-side array fold over the broadcast LUT. "
+        "The PQ top-10 joins against the exact-cosine top-5 computed "
+        "in the same query; the oracle asserts the invariant (10 "
+        "results and >=1 true top-5 neighbor recovered, for every "
+        "query) — the IVF/semdedup tolerance-oracle pattern: SQL "
+        "cannot run k-means, but it can pin what the quantizer must "
+        "achieve. Codebooks train driver-side on a bounded "
+        "deterministic sample; encoding is one Arrow-batched pass",
+)
+def ann_pq_recall(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    pq = ops.pq_topk(emb, queries, k=10, m=16, ksub=32)
+    bf = ops.cosine_topk(emb, queries, k=5).select(
+        "query_id", F.col("neighbor_id").alias("bf_neighbor_id")
+    )
+    hits = (
+        pq.join(
+            bf,
+            (pq["query_id"] == bf["query_id"])
+            & (pq["neighbor_id"] == bf["bf_neighbor_id"]),
+        )
+        .groupBy(pq["query_id"])
+        .agg(F.count("*").alias("hits"))
+        .select(F.col("query_id").alias("hit_query_id"), "hits")
+    )
+    per_query = pq.groupBy("query_id").agg(
+        F.count("*").alias("n_results")
+    )
+    return per_query.join(
+        hits, per_query["query_id"] == hits["hit_query_id"], "left"
+    ).select(
+        "query_id",
+        "n_results",
+        (F.coalesce(F.col("hits"), F.lit(0)) >= 1).alias(
+            "found_true_neighbor"
+        ),
+    )

