@@ -642,9 +642,15 @@ def ann_pq_recall(spark, sf_dir):
 
     from mongo2pq_spark.sources.registry import read_sf_table
 
+    from mongo2pq_spark.operators.cache import cache_stream
+
     emb = read_sf_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    pq = ops.pq_topk(emb, queries, k=10, m=16, ksub=32)
+    # the top-k feeds three branches (hits join, per-query counts);
+    # uncached, each branch re-runs the Arrow encode pass over the
+    # corpus — and unlike semdedup, no branch prunes the expensive
+    # subtree, so caching the ≤ queries×k-row result is pure win
+    pq = cache_stream(ops.pq_topk(emb, queries, k=10, m=16, ksub=32))
     bf = ops.cosine_topk(emb, queries, k=5).select(
         "query_id", F.col("neighbor_id").alias("bf_neighbor_id")
     )

@@ -733,3 +733,52 @@ def test_cdc_chunks_windows_only_on_doc_key(spark, sf_dir):
     assert keys == {"doc_id"}, keys
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phrase_matches_plan_shape(spark, sf_dir):
+    """Phrase search is one posexplode pass pruned by the broadcast
+    literal phrase-term table before any shuffle — no windows, no
+    self-joins, no nested loops; both aggregations are partial-agg
+    hash aggregates (the anchor key contains doc_id, so nothing
+    skews)."""
+    plan = _formatted(spark, sf_dir, "text_phrase_matches")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_rrf_fusion_dense_side_never_shuffles_corpus(spark, sf_dir):
+    """Hybrid RRF's scale posture: the dense side broadcasts the 3
+    example vectors (corpus never sort-merges against them), the
+    fusion join runs over two pre-truncated rankings, no cartesian
+    products, and the lexical top-k keeps WindowGroupLimit
+    pushdown."""
+    plan = _formatted(spark, sf_dir, "retrieval_rrf_fusion")
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    # the example-vector and corpus-stats joins are broadcasts; the
+    # only nested-loop broadcasts allowed are the bounded 1-row /
+    # 3-row sides
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_adc_scoring_is_jvm_side_fold(spark, sf_dir):
+    """PQ's scoring stage must stay JVM-side: after the one
+    Arrow-batched encode pass (ArrowEvalPython/MapInPandas), the ADC
+    fold over the broadcast LUT appears as an aggregate expression —
+    no per-pair Python, no cartesian product (the LUT join is the
+    broadcast nested loop over the bounded query workload), and the
+    top-k carries WindowGroupLimit. The PQ result is cached (its
+    three consumer branches must not re-run the encode pass), so
+    every MapInPandas printed in the plan is a cached-relation
+    reprint under an InMemoryTableScan reference — the encode
+    executes once at first materialization."""
+    plan = _formatted(spark, sf_dir, "ann_pq_recall")
+    assert "MapInPandas" in plan
+    assert plan.count("MapInPandas") <= plan.count("InMemoryTableScan")
+    assert "CartesianProduct" not in plan
+    assert "aggregate(" in plan  # the ADC fold expression
+    assert "WindowGroupLimit" in plan
