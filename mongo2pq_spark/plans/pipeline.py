@@ -140,3 +140,90 @@ def extract_load_collection(
     if metrics is not None:
         metrics.update(observation.get)
     return out_path
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_key: str,
+    target_files: int = 1,
+) -> list[dict]:
+    """Small-file compaction for a hive-partitioned parquet dataset —
+    the maintenance operation that keeps a 100 TB lake readable:
+    incremental/streaming writers mint a file per task per trigger, and
+    a partition holding 10k tiny files costs more in open/footer
+    overhead than in data (the classic small-file death). Rewrites
+    every partition down to ≤ ``target_files`` files via one shuffle
+    keyed on (partition, deterministic row-hash salt) — each (key,
+    salt) group lands wholly in one task, so each partition dir gets
+    at most ``target_files`` files — then swaps the rewrite in through
+    the band stores' audited crash-safe ``replace_dir``: at every
+    crash point recovery yields either the complete old or the
+    complete new dataset (the source of the rewrite IS the target, and
+    it is only renamed aside after the build is complete-by-naming).
+
+    Returns one audit dict per partition: value, files/rows before and
+    after. The file counts come from a driver-side directory listing —
+    metadata-bounded (#files), the same order of work the parquet
+    footer reader already does to plan the scan.
+
+    Reference has no lake-maintenance surface (it writes once,
+    `mongo2pq/extract_load.py`); this extends the EL sink family.
+    """
+    from mongo2pq_spark.plans.bandstore_core import (
+        recover_replace,
+        replace_dir,
+    )
+
+    root = Path(path)
+    recover_replace(root)
+
+    def survey(p: Path) -> dict[str, dict]:
+        out = {}
+        for d in sorted(p.glob(f"{partition_key}=*")):
+            if d.is_dir():
+                files = [f for f in d.glob("*.parquet")]
+                out[d.name.split("=", 1)[1]] = {
+                    "files": len(files),
+                    "bytes": sum(f.stat().st_size for f in files),
+                }
+        return out
+
+    before = survey(root)
+    df = spark.read.parquet(str(root))
+    rows_before = df.groupBy(partition_key).count().collect()
+    rows_b = {str(r[0]): r[1] for r in rows_before}
+    data_cols = [c for c in df.columns if c != partition_key]
+
+    def writer(build_path: str) -> None:
+        salt = F.pmod(
+            F.hash(*[F.col(c) for c in data_cols]), F.lit(target_files)
+        )
+        (
+            df.withColumn("__salt", salt)
+            .repartition(F.col(partition_key), F.col("__salt"))
+            .drop("__salt")
+            .write.partitionBy(partition_key)
+            .mode("overwrite")
+            .parquet(build_path)
+        )
+
+    replace_dir(root, writer)
+    after = survey(root)
+    rows_after = {
+        str(r[0]): r[1]
+        for r in spark.read.parquet(str(root))
+        .groupBy(partition_key)
+        .count()
+        .collect()
+    }
+    return [
+        {
+            "partition": k,
+            "files_before": before[k]["files"],
+            "files_after": after[k]["files"],
+            "rows_before": rows_b.get(k, 0),
+            "rows_after": rows_after.get(k, 0),
+        }
+        for k in sorted(before)
+    ]

@@ -293,6 +293,13 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # codebooks, JVM-side ADC fold over broadcast LUTs; recall-
     # invariant oracle, the IVF pattern)
     "ann_pq_recall",
+    # r11 third continuation: PMI collocation mining with positional
+    # marginals derived from the bigram table (full value oracle)
+    "text_pmi_collocations",
+    # r11 third continuation: small-file compaction through the
+    # audited crash-safe swap, value-lossless by exact per-partition
+    # integer sums (full value oracle + audit invariant)
+    "el_compact_roundtrip",
 ]
 
 

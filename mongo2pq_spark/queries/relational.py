@@ -794,3 +794,70 @@ def el_mongodump_export_roundtrip(spark, sf_dir):
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@register(
+    "el_compact_roundtrip",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           true AS compacted
+    FROM events GROUP BY event_type
+    """,
+    doc="small-file compaction round trip: events stage hive-"
+        "partitioned with 24 deliberately tiny files per partition "
+        "(the incremental-writer pathology), compact_partitions "
+        "rewrites each partition to <=2 files through the audited "
+        "crash-safe swap, and the result re-reads value-lossless "
+        "(count + exact integer sum per partition vs the raw table) "
+        "with the audit invariant folded in (compacted = files "
+        "dropped to the target with zero row drift) — the lake-"
+        "maintenance operation that keeps a 100 TB dataset's "
+        "open/footer overhead proportional to data, not to write "
+        "history",
+)
+def el_compact_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo2pq_spark.plans.pipeline import compact_partitions
+
+    df = _events(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "el_compact_out")
+    # stage the pathology: 24 files per partition dir
+    (
+        df.repartition(24)
+        .write.partitionBy("event_type")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    audit = compact_partitions(spark, out, "event_type", target_files=2)
+    ok = {
+        a["partition"]: (
+            a["files_after"] <= 2
+            and a["files_after"] < a["files_before"]
+            and a["rows_after"] == a["rows_before"]
+        )
+        for a in audit
+    }
+    audit_df = spark.createDataFrame(
+        [(k, bool(v)) for k, v in ok.items()],
+        "event_type string, compacted boolean",
+    )
+    back = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        )
+        .select(
+            F.col("event_type").cast("string").alias("event_type"),
+            "n_rows",
+            "sum_event_id",
+        )
+    )
+    return back.join(F.broadcast(audit_df), "event_type").select(
+        "event_type", "n_rows", "sum_event_id", "compacted"
+    )

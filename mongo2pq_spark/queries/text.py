@@ -826,3 +826,95 @@ def el_index_phrase_matches(spark, sf_dir):
     out = os.path.join(tempfile.gettempdir(), "el_positional_index")
     write_inverted_index(docs, out, positions=True)
     return phrase_query_index(spark, out, PHRASE_QUERIES)
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+@register(
+    "text_pmi_collocations",
+    f"""
+    WITH toks AS (SELECT {sql_tokens('text')} AS t FROM documents),
+    bg AS (
+        SELECT unnest({sql_word_shingles('t', 2)}) AS bigram FROM toks
+    ),
+    cb AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY 1),
+    nb AS (SELECT sum(c12) AS n FROM cb),
+    lft AS (
+        SELECT string_split(bigram, ' ')[1] AS w, sum(c12) AS c1
+        FROM cb GROUP BY 1
+    ),
+    rgt AS (
+        SELECT string_split(bigram, ' ')[2] AS w, sum(c12) AS c2
+        FROM cb GROUP BY 1
+    )
+    SELECT bigram, CAST(c12 AS BIGINT) AS n_pair,
+           round(ln(CAST(c12 AS DOUBLE) * nb.n
+                    / (CAST(lft.c1 AS DOUBLE) * rgt.c2)), 6) AS pmi
+    FROM cb
+    JOIN lft ON string_split(bigram, ' ')[1] = lft.w
+    JOIN rgt ON string_split(bigram, ' ')[2] = rgt.w
+    CROSS JOIN nb
+    WHERE c12 >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, bigram LIMIT {_PMI_TOPK}
+    """,
+    doc="PMI collocation mining (Church & Hanks 1990): the top-20 "
+        "word pairs by pointwise mutual information ln(c12*N/(c1*c2)) "
+        "with POSITIONAL marginals (w1-as-first, w2-as-second counts) "
+        "and a min-count floor of 5 against PMI's rare-pair bias — "
+        "the association-strength complement to text_top_bigrams' raw "
+        "frequency ranking. Shape: marginals derive FROM the bigram "
+        "count table (vocab-sized, never a second corpus pass), the "
+        "1-row total broadcasts, the global top-20 is Spark's "
+        "TakeOrderedAndProject (per-partition heads, no global sort "
+        "materialization)",
+)
+def text_pmi_collocations(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.functions.textfns import tokens, word_shingles
+    from mongo2pq_spark.operators.cache import cache_stream
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    cb = cache_stream(
+        docs.select(
+            F.explode(word_shingles(tokens(F.col("text")), 2)).alias(
+                "bigram"
+            )
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c12"))
+    )
+    parts = F.split(F.col("bigram"), " ")
+    nb = cb.agg(F.sum("c12").alias("n"))
+    lft = (
+        cb.groupBy(parts[0].alias("w1"))
+        .agg(F.sum("c12").alias("c1"))
+    )
+    rgt = (
+        cb.groupBy(parts[1].alias("w2"))
+        .agg(F.sum("c12").alias("c2"))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("c12").cast("double")
+            * F.col("n")
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        cb.filter(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(lft, parts[0] == F.col("w1"))
+        .join(rgt, parts[1] == F.col("w2"))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "bigram",
+            F.col("c12").cast("bigint").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(_PMI_TOPK)
+    )

@@ -3269,3 +3269,55 @@ def test_pq_topk_determinism_and_code_compression(spark, sf_dir):
         for qid, rows in by_q.items()
     ]
     assert sum(recalls) / len(recalls) > 0.5, recalls
+
+
+def test_compact_partitions_lossless_and_crash_safe(spark, tmp_path):
+    """Compaction: every partition drops to <= target files with the
+    exact same row multiset; a stranded half-swap from a simulated
+    crash is healed before the next compaction runs; audit counts
+    match the directory reality."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.plans.pipeline import compact_partitions
+
+    out = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(i, "k%d" % (i % 3), float(i)) for i in range(300)],
+        "id bigint, part string, v double",
+    )
+    df.repartition(12).write.partitionBy("part").parquet(out)
+    want = sorted(
+        tuple(r) for r in spark.read.parquet(out)
+        .select("id", "v", F.col("part").cast("string")).collect()
+    )
+    audit = compact_partitions(spark, out, "part", target_files=1)
+    assert {a["partition"] for a in audit} == {"k0", "k1", "k2"}
+    for a in audit:
+        assert a["files_before"] == 12
+        assert a["files_after"] == 1
+        assert a["rows_after"] == a["rows_before"] == 100
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out)
+        .select("id", "v", F.col("part").cast("string")).collect()
+    )
+    assert got == want  # value-lossless
+    # directory reality matches the audit
+    import pathlib
+
+    for d in pathlib.Path(out).glob("part=*"):
+        assert len(list(d.glob("*.parquet"))) == 1
+    # simulated crash: a stale .swapin next to the live target must be
+    # discarded by the next run, not swapped in over fresh data
+    from mongo2pq_spark.plans.bandstore_core import aux_path
+
+    stale = aux_path(pathlib.Path(out), "swapin")
+    stale.mkdir()
+    (stale / "junk").write_text("x")
+    audit2 = compact_partitions(spark, out, "part", target_files=2)
+    assert not stale.exists()
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out)
+        .select("id", "v", F.col("part").cast("string")).collect()
+    ) == want
+    for a in audit2:
+        assert a["files_after"] <= 2 and a["rows_after"] == 100
