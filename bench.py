@@ -100,6 +100,16 @@ HEADLINE = [
     # tracked for trend): hybrid RRF fusion — tokenize + BM25 scoring
     # + broadcast cosine + bounded fusion join
     "retrieval_rrf_fusion",
+    # round-11 third-continuation additions with nontrivial engine
+    # wall-clock: positional anchor phrase search, stupid-backoff
+    # trigram scoring (5 n-gram joins), PQ encode+ADC+recall check,
+    # LM scoring + binned-CDF bucketing, and the small-file
+    # compaction rewrite (staging + swap I/O, the el_zorder class)
+    "text_phrase_matches",
+    "text_trigram_backoff",
+    "ann_pq_recall",
+    "corpus_perplexity_buckets",
+    "el_compact_roundtrip",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite
