@@ -84,6 +84,7 @@ def main(
     index_text_col: str | None = None,
     index_id_col: str = "doc_id",
     index_consolidate: bool = False,
+    compact_partitions: int | None = None,
     single_file: bool = False,
     compression: str | None = None,
     source_format: str = "auto",
@@ -506,6 +507,39 @@ def main(
                     open_store(store_root, tree.name).consolidate(spark)
                 except Exception as err:
                     failures.append((tree.name, err))
+    if compact_partitions and partition_key:
+        # lake maintenance under the same post-run contract: rewrite
+        # every hive partition of every collection written under
+        # outdir down to <= N files through the audited crash-safe
+        # swap. Incremental / repeated runs mint a file per task per
+        # run; without a compaction cadence a year of daily EL leaves
+        # open/footer overhead proportional to write history, not
+        # data. Content-preserving (exact row multiset), so a failure
+        # leaves the dataset fully readable — still reported so
+        # schedulers retry the maintenance.
+        from mongo2pq_spark.plans.pipeline import (
+            compact_partitions as _compact,
+        )
+
+        out_root = Path(outdir)
+        trees = sorted(
+            p for p in out_root.iterdir()
+            if p.is_dir() and any(p.glob(f"{partition_key}=*"))
+        ) if out_root.is_dir() else []
+        for tree in trees:
+            try:
+                audit = _compact(
+                    spark, str(tree), partition_key,
+                    target_files=compact_partitions,
+                )
+                n_before = sum(a["files_before"] for a in audit)
+                n_after = sum(a["files_after"] for a in audit)
+                print(
+                    f"{tree.name}: compacted {len(audit)} partitions, "
+                    f"{n_before} -> {n_after} files"
+                )
+            except Exception as err:
+                failures.append((tree.name, err))
     for name, err in failures:
         print(f"ERROR: collection '{name}' failed: {err}", file=sys.stderr)
     return 1 if failures else 0
@@ -795,6 +829,14 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
                              "every collection tree of the inverted "
                              "index into one batch=c0 via the "
                              "crash-safe swap")
+    parser.add_argument("--compact-partitions", type=int, default=None,
+                        metavar="N",
+                        help="after this run's writes commit, rewrite "
+                             "every hive partition of every collection "
+                             "under OUTDIR down to <= N parquet files "
+                             "through the crash-safe swap (lake "
+                             "maintenance for incremental-run small "
+                             "files; requires -p)")
     parser.add_argument("--single-file", action="store_true",
                         help="write ONE parquet file per collection (the "
                              "reference's exact layout) via coalesce(1); "
@@ -883,6 +925,20 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
             file=sys.stderr,
         )
         return None
+    if parsed.compact_partitions is not None:
+        if parsed.compact_partitions < 1:
+            print(
+                "ERROR: --compact-partitions must be >= 1",
+                file=sys.stderr,
+            )
+            return None
+        if not parsed.partition:
+            print(
+                "ERROR: --compact-partitions requires -p/--partition "
+                "(the hive key whose directories are compacted)",
+                file=sys.stderr,
+            )
+            return None
     if parsed.schemas:
         kept = []
         for schema in parsed.schemas:
@@ -936,6 +992,7 @@ def run(argv: list[str] | None = None) -> int:
         index_text_col=args.index_text_col,
         index_id_col=args.index_id_col,
         index_consolidate=args.index_consolidate,
+        compact_partitions=args.compact_partitions,
         single_file=args.single_file,
         compression=args.compression,
         source_format=args.source_format,

@@ -1425,3 +1425,38 @@ def test_cli_media_phash_store_across_runs(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="kind"):
         ImageDedupStore(store, "images").batch_token  # noqa: B018
+
+
+def test_cli_compact_partitions_post_run(spark, tmp_path):
+    """--compact-partitions N: after the run's writes commit, every
+    hive partition of every written collection is rewritten to <= N
+    files through the crash-safe swap, value-lossless; requires -p
+    (validated at parse time)."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    rows = [
+        {"rec_id": i, "tag": "t%d" % (i % 3), "v": i * 2}
+        for i in range(60)
+    ]
+    (src / "docs.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n"
+    )
+    rc = cli_main(
+        f"file:{src}", outdir=out, samples=10, partition_key="tag",
+        max_records_per_file=5, compact_partitions=1, spark=spark,
+    )
+    assert rc == 0
+    tree = out / "docs.parquet"
+    for d in tree.glob("tag=*"):
+        files = list(d.glob("*.parquet"))
+        assert len(files) == 1, (d, files)  # compacted from >=4
+    back = spark.read.parquet(str(tree))
+    assert back.count() == 60
+    assert sorted(r.rec_id for r in back.collect()) == list(range(60))
+    # parse-time guard: the flag without -p is a hard usage error
+    from mongo2pq_spark.cli import parse_args
+
+    assert parse_args(
+        ["-u", f"file:{src}", "-o", str(out), "--compact-partitions", "2"]
+    ) is None
