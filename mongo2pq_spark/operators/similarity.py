@@ -1206,3 +1206,63 @@ def pq_topk(
         k,
         salt_src=F.col("neighbor_id"),
     ).select("query_id", "neighbor_id", "adc_dist", "rank")
+
+
+def nearest_centroid_agreement(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise detection by nearest-centroid classification: each
+    vector is assigned to the label whose MEAN embedding it is most
+    cosine-similar to; a vector whose nearest centroid disagrees with
+    its own label is a mislabeling candidate (the Confident-Learning /
+    NCC screening step a training pipeline runs before trusting
+    labels).
+
+    Scale shape: centroids come from ``segment_mean_vectors`` (one
+    posexplode into a map-side-combinable (label, dim) aggregate —
+    labels×dim rows regardless of corpus size) and broadcast; the
+    per-vector argmax is a GROUPED STRUCT MAX over the bounded
+    labels-per-vector fan-out — never a corpus-partitioned window.
+    Ties on the 6-dp-rounded similarity break to the LOWEST label
+    (max of (sim, -label) structs), mirroring the oracle's
+    ``ORDER BY s DESC, label`` exactly — argmax/max_by would be
+    tie-nondeterministic (the embedding_drift lesson).
+
+    Output: (id, label, nearest_label, centroid_sim, agrees).
+    """
+    means = segment_mean_vectors(df, label_col, vec_col=vec_col)
+    cent = (
+        means.groupBy("segment")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
+                lambda s: s["mean_val"],
+            ).alias("centroid")
+        )
+        .select(F.col("segment").cast("int").alias("clabel"), "centroid")
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+    best = (
+        df.select(id_col, label_col, vec_col)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.struct(
+                sim.alias("s"), (-F.col("clabel")).alias("negl")
+            ).alias("cand"),
+        )
+        .groupBy(id_col, label_col)
+        .agg(F.max("cand").alias("b"))
+    )
+    nearest = (-F.col("b.negl")).cast("int")
+    return best.select(
+        F.col(id_col),
+        F.col(label_col),
+        nearest.alias("nearest_label"),
+        F.col("b.s").alias("centroid_sim"),
+        (F.col(label_col) == nearest).alias("agrees"),
+    )

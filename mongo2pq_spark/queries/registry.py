@@ -300,6 +300,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # audited crash-safe swap, value-lossless by exact per-partition
     # integer sums (full value oracle + audit invariant)
     "el_compact_roundtrip",
+    # r11 third continuation: nearest-centroid label-noise screening
+    # (grouped struct-max argmax, deterministic ties; full value
+    # oracle)
+    "embedding_label_agreement",
 ]
 
 

@@ -676,3 +676,48 @@ def ann_pq_recall(spark, sf_dir):
             "found_true_neighbor"
         ),
     )
+
+
+@register(
+    "embedding_label_agreement",
+    f"""
+    WITH x AS (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    m AS (SELECT label AS clabel, i, avg(v) AS mv FROM x GROUP BY 1, 2),
+    c AS (
+        SELECT clabel, array_agg(mv ORDER BY i) AS centroid
+        FROM m GROUP BY 1
+    ),
+    s AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               round({_sql_cosine('e.embedding', 'c.centroid')}, 6) AS s
+        FROM embeddings e CROSS JOIN c
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY s DESC, clabel
+               ) AS rn
+        FROM s
+    )
+    SELECT vec_id, label, CAST(clabel AS INTEGER) AS nearest_label,
+           s AS centroid_sim, label = clabel AS agrees
+    FROM r WHERE rn = 1
+    """,
+    doc="label-noise screening by nearest-centroid classification "
+        "(the Confident-Learning-style check before trusting labels): "
+        "per-label mean embeddings via the drift monitor's "
+        "map-side-combinable (label, dim) aggregate, broadcast back; "
+        "each vector's argmax over the bounded label set is a grouped "
+        "struct max (sim desc, lowest label on 6-dp ties — never a "
+        "tie-nondeterministic max_by, never a corpus-partitioned "
+        "window); disagreement rows are the mislabeling candidates",
+)
+def embedding_label_agreement(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    return ops.nearest_centroid_agreement(emb)

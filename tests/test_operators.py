@@ -3321,3 +3321,29 @@ def test_compact_partitions_lossless_and_crash_safe(spark, tmp_path):
     ) == want
     for a in audit2:
         assert a["files_after"] <= 2 and a["rows_after"] == 100
+
+
+def test_nearest_centroid_flags_planted_mislabel(spark):
+    """A vector sitting squarely in another label's cluster must be
+    the ONLY disagreement row, with the cluster's label as its nearest
+    centroid; correctly-labeled vectors all agree."""
+    from mongo2pq_spark.operators.similarity import (
+        nearest_centroid_agreement,
+    )
+
+    rows = []
+    # label 0 clusters near e_x, label 1 near e_y
+    for i in range(5):
+        rows.append((i, [10.0, float(i % 2), 0.0], 0))
+        rows.append((10 + i, [float(i % 2), 10.0, 0.0], 1))
+    # planted noise: id 99 carries label 0 but lives in cluster 1
+    rows.append((99, [0.1, 9.5, 0.0], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = nearest_centroid_agreement(emb).collect()
+    dis = [r for r in out if not r["agrees"]]
+    assert [r["vec_id"] for r in dis] == [99]
+    assert dis[0]["nearest_label"] == 1 and dis[0]["label"] == 0
+    assert all(r["agrees"] for r in out if r["vec_id"] != 99)
+    assert len(out) == 11  # one row per vector, argmax never fans out
