@@ -871,3 +871,148 @@ def corpus_perplexity_buckets(spark, sf_dir):
     return scores.join(F.broadcast(cdf), "ppl_bin").select(
         "doc_id", "ppl_bin", bucket.alias("bucket")
     )
+
+
+_VG_POINTS = 10
+
+
+def _vocab_growth_oracle() -> str:
+    v_cols = ", ".join(
+        f"CAST(sum(CASE WHEN first_seen < t.thresh[{i + 1}] THEN 1 "
+        f"ELSE 0 END) AS BIGINT) AS v{i}"
+        for i in range(_VG_POINTS)
+    )
+    n_cols = ", ".join(
+        f"CAST(sum(CASE WHEN doc_id < t.thresh[{i + 1}] THEN n_toks "
+        f"ELSE 0 END) AS BIGINT) AS n{i}"
+        for i in range(_VG_POINTS)
+    )
+    point_rows = " UNION ALL ".join(
+        f"SELECT {i} AS checkpoint, v{i} AS cum_distinct_terms, "
+        f"n{i} AS cum_tokens FROM vv, nn"
+        for i in range(_VG_POINTS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS term
+        FROM documents
+    ),
+    nt AS (
+        SELECT doc_id, len({sql_tokens('text')}) AS n_toks
+        FROM documents
+    ),
+    fs AS (SELECT term, min(doc_id) AS first_seen FROM toks GROUP BY 1),
+    t AS (
+        SELECT [CAST(floor((i + 1) * (max(doc_id) + 1) / {_VG_POINTS}.0)
+                AS BIGINT)
+                FOR i IN generate_series(0, {_VG_POINTS - 1})] AS thresh
+        FROM documents
+    ),
+    vv AS (SELECT {v_cols} FROM fs, t),
+    nn AS (SELECT {n_cols} FROM nt, t),
+    pts AS ({point_rows}),
+    fit AS (
+        SELECT round(
+            (count(*) * sum(ln(CAST(cum_tokens AS DOUBLE))
+                            * ln(CAST(cum_distinct_terms AS DOUBLE)))
+             - sum(ln(CAST(cum_tokens AS DOUBLE)))
+               * sum(ln(CAST(cum_distinct_terms AS DOUBLE))))
+            / (count(*) * sum(ln(CAST(cum_tokens AS DOUBLE))
+                              * ln(CAST(cum_tokens AS DOUBLE)))
+               - sum(ln(CAST(cum_tokens AS DOUBLE)))
+                 * sum(ln(CAST(cum_tokens AS DOUBLE)))), 6
+        ) AS heaps_exponent
+        FROM pts WHERE cum_tokens > 0 AND cum_distinct_terms > 0
+    )
+    SELECT checkpoint, cum_tokens, cum_distinct_terms, heaps_exponent
+    FROM pts CROSS JOIN fit
+    """
+
+
+@register(
+    "corpus_vocab_growth",
+    _vocab_growth_oracle(),
+    doc="vocabulary growth curve + Heaps-law exponent (V ~ N^beta, "
+        "Heaps 1978): cumulative distinct terms vs cumulative tokens "
+        "at 10 doc-id checkpoints, with the log-log least-squares "
+        "slope — the saturation diagnostic that tells a curation "
+        "pipeline when more same-source data stops adding lexical "
+        "diversity. RELATIONAL prefix trick: first_seen(term) = "
+        "min(doc_id) makes each cumulative distinct count a "
+        "conditional aggregate over a vocab-sized table — no "
+        "sequential scan, no window, no global sort; thresholds "
+        "derive from max(doc_id) on a 1-row broadcast",
+)
+def corpus_vocab_growth(spark, sf_dir):
+    from mongo2pq_spark.functions.textfns import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    nt = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_toks")
+    )
+    fs = toks.groupBy("term").agg(F.min("doc_id").alias("first_seen"))
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    th = lambda i: F.floor(  # noqa: E731
+        (i + 1) * (F.col("mx") + 1) / float(_VG_POINTS)
+    )
+    vv = fs.crossJoin(F.broadcast(mx)).agg(
+        *[
+            F.sum(F.when(F.col("first_seen") < th(i), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"v{i}")
+            for i in range(_VG_POINTS)
+        ]
+    )
+    nn = nt.crossJoin(F.broadcast(mx)).agg(
+        *[
+            F.sum(F.when(F.col("doc_id") < th(i), F.col("n_toks"))
+                  .otherwise(0))
+            .cast("bigint")
+            .alias(f"n{i}")
+            for i in range(_VG_POINTS)
+        ]
+    )
+    stack_expr = ", ".join(
+        f"{i}, v{i}, n{i}" for i in range(_VG_POINTS)
+    )
+    pts = (
+        vv.crossJoin(F.broadcast(nn))
+        .selectExpr(
+            f"stack({_VG_POINTS}, {stack_expr}) AS "
+            "(checkpoint, cum_distinct_terms, cum_tokens)"
+        )
+        .select(
+            F.col("checkpoint").cast("int").alias("checkpoint"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+            F.col("cum_distinct_terms").cast("bigint").alias(
+                "cum_distinct_terms"
+            ),
+        )
+    )
+    lx = F.log(F.col("cum_tokens").cast("double"))
+    ly = F.log(F.col("cum_distinct_terms").cast("double"))
+    fit = (
+        pts.filter(
+            (F.col("cum_tokens") > 0) & (F.col("cum_distinct_terms") > 0)
+        )
+        .agg(
+            F.round(
+                (
+                    F.count("*") * F.sum(lx * ly)
+                    - F.sum(lx) * F.sum(ly)
+                )
+                / (
+                    F.count("*") * F.sum(lx * lx)
+                    - F.sum(lx) * F.sum(lx)
+                ),
+                6,
+            ).alias("heaps_exponent")
+        )
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "checkpoint", "cum_tokens", "cum_distinct_terms",
+        "heaps_exponent",
+    )

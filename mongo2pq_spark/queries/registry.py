@@ -304,6 +304,13 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # (grouped struct-max argmax, deterministic ties; full value
     # oracle)
     "embedding_label_agreement",
+    # r11 third continuation: C4-style whole-token blocklist filter
+    # (map-only constant fold; full value oracle)
+    "docs_blocklist_filter",
+    # r11 third continuation: vocabulary growth curve + Heaps
+    # exponent via the relational first-seen prefix trick (full
+    # value oracle + exact Python prefix-model test)
+    "corpus_vocab_growth",
 ]
 
 

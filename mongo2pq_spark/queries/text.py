@@ -918,3 +918,54 @@ def text_pmi_collocations(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), "bigram")
         .limit(_PMI_TOPK)
     )
+
+
+#: fixed blocklist for the C4-style wordlist filter (benign stand-ins
+#: drawn from the synthetic corpus vocabulary — the mechanism is the
+#: point; a real deployment supplies its own list). Multi-word entries
+#: exercise the phrase form.
+BLOCKLIST: list[str] = ["vector", "slow hash", "dormant", "zig zag"]
+
+
+def _blocklist_oracle() -> str:
+    hits = " + ".join(
+        f"(CASE WHEN ' ' || text || ' ' LIKE '% {p} %' THEN 1 ELSE 0 END)"
+        for p in BLOCKLIST
+    )
+    return f"""
+    SELECT doc_id, CAST({hits} AS BIGINT) AS n_blocked_terms,
+           {hits} > 0 AS flagged
+    FROM documents
+    """
+
+
+@register(
+    "docs_blocklist_filter",
+    _blocklist_oracle(),
+    doc="C4-style wordlist filtering (Raffel et al. 2020 dropped any "
+        "page containing a banned-list word): per doc, how many of a "
+        "fixed blocklist's entries occur as WHOLE-TOKEN matches "
+        "(space-delimited, multi-word entries supported) and the "
+        "resulting drop flag. Map-only: one pass, a constant fold "
+        "over the literal pattern array, zero shuffles, zero joins — "
+        "the filter stage shape that must never cost more than the "
+        "scan itself. Token-boundary semantics (padded-space LIKE) "
+        "avoid substring false positives ('vectorize' does not match "
+        "'vector')",
+)
+def docs_blocklist_filter(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    hits = sum(
+        F.when(padded.contains(f" {p} "), 1).otherwise(0)
+        for p in BLOCKLIST
+    )
+    return docs.select(
+        "doc_id",
+        hits.cast("bigint").alias("n_blocked_terms"),
+        (hits > 0).alias("flagged"),
+    )

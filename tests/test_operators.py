@@ -3347,3 +3347,41 @@ def test_nearest_centroid_flags_planted_mislabel(spark):
     assert dis[0]["nearest_label"] == 1 and dis[0]["label"] == 0
     assert all(r["agrees"] for r in out if r["vec_id"] != 99)
     assert len(out) == 11  # one row per vector, argmax never fans out
+
+
+def test_vocab_growth_monotone_and_model_exact(spark, sf_dir):
+    """The growth curve must be non-decreasing in both axes, end at
+    the exact corpus totals, and equal a direct Python prefix model
+    at every checkpoint (the relational first-seen trick must not
+    drift from true prefix semantics)."""
+    from mongo2pq_spark.queries.registry import load_all
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    rows = sorted(
+        (r["checkpoint"], r["cum_tokens"], r["cum_distinct_terms"])
+        for r in load_all()["corpus_vocab_growth"].fn(spark, sf_dir)
+        .collect()
+    )
+    docs = sorted(
+        (r["doc_id"], r["text"].split())
+        for r in read_sf_table(spark, sf_dir, "documents")
+        .select("doc_id", "text").collect()
+    )
+    mx = docs[-1][0]
+    seen: set = set()
+    toks = 0
+    model = {}
+    it = iter(docs)
+    cur = next(it, None)
+    for i in range(10):
+        thresh = (i + 1) * (mx + 1) // 10
+        while cur is not None and cur[0] < thresh:
+            toks += len(cur[1])
+            seen.update(cur[1])
+            cur = next(it, None)
+        model[i] = (toks, len(seen))
+    for cp, ct, cd in rows:
+        assert (ct, cd) == model[cp], (cp, (ct, cd), model[cp])
+    for (c1, t1, d1), (c2, t2, d2) in zip(rows, rows[1:]):
+        assert t2 >= t1 and d2 >= d1
+    assert rows[-1][1] == toks and rows[-1][2] == len(seen)
