@@ -311,6 +311,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # exponent via the relational first-seen prefix trick (full
     # value oracle + exact Python prefix-model test)
     "corpus_vocab_growth",
+    # r11 third continuation: PSI feature drift per event_type
+    # between time halves (reference-range bins, epsilon-smoothed
+    # shares; full value oracle + planted-shift unit test)
+    "events_psi_drift",
 ]
 
 

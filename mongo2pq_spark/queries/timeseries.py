@@ -228,3 +228,140 @@ def events_decay_scores(spark, sf_dir):
             (F.round(F.sum("w"), 6) + F.lit(0.0)).alias("decayed_value"),
         )
     )
+
+
+_PSI_BINS = 10
+_PSI_EPS = 1e-6
+
+
+@register(
+    "events_psi_drift",
+    f"""
+    WITH e AS (
+        SELECT event_type, value, epoch_ms(ts) AS ms FROM events
+    ),
+    mid AS (
+        SELECT CAST(floor((min(ms) + max(ms)) / 2.0) AS BIGINT) AS mid
+        FROM e
+    ),
+    refstats AS (
+        SELECT event_type, min(value) AS lo, max(value) AS hi,
+               count(*) AS n_ref
+        FROM e, mid WHERE ms < mid GROUP BY event_type
+    ),
+    curstats AS (
+        SELECT event_type, count(*) AS n_cur
+        FROM e, mid WHERE ms >= mid GROUP BY event_type
+    ),
+    binned AS (
+        SELECT e.event_type,
+               least(greatest(CAST(floor({_PSI_BINS} * (e.value - r.lo)
+                   / greatest(r.hi - r.lo, 1e-12)) AS BIGINT),
+                   0), {_PSI_BINS - 1}) AS bin,
+               CASE WHEN e.ms < mid.mid THEN 1 ELSE 0 END AS is_ref
+        FROM e
+        JOIN refstats r ON e.event_type = r.event_type
+        CROSS JOIN mid
+    ),
+    cnt AS (
+        SELECT event_type, bin,
+               sum(is_ref) AS c_ref, sum(1 - is_ref) AS c_cur
+        FROM binned GROUP BY 1, 2
+    ),
+    terms AS (
+        SELECT cnt.event_type,
+               (CAST(c_cur AS DOUBLE) / n_cur + {_PSI_EPS}
+                - CAST(c_ref AS DOUBLE) / n_ref - {_PSI_EPS})
+               * ln((CAST(c_cur AS DOUBLE) / n_cur + {_PSI_EPS})
+                    / (CAST(c_ref AS DOUBLE) / n_ref + {_PSI_EPS}))
+                   AS term,
+               n_ref, n_cur
+        FROM cnt
+        JOIN refstats USING (event_type)
+        JOIN curstats USING (event_type)
+    )
+    SELECT event_type,
+           round(sum(term), 6) + 0.0 AS psi,
+           CAST(min(n_ref) AS BIGINT) AS n_ref,
+           CAST(min(n_cur) AS BIGINT) AS n_cur,
+           round(sum(term), 6) > 0.2 AS drifted
+    FROM terms GROUP BY event_type
+    """,
+    doc="population stability index per event_type between the first "
+        "and second time halves (the standard tabular feature-drift "
+        "gate; PSI > 0.2 = actionable shift) — the numeric complement "
+        "to the embedding drift monitor. Bins are {_bins} fixed-width "
+        "intervals over the REFERENCE half's per-type value range; "
+        "epsilon-smoothed shares keep empty bins finite. Shape: the "
+        "time midpoint and per-type reference stats ride 1-row / "
+        "types-bounded broadcasts, bin assignment is map-only, and "
+        "the PSI reduction is two partial-agg groupBys over "
+        "(type, bin) keys — bounded at types x 10 rows, no windows, "
+        "no sort".replace("{_bins}", str(_PSI_BINS)),
+)
+def events_psi_drift(spark, sf_dir):
+    e = _events(spark, sf_dir).select(
+        "event_type", "value", F.unix_millis("ts").alias("ms")
+    )
+    mid = e.agg(
+        F.floor((F.min("ms") + F.max("ms")) / 2.0)
+        .cast("bigint")
+        .alias("mid")
+    )
+    e = e.crossJoin(F.broadcast(mid))
+    ref = e.filter(F.col("ms") < F.col("mid"))
+    refstats = ref.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").alias("n_ref"),
+    )
+    curstats = (
+        e.filter(F.col("ms") >= F.col("mid"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_cur"))
+    )
+    bin_col = F.least(
+        F.greatest(
+            F.floor(
+                _PSI_BINS
+                * (F.col("value") - F.col("lo"))
+                / F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-12))
+            ).cast("bigint"),
+            F.lit(0),
+        ),
+        F.lit(_PSI_BINS - 1),
+    )
+    cnt = (
+        e.join(F.broadcast(refstats), "event_type")
+        .select(
+            "event_type",
+            bin_col.alias("bin"),
+            F.when(F.col("ms") < F.col("mid"), 1).otherwise(0).alias(
+                "is_ref"
+            ),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum("is_ref").alias("c_ref"),
+            F.sum(1 - F.col("is_ref")).alias("c_cur"),
+        )
+    )
+    p = F.col("c_ref").cast("double") / F.col("n_ref") + _PSI_EPS
+    q = F.col("c_cur").cast("double") / F.col("n_cur") + _PSI_EPS
+    terms = (
+        cnt.join(F.broadcast(refstats.select("event_type", "n_ref")),
+                 "event_type")
+        .join(F.broadcast(curstats), "event_type")
+        .select(
+            "event_type",
+            ((q - p) * F.log(q / p)).alias("term"),
+            "n_ref",
+            "n_cur",
+        )
+    )
+    return terms.groupBy("event_type").agg(
+        (F.round(F.sum("term"), 6) + F.lit(0.0)).alias("psi"),
+        F.min("n_ref").cast("bigint").alias("n_ref"),
+        F.min("n_cur").cast("bigint").alias("n_cur"),
+        (F.round(F.sum("term"), 6) > 0.2).alias("drifted"),
+    )

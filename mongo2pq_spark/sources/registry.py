@@ -181,15 +181,35 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
 
 @lru_cache(maxsize=256)
 def _nano_timestamp_columns(path: str) -> frozenset[str]:
-    """Columns stored as timestamp[ns], from the parquet footer
-    (driver-side metadata read; cached — testdata files are
-    immutable and queries re-read the same tables constantly)."""
+    """Columns stored as INT64 TIMESTAMP(NANOS), from the parquet
+    footer (driver-side metadata read; cached — testdata files are
+    immutable and queries re-read the same tables constantly).
+
+    The check must read the PHYSICAL type, not the arrow schema:
+    pyarrow reports legacy INT96 timestamps (Spark's own default
+    parquet output) as timestamp[ns] too, but Spark reads INT96
+    natively as TIMESTAMP — treating those as nanos-as-long would
+    apply `div 1000` to a TIMESTAMP column and fail analysis on any
+    Spark-written input. Only INT64 nanos need the rebuild."""
     import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
     import pyarrow.types as pat
 
-    schema = ds.dataset(path, format="parquet").schema
-    return frozenset(
+    dataset = ds.dataset(path, format="parquet")
+    arrow_ns = {
         field.name
-        for field in schema
+        for field in dataset.schema
         if pat.is_timestamp(field.type) and field.type.unit == "ns"
-    )
+    }
+    if not arrow_ns:
+        return frozenset()
+    frag = next(iter(dataset.files), None)
+    if frag is None:
+        return frozenset()
+    meta = pq.ParquetFile(frag).schema
+    int64_cols = {
+        meta.column(i).name
+        for i in range(len(meta))
+        if meta.column(i).physical_type == "INT64"
+    }
+    return frozenset(arrow_ns & int64_cols)

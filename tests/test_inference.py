@@ -140,3 +140,23 @@ def test_date64_unifies_and_lands_as_parquet_timestamp(spark, tmp_path):
     }
     assert back["b"] == datetime(2024, 3, 5, 13, 45, 30, 123000)  # ms kept
     assert back["a"] == datetime(2024, 3, 5, 0, 0, 0)
+
+
+def test_read_sf_table_handles_spark_int96_timestamps(spark, tmp_path):
+    """Spark's own default parquet output (legacy INT96 timestamps,
+    which pyarrow reports as timestamp[ns]) must read back unchanged:
+    the nanos-as-long rebuild applies only to INT64 TIMESTAMP(NANOS)
+    — div-ing a real TIMESTAMP column fails analysis outright."""
+    import datetime as dt
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 1, 12, 30, 15, 123456))],
+        "event_id bigint, ts timestamp",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    back = read_sf_table(spark, str(tmp_path), "events")
+    assert back.schema["ts"].dataType.typeName() == "timestamp"
+    row = back.collect()[0]
+    assert row["ts"] == dt.datetime(2024, 3, 1, 12, 30, 15, 123456)

@@ -3385,3 +3385,40 @@ def test_vocab_growth_monotone_and_model_exact(spark, sf_dir):
     for (c1, t1, d1), (c2, t2, d2) in zip(rows, rows[1:]):
         assert t2 >= t1 and d2 >= d1
     assert rows[-1][1] == toks and rows[-1][2] == len(seen)
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    """PSI semantics on a hand-built stream: an identical-distribution
+    type reads ~0 (below the 0.2 gate), a type whose second half
+    shifts distribution entirely reads far above it."""
+    import datetime as dt
+
+    from mongo2pq_spark.queries.registry import load_all
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(200):
+        ts = base + dt.timedelta(minutes=i)
+        # 'stable': same uniform values in both halves
+        rows.append((eid, ts, 1, "stable", float(i % 10), "{}")); eid += 1
+        # 'shifted': low values first half, high second half
+        v = float(i % 10) if i < 100 else 90.0 + (i % 10)
+        rows.append((eid, ts, 2, "shifted", v, "{}")); eid += 1
+    e = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "events.parquet")
+    e.write.parquet(p)
+    # point the registered query at a dir shaped like testdata
+    sf_dir = os.path.dirname(p)
+    out = {r["event_type"]: r for r in
+           load_all()["events_psi_drift"].fn(spark, sf_dir).collect()}
+    assert not out["stable"]["drifted"], out["stable"]
+    assert out["stable"]["psi"] < 0.05
+    assert out["shifted"]["drifted"] and out["shifted"]["psi"] > 1.0
+    assert out["shifted"]["n_ref"] == out["shifted"]["n_cur"] == 100
