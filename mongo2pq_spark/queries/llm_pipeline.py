@@ -497,3 +497,107 @@ def corpus_mix_temperature(spark, sf_dir):
     from mongo2pq_spark.operators.packing import temperature_mix_epochs
 
     return temperature_mix_epochs(_docs(spark, sf_dir), alpha=_TEMP_ALPHA)
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+def _cms_oracle() -> str:
+    from mongo2pq_spark.functions.hashing import sql_token_hash32
+
+    bucket = sql_token_hash32(
+        "CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)"
+    )
+    return f"""
+    WITH rs AS (SELECT unnest(range({_CMS_DEPTH})) AS r),
+    inc AS (
+        SELECT rs.r, {bucket} % {_CMS_WIDTH} AS bucket
+        FROM events CROSS JOIN rs
+    ),
+    cells AS (
+        SELECT r, bucket, count(*) AS c FROM inc GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT user_id, count(*) AS exact_count FROM events
+        WHERE user_id < 8 GROUP BY 1
+    ),
+    est AS (
+        SELECT p.user_id, p.exact_count, min(cells.c) AS cms_estimate
+        FROM probes p
+        CROSS JOIN rs
+        JOIN cells ON cells.r = rs.r
+                  AND cells.bucket = {bucket.replace('user_id', 'p.user_id').replace('CAST(r AS', 'CAST(rs.r AS')} % {_CMS_WIDTH}
+        GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           cms_estimate >= exact_count AS never_underestimates
+    FROM est
+    """
+
+
+@register(
+    "events_cms_estimates",
+    _cms_oracle(),
+    doc="count-min sketch (Cormode & Muthukrishnan 2005): 4x1024 cells "
+        "over user event counts, probed for the low-id user set and "
+        "compared against exact counts — completing the mergeable-"
+        "sketch family (HLL distinct, KLL quantiles, theta set ops, "
+        "CMS point frequencies). The portable md5 row-hashes make the "
+        "whole sketch ENGINE-DETERMINISTIC, so unlike the approx "
+        "aggregates this gets a full value oracle including every "
+        "estimate, plus the one-sided-error invariant (CMS never "
+        "underestimates). Shape: cell building is one partial-agg "
+        "groupBy over (row, bucket) — 4096 cells regardless of corpus "
+        "size, the monitoring cadence answer to exact per-key counts",
+)
+def events_cms_estimates(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.functions.hashing import token_hash32
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    e = read_sf_table(spark, sf_dir, "events")
+
+    def bucket(r_col, uid_col):
+        return F.pmod(
+            token_hash32(
+                F.concat(
+                    r_col.cast("string"), F.lit(":"),
+                    uid_col.cast("string"),
+                )
+            ),
+            F.lit(_CMS_WIDTH),
+        )
+
+    rs = F.explode(
+        F.array(*[F.lit(r) for r in range(_CMS_DEPTH)])
+    ).alias("r")
+    cells = (
+        e.select("user_id")
+        .select(rs, "user_id")
+        .select("r", bucket(F.col("r"), F.col("user_id")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    probes = (
+        e.filter(F.col("user_id") < 8)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    probed = (
+        probes.select(rs, "user_id", "exact_count")
+        .withColumn("bucket", bucket(F.col("r"), F.col("user_id")))
+        .join(cells, ["r", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return probed.select(
+        "user_id",
+        F.col("exact_count").cast("bigint").alias("exact_count"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_estimate") >= F.col("exact_count")).alias(
+            "never_underestimates"
+        ),
+    )

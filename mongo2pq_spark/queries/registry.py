@@ -315,6 +315,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # between time halves (reference-range bins, epsilon-smoothed
     # shares; full value oracle + planted-shift unit test)
     "events_psi_drift",
+    # r11 third continuation: count-min sketch point-frequency
+    # estimates (portable md5 row-hashes make the sketch engine-
+    # deterministic -> full value oracle incl. one-sided error)
+    "events_cms_estimates",
 ]
 
 
