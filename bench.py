@@ -110,6 +110,12 @@ HEADLINE = [
     "ann_pq_recall",
     "corpus_perplexity_buckets",
     "el_compact_roundtrip",
+    # registered after the first two third-continuation bench
+    # sessions; first trend numbers from sessions 3/4 below (the
+    # light map/agg additions — blocklist, PSI, CMS — stay out to
+    # keep the suite weighted toward engine work)
+    "corpus_vocab_growth",
+    "embedding_label_agreement",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -1089,9 +1089,7 @@ def pq_topk(
     wraps it in the recall-invariant oracle (the IVF pattern).
     """
     import numpy as np
-    import pandas as pd
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
 
     from mongo2pq_spark.deploy import ensure_shipped
     from mongo2pq_spark.operators.joins import salted_topk
@@ -1174,7 +1172,7 @@ def pq_topk(
         )
         luts.append((r[0], [float(x) for x in lut]))
     lut_df = df.sparkSession.createDataFrame(
-        luts, f"query_id long, lut array<double>"
+        luts, "query_id long, lut array<double>"
     )
 
     # -- ADC scoring: JVM-side fold over the broadcast LUT -----------

@@ -163,13 +163,16 @@ def compact_partitions(
     it is only renamed aside after the build is complete-by-naming).
 
     Returns one audit dict per partition: value, files/rows before and
-    after. The file counts come from a driver-side directory listing —
-    metadata-bounded (#files), the same order of work the parquet
-    footer reader already does to plan the scan.
+    after. Both the file counts AND the row counts come from parquet
+    FOOTER metadata read driver-side — never a data scan: an audit
+    that re-read the dataset twice (before and after) would triple the
+    I/O of the rewrite it audits.
 
     Reference has no lake-maintenance surface (it writes once,
     `mongo2pq/extract_load.py`); this extends the EL sink family.
     """
+    import pyarrow.parquet as pq
+
     from mongo2pq_spark.plans.bandstore_core import (
         recover_replace,
         replace_dir,
@@ -182,17 +185,18 @@ def compact_partitions(
         out = {}
         for d in sorted(p.glob(f"{partition_key}=*")):
             if d.is_dir():
-                files = [f for f in d.glob("*.parquet")]
+                files = list(d.glob("*.parquet"))
                 out[d.name.split("=", 1)[1]] = {
                     "files": len(files),
-                    "bytes": sum(f.stat().st_size for f in files),
+                    "rows": sum(
+                        pq.ParquetFile(f).metadata.num_rows
+                        for f in files
+                    ),
                 }
         return out
 
     before = survey(root)
     df = spark.read.parquet(str(root))
-    rows_before = df.groupBy(partition_key).count().collect()
-    rows_b = {str(r[0]): r[1] for r in rows_before}
     data_cols = [c for c in df.columns if c != partition_key]
 
     def writer(build_path: str) -> None:
@@ -210,20 +214,13 @@ def compact_partitions(
 
     replace_dir(root, writer)
     after = survey(root)
-    rows_after = {
-        str(r[0]): r[1]
-        for r in spark.read.parquet(str(root))
-        .groupBy(partition_key)
-        .count()
-        .collect()
-    }
     return [
         {
             "partition": k,
             "files_before": before[k]["files"],
-            "files_after": after[k]["files"],
-            "rows_before": rows_b.get(k, 0),
-            "rows_after": rows_after.get(k, 0),
+            "files_after": after.get(k, {}).get("files", 0),
+            "rows_before": before[k]["rows"],
+            "rows_after": after.get(k, {}).get("rows", 0),
         }
         for k in sorted(before)
     ]
