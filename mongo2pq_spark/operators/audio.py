@@ -284,3 +284,198 @@ def wav_window_features(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(feat_batches, WAV_WINDOW_SCHEMA)
+
+
+# -- MPEG audio (MP3) frame-header triage ------------------------------------
+#
+# Lossy-audio DECODE stays a documented stub (no codec library in this
+# container), but an MP3 corpus can still be triaged without one: the
+# frame HEADERS alone give duration, bitrate profile (CBR/VBR),
+# sample rate, channel mode, and a structural-integrity check — the
+# filter stage an audio pipeline runs on 100% of its corpus before
+# deciding what to hand the (stubbed) decoder. This mirrors the video
+# posture (operators/video.py: container metadata real, frame decode
+# stubbed). Scope: MPEG-1 Layer III, the overwhelming majority of
+# .mp3 files; MPEG-2/2.5 and Layers I/II raise NotImplementedError
+# (the version/layer tables are the library swap), corrupt streams
+# raise ValueError. ISO/IEC 11172-3 frame-header layout; public
+# bitrate/sample-rate index tables.
+
+#: MPEG-1 Layer III bitrate table, kbit/s, for header index 1..14
+#: (index 0 = "free format", index 15 = invalid).
+MP3_BITRATES_V1L3 = (
+    32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+#: MPEG-1 sample-rate table, Hz, for header index 0..2 (3 = invalid).
+MP3_SAMPLE_RATES_V1 = (44100, 48000, 32000)
+#: Samples per MPEG-1 Layer III frame.
+MP3_SAMPLES_PER_FRAME = 1152
+
+
+def mp3_frame_length(bitrate_kbps: int, sample_rate: int, padding: int) -> int:
+    """MPEG-1 Layer III frame length in bytes (header included):
+    ``floor(144 * bitrate / sample_rate) + padding``."""
+    return 144000 * bitrate_kbps // sample_rate + padding
+
+
+def build_mp3_stub(
+    bitrate_indices: list[int],
+    sample_rate_index: int,
+    paddings: list[int],
+    mono: bool = False,
+    id3v2_body: int = 0,
+    id3v1: bool = False,
+) -> bytes:
+    """Build a structurally real MPEG-1 Layer III stream: optional
+    ID3v2 tag (syncsafe size), one 4-byte header + correctly sized
+    dummy payload per frame, optional trailing 128-byte ID3v1 tag.
+    The parser must honor per-frame bitrate AND padding to land on
+    the next sync word, so a parse that matches a closed-form oracle
+    proves a real frame walk, not a byte-count heuristic."""
+    sr = MP3_SAMPLE_RATES_V1[sample_rate_index]
+    out = bytearray()
+    if id3v2_body:
+        # 'ID3', version 2.3.0, no flags, syncsafe 28-bit body size
+        if id3v2_body >= 1 << 28:
+            raise ValueError("ID3v2 body too large for syncsafe size")
+        out += b"ID3\x03\x00\x00" + bytes(
+            (id3v2_body >> s) & 0x7F for s in (21, 14, 7, 0)
+        )
+        out += bytes(id3v2_body)
+    mode = 0b11 if mono else 0b01  # mono / joint stereo
+    for idx, pad in zip(bitrate_indices, paddings):
+        if not 1 <= idx <= 14:
+            raise ValueError(f"bitrate index {idx} outside 1..14")
+        hdr = bytes(
+            (
+                0xFF,
+                0xFB,  # sync + MPEG-1 + Layer III + no CRC
+                (idx << 4) | (sample_rate_index << 2) | ((pad & 1) << 1),
+                mode << 6,
+            )
+        )
+        flen = mp3_frame_length(MP3_BITRATES_V1L3[idx - 1], sr, pad & 1)
+        out += hdr + bytes(flen - 4)
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return bytes(out)
+
+
+def parse_mp3_metadata(payload: bytes) -> dict:
+    """Walk an MP3 stream's frame headers without decoding audio:
+    ``{n_frames, sample_rate, channels, bitrate_min_kbps,
+    bitrate_max_kbps, is_vbr, duration_ms, audio_bytes, has_id3v2}``.
+
+    ``NotImplementedError`` on MPEG-2/2.5 or Layer I/II (outside the
+    implemented table scope), ``ValueError`` on lost sync, truncated
+    frames, invalid table indices, free-format bitrate, or a
+    mid-stream sample-rate change."""
+    pos = 0
+    has_id3v2 = False
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        if any(b & 0x80 for b in payload[6:10]):
+            raise ValueError("ID3v2 size bytes not syncsafe")
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | b
+        pos = 10 + size
+        has_id3v2 = True
+    n_frames = 0
+    sample_rate = None
+    channels = None
+    br_min = br_max = None
+    audio_bytes = 0
+    end = len(payload)
+    while pos < end:
+        if payload[pos:pos + 3] == b"TAG" and end - pos == 128:
+            break  # trailing ID3v1 tag
+        if end - pos < 4:
+            raise ValueError(f"truncated frame header at byte {pos}")
+        b0, b1, b2, b3 = payload[pos:pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        version = (b1 >> 3) & 0x3
+        layer = (b1 >> 1) & 0x3
+        if version != 0b11:
+            raise NotImplementedError(
+                "only MPEG-1 audio implemented (MPEG-2/2.5 header "
+                "found); swap in a codec library for full coverage"
+            )
+        if layer != 0b01:
+            raise NotImplementedError(
+                "only Layer III implemented (Layer I/II header found)"
+            )
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 0x3
+        if br_idx == 0:
+            raise NotImplementedError(
+                "free-format bitrate (index 0) not implemented"
+            )
+        if br_idx == 15:
+            raise ValueError(f"invalid bitrate index at byte {pos}")
+        if sr_idx == 3:
+            raise ValueError(f"invalid sample-rate index at byte {pos}")
+        sr = MP3_SAMPLE_RATES_V1[sr_idx]
+        if sample_rate is None:
+            sample_rate = sr
+        elif sr != sample_rate:
+            raise ValueError("sample rate changes mid-stream")
+        if channels is None:
+            channels = 1 if (b3 >> 6) & 0x3 == 0b11 else 2
+        br = MP3_BITRATES_V1L3[br_idx - 1]
+        br_min = br if br_min is None else min(br_min, br)
+        br_max = br if br_max is None else max(br_max, br)
+        flen = mp3_frame_length(br, sr, (b2 >> 1) & 1)
+        if pos + flen > end:
+            raise ValueError(f"truncated frame at byte {pos}")
+        audio_bytes += flen
+        n_frames += 1
+        pos += flen
+    if n_frames == 0:
+        raise ValueError("no MPEG audio frames in payload")
+    return {
+        "n_frames": n_frames,
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bitrate_min_kbps": br_min,
+        "bitrate_max_kbps": br_max,
+        "is_vbr": br_max > br_min,
+        "duration_ms": n_frames * MP3_SAMPLES_PER_FRAME * 1000
+        // sample_rate,
+        "audio_bytes": audio_bytes,
+        "has_id3v2": has_id3v2,
+    }
+
+
+MP3_META_SCHEMA = (
+    "doc_id bigint, sample_rate int, channels int, n_frames bigint, "
+    "duration_ms bigint, bitrate_min_kbps int, bitrate_max_kbps int, "
+    "is_vbr boolean, audio_bytes bigint, has_id3v2 boolean"
+)
+
+
+def mp3_metadata(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched MP3 frame-header triage: duration / bitrate
+    profile / channel layout / structural integrity for every file,
+    no codec. Map-only, cost ∝ total payload bytes — the same scale
+    shape as the MP4 metadata stage."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_mp3_metadata(bytes(payload))
+                m["doc_id"] = doc_id
+                rows.append(m)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(parse_batches, MP3_META_SCHEMA)

@@ -1359,3 +1359,99 @@ def multimodal_image_phash_invariance(spark, sf_dir):
             F.bit_count(F.col("h0").bitwiseXOR(F.col("h2"))) >= 30
         ).alias("negated_beyond"),
     )
+
+
+@register(
+    "multimodal_mp3_metadata",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_extract([44100, 48000, 32000],
+                            1 + CAST(doc_id % 3 AS INTEGER)) AS sr,
+               20 + doc_id % 30 AS nf
+        FROM documents WHERE doc_id < 200
+    ),
+    f AS (
+        SELECT d.doc_id, d.sr, d.nf,
+               list_extract(
+                   [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                    224, 256, 320],
+                   1 + CAST(CASE WHEN d.doc_id % 4 = 0
+                                 THEN (d.doc_id + 3 * i.i) % 14
+                                 ELSE d.doc_id % 14 END AS INTEGER)
+               ) AS br,
+               (d.doc_id + i.i) % 2 AS pad
+        FROM d, generate_series(0, 49) i(i)
+        WHERE i.i < d.nf
+    )
+    SELECT doc_id,
+           CAST(max(sr) AS INTEGER) AS sample_rate,
+           CAST(2 - doc_id % 2 AS INTEGER) AS channels,
+           CAST(max(nf) AS BIGINT) AS n_frames,
+           CAST(max(nf) * 1152 * 1000 // max(sr) AS BIGINT)
+               AS duration_ms,
+           CAST(min(br) AS INTEGER) AS bitrate_min_kbps,
+           CAST(max(br) AS INTEGER) AS bitrate_max_kbps,
+           max(br) > min(br) AS is_vbr,
+           CAST(sum(144000 * br // sr + pad) AS BIGINT) AS audio_bytes,
+           doc_id % 5 = 0 AS has_id3v2
+    FROM f
+    GROUP BY doc_id
+    """,
+    doc="MP3 frame-header triage, end to end: structurally real "
+        "MPEG-1 Layer III streams (closed-form per-frame bitrate and "
+        "padding rule; CBR and VBR profiles, ID3v2 prefixes, ID3v1 "
+        "trailers) are BUILT and WALKED back by the pure-stdlib "
+        "header parser (operators/audio.py::parse_mp3_metadata) "
+        "inside Arrow-batched mapInPandas. Per-frame padding and VBR "
+        "bitrates change every frame length, so landing on each next "
+        "sync word — and matching the oracle's closed-form duration / "
+        "bitrate-profile / byte-count scalars — proves a real frame "
+        "walk. This is the pre-decode filter stage for a lossy-audio "
+        "corpus (duration windows, CBR/VBR routing, integrity); the "
+        "DECODE itself remains the documented lossy-audio stub, "
+        "mirroring the video posture (metadata real, frames stubbed). "
+        "Map-only: zero shuffles before the final per-doc emit",
+)
+def multimodal_mp3_metadata(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import audio as audio_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import pandas as pd
+
+        from mongo2pq_spark.operators.audio import build_mp3_stub
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf = 20 + d % 30
+                if d % 4 == 0:
+                    idxs = [1 + (d + 3 * i) % 14 for i in range(nf)]
+                else:
+                    idxs = [1 + d % 14] * nf
+                payloads.append(
+                    build_mp3_stub(
+                        idxs,
+                        d % 3,
+                        [(d + i) % 2 for i in range(nf)],
+                        mono=d % 2 == 1,
+                        id3v2_body=10 + 17 * (d % 7) if d % 5 == 0 else 0,
+                        id3v1=d % 7 == 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_mp3 = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return audio_ops.mp3_metadata(with_mp3)

@@ -319,6 +319,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # estimates (portable md5 row-hashes make the sketch engine-
     # deterministic -> full value oracle incl. one-sided error)
     "events_cms_estimates",
+    # r11 fourth continuation: MP3 frame-header triage through the
+    # pure-stdlib MPEG-1 Layer III walker (per-frame VBR/padding
+    # lengths prove a real sync walk; closed-form oracle)
+    "multimodal_mp3_metadata",
 ]
 
 

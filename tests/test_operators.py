@@ -3422,3 +3422,76 @@ def test_psi_drift_detects_planted_shift(spark):
     assert out["stable"]["psi"] < 0.05
     assert out["shifted"]["drifted"] and out["shifted"]["psi"] > 1.0
     assert out["shifted"]["n_ref"] == out["shifted"]["n_cur"] == 100
+
+
+def test_mp3_header_walk_hand_traced():
+    """MP3 triage parses by walking frame headers: per-frame VBR
+    bitrates and alternating padding change every frame length, so a
+    correct n_frames/audio_bytes proves the walk lands on each sync
+    word rather than estimating from byte counts."""
+    import pytest
+
+    from mongo2pq_spark.operators.audio import (
+        MP3_BITRATES_V1L3,
+        build_mp3_stub,
+        mp3_frame_length,
+        parse_mp3_metadata,
+    )
+
+    # CBR mono, ID3v2 prefix + ID3v1 trailer, padding alternating
+    p = build_mp3_stub(
+        [9] * 5, 1, [1, 0, 1, 0, 1], mono=True, id3v2_body=33, id3v1=True
+    )
+    m = parse_mp3_metadata(p)
+    assert m["n_frames"] == 5
+    assert m["sample_rate"] == 48000
+    assert m["channels"] == 1
+    assert not m["is_vbr"]
+    assert m["bitrate_min_kbps"] == m["bitrate_max_kbps"] == 128
+    assert m["duration_ms"] == 5 * 1152 * 1000 // 48000
+    assert m["audio_bytes"] == sum(
+        mp3_frame_length(128, 48000, pad) for pad in (1, 0, 1, 0, 1)
+    )
+    assert m["has_id3v2"] and len(p) == 10 + 33 + m["audio_bytes"] + 128
+
+    # VBR stereo: min/max from the per-frame table walk
+    idxs = [1, 14, 7, 3]
+    v = parse_mp3_metadata(build_mp3_stub(idxs, 0, [0] * 4))
+    assert v["is_vbr"] and v["channels"] == 2
+    assert v["bitrate_min_kbps"] == MP3_BITRATES_V1L3[0]
+    assert v["bitrate_max_kbps"] == MP3_BITRATES_V1L3[13]
+
+    # fail-loud envelope
+    good = build_mp3_stub([5] * 2, 0, [0, 0])
+    with pytest.raises(ValueError, match="truncated frame"):
+        parse_mp3_metadata(good[:-10])
+    with pytest.raises(ValueError, match="lost frame sync"):
+        parse_mp3_metadata(b"\x00\x00" + good)
+    with pytest.raises(ValueError, match="no MPEG audio frames"):
+        parse_mp3_metadata(b"TAG" + bytes(125))
+    bad_sr = bytearray(good)
+    bad_sr[2] |= 0b1100  # sample-rate index 3 = invalid
+    with pytest.raises(ValueError, match="invalid sample-rate"):
+        parse_mp3_metadata(bytes(bad_sr))
+    mixed = bytearray(good)
+    # second frame's sample-rate index 44100 -> 48000: flen of frame 1
+    flen1 = mp3_frame_length(64, 44100, 0)
+    mixed[flen1 + 2] = (mixed[flen1 + 2] & ~0b1100) | (1 << 2)
+    with pytest.raises(ValueError, match="sample rate changes"):
+        parse_mp3_metadata(bytes(mixed))
+    free = bytearray(good)
+    free[2] &= 0x0F  # bitrate index 0 = free format
+    with pytest.raises(NotImplementedError, match="free-format"):
+        parse_mp3_metadata(bytes(free))
+    mpeg2 = bytearray(good)
+    mpeg2[1] = 0xF3  # version bits 10 = MPEG-2
+    with pytest.raises(NotImplementedError, match="MPEG-1"):
+        parse_mp3_metadata(bytes(mpeg2))
+    layer2 = bytearray(good)
+    layer2[1] = 0xFD  # layer bits 10 = Layer II
+    with pytest.raises(NotImplementedError, match="Layer III"):
+        parse_mp3_metadata(bytes(layer2))
+    badsize = bytearray(build_mp3_stub([5], 0, [0], id3v2_body=12))
+    badsize[6] = 0x80  # non-syncsafe ID3v2 size byte
+    with pytest.raises(ValueError, match="syncsafe"):
+        parse_mp3_metadata(bytes(badsize))
