@@ -1016,3 +1016,78 @@ def corpus_vocab_growth(spark, sf_dir):
         "checkpoint", "cum_tokens", "cum_distinct_terms",
         "heaps_exponent",
     )
+
+
+# -- DSIR importance-resampling selection -------------------------------------
+
+_DSIR_BUCKETS = 1024
+
+
+@register(
+    "corpus_dsir_select",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS is_target,
+               unnest({sql_tokens('text')}) AS tok
+        FROM documents
+    ),
+    dtb AS (
+        SELECT doc_id, is_target,
+               {sql_token_hash32('tok')} % {_DSIR_BUCKETS} AS bucket,
+               count(*) AS tf
+        FROM toks GROUP BY doc_id, is_target, bucket
+    ),
+    raw AS (SELECT bucket, sum(tf) AS cr FROM dtb GROUP BY 1),
+    tgt AS (
+        SELECT bucket, sum(tf) AS ct FROM dtb WHERE is_target GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(tf) AS tr,
+               sum(CASE WHEN is_target THEN tf ELSE 0 END) AS tt
+        FROM dtb
+    ),
+    lm AS (
+        SELECT raw.bucket,
+               ln(CAST(0.9 AS DOUBLE) * CAST(coalesce(ct, 0) AS DOUBLE)
+                      / CAST(tt AS DOUBLE)
+                  + CAST(9.765625e-05 AS DOUBLE))
+             - ln(CAST(0.9 AS DOUBLE) * CAST(cr AS DOUBLE)
+                      / CAST(tr AS DOUBLE)
+                  + CAST(9.765625e-05 AS DOUBLE)) AS lw
+        FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           max(is_target) AS is_target,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * lw), 6) + 0.0 AS dsir_logw,
+           (round(sum(tf * lw), 6) + 0.0) > 0 AS selected
+    FROM dtb JOIN lm USING (bucket)
+    GROUP BY doc_id
+    """,
+    doc="DSIR data selection (Xie et al. 2023): per-document "
+        "importance log-weight ln(p_target/p_raw) under hashed-"
+        "unigram bag-of-words LMs (1024 md5 buckets), target = the "
+        "English subcorpus — the cheap distribution-matching "
+        "pre-filter that selects raw-corpus docs resembling a curated "
+        "domain before any expensive scoring. Smoothing is Jelinek-"
+        "Mercer with a SHARED λ=0.1 (p = 0.9·c/T + λ/B): add-1 puts "
+        "smoothing mass ∝ 1/T, which biases every weight negative "
+        "when the target subcorpus is smaller than the raw corpus "
+        "(measured: 0/500 selected), while JM makes identically-"
+        "shaped distributions score exactly 0 — selected = logw > 0 "
+        "then reads 'more target-like than raw'. Shape: one "
+        "doc×bucket aggregate (cached — it feeds the raw LM, the "
+        "target LM, and the scoring join; Catalyst has no cross-"
+        "branch reuse), then BROADCAST joins only (both LM tables are "
+        "≤1024 rows, the totals are 1-row) — the corpus is read once "
+        "and nothing shuffles on a skewable key at any scale",
+)
+def corpus_dsir_select(spark, sf_dir):
+    from mongo2pq_spark.operators.text import dsir_logweights
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    return dsir_logweights(
+        docs, "is_en", n_buckets=_DSIR_BUCKETS
+    )

@@ -323,6 +323,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # pure-stdlib MPEG-1 Layer III walker (per-frame VBR/padding
     # lengths prove a real sync walk; closed-form oracle)
     "multimodal_mp3_metadata",
+    # r11 fourth continuation: DSIR importance-resampling selection
+    # (hashed-unigram JM-smoothed LM ratio vs the English target;
+    # full value oracle + disjoint-vocab Python-model test)
+    "corpus_dsir_select",
 ]
 
 

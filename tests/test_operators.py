@@ -3495,3 +3495,65 @@ def test_mp3_header_walk_hand_traced():
     badsize[6] = 0x80  # non-syncsafe ID3v2 size byte
     with pytest.raises(ValueError, match="syncsafe"):
         parse_mp3_metadata(bytes(badsize))
+
+
+def test_dsir_logweights_disjoint_vocab_and_python_model(spark):
+    """DSIR invariants on a disjoint-vocabulary fixture: every
+    target-language doc must score positive (its buckets carry far
+    more target than raw mass) and every other doc negative; and the
+    distributed weights must equal an exact Python model of the same
+    hashed-unigram JM-smoothed pipeline."""
+    import hashlib
+    import math
+
+    from mongo2pq_spark.operators.cache import release_caches
+    from mongo2pq_spark.operators.text import dsir_logweights
+
+    rows = []
+    for i in range(12):
+        if i % 2:
+            text = " ".join(f"alpha{j % 5}" for j in range(10 + i))
+            lang = "en"
+        else:
+            text = " ".join(f"omega{j % 7}" for j in range(10 + i))
+            lang = "zz"
+        rows.append((i, text, lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    try:
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in dsir_logweights(
+                df.withColumn("t", df.lang == "en"), "t", n_buckets=64
+            ).collect()
+        }
+    finally:
+        release_caches()
+
+    # exact Python mirror
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+
+    dtb, cr, ct = {}, {}, {}
+    for i, text, lang in rows:
+        for tok in text.split():
+            b = bucket(tok)
+            dtb.setdefault(i, {})[b] = dtb.get(i, {}).get(b, 0) + 1
+            cr[b] = cr.get(b, 0) + 1
+            if lang == "en":
+                ct[b] = ct.get(b, 0) + 1
+    tr, tt = sum(cr.values()), sum(ct.values())
+    for i, text, lang in rows:
+        lw = sum(
+            tf
+            * (
+                math.log(0.9 * ct.get(b, 0) / tt + 0.1 / 64)
+                - math.log(0.9 * cr[b] / tr + 0.1 / 64)
+            )
+            for b, tf in dtb[i].items()
+        )
+        got = out[i]
+        assert got["dsir_logw"] == round(lw, 6) + 0.0, (i, got, lw)
+        assert got["n_tokens"] == 10 + i
+        assert got["is_target"] == (lang == "en")
+        # disjoint vocab -> the sign separates perfectly
+        assert got["selected"] == (lang == "en"), got

@@ -782,3 +782,26 @@ def test_pq_adc_scoring_is_jvm_side_fold(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "aggregate(" in plan  # the ADC fold expression
     assert "WindowGroupLimit" in plan
+
+
+def test_dsir_post_agg_stage_is_broadcast_only(spark, sf_dir):
+    """DSIR's scale posture: after the ONE doc×bucket aggregate, every
+    join is a broadcast (both LM tables are bounded at n_buckets rows
+    by construction, the totals are 1-row) — nothing sort-merges, no
+    cartesian product beyond the bounded 1-row nested loop, and the
+    tokenize/explode subtree materializes exactly once under the
+    cache (distinct Generate node ids == 1; the formatted plan
+    re-prints the cached relation's child at every reference)."""
+    import re
+
+    from mongo2pq_spark.operators.cache import release_caches
+
+    try:
+        plan = _formatted(spark, sf_dir, "corpus_dsir_select")
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "InMemoryTableScan" in plan
+        assert len(set(re.findall(r"Generate \((\d+)\)", plan))) == 1
+    finally:
+        release_caches()
