@@ -327,6 +327,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # (hashed-unigram JM-smoothed LM ratio vs the English target;
     # full value oracle + disjoint-vocab Python-model test)
     "corpus_dsir_select",
+    # r11 fourth continuation: binned two-sample KS drift statistic
+    # (integer cross-product CDF gap over the bounded bin table;
+    # full value oracle + planted-distribution Python-model test)
+    "events_ks_drift",
 ]
 
 

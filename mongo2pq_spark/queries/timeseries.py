@@ -365,3 +365,101 @@ def events_psi_drift(spark, sf_dir):
         F.min("n_cur").cast("bigint").alias("n_cur"),
         (F.round(F.sum("term"), 6) > 0.2).alias("drifted"),
     )
+
+
+_KS_BIN_WIDTH = 5.0  # events.value spans ~[0, 500] -> ~100 bounded bins
+
+
+@register(
+    "events_ks_drift",
+    f"""
+    WITH e AS (
+        SELECT CAST(floor(value / {_KS_BIN_WIDTH}) AS BIGINT) AS bin,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    b AS (SELECT bin, sum(a) AS ca, sum(1 - a) AS cb FROM e GROUP BY 1),
+    c AS (
+        SELECT bin,
+               sum(ca) OVER (ORDER BY bin) AS cuma,
+               sum(cb) OVER (ORDER BY bin) AS cumb
+        FROM b
+    ),
+    t AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS nbins FROM b)
+    SELECT CAST(na AS BIGINT) AS n_click,
+           CAST(nb AS BIGINT) AS n_purchase,
+           CAST(nbins AS BIGINT) AS n_bins,
+           bin AS ks_at_bin,
+           round(abs(cuma * nb - cumb * na) * 1.0 / (na * nb), 6) + 0.0
+               AS ks_d
+    FROM c CROSS JOIN t
+    ORDER BY abs(cuma * nb - cumb * na) DESC, bin
+    LIMIT 1
+    """,
+    doc="two-sample Kolmogorov-Smirnov drift statistic between the "
+        "click and purchase value distributions — the rank-based "
+        "complement to PSI (PSI weights by density ratio, KS reports "
+        "the worst-case CDF gap). Computed on the binned empirical "
+        "CDFs (fixed-width bins, the corpus_perplexity_buckets "
+        "pattern): the supremum over bin boundaries is a LOWER bound "
+        "on the unbinned D that converges as the bin width shrinks, "
+        "and it is ENGINE-EXACT — the max is over integer "
+        "cross-products cum_a*n_b - cum_b*n_a, so the argmax bin and "
+        "the final ratio are bit-stable (no float CDF comparisons). "
+        "Shape: one map-side-combinable (bin) aggregate, a cumulative "
+        "window over the BOUNDED bin table (~100 rows by "
+        "construction — never the raw events), a 1-row totals "
+        "broadcast, and a TakeOrdered(1) for the argmax: the events "
+        "table is read once and never globally sorted",
+)
+def events_ks_drift(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.floor(F.col("value") / _KS_BIN_WIDTH)
+            .cast("bigint")
+            .alias("bin"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("a"),
+        )
+    )
+    b = e.groupBy("bin").agg(
+        F.sum("a").alias("ca"), F.sum(1 - F.col("a")).alias("cb")
+    )
+    # unpartitioned window is safe here: it runs over the BIN table,
+    # bounded at value_range/width rows by construction
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = b.select(
+        "bin",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    )
+    t = b.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count("*").alias("nbins"),
+    )
+    j = c.crossJoin(F.broadcast(t)).withColumn(
+        "diff_num",
+        F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")),
+    )
+    return (
+        j.orderBy(F.desc("diff_num"), "bin")
+        .limit(1)
+        .select(
+            F.col("na").cast("bigint").alias("n_click"),
+            F.col("nb").cast("bigint").alias("n_purchase"),
+            F.col("nbins").cast("bigint").alias("n_bins"),
+            F.col("bin").alias("ks_at_bin"),
+            (
+                F.round(
+                    F.col("diff_num") * 1.0 / (F.col("na") * F.col("nb")), 6
+                )
+                + F.lit(0.0)
+            ).alias("ks_d"),
+        )
+    )

@@ -294,3 +294,78 @@ def test_interval_overlap_join_randomized_vs_naive(spark):
     naive_keys = sorted(k(r) for r in naive.collect())
     assert len(got_keys) > 100  # non-vacuous
     assert got_keys == naive_keys
+
+
+def test_ks_drift_planted_distributions(spark, tmp_path):
+    """Binned two-sample KS on planted distributions: identical
+    samples give D = 0, disjoint supports give D = 1, and a planted
+    shift matches an exact Python mirror of the binned pipeline
+    (integer cross-products, argmax bin, round-6 ratio)."""
+    import datetime
+
+    import pandas as pd
+
+    from mongo2pq_spark.queries.registry import QUERIES, load_all
+
+    load_all()
+
+    def events_pq(path, values_a, values_b):
+        rows = []
+        for i, v in enumerate(values_a):
+            rows.append(("click", float(v), i))
+        for i, v in enumerate(values_b):
+            rows.append(("purchase", float(v), 10_000 + i))
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[2] for r in rows],
+                "ts": [
+                    datetime.datetime(2024, 1, 1)
+                    + datetime.timedelta(minutes=r[2] % 1440)
+                    for r in rows
+                ],
+                "user_id": [r[2] % 7 for r in rows],
+                "event_type": [r[0] for r in rows],
+                "value": [r[1] for r in rows],
+                "props": ["{}" for _ in rows],
+            }
+        )
+        path.mkdir(exist_ok=True)
+        pdf.to_parquet(path / "events.parquet")
+        return str(path)
+
+    fn = QUERIES["events_ks_drift"].fn
+
+    # identical distributions -> D = 0
+    same = [3, 8, 12, 12, 44, 103, 250]
+    d1 = fn(spark, events_pq(tmp_path / "same", same, same)).collect()[0]
+    assert d1["ks_d"] == 0.0 and d1["n_bins"] > 1
+
+    # disjoint supports -> D = 1, argmax at the last click bin
+    d2 = fn(
+        spark,
+        events_pq(tmp_path / "disj", [1, 2, 3, 4], [400, 410, 420]),
+    ).collect()[0]
+    assert d2["ks_d"] == 1.0
+    assert d2["ks_at_bin"] == 0  # all clicks in bin 0, cum gap maximal
+
+    # planted shift vs exact Python mirror
+    a = [5 * (i % 20) + 0.5 for i in range(200)]
+    b = [5 * (i % 20) + 30.5 for i in range(150)]
+    got = fn(spark, events_pq(tmp_path / "shift", a, b)).collect()[0]
+    bins = {}
+    for v in a:
+        bins.setdefault(int(v // 5), [0, 0])[0] += 1
+    for v in b:
+        bins.setdefault(int(v // 5), [0, 0])[1] += 1
+    na, nb = len(a), len(b)
+    cuma = cumb = 0
+    best = (-1, None)
+    for bin_ in sorted(bins):
+        cuma += bins[bin_][0]
+        cumb += bins[bin_][1]
+        diff = abs(cuma * nb - cumb * na)
+        if diff > best[0]:
+            best = (diff, bin_)
+    assert got["ks_at_bin"] == best[1]
+    assert got["ks_d"] == round(best[0] / (na * nb), 6) + 0.0
+    assert got["n_click"] == na and got["n_purchase"] == nb
