@@ -331,6 +331,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # (integer cross-product CDF gap over the bounded bin table;
     # full value oracle + planted-distribution Python-model test)
     "events_ks_drift",
+    # r11 fourth continuation: unigram-LM (SentencePiece/Kudo 2018)
+    # tokenizer — EM over the bounded word histogram, Viterbi encode
+    # with byte-fallback; oracle value-checks the lossless round trip
+    "text_unigram_tok_roundtrip",
 ]
 
 

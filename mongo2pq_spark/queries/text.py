@@ -969,3 +969,51 @@ def docs_blocklist_filter(spark, sf_dir):
         hits.cast("bigint").alias("n_blocked_terms"),
         (hits > 0).alias("flagged"),
     )
+
+
+@register(
+    "text_unigram_tok_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS roundtrip_md5,
+           true AS bounds_ok
+    FROM documents
+    """,
+    doc="REAL unigram-LM tokenization (Kudo 2018, the SentencePiece "
+        "unigram model), end to end — the second learned-tokenizer "
+        "family next to BPE: a substring seed vocabulary is trained "
+        "by forward-backward EM over all segmentations of THIS "
+        "corpus's word histogram, pruned to the target size "
+        "(single-byte pieces are structural and never pruned), and "
+        "every doc is Viterbi-encoded and decoded back in Arrow-"
+        "batched mapInPandas with SentencePiece-style byte-fallback "
+        "(operators/unigram_tok.py). The corpus pass is the SAME one "
+        "histogram shuffle BPE uses; the driver sees only bounded "
+        "(word, freq) rows. The oracle recomputes md5/strlen from "
+        "the source column, so a hash match proves the learned "
+        "tokenizer round-trips the whole corpus losslessly; EM "
+        "monotonicity, pruning bounds, piece learning, and byte-"
+        "fallback totality are pinned by unit tests (SQL cannot run "
+        "the EM loop itself)",
+)
+def text_unigram_tok_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.unigram_tok import (
+        learn_unigram,
+        unigram_encode_stats,
+    )
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # eager bounded collect at build time (the learn_bpe pattern):
+    # the driver sees <=30k histogram rows, never text
+    logp = learn_unigram(docs, vocab_size=400)
+    stats = unigram_encode_stats(docs, logp)
+    bounds = (F.col("n_tokens") <= F.col("n_bytes")) & (
+        F.col("n_tokens") * F.col("max_token_len") >= F.col("n_bytes")
+    )
+    return stats.select(
+        "doc_id", "n_bytes", "roundtrip_md5", bounds.alias("bounds_ok")
+    )

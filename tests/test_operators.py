@@ -3557,3 +3557,84 @@ def test_dsir_logweights_disjoint_vocab_and_python_model(spark):
         assert got["is_target"] == (lang == "en")
         # disjoint vocab -> the sign separates perfectly
         assert got["selected"] == (lang == "en"), got
+
+
+def test_unigram_tokenizer_learning_and_totality():
+    """Unigram-LM tokenizer invariants: EM never decreases the
+    marginal log-likelihood; frequent whole words become single
+    pieces under Viterbi; pruning respects vocab_size while keeping
+    every single byte; byte-fallback makes encode total (lossless on
+    bytes the histogram never saw)."""
+    from mongo2pq_spark.operators.unigram_tok import (
+        _em_round,
+        learn_unigram_local,
+        seed_pieces,
+        viterbi_encode,
+    )
+
+    hist = [
+        (b"spark", 50), (b"sparkly", 10), (b"park", 20), (b"stream", 30),
+        (b"streams", 12), (b" ", 100), (b"the", 80), (b"then", 15),
+    ]
+    lp = seed_pieces(hist, seed_size=200)
+    lp1, _, ll1 = _em_round(hist, lp, 8)
+    lp2, _, ll2 = _em_round(hist, lp1, 8)
+    assert ll2 >= ll1  # EM monotonicity
+
+    logp = learn_unigram_local(hist, vocab_size=40, seed_size=200)
+    singles = {p for p in logp if len(p) == 1}
+    assert len(logp) <= 40
+    # every byte of the training corpus survives pruning
+    assert singles == {bytes([b]) for w, _ in hist for b in w}
+    # the dominant words are learned as single pieces
+    for w in (b"spark", b"stream", b"the"):
+        assert viterbi_encode(w, logp) == [w], w
+    # byte-fallback totality: unseen bytes still round-trip
+    weird = b"z\xffebra \x00!"
+    assert b"".join(viterbi_encode(weird, logp)) == weird
+
+
+def test_unigram_encode_stats_roundtrip(spark):
+    """Distributed Viterbi encode round-trips exotic unicode and
+    empty/null text, and the token accounting matches a driver-side
+    mirror of the same vocab."""
+    import hashlib
+
+    from mongo2pq_spark.operators.bpe import pretokenize
+    from mongo2pq_spark.operators.unigram_tok import (
+        learn_unigram_local,
+        unigram_encode_stats,
+        viterbi_encode,
+    )
+
+    texts = [
+        "spark streams spark  the park",
+        "tabs\tand\nnewlines  mixed",
+        "ünïcødé 北京 🎛️ mixed in",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    logp = learn_unigram_local(
+        [(b"spark", 5), (b"the", 3), (b" ", 9), (b"park", 2)],
+        vocab_size=30,
+        seed_size=50,
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in unigram_encode_stats(df, logp).collect()
+    }
+    for i, t in enumerate(texts):
+        t = t or ""
+        toks = [
+            p
+            for w in pretokenize(t)
+            for p in viterbi_encode(w.encode("utf-8"), logp)
+        ]
+        assert got[i]["roundtrip_md5"] == hashlib.md5(
+            t.encode("utf-8")
+        ).hexdigest()
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["n_bytes"] == len(t.encode("utf-8"))
