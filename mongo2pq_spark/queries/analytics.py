@@ -1203,3 +1203,59 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pagerank(edges, iterations=_PR_ITERS, damping=_PR_D,
                     weight_col="w")
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev_type, sum(n) AS n_prev FROM pairs GROUP BY 1)
+    SELECT prev_type, event_type,
+           CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / n_prev, 6) + 0.0 AS p
+    FROM pairs JOIN tot USING (prev_type)
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+        "sequences: P(next event type | current), the behavioral-"
+        "sequence profile that feeds curriculum ordering, anomalous-"
+        "session detection, and synthetic-trace generation. Shape: "
+        "ONE shuffle — the lag window partitions by user_id (the "
+        "natural well-distributed key; never a global sort) with a "
+        "(ts, event_id) total order inside each user; the pair "
+        "counts and row totals are bounded at |types|² / |types| "
+        "rows, so the conditional-probability join broadcasts",
+)
+def events_markov_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    e = read_sf_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_prev"))
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.round(F.col("n").cast("double") / F.col("n_prev"), 6)
+            + F.lit(0.0)
+        ).alias("p"),
+    )

@@ -335,6 +335,14 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # tokenizer — EM over the bounded word histogram, Viterbi encode
     # with byte-fallback; oracle value-checks the lossless round trip
     "text_unigram_tok_roundtrip",
+    # r11 fourth continuation: first-order Markov transition matrix
+    # over per-user event sequences (one user_id window shuffle,
+    # bounded pair table; full value oracle + hand-traced test)
+    "events_markov_transitions",
+    # r11 fourth continuation: Benford first-digit audit with
+    # integer-exact digit extraction via the cents rendering (full
+    # value oracle + planted-distribution test)
+    "events_benford_deviation",
 ]
 
 

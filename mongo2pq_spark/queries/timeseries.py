@@ -463,3 +463,84 @@ def events_ks_drift(spark, sf_dir):
             ).alias("ks_d"),
         )
     )
+
+
+#: Benford's-law first-digit probabilities log10(1 + 1/d); the SAME
+#: repr-exact literals are baked into the Spark expression and the
+#: oracle SQL so both engines hold bit-identical doubles.
+_BENFORD_P = {
+    1: 0.3010299956639812, 2: 0.17609125905568124,
+    3: 0.12493873660829992, 4: 0.09691001300805642,
+    5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+@register(
+    "events_benford_deviation",
+    f"""
+    WITH cents AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE value > 0
+    ),
+    d AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+            AS digit
+        FROM cents
+    ),
+    cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    tot AS (SELECT sum(n) AS total FROM cnt)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / total, 6) + 0.0 AS obs_share,
+           CASE digit
+               {" ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items())}
+           END AS benford_share,
+           round(abs(CAST(n AS DOUBLE) / total - CASE digit
+               {" ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items())}
+           END), 6) + 0.0 AS abs_dev
+    FROM cnt CROSS JOIN tot
+    """,
+    doc="Benford's-law first-significant-digit audit of the value "
+        "column — the classic numeric-QA screen for fabricated or "
+        "truncated measurements (organic multi-scale data follows "
+        "log10(1+1/d); uniform synthetic data, like this fixture's, "
+        "deviates hard on digits 1-4 — the deviation IS the signal). "
+        "The digit is extracted INTEGER-exactly: value→cents by one "
+        "correctly-rounded double multiply, then the first character "
+        "of the integer's decimal rendering — no log10/floor float "
+        "boundary, so digit buckets are engine-bit-stable. Shape: "
+        "map-only projection, one 9-key aggregate, a 1-row total "
+        "broadcast",
+)
+def events_benford_deviation(spark, sf_dir):
+    e = _events(spark, sf_dir).filter(F.col("value") > 0)
+    digit = F.substring(
+        F.round(F.col("value") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    cnt = e.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    tot = cnt.agg(F.sum("n").alias("total"))
+    bshare = F.create_map(
+        *[F.lit(x) for dp in _BENFORD_P.items() for x in dp]
+    )[F.col("digit")]
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.round(F.col("n").cast("double") / F.col("total"), 6)
+            + F.lit(0.0)
+        ).alias("obs_share"),
+        bshare.alias("benford_share"),
+        (
+            F.round(
+                F.abs(
+                    F.col("n").cast("double") / F.col("total") - bshare
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("abs_dev"),
+    )

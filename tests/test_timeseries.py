@@ -369,3 +369,104 @@ def test_ks_drift_planted_distributions(spark, tmp_path):
     assert got["ks_at_bin"] == best[1]
     assert got["ks_d"] == round(best[0] / (na * nb), 6) + 0.0
     assert got["n_click"] == na and got["n_purchase"] == nb
+
+
+def test_markov_transitions_hand_traced(spark, tmp_path):
+    """Two users with known event orders: transition counts and
+    conditional probabilities are hand-checkable, rows before a
+    user's first event contribute nothing, and per-user sequences
+    never bleed into each other."""
+    import datetime
+
+    import pandas as pd
+
+    from mongo2pq_spark.queries.registry import QUERIES, load_all
+
+    load_all()
+    # user 1: a b a b ; user 2: a a c
+    seq = [(1, "a"), (1, "b"), (1, "a"), (1, "b"), (2, "a"), (2, "a"),
+           (2, "c")]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(seq)),
+            "ts": [
+                datetime.datetime(2024, 1, 1)
+                + datetime.timedelta(minutes=i)
+                for i in range(len(seq))
+            ],
+            "user_id": [u for u, _ in seq],
+            "event_type": [t for _, t in seq],
+            "value": [1.0] * len(seq),
+            "props": ["{}"] * len(seq),
+        }
+    )
+    (tmp_path / "events.parquet").parent.mkdir(exist_ok=True)
+    pdf.to_parquet(tmp_path / "events.parquet")
+    rows = {
+        (r["prev_type"], r["event_type"]): (r["n"], r["p"])
+        for r in QUERIES["events_markov_transitions"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    # user1 transitions: a->b, b->a, a->b ; user2: a->a, a->c
+    assert rows[("a", "b")] == (2, round(2 / 4, 6))
+    assert rows[("b", "a")] == (1, 1.0)
+    assert rows[("a", "a")] == (1, round(1 / 4, 6))
+    assert rows[("a", "c")] == (1, round(1 / 4, 6))
+    # no cross-user bleed: user boundary (1,b)->(2,a) never counted
+    assert ("b", "c") not in rows and len(rows) == 4
+
+
+def test_benford_digit_extraction_and_planted_distributions(
+    spark, tmp_path
+):
+    """First-digit extraction is exact on boundary cents values, and
+    a log-uniform sample hugs the Benford shares while a uniform
+    sample deviates on digit 1."""
+    import datetime
+    import math
+
+    import pandas as pd
+
+    from mongo2pq_spark.queries.registry import QUERIES, load_all
+
+    load_all()
+
+    def run(name, values):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(len(values)),
+                "ts": [datetime.datetime(2024, 1, 1)] * len(values),
+                "user_id": [0] * len(values),
+                "event_type": ["click"] * len(values),
+                "value": values,
+                "props": ["{}"] * len(values),
+            }
+        )
+        d = tmp_path / name
+        d.mkdir()
+        pdf.to_parquet(d / "events.parquet")
+        return {
+            r["digit"]: r.asDict()
+            for r in QUERIES["events_benford_deviation"]
+            .fn(spark, str(d))
+            .collect()
+        }
+
+    # boundary digits: 0.01 -> 1, 0.09 -> 9, 1.00 -> 1, 9.99 -> 9,
+    # 490.02 -> 4; zero/negative-free filter leaves them all
+    b = run("bound", [0.01, 0.09, 1.00, 9.99, 490.02])
+    assert b[1]["n"] == 2 and b[9]["n"] == 2 and b[4]["n"] == 1
+
+    # log-uniform over 4 decades follows Benford within 2 points
+    lu = [math.exp(math.log(0.1) + (math.log(1000) - math.log(0.1))
+                   * ((i * 2654435761) % 10_000) / 10_000)
+          for i in range(5000)]
+    lg = run("logu", [round(v, 2) for v in lu])
+    for d in range(1, 10):
+        assert abs(lg[d]["abs_dev"]) < 0.02, (d, lg[d])
+
+    # uniform [100, 1000) puts every first digit flat -> digit 1
+    # massively under Benford
+    u = run("unif", [100.0 + (i % 900) for i in range(4500)])
+    assert u[1]["abs_dev"] > 0.15
