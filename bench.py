@@ -116,6 +116,16 @@ HEADLINE = [
     # keep the suite weighted toward engine work)
     "corpus_vocab_growth",
     "embedding_label_agreement",
+    # round-11 fourth-continuation additions with nontrivial engine
+    # wall-clock: MP3 frame-header walk over 200 built streams (the
+    # wav/mp4 codec class), DSIR's cached doc×bucket aggregate +
+    # broadcast LM scoring, and unigram-LM tokenizer train + Viterbi
+    # encode over the corpus (the text_bpe class). The light map/agg
+    # additions (ks drift, markov transitions, benford) stay out,
+    # same policy as blocklist/PSI/CMS
+    "multimodal_mp3_metadata",
+    "corpus_dsir_select",
+    "text_unigram_tok_roundtrip",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

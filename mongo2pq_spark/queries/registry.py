@@ -343,6 +343,12 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # integer-exact digit extraction via the cents rendering (full
     # value oracle + planted-distribution test)
     "events_benford_deviation",
+    # r11 fourth continuation: data-quality contract runner — every
+    # rule one conditional sum in a single aggregate pass, fk rules
+    # as broadcast dim joins ahead of it (full value oracles +
+    # planted-violation unit test covering every rule kind)
+    "dq_validate_events",
+    "dq_referential_lineitem",
 ]
 
 

@@ -861,3 +861,151 @@ def el_compact_roundtrip(spark, sf_dir):
     return back.join(F.broadcast(audit_df), "event_type").select(
         "event_type", "n_rows", "sum_event_id", "compacted"
     )
+
+
+@register(
+    "dq_validate_events",
+    """
+    WITH a AS (
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v_nn,
+               count(*) - count(DISTINCT event_id) AS v_uq,
+               sum(CASE WHEN value IS NOT NULL AND value < 0
+                        THEN 1 ELSE 0 END) AS v_min,
+               sum(CASE WHEN value IS NOT NULL AND value > 1000
+                        THEN 1 ELSE 0 END) AS v_max,
+               sum(CASE WHEN event_type IS NOT NULL AND event_type
+                        NOT IN ('click','view','purchase','signup','error')
+                        THEN 1 ELSE 0 END) AS v_set,
+               sum(CASE WHEN props IS NOT NULL
+                        AND NOT regexp_matches(props, '^\\{.*\\}$')
+                        THEN 1 ELSE 0 END) AS v_re
+        FROM events
+    ),
+    rules(rule_id, kind, col, v) AS (
+        SELECT 'r1_event_id_not_null', 'not_null', 'event_id',
+               (SELECT v_nn FROM a)
+        UNION ALL SELECT 'r2_event_id_unique', 'unique', 'event_id',
+               (SELECT v_uq FROM a)
+        UNION ALL SELECT 'r3_value_min', 'min', 'value',
+               (SELECT v_min FROM a)
+        UNION ALL SELECT 'r4_value_max', 'max', 'value',
+               (SELECT v_max FROM a)
+        UNION ALL SELECT 'r5_event_type_domain', 'in_set', 'event_type',
+               (SELECT v_set FROM a)
+        UNION ALL SELECT 'r6_props_json_shape', 'regex', 'props',
+               (SELECT v_re FROM a)
+    )
+    SELECT rule_id, kind, col AS column,
+           CAST((SELECT n_rows FROM a) AS BIGINT) AS n_rows,
+           CAST(v AS BIGINT) AS n_violations,
+           round(CAST(v AS DOUBLE)
+                 / greatest((SELECT n_rows FROM a), 1), 6) + 0.0
+               AS violation_frac,
+           v = 0 AS passed
+    FROM rules ORDER BY rule_id
+    """,
+    doc="data-quality CONTRACT over the events table (the assert-"
+        "before-publish stage; profile_events_stats describes, this "
+        "JUDGES): not-null, uniqueness, range, domain-set, and "
+        "JSON-shape regex rules evaluated by the declarative rule "
+        "runner (operators/contracts.py) — every rule compiles into "
+        "ONE aggregate pass (uniqueness adds a count-distinct expand "
+        "to the same scan), the wide result unpivots to a bounded "
+        "per-rule report. The fixture satisfies the contract, so the "
+        "oracle's value check covers the full counting machinery and "
+        "the planted-violation unit test covers every violation path",
+)
+def dq_validate_events(spark, sf_dir):
+    from mongo2pq_spark.operators.contracts import validate_rules
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    e = read_sf_table(spark, sf_dir, "events")
+    return validate_rules(
+        e,
+        [
+            {"rule_id": "r1_event_id_not_null", "kind": "not_null",
+             "col": "event_id"},
+            {"rule_id": "r2_event_id_unique", "kind": "unique",
+             "col": "event_id"},
+            {"rule_id": "r3_value_min", "kind": "min", "col": "value",
+             "value": 0.0},
+            {"rule_id": "r4_value_max", "kind": "max", "col": "value",
+             "value": 1000.0},
+            {"rule_id": "r5_event_type_domain", "kind": "in_set",
+             "col": "event_type",
+             "values": ["click", "view", "purchase", "signup", "error"]},
+            {"rule_id": "r6_props_json_shape", "kind": "regex",
+             "col": "props", "pattern": "^\\{.*\\}$"},
+        ],
+    )
+
+
+@register(
+    "dq_referential_lineitem",
+    """
+    WITH a AS (
+        SELECT
+            (SELECT count(*) FROM lineitem) AS n_rows,
+            (SELECT count(*) FROM lineitem l
+             WHERE l.l_orderkey IS NOT NULL
+               AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                AS v_ord,
+            (SELECT count(*) FROM lineitem l
+             WHERE l.l_partkey IS NOT NULL
+               AND l.l_partkey NOT IN (SELECT p_partkey FROM part))
+                AS v_part,
+            (SELECT count(*) FROM lineitem l
+             WHERE l.l_suppkey IS NOT NULL
+               AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+                AS v_supp
+    ),
+    rules(rule_id, kind, col, v) AS (
+        SELECT 'r1_orderkey_fk', 'fk', 'l_orderkey',
+               (SELECT v_ord FROM a)
+        UNION ALL SELECT 'r2_partkey_fk', 'fk', 'l_partkey',
+               (SELECT v_part FROM a)
+        UNION ALL SELECT 'r3_suppkey_fk', 'fk', 'l_suppkey',
+               (SELECT v_supp FROM a)
+    )
+    SELECT rule_id, kind, col AS column,
+           CAST((SELECT n_rows FROM a) AS BIGINT) AS n_rows,
+           CAST(v AS BIGINT) AS n_violations,
+           round(CAST(v AS DOUBLE)
+                 / greatest((SELECT n_rows FROM a), 1), 6) + 0.0
+               AS violation_frac,
+           v = 0 AS passed
+    FROM rules ORDER BY rule_id
+    """,
+    doc="referential-integrity contract over the TPC-H fact table: "
+        "lineitem's order/part/supplier keys must all resolve — the "
+        "fk rule kind of the contract runner. Each dimension's "
+        "distinct key is BROADCAST and left-joined ahead of the one "
+        "counting aggregate (dimensions are the bounded side by "
+        "definition), so three fk rules still scan lineitem once; at "
+        "100 TB this is the same shape as the TPC-H joins the AQE "
+        "planner already broadcasts. Fixture keys all resolve; the "
+        "planted-orphan unit test proves the counting path",
+)
+def dq_referential_lineitem(spark, sf_dir):
+    from mongo2pq_spark.operators.contracts import validate_rules
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    li = read_sf_table(spark, sf_dir, "lineitem")
+    return validate_rules(
+        li,
+        [
+            {"rule_id": "r1_orderkey_fk", "kind": "fk",
+             "col": "l_orderkey",
+             "dim_df": read_sf_table(spark, sf_dir, "orders"),
+             "dim_col": "o_orderkey"},
+            {"rule_id": "r2_partkey_fk", "kind": "fk",
+             "col": "l_partkey",
+             "dim_df": read_sf_table(spark, sf_dir, "part"),
+             "dim_col": "p_partkey"},
+            {"rule_id": "r3_suppkey_fk", "kind": "fk",
+             "col": "l_suppkey",
+             "dim_df": read_sf_table(spark, sf_dir, "supplier"),
+             "dim_col": "s_suppkey"},
+        ],
+    )

@@ -3638,3 +3638,80 @@ def test_unigram_encode_stats_roundtrip(spark):
         ).hexdigest()
         assert got[i]["n_tokens"] == len(toks)
         assert got[i]["n_bytes"] == len(t.encode("utf-8"))
+
+
+def test_validate_rules_planted_violations(spark):
+    """Every rule kind counts exactly its planted violations in one
+    pass: nulls, duplicate ids, range breaches on both sides (nulls
+    never double-counted), out-of-domain values, regex misses, and
+    fk orphans against a broadcast dimension."""
+    import pytest
+
+    from mongo2pq_spark.operators.contracts import validate_rules
+
+    rows = [
+        # (id, score, cat, blob, dim_ref)
+        (1, 5.0, "a", "{x}", 10),
+        (1, -2.0, "b", "{y}", 11),     # dup id, below min
+        (2, 150.0, "zz", "nope", 12),  # above max, bad cat, bad regex
+        (None, None, None, None, None),  # nulls everywhere
+        (3, 50.0, "a", "{z}", 99),     # fk orphan (99 not in dim)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, score double, cat string, blob string, ref long"
+    )
+    dim = spark.createDataFrame([(10,), (11,), (12,)], "k long")
+    got = {
+        r["rule_id"]: r.asDict()
+        for r in validate_rules(
+            df,
+            [
+                {"rule_id": "nn", "kind": "not_null", "col": "id"},
+                {"rule_id": "uq", "kind": "unique", "col": "id"},
+                {"rule_id": "mn", "kind": "min", "col": "score",
+                 "value": 0.0},
+                {"rule_id": "mx", "kind": "max", "col": "score",
+                 "value": 100.0},
+                {"rule_id": "st", "kind": "in_set", "col": "cat",
+                 "values": ["a", "b"]},
+                {"rule_id": "re", "kind": "regex", "col": "blob",
+                 "pattern": "^\\{.*\\}$"},
+                {"rule_id": "fk", "kind": "fk", "col": "ref",
+                 "dim_df": dim, "dim_col": "k"},
+            ],
+        ).collect()
+    }
+    expect = {
+        "nn": 1,  # one null id
+        "uq": 1,  # ids {1,1,2,None,3}: 5 rows - 4 distinct-ish... see below
+        "mn": 1, "mx": 1, "st": 1, "re": 1, "fk": 1,
+    }
+    # countDistinct skips nulls: 5 rows - 3 distinct non-null = 2
+    expect["uq"] = 2
+    for rid, n in expect.items():
+        assert got[rid]["n_violations"] == n, (rid, got[rid])
+        assert got[rid]["n_rows"] == 5
+        assert got[rid]["passed"] is False
+        assert got[rid]["violation_frac"] == round(n / 5, 6)
+
+    # a clean table passes every rule
+    clean = spark.createDataFrame([(1, 10), (2, 11)], "id long, ref long")
+    ok = validate_rules(
+        clean,
+        [
+            {"rule_id": "nn", "kind": "not_null", "col": "id"},
+            {"rule_id": "uq", "kind": "unique", "col": "id"},
+            {"rule_id": "fk", "kind": "fk", "col": "ref",
+             "dim_df": dim, "dim_col": "k"},
+        ],
+    ).collect()
+    assert all(r["passed"] and r["n_violations"] == 0 for r in ok)
+
+    with pytest.raises(ValueError, match="unknown rule kind"):
+        validate_rules(df, [{"rule_id": "x", "kind": "med", "col": "id"}])
+    with pytest.raises(ValueError, match="duplicate rule_id"):
+        validate_rules(
+            df,
+            [{"rule_id": "x", "kind": "not_null", "col": "id"},
+             {"rule_id": "x", "kind": "not_null", "col": "cat"}],
+        )
