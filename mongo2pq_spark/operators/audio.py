@@ -381,6 +381,8 @@ def parse_mp3_metadata(payload: bytes) -> dict:
         for b in payload[6:10]:
             size = (size << 7) | b
         pos = 10 + size
+        if pos > len(payload):
+            raise ValueError("ID3v2 tag overruns payload")
         has_id3v2 = True
     n_frames = 0
     sample_rate = None

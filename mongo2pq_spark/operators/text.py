@@ -971,17 +971,20 @@ def dsir_logweights(
         )
         .select(
             "bucket",
+            # greatest(·, 1) guards the empty-subcorpus edge: with
+            # tt = 0 every ct is 0 too, and 0/1 + λ/B is exactly the
+            # uniform-LM limit (0/0 would poison every weight NaN)
             (
                 F.log(
                     F.lit(1.0 - lam)
                     * F.col("ct").cast("double")
-                    / F.col("tt").cast("double")
+                    / F.greatest(F.col("tt"), F.lit(1)).cast("double")
                     + F.lit(lam / n_buckets)
                 )
                 - F.log(
                     F.lit(1.0 - lam)
                     * F.col("cr").cast("double")
-                    / F.col("tr").cast("double")
+                    / F.greatest(F.col("tr"), F.lit(1)).cast("double")
                     + F.lit(lam / n_buckets)
                 )
             ).alias("lw"),

@@ -48,6 +48,9 @@ def seed_pieces(
     plus the ``seed_size`` most frequent multi-byte substrings of the
     histogram words (count weighted by word frequency, ties broken by
     the substring). Log-probs initialised ∝ substring count."""
+    if not histogram:
+        raise ValueError("cannot seed a unigram vocab from an empty "
+                         "word histogram (empty corpus or text column)")
     counts: dict[bytes, int] = {}
     for wb, freq in histogram:
         n = len(wb)
@@ -234,16 +237,21 @@ def unigram_encode_stats(
     logp: dict[bytes, float],
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_piece_len: int = 8,
+    max_piece_len: int | None = None,
 ) -> DataFrame:
     """Arrow-batched Viterbi encode emitting the same per-doc token
     accounting as ``bpe.bpe_encode_stats`` — n_bytes, n_tokens, the
     longest token, and the decoded-bytes md5 that makes losslessness
     value-oracle-checkable in SQL. Map-only; the vocab log-probs ride
-    the task closure; per-batch word memoization."""
+    the task closure; per-batch word memoization. ``max_piece_len``
+    defaults to the vocab's own longest piece, so a vocab trained
+    with a different length bound can never silently lose pieces to
+    a too-small Viterbi window."""
     from mongo2pq_spark.deploy import ensure_shipped
 
     ensure_shipped(df.sparkSession)
+    if max_piece_len is None:
+        max_piece_len = max((len(p) for p in logp), default=1)
 
     def stat_batches(batches):
         import hashlib

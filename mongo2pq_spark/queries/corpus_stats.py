@@ -1049,10 +1049,10 @@ _DSIR_BUCKETS = 1024
     lm AS (
         SELECT raw.bucket,
                ln(CAST(0.9 AS DOUBLE) * CAST(coalesce(ct, 0) AS DOUBLE)
-                      / CAST(tt AS DOUBLE)
+                      / CAST(greatest(tt, 1) AS DOUBLE)
                   + CAST(9.765625e-05 AS DOUBLE))
              - ln(CAST(0.9 AS DOUBLE) * CAST(cr AS DOUBLE)
-                      / CAST(tr AS DOUBLE)
+                      / CAST(greatest(tr, 1) AS DOUBLE)
                   + CAST(9.765625e-05 AS DOUBLE)) AS lw
         FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
     )

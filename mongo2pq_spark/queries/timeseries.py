@@ -390,8 +390,8 @@ _KS_BIN_WIDTH = 5.0  # events.value spans ~[0, 500] -> ~100 bounded bins
            CAST(nb AS BIGINT) AS n_purchase,
            CAST(nbins AS BIGINT) AS n_bins,
            bin AS ks_at_bin,
-           round(abs(cuma * nb - cumb * na) * 1.0 / (na * nb), 6) + 0.0
-               AS ks_d
+           round(abs(cuma * nb - cumb * na) * 1.0
+                 / greatest(na * nb, 1), 6) + 0.0 AS ks_d
     FROM c CROSS JOIN t
     ORDER BY abs(cuma * nb - cumb * na) DESC, bin
     LIMIT 1
@@ -457,7 +457,10 @@ def events_ks_drift(spark, sf_dir):
             F.col("bin").alias("ks_at_bin"),
             (
                 F.round(
-                    F.col("diff_num") * 1.0 / (F.col("na") * F.col("nb")), 6
+                    F.col("diff_num")
+                    * 1.0
+                    / F.greatest(F.col("na") * F.col("nb"), F.lit(1)),
+                    6,
                 )
                 + F.lit(0.0)
             ).alias("ks_d"),

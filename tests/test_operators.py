@@ -3495,6 +3495,9 @@ def test_mp3_header_walk_hand_traced():
     badsize[6] = 0x80  # non-syncsafe ID3v2 size byte
     with pytest.raises(ValueError, match="syncsafe"):
         parse_mp3_metadata(bytes(badsize))
+    with pytest.raises(ValueError, match="overruns payload"):
+        # claimed tag size larger than the whole payload
+        parse_mp3_metadata(b"ID3\x03\x00\x00\x00\x00\x07\x00" + bytes(20))
 
 
 def test_dsir_logweights_disjoint_vocab_and_python_model(spark):
@@ -3592,6 +3595,12 @@ def test_unigram_tokenizer_learning_and_totality():
     # byte-fallback totality: unseen bytes still round-trip
     weird = b"z\xffebra \x00!"
     assert b"".join(viterbi_encode(weird, logp)) == weird
+
+    # empty corpus fails loud at seed time
+    import pytest
+
+    with pytest.raises(ValueError, match="empty word histogram"):
+        learn_unigram_local([], vocab_size=10)
 
 
 def test_unigram_encode_stats_roundtrip(spark):
@@ -3715,3 +3724,31 @@ def test_validate_rules_planted_violations(spark):
             [{"rule_id": "x", "kind": "not_null", "col": "id"},
              {"rule_id": "x", "kind": "not_null", "col": "cat"}],
         )
+
+
+def test_dsir_empty_target_scores_uniform_limit(spark):
+    """With NO target docs the JM ratio must degrade to the exact
+    uniform-target limit (ln(λ/B) − ln(p_raw)) rather than NaN —
+    the 0/0 edge the greatest(·,1) guard exists for."""
+    import math
+
+    from mongo2pq_spark.operators.cache import release_caches
+    from mongo2pq_spark.operators.text import dsir_logweights
+
+    df = spark.createDataFrame(
+        [(1, "aa aa", False), (2, "bb", False)],
+        "doc_id long, text string, t boolean",
+    )
+    try:
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in dsir_logweights(df, "t", n_buckets=64).collect()
+        }
+    finally:
+        release_caches()
+    lam = 0.1
+    # doc 1: bucket(aa) tf=2 of tr=3 total; p_t = lam/64 exactly
+    lw_aa = math.log(lam / 64) - math.log(0.9 * 2 / 3 + lam / 64)
+    assert got[1]["dsir_logw"] == round(2 * lw_aa, 6) + 0.0
+    assert not math.isnan(got[1]["dsir_logw"])
+    assert got[1]["selected"] is False  # nothing beats raw w/o a target
