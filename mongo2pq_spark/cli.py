@@ -84,6 +84,8 @@ def main(
     index_text_col: str | None = None,
     index_id_col: str = "doc_id",
     index_consolidate: bool = False,
+    dq_rules: Path | None = None,
+    dq_fail_on_violation: bool = False,
     compact_partitions: int | None = None,
     single_file: bool = False,
     compression: str | None = None,
@@ -181,6 +183,48 @@ def main(
                 file=sys.stderr,
             )
             return 1
+
+    dq_contract: dict[str, list[dict]] = {}
+    if dq_rules:
+        # contract-at-ingest: rules judge the rows about to be
+        # PUBLISHED (post-dedup/post-store-filtering). Parse follows
+        # the config-file heritage — warn-and-skip malformed entries,
+        # never die on a user's contract file (config.py:33 pattern).
+        import yaml
+
+        from mongo2pq_spark.operators.contracts import _KINDS
+
+        try:
+            with open(dq_rules) as fh:
+                raw = yaml.safe_load(fh) or {}
+        except (OSError, yaml.YAMLError) as err:
+            print(f"Error: cannot read --dq-rules: {err}", file=sys.stderr)
+            return 1
+        if not isinstance(raw, dict):
+            print("Error: --dq-rules must map collection -> rule list",
+                  file=sys.stderr)
+            return 1
+        for cname, rlist in raw.items():
+            kept, seen = [], set()
+            for r in rlist if isinstance(rlist, list) else []:
+                ok = (
+                    isinstance(r, dict)
+                    and {"rule_id", "kind", "col"} <= r.keys()
+                    and r["kind"] in _KINDS
+                    and r["rule_id"] not in seen
+                    and (r["kind"] != "fk" or "dim" in r)
+                )
+                if not ok:
+                    print(
+                        f"WARNING: skipping malformed dq rule {r!r} "
+                        f"for '{cname}'",
+                        file=sys.stderr,
+                    )
+                    continue
+                seen.add(r["rule_id"])
+                kept.append(r)
+            if kept:
+                dq_contract[cname] = kept
 
     def _process_collection(name: str) -> None:
         """Both phases for one collection (the parallel unit): schema
@@ -342,7 +386,72 @@ def main(
             # near-dedup branch's rationale); released in finally
             cached_df = df.persist()
             df = cached_df
+        if name in dq_contract and cached_df is None:
+            # the contract pass and the EL write both materialize
+            # this lineage — cache it once (the near-dedup branch's
+            # rationale); released in finally
+            cached_df = df.persist()
+            df = cached_df
         try:
+            if name in dq_contract:
+                # validate BEFORE the EL write: --dq-fail-on-violation
+                # exists to stop bad data from being PUBLISHED, so the
+                # judgment must precede the publish. The report is
+                # bounded at len(rules) rows; inside the try so the
+                # finally below releases caches/stores on a raise.
+                import json as jsonlib
+
+                from mongo2pq_spark.operators.contracts import (
+                    validate_rules,
+                )
+
+                rules = []
+                for r in dq_contract[name]:
+                    rr = dict(r)
+                    if rr["col"] not in df.columns:
+                        print(
+                            f"WARNING: dq rule {rr['rule_id']!r} column "
+                            f"{rr['col']!r} not in '{name}'; rule skipped",
+                            file=sys.stderr,
+                        )
+                        continue
+                    if rr["kind"] == "fk":
+                        dim_name = rr.pop("dim")
+                        if dim_name not in readers:
+                            print(
+                                f"WARNING: dq rule {rr['rule_id']!r} dim "
+                                f"collection {dim_name!r} not in this "
+                                "run; rule skipped",
+                                file=sys.stderr,
+                            )
+                            continue
+                        rr["dim_df"] = readers[dim_name]()
+                        rr.setdefault("dim_col", rr["col"])
+                    rules.append(rr)
+                if rules:
+                    report = [
+                        row.asDict()
+                        for row in validate_rules(df, rules).collect()
+                    ]
+                    with open(
+                        outdir / f"{name}_dq_report.json", "w"
+                    ) as fh:
+                        jsonlib.dump(report, fh, indent=1)
+                    failed = [
+                        r["rule_id"] for r in report if not r["passed"]
+                    ]
+                    print(
+                        f"{name}: dq contract {len(report)} rules, "
+                        f"{len(failed)} failed"
+                        + (f" ({', '.join(failed)})" if failed else ""),
+                        file=sys.stderr,
+                    )
+                    if failed and dq_fail_on_violation:
+                        raise ValueError(
+                            f"dq contract failed for '{name}': "
+                            f"{', '.join(failed)} — collection NOT "
+                            "written"
+                        )
             metrics: dict = {}
             extract_load_collection(
                 df,
@@ -829,6 +938,22 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
                              "every collection tree of the inverted "
                              "index into one batch=c0 via the "
                              "crash-safe swap")
+    parser.add_argument("--dq-rules", type=Path, default=None,
+                        metavar="YAML",
+                        help="data-quality contract file mapping "
+                             "collection -> rule list (not_null / "
+                             "unique / min / max / in_set / regex / "
+                             "fk); each collection's PUBLISHED rows "
+                             "(post-dedup) are judged in one pass "
+                             "before its write and the per-rule "
+                             "report lands at "
+                             "OUTDIR/<name>_dq_report.json; "
+                             "malformed rules warn-and-skip")
+    parser.add_argument("--dq-fail-on-violation", action="store_true",
+                        help="with --dq-rules: a collection with any "
+                             "failing rule is NOT written and the "
+                             "run exits nonzero (the report is still "
+                             "produced)")
     parser.add_argument("--compact-partitions", type=int, default=None,
                         metavar="N",
                         help="after this run's writes commit, rewrite "
@@ -992,6 +1117,8 @@ def run(argv: list[str] | None = None) -> int:
         index_text_col=args.index_text_col,
         index_id_col=args.index_id_col,
         index_consolidate=args.index_consolidate,
+        dq_rules=args.dq_rules,
+        dq_fail_on_violation=args.dq_fail_on_violation,
         compact_partitions=args.compact_partitions,
         single_file=args.single_file,
         compression=args.compression,

@@ -1460,3 +1460,78 @@ def test_cli_compact_partitions_post_run(spark, tmp_path):
     assert parse_args(
         ["-u", f"file:{src}", "-o", str(out), "--compact-partitions", "2"]
     ) is None
+
+
+def test_cli_dq_contract_at_ingest(spark, tmp_path):
+    """--dq-rules: each collection's published rows are judged before
+    the write, the per-rule report lands beside the output, fk rules
+    resolve against sibling collections of the same run, malformed
+    rules and missing columns warn-and-skip, and
+    --dq-fail-on-violation keeps a failing collection UNWRITTEN while
+    the run exits nonzero."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "users.jsonl").write_text("\n".join(
+        json.dumps(r) for r in [
+            {"uid": 1, "age": 30, "ref": 10},
+            {"uid": 1, "age": -5, "ref": 10},   # dup uid, below min
+            {"uid": 2, "age": 40, "ref": 99},   # fk orphan
+        ]
+    ))
+    (src / "dims.jsonl").write_text("\n".join(
+        json.dumps({"k": k}) for k in (10, 11)
+    ))
+    rules = tmp_path / "rules.yaml"
+    rules.write_text("""
+users:
+  - rule_id: uid_unique
+    kind: unique
+    col: uid
+  - rule_id: age_min
+    kind: min
+    col: age
+    value: 0
+  - rule_id: ref_fk
+    kind: fk
+    col: ref
+    dim: dims
+    dim_col: k
+  - rule_id: ghost_col
+    kind: not_null
+    col: not_a_column
+  - kind: not_null
+    col: uid
+dims:
+  - rule_id: k_not_null
+    kind: not_null
+    col: k
+""")
+
+    # report-only mode: everything written, report records failures
+    out1 = tmp_path / "out1"
+    out1.mkdir()
+    rc = cli_main(f"file:{src}", outdir=out1, dq_rules=rules, spark=spark)
+    assert rc == 0
+    assert (out1 / "users.parquet").exists()
+    rep = {r["rule_id"]: r for r in json.load(
+        open(out1 / "users_dq_report.json")
+    )}
+    # ghost_col and the rule_id-less entry were skipped
+    assert set(rep) == {"uid_unique", "age_min", "ref_fk"}
+    assert rep["uid_unique"]["n_violations"] == 1
+    assert rep["age_min"]["n_violations"] == 1
+    assert rep["ref_fk"]["n_violations"] == 1
+    assert not any(r["passed"] for r in rep.values())
+    dimrep = json.load(open(out1 / "dims_dq_report.json"))
+    assert dimrep[0]["passed"] and dimrep[0]["n_violations"] == 0
+
+    # enforcing mode: the failing collection is NOT written, the
+    # clean sibling still is, and the run exits nonzero
+    out2 = tmp_path / "out2"
+    out2.mkdir()
+    rc = cli_main(f"file:{src}", outdir=out2, dq_rules=rules,
+                  dq_fail_on_violation=True, spark=spark)
+    assert rc != 0
+    assert not (out2 / "users.parquet").exists()
+    assert (out2 / "dims.parquet").exists()
+    assert (out2 / "users_dq_report.json").exists()  # report still lands
