@@ -349,6 +349,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # planted-violation unit test covering every rule kind)
     "dq_validate_events",
     "dq_referential_lineitem",
+    # r11 fourth continuation: streaming DQ monitor — per-micro-batch
+    # contract reports keyed by the deterministic batch id; rollup
+    # must equal the one-shot whole-table contract (full value
+    # oracle + planted/unique-rejection unit test)
+    "streaming_dq_monitor",
 ]
 
 

@@ -387,3 +387,64 @@ def streaming_index_append(spark, sf_dir):
     return run_streaming_index_append(
         spark, f"{sf_dir}/documents.parquet", finalize=_postings_summary
     )
+
+
+@register(
+    "streaming_dq_monitor",
+    """
+    WITH a AS (
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v_nn,
+               sum(CASE WHEN value IS NOT NULL AND value < 0
+                        THEN 1 ELSE 0 END) AS v_min,
+               sum(CASE WHEN event_type IS NOT NULL AND event_type
+                        NOT IN ('click','view','purchase','signup','error')
+                        THEN 1 ELSE 0 END) AS v_set
+        FROM events
+    ),
+    rules(rule_id, kind, col, v) AS (
+        SELECT 'r1_event_id_not_null', 'not_null', 'event_id',
+               (SELECT v_nn FROM a)
+        UNION ALL SELECT 'r2_value_min', 'min', 'value',
+               (SELECT v_min FROM a)
+        UNION ALL SELECT 'r3_event_type_domain', 'in_set', 'event_type',
+               (SELECT v_set FROM a)
+    )
+    SELECT rule_id, kind, col AS column,
+           CAST(4 AS BIGINT) AS n_batches_seen,
+           CAST((SELECT n_rows FROM a) AS BIGINT) AS n_rows,
+           CAST(v AS BIGINT) AS n_violations,
+           round(CAST(v AS DOUBLE)
+                 / greatest((SELECT n_rows FROM a), 1), 6) + 0.0
+               AS violation_frac,
+           v = 0 AS passed
+    FROM rules ORDER BY rule_id
+    """,
+    doc="streaming data-quality monitoring (streaming/dq.py): the "
+        "events table replayed as 4 ordered micro-batches, each "
+        "judged against the contract in foreachBatch and landing its "
+        "bounded report partition keyed by the deterministic batch id "
+        "(checkpoint replays overwrite, never double-count). The "
+        "cross-batch rollup must equal the ONE-SHOT batch contract "
+        "over the whole table — decomposable rules only (the runner "
+        "rejects 'unique' with a typed error: cross-batch duplicates "
+        "are the streaming near-dedup store's job) — which the oracle "
+        "checks as whole-table conditional sums, n_batches_seen=4 "
+        "included",
+)
+def streaming_dq_monitor(spark, sf_dir):
+    from mongo2pq_spark.streaming.dq import run_streaming_dq_monitor
+
+    return run_streaming_dq_monitor(
+        spark,
+        f"{sf_dir}/events.parquet",
+        [
+            {"rule_id": "r1_event_id_not_null", "kind": "not_null",
+             "col": "event_id"},
+            {"rule_id": "r2_value_min", "kind": "min", "col": "value",
+             "value": 0.0},
+            {"rule_id": "r3_event_type_domain", "kind": "in_set",
+             "col": "event_type",
+             "values": ["click", "view", "purchase", "signup", "error"]},
+        ],
+    )

@@ -62,10 +62,11 @@ from mongo2pq_spark.plans.bandstore_core import (
 
 
 def _stage_batches(
-    spark: SparkSession, documents_path: str, stage_dir: str, n_batches: int
+    spark: SparkSession, documents_path: str, stage_dir: str,
+    n_batches: int, id_col: str = "doc_id",
 ) -> None:
-    """Split the documents table into one parquet file per batch key
-    (``doc_id % n_batches``) with ascending mtimes, so the file stream
+    """Split the table into one parquet file per batch key
+    (``id_col % n_batches``) with ascending mtimes, so the file stream
     replays them as ordered micro-batches. Files that already exist
     (a resumed increment) are left untouched — the checkpoint's
     seen-files map is path-keyed, and the pinned mtimes keep the
@@ -79,7 +80,7 @@ def _stage_batches(
             continue
         part_dir = os.path.join(stage_dir, f"_build_{k}")
         (
-            docs.filter(F.col("doc_id") % n_batches == k)
+            docs.filter(F.col(id_col) % n_batches == k)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(part_dir)

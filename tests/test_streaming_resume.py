@@ -397,3 +397,46 @@ def test_streaming_hamming_dedup_second_increment(spark, sf_dir, tmp_path):
 
     _, both_c = run_two(str(tmp_path / "compacted"))
     assert both_c == both
+
+
+def test_streaming_dq_monitor_planted_and_unique_rejected(spark, tmp_path):
+    """Planted violations land in specific micro-batches and the
+    cross-batch rollup equals the whole-input counts; 'unique' is
+    rejected with the typed batch-surface error."""
+    import pandas as pd
+    import pytest
+
+    from mongo2pq_spark.streaming.dq import run_streaming_dq_monitor
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(12),
+            "value": [5.0, -1.0, 3.0, None, 8.0, -2.0] * 2,
+            "tag": ["ok", "ok", "bad", "ok", "ok", "ok"] * 2,
+        }
+    )
+    p = tmp_path / "t.parquet"
+    pdf.to_parquet(p)
+    rules = [
+        {"rule_id": "v_min", "kind": "min", "col": "value", "value": 0.0},
+        {"rule_id": "t_set", "kind": "in_set", "col": "tag",
+         "values": ["ok"]},
+    ]
+    got = {
+        r["rule_id"]: r.asDict()
+        for r in run_streaming_dq_monitor(
+            spark, str(p), rules, n_batches=3
+        ).collect()
+    }
+    assert got["v_min"]["n_rows"] == 12
+    assert got["v_min"]["n_violations"] == 4  # the four negatives
+    assert got["v_min"]["n_batches_seen"] == 3
+    assert got["v_min"]["passed"] is False
+    assert got["t_set"]["n_violations"] == 2
+    assert got["v_min"]["violation_frac"] == round(4 / 12, 6)
+
+    with pytest.raises(ValueError, match="not batch-decomposable"):
+        run_streaming_dq_monitor(
+            spark, str(p),
+            [{"rule_id": "u", "kind": "unique", "col": "event_id"}],
+        )
