@@ -805,3 +805,31 @@ def test_dsir_post_agg_stage_is_broadcast_only(spark, sf_dir):
         assert len(set(re.findall(r"Generate \((\d+)\)", plan))) == 1
     finally:
         release_caches()
+
+
+def test_dynamic_partition_pruning_on_hive_layout(spark, sf_dir, tmp_path):
+    """The hive-partitioned EL layout must light up runtime dynamic
+    partition pruning: joining the partitioned fact with a FILTERED
+    dimension on the partition key plants a dynamicpruning expression
+    in the fact scan's PartitionFilters — at 100 TB this is the
+    difference between reading one event_type directory and reading
+    the whole lake. (AQE skew handling has its own test above; DPP is
+    the partition-layout counterpart.)"""
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    out = str(tmp_path / "ev_part")
+    read_sf_table(spark, sf_dir, "events").write.partitionBy(
+        "event_type"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 0), ("purchase", 0)],
+        "event_type string, flag int",
+    ).where("flag = 1")
+    j = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "PartitionFilters" in plan
+    # and the pruned execution really returns only the selected type
+    rows = j.collect()
+    assert [r["event_type"] for r in rows] == ["click"]
