@@ -998,3 +998,92 @@ def dsir_logweights(
         logw.alias("dsir_logw"),
         (logw > 0).alias("selected"),
     )
+
+
+def html_extract_text(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Main-text extraction from raw HTML — the first transformation
+    every web-crawl pipeline applies (the CommonCrawl WET step),
+    upstream of all the text-quality/dedup machinery here.
+
+    Chain (entirely built-in JVM ``regexp_replace`` — map-only, zero
+    shuffle, whole-stage codegen; no parser library):
+    1. drop <script>/<style> elements WITH their contents (backref
+       match so a <script> never closes a <style>),
+    2. drop HTML comments,
+    3. block-level closers (</p>, </div>, </h1-6>, </li>, </tr>, <br>)
+       become newlines — paragraph structure survives extraction,
+    4. every remaining tag becomes a space,
+    5. decode the common entities (&lt; &gt; &quot; &#39; &apos;
+       &nbsp;), with &amp; decoded LAST so "&amp;lt;" yields the
+       literal "&lt;" rather than double-decoding to "<",
+    6. collapse runs of spaces/tabs, trim spaces around newlines,
+       collapse newline runs, trim.
+
+    Returns ``(id_col, text, n_chars)``. This is the honest regex
+    tier: good for the structurally simple HTML that dominates crawl
+    corpora; a DOM-accurate extractor (malformed-markup recovery,
+    CDATA, conditional comments) is a library swap behind the same
+    column contract."""
+    h = F.col(html_col)
+    h = F.regexp_replace(h, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ")
+    h = F.regexp_replace(h, r"(?s)<!--.*?-->", " ")
+    h = F.regexp_replace(
+        h, r"(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/title)[^>]*>", "\n"
+    )
+    h = F.regexp_replace(h, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+        ("&amp;", "&"),  # LAST: &amp;lt; must yield literal &lt;
+    ):
+        h = F.regexp_replace(h, ent, ch)
+    h = F.regexp_replace(h, r"[ \t]+", " ")
+    h = F.regexp_replace(h, r" ?\n ?", "\n")
+    h = F.regexp_replace(h, r"\n+", "\n")
+    text = F.regexp_replace(F.trim(h), r"^\n+|\n+$", "")
+    return df.select(
+        F.col(id_col),
+        text.alias("text"),
+        F.length(text).cast("bigint").alias("n_chars"),
+    )
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL canonicalization — the crawl-frontier/dedup key rule that
+    collapses the many spellings of one resource BEFORE any content
+    hashing: lowercase the scheme and host (path case is significant,
+    so it is preserved), drop the fragment, drop default ports
+    (:80 for http, :443 for https), drop utm_* tracking parameters
+    (rewiring the leading '?' when the first parameter goes), and
+    drop one trailing slash on a non-root path. Map-only built-in
+    regexp chain, zero shuffle. Returns ``(id_col, url_canon)``."""
+    u = F.col(url_col)
+    # lowercase scheme://host[:port] (everything before the first '/'
+    # after the authority); path and query preserved
+    head = F.lower(F.substring_index(u, "/", 3))
+    tail = F.expr(
+        f"substring({url_col}, length(substring_index({url_col}, '/', 3))"
+        " + 1)"
+    )
+    u = F.concat(head, tail)
+    u = F.regexp_replace(u, r"#.*$", "")                # fragment
+    u = F.regexp_replace(u, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:]+):443(/|$)", r"$1$2")
+    # utm stripping via separator normalization: make every parameter
+    # separator '&', drop &utm_* params globally, then restore the
+    # FIRST remaining separator to '?' (regexp_replace is global-only,
+    # so "replace first" is a substring_index split). Assumes the
+    # first '?'/'&' starts the query — the RFC-legal-but-rare literal
+    # '&' inside a path is the documented non-goal.
+    u = F.regexp_replace(u, r"\?", "&")
+    u = F.regexp_replace(u, r"&utm_[^&]*", "")
+    base = F.substring_index(u, "&", 1)
+    qs = u.substr(F.length(base) + 2, F.length(u))
+    u = F.when(qs != "", F.concat(base, F.lit("?"), qs)).otherwise(base)
+    u = F.regexp_replace(u, r"[?&]$", "")               # dangling sep
+    u = F.regexp_replace(u, r"(.)/$", r"$1")            # trailing slash
+    return df.select(F.col(id_col), u.alias("url_canon"))

@@ -354,6 +354,12 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # must equal the one-shot whole-table contract (full value
     # oracle + planted/unique-rejection unit test)
     "streaming_dq_monitor",
+    # r11 fourth continuation: web-corpus normalization — HTML
+    # main-text extraction (WET step) and URL canonicalization, both
+    # map-only JVM regexp chains proven against GROUND-TRUTH
+    # closed-form oracles (no regex in the oracle at all)
+    "text_html_extract",
+    "docs_url_canonicalize",
 ]
 
 

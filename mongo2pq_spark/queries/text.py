@@ -1017,3 +1017,130 @@ def text_unigram_tok_roundtrip(spark, sf_dir):
     return stats.select(
         "doc_id", "n_bytes", "roundtrip_md5", bounds.alias("bounds_ok")
     )
+
+
+@register(
+    "text_html_extract",
+    """
+    SELECT doc_id,
+           md5('Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+               || 'A & B <ok>' || chr(10)
+               || trim(regexp_replace(text, '[ \t]+', ' ', 'g')))
+               AS text_md5,
+           CAST(length('Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+               || 'A & B <ok>' || chr(10)
+               || trim(regexp_replace(text, '[ \t]+', ' ', 'g')))
+               AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="HTML main-text extraction (the CommonCrawl WET step), end to "
+        "end: every doc's text is wrapped in a full HTML page — "
+        "title, a <script> whose BODY contains a '<p>' decoy tag, a "
+        "comment, entities (&amp;/&lt;/&gt;) in a heading — and the "
+        "extractor (operators/text.py::html_extract_text, a pure "
+        "JVM regexp chain: script/style WITH contents, comments, "
+        "block-closers→newlines, tags→spaces, entity decode with "
+        "&amp; last, whitespace normalization) must recover the "
+        "GROUND-TRUTH text the builder knows by construction — the "
+        "oracle recomputes the expected string and its md5 with no "
+        "regex at all, so a hash match proves the whole chain "
+        "including the decoy-tag and double-decode traps. Map-only, "
+        "zero shuffle, whole-stage codegen",
+)
+def text_html_extract(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.text import html_extract_text
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit('</title><script>var x="<p>";</script>'
+                  "<style>p{margin:0}</style></head><body>"
+                  "<h1>A &amp; B &lt;ok&gt;</h1><p>"),
+            F.col("text"),
+            F.lit("</p><!-- hidden --></body></html>"),
+        ).alias("html"),
+    )
+    out = html_extract_text(docs)
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5"), "n_chars"
+    )
+
+
+@register(
+    "docs_url_canonicalize",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 6 AS INTEGER)
+             WHEN 0 THEN 'https://example' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.com/P' || CAST(doc_id AS VARCHAR) || '/?id='
+                 || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'http://host' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.org'
+             WHEN 2 THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.org/a'
+             WHEN 3 THEN 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.io/x?a=1&b=' || CAST(doc_id AS VARCHAR)
+             WHEN 4 THEN 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.io/x?c=3'
+             ELSE 'http://plain' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.net/path' || CAST(doc_id AS VARCHAR)
+           END AS url_canon
+    FROM documents
+    """,
+    doc="URL canonicalization (the crawl-frontier dedup key rule): "
+        "per-doc URLs exercising the whole rule matrix — mixed-case "
+        "scheme/host with preserved path case, default :443/:80 "
+        "ports, fragments, leading/middle/trailing and consecutive "
+        "utm_* parameters, trailing slashes — are canonicalized by "
+        "operators/text.py::canonicalize_urls (map-only regexp chain "
+        "+ a substring_index split that restores the first query "
+        "separator, since regexp_replace is global-only). The oracle "
+        "states each case's canonical form CLOSED-FORM, so a match "
+        "proves every rule, not just the happy path",
+)
+def docs_url_canonicalize(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.text import canonicalize_urls
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    d = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 5).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit("HTTPS://Example"), k, F.lit(".COM:443/P"),
+                     d, F.lit("/?utm_source=x&id="), d, F.lit("#f")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(F.lit("http://Host"), k, F.lit(".org:80/")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(F.lit("http://h"), k,
+                     F.lit(".org/a?utm_campaign=z")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(F.lit("https://h"), k, F.lit(".io/x?a=1&utm_medium=m&b="), d),
+        )
+        .when(
+            F.col("doc_id") % 6 == 4,
+            F.concat(F.lit("https://h"), k,
+                     F.lit(".io/x?utm_a=1&utm_b=2&c=3")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://plain"), k, F.lit(".net/path"), d,
+                     F.lit("/")),
+        )
+    )
+    docs = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
+    return canonicalize_urls(docs)

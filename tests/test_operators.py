@@ -3752,3 +3752,58 @@ def test_dsir_empty_target_scores_uniform_limit(spark):
     assert got[1]["dsir_logw"] == round(2 * lw_aa, 6) + 0.0
     assert not math.isnan(got[1]["dsir_logw"])
     assert got[1]["selected"] is False  # nothing beats raw w/o a target
+
+
+def test_html_extract_and_url_canonicalize_hand_traced(spark):
+    """Hand-traced web-normalization cases: script/style bodies with
+    decoy tags vanish, block closers become newlines, entity decode
+    never double-decodes (&amp;lt; stays literal &lt;), and the URL
+    rule matrix (case, ports, fragments, utm positions, trailing
+    slash) lands on the exact canonical forms."""
+    from mongo2pq_spark.operators.text import (
+        canonicalize_urls,
+        html_extract_text,
+    )
+
+    rows = [
+        (1, '<html><head><title>T</title><script>var x="<p>";</script>'
+            "<style>p{}</style></head><body><h1>Doc 1</h1>"
+            "<p>A &amp; B &lt;ok&gt;</p><p>hello  world</p>"
+            "<!-- hidden --></body></html>"),
+        (2, "<div>first</div><div>second<br>third</div>"),
+        (3, "plain already"),
+        (4, "&amp;lt; stays literal"),
+    ]
+    got = {
+        r["doc_id"]: r["text"]
+        for r in html_extract_text(
+            spark.createDataFrame(rows, "doc_id long, html string")
+        ).collect()
+    }
+    assert got[1] == "T\nDoc 1\nA & B <ok>\nhello world"
+    assert got[2] == "first\nsecond\nthird"
+    assert got[3] == "plain already"
+    assert got[4] == "&lt; stays literal"
+
+    urls = [
+        (1, "HTTPS://Example.COM:443/Path/Sub/?utm_source=x&id=7#frag"),
+        (2, "http://Host.org:80/"),
+        (3, "http://host.org/a?utm_campaign=z"),
+        (4, "https://h.io/x?a=1&utm_medium=m&b=2"),
+        (5, "https://h.io/x?utm_a=1&utm_b=2&c=3"),
+        (6, "http://plain.net/path/"),
+        (7, "https://ok.io:8443/keep:port?x=1"),  # non-default port kept
+    ]
+    cu = {
+        r["doc_id"]: r["url_canon"]
+        for r in canonicalize_urls(
+            spark.createDataFrame(urls, "doc_id long, url string")
+        ).collect()
+    }
+    assert cu[1] == "https://example.com/Path/Sub/?id=7"
+    assert cu[2] == "http://host.org"
+    assert cu[3] == "http://host.org/a"
+    assert cu[4] == "https://h.io/x?a=1&b=2"
+    assert cu[5] == "https://h.io/x?c=3"
+    assert cu[6] == "http://plain.net/path"
+    assert cu[7] == "https://ok.io:8443/keep:port?x=1"
