@@ -360,6 +360,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # closed-form oracles (no regex in the oracle at all)
     "text_html_extract",
     "docs_url_canonicalize",
+    # r11 fourth continuation: retrieval evaluation — recall@5 / MRR
+    # / nDCG@5 of the LSH ranking vs the exact ground truth (full
+    # value oracle + Python-mirror unit test)
+    "retrieval_eval_metrics",
 ]
 
 

@@ -3807,3 +3807,51 @@ def test_html_extract_and_url_canonicalize_hand_traced(spark):
     assert cu[5] == "https://h.io/x?c=3"
     assert cu[6] == "http://plain.net/path"
     assert cu[7] == "https://ok.io:8443/keep:port?x=1"
+
+
+def test_retrieval_eval_metrics_python_mirror(spark, sf_dir):
+    """recall/MRR/nDCG of the registered eval query must equal a
+    direct Python computation over the SAME two rankings (truth from
+    cosine_topk, approx from lsh_topk) — pins the metric math
+    independently of the SQL oracle."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators import similarity as ops
+    from mongo2pq_spark.queries.registry import QUERIES, load_all
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    load_all()
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    truth = {}
+    for r in ops.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    ).collect():
+        truth.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["rank"]
+    approx = {}
+    for r in (
+        ops.lsh_topk(emb, k=5, dim=64)
+        .filter(F.col("query_id") < 10)
+        .collect()
+    ):
+        approx.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"])
+        )
+    got = {
+        r["query_id"]: r.asDict()
+        for r in QUERIES["retrieval_eval_metrics"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(truth)
+    for q, tr in truth.items():
+        ap = sorted(approx.get(q, []))
+        hits = sum(1 for _, n in ap if n in tr)
+        dcg = sum(1 / math.log2(rk + 1) for rk, n in ap if n in tr)
+        idcg = sum(1 / math.log2(rk + 1) for rk in tr.values())
+        top1 = next((n for n, rk in tr.items() if rk == 1), None)
+        rr = next((1 / rk for rk, n in ap if n == top1), 0.0)
+        g = got[q]
+        assert g["n_truth"] == len(tr) and g["hits"] == hits
+        assert g["recall_at_5"] == round(hits / len(tr), 6) + 0.0
+        assert abs(g["ndcg_at_5"] - dcg / idcg) < 2e-6, (q, g)
+        assert g["rr_at_5"] == round(rr, 6) + 0.0
