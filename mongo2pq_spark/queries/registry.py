@@ -364,6 +364,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # / nDCG@5 of the LSH ranking vs the exact ground truth (full
     # value oracle + Python-mirror unit test)
     "retrieval_eval_metrics",
+    # r11 fourth continuation: reliability-diagram calibration bins
+    # of the nearest-centroid classifier (full value oracle +
+    # planted over-confidence unit test)
+    "embedding_calibration_bins",
 ]
 
 

@@ -866,3 +866,97 @@ def retrieval_eval_metrics(spark, sf_dir):
             + F.lit(0.0)
         ).alias("ndcg_at_5"),
     )
+
+
+@register(
+    "embedding_calibration_bins",
+    f"""
+    WITH x AS (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    m AS (SELECT label AS clabel, i, avg(v) AS mv FROM x GROUP BY 1, 2),
+    c AS (
+        SELECT clabel, array_agg(mv ORDER BY i) AS centroid
+        FROM m GROUP BY 1
+    ),
+    s AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               round({_sql_cosine('e.embedding', 'c.centroid')}, 6) AS s
+        FROM embeddings e CROSS JOIN c
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY s DESC, clabel
+               ) AS rn
+        FROM s
+    ),
+    pred AS (
+        SELECT vec_id, label = clabel AS agrees, s AS conf,
+               least(greatest(CAST(floor((s + 1.0) * 5) AS BIGINT),
+                              0), 9) AS bin
+        FROM r WHERE rn = 1
+    ),
+    b AS (
+        SELECT bin, count(*) AS n,
+               sum(CASE WHEN agrees THEN 1 ELSE 0 END) AS n_correct,
+               round(avg(conf), 6) AS avg_conf
+        FROM pred GROUP BY bin
+    )
+    SELECT bin,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_correct AS BIGINT) AS n_correct,
+           round(CAST(n_correct AS DOUBLE) / n, 6) + 0.0 AS accuracy,
+           avg_conf + 0.0 AS avg_conf,
+           round(abs(round(CAST(n_correct AS DOUBLE) / n, 6)
+                     - avg_conf), 6) + 0.0 AS calibration_gap
+    FROM b
+    """,
+    doc="calibration audit of the nearest-centroid classifier "
+        "(reliability-diagram bins, the per-bin terms of expected "
+        "calibration error): confidence = cosine similarity to the "
+        "predicted centroid, binned into 10 fixed-width bins over "
+        "[-1, 1]; each bin reports observed accuracy vs mean "
+        "confidence and their gap — an over-confident label model is "
+        "exactly what a label-noise screen must not trust. Shape: "
+        "the classifier is the label_agreement machinery (bounded "
+        "centroid broadcast, grouped struct-max argmax), then one "
+        "bounded 10-key aggregate. The gap subtracts the two ROUNDED "
+        "quantities, so it is engine-exact given the 6-dp contract "
+        "the whole similarity family uses",
+)
+def embedding_calibration_bins(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    pred = ops.nearest_centroid_agreement(emb).select(
+        F.col("agrees"),
+        F.col("centroid_sim").alias("conf"),
+        F.least(
+            F.greatest(
+                F.floor((F.col("centroid_sim") + 1.0) * 5).cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    b = pred.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("agrees"), 1).otherwise(0)).alias("n_correct"),
+        F.round(F.avg("conf"), 6).alias("avg_conf"),
+    )
+    acc = F.round(F.col("n_correct").cast("double") / F.col("n"), 6)
+    return b.select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_correct").cast("bigint").alias("n_correct"),
+        (acc + F.lit(0.0)).alias("accuracy"),
+        (F.col("avg_conf") + F.lit(0.0)).alias("avg_conf"),
+        (F.round(F.abs(acc - F.col("avg_conf")), 6) + F.lit(0.0)).alias(
+            "calibration_gap"
+        ),
+    )

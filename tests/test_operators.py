@@ -3855,3 +3855,52 @@ def test_retrieval_eval_metrics_python_mirror(spark, sf_dir):
         assert g["recall_at_5"] == round(hits / len(tr), 6) + 0.0
         assert abs(g["ndcg_at_5"] - dcg / idcg) < 2e-6, (q, g)
         assert g["rr_at_5"] == round(rr, 6) + 0.0
+
+
+def test_calibration_bins_planted(spark):
+    """Planted clusters: vectors tightly around two distant centroids
+    with correct labels give high-confidence bins at accuracy 1.0 and
+    near-zero gap; flipping some labels creates a bin whose accuracy
+    drops below its mean confidence (the over-confidence signature)."""
+    from mongo2pq_spark.queries.registry import QUERIES, load_all
+
+    load_all()
+    fn = QUERIES["embedding_calibration_bins"].fn
+
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    def run(vecs_labels, name):
+        d = os.path.join(tempfile.mkdtemp(), name)
+        os.makedirs(d)
+        pd.DataFrame(
+            {
+                "vec_id": range(len(vecs_labels)),
+                "embedding": [v for v, _ in vecs_labels],
+                "label": [l for _, l in vecs_labels],
+            }
+        ).to_parquet(os.path.join(d, "embeddings.parquet"))
+        return {r["bin"]: r.asDict() for r in fn(spark, d).collect()}
+
+    base_a = [1.0] + [0.0] * 63
+    base_b = [0.0] * 63 + [1.0]
+    clean = [
+        ([x + 0.01 * (i % 3) for x in base_a], 0) for i in range(20)
+    ] + [([x + 0.01 * (i % 3) for x in base_b], 1) for i in range(20)]
+    got = run([(list(map(float, v)), l) for v, l in clean], "clean")
+    # all vectors sit near their own centroid: top bin, perfect acc
+    assert set(got) == {9}
+    assert got[9]["accuracy"] == 1.0 and got[9]["calibration_gap"] < 0.1
+
+    # flip a quarter of cluster A's labels to 1: same geometry (same
+    # confidences) but accuracy drops — gap widens in the same bin
+    noisy = [
+        (v, (1 if i < 5 else l))
+        for i, (v, l) in enumerate(clean)
+    ]
+    got2 = run(noisy, "noisy")
+    b9 = got2[9]
+    assert b9["accuracy"] < 1.0
+    assert b9["calibration_gap"] > got[9]["calibration_gap"]
