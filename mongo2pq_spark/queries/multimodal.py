@@ -1455,3 +1455,86 @@ def multimodal_mp3_metadata(spark, sf_dir):
         build_batches, "doc_id bigint, payload binary"
     )
     return audio_ops.mp3_metadata(with_mp3)
+
+
+@register(
+    "multimodal_pdf_metadata",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               1 + doc_id % 12 AS np,
+               doc_id % 9 = 0 AS enc,
+               doc_id % 2 = 0 AS has_info
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           '1.4' AS version,
+           CAST(2 + np + CASE WHEN has_info THEN 1 ELSE 0 END
+                + CASE WHEN enc THEN 1 ELSE 0 END AS INTEGER)
+               AS n_objects,
+           CAST(np AS INTEGER) AS n_pages,
+           enc AS encrypted,
+           CASE WHEN has_info AND NOT enc
+                THEN 'Doc-' || CAST(doc_id AS VARCHAR) ELSE '' END
+               AS title
+    FROM d
+    """,
+    doc="PDF metadata triage, end to end: minimal structurally real "
+        "PDFs (catalog → pages tree → 1-12 page objects, optional "
+        "Info /Title and /Encrypt, byte-exact xref TABLE, per-doc "
+        "padding that shifts every object offset) are BUILT and "
+        "parsed back by the pure-stdlib cross-reference walk "
+        "(operators/pdf.py) inside Arrow-batched mapInPandas — "
+        "version, object inventory, page count, encryption flag, "
+        "title (never decrypted: encrypted docs report title=''). "
+        "Objects are resolved THROUGH the xref offsets (the "
+        "corrupted-offset unit test pins that a broken entry breaks "
+        "the parse), and the per-doc padding makes an offset-ignoring "
+        "scan provably unable to stay correct. PDF 1.5 xref STREAMS "
+        "raise typed NotImplementedError — the compressed-xref "
+        "decoder is the documented library swap, the document "
+        "modality's analog of the lossy-audio/video-frame stubs. "
+        "Completes the pre-decode triage family: images (real "
+        "codecs), WAV (real decode), MP3/MP4 (header/box walks), and "
+        "now PDF (xref walk)",
+)
+def multimodal_pdf_metadata(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import pdf as pdf_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import pandas as pd
+
+        from mongo2pq_spark.operators.pdf import build_pdf_stub
+
+        for pdf_b in batches:
+            payloads = []
+            for d in pdf_b["doc_id"]:
+                d = int(d)
+                payloads.append(
+                    build_pdf_stub(
+                        1 + d % 12,
+                        title=f"Doc-{d}" if d % 2 == 0 else None,
+                        encrypted=d % 9 == 0,
+                        pad=(d * 7) % 53,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf_b["doc_id"], "payload": payloads}
+            )
+
+    with_pdf = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    out = pdf_ops.pdf_metadata(with_pdf)
+    return out.withColumn(
+        "title", F.coalesce(F.col("title"), F.lit(""))
+    )

@@ -368,6 +368,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # of the nearest-centroid classifier (full value oracle +
     # planted over-confidence unit test)
     "embedding_calibration_bins",
+    # r11 fourth continuation: PDF metadata triage via a pure-stdlib
+    # xref-table walk (corrupted-offset test pins a real walk;
+    # closed-form oracle; xref streams typed-NotImplemented)
+    "multimodal_pdf_metadata",
 ]
 
 

@@ -3904,3 +3904,52 @@ def test_calibration_bins_planted(spark):
     b9 = got2[9]
     assert b9["accuracy"] < 1.0
     assert b9["calibration_gap"] > got[9]["calibration_gap"]
+
+
+def test_pdf_metadata_xref_walk_and_fail_louds():
+    """PDF triage resolves objects THROUGH the xref table: corrupting
+    one offset breaks the parse; encryption is reported without
+    decryption; xref streams and structural corruption fail with
+    typed errors."""
+    import pytest
+
+    from mongo2pq_spark.operators.pdf import (
+        build_pdf_stub,
+        parse_pdf_metadata,
+    )
+
+    m = parse_pdf_metadata(build_pdf_stub(3, title="Hello", pad=17))
+    assert m == {"version": "1.4", "n_objects": 6, "n_pages": 3,
+                 "encrypted": False, "title": "Hello"}
+    e = parse_pdf_metadata(build_pdf_stub(1, title="secret",
+                                          encrypted=True))
+    assert e["encrypted"] is True and e["title"] is None
+    assert e["n_objects"] == 5  # catalog+pages+page+info+encrypt
+
+    # padding shifts offsets; the walk must stay correct
+    for pad in (0, 1, 52):
+        assert parse_pdf_metadata(build_pdf_stub(2, pad=pad))[
+            "n_pages"] == 2
+
+    # corrupting ONE xref offset must break the parse — proves the
+    # parser reads objects through the table, not by token scanning
+    raw = bytearray(build_pdf_stub(2, pad=5))
+    i = raw.find(b"xref")
+    entry = raw.find(b"\n", raw.find(b"\n", i) + 1) + 1 + 20
+    raw[entry:entry + 10] = b"0000000003"
+    with pytest.raises(ValueError, match="no object header"):
+        parse_pdf_metadata(bytes(raw))
+
+    with pytest.raises(ValueError, match="no %PDF header"):
+        parse_pdf_metadata(b"%!PS-Adobe not a pdf")
+    good = build_pdf_stub(1)
+    with pytest.raises(ValueError, match="startxref"):
+        parse_pdf_metadata(good[:-30])
+    # startxref pointing at an object = the 1.5+ xref-stream layout
+    stream = bytearray(good)
+    obj1 = good.find(b"1 0 obj")
+    sx = stream.rfind(b"startxref")
+    end = stream.find(b"\n", sx + 10)
+    stream[sx:end] = f"startxref\n{obj1}".encode()
+    with pytest.raises(NotImplementedError, match="STREAM"):
+        parse_pdf_metadata(bytes(stream))
