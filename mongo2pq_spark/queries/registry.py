@@ -372,6 +372,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # xref-table walk (corrupted-offset test pins a real walk;
     # closed-form oracle; xref streams typed-NotImplemented)
     "multimodal_pdf_metadata",
+    # r11 fourth continuation: gzip-compressed JSONL round-trip with
+    # a sorted per-group id digest (value-complete; documents the
+    # gzip-unsplittable sharding rule)
+    "el_jsonl_gzip_roundtrip",
 ]
 
 

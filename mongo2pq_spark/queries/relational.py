@@ -1009,3 +1009,51 @@ def dq_referential_lineitem(spark, sf_dir):
              "dim_col": "s_suppkey"},
         ],
     )
+
+
+@register(
+    "el_jsonl_gzip_roundtrip",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+               ORDER BY doc_id)) AS id_digest
+    FROM documents GROUP BY lang
+    """,
+    doc="gzip-compressed JSONL round-trip: the documents table is "
+        "written as .json.gz (how web corpora actually ship — "
+        "CommonCrawl WET/WARC segments, HF dataset shards) and read "
+        "back through Spark's transparent codec path, then "
+        "aggregated with a per-group sorted doc-id digest so the "
+        "check is value-complete, not just counts. The 100 TB note "
+        "this query exists to document: gzip is NOT splittable — one "
+        ".gz file = one task regardless of size — so the write side "
+        "here produces MANY shard files (the source partitioning), "
+        "which is exactly the layout that keeps compressed-text "
+        "ingestion parallel at scale",
+)
+def el_jsonl_gzip_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    outdir = os.path.join(tempfile.gettempdir(), "el_jsonl_gz_out")
+    docs.write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(outdir)
+    back = spark.read.json(outdir)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("id_digest"),
+    )
