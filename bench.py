@@ -121,11 +121,22 @@ HEADLINE = [
     # wav/mp4 codec class), DSIR's cached doc×bucket aggregate +
     # broadcast LM scoring, and unigram-LM tokenizer train + Viterbi
     # encode over the corpus (the text_bpe class). The light map/agg
-    # additions (ks drift, markov transitions, benford) stay out,
-    # same policy as blocklist/PSI/CMS
+    # additions (ks drift, markov transitions, benford, dq contracts,
+    # html/url normalization) stay out, same policy as
+    # blocklist/PSI/CMS
     "multimodal_mp3_metadata",
     "corpus_dsir_select",
     "text_unigram_tok_roundtrip",
+    # registered after this session's two bench sessions ran; first
+    # trend numbers land with the next sessions (the post-bench-
+    # registration rule every earlier round follows): retrieval eval
+    # (LSH + brute force + metric joins), calibration (centroid
+    # machinery + binning), PDF xref walk over 200 built files (the
+    # codec class), gzip JSONL round-trip (el I/O class)
+    "retrieval_eval_metrics",
+    "embedding_calibration_bins",
+    "multimodal_pdf_metadata",
+    "el_jsonl_gzip_roundtrip",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite
@@ -149,6 +160,12 @@ EXCLUDED_PIPELINE_CONTRACT = {
     "dedup_near_clusters_checkpointed": (
         "re-runs dedup_near_clusters (which IS benched) through "
         "reliable-checkpoint staging; the delta is checkpoint I/O"
+    ),
+    "streaming_dq_monitor": (
+        "4 micro-batches of foreachBatch report staging — wall-clock "
+        "is checkpoint/staging I/O like streaming_near_dedup; the "
+        "contract aggregate itself IS benched via dq_validate_events' "
+        "machinery (one conditional-sum pass)"
     ),
 }
 assert not set(HEADLINE) & set(EXCLUDED_PIPELINE_CONTRACT)
