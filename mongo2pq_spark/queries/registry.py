@@ -376,6 +376,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # a sorted per-group id digest (value-complete; documents the
     # gzip-unsplittable sharding rule)
     "el_jsonl_gzip_roundtrip",
+    # r11 fourth continuation: WARC → HTTP → HTML → text, the full
+    # web-ingestion chain on CommonCrawl's container — framing walked
+    # by Content-Length (embedded-magic trap test), ground-truth
+    # closed-form oracle
+    "multimodal_warc_extract",
 ]
 
 

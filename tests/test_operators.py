@@ -3953,3 +3953,53 @@ def test_pdf_metadata_xref_walk_and_fail_louds():
     stream[sx:end] = f"startxref\n{obj1}".encode()
     with pytest.raises(NotImplementedError, match="STREAM"):
         parse_pdf_metadata(bytes(stream))
+
+
+def test_warc_record_walk_and_fail_louds():
+    """WARC framing is walked by Content-Length, never magic-scanning:
+    a response body containing the literal 'WARC/1.0' parses as ONE
+    record; structural corruption and the chunked/compressed HTTP
+    envelopes fail with typed errors."""
+    import pytest
+
+    from mongo2pq_spark.operators.warc import (
+        build_warc_stub,
+        parse_warc_records,
+    )
+
+    trap = b"<html><p>WARC/1.0\r\nWARC-Type: fake</p></html>"
+    recs = [
+        {"warc_type": "warcinfo", "uri": "none",
+         "date": "2024-01-01T00:00:00Z", "body": b"software: t"},
+        {"warc_type": "response", "uri": "http://x.io/a",
+         "date": "2024-01-01T00:00:00Z", "status": 301,
+         "content_type": "text/html", "body": trap},
+    ]
+    p = build_warc_stub(recs)
+    out = parse_warc_records(p)
+    assert len(out) == 2  # the embedded magic did NOT split a record
+    assert out[1]["http_status"] == 301
+    assert out[1]["body"] == trap
+    assert out[1]["content_length"] > len(trap)  # HTTP header counted
+
+    with pytest.raises(ValueError, match="no WARC magic"):
+        parse_warc_records(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc_records(p[:-10])
+    noclen = p.replace(b"Content-Length", b"X-Length", 1)
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_records(noclen)
+    with pytest.raises(NotImplementedError, match="version"):
+        parse_warc_records(p.replace(b"WARC/1.0", b"WARC/0.9", 1))
+
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"1\r\nx\r\n0\r\n\r\n")
+    chunked = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: u\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(http)}\r\n\r\n".encode()
+        + http + b"\r\n\r\n"
+    )
+    with pytest.raises(NotImplementedError, match="chunked"):
+        parse_warc_records(chunked)
