@@ -1087,3 +1087,31 @@ def canonicalize_urls(
     u = F.regexp_replace(u, r"[?&]$", "")               # dangling sep
     u = F.regexp_replace(u, r"(.)/$", r"$1")            # trailing slash
     return df.select(F.col(id_col), u.alias("url_canon"))
+
+
+def html_extract_links(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Outlink + robots extraction from raw HTML — the crawl-graph
+    edge source (what PageRank/host-reputation run on) and the
+    noindex gate, both map-only built-in expressions.
+
+    Returns one row per anchor href: ``(id_col, link_idx, href,
+    noindex)`` with ``link_idx`` the anchor's 0-based document order
+    and ``noindex`` the page-level ``<meta name="robots" …
+    noindex …>`` flag (constant across a page's rows). Pages with no
+    anchors emit nothing — the edge table is sparse by design; join
+    back to the page table for isolated nodes."""
+    hrefs = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit(r"""(?i)<a\s[^>]*?href\s*=\s*["']([^"'<>]+)["']"""),
+        1,
+    )
+    noindex = F.col(html_col).rlike(
+        r"""(?i)<meta\s[^>]*name\s*=\s*["']robots["'][^>]*noindex"""
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(hrefs).alias("link_idx", "href"),
+        noindex.alias("noindex"),
+    ).select(id_col, "link_idx", "href", "noindex")

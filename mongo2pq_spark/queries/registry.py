@@ -381,6 +381,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # by Content-Length (embedded-magic trap test), ground-truth
     # closed-form oracle
     "multimodal_warc_extract",
+    # r11 fourth continuation: crawl-graph edge extraction — anchors
+    # + robots-noindex flag recovered against a closed-form outlink
+    # rule (ground-truth oracle; hand-traced attribute/quote edges)
+    "web_outlinks",
 ]
 
 

@@ -1144,3 +1144,65 @@ def docs_url_canonicalize(spark, sf_dir):
         "doc_id", url.alias("url")
     )
     return canonicalize_urls(docs)
+
+
+@register(
+    "web_outlinks",
+    """
+    WITH d AS (
+        SELECT doc_id, doc_id % 4 AS nl, doc_id % 7 = 0 AS ni
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(j.i AS INTEGER) AS link_idx,
+           'http://site' || CAST((doc_id + j.i) % 5 AS VARCHAR)
+               || '.example/p/' || CAST(doc_id * 3 + j.i AS VARCHAR)
+               AS href,
+           ni AS noindex
+    FROM d, generate_series(0, 2) j(i)
+    WHERE j.i < nl
+    """,
+    doc="crawl-graph edge extraction: per-doc HTML pages are built "
+        "with a closed-form anchor rule (0-3 outlinks per page, "
+        "attribute noise around href, a page-level robots-noindex "
+        "meta on every 7th page) and the outlinks + noindex flag are "
+        "recovered by operators/text.py::html_extract_links — the "
+        "edge source PageRank/host-reputation consume and the gate "
+        "a polite pipeline honors before indexing. Pages with zero "
+        "anchors emit no rows (sparse edge table by design). The "
+        "oracle states every (doc, link_idx, href) closed-form — no "
+        "regex in the oracle. Map-only posexplode, zero shuffle",
+)
+def web_outlinks(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.text import html_extract_links
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    d = F.col("doc_id")
+    nl = d % 4
+    anchor = lambda j: F.concat(  # noqa: E731
+        F.lit('<p>x</p><a class="out" href="http://site'),
+        ((d + j) % 5).cast("string"),
+        F.lit(".example/p/"),
+        (d * 3 + j).cast("string"),
+        F.lit('">link</a>'),
+    )
+    anchors = F.when(
+        nl > 0,
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), nl - 1), anchor), ""
+        ),
+    ).otherwise(F.lit(""))
+    meta = F.when(
+        d % 7 == 0,
+        F.lit('<meta name="robots" content="noindex, nofollow">'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), meta,
+        F.lit("</head><body>"), anchors, F.lit("</body></html>"),
+    )
+    docs = read_sf_table(spark, sf_dir, "documents").filter(
+        d < 200
+    ).select("doc_id", html.alias("html"))
+    return html_extract_links(docs)

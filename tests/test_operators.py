@@ -4003,3 +4003,32 @@ def test_warc_record_walk_and_fail_louds():
     )
     with pytest.raises(NotImplementedError, match="chunked"):
         parse_warc_records(chunked)
+
+
+def test_html_extract_links_hand_traced(spark):
+    """Anchor extraction: attribute noise before href, single/double
+    quotes, case-insensitive tags, relative hrefs kept verbatim,
+    page-level noindex constant across a page's rows, zero-anchor
+    pages emit nothing."""
+    from mongo2pq_spark.operators.text import html_extract_links
+
+    rows = [
+        (1, '<html><head><meta name="robots" content="noindex,nofollow">'
+            '</head><body><a class="x" id=1 href="http://a.io/1">one</a>'
+            "<p>gap</p><a href='/rel/2'>two</a></body></html>"),
+        (2, '<body><A HREF="HTTP://B.io/3">caps</A></body>'),
+        (3, "<body>no links</body>"),
+    ]
+    got = [
+        r.asDict()
+        for r in html_extract_links(
+            spark.createDataFrame(rows, "doc_id long, html string")
+        ).orderBy("doc_id", "link_idx").collect()
+    ]
+    assert got == [
+        {"doc_id": 1, "link_idx": 0, "href": "http://a.io/1",
+         "noindex": True},
+        {"doc_id": 1, "link_idx": 1, "href": "/rel/2", "noindex": True},
+        {"doc_id": 2, "link_idx": 0, "href": "HTTP://B.io/3",
+         "noindex": False},
+    ]
