@@ -289,3 +289,32 @@ def unigram_encode_stats(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(stat_batches, UNIGRAM_STATS_SCHEMA)
+
+
+def save_vocab(logp: dict[bytes, float], path: str) -> None:
+    """Persist a learned unigram vocab as one ``hex logprob`` line per
+    piece (binary-safe; log-probs via ``repr`` so the double
+    round-trips bit-exactly). Same pinned-artifact discipline as
+    ``bpe.save_merges``: token accounting is only reproducible under
+    the exact vocabulary that produced it; format versioned."""
+    lines = ["unigram-vocab-v1"]
+    lines += [f"{p.hex()} {logp[p]!r}" for p in sorted(logp)]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def load_vocab(path: str) -> dict[bytes, float]:
+    """Inverse of ``save_vocab``; fail-loud on unknown versions or
+    malformed lines (a silently mis-parsed vocab would corrupt every
+    downstream token count)."""
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    if not lines or lines[0] != "unigram-vocab-v1":
+        raise ValueError(f"not a unigram-vocab-v1 file: {path}")
+    logp = {}
+    for ln in lines[1:]:
+        parts = ln.split(" ")
+        if len(parts) != 2:
+            raise ValueError(f"malformed vocab line {ln!r} in {path}")
+        logp[bytes.fromhex(parts[0])] = float(parts[1])
+    return logp

@@ -4032,3 +4032,38 @@ def test_html_extract_links_hand_traced(spark):
         {"doc_id": 2, "link_idx": 0, "href": "HTTP://B.io/3",
          "noindex": False},
     ]
+
+
+def test_unigram_vocab_artifact_roundtrip(tmp_path):
+    """The pinned unigram-vocab artifact round-trips bit-exactly
+    (pieces AND double log-probs) and fails loud on version or line
+    corruption — the same discipline as the BPE merge table."""
+    import pytest
+
+    from mongo2pq_spark.operators.unigram_tok import (
+        learn_unigram_local,
+        load_vocab,
+        save_vocab,
+    )
+
+    logp = learn_unigram_local(
+        [(b"spark", 5), (b" ", 9), (b"the\xff", 3)],
+        vocab_size=30, seed_size=50,
+    )
+    p = tmp_path / "vocab.uni"
+    save_vocab(logp, str(p))
+    back = load_vocab(str(p))
+    assert back == logp  # exact doubles, exact byte pieces
+    # byte-identical re-save (stable artifact across runs)
+    p2 = tmp_path / "vocab2.uni"
+    save_vocab(back, str(p2))
+    assert p.read_bytes() == p2.read_bytes()
+
+    bad = tmp_path / "bad.uni"
+    bad.write_text("something-else\n")
+    with pytest.raises(ValueError, match="unigram-vocab-v1"):
+        load_vocab(str(bad))
+    trunc = tmp_path / "trunc.uni"
+    trunc.write_text("unigram-vocab-v1\ndeadbeef\n")
+    with pytest.raises(ValueError, match="malformed vocab line"):
+        load_vocab(str(trunc))
