@@ -387,3 +387,164 @@ def test_audio_fp_gain_and_channel_invariance(samples, gain, n_ch):
     base = audio_envelope_bits(arr)
     assert audio_envelope_bits(arr * gain) == base
     assert audio_envelope_bits(np.repeat(arr, n_ch, axis=1)) == base
+
+
+# -- round-11 fourth-continuation operators (pure driver-side cores) --
+
+
+@given(
+    n_frames=st.integers(min_value=1, max_value=40),
+    sri=st.integers(min_value=0, max_value=2),
+    mono=st.booleans(),
+    id3=st.integers(min_value=0, max_value=300),
+    id3v1=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_mp3_build_parse_roundtrip_property(
+    n_frames, sri, mono, id3, id3v1, data
+):
+    """Any in-scope MPEG-1 L3 stream the builder can produce, the
+    parser recovers exactly: frame count, rate, channels, bitrate
+    envelope, byte totals."""
+    from mongo2pq_spark.operators.audio import (
+        MP3_BITRATES_V1L3,
+        MP3_SAMPLE_RATES_V1,
+        build_mp3_stub,
+        mp3_frame_length,
+        parse_mp3_metadata,
+    )
+
+    idxs = data.draw(
+        st.lists(st.integers(min_value=1, max_value=14),
+                 min_size=n_frames, max_size=n_frames)
+    )
+    pads = data.draw(
+        st.lists(st.integers(min_value=0, max_value=1),
+                 min_size=n_frames, max_size=n_frames)
+    )
+    p = build_mp3_stub(idxs, sri, pads, mono=mono,
+                       id3v2_body=id3, id3v1=id3v1)
+    m = parse_mp3_metadata(p)
+    sr = MP3_SAMPLE_RATES_V1[sri]
+    brs = [MP3_BITRATES_V1L3[i - 1] for i in idxs]
+    assert m["n_frames"] == n_frames
+    assert m["sample_rate"] == sr
+    assert m["channels"] == (1 if mono else 2)
+    assert m["bitrate_min_kbps"] == min(brs)
+    assert m["bitrate_max_kbps"] == max(brs)
+    assert m["is_vbr"] == (min(brs) != max(brs))
+    assert m["audio_bytes"] == sum(
+        mp3_frame_length(b, sr, pd) for b, pd in zip(brs, pads)
+    )
+    assert m["has_id3v2"] == (id3 > 0)
+
+
+@given(
+    n_pages=st.integers(min_value=1, max_value=30),
+    pad=st.integers(min_value=0, max_value=200),
+    title=st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=32, max_codepoint=126,
+                blacklist_characters="()\\",
+            ),
+            max_size=30,
+        ),
+    ),
+    encrypted=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_pdf_build_parse_roundtrip_property(n_pages, pad, title, encrypted):
+    """Any in-scope PDF the builder can produce, the xref walk
+    recovers exactly — page/object counts, encryption, title policy —
+    regardless of how padding shifts the offsets."""
+    from mongo2pq_spark.operators.pdf import (
+        build_pdf_stub,
+        parse_pdf_metadata,
+    )
+
+    m = parse_pdf_metadata(
+        build_pdf_stub(n_pages, title=title, encrypted=encrypted, pad=pad)
+    )
+    assert m["n_pages"] == n_pages
+    expect_objs = 2 + n_pages + (title is not None) + encrypted
+    assert m["n_objects"] == expect_objs
+    assert m["encrypted"] == encrypted
+    if encrypted or title is None:
+        assert m["title"] is None
+    else:
+        assert m["title"] == title
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=32, max_codepoint=1000,
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_unigram_viterbi_lossless_property(texts):
+    """pretokenize ∘ viterbi ∘ concat is the identity on ARBITRARY
+    unicode under any vocab (byte-fallback totality) — the invariant
+    the registered round-trip oracle checks corpus-wide."""
+    from mongo2pq_spark.operators.bpe import pretokenize
+    from mongo2pq_spark.operators.unigram_tok import (
+        learn_unigram_local,
+        viterbi_encode,
+    )
+
+    logp = learn_unigram_local([(b"spark", 3), (b" ", 5)], vocab_size=20,
+                               seed_size=20)
+    for t in texts:
+        toks = [
+            piece
+            for w in pretokenize(t)
+            for piece in viterbi_encode(w.encode("utf-8"), logp)
+        ]
+        assert b"".join(toks) == t.encode("utf-8")
+
+
+@given(
+    host=st.text(alphabet="abcDEF", min_size=1, max_size=8),
+    scheme=st.sampled_from(["http", "https", "HTTP", "HTTPS"]),
+    path=st.text(alphabet="abXY9/", max_size=10),
+    params=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "utm_x", "utm_y", "id"]),
+            st.text(alphabet="xyz12", min_size=1, max_size=3),
+        ),
+        max_size=4,
+    ),
+    frag=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_url_canonicalize_idempotent_property(
+    spark, host, scheme, path, params, frag
+):
+    """canonicalize(canonicalize(u)) == canonicalize(u) — the key-rule
+    invariant that makes the canonical form a stable dedup key — and
+    the result never retains fragments, default ports, or utm_*
+    parameters."""
+    from mongo2pq_spark.operators.text import canonicalize_urls
+
+    q = "&".join(f"{k}={v}" for k, v in params)
+    url = f"{scheme}://{host}.io/{path}"
+    if q:
+        url += "?" + q
+    if frag:
+        url += "#sec"
+    df = spark.createDataFrame([(1, url)], "doc_id long, url string")
+    once = canonicalize_urls(df).collect()[0]["url_canon"]
+    df2 = spark.createDataFrame([(1, once)], "doc_id long, url string")
+    twice = canonicalize_urls(df2).collect()[0]["url_canon"]
+    assert twice == once, (url, once, twice)
+    assert "#" not in once and "utm_" not in once
+    assert ":80/" not in once and ":443/" not in once
