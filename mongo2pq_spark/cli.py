@@ -396,19 +396,26 @@ def main(
             if name in dq_contract:
                 # validate BEFORE the EL write: --dq-fail-on-violation
                 # exists to stop bad data from being PUBLISHED, so the
-                # judgment must precede the publish. The report is
-                # bounded at len(rules) rows; inside the try so the
-                # finally below releases caches/stores on a raise.
+                # judgment must precede the publish. Rules judge the
+                # SCHEMA-APPLIED frame — the exact typed/renamed rows
+                # the sink writes — not the raw source frame: file
+                # sources carry strings until Schema.apply casts them,
+                # and a numeric range rule against an uncast string
+                # column would crash under ANSI (found by the sf0.1
+                # CLI scale drive). The report is bounded at
+                # len(rules) rows; inside the try so the finally below
+                # releases caches/stores on a raise.
                 import json as jsonlib
 
                 from mongo2pq_spark.operators.contracts import (
                     validate_rules,
                 )
 
+                published = schema.apply(df, strict_compat=strict_compat)
                 rules = []
                 for r in dq_contract[name]:
                     rr = dict(r)
-                    if rr["col"] not in df.columns:
+                    if rr["col"] not in published.columns:
                         print(
                             f"WARNING: dq rule {rr['rule_id']!r} column "
                             f"{rr['col']!r} not in '{name}'; rule skipped",
@@ -431,7 +438,9 @@ def main(
                 if rules:
                     report = [
                         row.asDict()
-                        for row in validate_rules(df, rules).collect()
+                        for row in validate_rules(
+                            published, rules
+                        ).collect()
                     ]
                     with open(
                         outdir / f"{name}_dq_report.json", "w"
