@@ -1091,3 +1091,95 @@ def corpus_dsir_select(spark, sf_dir):
     return dsir_logweights(
         docs, "is_en", n_buckets=_DSIR_BUCKETS
     )
+
+
+@register(
+    "corpus_source_kl",
+    f"""
+    WITH toks AS (
+        SELECT source, unnest({sql_tokens('text')}) AS tok
+        FROM documents
+    ),
+    sb AS (
+        SELECT source,
+               {sql_token_hash32('tok')} % {_DSIR_BUCKETS} AS bucket,
+               count(*) AS c
+        FROM toks GROUP BY source, bucket
+    ),
+    cb AS (SELECT bucket, sum(c) AS cc FROM sb GROUP BY 1),
+    st AS (SELECT source, sum(c) AS ts FROM sb GROUP BY 1),
+    ct AS (SELECT sum(cc) AS tc FROM cb),
+    terms AS (
+        SELECT sb.source,
+               (CAST(0.9 AS DOUBLE) * CAST(sb.c AS DOUBLE)
+                    / CAST(st.ts AS DOUBLE)
+                + CAST(9.765625e-05 AS DOUBLE))
+               * ln((CAST(0.9 AS DOUBLE) * CAST(sb.c AS DOUBLE)
+                         / CAST(st.ts AS DOUBLE)
+                     + CAST(9.765625e-05 AS DOUBLE))
+                    / (CAST(0.9 AS DOUBLE) * CAST(cb.cc AS DOUBLE)
+                           / CAST(ct.tc AS DOUBLE)
+                       + CAST(9.765625e-05 AS DOUBLE))) AS term,
+               st.ts
+        FROM sb
+        JOIN cb USING (bucket)
+        JOIN st USING (source)
+        CROSS JOIN ct
+    )
+    SELECT source,
+           CAST(min(ts) AS BIGINT) AS n_tokens,
+           round(sum(term), 6) + 0.0 AS kl_vs_corpus
+    FROM terms GROUP BY source
+    """,
+    doc="per-source domain-skew diagnostic: KL(source ‖ corpus) over "
+        "the 1024-bucket hashed-unigram distributions, with the SAME "
+        "shared-λ Jelinek-Mercer smoothing DSIR uses (identical "
+        "distributions score exactly 0; smoothing mass does not "
+        "depend on subcorpus size, the add-1 trap measured there). "
+        "Only the buckets a source actually OCCUPIES contribute — "
+        "absent buckets have p_s = λ/B, a constant the ranking "
+        "ignores — so the sum stays over the bounded source×bucket "
+        "table. Shape: ONE source×bucket aggregate (bounded at "
+        "|sources|×1024), corpus marginals derived from it, broadcast "
+        "joins, bounded output; the corpus is read once. The mixing "
+        "and selection stages (corpus_mix_temperature, "
+        "corpus_dsir_select) consume exactly this signal",
+)
+def corpus_source_kl(spark, sf_dir):
+    from mongo2pq_spark.operators.cache import cache_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    sb = cache_stream(
+        toks.select(
+            "source",
+            (token_hash32(F.col("tok")) % _DSIR_BUCKETS).alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    cb = sb.groupBy("bucket").agg(F.sum("c").alias("cc"))
+    st = sb.groupBy("source").agg(F.sum("c").alias("ts"))
+    ct = cb.agg(F.sum("cc").alias("tc"))
+    lam_b = F.lit(0.1 / _DSIR_BUCKETS)
+    ps = (
+        F.lit(0.9) * F.col("c").cast("double") / F.col("ts").cast("double")
+        + lam_b
+    )
+    pc = (
+        F.lit(0.9) * F.col("cc").cast("double")
+        / F.col("tc").cast("double")
+        + lam_b
+    )
+    terms = (
+        sb.join(F.broadcast(cb), "bucket")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(ct))
+        .select("source", "ts", (ps * F.log(ps / pc)).alias("term"))
+    )
+    return terms.groupBy("source").agg(
+        F.min("ts").cast("bigint").alias("n_tokens"),
+        (F.round(F.sum("term"), 6) + F.lit(0.0)).alias("kl_vs_corpus"),
+    )

@@ -385,6 +385,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # + robots-noindex flag recovered against a closed-form outlink
     # rule (ground-truth oracle; hand-traced attribute/quote edges)
     "web_outlinks",
+    # r11 fourth continuation: per-source KL(source ‖ corpus) domain
+    # skew over JM-smoothed hashed-unigram distributions (full value
+    # oracle + planted identical/skewed/disjoint ranking test)
+    "corpus_source_kl",
 ]
 
 

@@ -4067,3 +4067,53 @@ def test_unigram_vocab_artifact_roundtrip(tmp_path):
     trunc.write_text("unigram-vocab-v1\ndeadbeef\n")
     with pytest.raises(ValueError, match="malformed vocab line"):
         load_vocab(str(trunc))
+
+
+def test_source_kl_planted_distributions(spark, tmp_path):
+    """KL(source ‖ corpus) invariants: a source whose token
+    distribution equals the corpus's scores ~0; a disjoint-vocabulary
+    source scores strictly higher than a mildly skewed one."""
+    import pandas as pd
+
+    from mongo2pq_spark.queries.registry import QUERIES, load_all
+
+    load_all()
+    fn = QUERIES["corpus_source_kl"].fn
+
+    rows = []
+    # two sources with IDENTICAL distributions over the same words
+    for i in range(30):
+        rows.append((i, " ".join(f"w{j % 6}" for j in range(20)), "en",
+                     "same_a", 0))
+        rows.append((100 + i, " ".join(f"w{j % 6}" for j in range(20)),
+                     "en", "same_b", 0))
+    # a mildly skewed source (shares vocab, different mix)
+    for i in range(30):
+        rows.append((200 + i, " ".join(f"w{j % 3}" for j in range(20)),
+                     "en", "skewed", 0))
+    # a disjoint-vocabulary source
+    for i in range(30):
+        rows.append((300 + i, " ".join(f"z{j % 6}" for j in range(20)),
+                     "en", "alien", 0))
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    # corpus of ONLY the two identical sources: each equals the
+    # mixture, so both KLs are ~0 (exactly equal to each other)
+    d0 = tmp_path / "kl0"
+    d0.mkdir()
+    pd.DataFrame(
+        [r for r in rows if r[3].startswith("same_")], columns=cols
+    ).to_parquet(d0 / "documents.parquet")
+    pure = {r["source"]: r.asDict() for r in fn(spark, str(d0)).collect()}
+    assert pure["same_a"]["kl_vs_corpus"] == pure["same_b"]["kl_vs_corpus"]
+    assert pure["same_a"]["kl_vs_corpus"] < 0.01
+
+    # full mixture: divergence ranks identical < skewed < disjoint
+    d = tmp_path / "kl"
+    d.mkdir()
+    pd.DataFrame(rows, columns=cols).to_parquet(d / "documents.parquet")
+    got = {r["source"]: r.asDict() for r in fn(spark, str(d)).collect()}
+    assert got["same_a"]["kl_vs_corpus"] == got["same_b"]["kl_vs_corpus"]
+    assert got["skewed"]["kl_vs_corpus"] > got["same_a"]["kl_vs_corpus"]
+    assert got["alien"]["kl_vs_corpus"] > got["skewed"]["kl_vs_corpus"]
+    assert got["alien"]["n_tokens"] == 600
