@@ -162,11 +162,16 @@ def parse_pdf_metadata(payload: bytes) -> dict:
         raise ValueError("trailer lacks /Size or /Root")
     encrypted = _dict_ref(trailer, rb"/Encrypt") is not None
 
-    catalog = _read_obj(payload, offsets[root_ref])
+    def _offset(ref: int) -> int:
+        if ref not in offsets:
+            raise ValueError(f"xref has no entry for object {ref}")
+        return offsets[ref]
+
+    catalog = _read_obj(payload, _offset(root_ref))
     pages_ref = _dict_ref(catalog, rb"/Pages")
     if pages_ref is None:
         raise ValueError("catalog has no /Pages")
-    pages = _read_obj(payload, offsets[pages_ref])
+    pages = _read_obj(payload, _offset(pages_ref))
     cm = re.search(rb"/Count\s+(\d+)", pages)
     if not cm:
         raise ValueError("pages tree has no /Count")
@@ -175,7 +180,7 @@ def parse_pdf_metadata(payload: bytes) -> dict:
     if not encrypted:
         info_ref = _dict_ref(trailer, rb"/Info")
         if info_ref is not None:
-            info = _read_obj(payload, offsets[info_ref])
+            info = _read_obj(payload, _offset(info_ref))
             t = re.search(rb"/Title\s*\(([^)]*)\)", info)
             if t:
                 title = t.group(1).decode("latin-1")

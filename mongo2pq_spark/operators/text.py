@@ -1107,8 +1107,12 @@ def html_extract_links(
         F.lit(r"""(?i)<a\s[^>]*?href\s*=\s*["']([^"'<>]+)["']"""),
         1,
     )
+    # both attribute orders occur in real HTML: name-then-content and
+    # content-then-name
     noindex = F.col(html_col).rlike(
         r"""(?i)<meta\s[^>]*name\s*=\s*["']robots["'][^>]*noindex"""
+    ) | F.col(html_col).rlike(
+        r"""(?i)<meta\s[^>]*noindex[^>]*name\s*=\s*["']robots["']"""
     )
     return df.select(
         F.col(id_col),

@@ -4117,3 +4117,36 @@ def test_source_kl_planted_distributions(spark, tmp_path):
     assert got["skewed"]["kl_vs_corpus"] > got["same_a"]["kl_vs_corpus"]
     assert got["alien"]["kl_vs_corpus"] > got["skewed"]["kl_vs_corpus"]
     assert got["alien"]["n_tokens"] == 600
+
+
+def test_noindex_attribute_order_and_pdf_missing_xref_entry(spark):
+    """Second-wave hardening regressions: robots-noindex matches both
+    meta attribute orders, and a trailer reference missing from the
+    xref fails with a typed error rather than a KeyError."""
+    import pytest
+
+    from mongo2pq_spark.operators.pdf import (
+        build_pdf_stub,
+        parse_pdf_metadata,
+    )
+    from mongo2pq_spark.operators.text import html_extract_links
+
+    rows = [
+        (1, '<head><meta content="noindex" name="robots"></head>'
+            '<body><a href="http://a.io/x">l</a></body>'),
+        (2, '<head><meta name="robots" content="nofollow"></head>'
+            '<body><a href="http://a.io/y">l</a></body>'),
+    ]
+    got = {
+        r["doc_id"]: r["noindex"]
+        for r in html_extract_links(
+            spark.createDataFrame(rows, "doc_id long, html string")
+        ).collect()
+    }
+    assert got == {1: True, 2: False}
+
+    # point /Root at an object number the xref has no entry for
+    raw = build_pdf_stub(1)
+    broken = raw.replace(b"/Root 1 0 R", b"/Root 9 0 R")
+    with pytest.raises(ValueError, match="no entry for object 9"):
+        parse_pdf_metadata(broken)
