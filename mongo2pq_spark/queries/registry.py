@@ -389,6 +389,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # skew over JM-smoothed hashed-unigram distributions (full value
     # oracle + planted identical/skewed/disjoint ranking test)
     "corpus_source_kl",
+    # r11 fourth continuation: deterministic Poisson bootstrap CI —
+    # THE distributed bootstrap (map-only per-row replicate weights,
+    # no resampling shuffle); md5 uniforms + repr-exact CDF cuts make
+    # it value-oracle-able (+ exact Python-mirror test)
+    "events_bootstrap_ci",
 ]
 
 

@@ -319,3 +319,115 @@ def sample_weighted_priority(spark, sf_dir):
         _ES_K,
         salt_src=F.col("doc_id"),
     ).select("doc_id", "n_chars", "priority", "rank")
+
+
+#: Poisson(1) CDF cut points (repr-exact doubles shared by both
+#: engines): a hash-uniform u maps to replicate count k = #cuts < u.
+_POIS_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253,
+)
+_BOOT_REPS = 32
+
+
+def _sql_boot_u(rep: str) -> str:
+    return (
+        "CAST(('0x' || substr(md5('boot:' || CAST(event_id AS VARCHAR)"
+        f" || ':' || CAST({rep} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " / 4294967296.0"
+    )
+
+
+@register(
+    "events_bootstrap_ci",
+    f"""
+    WITH reps AS (
+        SELECT e.event_id, e.value, r.i AS rep,
+               {" + ".join(f"(CASE WHEN {_sql_boot_u('r.i')} > {c} THEN 1 ELSE 0 END)" for c in _POIS_CDF)}
+                   AS w
+        FROM events e, generate_series(0, {_BOOT_REPS - 1}) r(i)
+        WHERE e.event_type = 'purchase'
+    ),
+    means AS (
+        SELECT rep,
+               round(sum(w * value) / greatest(sum(w), 1), 6) AS m,
+               CAST(sum(w) AS BIGINT) AS n_eff
+        FROM reps GROUP BY rep
+    ),
+    ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m, rep) AS rk FROM means
+    )
+    SELECT CAST({_BOOT_REPS} AS BIGINT) AS n_replicates,
+           (SELECT CAST(min(n_eff) AS BIGINT) FROM means) AS min_n_eff,
+           (SELECT m FROM ranked WHERE rk = 2) + 0.0 AS ci_lo,
+           (SELECT m FROM ranked WHERE rk = {_BOOT_REPS - 1}) + 0.0
+               AS ci_hi,
+           (SELECT round(avg(m), 6) FROM means) + 0.0 AS boot_mean
+    """,
+    doc="Poisson bootstrap confidence interval for mean(purchase "
+        "value) — THE distributed bootstrap: classical resampling "
+        "needs n draws WITH replacement per replicate (a shuffle per "
+        "replicate), while Poisson(1) replicate weights are drawn "
+        "per-row INDEPENDENTLY, so all 32 replicates are one map-only "
+        "expand + one bounded aggregate, the shape that survives "
+        "100 TB. Weights are DETERMINISTIC: u = md5(row, replicate) "
+        "as a 32-bit uniform, k = inverse Poisson CDF via repr-exact "
+        "cut points shared by both engines — the whole query is "
+        "value-oracle-able, no RNG state. CI = the 2nd/31st order "
+        "statistics of the replicate means (~93.75% coverage at "
+        "B=32), ties broken by replicate id",
+)
+def events_bootstrap_ci(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from mongo2pq_spark.functions.hashing import token_hash32
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    e = (
+        read_sf_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "value")
+    )
+    reps = e.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("rep"),
+    )
+    u = token_hash32(
+        F.concat(
+            F.lit("boot:"),
+            F.col("event_id").cast("string"),
+            F.lit(":"),
+            F.col("rep").cast("string"),
+        )
+    ) / F.lit(4294967296.0)
+    w = sum(
+        F.when(u > F.lit(c), 1).otherwise(0) for c in _POIS_CDF
+    )
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("rep")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("value"))
+                / F.greatest(F.sum("w"), F.lit(1)),
+                6,
+            ).alias("m"),
+            F.sum("w").cast("bigint").alias("n_eff"),
+        )
+    )
+    wnd = Window.orderBy("m", "rep")  # bounded: B rows
+    ranked = means.select("m", "n_eff", F.row_number().over(wnd).alias("rk"))
+    return ranked.agg(
+        F.lit(_BOOT_REPS).cast("bigint").alias("n_replicates"),
+        F.min("n_eff").cast("bigint").alias("min_n_eff"),
+        (F.max(F.when(F.col("rk") == 2, F.col("m"))) + F.lit(0.0)).alias(
+            "ci_lo"
+        ),
+        (
+            F.max(F.when(F.col("rk") == _BOOT_REPS - 1, F.col("m")))
+            + F.lit(0.0)
+        ).alias("ci_hi"),
+        (F.round(F.avg("m"), 6) + F.lit(0.0)).alias("boot_mean"),
+    )

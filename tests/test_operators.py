@@ -4150,3 +4150,68 @@ def test_noindex_attribute_order_and_pdf_missing_xref_entry(spark):
     broken = raw.replace(b"/Root 1 0 R", b"/Root 9 0 R")
     with pytest.raises(ValueError, match="no entry for object 9"):
         parse_pdf_metadata(broken)
+
+
+def test_poisson_bootstrap_python_mirror(spark, tmp_path):
+    """The deterministic Poisson bootstrap matches an exact Python
+    mirror (same md5 uniforms, same CDF cut points) on a planted
+    table, and a constant-valued column collapses the CI to the
+    constant."""
+    import datetime
+    import hashlib
+
+    import pandas as pd
+
+    from mongo2pq_spark.queries.registry import QUERIES, load_all
+    from mongo2pq_spark.queries.sampling_quant import (
+        _BOOT_REPS,
+        _POIS_CDF,
+    )
+
+    load_all()
+    fn = QUERIES["events_bootstrap_ci"].fn
+
+    def events_pq(path, values):
+        pd.DataFrame(
+            {
+                "event_id": range(len(values)),
+                "ts": [datetime.datetime(2024, 1, 1)] * len(values),
+                "user_id": [0] * len(values),
+                "event_type": ["purchase"] * len(values),
+                "value": values,
+                "props": ["{}"] * len(values),
+            }
+        ).to_parquet(path / "events.parquet")
+        return str(path)
+
+    vals = [float(3 + (i * 7) % 40) for i in range(60)]
+    d = tmp_path / "boot"
+    d.mkdir()
+    got = fn(spark, events_pq(d, vals)).collect()[0].asDict()
+
+    def weight(eid, rep):
+        u = int(
+            hashlib.md5(f"boot:{eid}:{rep}".encode()).hexdigest()[:8], 16
+        ) / 4294967296.0
+        return sum(1 for c in _POIS_CDF if u > c)
+
+    means = []
+    for rep in range(_BOOT_REPS):
+        ws = [weight(i, rep) for i in range(len(vals))]
+        n = sum(ws)
+        means.append(
+            (round(sum(w * v for w, v in zip(ws, vals)) / max(n, 1), 6),
+             rep, n)
+        )
+    means.sort()
+    assert got["ci_lo"] == means[1][0] + 0.0
+    assert got["ci_hi"] == means[_BOOT_REPS - 2][0] + 0.0
+    assert got["min_n_eff"] == min(m[2] for m in means)
+    assert round(sum(m[0] for m in means) / _BOOT_REPS, 6) == got[
+        "boot_mean"]
+
+    # constant column: every replicate mean IS the constant
+    d2 = tmp_path / "const"
+    d2.mkdir()
+    g2 = fn(spark, events_pq(d2, [7.5] * 40)).collect()[0]
+    assert g2["ci_lo"] == g2["ci_hi"] == g2["boot_mean"] == 7.5
