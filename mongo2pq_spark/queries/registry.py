@@ -394,6 +394,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # no resampling shuffle); md5 uniforms + repr-exact CDF cuts make
     # it value-oracle-able (+ exact Python-mirror test)
     "events_bootstrap_ci",
+    # r11 fourth continuation: dataset-version snapshot diff — one
+    # full-outer key join, null-safe column digests, order-canonical
+    # key digests per status (full value oracle + planted NULL-
+    # transition unit test)
+    "el_snapshot_diff",
 ]
 
 

@@ -1057,3 +1057,76 @@ def el_jsonl_gzip_roundtrip(spark, sf_dir):
             )
         ).alias("id_digest"),
     )
+
+
+@register(
+    "el_snapshot_diff",
+    """
+    WITH run1 AS (
+        SELECT event_id, event_type, value FROM events
+        WHERE event_id < 8000
+    ),
+    run2 AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 13 = 0 THEN value * 2
+                    ELSE value END AS value
+        FROM events WHERE event_id >= 2000
+    ),
+    d AS (
+        SELECT coalesce(run1.event_id, run2.event_id) AS event_id,
+               CASE WHEN run1.event_id IS NULL THEN 'added'
+                    WHEN run2.event_id IS NULL THEN 'removed'
+                    WHEN run1.value <> run2.value
+                         OR run1.event_type <> run2.event_type
+                         THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM run1 FULL OUTER JOIN run2 USING (event_id)
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n,
+           md5(string_agg(CAST(event_id AS VARCHAR), ','
+               ORDER BY event_id)) AS key_digest
+    FROM d GROUP BY status
+    """,
+    doc="dataset-version diff between two snapshots (the promote-or-"
+        "not audit between yesterday's and today's EL run): two "
+        "simulated runs of the events table — overlapping key ranges "
+        "plus a planted value modification on every 13th key — are "
+        "diffed by operators/merge.py::snapshot_diff into added / "
+        "removed / changed / unchanged per key, reported as counts "
+        "plus an order-canonical key digest so the check is value-"
+        "complete (WHICH keys, not just how many). Shape: ONE "
+        "full-outer equi-join on the key — the minimal diff plan; "
+        "null-safe column digests make NULL→value transitions count "
+        "as changed",
+)
+def el_snapshot_diff(spark, sf_dir):
+    from mongo2pq_spark.operators.merge import snapshot_diff
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    e = read_sf_table(spark, sf_dir, "events")
+    run1 = e.filter(F.col("event_id") < 8000).select(
+        "event_id", "event_type", "value"
+    )
+    run2 = e.filter(F.col("event_id") >= 2000).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.col("value") * 2)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    d = snapshot_diff(
+        run1, run2, ["event_id"], ["event_type", "value"]
+    )
+    return d.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("event_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("key_digest"),
+    )

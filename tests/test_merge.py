@@ -55,3 +55,30 @@ def test_scd2_full_history_input_is_safe(spark):
     assert rows[(1, "v3")] is None  # new current
     assert rows[(2, "w1")] is None  # unrelated open row untouched
     assert len(rows) == 4
+
+
+def test_snapshot_diff_statuses_and_null_transitions(spark):
+    """Per-key diff statuses on a planted pair of snapshots; the
+    null-safe digest makes NULL→value and value→NULL transitions
+    count as changed, and multi-column keys work."""
+    from mongo2pq_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k long, t string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", 3.0), (4, "d", None), (5, "e", 5.0)],
+        "k long, t string, v double",
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, ["k"], ["t", "v"]).collect()
+    }
+    assert got == {
+        1: "removed",
+        2: "changed",    # NULL -> 2.0
+        3: "unchanged",
+        4: "changed",    # 4.0 -> NULL
+        5: "added",
+    }
