@@ -137,6 +137,16 @@ HEADLINE = [
     "embedding_calibration_bins",
     "multimodal_pdf_metadata",
     "el_jsonl_gzip_roundtrip",
+    # third-wave additions with nontrivial engine wall-clock: the
+    # WARC→HTTP→HTML chain over 200 built files (codec class),
+    # per-source KL (corpus aggregate + broadcast scoring), the
+    # full-outer snapshot diff, and the 32-replicate Poisson
+    # bootstrap expand. web_outlinks stays out (light map), same
+    # policy as the other map/agg additions
+    "multimodal_warc_extract",
+    "corpus_source_kl",
+    "el_snapshot_diff",
+    "events_bootstrap_ci",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite
