@@ -1650,3 +1650,91 @@ def multimodal_warc_extract(spark, sf_dir):
         extracted, html_rows["doc_id"] == extracted["e_doc_id"]
     ).select("doc_id", "rec_idx", "http_status", "target_uri",
              "text_md5", "n_chars")
+
+
+@register(
+    "multimodal_archive_manifest",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               1 + doc_id % 4 AS ne,
+               doc_id % 2 = 0 AS is_zip
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(j.i AS INTEGER) AS entry_idx,
+           CASE WHEN is_zip THEN 'zip' ELSE 'tar' END AS archive_fmt,
+           'f' || CAST(j.i AS VARCHAR) || '.txt' AS name,
+           CAST(length('payload-' || CAST(doc_id AS VARCHAR) || '-'
+                || CAST(j.i AS VARCHAR) || '-')
+                + doc_id % 64 + j.i AS BIGINT) AS n_bytes,
+           (is_zip AND j.i % 2 = 1) AS compressed,
+           md5('payload-' || CAST(doc_id AS VARCHAR) || '-'
+               || CAST(j.i AS VARCHAR) || '-'
+               || repeat('y', CAST(doc_id % 64 + j.i AS INTEGER)))
+               AS content_md5
+    FROM d, generate_series(0, 3) j(i)
+    WHERE j.i < ne
+    """,
+    doc="archive-container ingestion on the formats datasets ship in: "
+        "per-doc ZIP (alternating stored/deflated entries) and POSIX "
+        "tar fixtures with closed-form entry contents are built and "
+        "exploded to per-entry manifests by operators/archives.py — "
+        "and the manifest carries CONTENT digests, so the ZIP rows "
+        "prove REAL DEFLATE decompression (stdlib zlib — a true "
+        "codec, unlike the header-walk families), not just a "
+        "directory listing. The oracle recomputes every name, size, "
+        "compression flag, and content md5 closed-form. Encrypted "
+        "zip entries are the typed library-swap stub; map-only "
+        "explode, whole-file units like gzip (parallelism = the "
+        "many-archives sharding real dumps have)",
+)
+def multimodal_archive_manifest(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import archives as arc
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import pandas as pd
+
+        from mongo2pq_spark.operators.archives import (
+            build_tar_stub,
+            build_zip_stub,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                entries = [
+                    (
+                        f"f{i}.txt",
+                        f"payload-{d}-{i}-".encode()
+                        + b"y" * (d % 64 + i),
+                    )
+                    for i in range(1 + d % 4)
+                ]
+                if d % 2 == 0:
+                    payloads.append(
+                        build_zip_stub(
+                            [(n, c, i % 2 == 1)
+                             for i, (n, c) in enumerate(entries)]
+                        )
+                    )
+                else:
+                    payloads.append(build_tar_stub(entries))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return arc.archive_manifest(files)

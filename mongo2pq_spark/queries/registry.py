@@ -399,6 +399,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # key digests per status (full value oracle + planted NULL-
     # transition unit test)
     "el_snapshot_diff",
+    # r11 fourth continuation: ZIP/TAR archive ingestion with REAL
+    # DEFLATE decompression (stdlib zlib) — per-entry manifests with
+    # content digests (closed-form oracle; inflate-proving +
+    # encrypted/corrupt fail-loud unit tests)
+    "multimodal_archive_manifest",
 ]
 
 

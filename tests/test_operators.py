@@ -4215,3 +4215,49 @@ def test_poisson_bootstrap_python_mirror(spark, tmp_path):
     d2.mkdir()
     g2 = fn(spark, events_pq(d2, [7.5] * 40)).collect()[0]
     assert g2["ci_lo"] == g2["ci_hi"] == g2["boot_mean"] == 7.5
+
+
+def test_archive_manifest_real_inflate_and_fail_louds():
+    """ZIP content digests come through a REAL inflate (deflated
+    entry ≠ stored bytes), tar members including empty files digest
+    correctly, and encrypted/corrupt archives fail typed."""
+    import hashlib
+    import io
+    import zipfile
+
+    import pytest
+
+    from mongo2pq_spark.operators.archives import (
+        build_tar_stub,
+        build_zip_stub,
+        parse_archive_manifest,
+    )
+
+    body = b"abcabcabc" * 50  # compressible: deflate genuinely shrinks
+    z = build_zip_stub([("a.txt", body, True), ("b.bin", b"xy", False)])
+    recs = parse_archive_manifest(z)
+    assert recs[0]["compressed"] and recs[0]["n_bytes"] == len(body)
+    assert recs[0]["content_md5"] == hashlib.md5(body).hexdigest()
+    assert not recs[1]["compressed"]
+    # the deflated stream on disk is smaller than the content —
+    # proving the digest required an actual inflate
+    assert len(z) < len(body) + 200
+
+    t = build_tar_stub([("d/x.txt", b"data-1"), ("e.txt", b"")])
+    trecs = parse_archive_manifest(t)
+    assert [r["name"] for r in trecs] == ["d/x.txt", "e.txt"]
+    assert trecs[1]["content_md5"] == hashlib.md5(b"").hexdigest()
+
+    with pytest.raises(ValueError, match="corrupt zip"):
+        parse_archive_manifest(z[:40])
+    with pytest.raises(ValueError, match="unrecognized archive"):
+        parse_archive_manifest(b"\x1f\x8b" + bytes(600))
+
+    # encrypted entry: writestr recomputes flag bits, so flip the
+    # encryption bit directly in the central-directory record (flag
+    # field at offset 8 after the PK\x01\x02 signature)
+    enc = bytearray(build_zip_stub([("s.txt", b"secret", False)]))
+    cd = enc.find(b"PK\x01\x02")
+    enc[cd + 8] |= 0x1
+    with pytest.raises(NotImplementedError, match="encrypted zip"):
+        parse_archive_manifest(bytes(enc))
