@@ -481,3 +481,111 @@ def mp3_metadata(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(parse_batches, MP3_META_SCHEMA)
+
+
+# -- FLAC STREAMINFO triage ---------------------------------------------------
+
+FLAC_MAGIC = b"fLaC"
+
+
+def build_flac_stub(
+    sample_rate: int,
+    channels: int,
+    bps: int,
+    total_samples: int,
+    md5_raw: bytes = b"\x00" * 16,
+    n_padding_blocks: int = 0,
+) -> bytes:
+    """Minimal structurally real FLAC header: magic + STREAMINFO
+    metadata block (the 34-byte bitfield every FLAC file leads with)
+    + optional PADDING blocks, last-block flags set correctly. No
+    audio frames — this is the triage fixture, not a codec."""
+    if not (1 <= channels <= 8 and 4 <= bps <= 32):
+        raise ValueError("channels 1-8, bps 4-32")
+    if sample_rate >= 1 << 20 or total_samples >= 1 << 36:
+        raise ValueError("sample_rate < 2^20, total_samples < 2^36")
+    body = bytearray()
+    body += (4096).to_bytes(2, "big") * 2      # min/max blocksize
+    body += (0).to_bytes(3, "big") * 2         # min/max framesize
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bps - 1) << 36)
+        | total_samples
+    )
+    body += packed.to_bytes(8, "big")
+    body += md5_raw
+    out = bytearray(FLAC_MAGIC)
+    last = n_padding_blocks == 0
+    out += bytes([(0x80 if last else 0) | 0]) + len(body).to_bytes(3, "big")
+    out += body
+    for k in range(n_padding_blocks):
+        last = k == n_padding_blocks - 1
+        out += bytes([(0x80 if last else 0) | 1]) + (4).to_bytes(3, "big")
+        out += bytes(4)
+    return bytes(out)
+
+
+def parse_flac_streaminfo(payload: bytes) -> dict:
+    """Parse FLAC's STREAMINFO: ``{sample_rate, channels, bps,
+    total_samples, duration_ms, raw_md5}`` — the pre-decode triage for
+    the lossless-audio corpus (duration windows, hi-res routing,
+    integrity via the embedded raw-PCM md5). FRAME decode stays the
+    documented stub: the FLAC subframe predictors are the library
+    swap. ``ValueError`` on structure; STREAMINFO must be the first
+    block (the spec mandates it)."""
+    if payload[:4] != FLAC_MAGIC:
+        raise ValueError("not a FLAC stream (no fLaC magic)")
+    if len(payload) < 8:
+        raise ValueError("truncated FLAC header")
+    btype = payload[4] & 0x7F
+    blen = int.from_bytes(payload[5:8], "big")
+    if btype != 0:
+        raise ValueError("first metadata block is not STREAMINFO")
+    if blen != 34 or len(payload) < 8 + 34:
+        raise ValueError(f"STREAMINFO length {blen} != 34 or truncated")
+    body = payload[8:42]
+    packed = int.from_bytes(body[10:18], "big")
+    sample_rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bps = ((packed >> 36) & 0x1F) + 1
+    total_samples = packed & ((1 << 36) - 1)
+    if sample_rate == 0:
+        raise ValueError("STREAMINFO sample rate is zero")
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bps": bps,
+        "total_samples": total_samples,
+        "duration_ms": total_samples * 1000 // sample_rate,
+        "raw_md5": body[18:34].hex(),
+    }
+
+
+FLAC_META_SCHEMA = (
+    "doc_id bigint, sample_rate int, channels int, bps int, "
+    "total_samples bigint, duration_ms bigint, raw_md5 string"
+)
+
+
+def flac_metadata(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched FLAC STREAMINFO triage — map-only, the MP3/MP4
+    metadata scale shape."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_flac_streaminfo(bytes(payload))
+                m["doc_id"] = doc_id
+                rows.append(m)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(parse_batches, FLAC_META_SCHEMA)

@@ -1738,3 +1738,81 @@ def multimodal_archive_manifest(spark, sf_dir):
         build_batches, "doc_id bigint, payload binary"
     )
     return arc.archive_manifest(files)
+
+
+@register(
+    "multimodal_flac_streaminfo",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_extract([44100, 48000, 96000, 192000],
+                            1 + CAST(doc_id % 4 AS INTEGER)) AS sr,
+               1 + CAST(doc_id % 8 AS INTEGER) AS ch,
+               CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS bps,
+               1000 + doc_id * 37 AS ts
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(sr AS INTEGER) AS sample_rate,
+           CAST(ch AS INTEGER) AS channels,
+           CAST(bps AS INTEGER) AS bps,
+           CAST(ts AS BIGINT) AS total_samples,
+           CAST(ts * 1000 // sr AS BIGINT) AS duration_ms,
+           md5('flac-' || CAST(doc_id AS VARCHAR)) AS raw_md5
+    FROM d
+    """,
+    doc="FLAC STREAMINFO triage, end to end: structurally real FLAC "
+        "headers (magic + the 34-byte STREAMINFO bitfield + 0-2 "
+        "PADDING blocks with correct last-block flags; closed-form "
+        "rate/channels/bit-depth/sample-count rule, the embedded "
+        "raw-PCM md5 itself md5-derived so SQL recomputes it) are "
+        "built and parsed back by the pure-stdlib bitfield reader "
+        "(operators/audio.py::parse_flac_streaminfo) — the "
+        "pre-decode filter for the LOSSLESS-audio corpus (duration "
+        "windows, hi-res routing, channel layout, the integrity "
+        "digest). Completes the audio-container matrix: WAV decodes "
+        "for real, MP3 walks frames, FLAC reads STREAMINFO; the FLAC "
+        "subframe predictors remain the documented library-swap "
+        "stub. Map-only",
+)
+def multimodal_flac_streaminfo(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import audio as audio_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from mongo2pq_spark.operators.audio import build_flac_stub
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payloads.append(
+                    build_flac_stub(
+                        [44100, 48000, 96000, 192000][d % 4],
+                        1 + d % 8,
+                        16 if d % 2 == 0 else 24,
+                        1000 + d * 37,
+                        md5_raw=hashlib.md5(f"flac-{d}".encode()).digest(),
+                        n_padding_blocks=d % 3,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return audio_ops.flac_metadata(files)

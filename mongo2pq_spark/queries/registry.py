@@ -404,6 +404,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # content digests (closed-form oracle; inflate-proving +
     # encrypted/corrupt fail-loud unit tests)
     "multimodal_archive_manifest",
+    # r11 fourth continuation: FLAC STREAMINFO triage — 64-bit
+    # bitfield unpack + padding-block walk, md5-derived integrity
+    # digest recomputable in SQL (closed-form oracle + boundary test)
+    "multimodal_flac_streaminfo",
 ]
 
 

@@ -4261,3 +4261,47 @@ def test_archive_manifest_real_inflate_and_fail_louds():
     enc[cd + 8] |= 0x1
     with pytest.raises(NotImplementedError, match="encrypted zip"):
         parse_archive_manifest(bytes(enc))
+
+
+def test_flac_streaminfo_bitfield_and_fail_louds():
+    """The 64-bit STREAMINFO bitfield unpacks exactly at the field
+    boundaries (20/3/5/36 bits), padding blocks are walked past, and
+    structural corruption fails typed."""
+    import pytest
+
+    from mongo2pq_spark.operators.audio import (
+        build_flac_stub,
+        parse_flac_streaminfo,
+    )
+
+    m = parse_flac_streaminfo(
+        build_flac_stub(44100, 2, 16, 441000,
+                        md5_raw=bytes(range(16)), n_padding_blocks=2)
+    )
+    assert m == {
+        "sample_rate": 44100, "channels": 2, "bps": 16,
+        "total_samples": 441000, "duration_ms": 10000,
+        "raw_md5": bytes(range(16)).hex(),
+    }
+    # field-boundary extremes: max channels/bps, huge sample count
+    hi = parse_flac_streaminfo(
+        build_flac_stub(192000, 8, 32, (1 << 36) - 1)
+    )
+    assert (hi["channels"], hi["bps"]) == (8, 32)
+    assert hi["total_samples"] == (1 << 36) - 1
+
+    with pytest.raises(ValueError, match="fLaC magic"):
+        parse_flac_streaminfo(b"OggS" + bytes(40))
+    with pytest.raises(ValueError, match="not STREAMINFO"):
+        bad = bytearray(build_flac_stub(44100, 1, 16, 10))
+        bad[4] = 0x81  # first block claims PADDING
+        parse_flac_streaminfo(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        parse_flac_streaminfo(build_flac_stub(44100, 1, 16, 10)[:20])
+    with pytest.raises(ValueError, match="rate is zero"):
+        zz = bytearray(build_flac_stub(1, 1, 16, 10))
+        # zero out the 20 rate bits (top of the packed 64)
+        zz[18] = 0
+        zz[19] = 0
+        zz[20] &= 0x0F
+        parse_flac_streaminfo(bytes(zz))

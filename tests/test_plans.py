@@ -833,3 +833,20 @@ def test_dynamic_partition_pruning_on_hive_layout(spark, sf_dir, tmp_path):
     # and the pruned execution really returns only the selected type
     rows = j.collect()
     assert [r["event_type"] for r in rows] == ["click"]
+
+
+def test_poisson_bootstrap_is_single_shuffle(spark, sf_dir):
+    """The Poisson bootstrap's scale claim: the 32-replicate expand is
+    a map-side Generate feeding ONE aggregate exchange (plus AQE
+    reads) — no per-replicate resampling shuffle, no cartesian
+    product; the order-statistic window runs over the bounded B-row
+    replicate table, never the raw events."""
+    plan = _formatted(spark, sf_dir, "events_bootstrap_ci")
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the replicate explode, map-side
+    import re
+
+    # exchanges: the replicate-means aggregate plus the bounded
+    # B-row single-partition window/final agg — never one per replicate
+    n_exchanges = len(set(re.findall(r"Exchange \((\d+)\)", plan)))
+    assert n_exchanges <= 3, plan[:1500]
