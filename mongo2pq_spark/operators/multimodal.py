@@ -488,6 +488,12 @@ def png_pixel_stats(
     return pixel_stats_with(decode_png_pixels, df, id_col, payload_col)
 
 
+def bmp_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    return pixel_stats_with(decode_bmp_pixels, df, id_col, payload_col)
+
+
 # ------------------------------------------------ perceptual hashing
 # Image NEAR-dedup on top of the real pixel codecs: a 60-bit dHash
 # (difference hash) per image + the generic Hamming band blocking from
@@ -519,16 +525,21 @@ def cell_slices(h: int, w: int, rows: int, cols: int):
 
 
 def decode_image_pixels(payload: bytes):
-    """Magic-dispatched pixel decode: PNG or baseline JPEG → the
-    codecs' ``(h, w, c, uint8 ndarray)`` contract; ``ValueError`` on
-    anything else (the fail-loud contract shared by both codecs)."""
+    """Magic-dispatched pixel decode: PNG, baseline JPEG, or
+    uncompressed 24-bit BMP → the codecs' ``(h, w, c, uint8 ndarray)``
+    contract; ``ValueError`` on anything else (the fail-loud contract
+    shared by all three codecs)."""
     from mongo2pq_spark.operators.jpeg import JPEG_MAGIC, decode_jpeg_pixels
 
     if payload[:8] == PNG_MAGIC:
         return decode_png_pixels(payload)
     if payload[:2] == JPEG_MAGIC:
         return decode_jpeg_pixels(payload)
-    raise ValueError("unrecognized image payload (PNG or baseline JPEG)")
+    if payload[:2] == BMP_MAGIC:
+        return decode_bmp_pixels(payload)
+    raise ValueError(
+        "unrecognized image payload (PNG, baseline JPEG, or BMP)"
+    )
 
 
 def dhash_bits(arr) -> int:
@@ -750,3 +761,80 @@ def image_phash(
             )
 
     return df.mapInPandas(hash_batches, IMAGE_PHASH_SCHEMA)
+
+
+BMP_MAGIC = b"BM"
+
+
+def encode_bmp(arr) -> bytes:
+    """Minimal BMP writer: h×w×3 uint8 RGB → uncompressed 24-bit
+    BI_RGB Windows bitmap (BITMAPINFOHEADER, bottom-up rows, BGR byte
+    order, rows padded to 4-byte boundaries — the three quirks that
+    make BMP a real format rather than a raw dump)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype="uint8")
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected h×w×3 RGB array, got {arr.shape}")
+    h, w, _ = arr.shape
+    row_len = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        bgr = arr[y, :, ::-1].tobytes()  # BGR
+        body += bgr + bytes(row_len - len(bgr))
+    header_size = 14 + 40
+    return (
+        BMP_MAGIC
+        + struct.pack("<IHHI", header_size + len(body), 0, 0, header_size)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+        + bytes(body)
+    )
+
+
+def decode_bmp_pixels(payload: bytes):
+    """Decode an uncompressed 24-bit BI_RGB bitmap to the shared
+    ``(h, w, c, uint8 ndarray)`` codec contract (top-down RGB).
+    Handles bottom-up AND top-down (negative height) files.
+    ``NotImplementedError`` on other bit depths / RLE compression
+    (the palette/RLE paths are the library swap); ``ValueError`` on
+    structural corruption."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != BMP_MAGIC:
+        raise ValueError("not a BMP payload (no BM magic)")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    hsize, w, h_signed = struct.unpack("<Iii", payload[14:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if hsize < 40:
+        raise ValueError(f"BITMAPCOREHEADER ({hsize}) not supported")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BI_RGB implemented (bpp={bpp}, "
+            f"compression={compression}); palette/RLE/alpha variants "
+            "are the library swap"
+        )
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_signed}")
+    row_len = (w * 3 + 3) & ~3
+    need = data_offset + row_len * h
+    if len(payload) < need:
+        raise ValueError(f"BMP pixel data truncated ({len(payload)} < {need})")
+    rows = []
+    for i in range(h):
+        y = i if top_down else h - 1 - i
+        start = data_offset + y * row_len
+        row = np.frombuffer(
+            payload[start:start + w * 3], dtype="uint8"
+        ).reshape(w, 3)[:, ::-1]  # BGR -> RGB
+        rows.append(row)
+    return h, w, 3, np.stack(rows, axis=0)

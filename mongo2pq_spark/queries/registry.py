@@ -408,6 +408,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # bitfield unpack + padding-block walk, md5-derived integrity
     # digest recomputable in SQL (closed-form oracle + boundary test)
     "multimodal_flac_streaminfo",
+    # r11 fourth continuation: third REAL image codec — uncompressed
+    # 24-bit BMP (bottom-up/BGR/row-pad quirks proven by an awkward
+    # width; closed-form oracle; dispatch + top-down unit tests)
+    "multimodal_bmp_pixel_roundtrip",
 ]
 
 

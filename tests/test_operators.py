@@ -4305,3 +4305,56 @@ def test_flac_streaminfo_bitfield_and_fail_louds():
         zz[19] = 0
         zz[20] &= 0x0F
         parse_flac_streaminfo(bytes(zz))
+
+
+def test_bmp_codec_quirks_and_fail_louds():
+    """BMP's three quirks round-trip (bottom-up rows, BGR order,
+    4-byte row padding at awkward widths), top-down (negative height)
+    files decode too, the magic dispatch picks BMP, and out-of-scope
+    depths/compression fail typed."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_image_pixels,
+        encode_bmp,
+    )
+
+    for w in (1, 3, 4, 7):  # paddings 1..3 and none
+        img = ((np.arange(5 * w * 3) * 13) % 251).reshape(
+            5, w, 3
+        ).astype(np.uint8)
+        h_, w_, c_, back = decode_bmp_pixels(encode_bmp(img))
+        assert (h_, w_, c_) == (5, w, 3) and (back == img).all(), w
+
+    # the dispatch routes BM payloads to the BMP decoder
+    img = np.zeros((2, 2, 3), np.uint8)
+    img[0, 1] = [9, 8, 7]
+    assert (decode_image_pixels(encode_bmp(img))[3] == img).all()
+
+    # top-down: flip the height sign and reorder rows accordingly
+    raw = bytearray(encode_bmp(img))
+    h = struct.unpack("<i", raw[22:26])[0]
+    raw[22:26] = struct.pack("<i", -h)
+    body = raw[54:]
+    row_len = len(body) // h
+    flipped = b"".join(
+        bytes(body[(h - 1 - i) * row_len:(h - i) * row_len])
+        for i in range(h)
+    )
+    raw[54:] = flipped
+    assert (decode_bmp_pixels(bytes(raw))[3] == img).all()
+
+    with pytest.raises(ValueError, match="no BM magic"):
+        decode_bmp_pixels(b"PNG?" + bytes(60))
+    with pytest.raises(ValueError, match="truncated BMP header"):
+        decode_bmp_pixels(encode_bmp(img)[:30])
+    with pytest.raises(ValueError, match="pixel data truncated"):
+        decode_bmp_pixels(encode_bmp(img)[:-3])
+    eight = bytearray(encode_bmp(img))
+    eight[28:30] = struct.pack("<H", 8)  # 8-bit palette bmp
+    with pytest.raises(NotImplementedError, match="24-bit BI_RGB"):
+        decode_bmp_pixels(bytes(eight))
