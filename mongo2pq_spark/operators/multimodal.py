@@ -838,3 +838,151 @@ def decode_bmp_pixels(payload: bytes):
         ).reshape(w, 3)[:, ::-1]  # BGR -> RGB
         rows.append(row)
     return h, w, 3, np.stack(rows, axis=0)
+
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def build_gif_stub(
+    width: int,
+    height: int,
+    n_frames: int,
+    loop: bool = False,
+    gct_bits: int = 2,
+) -> bytes:
+    """Structurally real GIF: header + logical screen descriptor +
+    global color table + optional NETSCAPE loop extension + per frame
+    (graphic control extension + image descriptor + minimal LZW data
+    stream as length-prefixed sub-blocks) + trailer. The LZW payload
+    is opaque filler — frame counting must WALK the sub-block chain,
+    it cannot scan for markers (0x2C legally occurs inside data)."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (gct_bits - 1), 0, 0])  # GCT flag + sizes
+    out += bytes(3 * (1 << gct_bits))            # global color table
+    if loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for i in range(n_frames):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", 10 * (i + 1))
+        out += b"\x00\x00"                       # GCE: delay, no key
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out += b"\x00"                           # no local color table
+        out += bytes([2])                        # LZW min code size
+        # filler data containing the 0x2C descriptor byte ON PURPOSE
+        data = bytes([0x2C, 0x21, 0x3B, 0xFF] * 3)
+        out += bytes([len(data)]) + data + b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def parse_gif_metadata(payload: bytes) -> dict:
+    """GIF triage without LZW decode: ``{version, width, height,
+    n_frames, animated, loop_forever, duration_cs}`` — the
+    pre-decode filter for a GIF corpus (static-vs-animated routing,
+    duration windows). Frames are counted by WALKING the
+    length-prefixed sub-block chains; pixel decode (LZW) stays the
+    documented stub. ``ValueError`` on structural corruption."""
+    import struct
+
+    if payload[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    version = payload[3:6].decode("latin-1")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    width, height = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (1 << ((flags & 0x7) + 1))
+    n_frames = 0
+    duration_cs = 0
+    loop_forever = False
+    pending_delay = 0
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated GIF sub-block chain")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p
+            p += n
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos + 2 > len(payload):
+                raise ValueError("truncated GIF extension")
+            label = payload[pos + 1]
+            p = pos + 2
+            if label == 0xF9 and payload[p] >= 4:
+                pending_delay = struct.unpack(
+                    "<H", payload[p + 2:p + 4]
+                )[0]
+            if label == 0xFF and payload[p] == 11 and payload[
+                p + 1:p + 12
+            ] == b"NETSCAPE2.0":
+                loop_forever = True
+            pos = skip_subblocks(p)
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            lflags = payload[pos + 9]
+            pos += 10
+            if lflags & 0x80:
+                pos += 3 * (1 << ((lflags & 0x7) + 1))
+            pos += 1  # LZW minimum code size
+            pos = skip_subblocks(pos)
+            n_frames += 1
+            duration_cs += pending_delay
+            pending_delay = 0
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x} at {pos}")
+    else:
+        raise ValueError("GIF missing trailer")
+    if n_frames == 0:
+        raise ValueError("GIF contains no image frames")
+    return {
+        "version": version,
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "animated": n_frames > 1,
+        "loop_forever": loop_forever,
+        "duration_cs": duration_cs,
+    }
+
+
+GIF_META_SCHEMA = (
+    "doc_id bigint, version string, width int, height int, "
+    "n_frames int, animated boolean, loop_forever boolean, "
+    "duration_cs bigint"
+)
+
+
+def gif_metadata(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched GIF triage — map-only, the metadata-walk scale
+    shape shared by MP3/MP4/PDF/FLAC."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_gif_metadata(bytes(payload))
+                m["doc_id"] = doc_id
+                rows.append(m)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(parse_batches, GIF_META_SCHEMA)

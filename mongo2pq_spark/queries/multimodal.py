@@ -1882,3 +1882,74 @@ def multimodal_bmp_pixel_roundtrip(spark, sf_dir):
     return ops.bmp_pixel_stats(with_bmp).select(
         "doc_id", "width", "height", "channels", "pixel_sum"
     )
+
+
+@register(
+    "multimodal_gif_metadata",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               16 + doc_id % 48 AS w,
+               9 + doc_id % 27 AS h,
+               1 + doc_id % 6 AS nf,
+               doc_id % 5 = 0 AS loopf
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           '89a' AS version,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(nf AS INTEGER) AS n_frames,
+           nf > 1 AS animated,
+           loopf AS loop_forever,
+           CAST(10 * nf * (nf + 1) / 2 AS BIGINT) AS duration_cs
+    FROM d
+    """,
+    doc="GIF structure triage, end to end: structurally real GIFs "
+        "(global color table, NETSCAPE loop extension on every 5th "
+        "doc, per-frame graphic-control delays, LZW data whose filler "
+        "DELIBERATELY contains the 0x2C image-descriptor byte) are "
+        "built and walked back by the pure-stdlib block parser "
+        "(operators/multimodal.py::parse_gif_metadata) — frame "
+        "counting must follow the length-prefixed sub-block chains, "
+        "marker-scanning would overcount on the planted 0x2C bytes. "
+        "Static-vs-animated routing + loop + total duration, the "
+        "pre-decode filter for a GIF corpus; LZW pixel decode stays "
+        "the documented stub. Map-only",
+)
+def multimodal_gif_metadata(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import pandas as pd
+
+        from mongo2pq_spark.operators.multimodal import build_gif_stub
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payloads.append(
+                    build_gif_stub(
+                        16 + d % 48,
+                        9 + d % 27,
+                        1 + d % 6,
+                        loop=d % 5 == 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return ops.gif_metadata(files)

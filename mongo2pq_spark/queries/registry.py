@@ -412,6 +412,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # 24-bit BMP (bottom-up/BGR/row-pad quirks proven by an awkward
     # width; closed-form oracle; dispatch + top-down unit tests)
     "multimodal_bmp_pixel_roundtrip",
+    # r11 fourth continuation: GIF structure triage — frame counting
+    # by the length-prefixed sub-block walk with planted descriptor
+    # bytes inside LZW filler (closed-form oracle; LZW decode stays
+    # the documented stub)
+    "multimodal_gif_metadata",
 ]
 
 

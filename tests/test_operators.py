@@ -4358,3 +4358,37 @@ def test_bmp_codec_quirks_and_fail_louds():
     eight[28:30] = struct.pack("<H", 8)  # 8-bit palette bmp
     with pytest.raises(NotImplementedError, match="24-bit BI_RGB"):
         decode_bmp_pixels(bytes(eight))
+
+
+def test_gif_subblock_walk_and_fail_louds():
+    """GIF frame counting walks the length-prefixed sub-block chains:
+    the fixture plants 0x2C descriptor bytes INSIDE the LZW filler, so
+    marker scanning would overcount; structural corruption fails
+    typed."""
+    import pytest
+
+    from mongo2pq_spark.operators.multimodal import (
+        build_gif_stub,
+        parse_gif_metadata,
+    )
+
+    m = parse_gif_metadata(build_gif_stub(12, 8, 5, loop=True))
+    assert m["n_frames"] == 5 and m["animated"] and m["loop_forever"]
+    assert m["duration_cs"] == 10 + 20 + 30 + 40 + 50
+    s = parse_gif_metadata(build_gif_stub(640, 480, 1))
+    assert (s["animated"], s["loop_forever"]) == (False, False)
+    assert (s["width"], s["height"]) == (640, 480)
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        parse_gif_metadata(b"PNG!" + bytes(30))
+    good = build_gif_stub(4, 4, 2)
+    with pytest.raises(ValueError, match="trailer|truncated"):
+        parse_gif_metadata(good[:-4])
+    bad = bytearray(good)
+    # corrupt a sub-block length so the walk lands mid-data on a
+    # byte that is not a valid block introducer
+    i = bad.find(bytes([12, 0x2C, 0x21, 0x3B, 0xFF]))  # len-12 subblock
+    assert i > 0
+    bad[i] = 2  # walk now resumes inside the filler at 0x3B... or 0xFF
+    with pytest.raises(ValueError):
+        parse_gif_metadata(bytes(bad))
