@@ -589,3 +589,105 @@ def flac_metadata(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(parse_batches, FLAC_META_SCHEMA)
+
+
+# -- ID3v2.3 text frames ------------------------------------------------------
+
+
+def build_id3v2(frames: dict[str, str]) -> bytes:
+    """ID3v2.3 tag with ISO-8859-1 text frames (TIT2/TPE1/TALB/…):
+    the real tag layout — 10-byte frame headers with big-endian
+    sizes, encoding byte 0 — under the syncsafe tag-size header the
+    MP3 walker already skips."""
+    body = bytearray()
+    for fid, text in frames.items():
+        if len(fid) != 4:
+            raise ValueError(f"frame id must be 4 chars, got {fid!r}")
+        payload = b"\x00" + text.encode("latin-1")
+        body += fid.encode("latin-1")
+        body += len(payload).to_bytes(4, "big")
+        body += b"\x00\x00" + payload
+    if len(body) >= 1 << 28:
+        raise ValueError("ID3v2 body too large for syncsafe size")
+    return (
+        b"ID3\x03\x00\x00"
+        + bytes((len(body) >> s) & 0x7F for s in (21, 14, 7, 0))
+        + bytes(body)
+    )
+
+
+def parse_id3v2_text_frames(payload: bytes) -> dict[str, str]:
+    """Extract the ISO-8859-1 text frames from a leading ID3v2.3 tag
+    (``{}`` when no tag). Unknown encodings and non-text frames are
+    skipped — tags in the wild carry binary frames (APIC art) this
+    triage does not need; structural corruption fails loud."""
+    if payload[:3] != b"ID3":
+        return {}
+    if len(payload) < 10 or any(b & 0x80 for b in payload[6:10]):
+        raise ValueError("malformed ID3v2 header")
+    size = 0
+    for b in payload[6:10]:
+        size = (size << 7) | b
+    end = 10 + size
+    if end > len(payload):
+        raise ValueError("ID3v2 tag overruns payload")
+    out: dict[str, str] = {}
+    pos = 10
+    while pos + 10 <= end:
+        fid = payload[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        flen = int.from_bytes(payload[pos + 4:pos + 8], "big")
+        fbody = payload[pos + 10:pos + 10 + flen]
+        if pos + 10 + flen > end:
+            raise ValueError(f"ID3v2 frame {fid!r} overruns the tag")
+        if (
+            fid[:1] == b"T"
+            and flen >= 1
+            and fbody[:1] == b"\x00"  # ISO-8859-1 text encoding
+        ):
+            out[fid.decode("latin-1")] = (
+                fbody[1:].split(b"\x00")[0].decode("latin-1")
+            )
+        pos += 10 + flen
+    return out
+
+
+MP3_TAGS_SCHEMA = (
+    "doc_id bigint, title string, artist string, album string, "
+    "n_frames bigint, duration_ms bigint"
+)
+
+
+def mp3_id3_tags(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched MP3 tag+frame triage: ID3v2.3 text frames
+    (title/artist/album — the metadata dedup keys a music corpus
+    clusters on) joined with the frame walk's duration. Map-only."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                tags = parse_id3v2_text_frames(payload)
+                meta = parse_mp3_metadata(payload)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "title": tags.get("TIT2", ""),
+                        "artist": tags.get("TPE1", ""),
+                        "album": tags.get("TALB", ""),
+                        "n_frames": meta["n_frames"],
+                        "duration_ms": meta["duration_ms"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(parse_batches, MP3_TAGS_SCHEMA)

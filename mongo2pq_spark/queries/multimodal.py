@@ -1953,3 +1953,81 @@ def multimodal_gif_metadata(spark, sf_dir):
         build_batches, "doc_id bigint, payload binary"
     )
     return ops.gif_metadata(files)
+
+
+@register(
+    "multimodal_mp3_id3_tags",
+    """
+    WITH d AS (
+        SELECT doc_id, 10 + doc_id % 20 AS nf,
+               list_extract([44100, 48000, 32000],
+                            1 + CAST(doc_id % 3 AS INTEGER)) AS sr
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           'Track ' || CAST(doc_id AS VARCHAR) AS title,
+           'Artist ' || CAST(doc_id % 12 AS VARCHAR) AS artist,
+           CASE WHEN doc_id % 4 = 0
+                THEN 'Album ' || CAST(doc_id % 9 AS VARCHAR)
+                ELSE '' END AS album,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms
+    FROM d
+    """,
+    doc="MP3 tag triage, end to end: REAL ID3v2.3 tags (10-byte "
+        "frame headers, big-endian sizes, ISO-8859-1 text frames — "
+        "TIT2/TPE1, TALB on every 4th doc) are grafted onto real "
+        "MPEG-1 frame streams, then both layers are parsed back: the "
+        "tag walker extracts title/artist/album (the metadata dedup "
+        "keys a music corpus clusters on) while the frame walker "
+        "skips the tag and counts frames — proving the two parsers "
+        "agree on the tag boundary. The oracle recomputes every "
+        "field closed-form. Map-only",
+)
+def multimodal_mp3_id3_tags(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import audio as audio_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import pandas as pd
+
+        from mongo2pq_spark.operators.audio import (
+            build_id3v2,
+            build_mp3_stub,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = {
+                    "TIT2": f"Track {d}",
+                    "TPE1": f"Artist {d % 12}",
+                }
+                if d % 4 == 0:
+                    frames["TALB"] = f"Album {d % 9}"
+                nf = 10 + d % 20
+                payloads.append(
+                    build_id3v2(frames)
+                    + build_mp3_stub(
+                        [1 + d % 14] * nf,
+                        d % 3,
+                        [(d + i) % 2 for i in range(nf)],
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return audio_ops.mp3_id3_tags(files)

@@ -417,6 +417,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # bytes inside LZW filler (closed-form oracle; LZW decode stays
     # the documented stub)
     "multimodal_gif_metadata",
+    # r11 fourth continuation: real ID3v2.3 text-frame extraction
+    # grafted onto real MPEG streams — both walkers agree on the tag
+    # boundary (closed-form oracle + non-text-frame-skip unit test)
+    "multimodal_mp3_id3_tags",
 ]
 
 

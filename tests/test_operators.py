@@ -4392,3 +4392,44 @@ def test_gif_subblock_walk_and_fail_louds():
     bad[i] = 2  # walk now resumes inside the filler at 0x3B... or 0xFF
     with pytest.raises(ValueError):
         parse_gif_metadata(bytes(bad))
+
+
+def test_id3v2_text_frames_and_tag_boundary():
+    """ID3v2.3 text frames round-trip (incl. padding and non-text
+    frames skipped), the tag walker and the MPEG frame walker agree
+    on the tag boundary, and corruption fails typed."""
+    import pytest
+
+    from mongo2pq_spark.operators.audio import (
+        build_id3v2,
+        build_mp3_stub,
+        parse_id3v2_text_frames,
+        parse_mp3_metadata,
+    )
+
+    tag = build_id3v2({"TIT2": "T", "TPE1": "A", "TALB": "L"})
+    mp3 = tag + build_mp3_stub([5] * 3, 0, [0, 1, 0])
+    assert parse_id3v2_text_frames(mp3) == {
+        "TIT2": "T", "TPE1": "A", "TALB": "L"
+    }
+    m = parse_mp3_metadata(mp3)
+    assert m["n_frames"] == 3 and m["has_id3v2"]
+
+    # untagged stream: empty dict, not an error
+    assert parse_id3v2_text_frames(build_mp3_stub([5], 0, [0])) == {}
+
+    # a non-text frame (binary APIC-like) is skipped, text kept
+    apic = bytearray(build_id3v2({"TIT2": "x"}))
+    # append a crafted PRIV frame inside the body: rebuild manually
+    body = b"TIT2" + (2).to_bytes(4, "big") + b"\x00\x00\x00y"
+    body += b"PRIV" + (3).to_bytes(4, "big") + b"\x00\x00" + b"\x01zz"
+    tag2 = (b"ID3\x03\x00\x00"
+            + bytes((len(body) >> s) & 0x7F for s in (21, 14, 7, 0))
+            + body)
+    assert parse_id3v2_text_frames(tag2) == {"TIT2": "y"}
+
+    # frame overrunning the tag fails loud
+    bad = bytearray(tag)
+    bad[14] = 0xFF  # inflate first frame length
+    with pytest.raises(ValueError, match="overruns the tag"):
+        parse_id3v2_text_frames(bytes(bad))
