@@ -147,6 +147,15 @@ HEADLINE = [
     "corpus_source_kl",
     "el_snapshot_diff",
     "events_bootstrap_ci",
+    # fourth-wave codec/container additions (200 built files each —
+    # the wav/mp4/pdf class): zip/tar manifests with real inflate,
+    # FLAC STREAMINFO, BMP pixel roundtrip, GIF sub-block walk,
+    # ID3v2 tag extraction
+    "multimodal_archive_manifest",
+    "multimodal_flac_streaminfo",
+    "multimodal_bmp_pixel_roundtrip",
+    "multimodal_gif_metadata",
+    "multimodal_mp3_id3_tags",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -1085,7 +1085,10 @@ def canonicalize_urls(
     qs = u.substr(F.length(base) + 2, F.length(u))
     u = F.when(qs != "", F.concat(base, F.lit("?"), qs)).otherwise(base)
     u = F.regexp_replace(u, r"[?&]$", "")               # dangling sep
-    u = F.regexp_replace(u, r"(.)/$", r"$1")            # trailing slash
+    # ALL trailing slashes in one pass ([^/] anchor): stripping just
+    # one made 'http://h//' need two passes — hypothesis found the
+    # idempotence break
+    u = F.regexp_replace(u, r"([^/])/+$", r"$1")
     return df.select(F.col(id_col), u.alias("url_canon"))
 
 
