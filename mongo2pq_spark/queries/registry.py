@@ -421,6 +421,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # grafted onto real MPEG streams — both walkers agree on the tag
     # boundary (closed-form oracle + non-text-frame-skip unit test)
     "multimodal_mp3_id3_tags",
+    # r11 fourth continuation: robots.txt politeness audit via the
+    # stdlib REP parser — wildcard/agent-specific/other-agent rule
+    # matrix (closed-form oracle + rule-matrix unit test)
+    "web_robots_audit",
 ]
 
 

@@ -1206,3 +1206,66 @@ def web_outlinks(spark, sf_dir):
         d < 200
     ).select("doc_id", html.alias("html"))
     return html_extract_links(docs)
+
+
+@register(
+    "web_robots_audit",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN doc_id % 2 = 1   -- /private/ disallowed for *
+             WHEN 1 THEN doc_id % 2 = 0   -- only /public/ allowed
+             ELSE true                    -- rules target another agent
+           END AS allowed,
+           CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END AS crawl_delay
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="crawl-politeness audit: per-doc robots.txt bodies exercising "
+        "the rule matrix — wildcard-agent Disallow with Crawl-delay, "
+        "agent-specific Allow-before-Disallow carve-outs, and groups "
+        "targeting a DIFFERENT agent (which must not bind us) — are "
+        "evaluated against closed-form URLs by the stdlib "
+        "urllib.robotparser (operators/text.py::robots_allowed; "
+        "first-match REP semantics, per-batch parser memo since hosts "
+        "repeat heavily in a crawl). A pipeline ingesting crawled "
+        "HTML is expected to PROVE it honored robots; this is that "
+        "proof's batch-audit form, next to the noindex gate "
+        "(web_outlinks). Oracle states every verdict closed-form. "
+        "Map-only",
+)
+def web_robots_audit(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.text import robots_allowed
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    d = F.col("doc_id")
+    robots = (
+        F.when(
+            d % 3 == 0,
+            F.lit("User-agent: *\nDisallow: /private/\nCrawl-delay: 2"),
+        )
+        .when(
+            d % 3 == 1,
+            F.lit("User-agent: trainbot\nAllow: /public/\nDisallow: /"),
+        )
+        .otherwise(F.lit("User-agent: otherbot\nDisallow: /"))
+    )
+    url = F.concat(
+        F.lit("http://h"),
+        (d % 5).cast("string"),
+        F.lit(".io"),
+        F.when((d % 3 == 0) & (d % 2 == 0), F.lit("/private/p"))
+        .when((d % 3 == 1) & (d % 2 == 0), F.lit("/public/p"))
+        .otherwise(F.lit("/open/p")),
+        d.cast("string"),
+    )
+    docs = read_sf_table(spark, sf_dir, "documents").filter(
+        d < 200
+    ).select("doc_id", robots.alias("robots_txt"), url.alias("url"))
+    out = robots_allowed(docs)
+    return out.select(
+        "doc_id",
+        "allowed",
+        F.coalesce(F.col("crawl_delay"), F.lit(0)).alias("crawl_delay"),
+    )

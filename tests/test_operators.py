@@ -4433,3 +4433,36 @@ def test_id3v2_text_frames_and_tag_boundary():
     bad[14] = 0xFF  # inflate first frame length
     with pytest.raises(ValueError, match="overruns the tag"):
         parse_id3v2_text_frames(bytes(bad))
+
+
+def test_robots_allowed_rule_matrix(spark):
+    """REP semantics through the stdlib parser: wildcard Disallow
+    blocks the subtree and carries Crawl-delay; an agent-specific
+    group with Allow-before-Disallow carves out the public prefix;
+    groups for OTHER agents do not bind; empty robots allows all."""
+    from mongo2pq_spark.operators.text import robots_allowed
+
+    wild = "User-agent: *\nDisallow: /private/\nCrawl-delay: 2"
+    mine = "User-agent: trainbot\nAllow: /public/\nDisallow: /"
+    other = "User-agent: otherbot\nDisallow: /"
+    rows = [
+        (1, wild, "http://x.io/open/a"),
+        (2, wild, "http://x.io/private/a"),
+        (3, mine, "http://y.io/public/ok"),
+        (4, mine, "http://y.io/else"),
+        (5, other, "http://z.io/anything"),
+        (6, "", "http://q.io/whatever"),
+    ]
+    got = {
+        r["doc_id"]: (r["allowed"], r["crawl_delay"])
+        for r in robots_allowed(
+            spark.createDataFrame(
+                rows, "doc_id long, robots_txt string, url string"
+            )
+        ).collect()
+    }
+    assert got == {
+        1: (True, 2), 2: (False, 2),
+        3: (True, None), 4: (False, None),
+        5: (True, None), 6: (True, None),
+    }
