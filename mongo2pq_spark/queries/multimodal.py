@@ -2031,3 +2031,84 @@ def multimodal_mp3_id3_tags(spark, sf_dir):
         build_batches, "doc_id bigint, payload binary"
     )
     return audio_ops.mp3_id3_tags(files)
+
+
+@register(
+    "multimodal_crosscodec_neardup",
+    """
+    SELECT CAST(g.i AS BIGINT) AS grp,
+           CAST(2 * g.i AS BIGINT) AS id_png,
+           CAST(2 * g.i + 1 AS BIGINT) AS id_bmp,
+           CAST(0 AS INTEGER) AS hamming
+    FROM generate_series(0, 39) g(i)
+    """,
+    doc="cross-codec composition proof for the image-dedup machinery: "
+        "40 distinct closed-form 6×11 RGB images are each encoded "
+        "TWICE — once as PNG, once as BMP (both lossless) — decoded "
+        "through decode_image_pixels' magic dispatch, dHashed, and "
+        "fed to the generic Hamming banding. Every PNG copy must "
+        "pair with exactly its BMP twin at distance 0: a single bit "
+        "of disagreement anywhere in EITHER codec's decode, the luma "
+        "resample, or the banding breaks the pairing, so the trivial-"
+        "looking oracle (the 40 expected pairs) is load-bearing — it "
+        "asserts byte-identical pixel recovery across two independent "
+        "codec implementations. The within-group filter keeps "
+        "accidental cross-group near-misses out of scope (they are "
+        "the OTHER dhash queries' subject)",
+)
+def multimodal_crosscodec_neardup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import multimodal as mm
+    from mongo2pq_spark.operators.dedup import hamming_near_pairs
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 80
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.multimodal import (
+            encode_bmp,
+            encode_png,
+        )
+
+        y, x, ch = np.meshgrid(
+            np.arange(6), np.arange(11), np.arange(3), indexing="ij"
+        )
+        base = 3 * x + 7 * y + 11 * ch
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d // 2
+                img = ((17 * g + base) % 256).astype("uint8")
+                payloads.append(
+                    encode_png(img) if d % 2 == 0 else encode_bmp(img)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    imgs = docs.mapInPandas(build_batches, "doc_id bigint, payload binary")
+    fps = mm.image_dhash(imgs)
+    pairs = hamming_near_pairs(
+        fps, "dhash", id_col="doc_id", max_hamming=0, bits=60
+    )
+    return (
+        pairs.filter(
+            (F.col("doc_a") / 2).cast("bigint")
+            == (F.col("doc_b") / 2).cast("bigint")
+        )
+        .select(
+            (F.col("doc_a") / 2).cast("bigint").alias("grp"),
+            F.col("doc_a").alias("id_png"),
+            F.col("doc_b").alias("id_bmp"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )

@@ -425,6 +425,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # stdlib REP parser — wildcard/agent-specific/other-agent rule
     # matrix (closed-form oracle + rule-matrix unit test)
     "web_robots_audit",
+    # r11 fourth continuation: cross-codec near-dup composition proof
+    # — the same image through PNG and BMP must pair at Hamming 0
+    # through dispatch → dHash → banding (closed-form pair oracle)
+    "multimodal_crosscodec_neardup",
 ]
 
 
