@@ -156,6 +156,11 @@ HEADLINE = [
     "multimodal_bmp_pixel_roundtrip",
     "multimodal_gif_metadata",
     "multimodal_mp3_id3_tags",
+    # registered after bench session 5; first trend numbers with the
+    # r12 sessions (post-bench-registration rule): the cross-codec
+    # dHash pairing (decode+banding class). web_robots_audit stays
+    # out (light map, the policy class)
+    "multimodal_crosscodec_neardup",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite
