@@ -1172,3 +1172,78 @@ def robots_allowed(
     return df.mapInPandas(
         check_batches, f"{id_col} bigint, allowed boolean, crawl_delay int"
     )
+
+
+SITEMAP_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+
+
+def parse_sitemap(payload: str) -> list[dict]:
+    """Parse a sitemap.org ``<urlset>`` document (stdlib ElementTree,
+    namespace-aware): one dict per ``<url>`` with ``loc`` (required —
+    missing fails loud), ``lastmod`` and ``priority`` (optional →
+    None). ``<sitemapindex>`` files raise ``NotImplementedError`` at
+    this layer — index fan-out is a fetch-layer concern, not a parse
+    concern. Malformed XML fails loud."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(payload)
+    except ET.ParseError as err:
+        raise ValueError(f"malformed sitemap XML: {err}") from err
+    tag = root.tag.split("}")[-1]
+    if tag == "sitemapindex":
+        raise NotImplementedError(
+            "sitemap INDEX files enumerate child sitemaps to fetch — "
+            "resolve them at the fetch layer and parse each child here"
+        )
+    if tag != "urlset":
+        raise ValueError(f"not a sitemap urlset (root <{tag}>)")
+    ns = {"s": SITEMAP_NS}
+    out = []
+    for i, url in enumerate(root.findall("s:url", ns)):
+        loc = url.find("s:loc", ns)
+        if loc is None or not (loc.text or "").strip():
+            raise ValueError(f"sitemap url #{i} has no <loc>")
+        lastmod = url.find("s:lastmod", ns)
+        prio = url.find("s:priority", ns)
+        out.append(
+            {
+                "url_idx": i,
+                "loc": loc.text.strip(),
+                "lastmod": lastmod.text.strip()
+                if lastmod is not None and lastmod.text
+                else None,
+                "priority": float(prio.text)
+                if prio is not None and prio.text
+                else None,
+            }
+        )
+    return out
+
+
+def sitemap_urls(
+    df: DataFrame, xml_col: str = "xml", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched sitemap explode: one sitemap row → one row per
+    ``<url>`` — the crawl-frontier seed source next to the outlink
+    extractor. Map-only."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, xml in zip(pdf[id_col], pdf[xml_col]):
+                for rec in parse_sitemap(xml):
+                    rec["doc_id"] = doc_id
+                    rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        parse_batches,
+        f"{id_col} bigint, url_idx int, loc string, lastmod string, "
+        "priority double",
+    )

@@ -429,6 +429,14 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # — the same image through PNG and BMP must pair at Hamming 0
     # through dispatch → dHash → banding (closed-form pair oracle)
     "multimodal_crosscodec_neardup",
+    # r11 fourth continuation: parquet-footer manifest — footer row
+    # counts must equal data-scan truth across the hive layout
+    # (the trust anchor of metadata-only planning)
+    "el_footer_manifest",
+    # r11 fourth continuation: sitemap ingestion via stdlib
+    # ElementTree — namespace-aware urlset explode, typed index
+    # boundary (closed-form oracle + edge unit test)
+    "web_sitemap_urls",
 ]
 
 

@@ -1130,3 +1130,61 @@ def el_snapshot_diff(spark, sf_dir):
             )
         ).alias("key_digest"),
     )
+
+
+@register(
+    "el_footer_manifest",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(user_id AS BIGINT)) AS BIGINT) AS user_id_sum
+    FROM events GROUP BY event_type
+    """,
+    doc="lakehouse metadata manifest: the events table is written "
+        "hive-partitioned, then per-partition row counts are read "
+        "from parquet FOOTER metadata alone (pyarrow ParquetFile, "
+        "zero data pages touched — the same metadata channel the "
+        "compaction audit and every table-stats system use) while "
+        "the user_id sums come from one re-read of the data. The "
+        "oracle aggregates the source table directly, so a match "
+        "proves footer row counts EQUAL data-scan truth across the "
+        "partitioned layout — the property that makes metadata-only "
+        "NDV/rowcount planning trustworthy at 100 TB. The footer "
+        "pass is driver-side but bounded by #files (the same order "
+        "of work the scan planner already does)",
+)
+def el_footer_manifest(spark, sf_dir):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ev = read_sf_table(spark, sf_dir, "events")
+    outdir = os.path.join(tempfile.gettempdir(), "el_footer_out")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(outdir)
+
+    rows = []
+    for entry in sorted(os.listdir(outdir)):
+        if not entry.startswith("event_type="):
+            continue
+        part = entry.split("=", 1)[1]
+        n = sum(
+            pq.ParquetFile(os.path.join(outdir, entry, f)).metadata.num_rows
+            for f in os.listdir(os.path.join(outdir, entry))
+            if f.endswith(".parquet")
+        )
+        rows.append((part, n))
+    footer = spark.createDataFrame(rows, "event_type string, n_rows long")
+
+    sums = (
+        spark.read.parquet(outdir)
+        .groupBy("event_type")
+        .agg(F.sum(F.col("user_id").cast("bigint")).alias("user_id_sum"))
+    )
+    return footer.join(F.broadcast(sums), "event_type").select(
+        "event_type",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("user_id_sum").cast("bigint").alias("user_id_sum"),
+    )

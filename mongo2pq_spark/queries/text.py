@@ -1269,3 +1269,89 @@ def web_robots_audit(spark, sf_dir):
         "allowed",
         F.coalesce(F.col("crawl_delay"), F.lit(0)).alias("crawl_delay"),
     )
+
+
+@register(
+    "web_sitemap_urls",
+    """
+    WITH d AS (
+        SELECT doc_id, 1 + doc_id % 5 AS nu
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(j.i AS INTEGER) AS url_idx,
+           'http://site' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example/p/' || CAST(doc_id * 7 + j.i AS VARCHAR)
+               AS loc,
+           CASE WHEN j.i % 2 = 0
+                THEN '2024-0' || CAST(1 + doc_id % 9 AS VARCHAR) || '-15'
+                ELSE '' END AS lastmod,
+           CASE WHEN j.i % 3 = 0
+                THEN CAST((1 + j.i) AS DOUBLE) / 10
+                ELSE CAST(-1 AS DOUBLE) END AS priority
+    FROM d, generate_series(0, 4) j(i)
+    WHERE j.i < nu
+    """,
+    doc="sitemap ingestion (the crawl-frontier seed source next to "
+        "the outlink extractor): per-doc namespaced sitemap.org "
+        "<urlset> documents — optional <lastmod>/<priority> per URL — "
+        "are built and exploded back by the stdlib-ElementTree parser "
+        "(operators/text.py::parse_sitemap; namespace-aware, missing "
+        "<loc> fails loud, <sitemapindex> is the typed fetch-layer "
+        "boundary). The oracle states every (doc, idx, loc, lastmod, "
+        "priority) closed-form — no XML in the oracle. Map-only "
+        "explode",
+)
+def web_sitemap_urls(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.text import sitemap_urls
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            xmls = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                urls = []
+                for i in range(1 + d % 5):
+                    parts = [
+                        f"<loc>http://site{d % 5}.example/p/{d * 7 + i}"
+                        "</loc>"
+                    ]
+                    if i % 2 == 0:
+                        parts.append(
+                            f"<lastmod>2024-0{1 + d % 9}-15</lastmod>"
+                        )
+                    if i % 3 == 0:
+                        parts.append(
+                            f"<priority>{(1 + i) / 10}</priority>"
+                        )
+                    urls.append("<url>" + "".join(parts) + "</url>")
+                xmls.append(
+                    '<?xml version="1.0" encoding="UTF-8"?>'
+                    '<urlset xmlns='
+                    '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                    + "".join(urls)
+                    + "</urlset>"
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "xml": xmls})
+
+    files = docs.mapInPandas(build_batches, "doc_id bigint, xml string")
+    out = sitemap_urls(files)
+    # absent optional fields surface as SQL-stable sentinels: the
+    # driver canonicalizer renders a NULL double differently per
+    # engine path (None vs NaN), so '' / -1.0 keep the compare exact
+    return out.select(
+        "doc_id",
+        "url_idx",
+        "loc",
+        F.coalesce(F.col("lastmod"), F.lit("")).alias("lastmod"),
+        F.coalesce(F.col("priority"), F.lit(-1.0)).alias("priority"),
+    )

@@ -4466,3 +4466,35 @@ def test_robots_allowed_rule_matrix(spark):
         3: (True, None), 4: (False, None),
         5: (True, None), 6: (True, None),
     }
+
+
+def test_sitemap_parse_edges():
+    """Sitemap parsing: namespace-aware urlset, optional fields as
+    None, missing <loc> fails loud, sitemapindex is the typed
+    fetch-layer boundary, malformed XML fails loud."""
+    import pytest
+
+    from mongo2pq_spark.operators.text import parse_sitemap
+
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    ok = (
+        f'<urlset {ns}><url><loc> http://a.io/1 </loc>'
+        "<lastmod>2024-01-01</lastmod><priority>0.8</priority></url>"
+        "<url><loc>http://a.io/2</loc></url></urlset>"
+    )
+    got = parse_sitemap(ok)
+    assert got[0] == {"url_idx": 0, "loc": "http://a.io/1",
+                      "lastmod": "2024-01-01", "priority": 0.8}
+    assert got[1]["lastmod"] is None and got[1]["priority"] is None
+
+    with pytest.raises(ValueError, match="no <loc>"):
+        parse_sitemap(f'<urlset {ns}><url></url></urlset>')
+    with pytest.raises(NotImplementedError, match="INDEX"):
+        parse_sitemap(
+            f'<sitemapindex {ns}><sitemap><loc>x</loc></sitemap>'
+            "</sitemapindex>"
+        )
+    with pytest.raises(ValueError, match="malformed"):
+        parse_sitemap("<urlset><url>")
+    with pytest.raises(ValueError, match="not a sitemap"):
+        parse_sitemap("<rss/>")
