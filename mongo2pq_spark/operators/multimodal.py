@@ -986,3 +986,158 @@ def gif_metadata(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(parse_batches, GIF_META_SCHEMA)
+
+
+# -- EXIF (JPEG APP1 / TIFF IFD) provenance ----------------------------------
+
+_EXIF_TAGS = {0x010F: "make", 0x0110: "model", 0x0112: "orientation",
+              0x0100: "exif_width", 0x0101: "exif_height"}
+
+
+def build_exif_jpeg(
+    orientation: int,
+    make: str,
+    model: str,
+    width: int,
+    height: int,
+    big_endian: bool = False,
+) -> bytes:
+    """Minimal JPEG wrapper carrying a REAL Exif APP1 segment: TIFF
+    header in the chosen byte order (II little / MM big), IFD0 with
+    Make/Model (ASCII, stored out-of-line via value offsets),
+    Orientation and ImageWidth/Length (SHORT/LONG inline). The body
+    after APP1 is just SOI…EOI filler — this fixture is about the
+    metadata channel, the pixel path has its own codecs."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    make_b = make.encode("latin-1") + b"\x00"
+    model_b = model.encode("latin-1") + b"\x00"
+    n = 5
+    ifd_end = 8 + 2 + n * 12 + 4  # header + count + entries + next-ptr
+    make_off = ifd_end
+    model_off = make_off + len(make_b)
+
+    def entry(tag, typ, count, value):
+        return struct.pack(e + "HHI", tag, typ, count) + value
+
+    def inline_short(v):
+        return struct.pack(e + "H", v) + b"\x00\x00"
+
+    entries = b"".join([
+        entry(0x0100, 3, 1, inline_short(width)),
+        entry(0x0101, 3, 1, inline_short(height)),
+        entry(0x010F, 2, len(make_b), struct.pack(e + "I", make_off)),
+        entry(0x0110, 2, len(model_b), struct.pack(e + "I", model_off)),
+        entry(0x0112, 3, 1, inline_short(orientation)),
+    ])
+    tiff = (
+        (b"MM" if big_endian else b"II")
+        + struct.pack(e + "H", 42)
+        + struct.pack(e + "I", 8)
+        + struct.pack(e + "H", n)
+        + entries
+        + struct.pack(e + "I", 0)
+        + make_b
+        + model_b
+    )
+    app1 = b"Exif\x00\x00" + tiff
+    return (
+        b"\xff\xd8"                              # SOI
+        + b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+        + b"\xff\xd9"                            # EOI
+    )
+
+
+def parse_jpeg_exif(payload: bytes) -> dict:
+    """Walk a JPEG's marker segments to APP1/Exif and parse the TIFF
+    IFD0: ``{endian, orientation, make, model, exif_width,
+    exif_height}`` (missing tags → None) — the provenance keys an
+    image-dedup pipeline clusters on before any pixel work. Both
+    byte orders; ``ValueError`` on structural corruption or when no
+    Exif APP1 exists."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"lost JPEG marker sync at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        body = payload[pos + 4:pos + 2 + seg_len]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tiff = body[6:]
+            break
+        pos += 2 + seg_len
+    if tiff is None:
+        raise ValueError("JPEG carries no Exif APP1 segment")
+    if tiff[:2] == b"II":
+        e = "<"
+    elif tiff[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"bad TIFF byte-order mark {tiff[:2]!r}")
+    if struct.unpack(e + "H", tiff[2:4])[0] != 42:
+        raise ValueError("bad TIFF magic (not 42)")
+    ifd_off = struct.unpack(e + "I", tiff[4:8])[0]
+    if ifd_off + 2 > len(tiff):
+        raise ValueError("IFD offset beyond the TIFF block")
+    n = struct.unpack(e + "H", tiff[ifd_off:ifd_off + 2])[0]
+    out = {
+        "endian": "big" if e == ">" else "little",
+        "orientation": None, "make": None, "model": None,
+        "exif_width": None, "exif_height": None,
+    }
+    for k in range(n):
+        at = ifd_off + 2 + k * 12
+        if at + 12 > len(tiff):
+            raise ValueError("truncated IFD entry")
+        tag, typ, count = struct.unpack(e + "HHI", tiff[at:at + 8])
+        field = _EXIF_TAGS.get(tag)
+        if field is None:
+            continue
+        if typ == 3 and count == 1:          # SHORT inline
+            out[field] = struct.unpack(e + "H", tiff[at + 8:at + 10])[0]
+        elif typ == 4 and count == 1:        # LONG inline
+            out[field] = struct.unpack(e + "I", tiff[at + 8:at + 12])[0]
+        elif typ == 2:                       # ASCII via offset
+            off = struct.unpack(e + "I", tiff[at + 8:at + 12])[0]
+            raw = tiff[off:off + count]
+            if len(raw) < count:
+                raise ValueError(f"ASCII tag 0x{tag:04x} overruns TIFF")
+            out[field] = raw.split(b"\x00")[0].decode("latin-1")
+    return out
+
+
+EXIF_SCHEMA = (
+    "doc_id bigint, endian string, orientation int, make string, "
+    "model string, exif_width int, exif_height int"
+)
+
+
+def jpeg_exif(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched EXIF provenance extraction — map-only, the
+    metadata-walk scale shape."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_jpeg_exif(bytes(payload))
+                m["doc_id"] = doc_id
+                rows.append(m)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(parse_batches, EXIF_SCHEMA)

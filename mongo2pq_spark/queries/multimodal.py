@@ -2112,3 +2112,68 @@ def multimodal_crosscodec_neardup(spark, sf_dir):
             F.col("hamming").cast("int").alias("hamming"),
         )
     )
+
+
+@register(
+    "multimodal_jpeg_exif",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'little' ELSE 'big' END
+               AS endian,
+           CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+           'Maker' || CAST(doc_id % 7 AS VARCHAR) AS make,
+           'Cam ' || CAST(doc_id AS VARCHAR) AS model,
+           CAST(320 + (doc_id % 10) * 32 AS INTEGER) AS exif_width,
+           CAST(240 + (doc_id % 10) * 24 AS INTEGER) AS exif_height
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="EXIF provenance extraction, end to end: REAL Exif APP1 "
+        "segments — TIFF IFD0 with inline SHORT tags (orientation, "
+        "dimensions) and out-of-line ASCII tags (make/model via value "
+        "offsets), byte order ALTERNATING II/MM per doc so both "
+        "endiannesses are proven — are built into JPEG wrappers and "
+        "walked back by the pure-stdlib marker+IFD parser "
+        "(operators/multimodal.py::parse_jpeg_exif). Camera make/"
+        "model/orientation are the provenance keys an image corpus "
+        "clusters and dedups on BEFORE any pixel work. The oracle "
+        "recomputes every field closed-form. Map-only",
+)
+def multimodal_jpeg_exif(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import multimodal as mm
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import pandas as pd
+
+        from mongo2pq_spark.operators.multimodal import build_exif_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payloads.append(
+                    build_exif_jpeg(
+                        1 + d % 8,
+                        f"Maker{d % 7}",
+                        f"Cam {d}",
+                        320 + (d % 10) * 32,
+                        240 + (d % 10) * 24,
+                        big_endian=d % 2 == 1,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return mm.jpeg_exif(files)

@@ -437,6 +437,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # ElementTree — namespace-aware urlset explode, typed index
     # boundary (closed-form oracle + edge unit test)
     "web_sitemap_urls",
+    # r11 fourth continuation: EXIF provenance extraction — JPEG
+    # marker walk to APP1, TIFF IFD0 in BOTH byte orders, inline and
+    # out-of-line tags (closed-form oracle + fail-loud unit test)
+    "multimodal_jpeg_exif",
 ]
 
 

@@ -4498,3 +4498,44 @@ def test_sitemap_parse_edges():
         parse_sitemap("<urlset><url>")
     with pytest.raises(ValueError, match="not a sitemap"):
         parse_sitemap("<rss/>")
+
+
+def test_jpeg_exif_walk_and_fail_louds():
+    """EXIF IFD walk: both byte orders, out-of-line ASCII tags via
+    value offsets, unknown tags skipped, and typed errors for missing
+    APP1, bad byte-order marks, and ASCII overruns."""
+    import struct
+
+    import pytest
+
+    from mongo2pq_spark.operators.multimodal import (
+        build_exif_jpeg,
+        parse_jpeg_exif,
+    )
+
+    for be in (False, True):
+        m = parse_jpeg_exif(
+            build_exif_jpeg(6, "MakerX", "Cam 9000", 640, 480,
+                            big_endian=be)
+        )
+        assert m["orientation"] == 6 and m["make"] == "MakerX"
+        assert m["model"] == "Cam 9000"
+        assert (m["exif_width"], m["exif_height"]) == (640, 480)
+        assert m["endian"] == ("big" if be else "little")
+
+    with pytest.raises(ValueError, match="no SOI"):
+        parse_jpeg_exif(b"BM" + bytes(30))
+    with pytest.raises(ValueError, match="no Exif APP1"):
+        parse_jpeg_exif(b"\xff\xd8\xff\xd9")
+    good = bytearray(build_exif_jpeg(1, "A", "B", 1, 1))
+    i = good.find(b"II")
+    good[i:i + 2] = b"XX"
+    with pytest.raises(ValueError, match="byte-order"):
+        parse_jpeg_exif(bytes(good))
+    # inflate the Make count so the ASCII read overruns the block
+    over = bytearray(build_exif_jpeg(1, "A", "B", 1, 1))
+    tiff0 = over.find(b"II")
+    make_entry = tiff0 + 8 + 2 + 2 * 12  # third IFD entry
+    over[make_entry + 4:make_entry + 8] = struct.pack("<I", 10_000)
+    with pytest.raises(ValueError, match="overruns TIFF"):
+        parse_jpeg_exif(bytes(over))
