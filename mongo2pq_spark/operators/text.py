@@ -1247,3 +1247,83 @@ def sitemap_urls(
         f"{id_col} bigint, url_idx int, loc string, lastmod string, "
         "priority double",
     )
+
+
+def parse_srt(payload: str) -> list[dict]:
+    """Parse SubRip (.srt) timed text — the format subtitle/speech
+    corpora ship in: blank-line-separated cues of ``index``,
+    ``HH:MM:SS,mmm --> HH:MM:SS,mmm``, and one or more text lines.
+    Returns ``[{cue_idx, start_ms, end_ms, text}]`` with multi-line
+    cue text joined by ``\\n``. Fails loud on malformed timestamps,
+    non-numeric indices, or end ≤ start (the corruption a timed-text
+    aligner must not silently ingest)."""
+    import re
+
+    ts = re.compile(
+        r"^(\d{2}):(\d{2}):(\d{2})[,.](\d{3})\s*-->\s*"
+        r"(\d{2}):(\d{2}):(\d{2})[,.](\d{3})\s*$"
+    )
+
+    def ms(h, m, s, mms):
+        return ((int(h) * 60 + int(m)) * 60 + int(s)) * 1000 + int(mms)
+
+    out = []
+    blocks = re.split(r"\n\s*\n", payload.strip())
+    for block in blocks:
+        lines = [ln.rstrip("\r") for ln in block.strip().splitlines()]
+        if not lines:
+            continue
+        if not lines[0].strip().isdigit():
+            raise ValueError(f"srt cue has a non-numeric index: {lines[0]!r}")
+        if len(lines) < 2:
+            raise ValueError(f"srt cue {lines[0]} has no timing line")
+        m = ts.match(lines[1].strip())
+        if not m:
+            raise ValueError(f"srt cue {lines[0]} has a bad timing line: "
+                             f"{lines[1]!r}")
+        g = m.groups()
+        start, end = ms(*g[:4]), ms(*g[4:])
+        if end <= start:
+            raise ValueError(
+                f"srt cue {lines[0]} ends before it starts "
+                f"({start} >= {end} ms)"
+            )
+        out.append(
+            {
+                "cue_idx": int(lines[0]),
+                "start_ms": start,
+                "end_ms": end,
+                "text": "\n".join(lines[2:]),
+            }
+        )
+    if not out:
+        raise ValueError("srt payload contains no cues")
+    return out
+
+
+def srt_cues(
+    df: DataFrame, srt_col: str = "srt", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched SRT explode: one subtitle file row → one row per
+    cue — the ingestion step for timed-text (subtitle/ASR-alignment)
+    corpora, upstream of the text-quality/dedup machinery. Map-only."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, srt in zip(pdf[id_col], pdf[srt_col]):
+                for rec in parse_srt(srt):
+                    rec["doc_id"] = doc_id
+                    rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        parse_batches,
+        f"{id_col} bigint, cue_idx int, start_ms bigint, "
+        "end_ms bigint, text string",
+    )

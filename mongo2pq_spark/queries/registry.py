@@ -441,6 +441,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # marker walk to APP1, TIFF IFD0 in BOTH byte orders, inline and
     # out-of-line tags (closed-form oracle + fail-loud unit test)
     "multimodal_jpeg_exif",
+    # r11 fourth continuation: SubRip timed-text ingestion — cue
+    # explode with closed-form HH:MM:SS,mmm arithmetic (closed-form
+    # oracle + CRLF/dot-variant/fail-loud unit test)
+    "text_srt_cues",
 ]
 
 

@@ -1355,3 +1355,74 @@ def web_sitemap_urls(spark, sf_dir):
         F.coalesce(F.col("lastmod"), F.lit("")).alias("lastmod"),
         F.coalesce(F.col("priority"), F.lit(-1.0)).alias("priority"),
     )
+
+
+@register(
+    "text_srt_cues",
+    """
+    WITH d AS (
+        SELECT doc_id, 1 + doc_id % 5 AS nc
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(1 + j.i AS INTEGER) AS cue_idx,
+           CAST(j.i * 2000 + doc_id % 997 AS BIGINT) AS start_ms,
+           CAST(j.i * 2000 + doc_id % 997 + 900 + (doc_id + j.i) % 400
+                AS BIGINT) AS end_ms,
+           'Cue ' || CAST(doc_id AS VARCHAR) || '-'
+               || CAST(j.i AS VARCHAR)
+               || CASE WHEN j.i % 2 = 1
+                       THEN chr(10) || 'second line' ELSE '' END
+               AS text
+    FROM d, generate_series(0, 4) j(i)
+    WHERE j.i < nc
+    """,
+    doc="timed-text (SubRip) ingestion: per-doc .srt files with "
+        "closed-form cue timings (sub-second millisecond components "
+        "exercised via doc_id % 997) and alternating single/multi-line "
+        "cue text are built and exploded back by the stdlib parser "
+        "(operators/text.py::parse_srt) — the ingestion step for the "
+        "subtitle/ASR-alignment corpora that feed speech-text "
+        "training, upstream of the text-quality/dedup machinery. "
+        "HH:MM:SS,mmm arithmetic is proven by the closed-form "
+        "millisecond oracle; malformed timings/indices and end≤start "
+        "cues fail loud. Map-only explode",
+)
+def text_srt_cues(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.text import srt_cues
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import pandas as pd
+
+        def fmt(ms):
+            s, mms = divmod(ms, 1000)
+            m, s = divmod(s, 60)
+            h, m = divmod(m, 60)
+            return f"{h:02d}:{m:02d}:{s:02d},{mms:03d}"
+
+        for pdf in batches:
+            srts = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                blocks = []
+                for i in range(1 + d % 5):
+                    start = i * 2000 + d % 997
+                    end = start + 900 + (d + i) % 400
+                    text = f"Cue {d}-{i}"
+                    if i % 2 == 1:
+                        text += "\nsecond line"
+                    blocks.append(
+                        f"{i + 1}\n{fmt(start)} --> {fmt(end)}\n{text}"
+                    )
+                srts.append("\n\n".join(blocks) + "\n")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "srt": srts})
+
+    files = docs.mapInPandas(build_batches, "doc_id bigint, srt string")
+    return srt_cues(files)

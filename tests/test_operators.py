@@ -4539,3 +4539,29 @@ def test_jpeg_exif_walk_and_fail_louds():
     over[make_entry + 4:make_entry + 8] = struct.pack("<I", 10_000)
     with pytest.raises(ValueError, match="overruns TIFF"):
         parse_jpeg_exif(bytes(over))
+
+
+def test_srt_parse_edges():
+    """SRT parsing: HH:MM:SS,mmm arithmetic, multi-line cues, CRLF
+    tolerance, dot-separator variant, and fail-louds for bad indices,
+    bad timings, inverted ranges, and empty payloads."""
+    import pytest
+
+    from mongo2pq_spark.operators.text import parse_srt
+
+    crlf = "1\r\n00:00:01,500 --> 00:00:03,000\r\nHi\r\n\r\n"
+    assert parse_srt(crlf)[0]["text"] == "Hi"
+    dot = "1\n01:02:03.004 --> 01:02:04.005\nx\n"
+    c = parse_srt(dot)[0]
+    assert c["start_ms"] == 3723004 and c["end_ms"] == 3724005
+
+    with pytest.raises(ValueError, match="non-numeric index"):
+        parse_srt("one\n00:00:01,000 --> 00:00:02,000\nx")
+    with pytest.raises(ValueError, match="bad timing"):
+        parse_srt("1\n00:00:01 --> 00:00:02\nx")
+    with pytest.raises(ValueError, match="ends before"):
+        parse_srt("1\n00:00:05,000 --> 00:00:04,000\nx")
+    with pytest.raises(ValueError, match="no cues"):
+        parse_srt("   \n  ")
+    with pytest.raises(ValueError, match="no timing line"):
+        parse_srt("1")
