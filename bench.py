@@ -161,6 +161,14 @@ HEADLINE = [
     # dHash pairing (decode+banding class). web_robots_audit stays
     # out (light map, the policy class)
     "multimodal_crosscodec_neardup",
+    # sixth-wave registrations (same post-bench rule; session-6
+    # numbers below where run): footer manifest (el I/O + metadata
+    # class), sitemap/EXIF/SRT builders+parsers over 200 files each
+    # (the codec class)
+    "el_footer_manifest",
+    "web_sitemap_urls",
+    "multimodal_jpeg_exif",
+    "text_srt_cues",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite
