@@ -89,8 +89,14 @@ def parse_archive_manifest(payload: bytes) -> list[dict]:
         except zipfile.BadZipFile as err:
             raise ValueError(f"corrupt zip archive: {err}") from err
         return out
-    # tar has no leading magic; ustar magic sits at offset 257
-    if payload[257:262] == b"ustar" or payload[:2] != b"\x1f\x8b":
+    # tar has no leading magic; ustar magic sits at offset 257 (both
+    # POSIX "ustar\0" and GNU "ustar " spellings share the 5 bytes;
+    # Python's tarfile writes PAX/GNU, both carry it). ADVICE r11:
+    # the magic is REQUIRED to enter this branch — the old
+    # `or not gzip` fallback routed every arbitrary binary payload
+    # into tarfile, misreporting corrupt non-archives as corrupt tars
+    # and making the unrecognized-container error unreachable.
+    if payload[257:262] == b"ustar":
         try:
             tf = tarfile.open(fileobj=io.BytesIO(payload), mode="r:")
             for i, member in enumerate(tf.getmembers()):

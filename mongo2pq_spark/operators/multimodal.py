@@ -1004,10 +1004,11 @@ def build_exif_jpeg(
 ) -> bytes:
     """Minimal JPEG wrapper carrying a REAL Exif APP1 segment: TIFF
     header in the chosen byte order (II little / MM big), IFD0 with
-    Make/Model (ASCII, stored out-of-line via value offsets),
-    Orientation and ImageWidth/Length (SHORT/LONG inline). The body
-    after APP1 is just SOI…EOI filler — this fixture is about the
-    metadata channel, the pixel path has its own codecs."""
+    Make/Model (ASCII — TIFF 6.0-correct: values of <=4 bytes stored
+    INLINE in the value field, longer ones out-of-line via value
+    offsets), Orientation and ImageWidth/Length (SHORT/LONG inline).
+    The body after APP1 is just SOI…EOI filler — this fixture is
+    about the metadata channel, the pixel path has its own codecs."""
     import struct
 
     e = ">" if big_endian else "<"
@@ -1015,8 +1016,7 @@ def build_exif_jpeg(
     model_b = model.encode("latin-1") + b"\x00"
     n = 5
     ifd_end = 8 + 2 + n * 12 + 4  # header + count + entries + next-ptr
-    make_off = ifd_end
-    model_off = make_off + len(make_b)
+    tail = b""
 
     def entry(tag, typ, count, value):
         return struct.pack(e + "HHI", tag, typ, count) + value
@@ -1024,11 +1024,21 @@ def build_exif_jpeg(
     def inline_short(v):
         return struct.pack(e + "H", v) + b"\x00\x00"
 
+    def ascii_value(data: bytes) -> bytes:
+        # TIFF 6.0 §2: <=4-byte values live in the 4-byte value field
+        # itself (zero-padded); longer values are offset-addressed
+        nonlocal tail
+        if len(data) <= 4:
+            return data.ljust(4, b"\x00")
+        off = ifd_end + len(tail)
+        tail += data
+        return struct.pack(e + "I", off)
+
     entries = b"".join([
         entry(0x0100, 3, 1, inline_short(width)),
         entry(0x0101, 3, 1, inline_short(height)),
-        entry(0x010F, 2, len(make_b), struct.pack(e + "I", make_off)),
-        entry(0x0110, 2, len(model_b), struct.pack(e + "I", model_off)),
+        entry(0x010F, 2, len(make_b), ascii_value(make_b)),
+        entry(0x0110, 2, len(model_b), ascii_value(model_b)),
         entry(0x0112, 3, 1, inline_short(orientation)),
     ])
     tiff = (
@@ -1038,8 +1048,7 @@ def build_exif_jpeg(
         + struct.pack(e + "H", n)
         + entries
         + struct.pack(e + "I", 0)
-        + make_b
-        + model_b
+        + tail
     )
     app1 = b"Exif\x00\x00" + tiff
     return (
@@ -1105,9 +1114,15 @@ def parse_jpeg_exif(payload: bytes) -> dict:
             out[field] = struct.unpack(e + "H", tiff[at + 8:at + 10])[0]
         elif typ == 4 and count == 1:        # LONG inline
             out[field] = struct.unpack(e + "I", tiff[at + 8:at + 12])[0]
-        elif typ == 2:                       # ASCII via offset
-            off = struct.unpack(e + "I", tiff[at + 8:at + 12])[0]
-            raw = tiff[off:off + count]
+        elif typ == 2:                       # ASCII
+            # TIFF 6.0 §2: values of <=4 bytes are stored INLINE in
+            # the value field, not via offset — a short Make like
+            # b"LG\x00" would otherwise be misread as an offset
+            if count <= 4:
+                raw = tiff[at + 8:at + 8 + count]
+            else:
+                off = struct.unpack(e + "I", tiff[at + 8:at + 12])[0]
+                raw = tiff[off:off + count]
             if len(raw) < count:
                 raise ValueError(f"ASCII tag 0x{tag:04x} overruns TIFF")
             out[field] = raw.split(b"\x00")[0].decode("latin-1")

@@ -1062,17 +1062,21 @@ def canonicalize_urls(
     drop one trailing slash on a non-root path. Map-only built-in
     regexp chain, zero shuffle. Returns ``(id_col, url_canon)``."""
     u = F.col(url_col)
-    # lowercase scheme://host[:port] (everything before the first '/'
-    # after the authority); path and query preserved
-    head = F.lower(F.substring_index(u, "/", 3))
-    tail = F.expr(
-        f"substring({url_col}, length(substring_index({url_col}, '/', 3))"
-        " + 1)"
+    # lowercase scheme://host[:port] — the authority ends at the
+    # FIRST of '/', '?' or '#' (ADVICE r11: substring_index on '/'
+    # alone made the head the ENTIRE url when there was no path
+    # segment, lowercasing case-significant query values); path and
+    # query preserved. Scheme-less strings match nothing and pass
+    # through unchanged.
+    auth = F.regexp_extract(u, r"^([^/?#]*://[^/?#]*)", 1)
+    u = F.concat(
+        F.lower(auth), u.substr(F.length(auth) + 1, F.length(u))
     )
-    u = F.concat(head, tail)
     u = F.regexp_replace(u, r"#.*$", "")                # fragment
-    u = F.regexp_replace(u, r"^(http://[^/:]+):80(/|$)", r"$1$2")
-    u = F.regexp_replace(u, r"^(https://[^/:]+):443(/|$)", r"$1$2")
+    # default ports: the separator after :80/:443 may be '/', '?' or
+    # end-of-string (fragment is already gone)
+    u = F.regexp_replace(u, r"^(http://[^/:?]+):80([/?]|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?]+):443([/?]|$)", r"$1$2")
     # utm stripping via separator normalization: make every parameter
     # separator '&', drop &utm_* params globally, then restore the
     # FIRST remaining separator to '?' (regexp_replace is global-only,

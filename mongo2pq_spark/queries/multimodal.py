@@ -2121,7 +2121,8 @@ def multimodal_crosscodec_neardup(spark, sf_dir):
            CASE WHEN doc_id % 2 = 0 THEN 'little' ELSE 'big' END
                AS endian,
            CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
-           'Maker' || CAST(doc_id % 7 AS VARCHAR) AS make,
+           CASE WHEN doc_id % 5 = 0 THEN 'LG'
+                ELSE 'Maker' || CAST(doc_id % 7 AS VARCHAR) END AS make,
            'Cam ' || CAST(doc_id AS VARCHAR) AS model,
            CAST(320 + (doc_id % 10) * 32 AS INTEGER) AS exif_width,
            CAST(240 + (doc_id % 10) * 24 AS INTEGER) AS exif_height
@@ -2129,8 +2130,11 @@ def multimodal_crosscodec_neardup(spark, sf_dir):
     """,
     doc="EXIF provenance extraction, end to end: REAL Exif APP1 "
         "segments — TIFF IFD0 with inline SHORT tags (orientation, "
-        "dimensions) and out-of-line ASCII tags (make/model via value "
-        "offsets), byte order ALTERNATING II/MM per doc so both "
+        "dimensions) and ASCII tags in BOTH TIFF 6.0 storage classes "
+        "(every 5th doc gets a <=4-byte make 'LG\\0' stored INLINE in "
+        "the value field, the rest out-of-line via value offsets; "
+        "ADVICE r11 fix — inline ASCII used to be misread as an "
+        "offset), byte order ALTERNATING II/MM per doc so both "
         "endiannesses are proven — are built into JPEG wrappers and "
         "walked back by the pure-stdlib marker+IFD parser "
         "(operators/multimodal.py::parse_jpeg_exif). Camera make/"
@@ -2162,7 +2166,7 @@ def multimodal_jpeg_exif(spark, sf_dir):
                 payloads.append(
                     build_exif_jpeg(
                         1 + d % 8,
-                        f"Maker{d % 7}",
+                        "LG" if d % 5 == 0 else f"Maker{d % 7}",
                         f"Cam {d}",
                         320 + (d % 10) * 32,
                         240 + (d % 10) * 24,

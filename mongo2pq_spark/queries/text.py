@@ -1075,7 +1075,7 @@ def text_html_extract(spark, sf_dir):
     "docs_url_canonicalize",
     """
     SELECT doc_id,
-           CASE CAST(doc_id % 6 AS INTEGER)
+           CASE CAST(doc_id % 7 AS INTEGER)
              WHEN 0 THEN 'https://example' || CAST(doc_id % 5 AS VARCHAR)
                  || '.com/P' || CAST(doc_id AS VARCHAR) || '/?id='
                  || CAST(doc_id AS VARCHAR)
@@ -1087,8 +1087,10 @@ def text_html_extract(spark, sf_dir):
                  || '.io/x?a=1&b=' || CAST(doc_id AS VARCHAR)
              WHEN 4 THEN 'https://h' || CAST(doc_id % 5 AS VARCHAR)
                  || '.io/x?c=3'
-             ELSE 'http://plain' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 5 THEN 'http://plain' || CAST(doc_id % 5 AS VARCHAR)
                  || '.net/path' || CAST(doc_id AS VARCHAR)
+             ELSE 'http://nopath' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example?Token=AbC' || CAST(doc_id AS VARCHAR)
            END AS url_canon
     FROM documents
     """,
@@ -1096,7 +1098,10 @@ def text_html_extract(spark, sf_dir):
         "per-doc URLs exercising the whole rule matrix — mixed-case "
         "scheme/host with preserved path case, default :443/:80 "
         "ports, fragments, leading/middle/trailing and consecutive "
-        "utm_* parameters, trailing slashes — are canonicalized by "
+        "utm_* parameters, trailing slashes, and a NO-PATH authority "
+        "whose case-significant query value must survive (ADVICE r11 "
+        "fix: the head is now bounded at the first of /?#) — are "
+        "canonicalized by "
         "operators/text.py::canonicalize_urls (map-only regexp chain "
         "+ a substring_index split that restores the first query "
         "separator, since regexp_replace is global-only). The oracle "
@@ -1113,31 +1118,39 @@ def docs_url_canonicalize(spark, sf_dir):
     k = (F.col("doc_id") % 5).cast("string")
     url = (
         F.when(
-            F.col("doc_id") % 6 == 0,
+            F.col("doc_id") % 7 == 0,
             F.concat(F.lit("HTTPS://Example"), k, F.lit(".COM:443/P"),
                      d, F.lit("/?utm_source=x&id="), d, F.lit("#f")),
         )
         .when(
-            F.col("doc_id") % 6 == 1,
+            F.col("doc_id") % 7 == 1,
             F.concat(F.lit("http://Host"), k, F.lit(".org:80/")),
         )
         .when(
-            F.col("doc_id") % 6 == 2,
+            F.col("doc_id") % 7 == 2,
             F.concat(F.lit("http://h"), k,
                      F.lit(".org/a?utm_campaign=z")),
         )
         .when(
-            F.col("doc_id") % 6 == 3,
+            F.col("doc_id") % 7 == 3,
             F.concat(F.lit("https://h"), k, F.lit(".io/x?a=1&utm_medium=m&b="), d),
         )
         .when(
-            F.col("doc_id") % 6 == 4,
+            F.col("doc_id") % 7 == 4,
             F.concat(F.lit("https://h"), k,
                      F.lit(".io/x?utm_a=1&utm_b=2&c=3")),
         )
-        .otherwise(
+        .when(
+            F.col("doc_id") % 7 == 5,
             F.concat(F.lit("http://plain"), k, F.lit(".net/path"), d,
                      F.lit("/")),
+        )
+        # no-path authority with a default port, a fragment and a
+        # case-SIGNIFICANT query value (ADVICE r11: the old head rule
+        # lowercased the whole URL when no third '/' existed)
+        .otherwise(
+            F.concat(F.lit("HTTP://NoPath"), k,
+                     F.lit(".example:80?Token=AbC"), d, F.lit("#frag")),
         )
     )
     docs = read_sf_table(spark, sf_dir, "documents").select(

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from datetime import datetime, timezone
 from typing import Iterator
 
@@ -447,7 +448,14 @@ def wrap_extended_json(value, field: str | None = None):
     if isinstance(value, datetime):
         # canonical extended JSON is millisecond $date; sub-ms values
         # widen to microseconds so the round trip is LOSSLESS (the
-        # reader's fromisoformat accepts both)
+        # reader's fromisoformat accepts both). $date is UTC by
+        # definition: tz-aware values are converted to UTC and the
+        # offset dropped (isoformat()+"Z" on an aware value would emit
+        # the invalid "…+00:00Z"); NAIVE datetimes are stamped as UTC
+        # as-is — the session is pinned to UTC (session.py), so naive
+        # session-local IS UTC here.
+        if value.tzinfo is not None:
+            value = value.astimezone(timezone.utc).replace(tzinfo=None)
         spec = "microseconds" if value.microsecond % 1000 else "milliseconds"
         return {"$date": value.isoformat(timespec=spec) + "Z"}
     if isinstance(value, bool):
@@ -501,10 +509,16 @@ class _DumpCommit(WriterCommitMessage):
 
 class MongoDumpWriter(DataSourceWriter):
     """Per-partition writer: each task streams its rows as one
-    ``part-<pid>.jsonl`` of extended JSON, written to a temp name and
-    atomically renamed — a re-executed task overwrites its own file,
-    so speculative/retried tasks are idempotent. ``commit`` drops a
-    ``_SUCCESS`` marker after every task reported in."""
+    ``part-<pid>[-<writeid>].jsonl`` of extended JSON, written to a
+    temp name and atomically renamed — a re-executed task overwrites
+    its own file, so speculative/retried tasks are idempotent.
+    ``commit`` drops a ``_SUCCESS`` marker after every task reported
+    in. Write modes honor the DataSource ``overwrite`` flag:
+    overwrite prunes every part file this write didn't produce (a
+    previous WIDER dataset's leftovers would otherwise be read back
+    mixed in); append tags this write's parts with a driver-generated
+    write id — unique names per write, so pre-existing parts survive
+    and commit prunes nothing."""
 
     def __init__(self, schema, options, overwrite: bool):
         self.schema = schema
@@ -512,13 +526,18 @@ class MongoDumpWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("mongodump write requires a path")
         self.overwrite = overwrite
+        # generated ONCE on the driver; the pickled writer ships it to
+        # every task, so retries of the same write reuse the same id
+        # (idempotent) while distinct appends never collide
+        self.write_id = None if overwrite else uuid.uuid4().hex[:12]
 
     def write(self, rows):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
-        fname = f"part-{pid:05d}.jsonl"
+        suffix = "" if self.write_id is None else f"-{self.write_id}"
+        fname = f"part-{pid:05d}{suffix}.jsonl"
         tmp = os.path.join(self.path, f"_tmp-{fname}")
         names = [f.name for f in self.schema.fields]
         with open(tmp, "w") as fh:
@@ -533,14 +552,18 @@ class MongoDumpWriter(DataSourceWriter):
         return _DumpCommit(fname)
 
     def commit(self, messages):
-        # drop part files no task of THIS write produced — a previous
-        # larger dataset's leftover parts would otherwise be read back
-        # mixed into the new one (the writer owns overwrite semantics
-        # in the Python DataSource contract)
-        expected = {m.filename for m in messages}
-        for f in os.listdir(self.path):
-            if f.startswith("part-") and f not in expected:
-                os.remove(os.path.join(self.path, f))
+        # overwrite: drop part files no task of THIS write produced —
+        # a previous larger dataset's leftover parts would otherwise
+        # be read back mixed into the new one (the writer owns
+        # overwrite semantics in the Python DataSource contract).
+        # append: prune NOTHING — pre-existing parts are the data
+        # being appended to; this write's parts carry a unique
+        # write id so the two sets can't collide.
+        if self.overwrite:
+            expected = {m.filename for m in messages}
+            for f in os.listdir(self.path):
+                if f.startswith("part-") and f not in expected:
+                    os.remove(os.path.join(self.path, f))
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
 

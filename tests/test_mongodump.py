@@ -492,6 +492,62 @@ def test_mongodump_writer_overwrite_drops_stale_parts(spark, tmp_path):
     assert [tuple(r) for r in back.collect()] == [(100, "only")]
 
 
+def test_mongodump_writer_append_preserves_existing_parts(spark, tmp_path):
+    """mode('append') must ADD to a previous write, not silently
+    delete it (ADVICE r11: commit() pruned every part file the
+    current write didn't produce regardless of mode). Append parts
+    carry a per-write unique id so two appends never collide; only
+    overwrite prunes."""
+    from mongo2pq_spark.sources.mongodump import register_mongodump_source
+
+    register_mongodump_source(spark)
+    ddl = "k long, v string"
+    out = str(tmp_path / "dump")
+    first = spark.createDataFrame(
+        [(i, f"a{i}") for i in range(4)], ddl
+    ).repartition(2)
+    first.write.format("mongodump").mode("overwrite").save(out)
+    second = spark.createDataFrame([(100, "b0"), (101, "b1")], ddl)
+    second.write.format("mongodump").mode("append").save(out)
+    third = spark.createDataFrame([(200, "c0")], ddl)
+    third.write.format("mongodump").mode("append").save(out)
+
+    back = spark.read.format("mongodump").schema(ddl).load(out)
+    assert sorted(r["k"] for r in back.collect()) == [
+        0, 1, 2, 3, 100, 101, 200,
+    ]
+    # ...and a subsequent overwrite prunes ALL of it, append ids
+    # included
+    narrow = spark.createDataFrame([(999, "z")], ddl).repartition(1)
+    narrow.write.format("mongodump").mode("overwrite").save(out)
+    back = spark.read.format("mongodump").schema(ddl).load(out)
+    assert [tuple(r) for r in back.collect()] == [(999, "z")]
+
+
+def test_wrap_extended_json_tz_aware_normalizes_to_utc():
+    """$date is UTC by definition: a tz-aware datetime must convert
+    to UTC and drop the offset (ADVICE r11: isoformat()+'Z' emitted
+    the invalid '…+05:30Z'); naive datetimes are stamped as UTC
+    as-is (the documented session contract)."""
+    from datetime import datetime, timedelta, timezone
+
+    from mongo2pq_spark.sources.mongodump import wrap_extended_json
+
+    ist = timezone(timedelta(hours=5, minutes=30))
+    aware = datetime(2024, 1, 2, 9, 34, 5, tzinfo=ist)
+    assert wrap_extended_json(aware) == {
+        "$date": "2024-01-02T04:04:05.000Z"
+    }
+    utc = datetime(2024, 1, 2, 3, 4, 5, 123000, tzinfo=timezone.utc)
+    assert wrap_extended_json(utc) == {
+        "$date": "2024-01-02T03:04:05.123Z"
+    }
+    naive = datetime(2024, 1, 2, 3, 4, 5, 123456)
+    assert wrap_extended_json(naive) == {
+        "$date": "2024-01-02T03:04:05.123456Z"
+    }
+
+
 def test_mongodump_writer_struct_and_unsupported_types(spark, tmp_path):
     """Nested struct columns serialize as subdocuments (Row is a tuple
     subclass — the dedicated branch must win), and DateType / Decimal

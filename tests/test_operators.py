@@ -3793,6 +3793,12 @@ def test_html_extract_and_url_canonicalize_hand_traced(spark):
         (5, "https://h.io/x?utm_a=1&utm_b=2&c=3"),
         (6, "http://plain.net/path/"),
         (7, "https://ok.io:8443/keep:port?x=1"),  # non-default port kept
+        # ADVICE r11: no-path authorities — the lowercased head must
+        # stop at the first of /?#, not swallow the whole URL, and
+        # default-port stripping must fire before '?' too
+        (8, "HTTP://NoPath.example:80?Token=AbC#f"),
+        (9, "https://Host.io?Token=AbC"),
+        (10, "relative/Path?X=1"),  # scheme-less: case passes through
     ]
     cu = {
         r["doc_id"]: r["url_canon"]
@@ -3807,6 +3813,9 @@ def test_html_extract_and_url_canonicalize_hand_traced(spark):
     assert cu[5] == "https://h.io/x?c=3"
     assert cu[6] == "http://plain.net/path"
     assert cu[7] == "https://ok.io:8443/keep:port?x=1"
+    assert cu[8] == "http://nopath.example?Token=AbC"
+    assert cu[9] == "https://host.io?Token=AbC"
+    assert cu[10] == "relative/Path?X=1"
 
 
 def test_retrieval_eval_metrics_python_mirror(spark, sf_dir):
@@ -4252,6 +4261,15 @@ def test_archive_manifest_real_inflate_and_fail_louds():
         parse_archive_manifest(z[:40])
     with pytest.raises(ValueError, match="unrecognized archive"):
         parse_archive_manifest(b"\x1f\x8b" + bytes(600))
+    # ADVICE r11: arbitrary binary garbage must report as an
+    # unrecognized container — the old `or not-gzip` guard routed it
+    # into tarfile and misdiagnosed it as a corrupt tar
+    with pytest.raises(ValueError, match="unrecognized archive"):
+        parse_archive_manifest(b"\x7fELF" + bytes(600))
+    # while a REAL-but-truncated tar (ustar magic intact) still gets
+    # the tar-specific diagnosis
+    with pytest.raises(ValueError, match="corrupt tar"):
+        parse_archive_manifest(t[:512])
 
     # encrypted entry: writestr recomputes flag bits, so flip the
     # encryption bit directly in the central-directory record (flag
@@ -4501,9 +4519,12 @@ def test_sitemap_parse_edges():
 
 
 def test_jpeg_exif_walk_and_fail_louds():
-    """EXIF IFD walk: both byte orders, out-of-line ASCII tags via
-    value offsets, unknown tags skipped, and typed errors for missing
-    APP1, bad byte-order marks, and ASCII overruns."""
+    """EXIF IFD walk: both byte orders, ASCII tags in BOTH TIFF 6.0
+    storage classes (<=4 bytes inline in the value field — ADVICE
+    r11, a short Make like 'LG\\0' was misread as an offset — longer
+    values out-of-line via offsets), unknown tags skipped, and typed
+    errors for missing APP1, bad byte-order marks, and ASCII
+    overruns."""
     import struct
 
     import pytest
@@ -4522,6 +4543,14 @@ def test_jpeg_exif_walk_and_fail_louds():
         assert m["model"] == "Cam 9000"
         assert (m["exif_width"], m["exif_height"]) == (640, 480)
         assert m["endian"] == ("big" if be else "little")
+        # inline ASCII: 'LG'+NUL is 3 bytes -> lives IN the value
+        # field; 'Mak'+NUL is exactly 4 -> still inline; 'Make'+NUL
+        # is 5 -> out-of-line. All must round-trip in both endians.
+        for make in ("LG", "Mak", "Make"):
+            m = parse_jpeg_exif(
+                build_exif_jpeg(1, make, "C", 10, 20, big_endian=be)
+            )
+            assert m["make"] == make and m["model"] == "C"
 
     with pytest.raises(ValueError, match="no SOI"):
         parse_jpeg_exif(b"BM" + bytes(30))
