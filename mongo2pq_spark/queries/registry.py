@@ -46,75 +46,68 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # r10 _NEXT_WINDOW_QUEUE, landing first as staged (verdict r10
-    # #2): first-ever driver rows for the r10 codec / semdedup /
-    # image-dedup capability work (all full-pytest-oracle green at
-    # both scale factors since r10)
-    "semdedup_prune_consistency",
-    "multimodal_jpeg_pixel_roundtrip",
-    "multimodal_image_dhash_neardup",
-    "multimodal_wav_audio_stats",
-    "multimodal_mp4_metadata",
-    "multimodal_image_cell_features",
-    "multimodal_image_dhash_incremental",
-    # CHANGED in r11 (verdict r10 #1): oracle sums now CAST AS BIGINT
-    # — DuckDB HUGEINT became float64 in the driver's pandas
-    # canonicalizer, the sole red row in CORRECTNESS_r10; Spark's
-    # values were already correct
-    "q12_delay_priority",
-    # FRESHNESS rotation, oldest first. The 14 r7-latest queries
-    # deferred from the r10 rotation (scan/filter/projection/cast/
-    # scalar-function parity + top_k):
-    "array_functions",
-    "case_when_bucketing",
-    "column_casts",
-    "count_rows",
-    "distinct_values",
-    "epoch_seconds",
-    "falsy_suppression",
-    "filter_equality",
-    "limit_page",
-    "math_functions",
-    "rename_projection",
-    "scan_projection",
-    "speculative_parse",
-    "top_k",
-    # ... then 28 of the 48 r8-latest queries, higher-churn code
-    # paths first (dedup / multimodal / embedding share helpers that
-    # moved in the r9-r10 band-store + codec refactors; el exercises
-    # the sink plumbing the stores build on; text/corpus share the
-    # shingle and quality expression library). The remaining 20
-    # r8-latest (token/sampling, events/timeseries, joins/analytics
-    # parity — untouched since registration, re-verified green in
-    # every session's full pytest oracle run) roll to the r12 window.
-    "dedup_cleaned_corpus",
-    "dedup_exact",
-    "dedup_minhash_containment",
-    "dedup_near_clusters_checkpointed",
-    "dedup_span_coverage",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "embedding_dim_stats",
-    "embedding_norm_outliers",
-    "embedding_quantize_int8",
-    "el_csv_roundtrip",
-    "el_jsonl_roundtrip",
-    "el_orc_roundtrip",
-    "el_schema_evolution",
-    "el_zorder_roundtrip",
-    "text_boilerplate_ngrams",
-    "text_clean",
-    "text_decontaminate",
-    "text_gopher_quality_flags",
-    "text_repetition_stats",
-    "text_unigram_logprob",
-    "text_zipf_slope",
-    "docs_pii_redact",
-    "contamination_overlap_frac",
-    "corpus_filter_funnel",
-    "corpus_mix_upsample",
-    "corpus_shuffle_shards",
-    "corpus_train_val_split",
+    # r12 window (verdict r11 #1): drain the driver-row debt. All 50
+    # slots go to entries that have NEVER had a driver row — queue-
+    # first in registration order — with one policy exception applied
+    # first: the four queued queries whose implementations changed
+    # this round (ADVICE r11 fixes: mongodump overwrite/append honor +
+    # tz-aware extended-JSON normalization; EXIF inline <=4-byte ASCII
+    # values; URL canonicalization no-path authority bound; archive
+    # container sniffing) enter the window NOW so their first driver
+    # row reflects the fixed code.
+    "el_mongodump_export_roundtrip",
+    "multimodal_jpeg_exif",
+    "docs_url_canonicalize",
+    "multimodal_archive_manifest",
+    # ... then the r11 queue in registration order (audio-fp, BPE,
+    # embedding-incremental, chunk/CDC dedup, retrieval/index/PQ,
+    # graph, drift stats, codec triage, corpus stats):
+    "multimodal_audio_fp_neardup",
+    "multimodal_audio_fp_incremental",
+    "text_bpe_roundtrip_stats",
+    "embedding_incremental_near_dups",
+    "dedup_cluster_survivors",
+    "streaming_hamming_dedup",
+    "events_pivot_daily",
+    "text_collapse_repeats",
+    "dedup_chunk_reassemble",
+    "text_bigram_logprob",
+    "ann_hard_negatives",
+    "multimodal_mp4_sample_tables",
+    "multimodal_wav_window_features",
+    "text_bm25_topk",
+    "multimodal_mp4_keyframe_ranges",
+    "corpus_mix_temperature",
+    "dedup_cdc_chunks",
+    "graph_pagerank_interactions",
+    "embedding_covariance",
+    "multimodal_image_phash_invariance",
+    "sample_quota_per_source",
+    "events_decay_scores",
+    "el_inverted_index_roundtrip",
+    "el_inverted_index_incremental",
+    "streaming_index_append",
+    "graph_pagerank_weighted",
+    "el_index_bm25_topk",
+    "sample_weighted_priority",
+    "retrieval_rrf_fusion",
+    "text_phrase_matches",
+    "el_index_phrase_matches",
+    "text_trigram_backoff",
+    "corpus_perplexity_buckets",
+    "ann_pq_recall",
+    "text_pmi_collocations",
+    "el_compact_roundtrip",
+    "embedding_label_agreement",
+    "docs_blocklist_filter",
+    "corpus_vocab_growth",
+    "events_psi_drift",
+    "events_cms_estimates",
+    "multimodal_mp3_metadata",
+    "corpus_dsir_select",
+    "events_ks_drift",
+    "text_unigram_tok_roundtrip",
+    "events_markov_transitions",
 ]
 
 
@@ -142,308 +135,36 @@ def complex_top_level_cols(schema) -> list[str]:
 # NOW; the queue only defers the driver RECORDING, not the check.
 # Entries MUST move to the front of _DRIVER_WINDOW_FIRST next round.
 _NEXT_WINDOW_QUEUE: list[str] = [
-    # (all 7 r10-queued entries moved to the front of
-    # _DRIVER_WINDOW_FIRST at the start of r11, as the staging
-    # contract requires)
-    #
-    # r11: audio near-dedup — gain/channel-invariant 60-bit envelope
-    # fingerprint through the real WAV codec + the generic Hamming
-    # banding (full value oracle: closed-form sample rule -> closed-
-    # form hashes -> brute-force pairs in SQL); registered after the
-    # r11 window was committed to the 7 queued r10 entries + q12 +
-    # the freshness rotation
-    "multimodal_audio_fp_neardup",
-    # r11: incremental audio dedup — gain-7 mono re-masters probed
-    # against the corpus fingerprint index via the banded Hamming
-    # equi-join (full value oracle: both hash sets closed-form in SQL)
-    "multimodal_audio_fp_incremental",
-    # r11: real learned BPE tokenization (operators/bpe.py) — 200
-    # merges from the corpus word histogram, encode+decode in
-    # mapInPandas; oracle value-checks the lossless round trip by md5
-    # against the source column
-    "text_bpe_roundtrip_stats",
-    # r11: incremental EMBEDDING dedup — new-batch vectors probe the
-    # corpus LSH bucket index, exact-cosine verified (full value
-    # oracle: identical fixed-seed pipeline in SQL); completes the
-    # incremental matrix across text/image/audio/embedding
-    "embedding_incremental_near_dups",
-    # r11: quality-aware near-dup survivor selection (keep the
-    # LONGEST doc per Jaccard component; full oracle re-derives the
-    # pair->closure->rank chain in SQL)
-    "dedup_cluster_survivors",
-    # r11: streaming Hamming near-dedup — the fingerprint-agnostic
-    # streaming store (simhash/dHash/audio envelope share it); oracle
-    # is the pure batch rule (banding pigeonhole-complete at <=3)
-    "streaming_hamming_dedup",
-    # r11: PIVOT / wide-format daily rollup with an explicit value
-    # list (skips Spark's distinct-discovery scan; deterministic
-    # schema); oracle = conditional aggregates
-    "events_pivot_daily",
-    # r11 continuation: intra-doc consecutive-duplicate-token removal
-    # (stutter normalization; map-only shifted-zip_with, zero
-    # shuffle, full value oracle incl. the rebuilt text)
-    "text_collapse_repeats",
-    # r11 continuation: cross-doc chunk-level exact dedup with
-    # document reassembly (CCNet paragraph dedup over fixed 8-word
-    # chunks; corpus-first survivor per chunk md5, one key shuffle +
-    # one doc shuffle; full value oracle incl. the rebuilt text)
-    "dedup_chunk_reassemble",
-    # r11 continuation: bigram-LM fluency score (add-1 smoothed corpus
-    # bigram counts; doc x bigram cache feeds counts + scoring; full
-    # value oracle)
-    "text_bigram_logprob",
-    # r11 continuation: ANN hard-negative mining (top-k most-similar
-    # different-label corpus vectors per query; broadcast + windowed
-    # top-k, corpus never shuffled; full value oracle)
-    "ann_hard_negatives",
-    # r11 continuation: ISO-BMFF sample-table triage (stts/stsz/stss
-    # walked by the pure-stdlib parser; closed-form build rule ->
-    # closed-form oracle for counts/bytes/keyframes/duration)
-    "multimodal_mp4_sample_tables",
-    # r11 continuation: framewise audio energy/ZCR window features
-    # through the real WAV codec (integer channel-sum signal keeps
-    # every emitted value SQL-exact; closed-form oracle)
-    "multimodal_wav_window_features",
-    # r11 second continuation: BM25 sparse retrieval (fixed 4-query
-    # set, Lucene idf, two-phase salted top-k; full value oracle)
-    "text_bm25_topk",
-    # r11 second continuation: MP4 keyframe byte ranges via the
-    # stsc/stco/co64 chunk walk (closed-form two-run chunk layout ->
-    # closed-form oracle; inter-chunk gaps prove the walk is real)
-    "multimodal_mp4_keyframe_ranges",
-    # r11 second continuation: temperature-scaled corpus mixing
-    # (p_i ∝ c_i^0.5 epochs derived from corpus counts; basis-point
-    # quantized hash-accept; full value oracle)
-    "corpus_mix_temperature",
-    # r11 second continuation: content-defined chunking dedup
-    # (rolling-window boundary rule, shift-robust chunks; full value
-    # oracle mirrors the window prefix-sum + chunk md5 pipeline)
-    "dedup_cdc_chunks",
-    # r11 second continuation: fixed-iteration damped PageRank over
-    # the symmetrized user<->event-type graph (oracle = 3 power steps
-    # unrolled as CTEs)
-    "graph_pagerank_interactions",
-    # r11 second continuation: embedding covariance via map-side Gram
-    # partials (oracle = the d²-amplifying self-join formulation the
-    # operator exists to avoid; -0.0 canonicalized via +0.0)
-    "embedding_covariance",
-    # r11 second continuation: DCT perceptual hash (pHash) through the
-    # real PNG codec, proven by its defining invariance (noise-within /
-    # negation-beyond Hamming bounds; tolerance-oracle pattern)
-    "multimodal_image_phash_invariance",
-    # r11 second continuation: per-domain quota sampling via the
-    # reusable two-phase salted top-k (full value oracle)
-    "sample_quota_per_source",
-    # r11 second continuation: exponential time-decay scoring (1-day
-    # half-life, corpus-max reference instant, integer-ms ages; full
-    # value oracle)
-    "events_decay_scores",
-    # r11 second continuation: inverted-index EL artifact (delta-
-    # encoded sharded postings, term-range layout) round-tripped
-    # against the raw corpus (full value oracle incl. per-term
-    # doc-list md5)
-    "el_inverted_index_roundtrip",
-    # r11 second continuation: incremental index maintenance —
-    # corpus + increment batches probe as one index, O(increment)
-    # writes, crash-safe consolidation (full value oracle)
-    "el_inverted_index_incremental",
-    # r11 second continuation: streaming retrieval-index maintenance
-    # (foreachBatch, batch-id-keyed idempotent partitions; oracle =
-    # from-scratch index over the whole table, full vocabulary)
-    "streaming_index_append",
-    # r11 second continuation: weighted PageRank (edge weights =
-    # interaction counts; oracle = weighted power steps unrolled)
-    "graph_pagerank_weighted",
-    # r11 second continuation: BM25 served FROM the index artifact —
-    # postings alone supply tf/dl/N/avgdl/df; oracle = the from-text
-    # BM25 oracle verbatim (index-served == text-served ranking)
-    "el_index_bm25_topk",
-    # r11 second continuation: weighted sampling WITHOUT replacement
-    # (Efraimidis-Spiliotis A-Res: top-k by ln(u)/w; full value
-    # oracle, salted global top-k)
-    "sample_weighted_priority",
-    # r11 second continuation: mongodump EXPORT round trip — the
-    # WRITE side of the Python DataSource; oracle aggregates the
-    # original table (export must be value-lossless, µs timestamps
-    # included)
-    "el_mongodump_export_roundtrip",
-    # r11 third continuation: hybrid retrieval — reciprocal-rank
-    # fusion (k=60) of BM25 and exact-cosine rankings for 3 query-by-
-    # example docs (full value oracle mirrors both rankings + the
-    # fusion)
-    "retrieval_rrf_fusion",
-    # r11 third continuation: exact phrase search via the positional
-    # anchor reduction (one aggregation, repeated-term phrases
-    # correct; full value oracle mirrors the anchor construction)
-    "text_phrase_matches",
-    # r11 third continuation: phrase search served FROM the
-    # positional index artifact (positions ride the delta-encoded
-    # postings through write/probe/consolidate; oracle = the from-
-    # text phrase oracle verbatim)
-    "el_index_phrase_matches",
-    # r11 third continuation: stupid-backoff trigram LM on a held-out
-    # 80/20 split so backoff genuinely fires (full value oracle +
-    # differential Python-model test covering the tiers)
-    "text_trigram_backoff",
-    # r11 third continuation: CCNet perplexity terciles via the
-    # integer-exact binned CDF (no global sort / float thresholds;
-    # full value oracle)
-    "corpus_perplexity_buckets",
-    # r11 third continuation: product-quantization ANN (16x32
-    # codebooks, JVM-side ADC fold over broadcast LUTs; recall-
-    # invariant oracle, the IVF pattern)
-    "ann_pq_recall",
-    # r11 third continuation: PMI collocation mining with positional
-    # marginals derived from the bigram table (full value oracle)
-    "text_pmi_collocations",
-    # r11 third continuation: small-file compaction through the
-    # audited crash-safe swap, value-lossless by exact per-partition
-    # integer sums (full value oracle + audit invariant)
-    "el_compact_roundtrip",
-    # r11 third continuation: nearest-centroid label-noise screening
-    # (grouped struct-max argmax, deterministic ties; full value
-    # oracle)
-    "embedding_label_agreement",
-    # r11 third continuation: C4-style whole-token blocklist filter
-    # (map-only constant fold; full value oracle)
-    "docs_blocklist_filter",
-    # r11 third continuation: vocabulary growth curve + Heaps
-    # exponent via the relational first-seen prefix trick (full
-    # value oracle + exact Python prefix-model test)
-    "corpus_vocab_growth",
-    # r11 third continuation: PSI feature drift per event_type
-    # between time halves (reference-range bins, epsilon-smoothed
-    # shares; full value oracle + planted-shift unit test)
-    "events_psi_drift",
-    # r11 third continuation: count-min sketch point-frequency
-    # estimates (portable md5 row-hashes make the sketch engine-
-    # deterministic -> full value oracle incl. one-sided error)
-    "events_cms_estimates",
-    # r11 fourth continuation: MP3 frame-header triage through the
-    # pure-stdlib MPEG-1 Layer III walker (per-frame VBR/padding
-    # lengths prove a real sync walk; closed-form oracle)
-    "multimodal_mp3_metadata",
-    # r11 fourth continuation: DSIR importance-resampling selection
-    # (hashed-unigram JM-smoothed LM ratio vs the English target;
-    # full value oracle + disjoint-vocab Python-model test)
-    "corpus_dsir_select",
-    # r11 fourth continuation: binned two-sample KS drift statistic
-    # (integer cross-product CDF gap over the bounded bin table;
-    # full value oracle + planted-distribution Python-model test)
-    "events_ks_drift",
-    # r11 fourth continuation: unigram-LM (SentencePiece/Kudo 2018)
-    # tokenizer — EM over the bounded word histogram, Viterbi encode
-    # with byte-fallback; oracle value-checks the lossless round trip
-    "text_unigram_tok_roundtrip",
-    # r11 fourth continuation: first-order Markov transition matrix
-    # over per-user event sequences (one user_id window shuffle,
-    # bounded pair table; full value oracle + hand-traced test)
-    "events_markov_transitions",
-    # r11 fourth continuation: Benford first-digit audit with
-    # integer-exact digit extraction via the cents rendering (full
-    # value oracle + planted-distribution test)
+    # r12 staging (verdict r11 #1): the r11 queue held 73 names — more
+    # than one 50-slot window — so 23 roll to the r13 window. The
+    # first three below were IN the r12 window's queue-order first-50
+    # but were displaced by the four changed-this-round queries that
+    # the rotation policy moves to the front; they drain first in r13.
+    # Registry growth is FROZEN until this queue fits one window
+    # (it now does: 23 <= 50); any new capability registers at the
+    # TAIL of this list only.
     "events_benford_deviation",
-    # r11 fourth continuation: data-quality contract runner — every
-    # rule one conditional sum in a single aggregate pass, fk rules
-    # as broadcast dim joins ahead of it (full value oracles +
-    # planted-violation unit test covering every rule kind)
     "dq_validate_events",
     "dq_referential_lineitem",
-    # r11 fourth continuation: streaming DQ monitor — per-micro-batch
-    # contract reports keyed by the deterministic batch id; rollup
-    # must equal the one-shot whole-table contract (full value
-    # oracle + planted/unique-rejection unit test)
     "streaming_dq_monitor",
-    # r11 fourth continuation: web-corpus normalization — HTML
-    # main-text extraction (WET step) and URL canonicalization, both
-    # map-only JVM regexp chains proven against GROUND-TRUTH
-    # closed-form oracles (no regex in the oracle at all)
     "text_html_extract",
-    "docs_url_canonicalize",
-    # r11 fourth continuation: retrieval evaluation — recall@5 / MRR
-    # / nDCG@5 of the LSH ranking vs the exact ground truth (full
-    # value oracle + Python-mirror unit test)
     "retrieval_eval_metrics",
-    # r11 fourth continuation: reliability-diagram calibration bins
-    # of the nearest-centroid classifier (full value oracle +
-    # planted over-confidence unit test)
     "embedding_calibration_bins",
-    # r11 fourth continuation: PDF metadata triage via a pure-stdlib
-    # xref-table walk (corrupted-offset test pins a real walk;
-    # closed-form oracle; xref streams typed-NotImplemented)
     "multimodal_pdf_metadata",
-    # r11 fourth continuation: gzip-compressed JSONL round-trip with
-    # a sorted per-group id digest (value-complete; documents the
-    # gzip-unsplittable sharding rule)
     "el_jsonl_gzip_roundtrip",
-    # r11 fourth continuation: WARC → HTTP → HTML → text, the full
-    # web-ingestion chain on CommonCrawl's container — framing walked
-    # by Content-Length (embedded-magic trap test), ground-truth
-    # closed-form oracle
     "multimodal_warc_extract",
-    # r11 fourth continuation: crawl-graph edge extraction — anchors
-    # + robots-noindex flag recovered against a closed-form outlink
-    # rule (ground-truth oracle; hand-traced attribute/quote edges)
     "web_outlinks",
-    # r11 fourth continuation: per-source KL(source ‖ corpus) domain
-    # skew over JM-smoothed hashed-unigram distributions (full value
-    # oracle + planted identical/skewed/disjoint ranking test)
     "corpus_source_kl",
-    # r11 fourth continuation: deterministic Poisson bootstrap CI —
-    # THE distributed bootstrap (map-only per-row replicate weights,
-    # no resampling shuffle); md5 uniforms + repr-exact CDF cuts make
-    # it value-oracle-able (+ exact Python-mirror test)
     "events_bootstrap_ci",
-    # r11 fourth continuation: dataset-version snapshot diff — one
-    # full-outer key join, null-safe column digests, order-canonical
-    # key digests per status (full value oracle + planted NULL-
-    # transition unit test)
     "el_snapshot_diff",
-    # r11 fourth continuation: ZIP/TAR archive ingestion with REAL
-    # DEFLATE decompression (stdlib zlib) — per-entry manifests with
-    # content digests (closed-form oracle; inflate-proving +
-    # encrypted/corrupt fail-loud unit tests)
-    "multimodal_archive_manifest",
-    # r11 fourth continuation: FLAC STREAMINFO triage — 64-bit
-    # bitfield unpack + padding-block walk, md5-derived integrity
-    # digest recomputable in SQL (closed-form oracle + boundary test)
     "multimodal_flac_streaminfo",
-    # r11 fourth continuation: third REAL image codec — uncompressed
-    # 24-bit BMP (bottom-up/BGR/row-pad quirks proven by an awkward
-    # width; closed-form oracle; dispatch + top-down unit tests)
     "multimodal_bmp_pixel_roundtrip",
-    # r11 fourth continuation: GIF structure triage — frame counting
-    # by the length-prefixed sub-block walk with planted descriptor
-    # bytes inside LZW filler (closed-form oracle; LZW decode stays
-    # the documented stub)
     "multimodal_gif_metadata",
-    # r11 fourth continuation: real ID3v2.3 text-frame extraction
-    # grafted onto real MPEG streams — both walkers agree on the tag
-    # boundary (closed-form oracle + non-text-frame-skip unit test)
     "multimodal_mp3_id3_tags",
-    # r11 fourth continuation: robots.txt politeness audit via the
-    # stdlib REP parser — wildcard/agent-specific/other-agent rule
-    # matrix (closed-form oracle + rule-matrix unit test)
     "web_robots_audit",
-    # r11 fourth continuation: cross-codec near-dup composition proof
-    # — the same image through PNG and BMP must pair at Hamming 0
-    # through dispatch → dHash → banding (closed-form pair oracle)
     "multimodal_crosscodec_neardup",
-    # r11 fourth continuation: parquet-footer manifest — footer row
-    # counts must equal data-scan truth across the hive layout
-    # (the trust anchor of metadata-only planning)
     "el_footer_manifest",
-    # r11 fourth continuation: sitemap ingestion via stdlib
-    # ElementTree — namespace-aware urlset explode, typed index
-    # boundary (closed-form oracle + edge unit test)
     "web_sitemap_urls",
-    # r11 fourth continuation: EXIF provenance extraction — JPEG
-    # marker walk to APP1, TIFF IFD0 in BOTH byte orders, inline and
-    # out-of-line tags (closed-form oracle + fail-loud unit test)
-    "multimodal_jpeg_exif",
-    # r11 fourth continuation: SubRip timed-text ingestion — cue
-    # explode with closed-form HH:MM:SS,mmm arithmetic (closed-form
-    # oracle + CRLF/dot-variant/fail-loud unit test)
     "text_srt_cues",
 ]
 
