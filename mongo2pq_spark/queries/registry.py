@@ -169,6 +169,49 @@ _NEXT_WINDOW_QUEUE: list[str] = [
 ]
 
 
+def query_source_hashes() -> dict[str, str]:
+    """Per-query source fingerprint: sha256 over the AST dump of the
+    registered function's own source (decorator included, so the
+    oracle SQL literal is covered twice) plus the oracle string.
+    The AST dump normalizes formatting/comments, so only semantic
+    edits to the query fn or its oracle move the hash. Deliberate
+    limit: shared-helper changes do NOT move it — the window-re-entry
+    contract is scoped to the registered surface itself."""
+    import ast
+    import hashlib
+    import inspect
+    import textwrap
+
+    out = {}
+    for name, spec in QUERIES.items():
+        src = textwrap.dedent(inspect.getsource(spec.fn))
+        digest = hashlib.sha256()
+        digest.update(ast.dump(ast.parse(src)).encode())
+        digest.update(b"\x00")
+        digest.update((spec.oracle or "").encode())
+        out[name] = digest.hexdigest()[:16]
+    return out
+
+
+def stale_hashes_outside_window(
+    current: dict[str, str],
+    manifest: dict[str, str],
+    window: set[str],
+) -> list[str]:
+    """Names whose source hash changed relative to the committed
+    manifest WITHOUT the name being restaged into the driver window —
+    the one manual invariant of the rotation policy (verdict r11 #4),
+    now machinery: a changed query keeps its stale green driver row
+    unless it re-enters the window, so this list must be empty.
+    Names absent from the manifest are new registrations (handled by
+    the queue/window guards, not here)."""
+    return sorted(
+        n
+        for n, h in current.items()
+        if n in manifest and manifest[n] != h and n not in window
+    )
+
+
 def unchecked_queries_outside_window(
     names: list[str], checked: set[str], window_size: int = 50
 ) -> list[str]:

@@ -202,6 +202,54 @@ def test_window_guard_trips_on_synthetic_violation():
     assert unchecked_queries_outside_window(names, {"c", "d"}, window_size=2) == []
 
 
+def test_changed_queries_must_enter_driver_window():
+    """Machine-enforced window re-entry (verdict r11 #4): every
+    registered query's source hash must either match the committed
+    manifest (unchanged since its last staging) or the name must sit
+    inside the current 50-slot driver window (its next driver row
+    will reflect the changed code). The manifest is refreshed ONLY
+    via scripts/update_query_manifest.py, which refuses to refresh
+    hashes outside the window — so a changed query cannot keep a
+    stale green driver row silently."""
+    import json
+
+    from mongo2pq_spark.queries.registry import (
+        load_all,
+        query_source_hashes,
+        stale_hashes_outside_window,
+    )
+
+    repo = Path(__file__).resolve().parents[1]
+    with open(repo / "query_manifest.json") as fh:
+        manifest = json.load(fh)
+    names = list(load_all())
+    window = set(names[:50])
+    current = query_source_hashes()
+
+    stale = stale_hashes_outside_window(current, manifest, window)
+    assert stale == [], (
+        f"queries changed WITHOUT re-entering the driver window: "
+        f"{stale} — restage them into _DRIVER_WINDOW_FIRST and run "
+        f"scripts/update_query_manifest.py"
+    )
+    # every registered query must be in the manifest (run the update
+    # script after registering), and vice versa (run it after
+    # replacing/removing a query)
+    assert sorted(set(current) - set(manifest)) == [], "run update_query_manifest.py"
+    assert sorted(set(manifest) - set(current)) == [], "run update_query_manifest.py"
+
+
+def test_stale_hash_guard_trips_on_synthetic_violation():
+    from mongo2pq_spark.queries.registry import stale_hashes_outside_window
+
+    manifest = {"a": "h1", "b": "h2", "c": "h3"}
+    # a changed inside the window: fine; b changed outside: trips;
+    # d is a new registration: not this guard's concern
+    current = {"a": "X1", "b": "X2", "c": "h3", "d": "h4"}
+    assert stale_hashes_outside_window(current, manifest, {"a"}) == ["b"]
+    assert stale_hashes_outside_window(current, manifest, {"a", "b"}) == []
+
+
 def test_complex_col_guard_trips_on_synthetic_violation(spark):
     from pyspark.sql import functions as F
 
