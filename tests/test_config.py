@@ -239,6 +239,25 @@ def test_changed_queries_must_enter_driver_window():
     assert sorted(set(manifest) - set(current)) == [], "run update_query_manifest.py"
 
 
+def test_oracle_shards_cover_every_query():
+    """The sharded oracle run must have IDENTICAL coverage to the
+    single-process run: the n round-robin shards partition the sorted
+    query list exactly (no name dropped, none duplicated), for every
+    shard count the runner script offers."""
+    from mongo2pq_spark.queries.registry import load_all
+    from tests.test_queries_oracle import shard_names
+
+    names = sorted(load_all())
+    for n in (2, 4, 8):
+        shards = [shard_names(names, f"{k}/{n}") for k in range(n)]
+        assert sorted(nm for s in shards for nm in s) == names
+    assert shard_names(names, None) == names
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad shard"):
+        shard_names(names, "4/4")
+
+
 def test_stale_hash_guard_trips_on_synthetic_violation():
     from mongo2pq_spark.queries.registry import stale_hashes_outside_window
 
