@@ -50,41 +50,41 @@ HEADLINE = [
     "events_anomaly_mad",
     "orders_retention_cohorts",
     "events_rolling_1h_user",
-    # round-7 additions (no pinned baseline yet; tracked for trend)
+    # round-7 additions (pinned r12)
     "scd2_user_state_history",
     "histogram_quantile_rollup",
     "kll_quantile_rollup",
     "theta_overlap_users",
     "dedup_incremental_near_dups",
-    # round-8 additions (no pinned baseline yet; tracked for trend)
+    # round-8 additions (pinned r12)
     "dedup_levenshtein_blocked",
     "weighted_sample_quality",
     "el_zorder_roundtrip",
     "dedup_span_coverage",
     "profile_events_stats",
     "sessions_overlap_join",
-    # round-9 additions (no pinned baseline yet; tracked for trend):
+    # round-9 additions (pinned r12):
     # the heavy TPC-H-completion shapes — derived part-supplier min
     # cost, 4-way-join profit rollup, EXISTS/NOT-EXISTS self-joins
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q21_waiting_suppliers",
-    # round-10 additions (no pinned baseline yet; tracked for trend):
+    # round-10 additions (pinned r12):
     # KMeans-scoped semantic prune + consistency re-derivation, and
     # codec-decode dHash + banded Hamming join
     "semdedup_prune_consistency",
     "multimodal_image_dhash_neardup",
-    # round-11 additions (no pinned baseline yet; tracked for trend):
+    # round-11 additions (pinned r12):
     # WAV-codec envelope fingerprint + banded Hamming join, and the
     # learned-BPE corpus round trip (histogram learn + encode+decode)
     "multimodal_audio_fp_neardup",
     "text_bpe_roundtrip_stats",
-    # round-11 continuation additions (no pinned baseline yet;
-    # tracked for trend): sub-document dedup — cross-doc 8-word-chunk
-    # survivor selection + in-order reassembly (two-shuffle shape)
+    # round-11 continuation additions (pinned r12): sub-document
+    # dedup — cross-doc 8-word-chunk survivor selection + in-order
+    # reassembly (two-shuffle shape)
     "dedup_chunk_reassemble",
-    # round-11 second-continuation additions (no pinned baseline yet;
-    # tracked for trend): the four with nontrivial engine wall-clock —
+    # round-11 second-continuation additions (pinned r12): the four
+    # with nontrivial engine wall-clock —
     # BM25 (tokenize + two-phase top-k), CDC chunking (per-position
     # explode + doc-window prefix sum), PageRank (3 shuffle
     # iterations), covariance (map-side Gram partials)
@@ -92,13 +92,11 @@ HEADLINE = [
     "dedup_cdc_chunks",
     "graph_pagerank_interactions",
     "embedding_covariance",
-    # registered after this round's two bench sessions ran; first
-    # timings land with the r12 sessions (same as every post-bench
-    # registration in earlier rounds)
+    # registered after the r11 bench sessions ran (pinned r12)
     "el_inverted_index_roundtrip",
-    # round-11 third-continuation addition (no pinned baseline yet;
-    # tracked for trend): hybrid RRF fusion — tokenize + BM25 scoring
-    # + broadcast cosine + bounded fusion join
+    # round-11 third-continuation addition (pinned r12): hybrid RRF
+    # fusion — tokenize + BM25 scoring + broadcast cosine + bounded
+    # fusion join
     "retrieval_rrf_fusion",
     # round-11 third-continuation additions with nontrivial engine
     # wall-clock: positional anchor phrase search, stupid-backoff
@@ -110,10 +108,10 @@ HEADLINE = [
     "ann_pq_recall",
     "corpus_perplexity_buckets",
     "el_compact_roundtrip",
-    # registered after the first two third-continuation bench
-    # sessions; first trend numbers from sessions 3/4 below (the
-    # light map/agg additions — blocklist, PSI, CMS — stay out to
-    # keep the suite weighted toward engine work)
+    # registered after the first two r11 third-continuation bench
+    # sessions (pinned r12; the light map/agg additions — blocklist,
+    # PSI, CMS — stay out to keep the suite weighted toward engine
+    # work)
     "corpus_vocab_growth",
     "embedding_label_agreement",
     # round-11 fourth-continuation additions with nontrivial engine
@@ -127,12 +125,10 @@ HEADLINE = [
     "multimodal_mp3_metadata",
     "corpus_dsir_select",
     "text_unigram_tok_roundtrip",
-    # registered after this session's two bench sessions ran; first
-    # trend numbers land with the next sessions (the post-bench-
-    # registration rule every earlier round follows): retrieval eval
-    # (LSH + brute force + metric joins), calibration (centroid
-    # machinery + binning), PDF xref walk over 200 built files (the
-    # codec class), gzip JSONL round-trip (el I/O class)
+    # registered after the r11 bench sessions ran (pinned r12):
+    # retrieval eval (LSH + brute force + metric joins), calibration
+    # (centroid machinery + binning), PDF xref walk over 200 built
+    # files (the codec class), gzip JSONL round-trip (el I/O class)
     "retrieval_eval_metrics",
     "embedding_calibration_bins",
     "multimodal_pdf_metadata",
@@ -156,15 +152,13 @@ HEADLINE = [
     "multimodal_bmp_pixel_roundtrip",
     "multimodal_gif_metadata",
     "multimodal_mp3_id3_tags",
-    # registered after bench session 5; first trend numbers with the
-    # r12 sessions (post-bench-registration rule): the cross-codec
-    # dHash pairing (decode+banding class). web_robots_audit stays
-    # out (light map, the policy class)
+    # registered after r11 bench session 5 (pinned r12): the
+    # cross-codec dHash pairing (decode+banding class).
+    # web_robots_audit stays out (light map, the policy class)
     "multimodal_crosscodec_neardup",
-    # sixth-wave registrations (same post-bench rule; session-6
-    # numbers below where run): footer manifest (el I/O + metadata
-    # class), sitemap/EXIF/SRT builders+parsers over 200 files each
-    # (the codec class)
+    # sixth-wave r11 registrations (pinned r12): footer manifest
+    # (el I/O + metadata class), sitemap/EXIF/SRT builders+parsers
+    # over 200 files each (the codec class)
     "el_footer_manifest",
     "web_sitemap_urls",
     "multimodal_jpeg_exif",
@@ -285,6 +279,16 @@ def main() -> None:
                     if r > 1.3 and timings[q] - baseline[q] > 0.2
                 },
             }
+        # every HEADLINE entry is gated as of r12 (45 trend-only
+        # entries pinned via the three-session study). A future
+        # addition without a pin is a BLIND SPOT for over_1_3x —
+        # surface it in the payload instead of a source comment
+        # (the r10->r11 untracked-regression lesson): pin via
+        # scripts/pin_trend_baselines.py after the entry's first
+        # two bench sessions.
+        unpinned = sorted(q for q in timings if q not in baseline)
+        if unpinned:
+            payload["unpinned_ungated"] = unpinned
     print(json.dumps(payload))
     # The round driver captures only the LAST ~2000 chars of stdout and
     # parses the final line; the full payload outgrew that window
