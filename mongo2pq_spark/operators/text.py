@@ -584,14 +584,17 @@ def write_inverted_index(
     import os
     from pathlib import Path
 
-    from mongo2pq_spark.plans.bandstore_core import recover_replace
+    from mongo2pq_spark.plans.bandstore_core import (
+        absorbed_tokens,
+        recover_replace,
+    )
 
     # roll forward/back any interrupted consolidation BEFORE touching
     # the root: Spark would happily create a missing out_dir and write
     # just this batch into it, after which recovery would discard the
     # stranded complete store as stale (the other stores' rule)
     recover_replace(Path(out_dir))
-    if batch_token in _absorbed_tokens(out_dir):
+    if batch_token in absorbed_tokens(out_dir):
         # post-absorption retry exclusion (the media stores'
         # src_token rule): this batch's postings already live inside
         # batch=c0 — re-writing them next to it would permanently
@@ -756,20 +759,6 @@ def phrase_query_index(
     return _phrase_anchor_matches(tokpos, phrases)
 
 
-def _absorbed_tokens(index_dir: str) -> set[str]:
-    """Tokens of batches already folded into ``batch=c0`` — recorded
-    by consolidation in ``_absorbed.json`` (underscore-prefixed so
-    Spark's parquet discovery ignores it)."""
-    import json as jsonlib
-    from pathlib import Path
-
-    p = Path(index_dir) / "_absorbed.json"
-    if not p.is_file():
-        return set()
-    with open(p) as fh:
-        return set(jsonlib.load(fh))
-
-
 def consolidate_inverted_index(spark, index_dir: str) -> None:
     """Fold every ``batch=`` partition of an inverted-index artifact
     into a single ``batch=c0`` — bounding a year of daily increments
@@ -779,16 +768,20 @@ def consolidate_inverted_index(spark, index_dir: str) -> None:
     (term, shard), re-encode). The swap rides the audited crash-safe
     ``replace_dir`` protocol shared with the near-dedup stores — at
     every crash point the store reads as either the complete old or
-    the complete new layout."""
+    the complete new layout. The absorbed-token record rides the
+    shared sidecar helpers (``bandstore_core.absorbed_tokens`` /
+    ``record_absorbed`` — see that module's docstring for why the
+    dedup stores' row-level ``src_token`` mechanism cannot fit a
+    postings regroup)."""
     import os
     from pathlib import Path
 
     from mongo2pq_spark.plans.bandstore_core import (
+        absorbed_tokens,
+        record_absorbed,
         recover_replace,
         replace_dir,
     )
-
-    import json as jsonlib
 
     root = Path(index_dir)
     recover_replace(root)
@@ -797,7 +790,7 @@ def consolidate_inverted_index(spark, index_dir: str) -> None:
     # every batch folded here (prior absorptions included) is recorded
     # so a RETRIED producer run whose batch was absorbed cannot
     # re-append it next to c0 (write_inverted_index's exclusion above)
-    absorbed = _absorbed_tokens(str(root)) | {
+    absorbed = absorbed_tokens(root) | {
         p.name.split("=", 1)[1]
         for p in root.glob("batch=*")
         if p.is_dir() and p.name != "batch=c0"
@@ -812,10 +805,7 @@ def consolidate_inverted_index(spark, index_dir: str) -> None:
             .write.mode("overwrite")
             .parquet(os.path.join(build_path, "batch=c0"))
         )
-        with open(
-            os.path.join(build_path, "_absorbed.json"), "w"
-        ) as fh:
-            jsonlib.dump(sorted(absorbed), fh)
+        record_absorbed(build_path, absorbed)
 
     replace_dir(root, writer)
 

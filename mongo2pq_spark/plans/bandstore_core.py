@@ -22,6 +22,19 @@ and every layout-rewriting maintenance job needs:
   holding no data files (a crashed append's ``_temporary`` droppings
   or an empty partition holding only ``_SUCCESS`` must not poison a
   read or an audit).
+- ``absorbed_tokens`` / ``record_absorbed``: the SIDECAR variant of
+  post-consolidation retry exclusion, used by the inverted-index
+  store (operators/text.py). The dedup stores record each row's
+  origin batch IN the row (``src_token``) so exclusion survives
+  consolidation for free — but that mechanism cannot fit a postings
+  layout, where consolidation is a REGROUP that merges several
+  batches' postings into one row: per-row provenance is destroyed
+  by design. The ``_absorbed.json`` sidecar (written into the build
+  dir, so it swaps atomically with the data it describes) is the
+  correct mechanism there, and it lives here so the crash-safety
+  reasoning is owned once. (r11 verdict task 8: evaluated porting
+  the index store onto ``src_token`` rows — doesn't fit, for the
+  reason above; the sidecar helpers moved here instead.)
 
 Everything here is driver-local filesystem bookkeeping — at warehouse
 scale these become catalog transactions / MERGE boundaries with the
@@ -44,6 +57,29 @@ def atomic_write_json(path: Path, obj) -> None:
     with open(tmp, "w") as fh:
         json.dump(obj, fh)
     os.replace(tmp, path)
+
+
+def absorbed_tokens(root: Path | str) -> set[str]:
+    """Tokens of batches already folded into the consolidated
+    partition — recorded by consolidation in ``_absorbed.json``
+    (underscore-prefixed so Spark's parquet discovery ignores it).
+    A producer retry whose batch was absorbed must NOT re-append it
+    next to the consolidated partition: consolidation is a pure
+    regroup, so the duplicate would be baked in permanently."""
+    p = Path(root) / "_absorbed.json"
+    if not p.is_file():
+        return set()
+    with open(p) as fh:
+        return set(json.load(fh))
+
+
+def record_absorbed(root: Path | str, tokens: set[str]) -> None:
+    """Write the absorbed-token record. Call with the ``replace_dir``
+    BUILD path during consolidation — the record then swaps into
+    place atomically with the data it describes (a record that could
+    land without its data, or vice versa, would break the retry
+    exclusion in exactly the crash windows it exists for)."""
+    atomic_write_json(Path(root) / "_absorbed.json", sorted(tokens))
 
 
 def digest_batch_token(df, dig) -> str:
