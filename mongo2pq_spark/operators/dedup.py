@@ -1209,3 +1209,98 @@ def cdc_chunk_stats(
             ).alias("dup_chunk_frac"),
         )
     )
+
+
+def duplicated_span_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 8,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2021, 'Deduplicating Training
+    Data Makes Language Models Better' §4 — the step after the signal
+    ``duplicated-span coverage`` measures): delete every token covered
+    by a ``span_words``-token span that appears verbatim in >= 2
+    distinct documents, then rebuild each document from its surviving
+    tokens in order. Unlike the reference paper's suffix-array scan
+    (a single-machine construction), the fixed-width span grid makes
+    the same removal criterion expressible as equi-joins and
+    aggregations only — the distributed formulation.
+
+    Semantics: a span is duplicated iff its hash occurs in >= 2
+    DISTINCT documents (the same rule as the coverage signal —
+    self-repeats within one document do not trigger removal); a token
+    at position p is removed iff some duplicated span starts at s
+    with s <= p <= s + span_words - 1.
+    Documents shorter than ``span_words`` tokens are never touched.
+    Returns ``(id_col, n_tokens, n_kept, clean_md5)`` for EVERY input
+    row — a fully-duplicated doc keeps 0 tokens and hashes the empty
+    string.
+
+    Scale shape: the span-hash stream is linear in corpus tokens and
+    feeds two consumers (the duplicated-hash build and the anchor
+    join) — cached once. Duplicate detection is a partial-agg groupBy
+    on the span hash (never a window over the skewable key); covered
+    positions explode at most span_words rows per duplicated anchor;
+    removal is one (doc, pos) anti-join; the rebuild is the one
+    doc-keyed shuffle shared with ``chunk_dedup_reassemble`` (in-group
+    sort of one document). No doc-pair joins anywhere."""
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    tok = base.select(
+        id_col, F.posexplode(F.col("__toks")).alias("pos", "tok")
+    )
+    sh = _cache_stream(
+        base.select(
+            F.col(id_col),
+            F.posexplode(
+                word_shingles(F.col("__toks"), span_words)
+            ).alias("apos", "s"),
+        ).select(id_col, "apos", token_hash32(F.col("s")).alias("h"))
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    covered = (
+        sh.join(dup, "h")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("apos"), F.col("apos") + F.lit(span_words - 1)
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(covered, [id_col, "pos"], "left_anti")
+    reb = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("__clean"),
+    )
+    tot = tok.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
+    return (
+        df.select(id_col)
+        .join(tot, id_col, "left")
+        .join(reb, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias(
+                "clean_md5"
+            ),
+        )
+    )

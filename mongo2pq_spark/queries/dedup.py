@@ -903,3 +903,78 @@ def dedup_cdc_chunks(spark, sf_dir):
     return ops.cdc_chunk_stats(
         docs, window_words=_CDC_W, divisor=_CDC_D
     )
+
+
+def _substring_removal_oracle() -> str:
+    h = sql_token_hash32("sarr[ap]")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+        FROM toks WHERE len(t) > 0
+    ),
+    tok AS (SELECT doc_id, p, t[p] AS tok FROM pos),
+    shl AS (
+        SELECT doc_id, {sql_word_shingles('t', 8)} AS sarr FROM toks
+    ),
+    sh AS (
+        SELECT doc_id, sarr,
+               unnest(generate_series(1, len(sarr))) AS ap
+        FROM shl WHERE len(sarr) > 0
+    ),
+    shh AS (SELECT doc_id, ap, {h} AS h FROM sh),
+    dup AS (
+        SELECT h FROM (
+            SELECT h, count(DISTINCT doc_id) AS nd FROM shh GROUP BY h
+        ) WHERE nd >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, ap + i AS p
+        FROM shh, (SELECT unnest(generate_series(0, 7)) AS i) g
+        WHERE h IN (SELECT h FROM dup)
+    ),
+    kept AS (
+        SELECT tok.doc_id, tok.p, tok.tok
+        FROM tok LEFT JOIN covered c
+            ON tok.doc_id = c.doc_id AND tok.p = c.p
+        WHERE c.p IS NULL
+    ),
+    reb AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS clean
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT d.doc_id,
+           CAST(coalesce(tot.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(coalesce(reb.clean, '')) AS clean_md5
+    FROM documents d
+    LEFT JOIN tot ON tot.doc_id = d.doc_id
+    LEFT JOIN reb ON reb.doc_id = d.doc_id
+    """
+
+
+@register(
+    "dedup_substring_removal",
+    _substring_removal_oracle(),
+    doc="ExactSubstr REMOVAL (Lee et al. 2021 §4) — the step after "
+        "dedup_span_coverage's signal: every token covered by an "
+        "8-token span occurring verbatim in >=2 distinct documents is "
+        "deleted and the document rebuilt from its surviving tokens "
+        "in order (full value oracle incl. the md5 of the rebuilt "
+        "text; a fully-duplicated doc keeps 0 tokens). The paper's "
+        "suffix array is a single-machine construction; the fixed-"
+        "width span grid expresses the same removal criterion as "
+        "equi-joins + aggregations: partial-agg groupBy on the span "
+        "hash, bounded explode of covered positions, one (doc, pos) "
+        "anti-join, one doc-keyed rebuild shuffle. Never a doc-pair "
+        "join",
+)
+def dedup_substring_removal(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    return ops.duplicated_span_removal(docs)

@@ -166,6 +166,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "el_footer_manifest",
     "web_sitemap_urls",
     "text_srt_cues",
+    # r12 tail additions (the queue-tail-only rule while growth is
+    # bounded): ExactSubstr removal — the Lee et al. deletion step
+    # completing dedup_span_coverage's signal (full value oracle
+    # incl. rebuilt-text md5)
+    "dedup_substring_removal",
 ]
 
 

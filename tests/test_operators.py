@@ -4594,3 +4594,49 @@ def test_srt_parse_edges():
         parse_srt("   \n  ")
     with pytest.raises(ValueError, match="no timing line"):
         parse_srt("1")
+
+
+def test_duplicated_span_removal_hand_traced(spark):
+    """ExactSubstr removal semantics pinned by hand: a cross-doc
+    duplicated 8-token span is cut from BOTH docs (overlapping
+    coverage union, not per-span), a fully-duplicated doc empties, a
+    short doc (<8 tokens) is untouched, and a SELF-repeat inside one
+    doc does not trigger removal (the >=2-distinct-docs rule)."""
+    import hashlib
+
+    from mongo2pq_spark.operators.dedup import duplicated_span_removal
+
+    span = "a b c d e f g h"           # the shared 8-token span
+    rows = [
+        (1, f"x1 x2 {span} y1 y2"),    # span at pos 2..9
+        (2, f"{span} z1"),             # span at pos 0..7
+        (3, span),                      # fully duplicated -> empty
+        (4, "short doc only"),          # <8 tokens, untouched
+        (5, f"{span} {span}"),          # self-repeat ONLY in doc 5? no:
+                                        # span also in docs 1-3 -> cut
+        (6, "p q r s t u v w p q r s t u v w"),  # self-repeat, unique
+        (7, ""),                        # empty text
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in duplicated_span_removal(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+
+    assert (got[1]["n_tokens"], got[1]["n_kept"]) == (12, 4)
+    assert got[1]["clean_md5"] == md5("x1 x2 y1 y2")
+    assert (got[2]["n_tokens"], got[2]["n_kept"]) == (9, 1)
+    assert got[2]["clean_md5"] == md5("z1")
+    assert (got[3]["n_tokens"], got[3]["n_kept"]) == (8, 0)
+    assert got[3]["clean_md5"] == md5("")
+    assert (got[4]["n_tokens"], got[4]["n_kept"]) == (3, 3)
+    assert got[4]["clean_md5"] == md5("short doc only")
+    # doc 5: both copies of the cross-doc span cut -> empty
+    assert (got[5]["n_tokens"], got[5]["n_kept"]) == (16, 0)
+    # doc 6: its 8-token span repeats only WITHIN doc 6 -> kept whole
+    assert (got[6]["n_tokens"], got[6]["n_kept"]) == (16, 16)
+    assert got[6]["clean_md5"] == md5("p q r s t u v w p q r s t u v w")
+    assert (got[7]["n_tokens"], got[7]["n_kept"]) == (0, 0)
+    assert got[7]["clean_md5"] == md5("")
