@@ -1321,3 +1321,88 @@ def srt_cues(
         f"{id_col} bigint, cue_idx int, start_ms bigint, "
         "end_ms bigint, text string",
     )
+
+
+# -- encoding repair (mojibake) ----------------------------------------------
+
+#: cp1252's 0x80-0x9F graphic characters (the 27 positions where
+#: Windows-1252 disagrees with ISO-8859-1, which maps them to C1
+#: controls). Mojibake produced by a cp1252 misdecode shows these
+#: glyphs (â€™ for a right quote); folding them back to their byte
+#: positions makes the text latin-1-encodable so the byte stream can
+#: be re-decoded as UTF-8 — the ftfy repair, in two JVM translates.
+_CP1252_GRAPHICS = {
+    0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E,
+    0x85: 0x2026, 0x86: 0x2020, 0x87: 0x2021, 0x88: 0x02C6,
+    0x89: 0x2030, 0x8A: 0x0160, 0x8B: 0x2039, 0x8C: 0x0152,
+    0x8E: 0x017D, 0x91: 0x2018, 0x92: 0x2019, 0x93: 0x201C,
+    0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
+    0x98: 0x02DC, 0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A,
+    0x9C: 0x0153, 0x9E: 0x017E, 0x9F: 0x0178,
+}
+_CP1252_GLYPHS = "".join(chr(u) for u in _CP1252_GRAPHICS.values())
+_CP1252_BYTES = "".join(chr(b) for b in _CP1252_GRAPHICS)
+
+
+def cp1252_fold(col: Column) -> Column:
+    """Map cp1252's 0x80-0x9F glyphs to their byte positions (as C1
+    chars) — the pre-step that makes cp1252 mojibake latin-1
+    encodable."""
+    return F.translate(col, _CP1252_GLYPHS, _CP1252_BYTES)
+
+
+def cp1252_unfold(col: Column) -> Column:
+    """Inverse of ``cp1252_fold`` — used by fixtures to BUILD
+    faithful cp1252 mojibake from clean text."""
+    return F.translate(col, _CP1252_BYTES, _CP1252_GLYPHS)
+
+
+def fix_mojibake(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repair UTF-8-as-cp1252/latin-1 mojibake ('Ã©' → 'é',
+    'â€™' → '’') — the first normalization pass of every web-corpus
+    pipeline (ftfy's core rule), as a map-only chain of built-in JVM
+    expressions: translate + encode + decode, no Python worker.
+
+    The repair rule is deterministic and self-gating: fold cp1252
+    glyphs to their byte positions; if the folded text is then fully
+    latin-1 encodable AND its byte stream forms STRUCTURALLY VALID
+    UTF-8 with at least one multi-byte sequence (checked by the
+    standard UTF-8 validation regex over the latin-1 chars — the
+    real gate: genuine text misread as mojibake virtually never
+    forms valid multi-byte UTF-8; Spark 4's ``decode`` THROWS on
+    malformed input, so validity must be established before the
+    decode branch evaluates), re-encode to bytes and decode as
+    UTF-8. Everything else passes through untouched, including
+    genuinely accented latin-1/UTF-8 text ('déjà vu': 0xE9 starts a
+    3-byte sequence that the following ASCII can't continue →
+    invalid → untouched). One pass repairs one mis-decode
+    generation; doubly-encoded text converges under repeated
+    application (idempotent once clean).
+
+    Returns ``(id_col, was_mojibake, text)`` with ``text`` repaired
+    or original. Scale shape: narrow projection, fully codegen'd,
+    zero shuffle."""
+    cand = F.col(text_col)
+    folded = cp1252_fold(cand)
+    # RFC 3629 well-formed UTF-8 over latin-1 chars-as-bytes, with
+    # >=1 multi-byte sequence required (pure ASCII would "repair" to
+    # itself); rejects overlongs, surrogates and >U+10FFFF
+    valid_utf8 = folded.rlike(
+        r"^(?:[\x00-\x7f]|[\xc2-\xdf][\x80-\xbf]"
+        r"|\xe0[\xa0-\xbf][\x80-\xbf]|[\xe1-\xec][\x80-\xbf]{2}"
+        r"|\xed[\x80-\x9f][\x80-\xbf]|[\xee-\xef][\x80-\xbf]{2}"
+        r"|\xf0[\x90-\xbf][\x80-\xbf]{2}|[\xf1-\xf3][\x80-\xbf]{3}"
+        r"|\xf4[\x80-\x8f][\x80-\xbf]{2})*$"
+    ) & folded.rlike(r"[\x80-\xff]")
+    # decode stays INSIDE the when-branch: CASE evaluates branches
+    # lazily, so the throwing path never runs on invalid input
+    fixed = F.when(
+        valid_utf8, F.decode(F.encode(folded, "ISO-8859-1"), "UTF-8")
+    ).otherwise(cand)
+    return df.select(
+        F.col(id_col),
+        (valid_utf8 & (fixed != cand)).alias("was_mojibake"),
+        fixed.alias("text"),
+    )

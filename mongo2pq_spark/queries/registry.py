@@ -171,6 +171,12 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # completing dedup_span_coverage's signal (full value oracle
     # incl. rebuilt-text md5)
     "dedup_substring_removal",
+    # r12 tail: encoding repair — cp1252/latin-1 mojibake fixed by a
+    # self-gating JVM translate+encode+decode chain (ground-truth
+    # closed-form oracle; Spark 4 decode throws on malformed input,
+    # so validity is a structural UTF-8 regex checked BEFORE the
+    # lazy decode branch)
+    "text_fix_mojibake",
 ]
 
 

@@ -1439,3 +1439,53 @@ def text_srt_cues(spark, sf_dir):
 
     files = docs.mapInPandas(build_batches, "doc_id bigint, srt string")
     return srt_cues(files)
+
+
+@register(
+    "text_fix_mojibake",
+    """
+    SELECT doc_id,
+           doc_id % 3 = 0 AS was_mojibake,
+           CASE WHEN doc_id % 3 = 1
+                THEN 'plain ascii doc ' || CAST(doc_id AS VARCHAR)
+                ELSE 'café’s naïve résumé — doc '
+                     || CAST(doc_id AS VARCHAR)
+           END AS text
+    FROM documents
+    """,
+    doc="encoding repair (the ftfy mojibake rule as pure JVM "
+        "translate+encode+decode, zero shuffle): per doc, every 3rd "
+        "document's accented text is DELIBERATELY mangled into "
+        "faithful cp1252 mojibake ('café’s' -> 'cafÃ©â€™s', built by "
+        "the inverse fold, exercising both the cp1252 glyph fold and "
+        "the latin-1 byte path), the rest stay clean ascii/accented; "
+        "operators/text.py::fix_mojibake must repair exactly the "
+        "mangled third and pass the others through byte-identical — "
+        "the self-gating validity rule (structural UTF-8 regex over "
+        "latin-1 chars-as-bytes) proven against a GROUND-TRUTH "
+        "closed-form oracle that never runs the repair",
+)
+def text_fix_mojibake(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.text import cp1252_unfold, fix_mojibake
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    d = F.col("doc_id").cast("string")
+    clean = F.concat(F.lit("café’s naïve résumé — doc "), d)
+    # faithful cp1252 mojibake: UTF-8 bytes misread as cp1252 =
+    # latin-1 byte decode + C1-control -> glyph unfold
+    moji = cp1252_unfold(
+        F.decode(F.encode(clean, "UTF-8"), "ISO-8859-1")
+    )
+    docs = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, moji)
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("plain ascii doc "), d),
+        )
+        .otherwise(clean)
+        .alias("text"),
+    )
+    return fix_mojibake(docs)

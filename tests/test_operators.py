@@ -4640,3 +4640,49 @@ def test_duplicated_span_removal_hand_traced(spark):
     assert got[6]["clean_md5"] == md5("p q r s t u v w p q r s t u v w")
     assert (got[7]["n_tokens"], got[7]["n_kept"]) == (0, 0)
     assert got[7]["clean_md5"] == md5("")
+
+
+def test_fix_mojibake_rule_matrix(spark):
+    """Encoding repair pinned by hand: cp1252 AND latin-1 flavored
+    mojibake both repair to the clean text; plain ascii, genuinely
+    accented text, the empty string, and a lone 'Ã' with an invalid
+    continuation pass through byte-identical; doubly-encoded text
+    repairs exactly one generation per pass (idempotent once
+    clean)."""
+    from mongo2pq_spark.operators.text import fix_mojibake
+
+    clean = "café’s naïve — résumé"
+    once = clean.encode("utf-8").decode("cp1252")
+    rows = [
+        (1, once),
+        (2, clean.encode("utf-8").decode("latin-1")),
+        (3, "plain ascii"),
+        (4, "déjà vu"),
+        (5, clean),
+        (6, ""),
+        (7, "Ã broken lone"),
+        # double-encoded (latin-1 flavor: cp1252 leaves 0x9D-class
+        # bytes undefined, so real double-mangles go through latin-1)
+        (8, once.encode("utf-8").decode("latin-1")),
+    ]
+    got = {
+        r["doc_id"]: (r["was_mojibake"], r["text"])
+        for r in fix_mojibake(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert got[1] == (True, clean)
+    assert got[2] == (True, clean)
+    assert got[3] == (False, "plain ascii")
+    assert got[4] == (False, "déjà vu")
+    assert got[5] == (False, clean)
+    assert got[6] == (False, "")
+    assert got[7] == (False, "Ã broken lone")
+    assert got[8] == (True, once)  # one generation repaired
+    # second pass finishes the job and is then a fixed point
+    df2 = spark.createDataFrame([(8, got[8][1])], "doc_id long, text string")
+    again = fix_mojibake(df2).collect()[0]
+    assert (again["was_mojibake"], again["text"]) == (True, clean)
+    df3 = spark.createDataFrame([(8, again["text"])], "doc_id long, text string")
+    fixed_point = fix_mojibake(df3).collect()[0]
+    assert (fixed_point["was_mojibake"], fixed_point["text"]) == (False, clean)
