@@ -850,3 +850,35 @@ def test_poisson_bootstrap_is_single_shuffle(spark, sf_dir):
     # B-row single-partition window/final agg — never one per replicate
     n_exchanges = len(set(re.findall(r"Exchange \((\d+)\)", plan)))
     assert n_exchanges <= 3, plan[:1500]
+
+
+def test_substring_removal_plan_is_skew_safe_equi_joins(spark, sf_dir):
+    """ExactSubstr removal must never form a doc-pair join and must
+    pick duplicated spans via the partial-agg groupBy on the span
+    hash, not a window over it (a boilerplate span duplicated
+    millions of times would make one straggler window partition at
+    100 TB; the groupBy partial-aggregates map-side and AQE can split
+    the join that carries winners back). The only window-free rebuild
+    is the in-group sort of one document. SHUFFLE-exchange budget
+    (broadcasts excluded — at test scale AQE broadcasts the small
+    sides that shuffle at 100 TB): span-hash aggregate + covered
+    distinct + anti-join repartition + totals + rebuild."""
+    import re
+
+    plan = _formatted(spark, sf_dir, "dedup_substring_removal")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_shuffles = len(re.findall(r"(?<!Broadcast)Exchange \(", plan))
+    assert n_shuffles <= 6, f"expected <=6 shuffles, plan has {n_shuffles}"
+
+
+def test_fix_mojibake_is_map_only(spark, sf_dir):
+    """Encoding repair is a narrow projection of built-in JVM
+    expressions: zero exchanges, zero windows, no Python workers
+    (BatchEvalPython/ArrowEvalPython would mean the repair left
+    codegen)."""
+    plan = _formatted(spark, sf_dir, "text_fix_mojibake")
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
