@@ -163,6 +163,12 @@ HEADLINE = [
     "web_sitemap_urls",
     "multimodal_jpeg_exif",
     "text_srt_cues",
+    # r12 addition with nontrivial engine wall-clock: ExactSubstr
+    # removal (span-hash aggregate + anti-join + doc rebuild — the
+    # dedup_chunk_reassemble class). Pinned from this round's final
+    # two sessions. text_fix_mojibake stays out (light map, the
+    # policy class)
+    "dedup_substring_removal",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite
