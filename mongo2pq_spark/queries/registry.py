@@ -177,6 +177,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # so validity is a structural UTF-8 regex checked BEFORE the
     # lazy decode branch)
     "text_fix_mojibake",
+    # r12 tail: PCA registered under the invariant oracle (variance
+    # ordering + component uncorrelatedness) — promotes the tested-
+    # but-unregistered pca_project operator into the driver gate
+    "embedding_pca_invariants",
 ]
 
 

@@ -960,3 +960,75 @@ def embedding_calibration_bins(spark, sf_dir):
             "calibration_gap"
         ),
     )
+
+
+@register(
+    "embedding_pca_invariants",
+    """
+    SELECT a AS comp_a, b AS comp_b, true AS ok
+    FROM (SELECT unnest(generate_series(0, 3)) AS a) x,
+         (SELECT unnest(generate_series(0, 3)) AS b) y
+    WHERE a <= b
+    """,
+    doc="PCA projection under the invariant-oracle pattern "
+        "(promotes the tested-but-unregistered pca_project operator "
+        "into the driver gate): project the corpus onto its top-4 "
+        "principal components (Gram-sums bounded collect, driver-side "
+        "eigh, JVM-side zip_with/aggregate folds — no Python in the "
+        "per-row path), then verify WHAT PCA MUST ACHIEVE, which SQL "
+        "can pin even though it cannot run an eigendecomposition: "
+        "component variances are positive and non-increasing "
+        "(var(pc0) >= ... >= var(pc3)) and distinct components are "
+        "uncorrelated (|cov| < 1e-3, the tolerance absorbing the "
+        "operator's published 6-dp rounding). One corpus pass for "
+        "the projection, one map-side aggregate row for all 15 "
+        "moments, a 10-row literal pair table joined against it — "
+        "output bounded by k², independent of corpus size",
+)
+def embedding_pca_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    k = 4
+    pcs = ops.pca_project(emb, k=k)
+    cols = [f"pc{c}" for c in range(k)]
+    aggs = (
+        [F.count("*").alias("n")]
+        + [F.sum(F.col(c)).alias(f"s{i}") for i, c in enumerate(cols)]
+        + [
+            F.sum(F.col(cols[a]) * F.col(cols[b])).alias(f"p{a}_{b}")
+            for a in range(k)
+            for b in range(a, k)
+        ]
+    )
+    stats = pcs.agg(*aggs)
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(k) for b in range(k) if a <= b],
+        "comp_a int, comp_b int",
+    )
+
+    def cov(a: int, b: int):
+        a, b = min(a, b), max(a, b)
+        return (
+            F.col(f"p{a}_{b}") / F.col("n")
+            - (F.col(f"s{a}") / F.col("n")) * (F.col(f"s{b}") / F.col("n"))
+        )
+
+    # element_at-indexed flat k x k cov table so one expression serves
+    # every (comp_a, comp_b) row of the literal pair table
+    cov_arr = F.array(*[cov(a, b) for a in range(k) for b in range(k)])
+    var_arr = F.array(*[cov(a, a) for a in range(k)])
+    j = pairs.crossJoin(F.broadcast(stats))
+    cab = F.element_at(cov_arr, F.col("comp_a") * k + F.col("comp_b") + 1)
+    va = F.element_at(var_arr, F.col("comp_a") + 1)
+    va_next = F.element_at(
+        var_arr, F.least(F.col("comp_a") + 2, F.lit(k))
+    )
+    ok = F.when(
+        F.col("comp_a") == F.col("comp_b"),
+        (va > 1e-9)
+        & ((F.col("comp_a") == k - 1) | (va >= va_next - 1e-6)),
+    ).otherwise(F.abs(cab) < 1e-3)
+    return j.select("comp_a", "comp_b", ok.alias("ok"))
