@@ -1264,3 +1264,70 @@ def nearest_centroid_agreement(
         F.col("b.s").alias("centroid_sim"),
         (F.col(label_col) == nearest).alias("agrees"),
     )
+
+
+def whiten_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """ZCA-whiten an embedding column: out = W (x − μ) with
+    W = V diag(1/sqrt(λ+eps)) Vᵀ from the population covariance's
+    eigendecomposition — the standardization that equalizes dimension
+    scales and removes cross-dimension correlation before cosine /
+    clustering / ANN passes (ZCA, not PCA-whitening, so the result
+    stays maximally close to the input space). Returns
+    ``(id_col, white)`` with ``white`` rounded to 6 dp.
+
+    Scale shape mirrors ``pca_project``: statistics come from the
+    ONE-pass bounded Gram-sums table (O(d²) rows collected —
+    documented bounded driver materialization), the d×d eigh is
+    driver-side numpy (microseconds; 100 TB never scans for this
+    twice), and the transform is JVM-side column arithmetic — per
+    output dimension one ``aggregate(zip_with(x−μ, w_i, ·*·), +)``
+    fold over literal weight arrays; no Python in the per-row path,
+    zero shuffle. The covariance here is deliberately UNROUNDED
+    (unlike ``embedding_covariance``'s published 6-dp rows) so the
+    whitened covariance hits identity to numerical precision — the
+    registered invariant query depends on that."""
+    import numpy as np
+
+    sums = {
+        (r["i"], r["j"]): r["s"]
+        for r in _gram_sums(df, vec_col).collect()
+    }
+    n = sums[(-1, -1)]
+    d = max(j for _, j in sums) + 1
+    mu = np.array([sums[(i, -1)] / n for i in range(d)])
+    C = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            C[i, j] = C[j, i] = sums[(i, j)] / n - mu[i] * mu[j]
+    vals, vecs = np.linalg.eigh(C)
+    W = (vecs * (1.0 / np.sqrt(vals + eps))) @ vecs.T  # ZCA: V Λ^-1/2 Vᵀ
+
+    centered = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.array(*[F.lit(float(v)) for v in mu]),
+        lambda x, m: x - m,
+    )
+    out = df.select(F.col(id_col), centered.alias("__c"))
+    white = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__c"),
+                        F.array(*[F.lit(float(w)) for w in W[i]]),
+                        lambda x, w: x * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            )
+            for i in range(d)
+        ]
+    )
+    return out.select(F.col(id_col), white.alias("white"))

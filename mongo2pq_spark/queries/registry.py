@@ -181,6 +181,9 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # ordering + component uncorrelatedness) — promotes the tested-
     # but-unregistered pca_project operator into the driver gate
     "embedding_pca_invariants",
+    # r12 tail: ZCA whitening verified by the INDEPENDENT covariance
+    # formulation hitting identity (invariant oracle)
+    "embedding_whitening_identity",
 ]
 
 

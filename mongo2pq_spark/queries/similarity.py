@@ -1032,3 +1032,43 @@ def embedding_pca_invariants(spark, sf_dir):
         & ((F.col("comp_a") == k - 1) | (va >= va_next - 1e-6)),
     ).otherwise(F.abs(cab) < 1e-3)
     return j.select("comp_a", "comp_b", ok.alias("ok"))
+
+
+@register(
+    "embedding_whitening_identity",
+    """
+    SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+           true AS ok
+    FROM (SELECT unnest(generate_series(0, 63)) AS i) a,
+         (SELECT unnest(generate_series(0, 63)) AS j) b
+    WHERE i <= j
+    """,
+    doc="ZCA whitening under the invariant oracle: whiten the corpus "
+        "(one-pass Gram sums, driver-side eigh, JVM-side folds — the "
+        "pca_project machinery) and verify WHAT WHITENING MUST "
+        "ACHIEVE: the whitened population covariance is the identity "
+        "— diagonal within 1e-4 of 1 (eps=1e-9 regularization and "
+        "the spectrum's lambda_min ~7e-3 keep lambda/(lambda+eps) "
+        "indistinguishable from 1), off-diagonal within 1e-4 of 0. "
+        "The check reuses embedding_covariance's map-side-Gram "
+        "verification pass over the whitened vectors, so the "
+        "invariant is established by the INDEPENDENT covariance "
+        "formulation, not by the whitener's own numbers. Output "
+        "d(d+1)/2 rows, bounded by embedding width",
+)
+def embedding_whitening_identity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    white = ops.whiten_embeddings(emb).select(
+        "vec_id", F.col("white").alias("embedding")
+    )
+    cov = ops.embedding_covariance(white)
+    ident = F.when(F.col("dim_i") == F.col("dim_j"), 1.0).otherwise(0.0)
+    return cov.select(
+        "dim_i",
+        "dim_j",
+        (F.abs(F.col("cov") - ident) < 1e-4).alias("ok"),
+    )

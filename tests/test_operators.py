@@ -4686,3 +4686,38 @@ def test_fix_mojibake_rule_matrix(spark):
     df3 = spark.createDataFrame([(8, again["text"])], "doc_id long, text string")
     fixed_point = fix_mojibake(df3).collect()[0]
     assert (fixed_point["was_mojibake"], fixed_point["text"]) == (False, clean)
+
+
+def test_whiten_embeddings_matches_numpy_reference(spark):
+    """whiten_embeddings equals the direct numpy ZCA on the same
+    data (W = V diag(1/sqrt(lambda+eps)) V^T applied to centered
+    vectors, 6-dp rounding), and the whitened sample covariance is
+    the identity within tolerance."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.similarity import whiten_embeddings
+
+    rng = np.random.default_rng(42)
+    # correlated data so whitening genuinely changes the covariance
+    A = rng.normal(size=(6, 6))
+    X = rng.normal(size=(300, 6)) @ A
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: np.array(r["white"])
+        for r in whiten_embeddings(df).collect()
+    }
+
+    mu = X.mean(axis=0)
+    C = np.cov(X.T, bias=True)
+    vals, vecs = np.linalg.eigh(C)
+    W = (vecs * (1.0 / np.sqrt(vals + 1e-9))) @ vecs.T
+    expected = np.round((X - mu) @ W.T, 6)
+    for i in range(len(X)):
+        assert np.allclose(got[i], expected[i], atol=2e-6), i
+
+    Y = np.array([got[i] for i in range(len(X))])
+    CY = np.cov(Y.T, bias=True)
+    assert np.allclose(CY, np.eye(6), atol=1e-4)
