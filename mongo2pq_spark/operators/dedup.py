@@ -1245,27 +1245,47 @@ def duplicated_span_removal(
     removal is one (doc, pos) anti-join; the rebuild is the one
     doc-keyed shuffle shared with ``chunk_dedup_reassemble`` (in-group
     sort of one document). No doc-pair joins anywhere."""
-    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-    tok = base.select(
-        id_col, F.posexplode(F.col("__toks")).alias("pos", "tok")
-    )
-    sh = _cache_stream(
-        base.select(
-            F.col(id_col),
-            F.posexplode(
-                word_shingles(F.col("__toks"), span_words)
-            ).alias("apos", "s"),
-        ).select(id_col, "apos", token_hash32(F.col("s")).alias("h"))
-    )
+    tok, sh = _span_hash_stream(df, id_col, text_col, span_words)
+    sh = _cache_stream(sh)
     dup = (
         sh.groupBy("h")
         .agg(F.countDistinct(id_col).alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("h")
     )
+    return _remove_covered(df, tok, sh.join(dup, "h"), id_col, span_words)
+
+
+def _span_hash_stream(df, id_col: str, text_col: str, span_words: int):
+    """(token-positions, span-hash-anchors) streams shared by the
+    batch and incremental ExactSubstr paths — ONE tokenize, the span
+    hash at anchor position p covering tokens p..p+span_words-1."""
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    tok = base.select(
+        id_col, F.posexplode(F.col("__toks")).alias("pos", "tok")
+    )
+    sh = base.select(
+        F.col(id_col),
+        F.posexplode(
+            word_shingles(F.col("__toks"), span_words)
+        ).alias("apos", "s"),
+    ).select(id_col, "apos", token_hash32(F.col("s")).alias("h"))
+    return tok, sh
+
+
+def _remove_covered(
+    df: DataFrame,
+    tok: DataFrame,
+    danchors: DataFrame,
+    id_col: str,
+    span_words: int,
+) -> DataFrame:
+    """Shared removal tail: explode duplicated anchors into covered
+    positions, anti-join them out of the token stream, rebuild every
+    input doc (empty docs included) as (id, n_tokens, n_kept,
+    clean_md5)."""
     covered = (
-        sh.join(dup, "h")
-        .select(
+        danchors.select(
             F.col(id_col),
             F.explode(
                 F.sequence(
@@ -1303,4 +1323,55 @@ def duplicated_span_removal(
                 "clean_md5"
             ),
         )
+    )
+
+
+def span_hash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 8,
+) -> DataFrame:
+    """Distinct span-hash table of a corpus — the bounded artifact an
+    incremental ExactSubstr pipeline persists and probes (at
+    deployment this is a parquet store maintained like the band
+    stores; size is O(corpus tokens), but the INCREMENT never rescans
+    the corpus text)."""
+    _, sh = _span_hash_stream(df, id_col, text_col, span_words)
+    return sh.select("h").distinct()
+
+
+def duplicated_span_removal_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 8,
+) -> DataFrame:
+    """Incremental ExactSubstr removal — the O(increment) economics
+    of the other incremental dedup paths applied to substring
+    duplication: a new batch's spans are duplicated iff their hash
+    occurs in the persisted corpus ``index`` (``span_hash_index``)
+    OR in >= 2 distinct documents of the increment itself; covered
+    tokens are removed and the increment's docs rebuilt, corpus text
+    never re-read. Returns the same ``(id, n_tokens, n_kept,
+    clean_md5)`` contract as the batch operator.
+
+    Scale shape: the increment's span stream (linear in increment
+    tokens) is cached once and probed against the index via one
+    equi-join on the hash — never against corpus text; within-batch
+    duplication is the batch operator's partial-agg groupBy. Anchors
+    matching both sources union through a distinct bounded by the
+    duplicated-anchor count."""
+    tok, sh = _span_hash_stream(new_df, id_col, text_col, span_words)
+    sh = _cache_stream(sh)
+    dup_within = (
+        sh.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_hashes = dup_within.union(index.select("h")).distinct()
+    return _remove_covered(
+        new_df, tok, sh.join(dup_hashes, "h"), id_col, span_words
     )

@@ -978,3 +978,138 @@ def dedup_substring_removal(spark, sf_dir):
 
     docs = read_sf_table(spark, sf_dir, "documents")
     return ops.duplicated_span_removal(docs)
+
+
+def _substring_incremental_oracle() -> str:
+    h = sql_token_hash32("sarr[ap]")
+    suffix = "'uq' || CAST(d.doc_id AS VARCHAR) || '_0' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_1' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_2' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_3' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_4' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_5' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_6' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_7' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_8' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_9'"
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 100
+    ),
+    donors AS (
+        SELECT doc_id - 300 AS new_id,
+               array_to_string(({sql_tokens('text')})[1:16], ' ') AS head
+        FROM documents WHERE doc_id >= 300 AND doc_id < 400
+    ),
+    inc AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 2 = 0
+                    THEN dn.head || ' ' || {suffix}
+                    ELSE {suffix}
+               END AS text
+        FROM documents d LEFT JOIN donors dn ON dn.new_id = d.doc_id
+        WHERE d.doc_id < 100
+    ),
+    ctoks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM corpus),
+    cshl AS (
+        SELECT doc_id, {sql_word_shingles('t', 8)} AS sarr FROM ctoks
+    ),
+    cfl AS (
+        SELECT sarr, unnest(generate_series(1, len(sarr))) AS ap
+        FROM cshl WHERE len(sarr) > 0
+    ),
+    cidx AS (SELECT DISTINCT {h} AS h FROM cfl),
+    toks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM inc),
+    pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+        FROM toks WHERE len(t) > 0
+    ),
+    tok AS (SELECT doc_id, p, t[p] AS tok FROM pos),
+    shl AS (
+        SELECT doc_id, {sql_word_shingles('t', 8)} AS sarr FROM toks
+    ),
+    sh AS (
+        SELECT doc_id, sarr,
+               unnest(generate_series(1, len(sarr))) AS ap
+        FROM shl WHERE len(sarr) > 0
+    ),
+    shh AS (SELECT doc_id, ap, {h} AS h FROM sh),
+    dup AS (
+        SELECT h FROM (
+            SELECT h, count(DISTINCT doc_id) AS nd FROM shh GROUP BY h
+        ) WHERE nd >= 2
+        UNION
+        SELECT h FROM cidx
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, ap + i AS p
+        FROM shh, (SELECT unnest(generate_series(0, 7)) AS i) g
+        WHERE h IN (SELECT h FROM dup)
+    ),
+    kept AS (
+        SELECT tok.doc_id, tok.p, tok.tok
+        FROM tok LEFT JOIN covered c
+            ON tok.doc_id = c.doc_id AND tok.p = c.p
+        WHERE c.p IS NULL
+    ),
+    reb AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS clean
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT i.doc_id,
+           CAST(coalesce(tot.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(coalesce(reb.clean, '')) AS clean_md5
+    FROM inc i
+    LEFT JOIN tot ON tot.doc_id = i.doc_id
+    LEFT JOIN reb ON reb.doc_id = i.doc_id
+    """
+
+
+@register(
+    "dedup_substring_incremental",
+    _substring_incremental_oracle(),
+    doc="incremental ExactSubstr removal — the O(increment) economics "
+        "of the other incremental dedup paths applied to substring "
+        "duplication: a 100-doc increment (even ids lead with the "
+        "first 16 tokens COPIED from a corpus doc + a unique 10-token "
+        "tail, odd ids fully unique) probes the corpus span-hash "
+        "index (operators/dedup.py::span_hash_index) via one hash "
+        "equi-join — corpus TEXT never re-read; within-increment "
+        "duplication uses the batch operator's partial-agg rule; "
+        "covered tokens removed, docs rebuilt. Full value oracle "
+        "mirrors the entire fixture + pipeline (copied heads cut, "
+        "unique tails kept, rebuilt-text md5). Completes the "
+        "incremental matrix: digests/bands (text), dHash (image), "
+        "envelope (audio), LSH (embedding), and now spans (substring)",
+)
+def dedup_substring_incremental(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.functions.textfns import tokens
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 100).select("doc_id", "text")
+    d = F.col("doc_id").cast("string")
+    suffix = F.concat_ws(
+        " ", *[F.concat(F.lit("uq"), d, F.lit(f"_{i}")) for i in range(10)]
+    )
+    donors = (
+        docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+        .select(
+            (F.col("doc_id") - 300).alias("new_id"),
+            F.array_join(
+                F.slice(tokens(F.col("text")), 1, 16), " "
+            ).alias("head"),
+        )
+    )
+    inc = (
+        docs.filter(F.col("doc_id") < 100)
+        .select("doc_id")
+        .join(donors, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.col("head"), F.lit(" "), suffix),
+            )
+            .otherwise(suffix)
+            .alias("text"),
+        )
+    )
+    index = ops.span_hash_index(corpus)
+    return ops.duplicated_span_removal_incremental(inc, index)

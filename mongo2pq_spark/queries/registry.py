@@ -184,6 +184,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # r12 tail: ZCA whitening verified by the INDEPENDENT covariance
     # formulation hitting identity (invariant oracle)
     "embedding_whitening_identity",
+    # r12 tail: incremental ExactSubstr removal — increment probes
+    # the corpus span-hash index, corpus text never re-read (full
+    # value oracle mirroring fixture + pipeline); completes the
+    # incremental matrix with the substring modality
+    "dedup_substring_incremental",
 ]
 
 

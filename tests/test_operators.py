@@ -4721,3 +4721,45 @@ def test_whiten_embeddings_matches_numpy_reference(spark):
     Y = np.array([got[i] for i in range(len(X))])
     CY = np.cov(Y.T, bias=True)
     assert np.allclose(CY, np.eye(6), atol=1e-4)
+
+
+def test_duplicated_span_removal_incremental_hand_traced(spark):
+    """Incremental ExactSubstr: spans matching the CORPUS index are
+    cut from increment docs (corpus text never consulted beyond its
+    hash index), within-increment cross-doc duplication is cut by
+    the batch rule, and unique increment text survives whole."""
+    import hashlib
+
+    from mongo2pq_spark.operators.dedup import (
+        duplicated_span_removal_incremental,
+        span_hash_index,
+    )
+
+    span = "a b c d e f g h"
+    corpus = spark.createDataFrame(
+        [(100, f"{span} corpus tail text")],
+        "doc_id long, text string",
+    )
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"  # duplicated WITHIN increment
+    rows = [
+        (1, f"{span} u1 u2"),        # corpus span -> cut, tail kept
+        (2, "fresh new words only"),  # unique -> kept whole
+        (3, f"{shared} x1"),          # within-increment pair
+        (4, f"{shared} y1"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in duplicated_span_removal_incremental(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            span_hash_index(corpus),
+        ).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (got[1]["n_tokens"], got[1]["n_kept"]) == (10, 2)
+    assert got[1]["clean_md5"] == md5("u1 u2")
+    assert (got[2]["n_tokens"], got[2]["n_kept"]) == (4, 4)
+    assert got[2]["clean_md5"] == md5("fresh new words only")
+    assert (got[3]["n_tokens"], got[3]["n_kept"]) == (9, 1)
+    assert got[3]["clean_md5"] == md5("x1")
+    assert (got[4]["n_tokens"], got[4]["n_kept"]) == (9, 1)
+    assert got[4]["clean_md5"] == md5("y1")
