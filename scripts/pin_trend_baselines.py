@@ -76,7 +76,11 @@ def main() -> int:
         "from a fresh two-session study (same protocol); existing "
         "pins untouched."
     )
-    base.setdefault("history", {})["r12_trend_pin"] = {
+    history = base.setdefault("history", {})
+    key = "r12_trend_pin"
+    while key in history:  # never overwrite an earlier study's record
+        key += "_next"
+    history[key] = {
         "pinned_from": (
             f"r12 {len(sessions)}-session study (back-to-back "
             "bench.py, idle host)"
