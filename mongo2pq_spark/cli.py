@@ -70,6 +70,9 @@ def main(
     near_dedup_store: Path | None = None,
     near_dedup_threshold: float = 0.8,
     near_dedup_consolidate: bool = False,
+    substring_store: Path | None = None,
+    substring_span_words: int = 8,
+    substring_consolidate: bool = False,
     media_dhash_store: Path | None = None,
     media_dhash_max_hamming: int = 3,
     media_phash_store: Path | None = None,
@@ -367,6 +370,47 @@ def main(
             cached_df = df.persist()
             tokens.append(store.batch_token(cached_df))
             df = store.filter_new(cached_df, tokens[0])
+        if substring_store and dedup_text_col and dedup_text_col in df.columns:
+            # cross-RUN incremental ExactSubstr removal: tokens covered
+            # by an 8-token span seen in ANY previous batch (or
+            # duplicated within this one) are cut and the text column
+            # REWRITTEN -- the partially-copied-document remnant that
+            # whole-row dedup (exact or near) cannot touch. Runs after
+            # the row-level dedups so only surviving rows pay; BPE
+            # pricing below then counts the CLEANED text. Keyed
+            # internally by md5(text) -- unique after exact dedup and
+            # caller-id-independent, the near-dedup store's STORE_ID
+            # rule. Same content-token idempotency as the sibling
+            # stores (plans/spanstore.py).
+            from pyspark.sql import functions as F_span
+
+            from mongo2pq_spark.plans.spanstore import SpanHashStore
+
+            sstore = SpanHashStore(
+                substring_store, name,
+                text_col=dedup_text_col,
+                span_words=substring_span_words,
+            )
+            if cached_df is None:
+                # the token digest, the span write and the EL write
+                # each materialize this lineage (the sibling stores'
+                # rationale); released in finally
+                cached_df = df.persist()
+                df = cached_df
+            proj = df.withColumn(
+                "__span_id", F_span.md5(F_span.col(dedup_text_col))
+            )
+            cleaned = sstore.process_increment(
+                spark,
+                proj.select("__span_id", dedup_text_col),
+                id_col="__span_id",
+                with_text=True,
+            ).select("__span_id", "clean_text")
+            df = (
+                proj.join(cleaned, "__span_id")
+                .drop(dedup_text_col, "__span_id")
+                .withColumnRenamed("clean_text", dedup_text_col)
+            )
         if bpe_active:
             # price the rows that will actually be WRITTEN (post-dedup,
             # post-store-filtering); map-only, so placement changes
@@ -625,6 +669,32 @@ def main(
                     open_store(store_root, tree.name).consolidate(spark)
                 except Exception as err:
                     failures.append((tree.name, err))
+    if substring_consolidate and substring_store:
+        # same maintenance contract as the sibling stores: fold every
+        # collection tree's span batches into one batch=c0 through the
+        # crash-safe swap (parameters read from each tree's meta.json
+        # pin), after all of this run's increments landed;
+        # content-preserving, failures reported so schedulers retry
+        import json as jsonlib
+
+        from mongo2pq_spark.plans.spanstore import SpanHashStore
+
+        store_root = Path(substring_store)
+        trees = sorted(
+            p for p in store_root.iterdir()
+            if (p / "meta.json").is_file()
+        ) if store_root.is_dir() else []
+        for tree in trees:
+            try:
+                with open(tree / "meta.json") as fh:
+                    pinned = jsonlib.load(fh)
+                SpanHashStore(
+                    substring_store, tree.name,
+                    text_col=pinned["text_col"],
+                    span_words=pinned["span_words"],
+                ).consolidate(spark)
+            except Exception as err:
+                failures.append((tree.name, err))
     if compact_partitions and partition_key:
         # lake maintenance under the same post-run contract: rewrite
         # every hive partition of every collection written under
@@ -867,6 +937,26 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
                              "Jaccard) for --near-dedup-store to drop a band-"
                              "collision candidate (default 0.8; raw candidacy "
                              "alone has a known false-positive rate)")
+    parser.add_argument("--substring-store", type=Path, default=None,
+                        help="persistent span-hash index directory for "
+                             "cross-run incremental ExactSubstr removal "
+                             "(requires --dedup-text-col): tokens covered "
+                             "by an 8-token span seen in any previous "
+                             "batch (or duplicated within this one) are "
+                             "cut and the text column rewritten -- the "
+                             "partially-copied remnant row-level dedup "
+                             "misses; per-run cost scales with the "
+                             "increment, never the corpus")
+    parser.add_argument("--substring-span-words", type=int, default=8,
+                        help="span width in whitespace tokens for "
+                             "--substring-store (default 8; pinned per "
+                             "store tree -- hashes are only comparable "
+                             "within one width)")
+    parser.add_argument("--substring-consolidate", action="store_true",
+                        help="after this run's batches commit, fold all "
+                             "completed --substring-store batch partitions "
+                             "into one per tree (bounds partition-count "
+                             "growth; content-preserving and crash-safe)")
     parser.add_argument("--media-dhash-store", type=Path, default=None,
                         help="persistent cross-run incremental IMAGE "
                              "near-dedup store (requires --source-format "
@@ -984,6 +1074,20 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
     if not parsed.uri:
         print("ERROR: source URI not given (use --uri or $MONGODB_URI)", file=sys.stderr)
         parser.print_help()
+        return None
+    if parsed.substring_store and not parsed.dedup_text_col:
+        print(
+            "ERROR: --substring-store requires --dedup-text-col "
+            "(the column to scan for duplicated spans)",
+            file=sys.stderr,
+        )
+        return None
+    if parsed.substring_consolidate and not parsed.substring_store:
+        print(
+            "ERROR: --substring-consolidate requires --substring-store "
+            "(the store to consolidate)",
+            file=sys.stderr,
+        )
         return None
     if parsed.near_dedup_store and not parsed.dedup_text_col:
         print(
@@ -1112,6 +1216,9 @@ def run(argv: list[str] | None = None) -> int:
         near_dedup_store=args.near_dedup_store,
         near_dedup_threshold=args.near_dedup_threshold,
         near_dedup_consolidate=args.near_dedup_consolidate,
+        substring_store=args.substring_store,
+        substring_span_words=args.substring_span_words,
+        substring_consolidate=args.substring_consolidate,
         media_dhash_store=args.media_dhash_store,
         media_dhash_max_hamming=args.media_dhash_max_hamming,
         media_phash_store=args.media_phash_store,

@@ -1279,11 +1279,12 @@ def _remove_covered(
     danchors: DataFrame,
     id_col: str,
     span_words: int,
+    with_text: bool = False,
 ) -> DataFrame:
     """Shared removal tail: explode duplicated anchors into covered
     positions, anti-join them out of the token stream, rebuild every
     input doc (empty docs included) as (id, n_tokens, n_kept,
-    clean_md5)."""
+    clean_md5[, clean_text if ``with_text``])."""
     covered = (
         danchors.select(
             F.col(id_col),
@@ -1322,6 +1323,15 @@ def _remove_covered(
             F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias(
                 "clean_md5"
             ),
+            *(
+                [
+                    F.coalesce(F.col("__clean"), F.lit("")).alias(
+                        "clean_text"
+                    )
+                ]
+                if with_text
+                else []
+            ),
         )
     )
 
@@ -1347,6 +1357,7 @@ def duplicated_span_removal_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_words: int = 8,
+    with_text: bool = False,
 ) -> DataFrame:
     """Incremental ExactSubstr removal — the O(increment) economics
     of the other incremental dedup paths applied to substring
@@ -1373,5 +1384,10 @@ def duplicated_span_removal_incremental(
     )
     dup_hashes = dup_within.union(index.select("h")).distinct()
     return _remove_covered(
-        new_df, tok, sh.join(dup_hashes, "h"), id_col, span_words
+        new_df,
+        tok,
+        sh.join(dup_hashes, "h"),
+        id_col,
+        span_words,
+        with_text=with_text,
     )

@@ -1535,3 +1535,107 @@ dims:
     assert not (out2 / "users.parquet").exists()
     assert (out2 / "dims.parquet").exists()
     assert (out2 / "users_dq_report.json").exists()  # report still lands
+
+
+def test_cli_substring_store_across_runs(spark, tmp_path):
+    """--substring-store: a second EL run whose documents lead with
+    token spans copied from run 1 gets those tokens CUT and the text
+    column rewritten against the persistent span-hash index at
+    O(increment) cost; unique documents pass untouched; a retry of
+    the same run is byte-identical; consolidation folds the store to
+    one partition with history preserved. Flag-dependency errors are
+    argparse-level."""
+    from mongo2pq_spark.cli import main as _main, parse_args as _parse
+
+    def words(prefix, n):
+        return " ".join(f"{prefix}_{k}" for k in range(n))
+
+    run1 = [(i, words(f"w{i}", 20)) for i in range(40)]
+    # run 2: 15 docs lead with 12 tokens COPIED from run-1 doc i,
+    # then 6 unique; 10 docs fully unique
+    run2 = [
+        (1000 + i, " ".join(run1[i][1].split()[:12]) + " " + words(f"u{i}", 6))
+        for i in range(15)
+    ] + [(2000 + i, words(f"z{i}", 10)) for i in range(10)]
+
+    run1_src, run2_src = tmp_path / "r1", tmp_path / "r2"
+    run1_src.mkdir(), run2_src.mkdir()
+    spark.createDataFrame(run1, "doc_id long, text string").write.parquet(
+        str(run1_src / "docs.parquet")
+    )
+    spark.createDataFrame(run2, "doc_id long, text string").write.parquet(
+        str(run2_src / "docs.parquet")
+    )
+
+    store = tmp_path / "spanstore"
+    out1, out2 = tmp_path / "o1", tmp_path / "o2"
+    for src, out in ((run1_src, out1), (run2_src, out2)):
+        rc = _main(
+            f"file:{src}",
+            outdir=out,
+            dedup_text_col="text",
+            dedup_id_col="doc_id",
+            substring_store=store,
+            use_source_types=True,
+            spark=spark,
+        )
+        assert rc == 0
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(out2 / "docs.parquet")).collect()
+    }
+    for i in range(15):  # copied leads cut, unique tails survive
+        assert got[1000 + i] == words(f"u{i}", 6), i
+    for i in range(10):  # unique docs untouched
+        assert got[2000 + i] == words(f"z{i}", 10), i
+
+    # retry of run 2: own-batch exclusion keeps the output identical
+    rc = _main(
+        f"file:{run2_src}",
+        outdir=out2,
+        dedup_text_col="text",
+        dedup_id_col="doc_id",
+        substring_store=store,
+        use_source_types=True,
+        spark=spark,
+    )
+    assert rc == 0
+    again = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(out2 / "docs.parquet")).collect()
+    }
+    assert again == got
+
+    # maintenance: consolidate folds to one c0 partition; a third run
+    # copying run-1 tokens still probes the full history
+    run3_src, out3 = tmp_path / "r3", tmp_path / "o3"
+    run3_src.mkdir()
+    spark.createDataFrame(
+        [(3000, " ".join(run1[20][1].split()[:12]) + " " + words("v", 4))],
+        "doc_id long, text string",
+    ).write.parquet(str(run3_src / "docs.parquet"))
+    rc = _main(
+        f"file:{run3_src}",
+        outdir=out3,
+        dedup_text_col="text",
+        dedup_id_col="doc_id",
+        substring_store=store,
+        substring_consolidate=True,
+        use_source_types=True,
+        spark=spark,
+    )
+    assert rc == 0
+    got3 = spark.read.parquet(str(out3 / "docs.parquet")).collect()
+    assert got3[0]["text"] == words("v", 4)
+    assert [p.name for p in (store / "docs" / "spans").glob("batch=*")] == [
+        "batch=c0"
+    ]
+
+    # flag dependencies are hard errors, not silent no-ops
+    assert _parse(
+        ["-u", f"file:{run1_src}", "--substring-store", str(store)]
+    ) is None
+    assert _parse(
+        ["-u", f"file:{run1_src}", "--substring-consolidate"]
+    ) is None

@@ -4763,3 +4763,71 @@ def test_duplicated_span_removal_incremental_hand_traced(spark):
     assert got[3]["clean_md5"] == md5("x1")
     assert (got[4]["n_tokens"], got[4]["n_kept"]) == (9, 1)
     assert got[4]["clean_md5"] == md5("y1")
+
+
+def test_span_hash_store_lifecycle(spark, tmp_path):
+    """SpanHashStore end to end: history probe across batches,
+    retry idempotency (same content token -> own-partition exclusion
+    and overwrite), consolidation preserving probe answers with the
+    absorbed-token retry exclusion, and meta-drift fail-loud."""
+    import hashlib
+
+    import pytest
+
+    from mongo2pq_spark.plans.spanstore import SpanHashStore
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    span = "a b c d e f g h"
+    store = SpanHashStore(tmp_path / "st", "docs")
+
+    b1 = spark.createDataFrame(
+        [(1, f"{span} one extra"), (2, "totally different words here")],
+        "doc_id long, text string",
+    )
+    r1 = {r["doc_id"]: r for r in store.process_increment(spark, b1).collect()}
+    # first batch: nothing historical, nothing within-batch duplicated
+    assert r1[1]["n_kept"] == r1[1]["n_tokens"] == 10
+    assert r1[2]["n_kept"] == 4
+
+    b2 = spark.createDataFrame(
+        [(10, f"{span} u1 u2"), (11, "fresh unrelated content")],
+        "doc_id long, text string",
+    )
+    r2 = {r["doc_id"]: r for r in store.process_increment(spark, b2).collect()}
+    # doc 10 leads with batch-1's span -> cut; unique tail survives
+    assert (r2[10]["n_tokens"], r2[10]["n_kept"]) == (10, 2)
+    assert r2[10]["clean_md5"] == md5("u1 u2")
+    assert r2[11]["n_kept"] == 3
+
+    # retry of batch 2 (same content -> same token): identical result,
+    # own spans must NOT read as history
+    r2b = {r["doc_id"]: r for r in store.process_increment(spark, b2).collect()}
+    assert {k: (v["n_tokens"], v["n_kept"], v["clean_md5"]) for k, v in r2.items()} == {
+        k: (v["n_tokens"], v["n_kept"], v["clean_md5"]) for k, v in r2b.items()
+    }
+
+    # consolidation: one c0 partition, probe answers unchanged for a
+    # NEW batch copying batch-1 content
+    store.consolidate(spark)
+    spans_dir = tmp_path / "st" / "docs" / "spans"
+    assert [p.name for p in spans_dir.glob("batch=*")] == ["batch=c0"]
+    b3 = spark.createDataFrame(
+        [(20, f"{span} z9")], "doc_id long, text string"
+    )
+    r3 = store.process_increment(spark, b3).collect()[0]
+    assert (r3["n_tokens"], r3["n_kept"]) == (9, 1)
+    assert r3["clean_md5"] == md5("z9")
+
+    # absorbed-batch retry: consolidate (absorbing b3's token), then
+    # replay b3 — the src_token exclusion must keep the replay's
+    # answer identical, and no new partition may appear next to c0
+    store.consolidate(spark)
+    r3b = store.process_increment(spark, b3).collect()[0]
+    assert (r3b["n_tokens"], r3b["n_kept"], r3b["clean_md5"]) == (
+        r3["n_tokens"], r3["n_kept"], r3["clean_md5"],
+    )
+    assert [p.name for p in spans_dir.glob("batch=*")] == ["batch=c0"]
+
+    # meta drift fails loud
+    with pytest.raises(ValueError, match="different parameters"):
+        SpanHashStore(tmp_path / "st", "docs", span_words=12)
