@@ -75,3 +75,48 @@ for series, unique in (("unique", True), ("worst-case", False)):
             flush=True,
         )
         prev = dt
+
+
+# -- store series: per-increment cost vs growing history ---------------------
+# The O(increment) claim for the PERSISTED path (SpanHashStore):
+# ingest increments of constant size while the store's history
+# doubles; per-increment wall-clock must stay flat-to-slowly-growing
+# (the probe is one equi-join against the hash set; history enters
+# only as the join's build side).
+import shutil
+
+from pyspark.sql import functions as SF
+
+from mongo2pq_spark.plans.spanstore import SpanHashStore
+
+ROOT = "/tmp/span_drive_store"
+shutil.rmtree(ROOT, ignore_errors=True)
+store = SpanHashStore(ROOT, "docs")
+print("-- series: store (constant 5k-doc increments, growing history)",
+      flush=True)
+for inc in range(1, 5):
+    batch = base.select(
+        (F.col("doc_id") + inc * offset).alias("doc_id"),
+        # from inc2 on, the even half carries the UNSUFFIXED corpus
+        # text — identical across increments, so from inc3 on it is a
+        # re-crawl of inc2's history and must be cut; the odd half is
+        # unique to this increment (inc-suffixed tokens)
+        F.when(
+            (F.col("doc_id") % 2 == 0) & F.lit(inc > 1),
+            F.col("text"),
+        )
+        .otherwise(
+            SF.regexp_replace(F.col("text"), r"(\S+)", f"$1_i{inc}")
+        )
+        .alias("text"),
+    )
+    t0 = time.time()
+    res = store.process_increment(spark, batch)
+    res.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    cut = res.filter(F.col("n_kept") < F.col("n_tokens")).count()
+    print(
+        f"store inc{inc} ({n_base} docs, history {inc - 1} batches): "
+        f"{dt:.1f}s ({cut} docs had spans cut)",
+        flush=True,
+    )
