@@ -189,6 +189,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # value oracle mirroring fixture + pipeline); completes the
     # incremental matrix with the substring modality
     "dedup_substring_incremental",
+    # r12 tail: WebDataset-style tar-shard sink, round-tripped
+    # through the independent binaryFile -> real-tar-parse chain
+    # (full value oracle from the original table)
+    "el_tar_shards_roundtrip",
 ]
 
 

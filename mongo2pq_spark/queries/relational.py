@@ -1188,3 +1188,58 @@ def el_footer_manifest(spark, sf_dir):
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("user_id_sum").cast("bigint").alias("user_id_sum"),
     )
+
+
+@register(
+    "el_tar_shards_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    doc="WebDataset-style tar-shard sink + real-codec re-ingestion: "
+        "the documents table is written as a directory of "
+        "shard-NNNNN.tar files (sources/tarshards.py — the standard "
+        "multimodal-training interchange, one tar per task partition "
+        "so repartition(n) IS the shard-sizing knob), then re-read "
+        "through the INDEPENDENT chain binaryFile scan -> real tar "
+        "parse (archive_manifest) and checked per document: member "
+        "byte length and content md5 must equal the source text's "
+        "UTF-8 bytes — the oracle states both from the original "
+        "table, so the tar framing, the atomic shard commit and the "
+        "parse must all be value-lossless",
+)
+def el_tar_shards_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo2pq_spark.operators.archives import archive_manifest
+    from mongo2pq_spark.operators.multimodal import ingest_binary_dir
+    from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.tarshards import register_tarshards_sink
+
+    register_tarshards_sink(spark)
+    docs = read_sf_table(spark, sf_dir, "documents")
+    outdir = os.path.join(tempfile.gettempdir(), "el_tar_shards_out")
+    (
+        docs.select(
+            F.concat(
+                F.lit("doc"), F.col("doc_id").cast("string"), F.lit(".txt")
+            ).alias("name"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+        .repartition(4)
+        .write.format("tarshards")
+        .mode("overwrite")
+        .save(outdir)
+    )
+    shards = ingest_binary_dir(spark, outdir, glob="shard-*.tar")
+    entries = archive_manifest(shards)
+    return entries.select(
+        F.regexp_extract(F.col("name"), r"^doc(\d+)\.txt$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "content_md5",
+    )

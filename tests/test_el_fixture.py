@@ -1639,3 +1639,46 @@ def test_cli_substring_store_across_runs(spark, tmp_path):
     assert _parse(
         ["-u", f"file:{run1_src}", "--substring-consolidate"]
     ) is None
+
+
+def test_tarshards_sink_contract(spark, tmp_path):
+    """tarshards write-mode contract: overwrite prunes stale shards
+    from a previous wider write; append is a loud NotImplementedError;
+    NULL samples and a wrong schema fail loud; shard bytes are
+    deterministic (fixed mtime/mode) given identical partitioning."""
+    import pytest
+
+    from mongo2pq_spark.sources.tarshards import register_tarshards_sink
+
+    register_tarshards_sink(spark)
+    out = str(tmp_path / "shards")
+    ddl = "name string, payload binary"
+    wide = spark.createDataFrame(
+        [(f"a{i}.txt", f"body-{i}".encode()) for i in range(8)], ddl
+    ).repartition(4)
+    wide.write.format("tarshards").mode("overwrite").save(out)
+    assert len(list((tmp_path / "shards").glob("shard-*.tar"))) == 4
+
+    narrow = spark.createDataFrame([("only.txt", b"x")], ddl).repartition(1)
+    narrow.write.format("tarshards").mode("overwrite").save(out)
+    shards = list((tmp_path / "shards").glob("shard-*.tar"))
+    assert len(shards) == 1  # stale wider shards pruned
+
+    from mongo2pq_spark.operators.archives import parse_archive_manifest
+
+    recs = parse_archive_manifest(shards[0].read_bytes())
+    assert [r["name"] for r in recs] == ["only.txt"]
+
+    # determinism: same single-partition write -> identical bytes
+    before = shards[0].read_bytes()
+    narrow.write.format("tarshards").mode("overwrite").save(out)
+    assert shards[0].read_bytes() == before
+
+    with pytest.raises(Exception, match="overwrite.*only|immutable"):
+        narrow.write.format("tarshards").mode("append").save(out)
+    bad = spark.createDataFrame([("n.txt", None)], ddl).repartition(1)
+    with pytest.raises(Exception, match="NULL name or payload"):
+        bad.write.format("tarshards").mode("overwrite").save(out)
+    wrong = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="requires columns"):
+        wrong.write.format("tarshards").mode("overwrite").save(out)
