@@ -169,6 +169,15 @@ HEADLINE = [
     # two sessions. text_fix_mojibake stays out (light map, the
     # policy class)
     "dedup_substring_removal",
+    # r12 second-wave additions, pinned from a dedicated two-session
+    # study the same round: incremental span dedup (index derivation
+    # + probe + removal tail) and the tar-shard sink round trip
+    # (el I/O class). embedding_pca_invariants /
+    # embedding_whitening_identity stay out (bounded-stats class —
+    # wall-clock is the one corpus projection both already share
+    # with embedding_covariance, which IS benched)
+    "dedup_substring_incremental",
+    "el_tar_shards_roundtrip",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite
