@@ -402,14 +402,30 @@ def main(
             )
             cleaned = sstore.process_increment(
                 spark,
-                proj.select("__span_id", dedup_text_col),
+                proj.filter(
+                    F_span.col("__span_id").isNotNull()
+                ).select("__span_id", dedup_text_col),
                 id_col="__span_id",
                 with_text=True,
-            ).select("__span_id", "clean_text")
+            ).select(
+                "__span_id",
+                # private alias: a source column literally named
+                # clean_text must not collide through the join
+                F_span.col("clean_text").alias("__span_clean"),
+            )
+            # LEFT join + coalesce: NULL-text rows (no __span_id) and
+            # any row the store result misses pass through UNCHANGED
+            # — the rewrite must never drop a document
             df = (
-                proj.join(cleaned, "__span_id")
-                .drop(dedup_text_col, "__span_id")
-                .withColumnRenamed("clean_text", dedup_text_col)
+                proj.join(cleaned, "__span_id", "left")
+                .withColumn(
+                    dedup_text_col,
+                    F_span.coalesce(
+                        F_span.col("__span_clean"),
+                        F_span.col(dedup_text_col),
+                    ),
+                )
+                .drop("__span_id", "__span_clean")
             )
         if bpe_active:
             # price the rows that will actually be WRITTEN (post-dedup,

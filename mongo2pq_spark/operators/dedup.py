@@ -71,11 +71,18 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "
     whole-row dropDuplicates collapses fully-identical copies of a
     winning row (same id AND same bytes), whose join keys tie; its key
     is the entire row, so it is skew-free too. Costs one extra shuffle
-    vs the window form; at corpus scale, skew resilience wins."""
+    vs the window form; at corpus scale, skew resilience wins.
+
+    NULL-text rows pass through UNTOUCHED: a missing text is not a
+    duplicate of anything (and the old digest-equality join silently
+    dropped every such row — r12 fix; callers that want null texts
+    gone should filter explicitly, not lose them to a dedup)."""
     digest = F.md5(F.col(text_col).cast("binary"))
     row_digest = F.md5(
         F.to_json(F.struct(*[F.col(c) for c in df.columns])).cast("binary")
     )
+    nulls = df.filter(F.col(text_col).isNull())
+    df = df.filter(F.col(text_col).isNotNull())
     keyed = df.withColumn("__digest", digest).withColumn("__rd", row_digest)
     winners = (
         keyed.groupBy("__digest")
@@ -96,6 +103,7 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "
         )
         .dropDuplicates(["__rd"])
         .drop("__digest", "__rd")
+        .unionByName(nulls)
     )
 
 

@@ -1089,7 +1089,7 @@ def _pagerank_oracle() -> str:
     n AS (SELECT count(*) AS n FROM nodes),
     r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),
     {iters}
-    SELECT node, round(rank, 6) AS rank FROM r{_PR_ITERS}
+    SELECT node, round(rank, 4) AS rank FROM r{_PR_ITERS}
     """
 
 
@@ -1169,7 +1169,7 @@ def _pagerank_weighted_oracle() -> str:
     n AS (SELECT count(*) AS n FROM nodes),
     r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),
     {iters}
-    SELECT node, round(rank, 6) AS rank FROM r{_PR_ITERS}
+    SELECT node, round(rank, 4) AS rank FROM r{_PR_ITERS}
     """
 
 

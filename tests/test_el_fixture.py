@@ -1632,6 +1632,31 @@ def test_cli_substring_store_across_runs(spark, tmp_path):
         "batch=c0"
     ]
 
+    # NULL-text rows must pass through UNCHANGED, never be dropped
+    # (the rewrite joins the cleaned text back; a NULL md5 key would
+    # fall out of an inner join)
+    run4_src, out4 = tmp_path / "r4", tmp_path / "o4"
+    run4_src.mkdir()
+    spark.createDataFrame(
+        [(4000, None), (4001, words("q", 9))],
+        "doc_id long, text string",
+    ).write.parquet(str(run4_src / "docs.parquet"))
+    rc = _main(
+        f"file:{run4_src}",
+        outdir=out4,
+        dedup_text_col="text",
+        dedup_id_col="doc_id",
+        substring_store=store,
+        use_source_types=True,
+        spark=spark,
+    )
+    assert rc == 0
+    got4 = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(out4 / "docs.parquet")).collect()
+    }
+    assert got4 == {4000: None, 4001: words("q", 9)}
+
     # flag dependencies are hard errors, not silent no-ops
     assert _parse(
         ["-u", f"file:{run1_src}", "--substring-store", str(store)]

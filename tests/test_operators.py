@@ -2537,8 +2537,8 @@ def test_pagerank_invariants_and_model_parity(spark):
         [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
     )
     r = {x["node"]: x["rank"] for x in pagerank(cycle, 3).collect()}
-    assert r == {"a": round(1 / 3, 6), "b": round(1 / 3, 6),
-                 "c": round(1 / 3, 6)}
+    assert r == {"a": round(1 / 3, 4), "b": round(1 / 3, 4),
+                 "c": round(1 / 3, 4)}
 
     star_pairs = [("hub", f"leaf{i}") for i in range(4)]
     star = spark.createDataFrame(
@@ -2558,8 +2558,10 @@ def test_pagerank_invariants_and_model_parity(spark):
             + 0.85 * sum(rank[u] / deg[u] for u in inn[v])
             for v in nodes
         }
-    assert got == {v: round(rank[v], 6) for v in nodes}
-    assert abs(sum(got.values()) - 1.0) < 1e-4
+    assert got == {v: round(rank[v], 4) for v in nodes}
+    # conservation bound = n_nodes x the 4-dp half-grid (each
+    # published rank may round by up to 5e-5)
+    assert abs(sum(got.values()) - 1.0) < 5 * 5e-5 + 1e-9
     assert got["hub"] > got["leaf0"]
 
 
@@ -2920,7 +2922,7 @@ def test_pagerank_weighted_matches_model(spark):
             )
             for v in nodes
         }
-    assert got == {v: round(rank[v], 6) for v in nodes}
+    assert got == {v: round(rank[v], 4) for v in nodes}
     assert got["a"] > got["b"]
 
     sym = {r["node"]: r["rank"]
@@ -4831,3 +4833,22 @@ def test_span_hash_store_lifecycle(spark, tmp_path):
     # meta drift fails loud
     with pytest.raises(ValueError, match="different parameters"):
         SpanHashStore(tmp_path / "st", "docs", span_words=12)
+
+
+def test_drop_exact_duplicates_passes_null_text_through(spark):
+    """NULL-text rows must survive exact dedup untouched (r12 fix:
+    the digest-equality semi-join silently dropped every such row),
+    while non-null duplicates still collapse to the min-id survivor."""
+    from mongo2pq_spark.operators.dedup import drop_exact_duplicates
+
+    rows = [
+        (1, "same text"), (2, "same text"), (3, None), (4, None),
+        (5, "unique"),
+    ]
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in drop_exact_duplicates(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    )
+    assert got == [(1, "same text"), (3, None), (4, None), (5, "unique")]
