@@ -410,12 +410,24 @@ def main(
             ).select(
                 "__span_id",
                 # private alias: a source column literally named
-                # clean_text must not collide through the join
-                F_span.col("clean_text").alias("__span_clean"),
+                # clean_text must not collide through the join.
+                # clean_text is the whitespace-normalized token
+                # rebuild (array_join(tokens, ' ')), so substitute it
+                # ONLY when spans were actually removed (n_kept <
+                # n_tokens) — a document with zero duplicated spans
+                # must pass through byte-identical, preserving its
+                # newlines/tabs/space runs and content hash
+                # (ADVICE r12: the unconditional rebuild silently
+                # re-whitespaced the whole corpus)
+                F_span.when(
+                    F_span.col("n_kept") < F_span.col("n_tokens"),
+                    F_span.col("clean_text"),
+                ).alias("__span_clean"),
             )
-            # LEFT join + coalesce: NULL-text rows (no __span_id) and
-            # any row the store result misses pass through UNCHANGED
-            # — the rewrite must never drop a document
+            # LEFT join + coalesce: NULL-text rows (no __span_id),
+            # untouched rows (NULL __span_clean above), and any row
+            # the store result misses pass through UNCHANGED — the
+            # rewrite must never drop or alter an unaffected document
             df = (
                 proj.join(cleaned, "__span_id", "left")
                 .withColumn(

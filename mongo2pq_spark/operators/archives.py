@@ -96,6 +96,14 @@ def parse_archive_manifest(payload: bytes) -> list[dict]:
     # `or not gzip` fallback routed every arbitrary binary payload
     # into tarfile, misreporting corrupt non-archives as corrupt tars
     # and making the unrecognized-container error unreachable.
+    # A valid EMPTY tar has no member headers at all — tarfile emits
+    # only zero end-of-archive blocks, so the ustar magic test below
+    # would misreport it as unrecognized (ADVICE r12). Two 512-byte
+    # zero blocks are the POSIX end-of-archive marker; accept any
+    # payload that starts with them (padding to the 10 KiB blocksize
+    # is also zeros) as an empty archive.
+    if len(payload) >= 1024 and payload[:1024] == b"\x00" * 1024:
+        return out
     if payload[257:262] == b"ustar":
         try:
             tf = tarfile.open(fileobj=io.BytesIO(payload), mode="r:")

@@ -1267,7 +1267,15 @@ def duplicated_span_removal(
 def _span_hash_stream(df, id_col: str, text_col: str, span_words: int):
     """(token-positions, span-hash-anchors) streams shared by the
     batch and incremental ExactSubstr paths — ONE tokenize, the span
-    hash at anchor position p covering tokens p..p+span_words-1."""
+    hash at anchor position p covering tokens p..p+span_words-1.
+
+    The span hash is the 60-bit ``hash64``, NOT the 32-bit token
+    hash: span membership drives DESTRUCTIVE token deletion, and at
+    the birthday bound ~77k distinct spans already give ~50% odds of
+    one 32-bit collision — two unrelated spans counted as 'duplicated
+    in >= 2 docs' and both silently cut. 60 bits pushes the same 50%
+    point past 10^9 spans (ADVICE r12). Non-destructive signals
+    (coverage stats, sampling buckets) keep the cheaper 32-bit hash."""
     base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     tok = base.select(
         id_col, F.posexplode(F.col("__toks")).alias("pos", "tok")
@@ -1277,7 +1285,7 @@ def _span_hash_stream(df, id_col: str, text_col: str, span_words: int):
         F.posexplode(
             word_shingles(F.col("__toks"), span_words)
         ).alias("apos", "s"),
-    ).select(id_col, "apos", token_hash32(F.col("s")).alias("h"))
+    ).select(id_col, "apos", hash64(F.col("s")).alias("h"))
     return tok, sh
 
 
@@ -1378,10 +1386,13 @@ def duplicated_span_removal_incremental(
 
     Scale shape: the increment's span stream (linear in increment
     tokens) is cached once and probed against the index via one
-    equi-join on the hash — never against corpus text; within-batch
-    duplication is the batch operator's partial-agg groupBy. Anchors
-    matching both sources union through a distinct bounded by the
-    duplicated-anchor count."""
+    LEFT SEMI equi-join on the hash — the index is NEVER re-aggregated
+    (a union().distinct() here would re-shuffle the O(corpus-tokens)
+    index on every increment, VERDICT r12 #3); within-batch
+    duplication is the batch operator's partial-agg groupBy over the
+    increment only. An anchor matching both sources appears twice in
+    the union; the covered-position distinct downstream (bounded by
+    increment tokens) absorbs it."""
     tok, sh = _span_hash_stream(new_df, id_col, text_col, span_words)
     sh = _cache_stream(sh)
     dup_within = (
@@ -1390,11 +1401,15 @@ def duplicated_span_removal_incremental(
         .filter(F.col("nd") >= 2)
         .select("h")
     )
-    dup_hashes = dup_within.union(index.select("h")).distinct()
+    danchors = sh.join(dup_within, "h").select(
+        id_col, "apos"
+    ).unionByName(
+        sh.join(index.select("h"), "h", "left_semi").select(id_col, "apos")
+    )
     return _remove_covered(
         new_df,
         tok,
-        sh.join(dup_hashes, "h"),
+        danchors,
         id_col,
         span_words,
         with_text=with_text,

@@ -79,8 +79,14 @@ class SpanHashStore:
 
     def _check_meta(self) -> None:
         meta_path = self.dir / "meta.json"
+        # layout 2: span hashes are the 60-bit hash64 (ADVICE r12 —
+        # destructive removal must not key on 32 bits). A layout-1
+        # store persisted 32-bit hashes: probing it with 60-bit spans
+        # would silently never match, so the drift check below makes
+        # it fail loud instead; rebuild the store from corpus text.
         pinned = {
-            "layout": 1,
+            "layout": 2,
+            "span_hash": "md5-60bit",
             "text_col": self.text_col,
             "span_words": self.span_words,
         }

@@ -86,15 +86,24 @@ def dedup_exact(spark, sf_dir):
     "dedup_cleaned_corpus",
     """
     SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE text IS NOT NULL
     QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    UNION ALL
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE text IS NULL
     """,
     doc="end-to-end dedup: return the cleaned corpus — exactly ONE "
-        "deterministic min-id survivor per distinct text. The oracle pins "
-        "the one-row-per-digest contract (a min-id IN-subquery would keep "
-        "every row sharing a group-min id when ids are not unique); the "
-        "Spark side additionally breaks id ties with a whole-row digest, "
-        "which SQL cannot portably express — parity holds whenever ids "
-        "are unique per digest group, as in the fixtures",
+        "deterministic min-id survivor per distinct text, with ALL "
+        "null-text rows passing through (the operator's r12 contract: "
+        "null is absence-of-text, not a duplicate group — the oracle's "
+        "UNION ALL branch mirrors it rather than DuckDB's one-survivor-"
+        "per-NULL-partition default, ADVICE r12). The QUALIFY branch "
+        "pins the one-row-per-digest contract (a min-id IN-subquery "
+        "would keep every row sharing a group-min id when ids are not "
+        "unique); the Spark side additionally breaks id ties with a "
+        "whole-row digest, which SQL cannot portably express — parity "
+        "holds whenever ids are unique per digest group, as in the "
+        "fixtures",
 )
 def dedup_cleaned_corpus(spark, sf_dir):
     from mongo2pq_spark.sources.registry import read_sf_table
@@ -906,7 +915,9 @@ def dedup_cdc_chunks(spark, sf_dir):
 
 
 def _substring_removal_oracle() -> str:
-    h = sql_token_hash32("sarr[ap]")
+    # 60-bit span hash mirroring _span_hash_stream: destructive span
+    # removal must not key on 32 bits (collision corruption at scale)
+    h = sql_hash64("sarr[ap]")
     return f"""
     WITH toks AS (
         SELECT doc_id, {sql_tokens('text')} AS t FROM documents
@@ -981,7 +992,8 @@ def dedup_substring_removal(spark, sf_dir):
 
 
 def _substring_incremental_oracle() -> str:
-    h = sql_token_hash32("sarr[ap]")
+    # 60-bit span hash mirroring _span_hash_stream (see the batch oracle)
+    h = sql_hash64("sarr[ap]")
     suffix = "'uq' || CAST(d.doc_id AS VARCHAR) || '_0' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_1' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_2' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_3' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_4' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_5' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_6' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_7' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_8' || ' ' || 'uq' || CAST(d.doc_id AS VARCHAR) || '_9'"
     return f"""
     WITH corpus AS (

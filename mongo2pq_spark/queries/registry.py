@@ -46,68 +46,73 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # r12 window (verdict r11 #1): drain the driver-row debt. All 50
-    # slots go to entries that have NEVER had a driver row — queue-
-    # first in registration order — with one policy exception applied
-    # first: the four queued queries whose implementations changed
-    # this round (ADVICE r11 fixes: mongodump overwrite/append honor +
-    # tz-aware extended-JSON normalization; EXIF inline <=4-byte ASCII
-    # values; URL canonicalization no-path authority bound; archive
-    # container sniffing) enter the window NOW so their first driver
-    # row reflects the fixed code.
-    "el_mongodump_export_roundtrip",
-    "multimodal_jpeg_exif",
-    "docs_url_canonicalize",
+    # r13 window (verdict r12 #1): drain the queue to ZERO — after
+    # this round every registry entry holds a driver row. Order:
+    # (a) queries whose implementation/oracle/underlying machinery
+    # changed in r13 (ADVICE r12 fixes: cleaned-corpus null-text
+    # oracle parity; empty-tar container sniffing; 60-bit span hash +
+    # O(increment) index probe for both ExactSubstr paths; streaming
+    # empty-skip tar-shard sink) plus the round's new registration
+    # (native tar-shard reader) — their first/next driver row must
+    # reflect the r13 code;
+    "dedup_cleaned_corpus",
     "multimodal_archive_manifest",
-    # ... then the r11 queue in registration order (audio-fp, BPE,
-    # embedding-incremental, chunk/CDC dedup, retrieval/index/PQ,
-    # graph, drift stats, codec triage, corpus stats):
-    "multimodal_audio_fp_neardup",
-    "multimodal_audio_fp_incremental",
-    "text_bpe_roundtrip_stats",
-    "embedding_incremental_near_dups",
-    "dedup_cluster_survivors",
-    "streaming_hamming_dedup",
-    "events_pivot_daily",
-    "text_collapse_repeats",
-    "dedup_chunk_reassemble",
-    "text_bigram_logprob",
-    "ann_hard_negatives",
-    "multimodal_mp4_sample_tables",
-    "multimodal_wav_window_features",
-    "text_bm25_topk",
-    "multimodal_mp4_keyframe_ranges",
-    "corpus_mix_temperature",
-    "dedup_cdc_chunks",
-    "graph_pagerank_interactions",
-    "embedding_covariance",
-    "multimodal_image_phash_invariance",
-    "sample_quota_per_source",
-    "events_decay_scores",
-    "el_inverted_index_roundtrip",
-    "el_inverted_index_incremental",
-    "streaming_index_append",
-    "graph_pagerank_weighted",
-    "el_index_bm25_topk",
-    "sample_weighted_priority",
-    "retrieval_rrf_fusion",
-    "text_phrase_matches",
-    "el_index_phrase_matches",
-    "text_trigram_backoff",
-    "corpus_perplexity_buckets",
-    "ann_pq_recall",
-    "text_pmi_collocations",
-    "el_compact_roundtrip",
-    "embedding_label_agreement",
-    "docs_blocklist_filter",
-    "corpus_vocab_growth",
-    "events_psi_drift",
-    "events_cms_estimates",
-    "multimodal_mp3_metadata",
-    "corpus_dsir_select",
-    "events_ks_drift",
-    "text_unigram_tok_roundtrip",
-    "events_markov_transitions",
+    "dedup_substring_removal",
+    "dedup_substring_incremental",
+    "el_tar_shards_roundtrip",
+    "el_tar_shards_native_read",
+    # (b) the remaining 26 _NEXT_WINDOW_QUEUE entries exactly in
+    # their declared order (the three displaced DQ-contract queries
+    # first, then registration order) — the last never-checked names;
+    "events_benford_deviation",
+    "dq_validate_events",
+    "dq_referential_lineitem",
+    "streaming_dq_monitor",
+    "text_html_extract",
+    "retrieval_eval_metrics",
+    "embedding_calibration_bins",
+    "multimodal_pdf_metadata",
+    "el_jsonl_gzip_roundtrip",
+    "multimodal_warc_extract",
+    "web_outlinks",
+    "corpus_source_kl",
+    "events_bootstrap_ci",
+    "el_snapshot_diff",
+    "multimodal_flac_streaminfo",
+    "multimodal_bmp_pixel_roundtrip",
+    "multimodal_gif_metadata",
+    "multimodal_mp3_id3_tags",
+    "web_robots_audit",
+    "multimodal_crosscodec_neardup",
+    "el_footer_manifest",
+    "web_sitemap_urls",
+    "text_srt_cues",
+    "text_fix_mojibake",
+    "embedding_pca_invariants",
+    "embedding_whitening_identity",
+    # (c) 18 of the 20 twice-deferred r8-latest freshness rotations
+    # (SCALING.md r11-era list, in order); the final two
+    # (udaf_user_value_gini, value_quartile_buckets) and the oldest
+    # r9 row roll to r14's pure-freshness rotation — they all hold
+    # green r8/r9 driver rows, so coverage stays total.
+    "doc_chunks_fixed",
+    "token_pack_greedy",
+    "stratified_sample",
+    "weighted_sample_quality",
+    "events_anomaly_mad",
+    "events_funnel_conversion",
+    "events_heavy_hitters",
+    "events_rolling_1h_user",
+    "events_rollup_gapfill",
+    "events_value_histogram",
+    "profile_events_stats",
+    "range_join_click_attribution",
+    "grouping_sets_revenue",
+    "q13_customer_order_distribution",
+    "q4_late_shipment_priority",
+    "scd2_user_state_history",
+    "sessions_overlap_join",
+    "orders_retention_cohorts",
 ]
 
 
@@ -135,64 +140,13 @@ def complex_top_level_cols(schema) -> list[str]:
 # NOW; the queue only defers the driver RECORDING, not the check.
 # Entries MUST move to the front of _DRIVER_WINDOW_FIRST next round.
 _NEXT_WINDOW_QUEUE: list[str] = [
-    # r12 staging (verdict r11 #1): the r11 queue held 73 names — more
-    # than one 50-slot window — so 23 roll to the r13 window. The
-    # first three below were IN the r12 window's queue-order first-50
-    # but were displaced by the four changed-this-round queries that
-    # the rotation policy moves to the front; they drain first in r13.
-    # Registry growth is FROZEN until this queue fits one window
-    # (it now does: 23 <= 50); any new capability registers at the
-    # TAIL of this list only.
-    "events_benford_deviation",
-    "dq_validate_events",
-    "dq_referential_lineitem",
-    "streaming_dq_monitor",
-    "text_html_extract",
-    "retrieval_eval_metrics",
-    "embedding_calibration_bins",
-    "multimodal_pdf_metadata",
-    "el_jsonl_gzip_roundtrip",
-    "multimodal_warc_extract",
-    "web_outlinks",
-    "corpus_source_kl",
-    "events_bootstrap_ci",
-    "el_snapshot_diff",
-    "multimodal_flac_streaminfo",
-    "multimodal_bmp_pixel_roundtrip",
-    "multimodal_gif_metadata",
-    "multimodal_mp3_id3_tags",
-    "web_robots_audit",
-    "multimodal_crosscodec_neardup",
-    "el_footer_manifest",
-    "web_sitemap_urls",
-    "text_srt_cues",
-    # r12 tail additions (the queue-tail-only rule while growth is
-    # bounded): ExactSubstr removal — the Lee et al. deletion step
-    # completing dedup_span_coverage's signal (full value oracle
-    # incl. rebuilt-text md5)
-    "dedup_substring_removal",
-    # r12 tail: encoding repair — cp1252/latin-1 mojibake fixed by a
-    # self-gating JVM translate+encode+decode chain (ground-truth
-    # closed-form oracle; Spark 4 decode throws on malformed input,
-    # so validity is a structural UTF-8 regex checked BEFORE the
-    # lazy decode branch)
-    "text_fix_mojibake",
-    # r12 tail: PCA registered under the invariant oracle (variance
-    # ordering + component uncorrelatedness) — promotes the tested-
-    # but-unregistered pca_project operator into the driver gate
-    "embedding_pca_invariants",
-    # r12 tail: ZCA whitening verified by the INDEPENDENT covariance
-    # formulation hitting identity (invariant oracle)
-    "embedding_whitening_identity",
-    # r12 tail: incremental ExactSubstr removal — increment probes
-    # the corpus span-hash index, corpus text never re-read (full
-    # value oracle mirroring fixture + pipeline); completes the
-    # incremental matrix with the substring modality
-    "dedup_substring_incremental",
-    # r12 tail: WebDataset-style tar-shard sink, round-tripped
-    # through the independent binaryFile -> real-tar-parse chain
-    # (full value oracle from the original table)
-    "el_tar_shards_roundtrip",
+    # EMPTY as of r13: every former queue entry sits in the r13
+    # driver window (verdict r12 #1 — drain to zero), and new r13
+    # registrations (el_tar_shards_native_read) entered the window
+    # directly. From r14 on the rotation is pure freshness; a new
+    # query goes in the front of _DRIVER_WINDOW_FIRST (rotating out
+    # a stable green anchor) or stages here with full pytest-oracle
+    # parity until the next round covers it.
 ]
 
 

@@ -24,11 +24,18 @@ current write produced; append is a loud ``NotImplementedError``
 interleave generations in one directory and break shard-sequential
 loaders).
 
-Read path: the shards re-ingest through the existing real-codec
-chain — ``operators/multimodal.py::ingest_binary_dir`` (binaryFile
-scan) into ``operators/archives.py::archive_manifest`` (real tar
-parse + per-member content digests) — so the round trip is proven by
-independent machinery, not by this module reading its own writes.
+Read paths, two of them:
+
+- **Native source** (``spark.read.format("tarshards").load(dir)``,
+  r13): one input partition per shard, members streamed sequentially
+  (``TarShardsReader``) — the first-class WebDataset interchange in
+  BOTH directions.
+- **Independent chain**: ``operators/multimodal.py::ingest_binary_dir``
+  (binaryFile scan) into ``operators/archives.py::archive_manifest``
+  (real tar parse + content digests) — the oracle round trip is
+  proven by this independent machinery, not by the module reading
+  its own writes; the native reader is additionally checked against
+  BOTH the original table and that chain.
 
 Reference: the EL sink family in ``plans/pipeline.py`` (cites
 reference main.py:45-95); this adds the multimodal-training
@@ -43,7 +50,9 @@ import tarfile
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceWriter,
+    InputPartition,
     WriterCommitMessage,
 )
 
@@ -78,10 +87,20 @@ class TarShardsWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         fname = f"shard-{pid:05d}.tar"
         tmp = os.path.join(self.path, f"_tmp-{fname}")
-        buf = io.BytesIO()
-        with tarfile.open(
-            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
-        ) as tf:
+        # An empty partition writes NO shard (filename None in the
+        # commit message): a zero-member tar is dead weight to a
+        # shard-sequential loader, and gaps in the shard numbering are
+        # fine — loaders glob. (ADVICE r12: empty shards also tripped
+        # the archive sniffer downstream.)
+        wrote = False
+        # Stream members straight to the tmp file — the old BytesIO
+        # staging held the WHOLE shard in RAM and then copied it
+        # (peak ~2x shard size per task; at WebDataset's conventional
+        # ~1 GB shards that is >2 GB/task, VERDICT r12 #4). Byte
+        # output is unchanged: it depends only on member order/names/
+        # payloads with the fixed mtime/mode.
+        tf = None
+        try:
             for row in rows:
                 name, payload = row[0], row[1]
                 if name is None or payload is None:
@@ -89,18 +108,26 @@ class TarShardsWriter(DataSourceWriter):
                         "tarshards: NULL name or payload — a silent "
                         "skip would drop samples from the shard"
                     )
+                if tf is None:
+                    tf = tarfile.open(
+                        tmp, mode="w", format=tarfile.USTAR_FORMAT
+                    )
+                    wrote = True
                 info = tarfile.TarInfo(name)
                 info.size = len(payload)
                 info.mtime = 0
                 info.mode = 0o644
                 tf.addfile(info, io.BytesIO(bytes(payload)))
-        with open(tmp, "wb") as fh:
-            fh.write(buf.getvalue())
+        finally:
+            if tf is not None:
+                tf.close()
+        if not wrote:
+            return _ShardCommit(None)
         os.replace(tmp, os.path.join(self.path, fname))
         return _ShardCommit(fname)
 
     def commit(self, messages):
-        expected = {m.filename for m in messages}
+        expected = {m.filename for m in messages if m.filename}
         for f in os.listdir(self.path):
             if f.startswith("shard-") and f not in expected:
                 os.remove(os.path.join(self.path, f))
@@ -113,18 +140,84 @@ class TarShardsWriter(DataSourceWriter):
         pass
 
 
+class TarShardsReader(DataSourceReader):
+    """Native tar-shard SOURCE: one input partition per shard file —
+    the WebDataset access pattern (loaders stream whole shards
+    sequentially, the tar framing IS the batching) expressed as
+    Spark's partition contract, so a 10k-shard corpus reads as 10k
+    parallel sequential scans with no seek and no central index.
+
+    Members stream through ``tarfile`` in ``r|`` (pure-sequential)
+    mode: one member's payload in memory at a time, never the shard.
+    Emits ``(name, payload, shard)`` — name/payload first so a
+    read -> re-shard write round-trips without a projection. Python
+    DataSources get no column pruning, so payload bytes are always
+    materialized; prune AFTER the scan knowing that.
+
+    ``_SUCCESS`` is required: it is the sink's completeness signal,
+    and reading a half-committed snapshot would silently train on a
+    partial corpus. Shard-number gaps are fine (empty partitions
+    write no shard)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("tarshards read requires a path")
+
+    def partitions(self):
+        import glob as globlib
+
+        if not os.path.isfile(os.path.join(self.path, "_SUCCESS")):
+            raise ValueError(
+                f"tarshards read: no _SUCCESS marker in {self.path!r} "
+                "— refusing an incomplete or foreign snapshot (the "
+                "sink's commit writes it last)"
+            )
+        shards = sorted(
+            globlib.glob(os.path.join(self.path, "shard-*.tar"))
+        )
+        # a committed-but-empty snapshot: one no-op partition (Spark
+        # rejects an empty partition list)
+        return [InputPartition(p) for p in shards] or [InputPartition(None)]
+
+    def read(self, partition):
+        path = partition.value
+        if path is None:
+            return
+        shard = os.path.basename(path)
+        with tarfile.open(path, mode="r|") as tf:
+            for member in tf:
+                if not member.isfile():
+                    continue
+                fh = tf.extractfile(member)
+                yield (member.name, fh.read() if fh else b"", shard)
+
+
 class TarShardsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "tarshards"
 
     def schema(self) -> str:
-        return "name STRING, payload BINARY"
+        return "name STRING, payload BINARY, shard STRING"
+
+    def reader(self, schema) -> TarShardsReader:
+        return TarShardsReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> TarShardsWriter:
         return TarShardsWriter(schema, self.options, overwrite)
 
 
 def register_tarshards_sink(spark) -> None:
-    """Idempotently register the tarshards Python data source."""
+    """Idempotently register the tarshards Python data source
+    (both directions — the name predates the read path). Ships the
+    package to executors first: reader/writer instances unpickle
+    INSIDE Python workers, which only find this module by accident
+    (cwd == repo root) without the explicit addPyFile."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
     spark.dataSource.register(TarShardsDataSource)
+
+
+register_tarshards = register_tarshards_sink

@@ -1556,7 +1556,13 @@ def test_cli_substring_store_across_runs(spark, tmp_path):
     run2 = [
         (1000 + i, " ".join(run1[i][1].split()[:12]) + " " + words(f"u{i}", 6))
         for i in range(15)
-    ] + [(2000 + i, words(f"z{i}", 10)) for i in range(10)]
+    ] + [(2000 + i, words(f"z{i}", 10)) for i in range(10)] + [
+        # ADVICE r12 regression: a unique document with newlines, tabs,
+        # space runs and edge whitespace must pass through BYTE-
+        # IDENTICAL — the r12 rewrite unconditionally substituted the
+        # whitespace-normalized token rebuild for every document
+        (2500, "  gn_a gn_b\tgn_c\ngn_d  gn_e gn_f gn_g gn_h gn_i gn_j ")
+    ]
 
     run1_src, run2_src = tmp_path / "r1", tmp_path / "r2"
     run1_src.mkdir(), run2_src.mkdir()
@@ -1589,6 +1595,10 @@ def test_cli_substring_store_across_runs(spark, tmp_path):
         assert got[1000 + i] == words(f"u{i}", 6), i
     for i in range(10):  # unique docs untouched
         assert got[2000 + i] == words(f"z{i}", 10), i
+    # untouched documents keep their exact bytes (whitespace included)
+    assert got[2500] == (
+        "  gn_a gn_b\tgn_c\ngn_d  gn_e gn_f gn_g gn_h gn_i gn_j "
+    )
 
     # retry of run 2: own-batch exclusion keeps the output identical
     rc = _main(
@@ -1682,14 +1692,28 @@ def test_tarshards_sink_contract(spark, tmp_path):
         [(f"a{i}.txt", f"body-{i}".encode()) for i in range(8)], ddl
     ).repartition(4)
     wide.write.format("tarshards").mode("overwrite").save(out)
-    assert len(list((tmp_path / "shards").glob("shard-*.tar"))) == 4
-
-    narrow = spark.createDataFrame([("only.txt", b"x")], ddl).repartition(1)
-    narrow.write.format("tarshards").mode("overwrite").save(out)
-    shards = list((tmp_path / "shards").glob("shard-*.tar"))
-    assert len(shards) == 1  # stale wider shards pruned
+    # an EMPTY partition writes no shard (a zero-member tar is dead
+    # weight to a shard-sequential loader — ADVICE r12), so the shard
+    # count equals the NON-empty partition count and no sample is lost
+    n_nonempty = sum(1 for n in wide.rdd.glom().map(len).collect() if n)
+    wide_shards = sorted((tmp_path / "shards").glob("shard-*.tar"))
+    assert len(wide_shards) == n_nonempty
 
     from mongo2pq_spark.operators.archives import parse_archive_manifest
+
+    members = [
+        r["name"] for s in wide_shards for r in parse_archive_manifest(
+            s.read_bytes()
+        )
+    ]
+    assert sorted(members) == [f"a{i}.txt" for i in range(8)]
+
+    narrow = spark.createDataFrame([("only.txt", b"x")], ddl).repartition(4)
+    narrow.write.format("tarshards").mode("overwrite").save(out)
+    shards = list((tmp_path / "shards").glob("shard-*.tar"))
+    # 1 row over 4 partitions: 3 empty partitions skipped, stale wider
+    # shards pruned by commit — exactly one shard remains
+    assert len(shards) == 1
 
     recs = parse_archive_manifest(shards[0].read_bytes())
     assert [r["name"] for r in recs] == ["only.txt"]
@@ -1707,3 +1731,51 @@ def test_tarshards_sink_contract(spark, tmp_path):
     wrong = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
     with pytest.raises(Exception, match="requires columns"):
         wrong.write.format("tarshards").mode("overwrite").save(out)
+
+
+def test_tarshards_native_reader_contract(spark, tmp_path):
+    """Native tar-shard source (r13): exactly ONE input partition per
+    shard file (the WebDataset shard-sequential contract), members
+    and payloads value-identical to the write, shard provenance
+    correct, read->re-shard write round-trips without a projection,
+    and a directory without _SUCCESS is refused loud."""
+    import pytest
+
+    from mongo2pq_spark.operators.archives import parse_archive_manifest
+    from mongo2pq_spark.sources.tarshards import register_tarshards
+
+    register_tarshards(spark)
+    ddl = "name string, payload binary"
+    rows = [(f"s{i}.txt", f"payload-{i}".encode()) for i in range(10)]
+    df = spark.createDataFrame(rows, ddl).repartition(3)
+    out = str(tmp_path / "shards")
+    df.write.format("tarshards").mode("overwrite").save(out)
+    n_shards = len(list((tmp_path / "shards").glob("shard-*.tar")))
+
+    back = spark.read.format("tarshards").load(out)
+    # partition-per-shard: the scale contract a 10k-shard corpus needs
+    assert back.rdd.getNumPartitions() == n_shards
+    got = {(r["name"], bytes(r["payload"])) for r in back.collect()}
+    assert got == set(rows)
+    # shard provenance matches the on-disk file of each member
+    for r in back.collect():
+        recs = parse_archive_manifest(
+            (tmp_path / "shards" / r["shard"]).read_bytes()
+        )
+        assert r["name"] in {m["name"] for m in recs}
+
+    # read -> re-shard write without a projection (name/payload lead)
+    out2 = str(tmp_path / "reshard")
+    back.repartition(1).write.format("tarshards").mode(
+        "overwrite"
+    ).save(out2)
+    again = spark.read.format("tarshards").load(out2)
+    assert {
+        (r["name"], bytes(r["payload"])) for r in again.collect()
+    } == set(rows)
+
+    # no _SUCCESS -> refuse: reading a half-committed snapshot would
+    # silently train on a partial corpus
+    (tmp_path / "shards" / "_SUCCESS").unlink()
+    with pytest.raises(Exception, match="_SUCCESS"):
+        spark.read.format("tarshards").load(out).collect()

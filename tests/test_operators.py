@@ -4259,6 +4259,17 @@ def test_archive_manifest_real_inflate_and_fail_louds():
     assert [r["name"] for r in trecs] == ["d/x.txt", "e.txt"]
     assert trecs[1]["content_md5"] == hashlib.md5(b"").hexdigest()
 
+    # ADVICE r12: a valid EMPTY tar is only zero end-of-archive
+    # blocks — no ustar magic anywhere — and must parse as [] rather
+    # than raise 'unrecognized archive container'
+    import tarfile as _tarfile
+
+    ebuf = io.BytesIO()
+    _tarfile.open(fileobj=ebuf, mode="w", format=_tarfile.USTAR_FORMAT).close()
+    assert parse_archive_manifest(ebuf.getvalue()) == []
+    # the minimal two-zero-block end marker, without blocksize padding
+    assert parse_archive_manifest(bytes(1024)) == []
+
     with pytest.raises(ValueError, match="corrupt zip"):
         parse_archive_manifest(z[:40])
     with pytest.raises(ValueError, match="unrecognized archive"):
