@@ -289,7 +289,11 @@ def _near_dedup_oracle(n_batches: int = 4) -> str:
 def streaming_near_dedup(spark, sf_dir):
     from mongo2pq_spark.streaming.neardedup import run_streaming_near_dedup
 
-    return run_streaming_near_dedup(spark, f"{sf_dir}/documents.parquet")
+    # driver_collect_ok: this registered query IS the bounded
+    # verification surface (sf fixtures); production passes store_dir
+    return run_streaming_near_dedup(
+        spark, f"{sf_dir}/documents.parquet", driver_collect_ok=True
+    )
 
 
 def _hamming_stream_oracle() -> str:
@@ -335,8 +339,13 @@ def streaming_hamming_dedup(spark, sf_dir):
         run_streaming_hamming_dedup,
     )
 
+    # driver_collect_ok: bounded verification surface (see
+    # streaming_near_dedup)
     return run_streaming_hamming_dedup(
-        spark, f"{sf_dir}/documents.parquet", simhash_fingerprints
+        spark,
+        f"{sf_dir}/documents.parquet",
+        simhash_fingerprints,
+        driver_collect_ok=True,
     )
 
 

@@ -267,6 +267,7 @@ def run_streaming_near_dedup(
     documents_path: str,
     n_batches: int = 4,
     store_dir: str | None = None,
+    driver_collect_ok: bool = False,
 ) -> DataFrame:
     """Drive the continuous near-dedup pipeline over the documents
     table replayed as ``n_batches`` ordered micro-batches; returns the
@@ -284,8 +285,22 @@ def run_streaming_near_dedup(
     before it. Each increment stages into a run-unique directory and
     gets a fresh checkpoint (see module docstring); an increment
     interrupted by a crash is resumed — with its original offset and
-    batch count — by simply calling again before starting new work."""
+    batch count — by simply calling again before starting new work.
+
+    ``store_dir=None`` additionally requires ``driver_collect_ok=True``
+    (verdict r12 #9): the convenience funnels every flag row through
+    the driver, which is fine for a bounded test/verification corpus
+    and catastrophic wired into a production pipeline by accident —
+    the flag makes that wiring a loud error instead."""
     cleanup = store_dir is None
+    if cleanup and not driver_collect_ok:
+        raise ValueError(
+            "store_dir=None collects the whole flag table driver-side "
+            "and deletes the store — a test/verification convenience. "
+            "Pass a persistent store_dir (production), or opt in "
+            "explicitly with driver_collect_ok=True on a corpus you "
+            "know is driver-bounded."
+        )
     if store_dir is None:
         store_dir = tempfile.mkdtemp(prefix="stream_neardedup_")
     _recover_band_store_swap(store_dir)
@@ -494,17 +509,27 @@ def run_streaming_hamming_dedup(
     store_dir: str | None = None,
     max_hamming: int = 3,
     bits: int = 60,
+    driver_collect_ok: bool = False,
 ) -> DataFrame:
     """Drive continuous fingerprint near-dedup over the table at
     ``documents_path`` replayed as ``n_batches`` ordered micro-batches
     (same staging/manifest/crash contracts as
-    ``run_streaming_near_dedup`` — shared helpers, shared RunLog);
+    ``run_streaming_near_dedup`` — shared helpers, shared RunLog,
+    including the ``driver_collect_ok`` gate on ``store_dir=None``);
     returns ``(doc_id, batch_k, is_dup)`` for every increment ingested
     so far. ``fingerprint_fn`` maps a batch DataFrame to
     (doc_id, <fp column>) — ``simhash_fingerprints`` for text,
     ``image_dhash``/``audio_fingerprint`` over payload tables for
     media; the store and probe are fingerprint-agnostic."""
     cleanup = store_dir is None
+    if cleanup and not driver_collect_ok:
+        raise ValueError(
+            "store_dir=None collects the whole flag table driver-side "
+            "and deletes the store — a test/verification convenience. "
+            "Pass a persistent store_dir (production), or opt in "
+            "explicitly with driver_collect_ok=True on a corpus you "
+            "know is driver-bounded."
+        )
     if store_dir is None:
         store_dir = tempfile.mkdtemp(prefix="stream_hammingdedup_")
     _recover_band_store_swap(store_dir)

@@ -94,7 +94,10 @@ shutil.rmtree(ROOT, ignore_errors=True)
 store = SpanHashStore(ROOT, "docs")
 print("-- series: store (constant 5k-doc increments, growing history)",
       flush=True)
-for inc in range(1, 5):
+# runs to history 4x the first non-empty point (r13: the probe must
+# stay flat now that it equi-joins the index instead of re-
+# distincting it — VERDICT r12 #3)
+for inc in range(1, 6):
     batch = base.select(
         (F.col("doc_id") + inc * offset).alias("doc_id"),
         # from inc2 on, the even half carries the UNSUFFIXED corpus

@@ -192,6 +192,27 @@ def test_streaming_near_dedup_second_increment(spark, sf_dir, tmp_path):
     assert both_c == both
 
 
+def test_streaming_dedup_driver_collect_needs_opt_in(spark, sf_dir):
+    """store_dir=None funnels the flag table through the driver and is
+    a test/verification convenience only — without the explicit
+    driver_collect_ok opt-in it must fail loud BEFORE any work, so a
+    production pipeline cannot reach the collect by accident
+    (verdict r12 #9)."""
+    import pytest
+
+    from mongo2pq_spark.operators.dedup import simhash_fingerprints
+    from mongo2pq_spark.streaming.neardedup import (
+        run_streaming_hamming_dedup,
+        run_streaming_near_dedup,
+    )
+
+    docs = f"{sf_dir}/documents.parquet"
+    with pytest.raises(ValueError, match="driver_collect_ok"):
+        run_streaming_near_dedup(spark, docs)
+    with pytest.raises(ValueError, match="driver_collect_ok"):
+        run_streaming_hamming_dedup(spark, docs, simhash_fingerprints)
+
+
 def test_begin_increment_manifest_lifecycle(tmp_path):
     """Offset allocation and crash-resume semantics of the run
     manifest, without Spark: completed runs advance the offset by
