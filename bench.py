@@ -178,6 +178,8 @@ HEADLINE = [
     # with embedding_covariance, which IS benched)
     "dedup_substring_incremental",
     "el_tar_shards_roundtrip",
+    "el_tar_shards_native_read",
+    "multimodal_wds_samples",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -1156,3 +1156,55 @@ def jpeg_exif(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(parse_batches, EXIF_SCHEMA)
+
+
+def wds_group_samples(
+    df: DataFrame, name_col: str = "name", payload_col: str = "payload"
+) -> DataFrame:
+    """Group tar members into WebDataset SAMPLES — the wds data
+    model's second half (the tarshards source/sink carries members;
+    this aligns them): everything before the member name's FIRST dot
+    is the sample key, the remainder the part type, and all parts
+    sharing a key form one training sample (``doc123.txt`` +
+    ``doc123.json`` + ``doc123.jpg`` -> one row). Returns one row per
+    sample::
+
+        (sample_key, n_parts, part_exts, sample_md5)
+
+    ``part_exts`` is the comma-joined sorted extension list;
+    ``sample_md5`` digests the ext-sorted ``ext:md5(payload)`` pairs,
+    so it is order-insensitive across shards/partitions and changes
+    iff any part's bytes change — the whole-sample identity key for
+    sample-level dedup and snapshot diffing.
+
+    Scale shape: per-member projection (regex split + payload md5) is
+    map-only; the group-by-key is ONE shuffle on the sample key —
+    keys are unique per sample and parts-per-sample is small and
+    bounded (modalities, not documents), so no skew; everything
+    JVM-side, output rows = samples. All columns scalar (driver-
+    canonicalizer contract, registry.complex_top_level_cols)."""
+    parts = df.select(
+        F.regexp_extract(F.col(name_col), r"^([^.]*)", 1).alias(
+            "sample_key"
+        ),
+        F.regexp_extract(F.col(name_col), r"^[^.]*\.(.*)$", 1).alias(
+            "__ext"
+        ),
+        F.md5(F.col(payload_col)).alias("__pmd5"),
+    )
+    return parts.groupBy("sample_key").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.array_join(F.array_sort(F.collect_list("__ext")), ",").alias(
+            "part_exts"
+        ),
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(":", F.col("__ext"), F.col("__pmd5"))
+                    )
+                ),
+                "|",
+            ).cast("binary")
+        ).alias("sample_md5"),
+    )

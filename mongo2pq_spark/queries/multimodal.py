@@ -2181,3 +2181,74 @@ def multimodal_jpeg_exif(spark, sf_dir):
         build_batches, "doc_id bigint, payload binary"
     )
     return mm.jpeg_exif(files)
+
+
+@register(
+    "multimodal_wds_samples",
+    """
+    SELECT 'doc' || CAST(doc_id AS VARCHAR) AS sample_key,
+           CAST(2 AS BIGINT) AS n_parts,
+           'meta,txt' AS part_exts,
+           md5('meta:' || md5('lang=' || lang || ';source=' || source)
+               || '|' ||
+               'txt:' || md5(text)) AS sample_md5
+    FROM documents
+    """,
+    doc="WebDataset SAMPLE grouping over the native tar-shard source "
+        "(r13 — the wds data model's second half): each document is "
+        "written as TWO tar members (doc<N>.txt = text bytes, "
+        "doc<N>.meta = 'lang=..;source=..' bytes) across 4 shards, "
+        "read back via spark.read.format('tarshards') (one partition "
+        "per shard), and re-aligned into one row per sample keyed by "
+        "the name prefix before the first dot — part count, sorted "
+        "extension list, and an order-insensitive whole-sample digest "
+        "(ext-sorted ext:md5(payload) pairs). The oracle states all "
+        "three from the original table, so the sink framing, the "
+        "native parse AND the grouping must be value-lossless; the "
+        "digest is the sample-level dedup/snapshot-diff identity key. "
+        "Scale: map-only member projection, ONE shuffle on the unique "
+        "sample key (parts-per-sample bounded by modality count)",
+)
+def multimodal_wds_samples(spark, sf_dir):
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.tarshards import register_tarshards
+
+    register_tarshards(spark)
+    docs = read_sf_table(spark, sf_dir, "documents")
+    key = F.concat(F.lit("doc"), F.col("doc_id").cast("string"))
+    members = docs.select(
+        F.concat(key, F.lit(".txt")).alias("name"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    ).unionByName(
+        docs.select(
+            F.concat(key, F.lit(".meta")).alias("name"),
+            F.encode(
+                F.concat(
+                    F.lit("lang="),
+                    F.col("lang"),
+                    F.lit(";source="),
+                    F.col("source"),
+                ),
+                "UTF-8",
+            ).alias("payload"),
+        )
+    )
+    outdir = os.path.join(tempfile.gettempdir(), "el_wds_samples_out")
+    # wds contract: a sample's parts sit ADJACENT in ONE shard —
+    # partition by the sample key and sort members within the shard
+    # (this is how a real wds writer shards; loaders regroup
+    # sequentially). The grouping operator itself never relies on it.
+    (
+        members.repartition(4, F.regexp_extract("name", r"^([^.]*)", 1))
+        .sortWithinPartitions("name")
+        .write.format("tarshards")
+        .mode("overwrite")
+        .save(outdir)
+    )
+    back = spark.read.format("tarshards").load(outdir)
+    return ops.wds_group_samples(back)

@@ -4863,3 +4863,49 @@ def test_drop_exact_duplicates_passes_null_text_through(spark):
         ).collect()
     )
     assert got == [(1, "same text"), (3, None), (4, None), (5, "unique")]
+
+
+def test_wds_group_samples_hand_traced(spark):
+    """wds sample grouping edge matrix: multi-dot member names (key =
+    prefix before the FIRST dot, ext = everything after), parts of
+    one sample scattered across partitions/shards, duplicate
+    extensions within a sample, a single-part sample, and the
+    order-insensitivity of sample_md5 (same parts in any row order
+    hash identically)."""
+    import hashlib
+
+    from mongo2pq_spark.operators.multimodal import wds_group_samples
+
+    rows = [
+        ("a.txt", b"T"),
+        ("a.seg.json", b"J"),   # multi-dot: ext is 'seg.json'
+        ("a.txt.gz", b"G"),     # ext 'txt.gz' — NOT merged with a.txt
+        ("b.txt", b"X"),
+        ("b.txt", b"X"),        # duplicate ext within one sample
+        ("c.bin", b"Z"),        # single-part sample
+    ]
+
+    def md5(b):
+        return hashlib.md5(b).hexdigest()
+
+    def sample_md5(pairs):
+        joined = "|".join(sorted(f"{e}:{md5(p)}" for e, p in pairs))
+        return md5(joined.encode())
+
+    expect = {
+        "a": (3, "seg.json,txt,txt.gz",
+              sample_md5([("txt", b"T"), ("seg.json", b"J"),
+                          ("txt.gz", b"G")])),
+        "b": (2, "txt,txt",
+              sample_md5([("txt", b"X"), ("txt", b"X")])),
+        "c": (1, "bin", sample_md5([("bin", b"Z")])),
+    }
+    for order in (rows, rows[::-1]):  # order-insensitive
+        df = spark.createDataFrame(
+            order, "name string, payload binary"
+        ).repartition(4)  # scatter parts across partitions
+        got = {
+            r["sample_key"]: (r["n_parts"], r["part_exts"], r["sample_md5"])
+            for r in wds_group_samples(df).collect()
+        }
+        assert got == expect
