@@ -1414,3 +1414,63 @@ def duplicated_span_removal_incremental(
         span_words,
         with_text=with_text,
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed_tag: str = "split:",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: near-duplicate
+    documents must NEVER straddle an evaluation split (a test doc
+    whose near-copy sits in train leaks the answer — the
+    train-on-test contamination eval decks measure). Split identity
+    is therefore assigned per near-dup CLUSTER, not per document:
+    connected components over ``pairs`` (``near_dup_clusters``) give
+    every paired doc its cluster's min id; unpaired docs are their
+    own singleton cluster; the split is a deterministic hash bucket
+    of the cluster id, so every member of a cluster lands in the
+    same split by construction.
+
+    Returns ``(id_col, cluster_id, split)`` for EVERY input row,
+    split in {'train','val','test'} at ``train_pct``/``val_pct``/
+    remainder percent of hash space (fractions are exact only in
+    expectation — hashing, not sampling).
+
+    Scale shape: the CC loop runs on the PAIR graph (orders of
+    magnitude smaller than the corpus, O(log diameter) rounds); the
+    corpus itself sees one left equi-join against the label table
+    and a map-only hash projection. Deterministic across runs and
+    partitionings (md5-derived hash, no rand())."""
+    if not 0 < train_pct < 100 or not 0 < val_pct < 100 - train_pct:
+        raise ValueError(
+            f"bad split percentages: train={train_pct} val={val_pct}"
+        )
+    clusters = near_dup_clusters(pairs)
+    labeled = (
+        df.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    u = (
+        token_hash32(
+            F.concat(F.lit(seed_tag), F.col("cluster_id").cast("string"))
+        )
+        % 100
+    )
+    return labeled.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.when(u < F.lit(train_pct), F.lit("train"))
+        .when(u < F.lit(train_pct + val_pct), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -1125,3 +1125,77 @@ def dedup_substring_incremental(spark, sf_dir):
     )
     index = ops.span_hash_index(corpus)
     return ops.duplicated_span_removal_incremental(inc, index)
+
+
+_LEAKAGE_SPLIT_SQL = f"""
+    WITH RECURSIVE {_GUARDED_HASH_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM hg GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM hg a JOIN hg b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clus AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    lab AS (
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN u < 80 THEN 'train'
+                WHEN u < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, cluster_id,
+               {sql_token_hash32("'split:' || CAST(cluster_id AS VARCHAR)")}
+                   % 100 AS u
+        FROM lab
+    )
+    """
+
+
+@register(
+    "sample_leakage_safe_split",
+    _LEAKAGE_SPLIT_SQL,
+    doc="leakage-safe train/val/test split (r13): near-duplicate "
+        "documents must never straddle an evaluation split — a test "
+        "doc whose near-copy sits in train leaks the answer (the "
+        "contamination that decontamination decks measure, applied to "
+        "the engine's OWN split step). Split identity is assigned per "
+        "near-dup CLUSTER: connected components over the guarded "
+        "Jaccard pair graph (dedup_near_clusters' machinery and "
+        "oracle CTE verbatim), unpaired docs as singleton clusters, "
+        "then a deterministic md5-hash bucket of the cluster id at "
+        "80/10/10 — every cluster member lands in the same split BY "
+        "CONSTRUCTION, across runs and partitionings (no rand()). "
+        "Scale: CC on the pair graph only; the corpus sees one left "
+        "equi-join + a map-only hash projection. The no-straddle "
+        "invariant is additionally asserted in tests/test_operators.py",
+)
+def sample_leakage_safe_split(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    pairs = ops.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=_shingle_guard(docs)
+    )
+    return ops.leakage_safe_split(docs, pairs)

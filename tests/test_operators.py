@@ -4909,3 +4909,52 @@ def test_wds_group_samples_hand_traced(spark):
             for r in wds_group_samples(df).collect()
         }
         assert got == expect
+
+
+def test_leakage_safe_split_invariants(spark, sf_dir):
+    """The leakage-safety contract itself: (a) every near-dup cluster
+    maps to exactly ONE split — no pair of near-duplicates straddles
+    train/eval; (b) every input doc gets exactly one row; (c) the
+    assignment is deterministic across partitionings; (d) all three
+    splits are populated at the fixture scale (hash buckets, so only
+    a sanity check, not an exactness claim)."""
+    from mongo2pq_spark.operators.dedup import (
+        leakage_safe_split,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50)
+    out = leakage_safe_split(docs, pairs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in rows}
+    # (a) no near-dup pair straddles splits, via cluster AND raw pairs
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    for p in pairs.collect():
+        assert split_of[p["doc_a"]] == split_of[p["doc_b"]]
+        assert cluster_of[p["doc_a"]] == cluster_of[p["doc_b"]]
+    # (d) all splits populated, train the plurality
+    from collections import Counter
+
+    counts = Counter(r["split"] for r in rows)
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]
+    assert counts["train"] > counts["test"]
+    # (c) determinism across partitionings
+    again = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in leakage_safe_split(docs.repartition(13), pairs).collect()
+    }
+    assert again == {
+        r["doc_id"]: (r["cluster_id"], r["split"]) for r in rows
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bad split percentages"):
+        leakage_safe_split(docs, pairs, train_pct=100)
