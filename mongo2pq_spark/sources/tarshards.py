@@ -12,7 +12,8 @@ binary)``:
 
 One tar per task partition, so shard sizing is the caller's
 ``repartition(n)`` / ``repartitionByRange`` decision — the same knob
-every other sink uses. Tar members carry a fixed mtime and 0644 mode
+every other sink uses (``shard_members`` below computes the count
+from a target bytes-per-shard). Tar members carry a fixed mtime and 0644 mode
 so byte output depends only on (order, names, payloads); member order
 is the partition's row order.
 
@@ -221,3 +222,36 @@ def register_tarshards_sink(spark) -> None:
 
 
 register_tarshards = register_tarshards_sink
+
+
+def shard_members(
+    df,
+    target_shard_bytes: int = 1 << 30,
+    key_expr=None,
+):
+    """Repartition a ``(name, payload, ...)`` member table so each
+    task writes a tar shard of roughly ``target_shard_bytes`` payload
+    (WebDataset convention ~1 GB: big enough for sequential-read
+    throughput, small enough to shuffle/replicate as a unit).
+
+    Shard count = ceil(total payload bytes / target) from ONE cheap
+    aggregate over the byte lengths (a map-side-combined sum, not a
+    collect of payloads). Partitioning is hash-of-sample-key when
+    ``key_expr`` is given (keeps a sample's parts in one shard — the
+    wds adjacency contract; pass e.g.
+    ``F.regexp_extract("name", r"^([^.]*)", 1)``), else by name.
+    Callers control member ORDER inside the shard with
+    ``sortWithinPartitions`` as usual.
+
+    Note: hashing balances EXPECTED bytes per shard; a single sample
+    larger than the target still makes an oversized shard (correct —
+    samples are indivisible)."""
+    from pyspark.sql import functions as F
+
+    total = df.select(
+        F.sum(F.octet_length("payload")).alias("b")
+    ).first()["b"] or 0
+    n = max(1, -(-int(total) // int(target_shard_bytes)))
+    return df.repartition(
+        n, key_expr if key_expr is not None else F.col("name")
+    )

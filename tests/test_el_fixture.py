@@ -1779,3 +1779,44 @@ def test_tarshards_native_reader_contract(spark, tmp_path):
     (tmp_path / "shards" / "_SUCCESS").unlink()
     with pytest.raises(Exception, match="_SUCCESS"):
         spark.read.format("tarshards").load(out).collect()
+
+
+def test_shard_members_sizing(spark, tmp_path):
+    """shard_members: shard count = ceil(total payload bytes /
+    target); sample parts co-shard under a key expression; a
+    sub-target table still writes one shard."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.tarshards import (
+        register_tarshards,
+        shard_members,
+    )
+
+    register_tarshards(spark)
+    rows = [
+        (f"k{i}.{ext}", bytes(100))
+        for i in range(40)
+        for ext in ("txt", "meta")
+    ]
+    df = spark.createDataFrame(rows, "name string, payload binary")
+    key = F.regexp_extract("name", r"^([^.]*)", 1)
+
+    sized = shard_members(df, target_shard_bytes=2000, key_expr=key)
+    assert sized.rdd.getNumPartitions() == 4  # 8000 bytes / 2000
+
+    out = str(tmp_path / "sized")
+    sized.write.format("tarshards").mode("overwrite").save(out)
+    back = spark.read.format("tarshards").load(out)
+    # a sample's parts share a shard (the wds adjacency contract)
+    per_key = (
+        back.select(
+            F.regexp_extract("name", r"^([^.]*)", 1).alias("k"), "shard"
+        )
+        .groupBy("k")
+        .agg(F.countDistinct("shard").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in per_key) and len(per_key) == 40
+
+    assert shard_members(df, target_shard_bytes=1 << 30) \
+        .rdd.getNumPartitions() == 1
