@@ -59,8 +59,33 @@ from pyspark.sql.datasource import (
 
 
 class _ShardCommit(WriterCommitMessage):
-    def __init__(self, filename: str):
+    def __init__(self, filename, md5=None, n_bytes=0):
         self.filename = filename
+        self.md5 = md5
+        self.n_bytes = n_bytes
+
+
+class _HashingFile:
+    """Write-through file wrapper feeding an md5 as bytes stream to
+    disk — the shard digest costs zero extra passes."""
+
+    def __init__(self, fh):
+        import hashlib
+
+        self.fh = fh
+        self.hasher = hashlib.md5()
+        self.n = 0
+
+    def write(self, b):
+        self.hasher.update(b)
+        self.n += len(b)
+        return self.fh.write(b)
+
+    def tell(self):
+        return self.fh.tell()
+
+    def close(self):
+        self.fh.close()
 
 
 class TarShardsWriter(DataSourceWriter):
@@ -93,13 +118,16 @@ class TarShardsWriter(DataSourceWriter):
         # shard-sequential loader, and gaps in the shard numbering are
         # fine — loaders glob. (ADVICE r12: empty shards also tripped
         # the archive sniffer downstream.)
-        wrote = False
         # Stream members straight to the tmp file — the old BytesIO
         # staging held the WHOLE shard in RAM and then copied it
         # (peak ~2x shard size per task; at WebDataset's conventional
         # ~1 GB shards that is >2 GB/task, VERDICT r12 #4). Byte
         # output is unchanged: it depends only on member order/names/
-        # payloads with the fixed mtime/mode.
+        # payloads with the fixed mtime/mode. The md5 is folded in as
+        # bytes stream past (zero extra passes) and lands in the
+        # commit-time _MANIFEST.json — the integrity record a 100 TB
+        # interchange needs against bit-rot and partial copies.
+        hw = None
         tf = None
         try:
             for row in rows:
@@ -110,10 +138,10 @@ class TarShardsWriter(DataSourceWriter):
                         "skip would drop samples from the shard"
                     )
                 if tf is None:
+                    hw = _HashingFile(open(tmp, "wb"))
                     tf = tarfile.open(
-                        tmp, mode="w", format=tarfile.USTAR_FORMAT
+                        fileobj=hw, mode="w", format=tarfile.USTAR_FORMAT
                     )
-                    wrote = True
                 info = tarfile.TarInfo(name)
                 info.size = len(payload)
                 info.mtime = 0
@@ -121,17 +149,31 @@ class TarShardsWriter(DataSourceWriter):
                 tf.addfile(info, io.BytesIO(bytes(payload)))
         finally:
             if tf is not None:
-                tf.close()
-        if not wrote:
+                tf.close()  # writes end-of-archive blocks through hw
+            if hw is not None:
+                hw.close()
+        if hw is None:
             return _ShardCommit(None)
         os.replace(tmp, os.path.join(self.path, fname))
-        return _ShardCommit(fname)
+        return _ShardCommit(fname, hw.hasher.hexdigest(), hw.n)
 
     def commit(self, messages):
-        expected = {m.filename for m in messages if m.filename}
+        import json
+
+        shards = {
+            m.filename: {"md5": m.md5, "bytes": m.n_bytes}
+            for m in messages
+            if m.filename
+        }
         for f in os.listdir(self.path):
-            if f.startswith("shard-") and f not in expected:
+            if f.startswith("shard-") and f not in shards:
                 os.remove(os.path.join(self.path, f))
+        tmp_manifest = os.path.join(self.path, "_tmp-_MANIFEST.json")
+        with open(tmp_manifest, "w") as fh:
+            json.dump({"shards": shards}, fh, sort_keys=True, indent=1)
+        os.replace(
+            tmp_manifest, os.path.join(self.path, "_MANIFEST.json")
+        )
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
 
@@ -167,6 +209,7 @@ class TarShardsReader(DataSourceReader):
 
     def partitions(self):
         import glob as globlib
+        import json
 
         if not os.path.isfile(os.path.join(self.path, "_SUCCESS")):
             raise ValueError(
@@ -177,6 +220,23 @@ class TarShardsReader(DataSourceReader):
         shards = sorted(
             globlib.glob(os.path.join(self.path, "shard-*.tar"))
         )
+        # manifest cross-check (snapshots written before the manifest
+        # existed simply lack the file): a shard on disk but not in
+        # the manifest is foreign, a manifest entry with no file is a
+        # partial copy — both are silent-data-loss shapes _SUCCESS
+        # alone cannot see. Byte-level verification is the separate
+        # distributed pass (verify_tar_shards).
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        if os.path.isfile(manifest_path):
+            with open(manifest_path) as fh:
+                declared = set(json.load(fh).get("shards", {}))
+            found = {os.path.basename(p) for p in shards}
+            if declared != found:
+                raise ValueError(
+                    "tarshards read: shard set does not match "
+                    f"_MANIFEST.json — missing {sorted(declared - found)}, "
+                    f"undeclared {sorted(found - declared)}"
+                )
         # a committed-but-empty snapshot: one no-op partition (Spark
         # rejects an empty partition list)
         return [InputPartition(p) for p in shards] or [InputPartition(None)]
@@ -222,6 +282,66 @@ def register_tarshards_sink(spark) -> None:
 
 
 register_tarshards = register_tarshards_sink
+
+
+def verify_tar_shards(spark, path: str):
+    """Distributed integrity verification of a tar-shard snapshot
+    against its commit-time ``_MANIFEST.json``: every shard's bytes
+    are re-hashed on executors (binaryFile scan — one sequential pass
+    per shard, parallel across shards) and compared to the recorded
+    md5/length. Returns one row per manifest entry::
+
+        (shard, status, expected_md5, actual_md5,
+         expected_bytes, actual_bytes)
+
+    status in {'ok','corrupt','missing'}; shards on disk but absent
+    from the manifest surface through the reader's partitions()
+    cross-check instead. The manifest is a driver-side read bounded
+    by #shards; the hashing is where the bytes are. This is the
+    scheduled fsck a 100 TB interchange runs after replication or
+    before a training job pins a snapshot."""
+    import json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    with open(_os.path.join(path, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)["shards"]
+    expected = spark.createDataFrame(
+        [
+            (name, meta["md5"], int(meta["bytes"]))
+            for name, meta in sorted(manifest.items())
+        ],
+        "shard string, expected_md5 string, expected_bytes bigint",
+    )
+    actual = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(path)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("shard"),
+            F.md5(F.col("content")).alias("actual_md5"),
+            F.octet_length(F.col("content"))
+            .cast("bigint")
+            .alias("actual_bytes"),
+        )
+    )
+    joined = expected.join(F.broadcast(actual), "shard", "left")
+    return joined.select(
+        "shard",
+        F.when(F.col("actual_md5").isNull(), F.lit("missing"))
+        .when(
+            (F.col("actual_md5") == F.col("expected_md5"))
+            & (F.col("actual_bytes") == F.col("expected_bytes")),
+            F.lit("ok"),
+        )
+        .otherwise(F.lit("corrupt"))
+        .alias("status"),
+        "expected_md5",
+        "actual_md5",
+        "expected_bytes",
+        "actual_bytes",
+    )
 
 
 def shard_members(

@@ -1820,3 +1820,70 @@ def test_shard_members_sizing(spark, tmp_path):
 
     assert shard_members(df, target_shard_bytes=1 << 30) \
         .rdd.getNumPartitions() == 1
+
+
+def test_tarshards_manifest_integrity(spark, tmp_path):
+    """Commit-time _MANIFEST.json + distributed verification: a clean
+    snapshot verifies all-ok; a flipped byte reports 'corrupt'; a
+    deleted shard reports 'missing' AND is refused by the reader's
+    shard-set cross-check; a pre-manifest snapshot (no _MANIFEST)
+    still reads."""
+    import json
+    import os
+
+    import pytest
+
+    from mongo2pq_spark.sources.tarshards import (
+        register_tarshards,
+        verify_tar_shards,
+    )
+
+    register_tarshards(spark)
+    ddl = "name string, payload binary"
+    df = spark.createDataFrame(
+        [(f"m{i}.txt", f"data-{i}".encode() * 50) for i in range(9)], ddl
+    ).repartition(3)
+    out = str(tmp_path / "shards")
+    df.write.format("tarshards").mode("overwrite").save(out)
+
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)["shards"]
+    shard_files = sorted(
+        f for f in os.listdir(out) if f.startswith("shard-")
+    )
+    assert sorted(manifest) == shard_files
+    ok = {r["shard"]: r["status"] for r in verify_tar_shards(spark, out).collect()}
+    assert set(ok.values()) == {"ok"} and len(ok) == len(shard_files)
+    # member count of the soon-to-die shard (round-robin partition
+    # sizes are not guaranteed equal)
+    back = spark.read.format("tarshards").load(out)
+    n_victim = back.filter(back["shard"] == shard_files[0]).count()
+
+    # flip one byte mid-file -> corrupt (length unchanged)
+    victim = os.path.join(out, shard_files[0])
+    blob = bytearray(open(victim, "rb").read())
+    blob[600] ^= 0xFF
+    open(victim, "wb").write(bytes(blob))
+    statuses = {
+        r["shard"]: r["status"]
+        for r in verify_tar_shards(spark, out).collect()
+    }
+    assert statuses[shard_files[0]] == "corrupt"
+    assert all(
+        v == "ok" for k, v in statuses.items() if k != shard_files[0]
+    )
+
+    # delete a shard -> verification says missing; the reader refuses
+    os.remove(victim)
+    statuses = {
+        r["shard"]: r["status"]
+        for r in verify_tar_shards(spark, out).collect()
+    }
+    assert statuses[shard_files[0]] == "missing"
+    with pytest.raises(Exception, match="does not match _MANIFEST"):
+        spark.read.format("tarshards").load(out).collect()
+
+    # pre-manifest snapshots still read (backward compatibility)
+    os.remove(os.path.join(out, "_MANIFEST.json"))
+    remaining = spark.read.format("tarshards").load(out).count()
+    assert remaining == 9 - n_victim
