@@ -211,6 +211,12 @@ EXCLUDED_PIPELINE_CONTRACT = {
         "contract aggregate itself IS benched via dq_validate_events' "
         "machinery (one conditional-sum pass)"
     ),
+    "streaming_tar_ingest": (
+        "stages three shard waves + a file-source stream with "
+        "checkpointing — wall-clock is staging/checkpoint I/O like "
+        "the sibling streaming entries; the member explode itself IS "
+        "benched via el_tar_shards_roundtrip/el_tar_shards_native_read"
+    ),
 }
 assert not set(HEADLINE) & set(EXCLUDED_PIPELINE_CONTRACT)
 

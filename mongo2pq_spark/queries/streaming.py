@@ -457,3 +457,77 @@ def streaming_dq_monitor(spark, sf_dir):
              "values": ["click", "view", "purchase", "signup", "error"]},
         ],
     )
+
+
+@register(
+    "streaming_tar_ingest",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    doc="continuous tar-shard ingestion (streaming/taringest.py): the "
+        "documents table is written as THREE tar-shard waves into a "
+        "landing tree (the crawler-drop deployment shape), then "
+        "tailed by a binaryFile file-source stream (Spark's own "
+        "exactly-once new-file log, maxFilesPerTrigger=2 forcing "
+        "multiple microbatches); each batch explodes its shards' "
+        "members through the SAME real tar parse the batch path uses "
+        "(archive_manifest — streaming and batch ingestion share the "
+        "parser, so they cannot drift) and lands a batch-id-keyed "
+        "manifest partition with overwrite (replays overwrite "
+        "themselves, exactly-once end to end). The cross-batch "
+        "manifest must equal the whole-table oracle: every document "
+        "present exactly once, member bytes + md5 equal the source "
+        "text's UTF-8 bytes",
+)
+def streaming_tar_ingest(spark, sf_dir):
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.tarshards import register_tarshards
+    from mongo2pq_spark.streaming.taringest import run_streaming_tar_ingest
+
+    register_tarshards(spark)
+    docs = read_sf_table(spark, sf_dir, "documents")
+    # sf-keyed fixed staging: re-runs re-write identical shard bytes
+    # under the same paths, the file-source log skips already-seen
+    # files, and batch-keyed manifest partitions overwrite themselves
+    # — idempotent across repeated invocations in one test session
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_tar_ingest_{os.path.basename(str(sf_dir).rstrip('/'))}",
+    )
+    landing = os.path.join(root, "landing")
+    for k in range(3):
+        (
+            docs.filter(F.col("doc_id") % 3 == k)
+            .select(
+                F.concat(
+                    F.lit("doc"), F.col("doc_id").cast("string"),
+                    F.lit(".txt"),
+                ).alias("name"),
+                F.encode(F.col("text"), "UTF-8").alias("payload"),
+            )
+            .repartition(2)
+            .write.format("tarshards")
+            .mode("overwrite")
+            .save(os.path.join(landing, f"wave{k}"))
+        )
+    manifest = run_streaming_tar_ingest(
+        spark,
+        landing,
+        os.path.join(root, "manifest"),
+        os.path.join(root, "ckpt"),
+    )
+    return manifest.select(
+        F.regexp_extract(F.col("name"), r"^doc(\d+)\.txt$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "content_md5",
+    )
