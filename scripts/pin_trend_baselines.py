@@ -71,19 +71,14 @@ def main() -> int:
         added[q] = round((a + b) / 2, 3)
 
     pinned.update(added)
-    base["note"] += (
-        " r12 extension: the 45 previously trend-only entries pinned "
-        "from a fresh two-session study (same protocol); existing "
-        "pins untouched."
-    )
     history = base.setdefault("history", {})
-    key = "r12_trend_pin"
+    key = "trend_pin"
     while key in history:  # never overwrite an earlier study's record
         key += "_next"
     history[key] = {
         "pinned_from": (
-            f"r12 {len(sessions)}-session study (back-to-back "
-            "bench.py, idle host)"
+            f"{len(sessions)}-session study (back-to-back "
+            "bench.py, idle host; protocol of the r12 study)"
         ),
         "sessions": [s["value"] for s in sessions],
         "added": sorted(added),
