@@ -954,3 +954,27 @@ def test_fix_mojibake_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Window" not in plan
     assert "EvalPython" not in plan
+
+
+def test_tar_shards_native_read_plan_is_map_only(spark, sf_dir):
+    """The native tar-shard source feeds a pure projection: doc-id
+    extraction, byte length and md5 are all map-side — ZERO exchanges
+    after the scan (the plan a 10k-shard parallel sequential read
+    depends on). The write stage runs as its own eager job and is not
+    part of the returned plan."""
+    plan = _formatted(spark, sf_dir, "el_tar_shards_native_read")
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
+def test_wds_group_samples_plan_single_shuffle(spark, sf_dir):
+    """wds sample grouping is one partial-aggregated shuffle on the
+    unique sample key — member projection (regex split + payload md5)
+    stays map-side, and nothing sorts globally."""
+    import re
+
+    plan = _formatted(spark, sf_dir, "multimodal_wds_samples")
+    n_shuffles = len(re.findall(r"(?<!Broadcast)Exchange \(", plan))
+    assert n_shuffles <= 1, f"expected <=1 shuffle, got {n_shuffles}"
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
