@@ -494,13 +494,26 @@ def streaming_tar_ingest(spark, sf_dir):
 
     register_tarshards(spark)
     docs = read_sf_table(spark, sf_dir, "documents")
-    # sf-keyed fixed staging: re-runs re-write identical shard bytes
-    # under the same paths, the file-source log skips already-seen
-    # files, and batch-keyed manifest partitions overwrite themselves
-    # — idempotent across repeated invocations in one test session
+    # staging keyed by (sf, source mtime): re-runs over the SAME
+    # testdata re-write identical shard bytes under the same paths,
+    # the file-source log skips already-seen files, and batch-keyed
+    # manifest partitions overwrite themselves — idempotent across
+    # repeated invocations. A REGENERATED testdata tree (new mtimes)
+    # gets a fresh root, because the file-source log keys on path
+    # and would otherwise skip re-written shards and serve stale
+    # digests.
+    src = os.path.join(str(sf_dir), "documents.parquet")
+    mtimes = [os.path.getmtime(src)]
+    if os.path.isdir(src):
+        mtimes += [
+            os.path.getmtime(os.path.join(src, f))
+            for f in os.listdir(src)
+        ]
+    stamp = int(max(mtimes))
     root = os.path.join(
         tempfile.gettempdir(),
-        f"stream_tar_ingest_{os.path.basename(str(sf_dir).rstrip('/'))}",
+        "stream_tar_ingest_"
+        f"{os.path.basename(str(sf_dir).rstrip('/'))}_{stamp}",
     )
     landing = os.path.join(root, "landing")
     for k in range(3):
