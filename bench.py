@@ -180,6 +180,7 @@ HEADLINE = [
     "el_tar_shards_roundtrip",
     "el_tar_shards_native_read",
     "multimodal_wds_samples",
+    "multimodal_wds_snapshot_diff",
     "sample_leakage_safe_split",
 ]
 

@@ -1208,3 +1208,42 @@ def wds_group_samples(
             ).cast("binary")
         ).alias("sample_md5"),
     )
+
+
+def wds_snapshot_diff(
+    old_members: DataFrame,
+    new_members: DataFrame,
+    name_col: str = "name",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Sample-level diff between two tar-shard snapshot GENERATIONS —
+    the generation-management primitive of a wds corpus (what changed
+    between yesterday's drop and today's?): both member tables group
+    into samples (``wds_group_samples``), and a full outer join on
+    the sample key classifies every sample as ``added`` (new gen
+    only), ``removed`` (old gen only), ``changed`` (both, different
+    whole-sample digest — ANY part's bytes differing flips it), or
+    ``unchanged``. Returns ``(sample_key, status, old_md5, new_md5)``.
+
+    Scale shape: two single-shuffle groupings + one equi-join on the
+    unique sample key; payload bytes reduce to 16-byte digests at the
+    grouping, so the join moves digest-width rows no matter how large
+    the samples are. Downstream: ``added``+``changed`` is the
+    incremental processing set; ``removed`` drives retention
+    deletes."""
+    a = wds_group_samples(old_members, name_col, payload_col).select(
+        "sample_key", F.col("sample_md5").alias("old_md5")
+    )
+    b = wds_group_samples(new_members, name_col, payload_col).select(
+        "sample_key", F.col("sample_md5").alias("new_md5")
+    )
+    return a.join(b, "sample_key", "full_outer").select(
+        "sample_key",
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "old_md5",
+        "new_md5",
+    )

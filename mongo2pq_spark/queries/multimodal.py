@@ -2252,3 +2252,109 @@ def multimodal_wds_samples(spark, sf_dir):
     )
     back = spark.read.format("tarshards").load(outdir)
     return ops.wds_group_samples(back)
+
+
+_WDS_SAMPLE_MD5 = (
+    "md5('meta:' || md5('lang=' || lang || ';source=' || source)"
+    " || '|' || 'txt:' || md5({text}))"
+)
+
+
+@register(
+    "multimodal_wds_snapshot_diff",
+    f"""
+    SELECT 'doc' || CAST(doc_id AS VARCHAR) AS sample_key,
+           CASE WHEN doc_id % 7 = 0 THEN 'removed'
+                WHEN doc_id % 5 = 0 THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           {_WDS_SAMPLE_MD5.format(text='text')} AS old_md5,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                WHEN doc_id % 5 = 0
+                THEN {_WDS_SAMPLE_MD5.format(text="text || ' [v2]'")}
+                ELSE {_WDS_SAMPLE_MD5.format(text='text')}
+           END AS new_md5
+    FROM documents
+    UNION ALL
+    SELECT 'doc' || CAST(doc_id + 10000 AS VARCHAR) AS sample_key,
+           'added' AS status,
+           NULL AS old_md5,
+           {_WDS_SAMPLE_MD5.format(text='text')} AS new_md5
+    FROM documents WHERE doc_id < 30
+    """,
+    doc="sample-level snapshot diff between two tar-shard GENERATIONS "
+        "(r13 — wds generation management): generation A is every "
+        "document as a two-part sample; generation B removes "
+        "doc_id%7==0, rewrites the text part of doc_id%5==0 "
+        "(removal wins on overlap), and adds 30 fresh sample keys. "
+        "Both generations are WRITTEN as sample-key-partitioned "
+        "shards, READ BACK through the native tarshards source, "
+        "grouped into samples and full-outer-joined on the sample "
+        "key — every sample classified added/removed/changed/"
+        "unchanged by the order-insensitive whole-sample digest "
+        "(any part's bytes flip it). The oracle states key, status "
+        "and BOTH digests closed-form from the source table, so the "
+        "sink framing, the native parse, the grouping AND the diff "
+        "classification must all be value-exact. Scale: two single-"
+        "shuffle groupings + one digest-width equi-join; 'added'+"
+        "'changed' is the incremental processing set, 'removed' "
+        "drives retention deletes",
+)
+def multimodal_wds_snapshot_diff(spark, sf_dir):
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.tarshards import register_tarshards
+
+    register_tarshards(spark)
+    docs = read_sf_table(spark, sf_dir, "documents")
+
+    def members(df):
+        key = F.concat(F.lit("doc"), F.col("doc_id").cast("string"))
+        meta = F.concat(
+            F.lit("lang="), F.col("lang"),
+            F.lit(";source="), F.col("source"),
+        )
+        return df.select(
+            F.concat(key, F.lit(".txt")).alias("name"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        ).unionByName(
+            df.select(
+                F.concat(key, F.lit(".meta")).alias("name"),
+                F.encode(meta, "UTF-8").alias("payload"),
+            )
+        )
+
+    gen_a = members(docs)
+    changed = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" [v2]")),
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") < 30).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    gen_b = members(changed.unionByName(added))
+
+    key_of = F.regexp_extract("name", r"^([^.]*)", 1)
+    roots = {}
+    for gen, m in (("a", gen_a), ("b", gen_b)):
+        out = os.path.join(
+            tempfile.gettempdir(), f"el_wds_diff_{gen}_out"
+        )
+        (
+            m.repartition(4, key_of)
+            .sortWithinPartitions("name")
+            .write.format("tarshards")
+            .mode("overwrite")
+            .save(out)
+        )
+        roots[gen] = out
+    return ops.wds_snapshot_diff(
+        spark.read.format("tarshards").load(roots["a"]),
+        spark.read.format("tarshards").load(roots["b"]),
+    )

@@ -62,6 +62,7 @@ _DRIVER_WINDOW_FIRST = [
     "el_tar_shards_roundtrip",
     "el_tar_shards_native_read",
     "multimodal_wds_samples",
+    "multimodal_wds_snapshot_diff",
     "sample_leakage_safe_split",
     "streaming_tar_ingest",
     # changed in r13 (verdict r12 #9): store_dir=None now requires the
@@ -97,14 +98,14 @@ _DRIVER_WINDOW_FIRST = [
     "text_fix_mojibake",
     "embedding_pca_invariants",
     "embedding_whitening_identity",
-    # (c) 13 of the 20 twice-deferred r8-latest freshness rotations
-    # (SCALING.md r11-era list, in order); the final seven
-    # (q13_customer_order_distribution, q4_late_shipment_priority,
-    # scd2_user_state_history, sessions_overlap_join,
-    # orders_retention_cohorts, udaf_user_value_gini,
-    # value_quartile_buckets) and the oldest r9 row roll to r14's
-    # pure-freshness rotation — they all hold green r8/r9 driver
-    # rows, so coverage stays total.
+    # (c) 12 of the 20 twice-deferred r8-latest freshness rotations
+    # (SCALING.md r11-era list, in order); the final eight
+    # (grouping_sets_revenue, q13_customer_order_distribution,
+    # q4_late_shipment_priority, scd2_user_state_history,
+    # sessions_overlap_join, orders_retention_cohorts,
+    # udaf_user_value_gini, value_quartile_buckets) and the oldest
+    # r9 row roll to r14's pure-freshness rotation — they all hold
+    # green r8/r9 driver rows, so coverage stays total.
     "doc_chunks_fixed",
     "token_pack_greedy",
     "stratified_sample",
@@ -117,7 +118,6 @@ _DRIVER_WINDOW_FIRST = [
     "events_value_histogram",
     "profile_events_stats",
     "range_join_click_attribution",
-    "grouping_sets_revenue",
 ]
 
 
