@@ -1175,7 +1175,10 @@ def wds_group_samples(
     ``sample_md5`` digests the ext-sorted ``ext:md5(payload)`` pairs,
     so it is order-insensitive across shards/partitions and changes
     iff any part's bytes change — the whole-sample identity key for
-    sample-level dedup and snapshot diffing.
+    sample-level dedup and snapshot diffing. A member name with no
+    dot is a single-part sample whose part type is the empty string
+    (wds corpora always carry extensions; this just keeps the
+    grouping total).
 
     Scale shape: per-member projection (regex split + payload md5) is
     map-only; the group-by-key is ONE shuffle on the sample key —
