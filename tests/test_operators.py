@@ -4958,3 +4958,10 @@ def test_leakage_safe_split_invariants(spark, sf_dir):
 
     with pytest.raises(ValueError, match="bad split percentages"):
         leakage_safe_split(docs, pairs, train_pct=100)
+
+    # a corpus with NO near-dups (empty pair graph) is the common
+    # case: every doc must come through as its own singleton cluster
+    no_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    singletons = leakage_safe_split(docs.limit(50), no_pairs).collect()
+    assert len(singletons) == 50
+    assert all(r["cluster_id"] == r["doc_id"] for r in singletons)
