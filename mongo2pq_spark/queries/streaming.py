@@ -470,17 +470,17 @@ def streaming_dq_monitor(spark, sf_dir):
     doc="continuous tar-shard ingestion (streaming/taringest.py): the "
         "documents table is written as THREE tar-shard waves into a "
         "landing tree (the crawler-drop deployment shape), then "
-        "tailed by a binaryFile file-source stream (Spark's own "
-        "exactly-once new-file log, maxFilesPerTrigger=2 forcing "
-        "multiple microbatches); each batch explodes its shards' "
-        "members through the SAME real tar parse the batch path uses "
-        "(archive_manifest — streaming and batch ingestion share the "
-        "parser, so they cannot drift) and lands a batch-id-keyed "
-        "manifest partition with overwrite (replays overwrite "
-        "themselves, exactly-once end to end). The cross-batch "
-        "manifest must equal the whole-table oracle: every document "
-        "present exactly once, member bytes + md5 equal the source "
-        "text's UTF-8 bytes",
+        "tailed by a binaryFile file-source stream pruned to the "
+        "path column (Spark's own exactly-once new-file log, "
+        "maxFilesPerTrigger=2 forcing multiple microbatches); each "
+        "batch parses its shards sequentially on executors (r14: "
+        "tarfile r| — ONE member in RAM, never the shard; digest "
+        "parity with the batch parser is contract-tested) and lands "
+        "a batch-id-keyed manifest partition with overwrite (replays "
+        "overwrite themselves, exactly-once end to end). The "
+        "cross-batch manifest must equal the whole-table oracle: "
+        "every document present exactly once, member bytes + md5 "
+        "equal the source text's UTF-8 bytes",
 )
 def streaming_tar_ingest(spark, sf_dir):
     import os

@@ -1,22 +1,30 @@
 """Streaming tar-shard ingestion: a LANDING directory where
 producers (crawlers, upstream export jobs) drop ``shard-*.tar``
 files continuously, tailed as a Structured Streaming source — each
-microbatch explodes the newly-arrived shards' members through the
-real tar parse and appends them to a parquet member manifest.
+microbatch explodes the newly-arrived shards' members into an
+append-only parquet member manifest.
 
 Composition, not custom machinery: Spark's file streaming source
 already owns exactly-once new-file tracking (its seen-files log), so
 the stream is ``readStream.format("binaryFile")`` over the landing
-tree and the member explode is the SAME ``archive_manifest``
-(operators/archives.py) the batch path uses — streaming and batch
-ingestion cannot drift apart because they share the parser.
+tree pruned to the ``path`` column — the scan never materializes
+shard bytes as rows — and each microbatch parses its shards on
+executors through ``tarfile`` in ``r|`` (pure-sequential) mode, the
+native tar-shard reader's streaming discipline: ONE member's payload
+in memory at a time, never the shard. The old formulation carried
+each shard as a single binaryFile row (a ~1 GB cell per task at
+WebDataset shard sizes, VERDICT r13 #2); peak task memory is now
+O(member). Member rows (name, size, content md5) are kept
+value-identical to the batch path's ``archive_manifest`` parse —
+asserted by a shared-fixture parity test (tests/test_streaming.py),
+so streaming and batch ingestion cannot drift apart.
 
-Scale shape: each shard's bytes are read once, on an executor, in
-the microbatch that first sees it; the member manifest grows
-append-only (doc-level digests, no payloads by default) and is the
+Scale shape: each shard's bytes are read once, sequentially, on an
+executor, in the microbatch that first sees it; the member manifest
+grows append-only (doc-level digests, no payloads) and is the
 joinable index downstream dedup/stats run against. At warehouse
-scale the landing tree is an object-store prefix and the manifest a
-catalog table; maxFilesPerTrigger bounds per-batch work.
+scale the landing tree is a shared-filesystem prefix and the
+manifest a catalog table; maxFilesPerTrigger bounds per-batch work.
 """
 
 from __future__ import annotations
@@ -24,7 +32,66 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
+MEMBER_SCHEMA = "name string, n_bytes bigint, content_md5 string"
+
+
+def _local_path(uri: str) -> str:
+    """File-source paths arrive as URIs (``file:/...``); the
+    sequential parse opens them with the local filesystem API —
+    the same executor-visible-path contract as the tarshards
+    source/sink. Anything non-local is a loud error, not a silent
+    empty parse."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    if parsed.scheme in ("", "file"):
+        return unquote(parsed.path) or uri
+    raise ValueError(
+        f"streaming tar ingest requires executor-visible local shard "
+        f"paths, got {uri!r} — remote object-store landing trees need "
+        "a filesystem mount or the catalog-table variant"
+    )
+
+
+def tar_members_by_path(paths_df: DataFrame) -> DataFrame:
+    """Explode ``(path)`` rows of tar shards into one row per member
+    ``(name, n_bytes, content_md5)`` — sequential ``r|`` parse, one
+    member in RAM at a time. Digest semantics mirror the batch
+    parser (``operators/archives.py::parse_archive_manifest``): every
+    member is a row, non-file members digest empty bytes."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(paths_df.sparkSession)
+
+    def parse(batches):
+        import hashlib
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            for uri in pdf["path"]:
+                rows = []
+                with tarfile.open(_local_path(uri), mode="r|") as tf:
+                    for member in tf:
+                        if member.isfile():
+                            fh = tf.extractfile(member)
+                            content = fh.read() if fh else b""
+                        else:
+                            content = b""
+                        rows.append(
+                            (
+                                member.name,
+                                int(member.size),
+                                hashlib.md5(content).hexdigest(),
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["name", "n_bytes", "content_md5"]
+                )
+
+    return paths_df.select("path").mapInPandas(parse, MEMBER_SCHEMA)
 
 
 def run_streaming_tar_ingest(
@@ -35,19 +102,17 @@ def run_streaming_tar_ingest(
     max_files_per_trigger: int = 2,
 ) -> DataFrame:
     """Tail ``landing_dir`` (recursively) for ``shard-*.tar`` files,
-    explode each new shard's members (real tar parse + content
-    digests), and append them to the parquet manifest at ``out_dir``;
-    returns the manifest DataFrame after draining everything
-    currently available. Restarting with the same checkpoint resumes
-    the file-source log, and each microbatch lands in a
-    ``batch=<id>``-keyed partition written with overwrite — a
+    explode each new shard's members (sequential tar parse + content
+    digests, O(member) peak memory), and append them to the parquet
+    manifest at ``out_dir``; returns the manifest DataFrame after
+    draining everything currently available. Restarting with the same
+    checkpoint resumes the file-source log, and each microbatch lands
+    in a ``batch=<id>``-keyed partition written with overwrite — a
     replayed batch overwrites ITSELF, so shard ingestion is
     exactly-once end to end across crashes (the same batch-token
     idempotence the band stores use). The manifest stays at digest
     width (name, bytes, md5); the payloads stay in the shards, which
     remain the storage of record."""
-    from mongo2pq_spark.operators.archives import archive_manifest
-
     stream = (
         spark.readStream.format("binaryFile")
         # file stream sources require an explicit schema; binaryFile's
@@ -60,23 +125,15 @@ def run_streaming_tar_ingest(
         .option("recursiveFileLookup", "true")
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .load(landing_dir)
+        # prune to path BEFORE the batch hook: binaryFile honors
+        # column pruning (plan-asserted in tests/test_plans.py), so
+        # shard bytes never enter the scan — the executor parse
+        # streams them straight off disk instead
+        .select("path")
     )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
-        entries = archive_manifest(
-            batch_df.select(
-                # archive_manifest threads a bigint id column through;
-                # member identity here IS the member name, so the id
-                # is a placeholder — kept for parser reuse
-                F.lit(0).cast("bigint").alias("doc_id"),
-                F.col("content").alias("payload"),
-            )
-        ).select(
-            "name",
-            F.col("n_bytes").cast("bigint").alias("n_bytes"),
-            "content_md5",
-        )
-        entries.write.mode("overwrite").parquet(
+        tar_members_by_path(batch_df).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch={batch_id}")
         )
 
@@ -91,9 +148,7 @@ def run_streaming_tar_ingest(
     finally:
         query.stop()
     if not os.path.isdir(out_dir):
-        return spark.createDataFrame(
-            [], "name string, n_bytes bigint, content_md5 string"
-        )
+        return spark.createDataFrame([], MEMBER_SCHEMA)
     return (
         spark.read.option("basePath", out_dir)
         .parquet(out_dir)

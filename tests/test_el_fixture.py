@@ -1887,3 +1887,117 @@ def test_tarshards_manifest_integrity(spark, tmp_path):
     os.remove(os.path.join(out, "_MANIFEST.json"))
     remaining = spark.read.format("tarshards").load(out).count()
     assert remaining == 9 - n_victim
+
+
+def test_verify_tar_shards_chunked_and_skew(spark, tmp_path):
+    """The fsck's chunked re-hash: a chunk_bytes smaller than the
+    shard forces the multi-chunk path (hash must agree across buffer
+    boundaries — the O(chunk) peak-memory contract, VERDICT r13 #2);
+    a mid-file flip past the first chunk is still caught; the
+    bytes_over_median skew column reports the one oversized shard a
+    heavy indivisible sample produces."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.tarshards import (
+        register_tarshards,
+        verify_tar_shards,
+    )
+
+    register_tarshards(spark)
+    # 3 samples of ~2 KB and one 64 KB heavyweight, keyed so the
+    # heavy sample sits alone in its shard
+    rows = [(f"s{i}.txt", (f"body-{i} " * 256).encode()) for i in range(3)]
+    rows.append(("heavy.txt", b"H" * 65536))
+    df = spark.createDataFrame(rows, "name string, payload binary")
+    out = str(tmp_path / "shards")
+    (
+        df.repartition(4, F.col("name"))
+        .write.format("tarshards")
+        .mode("overwrite")
+        .save(out)
+    )
+
+    # chunk far below shard size: every shard hashes over many chunks
+    res = {
+        r["shard"]: r
+        for r in verify_tar_shards(spark, out, chunk_bytes=1024).collect()
+    }
+    assert all(r["status"] == "ok" for r in res.values())
+    # same verdicts as the default chunk size (chunking is invisible)
+    default = {
+        r["shard"]: (r["actual_md5"], r["actual_bytes"])
+        for r in verify_tar_shards(spark, out).collect()
+    }
+    assert default == {
+        k: (r["actual_md5"], r["actual_bytes"]) for k, r in res.items()
+    }
+
+    # skew report: the heavy shard reads >1x median, the rest ~equal
+    heavy_shard = max(res.values(), key=lambda r: r["expected_bytes"])
+    assert heavy_shard["bytes_over_median"] > 5.0
+    light = [r for r in res.values() if r is not heavy_shard]
+    assert all(0.1 < r["bytes_over_median"] <= 1.5 for r in light)
+
+    # corruption past the first chunk boundary is still caught
+    victim = os.path.join(out, heavy_shard["shard"])
+    blob = bytearray(open(victim, "rb").read())
+    blob[5000] ^= 0xFF  # > chunk_bytes=1024 into the file
+    open(victim, "wb").write(bytes(blob))
+    statuses = {
+        r["shard"]: r["status"]
+        for r in verify_tar_shards(spark, out, chunk_bytes=1024).collect()
+    }
+    assert statuses[heavy_shard["shard"]] == "corrupt"
+    assert sorted(statuses.values()).count("ok") == len(statuses) - 1
+
+    with pytest.raises(ValueError, match="chunk_bytes"):
+        verify_tar_shards(spark, out, chunk_bytes=0)
+
+    # empty-manifest snapshot: zero rows, no division-by-zero skew
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with open(os.path.join(empty, "_MANIFEST.json"), "w") as fh:
+        json.dump({"shards": {}}, fh)
+    assert verify_tar_shards(spark, empty).count() == 0
+
+
+def test_verify_tar_shards_large_shard_smoke(spark, tmp_path):
+    """~200 MB shard through the default 8 MB chunk: the fsck's task
+    memory is the read buffer, not the shard (the old binaryFile
+    formulation held the whole file as one row). The fixture file is
+    written directly — the fsck hashes bytes, it never parses tar —
+    with its md5 computed the same incremental way."""
+    import hashlib
+    import json
+    import os
+
+    from mongo2pq_spark.sources.tarshards import verify_tar_shards
+
+    out = str(tmp_path / "big")
+    os.makedirs(out)
+    block = bytes(range(256)) * 4096  # 1 MiB
+    hasher = hashlib.md5()
+    n = 200
+    with open(os.path.join(out, "shard-00000.tar"), "wb") as fh:
+        for i in range(n):
+            buf = bytes([i % 251]) + block[1:]
+            fh.write(buf)
+            hasher.update(buf)
+    with open(os.path.join(out, "_MANIFEST.json"), "w") as fh:
+        json.dump(
+            {
+                "shards": {
+                    "shard-00000.tar": {
+                        "md5": hasher.hexdigest(),
+                        "bytes": n * len(block),
+                    }
+                }
+            },
+            fh,
+        )
+    [row] = verify_tar_shards(spark, out).collect()
+    assert row["status"] == "ok"
+    assert row["actual_bytes"] == n * len(block)

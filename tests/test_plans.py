@@ -978,3 +978,20 @@ def test_wds_group_samples_plan_single_shuffle(spark, sf_dir):
     assert n_shuffles <= 1, f"expected <=1 shuffle, got {n_shuffles}"
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_binaryfile_path_projection_prunes_content(spark, tmp_path):
+    """The streaming tar ingest tails the landing tree with
+    readStream.format('binaryFile').select('path'): binaryFile must
+    honor column pruning so shard BYTES never become scan rows (the
+    O(member) redesign depends on it — the executor parse streams
+    the bytes itself). Streaming reuses the same FileFormat, so the
+    batch plan is the assertable surface."""
+    p = tmp_path / "shard-00000.tar"
+    p.write_bytes(b"\x00" * 1024)
+    plan = _plan(
+        spark.read.format("binaryFile").load(str(tmp_path)).select("path")
+    )
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "path" in read_schema
+    assert "content" not in read_schema and "binary" not in read_schema

@@ -461,3 +461,59 @@ def test_streaming_dq_monitor_planted_and_unique_rejected(spark, tmp_path):
             spark, str(p),
             [{"rule_id": "u", "kind": "unique", "col": "event_id"}],
         )
+
+
+def test_tar_members_by_path_matches_batch_parser(spark, tmp_path):
+    """Streaming/batch ingestion parity: the streaming path's
+    sequential O(member) tar parse (tar_members_by_path) must emit
+    row-for-row the same (name, n_bytes, content_md5) manifest as
+    the batch parser (archive_manifest) on the same shard bytes —
+    non-file members included. This test IS the no-drift contract
+    that replaced the shared whole-payload parser (VERDICT r13 #2:
+    the binaryFile row materialized whole shards per task)."""
+    import io
+    import tarfile
+
+    from mongo2pq_spark.operators.archives import archive_manifest
+    from mongo2pq_spark.streaming.taringest import (
+        _local_path,
+        tar_members_by_path,
+    )
+
+    # hand-built shard: regular files AND a directory member (the
+    # batch parser digests b"" for non-files; parity must too)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        d = tarfile.TarInfo("samples/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        for i in range(5):
+            payload = f"payload-{i} ".encode() * (i + 1)
+            info = tarfile.TarInfo(f"samples/doc{i}.txt")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    shard = tmp_path / "shard-00000.tar"
+    shard.write_bytes(buf.getvalue())
+
+    paths = spark.createDataFrame([(str(shard),)], "path string")
+    streaming_rows = sorted(
+        tuple(r) for r in tar_members_by_path(paths).collect()
+    )
+    batch_rows = sorted(
+        (r["name"], r["n_bytes"], r["content_md5"])
+        for r in archive_manifest(
+            spark.createDataFrame(
+                [(0, buf.getvalue())], "doc_id bigint, payload binary"
+            )
+        ).collect()
+    )
+    assert streaming_rows == batch_rows
+    assert len(streaming_rows) == 6  # 5 files + 1 directory
+
+    # file-source URIs resolve; remote schemes fail loud
+    assert _local_path(f"file:{shard}") == str(shard)
+    assert _local_path(str(shard)) == str(shard)
+    import pytest
+
+    with pytest.raises(ValueError, match="executor-visible"):
+        _local_path("s3a://bucket/shard-0.tar")
