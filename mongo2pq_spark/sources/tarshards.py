@@ -195,7 +195,12 @@ class TarShardsReader(DataSourceReader):
     Emits ``(name, payload, shard)`` — name/payload first so a
     read -> re-shard write round-trips without a projection. Python
     DataSources get no column pruning, so payload bytes are always
-    materialized; prune AFTER the scan knowing that.
+    materialized by default; prune AFTER the scan knowing that — or
+    pass ``.option("payloads", "false")`` for manifest/stat scans:
+    members are never extracted (payload comes back NULL), so a
+    names-only sweep of a 100 TB corpus costs header parsing, not
+    payload materialization. The option is the manual stand-in for
+    the column pruning Python DataSources don't get.
 
     ``_SUCCESS`` is required: it is the sink's completeness signal,
     and reading a half-committed snapshot would silently train on a
@@ -206,6 +211,14 @@ class TarShardsReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("tarshards read requires a path")
+        raw = str(options.get("payloads", "true")).lower()
+        if raw not in ("true", "false"):
+            raise ValueError(
+                f"tarshards option payloads={raw!r} — expected "
+                "'true' (default) or 'false' (manifest-only scan, "
+                "payload column NULL)"
+            )
+        self.payloads = raw == "true"
 
     def partitions(self):
         import glob as globlib
@@ -249,6 +262,9 @@ class TarShardsReader(DataSourceReader):
         with tarfile.open(path, mode="r|") as tf:
             for member in tf:
                 if not member.isfile():
+                    continue
+                if not self.payloads:
+                    yield (member.name, None, shard)
                     continue
                 fh = tf.extractfile(member)
                 yield (member.name, fh.read() if fh else b"", shard)

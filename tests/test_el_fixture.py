@@ -1889,6 +1889,49 @@ def test_tarshards_manifest_integrity(spark, tmp_path):
     assert remaining == 9 - n_victim
 
 
+def test_tarshards_read_payloads_false(spark, tmp_path):
+    """Manifest-only native read: .option('payloads','false') skips
+    member extraction — names/shards identical to the full read,
+    payload uniformly NULL (the manual column-pruning stand-in for
+    Python DataSources; VERDICT r13 stretch #7). Full-read default
+    unchanged; junk option values fail loud."""
+    import pytest
+
+    from mongo2pq_spark.sources.tarshards import register_tarshards
+
+    register_tarshards(spark)
+    df = spark.createDataFrame(
+        [(f"doc{i}.txt", f"payload-{i}".encode()) for i in range(12)],
+        "name string, payload binary",
+    ).repartition(3)
+    out = str(tmp_path / "shards")
+    df.write.format("tarshards").mode("overwrite").save(out)
+
+    full = spark.read.format("tarshards").load(out)
+    lean = (
+        spark.read.format("tarshards")
+        .option("payloads", "false")
+        .load(out)
+    )
+    assert lean.schema == full.schema
+    lean_rows = lean.collect()
+    assert all(r["payload"] is None for r in lean_rows)
+    assert sorted((r["name"], r["shard"]) for r in lean_rows) == sorted(
+        (r["name"], r["shard"]) for r in full.collect()
+    )
+    # stat scans compose: member count per shard without payloads
+    counts = lean.groupBy("shard").count().collect()
+    assert sum(r["count"] for r in counts) == 12 and len(counts) == 3
+
+    with pytest.raises(Exception, match="payloads"):
+        (
+            spark.read.format("tarshards")
+            .option("payloads", "maybe")
+            .load(out)
+            .collect()
+        )
+
+
 def test_verify_tar_shards_chunked_and_skew(spark, tmp_path):
     """The fsck's chunked re-hash: a chunk_bytes smaller than the
     shard forces the multi-chunk path (hash must agree across buffer
