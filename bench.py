@@ -182,6 +182,13 @@ HEADLINE = [
     "multimodal_wds_samples",
     "multimodal_wds_snapshot_diff",
     "sample_leakage_safe_split",
+    # r14 addition: the generation-management composition pipeline —
+    # sample diff, increment-only band-store probe, gen-A pair reuse,
+    # TWO cluster-keyed splits. The heaviest registry entry (~12 s at
+    # sf0.1): two CC loops dominate, each ~3 s of per-round scheduling
+    # on a tiny pair graph (the 100 TB shape; local wall-clock is loop
+    # overhead, not data). Pin after its first two idle sessions.
+    "pipeline_generation_resplit",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

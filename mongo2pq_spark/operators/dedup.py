@@ -162,13 +162,15 @@ def minhash_band_table(
     )
 
 
-def _minhash_band_candidates(
-    sig: DataFrame, id_col: str, k: int, bands: int
+def band_candidate_pairs(
+    banded: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct candidate pairs (doc_a < doc_b) from LSH banding over a
-    signature table: docs agreeing on all rows of ≥1 band meet in an
-    equi-join on (band_id, band_hash) — linear-ish in corpus size."""
-    banded = minhash_band_table(sig, id_col, k, bands)
+    """Distinct candidate pairs (doc_a < doc_b) from an EXISTING band
+    table (``minhash_band_table`` output — the persistable index
+    form): docs agreeing on all rows of ≥1 band meet in an equi-join
+    on (band_id, band_hash) — linear-ish in corpus size. Public so
+    pipelines holding a persisted/cached band table pair it without
+    re-shingling the text (see pipeline_generation_resplit)."""
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -183,6 +185,16 @@ def _minhash_band_candidates(
             F.col(f"b.{id_col}").alias("doc_b"),
         )
         .distinct()
+    )
+
+
+def _minhash_band_candidates(
+    sig: DataFrame, id_col: str, k: int, bands: int
+) -> DataFrame:
+    """Candidate pairs from a signature table; see
+    ``band_candidate_pairs`` for the band-table form."""
+    return band_candidate_pairs(
+        minhash_band_table(sig, id_col, k, bands), id_col
     )
 
 
@@ -855,6 +867,7 @@ def incremental_near_dup_candidates(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
     seed: int = 42,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, existing_id) NEAR-dup candidates of an incoming batch
     against a PERSISTED corpus band index (``minhash_band_table``
@@ -867,11 +880,21 @@ def incremental_near_dup_candidates(
     the index — AQE broadcasts the batch's band table while it fits,
     shuffles when it doesn't. History is never re-read: the index is
     the corpus's only trace. Same-seed signatures keep candidates
-    identical to a full-corpus banding restricted to new×existing."""
-    new_bands = minhash_band_table(
-        minhash_signatures(new_df, id_col, text_col, k, shingle_n, seed),
-        id_col, k, bands,
-    ).select(
+    identical to a full-corpus banding restricted to new×existing.
+
+    ``new_bands``: optionally pass the batch's band table directly
+    (``minhash_band_table`` output over the SAME parameters) when the
+    caller already built it for another consumer (e.g. the
+    within-batch ``band_candidate_pairs``) — the batch is then
+    shingled once, not per consumer."""
+    if new_bands is None:
+        new_bands = minhash_band_table(
+            minhash_signatures(
+                new_df, id_col, text_col, k, shingle_n, seed
+            ),
+            id_col, k, bands,
+        )
+    new_bands = new_bands.select(
         F.col(id_col).alias("new_id"), "band_id", "band_hash"
     )
     probe = index.select(

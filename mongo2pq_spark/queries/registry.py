@@ -46,78 +46,74 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # r13 window (verdict r12 #1): drain the queue to ZERO — after
-    # this round every registry entry holds a driver row. Order:
-    # (a) queries whose implementation/oracle/underlying machinery
-    # changed in r13 (ADVICE r12 fixes: cleaned-corpus null-text
-    # oracle parity; empty-tar container sniffing; 60-bit span hash +
-    # O(increment) index probe for both ExactSubstr paths; streaming
-    # empty-skip tar-shard sink) plus the round's new registration
-    # (native tar-shard reader) — their first/next driver row must
-    # reflect the r13 code;
-    "dedup_cleaned_corpus",
-    "multimodal_archive_manifest",
-    "dedup_substring_removal",
-    "dedup_substring_incremental",
-    "el_tar_shards_roundtrip",
+    # r14 window (VERDICT r13 #1: pure-freshness rotation from the
+    # corrected starting point — registry 251+1 new, r8-latest front
+    # is 8 entries). Order:
+    # (a) queries changed or new in r14: the generation-management
+    # composition pipeline (new registration, VERDICT r13 #4) and the
+    # five queries whose underlying machinery changed this round —
+    # streaming tar ingest (O(member) sequential parse replaces the
+    # whole-shard binaryFile row; doc/hash moved) and the four
+    # tarshards-source consumers (reader gained the payloads=false
+    # option; fsck feeding the roundtrip's verification chain went
+    # chunked) — their next driver row must reflect r14 code;
+    "pipeline_generation_resplit",
+    "streaming_tar_ingest",
     "el_tar_shards_native_read",
+    "el_tar_shards_roundtrip",
     "multimodal_wds_samples",
     "multimodal_wds_snapshot_diff",
-    "sample_leakage_safe_split",
-    "streaming_tar_ingest",
-    # changed in r13 (verdict r12 #9): store_dir=None now requires the
-    # explicit driver_collect_ok opt-in; both queries pass it
-    "streaming_near_dedup",
-    "streaming_hamming_dedup",
-    # (b) the remaining 26 _NEXT_WINDOW_QUEUE entries exactly in
-    # their declared order (the three displaced DQ-contract queries
-    # first, then registration order) — the last never-checked names;
-    "events_benford_deviation",
-    "dq_validate_events",
-    "dq_referential_lineitem",
-    "streaming_dq_monitor",
-    "text_html_extract",
-    "retrieval_eval_metrics",
-    "embedding_calibration_bins",
-    "multimodal_pdf_metadata",
-    "el_jsonl_gzip_roundtrip",
-    "multimodal_warc_extract",
-    "web_outlinks",
-    "corpus_source_kl",
-    "events_bootstrap_ci",
-    "el_snapshot_diff",
-    "multimodal_flac_streaminfo",
-    "multimodal_bmp_pixel_roundtrip",
-    "multimodal_gif_metadata",
-    "multimodal_mp3_id3_tags",
-    "web_robots_audit",
-    "multimodal_crosscodec_neardup",
-    "el_footer_manifest",
-    "web_sitemap_urls",
-    "text_srt_cues",
-    "text_fix_mojibake",
-    "embedding_pca_invariants",
-    "embedding_whitening_identity",
-    # (c) 12 of the 20 twice-deferred r8-latest freshness rotations
-    # (SCALING.md r11-era list, in order); the final eight
-    # (grouping_sets_revenue, q13_customer_order_distribution,
-    # q4_late_shipment_priority, scd2_user_state_history,
-    # sessions_overlap_join, orders_retention_cohorts,
-    # udaf_user_value_gini, value_quartile_buckets) and the oldest
-    # r9 row roll to r14's pure-freshness rotation — they all hold
-    # green r8/r9 driver rows, so coverage stays total.
-    "doc_chunks_fixed",
-    "token_pack_greedy",
-    "stratified_sample",
-    "weighted_sample_quality",
-    "events_anomaly_mad",
-    "events_funnel_conversion",
-    "events_heavy_hitters",
-    "events_rolling_1h_user",
-    "events_rollup_gapfill",
-    "events_value_histogram",
-    "profile_events_stats",
-    "range_join_click_attribution",
+    # (b) the 8 r8-latest freshness leftovers (oldest rows in the
+    # registry; set recomputed from CORRECTNESS_r01..r13 — includes
+    # grouping_sets_revenue, which the r13 note omitted);
+    "grouping_sets_revenue",
+    "q13_customer_order_distribution",
+    "q4_late_shipment_priority",
+    "scd2_user_state_history",
+    "sessions_overlap_join",
+    "orders_retention_cohorts",
+    "udaf_user_value_gini",
+    "value_quartile_buckets",
+    # (c) 36 of the 48 r9-latest rows, in their r9 window order; the
+    # final 12 (streaming_session_windows .. window_top_orders_per_
+    # customer) roll to r15's freshness front — all hold green r9
+    # rows, so coverage stays total.
+    "embedding_drift",
+    "dedup_levenshtein_blocked",
+    "embedding_near_dup",
+    "ann_lsh_topk",
+    "ann_lsh_buckets",
+    "ann_topk_bruteforce",
+    "approx_topk_event_types",
+    "cogroup_asof_enrich",
+    "customers_without_orders",
+    "dedup_incremental_new_docs",
+    "dedup_minhash_candidates",
+    "dedup_minhash_jaccard_est",
+    "dedup_near_cleaned_corpus",
+    "dedup_near_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_fingerprints",
+    "dq_audit_lineitem",
+    "el_partitioned_roundtrip",
+    "event_type_matrix",
+    "events_except",
+    "events_time_slice",
+    "multimodal_image_dims",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q3_top_unshipped",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "rollup_customer_counts",
+    "session_window_native",
+    "sketch_rollup_distinct_users",
+    "sql_api_revenue_by_day",
+    "streaming_dedup_events",
+    "streaming_enrich_static",
+    "streaming_parquet_sink",
 ]
 
 
