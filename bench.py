@@ -189,6 +189,12 @@ HEADLINE = [
     # on a tiny pair graph (the 100 TB shape; local wall-clock is loop
     # overhead, not data). Pin after its first two idle sessions.
     "pipeline_generation_resplit",
+    # r14 additions (el I/O class, the footer-manifest/roundtrip
+    # policy): manifest-only shard sweep via payloads=false, and the
+    # reshard OPTIMIZE pass (read -> shard_members -> write -> read).
+    # Pin after their first two idle sessions.
+    "el_tar_manifest_scan",
+    "el_tar_reshard_roundtrip",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

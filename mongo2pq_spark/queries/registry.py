@@ -47,17 +47,21 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
     # r14 window (VERDICT r13 #1: pure-freshness rotation from the
-    # corrected starting point — registry 251+1 new, r8-latest front
+    # corrected starting point — registry 251+3 new, r8-latest front
     # is 8 entries). Order:
     # (a) queries changed or new in r14: the generation-management
-    # composition pipeline (new registration, VERDICT r13 #4) and the
-    # five queries whose underlying machinery changed this round —
-    # streaming tar ingest (O(member) sequential parse replaces the
-    # whole-shard binaryFile row; doc/hash moved) and the four
-    # tarshards-source consumers (reader gained the payloads=false
-    # option; fsck feeding the roundtrip's verification chain went
-    # chunked) — their next driver row must reflect r14 code;
+    # composition pipeline (VERDICT r13 #4), the manifest-only scan
+    # (payloads=false driver proof) and the reshard roundtrip (both
+    # new), plus the five queries whose underlying machinery changed
+    # this round — streaming tar ingest (O(member) sequential parse
+    # replaces the whole-shard binaryFile row; doc/hash moved) and
+    # the four tarshards-source consumers (reader gained the
+    # payloads=false option; fsck feeding the roundtrip's
+    # verification chain went chunked) — their next driver row must
+    # reflect r14 code;
     "pipeline_generation_resplit",
+    "el_tar_manifest_scan",
+    "el_tar_reshard_roundtrip",
     "streaming_tar_ingest",
     "el_tar_shards_native_read",
     "el_tar_shards_roundtrip",
@@ -74,10 +78,11 @@ _DRIVER_WINDOW_FIRST = [
     "orders_retention_cohorts",
     "udaf_user_value_gini",
     "value_quartile_buckets",
-    # (c) 36 of the 48 r9-latest rows, in their r9 window order; the
-    # final 12 (streaming_session_windows .. window_top_orders_per_
-    # customer) roll to r15's freshness front — all hold green r9
-    # rows, so coverage stays total.
+    # (c) 34 of the 48 r9-latest rows, in their r9 window order; the
+    # final 14 (streaming_enrich_static, streaming_parquet_sink,
+    # streaming_session_windows .. window_top_orders_per_customer)
+    # roll to r15's freshness front — all hold green r9 rows, so
+    # coverage stays total.
     "embedding_drift",
     "dedup_levenshtein_blocked",
     "embedding_near_dup",
@@ -112,8 +117,6 @@ _DRIVER_WINDOW_FIRST = [
     "sketch_rollup_distinct_users",
     "sql_api_revenue_by_day",
     "streaming_dedup_events",
-    "streaming_enrich_static",
-    "streaming_parquet_sink",
 ]
 
 

@@ -1297,3 +1297,156 @@ def el_tar_shards_native_read(spark, sf_dir):
         F.octet_length(F.col("payload")).cast("bigint").alias("n_bytes"),
         F.md5(F.col("payload")).alias("content_md5"),
     )
+
+
+@register(
+    "el_tar_manifest_scan",
+    """
+    SELECT 'meta' AS ext,
+           count(*) AS n_members,
+           count(*) AS n_null_payloads,
+           CAST(sum(octet_length(encode(
+               'doc' || CAST(doc_id AS VARCHAR) || '.meta'))) AS BIGINT)
+               AS name_bytes
+    FROM documents
+    UNION ALL
+    SELECT 'txt' AS ext,
+           count(*) AS n_members,
+           count(*) AS n_null_payloads,
+           CAST(sum(octet_length(encode(
+               'doc' || CAST(doc_id AS VARCHAR) || '.txt'))) AS BIGINT)
+               AS name_bytes
+    FROM documents
+    """,
+    doc="manifest-only tar-shard sweep (r14): two-part samples are "
+        "written as shards, then scanned with "
+        "option('payloads','false') — the native reader's manual "
+        "column-pruning stand-in (Python DataSources get no pruning): "
+        "members are never extracted, so a names/stats sweep of a "
+        "100 TB corpus costs tar header parsing, not payload "
+        "materialization. Per extension the member count and total "
+        "name bytes must match the source table closed-form, and "
+        "n_null_payloads MUST equal n_members — the oracle-visible "
+        "proof that the scan really ran payload-free",
+)
+def el_tar_manifest_scan(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.tarshards import register_tarshards
+
+    register_tarshards(spark)
+    docs = read_sf_table(spark, sf_dir, "documents")
+    key = F.concat(F.lit("doc"), F.col("doc_id").cast("string"))
+    members = docs.select(
+        F.concat(key, F.lit(".txt")).alias("name"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    ).unionByName(
+        docs.select(
+            F.concat(key, F.lit(".meta")).alias("name"),
+            F.encode(
+                F.concat(
+                    F.lit("lang="), F.col("lang"),
+                    F.lit(";source="), F.col("source"),
+                ),
+                "UTF-8",
+            ).alias("payload"),
+        )
+    )
+    outdir = os.path.join(tempfile.gettempdir(), "el_tar_mscan_out")
+    (
+        members.repartition(4)
+        .write.format("tarshards")
+        .mode("overwrite")
+        .save(outdir)
+    )
+    lean = (
+        spark.read.format("tarshards")
+        .option("payloads", "false")
+        .load(outdir)
+    )
+    return (
+        lean.select(
+            F.regexp_extract("name", r"^[^.]*\.(.*)$", 1).alias("ext"),
+            "name",
+            "payload",
+        )
+        .groupBy("ext")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(
+                F.when(F.col("payload").isNull(), 1).otherwise(0)
+            ).alias("n_null_payloads"),
+            F.sum(F.octet_length("name")).alias("name_bytes"),
+        )
+    )
+
+
+@register(
+    "el_tar_reshard_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    doc="tar-shard RESHARDING (r14) — the WebDataset OPTIMIZE job: an "
+        "existing snapshot written at an arbitrary shard count is "
+        "native-read, rebalanced to ~64 KiB target shards via "
+        "shard_members (ONE byte-sum aggregate + hash repartition on "
+        "the sample key, the wds adjacency contract), and committed "
+        "as a NEW immutable generation (the sink's append refusal is "
+        "the design: generations never interleave). The second "
+        "generation is then native-read and every member's bytes + "
+        "md5 must still equal the source text closed-form — "
+        "read -> reshard -> write -> read is value-lossless. This is "
+        "the maintenance pass a crawler-fed landing corpus needs "
+        "before training reads it (thousands of small drop shards -> "
+        "sequential-throughput-sized shards)",
+)
+def el_tar_reshard_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.tarshards import (
+        register_tarshards,
+        shard_members,
+    )
+
+    register_tarshards(spark)
+    docs = read_sf_table(spark, sf_dir, "documents")
+    gen1 = os.path.join(tempfile.gettempdir(), "el_tar_reshard_gen1")
+    gen2 = os.path.join(tempfile.gettempdir(), "el_tar_reshard_gen2")
+    (
+        docs.select(
+            F.concat(
+                F.lit("doc"), F.col("doc_id").cast("string"), F.lit(".txt")
+            ).alias("name"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+        .repartition(8)  # the "many small drop shards" starting state
+        .write.format("tarshards")
+        .mode("overwrite")
+        .save(gen1)
+    )
+    back = spark.read.format("tarshards").load(gen1).select(
+        "name", "payload"
+    )
+    resharded = shard_members(
+        back,
+        target_shard_bytes=64 << 10,
+        key_expr=F.regexp_extract("name", r"^([^.]*)", 1),
+    )
+    resharded.sortWithinPartitions("name").write.format(
+        "tarshards"
+    ).mode("overwrite").save(gen2)
+    final = spark.read.format("tarshards").load(gen2)
+    return final.select(
+        F.regexp_extract(F.col("name"), r"^doc(\d+)\.txt$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.octet_length(F.col("payload")).cast("bigint").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("content_md5"),
+    )
