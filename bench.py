@@ -195,6 +195,13 @@ HEADLINE = [
     # Pin after their first two idle sessions.
     "el_tar_manifest_scan",
     "el_tar_reshard_roundtrip",
+    # r14 third wave: trained NB classifier (train + score on the
+    # md5-split, the hashing-trick bounded-model variant, and the
+    # single-pass 5-fold leave-one-fold-out eval). Pin after their
+    # first two idle sessions.
+    "classifier_nb_lang",
+    "classifier_nb_hashed",
+    "classifier_nb_crossval",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -601,3 +601,265 @@ def events_cms_estimates(spark, sf_dir):
             "never_underestimates"
         ),
     )
+
+
+# -- trained quality/lang classifier (multinomial Naive Bayes) ---------------
+
+_NB_SPLIT_SALT = "nbc"
+_NB_TRAIN_PCT = 80
+_NB_HASH_BUCKETS = 64
+_NB_FOLDS = 5
+_NB_CV_SALT = "nbcv"
+
+#: plain terms: whitespace tokens of the null-safe text
+_NB_TERMS_SQL = sql_tokens("coalesce(text, '')")
+#: hashed terms: md5-derived 32-bit token hash mod k, as strings —
+#: the bounded-model path (model <= k x L rows at any corpus size)
+_NB_TERMS_HASHED_SQL = (
+    f"list_transform({_NB_TERMS_SQL}, "
+    f"t -> CAST({sql_token_hash32('t')} % {_NB_HASH_BUCKETS} AS VARCHAR))"
+)
+
+
+def _nb_oracle(terms_sql: str) -> str:
+    """DuckDB mirror of nb_train + nb_score over the salted-md5
+    train/test split: same Laplace smoothing, same dense (label x
+    vocab) model, same OOV term handling, scores rounded to 6 dp
+    BEFORE the argmax with ties broken on label ascending — the exact
+    determinism contract of the Spark plan."""
+    split_bucket = sql_token_hash32(
+        f"'{_NB_SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+    WITH split AS (
+        SELECT doc_id, lang, {terms_sql} AS terms,
+               {split_bucket} % 100 AS bucket
+        FROM documents
+    ),
+    train AS (SELECT * FROM split WHERE bucket < {_NB_TRAIN_PCT}),
+    test AS (SELECT * FROM split WHERE bucket >= {_NB_TRAIN_PCT}),
+    tt AS (SELECT lang AS label, unnest(terms) AS term FROM train),
+    counts AS (SELECT label, term, count(*) AS c FROM tt GROUP BY 1, 2),
+    ltok AS (SELECT label, sum(c) AS n_label FROM counts GROUP BY 1),
+    ldoc AS (SELECT lang AS label, count(*) AS n_docs FROM train GROUP BY 1),
+    tot AS (SELECT count(*) AS n_total FROM train),
+    vocab AS (SELECT DISTINCT term FROM counts),
+    vsz AS (SELECT count(*) AS v FROM vocab),
+    labels AS (
+        SELECT d.label, coalesce(k.n_label, 0) AS n_label, d.n_docs,
+               n_total, v
+        FROM ldoc d LEFT JOIN ltok k USING (label)
+        CROSS JOIN tot CROSS JOIN vsz
+    ),
+    model AS (
+        SELECT l.label, w.term,
+               ln((coalesce(c.c, 0) + 1.0) / (l.n_label + 1.0 * l.v)) AS logp
+        FROM vocab w CROSS JOIN labels l
+        LEFT JOIN counts c ON c.label = l.label AND c.term = w.term
+    ),
+    priors AS (
+        SELECT label, ln(CAST(n_docs AS DOUBLE) / n_total) AS log_prior,
+               ln(1.0 / (n_label + 1.0 * v)) AS logp_unseen
+        FROM labels
+    ),
+    dt AS (SELECT doc_id, lang, len(terms) AS n_terms FROM test),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(terms) AS term FROM test)
+        GROUP BY 1, 2
+    ),
+    inv AS (
+        SELECT t.doc_id, m.label, sum(t.tf * m.logp) AS s_in,
+               sum(t.tf) AS tf_in
+        FROM tf t JOIN model m USING (term) GROUP BY 1, 2
+    ),
+    scores AS (
+        SELECT d.doc_id, d.lang, p.label,
+               round(p.log_prior + coalesce(i.s_in, 0)
+                     + (d.n_terms - coalesce(i.tf_in, 0)) * p.logp_unseen,
+                     6) AS score
+        FROM dt d CROSS JOIN priors p
+        LEFT JOIN inv i ON i.doc_id = d.doc_id AND i.label = p.label
+    ),
+    ranked AS (
+        SELECT doc_id, lang, label, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, label ASC) AS rk,
+               lead(score) OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, label ASC) AS nxt
+        FROM scores
+    )
+    SELECT doc_id, lang AS true_label, label AS pred_label, score,
+           round(score - nxt, 6) AS margin
+    FROM ranked WHERE rk = 1
+    """
+
+
+def _nb_lang_query(spark, sf_dir, hash_buckets):
+    from mongo2pq_spark.functions.hashing import token_hash32
+    from mongo2pq_spark.operators.classifier import nb_score, nb_train
+
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        token_hash32(
+            F.concat(
+                F.lit(_NB_SPLIT_SALT + ":"), F.col("doc_id").cast("string")
+            )
+        )
+        % 100
+    )
+    split = docs.select("doc_id", "text", "lang", bucket.alias("bucket"))
+    train = split.filter(F.col("bucket") < _NB_TRAIN_PCT)
+    test = split.filter(F.col("bucket") >= _NB_TRAIN_PCT)
+    model, priors = nb_train(
+        train, "lang", hash_buckets=hash_buckets
+    )
+    pred = nb_score(test, model, priors, hash_buckets=hash_buckets)
+    return pred.join(
+        test.select("doc_id", F.col("lang").alias("true_label")), "doc_id"
+    ).select("doc_id", "true_label", "pred_label", "score", "margin")
+
+
+@register(
+    "classifier_nb_lang",
+    _nb_oracle(_NB_TERMS_SQL),
+    doc="trained multinomial Naive Bayes classifier, the CCNet/GPT-3-"
+        "style trained-filter stage (Wenzek et al. 2020 §4; Brown et "
+        "al. 2020 App. A): fit token log-likelihoods per lang on the "
+        "salted-md5 80% train slice (one explode + bounded aggregates), "
+        "score the held-out 20% by summed log-probability (broadcast "
+        "model join, one per-doc shuffle, one argmax window). Scores "
+        "round to 6 dp BEFORE the argmax, ties break on label asc — "
+        "prediction is a pure function of the rounded score table, "
+        "stable across engines and partitionings",
+)
+def classifier_nb_lang(spark, sf_dir):
+    return _nb_lang_query(spark, sf_dir, hash_buckets=None)
+
+
+@register(
+    "classifier_nb_hashed",
+    _nb_oracle(_NB_TERMS_HASHED_SQL),
+    doc="the hashing-trick variant of classifier_nb_lang: terms are "
+        "md5-derived 32-bit token hashes mod 64, so the model is "
+        "bounded at 64 x L rows REGARDLESS of corpus vocabulary — the "
+        "100 TB path where the broadcast must stay O(k·L) while the "
+        "vocabulary grows unbounded; accuracy degrades gracefully "
+        "with hash collisions (feature hashing, Weinberger et al. "
+        "2009). Same split, smoothing, and argmax determinism "
+        "contract as the exact-vocab variant",
+)
+def classifier_nb_hashed(spark, sf_dir):
+    return _nb_lang_query(spark, sf_dir, hash_buckets=_NB_HASH_BUCKETS)
+
+
+@register(
+    "classifier_nb_crossval",
+    f"""
+    WITH base AS (
+        SELECT doc_id, lang AS label, {_NB_TERMS_SQL} AS terms,
+               {sql_token_hash32(f"'{_NB_CV_SALT}:' || CAST(doc_id AS VARCHAR)")}
+                   % {_NB_FOLDS} AS fold
+        FROM documents
+    ),
+    tt AS (SELECT fold, label, unnest(terms) AS term FROM base),
+    cflt AS (
+        SELECT fold, label, term, count(*) AS c_own FROM tt GROUP BY 1, 2, 3
+    ),
+    clt AS (SELECT label, term, sum(c_own) AS c_all FROM cflt GROUP BY 1, 2),
+    tfl AS (SELECT fold, label, sum(c_own) AS n_tok_own FROM cflt GROUP BY 1, 2),
+    tl AS (SELECT label, sum(n_tok_own) AS n_tok_all FROM tfl GROUP BY 1),
+    dfl AS (SELECT fold, label, count(*) AS n_doc_own FROM base GROUP BY 1, 2),
+    dl AS (SELECT label, sum(n_doc_own) AS n_doc_all FROM dfl GROUP BY 1),
+    dfold AS (SELECT fold, sum(n_doc_own) AS n_doc_fold FROM dfl GROUP BY 1),
+    dtot AS (SELECT count(*) AS n_doc_total FROM base),
+    vocab AS (SELECT DISTINCT term FROM clt),
+    vsz AS (SELECT count(*) AS v FROM vocab),
+    folds AS (SELECT DISTINCT fold FROM base),
+    lstats AS (
+        SELECT dl.label, dl.n_doc_all, coalesce(tl.n_tok_all, 0) AS n_tok_all
+        FROM dl LEFT JOIN tl USING (label)
+    ),
+    lf AS (
+        SELECT f.fold, l.label,
+               l.n_tok_all - coalesce(t.n_tok_own, 0) AS n_label,
+               l.n_doc_all - coalesce(d.n_doc_own, 0) AS n_docs,
+               n_doc_total - coalesce(dfold.n_doc_fold, 0) AS n_total,
+               v
+        FROM folds f
+        CROSS JOIN lstats l
+        LEFT JOIN dfl d ON d.fold = f.fold AND d.label = l.label
+        LEFT JOIN tfl t ON t.fold = f.fold AND t.label = l.label
+        LEFT JOIN dfold ON dfold.fold = f.fold
+        CROSS JOIN dtot CROSS JOIN vsz
+    ),
+    model AS (
+        SELECT lf.fold, lf.label, w.term,
+               ln((coalesce(ca.c_all, 0) - coalesce(co.c_own, 0) + 1.0)
+                  / (lf.n_label + 1.0 * lf.v)) AS logp
+        FROM vocab w CROSS JOIN lf
+        LEFT JOIN clt ca ON ca.label = lf.label AND ca.term = w.term
+        LEFT JOIN cflt co ON co.fold = lf.fold AND co.label = lf.label
+                          AND co.term = w.term
+    ),
+    priors AS (
+        SELECT fold, label, ln(CAST(n_docs AS DOUBLE) / n_total) AS log_prior,
+               ln(1.0 / (n_label + 1.0 * v)) AS logp_unseen
+        FROM lf
+    ),
+    dt AS (
+        SELECT doc_id, fold, label AS true_label, len(terms) AS n_terms
+        FROM base
+    ),
+    tf AS (
+        SELECT doc_id, fold, term, count(*) AS tf
+        FROM (SELECT doc_id, fold, unnest(terms) AS term FROM base)
+        GROUP BY 1, 2, 3
+    ),
+    inv AS (
+        SELECT t.doc_id, m.label, sum(t.tf * m.logp) AS s_in,
+               sum(t.tf) AS tf_in
+        FROM tf t JOIN model m ON m.fold = t.fold AND m.term = t.term
+        GROUP BY 1, 2
+    ),
+    scores AS (
+        SELECT d.doc_id, d.fold, d.true_label, p.label,
+               round(p.log_prior + coalesce(i.s_in, 0)
+                     + (d.n_terms - coalesce(i.tf_in, 0)) * p.logp_unseen,
+                     6) AS score
+        FROM dt d JOIN priors p ON p.fold = d.fold
+        LEFT JOIN inv i ON i.doc_id = d.doc_id AND i.label = p.label
+    ),
+    pred AS (
+        SELECT doc_id, fold, true_label, label,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, label ASC) AS rk
+        FROM scores
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS accuracy
+    FROM pred WHERE rk = 1
+    GROUP BY 1
+    """,
+    doc="5-fold cross-validated NB accuracy in ONE counting pass: fold "
+        "= salted-md5 of doc_id mod 5 (no RNG), and the five leave-one-"
+        "fold-out models are global-minus-own-fold count SUBTRACTIONS "
+        "in the bounded dense table — the corpus is tokenized exactly "
+        "once regardless of k, and each doc scores only against its "
+        "own held-out model (the tf x model join carries the fold "
+        "key), so the row multiplier is L, not L x k. Output is "
+        "integer counts plus one rounded ratio per fold",
+)
+def classifier_nb_crossval(spark, sf_dir):
+    from mongo2pq_spark.operators.classifier import nb_crossval
+
+    return nb_crossval(
+        _docs(spark, sf_dir),
+        "lang",
+        n_folds=_NB_FOLDS,
+        salt=_NB_CV_SALT,
+    )

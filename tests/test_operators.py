@@ -5015,3 +5015,265 @@ def test_generation_resplit_stability_invariants(spark, sf_dir):
     survivors = by_status["unchanged"] + by_status["changed"]
     assert any(r["cluster_intact"] for r in survivors)
     assert any(r["cluster_intact"] is False for r in survivors)
+
+
+def test_nb_classifier_matches_python_mirror(spark):
+    """Hand-mirrored multinomial NB: Laplace-smoothed per-label token
+    log-likelihoods + doc-count priors, OOV terms at the smoothed
+    zero-count mass, scores rounded to 6 dp before an argmax with
+    label-asc tie-break. Covers: empty train doc, empty scored doc,
+    OOV-only doc, NULL text (= empty doc), and determinism across
+    partitionings."""
+    import math
+    from collections import Counter
+
+    from mongo2pq_spark.operators.classifier import nb_score, nb_train
+
+    train_rows = [
+        (1, "spam buy now buy", "spam"),
+        (2, "buy cheap spam spam", "spam"),
+        (3, "hello dear friend", "ham"),
+        (4, "dear friend hello hello meeting", "ham"),
+        (5, "", "ham"),
+    ]
+    test_rows = [
+        (10, "buy spam"),
+        (11, "hello friend"),
+        (12, "unknownword"),
+        (13, ""),
+        (14, None),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string, label string")
+    test = spark.createDataFrame(test_rows, "doc_id long, text string")
+    model, priors = nb_train(train, "label")
+    got = {
+        r["doc_id"]: (r["pred_label"], r["score"], r["margin"])
+        for r in nb_score(test, model, priors).collect()
+    }
+
+    alpha = 1.0
+    cnt, ntok, ndoc, vocab = Counter(), Counter(), Counter(), set()
+    for _, t, lab in train_rows:
+        ndoc[lab] += 1
+        for w in (t or "").split():
+            cnt[(lab, w)] += 1
+            ntok[lab] += 1
+            vocab.add(w)
+    V, total = len(vocab), len(train_rows)
+    expected = {}
+    for did, t in test_rows:
+        scores = {}
+        for lab in sorted(ndoc):
+            s = math.log(ndoc[lab] / total)
+            for w in (t or "").split():
+                if w in vocab:
+                    s += math.log((cnt[(lab, w)] + alpha) / (ntok[lab] + alpha * V))
+                else:
+                    s += math.log(alpha / (ntok[lab] + alpha * V))
+            scores[lab] = round(s, 6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        margin = round(ranked[0][1] - ranked[1][1], 6)
+        expected[did] = (ranked[0][0], ranked[0][1], margin)
+    assert got == expected
+
+    # determinism across partitionings (rounded-before-argmax contract)
+    again = {
+        r["doc_id"]: (r["pred_label"], r["score"], r["margin"])
+        for r in nb_score(test.repartition(13), model, priors).collect()
+    }
+    assert again == got
+
+
+def test_nb_hashed_model_is_bounded(spark):
+    """The hashing-trick path: the dense model holds <= buckets x
+    labels rows whatever the vocabulary, every term is a bucket id in
+    [0, k), and scoring still matches a Python mirror of the hashed
+    computation (collisions included)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from mongo2pq_spark.operators.classifier import nb_score, nb_train
+
+    rows = [
+        (i, f"w{i % 7} w{(i * 3) % 11} shared tok{i}", "a" if i % 3 else "b")
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    k = 8
+    model, priors = nb_train(docs, "label", hash_buckets=k)
+    mrows = model.collect()
+    n_labels = priors.count()
+    assert len(mrows) <= k * n_labels
+    assert all(0 <= int(r["term"]) < k for r in mrows)
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def termize(t):
+        return [str(h32(w) % k) for w in t.split()]
+
+    alpha = 1.0
+    cnt, ntok, ndoc, vocab = Counter(), Counter(), Counter(), set()
+    for _, t, lab in rows:
+        ndoc[lab] += 1
+        for w in termize(t):
+            cnt[(lab, w)] += 1
+            ntok[lab] += 1
+            vocab.add(w)
+    V, total = len(vocab), len(rows)
+    expected = {}
+    for did, t, _ in rows:
+        scores = {}
+        for lab in sorted(ndoc):
+            s = math.log(ndoc[lab] / total)
+            for w in termize(t):
+                if w in vocab:
+                    s += math.log((cnt[(lab, w)] + alpha) / (ntok[lab] + alpha * V))
+                else:
+                    s += math.log(alpha / (ntok[lab] + alpha * V))
+            scores[lab] = round(s, 6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected[did] = (ranked[0][0], ranked[0][1])
+    got = {
+        r["doc_id"]: (r["pred_label"], r["score"])
+        for r in nb_score(docs, model, priors, hash_buckets=k).collect()
+    }
+    assert got == expected
+
+
+def test_nb_crossval_is_leave_one_fold_out(spark):
+    """The single-pass k-fold eval equals a literal mirror that trains
+    k separate leave-one-fold-out models: global-minus-own-fold count
+    subtraction, union-vocabulary smoothing, per-fold doc/token
+    totals. Folds partition the corpus exactly; fold assignment is
+    the salted md5 (no RNG)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from mongo2pq_spark.operators.classifier import nb_crossval
+
+    rows = [
+        (i, txt, lab)
+        for i, (txt, lab) in enumerate(
+            [
+                ("spam buy now buy", "spam"),
+                ("buy cheap spam spam", "spam"),
+                ("cheap cheap buy now", "spam"),
+                ("hello dear friend", "ham"),
+                ("dear friend hello hello meeting", "ham"),
+                ("meeting agenda friend", "ham"),
+                ("", "ham"),
+                ("buy meeting spam agenda", "spam"),
+            ]
+        )
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    got = sorted(tuple(r) for r in nb_crossval(docs, "label", n_folds=3).collect())
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    alpha = 1.0
+    folds = {did: h32(f"nbcv:{did}") % 3 for did, _, _ in rows}
+    vocab = set()
+    cnt_all, ntok_all, ndoc_all = Counter(), Counter(), Counter()
+    cnt_f, ntok_f, ndoc_f, ndoc_fold = Counter(), Counter(), Counter(), Counter()
+    for did, t, lab in rows:
+        f = folds[did]
+        ndoc_all[lab] += 1
+        ndoc_f[(f, lab)] += 1
+        ndoc_fold[f] += 1
+        for w in t.split():
+            vocab.add(w)
+            cnt_all[(lab, w)] += 1
+            ntok_all[lab] += 1
+            cnt_f[(f, lab, w)] += 1
+            ntok_f[(f, lab)] += 1
+    V, total = len(vocab), len(rows)
+    correct, n = Counter(), Counter()
+    for did, t, true in rows:
+        f = folds[did]
+        scores = {}
+        for lab in sorted(ndoc_all):
+            n_label = ntok_all[lab] - ntok_f[(f, lab)]
+            s = math.log(
+                (ndoc_all[lab] - ndoc_f[(f, lab)]) / (total - ndoc_fold[f])
+            )
+            for w in t.split():
+                if w in vocab:
+                    c = cnt_all[(lab, w)] - cnt_f[(f, lab, w)]
+                    s += math.log((c + alpha) / (n_label + alpha * V))
+                else:
+                    s += math.log(alpha / (n_label + alpha * V))
+            scores[lab] = round(s, 6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        n[f] += 1
+        if ranked[0][0] == true:
+            correct[f] += 1
+    expected = sorted(
+        (f, n[f], correct[f], round(correct[f] / n[f], 6)) for f in n
+    )
+    assert got == expected
+    assert sum(r[1] for r in got) == len(rows)
+
+
+def test_nb_max_vocab_caps_model_and_drops_to_oov(spark):
+    """max_vocab keeps only the top-N train terms by corpus frequency
+    (term-asc tie-break): the dense model is bounded at N x L, and a
+    dropped term scores EXACTLY like an unseen one (the Python mirror
+    restricts the vocabulary the same way)."""
+    import math
+    from collections import Counter
+
+    from mongo2pq_spark.operators.classifier import nb_score, nb_train
+
+    train_rows = [
+        (1, "aa aa aa bb bb cc dd", "x"),
+        (2, "aa bb bb cc rare1", "x"),
+        (3, "aa aa bb cc cc rare2", "y"),
+        (4, "bb cc dd dd", "y"),
+    ]
+    train = spark.createDataFrame(
+        train_rows, "doc_id long, text string, label string"
+    )
+    model, priors = nb_train(train, "label", max_vocab=3)
+    mrows = model.collect()
+    kept = {r["term"] for r in mrows}
+    # frequencies: aa=7 bb=6 cc=5 dd=3 rare1=1 rare2=1 -> top 3
+    assert kept == {"aa", "bb", "cc"}
+    assert len(mrows) == 3 * 2
+
+    alpha = 1.0
+    cnt, ntok, ndoc = Counter(), Counter(), Counter()
+    vocab = {"aa", "bb", "cc"}
+    for _, t, lab in train_rows:
+        ndoc[lab] += 1
+        for w in t.split():
+            if w in vocab:
+                cnt[(lab, w)] += 1
+                ntok[lab] += 1
+    V, total = len(vocab), len(train_rows)
+    test_rows = [(10, "aa dd rare1 zz"), (11, "dd dd")]
+    test = spark.createDataFrame(test_rows, "doc_id long, text string")
+    expected = {}
+    for did, t in test_rows:
+        scores = {}
+        for lab in sorted(ndoc):
+            s = math.log(ndoc[lab] / total)
+            for w in t.split():
+                if w in vocab:
+                    s += math.log(
+                        (cnt[(lab, w)] + alpha) / (ntok[lab] + alpha * V)
+                    )
+                else:
+                    s += math.log(alpha / (ntok[lab] + alpha * V))
+            scores[lab] = round(s, 6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected[did] = (ranked[0][0], ranked[0][1])
+    got = {
+        r["doc_id"]: (r["pred_label"], r["score"])
+        for r in nb_score(test, model, priors).collect()
+    }
+    assert got == expected

@@ -995,3 +995,29 @@ def test_binaryfile_path_projection_prunes_content(spark, tmp_path):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "path" in read_schema
     assert "content" not in read_schema and "binary" not in read_schema
+
+
+def test_nb_classifier_plan_broadcasts_model_no_python(spark, sf_dir):
+    """The NB scoring plan the 100 TB contract depends on: the model
+    and priors reach the corpus as BROADCAST joins (BroadcastHashJoin
+    for the tf x model probe; the doc x label skeleton is a broadcast
+    nested loop of the <=L-row priors — never a CartesianProduct), and
+    the whole train+score chain is built-in JVM expressions (no
+    Python workers)."""
+    for name in ("classifier_nb_lang", "classifier_nb_hashed"):
+        plan = _formatted(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_nb_crossval_single_tokenization_no_python(spark, sf_dir):
+    """The k-fold eval must not re-scan the corpus per fold: the
+    documents parquet appears in the plan a BOUNDED number of times
+    (the base/tf/doc-total branches — NOT k x that), every model-side
+    join is broadcast, and no Python workers appear."""
+    plan = _formatted(spark, sf_dir, "classifier_nb_crossval")
+    n_scans = plan.count("documents.parquet")
+    assert n_scans <= 6, f"corpus scanned {n_scans} times — fold fan-out?"
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
