@@ -202,6 +202,7 @@ HEADLINE = [
     "classifier_nb_lang",
     "classifier_nb_hashed",
     "classifier_nb_crossval",
+    "classifier_nb_incremental",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

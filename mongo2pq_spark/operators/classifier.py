@@ -119,11 +119,23 @@ def nb_train(
             .select("term")
         )
         counts = counts.join(F.broadcast(top), "term")
-    label_tok = counts.groupBy("label").agg(F.sum("c").alias("n_label"))
     doc_counts = docs.groupBy(F.col(label_col).alias("label")).agg(
         F.count("*").alias("n_docs")
     )
-    total_docs = docs.agg(F.count("*").alias("n_total"))
+    return _model_from_counts(counts, doc_counts, alpha)
+
+
+def _model_from_counts(
+    counts: DataFrame, doc_counts: DataFrame, alpha: float
+) -> tuple[DataFrame, DataFrame]:
+    """Dense model + priors from ADDITIVE count tables — counts
+    (label, term, c) and doc_counts (label, n_docs). Shared by
+    nb_train (counts fresh from a labeled slice) and load_nb_model
+    (counts summed across a persisted store's ingest batches): NB
+    sufficient statistics are plain sums, so the two paths are
+    value-identical by construction."""
+    label_tok = counts.groupBy("label").agg(F.sum("c").alias("n_label"))
+    total_docs = doc_counts.agg(F.sum("n_docs").alias("n_total"))
     vocab = counts.select("term").distinct()
     vsize = vocab.agg(F.count("*").alias("v"))
 
@@ -440,3 +452,138 @@ def nb_crossval(
             ),
         )
     )
+
+
+# -- persisted count store: O(increment) classifier refresh ------------------
+
+#: store layout version — bumped on any byte-format change so stale
+#: stores fail loud instead of silently mis-merging
+NB_STORE_LAYOUT = 1
+
+_NB_META_NAME = "_NB_STORE_META.json"
+
+
+def _nb_batch_id_ok(batch_id: str) -> bool:
+    import re
+
+    return bool(re.fullmatch(r"[A-Za-z0-9_\-]+", batch_id))
+
+
+def _nb_meta_path(store_dir: str) -> str:
+    import os
+
+    return os.path.join(store_dir, _NB_META_NAME)
+
+
+def _nb_check_meta(
+    store_dir: str, label_col: str, hash_buckets: int | None
+) -> None:
+    """Create-or-validate the store's config pin: a store ingested
+    under one (label column, term space) must refuse batches from
+    another — hash-bucket or label drift would merge incompatible
+    counts SILENTLY (the numbers still look plausible), so this is a
+    fail-loud contract, mirroring the span store's layout pin."""
+    import json
+    import os
+
+    meta = {
+        "layout": NB_STORE_LAYOUT,
+        "label_col": label_col,
+        "hash_buckets": hash_buckets,
+    }
+    path = _nb_meta_path(store_dir)
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as fh:
+            found = json.load(fh)
+        if found != meta:
+            raise ValueError(
+                f"nb count store config mismatch at {store_dir}: "
+                f"store has {found}, ingest wants {meta}"
+            )
+        return
+    os.makedirs(store_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, path)
+
+
+def nb_count_tables(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    hash_buckets: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The ADDITIVE sufficient statistics of one labeled batch:
+    (label, term, c) token counts and (label, n_docs) doc counts.
+    Everything a multinomial NB model needs is a sum of these across
+    batches — which is what makes the persisted store O(increment)."""
+    counts = (
+        docs.select(
+            F.col(label_col).alias("label"),
+            F.explode(_terms(F.col(text_col), hash_buckets)).alias("term"),
+        )
+        .groupBy("label", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    doc_counts = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_docs")
+    )
+    return counts, doc_counts
+
+
+def ingest_nb_counts(
+    docs: DataFrame,
+    store_dir: str,
+    batch_id: str,
+    label_col: str,
+    text_col: str = "text",
+    hash_buckets: int | None = None,
+) -> None:
+    """Fold one labeled batch into the persisted count store,
+    tokenizing ONLY this batch — historical corpus text is never
+    re-read (the classifier sibling of the span/band stores'
+    O(increment) ingest). Each batch writes its own
+    ``batch=<id>`` directory with mode=overwrite, so a retried or
+    re-run ingest of the same batch REPLACES itself instead of
+    double-counting — idempotence by directory key, the same
+    contract as the streaming tar ingest's batch-keyed overwrite."""
+    if not _nb_batch_id_ok(batch_id):
+        raise ValueError(f"bad nb store batch id: {batch_id!r}")
+    _nb_check_meta(store_dir, label_col, hash_buckets)
+    counts, doc_counts = nb_count_tables(
+        docs, label_col, text_col=text_col, hash_buckets=hash_buckets
+    )
+    counts.write.mode("overwrite").parquet(
+        f"{store_dir}/term_counts/batch={batch_id}"
+    )
+    doc_counts.write.mode("overwrite").parquet(
+        f"{store_dir}/doc_counts/batch={batch_id}"
+    )
+
+
+def load_nb_model(
+    spark,
+    store_dir: str,
+    label_col: str,
+    alpha: float = DEFAULT_ALPHA,
+    hash_buckets: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Rebuild the dense model + priors from every ingested batch:
+    two groupBy-sums over the (tiny) count tables — the corpus itself
+    is untouched. Value-identical to nb_train on the union of all
+    ingested batches BY CONSTRUCTION (NB statistics are additive; the
+    oracle-backed classifier_nb_incremental query proves it
+    value-exact). Config is validated against the store's meta pin."""
+    _nb_check_meta(store_dir, label_col, hash_buckets)
+    counts = cache_stream(
+        spark.read.parquet(f"{store_dir}/term_counts")
+        .groupBy("label", "term")
+        .agg(F.sum("c").alias("c"))
+    )
+    doc_counts = (
+        spark.read.parquet(f"{store_dir}/doc_counts")
+        .groupBy("label")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    return _model_from_counts(counts, doc_counts, alpha)

@@ -863,3 +863,78 @@ def classifier_nb_crossval(spark, sf_dir):
         n_folds=_NB_FOLDS,
         salt=_NB_CV_SALT,
     )
+
+
+@register(
+    "classifier_nb_incremental",
+    _nb_oracle(_NB_TERMS_SQL),
+    doc="O(increment) classifier refresh via the persisted count "
+        "store: the 80% train slice arrives as TWO generations "
+        "(bucket < 40, then 40-79), each ingested by tokenizing ONLY "
+        "its own docs into batch-keyed additive count tables (the "
+        "second generation is deliberately ingested twice — the "
+        "directory-keyed overwrite makes the retry a no-op); the "
+        "model rebuilds from two groupBy-sums over the tiny store, "
+        "never re-reading corpus text. The oracle is the SAME "
+        "from-scratch single-pass NB SQL as classifier_nb_lang — "
+        "value-exact equality IS the proof that additive-count "
+        "ingestion composes losslessly (the property that lets a "
+        "100 TB labeled corpus refresh its classifier per arrival "
+        "wave instead of per full retrain)",
+)
+def classifier_nb_incremental(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from mongo2pq_spark.functions.hashing import token_hash32
+    from mongo2pq_spark.operators.classifier import (
+        ingest_nb_counts,
+        load_nb_model,
+        nb_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        token_hash32(
+            F.concat(
+                F.lit(_NB_SPLIT_SALT + ":"), F.col("doc_id").cast("string")
+            )
+        )
+        % 100
+    )
+    split = docs.select("doc_id", "text", "lang", bucket.alias("bucket"))
+    gen_a = split.filter(F.col("bucket") < 40)
+    gen_b = split.filter(
+        (F.col("bucket") >= 40) & (F.col("bucket") < _NB_TRAIN_PCT)
+    )
+    test = split.filter(F.col("bucket") >= _NB_TRAIN_PCT)
+
+    # fixed dir (a fresh mkdtemp per call would accrete /tmp dirs
+    # every bench repeat) — but keyed by sf_dir + source mtime: the
+    # bounded cache registry memoizes the store-read count plan by
+    # PATH, so running this query at another scale factor against
+    # the same path would serve the previous SF's cached counts
+    # (caught by the oracle gate at sf0.01 after an sf0.001 run);
+    # a distinct path per (sf_dir, data generation) makes the plans
+    # distinct. Same guard class as the streaming tar ingest's
+    # mtime-keyed staging.
+    import hashlib
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    store = os.path.join(tempfile.gettempdir(), f"m2pq_nb_store_{key}")
+    shutil.rmtree(store, ignore_errors=True)
+    ingest_nb_counts(gen_a, store, "gen_a", "lang")
+    ingest_nb_counts(gen_b, store, "gen_b", "lang")
+    # retried arrival wave: the batch-keyed overwrite must make this
+    # a replace, not a double count — the oracle would catch either
+    ingest_nb_counts(gen_b, store, "gen_b", "lang")
+
+    model, priors = load_nb_model(spark, store, "lang")
+    pred = nb_score(test, model, priors)
+    return pred.join(
+        test.select("doc_id", F.col("lang").alias("true_label")), "doc_id"
+    ).select("doc_id", "true_label", "pred_label", "score", "margin")

@@ -5277,3 +5277,58 @@ def test_nb_max_vocab_caps_model_and_drops_to_oov(spark):
         for r in nb_score(test, model, priors).collect()
     }
     assert got == expected
+
+
+def test_nb_count_store_lifecycle(spark, tmp_path):
+    """The persisted-count contract: (a) a model rebuilt from two
+    ingested batches equals nb_train on their union EXACTLY (additive
+    sufficient statistics); (b) re-ingesting a batch under the same id
+    REPLACES it — no double counting (retry idempotence by directory
+    key); (c) a config-drifted ingest or load (different hash_buckets
+    or label column) fails loud against the store's meta pin; (d) a
+    label first seen in the increment enters the model."""
+    import pytest
+
+    from mongo2pq_spark.operators.classifier import (
+        ingest_nb_counts,
+        load_nb_model,
+        nb_train,
+    )
+
+    rows_a = [
+        (1, "spam buy now buy", "spam"),
+        (2, "buy cheap spam spam", "spam"),
+        (3, "hello dear friend", "ham"),
+    ]
+    rows_b = [
+        (4, "dear friend hello hello meeting", "ham"),
+        (5, "agenda agenda newsletter", "promo"),  # new label in increment
+        (6, "", "ham"),
+    ]
+    a = spark.createDataFrame(rows_a, "doc_id long, text string, label string")
+    b = spark.createDataFrame(rows_b, "doc_id long, text string, label string")
+    store = str(tmp_path / "nbstore")
+
+    ingest_nb_counts(a, store, "gen_a", "label")
+    ingest_nb_counts(b, store, "gen_b", "label")
+    # (b) retried ingest of the same batch replaces itself
+    ingest_nb_counts(b, store, "gen_b", "label")
+
+    model_s, priors_s = load_nb_model(spark, store, "label")
+    model_t, priors_t = nb_train(a.unionByName(b), "label")
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert snap(model_s) == snap(model_t)
+    assert snap(priors_s) == snap(priors_t)
+    # (d) the increment-only label is present
+    assert any(r["label"] == "promo" for r in priors_s.collect())
+
+    # (c) config drift fails loud
+    with pytest.raises(ValueError, match="config mismatch"):
+        ingest_nb_counts(b, store, "gen_c", "label", hash_buckets=16)
+    with pytest.raises(ValueError, match="config mismatch"):
+        load_nb_model(spark, store, "lang")
+    with pytest.raises(ValueError, match="bad nb store batch id"):
+        ingest_nb_counts(b, store, "gen/evil", "label")
