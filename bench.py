@@ -239,6 +239,12 @@ EXCLUDED_PIPELINE_CONTRACT = {
         "the sibling streaming entries; the member explode itself IS "
         "benched via el_tar_shards_roundtrip/el_tar_shards_native_read"
     ),
+    "streaming_nb_ingest": (
+        "stages three parquet waves + a file-source stream with "
+        "checkpointing — wall-clock is staging/checkpoint I/O like "
+        "the sibling streaming entries; the count-fold + model "
+        "rebuild + scoring ARE benched via classifier_nb_incremental"
+    ),
 }
 assert not set(HEADLINE) & set(EXCLUDED_PIPELINE_CONTRACT)
 

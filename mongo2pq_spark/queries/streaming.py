@@ -544,3 +544,103 @@ def streaming_tar_ingest(spark, sf_dir):
         F.col("n_bytes").cast("bigint").alias("n_bytes"),
         "content_md5",
     )
+
+
+def _nb_stream_oracle() -> str:
+    """The SAME from-scratch single-pass NB SQL as classifier_nb_lang
+    (train on the salted-md5 80% slice, score the held-out 20%):
+    value-exact equality proves the STREAMED, batch-keyed count
+    ingestion composes losslessly with the persisted store — waves
+    may arrive in any grouping without changing a single score."""
+    from mongo2pq_spark.queries.llm_pipeline import (
+        _NB_TERMS_SQL,
+        _nb_oracle,
+    )
+
+    return _nb_oracle(_NB_TERMS_SQL)
+
+
+@register(
+    "streaming_nb_ingest",
+    _nb_stream_oracle(),
+    doc="continuous classifier refresh (streaming/nbingest.py): the "
+        "80% train slice lands as THREE parquet waves in a landing "
+        "tree, tailed by a file-source stream (Spark's exactly-once "
+        "new-file log, maxFilesPerTrigger=2 forcing multiple "
+        "microbatches); each microbatch folds ONLY its own docs into "
+        "the persisted NB count store under a stream-batch-keyed "
+        "overwrite (replays replace themselves), the model rebuilds "
+        "from two groupBy-sums over the store, and the held-out 20% "
+        "is scored. Oracle = classifier_nb_lang's from-scratch SQL: "
+        "equality proves streamed additive ingestion is lossless",
+)
+def streaming_nb_ingest(spark, sf_dir):
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.functions.hashing import token_hash32
+    from mongo2pq_spark.operators.classifier import nb_score
+    from mongo2pq_spark.queries.llm_pipeline import (
+        _NB_SPLIT_SALT,
+        _NB_TRAIN_PCT,
+    )
+    from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.streaming.nbingest import run_streaming_nb_ingest
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    bucket = (
+        token_hash32(
+            F.concat(
+                F.lit(_NB_SPLIT_SALT + ":"), F.col("doc_id").cast("string")
+            )
+        )
+        % 100
+    )
+    split = docs.select("doc_id", "text", "lang", bucket.alias("bucket"))
+    train = split.filter(F.col("bucket") < _NB_TRAIN_PCT)
+    test = split.filter(F.col("bucket") >= _NB_TRAIN_PCT)
+
+    # staging keyed by (sf, source mtime), waves written ONCE behind a
+    # _SUCCESS guard: parquet part names are not deterministic across
+    # writes, so re-writing a wave would look like NEW files to the
+    # file-source log and double-ingest it — the guard makes re-runs
+    # pure no-ops instead (production landing trees are append-only
+    # producer drops; this rewrite hazard is a test-fixture shape).
+    # A regenerated testdata tree (new mtimes) gets a fresh root.
+    src = os.path.join(str(sf_dir), "documents.parquet")
+    mtimes = [os.path.getmtime(src)]
+    if os.path.isdir(src):
+        mtimes += [
+            os.path.getmtime(os.path.join(src, f))
+            for f in os.listdir(src)
+        ]
+    stamp = int(max(mtimes))
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "stream_nb_ingest_"
+        f"{os.path.basename(str(sf_dir).rstrip('/'))}_{stamp}",
+    )
+    landing = os.path.join(root, "landing")
+    for k in range(3):
+        wave = os.path.join(landing, f"wave{k}")
+        if not os.path.exists(os.path.join(wave, "_SUCCESS")):
+            (
+                train.filter(F.col("doc_id") % 3 == k)
+                .select("doc_id", "text", "lang")
+                .write.mode("overwrite")
+                .parquet(wave)
+            )
+    model, priors = run_streaming_nb_ingest(
+        spark,
+        landing,
+        "doc_id bigint, text string, lang string",
+        os.path.join(root, "nbstore"),
+        os.path.join(root, "ckpt"),
+        "lang",
+    )
+    pred = nb_score(test, model, priors)
+    return pred.join(
+        test.select("doc_id", F.col("lang").alias("true_label")), "doc_id"
+    ).select("doc_id", "true_label", "pred_label", "score", "margin")

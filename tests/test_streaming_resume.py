@@ -517,3 +517,57 @@ def test_tar_members_by_path_matches_batch_parser(spark, tmp_path):
 
     with pytest.raises(ValueError, match="executor-visible"):
         _local_path("s3a://bucket/shard-0.tar")
+
+
+def test_streaming_nb_ingest_equals_batch_train(spark, tmp_path):
+    """The streamed count-fold must equal nb_train on the union of
+    all landed waves (additive statistics through the file-source
+    log), and a resumed stream over the same landing tree must fold
+    NOTHING new — the checkpoint + batch-keyed overwrite make the
+    whole chain exactly-once."""
+    from mongo2pq_spark.operators.classifier import nb_train
+    from mongo2pq_spark.streaming.nbingest import run_streaming_nb_ingest
+
+    rows = [
+        (1, "spam buy now buy", "spam"),
+        (2, "buy cheap spam spam", "spam"),
+        (3, "hello dear friend", "ham"),
+        (4, "dear friend hello hello meeting", "ham"),
+        (5, "", "ham"),
+        (6, "agenda newsletter agenda", "promo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    landing = tmp_path / "landing"
+    for k in range(2):
+        docs.filter(docs.doc_id % 2 == k).write.mode("overwrite").parquet(
+            str(landing / f"wave{k}")
+        )
+    store = str(tmp_path / "nbstore")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string, lang string"
+
+    model_s, priors_s = run_streaming_nb_ingest(
+        spark, str(landing), schema, store, ckpt, "lang",
+        max_files_per_trigger=1,
+    )
+    model_t, priors_t = nb_train(docs, "lang")
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert snap(model_s) == snap(model_t)
+    assert snap(priors_s) == snap(priors_t)
+
+    # resume over the same landing tree: the file-source log skips
+    # every already-seen file; the store must be unchanged
+    import os
+
+    batches_before = sorted(os.listdir(os.path.join(store, "term_counts")))
+    model_r, priors_r = run_streaming_nb_ingest(
+        spark, str(landing), schema, store, ckpt, "lang",
+        max_files_per_trigger=1,
+    )
+    assert sorted(
+        os.listdir(os.path.join(store, "term_counts"))
+    ) == batches_before
+    assert snap(model_r) == snap(model_t)
