@@ -87,6 +87,11 @@ def main(
     index_text_col: str | None = None,
     index_id_col: str = "doc_id",
     index_consolidate: bool = False,
+    nb_store: Path | None = None,
+    nb_label_col: str | None = None,
+    nb_text_col: str = "text",
+    nb_id_col: str = "doc_id",
+    nb_hash_buckets: int | None = None,
     dq_rules: Path | None = None,
     dq_fail_on_violation: bool = False,
     compact_partitions: int | None = None,
@@ -229,6 +234,82 @@ def main(
             if kept:
                 dq_contract[cname] = kept
 
+    nb_model = None  # (model, priors) once the store can score
+    nb_meta = None
+    if nb_store:
+        # classify-at-ingest under the persisted NB count store:
+        # labeled collections TEACH (each folds its additive counts
+        # under batch=cli-<collection> — a re-run of the same
+        # collection REPLACES its counts, never double-counts), then
+        # every collection carrying the text+id columns is SCORED
+        # with the model rebuilt from the whole store — history
+        # included, so the classifier sharpens across runs at
+        # O(increment) ingest cost (corpus text is never re-read).
+        from mongo2pq_spark.operators.classifier import (
+            ingest_nb_counts,
+            load_nb_model,
+            nb_store_meta,
+        )
+
+        nb_store_dir = str(nb_store)
+        try:
+            if nb_label_col:
+                folded = 0
+                for nm in readers:
+                    d = readers[nm]()
+                    if (
+                        nb_label_col in d.columns
+                        and nb_text_col in d.columns
+                    ):
+                        ingest_nb_counts(
+                            d,
+                            nb_store_dir,
+                            f"cli-{nm}",
+                            nb_label_col,
+                            text_col=nb_text_col,
+                            hash_buckets=nb_hash_buckets,
+                        )
+                        folded += 1
+                        print(
+                            f"NB store: folded labeled collection "
+                            f"'{nm}' as batch cli-{nm}",
+                            file=sys.stderr,
+                        )
+                if not folded:
+                    print(
+                        f"WARNING: --nb-label-col {nb_label_col!r}: no "
+                        f"collection carries both it and "
+                        f"{nb_text_col!r}; nothing folded",
+                        file=sys.stderr,
+                    )
+            nb_meta = nb_store_meta(nb_store_dir)
+            if nb_meta is None:
+                print(
+                    "Error: --nb-store has never been trained; pass "
+                    "--nb-label-col with a labeled collection to fold "
+                    "counts first",
+                    file=sys.stderr,
+                )
+                return 1
+            # the store's own pin is authoritative for scoring — a
+            # score-only run needs no config flags at all
+            nb_model = load_nb_model(
+                spark,
+                nb_store_dir,
+                nb_meta["label_col"],
+                hash_buckets=nb_meta["hash_buckets"],
+            )
+        except ValueError as err:
+            print(f"Error: --nb-store: {err}", file=sys.stderr)
+            return 1
+        except Exception as err:  # empty/torn store: meta but no batches
+            print(
+                f"Error: --nb-store unreadable ({err}); re-fold with "
+                "--nb-label-col",
+                file=sys.stderr,
+            )
+            return 1
+
     def _process_collection(name: str) -> None:
         """Both phases for one collection (the parallel unit): schema
         (load-or-infer, dump, config rewrite) then extract-load."""
@@ -264,6 +345,32 @@ def main(
             import pyarrow as pa
 
             schema.merge(Schema(schema.name, {"n_bpe_tokens": pa.int64()}))
+        nb_active = nb_model is not None
+        if nb_active and not (
+            nb_text_col in df.columns and nb_id_col in df.columns
+        ):
+            print(
+                f"WARNING: classifier columns {nb_text_col!r}/"
+                f"{nb_id_col!r} not both in '{name}'; collection "
+                "written without nb_pred columns",
+                file=sys.stderr,
+            )
+            nb_active = False
+        if nb_active:
+            # the written dataset gains the engine-computed
+            # prediction columns — the schema dump (the re-ingestion
+            # contract) must describe them, same as n_bpe_tokens
+            import pyarrow as pa
+
+            schema.merge(
+                Schema(
+                    schema.name,
+                    {
+                        "nb_pred_label": pa.string(),
+                        "nb_pred_score": pa.float64(),
+                    },
+                )
+            )
         if dump_inferred:
             dump_schema_to_file(schema, destination=outdir)
         if schema_config := config.get("schema"):
@@ -446,6 +553,33 @@ def main(
             from mongo2pq_spark.operators.bpe import with_token_counts
 
             df = with_token_counts(df, bpe_merges_table, bpe_text_col)
+        if nb_active:
+            # score the rows that will actually be WRITTEN (post-
+            # dedup, post-store-filtering) against the model rebuilt
+            # from the whole store; the model side is broadcast, the
+            # join back is on the unique id
+            from pyspark.sql import functions as F
+
+            from mongo2pq_spark.operators.classifier import nb_score
+
+            model, priors = nb_model
+            pred = nb_score(
+                df,
+                model,
+                priors,
+                id_col=nb_id_col,
+                text_col=nb_text_col,
+                hash_buckets=nb_meta["hash_buckets"],
+            )
+            df = df.join(
+                pred.select(
+                    nb_id_col,
+                    F.col("pred_label").alias("nb_pred_label"),
+                    F.col("score").alias("nb_pred_score"),
+                ),
+                nb_id_col,
+                "left",
+            )
         if (
             inverted_index
             and index_text_col
@@ -1065,6 +1199,35 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
                              "every collection tree of the inverted "
                              "index into one batch=c0 via the "
                              "crash-safe swap")
+    parser.add_argument("--nb-store", type=Path, default=None,
+                        help="classify-at-ingest under a persisted "
+                             "Naive Bayes count store: collections "
+                             "carrying --nb-label-col fold their "
+                             "additive counts (batch=cli-<name>; "
+                             "re-runs replace, never double-count), "
+                             "then every collection with the text+id "
+                             "columns gains nb_pred_label/"
+                             "nb_pred_score from the model rebuilt "
+                             "over the store's WHOLE history — "
+                             "O(increment) teaching, cross-run "
+                             "sharpening")
+    parser.add_argument("--nb-label-col", default=None,
+                        help="label column for --nb-store teaching; "
+                             "omit for a score-only run against an "
+                             "already-trained store (the store's own "
+                             "config pin is authoritative)")
+    parser.add_argument("--nb-text-col", default="text",
+                        help="text column for --nb-store teaching and "
+                             "scoring (default text)")
+    parser.add_argument("--nb-id-col", default="doc_id",
+                        help="unique id column the prediction joins "
+                             "back on (default doc_id)")
+    parser.add_argument("--nb-hash-buckets", type=int, default=None,
+                        help="feature-hashing term space for "
+                             "--nb-store teaching: bounds the model "
+                             "at buckets x labels regardless of "
+                             "vocabulary (the 100 TB path); must "
+                             "match the store's pin once set")
     parser.add_argument("--dq-rules", type=Path, default=None,
                         metavar="YAML",
                         help="data-quality contract file mapping "
@@ -1184,6 +1347,15 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
             file=sys.stderr,
         )
         return None
+    if (
+        parsed.nb_label_col or parsed.nb_hash_buckets is not None
+    ) and not parsed.nb_store:
+        print(
+            "ERROR: --nb-label-col / --nb-hash-buckets require "
+            "--nb-store (the count store to teach)",
+            file=sys.stderr,
+        )
+        return None
     if parsed.near_dedup_consolidate and not parsed.near_dedup_store:
         print(
             "ERROR: --near-dedup-consolidate requires --near-dedup-store "
@@ -1261,6 +1433,11 @@ def run(argv: list[str] | None = None) -> int:
         index_text_col=args.index_text_col,
         index_id_col=args.index_id_col,
         index_consolidate=args.index_consolidate,
+        nb_store=args.nb_store,
+        nb_label_col=args.nb_label_col,
+        nb_text_col=args.nb_text_col,
+        nb_id_col=args.nb_id_col,
+        nb_hash_buckets=args.nb_hash_buckets,
         dq_rules=args.dq_rules,
         dq_fail_on_violation=args.dq_fail_on_violation,
         compact_partitions=args.compact_partitions,

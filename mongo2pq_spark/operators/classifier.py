@@ -576,7 +576,14 @@ def load_nb_model(
     oracle-backed classifier_nb_incremental query proves it
     value-exact). Config is validated against the store's meta pin."""
     _nb_check_meta(store_dir, label_col, hash_buckets)
-    counts = cache_stream(
+    # deliberately NOT routed through cache_stream: store directories
+    # MUTATE between loads (a re-taught batch overwrites its own part
+    # files), and the plan-keyed cache would serve the previous
+    # generation — or chase deleted files (FileReadException, hit by
+    # the CLI retry test). The count tables are tiny; the dense-model
+    # fanout re-reading them a handful of times is cheaper than any
+    # invalidation protocol.
+    counts = (
         spark.read.parquet(f"{store_dir}/term_counts")
         .groupBy("label", "term")
         .agg(F.sum("c").alias("c"))
@@ -587,3 +594,18 @@ def load_nb_model(
         .agg(F.sum("n_docs").alias("n_docs"))
     )
     return _model_from_counts(counts, doc_counts, alpha)
+
+
+def nb_store_meta(store_dir: str) -> dict | None:
+    """The store's config pin, or None if the store has never been
+    ingested into — callers (the CLI's score-only path) use it to
+    adopt the store's own label column and term space instead of
+    guessing."""
+    import json
+    import os
+
+    path = _nb_meta_path(store_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)

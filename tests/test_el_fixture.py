@@ -2044,3 +2044,141 @@ def test_verify_tar_shards_large_shard_smoke(spark, tmp_path):
     [row] = verify_tar_shards(spark, out).collect()
     assert row["status"] == "ok"
     assert row["actual_bytes"] == n * len(block)
+
+
+def test_cli_nb_classifier_at_ingest(spark, tmp_path):
+    """--nb-store: labeled collections TEACH the persisted count store
+    at ingest (batch=cli-<name>, retry replaces), every collection
+    carrying text+id gains nb_pred_label/nb_pred_score from the model
+    rebuilt over the store's whole history, a later score-only run
+    needs no config flags (the store's pin is authoritative), and the
+    predictions equal nb_train+nb_score computed directly. Error
+    paths: untrained store, config drift, argparse dependencies."""
+    from mongo2pq_spark.cli import main as _main, parse_args as _parse
+    from mongo2pq_spark.operators.classifier import nb_score, nb_train
+
+    labeled = [
+        (1, "spam buy now buy cheap", "spam"),
+        (2, "buy cheap spam spam offer", "spam"),
+        (3, "hello dear friend meeting", "ham"),
+        (4, "dear friend hello hello agenda", "ham"),
+    ]
+    unlabeled = [
+        (10, "buy spam offer"),
+        (11, "hello agenda friend"),
+        (12, ""),
+    ]
+    src1 = tmp_path / "src1"
+    src1.mkdir()
+    spark.createDataFrame(
+        labeled, "doc_id long, text string, label string"
+    ).write.parquet(str(src1 / "labeled.parquet"))
+    spark.createDataFrame(
+        unlabeled, "doc_id long, text string"
+    ).write.parquet(str(src1 / "unlabeled.parquet"))
+
+    store = tmp_path / "nbstore"
+    out1 = tmp_path / "o1"
+    rc = _main(
+        f"file:{src1}",
+        outdir=out1,
+        nb_store=store,
+        nb_label_col="label",
+        use_source_types=True,
+        spark=spark,
+    )
+    assert rc == 0
+
+    # expectation: the model the CLI used, rebuilt directly
+    train_df = spark.createDataFrame(
+        labeled, "doc_id long, text string, label string"
+    )
+    model, priors = nb_train(train_df, "label")
+    expect = {
+        r["doc_id"]: (r["pred_label"], r["score"])
+        for r in nb_score(
+            spark.createDataFrame(unlabeled, "doc_id long, text string"),
+            model,
+            priors,
+        ).collect()
+    }
+    got_unlabeled = {
+        r["doc_id"]: (r["nb_pred_label"], r["nb_pred_score"])
+        for r in spark.read.parquet(
+            str(out1 / "unlabeled.parquet")
+        ).collect()
+    }
+    assert got_unlabeled == expect
+    # the labeled collection is scored too (it carries text + id)
+    lab_out = spark.read.parquet(str(out1 / "labeled.parquet"))
+    assert {"nb_pred_label", "nb_pred_score"} <= set(lab_out.columns)
+    # the schema dump (re-ingestion contract) describes the new cols
+    dumped = (out1 / "unlabeled.yaml").read_text()
+    assert "nb_pred_label" in dumped and "nb_pred_score" in dumped
+
+    # score-only run against the trained store: NO config flags
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    spark.createDataFrame(
+        [(20, "spam spam buy"), (21, "friend meeting hello")],
+        "doc_id long, text string",
+    ).write.parquet(str(src2 / "more.parquet"))
+    out2 = tmp_path / "o2"
+    rc = _main(
+        f"file:{src2}",
+        outdir=out2,
+        nb_store=store,
+        use_source_types=True,
+        spark=spark,
+    )
+    assert rc == 0
+    got2 = {
+        r["doc_id"]: r["nb_pred_label"]
+        for r in spark.read.parquet(str(out2 / "more.parquet")).collect()
+    }
+    assert got2 == {20: "spam", 21: "ham"}
+
+    # retried teach run: batch replaced, predictions unchanged
+    out3 = tmp_path / "o3"
+    rc = _main(
+        f"file:{src1}",
+        outdir=out3,
+        nb_store=store,
+        nb_label_col="label",
+        use_source_types=True,
+        spark=spark,
+    )
+    assert rc == 0
+    again = {
+        r["doc_id"]: (r["nb_pred_label"], r["nb_pred_score"])
+        for r in spark.read.parquet(
+            str(out3 / "unlabeled.parquet")
+        ).collect()
+    }
+    assert again == expect
+
+    # untrained store, score-only: fail loud
+    rc = _main(
+        f"file:{src2}",
+        outdir=tmp_path / "o4",
+        nb_store=tmp_path / "fresh_store",
+        use_source_types=True,
+        spark=spark,
+    )
+    assert rc == 1
+
+    # config drift (hash buckets vs the store's pin): fail loud
+    rc = _main(
+        f"file:{src1}",
+        outdir=tmp_path / "o5",
+        nb_store=store,
+        nb_label_col="label",
+        nb_hash_buckets=16,
+        use_source_types=True,
+        spark=spark,
+    )
+    assert rc == 1
+
+    # argparse dependency: teaching flags without the store
+    assert _parse(["-u", "mongodb://x", "--nb-label-col", "label"]) is None
+    assert _parse(["-u", "mongodb://x", "--nb-hash-buckets", "8"]) is None
