@@ -203,6 +203,10 @@ HEADLINE = [
     "classifier_nb_hashed",
     "classifier_nb_crossval",
     "classifier_nb_incremental",
+    # r14 seventh registration: the trainer handoff (BPE-encode ->
+    # uint32 payloads -> shard_members -> tarshards write -> native
+    # read -> detokenize). Pin after its first two idle sessions.
+    "pipeline_tokens_to_shards",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -295,3 +295,138 @@ def load_merges(path: str) -> list[tuple[bytes, bytes]]:
             raise ValueError(f"malformed merge line {ln!r} in {path}")
         merges.append((bytes.fromhex(parts[0]), bytes.fromhex(parts[1])))
     return merges
+
+
+# -- token-id serialization: the trainer-shard interchange -------------------
+
+
+def bpe_id_table(merges: list[tuple[bytes, bytes]]) -> list[bytes]:
+    """The decode table: token id -> token bytes. Ids 0-255 are the
+    byte alphabet; merge rank r mints id 256 + r for the concatenated
+    pair. Two different merge paths CAN mint byte-identical symbols;
+    decode only maps id -> bytes, so duplicates cost nothing, and the
+    ENCODE map (built first-wins in rank order via
+    ``bpe_id_lookup``) keeps round-trips byte-lossless either way."""
+    table = [bytes([b]) for b in range(256)]
+    for a, b in merges:
+        table.append(a + b)
+    return table
+
+
+def bpe_id_lookup(merges: list[tuple[bytes, bytes]]) -> dict[bytes, int]:
+    """token bytes -> id, first occurrence wins (deterministic under
+    the pinned merge order)."""
+    lookup: dict[bytes, int] = {}
+    for i, tok in enumerate(bpe_id_table(merges)):
+        lookup.setdefault(tok, i)
+    return lookup
+
+
+BPE_PAYLOAD_SCHEMA = "name string, payload binary"
+
+
+def bpe_encode_payloads(
+    df: DataFrame,
+    merges: list[tuple[bytes, bytes]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched BPE encode to the TRAINER-SHARD interchange: one
+    (name, payload) row per document, ``doc<id>.tokens`` carrying the
+    token ids as little-endian uint32 — the serialized form a
+    WebDataset-style tar shard ships to the training loader. Map-only;
+    merge ranks ride the task closure; per-batch word memoization
+    (the bpe_encode_stats discipline). NULL text encodes as an empty
+    payload."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    lookup = bpe_id_lookup(merges)
+
+    def encode_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        cache: dict[str, list[int]] = {}
+        for pdf in batches:
+            names, payloads = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                text = text or ""
+                if len(cache) > 200_000:
+                    cache.clear()
+                ids: list[int] = []
+                for w in pretokenize(text):
+                    hit = cache.get(w)
+                    if hit is None:
+                        hit = cache[w] = [
+                            lookup[t]
+                            for t in encode_word(w.encode("utf-8"), ranks)
+                        ]
+                    ids.extend(hit)
+                names.append(f"doc{doc_id}.tokens")
+                payloads.append(
+                    np.asarray(ids, dtype="<u4").tobytes()
+                )
+            yield pd.DataFrame({"name": names, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        encode_batches, BPE_PAYLOAD_SCHEMA
+    )
+
+
+BPE_DETOK_SCHEMA = "doc_id bigint, n_bytes bigint, detok_md5 string, n_tokens bigint"
+
+
+def bpe_decode_payloads(
+    df: DataFrame,
+    merges: list[tuple[bytes, bytes]],
+    name_col: str = "name",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Detokenize ``doc<id>.tokens`` uint32-LE payloads back to bytes
+    under the same pinned merge table: (doc_id, n_bytes, detok_md5,
+    n_tokens). md5 equality against the source text is the lossless
+    proof for the WHOLE serialize -> shard -> read -> deserialize
+    chain. Unknown token ids fail loud (IndexError) — a truncated or
+    foreign payload must never detokenize silently."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    table = bpe_id_table(merges)
+
+    def decode_batches(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_bytes": [], "detok_md5": [],
+                "n_tokens": [],
+            }
+            for name, payload in zip(pdf[name_col], pdf[payload_col]):
+                m = re.fullmatch(r"doc(\d+)\.tokens", name)
+                if not m:
+                    raise ValueError(
+                        f"unexpected member name in token shard: {name!r}"
+                    )
+                raw = bytes(payload or b"")
+                if len(raw) % 4:
+                    raise ValueError(
+                        f"token payload for {name!r} is not uint32-"
+                        f"aligned ({len(raw)} bytes)"
+                    )
+                ids = np.frombuffer(raw, dtype="<u4")
+                decoded = b"".join(table[i] for i in ids)
+                out["doc_id"].append(int(m.group(1)))
+                out["n_bytes"].append(len(decoded))
+                out["detok_md5"].append(hashlib.md5(decoded).hexdigest())
+                out["n_tokens"].append(int(ids.size))
+            yield pd.DataFrame(out)
+
+    return df.select(name_col, payload_col).mapInPandas(
+        decode_batches, BPE_DETOK_SCHEMA
+    )

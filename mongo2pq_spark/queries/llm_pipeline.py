@@ -938,3 +938,71 @@ def classifier_nb_incremental(spark, sf_dir):
     return pred.join(
         test.select("doc_id", F.col("lang").alias("true_label")), "doc_id"
     ).select("doc_id", "true_label", "pred_label", "score", "margin")
+
+
+@register(
+    "pipeline_tokens_to_shards",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS detok_md5,
+           true AS bounds_ok
+    FROM documents
+    """,
+    doc="the trainer handoff, end to end: 200 BPE merges learned from "
+        "THIS corpus (driver sees only the bounded word histogram), "
+        "every doc encoded to uint32-LE token ids in Arrow-batched "
+        "mapInPandas, the id payloads rebalanced to ~64 KiB target "
+        "shards by shard_members (one byte-sum aggregate + hash "
+        "repartition) and committed as an immutable tarshards "
+        "generation, native-read back (partition-per-shard, r| "
+        "sequential), DESERIALIZED and DETOKENIZED under the same "
+        "pinned merge table. The oracle recomputes md5/strlen from "
+        "the source column, so a hash match PROVES the tokenize -> "
+        "serialize -> shard -> read -> deserialize -> detokenize "
+        "chain is byte-lossless for every document — the property "
+        "the training loader stakes its data on (exact merge "
+        "sequences are pinned by unit tests; SQL cannot run the "
+        "merge loop). bounds_ok pins n_tokens <= n_bytes and "
+        "payload = 4 x n_tokens through the chain",
+)
+def pipeline_tokens_to_shards(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo2pq_spark.operators.bpe import (
+        bpe_decode_payloads,
+        bpe_encode_payloads,
+        learn_bpe,
+    )
+    from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.tarshards import (
+        register_tarshards,
+        shard_members,
+    )
+
+    register_tarshards(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    merges = learn_bpe(docs, n_merges=200)  # bounded histogram collect
+    payloads = bpe_encode_payloads(docs, merges)
+    gen = os.path.join(tempfile.gettempdir(), "pipeline_token_shards")
+    (
+        shard_members(payloads, target_shard_bytes=64 << 10)
+        .sortWithinPartitions("name")
+        .write.format("tarshards")
+        .mode("overwrite")
+        .save(gen)
+    )
+    back = spark.read.format("tarshards").load(gen)
+    detok = bpe_decode_payloads(back, merges)
+    bounds = (F.col("n_tokens") <= F.col("n_bytes")) | (
+        F.col("n_bytes") == 0
+    )
+    return detok.select(
+        "doc_id",
+        "n_bytes",
+        "detok_md5",
+        bounds.alias("bounds_ok"),
+    )

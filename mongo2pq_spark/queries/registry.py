@@ -65,6 +65,7 @@ _DRIVER_WINDOW_FIRST = [
     "classifier_nb_crossval",
     "classifier_nb_incremental",
     "streaming_nb_ingest",
+    "pipeline_tokens_to_shards",
     "pipeline_generation_resplit",
     "el_tar_manifest_scan",
     "el_tar_reshard_roundtrip",
@@ -84,14 +85,15 @@ _DRIVER_WINDOW_FIRST = [
     "orders_retention_cohorts",
     "udaf_user_value_gini",
     "value_quartile_buckets",
-    # (c) 29 of the 48 r9-latest rows, in their r9 window order; the
-    # final 19 (rollup_customer_counts, session_window_native,
-    # sketch_rollup_distinct_users, sql_api_revenue_by_day,
-    # streaming_dedup_events — displaced by the r14 third/fourth/
-    # fifth-wave NB classifier entries — plus streaming_enrich_static,
-    # streaming_parquet_sink, streaming_session_windows ..
-    # window_top_orders_per_customer) roll to r15's freshness front —
-    # all hold green r9 rows, so coverage stays total.
+    # (c) 28 of the 48 r9-latest rows, in their r9 window order; the
+    # final 20 (q8_market_share, rollup_customer_counts,
+    # session_window_native, sketch_rollup_distinct_users,
+    # sql_api_revenue_by_day, streaming_dedup_events — displaced by
+    # the r14 classifier/tokenizer waves — plus
+    # streaming_enrich_static, streaming_parquet_sink,
+    # streaming_session_windows .. window_top_orders_per_customer)
+    # roll to r15's freshness front — all hold green r9 rows, so
+    # coverage stays total.
     "embedding_drift",
     "dedup_levenshtein_blocked",
     "embedding_near_dup",
@@ -120,7 +122,6 @@ _DRIVER_WINDOW_FIRST = [
     "q3_top_unshipped",
     "q5_local_supplier_volume",
     "q7_nation_volume",
-    "q8_market_share",
 ]
 
 

@@ -5332,3 +5332,69 @@ def test_nb_count_store_lifecycle(spark, tmp_path):
         load_nb_model(spark, store, "lang")
     with pytest.raises(ValueError, match="bad nb store batch id"):
         ingest_nb_counts(b, store, "gen/evil", "label")
+
+
+def test_bpe_token_payload_roundtrip(spark):
+    """The trainer-shard serialization: encode docs to uint32-LE token
+    id payloads under a learned merge table, decode them back —
+    byte-lossless for ASCII, multi-byte UTF-8, whitespace runs, empty
+    and NULL text. Fail-loud contracts: misaligned payloads and
+    foreign member names raise instead of detokenizing silently; the
+    id table is deterministic (256 byte symbols + one per merge in
+    rank order, first-wins lookup)."""
+    import hashlib
+
+    import pytest
+
+    from mongo2pq_spark.operators.bpe import (
+        bpe_decode_payloads,
+        bpe_encode_payloads,
+        bpe_id_lookup,
+        bpe_id_table,
+        learn_bpe,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the the the the the quick quick"),
+        (3, "naïve café — résumé 東京 🙂"),
+        (4, "  spaced\tout\n\nlines  "),
+        (5, ""),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = learn_bpe(docs, n_merges=30)
+
+    table = bpe_id_table(merges)
+    assert len(table) == 256 + len(merges)
+    assert all(table[i] == bytes([i]) for i in range(256))
+    lookup = bpe_id_lookup(merges)
+    assert all(lookup[bytes([i])] == i for i in range(256))
+
+    payloads = bpe_encode_payloads(docs, merges)
+    out = {r["name"]: bytes(r["payload"]) for r in payloads.collect()}
+    assert set(out) == {f"doc{i}.tokens" for i, _ in rows}
+    assert out["doc5.tokens"] == b"" and out["doc6.tokens"] == b""
+    assert all(len(p) % 4 == 0 for p in out.values())
+
+    detok = {
+        r["doc_id"]: (r["n_bytes"], r["detok_md5"], r["n_tokens"])
+        for r in bpe_decode_payloads(payloads, merges).collect()
+    }
+    for did, text in rows:
+        raw = (text or "").encode("utf-8")
+        n_bytes, md5, n_tokens = detok[did]
+        assert n_bytes == len(raw), did
+        assert md5 == hashlib.md5(raw).hexdigest(), did
+        assert n_tokens * 4 == len(out[f"doc{did}.tokens"]), did
+
+    bad_align = spark.createDataFrame(
+        [("doc9.tokens", b"\x01\x02\x03")], "name string, payload binary"
+    )
+    with pytest.raises(Exception, match="uint32-aligned"):
+        bpe_decode_payloads(bad_align, merges).collect()
+    bad_name = spark.createDataFrame(
+        [("weird.bin", b"")], "name string, payload binary"
+    )
+    with pytest.raises(Exception, match="unexpected member name"):
+        bpe_decode_payloads(bad_name, merges).collect()
