@@ -207,6 +207,10 @@ HEADLINE = [
     # uint32 payloads -> shard_members -> tarshards write -> native
     # read -> detokenize). Pin after its first two idle sessions.
     "pipeline_tokens_to_shards",
+    # r14 eighth registration: packed fixed-length sequences with the
+    # spans sidecar and byte-lossless per-doc reassembly. Pin after
+    # its first two idle sessions.
+    "pipeline_packed_sequences",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

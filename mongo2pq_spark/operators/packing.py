@@ -240,3 +240,183 @@ def temperature_mix_epochs(
         F.col("n_copies").cast("bigint").alias("n_copies"),
         F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
     ).withColumn("copy_idx", F.col("copy_idx").cast("bigint"))
+
+
+# -- packed fixed-length token sequences (payload level) ---------------------
+
+PACKED_SEQ_TOKENS = 256
+
+
+def pack_token_payloads(
+    payloads: DataFrame,
+    seq_tokens: int = PACKED_SEQ_TOKENS,
+    n_shards: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """True pretraining packing at the BYTE level: each hash shard's
+    documents are laid end to end in doc-id order into one token
+    stream, and the stream is cut every ``seq_tokens`` tokens — a
+    document straddling a boundary CONTINUES into the next sequence
+    (the packed-sequence-with-attention-masking regime the module
+    docstring describes, now materialized as trainer-ready payloads,
+    not just bin accounting).
+
+    Input: ``(name, payload)`` rows of ``doc<id>.tokens`` uint32-LE
+    token ids (``operators/bpe.py::bpe_encode_payloads``). Returns
+    ``(sequences, spans)``:
+
+    * sequences — ``(name, payload)`` rows ``s<shard>_q<k>.tokens``,
+      each exactly ``seq_tokens`` tokens except a shard's last;
+    * spans — ``(doc_id, shard, start, n_tokens)`` provenance: where
+      each document's tokens live in its shard stream. Ship it as the
+      sidecar; reassembly (``unpack_token_payloads``) needs it.
+
+    Scale shape, all built-in JVM expressions: the shard is the
+    md5-hash of the doc id (deterministic, engine-portable), offsets
+    are ONE running-sum window per shard (corpus/n_shards rows each —
+    parallelism is chosen, not inherited), fragments are bounded
+    byte-range ``substring`` slices (a doc yields at most
+    n_tokens/seq_tokens + 1 fragments), and sequence assembly is ONE
+    shuffle on the (shard, seq) key with an order-insensitive
+    array_sort concat. No Python in the loop; offsets are a pure
+    function of (doc order, token counts), so the output is identical
+    under any partitioning."""
+    parsed = payloads.select(
+        F.regexp_extract("name", r"^doc(\d+)\.tokens$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "payload",
+        (F.octet_length("payload") / 4).cast("bigint").alias("n_tokens"),
+    )
+    shard = (
+        token_hash32(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+        % n_shards
+    ).alias("shard")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = parsed.select("doc_id", "payload", "n_tokens", shard).withColumn(
+        "start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    spans = placed.select("doc_id", "shard", "start", "n_tokens")
+
+    frag = placed.filter(F.col("n_tokens") > 0).select(
+        "shard",
+        "payload",
+        "start",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                (F.col("start") / seq_tokens).cast("bigint"),
+                ((F.col("start") + F.col("n_tokens") - 1) / seq_tokens).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("q"),
+    )
+    a = F.greatest(F.col("start"), F.col("q") * seq_tokens)
+    b = F.least(
+        F.col("start") + F.col("n_tokens"), (F.col("q") + 1) * seq_tokens
+    )
+    sliced = frag.select(
+        "shard",
+        "q",
+        a.alias("a"),
+        F.expr(
+            f"substring(payload, cast((greatest(start, q * {seq_tokens}) "
+            f"- start) * 4 + 1 as int), cast((least(start + n_tokens, "
+            f"(q + 1) * {seq_tokens}) - greatest(start, q * {seq_tokens})) "
+            f"* 4 as int))"
+        ).alias("frag"),
+    )
+    sequences = (
+        sliced.groupBy("shard", "q")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("a", "frag"))),
+                F.lit(b""),
+                lambda acc, x: F.concat(acc, x["frag"]),
+            ).alias("payload")
+        )
+        .select(
+            F.concat(
+                F.lit("s"),
+                F.col("shard").cast("string"),
+                F.lit("_q"),
+                F.col("q").cast("string"),
+                F.lit(".tokens"),
+            ).alias("name"),
+            "payload",
+        )
+    )
+    return sequences, spans
+
+
+def unpack_token_payloads(
+    members: DataFrame,
+    spans: DataFrame,
+    seq_tokens: int = PACKED_SEQ_TOKENS,
+) -> DataFrame:
+    """Invert ``pack_token_payloads``: given the sequence members read
+    back from shards and the spans sidecar, rebuild every document's
+    ``doc<id>.tokens`` payload byte-exactly (empty documents
+    included). Each span enumerates the sequences it overlaps (the
+    same bounded F.sequence), equi-joins them on (shard, seq) — never
+    a payload-side cross join — slices its byte range out of each,
+    and concatenates in absolute-position order."""
+    seqs = members.select(
+        F.regexp_extract("name", r"^s(\d+)_q(\d+)\.tokens$", 1)
+        .cast("bigint")
+        .alias("shard"),
+        F.regexp_extract("name", r"^s(\d+)_q(\d+)\.tokens$", 2)
+        .cast("bigint")
+        .alias("q"),
+        F.col("payload").alias("seq_payload"),
+    )
+    overlaps = spans.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "shard",
+        "start",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                (F.col("start") / seq_tokens).cast("bigint"),
+                ((F.col("start") + F.col("n_tokens") - 1) / seq_tokens).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("q"),
+    )
+    joined = overlaps.join(seqs, ["shard", "q"])
+    rebuilt = (
+        joined.select(
+            "doc_id",
+            F.greatest(F.col("start"), F.col("q") * seq_tokens).alias("a"),
+            F.expr(
+                f"substring(seq_payload, cast((greatest(start, q * "
+                f"{seq_tokens}) - q * {seq_tokens}) * 4 + 1 as int), "
+                f"cast((least(start + n_tokens, (q + 1) * {seq_tokens}) - "
+                f"greatest(start, q * {seq_tokens})) * 4 as int))"
+            ).alias("frag"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("a", "frag"))),
+                F.lit(b""),
+                lambda acc, x: F.concat(acc, x["frag"]),
+            ).alias("payload")
+        )
+    )
+    empties = spans.filter(F.col("n_tokens") == 0).select(
+        "doc_id", F.lit(b"").alias("payload")
+    )
+    return rebuilt.unionByName(empties).select(
+        F.concat(
+            F.lit("doc"), F.col("doc_id").cast("string"), F.lit(".tokens")
+        ).alias("name"),
+        "payload",
+    )

@@ -1006,3 +1006,77 @@ def pipeline_tokens_to_shards(spark, sf_dir):
         "detok_md5",
         bounds.alias("bounds_ok"),
     )
+
+
+@register(
+    "pipeline_packed_sequences",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS detok_md5,
+           true AS bounds_ok
+    FROM documents
+    """,
+    doc="trainer packing with lossless provenance: docs BPE-encode to "
+        "uint32 payloads, each hash shard's stream is laid end to end "
+        "in doc-id order and CUT every 256 tokens (docs straddle "
+        "boundaries — the packed-sequence regime), the fixed-length "
+        "sequences ship as a tarshards generation with the spans "
+        "sidecar (doc_id -> stream position) as parquet, then the "
+        "shards are native-read, every doc is REBUILT from its "
+        "sequence fragments via the sidecar and detokenized under "
+        "the pinned merge table. md5 equality against the source "
+        "column proves encode -> pack -> shard -> read -> unpack -> "
+        "detokenize byte-lossless per document — padding-free "
+        "packing without losing the ability to audit any single "
+        "document. All packing/slicing/assembly is built-in JVM "
+        "expressions (bounded substring slices, one shuffle per "
+        "grouping); offsets are a pure function of doc order and "
+        "token counts, so the output is partitioning-independent",
+)
+def pipeline_packed_sequences(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo2pq_spark.operators.bpe import (
+        bpe_decode_payloads,
+        bpe_encode_payloads,
+        learn_bpe,
+    )
+    from mongo2pq_spark.operators.packing import (
+        pack_token_payloads,
+        unpack_token_payloads,
+    )
+    from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.tarshards import (
+        register_tarshards,
+        shard_members,
+    )
+
+    register_tarshards(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    merges = learn_bpe(docs, n_merges=200)  # bounded histogram collect
+    payloads = bpe_encode_payloads(docs, merges)
+    sequences, spans = pack_token_payloads(payloads)
+    root = os.path.join(tempfile.gettempdir(), "pipeline_packed_seqs")
+    gen = os.path.join(root, "shards")
+    spans_dir = os.path.join(root, "spans")
+    (
+        shard_members(sequences, target_shard_bytes=64 << 10)
+        .sortWithinPartitions("name")
+        .write.format("tarshards")
+        .mode("overwrite")
+        .save(gen)
+    )
+    spans.write.mode("overwrite").parquet(spans_dir)
+    back = spark.read.format("tarshards").load(gen)
+    rebuilt = unpack_token_payloads(back, spark.read.parquet(spans_dir))
+    detok = bpe_decode_payloads(rebuilt, merges)
+    bounds = (F.col("n_tokens") <= F.col("n_bytes")) | (
+        F.col("n_bytes") == 0
+    )
+    return detok.select(
+        "doc_id", "n_bytes", "detok_md5", bounds.alias("bounds_ok")
+    )

@@ -66,6 +66,7 @@ _DRIVER_WINDOW_FIRST = [
     "classifier_nb_incremental",
     "streaming_nb_ingest",
     "pipeline_tokens_to_shards",
+    "pipeline_packed_sequences",
     "pipeline_generation_resplit",
     "el_tar_manifest_scan",
     "el_tar_reshard_roundtrip",
@@ -85,8 +86,8 @@ _DRIVER_WINDOW_FIRST = [
     "orders_retention_cohorts",
     "udaf_user_value_gini",
     "value_quartile_buckets",
-    # (c) 28 of the 48 r9-latest rows, in their r9 window order; the
-    # final 20 (q8_market_share, rollup_customer_counts,
+    # (c) 27 of the 48 r9-latest rows, in their r9 window order; the
+    # final 21 (q7_nation_volume, q8_market_share, rollup_customer_counts,
     # session_window_native, sketch_rollup_distinct_users,
     # sql_api_revenue_by_day, streaming_dedup_events — displaced by
     # the r14 classifier/tokenizer waves — plus
@@ -121,7 +122,6 @@ _DRIVER_WINDOW_FIRST = [
     "q18_large_orders",
     "q3_top_unshipped",
     "q5_local_supplier_volume",
-    "q7_nation_volume",
 ]
 
 

@@ -5398,3 +5398,70 @@ def test_bpe_token_payload_roundtrip(spark):
     )
     with pytest.raises(Exception, match="unexpected member name"):
         bpe_decode_payloads(bad_name, merges).collect()
+
+
+def test_pack_token_payloads_matches_stream_mirror(spark):
+    """Packing ground truth: per hash shard, the concatenated doc
+    payloads (doc-id order) cut every seq_tokens — a Python mirror
+    builds each shard's stream byte-for-byte and the operator's
+    sequences must equal its windows exactly; spans carry the exact
+    stream offsets; unpack inverts pack byte-exactly (empty docs
+    included); the whole thing is partitioning-independent."""
+    import hashlib
+
+    from mongo2pq_spark.operators.packing import (
+        pack_token_payloads,
+        unpack_token_payloads,
+    )
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    import numpy as np
+
+    rows = []
+    for did in range(17):
+        n = (did * 7) % 23  # 0..22 tokens; did=0 -> EMPTY payload
+        ids = np.arange(did * 100, did * 100 + n, dtype="<u4")
+        rows.append((f"doc{did}.tokens", ids.tobytes()))
+    docs = spark.createDataFrame(rows, "name string, payload binary")
+
+    L, S = 8, 3
+    sequences, spans = pack_token_payloads(docs, seq_tokens=L, n_shards=S)
+    got_seqs = {r["name"]: bytes(r["payload"]) for r in sequences.collect()}
+    got_spans = {
+        r["doc_id"]: (r["shard"], r["start"], r["n_tokens"])
+        for r in spans.collect()
+    }
+
+    streams = {s: b"" for s in range(S)}
+    expect_spans = {}
+    for did in range(17):  # doc-id order within each shard
+        shard = h32(f"pack:{did}") % S
+        payload = dict(rows)[f"doc{did}.tokens"]
+        expect_spans[did] = (shard, len(streams[shard]) // 4, len(payload) // 4)
+        streams[shard] += payload
+    assert got_spans == expect_spans
+    expect_seqs = {}
+    for s, stream in streams.items():
+        for q in range((len(stream) + 4 * L - 1) // (4 * L)):
+            expect_seqs[f"s{s}_q{q}.tokens"] = stream[
+                q * 4 * L : (q + 1) * 4 * L
+            ]
+    assert got_seqs == expect_seqs
+
+    rebuilt = {
+        r["name"]: bytes(r["payload"])
+        for r in unpack_token_payloads(
+            sequences, spans, seq_tokens=L
+        ).collect()
+    }
+    assert rebuilt == {n: bytes(p) for n, p in rows}
+
+    # partitioning independence (offsets are pure functions)
+    seqs2, spans2 = pack_token_payloads(
+        docs.repartition(13), seq_tokens=L, n_shards=S
+    )
+    assert {
+        r["name"]: bytes(r["payload"]) for r in seqs2.collect()
+    } == expect_seqs
