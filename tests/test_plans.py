@@ -1021,3 +1021,18 @@ def test_nb_crossval_single_tokenization_no_python(spark, sf_dir):
     assert n_scans <= 6, f"corpus scanned {n_scans} times — fold fan-out?"
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_packed_sequences_plan_shape(spark, sf_dir):
+    """The packing/assembly stages of pipeline_packed_sequences are
+    built-in JVM expressions: the ONLY Python stages in the whole
+    plan are the Arrow-batched BPE encode/decode (mapInPandas), no
+    row-at-a-time BatchEvalPython anywhere, no CartesianProduct, and
+    window parallelism is per-shard (a partitionBy window, never an
+    empty-frame global sort)."""
+    plan = _formatted(spark, sf_dir, "pipeline_packed_sequences")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the detok tail is Arrow-batched (the plan a trainer-scale chain
+    # needs: payload bytes cross the Python boundary ONCE each way)
+    assert "MapInPandas" in plan
