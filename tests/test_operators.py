@@ -5465,3 +5465,21 @@ def test_pack_token_payloads_matches_stream_mirror(spark):
     assert {
         r["name"]: bytes(r["payload"]) for r in seqs2.collect()
     } == expect_seqs
+
+
+def test_pack_token_payloads_empty_corpus(spark):
+    """Degenerate inputs: an empty member table packs to zero
+    sequences and zero spans, and unpacking the empty pair yields
+    zero documents — no special-casing required anywhere downstream
+    (the first microbatch of a brand-new pipeline hits exactly
+    this)."""
+    from mongo2pq_spark.operators.packing import (
+        pack_token_payloads,
+        unpack_token_payloads,
+    )
+
+    empty = spark.createDataFrame([], "name string, payload binary")
+    sequences, spans = pack_token_payloads(empty, seq_tokens=8, n_shards=3)
+    assert sequences.count() == 0
+    assert spans.count() == 0
+    assert unpack_token_payloads(sequences, spans, seq_tokens=8).count() == 0
