@@ -29,6 +29,28 @@ from mongo2pq_spark import PROJECT_NAME
 from mongo2pq_spark.exceptions import SchemaParseError
 
 
+def _nb_cli_batch_id(collection: str) -> str:
+    """Stable, always-valid store batch id for a collection name.
+
+    Batch ids are restricted to ``[A-Za-z0-9_-]`` (they become
+    ``batch=<id>`` directory names), but Mongo collection names may
+    legally contain dots etc. — and the teach loop runs AFTER earlier
+    collections were already folded, so a late ValueError would abort
+    a half-applied run (ADVICE r14). Disallowed chars are replaced
+    with ``_`` and, when any replacement happened, a short hash of the
+    ORIGINAL name is appended so distinct names (``a.b`` vs ``a_b``)
+    can never collide on one batch key; legal names keep their
+    historical ``cli-<name>`` key unchanged."""
+    import hashlib
+    import re
+
+    safe = re.sub(r"[^A-Za-z0-9_\-]", "_", collection)
+    if safe == collection:
+        return f"cli-{collection}"
+    digest = hashlib.md5(collection.encode()).hexdigest()[:8]
+    return f"cli-{safe}-{digest}"
+
+
 def _index_batch_token(df, id_col: str, text_col: str) -> str:
     """Deterministic CONTENT token for one index batch — the shared
     digest_batch_token over md5(id ':' text), so an edited re-crawl of
@@ -261,10 +283,11 @@ def main(
                         nb_label_col in d.columns
                         and nb_text_col in d.columns
                     ):
+                        batch_key = _nb_cli_batch_id(nm)
                         ingest_nb_counts(
                             d,
                             nb_store_dir,
-                            f"cli-{nm}",
+                            batch_key,
                             nb_label_col,
                             text_col=nb_text_col,
                             hash_buckets=nb_hash_buckets,
@@ -272,7 +295,7 @@ def main(
                         folded += 1
                         print(
                             f"NB store: folded labeled collection "
-                            f"'{nm}' as batch cli-{nm}",
+                            f"'{nm}' as batch {batch_key}",
                             file=sys.stderr,
                         )
                 if not folded:

@@ -280,10 +280,26 @@ def pack_token_payloads(
     array_sort concat. No Python in the loop; offsets are a pure
     function of (doc order, token counts), so the output is identical
     under any partitioning."""
+    # fail loud on foreign member names (ADVICE r14): regexp_extract
+    # returns '' on no-match, which would cast to a NULL doc_id and
+    # flow silently into the spans/window ordering — inconsistent
+    # with bpe_decode_payloads' fail-loud contract for the same
+    # interchange. assert_true rides inside the doc_id expression so
+    # the optimizer cannot prune it.
+    name_ok = F.assert_true(
+        F.col("name").rlike(r"^doc\d+\.tokens$"),
+        F.concat(
+            F.lit("unexpected member name in token payloads: "),
+            F.col("name"),
+        ),
+    )
     parsed = payloads.select(
-        F.regexp_extract("name", r"^doc(\d+)\.tokens$", 1)
-        .cast("bigint")
-        .alias("doc_id"),
+        F.when(
+            name_ok.isNull(),
+            F.regexp_extract("name", r"^doc(\d+)\.tokens$", 1).cast(
+                "bigint"
+            ),
+        ).alias("doc_id"),
         "payload",
         (F.octet_length("payload") / 4).cast("bigint").alias("n_tokens"),
     )

@@ -36,6 +36,31 @@ def _docs(spark, sf_dir):
     return read_sf_table(spark, sf_dir, "documents")
 
 
+def _generation_tmp_dir(sf_dir: str, tag: str) -> str:
+    """Staging dir for a query-local data generation, keyed by the
+    source table's absolute path + mtime.
+
+    A FIXED path shared across scale factors / concurrent sessions is
+    the hazard class behind the r14 cache-registry bug (a plan-keyed
+    cache served a stale generation) and the r14-verdict's concurrent
+    bench-vs-oracle collision note: two sessions interleaving
+    write/read on one dir can read a mixed generation (the tarshards
+    committer even deletes shards absent from its own manifest).
+    Keying by (path, mtime) makes each (scale factor, data
+    generation) pair a distinct directory, so plans and readers can
+    never cross generations; reruns over the SAME unchanged source
+    reuse the dir instead of accreting /tmp entries per call."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"m2pq_{tag}_{key}")
+
+
 @register(
     "text_gopher_quality_flags",
     f"""
@@ -731,7 +756,11 @@ def _nb_lang_query(spark, sf_dir, hash_buckets):
         "model join, one per-doc shuffle, one argmax window). Scores "
         "round to 6 dp BEFORE the argmax, ties break on label asc — "
         "prediction is a pure function of the rounded score table, "
-        "stable across engines and partitionings",
+        "stable across engines and partitionings. NOTE: this exact-"
+        "vocab variant broadcasts an UNCAPPED V x L model — fine for "
+        "this bounded eval corpus, but before pointing training at an "
+        "open corpus pass hash_buckets (see classifier_nb_hashed) or "
+        "max_vocab so the broadcast stays O(k·L)",
 )
 def classifier_nb_lang(spark, sf_dir):
     return _nb_lang_query(spark, sf_dir, hash_buckets=None)
@@ -883,9 +912,7 @@ def classifier_nb_crossval(spark, sf_dir):
         "wave instead of per full retrain)",
 )
 def classifier_nb_incremental(spark, sf_dir):
-    import os
     import shutil
-    import tempfile
 
     from mongo2pq_spark.functions.hashing import token_hash32
     from mongo2pq_spark.operators.classifier import (
@@ -910,22 +937,13 @@ def classifier_nb_incremental(spark, sf_dir):
     )
     test = split.filter(F.col("bucket") >= _NB_TRAIN_PCT)
 
-    # fixed dir (a fresh mkdtemp per call would accrete /tmp dirs
-    # every bench repeat) — but keyed by sf_dir + source mtime: the
-    # bounded cache registry memoizes the store-read count plan by
-    # PATH, so running this query at another scale factor against
-    # the same path would serve the previous SF's cached counts
-    # (caught by the oracle gate at sf0.01 after an sf0.001 run);
-    # a distinct path per (sf_dir, data generation) makes the plans
-    # distinct. Same guard class as the streaming tar ingest's
-    # mtime-keyed staging.
-    import hashlib
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
-    ).hexdigest()[:12]
-    store = os.path.join(tempfile.gettempdir(), f"m2pq_nb_store_{key}")
+    # keyed dir, not fixed (see _generation_tmp_dir): the bounded
+    # cache registry memoizes the store-read count plan by PATH, so
+    # running this query at another scale factor against the same
+    # path would serve the previous SF's cached counts (caught by
+    # the oracle gate at sf0.01 after an sf0.001 run); a distinct
+    # path per (sf_dir, data generation) makes the plans distinct.
+    store = _generation_tmp_dir(sf_dir, "nb_store")
     shutil.rmtree(store, ignore_errors=True)
     ingest_nb_counts(gen_a, store, "gen_a", "lang")
     ingest_nb_counts(gen_b, store, "gen_b", "lang")
@@ -967,9 +985,6 @@ def classifier_nb_incremental(spark, sf_dir):
         "payload = 4 x n_tokens through the chain",
 )
 def pipeline_tokens_to_shards(spark, sf_dir):
-    import os
-    import tempfile
-
     from mongo2pq_spark.operators.bpe import (
         bpe_decode_payloads,
         bpe_encode_payloads,
@@ -987,7 +1002,7 @@ def pipeline_tokens_to_shards(spark, sf_dir):
     )
     merges = learn_bpe(docs, n_merges=200)  # bounded histogram collect
     payloads = bpe_encode_payloads(docs, merges)
-    gen = os.path.join(tempfile.gettempdir(), "pipeline_token_shards")
+    gen = _generation_tmp_dir(sf_dir, "pipeline_token_shards")
     (
         shard_members(payloads, target_shard_bytes=64 << 10)
         .sortWithinPartitions("name")
@@ -1036,7 +1051,6 @@ def pipeline_tokens_to_shards(spark, sf_dir):
 )
 def pipeline_packed_sequences(spark, sf_dir):
     import os
-    import tempfile
 
     from mongo2pq_spark.operators.bpe import (
         bpe_decode_payloads,
@@ -1060,7 +1074,7 @@ def pipeline_packed_sequences(spark, sf_dir):
     merges = learn_bpe(docs, n_merges=200)  # bounded histogram collect
     payloads = bpe_encode_payloads(docs, merges)
     sequences, spans = pack_token_payloads(payloads)
-    root = os.path.join(tempfile.gettempdir(), "pipeline_packed_seqs")
+    root = _generation_tmp_dir(sf_dir, "pipeline_packed_seqs")
     gen = os.path.join(root, "shards")
     spans_dir = os.path.join(root, "spans")
     (

@@ -2182,3 +2182,53 @@ def test_cli_nb_classifier_at_ingest(spark, tmp_path):
     # argparse dependency: teaching flags without the store
     assert _parse(["-u", "mongodb://x", "--nb-label-col", "label"]) is None
     assert _parse(["-u", "mongodb://x", "--nb-hash-buckets", "8"]) is None
+
+
+def test_nb_cli_batch_id_sanitizes_any_collection_name():
+    """Mongo collection names may contain chars illegal in store batch
+    ids (ADVICE r14: a dotted name raised ValueError AFTER earlier
+    collections were folded, aborting a half-applied run). The CLI
+    key must be valid for ANY name, stable per name, collision-free
+    across distinct names, and unchanged for historical legal names."""
+    from mongo2pq_spark.cli import _nb_cli_batch_id
+    from mongo2pq_spark.operators.classifier import _nb_batch_id_ok
+
+    legal = _nb_cli_batch_id("events_2024")
+    assert legal == "cli-events_2024"  # historical keys untouched
+    for name in ("a.b", "a b", "ns.sub.coll", "Ünïcode", "a/b", "a_b"):
+        key = _nb_cli_batch_id(name)
+        assert _nb_batch_id_ok(key), (name, key)
+        assert key == _nb_cli_batch_id(name)  # stable
+    # sanitized forms that would collide get distinct hash suffixes
+    assert _nb_cli_batch_id("a.b") != _nb_cli_batch_id("a_b")
+    assert _nb_cli_batch_id("a.b") != _nb_cli_batch_id("a b")
+
+
+def test_generation_tmp_dir_distinct_per_source_generation(tmp_path):
+    """The pipeline queries' staging dirs are keyed by (source path,
+    mtime) — VERDICT r14 #2: a fixed /tmp path shared across scale
+    factors / sessions can interleave write/read and serve a mixed or
+    stale generation. Distinct sf_dirs and regenerated sources must
+    map to distinct dirs; an unchanged source reuses its dir."""
+    import os
+
+    from mongo2pq_spark.queries.llm_pipeline import _generation_tmp_dir
+
+    sf_a = tmp_path / "sf_a"
+    sf_b = tmp_path / "sf_b"
+    for d in (sf_a, sf_b):
+        d.mkdir()
+        (d / "documents.parquet").write_bytes(b"x")
+
+    d_a = _generation_tmp_dir(str(sf_a), "pipeline_token_shards")
+    d_b = _generation_tmp_dir(str(sf_b), "pipeline_token_shards")
+    assert d_a != d_b  # distinct scale factors never share a dir
+    assert d_a == _generation_tmp_dir(str(sf_a), "pipeline_token_shards")
+    # distinct tags (queries) never share either
+    assert d_a != _generation_tmp_dir(str(sf_a), "pipeline_packed_seqs")
+
+    # a REGENERATED source (new mtime) is a new generation -> new dir
+    src = sf_a / "documents.parquet"
+    old_mtime = src.stat().st_mtime
+    os.utime(src, (old_mtime + 10, old_mtime + 10))
+    assert _generation_tmp_dir(str(sf_a), "pipeline_token_shards") != d_a

@@ -5483,3 +5483,33 @@ def test_pack_token_payloads_empty_corpus(spark):
     assert sequences.count() == 0
     assert spans.count() == 0
     assert unpack_token_payloads(sequences, spans, seq_tokens=8).count() == 0
+
+
+def test_pack_token_payloads_foreign_member_fails_loud(spark):
+    """A member name outside the doc<id>.tokens contract must raise,
+    not flow in as a NULL doc_id (ADVICE r14): mixed-content shards
+    (metadata sidecars, stray files) would otherwise contribute
+    NULL-keyed rows to the spans/window ordering silently —
+    bpe_decode_payloads already fails loud on the same interchange,
+    and pack must match its contract."""
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.packing import pack_token_payloads
+
+    ids = np.arange(5, dtype="<u4").tobytes()
+    rows = [("doc1.tokens", ids), ("meta.json", b"{}")]
+    docs = spark.createDataFrame(rows, "name string, payload binary")
+    sequences, spans = pack_token_payloads(docs, seq_tokens=8, n_shards=2)
+    with pytest.raises(Exception, match="unexpected member name"):
+        spans.collect()
+    with pytest.raises(Exception, match="unexpected member name"):
+        sequences.collect()
+
+    # the guard costs conforming inputs nothing
+    ok = spark.createDataFrame(
+        [("doc1.tokens", ids)], "name string, payload binary"
+    )
+    seqs_ok, spans_ok = pack_token_payloads(ok, seq_tokens=8, n_shards=2)
+    assert spans_ok.collect()[0]["doc_id"] == 1
+    assert seqs_ok.count() == 1

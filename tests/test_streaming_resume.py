@@ -571,3 +571,58 @@ def test_streaming_nb_ingest_equals_batch_train(spark, tmp_path):
         os.listdir(os.path.join(store, "term_counts"))
     ) == batches_before
     assert snap(model_r) == snap(model_t)
+
+
+def test_streaming_nb_ingest_refuses_foreign_checkpoint(spark, tmp_path):
+    """The store is pinned to its checkpoint's identity (ADVICE r14):
+    stream batch ids are positional, so a WIPED checkpoint restarts
+    them at 0 and the batch-keyed overwrite would silently replace a
+    different prior batch's counts while the reset seen-files log
+    re-ingests old drops on top. The pin turns both silent
+    corruptions into one loud refusal; a checkpoint RELOCATED intact
+    (identity file moves with it) keeps working."""
+    import shutil
+
+    import pytest
+
+    from mongo2pq_spark.streaming.nbingest import run_streaming_nb_ingest
+
+    docs = spark.createDataFrame(
+        [(1, "spam buy now", "spam"), (2, "hello dear friend", "ham")],
+        "doc_id long, text string, lang string",
+    )
+    landing = tmp_path / "landing"
+    docs.write.parquet(str(landing / "wave0"))
+    store = str(tmp_path / "nbstore")
+    ckpt = tmp_path / "ckpt"
+    schema = "doc_id bigint, text string, lang string"
+
+    run_streaming_nb_ingest(
+        spark, str(landing), schema, store, str(ckpt), "lang"
+    )
+
+    # relocated-intact checkpoint: identity travels with the dir
+    moved = tmp_path / "ckpt_moved"
+    shutil.move(str(ckpt), str(moved))
+    model_m, _ = run_streaming_nb_ingest(
+        spark, str(landing), schema, store, str(moved), "lang"
+    )
+    assert model_m.count() > 0
+
+    # wiped checkpoint: fresh identity, same store -> loud refusal
+    shutil.rmtree(str(moved))
+    with pytest.raises(ValueError, match="different checkpoint"):
+        run_streaming_nb_ingest(
+            spark, str(landing), schema, store, str(moved), "lang"
+        )
+
+    # a fresh store accepts the new checkpoint
+    model_f, _ = run_streaming_nb_ingest(
+        spark,
+        str(landing),
+        schema,
+        str(tmp_path / "nbstore2"),
+        str(moved),
+        "lang",
+    )
+    assert model_f.count() > 0
