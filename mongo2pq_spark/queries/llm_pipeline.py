@@ -1094,3 +1094,178 @@ def pipeline_packed_sequences(spark, sf_dir):
     return detok.select(
         "doc_id", "n_bytes", "detok_md5", bounds.alias("bounds_ok")
     )
+
+
+#: the routing target of the classify->route->shard composition: keep
+#: documents the trained classifier predicts as this label (the CCNet
+#: keep-the-target-language recipe, Wenzek et al. 2020 §4.2)
+_NB_ROUTE_LABEL = "en"
+
+
+def _nb_route_oracle() -> str:
+    """DuckDB mirror of the routing pipeline: the SAME NB fit as
+    _nb_oracle (bucket < 80 train slice), the WHOLE corpus scored,
+    documents routed by pred_label == the target, and the routed
+    set's bytes/md5 recomputed from the source column — so a value
+    match proves BOTH the routing decision (which doc_ids appear)
+    and byte-losslessness of the tokenize -> shard -> read ->
+    detokenize chain over exactly the routed subset."""
+    split_bucket = sql_token_hash32(
+        f"'{_NB_SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+    WITH split AS (
+        SELECT doc_id, lang, {_NB_TERMS_SQL} AS terms,
+               {split_bucket} % 100 AS bucket
+        FROM documents
+    ),
+    train AS (SELECT * FROM split WHERE bucket < {_NB_TRAIN_PCT}),
+    tt AS (SELECT lang AS label, unnest(terms) AS term FROM train),
+    counts AS (SELECT label, term, count(*) AS c FROM tt GROUP BY 1, 2),
+    ltok AS (SELECT label, sum(c) AS n_label FROM counts GROUP BY 1),
+    ldoc AS (SELECT lang AS label, count(*) AS n_docs FROM train GROUP BY 1),
+    tot AS (SELECT count(*) AS n_total FROM train),
+    vocab AS (SELECT DISTINCT term FROM counts),
+    vsz AS (SELECT count(*) AS v FROM vocab),
+    labels AS (
+        SELECT d.label, coalesce(k.n_label, 0) AS n_label, d.n_docs,
+               n_total, v
+        FROM ldoc d LEFT JOIN ltok k USING (label)
+        CROSS JOIN tot CROSS JOIN vsz
+    ),
+    model AS (
+        SELECT l.label, w.term,
+               ln((coalesce(c.c, 0) + 1.0) / (l.n_label + 1.0 * l.v)) AS logp
+        FROM vocab w CROSS JOIN labels l
+        LEFT JOIN counts c ON c.label = l.label AND c.term = w.term
+    ),
+    priors AS (
+        SELECT label, ln(CAST(n_docs AS DOUBLE) / n_total) AS log_prior,
+               ln(1.0 / (n_label + 1.0 * v)) AS logp_unseen
+        FROM labels
+    ),
+    dt AS (SELECT doc_id, len(terms) AS n_terms FROM split),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(terms) AS term FROM split)
+        GROUP BY 1, 2
+    ),
+    inv AS (
+        SELECT t.doc_id, m.label, sum(t.tf * m.logp) AS s_in,
+               sum(t.tf) AS tf_in
+        FROM tf t JOIN model m USING (term) GROUP BY 1, 2
+    ),
+    scores AS (
+        SELECT d.doc_id, p.label,
+               round(p.log_prior + coalesce(i.s_in, 0)
+                     + (d.n_terms - coalesce(i.tf_in, 0)) * p.logp_unseen,
+                     6) AS score
+        FROM dt d CROSS JOIN priors p
+        LEFT JOIN inv i ON i.doc_id = d.doc_id AND i.label = p.label
+    ),
+    ranked AS (
+        SELECT doc_id, label, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, label ASC) AS rk
+        FROM scores
+    ),
+    routed AS (
+        SELECT doc_id, label AS pred_label
+        FROM ranked WHERE rk = 1 AND label = '{_NB_ROUTE_LABEL}'
+    )
+    SELECT r.doc_id, r.pred_label,
+           CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+           md5(d.text) AS detok_md5,
+           true AS bounds_ok
+    FROM routed r JOIN documents d USING (doc_id)
+    """
+
+
+@register(
+    "pipeline_classify_route_shards",
+    _nb_route_oracle(),
+    doc="the CCNet recipe end to end (Wenzek et al. 2020 §4; VERDICT "
+        "r14 #4 — the classifier finally ROUTES instead of just "
+        "predicting): the 80% labeled slice teaches the PERSISTED "
+        "count store, the model is rebuilt from the store (never from "
+        "corpus text — the O(increment) refresh path a production "
+        "funnel runs), the WHOLE corpus is scored with the broadcast "
+        "model, documents predicted '" + _NB_ROUTE_LABEL + "' are "
+        "kept, and ONLY the kept subset flows into the trainer "
+        "handoff: BPE learned on the routed corpus, uint32 payloads, "
+        "rebalanced immutable tar shards, native read-back, "
+        "detokenize. The oracle recomputes the routing decision AND "
+        "md5/strlen from the source column, so a value match proves "
+        "the route set is exactly the classifier's keep set and the "
+        "token chain is byte-lossless over it. Store + generation "
+        "dirs are (sf_dir, mtime)-keyed",
+)
+def pipeline_classify_route_shards(spark, sf_dir):
+    import shutil
+
+    from mongo2pq_spark.functions.hashing import token_hash32
+    from mongo2pq_spark.operators.bpe import (
+        bpe_decode_payloads,
+        bpe_encode_payloads,
+        learn_bpe,
+    )
+    from mongo2pq_spark.operators.classifier import (
+        ingest_nb_counts,
+        load_nb_model,
+        nb_score,
+    )
+    from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.tarshards import (
+        register_tarshards,
+        shard_members,
+    )
+
+    register_tarshards(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    bucket = (
+        token_hash32(
+            F.concat(
+                F.lit(_NB_SPLIT_SALT + ":"), F.col("doc_id").cast("string")
+            )
+        )
+        % 100
+    )
+    train = docs.filter(bucket < _NB_TRAIN_PCT)
+
+    # teach the persisted store, rebuild the model FROM the store —
+    # the composition a production funnel runs per arrival wave
+    store = _generation_tmp_dir(sf_dir, "nb_route_store")
+    shutil.rmtree(store, ignore_errors=True)
+    ingest_nb_counts(train, store, "route-train", "lang")
+    model, priors = load_nb_model(spark, store, "lang")
+
+    scored = nb_score(docs, model, priors)
+    routed_ids = scored.filter(
+        F.col("pred_label") == _NB_ROUTE_LABEL
+    ).select("doc_id", "pred_label")
+    routed = docs.join(routed_ids, "doc_id").select("doc_id", "text")
+
+    merges = learn_bpe(routed, n_merges=200)  # tokenizer fits the KEPT corpus
+    payloads = bpe_encode_payloads(routed, merges)
+    gen = _generation_tmp_dir(sf_dir, "pipeline_routed_shards")
+    (
+        shard_members(payloads, target_shard_bytes=64 << 10)
+        .sortWithinPartitions("name")
+        .write.format("tarshards")
+        .mode("overwrite")
+        .save(gen)
+    )
+    back = spark.read.format("tarshards").load(gen)
+    detok = bpe_decode_payloads(back, merges)
+    bounds = (F.col("n_tokens") <= F.col("n_bytes")) | (
+        F.col("n_bytes") == 0
+    )
+    return detok.join(routed_ids, "doc_id").select(
+        "doc_id",
+        "pred_label",
+        "n_bytes",
+        "detok_md5",
+        bounds.alias("bounds_ok"),
+    )

@@ -5513,3 +5513,50 @@ def test_pack_token_payloads_foreign_member_fails_loud(spark):
     seqs_ok, spans_ok = pack_token_payloads(ok, seq_tokens=8, n_shards=2)
     assert spans_ok.collect()[0]["doc_id"] == 1
     assert seqs_ok.count() == 1
+
+
+def test_classify_route_counts_match_score_histogram(spark, sf_dir):
+    """The funnel invariant (VERDICT r14 #4): the routing pipeline's
+    output rows are EXACTLY the docs the score table predicts as the
+    route label — routed count == the label's score-table histogram
+    bucket, and the routed id set is the score table's keep set (no
+    doc lost or invented by the tokenize->shard->read chain)."""
+    from mongo2pq_spark.functions.hashing import token_hash32
+    from mongo2pq_spark.operators.classifier import (
+        load_nb_model,
+        nb_score,
+    )
+    from mongo2pq_spark.queries.llm_pipeline import (
+        _NB_ROUTE_LABEL,
+        _NB_SPLIT_SALT,
+        _NB_TRAIN_PCT,
+        _generation_tmp_dir,
+        pipeline_classify_route_shards,
+    )
+    from mongo2pq_spark.sources.registry import read_sf_table
+    from pyspark.sql import functions as F
+
+    routed = pipeline_classify_route_shards(spark, sf_dir)
+    routed_ids = sorted(r["doc_id"] for r in routed.collect())
+
+    # rebuild the score table from the store the query taught
+    docs = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    store = _generation_tmp_dir(sf_dir, "nb_route_store")
+    model, priors = load_nb_model(spark, store, "lang")
+    scored = nb_score(docs, model, priors)
+    hist = {
+        r["pred_label"]: r["n"]
+        for r in scored.groupBy("pred_label").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    keep_ids = sorted(
+        r["doc_id"]
+        for r in scored.filter(
+            F.col("pred_label") == _NB_ROUTE_LABEL
+        ).collect()
+    )
+    assert len(routed_ids) == hist[_NB_ROUTE_LABEL]
+    assert routed_ids == keep_ids
