@@ -37,28 +37,11 @@ def _docs(spark, sf_dir):
 
 
 def _generation_tmp_dir(sf_dir: str, tag: str) -> str:
-    """Staging dir for a query-local data generation, keyed by the
-    source table's absolute path + mtime.
+    """(source path, mtime)-keyed staging dir — see
+    sources/staging.py for the hazard-class rationale."""
+    from mongo2pq_spark.sources.staging import generation_tmp_dir
 
-    A FIXED path shared across scale factors / concurrent sessions is
-    the hazard class behind the r14 cache-registry bug (a plan-keyed
-    cache served a stale generation) and the r14-verdict's concurrent
-    bench-vs-oracle collision note: two sessions interleaving
-    write/read on one dir can read a mixed generation (the tarshards
-    committer even deletes shards absent from its own manifest).
-    Keying by (path, mtime) makes each (scale factor, data
-    generation) pair a distinct directory, so plans and readers can
-    never cross generations; reruns over the SAME unchanged source
-    reuse the dir instead of accreting /tmp entries per call."""
-    import hashlib
-    import os
-    import tempfile
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
-    ).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"m2pq_{tag}_{key}")
+    return generation_tmp_dir(sf_dir, tag)
 
 
 @register(

@@ -2210,12 +2210,10 @@ def multimodal_jpeg_exif(spark, sf_dir):
         "sample key (parts-per-sample bounded by modality count)",
 )
 def multimodal_wds_samples(spark, sf_dir):
-    import os
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.staging import generation_tmp_dir
     from mongo2pq_spark.sources.tarshards import register_tarshards
 
     register_tarshards(spark)
@@ -2238,7 +2236,7 @@ def multimodal_wds_samples(spark, sf_dir):
             ).alias("payload"),
         )
     )
-    outdir = os.path.join(tempfile.gettempdir(), "el_wds_samples_out")
+    outdir = generation_tmp_dir(sf_dir, "el_wds_samples_out")
     # wds contract: a sample's parts sit ADJACENT in ONE shard —
     # partition by the sample key and sort members within the shard
     # (this is how a real wds writer shards; loaders regroup
@@ -2300,12 +2298,10 @@ _WDS_SAMPLE_MD5 = (
         "drives retention deletes",
 )
 def multimodal_wds_snapshot_diff(spark, sf_dir):
-    import os
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.staging import generation_tmp_dir
     from mongo2pq_spark.sources.tarshards import register_tarshards
 
     register_tarshards(spark)
@@ -2343,9 +2339,7 @@ def multimodal_wds_snapshot_diff(spark, sf_dir):
     key_of = F.regexp_extract("name", r"^([^.]*)", 1)
     roots = {}
     for gen, m in (("a", gen_a), ("b", gen_b)):
-        out = os.path.join(
-            tempfile.gettempdir(), f"el_wds_diff_{gen}_out"
-        )
+        out = generation_tmp_dir(sf_dir, f"el_wds_diff_{gen}_out")
         (
             m.repartition(4, key_of)
             .sortWithinPartitions("name")

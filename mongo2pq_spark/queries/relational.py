@@ -1211,17 +1211,15 @@ def el_footer_manifest(spark, sf_dir):
         "parse must all be value-lossless",
 )
 def el_tar_shards_roundtrip(spark, sf_dir):
-    import os
-    import tempfile
-
     from mongo2pq_spark.operators.archives import archive_manifest
     from mongo2pq_spark.operators.multimodal import ingest_binary_dir
     from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.staging import generation_tmp_dir
     from mongo2pq_spark.sources.tarshards import register_tarshards_sink
 
     register_tarshards_sink(spark)
     docs = read_sf_table(spark, sf_dir, "documents")
-    outdir = os.path.join(tempfile.gettempdir(), "el_tar_shards_out")
+    outdir = generation_tmp_dir(sf_dir, "el_tar_shards_out")
     (
         docs.select(
             F.concat(
@@ -1268,15 +1266,13 @@ def el_tar_shards_roundtrip(spark, sf_dir):
         "tests/test_el_fixture.py",
 )
 def el_tar_shards_native_read(spark, sf_dir):
-    import os
-    import tempfile
-
     from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.staging import generation_tmp_dir
     from mongo2pq_spark.sources.tarshards import register_tarshards
 
     register_tarshards(spark)
     docs = read_sf_table(spark, sf_dir, "documents")
-    outdir = os.path.join(tempfile.gettempdir(), "el_tar_native_out")
+    outdir = generation_tmp_dir(sf_dir, "el_tar_native_out")
     (
         docs.select(
             F.concat(
@@ -1330,10 +1326,8 @@ def el_tar_shards_native_read(spark, sf_dir):
         "proof that the scan really ran payload-free",
 )
 def el_tar_manifest_scan(spark, sf_dir):
-    import os
-    import tempfile
-
     from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.staging import generation_tmp_dir
     from mongo2pq_spark.sources.tarshards import register_tarshards
 
     register_tarshards(spark)
@@ -1354,7 +1348,7 @@ def el_tar_manifest_scan(spark, sf_dir):
             ).alias("payload"),
         )
     )
-    outdir = os.path.join(tempfile.gettempdir(), "el_tar_mscan_out")
+    outdir = generation_tmp_dir(sf_dir, "el_tar_mscan_out")
     (
         members.repartition(4)
         .write.format("tarshards")
@@ -1384,6 +1378,73 @@ def el_tar_manifest_scan(spark, sf_dir):
 
 
 @register(
+    "el_tar_member_glob_scan",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    doc="name-predicate tar-shard read (r15): mixed-content shards "
+        "(every doc ships a .txt payload AND a .meta sidecar, the "
+        "WebDataset norm) are scanned with "
+        "option('member_glob','*.txt') — the native reader's manual "
+        "stand-in for predicate pushdown on the member name (Python "
+        "DataSources get neither pruning nor pushdown): non-matching "
+        "members are skipped BEFORE extraction, so a tokens-only or "
+        "metadata-only pass over a 100 TB mixed corpus never "
+        "materializes the other modality's bytes. The Spark side "
+        "parses doc_id with the STRICT .txt regex and does NOT "
+        "filter: a leaked .meta member would surface as a NULL-id "
+        "row and break the row-count/hash match — the oracle-visible "
+        "proof the glob really filtered; per-doc md5 equality proves "
+        "the matched members came back byte-exact",
+)
+def el_tar_member_glob_scan(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.staging import generation_tmp_dir
+    from mongo2pq_spark.sources.tarshards import register_tarshards
+
+    register_tarshards(spark)
+    docs = read_sf_table(spark, sf_dir, "documents")
+    key = F.concat(F.lit("doc"), F.col("doc_id").cast("string"))
+    members = docs.select(
+        F.concat(key, F.lit(".txt")).alias("name"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    ).unionByName(
+        docs.select(
+            F.concat(key, F.lit(".meta")).alias("name"),
+            F.encode(
+                F.concat(
+                    F.lit("lang="), F.col("lang"),
+                    F.lit(";source="), F.col("source"),
+                ),
+                "UTF-8",
+            ).alias("payload"),
+        )
+    )
+    outdir = generation_tmp_dir(sf_dir, "el_tar_glob_out")
+    (
+        members.repartition(4)
+        .write.format("tarshards")
+        .mode("overwrite")
+        .save(outdir)
+    )
+    back = (
+        spark.read.format("tarshards")
+        .option("member_glob", "*.txt")
+        .load(outdir)
+    )
+    return back.select(
+        F.regexp_extract(F.col("name"), r"^doc(\d+)\.txt$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.octet_length(F.col("payload")).cast("bigint").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("content_md5"),
+    )
+
+
+@register(
     "el_tar_reshard_roundtrip",
     """
     SELECT doc_id,
@@ -1406,10 +1467,8 @@ def el_tar_manifest_scan(spark, sf_dir):
         "sequential-throughput-sized shards)",
 )
 def el_tar_reshard_roundtrip(spark, sf_dir):
-    import os
-    import tempfile
-
     from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.staging import generation_tmp_dir
     from mongo2pq_spark.sources.tarshards import (
         register_tarshards,
         shard_members,
@@ -1417,8 +1476,8 @@ def el_tar_reshard_roundtrip(spark, sf_dir):
 
     register_tarshards(spark)
     docs = read_sf_table(spark, sf_dir, "documents")
-    gen1 = os.path.join(tempfile.gettempdir(), "el_tar_reshard_gen1")
-    gen2 = os.path.join(tempfile.gettempdir(), "el_tar_reshard_gen2")
+    gen1 = generation_tmp_dir(sf_dir, "el_tar_reshard_gen1")
+    gen2 = generation_tmp_dir(sf_dir, "el_tar_reshard_gen2")
     (
         docs.select(
             F.concat(

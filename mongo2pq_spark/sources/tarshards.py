@@ -202,6 +202,15 @@ class TarShardsReader(DataSourceReader):
     payload materialization. The option is the manual stand-in for
     the column pruning Python DataSources don't get.
 
+    ``.option("member_glob", "*.tokens")`` is the row-filter analogue
+    (the manual stand-in for predicate pushdown on ``name``):
+    non-matching members are skipped BEFORE extraction, so a
+    mixed-content corpus (tokens + metadata sidecars in one shard,
+    the WebDataset norm) serves a tokens-only or metadata-only scan
+    without materializing — or emitting — the other members'
+    payloads. Composes with ``payloads=false`` (filtered names-only
+    sweep). fnmatch case-sensitive syntax (``*``, ``?``, ``[...]``).
+
     ``_SUCCESS`` is required: it is the sink's completeness signal,
     and reading a half-committed snapshot would silently train on a
     partial corpus. Shard-number gaps are fine (empty partitions
@@ -219,6 +228,13 @@ class TarShardsReader(DataSourceReader):
                 "payload column NULL)"
             )
         self.payloads = raw == "true"
+        glob_opt = options.get("member_glob")
+        if glob_opt is not None and not str(glob_opt):
+            raise ValueError(
+                "tarshards option member_glob must be a non-empty "
+                "fnmatch pattern (omit the option to read every member)"
+            )
+        self.member_glob = str(glob_opt) if glob_opt is not None else None
 
     def partitions(self):
         import glob as globlib
@@ -258,10 +274,16 @@ class TarShardsReader(DataSourceReader):
         path = partition.value
         if path is None:
             return
+        import fnmatch
+
         shard = os.path.basename(path)
         with tarfile.open(path, mode="r|") as tf:
             for member in tf:
                 if not member.isfile():
+                    continue
+                if self.member_glob is not None and not fnmatch.fnmatchcase(
+                    member.name, self.member_glob
+                ):
                     continue
                 if not self.payloads:
                     yield (member.name, None, shard)
