@@ -462,6 +462,10 @@ NB_STORE_LAYOUT = 1
 
 _NB_META_NAME = "_NB_STORE_META.json"
 
+#: the consolidated partition compact_nb_store folds history into —
+#: reserved (ingest refuses it as a producer batch id)
+_NB_COMPACT_BATCH = "c0"
+
 
 def _nb_batch_id_ok(batch_id: str) -> bool:
     import re
@@ -547,10 +551,43 @@ def ingest_nb_counts(
     ``batch=<id>`` directory with mode=overwrite, so a retried or
     re-run ingest of the same batch REPLACES itself instead of
     double-counting — idempotence by directory key, the same
-    contract as the streaming tar ingest's batch-keyed overwrite."""
+    contract as the streaming tar ingest's batch-keyed overwrite.
+
+    After a ``compact_nb_store`` pass, a RETRIED producer run whose
+    batch was already folded into ``batch=c0`` must NOT re-append it
+    next to the consolidated partition (compaction is a pure regroup,
+    so the duplicate counts would be baked in permanently) — absorbed
+    batch ids are recorded in the swap-atomic ``_absorbed.json``
+    sidecar and re-ingesting one is a no-op, the post-absorption
+    equivalent of the overwrite's replace-yourself idempotence."""
+    from pathlib import Path
+
+    from mongo2pq_spark.plans.bandstore_core import (
+        absorbed_tokens,
+        recover_replace,
+    )
+
     if not _nb_batch_id_ok(batch_id):
         raise ValueError(f"bad nb store batch id: {batch_id!r}")
+    if batch_id == _NB_COMPACT_BATCH:
+        raise ValueError(
+            f"nb store batch id {batch_id!r} is reserved for "
+            "compact_nb_store's consolidated partition"
+        )
     _nb_check_meta(store_dir, label_col, hash_buckets)
+    trees = [
+        Path(store_dir) / "term_counts",
+        Path(store_dir) / "doc_counts",
+    ]
+    for tree in trees:
+        # roll forward/back any interrupted compaction BEFORE writing
+        # next to it (the inverted-index store's rule)
+        recover_replace(tree)
+    if any(batch_id in absorbed_tokens(t) for t in trees):
+        # the union guards the crash window between the two tree
+        # swaps: if EITHER tree absorbed this batch, re-writing it
+        # into either would double-count after the next compaction
+        return
     counts, doc_counts = nb_count_tables(
         docs, label_col, text_col=text_col, hash_buckets=hash_buckets
     )
@@ -575,7 +612,15 @@ def load_nb_model(
     ingested batches BY CONSTRUCTION (NB statistics are additive; the
     oracle-backed classifier_nb_incremental query proves it
     value-exact). Config is validated against the store's meta pin."""
+    from pathlib import Path
+
+    from mongo2pq_spark.plans.bandstore_core import recover_replace
+
     _nb_check_meta(store_dir, label_col, hash_buckets)
+    # an interrupted compaction may have the tree renamed aside —
+    # roll it forward/back so the read never sees a missing root
+    recover_replace(Path(store_dir) / "term_counts")
+    recover_replace(Path(store_dir) / "doc_counts")
     # deliberately NOT routed through cache_stream: store directories
     # MUTATE between loads (a re-taught batch overwrites its own part
     # files), and the plan-keyed cache would serve the previous
@@ -594,6 +639,58 @@ def load_nb_model(
         .agg(F.sum("n_docs").alias("n_docs"))
     )
     return _model_from_counts(counts, doc_counts, alpha)
+
+
+def compact_nb_store(spark, store_dir: str) -> None:
+    """Fold every ``batch=`` partition of the count store into a
+    single ``batch=c0`` — bounding years of arrival waves back to one
+    count row per (label, term) / per label (VERDICT r14 stretch #9:
+    the store otherwise accretes one directory per wave forever).
+
+    NB sufficient statistics are ADDITIVE integers, so compaction is
+    an exact sum-regroup: the rebuilt model is value-identical to the
+    uncompacted store's by construction (pinned by the equality test
+    in tests/test_operators.py). Each tree swaps through the audited
+    crash-safe ``replace_dir`` protocol shared with the dedup/index
+    stores — at every crash point a load sees either the complete old
+    or the complete new layout, and a crash BETWEEN the two tree swaps
+    is harmless because each tree's sums are independently preserved.
+    Folded batch ids are recorded in the swap-atomic ``_absorbed.json``
+    so a retried producer cannot re-append an absorbed wave (see
+    ``ingest_nb_counts``). Ingest after compaction keeps its
+    O(increment) shape: new batches land NEXT to ``c0``."""
+    import os
+    from pathlib import Path
+
+    from mongo2pq_spark.plans.bandstore_core import (
+        absorbed_tokens,
+        record_absorbed,
+        recover_replace,
+        replace_dir,
+    )
+
+    for tree, keys, agg in (
+        ("term_counts", ["label", "term"], F.sum("c").alias("c")),
+        ("doc_counts", ["label"], F.sum("n_docs").alias("n_docs")),
+    ):
+        root = Path(store_dir) / tree
+        recover_replace(root)
+        if not root.is_dir():
+            continue
+        folded = spark.read.parquet(str(root)).groupBy(*keys).agg(agg)
+        absorbed = absorbed_tokens(root) | {
+            p.name.split("=", 1)[1]
+            for p in root.glob("batch=*")
+            if p.is_dir() and p.name != f"batch={_NB_COMPACT_BATCH}"
+        }
+
+        def writer(build_path: str) -> None:
+            folded.write.mode("overwrite").parquet(
+                os.path.join(build_path, f"batch={_NB_COMPACT_BATCH}")
+            )
+            record_absorbed(build_path, absorbed)
+
+        replace_dir(root, writer)
 
 
 def nb_store_meta(store_dir: str) -> dict | None:

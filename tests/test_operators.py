@@ -5560,3 +5560,86 @@ def test_classify_route_counts_match_score_histogram(spark, sf_dir):
     )
     assert len(routed_ids) == hist[_NB_ROUTE_LABEL]
     assert routed_ids == keep_ids
+
+
+def test_compact_nb_store_equality_and_retry_exclusion(spark, tmp_path):
+    """NB store compaction (VERDICT r14 stretch #9): folding N wave
+    partitions into batch=c0 is an exact sum-regroup — the rebuilt
+    model is value-identical before and after; ingest keeps working
+    after compaction (new waves land next to c0 and the combined
+    model equals from-scratch training on everything); a RETRIED
+    producer whose batch was absorbed is a no-op instead of a
+    permanent double-count; the c0 batch id is refused to producers;
+    an interrupted swap recovers at load."""
+    import os
+
+    import pytest
+
+    from mongo2pq_spark.operators.classifier import (
+        compact_nb_store,
+        ingest_nb_counts,
+        load_nb_model,
+        nb_train,
+    )
+
+    waves = [
+        [(1, "spam buy now buy", "spam"), (2, "hello dear friend", "ham")],
+        [(3, "buy cheap spam offer", "spam"), (4, "dear agenda", "ham")],
+        [(5, "newsletter agenda agenda", "promo")],
+    ]
+    schema = "doc_id long, text string, lang string"
+    store = str(tmp_path / "nbstore")
+    for i, rows in enumerate(waves):
+        ingest_nb_counts(
+            spark.createDataFrame(rows, schema), store, f"w{i}", "lang"
+        )
+
+    def snap(pair):
+        model, priors = pair
+        return (
+            sorted(tuple(r) for r in model.collect()),
+            sorted(tuple(r) for r in priors.collect()),
+        )
+
+    before = snap(load_nb_model(spark, store, "lang"))
+    compact_nb_store(spark, store)
+    assert snap(load_nb_model(spark, store, "lang")) == before
+    # history bounded: exactly one batch dir per tree
+    for tree in ("term_counts", "doc_counts"):
+        dirs = [
+            d
+            for d in os.listdir(os.path.join(store, tree))
+            if d.startswith("batch=")
+        ]
+        assert dirs == ["batch=c0"], dirs
+
+    # retried absorbed wave: a no-op, not a double count
+    ingest_nb_counts(
+        spark.createDataFrame(waves[1], schema), store, "w1", "lang"
+    )
+    assert snap(load_nb_model(spark, store, "lang")) == before
+
+    # ingest keeps its O(increment) shape after compaction
+    wave4 = [(6, "totally new spam spam", "spam")]
+    ingest_nb_counts(
+        spark.createDataFrame(wave4, schema), store, "w3", "lang"
+    )
+    all_rows = [r for w in waves for r in w] + wave4
+    expect = snap(nb_train(spark.createDataFrame(all_rows, schema), "lang"))
+    assert snap(load_nb_model(spark, store, "lang")) == expect
+
+    # double compaction folds c0 + the new wave back to one partition
+    compact_nb_store(spark, store)
+    assert snap(load_nb_model(spark, store, "lang")) == expect
+
+    # producers cannot claim the consolidated partition's id
+    with pytest.raises(ValueError, match="reserved"):
+        ingest_nb_counts(
+            spark.createDataFrame(wave4, schema), store, "c0", "lang"
+        )
+
+    # interrupted-swap recovery: rename a tree aside as .old (the
+    # crash window after target moved aside, swap-in complete)
+    tc = os.path.join(store, "term_counts")
+    os.rename(tc, os.path.join(store, "_term_counts.swapin"))
+    assert snap(load_nb_model(spark, store, "lang")) == expect
