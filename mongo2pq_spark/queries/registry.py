@@ -46,82 +46,72 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # r14 window (VERDICT r13 #1: pure-freshness rotation from the
-    # corrected starting point — registry 251+3 new, r8-latest front
-    # is 8 entries). Order:
-    # (a) queries changed or new in r14: the generation-management
-    # composition pipeline (VERDICT r13 #4), the manifest-only scan
-    # (payloads=false driver proof) and the reshard roundtrip (both
-    # new), plus the five queries whose underlying machinery changed
-    # this round — streaming tar ingest (O(member) sequential parse
-    # replaces the whole-shard binaryFile row; doc/hash moved) and
-    # the four tarshards-source consumers (reader gained the
-    # payloads=false option; fsck feeding the roundtrip's
-    # verification chain went chunked) — their next driver row must
-    # reflect r14 code — plus the trained-NB-classifier third wave
-    # (new registrations);
+    # r15 window (VERDICT r14 #1: pure-freshness rotation from the
+    # verified 21-entry r9-latest front). Order:
+    # (a) queries new or changed in r15 — the classify->route->shard
+    # composition (VERDICT r14 #4) and the member_glob scan (stretch
+    # #8) are NEW; classifier_nb_lang (doc note), the two pipeline
+    # queries + classifier_nb_incremental (staging dirs keyed by
+    # sf_dir+mtime, VERDICT #2), and the six tar/wds EL queries
+    # (same keying; reader gained member_glob) moved their hashes;
+    # streaming_nb_ingest re-enters for machinery (checkpoint-
+    # identity pin in streaming/nbingest.py + store compaction
+    # plumbing in operators/classifier.py);
+    "pipeline_classify_route_shards",
+    "el_tar_member_glob_scan",
     "classifier_nb_lang",
-    "classifier_nb_hashed",
-    "classifier_nb_crossval",
     "classifier_nb_incremental",
     "streaming_nb_ingest",
     "pipeline_tokens_to_shards",
     "pipeline_packed_sequences",
-    "pipeline_generation_resplit",
+    "el_tar_shards_roundtrip",
+    "el_tar_shards_native_read",
     "el_tar_manifest_scan",
     "el_tar_reshard_roundtrip",
-    "streaming_tar_ingest",
-    "el_tar_shards_native_read",
-    "el_tar_shards_roundtrip",
     "multimodal_wds_samples",
     "multimodal_wds_snapshot_diff",
-    # (b) the 8 r8-latest freshness leftovers (oldest rows in the
-    # registry; set recomputed from CORRECTNESS_r01..r13 — includes
-    # grouping_sets_revenue, which the r13 note omitted);
-    "grouping_sets_revenue",
-    "q13_customer_order_distribution",
-    "q4_late_shipment_priority",
-    "scd2_user_state_history",
-    "sessions_overlap_join",
-    "orders_retention_cohorts",
-    "udaf_user_value_gini",
-    "value_quartile_buckets",
-    # (c) 27 of the 48 r9-latest rows, in their r9 window order; the
-    # final 21 (q7_nation_volume, q8_market_share, rollup_customer_counts,
-    # session_window_native, sketch_rollup_distinct_users,
-    # sql_api_revenue_by_day, streaming_dedup_events — displaced by
-    # the r14 classifier/tokenizer waves — plus
-    # streaming_enrich_static, streaming_parquet_sink,
-    # streaming_session_windows .. window_top_orders_per_customer)
-    # roll to r15's freshness front — all hold green r9 rows, so
-    # coverage stays total.
-    "embedding_drift",
-    "dedup_levenshtein_blocked",
-    "embedding_near_dup",
-    "ann_lsh_topk",
-    "ann_lsh_buckets",
-    "ann_topk_bruteforce",
-    "approx_topk_event_types",
-    "cogroup_asof_enrich",
-    "customers_without_orders",
-    "dedup_incremental_new_docs",
-    "dedup_minhash_candidates",
-    "dedup_minhash_jaccard_est",
-    "dedup_near_cleaned_corpus",
-    "dedup_near_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_fingerprints",
-    "dq_audit_lineitem",
-    "el_partitioned_roundtrip",
-    "event_type_matrix",
-    "events_except",
-    "events_time_slice",
-    "multimodal_image_dims",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q3_top_unshipped",
-    "q5_local_supplier_volume",
+    # (b) the 21-entry r9-latest freshness front (verified name-for-
+    # name against CORRECTNESS_r01..r14 by the r14 judge AND
+    # recomputed this session);
+    "q7_nation_volume",
+    "q8_market_share",
+    "rollup_customer_counts",
+    "session_window_native",
+    "sketch_rollup_distinct_users",
+    "sql_api_revenue_by_day",
+    "streaming_dedup_events",
+    "streaming_enrich_static",
+    "streaming_parquet_sink",
+    "streaming_session_windows",
+    "streaming_sliding_window_counts",
+    "streaming_stateful_sessions",
+    "streaming_stream_join",
+    "streaming_window_counts",
+    "suppliers_with_shipments",
+    "udtf_token_runs",
+    "unpivot_event_counts",
+    "user_session_stats",
+    "users_click_and_purchase",
+    "variant_props_extract",
+    "window_top_orders_per_customer",
+    # (c) the 16 oldest r10-latest rows in their r10 window order
+    # (the remaining 32 r10-latest entries roll to r16's front).
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "multimodal_png_pixel_roundtrip",
+    "date_functions",
+    "string_functions",
+    "lag_lead_values",
+    "dedup_incremental_near_dups",
+    "dedup_simhash_pairs",
 ]
 
 
