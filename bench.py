@@ -211,6 +211,20 @@ HEADLINE = [
     # spans sidecar and byte-lossless per-doc reassembly. Pin after
     # its first two idle sessions.
     "pipeline_packed_sequences",
+    # r15 additions: the classify->route->shard composition (store
+    # teach + model rebuild + whole-corpus scoring + routed-subset
+    # trainer handoff — the CCNet recipe, classifier + BPE + tar I/O
+    # in one chain) and the member_glob mixed-content scan (el I/O
+    # class, the manifest-scan policy). Pin after their first two
+    # idle sessions.
+    "pipeline_classify_route_shards",
+    "el_tar_member_glob_scan",
+    # r15 third registration: the count-store compaction path (two
+    # wave ingests + crash-safe c0 fold + absorbed-retry no-op +
+    # model rebuild + scoring — the classifier_nb_incremental class
+    # with the maintenance pass inserted). Pin after its first two
+    # idle sessions.
+    "classifier_nb_compacted",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -942,6 +942,67 @@ def classifier_nb_incremental(spark, sf_dir):
 
 
 @register(
+    "classifier_nb_compacted",
+    _nb_oracle(_NB_TERMS_SQL),
+    doc="the count store's COMPACTION path (r15, VERDICT r14 stretch "
+        "#9), proven by the same from-scratch oracle as "
+        "classifier_nb_lang: the two train generations are ingested "
+        "as separate waves, compact_nb_store folds them into one "
+        "batch=c0 through the audited crash-safe swap, a RETRIED "
+        "post-compaction re-ingest of the second wave must be a "
+        "no-op (the absorbed-batch exclusion — re-appending it next "
+        "to c0 would double-count permanently), and the model "
+        "rebuilt from the compacted store scores the held-out slice. "
+        "Value-exact equality with the uncompacted from-scratch SQL "
+        "IS the proof that compaction is a lossless sum-regroup AND "
+        "that the retry exclusion holds — the maintenance pass that "
+        "keeps a years-of-waves store at one directory per tree",
+)
+def classifier_nb_compacted(spark, sf_dir):
+    import shutil
+
+    from mongo2pq_spark.functions.hashing import token_hash32
+    from mongo2pq_spark.operators.classifier import (
+        compact_nb_store,
+        ingest_nb_counts,
+        load_nb_model,
+        nb_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        token_hash32(
+            F.concat(
+                F.lit(_NB_SPLIT_SALT + ":"), F.col("doc_id").cast("string")
+            )
+        )
+        % 100
+    )
+    split = docs.select("doc_id", "text", "lang", bucket.alias("bucket"))
+    gen_a = split.filter(F.col("bucket") < 40)
+    gen_b = split.filter(
+        (F.col("bucket") >= 40) & (F.col("bucket") < _NB_TRAIN_PCT)
+    )
+    test = split.filter(F.col("bucket") >= _NB_TRAIN_PCT)
+
+    store = _generation_tmp_dir(sf_dir, "nb_store_compact")
+    shutil.rmtree(store, ignore_errors=True)
+    ingest_nb_counts(gen_a, store, "gen_a", "lang")
+    ingest_nb_counts(gen_b, store, "gen_b", "lang")
+    compact_nb_store(spark, store)
+    # post-compaction producer retry: gen_b was absorbed into c0, so
+    # this MUST be a no-op — a re-append would double its counts and
+    # the oracle equality would break
+    ingest_nb_counts(gen_b, store, "gen_b", "lang")
+
+    model, priors = load_nb_model(spark, store, "lang")
+    pred = nb_score(test, model, priors)
+    return pred.join(
+        test.select("doc_id", F.col("lang").alias("true_label")), "doc_id"
+    ).select("doc_id", "true_label", "pred_label", "score", "margin")
+
+
+@register(
     "pipeline_tokens_to_shards",
     """
     SELECT doc_id,

@@ -59,6 +59,7 @@ _DRIVER_WINDOW_FIRST = [
     # plumbing in operators/classifier.py);
     "pipeline_classify_route_shards",
     "el_tar_member_glob_scan",
+    "classifier_nb_compacted",
     "classifier_nb_lang",
     "classifier_nb_incremental",
     "streaming_nb_ingest",
@@ -94,8 +95,9 @@ _DRIVER_WINDOW_FIRST = [
     "users_click_and_purchase",
     "variant_props_extract",
     "window_top_orders_per_customer",
-    # (c) the 16 oldest r10-latest rows in their r10 window order
-    # (the remaining 32 r10-latest entries roll to r16's front).
+    # (c) the 15 oldest r10-latest rows in their r10 window order
+    # (the remaining 33 r10-latest entries roll to r16's front;
+    # dedup_simhash_pairs rotated out for classifier_nb_compacted).
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_parts",
@@ -111,7 +113,6 @@ _DRIVER_WINDOW_FIRST = [
     "string_functions",
     "lag_lead_values",
     "dedup_incremental_near_dups",
-    "dedup_simhash_pairs",
 ]
 
 

@@ -1036,3 +1036,16 @@ def test_packed_sequences_plan_shape(spark, sf_dir):
     # the detok tail is Arrow-batched (the plan a trainer-scale chain
     # needs: payload bytes cross the Python boundary ONCE each way)
     assert "MapInPandas" in plan
+
+
+def test_classify_route_plan_shape(spark, sf_dir):
+    """The routing pipeline's 100 TB contract: scoring reaches the
+    corpus through BROADCAST model joins (never a CartesianProduct),
+    and the only Python stages in the whole classify -> route ->
+    tokenize -> shard -> detokenize plan are the Arrow-batched BPE
+    encode/decode mapInPandas stages plus the Python DataSource scan
+    — no row-at-a-time BatchEvalPython anywhere."""
+    plan = _formatted(spark, sf_dir, "pipeline_classify_route_shards")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
