@@ -114,6 +114,7 @@ def main(
     nb_text_col: str = "text",
     nb_id_col: str = "doc_id",
     nb_hash_buckets: int | None = None,
+    nb_compact: bool = False,
     dq_rules: Path | None = None,
     dq_fail_on_violation: bool = False,
     compact_partitions: int | None = None,
@@ -305,6 +306,20 @@ def main(
                         f"{nb_text_col!r}; nothing folded",
                         file=sys.stderr,
                     )
+            if nb_compact:
+                # fold this store's whole wave history into one
+                # batch=c0 per tree (crash-safe swap; absorbed waves
+                # recorded so producer retries stay no-ops) — the
+                # --index-consolidate of the classifier store
+                from mongo2pq_spark.operators.classifier import (
+                    compact_nb_store,
+                )
+
+                compact_nb_store(spark, nb_store_dir)
+                print(
+                    "NB store: compacted history into batch=c0",
+                    file=sys.stderr,
+                )
             nb_meta = nb_store_meta(nb_store_dir)
             if nb_meta is None:
                 print(
@@ -1234,6 +1249,12 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
                              "over the store's WHOLE history — "
                              "O(increment) teaching, cross-run "
                              "sharpening")
+    parser.add_argument("--nb-compact", action="store_true",
+                        help="after this run's teaching folds commit, "
+                             "compact the NB count store's whole wave "
+                             "history into one batch=c0 per tree via "
+                             "the crash-safe swap (model unchanged; "
+                             "bounded file count)")
     parser.add_argument("--nb-label-col", default=None,
                         help="label column for --nb-store teaching; "
                              "omit for a score-only run against an "
@@ -1371,11 +1392,13 @@ def parse_args(argv: list[str] | None = None) -> Namespace | None:
         )
         return None
     if (
-        parsed.nb_label_col or parsed.nb_hash_buckets is not None
+        parsed.nb_label_col
+        or parsed.nb_hash_buckets is not None
+        or parsed.nb_compact
     ) and not parsed.nb_store:
         print(
-            "ERROR: --nb-label-col / --nb-hash-buckets require "
-            "--nb-store (the count store to teach)",
+            "ERROR: --nb-label-col / --nb-hash-buckets / --nb-compact "
+            "require --nb-store (the count store to teach)",
             file=sys.stderr,
         )
         return None
@@ -1458,6 +1481,7 @@ def run(argv: list[str] | None = None) -> int:
         index_consolidate=args.index_consolidate,
         nb_store=args.nb_store,
         nb_label_col=args.nb_label_col,
+        nb_compact=args.nb_compact,
         nb_text_col=args.nb_text_col,
         nb_id_col=args.nb_id_col,
         nb_hash_buckets=args.nb_hash_buckets,

@@ -2240,6 +2240,51 @@ def test_cli_nb_classifier_at_ingest(spark, tmp_path):
     # argparse dependency: teaching flags without the store
     assert _parse(["-u", "mongodb://x", "--nb-label-col", "label"]) is None
     assert _parse(["-u", "mongodb://x", "--nb-hash-buckets", "8"]) is None
+    assert _parse(["-u", "mongodb://x", "--nb-compact"]) is None
+
+    # --nb-compact: history folds to one batch=c0 per tree, model
+    # (and therefore predictions) unchanged; a retried teach of the
+    # absorbed collection after compaction stays a no-op
+    import os
+
+    out6 = tmp_path / "o6"
+    rc = _main(
+        f"file:{src2}",
+        outdir=out6,
+        nb_store=store,
+        nb_compact=True,
+        use_source_types=True,
+        spark=spark,
+    )
+    assert rc == 0
+    for tree in ("term_counts", "doc_counts"):
+        dirs = [
+            d
+            for d in os.listdir(store / tree)
+            if d.startswith("batch=")
+        ]
+        assert dirs == ["batch=c0"], dirs
+    got6 = {
+        r["doc_id"]: r["nb_pred_label"]
+        for r in spark.read.parquet(str(out6 / "more.parquet")).collect()
+    }
+    assert got6 == {20: "spam", 21: "ham"}
+    out7 = tmp_path / "o7"
+    rc = _main(  # retried teach of the absorbed collection: no-op
+        f"file:{src1}",
+        outdir=out7,
+        nb_store=store,
+        nb_label_col="label",
+        use_source_types=True,
+        spark=spark,
+    )
+    assert rc == 0
+    assert {
+        r["doc_id"]: (r["nb_pred_label"], r["nb_pred_score"])
+        for r in spark.read.parquet(
+            str(out7 / "unlabeled.parquet")
+        ).collect()
+    } == expect
 
 
 def test_nb_cli_batch_id_sanitizes_any_collection_name():
