@@ -225,6 +225,10 @@ HEADLINE = [
     # with the maintenance pass inserted). Pin after its first two
     # idle sessions.
     "classifier_nb_compacted",
+    # r15 fourth registration: quota routing (store teach + whole-
+    # corpus scoring + one per-label selection window — the balanced-
+    # mixture cap). Pin after its first two idle sessions.
+    "pipeline_route_label_quota",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

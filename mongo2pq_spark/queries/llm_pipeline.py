@@ -1313,3 +1313,157 @@ def pipeline_classify_route_shards(spark, sf_dir):
         "detok_md5",
         bounds.alias("bounds_ok"),
     )
+
+
+#: per-label cap of the quota-routing composition (the balanced-
+#: mixture construction: no predicted class may contribute more than
+#: this many documents; smaller classes keep everything)
+_NB_QUOTA = 40
+_NB_QUOTA_SALT = "quota"
+
+
+def _nb_quota_oracle() -> str:
+    """DuckDB mirror of the quota router: the same store-taught NB
+    scoring as _nb_route_oracle over the WHOLE corpus, then at most
+    _NB_QUOTA docs kept per PREDICTED label, selected by the engine's
+    deterministic sampling idiom (salted-md5 rank, doc_id tie-break)
+    — no RNG, identical selection in both engines and under any
+    partitioning."""
+    split_bucket = sql_token_hash32(
+        f"'{_NB_SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+    WITH split AS (
+        SELECT doc_id, lang, {_NB_TERMS_SQL} AS terms,
+               {split_bucket} % 100 AS bucket
+        FROM documents
+    ),
+    train AS (SELECT * FROM split WHERE bucket < {_NB_TRAIN_PCT}),
+    tt AS (SELECT lang AS label, unnest(terms) AS term FROM train),
+    counts AS (SELECT label, term, count(*) AS c FROM tt GROUP BY 1, 2),
+    ltok AS (SELECT label, sum(c) AS n_label FROM counts GROUP BY 1),
+    ldoc AS (SELECT lang AS label, count(*) AS n_docs FROM train GROUP BY 1),
+    tot AS (SELECT count(*) AS n_total FROM train),
+    vocab AS (SELECT DISTINCT term FROM counts),
+    vsz AS (SELECT count(*) AS v FROM vocab),
+    labels AS (
+        SELECT d.label, coalesce(k.n_label, 0) AS n_label, d.n_docs,
+               n_total, v
+        FROM ldoc d LEFT JOIN ltok k USING (label)
+        CROSS JOIN tot CROSS JOIN vsz
+    ),
+    model AS (
+        SELECT l.label, w.term,
+               ln((coalesce(c.c, 0) + 1.0) / (l.n_label + 1.0 * l.v)) AS logp
+        FROM vocab w CROSS JOIN labels l
+        LEFT JOIN counts c ON c.label = l.label AND c.term = w.term
+    ),
+    priors AS (
+        SELECT label, ln(CAST(n_docs AS DOUBLE) / n_total) AS log_prior,
+               ln(1.0 / (n_label + 1.0 * v)) AS logp_unseen
+        FROM labels
+    ),
+    dt AS (SELECT doc_id, len(terms) AS n_terms FROM split),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(terms) AS term FROM split)
+        GROUP BY 1, 2
+    ),
+    inv AS (
+        SELECT t.doc_id, m.label, sum(t.tf * m.logp) AS s_in,
+               sum(t.tf) AS tf_in
+        FROM tf t JOIN model m USING (term) GROUP BY 1, 2
+    ),
+    scores AS (
+        SELECT d.doc_id, p.label,
+               round(p.log_prior + coalesce(i.s_in, 0)
+                     + (d.n_terms - coalesce(i.tf_in, 0)) * p.logp_unseen,
+                     6) AS score
+        FROM dt d CROSS JOIN priors p
+        LEFT JOIN inv i ON i.doc_id = d.doc_id AND i.label = p.label
+    ),
+    ranked AS (
+        SELECT doc_id, label, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, label ASC) AS rk
+        FROM scores
+    ),
+    preds AS (
+        SELECT doc_id, label AS pred_label FROM ranked WHERE rk = 1
+    ),
+    sel AS (
+        SELECT doc_id, pred_label,
+               row_number() OVER (
+                   PARTITION BY pred_label
+                   ORDER BY md5('{_NB_QUOTA_SALT}:'
+                                || CAST(doc_id AS VARCHAR)),
+                            doc_id
+               ) AS sel_rank
+        FROM preds
+    )
+    SELECT doc_id, pred_label, CAST(sel_rank AS BIGINT) AS sel_rank
+    FROM sel WHERE sel_rank <= {_NB_QUOTA}
+    """
+
+
+@register(
+    "pipeline_route_label_quota",
+    _nb_quota_oracle(),
+    doc="quota routing, the balanced-mixture half of the CCNet funnel "
+        "(VERDICT r14 #4's 'per-label quota via the existing sampling "
+        "machinery'): the whole corpus is scored with the store-"
+        "rebuilt NB model, then each PREDICTED class contributes at "
+        "most " + str(_NB_QUOTA) + " documents, selected by the "
+        "engine's deterministic sampling idiom (salted-md5 rank with "
+        "doc_id tie-break — no RNG, so the selection is identical in "
+        "both engines and under any partitioning; smaller classes "
+        "keep everything). Downstream this kept set feeds the trainer "
+        "handoff exactly like pipeline_classify_route_shards' keep "
+        "set; the quota stage itself is ONE per-label window over the "
+        "prediction table — at 100 TB the window partitions by class "
+        "(bounded L), each holding only (doc_id, md5) pairs",
+)
+def pipeline_route_label_quota(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql import Window
+
+    from mongo2pq_spark.functions.hashing import token_hash32
+    from mongo2pq_spark.operators.classifier import (
+        ingest_nb_counts,
+        load_nb_model,
+        nb_score,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    bucket = (
+        token_hash32(
+            F.concat(
+                F.lit(_NB_SPLIT_SALT + ":"), F.col("doc_id").cast("string")
+            )
+        )
+        % 100
+    )
+    train = docs.filter(bucket < _NB_TRAIN_PCT)
+
+    store = _generation_tmp_dir(sf_dir, "nb_quota_store")
+    shutil.rmtree(store, ignore_errors=True)
+    ingest_nb_counts(train, store, "quota-train", "lang")
+    model, priors = load_nb_model(spark, store, "lang")
+    preds = nb_score(docs, model, priors).select("doc_id", "pred_label")
+
+    sel_key = F.md5(
+        F.concat(
+            F.lit(_NB_QUOTA_SALT + ":"), F.col("doc_id").cast("string")
+        ).cast("binary")
+    )
+    w = Window.partitionBy("pred_label").orderBy(sel_key, F.col("doc_id"))
+    return (
+        preds.withColumn("sel_rank", F.row_number().over(w))
+        .filter(F.col("sel_rank") <= _NB_QUOTA)
+        .select(
+            "doc_id",
+            "pred_label",
+            F.col("sel_rank").cast("bigint").alias("sel_rank"),
+        )
+    )

@@ -49,8 +49,9 @@ _DRIVER_WINDOW_FIRST = [
     # r15 window (VERDICT r14 #1: pure-freshness rotation from the
     # verified 21-entry r9-latest front). Order:
     # (a) queries new or changed in r15 — the classify->route->shard
-    # composition (VERDICT r14 #4) and the member_glob scan (stretch
-    # #8) are NEW; classifier_nb_lang (doc note), the two pipeline
+    # composition + per-label quota router (VERDICT r14 #4), the
+    # member_glob scan (stretch #8) and the store-compaction proof
+    # (stretch #9) are NEW; classifier_nb_lang (doc note), the two pipeline
     # queries + classifier_nb_incremental (staging dirs keyed by
     # sf_dir+mtime, VERDICT #2), and the six tar/wds EL queries
     # (same keying; reader gained member_glob) moved their hashes;
@@ -58,6 +59,7 @@ _DRIVER_WINDOW_FIRST = [
     # identity pin in streaming/nbingest.py + store compaction
     # plumbing in operators/classifier.py);
     "pipeline_classify_route_shards",
+    "pipeline_route_label_quota",
     "el_tar_member_glob_scan",
     "classifier_nb_compacted",
     "classifier_nb_lang",
@@ -95,9 +97,10 @@ _DRIVER_WINDOW_FIRST = [
     "users_click_and_purchase",
     "variant_props_extract",
     "window_top_orders_per_customer",
-    # (c) the 15 oldest r10-latest rows in their r10 window order
-    # (the remaining 33 r10-latest entries roll to r16's front;
-    # dedup_simhash_pairs rotated out for classifier_nb_compacted).
+    # (c) the 14 oldest r10-latest rows in their r10 window order
+    # (the remaining 34 r10-latest entries roll to r16's front;
+    # dedup_simhash_pairs and dedup_incremental_near_dups rotated
+    # out for classifier_nb_compacted and pipeline_route_label_quota).
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_parts",
@@ -112,7 +115,6 @@ _DRIVER_WINDOW_FIRST = [
     "date_functions",
     "string_functions",
     "lag_lead_values",
-    "dedup_incremental_near_dups",
 ]
 
 
