@@ -5643,3 +5643,77 @@ def test_compact_nb_store_equality_and_retry_exclusion(spark, tmp_path):
     tc = os.path.join(store, "term_counts")
     os.rename(tc, os.path.join(store, "_term_counts.swapin"))
     assert snap(load_nb_model(spark, store, "lang")) == expect
+
+
+def test_nb_store_additive_composition_property(spark, tmp_path):
+    """Property (hypothesis): for ANY partition of a labeled corpus
+    into arrival waves, any wave-ingest order, and compaction
+    inserted at ANY point (or never), the store-rebuilt model equals
+    nb_train on the whole corpus — the additive-sufficient-statistics
+    contract that makes O(increment) refresh and compaction safe
+    under every operational history, not just the tested ones."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from mongo2pq_spark.operators.classifier import (
+        compact_nb_store,
+        ingest_nb_counts,
+        load_nb_model,
+        nb_train,
+    )
+
+    corpus = [
+        (1, "spam buy now buy", "spam"),
+        (2, "buy cheap spam spam", "spam"),
+        (3, "hello dear friend", "ham"),
+        (4, "dear friend hello hello", "ham"),
+        (5, "", "ham"),
+        (6, "agenda newsletter agenda", "promo"),
+        (7, "buy agenda friend", "promo"),
+        (8, "spam hello", "spam"),
+    ]
+    schema = "doc_id long, text string, lang string"
+    docs = spark.createDataFrame(corpus, schema)
+    expect_model, expect_priors = nb_train(docs, "lang")
+    exp = (
+        sorted(tuple(r) for r in expect_model.collect()),
+        sorted(tuple(r) for r in expect_priors.collect()),
+    )
+    counter = [0]
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        assignment=st.lists(
+            st.integers(min_value=0, max_value=2),
+            min_size=len(corpus),
+            max_size=len(corpus),
+        ),
+        compact_after=st.integers(min_value=-1, max_value=2),
+    )
+    def run(assignment, compact_after):
+        counter[0] += 1
+        store = str(tmp_path / f"prop_store_{counter[0]}")
+        waves = {}
+        for (row, w) in zip(corpus, assignment):
+            waves.setdefault(w, []).append(row)
+        for w in sorted(waves):
+            ingest_nb_counts(
+                spark.createDataFrame(waves[w], schema),
+                store,
+                f"wave{w}",
+                "lang",
+            )
+            if w == compact_after:
+                compact_nb_store(spark, store)
+        model, priors = load_nb_model(spark, store, "lang")
+        got = (
+            sorted(tuple(r) for r in model.collect()),
+            sorted(tuple(r) for r in priors.collect()),
+        )
+        assert got == exp
+
+    run()
