@@ -229,6 +229,12 @@ HEADLINE = [
     # corpus scoring + one per-label selection window — the balanced-
     # mixture cap). Pin after its first two idle sessions.
     "pipeline_route_label_quota",
+    # r15 fifth registration: incremental tokenization across corpus
+    # generations (full gen-A encode + shards, digest-diff, reuse-or-
+    # encode merge, gen-B shards, detokenize — the tokenize sibling
+    # of pipeline_generation_resplit). Pin after its first two idle
+    # sessions.
+    "pipeline_incremental_tokenize",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -430,3 +430,55 @@ def bpe_decode_payloads(
     return df.select(name_col, payload_col).mapInPandas(
         decode_batches, BPE_DETOK_SCHEMA
     )
+
+
+def incremental_encode_payloads(
+    gen_b: DataFrame,
+    prior_digests: DataFrame,
+    prior_payloads: DataFrame,
+    merges: list[tuple[bytes, bytes]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """O(increment) tokenization across corpus generations: encode
+    ONLY the docs of ``gen_b`` that are new or changed relative to
+    ``prior_digests`` (``(doc_id, md5_a)`` — the prior generation's
+    content identity); unchanged docs' payloads are taken verbatim
+    from ``prior_payloads`` (``(name, payload)`` rows, e.g. the prior
+    generation's shards native-read back) by one semi-join — their
+    text never re-enters the Arrow encode path.
+
+    Returns ``(merged, flagged)``: ``merged`` is the full
+    ``(name, payload)`` member table for generation B (reused ∪
+    freshly encoded), ``flagged`` is ``(doc_id, fresh)`` recording
+    the routing decision — ``fresh`` is true exactly for the
+    changed/added diff, the per-doc fact an oracle can state
+    closed-form. The diff is ONE digest equi-join; the reuse is a
+    projection + semi-join over the prior member table — at 100 TB
+    this turns per-crawl-wave retokenization into O(wave)."""
+    flagged = gen_b.join(prior_digests, id_col, "left").select(
+        id_col,
+        text_col,
+        (
+            F.col("md5_a").isNull()
+            | (F.md5(F.col(text_col).cast("binary")) != F.col("md5_a"))
+        ).alias("fresh"),
+    )
+    to_encode = flagged.filter(F.col("fresh")).select(id_col, text_col)
+    unchanged_ids = flagged.filter(~F.col("fresh")).select(id_col)
+    reuse = (
+        prior_payloads.select(
+            F.regexp_extract("name", r"^doc(\d+)\.tokens$", 1)
+            .cast("bigint")
+            .alias(id_col),
+            "name",
+            "payload",
+        )
+        .join(unchanged_ids, id_col, "left_semi")
+        .select("name", "payload")
+    )
+    merged = reuse.unionByName(
+        bpe_encode_payloads(to_encode, merges, text_col=text_col,
+                            id_col=id_col)
+    )
+    return merged, flagged.select(id_col, "fresh")

@@ -1467,3 +1467,131 @@ def pipeline_route_label_quota(spark, sf_dir):
             F.col("sel_rank").cast("bigint").alias("sel_rank"),
         )
     )
+
+
+def _incr_tok_oracle() -> str:
+    """DuckDB mirror of the incremental tokenizer: generation B is
+    stated closed-form from the source table (removed: doc_id%7==0;
+    changed: remaining doc_id%5==0 get ' [v2]' appended; added:
+    doc_id<30 re-keyed +10000), along with WHICH docs the incremental
+    encoder must have re-encoded (``fresh``) — changed + added only.
+    md5/strlen equality proves both the byte-losslessness of the
+    reuse-or-encode merge AND that the routing decision itself is
+    exactly the diff."""
+    return """
+    WITH gen_b AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]'
+                    ELSE text END AS text,
+               (doc_id % 5 = 0) AS fresh
+        FROM documents WHERE doc_id % 7 != 0
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text, true AS fresh
+        FROM documents WHERE doc_id < 30
+    )
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS detok_md5,
+           fresh
+    FROM gen_b
+    """
+
+
+@register(
+    "pipeline_incremental_tokenize",
+    _incr_tok_oracle(),
+    doc="incremental tokenization across corpus generations — the "
+        "tokenize sibling of pipeline_generation_resplit, completing "
+        "the engine's O(increment) story (dedup stores, classifier "
+        "counts, inverted index, and now token shards): generation A "
+        "is fully encoded under the pinned BPE table and shipped as "
+        "tar shards; when generation B arrives (docs removed, "
+        "changed, added), ONLY the changed+added increment is "
+        "re-encoded — unchanged docs' payloads are taken from "
+        "generation A's shards by native read + semi-join, the "
+        "corpus text never re-entering the Arrow encode path. The "
+        "merged payload set ships as generation B's shards, is "
+        "native-read and detokenized; the oracle states generation B "
+        "AND the required routing (fresh) closed-form, so the value "
+        "match proves the reuse-or-encode merge is byte-lossless and "
+        "the increment is exactly the diff. At 100 TB this is the "
+        "difference between re-tokenizing a corpus per crawl wave "
+        "and paying O(wave): the diff is one digest equi-join, the "
+        "reuse is a shard-parallel read",
+)
+def pipeline_incremental_tokenize(spark, sf_dir):
+    from mongo2pq_spark.operators.bpe import (
+        bpe_decode_payloads,
+        bpe_encode_payloads,
+        incremental_encode_payloads,
+        learn_bpe,
+    )
+    from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.tarshards import (
+        register_tarshards,
+        shard_members,
+    )
+
+    register_tarshards(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    # the tokenizer is PINNED on generation A — a per-generation
+    # retrain would silently shift every unchanged doc's ids and
+    # defeat reuse (the invariant real trainer pipelines hold)
+    merges = learn_bpe(docs, n_merges=200)
+
+    # generation A: the full encode, shipped once (the prior wave)
+    gen_a = _generation_tmp_dir(sf_dir, "incr_tok_gen_a")
+    (
+        shard_members(
+            bpe_encode_payloads(docs, merges),
+            target_shard_bytes=64 << 10,
+        )
+        .sortWithinPartitions("name")
+        .write.format("tarshards")
+        .mode("overwrite")
+        .save(gen_a)
+    )
+
+    # generation B: removed / changed / added, derived from the table
+    kept = docs.filter(F.col("doc_id") % 7 != 0)
+    gen_b = kept.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" [v2]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+
+    # the diff + reuse-or-encode merge: one digest equi-join against
+    # generation A's identity; unchanged payloads come FROM gen A's
+    # shards — their text never re-enters the Arrow encode path
+    digests_a = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("md5_a")
+    )
+    back_a = spark.read.format("tarshards").load(gen_a)
+    merged, flagged = incremental_encode_payloads(
+        gen_b, digests_a, back_a, merges
+    )
+
+    gen_b_dir = _generation_tmp_dir(sf_dir, "incr_tok_gen_b")
+    (
+        shard_members(merged, target_shard_bytes=64 << 10)
+        .sortWithinPartitions("name")
+        .write.format("tarshards")
+        .mode("overwrite")
+        .save(gen_b_dir)
+    )
+    detok = bpe_decode_payloads(
+        spark.read.format("tarshards").load(gen_b_dir), merges
+    )
+    return detok.join(
+        flagged.select("doc_id", "fresh"), "doc_id"
+    ).select("doc_id", "n_bytes", "detok_md5", "fresh")

@@ -142,13 +142,18 @@ def complex_top_level_cols(schema) -> list[str]:
 # NOW; the queue only defers the driver RECORDING, not the check.
 # Entries MUST move to the front of _DRIVER_WINDOW_FIRST next round.
 _NEXT_WINDOW_QUEUE: list[str] = [
-    # EMPTY as of r13: every former queue entry sits in the r13
-    # driver window (verdict r12 #1 — drain to zero), and new r13
-    # registrations (el_tar_shards_native_read) entered the window
-    # directly. From r14 on the rotation is pure freshness; a new
-    # query goes in the front of _DRIVER_WINDOW_FIRST (rotating out
-    # a stable green anchor) or stages here with full pytest-oracle
-    # parity until the next round covers it.
+    # From r14 on the rotation is pure freshness; a new query goes in
+    # the front of _DRIVER_WINDOW_FIRST (rotating out a stable green
+    # anchor) or stages here with full pytest-oracle parity until the
+    # next round covers it.
+    #
+    # r15: the incremental tokenizer registered AFTER the r15 window
+    # was staged, rehearsed and pinned (the window's 50 slots are
+    # committed); full DuckDB-oracle parity holds in
+    # tests/test_queries_oracle.py and it was driven vanilla
+    # out-of-repo at both SFs. MUST move to the front of
+    # _DRIVER_WINDOW_FIRST in r16.
+    "pipeline_incremental_tokenize",
 ]
 
 

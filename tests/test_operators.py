@@ -5717,3 +5717,77 @@ def test_nb_store_additive_composition_property(spark, tmp_path):
         assert got == exp
 
     run()
+
+
+def test_incremental_encode_reuses_prior_payloads_verbatim(spark):
+    """The incremental tokenizer's reuse proof: an unchanged doc's
+    payload is taken VERBATIM from the prior generation's member
+    table — tampering that table must flow through to the output
+    (proving the doc was never re-encoded), while changed and added
+    docs get fresh encodings and removed docs vanish. The routing
+    flags must be exactly the diff."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.bpe import (
+        bpe_encode_payloads,
+        incremental_encode_payloads,
+        learn_bpe,
+    )
+    from pyspark.sql import functions as F
+
+    docs_a = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "delta epsilon"),
+            (3, "zeta eta theta"),
+            (4, "iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe(docs_a, n_merges=20)
+    prior = {
+        r["name"]: bytes(r["payload"])
+        for r in bpe_encode_payloads(docs_a, merges).collect()
+    }
+    # TAMPER doc 1's prior payload (still uint32-aligned, different
+    # ids) — if reuse is real, the tampered bytes appear in merged
+    tampered = np.array([7, 7, 7], dtype="<u4").tobytes()
+    prior["doc1.tokens"] = tampered
+    prior_df = spark.createDataFrame(
+        list(prior.items()), "name string, payload binary"
+    )
+
+    # gen B: doc 2 changed, doc 3 removed, doc 5 added, docs 1/4 kept
+    docs_b = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "delta epsilon CHANGED"),
+            (4, "iota kappa"),
+            (5, "lambda mu"),
+        ],
+        "doc_id long, text string",
+    )
+    digests = docs_a.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("md5_a")
+    )
+    merged, flagged = incremental_encode_payloads(
+        docs_b, digests, prior_df, merges
+    )
+    got = {r["name"]: bytes(r["payload"]) for r in merged.collect()}
+    flags = {r["doc_id"]: r["fresh"] for r in flagged.collect()}
+
+    assert flags == {1: False, 2: True, 4: False, 5: True}
+    assert set(got) == {"doc1.tokens", "doc2.tokens", "doc4.tokens",
+                        "doc5.tokens"}  # removed doc 3 vanished
+    assert got["doc1.tokens"] == tampered  # reused VERBATIM
+    assert got["doc4.tokens"] == prior["doc4.tokens"]
+    # changed/added docs were freshly encoded under the pinned table
+    fresh = {
+        r["name"]: bytes(r["payload"])
+        for r in bpe_encode_payloads(
+            docs_b.filter(F.col("doc_id").isin(2, 5)), merges
+        ).collect()
+    }
+    assert got["doc2.tokens"] == fresh["doc2.tokens"]
+    assert got["doc5.tokens"] == fresh["doc5.tokens"]
+    assert got["doc2.tokens"] != prior["doc2.tokens"]
