@@ -1049,3 +1049,41 @@ def test_classify_route_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_encode_plan_shape(spark):
+    """The reuse-or-encode merge's structural contract: the merged
+    member table's plan carries exactly ONE Arrow encode stage
+    (MapInPandas over the FRESH slice only — the reuse branch is a
+    LeftSemi join over the prior member table, never a second
+    encode), no row-at-a-time BatchEvalPython, no CartesianProduct."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.bpe import (
+        incremental_encode_payloads,
+        learn_bpe,
+    )
+
+    docs_a = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    merges = learn_bpe(docs_a, n_merges=5)
+    prior = spark.createDataFrame(
+        [("doc1.tokens", b"\x00\x00\x00\x00"),
+         ("doc2.tokens", b"\x01\x00\x00\x00")],
+        "name string, payload binary",
+    )
+    digests = docs_a.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("md5_a")
+    )
+    gen_b = spark.createDataFrame(
+        [(1, "alpha beta"), (3, "new doc")], "doc_id long, text string"
+    )
+    merged, _ = incremental_encode_payloads(gen_b, digests, prior, merges)
+    plan = _plan(merged)
+    # formatted plans print each node twice (tree + detail); the
+    # tree line is "MapInPandas (<id>)" — exactly one encode stage
+    assert plan.count("MapInPandas (") == 1
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
