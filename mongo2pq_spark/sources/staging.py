@@ -33,7 +33,17 @@ def generation_tmp_dir(
     import tempfile
 
     src = os.path.join(sf_dir, f"{table}.parquet")
+    # a parquet source may be a single file OR a directory of parts
+    # (both shapes have shipped in the testdata); for a directory the
+    # DIR mtime can survive an in-place part rewrite, so fold the
+    # entries' mtimes in too — the streaming staging helpers' rule
+    mtimes = [os.path.getmtime(src)]
+    if os.path.isdir(src):
+        mtimes += [
+            os.path.getmtime(os.path.join(src, f))
+            for f in os.listdir(src)
+        ]
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+        f"{os.path.abspath(src)}:{max(mtimes)}".encode()
     ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"m2pq_{tag}_{key}")

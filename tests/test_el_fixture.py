@@ -2335,3 +2335,17 @@ def test_generation_tmp_dir_distinct_per_source_generation(tmp_path):
     old_mtime = src.stat().st_mtime
     os.utime(src, (old_mtime + 10, old_mtime + 10))
     assert _generation_tmp_dir(str(sf_a), "pipeline_token_shards") != d_a
+
+    # directory-shaped source: an in-place PART rewrite that leaves
+    # the dir mtime untouched must still key a new generation (the
+    # streaming staging helpers' max-over-entries rule)
+    sf_c = tmp_path / "sf_c"
+    src_c = sf_c / "documents.parquet"
+    src_c.mkdir(parents=True)
+    part = src_c / "part-00000.parquet"
+    part.write_bytes(b"v1")
+    d_c = _generation_tmp_dir(str(sf_c), "pipeline_token_shards")
+    dir_times = (src_c.stat().st_atime, src_c.stat().st_mtime)
+    os.utime(part, (part.stat().st_mtime + 10, part.stat().st_mtime + 10))
+    os.utime(src_c, dir_times)  # dir mtime pinned back: file-only change
+    assert _generation_tmp_dir(str(sf_c), "pipeline_token_shards") != d_c
