@@ -235,6 +235,11 @@ HEADLINE = [
     # of pipeline_generation_resplit). Pin after its first two idle
     # sessions.
     "pipeline_incremental_tokenize",
+    # r16 registration: full FLAC decode over 200 built streams
+    # (encode + rice/LPC/stereo-decorrelation decode + md5 proof —
+    # the wav/mp4/pdf codec class). Pin after its first two idle
+    # sessions.
+    "multimodal_flac_pcm_roundtrip",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite
@@ -281,6 +286,46 @@ EXCLUDED_PIPELINE_CONTRACT = {
 assert not set(HEADLINE) & set(EXCLUDED_PIPELINE_CONTRACT)
 
 
+def _host_bookend() -> dict:
+    """One host-contention snapshot: /proc/loadavg plus the box-wide
+    thread count. The r15 ledger showed an EXTERNAL tenant repeatedly
+    spinning up ~1150 threads mid-run and inflating individual
+    queries up to 1.7x; with the bookends recorded INTO the bench
+    JSON, a judge can adjudicate contention from the artifact alone
+    (VERDICT r15 #5) instead of from prose ledger notes."""
+    snap = {}
+    try:
+        with open("/proc/loadavg") as fh:
+            parts = fh.read().split()
+        snap["load1"], snap["load5"], snap["load15"] = (
+            float(parts[0]),
+            float(parts[1]),
+            float(parts[2]),
+        )
+    except Exception:
+        pass
+    try:
+        import glob
+
+        snap["threads"] = len(glob.glob("/proc/[0-9]*/task/[0-9]*"))
+    except Exception:
+        pass
+    return snap
+
+
+def _bookends_quiet(pre: dict, post: dict) -> bool:
+    """The r16 watch rule, executable: a bench flag is actionable
+    only when BOTH bookends are quiet — 1-min load under 2 and no
+    foreign thread storm (~328 is this box's baseline; the observed
+    contention windows read 1150+)."""
+    for b in (pre, post):
+        if b.get("load1", 0.0) >= 2.0:
+            return False
+        if b.get("threads", 0) >= 800:
+            return False
+    return True
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from mongo2pq_spark.queries.registry import load_all
@@ -296,6 +341,7 @@ def main() -> None:
     # single runs up to 5x; three repeats also absorb the one-time
     # codegen compile of the large LSH expression trees
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    bookend_pre = _host_bookend()
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -328,6 +374,7 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    bookend_post = _host_bookend()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
         "metric": "headline_suite_seconds",
@@ -362,6 +409,13 @@ def main() -> None:
                     for q, r in ratios.items()
                     if r > 1.3 and timings[q] - baseline[q] > 0.2
                 },
+                # the r16 watch rule, recorded INTO the artifact:
+                # flags from a contended session go to the ledger,
+                # not to pins — False means "do not act on over_1_3x
+                # from this session alone"
+                "flags_actionable": _bookends_quiet(
+                    bookend_pre, bookend_post
+                ),
             }
         # every HEADLINE entry is gated as of r12 (45 trend-only
         # entries pinned via the three-session study). A future
@@ -373,6 +427,7 @@ def main() -> None:
         unpinned = sorted(q for q in timings if q not in baseline)
         if unpinned:
             payload["unpinned_ungated"] = unpinned
+    payload["host_bookends"] = {"pre": bookend_pre, "post": bookend_post}
     print(json.dumps(payload))
     # The round driver captures only the LAST ~2000 chars of stdout and
     # parses the final line; the full payload outgrew that window
@@ -387,6 +442,7 @@ def main() -> None:
     }
     if "vs_baseline_local" in payload:
         compact["vs_baseline_local"] = payload["vs_baseline_local"]
+    compact["host_bookends"] = payload["host_bookends"]
     if payload.get("incomplete"):
         compact["incomplete"] = True
         compact["errors"] = sorted(errors)

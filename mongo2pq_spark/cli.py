@@ -51,6 +51,53 @@ def _nb_cli_batch_id(collection: str) -> str:
     return f"cli-{safe}-{digest}"
 
 
+def _nb_cli_batch_key(
+    df, collection: str, label_col: str, text_col: str
+) -> tuple[str, list[str]]:
+    """CONTENT-keyed NB batch id for one teach of ``collection``,
+    plus the replace globs giving it name-level replace semantics.
+
+    The r15 name-keyed scheme (``cli-<name>``) broke after
+    ``--nb-compact``: a re-teach of a collection whose CONTENT
+    changed carried the absorbed name key, so ``ingest_nb_counts``
+    silently dropped it (ADVICE r15 medium). Keying by content —
+    ``cliv2-<md5(name)[:10]>-ct<md5(token)[:12]>`` over the shared
+    ``digest_batch_token`` of the (label, text) pairs — means only a
+    truly IDENTICAL retry can match an absorbed token; an edited
+    re-teach always gets a fresh id. The name tag is fixed-length hex
+    under a versioned prefix, so the replace glob
+    ``batch=cliv2-<tag>-ct*`` can only ever match this collection's
+    own older generations (no sanitized-name prefix aliasing); the
+    exact legacy ``cli-...`` id rides along so a v2 teach replaces a
+    pre-upgrade batch of the same collection instead of
+    double-counting next to it."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.plans.bandstore_core import digest_batch_token
+
+    # null-safe (label, text) digest: coalesce to a sentinel no real
+    # value contains, so (NULL, 'a') and ('a', NULL) cannot alias
+    sentinel = "\x00null\x00"
+    dig = F.md5(
+        F.concat_ws(
+            "\x00:",
+            F.coalesce(F.col(label_col).cast("string"), F.lit(sentinel)),
+            F.coalesce(F.col(text_col).cast("string"), F.lit(sentinel)),
+        ).cast("binary")
+    )
+    token = digest_batch_token(df.select(label_col, text_col), dig)
+    name_tag = hashlib.md5(collection.encode()).hexdigest()[:10]
+    ct = hashlib.md5(token.encode()).hexdigest()[:12]
+    key = f"cliv2-{name_tag}-ct{ct}"
+    globs = [
+        f"batch=cliv2-{name_tag}-ct*",
+        f"batch={_nb_cli_batch_id(collection)}",
+    ]
+    return key, globs
+
+
 def _index_batch_token(df, id_col: str, text_col: str) -> str:
     """Deterministic CONTENT token for one index batch — the shared
     digest_batch_token over md5(id ':' text), so an edited re-crawl of
@@ -284,15 +331,32 @@ def main(
                         nb_label_col in d.columns
                         and nb_text_col in d.columns
                     ):
-                        batch_key = _nb_cli_batch_id(nm)
-                        ingest_nb_counts(
+                        batch_key, replace_globs = _nb_cli_batch_key(
+                            d, nm, nb_label_col, nb_text_col
+                        )
+                        status = ingest_nb_counts(
                             d,
                             nb_store_dir,
                             batch_key,
                             nb_label_col,
                             text_col=nb_text_col,
                             hash_buckets=nb_hash_buckets,
+                            replace_globs=replace_globs,
                         )
+                        if status == "absorbed":
+                            # identical-content retry of a batch that
+                            # --nb-compact already folded into c0 —
+                            # a correct no-op, reported LOUDLY (the
+                            # r15 'folded'-that-wasn't ADVICE bug)
+                            print(
+                                f"NB store: SKIPPED collection "
+                                f"'{nm}' — batch {batch_key} already "
+                                f"absorbed by compaction (identical "
+                                f"content retry; counts live in "
+                                f"batch=c0)",
+                                file=sys.stderr,
+                            )
+                            continue
                         folded += 1
                         print(
                             f"NB store: folded labeled collection "

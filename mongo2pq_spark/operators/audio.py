@@ -530,10 +530,11 @@ def parse_flac_streaminfo(payload: bytes) -> dict:
     """Parse FLAC's STREAMINFO: ``{sample_rate, channels, bps,
     total_samples, duration_ms, raw_md5}`` — the pre-decode triage for
     the lossless-audio corpus (duration windows, hi-res routing,
-    integrity via the embedded raw-PCM md5). FRAME decode stays the
-    documented stub: the FLAC subframe predictors are the library
-    swap. ``ValueError`` on structure; STREAMINFO must be the first
-    block (the spec mandates it)."""
+    integrity via the embedded raw-PCM md5). FRAME decode lives in
+    ``operators/flac.py`` (full rice + FIXED/LPC predictor decode,
+    r16 — the former library-swap stub is retired). ``ValueError``
+    on structure; STREAMINFO must be the first block (the spec
+    mandates it)."""
     if payload[:4] != FLAC_MAGIC:
         raise ValueError("not a FLAC stream (no fLaC magic)")
     if len(payload) < 8:

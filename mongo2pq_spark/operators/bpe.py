@@ -456,12 +456,18 @@ def incremental_encode_payloads(
     closed-form. The diff is ONE digest equi-join; the reuse is a
     projection + semi-join over the prior member table — at 100 TB
     this turns per-crawl-wave retokenization into O(wave)."""
+    # coalesce: a NULL text with a non-null prior digest makes
+    # md5(NULL) != md5_a NULL, which would drop the row from BOTH
+    # branches (neither re-encoded nor reused — silently vanishing
+    # from the member table, ADVICE r15). NULL-text rows route to
+    # the encode branch, which pins NULL -> empty payload.
     flagged = gen_b.join(prior_digests, id_col, "left").select(
         id_col,
         text_col,
-        (
+        F.coalesce(
             F.col("md5_a").isNull()
-            | (F.md5(F.col(text_col).cast("binary")) != F.col("md5_a"))
+            | (F.md5(F.col(text_col).cast("binary")) != F.col("md5_a")),
+            F.lit(True),
         ).alias("fresh"),
     )
     to_encode = flagged.filter(F.col("fresh")).select(id_col, text_col)

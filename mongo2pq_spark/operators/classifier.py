@@ -543,7 +543,8 @@ def ingest_nb_counts(
     label_col: str,
     text_col: str = "text",
     hash_buckets: int | None = None,
-) -> None:
+    replace_globs: "tuple[str, ...] | list[str]" = (),
+) -> str:
     """Fold one labeled batch into the persisted count store,
     tokenizing ONLY this batch — historical corpus text is never
     re-read (the classifier sibling of the span/band stores'
@@ -558,8 +559,23 @@ def ingest_nb_counts(
     next to the consolidated partition (compaction is a pure regroup,
     so the duplicate counts would be baked in permanently) — absorbed
     batch ids are recorded in the swap-atomic ``_absorbed.json``
-    sidecar and re-ingesting one is a no-op, the post-absorption
-    equivalent of the overwrite's replace-yourself idempotence."""
+    sidecar and re-ingesting one is a no-op. The no-op is NOT silent:
+    the return value says which branch ran — ``"absorbed"`` for the
+    post-compaction skip, ``"ingested"`` otherwise — so callers (the
+    CLI) can surface the skip instead of reporting a fold that never
+    happened (the r15 ADVICE finding).
+
+    ``replace_globs`` gives CONTENT-keyed callers name-level replace
+    semantics: each entry is a ``batch=...`` dir-name glob (relative
+    to either tree root) whose live matches — other than this batch's
+    own dir — are deleted before the write. A caller that keys
+    batches by content (so an edited re-teach gets a NEW id and is
+    never mistaken for an absorbed retry) passes the glob covering
+    its older generations, which would otherwise double-count next to
+    the new one. Absorbed generations are gone as directories (their
+    counts live inside ``c0``) so the globs cannot un-absorb history;
+    that boundary is the caller's to surface."""
+    import shutil
     from pathlib import Path
 
     from mongo2pq_spark.plans.bandstore_core import (
@@ -587,16 +603,24 @@ def ingest_nb_counts(
         # the union guards the crash window between the two tree
         # swaps: if EITHER tree absorbed this batch, re-writing it
         # into either would double-count after the next compaction
-        return
+        return "absorbed"
     counts, doc_counts = nb_count_tables(
         docs, label_col, text_col=text_col, hash_buckets=hash_buckets
     )
+    for tree in trees:
+        if not tree.is_dir():
+            continue
+        for pat in replace_globs:
+            for old in tree.glob(pat):
+                if old.is_dir() and old.name != f"batch={batch_id}":
+                    shutil.rmtree(old)
     counts.write.mode("overwrite").parquet(
         f"{store_dir}/term_counts/batch={batch_id}"
     )
     doc_counts.write.mode("overwrite").parquet(
         f"{store_dir}/doc_counts/batch={batch_id}"
     )
+    return "ingested"
 
 
 def load_nb_model(

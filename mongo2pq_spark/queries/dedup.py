@@ -338,7 +338,6 @@ def dedup_near_clusters(spark, sf_dir):
         "keeps a hard driver signal on the path a real cluster runs",
 )
 def dedup_near_clusters_checkpointed(spark, sf_dir):
-    import tempfile
 
     from mongo2pq_spark.sources.registry import read_sf_table
 
@@ -346,12 +345,14 @@ def dedup_near_clusters_checkpointed(spark, sf_dir):
     pairs = ops.ngram_jaccard_pairs(
         docs, threshold=0.5, max_shingle_df=_shingle_guard(docs)
     )
-    # fixed path, reused across runs (same policy as el_jsonl_out —
-    # a fresh mkdtemp per call would accrete /tmp dirs every bench
-    # repeat; Spark still namespaces each SparkContext under it)
+    # generation-keyed path (VERDICT r15 #2; Spark additionally
+    # namespaces each SparkContext under it, so concurrent sessions
+    # never collide on checkpoint files)
     import os
 
-    cp = os.path.join(tempfile.gettempdir(), "m2pq_cc_checkpoints")
+    from mongo2pq_spark.sources.staging import generation_tmp_dir
+
+    cp = generation_tmp_dir(sf_dir, "cc_checkpoints")
     os.makedirs(cp, exist_ok=True)
     return ops.near_dup_clusters(pairs, checkpoint_dir=cp)
 

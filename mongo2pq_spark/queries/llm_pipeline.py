@@ -36,12 +36,16 @@ def _docs(spark, sf_dir):
     return read_sf_table(spark, sf_dir, "documents")
 
 
-def _generation_tmp_dir(sf_dir: str, tag: str) -> str:
-    """(source path, mtime)-keyed staging dir — see
-    sources/staging.py for the hazard-class rationale."""
+def _generation_tmp_dir(
+    sf_dir: str, tag: str, per_process: bool = False
+) -> str:
+    """(source path, content-fingerprint)-keyed staging dir — see
+    sources/staging.py for the hazard-class rationale.
+    ``per_process=True`` for the rmtree-at-entry store queries (the
+    same-generation concurrency guard, VERDICT r15 #4)."""
     from mongo2pq_spark.sources.staging import generation_tmp_dir
 
-    return generation_tmp_dir(sf_dir, tag)
+    return generation_tmp_dir(sf_dir, tag, per_process=per_process)
 
 
 @register(
@@ -926,7 +930,7 @@ def classifier_nb_incremental(spark, sf_dir):
     # path would serve the previous SF's cached counts (caught by
     # the oracle gate at sf0.01 after an sf0.001 run); a distinct
     # path per (sf_dir, data generation) makes the plans distinct.
-    store = _generation_tmp_dir(sf_dir, "nb_store")
+    store = _generation_tmp_dir(sf_dir, "nb_store", per_process=True)
     shutil.rmtree(store, ignore_errors=True)
     ingest_nb_counts(gen_a, store, "gen_a", "lang")
     ingest_nb_counts(gen_b, store, "gen_b", "lang")
@@ -985,7 +989,7 @@ def classifier_nb_compacted(spark, sf_dir):
     )
     test = split.filter(F.col("bucket") >= _NB_TRAIN_PCT)
 
-    store = _generation_tmp_dir(sf_dir, "nb_store_compact")
+    store = _generation_tmp_dir(sf_dir, "nb_store_compact", per_process=True)
     shutil.rmtree(store, ignore_errors=True)
     ingest_nb_counts(gen_a, store, "gen_a", "lang")
     ingest_nb_counts(gen_b, store, "gen_b", "lang")
@@ -1280,7 +1284,7 @@ def pipeline_classify_route_shards(spark, sf_dir):
 
     # teach the persisted store, rebuild the model FROM the store —
     # the composition a production funnel runs per arrival wave
-    store = _generation_tmp_dir(sf_dir, "nb_route_store")
+    store = _generation_tmp_dir(sf_dir, "nb_route_store", per_process=True)
     shutil.rmtree(store, ignore_errors=True)
     ingest_nb_counts(train, store, "route-train", "lang")
     model, priors = load_nb_model(spark, store, "lang")
@@ -1446,7 +1450,7 @@ def pipeline_route_label_quota(spark, sf_dir):
     )
     train = docs.filter(bucket < _NB_TRAIN_PCT)
 
-    store = _generation_tmp_dir(sf_dir, "nb_quota_store")
+    store = _generation_tmp_dir(sf_dir, "nb_quota_store", per_process=True)
     shutil.rmtree(store, ignore_errors=True)
     ingest_nb_counts(train, store, "quota-train", "lang")
     model, priors = load_nb_model(spark, store, "lang")
@@ -1473,7 +1477,9 @@ def _incr_tok_oracle() -> str:
     """DuckDB mirror of the incremental tokenizer: generation B is
     stated closed-form from the source table (removed: doc_id%7==0;
     changed: remaining doc_id%5==0 get ' [v2]' appended; added:
-    doc_id<30 re-keyed +10000), along with WHICH docs the incremental
+    doc_id<30 re-keyed +10_000_000, safely above any shipped or
+    documented doc_id domain so re-keyed ids can never collide with
+    real ones — ADVICE r15), along with WHICH docs the incremental
     encoder must have re-encoded (``fresh``) — changed + added only.
     md5/strlen equality proves both the byte-losslessness of the
     reuse-or-encode merge AND that the routing decision itself is
@@ -1486,7 +1492,7 @@ def _incr_tok_oracle() -> str:
                (doc_id % 5 = 0) AS fresh
         FROM documents WHERE doc_id % 7 != 0
         UNION ALL
-        SELECT doc_id + 10000 AS doc_id, text, true AS fresh
+        SELECT doc_id + 10000000 AS doc_id, text, true AS fresh
         FROM documents WHERE doc_id < 30
     )
     SELECT doc_id,
@@ -1566,7 +1572,7 @@ def pipeline_incremental_tokenize(spark, sf_dir):
         .alias("text"),
     ).unionByName(
         docs.filter(F.col("doc_id") < 30).select(
-            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            (F.col("doc_id") + 10000000).alias("doc_id"), "text"
         )
     )
 

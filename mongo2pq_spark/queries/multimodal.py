@@ -1771,9 +1771,9 @@ def multimodal_archive_manifest(spark, sf_dir):
         "pre-decode filter for the LOSSLESS-audio corpus (duration "
         "windows, hi-res routing, channel layout, the integrity "
         "digest). Completes the audio-container matrix: WAV decodes "
-        "for real, MP3 walks frames, FLAC reads STREAMINFO; the FLAC "
-        "subframe predictors remain the documented library-swap "
-        "stub. Map-only",
+        "for real, MP3 walks frames, FLAC reads STREAMINFO — and as "
+        "of r16 fully decodes too (multimodal_flac_pcm_roundtrip). "
+        "Map-only",
 )
 def multimodal_flac_streaminfo(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -1816,6 +1816,100 @@ def multimodal_flac_streaminfo(spark, sf_dir):
         build_batches, "doc_id bigint, payload binary"
     )
     return audio_ops.flac_metadata(files)
+
+
+@register(
+    "multimodal_flac_pcm_roundtrip",
+    """
+    WITH d AS (
+        SELECT doc_id, 1 + doc_id % 2 AS channels,
+               80 + (doc_id % 20) * 8 AS frames
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT d.doc_id, d.channels, d.frames,
+               ((31 * d.doc_id + 17 * i.i + 57 * c.i) % 2003) - 1001 AS v
+        FROM d, generate_series(0, 1) c(i), generate_series(0, 231) i(i)
+        WHERE c.i < d.channels AND i.i < d.frames
+    )
+    SELECT doc_id,
+           CAST(max(channels) AS INTEGER) AS channels,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(max(frames) AS BIGINT) AS n_frames,
+           CAST(max(frames) // 8 AS BIGINT) AS duration_ms,
+           CAST(sum(v) AS BIGINT) AS sample_sum,
+           CAST(max(abs(v)) AS INTEGER) AS peak_abs,
+           true AS md5_ok
+    FROM s GROUP BY doc_id
+    """,
+    doc="REAL FLAC decode, end to end (VERDICT r15 #7 — retires the "
+        "lossless-audio FRAME-decode stub): the WAV roundtrip's "
+        "deterministic int16 streams are ENCODED to spec-conformant "
+        "FLAC (operators/flac.py — CONSTANT/FIXED/LPC subframes, "
+        "rice/escape partitioned residuals, wasted bits, and per-doc "
+        "rotation through all four stereo assignments incl. "
+        "left/side, right/side and mid/side decorrelation at 17-bit "
+        "side width; 64-sample blocks so every doc spans multiple "
+        "frames with CRC-8/CRC-16 and sequence checks) and fully "
+        "DECODED back inside Arrow-batched mapInPandas, emitting the "
+        "same corpus-filter scalars plus md5_ok — the STREAMINFO "
+        "raw-PCM md5 recomputed over the DECODED output, the in-band "
+        "bit-exactness proof. The oracle recomputes everything from "
+        "the generation rule alone, so a hash match proves rice + "
+        "predictor + decorrelation decode = identity on executors. "
+        "Map-only, no shuffle — the 100 TB lossless-audio corpus "
+        "shape (remaining audio stub: lossy MP3 SAMPLE synthesis; "
+        "its metadata/frame walk is real)",
+)
+def multimodal_flac_pcm_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import flac as flac_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.flac import encode_flac
+
+        modes = ["left_side", "mid_side", "right_side", "auto"]
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                channels = 1 + d % 2
+                frames = 80 + (d % 20) * 8
+                i, c = np.meshgrid(
+                    np.arange(frames), np.arange(channels), indexing="ij"
+                )
+                samples = (31 * d + 17 * i + 57 * c) % 2003 - 1001
+                payloads.append(
+                    encode_flac(
+                        samples,
+                        8000,
+                        16,
+                        block_size=64,
+                        stereo_mode=(
+                            modes[d % 4] if channels == 2
+                            else "independent"
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return flac_ops.flac_pcm_stats(files)
 
 
 @register(

@@ -46,75 +46,74 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # r15 window (VERDICT r14 #1: pure-freshness rotation from the
-    # verified 21-entry r9-latest front). Order:
-    # (a) queries new or changed in r15 — the classify->route->shard
-    # composition + per-label quota router (VERDICT r14 #4), the
-    # member_glob scan (stretch #8) and the store-compaction proof
-    # (stretch #9) are NEW; classifier_nb_lang (doc note), the two pipeline
-    # queries + classifier_nb_incremental (staging dirs keyed by
-    # sf_dir+mtime, VERDICT #2), and the six tar/wds EL queries
-    # (same keying; reader gained member_glob) moved their hashes;
-    # streaming_nb_ingest re-enters for machinery (checkpoint-
-    # identity pin in streaming/nbingest.py + store compaction
-    # plumbing in operators/classifier.py);
+    # r16 window (pure-freshness rotation per the r15 handoff,
+    # verified against CORRECTNESS_r01..r15 this session). Order:
+    # (a) the two entries with NO driver row yet — the r15 late
+    # registration (first per _NEXT_WINDOW_QUEUE contract) and this
+    # round's new FLAC full-decode roundtrip;
+    "pipeline_incremental_tokenize",
+    "multimodal_flac_pcm_roundtrip",
+    # (a') queries whose hashes moved in r16: the ~15 parquet/CSV/
+    # JSONL/ORC/XML/mongodump/index EL queries re-keyed from fixed
+    # /tmp dirs onto sources/staging.py::generation_tmp_dir (VERDICT
+    # r15 #2 — closes the staging-hazard class), the four NB-store
+    # queries (per-process staging guard, VERDICT #4), the
+    # incremental-tokenize id-offset fix + null-text coalesce
+    # (ADVICE r15), and multimodal_flac_streaminfo (doc note);
+    "el_partitioned_roundtrip",
+    "el_jsonl_roundtrip",
+    "el_orc_roundtrip",
+    "el_schema_evolution",
+    "el_csv_roundtrip",
+    "el_mongodump_scan",
+    "el_mongodump_flatten",
+    "el_xml_roundtrip",
+    "el_zorder_roundtrip",
+    "el_mongodump_export_roundtrip",
+    "el_compact_roundtrip",
+    "el_jsonl_gzip_roundtrip",
+    "el_footer_manifest",
+    "el_inverted_index_roundtrip",
+    "el_inverted_index_incremental",
+    "el_index_bm25_topk",
+    "el_index_phrase_matches",
+    "dedup_near_clusters_checkpointed",
+    "streaming_tar_ingest",
+    "streaming_nb_ingest",
+    "classifier_nb_incremental",
+    "classifier_nb_compacted",
     "pipeline_classify_route_shards",
     "pipeline_route_label_quota",
-    "el_tar_member_glob_scan",
-    "classifier_nb_compacted",
-    "classifier_nb_lang",
-    "classifier_nb_incremental",
-    "streaming_nb_ingest",
-    "pipeline_tokens_to_shards",
-    "pipeline_packed_sequences",
-    "el_tar_shards_roundtrip",
-    "el_tar_shards_native_read",
-    "el_tar_manifest_scan",
-    "el_tar_reshard_roundtrip",
-    "multimodal_wds_samples",
-    "multimodal_wds_snapshot_diff",
-    # (b) the 21-entry r9-latest freshness front (verified name-for-
-    # name against CORRECTNESS_r01..r14 by the r14 judge AND
-    # recomputed this session);
-    "q7_nation_volume",
-    "q8_market_share",
-    "rollup_customer_counts",
-    "session_window_native",
-    "sketch_rollup_distinct_users",
-    "sql_api_revenue_by_day",
-    "streaming_dedup_events",
-    "streaming_enrich_static",
-    "streaming_parquet_sink",
-    "streaming_session_windows",
-    "streaming_sliding_window_counts",
-    "streaming_stateful_sessions",
-    "streaming_stream_join",
-    "streaming_window_counts",
-    "suppliers_with_shipments",
-    "udtf_token_runs",
-    "unpivot_event_counts",
-    "user_session_stats",
-    "users_click_and_purchase",
-    "variant_props_extract",
-    "window_top_orders_per_customer",
-    # (c) the 14 oldest r10-latest rows in their r10 window order
-    # (the remaining 34 r10-latest entries roll to r16's front;
-    # dedup_simhash_pairs and dedup_incremental_near_dups rotated
-    # out for classifier_nb_compacted and pipeline_route_label_quota).
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "multimodal_png_pixel_roundtrip",
-    "date_functions",
-    "string_functions",
-    "lag_lead_values",
+    "multimodal_flac_streaminfo",
+    # (b) the oldest 23 of the 34 r10-latest entries, in their r10
+    # window order (el_mongodump_scan/flatten and el_xml_roundtrip
+    # are already above; the remaining 8 — text_language_id,
+    # text_quality_scores, text_tfidf_top_terms, text_token_stats,
+    # text_top_bigrams, text_winnow_fingerprints, theta_overlap_users,
+    # udf_text_normalize — roll to r17's front).
+    "dedup_incremental_near_dups",
+    "dedup_simhash_pairs",
+    "ann_ivf_recall",
+    "asof_purchase_last_click",
+    "cube_order_counts",
+    "distinct_users_approx",
+    "distinct_users_exact",
+    "full_outer_daily_activity",
+    "histogram_quantile_rollup",
+    "json_extract_props",
+    "json_schema_promotion",
+    "kll_quantile_rollup",
+    "median_value_by_type",
+    "merge_upsert_events",
+    "multimodal_metadata",
+    "partition_counts",
+    "percentile_approx_values",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "salted_join_revenue",
+    "streaming_foreach_batch_upsert",
+    "systematic_sample",
+    "text_fingerprints",
 ]
 
 
@@ -147,13 +146,9 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # anchor) or stages here with full pytest-oracle parity until the
     # next round covers it.
     #
-    # r15: the incremental tokenizer registered AFTER the r15 window
-    # was staged, rehearsed and pinned (the window's 50 slots are
-    # committed); full DuckDB-oracle parity holds in
-    # tests/test_queries_oracle.py and it was driven vanilla
-    # out-of-repo at both SFs. MUST move to the front of
-    # _DRIVER_WINDOW_FIRST in r16.
-    "pipeline_incremental_tokenize",
+    # r16: empty — pipeline_incremental_tokenize moved to the window
+    # front per its r15 staging contract; every r16 registration went
+    # directly into the window.
 ]
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongo2pq_spark.queries.registry import register
+from mongo2pq_spark.sources.staging import generation_tmp_dir
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,7 +239,6 @@ def systematic_sample(spark, sf_dir):
 )
 def el_partitioned_roundtrip(spark, sf_dir):
     import os
-    import tempfile
 
     from mongo2pq_spark.plans.pipeline import extract_load_collection
     from mongo2pq_spark.schema.model import Schema
@@ -247,9 +247,11 @@ def el_partitioned_roundtrip(spark, sf_dir):
     df = _events(spark, sf_dir)
     fields = {f.name: spark_to_arrow(f.dataType) for f in df.schema.fields}
     schema = Schema("events", fields)
-    # fixed path, overwritten each run (mkdtemp would accumulate a full
-    # events copy in /tmp per bench repeat / test session)
-    outdir = os.path.join(tempfile.gettempdir(), "el_roundtrip_out")
+    # generation-keyed path (VERDICT r15 #2): stable across bench
+    # repeats over an unchanged source (no /tmp accretion), distinct
+    # per scale factor / regenerated source so plan-keyed caches and
+    # concurrent sessions can never cross generations
+    outdir = generation_tmp_dir(sf_dir, "el_roundtrip_out", table="events")
     path = extract_load_collection(df, schema, outdir, partition_key="event_type")
     return (
         spark.read.parquet(path)
@@ -325,13 +327,12 @@ def limit_page(spark, sf_dir):
 )
 def el_jsonl_roundtrip(spark, sf_dir):
     import os
-    import tempfile
 
     from mongo2pq_spark.sources.registry import read_sf_table
 
     docs = read_sf_table(spark, sf_dir, "documents")
-    # fixed path, overwritten each run (same policy as el_roundtrip_out)
-    outdir = os.path.join(tempfile.gettempdir(), "el_jsonl_out")
+    # generation-keyed path (the el_roundtrip_out policy)
+    outdir = generation_tmp_dir(sf_dir, "el_jsonl_out")
     docs.write.mode("overwrite").json(outdir)
     back = spark.read.json(outdir)
     return back.groupBy("lang").agg(
@@ -357,12 +358,11 @@ def el_jsonl_roundtrip(spark, sf_dir):
 )
 def el_orc_roundtrip(spark, sf_dir):
     import os
-    import tempfile
 
     from mongo2pq_spark.sources.registry import read_sf_table
 
     ev = read_sf_table(spark, sf_dir, "events")
-    outdir = os.path.join(tempfile.gettempdir(), "el_orc_out")
+    outdir = generation_tmp_dir(sf_dir, "el_orc_out", table="events")
     ev.write.mode("overwrite").orc(outdir)
     back = spark.read.orc(outdir)
     return back.groupBy("event_type").agg(
@@ -393,12 +393,11 @@ def el_orc_roundtrip(spark, sf_dir):
 )
 def el_schema_evolution(spark, sf_dir):
     import os
-    import tempfile
 
     from mongo2pq_spark.sources.registry import read_sf_table
 
     ev = read_sf_table(spark, sf_dir, "events")
-    base = os.path.join(tempfile.gettempdir(), "el_evolution_out")
+    base = generation_tmp_dir(sf_dir, "el_evolution_out", table="events")
     ev.filter(F.col("event_id") % 2 == 0).select(
         "event_id", "user_id", "value"
     ).write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
@@ -435,14 +434,13 @@ def el_schema_evolution(spark, sf_dir):
 )
 def el_csv_roundtrip(spark, sf_dir):
     import os
-    import tempfile
 
     from mongo2pq_spark.sources.registry import read_sf_table
 
     docs = read_sf_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    outdir = os.path.join(tempfile.gettempdir(), "el_csv_out")
+    outdir = generation_tmp_dir(sf_dir, "el_csv_out")
     docs.write.mode("overwrite").option("header", "true").csv(outdir)
     back = spark.read.option("header", "true").schema(docs.schema).csv(outdir)
     return back.groupBy("lang").agg(
@@ -487,7 +485,6 @@ def el_csv_roundtrip(spark, sf_dir):
 )
 def el_mongodump_scan(spark, sf_dir):
     import os
-    import tempfile
 
     from mongo2pq_spark.deploy import ensure_shipped
     from mongo2pq_spark.sources.mongodump import read_mongodump
@@ -520,7 +517,7 @@ def el_mongodump_scan(spark, sf_dir):
             ).alias("meta"),
         )
     )
-    outdir = os.path.join(tempfile.gettempdir(), "el_mongodump_out")
+    outdir = generation_tmp_dir(sf_dir, "el_mongodump_out", table="events")
     ev.select(doc.alias("value")).write.mode("overwrite").text(outdir)
     back = read_mongodump(spark, outdir)
     assert "meta" not in back.columns  # nested subdoc must be dropped
@@ -559,7 +556,6 @@ def el_mongodump_scan(spark, sf_dir):
 )
 def el_mongodump_flatten(spark, sf_dir):
     import os
-    import tempfile
 
     from mongo2pq_spark.deploy import ensure_shipped
     from mongo2pq_spark.sources.mongodump import read_mongodump
@@ -581,7 +577,9 @@ def el_mongodump_flatten(spark, sf_dir):
             F.array(F.col("event_type")).alias("tags"),  # skipped list
         )
     )
-    outdir = os.path.join(tempfile.gettempdir(), "el_mongodump_flat_out")
+    outdir = generation_tmp_dir(
+        sf_dir, "el_mongodump_flat_out", table="events"
+    )
     ev.select(doc.alias("value")).write.mode("overwrite").text(outdir)
     back = read_mongodump(spark, outdir, on_nested="flatten")
     assert "meta.kind" in back.columns and "meta" not in back.columns
@@ -611,14 +609,13 @@ def el_mongodump_flatten(spark, sf_dir):
 )
 def el_xml_roundtrip(spark, sf_dir):
     import os
-    import tempfile
 
     from mongo2pq_spark.sources.registry import read_sf_table
 
     docs = read_sf_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    outdir = os.path.join(tempfile.gettempdir(), "el_xml_out")
+    outdir = generation_tmp_dir(sf_dir, "el_xml_out")
     (
         docs.write.mode("overwrite")
         .option("rootTag", "documents")
@@ -660,13 +657,12 @@ def el_xml_roundtrip(spark, sf_dir):
 )
 def el_zorder_roundtrip(spark, sf_dir):
     import os
-    import tempfile
 
     from mongo2pq_spark.operators.layout import write_zordered
     from mongo2pq_spark.sources.registry import read_sf_table
 
     ev = read_sf_table(spark, sf_dir, "events")
-    outdir = os.path.join(tempfile.gettempdir(), "el_zorder_out")
+    outdir = generation_tmp_dir(sf_dir, "el_zorder_out", table="events")
     write_zordered(ev, outdir, "user_id", "event_id", bits=12)
     back = spark.read.parquet(outdir)
     return (
@@ -756,7 +752,6 @@ def profile_events_stats(spark, sf_dir):
 )
 def el_mongodump_export_roundtrip(spark, sf_dir):
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -772,11 +767,10 @@ def el_mongodump_export_roundtrip(spark, sf_dir):
     ev = read_sf_table(spark, sf_dir, "events").filter(
         F.col("event_id") < 20000
     ).select("event_id", "ts", "user_id", "event_type", "value")
-    # per-SCALE path (the el_index_bm25 lesson: a shared path lets one
-    # scale's cached/read state leak into the other)
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"el_mongodump_export_{os.path.basename(sf_dir.rstrip('/'))}",
+    # generation-keyed path (supersedes the per-SCALE-only key: a
+    # REGENERATED source at the same SF now also gets a fresh dir)
+    out = generation_tmp_dir(
+        sf_dir, "el_mongodump_export", table="events"
     )
     ev.write.format("mongodump").mode("overwrite").save(out)
     back = (
@@ -819,12 +813,11 @@ def el_mongodump_export_roundtrip(spark, sf_dir):
 )
 def el_compact_roundtrip(spark, sf_dir):
     import os
-    import tempfile
 
     from mongo2pq_spark.plans.pipeline import compact_partitions
 
     df = _events(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "el_compact_out")
+    out = generation_tmp_dir(sf_dir, "el_compact_out", table="events")
     # stage the pathology: 24 files per partition dir
     (
         df.repartition(24)
@@ -1034,12 +1027,11 @@ def dq_referential_lineitem(spark, sf_dir):
 )
 def el_jsonl_gzip_roundtrip(spark, sf_dir):
     import os
-    import tempfile
 
     from mongo2pq_spark.sources.registry import read_sf_table
 
     docs = read_sf_table(spark, sf_dir, "documents")
-    outdir = os.path.join(tempfile.gettempdir(), "el_jsonl_gz_out")
+    outdir = generation_tmp_dir(sf_dir, "el_jsonl_gz_out")
     docs.write.mode("overwrite").option(
         "compression", "gzip"
     ).json(outdir)
@@ -1155,14 +1147,13 @@ def el_snapshot_diff(spark, sf_dir):
 )
 def el_footer_manifest(spark, sf_dir):
     import os
-    import tempfile
 
     import pyarrow.parquet as pq
 
     from mongo2pq_spark.sources.registry import read_sf_table
 
     ev = read_sf_table(spark, sf_dir, "events")
-    outdir = os.path.join(tempfile.gettempdir(), "el_footer_out")
+    outdir = generation_tmp_dir(sf_dir, "el_footer_out", table="events")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(outdir)
 
     rows = []

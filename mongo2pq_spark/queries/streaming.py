@@ -484,7 +484,6 @@ def streaming_dq_monitor(spark, sf_dir):
 )
 def streaming_tar_ingest(spark, sf_dir):
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -494,27 +493,17 @@ def streaming_tar_ingest(spark, sf_dir):
 
     register_tarshards(spark)
     docs = read_sf_table(spark, sf_dir, "documents")
-    # staging keyed by (sf, source mtime): re-runs over the SAME
-    # testdata re-write identical shard bytes under the same paths,
-    # the file-source log skips already-seen files, and batch-keyed
-    # manifest partitions overwrite themselves — idempotent across
-    # repeated invocations. A REGENERATED testdata tree (new mtimes)
-    # gets a fresh root, because the file-source log keys on path
-    # and would otherwise skip re-written shards and serve stale
-    # digests.
-    src = os.path.join(str(sf_dir), "documents.parquet")
-    mtimes = [os.path.getmtime(src)]
-    if os.path.isdir(src):
-        mtimes += [
-            os.path.getmtime(os.path.join(src, f))
-            for f in os.listdir(src)
-        ]
-    stamp = int(max(mtimes))
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "stream_tar_ingest_"
-        f"{os.path.basename(str(sf_dir).rstrip('/'))}_{stamp}",
-    )
+    # staging keyed by the source generation (sources/staging.py):
+    # re-runs over the SAME testdata re-write identical shard bytes
+    # under the same paths, the file-source log skips already-seen
+    # files, and batch-keyed manifest partitions overwrite themselves
+    # — idempotent across repeated invocations. A REGENERATED
+    # testdata tree gets a fresh root, because the file-source log
+    # keys on path and would otherwise skip re-written shards and
+    # serve stale digests.
+    from mongo2pq_spark.sources.staging import generation_tmp_dir
+
+    root = generation_tmp_dir(str(sf_dir), "stream_tar_ingest")
     landing = os.path.join(root, "landing")
     for k in range(3):
         (
@@ -576,7 +565,6 @@ def _nb_stream_oracle() -> str:
 )
 def streaming_nb_ingest(spark, sf_dir):
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -602,26 +590,17 @@ def streaming_nb_ingest(spark, sf_dir):
     train = split.filter(F.col("bucket") < _NB_TRAIN_PCT)
     test = split.filter(F.col("bucket") >= _NB_TRAIN_PCT)
 
-    # staging keyed by (sf, source mtime), waves written ONCE behind a
-    # _SUCCESS guard: parquet part names are not deterministic across
-    # writes, so re-writing a wave would look like NEW files to the
-    # file-source log and double-ingest it — the guard makes re-runs
-    # pure no-ops instead (production landing trees are append-only
-    # producer drops; this rewrite hazard is a test-fixture shape).
-    # A regenerated testdata tree (new mtimes) gets a fresh root.
-    src = os.path.join(str(sf_dir), "documents.parquet")
-    mtimes = [os.path.getmtime(src)]
-    if os.path.isdir(src):
-        mtimes += [
-            os.path.getmtime(os.path.join(src, f))
-            for f in os.listdir(src)
-        ]
-    stamp = int(max(mtimes))
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "stream_nb_ingest_"
-        f"{os.path.basename(str(sf_dir).rstrip('/'))}_{stamp}",
-    )
+    # staging keyed by the source generation (sources/staging.py),
+    # waves written ONCE behind a _SUCCESS guard: parquet part names
+    # are not deterministic across writes, so re-writing a wave would
+    # look like NEW files to the file-source log and double-ingest it
+    # — the guard makes re-runs pure no-ops instead (production
+    # landing trees are append-only producer drops; this rewrite
+    # hazard is a test-fixture shape). A regenerated testdata tree
+    # gets a fresh root.
+    from mongo2pq_spark.sources.staging import generation_tmp_dir
+
+    root = generation_tmp_dir(str(sf_dir), "stream_nb_ingest")
     landing = os.path.join(root, "landing")
     for k in range(3):
         wave = os.path.join(landing, f"wave{k}")

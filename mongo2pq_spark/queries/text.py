@@ -11,6 +11,7 @@ from mongo2pq_spark.functions.textfns import (
 )
 from mongo2pq_spark.operators import text as ops
 from mongo2pq_spark.queries.registry import register
+from mongo2pq_spark.sources.staging import generation_tmp_dir
 
 _BPE_SQL_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
@@ -613,7 +614,6 @@ def _inverted_index_oracle() -> str:
 )
 def el_inverted_index_roundtrip(spark, sf_dir):
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -624,9 +624,9 @@ def el_inverted_index_roundtrip(spark, sf_dir):
     from mongo2pq_spark.sources.registry import read_sf_table
 
     docs = read_sf_table(spark, sf_dir, "documents")
-    # fixed path, overwritten each run (mkdtemp would accumulate a
-    # full artifact per bench iteration)
-    out = os.path.join(tempfile.gettempdir(), "el_inverted_index")
+    # generation-keyed path (VERDICT r15 #2): stable across bench
+    # repeats, distinct per scale factor / regenerated source
+    out = generation_tmp_dir(sf_dir, "el_inverted_index")
     write_inverted_index(docs, out)
     probe = query_postings(spark, out, _IDX_TERMS)
     return _postings_summary(probe)
@@ -669,7 +669,6 @@ def _inverted_incremental_oracle() -> str:
 def el_inverted_index_incremental(spark, sf_dir):
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -680,7 +679,7 @@ def el_inverted_index_incremental(spark, sf_dir):
     from mongo2pq_spark.sources.registry import read_sf_table
 
     docs = read_sf_table(spark, sf_dir, "documents")
-    out = os.path.join(tempfile.gettempdir(), "el_inverted_index_inc")
+    out = generation_tmp_dir(sf_dir, "el_inverted_index_inc")
     # the query must be a pure function of the tables: rebuild the
     # two-batch store from scratch each run (stale batches from an
     # earlier run would leak extra docs into the probe)
@@ -712,7 +711,6 @@ def el_inverted_index_incremental(spark, sf_dir):
 )
 def el_index_bm25_topk(spark, sf_dir):
     import os
-    import tempfile
 
     from mongo2pq_spark.operators.text import (
         bm25_from_tf,
@@ -722,14 +720,11 @@ def el_index_bm25_topk(spark, sf_dir):
     from mongo2pq_spark.sources.registry import read_sf_table
 
     docs = read_sf_table(spark, sf_dir, "documents")
-    # path is per SCALE FACTOR, not one fixed dir: the decoded-postings
-    # plan is cached (cache_stream in bm25_from_tf keys on plan
-    # semantics = the read path), so two scale factors sharing a path
-    # would serve the first scale's cached postings to the second
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"el_index_bm25_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    # generation-keyed path: the decoded-postings plan is cached
+    # (cache_stream in bm25_from_tf keys on plan semantics = the read
+    # path), so two scale factors — or two GENERATIONS of one scale
+    # factor — sharing a path would serve stale cached postings
+    out = generation_tmp_dir(sf_dir, "el_index_bm25")
     write_inverted_index(docs, out)
     tf = query_postings(spark, out, None)  # full decode, distributed
     return bm25_from_tf(
@@ -813,7 +808,6 @@ def text_phrase_matches(spark, sf_dir):
 )
 def el_index_phrase_matches(spark, sf_dir):
     import os
-    import tempfile
 
     from mongo2pq_spark.operators.text import (
         phrase_query_index,
@@ -822,8 +816,8 @@ def el_index_phrase_matches(spark, sf_dir):
     from mongo2pq_spark.sources.registry import read_sf_table
 
     docs = read_sf_table(spark, sf_dir, "documents")
-    # fixed path, overwritten each run (the el_ queries' precedent)
-    out = os.path.join(tempfile.gettempdir(), "el_positional_index")
+    # generation-keyed path (the el_ queries' policy)
+    out = generation_tmp_dir(sf_dir, "el_positional_index")
     write_inverted_index(docs, out, positions=True)
     return phrase_query_index(spark, out, PHRASE_QUERIES)
 

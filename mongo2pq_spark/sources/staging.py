@@ -21,29 +21,60 @@ from __future__ import annotations
 
 
 def generation_tmp_dir(
-    sf_dir: str, tag: str, table: str = "documents"
+    sf_dir: str,
+    tag: str,
+    table: str = "documents",
+    per_process: bool = False,
 ) -> str:
     """Staging dir for a query-local data generation under ``tag``,
-    keyed by the source table's absolute path + mtime (md5, 12 hex
+    keyed by the source table's absolute path + a recursive
+    per-leaf-file (relpath, mtime, size) fingerprint (md5, 12 hex
     chars). Distinct scale factors, distinct tags, and regenerated
-    sources (new mtime) all map to distinct directories; an unchanged
-    source is stable across calls."""
+    sources — including an in-place rewrite of a nested part file
+    that leaves every directory mtime untouched (ADVICE r15) — all
+    map to distinct directories; an unchanged source is stable
+    across calls, so bench repeats reuse the dir instead of
+    accreting /tmp entries.
+
+    ``per_process=True`` appends the pid: for DESTRUCTIVE stagers
+    (the NB count-store queries ``shutil.rmtree`` the dir at entry
+    and the returned DataFrame reads it back LAZILY, after the query
+    function has returned) two concurrent sessions over the same
+    unchanged source would otherwise interleave a live reader with
+    the other's teardown — the residual same-generation race the
+    (path, fingerprint) key alone cannot close. A within-function
+    lock can't either (the read outlives the function), so isolation
+    is the fix; accretion is bounded at one dir per process per
+    generation and the dirs are tiny count tables."""
     import hashlib
     import os
     import tempfile
 
     src = os.path.join(sf_dir, f"{table}.parquet")
-    # a parquet source may be a single file OR a directory of parts
-    # (both shapes have shipped in the testdata); for a directory the
-    # DIR mtime can survive an in-place part rewrite, so fold the
-    # entries' mtimes in too — the streaming staging helpers' rule
-    mtimes = [os.path.getmtime(src)]
+    # a parquet source may be a single file OR a directory of parts —
+    # possibly NESTED (hive `key=value/` subdirs); a dir's mtime can
+    # survive an in-place rewrite of a leaf two levels down (ADVICE
+    # r15), so walk EVERY leaf and fold (relpath, mtime, size) per
+    # file: in-place rewrites, same-second rewrites that change size,
+    # and added/removed/renamed parts all key a new generation.
+    parts = [("", os.path.getmtime(src), os.path.getsize(src))]
     if os.path.isdir(src):
-        mtimes += [
-            os.path.getmtime(os.path.join(src, f))
-            for f in os.listdir(src)
-        ]
+        for root, _dirs, files in os.walk(src):
+            for f in files:
+                p = os.path.join(root, f)
+                parts.append(
+                    (
+                        os.path.relpath(p, src),
+                        os.path.getmtime(p),
+                        os.path.getsize(p),
+                    )
+                )
+    fingerprint = ";".join(
+        f"{rel}:{mt}:{sz}" for rel, mt, sz in sorted(parts)
+    )
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{max(mtimes)}".encode()
+        f"{os.path.abspath(src)}|{fingerprint}".encode()
     ).hexdigest()[:12]
+    if per_process:
+        key = f"{key}-p{os.getpid()}"
     return os.path.join(tempfile.gettempdir(), f"m2pq_{tag}_{key}")

@@ -2106,7 +2106,8 @@ def test_verify_tar_shards_large_shard_smoke(spark, tmp_path):
 
 def test_cli_nb_classifier_at_ingest(spark, tmp_path):
     """--nb-store: labeled collections TEACH the persisted count store
-    at ingest (batch=cli-<name>, retry replaces), every collection
+    at ingest (content-keyed batch; identical retry no-ops, edited
+    re-teach replaces the prior generation), every collection
     carrying text+id gains nb_pred_label/nb_pred_score from the model
     rebuilt over the store's whole history, a later score-only run
     needs no config flags (the store's pin is authoritative), and the
@@ -2307,6 +2308,112 @@ def test_nb_cli_batch_id_sanitizes_any_collection_name():
     assert _nb_cli_batch_id("a.b") != _nb_cli_batch_id("a b")
 
 
+def test_cli_nb_reteach_after_compaction_content_keyed(spark, tmp_path):
+    """ADVICE r15 (medium): with name-keyed CLI batches, a post-
+    --nb-compact re-teach of a collection whose CONTENT changed was
+    silently dropped (its name key sat in the absorbed set) while the
+    CLI printed 'folded'. The v2 content-keyed scheme must: (1) give
+    an edited re-teach a NEW batch id that ingests post-compaction;
+    (2) keep the identical-content retry a no-op, reported as
+    SKIPPED, not 'folded'; (3) REPLACE the prior generation's live
+    batch dir pre-compaction (no double count); (4) replace a legacy
+    name-keyed ``cli-<name>`` batch on the first v2 teach."""
+    import os
+
+    from mongo2pq_spark.cli import (
+        _nb_cli_batch_id,
+        _nb_cli_batch_key,
+    )
+    from mongo2pq_spark.operators.classifier import (
+        compact_nb_store,
+        ingest_nb_counts,
+        load_nb_model,
+        nb_train,
+    )
+
+    schema = "doc_id long, text string, label string"
+    gen_a = [(1, "spam buy now", "spam"), (2, "hello friend", "ham")]
+    gen_b = [(1, "spam buy now", "spam"), (2, "dear agenda agenda", "ham")]
+    df_a = spark.createDataFrame(gen_a, schema)
+    df_b = spark.createDataFrame(gen_b, schema)
+
+    def snap(pair):
+        model, priors = pair
+        return (
+            sorted(tuple(r) for r in model.collect()),
+            sorted(tuple(r) for r in priors.collect()),
+        )
+
+    # content keying: identical content -> same key; edited -> new key
+    key_a, globs = _nb_cli_batch_key(df_a, "docs", "label", "text")
+    key_a2, _ = _nb_cli_batch_key(df_a, "docs", "label", "text")
+    key_b, globs_b = _nb_cli_batch_key(df_b, "docs", "label", "text")
+    assert key_a == key_a2 and key_a != key_b
+    assert globs == globs_b  # replace scope is per-NAME, not content
+    other_key, _ = _nb_cli_batch_key(df_a, "other", "label", "text")
+    assert other_key != key_a  # distinct collections never collide
+
+    store = str(tmp_path / "store")
+    # (4) legacy migration: a pre-upgrade name-keyed batch gets
+    # replaced by the v2 teach of the same collection
+    legacy_id = _nb_cli_batch_id("docs")
+    assert ingest_nb_counts(df_a, store, legacy_id, "label") == "ingested"
+    assert (
+        ingest_nb_counts(
+            df_a, store, key_a, "label", replace_globs=globs
+        )
+        == "ingested"
+    )
+    batch_dirs = lambda: sorted(  # noqa: E731
+        d
+        for d in os.listdir(os.path.join(store, "term_counts"))
+        if d.startswith("batch=")
+    )
+    assert batch_dirs() == [f"batch={key_a}"]
+    assert snap(load_nb_model(spark, store, "label")) == snap(
+        nb_train(df_a, "label")
+    )
+
+    # (3) pre-compaction edited re-teach REPLACES, never appends
+    assert (
+        ingest_nb_counts(
+            df_b, store, key_b, "label", replace_globs=globs
+        )
+        == "ingested"
+    )
+    assert batch_dirs() == [f"batch={key_b}"]
+    assert snap(load_nb_model(spark, store, "label")) == snap(
+        nb_train(df_b, "label")
+    )
+
+    compact_nb_store(spark, store)
+    # (2) identical-content retry post-compaction: absorbed no-op
+    assert (
+        ingest_nb_counts(
+            df_b, store, key_b, "label", replace_globs=globs
+        )
+        == "absorbed"
+    )
+    assert batch_dirs() == ["batch=c0"]
+
+    # (1) EDITED re-teach post-compaction: fresh content key, so it
+    # ingests (the old counts stay inside c0 — additive append, the
+    # documented post-compaction boundary; never a silent drop)
+    gen_c = [(3, "offer offer buy", "spam")]
+    df_c = spark.createDataFrame(gen_c, schema)
+    key_c, globs_c = _nb_cli_batch_key(df_c, "docs", "label", "text")
+    assert (
+        ingest_nb_counts(
+            df_c, store, key_c, "label", replace_globs=globs_c
+        )
+        == "ingested"
+    )
+    assert batch_dirs() == ["batch=c0", f"batch={key_c}"]
+    assert snap(load_nb_model(spark, store, "label")) == snap(
+        nb_train(spark.createDataFrame(gen_b + gen_c, schema), "label")
+    )
+
+
 def test_generation_tmp_dir_distinct_per_source_generation(tmp_path):
     """The pipeline queries' staging dirs are keyed by (source path,
     mtime) — VERDICT r14 #2: a fixed /tmp path shared across scale
@@ -2349,3 +2456,60 @@ def test_generation_tmp_dir_distinct_per_source_generation(tmp_path):
     os.utime(part, (part.stat().st_mtime + 10, part.stat().st_mtime + 10))
     os.utime(src_c, dir_times)  # dir mtime pinned back: file-only change
     assert _generation_tmp_dir(str(sf_c), "pipeline_token_shards") != d_c
+
+    # NESTED (hive-partitioned) source: an in-place rewrite of a leaf
+    # part two levels down changes neither the top dir's mtime nor
+    # its direct entries' — the ADVICE r15 hazard; the recursive
+    # fingerprint must key a new generation anyway
+    sf_d = tmp_path / "sf_d"
+    src_d = sf_d / "documents.parquet"
+    leaf_dir = src_d / "batch=x"
+    leaf_dir.mkdir(parents=True)
+    leaf = leaf_dir / "part-00000.parquet"
+    leaf.write_bytes(b"v1")
+    d_d = _generation_tmp_dir(str(sf_d), "pipeline_token_shards")
+    assert d_d == _generation_tmp_dir(str(sf_d), "pipeline_token_shards")
+    top_times = (src_d.stat().st_atime, src_d.stat().st_mtime)
+    sub_times = (leaf_dir.stat().st_atime, leaf_dir.stat().st_mtime)
+    os.utime(leaf, (leaf.stat().st_mtime + 10, leaf.stat().st_mtime + 10))
+    os.utime(leaf_dir, sub_times)  # both dir mtimes pinned back
+    os.utime(src_d, top_times)
+    assert _generation_tmp_dir(str(sf_d), "pipeline_token_shards") != d_d
+
+    # SAME-mtime in-place rewrite that changes the size keys anew too
+    d_d2 = _generation_tmp_dir(str(sf_d), "pipeline_token_shards")
+    t = leaf.stat()
+    leaf.write_bytes(b"v2-longer")
+    os.utime(leaf, (t.st_atime, t.st_mtime))
+    os.utime(leaf_dir, sub_times)
+    os.utime(src_d, top_times)
+    assert _generation_tmp_dir(str(sf_d), "pipeline_token_shards") != d_d2
+
+    # per_process: same generation, two processes -> disjoint dirs
+    # (the rmtree-at-entry store queries' same-generation race guard)
+    from mongo2pq_spark.sources.staging import generation_tmp_dir
+
+    mine = generation_tmp_dir(str(sf_a), "nb_store", per_process=True)
+    assert mine == generation_tmp_dir(
+        str(sf_a), "nb_store", per_process=True
+    )
+    assert mine != generation_tmp_dir(str(sf_a), "nb_store")
+    assert mine.endswith(f"-p{os.getpid()}")
+    import subprocess
+    import sys
+
+    other = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from mongo2pq_spark.sources.staging import "
+            "generation_tmp_dir; "
+            f"print(generation_tmp_dir({str(sf_a)!r}, 'nb_store', "
+            "per_process=True))",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        check=True,
+    ).stdout.strip()
+    assert other != mine  # concurrent sessions cannot collide

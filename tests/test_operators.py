@@ -4338,6 +4338,88 @@ def test_flac_streaminfo_bitfield_and_fail_louds():
         parse_flac_streaminfo(bytes(zz))
 
 
+def test_flac_codec_lossless_roundtrip_all_paths():
+    """The r16 FLAC codec (operators/flac.py — VERDICT r15 #7): every
+    subframe type (CONSTANT/VERBATIM/FIXED/LPC), wasted-bits, escape
+    partitions, multi-partition residuals, all four stereo
+    assignments, multi-frame sequencing, and 8/16/24/32-bit depths
+    must round-trip BIT-EXACT, proven by sample equality AND the
+    STREAMINFO raw-PCM md5 recomputed over the decoded output."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.flac import decode_flac, encode_flac
+
+    def check(samples, **kw):
+        s = np.asarray(samples, dtype=np.int64)
+        d = decode_flac(encode_flac(s, kw.pop("sr", 8000),
+                                    kw.pop("bps", 16), **kw))
+        s2 = d["samples"]
+        if s.ndim == 1:
+            s = s[:, None]
+        assert (s2 == s).all() and d["md5_ok"]
+        return d
+
+    # CONSTANT + silence
+    check(np.full((500, 2), 123), block_size=256)
+    check(np.zeros((300, 1)))
+    # ramps: FIXED predictors collapse these to near-zero residuals
+    check(np.arange(1000)[:, None] - 500, block_size=192)
+    # wasted bits: every sample has 3 common trailing zero bits
+    check((np.arange(400)[:, None] % 61 - 30) * 8, block_size=100)
+    # huge alternation: escape partitions beat rice
+    check(np.where(np.arange(600) % 2 == 0, 30000, -30000)[:, None],
+          block_size=150)
+    # sine: the LPC path wins and must reconstruct exactly
+    t = np.arange(2000)
+    sine = (10000 * np.sin(t / 10.0)).astype(np.int64)[:, None]
+    check(sine, block_size=1024)
+    # all four stereo assignments, forced (17-bit side channel width)
+    st = np.stack([sine[:500, 0], sine[:500, 0] // 2 + 7], axis=1)
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        check(st, block_size=250, stereo_mode=mode)
+    # bit depths beyond 16 (24-bit exercises the 3-byte md5 packing)
+    for bps, scale in ((8, 100), (24, 5_000_000), (32, 8 * 10**8)):
+        s = (((np.arange(700) * 37) % 199 - 99) * scale // 99)[:, None]
+        check(s, bps=bps, block_size=256, sr=44100)
+    # multi-frame: 61 frames of 64 samples + a short tail frame
+    s = ((np.arange(3907) * 31) % 2003 - 1001)[:, None]
+    check(s, block_size=64)
+
+
+def test_flac_codec_fail_louds():
+    """Corruption must fail typed, never decode silently wrong: a
+    flipped payload bit breaks CRC-16, a flipped header bit breaks
+    CRC-8, truncation raises, and out-of-range inputs are refused at
+    encode (the codec-boundary contract every decoder here pins)."""
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.flac import decode_flac, encode_flac
+
+    s = (((np.arange(500) * 37) % 2003) - 1001)[:, None]
+    good = encode_flac(s, 8000, 16, block_size=128)
+    assert decode_flac(good)["md5_ok"]
+
+    bad = bytearray(good)
+    bad[60] ^= 0x40  # inside the first frame's coded payload
+    with pytest.raises(ValueError, match="CRC-16"):
+        decode_flac(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_flac(good[:50])
+    # header byte right after the metadata chain = frame header CRC-8
+    hdr = bytearray(good)
+    frame_start = 4 + 4 + 34  # magic + STREAMINFO block
+    hdr[frame_start + 4] ^= 0x01  # inside the coded frame number
+    with pytest.raises(ValueError, match="CRC-8|sync|UTF-8"):
+        decode_flac(bytes(hdr))
+    with pytest.raises(ValueError, match="range"):
+        encode_flac(np.array([[40000]]), 8000, 16)
+    with pytest.raises(ValueError, match="bps"):
+        encode_flac(np.array([[1]]), 8000, 12)
+    with pytest.raises(ValueError, match="stereo_mode"):
+        encode_flac(np.zeros((10, 1)), 8000, 16, stereo_mode="mid_side")
+
+
 def test_bmp_codec_quirks_and_fail_louds():
     """BMP's three quirks round-trip (bottom-up rows, BGR order,
     4-byte row padding at awkward widths), top-down (negative height)
@@ -5791,3 +5873,22 @@ def test_incremental_encode_reuses_prior_payloads_verbatim(spark):
     assert got["doc2.tokens"] == fresh["doc2.tokens"]
     assert got["doc5.tokens"] == fresh["doc5.tokens"]
     assert got["doc2.tokens"] != prior["doc2.tokens"]
+
+    # NULL-text row with a non-null prior digest (ADVICE r15: the
+    # un-coalesced predicate made fresh NULL, excluding the row from
+    # BOTH branches — silently vanishing). It must route to the
+    # encode branch, which pins NULL -> empty payload.
+    docs_c = spark.createDataFrame(
+        [(1, None), (4, "iota kappa")], "doc_id long, text string"
+    )
+    merged_c, flagged_c = incremental_encode_payloads(
+        docs_c, digests, prior_df, merges
+    )
+    got_c = {r["name"]: bytes(r["payload"]) for r in merged_c.collect()}
+    assert {r["doc_id"]: r["fresh"] for r in flagged_c.collect()} == {
+        1: True,  # nulled text IS a change — re-encoded, not dropped
+        4: False,
+    }
+    assert set(got_c) == {"doc1.tokens", "doc4.tokens"}
+    assert got_c["doc1.tokens"] == b""  # NULL encodes as empty
+    assert got_c["doc4.tokens"] == prior["doc4.tokens"]
