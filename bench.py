@@ -240,6 +240,16 @@ HEADLINE = [
     # the wav/mp4/pdf codec class). Pin after its first two idle
     # sessions.
     "multimodal_flac_pcm_roundtrip",
+    # r16 second registration: the shard-level incremental ship on
+    # raw tarshards machinery (full gen-A ship + dirty-bucket-only
+    # gen-B write + owned+inherited read — the reshard/manifest-scan
+    # el I/O class). Pin after its first two idle sessions.
+    "el_tar_incremental_ship",
+    # r16 third registration: WAV x FLAC cross-codec fingerprint
+    # pairing over 200 built streams (decode+banding class, the
+    # crosscodec_neardup policy). Pin after its first two idle
+    # sessions.
+    "multimodal_flac_wav_crosscodec",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

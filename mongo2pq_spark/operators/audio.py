@@ -153,6 +153,27 @@ AUDIO_FP_WINDOWS = 61     # 61 envelope windows -> 60 gradient bits
 AUDIO_FP_SCHEMA = "doc_id bigint, afp bigint"
 
 
+def decode_audio_samples(payload: bytes):
+    """Magic-sniffing PCM decode: RIFF/WAVE through the WAV codec,
+    ``fLaC`` through the full FLAC decoder (operators/flac.py, r16 —
+    CRC + STREAMINFO-md5 verified). Same ``(n_channels, sample_rate,
+    (n_frames, n_channels) ndarray)`` tuple either way, so every
+    sample-level operator (fingerprint, stats, features) is
+    codec-agnostic — the dedup identity of an audio document must not
+    depend on which container its crawl happened to ship."""
+    if payload[:4] == FLAC_MAGIC:
+        from mongo2pq_spark.operators.flac import decode_flac
+
+        d = decode_flac(bytes(payload))
+        if not d["md5_ok"]:
+            raise ValueError(
+                "FLAC decode does not match the STREAMINFO raw-PCM "
+                "md5 — refusing to fingerprint corrupt audio"
+            )
+        return d["channels"], d["sample_rate"], d["samples"]
+    return decode_wav_samples(payload)
+
+
 def audio_envelope_bits(arr) -> int:
     """60-bit energy-envelope fingerprint of an ``(n_frames, n_ch)``
     sample array: channel-mean mono mix → mean-|amplitude| envelope
@@ -192,8 +213,9 @@ def audio_fingerprint(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
     """Arrow-batched perceptual AUDIO fingerprint: mapInPandas decoding
-    each PCM WAV payload through the real codec and emitting its 60-bit
-    envelope hash. Map-only (no shuffle), cost ∝ total payload bytes;
+    each payload through the real codec — WAV or FLAC, sniffed by
+    magic (r16) — and emitting its 60-bit envelope hash. Map-only
+    (no shuffle), cost ∝ total payload bytes;
     feed the result to ``operators.dedup.hamming_near_pairs`` /
     ``hamming_incremental_new`` — the same audited pigeonhole banding
     that backs text simhash and image dHash, so audio near-dedup
@@ -212,7 +234,7 @@ def audio_fingerprint(
                     "doc_id": pdf[id_col],
                     "afp": [
                         audio_envelope_bits(
-                            decode_wav_samples(bytes(p))[2]
+                            decode_audio_samples(bytes(p))[2]
                         )
                         for p in pdf[payload_col]
                     ],

@@ -1913,6 +1913,95 @@ def multimodal_flac_pcm_roundtrip(spark, sf_dir):
 
 
 @register(
+    "multimodal_flac_wav_crosscodec",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    s AS (
+        SELECT doc_id, i.i AS i,
+               (1 + (doc_id % 2) * 3) *
+               (((29 * (i.i + 1) * ((doc_id // 2) % 50 + 7)
+                  + 37 * i.i) % 1801) - 900) AS v
+        FROM d, generate_series(0, 60) i(i)
+    ),
+    h AS (
+        SELECT a.doc_id,
+               CAST(sum(CASE WHEN abs(b.v) > abs(a.v)
+                             THEN CAST(1 AS BIGINT) << a.i
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS afp
+        FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE a.i < 60
+        GROUP BY a.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.afp, b.afp)) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    """,
+    doc="CROSS-CODEC audio near-dedup, WAV x FLAC (r16 — the audio "
+        "sibling of multimodal_crosscodec_neardup): each base stream "
+        "(indexed doc_id//2, 61 closed-form int16 frames) exists "
+        "twice in the corpus — doc 2k as mono RIFF/WAVE at unit "
+        "gain, doc 2k+1 as STEREO channel-duplicated FLAC at 4x "
+        "gain (completely different bytes, containers, channel "
+        "layouts AND loudness) — and audio_fingerprint now decodes "
+        "BOTH through the magic-sniffing decode_audio_samples "
+        "(FLAC via the full r16 codec, md5-verified). The envelope "
+        "hash is gain- and channel-duplication-invariant, so every "
+        "twin pair MUST land at Hamming 0; the oracle recomputes the "
+        "hashes from the sample rule alone (gain cancels in the "
+        "|v| comparisons) and takes brute-force pairs, so the value "
+        "match proves FLAC decode ∘ fingerprint == WAV decode ∘ "
+        "fingerprint — codec-invariant dedup identity, the property "
+        "a re-encoded-audio crawl needs. Banding via the same "
+        "audited pigeonhole equi-join, never all-pairs",
+)
+def multimodal_flac_wav_crosscodec(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import audio as audio_ops
+    from mongo2pq_spark.operators.dedup import hamming_near_pairs
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.audio import encode_wav
+        from mongo2pq_spark.operators.flac import encode_flac
+
+        i = np.arange(61)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                gain = 1 + (d % 2) * 3
+                v = gain * (
+                    (29 * (i + 1) * ((d // 2) % 50 + 7) + 37 * i) % 1801
+                    - 900
+                )
+                if d % 2 == 0:
+                    payloads.append(encode_wav(v.astype("int16"), 8000))
+                else:
+                    stereo = np.repeat(v[:, None], 2, axis=1)
+                    payloads.append(
+                        encode_flac(stereo, 8000, 16, block_size=64)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_audio = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    fp = audio_ops.audio_fingerprint(with_audio)
+    return hamming_near_pairs(fp, "afp", max_hamming=3, bits=60)
+
+
+@register(
     "multimodal_bmp_pixel_roundtrip",
     """
     SELECT doc_id,

@@ -1500,3 +1500,88 @@ def el_tar_reshard_roundtrip(spark, sf_dir):
         F.octet_length(F.col("payload")).cast("bigint").alias("n_bytes"),
         F.md5(F.col("payload")).alias("content_md5"),
     )
+
+
+@register(
+    "el_tar_incremental_ship",
+    """
+    WITH gen_b AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 9 = 0 THEN text || ' [r16]'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 11 != 0
+    )
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM gen_b
+    """,
+    doc="SHARD-LEVEL incremental ship (r16, VERDICT r15 #6), proven "
+        "on the raw tarshards machinery independent of the tokenize "
+        "pipeline: generation A (full corpus as text members) ships "
+        "once; generation B (doc_id%9==0 changed, doc_id%11==0 "
+        "removed — closed-form) ships via write_shards_incremental, "
+        "which rewrites ONLY the buckets the diff touched (pinned "
+        "bucket space pmod(murmur3(name), n_shards), removals "
+        "derived from a names-only header scan, clean-bucket "
+        "membership verified name-for-name before shipping) and "
+        "inherits every clean bucket's shard from gen A by manifest "
+        "reference. The native read resolves owned + inherited and "
+        "every member's bytes + md5 must equal generation B "
+        "closed-form — the reuse-correctness oracle: a stale or "
+        "missing inherited shard, a mis-bucketed member, or a "
+        "dropped removal would all break the value hash. At 100 TB "
+        "this is what makes a crawl-wave ship O(wave) in WRITE bytes "
+        "too, not just in encode CPU",
+)
+def el_tar_incremental_ship(spark, sf_dir):
+    from mongo2pq_spark.sources.registry import read_sf_table
+    from mongo2pq_spark.sources.staging import generation_tmp_dir
+    from mongo2pq_spark.sources.tarshards import (
+        register_tarshards,
+        shard_members,
+        write_shards_incremental,
+    )
+
+    register_tarshards(spark)
+    docs = read_sf_table(spark, sf_dir, "documents")
+    as_members = lambda d: d.select(  # noqa: E731
+        F.concat(
+            F.lit("doc"), F.col("doc_id").cast("string"), F.lit(".txt")
+        ).alias("name"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    gen_a_dir = generation_tmp_dir(sf_dir, "el_tar_incr_gen_a")
+    (
+        shard_members(as_members(docs), target_shard_bytes=64 << 10)
+        .sortWithinPartitions("name")
+        .write.format("tarshards")
+        .mode("overwrite")
+        .save(gen_a_dir)
+    )
+    gen_b = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(" [r16]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    gen_b_dir = generation_tmp_dir(sf_dir, "el_tar_incr_gen_b")
+    dirty = gen_b.filter(F.col("doc_id") % 9 == 0).select(
+        F.concat(
+            F.lit("doc"), F.col("doc_id").cast("string"), F.lit(".txt")
+        ).alias("name")
+    )
+    write_shards_incremental(
+        as_members(gen_b), gen_b_dir, gen_a_dir, dirty
+    )
+    back = spark.read.format("tarshards").load(gen_b_dir)
+    return back.select(
+        F.regexp_extract(F.col("name"), r"^doc(\d+)\.txt$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.octet_length(F.col("payload")).cast("bigint").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("content_md5"),
+    )

@@ -170,7 +170,15 @@ class TarShardsWriter(DataSourceWriter):
                 os.remove(os.path.join(self.path, f))
         tmp_manifest = os.path.join(self.path, "_tmp-_MANIFEST.json")
         with open(tmp_manifest, "w") as fh:
-            json.dump({"shards": shards}, fh, sort_keys=True, indent=1)
+            # n_shards = the write's partition count (empty partitions
+            # included): the bucket-space size write_shards_incremental
+            # needs to diff the NEXT generation against this one
+            json.dump(
+                {"shards": shards, "n_shards": len(messages)},
+                fh,
+                sort_keys=True,
+                indent=1,
+            )
         os.replace(
             tmp_manifest, os.path.join(self.path, "_MANIFEST.json")
         )
@@ -258,7 +266,8 @@ class TarShardsReader(DataSourceReader):
         manifest_path = os.path.join(self.path, "_MANIFEST.json")
         if os.path.isfile(manifest_path):
             with open(manifest_path) as fh:
-                declared = set(json.load(fh).get("shards", {}))
+                manifest = json.load(fh)
+            declared = set(manifest.get("shards", {}))
             found = {os.path.basename(p) for p in shards}
             if declared != found:
                 raise ValueError(
@@ -266,6 +275,26 @@ class TarShardsReader(DataSourceReader):
                     f"_MANIFEST.json — missing {sorted(declared - found)}, "
                     f"undeclared {sorted(found - declared)}"
                 )
+            # INHERITED shards (write_shards_incremental): clean
+            # buckets whose bytes live unchanged in the OWNING
+            # generation's directory — the manifest records where, so
+            # a generation ship is O(dirty buckets) while the read
+            # still covers the full member set. The owning snapshot
+            # must stay immutable for this one's lifetime (the
+            # documented sharing contract).
+            for fname, meta in sorted(
+                manifest.get("inherited", {}).items()
+            ):
+                src = os.path.join(meta["from"], fname)
+                if not os.path.isfile(src):
+                    raise ValueError(
+                        f"tarshards read: inherited shard {fname} "
+                        f"missing from owning generation "
+                        f"{meta['from']!r} — the snapshot this one "
+                        "shares bytes with is gone or incomplete"
+                    )
+                shards.append(src)
+            shards.sort(key=os.path.basename)
         # a committed-but-empty snapshot: one no-op partition (Spark
         # rejects an empty partition list)
         return [InputPartition(p) for p in shards] or [InputPartition(None)]
@@ -358,14 +387,23 @@ def verify_tar_shards(spark, path: str, chunk_bytes: int = 8 << 20):
     from pyspark.sql import functions as F
 
     with open(_os.path.join(path, "_MANIFEST.json")) as fh:
-        manifest = json.load(fh)["shards"]
+        doc = json.load(fh)
+    manifest = dict(doc["shards"])
+    # inherited shards verify too — against THIS manifest's recorded
+    # md5/bytes, read from the owning generation's directory (a
+    # mutated or re-written owner is exactly the corruption this
+    # fsck exists to catch before a training job pins the snapshot)
+    paths = {name: _os.path.join(path, name) for name in manifest}
+    for name, meta in doc.get("inherited", {}).items():
+        manifest[name] = meta
+        paths[name] = _os.path.join(meta["from"], name)
     median_bytes = (
         float(statistics.median(int(m["bytes"]) for m in manifest.values()))
         if manifest
         else 0.0
     )
     rows = [
-        (name, meta["md5"], int(meta["bytes"]), _os.path.join(path, name))
+        (name, meta["md5"], int(meta["bytes"]), paths[name])
         for name, meta in sorted(manifest.items())
     ]
     expected = spark.createDataFrame(
@@ -475,3 +513,158 @@ def shard_members(
     return df.repartition(
         n, key_expr if key_expr is not None else F.col("name")
     )
+
+
+def write_shards_incremental(
+    df,
+    path: str,
+    prior_path: str,
+    dirty_names,
+):
+    """Ship generation B's member table writing ONLY the shards whose
+    member set changed; every other shard is INHERITED from the prior
+    generation by manifest reference — the next O(increment) rung
+    after payload-level reuse (VERDICT r15 #6: the r15 scale drive
+    showed generation ship is O(generation) and dominates at small
+    increments; this makes the whole tokenize wave O(increment)).
+
+    Mechanics: the bucket space is PINNED to the prior generation's
+    ``n_shards`` and partitioner (``pmod(murmur3(name), n)`` — what
+    ``repartition(n, col)`` computes), so a member's shard number is
+    a pure function of its name across generations. Dirty buckets =
+    buckets of ``dirty_names`` (every member whose payload may differ
+    — the caller's contract, e.g. the digest-diff's fresh set) plus
+    buckets of removed members (derived here from a names-only scan
+    of the prior snapshot — header parsing, no payload bytes). Only
+    dirty buckets' members are written (partition id == bucket ==
+    filename, so clean buckets are EMPTY partitions and write no
+    file); the committed manifest is then extended with ``inherited``
+    entries pointing each clean bucket's shard at the generation that
+    OWNS its bytes (chains flatten to depth 1: inheriting an
+    inherited shard copies its ``from``).
+
+    Safety rails: membership of every clean bucket is verified
+    name-for-name against the prior snapshot (names only — O(corpus
+    names), not O(corpus bytes)) and the write fails loud on drift,
+    so an under-declared ``dirty_names`` cannot silently ship a stale
+    shard with a DIFFERENT member set; a same-names/different-payload
+    under-declaration is uncatchable without per-member digests and
+    is exactly what the caller's digest diff exists to rule out.
+    Sharing contract: the prior generation's directory must stay
+    immutable while this one is live — ``inherited`` is a borrow, not
+    a copy; the reader and ``verify_tar_shards`` both fail loud if
+    the owner vanishes. Member order inside owned shards is pinned
+    (sortWithinPartitions) so an unchanged bucket re-written by a
+    FULL ship is byte-identical to its inherited form.
+
+    Returns ``{"n_shards", "owned", "inherited"}`` (counts) for
+    callers that assert or log the reuse ratio."""
+    import json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    manifest_path = _os.path.join(prior_path, "_MANIFEST.json")
+    with open(manifest_path) as fh:
+        prior_manifest = json.load(fh)
+    n = int(prior_manifest.get("n_shards") or 0)
+    if n <= 0:
+        raise ValueError(
+            "write_shards_incremental: prior manifest lacks n_shards "
+            "(snapshot predates the bucket-space pin) — re-ship the "
+            "prior generation first"
+        )
+    bucket = F.pmod(F.hash(F.col("name")), F.lit(n))
+
+    new_names = df.select("name")
+    prior_names = (
+        spark.read.format("tarshards")
+        .option("payloads", "false")
+        .load(prior_path)
+        .select("name")
+    )
+    removed = prior_names.join(new_names, "name", "left_anti")
+    dirty_rows = (
+        dirty_names.select("name")
+        .unionByName(removed)
+        .select(bucket.alias("b"))
+        .distinct()
+        .collect()
+    )  # bounded by n buckets — a driver-side set, not data
+    dirty = sorted(r["b"] for r in dirty_rows)
+    dirty_set = set(dirty)
+    clean = [b for b in range(n) if b not in dirty_set]
+
+    # fail-loud rail: clean buckets' member NAMES must be identical
+    # across generations (any add/remove would have dirtied them —
+    # unless dirty_names under-declared). One names-only full-outer
+    # join; asymmetric rows are drift.
+    clean_filter = ~bucket.isin(dirty) if dirty else F.lit(True)
+    drift = (
+        prior_names.filter(clean_filter)
+        .withColumn("in_prior", F.lit(True))
+        .join(
+            new_names.filter(clean_filter).withColumn(
+                "in_new", F.lit(True)
+            ),
+            "name",
+            "full_outer",
+        )
+        .filter(F.col("in_prior").isNull() | F.col("in_new").isNull())
+        .count()
+    )
+    if drift:
+        raise ValueError(
+            "write_shards_incremental: clean-bucket membership "
+            f"drifted on {drift} member name(s) — dirty_names "
+            "under-declares the increment; shipping would inherit a "
+            "stale shard"
+        )
+
+    (
+        df.filter(bucket.isin(dirty) if dirty else F.lit(False))
+        .repartition(n, F.col("name"))
+        .sortWithinPartitions("name")
+        .write.format("tarshards")
+        .mode("overwrite")
+        .save(path)
+    )
+
+    # extend the committed manifest with the inherited section —
+    # atomic replace, same discipline as the committer itself
+    out_manifest_path = _os.path.join(path, "_MANIFEST.json")
+    with open(out_manifest_path) as fh:
+        out_manifest = json.load(fh)
+    prior_shards = prior_manifest.get("shards", {})
+    prior_inherited = prior_manifest.get("inherited", {})
+    inherited = {}
+    for b in clean:
+        fname = f"shard-{b:05d}.tar"
+        if fname in prior_shards:
+            inherited[fname] = dict(
+                prior_shards[fname], **{"from": _os.path.abspath(prior_path)}
+            )
+        elif fname in prior_inherited:
+            inherited[fname] = dict(prior_inherited[fname])  # depth-1
+        # else: bucket empty in the prior generation too — nothing
+        # to inherit (and, by the rail above, empty in this one)
+    out_manifest["inherited"] = inherited
+    out_manifest["n_shards"] = n
+    tmp = _os.path.join(path, "_tmp-_MANIFEST.json")
+    with open(tmp, "w") as fh:
+        json.dump(out_manifest, fh, sort_keys=True, indent=1)
+    _os.replace(tmp, out_manifest_path)
+    owned_shards = out_manifest.get("shards", {})
+    return {
+        "n_shards": n,
+        "owned": len(owned_shards),
+        "inherited": len(inherited),
+        # the scale currency: bytes actually WRITTEN this generation
+        # vs bytes borrowed — at 100 TB the wall-clock win is this
+        # ratio, not the local-orchestration-dominated seconds
+        "owned_bytes": sum(int(m["bytes"]) for m in owned_shards.values()),
+        "inherited_bytes": sum(
+            int(m["bytes"]) for m in inherited.values()
+        ),
+    }

@@ -2065,6 +2065,193 @@ def test_verify_tar_shards_chunked_and_skew(spark, tmp_path):
     assert verify_tar_shards(spark, empty).count() == 0
 
 
+def test_tarshards_incremental_ship_inheritance(spark, tmp_path):
+    """write_shards_incremental (VERDICT r15 #6 — shard-level reuse):
+    only the buckets touched by changed/added/removed members are
+    REWRITTEN for generation B; every clean bucket's shard is
+    inherited by manifest reference from the generation that owns
+    its bytes. Pins: (1) the bucket formula pmod(murmur3(name), n)
+    IS repartition(n, name)'s assignment (filename == bucket); (2)
+    the read covers owned + inherited and is value-identical to a
+    full ship; (3) inheritance is a BORROW — rewriting the owner's
+    shard flows through gen B's read and trips the fsck; (4) the
+    drift rail fails loud on an under-declared increment; (5) a
+    vanished owner fails the read; (6) gen C inheriting through gen
+    B flattens 'from' to the true owner (depth 1)."""
+    import io
+    import json
+    import os
+    import tarfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.tarshards import (
+        register_tarshards,
+        verify_tar_shards,
+        write_shards_incremental,
+    )
+
+    register_tarshards(spark)
+    ddl = "name string, payload binary"
+    N = 8
+    gen_a_rows = [(f"doc{i}.bin", f"A-{i}".encode() * 3) for i in range(40)]
+    gen_a_df = spark.createDataFrame(gen_a_rows, ddl)
+    dir_a = str(tmp_path / "gen_a")
+    (
+        gen_a_df.repartition(N, F.col("name"))
+        .sortWithinPartitions("name")
+        .write.format("tarshards")
+        .mode("overwrite")
+        .save(dir_a)
+    )
+    man_a = json.load(open(os.path.join(dir_a, "_MANIFEST.json")))
+    assert man_a["n_shards"] == N
+
+    # (1) filename == pmod(murmur3(name), n): the cross-generation
+    # shard-identity pin everything else rests on
+    placed = {
+        r["name"]: int(r["shard"].split("-")[1].split(".")[0])
+        for r in spark.read.format("tarshards")
+        .option("payloads", "false")
+        .load(dir_a)
+        .collect()
+    }
+    formula = {
+        r["name"]: r["b"]
+        for r in gen_a_df.select(
+            "name", F.pmod(F.hash("name"), F.lit(N)).alias("b")
+        ).collect()
+    }
+    assert placed == formula
+
+    # generation B: docs 3 and 17 change, doc 5 removed, one doc
+    # ADDED — chosen so its bucket is otherwise CLEAN (the drift-rail
+    # scenario below needs an omission that actually matters; an
+    # added doc landing in an already-dirty bucket is legitimately
+    # rewriteable without being declared)
+    base_dirty = {
+        formula["doc3.bin"], formula["doc17.bin"], formula["doc5.bin"]
+    }
+    cands = [(f"doc{i}.bin",) for i in range(50, 80)]
+    added = next(
+        r["name"]
+        for r in spark.createDataFrame(cands, "name string")
+        .select("name", F.pmod(F.hash("name"), F.lit(N)).alias("b"))
+        .collect()
+        if r["b"] not in base_dirty
+    )
+    b_added = spark.createDataFrame([(added,)], "name string").select(
+        F.pmod(F.hash("name"), F.lit(N)).alias("b")
+    ).first()["b"]
+    changed = {3, 17}
+    gen_b_rows = [
+        (n, f"B-{n}".encode() * 3 if int(n[3:-4]) in changed else p)
+        for n, p in gen_a_rows
+        if n != "doc5.bin"
+    ] + [(added, b"B-new" * 3)]
+    gen_b_df = spark.createDataFrame(gen_b_rows, ddl)
+    dirty_names = spark.createDataFrame(
+        [("doc3.bin",), ("doc17.bin",), (added,)], "name string"
+    )
+    dir_b = str(tmp_path / "gen_b")
+    stats = write_shards_incremental(gen_b_df, dir_b, dir_a, dirty_names)
+    assert stats["n_shards"] == N
+    dirty_buckets = base_dirty | {b_added}
+    owned_files = {
+        f for f in os.listdir(dir_b) if f.startswith("shard-")
+    }
+    assert owned_files == {
+        f"shard-{b:05d}.tar" for b in dirty_buckets
+    }
+    man_b = json.load(open(os.path.join(dir_b, "_MANIFEST.json")))
+    assert set(man_b["inherited"]) == {
+        f"shard-{b:05d}.tar"
+        for b in set(placed.values()) - dirty_buckets
+    }
+    assert stats["owned"] == len(owned_files)
+    assert stats["inherited"] == len(man_b["inherited"])
+    for meta in man_b["inherited"].values():
+        assert meta["from"] == os.path.abspath(dir_a)
+
+    # (2) the read is value-identical to the full member table
+    back = {
+        r["name"]: bytes(r["payload"])
+        for r in spark.read.format("tarshards").load(dir_b).collect()
+    }
+    assert back == dict(gen_b_rows)
+    assert {
+        r["status"]
+        for r in verify_tar_shards(spark, dir_b).collect()
+    } == {"ok"}
+
+    # (6) gen C: nothing changes — everything inherited, and shards
+    # gen B itself inherited keep 'from' = gen A (depth-1 chains)
+    dir_c = str(tmp_path / "gen_c")
+    empty_dirty = spark.createDataFrame([], "name string")
+    stats_c = write_shards_incremental(gen_b_df, dir_c, dir_b, empty_dirty)
+    assert stats_c["owned"] == 0
+    man_c = json.load(open(os.path.join(dir_c, "_MANIFEST.json")))
+    assert set(man_c["inherited"]) == set(man_b["shards"]) | set(
+        man_b["inherited"]
+    )
+    for fname, meta in man_c["inherited"].items():
+        expect_from = (
+            os.path.abspath(dir_b)
+            if fname in man_b["shards"]
+            else os.path.abspath(dir_a)
+        )
+        assert meta["from"] == expect_from, fname
+    back_c = {
+        r["name"]: bytes(r["payload"])
+        for r in spark.read.format("tarshards").load(dir_c).collect()
+    }
+    assert back_c == dict(gen_b_rows)
+
+    # (4) drift rail: omit the ADDED doc from dirty_names — its clean
+    # bucket would inherit a stale shard; must fail loud, not ship
+    with pytest.raises(ValueError, match="under-declares"):
+        write_shards_incremental(
+            gen_b_df,
+            str(tmp_path / "gen_bad"),
+            dir_a,
+            spark.createDataFrame(
+                [("doc3.bin",), ("doc17.bin",)], "name string"
+            ),
+        )
+
+    # (3) borrow, not copy: rewrite one inherited shard IN THE OWNER
+    # with a different payload — gen B's read must reflect it, and
+    # the fsck must flag it against gen B's recorded md5
+    inh_name = sorted(man_b["inherited"])[0]
+    victim_path = os.path.join(dir_a, inh_name)
+    with tarfile.open(victim_path) as tf:
+        victims = [m.name for m in tf.getmembers() if m.isfile()]
+    with tarfile.open(victim_path, "w", format=tarfile.USTAR_FORMAT) as tf:
+        for vn in victims:
+            blob = b"TAMPERED"
+            info = tarfile.TarInfo(vn)
+            info.size = len(blob)
+            info.mtime = 0
+            info.mode = 0o644
+            tf.addfile(info, io.BytesIO(blob))
+    back2 = {
+        r["name"]: bytes(r["payload"])
+        for r in spark.read.format("tarshards").load(dir_b).collect()
+    }
+    assert all(back2[vn] == b"TAMPERED" for vn in victims)
+    flagged = {
+        r["shard"]: r["status"]
+        for r in verify_tar_shards(spark, dir_b).collect()
+    }
+    assert flagged[inh_name] == "corrupt"
+
+    # (5) vanished owner: the read refuses the dangling reference
+    os.remove(victim_path)
+    with pytest.raises(Exception, match="inherited shard"):
+        spark.read.format("tarshards").load(dir_b).collect()
+
+
 def test_verify_tar_shards_large_shard_smoke(spark, tmp_path):
     """~200 MB shard through the default 8 MB chunk: the fsck's task
     memory is the read buffer, not the shard (the old binaryFile

@@ -5625,7 +5625,10 @@ def test_classify_route_counts_match_score_histogram(spark, sf_dir):
     docs = read_sf_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
-    store = _generation_tmp_dir(sf_dir, "nb_route_store")
+    # per_process=True: the query's store staging is pid-suffixed
+    # (the r16 same-generation concurrency guard); this test shares
+    # the query's process, so the same flag resolves the same dir
+    store = _generation_tmp_dir(sf_dir, "nb_route_store", per_process=True)
     model, priors = load_nb_model(spark, store, "lang")
     scored = nb_score(docs, model, priors)
     hist = {
