@@ -577,47 +577,66 @@ def write_shards_incremental(
         )
     bucket = F.pmod(F.hash(F.col("name")), F.lit(n))
 
-    new_names = df.select("name")
+    # ONE name-level job computes everything the ship needs (the
+    # r16 bench showed the 3-job formulation — anti-join, distinct
+    # collect, drift count — was the measurable overhead of the
+    # whole feature): prior names (names-only header scan) FULL
+    # OUTER new names, left-joined to the declared dirty set, then
+    # one per-bucket aggregate. dirty = bucket has a declared name
+    # OR a removed member; drift = an ADDED member nobody declared
+    # landing in an otherwise-clean bucket (a removed member always
+    # dirties its bucket here, and a changed-but-undeclared name is
+    # uncatchable without per-member digests — the caller's digest
+    # diff exists to rule that out). The collect is bounded by n.
     prior_names = (
         spark.read.format("tarshards")
         .option("payloads", "false")
         .load(prior_path)
         .select("name")
+        .withColumn("in_prior", F.lit(True))
     )
-    removed = prior_names.join(new_names, "name", "left_anti")
-    dirty_rows = (
+    new_names = df.select("name").withColumn("in_new", F.lit(True))
+    declared = (
         dirty_names.select("name")
-        .unionByName(removed)
-        .select(bucket.alias("b"))
         .distinct()
+        .withColumn("declared", F.lit(True))
+    )
+    per_bucket = (
+        prior_names.join(new_names, "name", "full_outer")
+        .join(declared, "name", "left")
+        .select(
+            bucket.alias("b"),
+            F.col("declared").isNotNull().alias("decl"),
+            F.col("in_new").isNull().alias("removed"),
+            (
+                F.col("in_prior").isNull()
+                & F.col("declared").isNull()
+            ).alias("added_undecl"),
+        )
+        .groupBy("b")
+        .agg(
+            F.max(F.col("decl").cast("int")).alias("has_decl"),
+            F.max(F.col("removed").cast("int")).alias("has_removed"),
+            F.max(F.col("added_undecl").cast("int")).alias(
+                "has_added_undecl"
+            ),
+        )
         .collect()
-    )  # bounded by n buckets — a driver-side set, not data
-    dirty = sorted(r["b"] for r in dirty_rows)
+    )
+    dirty = sorted(
+        r["b"] for r in per_bucket if r["has_decl"] or r["has_removed"]
+    )
     dirty_set = set(dirty)
     clean = [b for b in range(n) if b not in dirty_set]
-
-    # fail-loud rail: clean buckets' member NAMES must be identical
-    # across generations (any add/remove would have dirtied them —
-    # unless dirty_names under-declared). One names-only full-outer
-    # join; asymmetric rows are drift.
-    clean_filter = ~bucket.isin(dirty) if dirty else F.lit(True)
-    drift = (
-        prior_names.filter(clean_filter)
-        .withColumn("in_prior", F.lit(True))
-        .join(
-            new_names.filter(clean_filter).withColumn(
-                "in_new", F.lit(True)
-            ),
-            "name",
-            "full_outer",
-        )
-        .filter(F.col("in_prior").isNull() | F.col("in_new").isNull())
-        .count()
+    drift = sorted(
+        r["b"]
+        for r in per_bucket
+        if r["has_added_undecl"] and r["b"] not in dirty_set
     )
     if drift:
         raise ValueError(
             "write_shards_incremental: clean-bucket membership "
-            f"drifted on {drift} member name(s) — dirty_names "
+            f"drifted in bucket(s) {drift} — dirty_names "
             "under-declares the increment; shipping would inherit a "
             "stale shard"
         )
