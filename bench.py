@@ -250,6 +250,10 @@ HEADLINE = [
     # crosscodec_neardup policy). Pin after its first two idle
     # sessions.
     "multimodal_flac_wav_crosscodec",
+    # r16 fourth registration: REAL video frame decode — AVI/MJPEG
+    # build + per-frame JPEG decode over 150 built clips (the codec
+    # class). Pin after its first two idle sessions.
+    "multimodal_avi_mjpeg_frames",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

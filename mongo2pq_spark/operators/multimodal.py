@@ -55,11 +55,14 @@ def decode_features(
     """Arrow-batched decode: mapInPandas over (id, payload, meta).
 
     For IMAGES the real path exists: ``image_cell_sums`` pools actual
-    decoded pixels through the PNG/JPEG codecs. This generic surface
-    keeps the fake-feature stand-in for the modalities whose decoders
-    aren't in this container (lossy audio, video frames); the batch
-    shape, schema contract, and partition parallelism are what a real
-    decoder plugs into unchanged.
+    decoded pixels through the PNG/JPEG codecs; AUDIO decodes for
+    real through WAV and (r16) the full FLAC codec; VIDEO frames
+    decode for real for MJPEG-in-AVI (r16, operators/video.py). This
+    generic surface keeps the fake-feature stand-in for the
+    modalities whose decoders aren't in this container (lossy audio
+    samples, compressed inter-frame video); the batch shape, schema
+    contract, and partition parallelism are what a real decoder
+    plugs into unchanged.
     """
     from mongo2pq_spark.deploy import ensure_shipped
 

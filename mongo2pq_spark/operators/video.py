@@ -704,3 +704,254 @@ def mp4_keyframe_ranges(
             )
 
     return df.mapInPandas(parse_batches, MP4_RANGE_SCHEMA)
+
+
+# =====================================================================
+# AVI / Motion-JPEG: REAL video FRAME decode (r16)
+# =====================================================================
+#
+# MJPEG is the one video family that needs no codec library — every
+# frame is a complete baseline JPEG, and operators/jpeg.py already
+# decodes it. Container + frames, both directions:
+#
+# - ``build_avi_mjpeg``: RIFF 'AVI ' writer — LIST hdrl (avih + strl
+#   with 'vids'/'MJPG' strh + BITMAPINFOHEADER strf), LIST movi with
+#   word-aligned ``00dc`` frame chunks, idx1 keyframe index (every
+#   MJPEG frame is a keyframe — what makes MJPEG the frame-sampling-
+#   friendly archival format).
+# - ``parse_avi``: structural walk with fail-loud cross-checks
+#   (avih/strh/idx1/movi frame counts must agree; the stream must be
+#   vids/MJPG — compressed inter-frame codecs (H.264/VP9/AV1) remain
+#   the documented library-swap ``NotImplementedError``, the same
+#   boundary parse_mp4_metadata above draws).
+# - ``decode_avi_mjpeg_frames``: every frame through the real JPEG
+#   decoder, in container order.
+#
+# Scale shape: ``avi_frame_stats`` is Arrow-batched mapInPandas —
+# map-only, no shuffle, cost ∝ total payload bytes, the same executor
+# contract as the PNG/JPEG/WAV/FLAC codecs. The module docstring's
+# "FRAME decode stays a documented stub" now scopes to compressed
+# inter-frame codecs only.
+
+_AVIIF_KEYFRAME = 0x10
+
+
+def build_avi_mjpeg(
+    frames: "list[bytes]",
+    width: int,
+    height: int,
+    fps: int = 12,
+) -> bytes:
+    """Assemble complete baseline-JPEG frames into a structurally
+    real AVI: one 'vids'/'MJPG' stream, word-aligned ``00dc`` movi
+    chunks, idx1 marking every frame AVIIF_KEYFRAME. Frame bytes are
+    NOT re-encoded — MJPEG is JPEG-per-frame by definition."""
+    if not frames:
+        raise ValueError("an AVI needs at least one frame")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    for f in frames:
+        if f[:2] != b"\xff\xd8":
+            raise ValueError("MJPEG frame without JPEG SOI marker")
+
+    def chunk(ckid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return ckid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(four: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", four + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        0,                 # dwMaxBytesPerSec
+        0,                 # dwPaddingGranularity
+        0x10,              # AVIF_HASINDEX
+        len(frames),       # dwTotalFrames
+        0,                 # dwInitialFrames
+        1,                 # dwStreams
+        0,                 # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,        # dwReserved
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<10I4H",
+            0, 0, 0,            # flags, priority+language, initial
+            1,                  # dwScale
+            fps,                # dwRate (fps = rate/scale)
+            0,                  # dwStart
+            len(frames),        # dwLength (in frames)
+            0,                  # dwSuggestedBufferSize
+            0xFFFFFFFF,         # dwQuality (default)
+            0,                  # dwSampleSize (0: variable)
+            0, 0, width, height,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks, idx, offset = [], [], 4  # offset counts from 'movi'
+    for f in frames:
+        c = chunk(b"00dc", f)
+        movi_chunks.append(c)
+        idx.append(
+            b"00dc" + struct.pack("<III", _AVIIF_KEYFRAME, offset, len(f))
+        )
+        offset += len(c)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(payload: bytes) -> dict:
+    """Structural AVI walk: returns ``{width, height, fps, n_frames,
+    n_keyframes, handler, frames: [bytes, ...]}`` with every header /
+    index / chunk count cross-checked. ``ValueError`` on structure;
+    ``NotImplementedError`` for non-MJPG video handlers (compressed
+    inter-frame codecs are the documented library swap — their
+    CONTAINER still parses, so triage/dedup pipelines run on 100 % of
+    a mixed corpus)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    (riff_len,) = struct.unpack("<I", payload[4:8])
+    if riff_len + 8 > len(payload):
+        raise ValueError("truncated AVI (RIFF length exceeds payload)")
+
+    avih = None
+    strh = None
+    frames: list[bytes] = []
+    idx_entries = 0
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal avih, strh, idx_entries
+        while pos + 8 <= end:
+            ckid = payload[pos:pos + 4]
+            (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            body_start = pos + 8
+            body_end = body_start + length
+            if body_end > end:
+                raise ValueError(f"truncated AVI chunk {ckid!r}")
+            if ckid == b"LIST":
+                walk(body_start + 4, body_end)
+            elif ckid == b"avih":
+                avih = struct.unpack("<14I", payload[body_start:body_start + 56])
+            elif ckid == b"strh":
+                strh = payload[body_start:body_start + 56]
+            elif ckid == b"00dc":
+                frames.append(payload[body_start:body_end])
+            elif ckid == b"idx1":
+                if length % 16:
+                    raise ValueError("idx1 length not a multiple of 16")
+                idx_entries = length // 16
+            pos = body_end + (length & 1)  # chunks are word-aligned
+
+    walk(12, 8 + riff_len)
+    if avih is None or strh is None:
+        raise ValueError("AVI missing avih/strh header")
+    fcc_type, handler = strh[0:4], strh[4:8]
+    if fcc_type != b"vids":
+        raise ValueError(f"first stream is not video ({fcc_type!r})")
+    if handler not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"video handler {handler!r}: only MJPEG frames decode "
+            "here — compressed inter-frame codecs (H.264/VP9/AV1) "
+            "are the documented library swap"
+        )
+    scale, rate = struct.unpack("<II", strh[20:28])
+    if scale == 0 or rate == 0:
+        raise ValueError("strh declares zero scale/rate")
+    n_frames = avih[4]
+    if len(frames) != n_frames:
+        raise ValueError(
+            f"avih declares {n_frames} frames, movi carries {len(frames)}"
+        )
+    if idx_entries and idx_entries != n_frames:
+        raise ValueError(
+            f"idx1 carries {idx_entries} entries for {n_frames} frames"
+        )
+    return {
+        "width": avih[8],
+        "height": avih[9],
+        "fps": rate // scale,
+        "n_frames": n_frames,
+        "n_keyframes": idx_entries,
+        "handler": handler.decode("ascii"),
+        "frames": frames,
+    }
+
+
+def decode_avi_mjpeg_frames(payload: bytes):
+    """Full video decode: every MJPEG frame through the real JPEG
+    decoder (operators/jpeg.py), yielded in container order as
+    ``(frame_index, height x width [x channels] uint8 ndarray)``.
+    Dimensions are cross-checked against the container header."""
+    from mongo2pq_spark.operators.jpeg import decode_jpeg_pixels
+
+    meta = parse_avi(payload)
+    for i, blob in enumerate(meta["frames"]):
+        height, width, _channels, arr = decode_jpeg_pixels(blob)
+        if height != meta["height"] or width != meta["width"]:
+            raise ValueError(
+                f"frame {i} decodes {(height, width)}, container "
+                f"says {(meta['height'], meta['width'])}"
+            )
+        yield i, arr
+
+
+AVI_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, fps int, n_frames bigint, "
+    "n_keyframes bigint, pixel_sum bigint, order_sum bigint"
+)
+
+
+def avi_frame_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched REAL video decode to corpus-filter scalars:
+    container metadata + every frame's exact integer pixel sum, plus
+    ``order_sum = Σ (i+1)·frame_sum(i)`` — the frame-ORDER pin an
+    oracle can state closed-form (two swapped frames change it even
+    when the plain sum survives). Map-only, no shuffle."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def stat_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                meta = parse_avi(payload)
+                psum = osum = 0
+                for i, arr in decode_avi_mjpeg_frames(payload):
+                    s = int(arr.astype("int64").sum())
+                    psum += s
+                    osum += (i + 1) * s
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "fps": meta["fps"],
+                        "n_frames": meta["n_frames"],
+                        "n_keyframes": meta["n_keyframes"],
+                        "pixel_sum": psum,
+                        "order_sum": osum,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(stat_batches, AVI_STATS_SCHEMA)

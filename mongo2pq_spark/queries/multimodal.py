@@ -326,8 +326,9 @@ def multimodal_png_pixel_roundtrip(spark, sf_dir):
         "a hash match proves decode∘encode = identity on the "
         "executors, retiring the pixel-decode stub for baseline JPEG "
         "the way multimodal_png_pixel_roundtrip did for PNG "
-        "(lossy-audio and video-frame decodes remain documented "
-        "stubs: their codec libraries aren't in this container)",
+        "(FLAC and MJPEG-in-AVI decode for real as of r16; lossy "
+        "audio samples and inter-frame video remain the documented "
+        "library-swap stubs)",
 )
 def multimodal_jpeg_pixel_roundtrip(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -1999,6 +2000,105 @@ def multimodal_flac_wav_crosscodec(spark, sf_dir):
     )
     fp = audio_ops.audio_fingerprint(with_audio)
     return hamming_near_pairs(fp, "afp", max_hamming=3, bits=60)
+
+
+@register(
+    "multimodal_avi_mjpeg_frames",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               3 + CAST(doc_id % 4 AS INTEGER) AS n,
+               8 + CAST(doc_id % 5 AS INTEGER) AS fps
+        FROM documents WHERE doc_id < 150
+    ),
+    fs AS (
+        SELECT d.doc_id, d.n, d.fps, f.i AS f,
+               64 * sum((7 * d.doc_id + 13 * f.i
+                         + 17 * bx.i + 23 * by.i) % 256) AS fsum
+        FROM d, generate_series(0, 6) f(i),
+             generate_series(0, 1) bx(i), generate_series(0, 1) by(i)
+        WHERE f.i < d.n
+        GROUP BY d.doc_id, d.n, d.fps, f.i
+    )
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(max(fps) AS INTEGER) AS fps,
+           CAST(max(n) AS BIGINT) AS n_frames,
+           CAST(max(n) AS BIGINT) AS n_keyframes,
+           CAST(sum(fsum) AS BIGINT) AS pixel_sum,
+           CAST(sum((f + 1) * fsum) AS BIGINT) AS order_sum
+    FROM fs GROUP BY doc_id
+    """,
+    doc="REAL video FRAME decode, end to end (r16 — retires the "
+        "video-decode stub for the one family that needs no codec "
+        "library): per-doc MJPEG clips (3-7 deterministic 16x16 "
+        "DC-block frames, fps 8-12) are assembled into structurally "
+        "real AVI containers (operators/video.py::build_avi_mjpeg — "
+        "RIFF hdrl/avih/strh/strf, word-aligned 00dc movi chunks, "
+        "idx1 all-keyframe index) and every frame is DECODED back "
+        "through the repo's real baseline-JPEG codec inside "
+        "Arrow-batched mapInPandas, emitting container metadata + "
+        "exact integer pixel sums + the frame-ORDER pin "
+        "order_sum = sum((i+1)*frame_sum) — swapped frames break it "
+        "even when the plain sum survives. DC-only blocks round-trip "
+        "bit-exactly through the JPEG transform chain, so the oracle "
+        "recomputes everything from the generation rule alone: the "
+        "hash match proves container walk + per-frame decode + frame "
+        "ordering = identity on executors. Compressed inter-frame "
+        "codecs (H.264/VP9/AV1) remain the documented "
+        "NotImplementedError boundary — their CONTAINERS still parse "
+        "(MP4 box walk, AVI walk), the stages a mixed 100 TB corpus "
+        "runs at 100%. Map-only, no shuffle",
+)
+def multimodal_avi_mjpeg_frames(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import video as video_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 150
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.jpeg import encode_jpeg
+        from mongo2pq_spark.operators.video import build_avi_mjpeg
+
+        ones8 = np.ones((8, 8), dtype="uint8")
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = []
+                for f in range(3 + d % 4):
+                    blocks = np.array(
+                        [
+                            [
+                                (7 * d + 13 * f + 17 * bx + 23 * by) % 256
+                                for bx in range(2)
+                            ]
+                            for by in range(2)
+                        ],
+                        dtype="uint8",
+                    )
+                    frames.append(encode_jpeg(np.kron(blocks, ones8)))
+                payloads.append(
+                    build_avi_mjpeg(frames, 16, 16, fps=8 + d % 5)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return video_ops.avi_frame_stats(files)
 
 
 @register(

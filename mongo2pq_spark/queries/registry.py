@@ -55,6 +55,7 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_flac_pcm_roundtrip",
     "el_tar_incremental_ship",
     "multimodal_flac_wav_crosscodec",
+    "multimodal_avi_mjpeg_frames",
     # (a') queries whose hashes moved in r16: the ~15 parquet/CSV/
     # JSONL/ORC/XML/mongodump/index EL queries re-keyed from fixed
     # /tmp dirs onto sources/staging.py::generation_tmp_dir (VERDICT
@@ -87,12 +88,14 @@ _DRIVER_WINDOW_FIRST = [
     "pipeline_classify_route_shards",
     "pipeline_route_label_quota",
     "multimodal_flac_streaminfo",
+    "multimodal_jpeg_pixel_roundtrip",
     # (b) the oldest 23 of the 34 r10-latest entries, in their r10
     # window order (el_mongodump_scan/flatten and el_xml_roundtrip
-    # are already above; the remaining 10 — systematic_sample,
-    # text_fingerprints, text_language_id, text_quality_scores,
-    # text_tfidf_top_terms, text_token_stats, text_top_bigrams,
-    # text_winnow_fingerprints, theta_overlap_users,
+    # are already above; the remaining 12 — salted_join_revenue,
+    # streaming_foreach_batch_upsert, systematic_sample,
+    # text_fingerprints, text_language_id,
+    # text_quality_scores, text_tfidf_top_terms, text_token_stats,
+    # text_top_bigrams, text_winnow_fingerprints, theta_overlap_users,
     # udf_text_normalize — roll to r17's front).
     "dedup_incremental_near_dups",
     "dedup_simhash_pairs",
@@ -113,8 +116,6 @@ _DRIVER_WINDOW_FIRST = [
     "percentile_approx_values",
     "q1_pricing_summary",
     "q6_forecast_revenue",
-    "salted_join_revenue",
-    "streaming_foreach_batch_upsert",
 ]
 
 

@@ -4420,6 +4420,79 @@ def test_flac_codec_fail_louds():
         encode_flac(np.zeros((10, 1)), 8000, 16, stereo_mode="mid_side")
 
 
+def test_avi_mjpeg_codec_roundtrip_and_fail_louds():
+    """The r16 AVI/MJPEG video codec (operators/video.py): DC-block
+    MJPEG frames round-trip BIT-EXACT through build → container walk
+    → per-frame JPEG decode, in container order; header/index/chunk
+    counts cross-check; corruption and the compressed-codec boundary
+    fail typed."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.jpeg import encode_jpeg
+    from mongo2pq_spark.operators.video import (
+        build_avi_mjpeg,
+        decode_avi_mjpeg_frames,
+        parse_avi,
+    )
+
+    ones8 = np.ones((8, 8), dtype="uint8")
+
+    def frame(d, f):
+        blocks = np.array(
+            [
+                [(7 * d + 13 * f + 17 * bx + 23 * by) % 256
+                 for bx in range(2)]
+                for by in range(2)
+            ],
+            dtype="uint8",
+        )
+        return encode_jpeg(np.kron(blocks, ones8))
+
+    for d in (0, 3, 17):
+        n = 3 + d % 4
+        avi = build_avi_mjpeg(
+            [frame(d, f) for f in range(n)], 16, 16, fps=12
+        )
+        meta = parse_avi(avi)
+        assert meta["n_frames"] == n == meta["n_keyframes"]
+        assert (meta["width"], meta["height"], meta["fps"]) == (16, 16, 12)
+        assert meta["handler"] == "MJPG"
+        for i, arr in decode_avi_mjpeg_frames(avi):
+            expect = sum(
+                64 * ((7 * d + 13 * i + 17 * bx + 23 * by) % 256)
+                for bx in range(2)
+                for by in range(2)
+            )
+            assert int(arr.astype("int64").sum()) == expect, (d, i)
+
+    good = build_avi_mjpeg([frame(1, 0), frame(1, 1)], 16, 16)
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        parse_avi(b"RIFF" + b"\x00" * 8)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_avi(good[:60])
+    # compressed-codec boundary: container parses up to the handler,
+    # then refuses loudly (the MP4 sample-table reader's contract)
+    other = bytearray(good)
+    other[other.index(b"MJPG")] = ord("X")
+    with pytest.raises(NotImplementedError, match="library swap"):
+        parse_avi(bytes(other))
+    # header/movi frame-count cross-check
+    forged = bytearray(good)
+    struct.pack_into("<I", forged, forged.index(b"avih") + 8 + 16, 9)
+    with pytest.raises(ValueError, match="declares 9 frames"):
+        parse_avi(bytes(forged))
+    # build-side refusals
+    with pytest.raises(ValueError, match="at least one frame"):
+        build_avi_mjpeg([], 16, 16)
+    with pytest.raises(ValueError, match="SOI"):
+        build_avi_mjpeg([b"not-a-jpeg"], 16, 16)
+    with pytest.raises(ValueError, match="fps"):
+        build_avi_mjpeg([frame(0, 0)], 16, 16, fps=0)
+
+
 def test_bmp_codec_quirks_and_fail_louds():
     """BMP's three quirks round-trip (bottom-up rows, BGR order,
     4-byte row padding at awkward widths), top-down (negative height)
