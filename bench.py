@@ -254,6 +254,10 @@ HEADLINE = [
     # build + per-frame JPEG decode over 150 built clips (the codec
     # class). Pin after its first two idle sessions.
     "multimodal_avi_mjpeg_frames",
+    # r16 fifth registration: the WAV format matrix (PCM + float32 +
+    # G.711 mu-law through one dispatching decode, 200 built files —
+    # the codec class). Pin after its first two idle sessions.
+    "multimodal_wav_codec_matrix",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -4,12 +4,14 @@ path, retiring the audio stub for uncompressed WAV the way
 reference implementation behind the same function contract a codec
 library would fill, typed fail-loud errors outside the envelope.
 
-Scope: RIFF/WAVE containers with integer PCM (format 1), 8- or
-16-bit, any channel count and sample rate, ``fmt``/``data`` chunks in
-any order with other chunks (LIST/fact/cue) skipped generically.
-``NotImplementedError`` on compressed/float formats (IEEE float,
-ADPCM, µ-law — their decoders are the library swap documented for the
-other modalities); ``ValueError`` on corrupt payloads.
+Scope: RIFF/WAVE containers with integer PCM (format 1, 8/16-bit),
+IEEE float32 (format 3, r16 — decoded to the int16 domain under the
+documented scale-32768 convention) and G.711 µ-law (format 7, r16 —
+the public companding formula, no library needed), any channel count
+and sample rate, ``fmt``/``data`` chunks in any order with other
+chunks (LIST/fact/cue) skipped generically. ``NotImplementedError``
+on the remaining compressed formats (ADPCM/A-law — the documented
+library swap); ``ValueError`` on corrupt payloads.
 
 WAV is the one audio container that needs NO codec library — the
 payload after the header IS the sample array — which is why this is
@@ -29,22 +31,43 @@ from pyspark.sql import DataFrame
 WAV_MAGIC = b"RIFF"
 
 
-def encode_wav(samples, sample_rate: int = 8000) -> bytes:
-    """Minimal PCM WAV writer: int16 array of shape (n_frames,) mono
-    or (n_frames, n_channels) → RIFF/WAVE bytes (interleaved frames,
-    little-endian, format 1)."""
+def encode_wav(
+    samples, sample_rate: int = 8000, audio_format: str = "pcm16"
+) -> bytes:
+    """Minimal WAV writer, three real formats (r16 grew two):
+
+    - ``pcm16`` (WAV format 1): int16 array → interleaved LE PCM.
+    - ``float32`` (format 3, IEEE float): float array in [-1, 1] →
+      little-endian float32 frames.
+    - ``mulaw`` (format 7, G.711 µ-law): int16-domain array →
+      one log-companded byte per sample (telephony corpora).
+
+    Shape (n_frames,) mono or (n_frames, n_channels)."""
     import numpy as np
 
-    arr = np.asarray(samples, dtype="<i2")
+    if audio_format == "pcm16":
+        arr = np.asarray(samples, dtype="<i2")
+        code, bits = 1, 16
+    elif audio_format == "float32":
+        arr = np.asarray(samples, dtype="<f4")
+        if arr.size and float(np.abs(arr).max()) > 1.0:
+            raise ValueError("float32 WAV samples must lie in [-1, 1]")
+        code, bits = 3, 32
+    elif audio_format == "mulaw":
+        arr = mulaw_encode(np.asarray(samples))
+        code, bits = 7, 8
+    else:
+        raise ValueError(f"unknown audio_format {audio_format!r}")
     if arr.ndim == 1:
         arr = arr[:, None]
     if arr.ndim != 2:
         raise ValueError(f"expected (frames,) or (frames, channels), got {arr.shape}")
     n_frames, n_ch = arr.shape
     data = arr.tobytes()  # C-order = interleaved frames
-    byte_rate = sample_rate * n_ch * 2
+    step = bits // 8
+    byte_rate = sample_rate * n_ch * step
     fmt = struct.pack(
-        "<HHIIHH", 1, n_ch, sample_rate, byte_rate, n_ch * 2, 16
+        "<HHIIHH", code, n_ch, sample_rate, byte_rate, n_ch * step, bits
     )
     return (
         b"RIFF"
@@ -53,6 +76,46 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data
     )
+
+
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def mulaw_decode_table():
+    """The 256-entry G.711 µ-law → linear-PCM table, computed from
+    the public formula (complement, 4-bit mantissa + 3-bit segment
+    exponent around a 0x84 bias): byte 0x7F/0xFF → ±0, byte 0x00 →
+    -32124, 0x80 → +32124 — the canonical companding curve."""
+    import numpy as np
+
+    u = (~np.arange(256)) & 0xFF
+    t = (((u & 0x0F) << 3) + _MULAW_BIAS) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, _MULAW_BIAS - t, t - _MULAW_BIAS).astype(
+        "int32"
+    )
+
+
+def mulaw_encode(samples):
+    """Linear PCM (int16 domain) → G.711 µ-law bytes — the exact
+    inverse of the decode table on its own output (pinned by the
+    256-byte identity test); everything else quantizes to the
+    nearest segment step, the lossy-but-deterministic companding
+    telephony corpora ship in."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int64)
+    if pcm.size and (pcm.min() < -32768 or pcm.max() > 32767):
+        raise ValueError("µ-law input must lie in the int16 domain")
+    sign = np.where(pcm < 0, 0x80, 0)
+    mag = np.minimum(np.abs(pcm), _MULAW_CLIP) + _MULAW_BIAS
+    # segment = position of the MSB of mag >> 7 (0..7)
+    exp = np.zeros_like(mag)
+    seg = mag >> 7
+    for k in range(1, 8):
+        exp = np.where(seg >= (1 << k), k, exp)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype("uint8")
 
 
 def decode_wav_samples(payload: bytes):
@@ -82,13 +145,21 @@ def decode_wav_samples(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_ch, rate, _byte_rate, block_align, bits = fmt
-    if audio_format != 1:
+    if audio_format not in (1, 3, 7):
         raise NotImplementedError(
-            f"reference decoder handles integer PCM only (WAV format "
-            f"{audio_format}; float/ADPCM/µ-law need a codec library)"
+            f"WAV format {audio_format} undecodable here (ADPCM/"
+            "A-law and exotic formats are the remaining library "
+            "swap; integer PCM, IEEE float32 and G.711 µ-law decode "
+            "for real as of r16)"
         )
-    if bits not in (8, 16):
+    if audio_format == 1 and bits not in (8, 16):
         raise NotImplementedError(f"{bits}-bit PCM unsupported (8/16 only)")
+    if audio_format == 3 and bits != 32:
+        raise NotImplementedError(
+            f"{bits}-bit float WAV unsupported (IEEE float32 only)"
+        )
+    if audio_format == 7 and bits != 8:
+        raise ValueError(f"µ-law WAV declares {bits} bits per sample")
     if n_ch == 0 or block_align != n_ch * (bits // 8):
         raise ValueError("inconsistent WAV channel/block layout")
     if rate == 0:
@@ -97,7 +168,22 @@ def decode_wav_samples(payload: bytes):
         # ZeroDivisionError escaping a whole mapInPandas stage
         raise ValueError("WAV declares sample rate 0")
     usable = (len(data) // block_align) * block_align
-    if bits == 16:
+    if audio_format == 3:
+        # IEEE float in [-1, 1] → the int16 domain under the
+        # documented scale-32768 convention (k/32768 → exactly k,
+        # +1.0 clamps to 32767): every downstream sample operator
+        # stays integer-exact and oracle-expressible
+        f = np.frombuffer(data[:usable], dtype="<f4").astype("float64")
+        if f.size and float(np.abs(f).max()) > 1.0:
+            raise ValueError("float WAV sample outside [-1, 1]")
+        arr = np.clip(
+            np.rint(f * 32768.0), -32768, 32767
+        ).astype("int32")
+    elif audio_format == 7:
+        arr = mulaw_decode_table()[
+            np.frombuffer(data[:usable], dtype="u1")
+        ]
+    elif bits == 16:
         arr = np.frombuffer(data[:usable], dtype="<i2").astype("int32")
     else:
         arr = np.frombuffer(data[:usable], dtype="u1").astype("int32") - 128

@@ -2003,6 +2003,99 @@ def multimodal_flac_wav_crosscodec(spark, sf_dir):
 
 
 @register(
+    "multimodal_wav_codec_matrix",
+    """
+    WITH base AS (
+        SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS fmt, i.i AS i
+        FROM documents, generate_series(0, 60) i(i)
+        WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT doc_id, fmt, i,
+               255 - ((7 * doc_id + 13 * i) % 256) AS u,
+               ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS t,
+               CASE WHEN fmt < 2
+                    THEN ((31 * doc_id + 17 * i) % 2003) - 1001
+                    WHEN u >= 128 THEN 132 - t
+                    ELSE t - 132 END AS v
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(61 AS BIGINT) AS n_frames,
+           CAST(7 AS BIGINT) AS duration_ms,
+           CAST(sum(v) AS BIGINT) AS sample_sum,
+           CAST(max(abs(v)) AS INTEGER) AS peak_abs
+    FROM s GROUP BY doc_id
+    """,
+    doc="the WAV codec MATRIX (r16 — retires the float and µ-law "
+        "decode stubs): one corpus mixing all three real WAV formats "
+        "per doc_id%3 — int16 PCM, IEEE float32 (f = v/32768, decoded "
+        "back to exactly v under the documented scale-32768 "
+        "convention), and G.711 µ-law (bytes from a closed-form rule, "
+        "decoded through the public companding formula — complement, "
+        "4-bit mantissa, 3-bit segment exponent, 0x84 bias; the "
+        "oracle RESTATES that formula in SQL, lateral aliases u/t, "
+        "so the value match proves the engine's table IS the G.711 "
+        "curve) — all flowing through ONE codec-dispatching "
+        "wav_audio_stats with identical integer statistics columns. "
+        "The telephony-corpus reality this models: a speech crawl "
+        "ships µ-law, studio masters ship float, fixtures ship PCM, "
+        "and the filter stage must treat them identically. Map-only; "
+        "remaining WAV stubs: ADPCM/A-law",
+)
+def multimodal_wav_codec_matrix(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import audio as audio_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.audio import (
+            encode_wav,
+            mulaw_decode_table,
+        )
+
+        i = np.arange(61)
+        tab = mulaw_decode_table()
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 3 < 2:
+                    v = (31 * d + 17 * i) % 2003 - 1001
+                    if d % 3 == 0:
+                        payloads.append(
+                            encode_wav(v.astype("int16"), 8000)
+                        )
+                    else:
+                        payloads.append(
+                            encode_wav(v / 32768.0, 8000, "float32")
+                        )
+                else:
+                    pcm = tab[(7 * d + 13 * i) % 256]
+                    payloads.append(encode_wav(pcm, 8000, "mulaw"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return audio_ops.wav_audio_stats(files)
+
+
+@register(
     "multimodal_avi_mjpeg_frames",
     """
     WITH d AS (

@@ -56,6 +56,7 @@ _DRIVER_WINDOW_FIRST = [
     "el_tar_incremental_ship",
     "multimodal_flac_wav_crosscodec",
     "multimodal_avi_mjpeg_frames",
+    "multimodal_wav_codec_matrix",
     # (a') queries whose hashes moved in r16: the ~15 parquet/CSV/
     # JSONL/ORC/XML/mongodump/index EL queries re-keyed from fixed
     # /tmp dirs onto sources/staging.py::generation_tmp_dir (VERDICT
@@ -91,9 +92,9 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_jpeg_pixel_roundtrip",
     # (b) the oldest 23 of the 34 r10-latest entries, in their r10
     # window order (el_mongodump_scan/flatten and el_xml_roundtrip
-    # are already above; the remaining 12 — salted_join_revenue,
-    # streaming_foreach_batch_upsert, systematic_sample,
-    # text_fingerprints, text_language_id,
+    # are already above; the remaining 13 — q6_forecast_revenue,
+    # salted_join_revenue, streaming_foreach_batch_upsert,
+    # systematic_sample, text_fingerprints, text_language_id,
     # text_quality_scores, text_tfidf_top_terms, text_token_stats,
     # text_top_bigrams, text_winnow_fingerprints, theta_overlap_users,
     # udf_text_normalize — roll to r17's front).
@@ -115,7 +116,6 @@ _DRIVER_WINDOW_FIRST = [
     "partition_counts",
     "percentile_approx_values",
     "q1_pricing_summary",
-    "q6_forecast_revenue",
 ]
 
 

@@ -1532,8 +1532,10 @@ def test_wav_codec_roundtrip_and_envelope():
     with _pytest.raises(ValueError, match="truncated|missing"):
         decode_wav_samples(encode_wav(s)[:30])
     raw = bytearray(encode_wav(s))
-    raw[raw.find(b"fmt ") + 8] = 3  # IEEE-float format tag
-    with _pytest.raises(NotImplementedError, match="PCM"):
+    raw[raw.find(b"fmt ") + 8] = 3  # IEEE-float tag on 16-BIT data:
+    # float32 decodes for real as of r16, but a 16-bit float frame
+    # stream is still outside the envelope — typed refusal
+    with _pytest.raises(NotImplementedError, match="float32 only"):
         decode_wav_samples(bytes(raw))
 
 
@@ -4418,6 +4420,72 @@ def test_flac_codec_fail_louds():
         encode_flac(np.array([[1]]), 8000, 12)
     with pytest.raises(ValueError, match="stereo_mode"):
         encode_flac(np.zeros((10, 1)), 8000, 16, stereo_mode="mid_side")
+
+
+def test_wav_float32_and_mulaw_codecs():
+    """r16 WAV-format-matrix additions: IEEE float32 decodes to the
+    int16 domain under the scale-32768 convention (k/32768 → exactly
+    k; ±1.0 clamps to the domain edges), and G.711 µ-law decodes via
+    the public companding formula — canonical anchors ±32124/0, the
+    256-entry table self-inverse under encode, companding error
+    bounded by the segment step. The remaining formats (ADPCM/A-law)
+    stay typed NotImplementedError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.audio import (
+        decode_wav_samples,
+        encode_wav,
+        mulaw_decode_table,
+        mulaw_encode,
+    )
+
+    tab = mulaw_decode_table()
+    assert (tab[0x00], tab[0x80], tab[0xFF], tab[0x7F]) == (
+        -32124, 32124, 0, 0,
+    )
+    # self-inverse on the table's own output (0x7F and 0xFF both
+    # decode to 0; encode canonicalizes 0 to one of them)
+    back = mulaw_encode(tab)
+    assert (back == np.arange(256)).sum() >= 255
+    # companding error bounded by the segment quantization step
+    x = np.arange(-32768, 32768, 97)
+    err = np.abs(tab[mulaw_encode(x)] - x)
+    seg = np.maximum(np.abs(x) >> 7, 1)
+    step = 2 ** (np.floor(np.log2(seg)) + 3)
+    assert (err <= step).all()
+    with pytest.raises(ValueError, match="int16 domain"):
+        mulaw_encode(np.array([40000]))
+
+    # float32: k/32768 is exact in binary -> decodes to exactly k
+    k = (np.arange(-320, 320) * 100).clip(-32768, 32767)
+    _, _, arr = decode_wav_samples(
+        encode_wav(k / 32768.0, 8000, "float32")
+    )
+    assert (arr[:, 0] == k).all()
+    _, _, edges = decode_wav_samples(
+        encode_wav(np.array([1.0, -1.0]), 8000, "float32")
+    )
+    assert list(edges[:, 0]) == [32767, -32768]
+    with pytest.raises(ValueError, match=r"\[-1, 1\]"):
+        encode_wav(np.array([1.5]), 8000, "float32")
+
+    # µ-law WAV roundtrip through the container
+    pcm = tab[(np.arange(400) * 7) % 256]
+    n_ch, rate, got = decode_wav_samples(encode_wav(pcm, 8000, "mulaw"))
+    assert (n_ch, rate) == (1, 8000) and (got[:, 0] == pcm).all()
+
+    # remaining formats still refuse loudly: forge format code 2
+    # (MS ADPCM) into a valid container
+    payload = bytearray(encode_wav(np.zeros(4, dtype="int16"), 8000))
+    fmt_off = payload.index(b"fmt ") + 8
+    struct.pack_into("<H", payload, fmt_off, 2)
+    with pytest.raises(NotImplementedError, match="library swap"):
+        decode_wav_samples(bytes(payload))
+    with pytest.raises(ValueError, match="unknown audio_format"):
+        encode_wav(np.zeros(4), 8000, "opus")
 
 
 def test_avi_mjpeg_codec_roundtrip_and_fail_louds():
