@@ -6,12 +6,13 @@ library would fill, typed fail-loud errors outside the envelope.
 
 Scope: RIFF/WAVE containers with integer PCM (format 1, 8/16-bit),
 IEEE float32 (format 3, r16 — decoded to the int16 domain under the
-documented scale-32768 convention) and G.711 µ-law (format 7, r16 —
-the public companding formula, no library needed), any channel count
-and sample rate, ``fmt``/``data`` chunks in any order with other
-chunks (LIST/fact/cue) skipped generically. ``NotImplementedError``
-on the remaining compressed formats (ADPCM/A-law — the documented
-library swap); ``ValueError`` on corrupt payloads.
+documented scale-32768 convention) and BOTH G.711 halves — µ-law
+(format 7) and A-law (format 6), r16, the public companding formulas,
+no library needed — any channel count and sample rate, ``fmt``/
+``data`` chunks in any order with other chunks (LIST/fact/cue)
+skipped generically. ``NotImplementedError`` on the remaining
+compressed formats (ADPCM — the documented library swap);
+``ValueError`` on corrupt payloads.
 
 WAV is the one audio container that needs NO codec library — the
 payload after the header IS the sample array — which is why this is
@@ -41,6 +42,8 @@ def encode_wav(
       little-endian float32 frames.
     - ``mulaw`` (format 7, G.711 µ-law): int16-domain array →
       one log-companded byte per sample (telephony corpora).
+    - ``alaw`` (format 6, G.711 A-law): the European half of the
+      same companding pair.
 
     Shape (n_frames,) mono or (n_frames, n_channels)."""
     import numpy as np
@@ -56,6 +59,9 @@ def encode_wav(
     elif audio_format == "mulaw":
         arr = mulaw_encode(np.asarray(samples))
         code, bits = 7, 8
+    elif audio_format == "alaw":
+        arr = alaw_encode(np.asarray(samples))
+        code, bits = 6, 8
     else:
         raise ValueError(f"unknown audio_format {audio_format!r}")
     if arr.ndim == 1:
@@ -94,6 +100,45 @@ def mulaw_decode_table():
     return np.where(u & 0x80, _MULAW_BIAS - t, t - _MULAW_BIAS).astype(
         "int32"
     )
+
+
+def alaw_decode_table():
+    """The 256-entry G.711 A-law → linear-PCM table from the public
+    formula (even-bit XOR 0x55 toggle, 4-bit mantissa + 3-bit segment
+    exponent, 13-bit magnitude scaled x8): byte 0x55/0xD5 → ∓8/+8,
+    extremes ±32256 — the European-telephony half of G.711, completing
+    the pair with µ-law (r16)."""
+    import numpy as np
+
+    a = np.arange(256) ^ 0x55
+    mant = a & 0x0F
+    exp = (a & 0x70) >> 4
+    mag = np.where(
+        exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1)
+    )
+    return np.where(a & 0x80, mag, -mag).astype("int32")
+
+
+def alaw_encode(samples):
+    """Linear PCM (int16 domain) → G.711 A-law bytes, the ITU
+    reference algorithm vectorized — table-inverse on the decode
+    table's own output (256-byte identity pin); everything else
+    quantizes to the segment step."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int64)
+    if pcm.size and (pcm.min() < -32768 or pcm.max() > 32767):
+        raise ValueError("A-law input must lie in the int16 domain")
+    neg = pcm < 0
+    ix = np.where(neg, (-pcm - 1) >> 4, pcm >> 4)
+    ixx, iexp = ix.copy(), np.ones_like(ix)
+    for _ in range(7):
+        over = ixx > 31
+        ixx = np.where(over, ixx >> 1, ixx)
+        iexp = iexp + over
+    res = np.where(ix > 15, (ixx - 16) + (iexp << 4), ix)
+    a = np.where(neg, res, res | 0x80)
+    return ((a ^ 0x55) & 0xFF).astype("uint8")
 
 
 def mulaw_encode(samples):
@@ -145,12 +190,12 @@ def decode_wav_samples(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_ch, rate, _byte_rate, block_align, bits = fmt
-    if audio_format not in (1, 3, 7):
+    if audio_format not in (1, 3, 6, 7):
         raise NotImplementedError(
-            f"WAV format {audio_format} undecodable here (ADPCM/"
-            "A-law and exotic formats are the remaining library "
-            "swap; integer PCM, IEEE float32 and G.711 µ-law decode "
-            "for real as of r16)"
+            f"WAV format {audio_format} undecodable here (ADPCM and "
+            "exotic formats are the remaining library swap; integer "
+            "PCM, IEEE float32 and BOTH G.711 halves — µ-law and "
+            "A-law — decode for real as of r16)"
         )
     if audio_format == 1 and bits not in (8, 16):
         raise NotImplementedError(f"{bits}-bit PCM unsupported (8/16 only)")
@@ -158,8 +203,10 @@ def decode_wav_samples(payload: bytes):
         raise NotImplementedError(
             f"{bits}-bit float WAV unsupported (IEEE float32 only)"
         )
-    if audio_format == 7 and bits != 8:
-        raise ValueError(f"µ-law WAV declares {bits} bits per sample")
+    if audio_format in (6, 7) and bits != 8:
+        raise ValueError(
+            f"G.711 WAV declares {bits} bits per sample"
+        )
     if n_ch == 0 or block_align != n_ch * (bits // 8):
         raise ValueError("inconsistent WAV channel/block layout")
     if rate == 0:
@@ -181,6 +228,10 @@ def decode_wav_samples(payload: bytes):
         ).astype("int32")
     elif audio_format == 7:
         arr = mulaw_decode_table()[
+            np.frombuffer(data[:usable], dtype="u1")
+        ]
+    elif audio_format == 6:
+        arr = alaw_decode_table()[
             np.frombuffer(data[:usable], dtype="u1")
         ]
     elif bits == 16:

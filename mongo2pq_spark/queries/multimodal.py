@@ -2006,7 +2006,7 @@ def multimodal_flac_wav_crosscodec(spark, sf_dir):
     "multimodal_wav_codec_matrix",
     """
     WITH base AS (
-        SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS fmt, i.i AS i
+        SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS fmt, i.i AS i
         FROM documents, generate_series(0, 60) i(i)
         WHERE doc_id < 200
     ),
@@ -2014,10 +2014,16 @@ def multimodal_flac_wav_crosscodec(spark, sf_dir):
         SELECT doc_id, fmt, i,
                255 - ((7 * doc_id + 13 * i) % 256) AS u,
                ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS t,
+               xor((11 * doc_id + 29 * i) % 256, 85) AS a,
+               CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                    ELSE ((a % 16) * 16 + 264)
+                         * (1 << ((a // 16) % 8 - 1)) END AS amag,
                CASE WHEN fmt < 2
                     THEN ((31 * doc_id + 17 * i) % 2003) - 1001
-                    WHEN u >= 128 THEN 132 - t
-                    ELSE t - 132 END AS v
+                    WHEN fmt = 2 AND u >= 128 THEN 132 - t
+                    WHEN fmt = 2 THEN t - 132
+                    WHEN a >= 128 THEN amag
+                    ELSE -amag END AS v
         FROM base
     )
     SELECT doc_id,
@@ -2029,21 +2035,23 @@ def multimodal_flac_wav_crosscodec(spark, sf_dir):
            CAST(max(abs(v)) AS INTEGER) AS peak_abs
     FROM s GROUP BY doc_id
     """,
-    doc="the WAV codec MATRIX (r16 — retires the float and µ-law "
-        "decode stubs): one corpus mixing all three real WAV formats "
-        "per doc_id%3 — int16 PCM, IEEE float32 (f = v/32768, decoded "
+    doc="the WAV codec MATRIX (r16 — retires the float and BOTH "
+        "G.711 decode stubs): one corpus mixing all four real WAV "
+        "formats per doc_id%4 — int16 PCM, IEEE float32 (f = v/32768, decoded "
         "back to exactly v under the documented scale-32768 "
         "convention), and G.711 µ-law (bytes from a closed-form rule, "
         "decoded through the public companding formula — complement, "
-        "4-bit mantissa, 3-bit segment exponent, 0x84 bias; the "
-        "oracle RESTATES that formula in SQL, lateral aliases u/t, "
-        "so the value match proves the engine's table IS the G.711 "
-        "curve) — all flowing through ONE codec-dispatching "
+        "4-bit mantissa, 3-bit segment exponent, 0x84 bias), and "
+        "G.711 A-law (0x55 toggle, 13-bit segments — the European "
+        "half); the oracle RESTATES both companding formulas in SQL "
+        "(lateral aliases u/t and a/amag), so the value match proves "
+        "the engine's tables ARE the G.711 curves — all flowing "
+        "through ONE codec-dispatching "
         "wav_audio_stats with identical integer statistics columns. "
         "The telephony-corpus reality this models: a speech crawl "
         "ships µ-law, studio masters ship float, fixtures ship PCM, "
         "and the filter stage must treat them identically. Map-only; "
-        "remaining WAV stubs: ADPCM/A-law",
+        "remaining WAV stub: ADPCM",
 )
 def multimodal_wav_codec_matrix(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -2062,19 +2070,21 @@ def multimodal_wav_codec_matrix(spark, sf_dir):
         import pandas as pd
 
         from mongo2pq_spark.operators.audio import (
+            alaw_decode_table,
             encode_wav,
             mulaw_decode_table,
         )
 
         i = np.arange(61)
-        tab = mulaw_decode_table()
+        tab_u = mulaw_decode_table()
+        tab_a = alaw_decode_table()
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
                 d = int(d)
-                if d % 3 < 2:
+                if d % 4 < 2:
                     v = (31 * d + 17 * i) % 2003 - 1001
-                    if d % 3 == 0:
+                    if d % 4 == 0:
                         payloads.append(
                             encode_wav(v.astype("int16"), 8000)
                         )
@@ -2082,9 +2092,12 @@ def multimodal_wav_codec_matrix(spark, sf_dir):
                         payloads.append(
                             encode_wav(v / 32768.0, 8000, "float32")
                         )
-                else:
-                    pcm = tab[(7 * d + 13 * i) % 256]
+                elif d % 4 == 2:
+                    pcm = tab_u[(7 * d + 13 * i) % 256]
                     payloads.append(encode_wav(pcm, 8000, "mulaw"))
+                else:
+                    pcm = tab_a[(11 * d + 29 * i) % 256]
+                    payloads.append(encode_wav(pcm, 8000, "alaw"))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )

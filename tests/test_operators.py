@@ -4429,7 +4429,9 @@ def test_wav_float32_and_mulaw_codecs():
     the public companding formula — canonical anchors ±32124/0, the
     256-entry table self-inverse under encode, companding error
     bounded by the segment step. The remaining formats (ADPCM/A-law)
-    stay typed NotImplementedError."""
+    stay typed NotImplementedError. A-law (format 6) completes the
+    G.711 pair: 0x55-toggled 13-bit segments, ITU reference encode,
+    ±32256 extremes."""
     import struct
 
     import numpy as np
@@ -4476,6 +4478,26 @@ def test_wav_float32_and_mulaw_codecs():
     pcm = tab[(np.arange(400) * 7) % 256]
     n_ch, rate, got = decode_wav_samples(encode_wav(pcm, 8000, "mulaw"))
     assert (n_ch, rate) == (1, 8000) and (got[:, 0] == pcm).all()
+
+    # A-law: canonical curve (±8 at the 0x55/0xD5 center, ±32256
+    # extremes), 256-byte table-inverse, error bounded by the
+    # segment step, container roundtrip
+    from mongo2pq_spark.operators.audio import (
+        alaw_decode_table,
+        alaw_encode,
+    )
+
+    atab = alaw_decode_table()
+    assert (atab[0x55], atab[0xD5]) == (-8, 8)
+    assert (int(atab.min()), int(atab.max())) == (-32256, 32256)
+    assert (alaw_encode(atab) == np.arange(256)).all()
+    aerr = np.abs(atab[alaw_encode(x)] - x)
+    assert int(aerr.max()) <= 512  # top-segment step / 2
+    apcm = atab[(np.arange(400) * 11) % 256]
+    _, _, agot = decode_wav_samples(encode_wav(apcm, 8000, "alaw"))
+    assert (agot[:, 0] == apcm).all()
+    with pytest.raises(ValueError, match="int16 domain"):
+        alaw_encode(np.array([40000]))
 
     # remaining formats still refuse loudly: forge format code 2
     # (MS ADPCM) into a valid container
