@@ -258,6 +258,10 @@ HEADLINE = [
     # G.711 mu-law through one dispatching decode, 200 built files —
     # the codec class). Pin after its first two idle sessions.
     "multimodal_wav_codec_matrix",
+    # r16 sixth registration: IMA-ADPCM decode over 120 built files
+    # vs a recursive-CTE oracle (the codec class). Pin after its
+    # first two idle sessions.
+    "multimodal_wav_ima_adpcm_roundtrip",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

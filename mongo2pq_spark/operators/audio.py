@@ -102,6 +102,137 @@ def mulaw_decode_table():
     )
 
 
+IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660,
+    4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493,
+    10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385,
+    24623, 27086, 29794, 32767,
+)
+IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def ima_adpcm_decode_block(block: bytes):
+    """Decode one mono IMA-ADPCM block (4-byte header: int16 LE
+    predictor = sample 0, step index, reserved 0; then 4-bit codes
+    low-nibble-first) via the public algorithm — step-table delta
+    reconstruction with predictor clamp and index walk. The last
+    WAV format this repo decoded behind a stub (r16)."""
+    import numpy as np
+
+    if len(block) < 4:
+        raise ValueError("truncated IMA ADPCM block header")
+    pred = int.from_bytes(block[0:2], "little", signed=True)
+    index = block[2]
+    if index > 88:
+        raise ValueError(f"IMA ADPCM step index {index} > 88")
+    if block[3] != 0:
+        raise ValueError("IMA ADPCM reserved header byte nonzero")
+    out = [pred]
+    for byte in block[4:]:
+        for nib in (byte & 0x0F, byte >> 4):
+            step = IMA_STEP_TABLE[index]
+            d = step >> 3
+            if nib & 1:
+                d += step >> 2
+            if nib & 2:
+                d += step >> 1
+            if nib & 4:
+                d += step
+            pred = pred - d if nib & 8 else pred + d
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + IMA_INDEX_TABLE[nib & 7]))
+            out.append(pred)
+    return np.asarray(out, dtype="int32")
+
+
+def ima_adpcm_encode(samples, index0: int = 0) -> bytes:
+    """Mono IMA-ADPCM encode (the reference greedy quantizer):
+    sample 0 rides the block header verbatim; each later sample's
+    delta quantizes against the walking step. Returns ONE block
+    (header + nibbles, zero-padded to whole bytes). Lossy but
+    deterministic; decode(encode(x)) tracks x within the step
+    granularity (property-tested)."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int64)
+    if a.ndim != 1:
+        raise ValueError("mono 1-D samples only")
+    if a.size == 0:
+        raise ValueError("need at least one sample")
+    if a.min() < -32768 or a.max() > 32767:
+        raise ValueError("IMA ADPCM input must lie in the int16 domain")
+    if not 0 <= index0 <= 88:
+        raise ValueError("index0 must be 0..88")
+    pred, index = int(a[0]), index0
+    header = int(pred).to_bytes(2, "little", signed=True) + bytes(
+        [index, 0]
+    )
+    nibs = []
+    for x in a[1:]:
+        step = IMA_STEP_TABLE[index]
+        delta = int(x) - pred
+        nib = 0
+        if delta < 0:
+            nib = 8
+            delta = -delta
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        # reconstruct exactly as the decoder will
+        d = step >> 3
+        if nib & 1:
+            d += step >> 2
+        if nib & 2:
+            d += step >> 1
+        if nib & 4:
+            d += step
+        pred = pred - d if nib & 8 else pred + d
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + IMA_INDEX_TABLE[nib & 7]))
+        nibs.append(nib)
+    if len(nibs) % 2:
+        nibs.append(0)
+    body = bytes(
+        nibs[i] | (nibs[i + 1] << 4) for i in range(0, len(nibs), 2)
+    )
+    return header + body
+
+
+def build_ima_adpcm_wav(
+    block: bytes, sample_rate: int = 8000
+) -> bytes:
+    """Wrap one mono IMA-ADPCM block in a spec-shaped WAV (format
+    0x11, 4 bits/sample, fmt extension carrying samples-per-block,
+    fact chunk with the decoded sample count)."""
+    n_samples = 1 + (len(block) - 4) * 2
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sample_rate,
+        sample_rate * len(block) // max(1, n_samples),
+        len(block), 4, 2, n_samples,
+    )
+    fact = struct.pack("<I", n_samples)
+    return (
+        b"RIFF"
+        + struct.pack(
+            "<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(block)
+        )
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+
+
 def alaw_decode_table():
     """The 256-entry G.711 A-law → linear-PCM table from the public
     formula (even-bit XOR 0x55 toggle, 4-bit mantissa + 3-bit segment
@@ -190,13 +321,39 @@ def decode_wav_samples(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_ch, rate, _byte_rate, block_align, bits = fmt
-    if audio_format not in (1, 3, 6, 7):
+    if audio_format not in (1, 3, 6, 7, 0x11):
         raise NotImplementedError(
-            f"WAV format {audio_format} undecodable here (ADPCM and "
-            "exotic formats are the remaining library swap; integer "
-            "PCM, IEEE float32 and BOTH G.711 halves — µ-law and "
-            "A-law — decode for real as of r16)"
+            f"WAV format {audio_format} undecodable here (exotic "
+            "formats are the library swap; integer PCM, IEEE "
+            "float32, BOTH G.711 halves and IMA ADPCM all decode "
+            "for real as of r16)"
         )
+    if audio_format == 0x11:
+        if bits != 4:
+            raise ValueError(
+                f"IMA ADPCM WAV declares {bits} bits per sample"
+            )
+        if n_ch != 1:
+            raise NotImplementedError(
+                "stereo IMA ADPCM (per-channel 4-byte interleave) "
+                "is outside the envelope — mono covers the speech/"
+                "telephony corpora this path exists for"
+            )
+        if block_align < 5:
+            raise ValueError("IMA ADPCM block_align too small")
+        chunks = [
+            ima_adpcm_decode_block(data[off:off + block_align])
+            for off in range(0, len(data), block_align)
+            if len(data) - off >= 4
+        ]
+        arr = (
+            np.concatenate(chunks)
+            if chunks
+            else np.empty(0, dtype="int32")
+        )
+        if rate == 0:
+            raise ValueError("WAV declares sample rate 0")
+        return n_ch, rate, arr.reshape(-1, 1)
     if audio_format == 1 and bits not in (8, 16):
         raise NotImplementedError(f"{bits}-bit PCM unsupported (8/16 only)")
     if audio_format == 3 and bits != 32:

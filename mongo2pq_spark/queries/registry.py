@@ -57,6 +57,7 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_flac_wav_crosscodec",
     "multimodal_avi_mjpeg_frames",
     "multimodal_wav_codec_matrix",
+    "multimodal_wav_ima_adpcm_roundtrip",
     # (a') queries whose hashes moved in r16: the ~15 parquet/CSV/
     # JSONL/ORC/XML/mongodump/index EL queries re-keyed from fixed
     # /tmp dirs onto sources/staging.py::generation_tmp_dir (VERDICT
@@ -92,9 +93,10 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_jpeg_pixel_roundtrip",
     # (b) the oldest 23 of the 34 r10-latest entries, in their r10
     # window order (el_mongodump_scan/flatten and el_xml_roundtrip
-    # are already above; the remaining 13 — q6_forecast_revenue,
-    # salted_join_revenue, streaming_foreach_batch_upsert,
-    # systematic_sample, text_fingerprints, text_language_id,
+    # are already above; the remaining 14 — q1_pricing_summary,
+    # q6_forecast_revenue, salted_join_revenue,
+    # streaming_foreach_batch_upsert, systematic_sample,
+    # text_fingerprints, text_language_id,
     # text_quality_scores, text_tfidf_top_terms, text_token_stats,
     # text_top_bigrams, text_winnow_fingerprints, theta_overlap_users,
     # udf_text_normalize — roll to r17's front).
@@ -115,7 +117,6 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_metadata",
     "partition_counts",
     "percentile_approx_values",
-    "q1_pricing_summary",
 ]
 
 

@@ -4510,6 +4510,64 @@ def test_wav_float32_and_mulaw_codecs():
         encode_wav(np.zeros(4), 8000, "opus")
 
 
+def test_ima_adpcm_codec_and_fail_louds():
+    """The r16 IMA-ADPCM decoder (the last WAV-format stub): a
+    hand-traceable first step, encode/decode tracking within step
+    granularity (greedy reference quantizer), container == block
+    decode, and typed refusals (stereo interleave, index > 88,
+    reserved byte, truncated header, out-of-domain input)."""
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.audio import (
+        IMA_STEP_TABLE,
+        build_ima_adpcm_wav,
+        decode_wav_samples,
+        ima_adpcm_decode_block,
+        ima_adpcm_encode,
+    )
+
+    # hand trace: pred0=100, idx0=0 (step 7), nibble 0x3 ->
+    # d = 7//8 + 7//4 + 7//2 = 0+1+3 = 4 -> 104; index += -1 -> 0
+    blk = (100).to_bytes(2, "little", signed=True) + bytes([0, 0, 0x03])
+    out = ima_adpcm_decode_block(blk)
+    assert out[0] == 100 and out[1] == 104
+    # second nibble of the byte is 0x0: d = 7//8 = 0 -> stays 104
+    assert out[2] == 104
+
+    # container decode == block decode, 61 samples
+    nibs = [(3 * 7 + 5 * i) % 16 for i in range(60)]
+    block = (1001).to_bytes(2, "little", signed=True) + bytes(
+        [42, 0]
+    ) + bytes(nibs[i] | (nibs[i + 1] << 4) for i in range(0, 60, 2))
+    n_ch, rate, arr = decode_wav_samples(build_ima_adpcm_wav(block))
+    assert (n_ch, rate, arr.shape) == (1, 8000, (61, 1))
+    assert (arr[:, 0] == ima_adpcm_decode_block(block)).all()
+
+    # encode property: reconstruction tracks the input
+    t = np.arange(400)
+    x = (8000 * np.sin(t / 9.0)).astype(np.int64)
+    y = ima_adpcm_decode_block(ima_adpcm_encode(x))[: len(x)]
+    assert float(np.abs(y - x).mean()) < 300
+    assert len(IMA_STEP_TABLE) == 89 and IMA_STEP_TABLE[-1] == 32767
+
+    with pytest.raises(ValueError, match="> 88"):
+        ima_adpcm_decode_block(b"\x00\x00\x59\x00")
+    with pytest.raises(ValueError, match="reserved"):
+        ima_adpcm_decode_block(b"\x00\x00\x00\x01")
+    with pytest.raises(ValueError, match="truncated"):
+        ima_adpcm_decode_block(b"\x00\x00")
+    with pytest.raises(ValueError, match="int16 domain"):
+        ima_adpcm_encode(np.array([40000]))
+    # stereo interleave: typed refusal through the container
+    import struct
+
+    wav = bytearray(build_ima_adpcm_wav(block))
+    struct.pack_into("<H", wav, wav.index(b"fmt ") + 8 + 2, 2)  # n_ch=2
+    with pytest.raises(NotImplementedError, match="stereo IMA"):
+        decode_wav_samples(bytes(wav))
+
+
 def test_avi_mjpeg_codec_roundtrip_and_fail_louds():
     """The r16 AVI/MJPEG video codec (operators/video.py): DC-block
     MJPEG frames round-trip BIT-EXACT through build → container walk
