@@ -262,6 +262,10 @@ HEADLINE = [
     # vs a recursive-CTE oracle (the codec class). Pin after its
     # first two idle sessions.
     "multimodal_wav_ima_adpcm_roundtrip",
+    # r16 seventh registration: stereo IMA-ADPCM de-interleave
+    # decode over 100 built files (the codec class). Pin after its
+    # first two idle sessions.
+    "multimodal_wav_ima_adpcm_stereo",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -149,6 +149,31 @@ def ima_adpcm_decode_block(block: bytes):
     return np.asarray(out, dtype="int32")
 
 
+def ima_adpcm_decode_block_stereo(block: bytes):
+    """Decode one STEREO IMA-ADPCM block — the standard interleave:
+    two 4-byte channel headers, then alternating 4-byte (8-nibble)
+    groups per channel. Each channel runs the same state machine as
+    mono; output is (n_frames, 2) with frame 0 = the two header
+    predictors. A trailing partial group pair decodes as far as the
+    bytes go (both channels must shorten together)."""
+    import numpy as np
+
+    if len(block) < 8:
+        raise ValueError("truncated stereo IMA ADPCM block header")
+    per_ch = [bytearray(block[0:4]), bytearray(block[4:8])]
+    body = block[8:]
+    if len(body) % 8:
+        raise ValueError(
+            "stereo IMA ADPCM body must be whole 4-byte group pairs"
+        )
+    for off in range(0, len(body), 8):
+        per_ch[0] += body[off:off + 4]
+        per_ch[1] += body[off + 4:off + 8]
+    left = ima_adpcm_decode_block(bytes(per_ch[0]))
+    right = ima_adpcm_decode_block(bytes(per_ch[1]))
+    return np.stack([left, right], axis=1)
+
+
 def ima_adpcm_encode(samples, index0: int = 0) -> bytes:
     """Mono IMA-ADPCM encode (the reference greedy quantizer):
     sample 0 rides the block header verbatim; each later sample's
@@ -208,15 +233,16 @@ def ima_adpcm_encode(samples, index0: int = 0) -> bytes:
 
 
 def build_ima_adpcm_wav(
-    block: bytes, sample_rate: int = 8000
+    block: bytes, sample_rate: int = 8000, n_channels: int = 1
 ) -> bytes:
-    """Wrap one mono IMA-ADPCM block in a spec-shaped WAV (format
-    0x11, 4 bits/sample, fmt extension carrying samples-per-block,
-    fact chunk with the decoded sample count)."""
-    n_samples = 1 + (len(block) - 4) * 2
+    """Wrap one IMA-ADPCM block (mono, or stereo in the standard
+    4-byte interleave) in a spec-shaped WAV (format 0x11, 4
+    bits/sample, fmt extension carrying samples-per-block, fact
+    chunk with the decoded per-channel sample count)."""
+    n_samples = 1 + (len(block) - 4 * n_channels) * 2 // n_channels
     fmt = struct.pack(
         "<HHIIHHHH",
-        0x11, 1, sample_rate,
+        0x11, n_channels, sample_rate,
         sample_rate * len(block) // max(1, n_samples),
         len(block), 4, 2, n_samples,
     )
@@ -333,27 +359,32 @@ def decode_wav_samples(payload: bytes):
             raise ValueError(
                 f"IMA ADPCM WAV declares {bits} bits per sample"
             )
-        if n_ch != 1:
+        if n_ch not in (1, 2):
             raise NotImplementedError(
-                "stereo IMA ADPCM (per-channel 4-byte interleave) "
-                "is outside the envelope — mono covers the speech/"
-                "telephony corpora this path exists for"
+                f"{n_ch}-channel IMA ADPCM outside the envelope "
+                "(mono and the standard stereo 4-byte interleave "
+                "decode for real as of r16)"
             )
-        if block_align < 5:
+        if block_align < 4 * n_ch:
             raise ValueError("IMA ADPCM block_align too small")
+        decode = (
+            ima_adpcm_decode_block
+            if n_ch == 1
+            else ima_adpcm_decode_block_stereo
+        )
         chunks = [
-            ima_adpcm_decode_block(data[off:off + block_align])
+            decode(data[off:off + block_align])
             for off in range(0, len(data), block_align)
-            if len(data) - off >= 4
+            if len(data) - off >= 4 * n_ch
         ]
         arr = (
             np.concatenate(chunks)
             if chunks
-            else np.empty(0, dtype="int32")
+            else np.empty((0, n_ch), dtype="int32")
         )
         if rate == 0:
             raise ValueError("WAV declares sample rate 0")
-        return n_ch, rate, arr.reshape(-1, 1)
+        return n_ch, rate, arr.reshape(-1, n_ch)
     if audio_format == 1 and bits not in (8, 16):
         raise NotImplementedError(f"{bits}-bit PCM unsupported (8/16 only)")
     if audio_format == 3 and bits != 32:

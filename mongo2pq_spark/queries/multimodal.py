@@ -2176,6 +2176,141 @@ def _ima_adpcm_oracle() -> str:
     """
 
 
+def _ima_adpcm_stereo_oracle() -> str:
+    """The mono recursive-CTE mirror extended with a CHANNEL
+    dimension: two independent state machines per doc (distinct
+    closed-form headers and nibble streams per channel), aggregated
+    to the stereo stats — proving the de-interleave feeds each
+    channel exactly its own nibble stream."""
+    from mongo2pq_spark.operators.audio import IMA_STEP_TABLE
+
+    steps = ", ".join(
+        f"({k}, {s})" for k, s in enumerate(IMA_STEP_TABLE)
+    )
+    return f"""
+    WITH RECURSIVE st(k, s) AS (
+        SELECT * FROM (VALUES {steps}) t(k, s)
+    ),
+    d AS (
+        SELECT doc_id, c.i AS c,
+               CAST(((17 * doc_id + 801 * c.i) % 2003) - 1001
+                    AS INTEGER) AS pred0,
+               CAST((doc_id + 31 * c.i) % 89 AS INTEGER) AS idx0
+        FROM documents, generate_series(0, 1) c(i)
+        WHERE doc_id < 100
+    ),
+    dec AS (
+        SELECT doc_id, c, 0 AS i, pred0 AS pred, idx0 AS idx,
+               CAST(pred0 AS BIGINT) AS ssum,
+               CAST(abs(pred0) AS INTEGER) AS pmax
+        FROM d
+        UNION ALL
+        SELECT doc_id, c, i + 1, np,
+               CAST(least(88, greatest(0, idx + itab)) AS INTEGER),
+               ssum + np,
+               CAST(greatest(pmax, abs(np)) AS INTEGER)
+        FROM (
+            SELECT *,
+                   CAST(least(32767, greatest(-32768,
+                        pred + CASE WHEN nib >= 8 THEN -dd
+                                    ELSE dd END)) AS INTEGER) AS np
+            FROM (
+                SELECT dec.*,
+                       (3 * dec.doc_id + 5 * dec.i + 9 * dec.c)
+                           % 16 AS nib,
+                       st.s // 8
+                       + CASE WHEN nib % 2 = 1 THEN st.s // 4
+                              ELSE 0 END
+                       + CASE WHEN (nib // 2) % 2 = 1 THEN st.s // 2
+                              ELSE 0 END
+                       + CASE WHEN (nib // 4) % 2 = 1 THEN st.s
+                              ELSE 0 END AS dd,
+                       CASE nib % 8 WHEN 4 THEN 2 WHEN 5 THEN 4
+                            WHEN 6 THEN 6 WHEN 7 THEN 8
+                            ELSE -1 END AS itab
+                FROM dec JOIN st ON st.k = dec.idx
+                WHERE dec.i < 56
+            ) q1
+        ) q2
+    )
+    SELECT doc_id,
+           CAST(2 AS INTEGER) AS channels,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(57 AS BIGINT) AS n_frames,
+           CAST(7 AS BIGINT) AS duration_ms,
+           CAST(sum(ssum) AS BIGINT) AS sample_sum,
+           CAST(max(pmax) AS INTEGER) AS peak_abs
+    FROM dec WHERE i = 56 GROUP BY doc_id
+    """
+
+
+@register(
+    "multimodal_wav_ima_adpcm_stereo",
+    _ima_adpcm_stereo_oracle(),
+    doc="STEREO IMA-ADPCM decode (r16 addendum — removes the mono-"
+        "only envelope note): the standard stereo interleave (two "
+        "4-byte channel headers, then alternating 4-byte/8-nibble "
+        "groups per channel) is built from per-channel closed-form "
+        "nibble streams and decoded on executors — the de-interleave "
+        "must feed each channel's state machine exactly its own "
+        "stream, in order, or the recursive-CTE oracle (the mono "
+        "mirror extended with a channel dimension, aggregated to "
+        "stereo stats) breaks. 7 group pairs per block, 57 frames. "
+        "Map-only; the WAV matrix now has NO stubbed format and no "
+        "envelope caveat beyond >2-channel ADPCM",
+)
+def multimodal_wav_ima_adpcm_stereo(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import audio as audio_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+
+    def build_batches(batches):
+        import pandas as pd
+
+        from mongo2pq_spark.operators.audio import build_ima_adpcm_wav
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                hdrs, groups = b"", []
+                for c in (0, 1):
+                    pred0 = ((17 * d + 801 * c) % 2003) - 1001
+                    hdrs += pred0.to_bytes(2, "little", signed=True)
+                    hdrs += bytes([(d + 31 * c) % 89, 0])
+                    nibs = [
+                        (3 * d + 5 * i + 9 * c) % 16 for i in range(56)
+                    ]
+                    groups.append(
+                        bytes(
+                            nibs[i] | (nibs[i + 1] << 4)
+                            for i in range(0, 56, 2)
+                        )
+                    )
+                body = b"".join(
+                    groups[0][k:k + 4] + groups[1][k:k + 4]
+                    for k in range(0, 28, 4)
+                )
+                payloads.append(
+                    build_ima_adpcm_wav(hdrs + body, 8000, n_channels=2)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return audio_ops.wav_audio_stats(files)
+
+
 @register(
     "multimodal_wav_ima_adpcm_roundtrip",
     _ima_adpcm_oracle(),

@@ -4562,10 +4562,36 @@ def test_ima_adpcm_codec_and_fail_louds():
     # stereo interleave: typed refusal through the container
     import struct
 
+    # stereo decodes for real now (standard 4-byte interleave);
+    # >2 channels stays the typed envelope refusal
     wav = bytearray(build_ima_adpcm_wav(block))
-    struct.pack_into("<H", wav, wav.index(b"fmt ") + 8 + 2, 2)  # n_ch=2
-    with pytest.raises(NotImplementedError, match="stereo IMA"):
+    struct.pack_into("<H", wav, wav.index(b"fmt ") + 8 + 2, 3)
+    with pytest.raises(NotImplementedError, match="channel IMA"):
         decode_wav_samples(bytes(wav))
+
+    # stereo: interleaved groups de-interleave to two independent
+    # channel state machines; frame 0 = the two header predictors
+    from mongo2pq_spark.operators.audio import (
+        ima_adpcm_decode_block_stereo,
+    )
+
+    hdr_l = (500).to_bytes(2, "little", signed=True) + bytes([10, 0])
+    hdr_r = (-700).to_bytes(2, "little", signed=True) + bytes([20, 0])
+    nl = [(5 * i) % 16 for i in range(16)]
+    nr = [(7 * i + 3) % 16 for i in range(16)]
+    gl = bytes(nl[i] | (nl[i + 1] << 4) for i in range(0, 16, 2))
+    gr = bytes(nr[i] | (nr[i + 1] << 4) for i in range(0, 16, 2))
+    sblock = hdr_l + hdr_r + gl[:4] + gr[:4] + gl[4:] + gr[4:]
+    st = ima_adpcm_decode_block_stereo(sblock)
+    assert st.shape == (17, 2)
+    assert (st[:, 0] == ima_adpcm_decode_block(hdr_l + gl)).all()
+    assert (st[:, 1] == ima_adpcm_decode_block(hdr_r + gr)).all()
+    _, _, starr = decode_wav_samples(
+        build_ima_adpcm_wav(sblock, n_channels=2)
+    )
+    assert (starr == st).all()
+    with pytest.raises(ValueError, match="group pairs"):
+        ima_adpcm_decode_block_stereo(sblock[:-2])
 
 
 def test_avi_mjpeg_codec_roundtrip_and_fail_louds():
