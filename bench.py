@@ -266,6 +266,10 @@ HEADLINE = [
     # decode over 100 built files (the codec class). Pin after its
     # first two idle sessions.
     "multimodal_wav_ima_adpcm_stereo",
+    # r16 eighth registration: chroma-subsampled JPEG decode (4:2:0/
+    # 4:2:2 interleaved MCUs over 150 built images — the codec
+    # class). Pin after its first two idle sessions.
+    "multimodal_jpeg_subsampled_roundtrip",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -8,7 +8,8 @@ function contract.
 Scope (fail-loud outside it):
 
 - ``encode_jpeg``: baseline sequential DCT, 8-bit, grayscale or
-  YCbCr 4:4:4 (no chroma subsampling). The Huffman tables are our own
+  YCbCr 4:4:4, 4:2:2, 4:4:0 or 4:2:0 (chroma subsampling decodes
+  for real as of r16; box upsample). The Huffman tables are our own
   canonical fixed-length layouts and are DECLARED in the stream's DHT
   segments — any conforming decoder reads tables from DHT, so the
   output is standards-compliant without transcribing the Annex K
@@ -18,7 +19,7 @@ Scope (fail-loud outside it):
   declare), Huffman-decodes the entropy stream with 0xFF00
   unstuffing, dequantizes, inverse-DCTs, and color-converts.
   ``NotImplementedError`` on progressive/extended SOFs, 12-bit
-  precision, chroma subsampling, arithmetic coding, and restart
+  precision, arithmetic coding, and restart
   intervals; ``ValueError`` on corrupt payloads — the same typed-error
   contract as the PNG decoder.
 
@@ -176,12 +177,64 @@ def _ycbcr_to_rgb(planes):
     return np.clip(np.rint(rgb), 0, 255).astype("uint8")
 
 
-def encode_jpeg(arr, qtable=None) -> bytes:
+_SAMPLING_MODES = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def _encode_block(writer, block, q, comp, dc_prev, dc_codes, ac_codes, m):
+    """One 8×8 block through FDCT → quantize → Huffman (shared by
+    every sampling mode; DC predictor is per component)."""
+    import numpy as np
+
+    coef = np.rint((m @ (block - 128.0) @ m.T) / q).astype(int)
+    zz = [int(coef[y, x]) for (y, x) in _ZIGZAG]
+    diff = zz[0] - dc_prev[comp]
+    dc_prev[comp] = zz[0]
+    cat = _category(diff)
+    code, length = dc_codes[cat]
+    writer.write(code, length)
+    if cat:
+        bits = diff if diff >= 0 else diff + (1 << cat) - 1
+        writer.write(bits, cat)
+    run = 0
+    for v in zz[1:]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size = _category(v)
+        if size > 10:
+            raise ValueError(
+                f"AC coefficient {v} exceeds the 10-bit "
+                "magnitude of the declared table (use a "
+                "larger quantization table)"
+            )
+        code, length = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        bits = v if v >= 0 else v + (1 << size) - 1
+        writer.write(bits, size)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+
+
+def encode_jpeg(arr, qtable=None, subsampling: str = "444") -> bytes:
     """Baseline JPEG writer: h×w (grayscale) or h×w×3 (RGB, stored as
-    YCbCr 4:4:4) uint8 array → standards-compliant JFIF-less baseline
-    JPEG bytes. ``qtable`` is the 8×8 quantization table used for ALL
+    YCbCr) uint8 array → standards-compliant JFIF-less baseline JPEG
+    bytes. ``qtable`` is the 8×8 quantization table used for ALL
     components (default all-ones — near-lossless, the reference
-    setting the exact-roundtrip oracle relies on)."""
+    setting the exact-roundtrip oracle relies on). ``subsampling``
+    (3-channel only): '444', '422', or '420' (r16) — chroma planes
+    box-downsampled and the scan emitted in interleaved MCU order
+    with the matching SOF sampling factors, the layout camera/encoder
+    output overwhelmingly ships."""
     import numpy as np
 
     arr = np.ascontiguousarray(arr, dtype="uint8")
@@ -194,6 +247,14 @@ def encode_jpeg(arr, qtable=None) -> bytes:
     h, w, n_comp = arr.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if subsampling not in _SAMPLING_MODES:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    if n_comp == 1:
+        samp = ((1, 1),)
+    else:
+        samp = _SAMPLING_MODES[subsampling]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
     q = (
         np.ones((8, 8), dtype=np.float64)
         if qtable is None
@@ -202,58 +263,43 @@ def encode_jpeg(arr, qtable=None) -> bytes:
     if (q < 1).any() or (q > 255).any():
         raise ValueError("quantization table entries must be in 1..255")
 
-    planes = (
+    full = (
         _rgb_to_ycbcr(arr)
         if n_comp == 3
         else arr[:, :, 0].astype(np.float64)[:, :, None]
     )
-    # pad to block multiples by edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = np.pad(planes, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    # pad to MCU multiples by edge replication
+    mcu_h, mcu_w = 8 * vmax, 8 * hmax
+    ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
+    full = np.pad(full, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    planes = []
+    for ci, (hi, vi) in enumerate(samp):
+        plane = full[:, :, ci]
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:  # box downsample
+            plane = plane.reshape(
+                ph // fy, fy, pw // fx, fx
+            ).mean(axis=(1, 3))
+        planes.append(plane)
 
     dc_codes = _build_codes(_DC_BITS, _DC_VALS)
     ac_codes = _build_codes(_AC_BITS, _AC_VALS)
     m = _dct_matrix()
     writer = _BitWriter()
     dc_prev = [0] * n_comp
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for comp in range(n_comp):
-                block = planes[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, comp]
-                coef = np.rint((m @ (block - 128.0) @ m.T) / q).astype(int)
-                zz = [int(coef[y, x]) for (y, x) in _ZIGZAG]
-                diff = zz[0] - dc_prev[comp]
-                dc_prev[comp] = zz[0]
-                cat = _category(diff)
-                code, length = dc_codes[cat]
-                writer.write(code, length)
-                if cat:
-                    bits = diff if diff >= 0 else diff + (1 << cat) - 1
-                    writer.write(bits, cat)
-                run = 0
-                for v in zz[1:]:
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[0xF0]  # ZRL
-                        writer.write(code, length)
-                        run -= 16
-                    size = _category(v)
-                    if size > 10:
-                        raise ValueError(
-                            f"AC coefficient {v} exceeds the 10-bit "
-                            "magnitude of the declared table (use a "
-                            "larger quantization table)"
+    for my in range(ph // mcu_h):
+        for mx in range(pw // mcu_w):
+            for ci, (hi, vi) in enumerate(samp):
+                for r in range(vi):
+                    for c in range(hi):
+                        by, bx = my * vi + r, mx * hi + c
+                        block = planes[ci][
+                            by * 8:by * 8 + 8, bx * 8:bx * 8 + 8
+                        ]
+                        _encode_block(
+                            writer, block, q, ci, dc_prev,
+                            dc_codes, ac_codes, m,
                         )
-                    code, length = ac_codes[(run << 4) | size]
-                    writer.write(code, length)
-                    bits = v if v >= 0 else v + (1 << size) - 1
-                    writer.write(bits, size)
-                    run = 0
-                if run:
-                    code, length = ac_codes[0x00]  # EOB
-                    writer.write(code, length)
     writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -261,7 +307,10 @@ def encode_jpeg(arr, qtable=None) -> bytes:
 
     qzz = bytes(int(q[y, x]) for (y, x) in _ZIGZAG)
     sof_comps = b"".join(
-        struct.pack(">BBB", cid + 1, 0x11, 0) for cid in range(n_comp)
+        struct.pack(
+            ">BBB", cid + 1, (samp[cid][0] << 4) | samp[cid][1], 0
+        )
+        for cid in range(n_comp)
     )
     sos_comps = b"".join(
         struct.pack(">BB", cid + 1, 0x00) for cid in range(n_comp)
@@ -390,19 +439,33 @@ def decode_jpeg_pixels(payload: bytes):
     comps = []
     for i in range(n_comp):
         cid, sampling, tq = sof[6 + 3 * i:9 + 3 * i]
-        if sampling != 0x11:
+        hi, vi = sampling >> 4, sampling & 15
+        if hi not in (1, 2) or vi not in (1, 2):
             raise NotImplementedError(
-                "chroma-subsampled JPEG unsupported (4:4:4 only)"
+                f"sampling factors {hi}x{vi} unsupported "
+                "(1-2 each: 4:4:4, 4:2:2, 4:4:0, 4:2:0)"
             )
-        comps.append((cid, tq))
+        comps.append((cid, tq, hi, vi))
+    if n_comp == 1 and comps[0][2:] != (1, 1):
+        raise NotImplementedError(
+            "subsampled single-component JPEG is not meaningful"
+        )
     scan_comps, data = scan
-    if [c for c, _, _ in scan_comps] != [cid for cid, _ in comps]:
+    if [c for c, _, _ in scan_comps] != [cid for cid, _, _, _ in comps]:
         raise ValueError("SOS component order differs from SOF")
 
     m = _dct_matrix()
     reader = _BitReader(data)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = np.zeros((ph, pw, n_comp))
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
+    mcu_h, mcu_w = 8 * vmax, 8 * hmax
+    mcus_y, mcus_x = -(-h // mcu_h), -(-w // mcu_w)
+    # per-component planes at THEIR sampling resolution; interleaved
+    # MCU traversal per T.81 A.2.3 (vi x hi blocks per comp per MCU)
+    planes = [
+        np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi))
+        for _, _, hi, vi in comps
+    ]
     dc_prev = [0] * n_comp
 
     def decode_sym(table) -> int:
@@ -414,9 +477,9 @@ def decode_jpeg_pixels(payload: bytes):
                 return sym
         raise ValueError("invalid JPEG Huffman code")
 
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci, ((_cid, tq), (_sc, td, ta)) in enumerate(
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, ((_cid, tq, hi, vi), (_sc, td, ta)) in enumerate(
                 zip(comps, scan_comps)
             ):
                 dc_tbl, ac_tbl = huff.get((0, td)), huff.get((1, ta))
@@ -425,32 +488,56 @@ def decode_jpeg_pixels(payload: bytes):
                 q = qtables.get(tq)
                 if q is None:
                     raise ValueError("SOF references an undeclared DQT")
-                zz = [0] * 64
-                cat = decode_sym(dc_tbl)
-                dc_prev[ci] += _extend(reader.read(cat), cat)
-                zz[0] = dc_prev[ci]
-                k = 1
-                while k < 64:
-                    sym = decode_sym(ac_tbl)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    if k > 63:
-                        raise ValueError("AC run overflows the block")
-                    zz[k] = _extend(reader.read(sym & 15), sym & 15)
-                    k += 1
-                coef = np.zeros((8, 8))
-                for idx, (y, x) in enumerate(_ZIGZAG):
-                    coef[y, x] = zz[idx]
-                block = m.T @ (coef * q) @ m + 128.0
-                planes[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, ci] = block
+                for r in range(vi):
+                    for c in range(hi):
+                        zz = [0] * 64
+                        cat = decode_sym(dc_tbl)
+                        dc_prev[ci] += _extend(reader.read(cat), cat)
+                        zz[0] = dc_prev[ci]
+                        k = 1
+                        while k < 64:
+                            sym = decode_sym(ac_tbl)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            if k > 63:
+                                raise ValueError(
+                                    "AC run overflows the block"
+                                )
+                            zz[k] = _extend(
+                                reader.read(sym & 15), sym & 15
+                            )
+                            k += 1
+                        coef = np.zeros((8, 8))
+                        for idx, (y, x) in enumerate(_ZIGZAG):
+                            coef[y, x] = zz[idx]
+                        block = m.T @ (coef * q) @ m + 128.0
+                        by, bx = my * vi + r, mx * hi + c
+                        planes[ci][
+                            by * 8:by * 8 + 8, bx * 8:bx * 8 + 8
+                        ] = block
+    # upsample subsampled planes back to full resolution (box — the
+    # exact inverse of the encoder's box downsample for
+    # constant-per-cell content, which is what keeps the DC-block
+    # oracle bit-exact through 4:2:0)
+    out_planes = np.zeros((mcus_y * mcu_h, mcus_x * mcu_w, n_comp))
+    for ci, (_cid, _tq, hi, vi) in enumerate(comps):
+        plane = planes[ci]
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        out_planes[:, :, ci] = plane
     if n_comp == 1:
-        out = np.clip(np.rint(planes[:h, :w, :]), 0, 255).astype("uint8")
+        out = np.clip(
+            np.rint(out_planes[:h, :w, :]), 0, 255
+        ).astype("uint8")
     else:
-        out = _ycbcr_to_rgb(planes[:h, :w, :])
+        out = _ycbcr_to_rgb(out_planes[:h, :w, :])
     return h, w, n_comp, out
 
 

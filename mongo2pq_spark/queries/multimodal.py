@@ -2176,6 +2176,89 @@ def _ima_adpcm_oracle() -> str:
     """
 
 
+@register(
+    "multimodal_jpeg_subsampled_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(32 AS INTEGER) AS width,
+           CAST(32 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(3 * 256 * sum((7 * doc_id + 31 * mx.i + 57 * my.i)
+                              % 256) AS BIGINT) AS pixel_sum,
+           CAST(3072 AS BIGINT) AS n_pixels
+    FROM documents,
+         generate_series(0, 1) mx(i),
+         generate_series(0, 1) my(i)
+    WHERE doc_id < 150
+    GROUP BY doc_id
+    """,
+    doc="CHROMA-SUBSAMPLED JPEG decode, end to end (r16 — retires "
+        "the 4:4:4-only envelope; 4:2:0 is what camera/encoder "
+        "output overwhelmingly ships): 32x32 RGB images built from "
+        "2x2 grids of CONSTANT 16x16 achromatic macroblocks are "
+        "encoded with the full interleaved-MCU layout — each doc "
+        "alternating 4:2:0 (four Y blocks + box-downsampled Cb/Cr "
+        "per MCU) and 4:2:2 per doc_id parity, SOF sampling factors "
+        "and T.81 A.2.3 block order for real — and decoded back "
+        "through the generalized MCU walk + box chroma upsample. "
+        "Achromatic constant macroblocks survive RGB→YCbCr→"
+        "downsample→DCT→upsample→RGB BIT-EXACTLY, so the oracle "
+        "recomputes exact integer pixel sums from the generation "
+        "rule alone: the hash match proves the subsampled scan "
+        "layout, per-component block ordering, and chroma "
+        "resampling are all decoded correctly. Map-only; remaining "
+        "JPEG stubs: progressive/arithmetic/restart-interval "
+        "variants",
+)
+def multimodal_jpeg_subsampled_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import jpeg as jpeg_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 150
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.jpeg import encode_jpeg
+
+        ones16 = np.ones((16, 16), dtype="uint8")
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                mac = np.array(
+                    [
+                        [(7 * d + 31 * mx + 57 * my) % 256
+                         for mx in range(2)]
+                        for my in range(2)
+                    ],
+                    dtype="uint8",
+                )
+                gray = np.kron(mac, ones16)
+                rgb = np.stack([gray] * 3, axis=2)
+                payloads.append(
+                    encode_jpeg(
+                        rgb,
+                        subsampling="420" if d % 2 == 0 else "422",
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return jpeg_ops.jpeg_pixel_stats(files)
+
+
 def _ima_adpcm_stereo_oracle() -> str:
     """The mono recursive-CTE mirror extended with a CHANNEL
     dimension: two independent state machines per doc (distinct

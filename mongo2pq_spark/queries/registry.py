@@ -59,6 +59,7 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_wav_codec_matrix",
     "multimodal_wav_ima_adpcm_roundtrip",
     "multimodal_wav_ima_adpcm_stereo",
+    "multimodal_jpeg_subsampled_roundtrip",
     # (a') queries whose hashes moved in r16: the ~15 parquet/CSV/
     # JSONL/ORC/XML/mongodump/index EL queries re-keyed from fixed
     # /tmp dirs onto sources/staging.py::generation_tmp_dir (VERDICT
@@ -94,8 +95,9 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_jpeg_pixel_roundtrip",
     # (b) the oldest 23 of the 34 r10-latest entries, in their r10
     # window order (el_mongodump_scan/flatten and el_xml_roundtrip
-    # are already above; the remaining 15 — percentile_approx_values,
-    # q1_pricing_summary, q6_forecast_revenue, salted_join_revenue,
+    # are already above; the remaining 16 — partition_counts,
+    # percentile_approx_values, q1_pricing_summary,
+    # q6_forecast_revenue, salted_join_revenue,
     # streaming_foreach_batch_upsert, systematic_sample,
     # text_fingerprints, text_language_id,
     # text_quality_scores, text_tfidf_top_terms, text_token_stats,
@@ -116,7 +118,6 @@ _DRIVER_WINDOW_FIRST = [
     "median_value_by_type",
     "merge_upsert_events",
     "multimodal_metadata",
-    "partition_counts",
 ]
 
 

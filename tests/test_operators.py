@@ -4510,6 +4510,69 @@ def test_wav_float32_and_mulaw_codecs():
         encode_wav(np.zeros(4), 8000, "opus")
 
 
+def test_jpeg_chroma_subsampling_paths():
+    """The r16 sampling generalization: achromatic constant-16x16-
+    macroblock images round-trip BIT-EXACT through 4:4:4, 4:2:2 AND
+    4:2:0 (RGB→YCbCr→box-downsample→DCT→box-upsample→RGB is identity
+    for them — the oracle's foundation); chromatic content is lossy
+    but deterministic with luma tracked closely; odd dimensions pad/
+    crop through the MCU grid; unknown modes and >2 sampling factors
+    refuse typed. The 4:4:4 grayscale path (the existing oracles')
+    is pinned unchanged."""
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    ones16 = np.ones((16, 16), dtype="uint8")
+    for d in (0, 5, 11):
+        mac = np.array(
+            [
+                [(7 * d + 31 * mx + 57 * my) % 256 for mx in range(2)]
+                for my in range(2)
+            ],
+            dtype="uint8",
+        )
+        rgb = np.stack([np.kron(mac, ones16)] * 3, axis=2)
+        for mode in ("444", "422", "420"):
+            h, w, c, out = decode_jpeg_pixels(
+                encode_jpeg(rgb, subsampling=mode)
+            )
+            assert (h, w, c) == (32, 32, 3)
+            assert (out == rgb).all(), (d, mode)
+
+    # chromatic: deterministic, luma close (chroma averaged 2x2)
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 200, (6, 8, 3))
+    img = np.kron(base, np.ones((8, 8, 1))).astype("uint8")  # smooth
+    b1 = encode_jpeg(img, subsampling="420")
+    assert b1 == encode_jpeg(img, subsampling="420")
+    _, _, _, out = decode_jpeg_pixels(b1)
+    assert float(np.abs(out.astype(int) - img.astype(int)).mean()) < 3.0
+
+    # odd dims: edge-replicated pad, cropped back
+    odd = rng.randint(0, 256, (19, 21, 3)).astype("uint8")
+    h, w, c, _ = decode_jpeg_pixels(encode_jpeg(odd, subsampling="420"))
+    assert (h, w, c) == (19, 21, 3)
+
+    with pytest.raises(ValueError, match="unknown subsampling"):
+        encode_jpeg(img, subsampling="411")
+    # forge 4x1 sampling factors into the SOF: typed refusal
+    bad = bytearray(encode_jpeg(img, subsampling="420"))
+    sof = bad.index(b"\xff\xc0")
+    bad[sof + 2 + 2 + 6 + 1] = 0x41
+    with pytest.raises(NotImplementedError, match="sampling factors"):
+        decode_jpeg_pixels(bytes(bad))
+    # grayscale 4:4:4 DC-block exactness unchanged
+    blocks = np.array([[10, 200], [50, 99]], dtype="uint8")
+    g = np.kron(blocks, np.ones((8, 8), dtype="uint8"))
+    _, _, _, out_g = decode_jpeg_pixels(encode_jpeg(g))
+    assert (out_g[:, :, 0] == g).all()
+
+
 def test_ima_adpcm_codec_and_fail_louds():
     """The r16 IMA-ADPCM decoder (the last WAV-format stub): a
     hand-traceable first step, encode/decode tracking within step
