@@ -329,7 +329,7 @@ def decode_wav_samples(payload: bytes):
 
     if payload[:4] != WAV_MAGIC or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data, fact_samples = 12, None, b"", None, None
     try:
         while pos + 8 <= len(payload):
             cid = payload[pos:pos + 4]
@@ -340,8 +340,14 @@ def decode_wav_samples(payload: bytes):
             pos += 8 + length + (length & 1)  # chunks are word-aligned
             if cid == b"fmt ":
                 fmt = struct.unpack("<HHIIHH", body[:16])
+                fmt_body = body
             elif cid == b"data":
                 data = body
+            elif cid == b"fact" and length >= 4:
+                # dwSampleLength: per-channel sample FRAME count —
+                # mandatory for compressed formats, where frames are
+                # not derivable from byte length (block padding)
+                (fact_samples,) = struct.unpack("<I", body[:4])
     except struct.error as exc:
         raise ValueError(f"corrupt WAV chunk stream: {exc}") from exc
     if fmt is None or data is None:
@@ -372,8 +378,24 @@ def decode_wav_samples(payload: bytes):
             if n_ch == 1
             else ima_adpcm_decode_block_stereo
         )
+        # the fmt extension's wSamplesPerBlock (cbSize >= 2) bounds
+        # each block's decode: standard encoders nibble/byte-pad the
+        # FINAL block, and decoding every nibble in it would emit
+        # phantom trailing samples (ADVICE r16). A declared value
+        # larger than the block can physically carry is corrupt.
+        spb = None
+        if len(fmt_body) >= 20:
+            (cb,) = struct.unpack("<H", fmt_body[16:18])
+            if cb >= 2:
+                (spb,) = struct.unpack("<H", fmt_body[18:20])
+                max_spb = 1 + (block_align - 4 * n_ch) * 2 // n_ch
+                if spb < 1 or spb > max_spb:
+                    raise ValueError(
+                        f"IMA ADPCM wSamplesPerBlock {spb} outside "
+                        f"1..{max_spb} for block_align {block_align}"
+                    )
         chunks = [
-            decode(data[off:off + block_align])
+            decode(data[off:off + block_align])[:spb]
             for off in range(0, len(data), block_align)
             if len(data) - off >= 4 * n_ch
         ]
@@ -382,9 +404,21 @@ def decode_wav_samples(payload: bytes):
             if chunks
             else np.empty((0, n_ch), dtype="int32")
         )
+        arr = arr.reshape(-1, n_ch)
+        if fact_samples is not None:
+            # the fact chunk is the authoritative per-channel frame
+            # count for compressed WAV — the padded final block's
+            # excess decodes are dropped here; a fact LARGER than
+            # the decoded stream means truncated data, fail loud
+            if fact_samples > arr.shape[0]:
+                raise ValueError(
+                    f"WAV fact chunk declares {fact_samples} frames "
+                    f"but only {arr.shape[0]} decode from data"
+                )
+            arr = arr[:fact_samples]
         if rate == 0:
             raise ValueError("WAV declares sample rate 0")
-        return n_ch, rate, arr.reshape(-1, n_ch)
+        return n_ch, rate, arr
     if audio_format == 1 and bits not in (8, 16):
         raise NotImplementedError(f"{bits}-bit PCM unsupported (8/16 only)")
     if audio_format == 3 and bits != 32:
@@ -490,7 +524,9 @@ def decode_audio_samples(payload: bytes):
         from mongo2pq_spark.operators.flac import decode_flac
 
         d = decode_flac(bytes(payload))
-        if not d["md5_ok"]:
+        # md5_ok None = STREAMINFO md5 unset (spec-legal,
+        # unverifiable) — only an actual MISMATCH is corrupt
+        if d["md5_ok"] is False:
             raise ValueError(
                 "FLAC decode does not match the STREAMINFO raw-PCM "
                 "md5 — refusing to fingerprint corrupt audio"

@@ -235,7 +235,12 @@ def _write_residuals(bw: _BitWriter, res, block_size: int, order: int) -> None:
             rc = _rice_cost(zz, param)
             raw_bits = int(max(zz.max(), 1)).bit_length() + 1 if len(zz) else 1
             ec = 5 + raw_bits * n
-            if ec < rc:
+            # the escape header's width field is 5 bits, so raw_bits
+            # > 31 cannot be declared — writing it would silently
+            # mask to the low 5 bits and corrupt the stream (ADVICE
+            # r16). Rice coding has no such cap, so the escape
+            # candidate is simply excluded for such partitions.
+            if raw_bits <= 31 and ec < rc:
                 plan.append(("esc", raw_bits, zz))
                 cost += 4 + ec
             else:
@@ -639,17 +644,27 @@ def decode_flac(payload: bytes) -> dict:
     the frame-header CRC-8, the whole-frame CRC-16, frame sequencing,
     and the STREAMINFO raw-PCM md5 over the decoded output. Returns
     ``{samples (frames, channels) int64 ndarray, sample_rate,
-    channels, bps, total_samples, md5_ok}``. ``ValueError`` on any
-    structural or integrity violation — fail-loud like every codec
-    in this repo."""
+    channels, bps, total_samples, md5_ok}`` — ``md5_ok`` is True /
+    False for a set STREAMINFO md5, ``None`` when the producer left
+    it unset (all zeros, spec-legal: unverifiable, not corrupt).
+    ``ValueError`` on any structural or integrity violation —
+    fail-loud like every codec in this repo."""
     import numpy as np
 
     from mongo2pq_spark.operators.audio import parse_flac_streaminfo
 
     info = parse_flac_streaminfo(payload)
-    # walk the metadata chain to the first audio frame
+    # walk the metadata chain to the first audio frame — bounds-
+    # checked so a truncated chain (is-last flag never set) surfaces
+    # as the documented typed ValueError, not an IndexError escaping
+    # a whole mapInPandas stage (ADVICE r16)
     pos = 4
     while True:
+        if pos + 4 > len(payload):
+            raise ValueError(
+                "truncated FLAC metadata chain (no last-block flag "
+                "before end of payload)"
+            )
         hdr = payload[pos]
         blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
         pos += 4 + blen
@@ -676,8 +691,14 @@ def decode_flac(payload: bytes) -> dict:
     )
     if samples.shape[0] != total:
         raise ValueError("decoded sample count != STREAMINFO total")
+    # an all-zero STREAMINFO md5 is spec-legal "unset" (the encoder
+    # didn't compute it) — report None (unverifiable) rather than
+    # False, so callers don't reject legal files as corrupt (ADVICE
+    # r16); a SET md5 is verified bit-exact as before
     md5_ok = (
-        hashlib.md5(_pack_pcm(samples, bps)).hexdigest()
+        None
+        if info["raw_md5"] == "0" * 32
+        else hashlib.md5(_pack_pcm(samples, bps)).hexdigest()
         == info["raw_md5"]
     )
     return {

@@ -847,13 +847,28 @@ def parse_avi(payload: bytes) -> dict:
             elif ckid == b"avih":
                 avih = struct.unpack("<14I", payload[body_start:body_start + 56])
             elif ckid == b"strh":
-                strh = payload[body_start:body_start + 56]
+                # strl lists appear in stream order, so the FIRST strh
+                # is stream 0's — keeping the last one misreported a
+                # multi-stream AVI (MJPEG video + audio) as "first
+                # stream is not video" with the AUDIO stream's fccType
+                # even though stream 0 was decodable (ADVICE r16).
+                # Later streams' data chunks (01wb, ...) are already
+                # skipped; only 00dc (stream 0 video) is collected.
+                if strh is None:
+                    strh = payload[body_start:body_start + 56]
             elif ckid == b"00dc":
                 frames.append(payload[body_start:body_end])
             elif ckid == b"idx1":
                 if length % 16:
                     raise ValueError("idx1 length not a multiple of 16")
-                idx_entries = length // 16
+                # count stream 0's VIDEO entries only: a multi-stream
+                # file's idx1 legitimately interleaves audio entries,
+                # which must not trip the frame-count cross-check
+                idx_entries = sum(
+                    1
+                    for off in range(body_start, body_end, 16)
+                    if payload[off:off + 4] == b"00dc"
+                )
             pos = body_end + (length & 1)  # chunks are word-aligned
 
     walk(12, 8 + riff_len)

@@ -547,9 +547,18 @@ def write_shards_incremental(
     name-for-name against the prior snapshot (names only — O(corpus
     names), not O(corpus bytes)) and the write fails loud on drift,
     so an under-declared ``dirty_names`` cannot silently ship a stale
-    shard with a DIFFERENT member set; a same-names/different-payload
-    under-declaration is uncatchable without per-member digests and
-    is exactly what the caller's digest diff exists to rule out.
+    shard with a DIFFERENT member set. The verification is against
+    each name's ACTUAL shard file in the prior snapshot, not a
+    recomputation of the bucket function: a prior generation written
+    with a custom ``shard_members(key_expr=...)`` partitioner (whose
+    member→shard placement differs from ``pmod(hash(name), n)``)
+    fails loud here instead of inheriting clean-bucket shards whose
+    member sets don't match the pinned bucket function (ADVICE r16) —
+    such snapshots must re-ship FULL once to adopt the name-keyed
+    layout before incremental ship applies. A same-names/
+    different-payload under-declaration is uncatchable without
+    per-member digests and is exactly what the caller's digest diff
+    exists to rule out.
     Sharing contract: the prior generation's directory must stay
     immutable while this one is live — ``inherited`` is a borrow, not
     a copy; the reader and ``verify_tar_shards`` both fail loud if
@@ -580,20 +589,25 @@ def write_shards_incremental(
     # ONE name-level job computes everything the ship needs (the
     # r16 bench showed the 3-job formulation — anti-join, distinct
     # collect, drift count — was the measurable overhead of the
-    # whole feature): prior names (names-only header scan) FULL
-    # OUTER new names, left-joined to the declared dirty set, then
-    # one per-bucket aggregate. dirty = bucket has a declared name
-    # OR a removed member; drift = an ADDED member nobody declared
-    # landing in an otherwise-clean bucket (a removed member always
-    # dirties its bucket here, and a changed-but-undeclared name is
-    # uncatchable without per-member digests — the caller's digest
-    # diff exists to rule that out). The collect is bounded by n.
+    # whole feature): prior names (names-only header scan, WITH the
+    # shard file each name actually lives in) FULL OUTER new names,
+    # left-joined to the declared dirty set, then one per-bucket
+    # aggregate. dirty = bucket has a declared name OR a removed
+    # member; drift = an ADDED member nobody declared landing in an
+    # otherwise-clean bucket (a removed member always dirties its
+    # bucket here, and a changed-but-undeclared name is uncatchable
+    # without per-member digests — the caller's digest diff exists
+    # to rule that out); mislocated = a prior member whose ACTUAL
+    # shard file is not the one the pinned bucket function assigns
+    # its name (the prior snapshot was written with a different
+    # partitioner, e.g. shard_members' custom key_expr — inheriting
+    # any clean bucket would ship wrong member sets, ADVICE r16).
+    # The collect is bounded by n.
     prior_names = (
         spark.read.format("tarshards")
         .option("payloads", "false")
         .load(prior_path)
-        .select("name")
-        .withColumn("in_prior", F.lit(True))
+        .select("name", F.col("shard").alias("prior_shard"))
     )
     new_names = df.select("name").withColumn("in_new", F.lit(True))
     declared = (
@@ -607,11 +621,21 @@ def write_shards_incremental(
         .select(
             bucket.alias("b"),
             F.col("declared").isNotNull().alias("decl"),
-            F.col("in_new").isNull().alias("removed"),
             (
-                F.col("in_prior").isNull()
+                F.col("prior_shard").isNotNull()
+                & F.col("in_new").isNull()
+            ).alias("removed"),
+            (
+                F.col("prior_shard").isNull()
                 & F.col("declared").isNull()
             ).alias("added_undecl"),
+            (
+                F.col("prior_shard").isNotNull()
+                & (
+                    F.col("prior_shard")
+                    != F.format_string("shard-%05d.tar", bucket)
+                )
+            ).alias("mislocated"),
         )
         .groupBy("b")
         .agg(
@@ -620,9 +644,22 @@ def write_shards_incremental(
             F.max(F.col("added_undecl").cast("int")).alias(
                 "has_added_undecl"
             ),
+            F.max(F.col("mislocated").cast("int")).alias(
+                "has_mislocated"
+            ),
         )
         .collect()
     )
+    mislocated = sorted(r["b"] for r in per_bucket if r["has_mislocated"])
+    if mislocated:
+        raise ValueError(
+            "write_shards_incremental: prior snapshot's member→shard "
+            f"placement differs from pmod(hash(name), {n}) in "
+            f"bucket(s) {mislocated} — it was written with a "
+            "different partitioner (e.g. shard_members' custom "
+            "key_expr); re-ship the prior generation FULL with "
+            "name-keyed sharding before shipping incrementally"
+        )
     dirty = sorted(
         r["b"] for r in per_bucket if r["has_decl"] or r["has_removed"]
     )

@@ -2700,3 +2700,64 @@ def test_generation_tmp_dir_distinct_per_source_generation(tmp_path):
         check=True,
     ).stdout.strip()
     assert other != mine  # concurrent sessions cannot collide
+
+
+def test_tarshards_incremental_refuses_foreign_partitioner(spark, tmp_path):
+    """ADVICE r16 (the round's one medium): the drift rail must
+    verify clean-bucket membership against each name's ACTUAL shard
+    file, not a recomputation of pmod(hash(name), n) — a prior
+    snapshot written via shard_members with a custom key_expr (a
+    supported parameter) places members in shards the pinned bucket
+    function disagrees with, and inheriting any 'clean' bucket would
+    silently ship wrong member sets. The ship must refuse loudly and
+    point at a FULL re-ship."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.tarshards import (
+        register_tarshards,
+        write_shards_incremental,
+    )
+
+    register_tarshards(spark)
+    ddl = "name string, payload binary"
+    N = 8
+    rows = [(f"doc{i}.bin", f"A-{i}".encode() * 3) for i in range(40)]
+    df = spark.createDataFrame(rows, ddl)
+    # custom sample-key partitioner: hash of the REVERSED name — a
+    # stand-in for shard_members(key_expr=...) placement that almost
+    # surely disagrees with pmod(hash(name), N) for some member
+    dir_a = str(tmp_path / "gen_a_custom")
+    (
+        df.repartition(N, F.reverse(F.col("name")))
+        .sortWithinPartitions("name")
+        .write.format("tarshards")
+        .mode("overwrite")
+        .save(dir_a)
+    )
+    # sanity: the fixture really does mislocate at least one member
+    placed = {
+        r["name"]: r["shard"]
+        for r in spark.read.format("tarshards")
+        .option("payloads", "false")
+        .load(dir_a)
+        .collect()
+    }
+    formula = {
+        r["name"]: f"shard-{r['b']:05d}.tar"
+        for r in df.select(
+            "name", F.pmod(F.hash("name"), F.lit(N)).alias("b")
+        ).collect()
+    }
+    assert any(placed[n] != formula[n] for n in placed)
+
+    gen_b = spark.createDataFrame(
+        [(n, p if n != "doc3.bin" else b"B-3B-3") for n, p in rows], ddl
+    )
+    with pytest.raises(ValueError, match="different partitioner"):
+        write_shards_incremental(
+            gen_b,
+            str(tmp_path / "gen_b_custom"),
+            dir_a,
+            spark.createDataFrame([("doc3.bin",)], "name string"),
+        )

@@ -6205,3 +6205,177 @@ def test_incremental_encode_reuses_prior_payloads_verbatim(spark):
     assert set(got_c) == {"doc1.tokens", "doc4.tokens"}
     assert got_c["doc1.tokens"] == b""  # NULL encodes as empty
     assert got_c["doc4.tokens"] == prior["doc4.tokens"]
+
+
+def test_flac_escape_width_cap_and_metadata_walk_bounds():
+    """ADVICE r16 hardening, flac.py: (1) residual partitions whose
+    raw verbatim width would exceed the 5-bit escape field (raw_bits
+    > 31) must NOT use the escape (rice has no width cap) — 32-bit
+    huge-alternation input round-trips bit-exact instead of writing a
+    masked width that corrupts the stream; (2) a truncated metadata
+    chain (is-last flag never set) raises the documented typed
+    ValueError, not IndexError; (3) an all-zero STREAMINFO md5 is
+    spec-legal 'unset' — md5_ok None (unverifiable), and the
+    codec-agnostic decode path accepts the file instead of rejecting
+    it as corrupt."""
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.audio import decode_audio_samples
+    from mongo2pq_spark.operators.flac import decode_flac, encode_flac
+
+    # (1) a single 2^30 click in otherwise-quiet 32-bit audio: FIXED
+    # order 0 beats VERBATIM on whole-block rice cost, then the
+    # partitioned residual writer isolates the click in a small
+    # partition where the escape (raw width 33 > the 5-bit field's
+    # 31 cap) would be cheapest — the old code masked the width and
+    # corrupted the stream; now the escape is excluded and the
+    # stream round-trips bit-exact. s[0]=1 defeats wasted-bits.
+    s = np.zeros((16384, 1), dtype=np.int64)
+    s[0, 0] = 1
+    s[8000, 0] = 2**30
+    enc = encode_flac(s, 8000, 32, block_size=16384)
+    d = decode_flac(enc)
+    assert (d["samples"] == s).all() and d["md5_ok"] is True
+
+    # (2) STREAMINFO with the last-block flag CLEARED and nothing
+    # after it: the chain walk runs off the end -> typed ValueError
+    truncated = (
+        enc[:4] + bytes([enc[4] & 0x7F]) + enc[5 : 4 + 4 + 34]
+    )
+    with pytest.raises(ValueError, match="truncated FLAC metadata"):
+        decode_flac(truncated)
+
+    # (3) zero out the STREAMINFO md5 (bytes 18..34 of the 34-byte
+    # block body): decode must report None, not False, and the
+    # magic-sniffing decode path must not raise
+    unset = bytearray(enc)
+    unset[8 + 18 : 8 + 34] = b"\x00" * 16
+    d2 = decode_flac(bytes(unset))
+    assert d2["md5_ok"] is None
+    assert (d2["samples"] == s).all()
+    n_ch, rate, arr = decode_audio_samples(bytes(unset))
+    assert (n_ch, rate) == (1, 8000) and (arr == s).all()
+    # an actual MISMATCH still refuses through the sniffing path:
+    # a wrong (non-zero) md5 decodes with md5_ok False
+    wrong = bytearray(enc)
+    wrong[8 + 18] ^= 0xFF
+    assert decode_flac(bytes(wrong))["md5_ok"] is False
+    with pytest.raises(ValueError, match="STREAMINFO raw-PCM md5"):
+        decode_audio_samples(bytes(wrong))
+
+
+def test_ima_adpcm_padded_final_block_and_fact_truncation():
+    """ADVICE r16, audio.py: real encoders nibble/byte-pad the FINAL
+    IMA-ADPCM block — the fmt extension's wSamplesPerBlock and the
+    fact chunk bound the decode, so padded blocks don't emit phantom
+    trailing samples; a fact larger than the data decodes is
+    truncation and fails loud; a wSamplesPerBlock beyond the block's
+    physical capacity is corrupt."""
+    import struct
+
+    import pytest
+
+    from mongo2pq_spark.operators.audio import (
+        build_ima_adpcm_wav,
+        decode_wav_samples,
+        ima_adpcm_decode_block,
+    )
+
+    nibs = [(3 + 5 * i) % 16 for i in range(60)]
+    block = (1001).to_bytes(2, "little", signed=True) + bytes(
+        [42, 0]
+    ) + bytes(nibs[i] | (nibs[i + 1] << 4) for i in range(0, 60, 2))
+    full = ima_adpcm_decode_block(block)  # 61 samples
+    wav = bytearray(build_ima_adpcm_wav(block))
+    # fmt body at 20 (wSamplesPerBlock at +18), fact body at 48
+    assert wav[12:16] == b"fmt " and wav[40:44] == b"fact"
+    # declare 3 padding nibbles: 58 real samples per block
+    struct.pack_into("<H", wav, 20 + 18, 58)
+    struct.pack_into("<I", wav, 48, 58)
+    n_ch, rate, arr = decode_wav_samples(bytes(wav))
+    assert arr.shape == (58, 1)
+    assert (arr[:, 0] == full[:58]).all()
+
+    # fact below samples-per-block truncates further (multi-block
+    # files: only the LAST block is short)
+    struct.pack_into("<I", wav, 48, 40)
+    assert decode_wav_samples(bytes(wav))[2].shape == (40, 1)
+
+    # fact > decodable -> truncated data, typed refusal
+    struct.pack_into("<I", wav, 48, 62)
+    with pytest.raises(ValueError, match="fact chunk declares"):
+        decode_wav_samples(bytes(wav))
+
+    # wSamplesPerBlock beyond physical capacity -> corrupt fmt
+    struct.pack_into("<I", wav, 48, 58)
+    struct.pack_into("<H", wav, 20 + 18, 62)
+    with pytest.raises(ValueError, match="wSamplesPerBlock"):
+        decode_wav_samples(bytes(wav))
+
+
+def test_avi_multistream_video_plus_audio_parses():
+    """ADVICE r16, video.py: a legitimate multi-stream AVI (stream 0
+    MJPEG video + stream 1 audio) must parse via STREAM 0's strh —
+    the last-strh-wins bug reported 'first stream is not video' with
+    the AUDIO stream's fccType. Audio idx1 entries must not trip the
+    keyframe cross-check either."""
+    import struct
+
+    import numpy as np
+
+    from mongo2pq_spark.operators.jpeg import encode_jpeg
+    from mongo2pq_spark.operators.video import (
+        build_avi_mjpeg,
+        decode_avi_mjpeg_frames,
+        parse_avi,
+    )
+
+    ones8 = np.ones((8, 8), dtype="uint8")
+    frames = [
+        encode_jpeg(np.kron(np.full((2, 2), 40 + 9 * f, dtype="uint8"),
+                            ones8))
+        for f in range(3)
+    ]
+    avi = bytearray(build_avi_mjpeg(frames, 16, 16, fps=10))
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc, body):
+        return b"LIST" + struct.pack("<I", len(body) + 4) + fourcc + body
+
+    astrh = b"auds" + b"\x00" * 4 + struct.pack(
+        "<10I4H", 0, 0, 0, 1, 8000, 0, 100, 0, 0xFFFFFFFF, 0, 0, 0, 0, 0
+    )
+    astrf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    astrl = lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf))
+
+    hdrl_at = avi.index(b"hdrl")
+    (hdrl_len,) = struct.unpack_from("<I", avi, hdrl_at - 4)
+    insert_at = hdrl_at + hdrl_len  # end of the hdrl LIST body
+    avi[insert_at:insert_at] = astrl
+    struct.pack_into("<I", avi, hdrl_at - 4, hdrl_len + len(astrl))
+    (riff_len,) = struct.unpack_from("<I", avi, 4)
+    struct.pack_into("<I", avi, 4, riff_len + len(astrl))
+    avih_at = avi.index(b"avih")
+    struct.pack_into("<I", avi, avih_at + 8 + 24, 2)  # dwStreams = 2
+
+    # append one audio idx1 entry: must not count as a video keyframe
+    idx1_at = avi.index(b"idx1")
+    (idx1_len,) = struct.unpack_from("<I", avi, idx1_at + 4)
+    entry = b"01wb" + struct.pack("<III", 0, 4, 8)
+    avi[idx1_at + 8 + idx1_len:idx1_at + 8 + idx1_len] = entry
+    struct.pack_into("<I", avi, idx1_at + 4, idx1_len + 16)
+    (riff_len,) = struct.unpack_from("<I", avi, 4)
+    struct.pack_into("<I", avi, 4, riff_len + 16)
+
+    meta = parse_avi(bytes(avi))
+    assert meta["handler"] == "MJPG"
+    assert meta["n_frames"] == 3 == meta["n_keyframes"]
+    assert (meta["width"], meta["height"], meta["fps"]) == (16, 16, 10)
+    decoded = dict(decode_avi_mjpeg_frames(bytes(avi)))
+    assert sorted(decoded) == [0, 1, 2]
+    for f, arr in decoded.items():
+        assert int(arr.astype("int64").sum()) == 256 * (40 + 9 * f)
