@@ -25,6 +25,7 @@ def generation_tmp_dir(
     tag: str,
     table: str = "documents",
     per_process: bool = False,
+    src: str | None = None,
 ) -> str:
     """Staging dir for a query-local data generation under ``tag``,
     keyed by the source table's absolute path + a recursive
@@ -45,12 +46,17 @@ def generation_tmp_dir(
     (path, fingerprint) key alone cannot close. A within-function
     lock can't either (the read outlives the function), so isolation
     is the fix; accretion is bounded at one dir per process per
-    generation and the dirs are tiny count tables."""
+    generation and the dirs are tiny count tables.
+
+    ``src`` overrides the ``sf_dir/table.parquet`` join for callers
+    keyed to an arbitrary source path (the streaming checkpoints /
+    sinks, VERDICT r16 #3) — same fingerprinting, same semantics."""
     import hashlib
     import os
     import tempfile
 
-    src = os.path.join(sf_dir, f"{table}.parquet")
+    if src is None:
+        src = os.path.join(sf_dir, f"{table}.parquet")
     # a parquet source may be a single file OR a directory of parts —
     # possibly NESTED (hive `key=value/` subdirs); a dir's mtime can
     # survive an in-place rewrite of a leaf two levels down (ADVICE

@@ -16,11 +16,12 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from mongo2pq_spark.sources.staging import generation_tmp_dir
 
 SESSION_GAP_SECONDS = 30 * 60
 
@@ -73,8 +74,17 @@ def run_stateful_sessionization(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-    # fixed, wiped-per-run checkpoint: no /tmp accumulation across runs
-    checkpoint = os.path.join(tempfile.gettempdir(), f"stateful_ckpt_{table_name}")
+    # generation- AND process-keyed checkpoint (VERDICT r16 #3: a
+    # fixed name rmtree'd at entry let two concurrent sessions over
+    # the same source interleave a live streaming query with the
+    # other's teardown — the NB-store hazard class); wiped per run so
+    # reruns in one process don't resume stale offsets or accrete
+    checkpoint = generation_tmp_dir(
+        os.path.dirname(events_path),
+        f"ckpt_{table_name}",
+        per_process=True,
+        src=events_path,
+    )
     shutil.rmtree(checkpoint, ignore_errors=True)
     query = (
         sessions.writeStream.outputMode("update")
@@ -173,8 +183,13 @@ def run_tws_user_totals(
             outputMode="Update",
             timeMode="None",
         )
-        checkpoint = os.path.join(
-            tempfile.gettempdir(), f"stateful_ckpt_{table_name}"
+        # same generation+process keying as the sessionization
+        # checkpoint above (VERDICT r16 #3)
+        checkpoint = generation_tmp_dir(
+            os.path.dirname(events_path),
+            f"ckpt_{table_name}",
+            per_process=True,
+            src=events_path,
         )
         shutil.rmtree(checkpoint, ignore_errors=True)
         query = (

@@ -394,11 +394,21 @@ def run_streaming_parquet_sink(
     checkpointed offsets and processes only NEW files. Exactly-once via
     the sink's transaction log + checkpointed source offsets. Output
     and checkpoint are cleared per run so the bounded drain is
-    deterministic; returns the re-read output."""
+    deterministic; returns the re-read output (read LAZILY after
+    return — the reason the dir must be generation+process keyed:
+    a fixed name rmtree'd at entry let a concurrent session's
+    teardown interleave with this one's live reader, VERDICT r16
+    #3)."""
     import shutil
-    import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), out_name)
+    from mongo2pq_spark.sources.staging import generation_tmp_dir
+
+    base = generation_tmp_dir(
+        os.path.dirname(events_path),
+        out_name,
+        per_process=True,
+        src=events_path,
+    )
     out_dir = os.path.join(base, "data")
     ckpt_dir = os.path.join(base, "checkpoint")
     shutil.rmtree(base, ignore_errors=True)
