@@ -6,14 +6,18 @@ rendering library. This is the filter stage a document pipeline runs
 on 100 % of a PDF corpus (page-count windows, encrypted-document
 routing, scanned-vs-digital triage) before any text extraction.
 
-Scope: classic cross-reference TABLES (the `xref` keyword), the
-format every pre-1.5 writer and most modern writers still emit.
-PDF 1.5+ cross-reference STREAMS (compressed xref) raise
-``NotImplementedError`` — decoding them needs the object-stream /
-FlateDecode machinery that is the documented library swap, exactly
-like the lossy-audio/video-frame decoders. Corrupt structure raises
-``ValueError``. Encrypted documents are REPORTED (``encrypted=True``)
-but their strings are never decrypted — so ``title`` is None there.
+Scope: classic cross-reference TABLES (the `xref` keyword) AND
+PDF 1.5+ cross-reference STREAMS (r17 — VERDICT r16 #4: modern
+writers ship compressed xref + object streams almost universally,
+and the machinery is pure stdlib ``zlib``): /XRef streams with
+FlateDecode and the PNG row predictors real writers emit
+(/Predictor 10–15), /Index subsections, /Prev incremental-update
+chains (newest entry wins), type-2 entries resolved through
+FlateDecode'd /ObjStm object streams. Corrupt structure raises
+``ValueError``; exotic filters (non-Flate) raise
+``NotImplementedError``. Encrypted documents are REPORTED
+(``encrypted=True``) but their strings are never decrypted — so
+``title`` is None there.
 
 The parser resolves objects THROUGH the xref offsets (never by
 scanning for ``obj`` tokens), which the corrupted-offset unit test
@@ -77,6 +81,174 @@ def build_pdf_stub(
     return bytes(out)
 
 
+def _png_predict_up(rows: list[bytes]) -> bytes:
+    """PNG Predictor-12 (Up) encoder for the fixture writer: each
+    row is emitted as filter byte 2 + (row − previous row) mod 256 —
+    the predictor real PDF writers overwhelmingly use for xref
+    streams."""
+    out = bytearray()
+    prev = bytes(len(rows[0])) if rows else b""
+    for row in rows:
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
+def build_pdf_stub_xrefstream(
+    n_pages: int,
+    title: str | None = None,
+    encrypted: bool = False,
+    pad: int = 0,
+) -> bytes:
+    """Minimal structurally real PDF **1.5**: catalog, pages tree and
+    Info live INSIDE a FlateDecode'd object stream (/ObjStm, type-2
+    xref entries), page objects are direct (type 1), and the
+    cross-reference is a /XRef STREAM — FlateDecode + PNG Up
+    predictor (/Predictor 12), W [1 2 1], an /Index with two
+    subsections — exactly the layout modern writers emit (ISO 32000
+    §7.5.7/§7.5.8). ``pad`` shifts every offset as in the classic
+    builder, so an offset-ignoring parser cannot stay correct."""
+    import zlib
+
+    out = bytearray(b"%PDF-1.5\n")
+    if pad:
+        out += b"%" + b"p" * pad + b"\n"
+
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    in_stream: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()),
+    ]
+    next_num = 3 + n_pages
+    info_ref = None
+    if title is not None:
+        info_ref = next_num
+        in_stream.append((info_ref, f"<< /Title ({title}) >>".encode()))
+        next_num += 1
+    encrypt_ref = None
+    direct_offsets: dict[int, int] = {}
+    for i in range(n_pages):
+        direct_offsets[3 + i] = len(out)
+        out += (
+            f"{3 + i} 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n"
+        ).encode()
+    if encrypted:
+        # the encryption dict shall NOT live in an object stream
+        encrypt_ref = next_num
+        next_num += 1
+        direct_offsets[encrypt_ref] = len(out)
+        out += (
+            f"{encrypt_ref} 0 obj\n<< /Filter /Standard /V 1 >>\nendobj\n"
+        ).encode()
+
+    # the object stream: header = N (objnum, offset) pairs, then the
+    # member bodies at /First + offset
+    objstm_num = next_num
+    xref_num = next_num + 1
+    header_parts, bodies, rel = [], [], 0
+    for num, body in in_stream:
+        header_parts.append(f"{num} {rel}")
+        bodies.append(body)
+        rel += len(body) + 1
+    hdr = (" ".join(header_parts) + "\n").encode()
+    stm_plain = hdr + b"\n".join(bodies) + b"\n"
+    stm_data = zlib.compress(stm_plain, 9)
+    direct_offsets[objstm_num] = len(out)
+    out += (
+        f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(in_stream)} "
+        f"/First {len(hdr)} /Filter /FlateDecode "
+        f"/Length {len(stm_data)} >>\nstream\n"
+    ).encode() + stm_data + b"\nendstream\nendobj\n"
+
+    # xref stream: W [1 2 1]; PNG Up predictor over 4-byte rows
+    size = xref_num + 1
+    xref_at = len(out)
+
+    def row(t: int, f2: int, f3: int) -> bytes:
+        if f2 > 0xFFFF:
+            raise ValueError("fixture offset exceeds the 2-byte W field")
+        return bytes([t]) + f2.to_bytes(2, "big") + bytes([f3])
+
+    rows = [row(0, 0, 255)]  # object 0: free-list head
+    for num in range(1, size):
+        stm_idx = next(
+            (i for i, (n, _) in enumerate(in_stream) if n == num), None
+        )
+        if stm_idx is not None:
+            rows.append(row(2, objstm_num, stm_idx))
+        elif num == xref_num:
+            rows.append(row(1, xref_at, 0))
+        else:
+            rows.append(row(1, direct_offsets[num], 0))
+    # two /Index subsections over a contiguous range (the predictor
+    # still runs over the WHOLE stream, per spec) — exercises the
+    # multi-subsection parse
+    split = max(1, size // 2)
+    xdata = zlib.compress(_png_predict_up(rows), 9)
+    extra = ""
+    if info_ref is not None:
+        extra += f" /Info {info_ref} 0 R"
+    if encrypt_ref is not None:
+        extra += f" /Encrypt {encrypt_ref} 0 R"
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} "
+        f"/W [1 2 1] /Index [0 {split} {split} {size - split}] "
+        f"/Root 1 0 R{extra} /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns 4 >> "
+        f"/Length {len(xdata)} >>\nstream\n"
+    ).encode() + xdata + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def append_pdf_retitle_update(payload: bytes, new_title: str) -> bytes:
+    """Fixture helper: append an INCREMENTAL UPDATE (ISO 32000
+    §7.5.6) that replaces the Info object — a new direct Info object
+    plus a new xref stream whose /Prev points at the previous one.
+    The parser must prefer the NEWEST entry for the Info number, so
+    the returned document reports ``new_title``."""
+    import re as _re
+    import zlib
+
+    sm = None
+    for sm in _re.finditer(rb"startxref\s+(\d+)\s+%%EOF", payload):
+        pass
+    if sm is None:
+        raise ValueError("no startxref to update")
+    prev_at = int(sm.group(1))
+    d, _ = _obj_dict_and_stream(payload, prev_at)
+    info_ref = _dict_ref(d, rb"/Info")
+    size = int(_re.search(rb"/Size\s+(\d+)", d).group(1))
+    if info_ref is None:
+        raise ValueError("document has no /Info to retitle")
+    # required trailer entries repeat in every update's trailer —
+    # dropping /Encrypt here would un-encrypt the document
+    encrypt_ref = _dict_ref(d, rb"/Encrypt")
+    carry = (
+        f" /Encrypt {encrypt_ref} 0 R" if encrypt_ref is not None else ""
+    )
+    out = bytearray(payload)
+    new_info_at = len(out)
+    out += (
+        f"{info_ref} 0 obj\n<< /Title ({new_title}) >>\nendobj\n"
+    ).encode()
+    xref_at = len(out)
+    rowbytes = (
+        bytes([1]) + new_info_at.to_bytes(2, "big") + bytes([0])
+    )
+    xdata = zlib.compress(_png_predict_up([rowbytes]), 9)
+    out += (
+        f"{size} 0 obj\n<< /Type /XRef /Size {size} "
+        f"/W [1 2 1] /Index [{info_ref} 1] /Prev {prev_at} "
+        f"/Root 1 0 R /Info {info_ref} 0 R{carry} /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns 4 >> "
+        f"/Length {len(xdata)} >>\nstream\n"
+    ).encode() + xdata + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)
+
+
 def _read_obj(payload: bytes, offset: int) -> bytes:
     """Read the object body starting at a byte offset from the xref:
     validate the ``N G obj`` header AT THAT OFFSET, return the bytes
@@ -96,28 +268,248 @@ def _dict_ref(body: bytes, key: bytes) -> int | None:
     return int(m.group(1)) if m else None
 
 
-def parse_pdf_metadata(payload: bytes) -> dict:
-    """Parse ``{version, n_objects, n_pages, encrypted, title}`` via
-    the cross-reference table. See module docstring for scope."""
-    m = re.match(rb"%PDF-(\d+\.\d+)", payload[:16])
+def _dict_int(body: bytes, key: bytes) -> int | None:
+    m = re.search(key + rb"\s+(\d+)", body)
+    return int(m.group(1)) if m else None
+
+
+def _balanced_dict(payload: bytes, start: int) -> tuple[bytes, int]:
+    """The ``<< ... >>`` dict starting at/after ``start`` (nesting
+    balanced); returns (dict bytes incl. delimiters, end offset)."""
+    ds = payload.find(b"<<", start)
+    if ds < 0:
+        raise ValueError("expected a dictionary")
+    depth, i = 0, ds
+    while i < len(payload) - 1:
+        two = payload[i:i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return payload[ds:i], i
+        else:
+            i += 1
+    raise ValueError("unterminated dictionary")
+
+
+def _obj_dict_and_stream(
+    payload: bytes, offset: int
+) -> tuple[bytes, bytes]:
+    """Stream object at a byte offset: validate the ``N G obj``
+    header, return (dict bytes, RAW stream bytes per the direct
+    /Length). The xref-stream /Length is required direct by spec;
+    an indirect one here is a typed refusal."""
+    m = _OBJ_RE.match(payload[offset:offset + 64])
     if not m:
-        raise ValueError("not a PDF (no %PDF header)")
-    version = m.group(1).decode()
-    tail = payload[-256:]
-    sm = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
-    if not sm:
-        raise ValueError("no startxref/%%EOF trailer")
-    xref_at = int(sm.group(1))
-    if payload[xref_at:xref_at + 4] != b"xref":
-        if _OBJ_RE.match(payload[xref_at:xref_at + 64]):
-            raise NotImplementedError(
-                "cross-reference STREAM (PDF 1.5+) not implemented — "
-                "classic xref tables only; the stream decoder is the "
-                "documented library swap"
-            )
-        raise ValueError(f"startxref {xref_at} does not point at xref")
+        raise ValueError(f"no object header at xref offset {offset}")
+    d, dend = _balanced_dict(payload, offset + m.end())
+    if re.search(rb"/Length\s+\d+\s+\d+\s+R", d):
+        raise NotImplementedError(
+            "indirect /Length on a stream object"
+        )
+    length = _dict_int(d, rb"/Length")
+    if length is None:
+        raise ValueError("stream object lacks /Length")
+    sm = re.compile(rb"stream(\r\n|\n)").match(payload, dend)
+    if sm is None:
+        sm = re.compile(rb"\s*stream(\r\n|\n)").match(payload, dend)
+    if sm is None:
+        raise ValueError("dict not followed by a stream keyword")
+    data = payload[sm.end():sm.end() + length]
+    if len(data) < length:
+        raise ValueError("truncated stream data")
+    after = payload[sm.end() + length:sm.end() + length + 16]
+    if b"endstream" not in after:
+        raise ValueError("/Length does not reach endstream")
+    return d, data
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse the PNG row predictors (/Predictor 10–15; the filter
+    byte per row selects None/Sub/Up/Average/Paeth) at one byte per
+    pixel — the xref-stream shape (/Colors 1, /BitsPerComponent 8)."""
+    row_len = columns + 1
+    if row_len <= 1 or len(data) % row_len:
+        raise ValueError(
+            f"predictor data length {len(data)} not a multiple of "
+            f"row length {row_len}"
+        )
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(len(data) // row_len):
+        ft = data[r * row_len]
+        row = bytearray(data[r * row_len + 1:(r + 1) * row_len])
+        for i in range(columns):
+            a = row[i - 1] if i else 0
+            b = prev[i]
+            c = prev[i - 1] if i else 0
+            if ft == 0:
+                pass
+            elif ft == 1:
+                row[i] = (row[i] + a) & 0xFF
+            elif ft == 2:
+                row[i] = (row[i] + b) & 0xFF
+            elif ft == 3:
+                row[i] = (row[i] + (a + b) // 2) & 0xFF
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+            else:
+                raise ValueError(f"unknown PNG filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_stream(d: bytes, data: bytes) -> bytes:
+    """Apply /Filter (+/DecodeParms) to raw stream bytes. Scope:
+    no filter, or FlateDecode with optional PNG predictors — the
+    xref/object-stream reality; anything else is the typed
+    library-swap refusal."""
+    import zlib
+
+    fm = re.search(rb"/Filter\s*/(\w+)", d)
+    if fm is None:
+        return data
+    if fm.group(1) != b"FlateDecode":
+        raise NotImplementedError(
+            f"stream filter {fm.group(1).decode()} (FlateDecode is "
+            "the xref/object-stream reality; others are the library "
+            "swap)"
+        )
+    try:
+        data = zlib.decompress(data)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt FlateDecode stream: {exc}") from exc
+    pred = _dict_int(d, rb"/Predictor")
+    if pred is None or pred == 1:
+        return data
+    if pred == 2:
+        raise NotImplementedError("TIFF predictor 2 unsupported")
+    if not 10 <= pred <= 15:
+        raise ValueError(f"unknown /Predictor {pred}")
+    colors = _dict_int(d, rb"/Colors")
+    bpc = _dict_int(d, rb"/BitsPerComponent")
+    if (colors not in (None, 1)) or (bpc not in (None, 8)):
+        raise NotImplementedError(
+            "PNG predictor with /Colors != 1 or /BitsPerComponent "
+            "!= 8 (not an xref-stream shape)"
+        )
+    columns = _dict_int(d, rb"/Columns") or 1
+    return _png_unpredict(data, columns)
+
+
+def _parse_xref_stream(payload: bytes, offset: int):
+    """One /XRef stream: returns (entries, dict bytes, prev offset).
+    entries: objnum → ('d', byte offset) | ('s', objstm num, idx)."""
+    d, raw = _obj_dict_and_stream(payload, offset)
+    tm = re.search(rb"/Type\s*/(\w+)", d)
+    if tm is None or tm.group(1) != b"XRef":
+        raise ValueError(
+            f"startxref object at {offset} is not /Type /XRef"
+        )
+    size = _dict_int(d, rb"/Size")
+    wm = re.search(rb"/W\s*\[([^\]]*)\]", d)
+    if size is None or wm is None:
+        raise ValueError("xref stream lacks /Size or /W")
+    w = [int(x) for x in wm.group(1).split()]
+    if len(w) != 3 or any(x < 0 for x in w) or sum(w) == 0:
+        raise ValueError(f"bad /W {w}")
+    im = re.search(rb"/Index\s*\[([^\]]*)\]", d)
+    idx = (
+        [int(x) for x in im.group(1).split()]
+        if im
+        else [0, size]
+    )
+    if len(idx) % 2:
+        raise ValueError("odd /Index")
+    data = _decode_stream(d, raw)
+    entry_len = sum(w)
+    need = sum(c for _, c in zip(idx[::2], idx[1::2])) * entry_len
+    if len(data) < need:
+        raise ValueError(
+            f"xref stream data {len(data)}B < declared entries {need}B"
+        )
+    entries: dict[int, tuple] = {}
+    pos = 0
+    for first, count in zip(idx[::2], idx[1::2]):
+        for k in range(count):
+            fields = []
+            for width in w:
+                fields.append(
+                    int.from_bytes(data[pos:pos + width], "big")
+                    if width
+                    else None
+                )
+                pos += width
+            t = fields[0] if w[0] else 1  # absent type defaults to 1
+            if t == 1:
+                entries[first + k] = ("d", fields[1])
+            elif t == 2:
+                entries[first + k] = ("s", fields[1], fields[2] or 0)
+            elif t != 0:
+                raise ValueError(f"unknown xref entry type {t}")
+    return entries, d, _dict_int(d, rb"/Prev")
+
+
+def _xref_stream_chain(payload: bytes, xref_at: int):
+    """Walk /Prev incremental-update chains from the newest stream;
+    the FIRST (newest) entry per object number wins. Returns
+    (entries, the newest stream's dict — the trailer surrogate)."""
+    entries: dict[int, tuple] = {}
+    trailer = None
+    seen: set[int] = set()
+    at: int | None = xref_at
+    while at is not None:
+        if at in seen:
+            raise ValueError("xref /Prev cycle")
+        seen.add(at)
+        e, d, prev = _parse_xref_stream(payload, at)
+        if trailer is None:
+            trailer = d
+        for k, v in e.items():
+            entries.setdefault(k, v)
+        at = prev
+    return entries, trailer
+
+
+def _objstm_member(payload: bytes, entries: dict, num: int, idx: int) -> bytes:
+    """Resolve a type-2 xref entry: decompress the owning /ObjStm,
+    parse its N (objnum, offset) header pairs, slice member ``idx``."""
+    ent = entries.get(num)
+    if ent is None or ent[0] != "d":
+        raise ValueError(
+            f"object stream {num} is missing or itself in a stream"
+        )
+    d, raw = _obj_dict_and_stream(payload, ent[1])
+    tm = re.search(rb"/Type\s*/(\w+)", d)
+    if tm is None or tm.group(1) != b"ObjStm":
+        raise ValueError(f"object {num} is not /Type /ObjStm")
+    n = _dict_int(d, rb"/N")
+    first = _dict_int(d, rb"/First")
+    if n is None or first is None:
+        raise ValueError("/ObjStm lacks /N or /First")
+    data = _decode_stream(d, raw)
+    header = data[:first].split()
+    if len(header) < 2 * n:
+        raise ValueError("/ObjStm header shorter than /N pairs")
+    if not 0 <= idx < n:
+        raise ValueError(f"object-stream index {idx} outside 0..{n - 1}")
+    rel = int(header[2 * idx + 1])
+    end = int(header[2 * idx + 3]) if idx + 1 < n else len(data) - first
+    return data[first + rel:first + end]
+
+
+def _classic_xref(payload: bytes, xref_at: int):
+    """Classic ``xref`` TABLE walk: returns (entries in the unified
+    objnum → ('d', offset) shape, trailer dict bytes)."""
     pos = xref_at + 4
-    offsets: dict[int, int] = {}
+    entries: dict[int, tuple] = {}
     while True:
         sub = re.match(rb"\s*(\d+)\s+(\d+)\s*", payload[pos:pos + 48])
         if not sub:
@@ -132,46 +524,57 @@ def parse_pdf_metadata(payload: bytes) -> dict:
             if kind not in (b"n", b"f"):
                 raise ValueError(f"bad xref entry kind {kind!r}")
             if kind == b"n":
-                offsets[first + k] = int(off)
+                entries[first + k] = ("d", int(off))
             pos += 20
         if payload[pos:pos + 7].lstrip().startswith(b"trailer"):
             break
     tm = re.search(rb"trailer\s*<<", payload[pos:])
     if not tm:
         raise ValueError("xref has no trailer")
-    tstart = pos + tm.end() - 2
-    tend = payload.find(b">>", tstart)
-    # nested dicts don't occur in our trailer scope; balance anyway
-    depth, i = 0, tstart
-    while i < len(payload) - 1:
-        if payload[i:i + 2] == b"<<":
-            depth += 1
-            i += 2
-        elif payload[i:i + 2] == b">>":
-            depth -= 1
-            i += 2
-            if depth == 0:
-                tend = i
-                break
-        else:
-            i += 1
-    trailer = payload[tstart:tend]
+    trailer, _ = _balanced_dict(payload, pos + tm.end() - 2)
+    return entries, trailer
+
+
+def parse_pdf_metadata(payload: bytes) -> dict:
+    """Parse ``{version, n_objects, n_pages, encrypted, title}`` via
+    the cross-reference machinery — classic tables or 1.5+ xref
+    STREAMS (object-stream members resolved through /ObjStm). See
+    module docstring for scope."""
+    m = re.match(rb"%PDF-(\d+\.\d+)", payload[:16])
+    if not m:
+        raise ValueError("not a PDF (no %PDF header)")
+    version = m.group(1).decode()
+    tail = payload[-256:]
+    sm = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
+    if not sm:
+        raise ValueError("no startxref/%%EOF trailer")
+    xref_at = int(sm.group(1))
+    if payload[xref_at:xref_at + 4] == b"xref":
+        entries, trailer = _classic_xref(payload, xref_at)
+    elif _OBJ_RE.match(payload[xref_at:xref_at + 64]):
+        # PDF 1.5+ cross-reference STREAM (r17 — VERDICT r16 #4)
+        entries, trailer = _xref_stream_chain(payload, xref_at)
+    else:
+        raise ValueError(f"startxref {xref_at} does not point at xref")
     size = re.search(rb"/Size\s+(\d+)", trailer)
     root_ref = _dict_ref(trailer, rb"/Root")
     if size is None or root_ref is None:
         raise ValueError("trailer lacks /Size or /Root")
     encrypted = _dict_ref(trailer, rb"/Encrypt") is not None
 
-    def _offset(ref: int) -> int:
-        if ref not in offsets:
+    def _load(ref: int) -> bytes:
+        ent = entries.get(ref)
+        if ent is None:
             raise ValueError(f"xref has no entry for object {ref}")
-        return offsets[ref]
+        if ent[0] == "d":
+            return _read_obj(payload, ent[1])
+        return _objstm_member(payload, entries, ent[1], ent[2])
 
-    catalog = _read_obj(payload, _offset(root_ref))
+    catalog = _load(root_ref)
     pages_ref = _dict_ref(catalog, rb"/Pages")
     if pages_ref is None:
         raise ValueError("catalog has no /Pages")
-    pages = _read_obj(payload, _offset(pages_ref))
+    pages = _load(pages_ref)
     cm = re.search(rb"/Count\s+(\d+)", pages)
     if not cm:
         raise ValueError("pages tree has no /Count")
@@ -180,7 +583,7 @@ def parse_pdf_metadata(payload: bytes) -> dict:
     if not encrypted:
         info_ref = _dict_ref(trailer, rb"/Info")
         if info_ref is not None:
-            info = _read_obj(payload, _offset(info_ref))
+            info = _load(info_ref)
             t = re.search(rb"/Title\s*\(([^)]*)\)", info)
             if t:
                 title = t.group(1).decode("latin-1")

@@ -1542,6 +1542,93 @@ def multimodal_pdf_metadata(spark, sf_dir):
 
 
 @register(
+    "multimodal_pdf_xref_stream",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               1 + doc_id % 12 AS np,
+               doc_id % 9 = 0 AS enc,
+               doc_id % 2 = 0 AS has_info
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           '1.5' AS version,
+           CAST(4 + np + CASE WHEN has_info THEN 1 ELSE 0 END
+                + CASE WHEN enc THEN 1 ELSE 0 END AS INTEGER)
+               AS n_objects,
+           CAST(np AS INTEGER) AS n_pages,
+           enc AS encrypted,
+           CASE WHEN has_info AND NOT enc
+                THEN 'Doc-' || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 4 = 0 THEN '-v2' ELSE '' END
+                ELSE '' END
+               AS title
+    FROM d
+    """,
+    doc="PDF **1.5** metadata triage (VERDICT r16 #4 — the layout "
+        "modern writers emit almost universally): per-doc PDFs whose "
+        "catalog/pages/Info live inside a FlateDecode'd /ObjStm and "
+        "whose cross-reference is a /XRef STREAM (FlateDecode + PNG "
+        "Up predictor, W [1 2 1], two /Index subsections) are BUILT "
+        "and parsed back by the pure-stdlib machinery in "
+        "operators/pdf.py — zlib inflate, PNG row unfiltering, "
+        "type-2 entries resolved through the object stream. Docs "
+        "divisible by 4 additionally carry an INCREMENTAL UPDATE "
+        "(new Info + second xref stream with /Prev), so the parser's "
+        "newest-entry-wins chain walk is driver-checked: their title "
+        "reports the -v2 retitle. The extra +2 objects vs the "
+        "classic-xref query are the ObjStm and XRef stream objects "
+        "themselves. Map-only; the PDF-modality analog of the "
+        "subsampled-JPEG envelope retirement",
+)
+def multimodal_pdf_xref_stream(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import pdf as pdf_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import pandas as pd
+
+        from mongo2pq_spark.operators.pdf import (
+            append_pdf_retitle_update,
+            build_pdf_stub_xrefstream,
+        )
+
+        for pdf_b in batches:
+            payloads = []
+            for d in pdf_b["doc_id"]:
+                d = int(d)
+                has_info = d % 2 == 0
+                p = build_pdf_stub_xrefstream(
+                    1 + d % 12,
+                    title=f"Doc-{d}" if has_info else None,
+                    encrypted=d % 9 == 0,
+                    pad=(d * 7) % 53,
+                )
+                if has_info and d % 4 == 0:
+                    p = append_pdf_retitle_update(p, f"Doc-{d}-v2")
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf_b["doc_id"], "payload": payloads}
+            )
+
+    with_pdf = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    out = pdf_ops.pdf_metadata(with_pdf)
+    return out.withColumn(
+        "title", F.coalesce(F.col("title"), F.lit(""))
+    )
+
+
+@register(
     "multimodal_warc_extract",
     """
     SELECT doc_id,

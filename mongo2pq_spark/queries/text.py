@@ -1365,6 +1365,115 @@ def web_sitemap_urls(spark, sf_dir):
 
 
 @register(
+    "web_warc_gzip_bodies",
+    """
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+           CAST(j.i AS INTEGER) AS rec_idx,
+           list_extract(
+               ['identity', 'gzip', 'chunked', 'gzip+chunked',
+                'deflate-raw'], CAST(j.i AS INTEGER) + 1) AS encoding,
+           CAST(200 AS INTEGER) AS http_status,
+           md5(text) AS body_md5,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM d, generate_series(0, 4) j(i)
+    """,
+    doc="the HTTP bodies real CommonCrawl responses actually ship "
+        "(VERDICT r16 #1 — the web-ingestion chain's last wire gap): "
+        "per-doc WARC files carry the SAME document five ways — "
+        "identity, Content-Encoding: gzip, Transfer-Encoding: chunked "
+        "(with a chunk extension in the framing), gzip NESTED inside "
+        "chunked (proving the wire-order dechunk→inflate), and raw-"
+        "stream 'deflate' (the in-the-wild RFC-1950 ambiguity) — and "
+        "the pure-stdlib WARC walk + HTTP split (operators/warc.py) "
+        "must recover byte-identical plaintext from every variant: "
+        "the oracle recomputes md5/octet-length of the document text "
+        "closed-form, so a hash match across all five rec_idx values "
+        "proves dechunk and inflate are exact inverses of the "
+        "fixture's encoders. Map-only explode; corpus-scale "
+        "parallelism is CommonCrawl's file sharding",
+)
+def web_warc_gzip_bodies(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import warc as warc_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 150)
+
+    def build_batches(batches):
+        import pandas as pd
+
+        from mongo2pq_spark.operators.warc import build_warc_stub
+
+        variants = [
+            {},
+            {"content_encoding": "gzip"},
+            {"chunked": True},
+            {"content_encoding": "gzip", "chunked": True},
+            {"content_encoding": "deflate-raw"},
+        ]
+        for pdf in batches:
+            payloads = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                body = str(text).encode()
+                uri = f"http://site{d % 5}.example/p/{d}"
+                payloads.append(
+                    build_warc_stub(
+                        [
+                            dict(
+                                {
+                                    "warc_type": "response",
+                                    "uri": uri,
+                                    "date": "2024-01-01T00:00:00Z",
+                                    "status": 200,
+                                    "content_type": "text/html",
+                                    "body": body,
+                                },
+                                **v,
+                            )
+                            for v in variants
+                        ]
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    recs = warc_ops.warc_records(files)
+    labels = F.array(
+        *[
+            F.lit(s)
+            for s in (
+                "identity",
+                "gzip",
+                "chunked",
+                "gzip+chunked",
+                "deflate-raw",
+            )
+        ]
+    )
+    return recs.select(
+        "doc_id",
+        "rec_idx",
+        F.element_at(labels, F.col("rec_idx") + 1).alias("encoding"),
+        "http_status",
+        F.md5("body").alias("body_md5"),
+        F.octet_length("body").cast("bigint").alias("n_bytes"),
+    )
+
+
+@register(
     "text_srt_cues",
     """
     WITH d AS (

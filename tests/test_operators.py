@@ -3958,14 +3958,131 @@ def test_pdf_metadata_xref_walk_and_fail_louds():
     good = build_pdf_stub(1)
     with pytest.raises(ValueError, match="startxref"):
         parse_pdf_metadata(good[:-30])
-    # startxref pointing at an object = the 1.5+ xref-stream layout
+    # startxref pointing at a NON-stream object: the 1.5 path engages
+    # (r17) and fails typed on the missing stream machinery
     stream = bytearray(good)
     obj1 = good.find(b"1 0 obj")
     sx = stream.rfind(b"startxref")
     end = stream.find(b"\n", sx + 10)
     stream[sx:end] = f"startxref\n{obj1}".encode()
-    with pytest.raises(NotImplementedError, match="STREAM"):
+    with pytest.raises(ValueError, match="/Length"):
         parse_pdf_metadata(bytes(stream))
+
+
+def test_pdf_xref_stream_machinery_and_fail_louds():
+    """r17 (VERDICT r16 #4): PDF 1.5 cross-reference STREAMS decode
+    end to end — FlateDecode, PNG row predictors (all five filter
+    types), /Index subsections, /ObjStm member resolution, /Prev
+    incremental-update chains with newest-entry-wins — and every
+    corruption shape fails typed."""
+    import zlib
+
+    import pytest
+
+    from mongo2pq_spark.operators.pdf import (
+        _png_predict_up,
+        _png_unpredict,
+        append_pdf_retitle_update,
+        build_pdf_stub_xrefstream,
+        parse_pdf_metadata,
+    )
+
+    m = parse_pdf_metadata(
+        build_pdf_stub_xrefstream(3, title="Hello", pad=17)
+    )
+    assert m == {"version": "1.5", "n_objects": 8, "n_pages": 3,
+                 "encrypted": False, "title": "Hello"}
+    e = parse_pdf_metadata(
+        build_pdf_stub_xrefstream(1, title="secret", encrypted=True)
+    )
+    assert e["encrypted"] is True and e["title"] is None
+
+    # incremental update: newest xref entry wins; /Encrypt carries
+    base = build_pdf_stub_xrefstream(2, title="Old")
+    upd = append_pdf_retitle_update(base, "New")
+    assert parse_pdf_metadata(upd)["title"] == "New"
+    assert parse_pdf_metadata(base)["title"] == "Old"
+    enc2 = append_pdf_retitle_update(
+        build_pdf_stub_xrefstream(2, title="x", encrypted=True), "y"
+    )
+    assert parse_pdf_metadata(enc2)["encrypted"] is True
+
+    # PNG unfiltering: all five filter types reconstruct exactly.
+    # Build rows, encode with each filter type manually, decode.
+    rows = [bytes([(7 * r + 3 * i) % 256 for i in range(4)])
+            for r in range(6)]
+    # Up-predictor encoder round-trip (the writer's own filter)
+    assert _png_unpredict(_png_predict_up(rows), 4) == b"".join(rows)
+
+    def encode_with(ft, rows):
+        out, prev = bytearray(), bytes(4)
+        for row in rows:
+            out.append(ft)
+            rec = bytearray()
+            for i in range(4):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (a if pa <= pb and pa <= pc
+                            else (b if pb <= pc else c))
+                rec.append((row[i] - pred) & 0xFF)
+            out += rec
+            prev = row
+        return bytes(out)
+
+    for ft in range(5):
+        assert _png_unpredict(encode_with(ft, rows), 4) == b"".join(rows)
+    with pytest.raises(ValueError, match="filter type"):
+        _png_unpredict(b"\x09\x00\x00\x00\x00", 4)
+    with pytest.raises(ValueError, match="multiple"):
+        _png_unpredict(b"\x00\x00\x00", 4)
+
+    # corrupt the flate stream -> typed error
+    good = build_pdf_stub_xrefstream(2, title="T")
+    sx = good.rfind(b"startxref")
+    xref_at = int(good[sx:].split()[1])
+    stream_kw = good.find(b"stream\n", xref_at)
+    bad = bytearray(good)
+    bad[stream_kw + 7] ^= 0xFF
+    bad[stream_kw + 8] ^= 0xFF
+    with pytest.raises(ValueError, match="corrupt FlateDecode|xref"):
+        parse_pdf_metadata(bytes(bad))
+
+    # /Prev cycle -> typed error (point the update's /Prev at itself)
+    upd2 = append_pdf_retitle_update(good, "T2")
+    sx2 = upd2.rfind(b"startxref")
+    new_at = int(upd2[sx2:].split()[1])
+    cyc = upd2.replace(
+        f"/Prev {xref_at}".encode(), f"/Prev {new_at}".encode(), 1
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        parse_pdf_metadata(cyc)
+
+    # non-Flate filter -> NotImplementedError (the LAST /Filter is
+    # the xref stream's; same-length name keeps every offset valid)
+    idx = good.rfind(b"/Filter /FlateDecode")
+    lzw = good[:idx] + b"/Filter /LZWDecodeXX" + good[idx + 20:]
+    with pytest.raises(NotImplementedError, match="filter"):
+        parse_pdf_metadata(lzw)
+
+    # zlib corruption INSIDE the objstm: catalog resolution fails
+    objstm_at = good.find(b"/Type /ObjStm")
+    os_stream = good.find(b"stream\n", objstm_at)
+    bad2 = bytearray(good)
+    bad2[os_stream + 9] ^= 0xFF
+    with pytest.raises(ValueError):
+        parse_pdf_metadata(bytes(bad2))
 
 
 def test_warc_record_walk_and_fail_louds():
@@ -4005,6 +4122,7 @@ def test_warc_record_walk_and_fail_louds():
     with pytest.raises(NotImplementedError, match="version"):
         parse_warc_records(p.replace(b"WARC/1.0", b"WARC/0.9", 1))
 
+    # chunked bodies DECODE as of r17 (VERDICT r16 #1)
     http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
             b"1\r\nx\r\n0\r\n\r\n")
     chunked = (
@@ -4014,8 +4132,89 @@ def test_warc_record_walk_and_fail_louds():
         + f"Content-Length: {len(http)}\r\n\r\n".encode()
         + http + b"\r\n\r\n"
     )
-    with pytest.raises(NotImplementedError, match="chunked"):
-        parse_warc_records(chunked)
+    assert parse_warc_records(chunked)[0]["body"] == b"x"
+
+
+def test_warc_http_body_decoding_contract():
+    """r17 (VERDICT r16 #1): the HTTP split decodes the bodies real
+    crawl responses ship. Gzip / zlib-wrapped deflate / raw deflate /
+    chunked / gzip-nested-in-chunked all recover the exact plaintext;
+    framing violations, corrupt streams, br, and multi-codings fail
+    typed."""
+    import zlib
+
+    import pytest
+
+    from mongo2pq_spark.operators.warc import (
+        build_warc_stub,
+        chunk_http_body,
+        dechunk_http_body,
+        inflate_http_body,
+        parse_warc_records,
+    )
+
+    text = b"The quick brown fox jumps over the lazy dog. " * 7
+
+    def rec(**kw):
+        return dict(
+            {"warc_type": "response", "uri": "http://x.io/a",
+             "date": "2024-01-01T00:00:00Z", "status": 200,
+             "content_type": "text/html", "body": text},
+            **kw,
+        )
+
+    p = build_warc_stub(
+        [
+            rec(),
+            rec(content_encoding="gzip"),
+            rec(chunked=True),
+            rec(content_encoding="gzip", chunked=True),
+            rec(content_encoding="deflate"),
+            rec(content_encoding="deflate-raw"),
+        ]
+    )
+    out = parse_warc_records(p)
+    assert len(out) == 6
+    for r in out:
+        assert r["body"] == text, r["rec_idx"]
+    # the encoded record really is smaller/different on the wire
+    assert out[1]["content_length"] < out[0]["content_length"]
+
+    # dechunk framing violations
+    assert dechunk_http_body(chunk_http_body(text, 13)) == text
+    assert dechunk_http_body(b"0\r\nX-Trailer: v\r\n\r\n") == b""
+    with pytest.raises(ValueError, match="chunk-size line"):
+        dechunk_http_body(b"5")
+    with pytest.raises(ValueError, match="bad chunk size"):
+        dechunk_http_body(b"zz\r\nabc\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated chunk"):
+        dechunk_http_body(b"ff\r\nshort\r\n")
+    with pytest.raises(ValueError, match="not CRLF-terminated"):
+        dechunk_http_body(b"3\r\nabcXX0\r\n\r\n")
+
+    # inflate: wrapped-or-raw deflate both decode; corruption typed
+    assert inflate_http_body(
+        zlib.compress(text, 6, wbits=15), "deflate"
+    ) == text
+    assert inflate_http_body(
+        zlib.compress(text, 6, wbits=-15), "deflate"
+    ) == text
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        inflate_http_body(b"\x1f\x8b garbage", "gzip")
+    with pytest.raises(ValueError, match="corrupt deflate"):
+        inflate_http_body(b"\xff\xff\xff\xff", "deflate")
+    with pytest.raises(NotImplementedError, match="library swap"):
+        inflate_http_body(text, "br")
+
+    # a non-chunked transfer coding stays a typed refusal (same-length
+    # token swap keeps the Content-Length framing valid)
+    single = build_warc_stub([rec(chunked=True)]).replace(
+        b"Transfer-Encoding: chunked",
+        b"Transfer-Encoding: deflate",
+        1,
+    )
+    with pytest.raises(NotImplementedError, match="transfer-encoding"):
+        parse_warc_records(single)
 
 
 def test_html_extract_links_hand_traced(spark):
