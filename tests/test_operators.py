@@ -1412,9 +1412,15 @@ def test_jpeg_codec_roundtrip_and_envelope():
         decode_jpeg_pixels(encode_jpeg(gray)[:40])
     payload = bytearray(encode_jpeg(gray))
     sof_at = payload.find(b"\xff\xc0")
-    payload[sof_at + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with _pytest.raises(NotImplementedError, match="baseline"):
+    payload[sof_at + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
+    with _pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg_pixels(bytes(payload))
+    # SOF2 with a baseline-shaped (0,63) single scan header is now
+    # the PROGRESSIVE path (r17) — and structurally invalid there
+    payload2 = bytearray(encode_jpeg(gray))
+    payload2[sof_at + 1] = 0xC2
+    with _pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg_pixels(bytes(payload2))
     payload = bytearray(encode_jpeg(gray))
     payload[sof_at + 11] = 0x22  # claim 2x2 sampling on component 1
     with _pytest.raises(NotImplementedError, match="subsampl"):
@@ -6578,3 +6584,86 @@ def test_avi_multistream_video_plus_audio_parses():
     assert sorted(decoded) == [0, 1, 2]
     for f, arr in decoded.items():
         assert int(arr.astype("int64").sum()) == 256 * (40 + 9 * f)
+
+
+def test_jpeg_progressive_and_restart_codec():
+    """r17 (VERDICT r16 #6): progressive JPEG decodes the full T.81
+    Annex G surface and restart markers decode in both modes. Pins:
+    (1) progressive == baseline decode EXACTLY for arbitrary content
+    at 444/422/420 and awkward non-MCU-multiple dims (successive
+    approximation is exact once every pass lands); (2) DC-constant
+    blocks round-trip bit-exact; (3) EOBRUN > 1 paths (sparse images
+    → multi-block EOB runs with EOBn symbols + appended bits) decode;
+    (4) refinement correction bits restore quantized streams to the
+    baseline result; (5) restart markers: any interval == no-restart
+    decode, out-of-sequence RSTn and missing markers fail typed."""
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(1717)
+
+    # (1)/(2): equality with baseline across modes and shapes
+    for shape, sub in [
+        ((24, 32), "444"),
+        ((29, 35), "444"),
+        ((17, 23, 3), "420"),  # spec-grid != padded-grid case
+        ((37, 41, 3), "422"),
+        ((16, 16, 3), "444"),
+    ]:
+        img = rng.randint(0, 256, shape).astype("uint8")
+        b = decode_jpeg_pixels(encode_jpeg(img, subsampling=sub))
+        p = decode_jpeg_pixels(
+            encode_jpeg_progressive(img, subsampling=sub)
+        )
+        assert b[:3] == p[:3]
+        assert (b[3] == p[3]).all(), (shape, sub)
+
+    # (3) sparse: one bright pixel in a big dark image → nearly every
+    # block's AC bands are empty → EOB runs span many blocks (EOBn
+    # symbols with appended bits), in first AND refinement passes
+    sparse = np.zeros((64, 96), dtype="uint8")
+    sparse[33, 57] = 255
+    sparse[5, 5] = 128
+    b = decode_jpeg_pixels(encode_jpeg(sparse))[3]
+    p = decode_jpeg_pixels(encode_jpeg_progressive(sparse))[3]
+    assert (b == p).all()
+
+    # (4) a real quantization table: progressive still equals baseline
+    # (same coefficients, different transport)
+    qt = (1 + (np.arange(64).reshape(8, 8) % 7)).astype(float)
+    img = rng.randint(0, 256, (40, 24, 3)).astype("uint8")
+    b = decode_jpeg_pixels(encode_jpeg(img, qtable=qt))[3]
+    p = decode_jpeg_pixels(encode_jpeg_progressive(img, qtable=qt))[3]
+    assert (b == p).all()
+
+    # (5) restart markers
+    img = rng.randint(0, 256, (33, 49, 3)).astype("uint8")
+    plain = decode_jpeg_pixels(encode_jpeg(img, subsampling="420"))[3]
+    for ri in (1, 3, 7):
+        with_rst = encode_jpeg(
+            img, subsampling="420", restart_interval=ri
+        )
+        assert (decode_jpeg_pixels(with_rst)[3] == plain).all(), ri
+    enc = encode_jpeg(img, restart_interval=2)
+    # out-of-sequence RSTn: find the first RST (FFD0) and bump it
+    at = enc.find(b"\xff\xd0")
+    assert at > 0
+    bad = enc[:at + 1] + b"\xd3" + enc[at + 2:]
+    with pytest.raises(ValueError, match="out of.*sequence|sequence"):
+        decode_jpeg_pixels(bad)
+    # stray RST without DRI -> segment-count mismatch fails typed
+    nodri = bytearray(enc)
+    dri_at = nodri.find(b"\xff\xdd")
+    # zero out the interval (keep segment structure): declared 0 but
+    # markers present
+    nodri[dri_at + 4:dri_at + 6] = b"\x00\x00"
+    with pytest.raises(ValueError, match="restart|truncated"):
+        decode_jpeg_pixels(bytes(nodri))
+    with pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg(img, restart_interval=0)
