@@ -2761,3 +2761,101 @@ def test_tarshards_incremental_refuses_foreign_partitioner(spark, tmp_path):
             dir_a,
             spark.createDataFrame([("doc3.bin",)], "name string"),
         )
+
+
+def test_tarshards_inherited_borrow_rail_two_process(spark, tmp_path):
+    """VERDICT r16 #5: prove the borrow contract's fail-loud rail
+    fires under a CONCURRENT overwrite of the owning generation —
+    the tamper runs in a SEPARATE PROCESS while this session already
+    holds gen B's LAZY reader (Python DataSource partitions() runs at
+    execution, so the read plan outlives the tamper). Both outcomes:
+    (a) owner shard deleted → the dependent read fails loud naming
+    the owning generation; (b) owner shard rewritten in place → the
+    borrow semantics surface the NEW bytes and verify_tar_shards
+    flags the shard corrupt against gen B's recorded md5."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.sources.tarshards import (
+        register_tarshards,
+        verify_tar_shards,
+        write_shards_incremental,
+    )
+
+    register_tarshards(spark)
+    ddl = "name string, payload binary"
+    N = 4
+    rows = [(f"doc{i}.bin", f"A-{i}".encode() * 3) for i in range(24)]
+    df = spark.createDataFrame(rows, ddl)
+    dir_a = str(tmp_path / "owner")
+    (
+        df.repartition(N, F.col("name"))
+        .sortWithinPartitions("name")
+        .write.format("tarshards")
+        .mode("overwrite")
+        .save(dir_a)
+    )
+    # gen B: one changed doc; everything else inherited from A
+    gen_b = spark.createDataFrame(
+        [(n, p if n != "doc7.bin" else b"B7B7") for n, p in rows], ddl
+    )
+    dir_b = str(tmp_path / "dependent")
+    stats = write_shards_incremental(
+        gen_b, dir_b, dir_a,
+        spark.createDataFrame([("doc7.bin",)], "name string"),
+    )
+    assert stats["inherited"] >= 1
+    man_b = json.load(open(os.path.join(dir_b, "_MANIFEST.json")))
+    victim = sorted(man_b["inherited"])[0]
+
+    # LAZY reader created BEFORE the tamper: the hazard window
+    lazy = spark.read.format("tarshards").load(dir_b)
+
+    # (b) REWRITE the victim in the owner dir from another process
+    tamper = (
+        "import io, tarfile, sys\n"
+        "p = sys.argv[1]\n"
+        "with tarfile.open(p) as tf:\n"
+        "    names = [m.name for m in tf.getmembers() if m.isfile()]\n"
+        "with tarfile.open(p, 'w', format=tarfile.USTAR_FORMAT) as tf:\n"
+        "    for n in names:\n"
+        "        blob = b'TAMPERED-BY-OTHER-PROCESS'\n"
+        "        info = tarfile.TarInfo(n)\n"
+        "        info.size = len(blob); info.mtime = 0; info.mode = 0o644\n"
+        "        tf.addfile(info, io.BytesIO(blob))\n"
+    )
+    subprocess.run(
+        [sys.executable, "-c", tamper, os.path.join(dir_a, victim)],
+        check=True,
+    )
+    got = {
+        r["name"]: bytes(r["payload"]) for r in lazy.collect()
+    }
+    assert b"TAMPERED-BY-OTHER-PROCESS" in got.values()  # borrow, not copy
+    flagged = {
+        r["shard"]: r["status"]
+        for r in verify_tar_shards(spark, dir_b).collect()
+    }
+    assert flagged[victim] == "corrupt"  # the fsck rail fires
+
+    # (a) DELETE the victim from another process: a still-lazy read
+    # (fresh plan, same hazard) fails loud naming the owner
+    lazy2 = spark.read.format("tarshards").load(dir_b)
+    subprocess.run(
+        [sys.executable, "-c", "import os, sys; os.remove(sys.argv[1])",
+         os.path.join(dir_a, victim)],
+        check=True,
+    )
+    with pytest.raises(Exception, match="missing from owning generation"):
+        lazy2.collect()
+    # and the fsck reports it missing rather than crashing
+    statuses = {
+        r["shard"]: r["status"]
+        for r in verify_tar_shards(spark, dir_b).collect()
+    }
+    assert statuses[victim] == "missing"
