@@ -270,6 +270,20 @@ HEADLINE = [
     # 4:2:2 interleaved MCUs over 150 built images — the codec
     # class). Pin after its first two idle sessions.
     "multimodal_jpeg_subsampled_roundtrip",
+    # r17 first registration: WARC HTTP-body decoding (gzip/chunked/
+    # nested, 150 built files x 5 response variants — stdlib zlib +
+    # dechunk in the Arrow batch). Pin after its first two idle
+    # sessions.
+    "web_warc_gzip_bodies",
+    # r17 second registration: PDF 1.5 xref-stream + object-stream
+    # triage (200 built files, zlib + PNG-predictor decode, fourth
+    # of them carrying an incremental update). Pin after its first
+    # two idle sessions.
+    "multimodal_pdf_xref_stream",
+    # r17 third registration: progressive JPEG + restart-marker
+    # decode (150 built images across three transport variants —
+    # the codec class). Pin after its first two idle sessions.
+    "multimodal_jpeg_progressive_roundtrip",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -46,78 +46,75 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # r16 window (pure-freshness rotation per the r15 handoff,
-    # verified against CORRECTNESS_r01..r15 this session). Order:
-    # (a) the two entries with NO driver row yet — the r15 late
-    # registration (first per _NEXT_WINDOW_QUEUE contract) and this
-    # round's new FLAC full-decode roundtrip;
-    "pipeline_incremental_tokenize",
-    "multimodal_flac_pcm_roundtrip",
-    "el_tar_incremental_ship",
-    "multimodal_flac_wav_crosscodec",
-    "multimodal_avi_mjpeg_frames",
-    "multimodal_wav_codec_matrix",
-    "multimodal_wav_ima_adpcm_roundtrip",
-    "multimodal_wav_ima_adpcm_stereo",
+    # r17 window (pure-freshness rotation, verified against
+    # CORRECTNESS_r01..r16 this session). Order:
+    # (a) the three r17 registrations with NO driver row yet —
+    # WARC gzip/chunked bodies (VERDICT r16 #1), PDF 1.5 xref
+    # streams (#4), progressive JPEG + restart markers (#6);
+    "web_warc_gzip_bodies",
+    "multimodal_pdf_xref_stream",
+    "multimodal_jpeg_progressive_roundtrip",
+    # (a') the one hash-moved query (doc-note edit: progressive no
+    # longer a stub) — window re-entry per the rotation contract;
     "multimodal_jpeg_subsampled_roundtrip",
-    # (a') queries whose hashes moved in r16: the ~15 parquet/CSV/
-    # JSONL/ORC/XML/mongodump/index EL queries re-keyed from fixed
-    # /tmp dirs onto sources/staging.py::generation_tmp_dir (VERDICT
-    # r15 #2 — closes the staging-hazard class), the four NB-store
-    # queries (per-process staging guard, VERDICT #4), the
-    # incremental-tokenize id-offset fix + null-text coalesce
-    # (ADVICE r15), and multimodal_flac_streaminfo (doc note);
-    "el_partitioned_roundtrip",
-    "el_jsonl_roundtrip",
-    "el_orc_roundtrip",
-    "el_schema_evolution",
-    "el_csv_roundtrip",
-    "el_mongodump_scan",
-    "el_mongodump_flatten",
-    "el_xml_roundtrip",
-    "el_zorder_roundtrip",
-    "el_mongodump_export_roundtrip",
-    "el_compact_roundtrip",
-    "el_jsonl_gzip_roundtrip",
-    "el_footer_manifest",
-    "el_inverted_index_roundtrip",
-    "el_inverted_index_incremental",
-    "el_index_bm25_topk",
-    "el_index_phrase_matches",
-    "dedup_near_clusters_checkpointed",
-    "streaming_tar_ingest",
-    "streaming_nb_ingest",
-    "classifier_nb_incremental",
-    "classifier_nb_compacted",
-    "pipeline_classify_route_shards",
-    "pipeline_route_label_quota",
-    "multimodal_flac_streaminfo",
-    "multimodal_jpeg_pixel_roundtrip",
-    # (b) the oldest 23 of the 34 r10-latest entries, in their r10
-    # window order (el_mongodump_scan/flatten and el_xml_roundtrip
-    # are already above; the remaining 16 — partition_counts,
-    # percentile_approx_values, q1_pricing_summary,
-    # q6_forecast_revenue, salted_join_revenue,
-    # streaming_foreach_batch_upsert, systematic_sample,
-    # text_fingerprints, text_language_id,
-    # text_quality_scores, text_tfidf_top_terms, text_token_stats,
-    # text_top_bigrams, text_winnow_fingerprints, theta_overlap_users,
-    # udf_text_normalize — roll to r17's front).
-    "dedup_incremental_near_dups",
-    "dedup_simhash_pairs",
-    "ann_ivf_recall",
-    "asof_purchase_last_click",
-    "cube_order_counts",
-    "distinct_users_approx",
-    "distinct_users_exact",
-    "full_outer_daily_activity",
-    "histogram_quantile_rollup",
-    "json_extract_props",
-    "json_schema_promotion",
-    "kll_quantile_rollup",
-    "median_value_by_type",
-    "merge_upsert_events",
-    "multimodal_metadata",
+    # (a'') behavior-path restages: the incremental-ship diff job
+    # gained the actual-shard partitioner rail (ADVICE r16 medium)
+    # under el_tar_incremental_ship and pipeline_incremental_tokenize,
+    # and the streaming checkpoint/sink staging moved onto
+    # generation_tmp_dir(per_process=True) (VERDICT r16 #3) under
+    # streaming_stateful_sessions / streaming_parquet_sink — fn
+    # hashes unchanged, execution paths not;
+    "el_tar_incremental_ship",
+    "pipeline_incremental_tokenize",
+    "streaming_stateful_sessions",
+    "streaming_parquet_sink",
+    # (b) ALL 16 r10-latest entries (VERDICT r16 #2 — seven-round
+    # staleness ceiling; staged for this front since r16);
+    "q1_pricing_summary",
+    "salted_join_revenue",
+    "q6_forecast_revenue",
+    "percentile_approx_values",
+    "theta_overlap_users",
+    "partition_counts",
+    "systematic_sample",
+    "streaming_foreach_batch_upsert",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_language_id",
+    "text_tfidf_top_terms",
+    "text_top_bigrams",
+    "text_fingerprints",
+    "text_winnow_fingerprints",
+    "udf_text_normalize",
+    # (c) the oldest 26 of the 42 r11-latest entries, registry
+    # order (the remaining 16 r11s are the staged r18 front — the
+    # rotation's oldest cohort after this round);
+    "corpus_train_val_split",
+    "text_unigram_logprob",
+    "contamination_overlap_frac",
+    "embedding_norm_outliers",
+    "dedup_exact",
+    "dedup_minhash_containment",
+    "dedup_span_coverage",
+    "math_functions",
+    "array_functions",
+    "case_when_bucketing",
+    "text_gopher_quality_flags",
+    "text_repetition_stats",
+    "docs_pii_redact",
+    "corpus_filter_funnel",
+    "embedding_dim_stats",
+    "corpus_mix_upsample",
+    "corpus_shuffle_shards",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_image_dhash_neardup",
+    "multimodal_wav_audio_stats",
+    "multimodal_mp4_metadata",
+    "multimodal_image_cell_features",
+    "multimodal_image_dhash_incremental",
+    "scan_projection",
+    "filter_equality",
 ]
 
 
