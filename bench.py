@@ -284,6 +284,14 @@ HEADLINE = [
     # decode (150 built images across three transport variants —
     # the codec class). Pin after its first two idle sessions.
     "multimodal_jpeg_progressive_roundtrip",
+    # r17 fourth registration: per-page PDF text extraction (150
+    # built 1.5-layout files, FlateDecode + operator lexing). Pin
+    # after its first two idle sessions.
+    "multimodal_pdf_extract_text",
+    # r17 fifth registration: per-record-member .warc.gz explode
+    # (150 built files, member gunzip -> record walk -> nested HTTP
+    # decode). Pin after its first two idle sessions.
+    "web_warc_gz_members",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

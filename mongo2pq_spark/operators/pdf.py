@@ -100,6 +100,7 @@ def build_pdf_stub_xrefstream(
     title: str | None = None,
     encrypted: bool = False,
     pad: int = 0,
+    page_texts: list[bytes] | None = None,
 ) -> bytes:
     """Minimal structurally real PDF **1.5**: catalog, pages tree and
     Info live INSIDE a FlateDecode'd object stream (/ObjStm, type-2
@@ -108,12 +109,17 @@ def build_pdf_stub_xrefstream(
     predictor (/Predictor 12), W [1 2 1], an /Index with two
     subsections — exactly the layout modern writers emit (ISO 32000
     §7.5.7/§7.5.8). ``pad`` shifts every offset as in the classic
-    builder, so an offset-ignoring parser cannot stay correct."""
+    builder, so an offset-ignoring parser cannot stay correct.
+    ``page_texts`` (optional, one content-stream body per page, raw
+    operator bytes) attaches FlateDecode'd /Contents streams — the
+    text-extraction fixture surface."""
     import zlib
 
     out = bytearray(b"%PDF-1.5\n")
     if pad:
         out += b"%" + b"p" * pad + b"\n"
+    if page_texts is not None and len(page_texts) != n_pages:
+        raise ValueError("page_texts length must equal n_pages")
 
     kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
     in_stream: list[tuple[int, bytes]] = [
@@ -121,6 +127,11 @@ def build_pdf_stub_xrefstream(
         (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()),
     ]
     next_num = 3 + n_pages
+    content_refs: dict[int, int] = {}
+    if page_texts is not None:
+        for i in range(n_pages):
+            content_refs[3 + i] = next_num
+            next_num += 1
     info_ref = None
     if title is not None:
         info_ref = next_num
@@ -130,9 +141,25 @@ def build_pdf_stub_xrefstream(
     direct_offsets: dict[int, int] = {}
     for i in range(n_pages):
         direct_offsets[3 + i] = len(out)
+        contents = (
+            f" /Contents {content_refs[3 + i]} 0 R"
+            if content_refs
+            else ""
+        )
         out += (
-            f"{3 + i} 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n"
+            f"{3 + i} 0 obj\n<< /Type /Page /Parent 2 0 R"
+            f"{contents} >>\nendobj\n"
         ).encode()
+    for i in range(n_pages):
+        if not content_refs:
+            break
+        num = content_refs[3 + i]
+        data = zlib.compress(page_texts[i], 9)
+        direct_offsets[num] = len(out)
+        out += (
+            f"{num} 0 obj\n<< /Filter /FlateDecode "
+            f"/Length {len(data)} >>\nstream\n"
+        ).encode() + data + b"\nendstream\nendobj\n"
     if encrypted:
         # the encryption dict shall NOT live in an object stream
         encrypt_ref = next_num
@@ -535,11 +562,12 @@ def _classic_xref(payload: bytes, xref_at: int):
     return entries, trailer
 
 
-def parse_pdf_metadata(payload: bytes) -> dict:
-    """Parse ``{version, n_objects, n_pages, encrypted, title}`` via
-    the cross-reference machinery — classic tables or 1.5+ xref
-    STREAMS (object-stream members resolved through /ObjStm). See
-    module docstring for scope."""
+def _resolve_xref(payload: bytes):
+    """Shared front half of every PDF reader here: header version,
+    startxref dispatch (classic table vs 1.5+ stream), unified entry
+    map, trailer dict, and an object loader that resolves both
+    direct and object-stream-resident objects. Returns
+    (version, entries, trailer, load_fn)."""
     m = re.match(rb"%PDF-(\d+\.\d+)", payload[:16])
     if not m:
         raise ValueError("not a PDF (no %PDF header)")
@@ -556,11 +584,6 @@ def parse_pdf_metadata(payload: bytes) -> dict:
         entries, trailer = _xref_stream_chain(payload, xref_at)
     else:
         raise ValueError(f"startxref {xref_at} does not point at xref")
-    size = re.search(rb"/Size\s+(\d+)", trailer)
-    root_ref = _dict_ref(trailer, rb"/Root")
-    if size is None or root_ref is None:
-        raise ValueError("trailer lacks /Size or /Root")
-    encrypted = _dict_ref(trailer, rb"/Encrypt") is not None
 
     def _load(ref: int) -> bytes:
         ent = entries.get(ref)
@@ -569,6 +592,21 @@ def parse_pdf_metadata(payload: bytes) -> dict:
         if ent[0] == "d":
             return _read_obj(payload, ent[1])
         return _objstm_member(payload, entries, ent[1], ent[2])
+
+    return version, entries, trailer, _load
+
+
+def parse_pdf_metadata(payload: bytes) -> dict:
+    """Parse ``{version, n_objects, n_pages, encrypted, title}`` via
+    the cross-reference machinery — classic tables or 1.5+ xref
+    STREAMS (object-stream members resolved through /ObjStm). See
+    module docstring for scope."""
+    version, entries, trailer, _load = _resolve_xref(payload)
+    size = re.search(rb"/Size\s+(\d+)", trailer)
+    root_ref = _dict_ref(trailer, rb"/Root")
+    if size is None or root_ref is None:
+        raise ValueError("trailer lacks /Size or /Root")
+    encrypted = _dict_ref(trailer, rb"/Encrypt") is not None
 
     catalog = _load(root_ref)
     pages_ref = _dict_ref(catalog, rb"/Pages")
@@ -594,6 +632,214 @@ def parse_pdf_metadata(payload: bytes) -> dict:
         "encrypted": encrypted,
         "title": title,
     }
+
+
+def _pdf_string_at(data: bytes, i: int) -> tuple[bytes, int]:
+    """Read a PDF literal string starting at ``data[i] == '('``:
+    balanced unescaped parens, the standard escapes, octal escapes
+    (ISO 32000 §7.3.4.2). Returns (bytes, next index)."""
+    simple = {
+        ord("n"): 10, ord("r"): 13, ord("t"): 9,
+        ord("b"): 8, ord("f"): 12,
+    }
+    depth, out, j = 1, bytearray(), i + 1
+    n = len(data)
+    while j < n and depth:
+        c = data[j]
+        if c == 0x5C:  # backslash
+            j += 1
+            if j >= n:
+                break
+            e = data[j]
+            if e in simple:
+                out.append(simple[e])
+                j += 1
+            elif 0x30 <= e <= 0x37:
+                o, k = 0, 0
+                while k < 3 and j < n and 0x30 <= data[j] <= 0x37:
+                    o = o * 8 + data[j] - 0x30
+                    j += 1
+                    k += 1
+                out.append(o & 0xFF)
+            elif e in (10, 13):  # line continuation
+                j += 1
+                if e == 13 and j < n and data[j] == 10:
+                    j += 1
+            else:  # \( \) \\ and any other: the char itself
+                out.append(e)
+                j += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            j += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                out.append(c)
+            j += 1
+        else:
+            out.append(c)
+            j += 1
+    if depth:
+        raise ValueError("unterminated PDF string")
+    return bytes(out), j
+
+
+_CS_TOKEN = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+
+
+def _text_from_content(data: bytes) -> str:
+    """Extract shown text from one page's (decoded) content stream:
+    ``Tj``/``'``/``\"`` literal strings and ``TJ`` arrays (kerning
+    numbers skipped) accumulate onto the current line; ``Td``/``TD``/
+    ``T*``/``'``/``\"`` start a new line. Bytes decode latin-1 — the
+    identity for the fixture surface; real font /Encoding maps and
+    hex CIDs are the documented out-of-scope tail (a triage-grade
+    extractor, same posture as html_extract_text)."""
+    lines = [bytearray()]
+    pending: list[bytes] = []
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x28:  # literal string
+            s, i = _pdf_string_at(data, i)
+            pending.append(s)
+        elif c == 0x25:  # comment to EOL
+            while i < n and data[i] not in (10, 13):
+                i += 1
+        elif c == 0x3C and data[i + 1:i + 2] != b"<":  # hex string
+            end = data.find(b">", i)
+            if end < 0:
+                raise ValueError("unterminated hex string")
+            hx = re.sub(rb"\s", b"", data[i + 1:end])
+            if len(hx) % 2:
+                hx += b"0"
+            pending.append(bytes.fromhex(hx.decode("ascii")))
+            i = end + 1
+        else:
+            m = _CS_TOKEN.match(data, i)
+            if not m:
+                i += 1
+                continue
+            tok = m.group(0)
+            i = m.end()
+            if tok in (b"Td", b"TD", b"T*"):
+                lines.append(bytearray())
+            elif tok in (b"'", b'"') or tok.startswith((b"'", b'"')):
+                lines.append(bytearray())
+                for s in pending:
+                    lines[-1] += s
+                pending = []
+            elif tok in (b"Tj", b"TJ"):
+                for s in pending:
+                    lines[-1] += s
+                pending = []
+            elif tok in (b"BT", b"ET"):
+                pending = []
+            # other operators (Tf, Tm, cm, re, ...) just consume
+    text_lines = [
+        ln.decode("latin-1") for ln in lines
+    ]
+    # drop leading/trailing empty lines from positioning-only ops
+    while text_lines and not text_lines[0]:
+        text_lines.pop(0)
+    while text_lines and not text_lines[-1]:
+        text_lines.pop()
+    return "\n".join(text_lines)
+
+
+def extract_pdf_text(payload: bytes) -> list[dict]:
+    """Per-page text extraction — the document-pipeline payoff stage
+    after triage: resolve the pages tree through the xref machinery
+    (classic or 1.5+ streams), FlateDecode each page's /Contents
+    (single ref or array), and lex the shown-text operators. Returns
+    ``[{page_idx, text, n_chars}]``; pages without /Contents yield
+    empty text. Encrypted documents raise ``ValueError`` (strings
+    are never decrypted here — same contract as the title field)."""
+    _version, _entries, trailer, _load = _resolve_xref(payload)
+    if _dict_ref(trailer, rb"/Encrypt") is not None:
+        raise ValueError(
+            "encrypted PDF: content streams are never decrypted here"
+        )
+    root_ref = _dict_ref(trailer, rb"/Root")
+    if root_ref is None:
+        raise ValueError("trailer lacks /Root")
+    catalog = _load(root_ref)
+    pages_ref = _dict_ref(catalog, rb"/Pages")
+    if pages_ref is None:
+        raise ValueError("catalog has no /Pages")
+    pages = _load(pages_ref)
+    km = re.search(rb"/Kids\s*\[([^\]]*)\]", pages)
+    if km is None:
+        raise ValueError("pages tree has no /Kids")
+    kid_refs = [
+        int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", km.group(1))
+    ]
+    out = []
+    for page_idx, ref in enumerate(kid_refs):
+        page = _load(ref)
+        cm = re.search(rb"/Contents\s*\[([^\]]*)\]", page)
+        if cm is not None:
+            crefs = [
+                int(x)
+                for x in re.findall(rb"(\d+)\s+\d+\s+R", cm.group(1))
+            ]
+        else:
+            cref = _dict_ref(page, rb"/Contents")
+            crefs = [cref] if cref is not None else []
+        data = bytearray()
+        for cr in crefs:
+            ent = _entries.get(cr)
+            if ent is None or ent[0] != "d":
+                raise ValueError(
+                    f"content stream {cr} missing or in an object "
+                    "stream (stream objects cannot live there)"
+                )
+            d, raw = _obj_dict_and_stream(payload, ent[1])
+            data += _decode_stream(d, raw)
+            data += b"\n"  # streams concatenate with a separator
+        text = _text_from_content(bytes(data))
+        out.append(
+            {"page_idx": page_idx, "text": text, "n_chars": len(text)}
+        )
+    return out
+
+
+PDF_TEXT_SCHEMA = (
+    "doc_id bigint, page_idx int, n_chars int, text string"
+)
+
+
+def pdf_page_texts(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched per-page PDF text extraction: one input file row
+    → one output row per page. Map-only, cost ∝ total payload bytes —
+    the WARC-explode scale shape."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf_batch in batches:
+            rows = []
+            for doc_id, payload in zip(
+                pdf_batch[id_col], pdf_batch[payload_col]
+            ):
+                for page in extract_pdf_text(bytes(payload)):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "page_idx": page["page_idx"],
+                            "n_chars": page["n_chars"],
+                            "text": page["text"],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(parse_batches, PDF_TEXT_SCHEMA)
 
 
 PDF_META_SCHEMA = (

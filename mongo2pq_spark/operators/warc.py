@@ -254,11 +254,90 @@ def parse_warc_records(payload: bytes) -> list[dict]:
     return records
 
 
+def build_warc_gz(records: list[dict]) -> bytes:
+    """Fixture writer for the CommonCrawl .warc.gz layout: each
+    record compressed as its OWN gzip member, members concatenated."""
+    import zlib
+
+    return b"".join(
+        zlib.compress(build_warc_stub([r]), 6, wbits=31)
+        for r in records
+    )
+
+
+def split_warc_gz_members(payload: bytes) -> list[bytes]:
+    """Split a multi-member gzip stream — the layout CommonCrawl
+    .warc.gz files actually use: each WARC record is its OWN gzip
+    member, concatenated, so readers can seek to a record boundary
+    and inflate one record without touching the rest (the cdx index
+    stores member offsets). Stdlib ``zlib`` member loop via
+    ``unused_data``; a truncated or corrupt member fails loud."""
+    import zlib
+
+    members = []
+    rest = bytes(payload)
+    if not rest:
+        raise ValueError("empty .warc.gz payload")
+    while rest:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            members.append(d.decompress(rest))
+        except zlib.error as exc:
+            raise ValueError(
+                f"corrupt gzip member {len(members)}: {exc}"
+            ) from exc
+        if not d.eof:
+            raise ValueError(
+                f"truncated gzip member {len(members)}"
+            )
+        rest = d.unused_data
+    return members
+
+
+def parse_warc_gz(payload: bytes) -> tuple[int, list[dict]]:
+    """Parse a .warc.gz: inflate every gzip member, walk the
+    concatenated records. Returns ``(n_members, records)`` —
+    per-record-member files (the CommonCrawl norm) report
+    n_members == len(records); whole-file gzip (also legal) reports
+    n_members == 1."""
+    members = split_warc_gz_members(payload)
+    return len(members), parse_warc_records(b"".join(members))
+
+
 WARC_SCHEMA = (
     "doc_id bigint, rec_idx int, warc_type string, target_uri string, "
     "warc_date string, content_length bigint, http_status int, "
     "http_content_type string, body binary"
 )
+
+WARC_GZ_SCHEMA = WARC_SCHEMA + ", n_members int"
+
+
+def warc_gz_records(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched .warc.gz explode (member-split + record walk +
+    HTTP body decode in one map-only pass); every record row carries
+    the file's gzip member count so a pipeline can assert the
+    per-record-member layout it relies on for random access."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n_members, recs = parse_warc_gz(bytes(payload))
+                for rec in recs:
+                    rec["doc_id"] = doc_id
+                    rec["n_members"] = n_members
+                    rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(parse_batches, WARC_GZ_SCHEMA)
 
 
 def warc_records(

@@ -1629,6 +1629,92 @@ def multimodal_pdf_xref_stream(spark, sf_dir):
 
 
 @register(
+    "multimodal_pdf_extract_text",
+    """
+    WITH d AS (
+        SELECT doc_id, 1 + doc_id % 4 AS np
+        FROM documents WHERE doc_id < 150
+    ),
+    pages AS (
+        SELECT doc_id,
+               CAST(j.i AS INTEGER) AS page_idx,
+               'Doc ' || CAST(doc_id AS VARCHAR) || ' page '
+                   || CAST(j.i AS VARCHAR) || chr(10)
+                   || 'Line(2) ' || CAST(doc_id * 7 + j.i AS VARCHAR)
+                   AS text
+        FROM d, generate_series(0, 3) j(i)
+        WHERE j.i < np
+    )
+    SELECT doc_id, page_idx,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           md5(text) AS text_md5
+    FROM pages
+    """,
+    doc="per-page PDF TEXT EXTRACTION — the document-pipeline payoff "
+        "stage after triage (r17): per-doc PDF 1.5 files whose pages "
+        "carry FlateDecode'd /Contents streams (built with literal "
+        "strings, escaped parens, kerned TJ arrays, Td line "
+        "positioning) are resolved through the xref-stream machinery "
+        "and lexed by the shown-text operator scanner "
+        "(operators/pdf.py::extract_pdf_text — Tj/TJ/quote ops, "
+        "octal and paren escapes, hex strings, balanced-paren "
+        "literals; latin-1 byte decode, with real font /Encoding "
+        "maps the documented out-of-scope tail). The oracle states "
+        "every page's text closed-form, so the md5 match proves the "
+        "content-stream decompression, string lexing, and line "
+        "assembly end to end. Map-only page explode — the WARC "
+        "scale shape",
+)
+def multimodal_pdf_extract_text(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import pdf as pdf_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 150
+    )
+
+    def build_batches(batches):
+        import pandas as pd
+
+        from mongo2pq_spark.operators.pdf import build_pdf_stub_xrefstream
+
+        for pdf_b in batches:
+            payloads = []
+            for d in pdf_b["doc_id"]:
+                d = int(d)
+                np_ = 1 + d % 4
+                texts = [
+                    (
+                        b"BT /F1 12 Tf 72 720 Td (Doc %d page %d) Tj "
+                        b"0 -14 Td [(Line\\(2\\) ) -120 (%d)] TJ ET"
+                        % (d, p, d * 7 + p)
+                    )
+                    for p in range(np_)
+                ]
+                payloads.append(
+                    build_pdf_stub_xrefstream(
+                        np_, pad=(d * 11) % 47, page_texts=texts
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf_b["doc_id"], "payload": payloads}
+            )
+
+    with_pdf = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    out = pdf_ops.pdf_page_texts(with_pdf)
+    return out.select(
+        "doc_id", "page_idx", "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@register(
     "multimodal_warc_extract",
     """
     SELECT doc_id,

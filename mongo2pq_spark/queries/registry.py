@@ -54,6 +54,11 @@ _DRIVER_WINDOW_FIRST = [
     "web_warc_gzip_bodies",
     "multimodal_pdf_xref_stream",
     "multimodal_jpeg_progressive_roundtrip",
+    # (a-2) the round's second wave, also row-less: per-page PDF
+    # text extraction and the per-record-member .warc.gz layout
+    # (two r11 image entries defer to the r18 front to make room);
+    "multimodal_pdf_extract_text",
+    "web_warc_gz_members",
     # (a') the one hash-moved query (doc-note edit: progressive no
     # longer a stub) — window re-entry per the rotation contract;
     "multimodal_jpeg_subsampled_roundtrip",
@@ -111,8 +116,6 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_image_dhash_neardup",
     "multimodal_wav_audio_stats",
     "multimodal_mp4_metadata",
-    "multimodal_image_cell_features",
-    "multimodal_image_dhash_incremental",
     "scan_projection",
     "filter_equality",
 ]

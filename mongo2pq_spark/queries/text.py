@@ -1474,6 +1474,94 @@ def web_warc_gzip_bodies(spark, sf_dir):
 
 
 @register(
+    "web_warc_gz_members",
+    """
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+           CAST(3 AS INTEGER) AS n_members,
+           CAST(j.i AS INTEGER) AS rec_idx,
+           list_extract(['warcinfo', 'request', 'response'],
+                        CAST(j.i AS INTEGER) + 1) AS warc_type,
+           md5(list_extract(
+               ['software: fixture',
+                'GET / HTTP/1.1' || chr(13) || chr(10)
+                                 || chr(13) || chr(10),
+                text],
+               CAST(j.i AS INTEGER) + 1)) AS body_md5
+    FROM d, generate_series(0, 2) j(i)
+    """,
+    doc="the .warc.gz layout CommonCrawl ACTUALLY distributes (r17): "
+        "one gzip member PER RECORD, concatenated — the framing that "
+        "lets the cdx index seek to a member offset and inflate one "
+        "record from a 1 GB archive. Per-doc fixtures gzip each of "
+        "three records (warcinfo / request / response) as its own "
+        "member; the response body is additionally gzip "
+        "Content-Encoded AND chunked on the inner HTTP layer, so the "
+        "row proves the full nesting: member gunzip → record walk → "
+        "dechunk → inflate. n_members == record count pins the "
+        "per-record-member layout; every body md5 is stated "
+        "closed-form by the oracle. Map-only explode",
+)
+def web_warc_gz_members(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import warc as warc_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 150)
+
+    def build_batches(batches):
+        import pandas as pd
+
+        from mongo2pq_spark.operators.warc import build_warc_gz
+
+        for pdf in batches:
+            payloads = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                uri = f"http://site{d % 5}.example/p/{d}"
+                payloads.append(
+                    build_warc_gz(
+                        [
+                            {"warc_type": "warcinfo", "uri": "none",
+                             "date": "2024-01-01T00:00:00Z",
+                             "body": b"software: fixture"},
+                            {"warc_type": "request", "uri": uri,
+                             "date": "2024-01-01T00:00:00Z",
+                             "body": b"GET / HTTP/1.1\r\n\r\n"},
+                            {"warc_type": "response", "uri": uri,
+                             "date": "2024-01-01T00:00:00Z",
+                             "status": 200,
+                             "content_type": "text/html",
+                             "body": str(text).encode(),
+                             "content_encoding": "gzip",
+                             "chunked": True},
+                        ]
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return warc_ops.warc_gz_records(files).select(
+        "doc_id",
+        "n_members",
+        "rec_idx",
+        "warc_type",
+        F.md5("body").alias("body_md5"),
+    )
+
+
+@register(
     "text_srt_cues",
     """
     WITH d AS (

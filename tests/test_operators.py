@@ -6667,3 +6667,77 @@ def test_jpeg_progressive_and_restart_codec():
         decode_jpeg_pixels(bytes(nodri))
     with pytest.raises(ValueError, match="restart_interval"):
         encode_jpeg(img, restart_interval=0)
+
+
+def test_warc_gz_member_split_and_pdf_text_fail_louds():
+    """r17 second wave: (1) the CommonCrawl .warc.gz layout — one
+    gzip member per record — splits, inflates, and record-walks;
+    whole-file gzip (1 member, N records) parses too; truncation and
+    mid-stream corruption fail typed. (2) PDF text extraction:
+    multi-stream /Contents arrays concatenate, encrypted docs
+    refuse, unterminated strings fail typed."""
+    import zlib
+
+    import pytest
+
+    from mongo2pq_spark.operators.pdf import (
+        _text_from_content,
+        build_pdf_stub_xrefstream,
+        extract_pdf_text,
+    )
+    from mongo2pq_spark.operators.warc import (
+        build_warc_gz,
+        build_warc_stub,
+        parse_warc_gz,
+        split_warc_gz_members,
+    )
+
+    recs = [
+        {"warc_type": "warcinfo", "uri": "none",
+         "date": "2024-01-01T00:00:00Z", "body": b"software: t"},
+        {"warc_type": "response", "uri": "http://x.io/a",
+         "date": "2024-01-01T00:00:00Z", "status": 200,
+         "content_type": "text/html", "body": b"<p>hi</p>",
+         "content_encoding": "gzip", "chunked": True},
+    ]
+    gz = build_warc_gz(recs)
+    assert len(split_warc_gz_members(gz)) == 2
+    n_members, out = parse_warc_gz(gz)
+    assert n_members == 2 and len(out) == 2
+    assert out[1]["body"] == b"<p>hi</p>"  # nested decode through gz
+    # whole-file gzip: 1 member, 2 records — also legal
+    whole = zlib.compress(build_warc_stub(recs), 6, wbits=31)
+    n_members, out = parse_warc_gz(whole)
+    assert n_members == 1 and len(out) == 2
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        split_warc_gz_members(gz[:-4])
+    bad = bytearray(gz)
+    bad[len(gz) // 2] ^= 0xFF
+    with pytest.raises(ValueError, match="gzip member"):
+        parse_warc_gz(bytes(bad))
+    with pytest.raises(ValueError, match="empty"):
+        split_warc_gz_members(b"")
+
+    # PDF text: /Contents ARRAY of two streams concatenates pages'
+    # operator streams with a separator
+    import re as _re
+
+    p = build_pdf_stub_xrefstream(
+        1, page_texts=[b"BT (one) Tj ET"]
+    )
+    # rewrite the page's /Contents ref into an array form [N 0 R]
+    m = _re.search(rb"/Contents (\d+) 0 R ", p)
+    arr = b"/Contents[%s 0 R]" % m.group(1)
+    p2 = p.replace(m.group(0), arr, 1)
+    # same byte length? arr drops a space and adds brackets: keep
+    # offsets valid by construction
+    assert len(p2) == len(p)
+    assert extract_pdf_text(p2)[0]["text"] == "one"
+
+    enc = build_pdf_stub_xrefstream(
+        1, title="s", encrypted=True, page_texts=[b"BT (x) Tj ET"]
+    )
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_text(enc)
+    with pytest.raises(ValueError, match="unterminated"):
+        _text_from_content(b"BT (never closed Tj ET")
