@@ -292,6 +292,10 @@ HEADLINE = [
     # (150 built files, member gunzip -> record walk -> nested HTTP
     # decode). Pin after its first two idle sessions.
     "web_warc_gz_members",
+    # r17 sixth registration: GIF LZW pixel decode (150 built files,
+    # interlace + animated variants — the codec class). Pin after
+    # its first two idle sessions.
+    "multimodal_gif_pixel_roundtrip",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -528,10 +528,11 @@ def cell_slices(h: int, w: int, rows: int, cols: int):
 
 
 def decode_image_pixels(payload: bytes):
-    """Magic-dispatched pixel decode: PNG, baseline JPEG, or
-    uncompressed 24-bit BMP → the codecs' ``(h, w, c, uint8 ndarray)``
-    contract; ``ValueError`` on anything else (the fail-loud contract
-    shared by all three codecs)."""
+    """Magic-dispatched pixel decode: PNG, JPEG (baseline or
+    progressive), uncompressed 24-bit BMP, or GIF (LZW, r17) → the
+    codecs' ``(h, w, c, uint8 ndarray)`` contract; ``ValueError`` on
+    anything else (the fail-loud contract shared by all four
+    codecs)."""
     from mongo2pq_spark.operators.jpeg import JPEG_MAGIC, decode_jpeg_pixels
 
     if payload[:8] == PNG_MAGIC:
@@ -540,8 +541,10 @@ def decode_image_pixels(payload: bytes):
         return decode_jpeg_pixels(payload)
     if payload[:2] == BMP_MAGIC:
         return decode_bmp_pixels(payload)
+    if payload[:6] in GIF_MAGICS:
+        return decode_gif_pixels(payload)
     raise ValueError(
-        "unrecognized image payload (PNG, baseline JPEG, or BMP)"
+        "unrecognized image payload (PNG, JPEG, BMP, or GIF)"
     )
 
 
@@ -881,12 +884,13 @@ def build_gif_stub(
 
 
 def parse_gif_metadata(payload: bytes) -> dict:
-    """GIF triage without LZW decode: ``{version, width, height,
-    n_frames, animated, loop_forever, duration_cs}`` — the
-    pre-decode filter for a GIF corpus (static-vs-animated routing,
-    duration windows). Frames are counted by WALKING the
-    length-prefixed sub-block chains; pixel decode (LZW) stays the
-    documented stub. ``ValueError`` on structural corruption."""
+    """GIF triage: ``{version, width, height, n_frames, animated,
+    loop_forever, duration_cs}`` — the pre-decode filter for a GIF
+    corpus (static-vs-animated routing, duration windows). Frames
+    are counted by WALKING the length-prefixed sub-block chains —
+    no pixel decode needed for triage; ``decode_gif_pixels`` (r17)
+    does the real LZW decode when pixels are wanted. ``ValueError``
+    on structural corruption."""
     import struct
 
     if payload[:6] not in GIF_MAGICS:
@@ -959,6 +963,301 @@ def parse_gif_metadata(payload: bytes) -> dict:
         "loop_forever": loop_forever,
         "duration_cs": duration_cs,
     }
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode: variable 3..12-bit codes, LSB-first
+    bit packing, leading CLEAR, trailing EOI, table reset via CLEAR
+    when the 4096-entry dictionary fills. The width grows one step
+    LATER than the encoder's own table size suggests (at next ==
+    2^width + 1) because the decoder's dictionary lags one entry."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return (
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    prefix = b""
+    for b in bytes(indices):
+        if b >= clear:
+            raise ValueError(
+                f"index {b} outside the {clear}-color palette"
+            )
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1:
+            if width < 12:
+                width += 1
+            else:
+                emit(clear, width)
+                table, next_code, width = fresh()
+        prefix = bytes([b])
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW decode (the stub retired in r17): mirrors the
+    encoder above / giflib semantics — width grows at next == 2^width,
+    KwKwK special case, CLEAR resets, adds stop at 4096. Typed
+    ``ValueError`` on out-of-range codes, truncation, or pixel-count
+    mismatch."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"LZW minimum code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    ended = False
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while not ended:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError(
+                    "truncated GIF LZW stream (no EOI code)"
+                )
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            ended = True
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError(
+                    f"first GIF code after clear is {code} (not a "
+                    "root)"
+                )
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(
+                f"GIF code {code} beyond dictionary size {len(table)}"
+            )
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > n_pixels:
+            raise ValueError(
+                f"GIF LZW stream decodes {len(out)}+ pixels for a "
+                f"{n_pixels}-pixel frame"
+            )
+    if len(out) != n_pixels:
+        raise ValueError(
+            f"GIF LZW stream decodes {len(out)} pixels, frame "
+            f"declares {n_pixels}"
+        )
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def build_gif_pixels(
+    indices,
+    palette,
+    interlace: bool = False,
+    trailing_frames: int = 0,
+) -> bytes:
+    """Fixture writer with REAL pixel data: single-frame GIF89a from
+    an (h, w) uint8 index array and an RGB palette (padded to the
+    next power of two), real LZW data stream, optional interlaced
+    row order, optional opaque trailing animation frames (decode
+    reads the FIRST frame; metadata still counts them all)."""
+    import struct
+
+    import numpy as np
+
+    idx = np.ascontiguousarray(indices, dtype="uint8")
+    h, w = idx.shape
+    n = max(2, len(palette))
+    bits = max(2, (n - 1).bit_length())
+    size = 1 << bits
+    if idx.size and int(idx.max()) >= len(palette):
+        raise ValueError("index outside the palette")
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes([r, g, b])
+    pal += bytes(3 * (size - len(palette)))
+
+    if interlace:
+        rows = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            rows.extend(range(start, h, step))
+        stream = idx[rows].tobytes()
+    else:
+        stream = idx.tobytes()
+    min_code = max(2, bits)
+    lzw = _gif_lzw_encode(stream, min_code)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])
+    out += pal
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
+    out += bytes([min_code])
+    for off in range(0, len(lzw), 255):
+        piece = lzw[off:off + 255]
+        out += bytes([len(piece)]) + piece
+    out += b"\x00"
+    for i in range(trailing_frames):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", 5) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x00, min_code])
+        for off in range(0, len(lzw), 255):
+            piece = lzw[off:off + 255]
+            out += bytes([len(piece)]) + piece
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes):
+    """Decode a GIF's FIRST frame to ``(height, width, 3, uint8
+    ndarray)`` — real LZW decode (r17; the last library-free image
+    stub retired): global or local color table, interlaced row
+    reordering, sub-block reassembly. Animated files decode frame 0
+    (the triage contract — full compositing is animation territory);
+    a first frame that does not cover the logical screen raises
+    ``NotImplementedError`` (it needs background compositing).
+    ``ValueError`` on structural corruption — the PNG/JPEG/BMP
+    contract."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 1 << ((flags & 0x7) + 1)
+        gct = payload[pos:pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:
+            raise ValueError("GIF contains no image frames")
+        if b == 0x21:  # extensions: skip
+            p = pos + 2
+            while True:
+                if p >= len(payload):
+                    raise ValueError("truncated GIF sub-block chain")
+                n = payload[p]
+                p += 1
+                if n == 0:
+                    break
+                p += n
+            pos = p
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02x} at {pos}")
+        if pos + 11 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, w, h = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
+        lflags = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if lflags & 0x80:
+            n = 1 << ((lflags & 0x7) + 1)
+            pal = payload[pos:pos + 3 * n]
+            if len(pal) < 3 * n:
+                raise ValueError("truncated local color table")
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        if (left, top, w, h) != (0, 0, sw, sh):
+            raise NotImplementedError(
+                "first GIF frame does not cover the logical screen "
+                "(sub-frame compositing is animation-decode scope)"
+            )
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF image data")
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            data += payload[pos:pos + n]
+            pos += n
+        stream = _gif_lzw_decode(bytes(data), min_code, w * h)
+        idx = np.frombuffer(stream, dtype="uint8")
+        if lflags & 0x40:  # interlaced: undo the four-pass order
+            rows = []
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows.extend(range(start, h, step))
+            laced = idx.reshape(h, w)
+            out_idx = np.empty((h, w), dtype="uint8")
+            out_idx[rows] = laced
+            idx = out_idx.reshape(-1)
+        table = np.frombuffer(pal, dtype="uint8").reshape(-1, 3)
+        if int(idx.max(initial=0)) >= table.shape[0]:
+            raise ValueError("GIF index outside the color table")
+        rgb = table[idx].reshape(h, w, 3)
+        return h, w, 3, rgb
+    raise ValueError("GIF missing trailer")
 
 
 GIF_META_SCHEMA = (

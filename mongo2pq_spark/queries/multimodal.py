@@ -2525,6 +2525,92 @@ def multimodal_jpeg_progressive_roundtrip(spark, sf_dir):
     return jpeg_ops.jpeg_pixel_stats(files)
 
 
+@register(
+    "multimodal_gif_pixel_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(sum((17 * k) % 256 + (29 * k) % 256 + (43 * k) % 256)
+               AS BIGINT) AS pixel_sum,
+           CAST(768 AS BIGINT) AS n_pixels
+    FROM (
+        SELECT doc_id,
+               (doc_id + 3 * x.i + 5 * y.i) % 8 AS k
+        FROM documents,
+             generate_series(0, 15) x(i),
+             generate_series(0, 15) y(i)
+        WHERE doc_id < 150
+    )
+    GROUP BY doc_id
+    """,
+    doc="GIF pixel decode, end to end (r17 — the last library-free "
+        "image stub retired; PNG/JPEG/BMP/GIF now all decode for "
+        "real): 16x16 frames with a deterministic 8-color palette "
+        "and index rule are LZW-encoded (real variable-width codes) "
+        "and decoded back through operators/multimodal.py::"
+        "decode_gif_pixels — sub-block reassembly, code-width "
+        "growth, palette indexing — with per-doc variants: odd docs "
+        "INTERLACED (the four-pass row reorder must invert exactly), "
+        "every third doc carrying trailing animation frames (triage "
+        "decodes frame 0). Palette indexing is exact, so the oracle "
+        "states integer pixel sums closed-form from the palette and "
+        "index rules alone. Map-only; GIF joins the magic dispatch, "
+        "so dHash/pHash dedup now covers GIF corpora too",
+)
+def multimodal_gif_pixel_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators.multimodal import (
+        decode_gif_pixels,
+        pixel_stats_with,
+    )
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 150
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.multimodal import build_gif_pixels
+
+        pal = [
+            ((17 * i) % 256, (29 * i) % 256, (43 * i) % 256)
+            for i in range(8)
+        ]
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                idx = (
+                    (d + np.add.outer(
+                        5 * np.arange(16), 3 * np.arange(16)
+                    )) % 8
+                ).astype("uint8")
+                payloads.append(
+                    build_gif_pixels(
+                        idx,
+                        pal,
+                        interlace=d % 2 == 1,
+                        trailing_frames=2 if d % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return pixel_stats_with(decode_gif_pixels, files)
+
+
 def _ima_adpcm_stereo_oracle() -> str:
     """The mono recursive-CTE mirror extended with a CHANNEL
     dimension: two independent state machines per doc (distinct

@@ -59,6 +59,9 @@ _DRIVER_WINDOW_FIRST = [
     # (two r11 image entries defer to the r18 front to make room);
     "multimodal_pdf_extract_text",
     "web_warc_gz_members",
+    # (a-3) third wave: GIF LZW pixel decode (one more r11 audio
+    # entry defers to the r18 front);
+    "multimodal_gif_pixel_roundtrip",
     # (a') the one hash-moved query (doc-note edit: progressive no
     # longer a stub) — window re-entry per the rotation contract;
     "multimodal_jpeg_subsampled_roundtrip",
@@ -114,7 +117,6 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "multimodal_image_dhash_neardup",
-    "multimodal_wav_audio_stats",
     "multimodal_mp4_metadata",
     "scan_projection",
     "filter_equality",

@@ -6741,3 +6741,73 @@ def test_warc_gz_member_split_and_pdf_text_fail_louds():
         extract_pdf_text(enc)
     with pytest.raises(ValueError, match="unterminated"):
         _text_from_content(b"BT (never closed Tj ET")
+
+
+def test_gif_lzw_codec_roundtrip_and_fail_louds():
+    """r17: the GIF LZW pixel decode (the last library-free image
+    stub): variable-width codes with growth and 4096-table CLEAR
+    resets round-trip arbitrary index streams; interlaced files
+    reorder exactly; animated files decode frame 0; magic dispatch
+    picks GIF; corruption and scope boundaries fail typed."""
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+        build_gif_pixels,
+        decode_gif_pixels,
+        decode_image_pixels,
+        parse_gif_metadata,
+    )
+
+    rng = np.random.RandomState(171)
+    # LZW roundtrip across width growth and a forced 4096-entry reset
+    for n_colors, size in [(4, 300), (16, 5000), (128, 120000)]:
+        stream = rng.randint(0, n_colors, size).astype("uint8").tobytes()
+        mcs = max(2, (n_colors - 1).bit_length())
+        enc = _gif_lzw_encode(stream, mcs)
+        assert _gif_lzw_decode(enc, mcs, size) == stream
+
+    pal = [((17 * i) % 256, (29 * i) % 256, (43 * i) % 256)
+           for i in range(8)]
+    expect_tbl = np.array(pal, dtype="uint8")
+    idx = (
+        (np.add.outer(5 * np.arange(23), 3 * np.arange(9))) % 8
+    ).astype("uint8")
+    for interlace in (False, True):
+        for tf in (0, 2):
+            p = build_gif_pixels(
+                idx, pal, interlace=interlace, trailing_frames=tf
+            )
+            h, w, c, rgb = decode_gif_pixels(p)
+            assert (h, w, c) == (23, 9, 3)
+            assert (rgb == expect_tbl[idx]).all(), (interlace, tf)
+            assert (decode_image_pixels(p)[3] == expect_tbl[idx]).all()
+            m = parse_gif_metadata(p)
+            assert m["n_frames"] == 1 + tf
+            assert m["animated"] is (tf > 0)
+
+    good = build_gif_pixels(idx, pal)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif_pixels(b"PNG?" * 4)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif_pixels(good[:40])
+    # flip a byte inside the LZW stream: decode must fail typed, not
+    # return wrong pixels silently (pixel-count/ code-range rails)
+    data_at = good.index(b"\x2c") + 11
+    bad = bytearray(good)
+    bad[data_at + 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_gif_pixels(bytes(bad))
+    # sub-frame first image -> compositing boundary
+    sub = bytearray(good)
+    at = sub.index(b"\x2c")
+    sub[at + 1:at + 3] = (1).to_bytes(2, "little")  # left = 1
+    with pytest.raises(NotImplementedError, match="compositing"):
+        decode_gif_pixels(bytes(sub))
+    with pytest.raises(ValueError, match="palette"):
+        build_gif_pixels(np.full((4, 4), 9, dtype="uint8"), pal)
+    # encoder refuses out-of-range indices at the LZW layer too
+    with pytest.raises(ValueError, match="palette"):
+        _gif_lzw_encode(b"\x05", 2)
