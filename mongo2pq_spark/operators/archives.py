@@ -6,10 +6,14 @@ where the exercise is the header format itself), here the stdlib
 ZIP's DEFLATE decompression runs for real, so the manifest's content
 digests prove true extraction, not just directory listing.
 
-Scope: ZIP (stored + deflated entries) and POSIX tar. Encrypted ZIP
-entries raise ``NotImplementedError`` (the crypto is the library
-swap); corrupt archives surface the stdlib's errors re-typed as
-``ValueError`` with the doc context.
+Scope: ZIP (stored + deflated entries, traditional-ZipCrypto
+encrypted entries given a password — r17: stdlib ``zipfile``
+decrypts them natively, and the fixture writer hand-rolls the
+PKWARE APPNOTE §6.1 cipher for the write side stdlib lacks) and
+POSIX tar. Encrypted entries WITHOUT a password, wrong passwords,
+and corrupt archives surface as typed ``ValueError`` with the doc
+context; AES-encrypted (WinZip AE-x) entries remain the one
+genuinely library-bound refusal.
 
 Scale shape: one input archive row → one output row per entry,
 Arrow-batched mapInPandas, map-only. Archives are whole-file units
@@ -26,20 +30,106 @@ from pyspark.sql import DataFrame
 ZIP_MAGIC = b"PK\x03\x04"
 
 
-def build_zip_stub(entries: list[tuple[str, bytes, bool]]) -> bytes:
+class _ZipCryptoKeys:
+    """The traditional PKWARE stream cipher's key schedule (APPNOTE
+    §6.1 — a public spec): three 32-bit keys, CRC-folded per PLAIN
+    byte, LCG middle key. Used only by the fixture ENCRYPTOR —
+    stdlib zipfile owns the decrypt side."""
+
+    def __init__(self, password: bytes):
+        import zlib
+
+        self._crc = lambda crc, b: (
+            zlib.crc32(bytes([b]), crc ^ 0xFFFFFFFF) ^ 0xFFFFFFFF
+        )
+        self.k0, self.k1, self.k2 = 0x12345678, 0x23456789, 0x34567890
+        for b in password:
+            self.update(b)
+
+    def update(self, b: int) -> None:
+        self.k0 = self._crc(self.k0, b)
+        self.k1 = (self.k1 + (self.k0 & 0xFF)) & 0xFFFFFFFF
+        self.k1 = (self.k1 * 134775813 + 1) & 0xFFFFFFFF
+        self.k2 = self._crc(self.k2, (self.k1 >> 24) & 0xFF)
+
+    def stream_byte(self) -> int:
+        t = (self.k2 | 2) & 0xFFFF
+        return ((t * (t ^ 1)) >> 8) & 0xFF
+
+    def encrypt(self, plain: bytes) -> bytes:
+        out = bytearray()
+        for b in plain:
+            out.append(b ^ self.stream_byte())
+            self.update(b)
+        return bytes(out)
+
+
+def build_zip_stub(
+    entries: list[tuple[str, bytes, bool]],
+    password: bytes | None = None,
+) -> bytes:
     """Deterministic ZIP fixture: (name, content, deflate?) per entry,
-    fixed timestamps so the bytes are stable across runs."""
+    fixed timestamps so the bytes are stable across runs. With a
+    ``password`` the archive is written by hand (stdlib zipfile has
+    no encrypting writer): local headers + central directory + EOCD,
+    each entry traditional-ZipCrypto encrypted with a deterministic
+    11-byte header (md5 of the name) and the CRC-high check byte."""
     import zipfile
 
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w") as zf:
-        for name, content, deflate in entries:
-            info = zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0))
-            info.compress_type = (
-                zipfile.ZIP_DEFLATED if deflate else zipfile.ZIP_STORED
-            )
-            zf.writestr(info, content)
-    return buf.getvalue()
+    if password is None:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for name, content, deflate in entries:
+                info = zipfile.ZipInfo(
+                    name, date_time=(2024, 1, 1, 0, 0, 0)
+                )
+                info.compress_type = (
+                    zipfile.ZIP_DEFLATED if deflate else zipfile.ZIP_STORED
+                )
+                zf.writestr(info, content)
+        return buf.getvalue()
+
+    import hashlib
+    import struct
+    import zlib
+
+    dostime = 0
+    dosdate = ((2024 - 1980) << 9) | (1 << 5) | 1
+    out = bytearray()
+    central = bytearray()
+    for name, content, deflate in entries:
+        crc = zlib.crc32(content) & 0xFFFFFFFF
+        if deflate:
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            data = c.compress(content) + c.flush()
+            method = 8
+        else:
+            data = content
+            method = 0
+        hdr12 = (
+            hashlib.md5(name.encode()).digest()[:11]
+            + bytes([crc >> 24])
+        )
+        enc = _ZipCryptoKeys(password).encrypt(hdr12 + data)
+        flag, csize, usize = 0x1, len(enc), len(content)
+        nb = name.encode()
+        lho = len(out)
+        out += struct.pack(
+            "<IHHHHHIIIHH", 0x04034B50, 20, flag, method,
+            dostime, dosdate, crc, csize, usize, len(nb), 0,
+        ) + nb + enc
+        central += struct.pack(
+            "<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, flag, method,
+            dostime, dosdate, crc, csize, usize, len(nb),
+            0, 0, 0, 0, 0, lho,
+        ) + nb
+    cd_at = len(out)
+    out += central
+    out += struct.pack(
+        "<IHHHHIIH", 0x06054B50, 0, 0, len(entries), len(entries),
+        len(central), cd_at, 0,
+    )
+    return bytes(out)
 
 
 def build_tar_stub(entries: list[tuple[str, bytes]]) -> bytes:
@@ -56,10 +146,16 @@ def build_tar_stub(entries: list[tuple[str, bytes]]) -> bytes:
     return buf.getvalue()
 
 
-def parse_archive_manifest(payload: bytes) -> list[dict]:
+def parse_archive_manifest(
+    payload: bytes, password: bytes | None = None
+) -> list[dict]:
     """Extract the per-entry manifest WITH content digests (real
     decompression): ``{entry_idx, archive_fmt, name, n_bytes,
-    compressed, content_md5}``."""
+    compressed, content_md5}``. Traditional-ZipCrypto entries
+    decrypt when ``password`` is given (stdlib zipfile's native
+    support — r17); without one, or with a wrong one, the refusal
+    is a typed ``ValueError`` naming the entry. WinZip AES entries
+    (compress_type 99) stay ``NotImplementedError``."""
     import hashlib
     import tarfile
     import zipfile
@@ -69,12 +165,24 @@ def parse_archive_manifest(payload: bytes) -> list[dict]:
         try:
             zf = zipfile.ZipFile(io.BytesIO(payload))
             for i, info in enumerate(zf.infolist()):
-                if info.flag_bits & 0x1:
+                if info.compress_type == 99:
                     raise NotImplementedError(
-                        f"encrypted zip entry {info.filename!r} — "
-                        "archive crypto is the library swap"
+                        f"AES-encrypted zip entry {info.filename!r} "
+                        "(WinZip AE-x) — that cipher is the library "
+                        "swap; traditional ZipCrypto decodes here"
                     )
-                content = zf.read(info)  # REAL inflate for deflated
+                if info.flag_bits & 0x1 and password is None:
+                    raise ValueError(
+                        f"encrypted zip entry {info.filename!r}: no "
+                        "password provided (pass password= to "
+                        "decrypt traditional ZipCrypto)"
+                    )
+                try:
+                    content = zf.read(info, pwd=password)
+                except RuntimeError as err:
+                    raise ValueError(
+                        f"zip entry {info.filename!r}: {err}"
+                    ) from err
                 out.append(
                     {
                         "entry_idx": i,
@@ -136,10 +244,14 @@ ARCHIVE_SCHEMA = (
 
 
 def archive_manifest(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    password: bytes | None = None,
 ) -> DataFrame:
     """Arrow-batched archive explode: one archive row → one row per
-    entry, content digests via real decompression. Map-only."""
+    entry, content digests via real decompression (and traditional-
+    ZipCrypto decryption when ``password`` is given). Map-only."""
     from mongo2pq_spark.deploy import ensure_shipped
 
     ensure_shipped(df.sparkSession)
@@ -150,7 +262,9 @@ def archive_manifest(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                for rec in parse_archive_manifest(bytes(payload)):
+                for rec in parse_archive_manifest(
+                    bytes(payload), password=password
+                ):
                     rec["doc_id"] = doc_id
                     rows.append(rec)
             yield pd.DataFrame(rows)

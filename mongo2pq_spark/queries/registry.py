@@ -152,9 +152,14 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # anchor) or stages here with full pytest-oracle parity until the
     # next round covers it.
     #
-    # r16: empty — pipeline_incremental_tokenize moved to the window
-    # front per its r15 staging contract; every r16 registration went
-    # directly into the window.
+    # r17: the round's six window slots for new work went to the
+    # WARC/PDF/JPEG/GIF registrations; the ZipCrypto retirement
+    # (registered late-round, full oracle parity in
+    # tests/test_queries_oracle.py) stages here for the r18 front —
+    # together with multimodal_archive_manifest, whose doc note
+    # ("encrypted zip = stub") went stale this round and needs the
+    # doc refresh + window re-entry r18 grants.
+    "multimodal_zip_encrypted_manifest",
 ]
 
 

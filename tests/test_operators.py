@@ -4491,14 +4491,62 @@ def test_archive_manifest_real_inflate_and_fail_louds():
     with pytest.raises(ValueError, match="corrupt tar"):
         parse_archive_manifest(t[:512])
 
-    # encrypted entry: writestr recomputes flag bits, so flip the
-    # encryption bit directly in the central-directory record (flag
-    # field at offset 8 after the PK\x01\x02 signature)
+    # encrypted entry WITHOUT a password: typed policy refusal (r17:
+    # ZipCrypto decodes for real given one — see the dedicated test)
     enc = bytearray(build_zip_stub([("s.txt", b"secret", False)]))
     cd = enc.find(b"PK\x01\x02")
     enc[cd + 8] |= 0x1
-    with pytest.raises(NotImplementedError, match="encrypted zip"):
+    with pytest.raises(ValueError, match="no password"):
         parse_archive_manifest(bytes(enc))
+
+
+def test_zipcrypto_encrypted_entries_roundtrip():
+    """r17: traditional-ZipCrypto entries decode for real — the
+    fixture writer hand-rolls the PKWARE APPNOTE §6.1 cipher (the
+    write side stdlib lacks) and stdlib zipfile's native decryption
+    recovers byte-identical content, proven by digests. Missing and
+    wrong passwords are typed refusals; AES (method 99) stays the
+    library-bound boundary."""
+    import hashlib
+    import struct
+
+    import pytest
+
+    from mongo2pq_spark.operators.archives import (
+        build_zip_stub,
+        parse_archive_manifest,
+    )
+
+    entries = [
+        ("a.txt", b"hello world" * 20, False),
+        ("b/deep.bin", bytes(range(256)) * 5, True),
+        ("empty.txt", b"", False),
+    ]
+    z = build_zip_stub(entries, password=b"pw42")
+    man = parse_archive_manifest(z, password=b"pw42")
+    assert [m["name"] for m in man] == [n for n, _, _ in entries]
+    for (_, content, deflate), m in zip(entries, man):
+        assert m["content_md5"] == hashlib.md5(content).hexdigest()
+        assert m["n_bytes"] == len(content)
+        assert m["compressed"] is deflate
+    with pytest.raises(ValueError, match="no password"):
+        parse_archive_manifest(z)
+    with pytest.raises(ValueError, match="[Bb]ad password"):
+        parse_archive_manifest(z, password=b"nope")
+    # password also accepted (ignored) for plain archives
+    plain = build_zip_stub(entries)
+    assert [
+        m["content_md5"]
+        for m in parse_archive_manifest(plain, password=b"pw42")
+    ] == [m["content_md5"] for m in man]
+    # AES method 99: typed library boundary even WITH a password
+    aes = bytearray(z)
+    cd = aes.find(b"PK\x01\x02")
+    struct.pack_into("<H", aes, cd + 10, 99)
+    lf = aes.find(b"PK\x03\x04")
+    struct.pack_into("<H", aes, lf + 8, 99)
+    with pytest.raises(NotImplementedError, match="AES"):
+        parse_archive_manifest(bytes(aes), password=b"pw42")
 
 
 def test_flac_streaminfo_bitfield_and_fail_louds():
