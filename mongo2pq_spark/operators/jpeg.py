@@ -24,10 +24,12 @@ Scope (fail-loud outside it):
   declare), Huffman-decodes the entropy stream with 0xFF00
   unstuffing and sequence-validated RSTn restart markers,
   dequantizes, inverse-DCTs (batched), and color-converts — baseline
-  sequential AND progressive (full T.81 Annex G successive
-  approximation / spectral selection, r17). ``NotImplementedError``
-  on lossless/hierarchical SOFs, 12-bit precision and arithmetic
-  coding; ``ValueError`` on corrupt payloads — the same typed-error
+  sequential, progressive (full T.81 Annex G successive
+  approximation / spectral selection, r17), AND 12-bit extended
+  sequential grayscale (SOF1, uint16 output — the
+  medical/scientific shape; r17). ``NotImplementedError`` on
+  lossless/hierarchical SOFs, 12-bit color, and arithmetic coding;
+  ``ValueError`` on corrupt payloads — the same typed-error
   contract as the PNG decoder.
 
 Exactness property the registered roundtrip query leans on: an image
@@ -76,6 +78,14 @@ _AC_VALS = [0x00, 0xF0] + [
 _AC_PROG_BITS = [0] * 7 + [176] + [0] * 8
 _AC_PROG_VALS = [0x00, 0xF0] + [n << 4 for n in range(1, 15)] + [
     (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+#: 12-bit (extended sequential, SOF1) layouts: DC categories reach 15
+#: and AC sizes 14 (T.81 Tables F.1/F.2 ranges at P=12)
+_DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_DC12_VALS = list(range(16))
+_AC12_BITS = [0] * 7 + [226] + [0] * 8
+_AC12_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 15)
 ]
 
 
@@ -197,19 +207,21 @@ _SAMPLING_MODES = {
 }
 
 
-def _block_coef_zz(block, q, m):
+def _block_coef_zz(block, q, m, center: float = 128.0):
     """FDCT → quantize → zigzag coefficient list for one 8×8 block
-    (shared by the sequential and progressive encoders)."""
+    (shared by the sequential and progressive encoders); ``center``
+    is the level shift — 128 at 8-bit precision, 2048 at 12."""
     import numpy as np
 
-    coef = np.rint((m @ (block - 128.0) @ m.T) / q).astype(int)
+    coef = np.rint((m @ (block - center) @ m.T) / q).astype(int)
     return [int(coef[y, x]) for (y, x) in _ZIGZAG]
 
 
-def _encode_block(writer, block, q, comp, dc_prev, dc_codes, ac_codes, m):
+def _encode_block(writer, block, q, comp, dc_prev, dc_codes, ac_codes, m,
+                  center: float = 128.0, max_ac_size: int = 10):
     """One 8×8 block through FDCT → quantize → Huffman (shared by
     every sampling mode; DC predictor is per component)."""
-    zz = _block_coef_zz(block, q, m)
+    zz = _block_coef_zz(block, q, m, center)
     diff = zz[0] - dc_prev[comp]
     dc_prev[comp] = zz[0]
     cat = _category(diff)
@@ -228,9 +240,9 @@ def _encode_block(writer, block, q, comp, dc_prev, dc_codes, ac_codes, m):
             writer.write(code, length)
             run -= 16
         size = _category(v)
-        if size > 10:
+        if size > max_ac_size:
             raise ValueError(
-                f"AC coefficient {v} exceeds the 10-bit "
+                f"AC coefficient {v} exceeds the {max_ac_size}-bit "
                 "magnitude of the declared table (use a "
                 "larger quantization table)"
             )
@@ -301,9 +313,11 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
-def _frame_segments(h, w, n_comp, samp, q, sof_marker: int) -> bytes:
+def _frame_segments(
+    h, w, n_comp, samp, q, sof_marker: int, precision: int = 8
+) -> bytes:
     """DQT + SOF + DC DHT shared by both encoders (the AC table
-    differs: sequential vs progressive-with-EOBn)."""
+    differs: sequential vs progressive-with-EOBn vs 12-bit)."""
     qzz = bytes(int(q[y, x]) for (y, x) in _ZIGZAG)
     sof_comps = b"".join(
         struct.pack(
@@ -311,19 +325,23 @@ def _frame_segments(h, w, n_comp, samp, q, sof_marker: int) -> bytes:
         )
         for cid in range(n_comp)
     )
+    dc_bits, dc_vals = (
+        (_DC12_BITS, _DC12_VALS) if precision == 12 else (_DC_BITS, _DC_VALS)
+    )
     return (
         _seg(0xDB, b"\x00" + qzz)  # DQT, 8-bit, table 0
         + _seg(
             sof_marker,
-            struct.pack(">BHHB", 8, h, w, n_comp) + sof_comps,
+            struct.pack(">BHHB", precision, h, w, n_comp) + sof_comps,
         )
-        + _seg(0xC4, bytes([0x00] + _DC_BITS) + bytes(_DC_VALS))  # DC0
+        + _seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))  # DC0
     )
 
 
 def encode_jpeg(
     arr, qtable=None, subsampling: str = "444",
     restart_interval: int | None = None,
+    precision: int = 8,
 ) -> bytes:
     """Baseline JPEG writer: h×w (grayscale) or h×w×3 (RGB, stored as
     YCbCr) uint8 array → standards-compliant JFIF-less baseline JPEG
@@ -336,18 +354,66 @@ def encode_jpeg(
     output overwhelmingly ships. ``restart_interval`` (r17) emits a
     DRI segment and RSTn markers every that-many MCUs with DC
     predictors reset — the error-resilience framing real encoders
-    add to large images."""
-    planes, samp, h, w, ph, pw, n_comp, q = _prepare_planes(
-        arr, qtable, subsampling
-    )
+    add to large images. ``precision=12`` (r17) emits EXTENDED
+    sequential (SOF1) 12-bit GRAYSCALE — the medical/scientific
+    shape — from an integer array in 0..4095, with the widened
+    DC/AC tables (categories to 15, sizes to 14) declared in DHT."""
+    import numpy as np
+
+    if precision == 12:
+        a = np.asarray(arr)
+        if a.ndim != 2:
+            raise NotImplementedError(
+                "12-bit JPEG is grayscale-only here (the "
+                "medical/scientific shape); 12-bit color is out of "
+                "scope"
+            )
+        if not np.issubdtype(a.dtype, np.integer):
+            raise ValueError("12-bit input must be an integer array")
+        if a.size and (int(a.min()) < 0 or int(a.max()) > 4095):
+            raise ValueError("12-bit sample outside 0..4095")
+        h, w = a.shape
+        if h == 0 or w == 0:
+            raise ValueError("empty image")
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        plane = np.pad(
+            a.astype(np.float64), ((0, ph - h), (0, pw - w)),
+            mode="edge",
+        )
+        planes, samp, n_comp = [plane], ((1, 1),), 1
+        q = (
+            np.ones((8, 8), dtype=np.float64)
+            if qtable is None
+            else np.asarray(qtable, dtype=np.float64).reshape(8, 8)
+        )
+        if (q < 1).any() or (q > 255).any():
+            raise ValueError(
+                "quantization table entries must be in 1..255"
+            )
+        center, max_ac = 2048.0, 14
+        dc_codes = _build_codes(_DC12_BITS, _DC12_VALS)
+        ac_codes = _build_codes(_AC12_BITS, _AC12_VALS)
+        ac_dht = _seg(
+            0xC4, bytes([0x10] + _AC12_BITS) + bytes(_AC12_VALS)
+        )
+        sof_marker = 0xC1  # extended sequential
+    elif precision == 8:
+        planes, samp, h, w, ph, pw, n_comp, q = _prepare_planes(
+            arr, qtable, subsampling
+        )
+        center, max_ac = 128.0, 10
+        dc_codes = _build_codes(_DC_BITS, _DC_VALS)
+        ac_codes = _build_codes(_AC_BITS, _AC_VALS)
+        ac_dht = _seg(0xC4, bytes([0x10] + _AC_BITS) + bytes(_AC_VALS))
+        sof_marker = 0xC0
+    else:
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcu_h, mcu_w = 8 * vmax, 8 * hmax
     if restart_interval is not None and restart_interval < 1:
         raise ValueError("restart_interval must be >= 1")
 
-    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _build_codes(_AC_BITS, _AC_VALS)
     m = _dct_matrix()
     writer = _BitWriter()
     dc_prev = [0] * n_comp
@@ -374,6 +440,7 @@ def encode_jpeg(
                         _encode_block(
                             writer, block, q, ci, dc_prev,
                             dc_codes, ac_codes, m,
+                            center=center, max_ac_size=max_ac,
                         )
             mcu_idx += 1
     writer.flush()
@@ -388,8 +455,8 @@ def encode_jpeg(
     )
     return (
         JPEG_MAGIC
-        + _frame_segments(h, w, n_comp, samp, q, 0xC0)  # SOF0
-        + _seg(0xC4, bytes([0x10] + _AC_BITS) + bytes(_AC_VALS))  # AC0
+        + _frame_segments(h, w, n_comp, samp, q, sof_marker, precision)
+        + ac_dht
         + dri
         + _seg(0xDA, bytes([n_comp]) + sos_comps + b"\x00\x3f\x00")
         + bytes(writer.buf)
@@ -773,8 +840,13 @@ def decode_jpeg_pixels(payload: bytes):
         raise ValueError("JPEG missing SOF/SOS")
 
     precision, h, w, n_comp = struct.unpack(">BHHB", sof[:6])
-    if precision != 8:
+    if precision not in (8, 12):
         raise NotImplementedError(f"{precision}-bit JPEG unsupported")
+    if precision == 12 and n_comp != 1:
+        raise NotImplementedError(
+            "12-bit color JPEG out of scope (grayscale decodes — "
+            "the medical/scientific shape)"
+        )
     if n_comp not in (1, 3):
         raise NotImplementedError(f"{n_comp}-component JPEG unsupported")
     comps = []
@@ -829,7 +901,10 @@ def decode_jpeg_pixels(payload: bytes):
         natural = np.zeros_like(zz)
         natural[:, nat] = zz
         blocks = natural.reshape(-1, 8, 8) * q[None, :, :]
-        recon = np.matmul(np.matmul(m.T, blocks), m) + 128.0
+        recon = (
+            np.matmul(np.matmul(m.T, blocks), m)
+            + float(1 << (precision - 1))
+        )
         planes.append(
             recon.reshape(by, bx, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -850,9 +925,10 @@ def decode_jpeg_pixels(payload: bytes):
             plane = np.repeat(plane, fx, axis=1)
         out_planes[:, :, ci] = plane
     if n_comp == 1:
+        maxval = (1 << precision) - 1
         out = np.clip(
-            np.rint(out_planes[:h, :w, :]), 0, 255
-        ).astype("uint8")
+            np.rint(out_planes[:h, :w, :]), 0, maxval
+        ).astype("uint8" if precision == 8 else "uint16")
     else:
         out = _ycbcr_to_rgb(out_planes[:h, :w, :])
     return h, w, n_comp, out

@@ -2689,6 +2689,84 @@ def multimodal_gif_pixel_roundtrip(spark, sf_dir):
     return pixel_stats_with(decode_gif_pixels, files)
 
 
+@register(
+    "multimodal_jpeg12_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(24 AS INTEGER) AS width,
+           CAST(24 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(64 * sum((977 * doc_id + 1021 * x.i + 1063 * y.i)
+                         % 4096) AS BIGINT) AS pixel_sum,
+           CAST(576 AS BIGINT) AS n_pixels
+    FROM documents,
+         generate_series(0, 2) x(i),
+         generate_series(0, 2) y(i)
+    WHERE doc_id < 150
+    GROUP BY doc_id
+    """,
+    doc="12-BIT extended-sequential JPEG decode (r17 — SOF1, the "
+        "medical/scientific grayscale shape; retires the 12-bit "
+        "precision stub for the shape it actually ships in): 24x24 "
+        "grayscale images of constant 8x8 blocks with values across "
+        "the FULL 0..4095 domain are encoded with the widened "
+        "DC/AC tables (categories to 15, sizes to 14, declared in "
+        "DHT), half the docs with restart markers layered on, and "
+        "decoded back bit-exact — the oracle's closed-form pixel "
+        "sums exceed any 8-bit-domain value, so a hash match proves "
+        "the 2048 level shift, the wide-category Huffman decode, "
+        "and the uint16 output path. Remaining JPEG stubs: "
+        "arithmetic coding; 12-bit color/progressive. Map-only",
+)
+def multimodal_jpeg12_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators.jpeg import decode_jpeg_pixels
+    from mongo2pq_spark.operators.multimodal import pixel_stats_with
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 150
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.jpeg import encode_jpeg
+
+        ones8 = np.ones((8, 8), dtype=int)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                blocks = np.array(
+                    [
+                        [(977 * d + 1021 * bx + 1063 * by) % 4096
+                         for bx in range(3)]
+                        for by in range(3)
+                    ]
+                )
+                img = np.kron(blocks, ones8).astype("uint16")
+                payloads.append(
+                    encode_jpeg(
+                        img,
+                        precision=12,
+                        restart_interval=2 if d % 2 == 1 else None,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return pixel_stats_with(decode_jpeg_pixels, files)
+
+
 def _ima_adpcm_stereo_oracle() -> str:
     """The mono recursive-CTE mirror extended with a CHANNEL
     dimension: two independent state machines per doc (distinct

@@ -160,6 +160,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # ("encrypted zip = stub") went stale this round and needs the
     # doc refresh + window re-entry r18 grants.
     "multimodal_zip_encrypted_manifest",
+    "multimodal_jpeg12_roundtrip",
 ]
 
 

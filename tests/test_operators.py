@@ -6859,3 +6859,56 @@ def test_gif_lzw_codec_roundtrip_and_fail_louds():
     # encoder refuses out-of-range indices at the LZW layer too
     with pytest.raises(ValueError, match="palette"):
         _gif_lzw_encode(b"\x05", 2)
+
+
+def test_jpeg_12bit_extended_sequential_roundtrip():
+    """r17: 12-bit EXTENDED sequential (SOF1) grayscale decodes —
+    the medical/scientific JPEG shape. DC-constant blocks round-trip
+    bit-exact (values above any 8-bit range prove the widened
+    domain), general content round-trips within quantization
+    rounding, restart markers compose, and the scope boundaries
+    (color, out-of-range samples, float input) fail typed."""
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(1212)
+    blocks = rng.randint(0, 4096, (3, 4))
+    img = np.kron(blocks, np.ones((8, 8), dtype=int)).astype("uint16")
+    h, w, c, out = decode_jpeg_pixels(encode_jpeg(img, precision=12))
+    assert (h, w, c) == (24, 32, 1) and out.dtype == np.uint16
+    assert (out[:, :, 0] == img).all()
+    assert int(img.max()) > 255  # genuinely 12-bit content
+
+    img2 = rng.randint(0, 4096, (29, 35)).astype("uint16")
+    out2 = decode_jpeg_pixels(encode_jpeg(img2, precision=12))[3]
+    assert np.abs(
+        out2[:, :, 0].astype(int) - img2.astype(int)
+    ).max() <= 2
+    out3 = decode_jpeg_pixels(
+        encode_jpeg(img2, precision=12, restart_interval=3)
+    )[3]
+    assert (out3 == out2).all()
+
+    with pytest.raises(NotImplementedError, match="grayscale-only"):
+        encode_jpeg(np.zeros((4, 4, 3), dtype=int), precision=12)
+    with pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg(np.full((4, 4), 4096), precision=12)
+    with pytest.raises(ValueError, match="integer"):
+        encode_jpeg(np.zeros((4, 4)), precision=12)
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg(np.zeros((4, 4), dtype="uint8"), precision=10)
+    # decoder: 12-bit COLOR stays a typed refusal
+    enc = bytearray(encode_jpeg(img, precision=12))
+    sof_at = enc.find(b"\xff\xc1")
+    # forge n_comp=3 in the SOF header (parse-level check fires
+    # before any entropy decode)
+    enc[sof_at + 9] = 3
+    with pytest.raises(
+        (NotImplementedError, ValueError)
+    ):
+        decode_jpeg_pixels(bytes(enc))
