@@ -543,8 +543,12 @@ def decode_image_pixels(payload: bytes):
         return decode_bmp_pixels(payload)
     if payload[:6] in GIF_MAGICS:
         return decode_gif_pixels(payload)
+    from mongo2pq_spark.operators.tiff import TIFF_MAGICS, decode_tiff_pixels
+
+    if payload[:4] in TIFF_MAGICS:
+        return decode_tiff_pixels(payload)
     raise ValueError(
-        "unrecognized image payload (PNG, JPEG, BMP, or GIF)"
+        "unrecognized image payload (PNG, JPEG, BMP, GIF, or TIFF)"
     )
 
 

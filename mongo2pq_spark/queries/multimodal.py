@@ -2767,6 +2767,91 @@ def multimodal_jpeg12_roundtrip(spark, sf_dir):
     return pixel_stats_with(decode_jpeg_pixels, files)
 
 
+@register(
+    "multimodal_tiff_pixel_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(sum((7 * doc_id + 11 * x.i + 13 * y.i + 17 * c.i)
+                    % 256) AS BIGINT) AS pixel_sum,
+           CAST(768 AS BIGINT) AS n_pixels
+    FROM documents,
+         generate_series(0, 15) x(i),
+         generate_series(0, 15) y(i),
+         generate_series(0, 2) c(i)
+    WHERE doc_id < 150
+    GROUP BY doc_id
+    """,
+    doc="TIFF joins the image matrix (r17 — the scanner/archive "
+        "format; operators/tiff.py): 16x16 RGB rasters from a "
+        "closed-form pixel rule are written strip-organized with "
+        "per-doc variants — compression NONE / TIFF-LZW (the "
+        "early-change variant) / LZW+horizontal-differencing "
+        "predictor / PackBits RLE by doc_id%4, BIG-endian every "
+        "third doc, per-doc RowsPerStrip (1..5), a second IFD page "
+        "chained every seventh doc (decode reads page 1; metadata "
+        "counts the chain) — and decoded back bit-exact through the "
+        "IFD walk + strip reassembly. The oracle recomputes exact "
+        "integer pixel sums from the rule alone, so the hash match "
+        "proves LZW, PackBits, the predictor, both byte orders, and "
+        "strip geometry all decode correctly. Tiles/CCITT/"
+        "JPEG-in-TIFF are typed refusals. Map-only",
+)
+def multimodal_tiff_pixel_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import tiff as tiff_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 150
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.tiff import build_tiff
+
+        x = np.arange(16)
+        y = np.arange(16)
+        c = np.arange(3)
+        base = (
+            11 * x[None, :, None]
+            + 13 * y[:, None, None]
+            + 17 * c[None, None, :]
+        )
+        variants = [(1, 1), (5, 1), (5, 2), (32773, 1)]
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                img = ((7 * d + base) % 256).astype("uint8")
+                comp, pred = variants[d % 4]
+                payloads.append(
+                    build_tiff(
+                        img,
+                        compression=comp,
+                        predictor=pred,
+                        rows_per_strip=1 + d % 5,
+                        endian=">" if d % 3 == 0 else "<",
+                        extra_pages=1 if d % 7 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return tiff_ops.tiff_pixel_stats(files)
+
+
 def _ima_adpcm_stereo_oracle() -> str:
     """The mono recursive-CTE mirror extended with a CHANNEL
     dimension: two independent state machines per doc (distinct

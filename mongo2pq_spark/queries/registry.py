@@ -161,6 +161,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # doc refresh + window re-entry r18 grants.
     "multimodal_zip_encrypted_manifest",
     "multimodal_jpeg12_roundtrip",
+    "multimodal_tiff_pixel_roundtrip",
 ]
 
 

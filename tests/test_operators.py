@@ -6912,3 +6912,109 @@ def test_jpeg_12bit_extended_sequential_roundtrip():
         (NotImplementedError, ValueError)
     ):
         decode_jpeg_pixels(bytes(enc))
+
+
+def test_tiff_codec_roundtrip_and_fail_louds():
+    """r17: TIFF joins the image matrix — IFD walk (both byte
+    orders, multi-page chains), uncompressed / TIFF-LZW
+    (early-change variant) / PackBits strips, horizontal-differencing
+    predictor, white-is-zero inversion; tiles/CCITT/JPEG-in-TIFF and
+    exotic depths fail typed."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.multimodal import decode_image_pixels
+    from mongo2pq_spark.operators.tiff import (
+        _packbits_decode,
+        _packbits_encode,
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        build_tiff,
+        decode_tiff_pixels,
+        parse_tiff_metadata,
+    )
+
+    rng = np.random.RandomState(77)
+    # codec properties: random AND runs-heavy data, incl. a stream
+    # long enough to force LZW table resets
+    for size in (10, 5000, 200000):
+        data = rng.randint(0, 256, size).astype("uint8").tobytes()
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), size) == data
+        assert _packbits_decode(_packbits_encode(data), size) == data
+    runs = (b"a" * 300 + b"bc" + b"d" * 5 + bytes(range(64))) * 50
+    assert _packbits_decode(_packbits_encode(runs), len(runs)) == runs
+    assert _tiff_lzw_decode(_tiff_lzw_encode(runs), len(runs)) == runs
+
+    for shape in [(13, 17), (16, 16, 3), (7, 31, 3)]:
+        img = rng.randint(0, 256, shape).astype("uint8")
+        want = img if img.ndim == 3 else img[:, :, None]
+        for comp, pred in [(1, 1), (5, 1), (5, 2), (32773, 1)]:
+            for e in ("<", ">"):
+                t = build_tiff(
+                    img, compression=comp, predictor=pred, endian=e
+                )
+                h, w, c, out = decode_tiff_pixels(t)
+                assert (out == want).all(), (shape, comp, pred, e)
+                assert (decode_image_pixels(t)[3] == want).all()
+                m = parse_tiff_metadata(t)
+                assert m["compression"] == comp
+                assert m["endian"] == (
+                    "little" if e == "<" else "big"
+                )
+
+    # multi-page chain + 1-row strips
+    img = rng.randint(0, 256, (9, 5)).astype("uint8")
+    t = build_tiff(
+        img, compression=32773, rows_per_strip=1, extra_pages=3
+    )
+    assert parse_tiff_metadata(t)["n_pages"] == 4
+    assert (decode_tiff_pixels(t)[3][:, :, 0] == img).all()
+
+    # photometric 0 (white-is-zero) inverts: patch tag 262's value
+    t = bytearray(build_tiff(img))
+    e = "<"
+    (ifd_at,) = struct.unpack(e + "I", t[4:8])
+    (n,) = struct.unpack(e + "H", t[ifd_at:ifd_at + 2])
+    for k in range(n):
+        at = ifd_at + 2 + 12 * k
+        tag = struct.unpack(e + "H", t[at:at + 2])[0]
+        if tag == 262:
+            struct.pack_into(e + "H", t, at + 8, 0)
+    out = decode_tiff_pixels(bytes(t))[3]
+    assert (out[:, :, 0] == 255 - img).all()
+
+    # fail-louds
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff_pixels(b"ABCD" * 4)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_tiff_pixels(build_tiff(img)[:20])
+    lzw = bytearray(build_tiff(img, compression=5))
+    # corrupt the first strip's bytes -> typed decode failure
+    (first_ifd,) = struct.unpack("<I", lzw[4:8])
+    lzw[9] ^= 0xFF
+    lzw[10] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_tiff_pixels(bytes(lzw))
+    # tiled refusal: inject tag 322 by renumbering 278 (RowsPerStrip)
+    tiled = bytearray(build_tiff(img))
+    (ifd_at,) = struct.unpack("<I", tiled[4:8])
+    (n,) = struct.unpack("<H", tiled[ifd_at:ifd_at + 2])
+    for k in range(n):
+        at = ifd_at + 2 + 12 * k
+        if struct.unpack("<H", tiled[at:at + 2])[0] == 278:
+            struct.pack_into("<H", tiled, at, 322)
+    with pytest.raises(NotImplementedError, match="tiled"):
+        decode_tiff_pixels(bytes(tiled))
+    # CCITT / JPEG-in-TIFF refusals via the compression tag
+    for comp, msg in ((4, "CCITT"), (7, "JPEG-in-TIFF")):
+        mod = bytearray(build_tiff(img))
+        (ifd_at,) = struct.unpack("<I", mod[4:8])
+        (n,) = struct.unpack("<H", mod[ifd_at:ifd_at + 2])
+        for k in range(n):
+            at = ifd_at + 2 + 12 * k
+            if struct.unpack("<H", mod[at:at + 2])[0] == 259:
+                struct.pack_into("<H", mod, at + 8, comp)
+        with pytest.raises(NotImplementedError, match=msg):
+            decode_tiff_pixels(bytes(mod))
