@@ -296,6 +296,18 @@ HEADLINE = [
     # interlace + animated variants — the codec class). Pin after
     # its first two idle sessions.
     "multimodal_gif_pixel_roundtrip",
+    # r17 seventh registration: ZipCrypto-encrypted archive explode
+    # (150 built 3-entry archives, hand-rolled cipher + stdlib
+    # decrypt). Pin after its first two idle sessions.
+    "multimodal_zip_encrypted_manifest",
+    # r17 eighth registration: 12-bit extended-sequential JPEG
+    # decode (150 built files, half with restarts — the codec
+    # class). Pin after its first two idle sessions.
+    "multimodal_jpeg12_roundtrip",
+    # r17 ninth registration: TIFF strip decode across none/LZW/
+    # LZW+predictor/PackBits, both endians (150 built files — the
+    # codec class). Pin after its first two idle sessions.
+    "multimodal_tiff_pixel_roundtrip",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite
