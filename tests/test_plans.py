@@ -1087,3 +1087,29 @@ def test_incremental_encode_plan_shape(spark):
     assert "LeftSemi" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r17_codec_queries_are_map_only(spark, sf_dir):
+    """The round-17 codec/wire retirements all share the media-decode
+    scale shape: build fixtures → decode → scalarize inside Arrow
+    batches, with ZERO exchanges end to end (cost ∝ payload bytes,
+    parallelism = the input sharding). A shuffle creeping into any of
+    these would silently turn a 100 TB map over shards into a
+    cluster-wide repartition."""
+    for name in (
+        "web_warc_gzip_bodies",
+        "web_warc_gz_members",
+        "multimodal_pdf_xref_stream",
+        "multimodal_pdf_extract_text",
+        "multimodal_jpeg_progressive_roundtrip",
+        "multimodal_jpeg12_roundtrip",
+        "multimodal_gif_pixel_roundtrip",
+        "multimodal_tiff_pixel_roundtrip",
+        "multimodal_zip_encrypted_manifest",
+    ):
+        plan = _formatted(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+        assert "Window" not in plan, name
+        # the decode itself is Arrow-batched mapInPandas, never
+        # row-at-a-time Python
+        assert "BatchEvalPython" not in plan, name
