@@ -1171,13 +1171,49 @@ def robots_allowed(
 SITEMAP_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
 
 
+def parse_sitemap_index(payload: str) -> list[dict]:
+    """Parse a sitemap.org ``<sitemapindex>`` (the 'sitemap of
+    sitemaps' large sites ship, r17): one dict per ``<sitemap>`` with
+    ``loc`` (required) and ``lastmod`` (optional → None) — the
+    frontier rows a crawl scheduler feeds its FETCH layer (the
+    fetching itself stays out of scope here; the parse is local).
+    Malformed XML or a non-index root fails loud."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(payload)
+    except ET.ParseError as err:
+        raise ValueError(f"malformed sitemap XML: {err}") from err
+    tag = root.tag.split("}")[-1]
+    if tag != "sitemapindex":
+        raise ValueError(f"not a sitemap index (root <{tag}>)")
+    ns = {"s": SITEMAP_NS}
+    out = []
+    for i, sm in enumerate(root.findall("s:sitemap", ns)):
+        loc = sm.find("s:loc", ns)
+        if loc is None or not (loc.text or "").strip():
+            raise ValueError(f"sitemap index entry #{i} has no <loc>")
+        lastmod = sm.find("s:lastmod", ns)
+        out.append(
+            {
+                "sitemap_idx": i,
+                "loc": loc.text.strip(),
+                "lastmod": lastmod.text.strip()
+                if lastmod is not None and lastmod.text
+                else None,
+            }
+        )
+    return out
+
+
 def parse_sitemap(payload: str) -> list[dict]:
     """Parse a sitemap.org ``<urlset>`` document (stdlib ElementTree,
     namespace-aware): one dict per ``<url>`` with ``loc`` (required —
     missing fails loud), ``lastmod`` and ``priority`` (optional →
     None). ``<sitemapindex>`` files raise ``NotImplementedError`` at
-    this layer — index fan-out is a fetch-layer concern, not a parse
-    concern. Malformed XML fails loud."""
+    this layer pointing at ``parse_sitemap_index`` (r17) — the INDEX
+    enumerates child sitemaps to fetch, each of which parses here.
+    Malformed XML fails loud."""
     import xml.etree.ElementTree as ET
 
     try:
@@ -1187,8 +1223,9 @@ def parse_sitemap(payload: str) -> list[dict]:
     tag = root.tag.split("}")[-1]
     if tag == "sitemapindex":
         raise NotImplementedError(
-            "sitemap INDEX files enumerate child sitemaps to fetch — "
-            "resolve them at the fetch layer and parse each child here"
+            "sitemap INDEX: parse it with parse_sitemap_index (child "
+            "sitemap enumeration), fetch the children, parse each "
+            "child here"
         )
     if tag != "urlset":
         raise ValueError(f"not a sitemap urlset (root <{tag}>)")
@@ -1240,6 +1277,33 @@ def sitemap_urls(
         parse_batches,
         f"{id_col} bigint, url_idx int, loc string, lastmod string, "
         "priority double",
+    )
+
+
+def sitemap_index_entries(
+    df: DataFrame, xml_col: str = "xml", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched sitemap-INDEX explode (r17): one index row →
+    one row per child ``<sitemap>`` — the frontier table a crawl
+    scheduler joins against fetch state. Map-only."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, xml in zip(pdf[id_col], pdf[xml_col]):
+                for rec in parse_sitemap_index(xml):
+                    rec["doc_id"] = doc_id
+                    rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        parse_batches,
+        f"{id_col} bigint, sitemap_idx int, loc string, lastmod string",
     )
 
 

@@ -162,6 +162,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "multimodal_zip_encrypted_manifest",
     "multimodal_jpeg12_roundtrip",
     "multimodal_tiff_pixel_roundtrip",
+    "web_sitemap_index",
 ]
 
 

@@ -1562,6 +1562,87 @@ def web_warc_gz_members(spark, sf_dir):
 
 
 @register(
+    "web_sitemap_index",
+    """
+    WITH d AS (
+        SELECT doc_id, 1 + doc_id % 6 AS nc
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(j.i AS INTEGER) AS sitemap_idx,
+           'http://site' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example/sitemap-' || CAST(j.i AS VARCHAR)
+               || '.xml.gz' AS loc,
+           CASE WHEN j.i % 2 = 0
+                THEN '2024-0' || CAST(1 + (doc_id + j.i) % 9 AS VARCHAR)
+                     || '-01'
+                ELSE '' END AS lastmod
+    FROM d, generate_series(0, 5) j(i)
+    WHERE j.i < nc
+    """,
+    doc="sitemap INDEX parsing (r17 — the 'sitemap of sitemaps' "
+        "large sites actually serve at /sitemap.xml; the previous "
+        "typed refusal retired for the parse half): per-doc "
+        "namespaced <sitemapindex> documents with 1-6 <sitemap> "
+        "children (optional <lastmod>) are built and exploded to the "
+        "frontier table a crawl scheduler joins against fetch state "
+        "(operators/text.py::parse_sitemap_index; fetching the "
+        "children stays the fetch layer's job — each child then "
+        "parses via the existing web_sitemap_urls machinery). The "
+        "oracle states every (doc, idx, loc, lastmod) closed-form. "
+        "Map-only explode",
+)
+def web_sitemap_index(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.text import sitemap_index_entries
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            xmls = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                kids = []
+                for i in range(1 + d % 6):
+                    parts = [
+                        f"<loc>http://site{d % 5}.example/"
+                        f"sitemap-{i}.xml.gz</loc>"
+                    ]
+                    if i % 2 == 0:
+                        parts.append(
+                            f"<lastmod>2024-0{1 + (d + i) % 9}-01"
+                            "</lastmod>"
+                        )
+                    kids.append(
+                        "<sitemap>" + "".join(parts) + "</sitemap>"
+                    )
+                xmls.append(
+                    '<?xml version="1.0" encoding="UTF-8"?>'
+                    '<sitemapindex xmlns='
+                    '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                    + "".join(kids)
+                    + "</sitemapindex>"
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "xml": xmls})
+
+    files = docs.mapInPandas(build_batches, "doc_id bigint, xml string")
+    out = sitemap_index_entries(files)
+    return out.select(
+        "doc_id",
+        "sitemap_idx",
+        "loc",
+        F.coalesce(F.col("lastmod"), F.lit("")).alias("lastmod"),
+    )
+
+
+@register(
     "text_srt_cues",
     """
     WITH d AS (

@@ -7018,3 +7018,37 @@ def test_tiff_codec_roundtrip_and_fail_louds():
                 struct.pack_into("<H", mod, at + 8, comp)
         with pytest.raises(NotImplementedError, match=msg):
             decode_tiff_pixels(bytes(mod))
+
+
+def test_sitemap_index_parse_and_fail_louds():
+    """r17: <sitemapindex> PARSES into the child-sitemap frontier
+    (fetching the children stays out of scope): loc required,
+    lastmod optional, wrong root / malformed XML / missing loc fail
+    typed."""
+    import pytest
+
+    from mongo2pq_spark.operators.text import parse_sitemap_index
+
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    doc = (
+        f"<sitemapindex {ns}>"
+        "<sitemap><loc>http://a.io/s1.xml</loc>"
+        "<lastmod>2024-01-01</lastmod></sitemap>"
+        "<sitemap><loc> http://a.io/s2.xml.gz </loc></sitemap>"
+        "</sitemapindex>"
+    )
+    out = parse_sitemap_index(doc)
+    assert out == [
+        {"sitemap_idx": 0, "loc": "http://a.io/s1.xml",
+         "lastmod": "2024-01-01"},
+        {"sitemap_idx": 1, "loc": "http://a.io/s2.xml.gz",
+         "lastmod": None},
+    ]
+    with pytest.raises(ValueError, match="not a sitemap index"):
+        parse_sitemap_index(f"<urlset {ns}></urlset>")
+    with pytest.raises(ValueError, match="no <loc>"):
+        parse_sitemap_index(
+            f"<sitemapindex {ns}><sitemap></sitemap></sitemapindex>"
+        )
+    with pytest.raises(ValueError, match="malformed"):
+        parse_sitemap_index("<sitemapindex")
