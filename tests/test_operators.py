@@ -7052,3 +7052,135 @@ def test_sitemap_index_parse_and_fail_louds():
         )
     with pytest.raises(ValueError, match="malformed"):
         parse_sitemap_index("<sitemapindex")
+
+
+def test_jpeg_progressive_foreign_scan_scripts():
+    """The progressive decoder must handle LEGAL scan scripts our own
+    encoder never emits (third-party writers vary them): (a) a
+    THREE-level successive approximation chain (Al=2 → 1 → 0) for
+    both DC and AC, (b) a single full-band AC scan (1-63) with no
+    spectral split, (c) AC bands split at odd boundaries. Each
+    hand-assembled stream must decode EXACTLY like the baseline
+    encoding of the same image."""
+    import struct
+
+    import numpy as np
+
+    from mongo2pq_spark.operators.jpeg import (
+        _AC_PROG_BITS,
+        _AC_PROG_VALS,
+        _DC_BITS,
+        _DC_VALS,
+        _BitWriter,
+        _block_coef_zz,
+        _build_codes,
+        _category,
+        _dct_matrix,
+        _emit_ac_first,
+        _emit_ac_refine,
+        _frame_segments,
+        _seg,
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(99)
+    img = rng.randint(0, 256, (24, 21)).astype("uint8")
+    h, w = img.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    plane = np.pad(
+        img.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge"
+    )
+    q = np.ones((8, 8))
+    m = _dct_matrix()
+    coefs = [
+        [
+            _block_coef_zz(
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], q, m
+            )
+            for bx in range(pw // 8)
+        ]
+        for by in range(ph // 8)
+    ]
+    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _build_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    def blocks():
+        for row in coefs:
+            yield from row
+
+    def sos(ss, se, ah, al):
+        return _seg(
+            0xDA, bytes([1]) + struct.pack(">BB", 1, 0x00)
+            + bytes([ss, se, (ah << 4) | al])
+        )
+
+    def dc_first(al):
+        bw = _BitWriter()
+        prev = 0
+        for zz in blocks():
+            v = zz[0] >> al
+            diff = v - prev
+            prev = v
+            cat = _category(diff)
+            code, ln = dc_codes[cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(
+                    diff if diff >= 0 else diff + (1 << cat) - 1, cat
+                )
+        bw.flush()
+        return bytes(bw.buf)
+
+    def dc_refine(al):
+        bw = _BitWriter()
+        for zz in blocks():
+            bw.write((zz[0] >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def ac_scan(ss, se, ah, al):
+        bw = _BitWriter()
+        if ah == 0:
+            _emit_ac_first(bw, blocks(), ss, se, al, ac_codes)
+        else:
+            _emit_ac_refine(bw, blocks(), ss, se, al, ac_codes)
+        bw.flush()
+        return bytes(bw.buf)
+
+    head = (
+        b"\xff\xd8"
+        + _frame_segments(h, w, 1, ((1, 1),), q, 0xC2)
+        + _seg(0xC4, bytes([0x10] + _AC_PROG_BITS)
+               + bytes(_AC_PROG_VALS))
+    )
+    baseline = decode_jpeg_pixels(encode_jpeg(img))[3]
+
+    # (a) three-level chain, full-band AC, DC alongside
+    s = bytearray(head)
+    s += sos(0, 0, 0, 2) + dc_first(2)
+    s += sos(1, 63, 0, 2) + ac_scan(1, 63, 0, 2)
+    s += sos(0, 0, 2, 1) + dc_refine(1)
+    s += sos(1, 63, 2, 1) + ac_scan(1, 63, 2, 1)
+    s += sos(0, 0, 1, 0) + dc_refine(0)
+    s += sos(1, 63, 1, 0) + ac_scan(1, 63, 1, 0)
+    s += b"\xff\xd9"
+    assert (decode_jpeg_pixels(bytes(s))[3] == baseline).all()
+
+    # (b) no successive approximation at all: one full-band AC scan
+    s = bytearray(head)
+    s += sos(0, 0, 0, 0) + dc_first(0)
+    s += sos(1, 63, 0, 0) + ac_scan(1, 63, 0, 0)
+    s += b"\xff\xd9"
+    assert (decode_jpeg_pixels(bytes(s))[3] == baseline).all()
+
+    # (c) odd band boundaries (1-2, 3-17, 18-63) with one refinement
+    s = bytearray(head)
+    s += sos(0, 0, 0, 1) + dc_first(1)
+    for ss_, se_ in ((1, 2), (3, 17), (18, 63)):
+        s += sos(ss_, se_, 0, 1) + ac_scan(ss_, se_, 0, 1)
+    s += sos(0, 0, 1, 0) + dc_refine(0)
+    for ss_, se_ in ((1, 2), (3, 17), (18, 63)):
+        s += sos(ss_, se_, 1, 0) + ac_scan(ss_, se_, 1, 0)
+    s += b"\xff\xd9"
+    assert (decode_jpeg_pixels(bytes(s))[3] == baseline).all()
