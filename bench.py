@@ -308,6 +308,9 @@ HEADLINE = [
     # LZW+predictor/PackBits, both endians (150 built files — the
     # codec class). Pin after its first two idle sessions.
     "multimodal_tiff_pixel_roundtrip",
+    # r17 tenth registration: sitemap-index frontier explode (200
+    # built index docs). Pin after its first two idle sessions.
+    "web_sitemap_index",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite
