@@ -1264,6 +1264,190 @@ def decode_gif_pixels(payload: bytes):
     raise ValueError("GIF missing trailer")
 
 
+def build_webp_stub(
+    width: int,
+    height: int,
+    variant: str = "lossy",
+    alpha: bool = False,
+    n_anim_frames: int = 0,
+    payload_fill: int = 24,
+) -> bytes:
+    """Structurally real WEBP fixture: RIFF/WEBP container with a
+    real bitstream HEADER for the chosen variant — 'lossy' (VP8
+    frame tag + 9D012A start code + 14-bit dims), 'lossless' (VP8L
+    0x2F signature + bit-packed dims/alpha/version), or 'extended'
+    (VP8X flags + 24-bit canvas dims, optional ALPH and ANIM/ANMF
+    chunks). The codec payload beyond the header is opaque filler —
+    triage reads headers; sample decode is the documented VP8
+    library boundary (the H.264 posture)."""
+    import struct
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    fill = bytes((7 * i + 3) % 256 for i in range(payload_fill))
+    if variant == "lossy":
+        if alpha or n_anim_frames:
+            raise ValueError("lossy variant: plain VP8 only")
+        body = (
+            b"\x00\x00\x00"  # frame tag (key frame, version 0)
+            + b"\x9d\x01\x2a"
+            + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+            + fill
+        )
+        chunks = chunk(b"VP8 ", body)
+    elif variant == "lossless":
+        if n_anim_frames:
+            raise ValueError("lossless variant: no animation here")
+        b = (
+            (width - 1)
+            | ((height - 1) << 14)
+            | ((1 if alpha else 0) << 28)
+        )
+        chunks = chunk(
+            b"VP8L", b"\x2f" + struct.pack("<I", b) + fill
+        )
+    elif variant == "extended":
+        flags = 0
+        if alpha:
+            flags |= 0x10
+        if n_anim_frames:
+            flags |= 0x02
+        vp8x = bytes([flags, 0, 0, 0])
+        vp8x += (width - 1).to_bytes(3, "little")
+        vp8x += (height - 1).to_bytes(3, "little")
+        chunks = chunk(b"VP8X", vp8x)
+        if n_anim_frames:
+            chunks += chunk(
+                b"ANIM", struct.pack("<IH", 0xFFFFFFFF, 0)
+            )
+            for _ in range(n_anim_frames):
+                chunks += chunk(b"ANMF", bytes(16) + fill)
+        else:
+            if alpha:
+                chunks += chunk(b"ALPH", b"\x00" + fill)
+            body = (
+                b"\x00\x00\x00\x9d\x01\x2a"
+                + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+                + fill
+            )
+            chunks += chunk(b"VP8 ", body)
+    else:
+        raise ValueError(f"unknown webp variant {variant!r}")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def parse_webp_metadata(payload: bytes) -> dict:
+    """WEBP triage (r17 — web crawls ship webp everywhere now):
+    ``{variant, width, height, has_alpha, animated, n_chunks}`` from
+    the container walk + the real bitstream headers (VP8 start code,
+    VP8L signature/version, VP8X flags/canvas). The codec payload
+    stays the documented library boundary — this is the
+    resolution/animation/alpha filter a crawl pipeline runs on 100 %
+    of its webp before any decode. ``ValueError`` on structural
+    corruption."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP payload")
+    (riff_len,) = struct.unpack("<I", payload[4:8])
+    if riff_len + 8 > len(payload):
+        raise ValueError("truncated WEBP (RIFF length exceeds payload)")
+    end = 8 + riff_len
+    pos = 12
+    first = None
+    n_chunks = 0
+    saw_anmf = False
+    saw_alph = False
+    meta: dict | None = None
+    while pos + 8 <= end:
+        fourcc = payload[pos:pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) < length:
+            raise ValueError(f"truncated WEBP chunk {fourcc!r}")
+        pos += 8 + length + (length & 1)
+        n_chunks += 1
+        if first is None:
+            first = fourcc
+        if fourcc == b"ANMF":
+            saw_anmf = True
+        if fourcc == b"ALPH":
+            saw_alph = True
+        if meta is not None:
+            continue
+        if fourcc == b"VP8 ":
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("VP8 frame lacks the 9D012A start code")
+            w, h = struct.unpack("<HH", body[6:10])
+            meta = {
+                "variant": "lossy" if first == b"VP8 " else "extended",
+                "width": w & 0x3FFF,
+                "height": h & 0x3FFF,
+                "has_alpha": False,
+            }
+        elif fourcc == b"VP8L":
+            if body[:1] != b"\x2f":
+                raise ValueError("VP8L lacks the 0x2F signature")
+            (b,) = struct.unpack("<I", body[1:5])
+            if (b >> 29) & 0x7 != 0:
+                raise ValueError(f"VP8L version {(b >> 29) & 7} != 0")
+            meta = {
+                "variant": "lossless" if first == b"VP8L" else "extended",
+                "width": (b & 0x3FFF) + 1,
+                "height": ((b >> 14) & 0x3FFF) + 1,
+                "has_alpha": bool((b >> 28) & 1),
+            }
+        elif fourcc == b"VP8X":
+            flags = body[0]
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            meta = {
+                "variant": "extended",
+                "width": w,
+                "height": h,
+                "has_alpha": bool(flags & 0x10),
+                "animated": bool(flags & 0x02),
+            }
+    if meta is None:
+        raise ValueError("WEBP carries no VP8/VP8L/VP8X chunk")
+    meta.setdefault("animated", saw_anmf)
+    if saw_alph:
+        meta["has_alpha"] = True
+    meta["n_chunks"] = n_chunks
+    return meta
+
+
+WEBP_META_SCHEMA = (
+    "doc_id bigint, variant string, width int, height int, "
+    "has_alpha boolean, animated boolean, n_chunks int"
+)
+
+
+def webp_metadata(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched WEBP triage — map-only, the metadata-walk scale
+    shape shared by GIF/TIFF/MP3/MP4/PDF/FLAC."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_webp_metadata(bytes(payload))
+                m["doc_id"] = doc_id
+                rows.append(m)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(parse_batches, WEBP_META_SCHEMA)
+
+
 GIF_META_SCHEMA = (
     "doc_id bigint, version string, width int, height int, "
     "n_frames int, animated boolean, loop_forever boolean, "

@@ -2852,6 +2852,86 @@ def multimodal_tiff_pixel_roundtrip(spark, sf_dir):
     return tiff_ops.tiff_pixel_stats(files)
 
 
+@register(
+    "multimodal_webp_metadata",
+    """
+    WITH d AS (
+        SELECT doc_id, doc_id % 3 AS v
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           list_extract(['lossy', 'lossless', 'extended'],
+                        CAST(v AS INTEGER) + 1) AS variant,
+           CAST(32 + doc_id % 100 AS INTEGER) AS width,
+           CAST(24 + doc_id % 50 AS INTEGER) AS height,
+           (v = 1 AND doc_id % 2 = 0)
+               OR (v = 2 AND doc_id % 2 = 1) AS has_alpha,
+           v = 2 AND doc_id % 2 = 0 AS animated,
+           CAST(CASE WHEN v < 2 THEN 1
+                     WHEN doc_id % 2 = 0 THEN 2 + 1 + doc_id % 4
+                     ELSE 3 END AS INTEGER) AS n_chunks
+    FROM d
+    """,
+    doc="WEBP container triage (r17 — web crawls ship webp "
+        "everywhere now): per-doc fixtures across all three container "
+        "variants — lossy VP8 (frame tag + 9D012A start code + "
+        "14-bit dims), lossless VP8L (0x2F signature, bit-packed "
+        "dims/alpha/version), extended VP8X (flags + 24-bit canvas, "
+        "with ALPH chunks or ANIM/ANMF animation) — parsed back by "
+        "the pure-stdlib walk (operators/multimodal.py::"
+        "parse_webp_metadata). This is the resolution/alpha/animation "
+        "filter a crawl pipeline runs on 100 % of its webp BEFORE "
+        "any decode; the VP8 sample payload itself stays the "
+        "documented library boundary (the H.264 posture — container "
+        "real, codec swap). Oracle states every field closed-form. "
+        "Map-only",
+)
+def multimodal_webp_metadata(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators.multimodal import webp_metadata
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import pandas as pd
+
+        from mongo2pq_spark.operators.multimodal import build_webp_stub
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 32 + d % 100, 24 + d % 50
+                v = d % 3
+                if v == 0:
+                    p = build_webp_stub(w, h, "lossy")
+                elif v == 1:
+                    p = build_webp_stub(
+                        w, h, "lossless", alpha=d % 2 == 0
+                    )
+                elif d % 2 == 0:
+                    p = build_webp_stub(
+                        w, h, "extended", n_anim_frames=1 + d % 4
+                    )
+                else:
+                    p = build_webp_stub(w, h, "extended", alpha=True)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return webp_metadata(files)
+
+
 def _ima_adpcm_stereo_oracle() -> str:
     """The mono recursive-CTE mirror extended with a CHANNEL
     dimension: two independent state machines per doc (distinct

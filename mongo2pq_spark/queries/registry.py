@@ -163,6 +163,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "multimodal_jpeg12_roundtrip",
     "multimodal_tiff_pixel_roundtrip",
     "web_sitemap_index",
+    "multimodal_webp_metadata",
 ]
 
 

@@ -7184,3 +7184,53 @@ def test_jpeg_progressive_foreign_scan_scripts():
         s += sos(ss_, se_, 1, 0) + ac_scan(ss_, se_, 1, 0)
     s += b"\xff\xd9"
     assert (decode_jpeg_pixels(bytes(s))[3] == baseline).all()
+
+
+def test_webp_triage_and_fail_louds():
+    """r17: WEBP container triage — lossy VP8 / lossless VP8L /
+    extended VP8X headers all parse for real (start code, signature,
+    version, bit-packed dims, flags), ALPH/ANMF chunks surface as
+    alpha/animation; corruption fails typed. The VP8 sample payload
+    stays the documented library boundary."""
+    import pytest
+
+    from mongo2pq_spark.operators.multimodal import (
+        build_webp_stub,
+        parse_webp_metadata,
+    )
+
+    m = parse_webp_metadata(build_webp_stub(320, 240, "lossy"))
+    assert m == {"variant": "lossy", "width": 320, "height": 240,
+                 "has_alpha": False, "animated": False, "n_chunks": 1}
+    m = parse_webp_metadata(
+        build_webp_stub(16383, 1, "lossless", alpha=True)
+    )
+    assert (m["variant"], m["width"], m["height"], m["has_alpha"]) == (
+        "lossless", 16383, 1, True,
+    )
+    m = parse_webp_metadata(
+        build_webp_stub(1920, 1080, "extended", alpha=True)
+    )
+    assert m["n_chunks"] == 3 and m["has_alpha"] is True
+    m = parse_webp_metadata(
+        build_webp_stub(640, 480, "extended", n_anim_frames=4)
+    )
+    assert m["animated"] is True and m["n_chunks"] == 6
+
+    with pytest.raises(ValueError, match="not a RIFF/WEBP"):
+        parse_webp_metadata(b"RIFF\x04\x00\x00\x00WAVE")
+    good = build_webp_stub(64, 64, "lossy")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_webp_metadata(good[:16])
+    bad = bytearray(good)
+    bad[good.index(b"\x9d\x01\x2a")] = 0x00
+    with pytest.raises(ValueError, match="start code"):
+        parse_webp_metadata(bytes(bad))
+    lless = bytearray(build_webp_stub(8, 8, "lossless"))
+    lless[lless.index(b"VP8L") + 8] = 0x30  # break the signature
+    with pytest.raises(ValueError, match="signature"):
+        parse_webp_metadata(bytes(lless))
+    with pytest.raises(ValueError, match="no VP8"):
+        parse_webp_metadata(
+            b"RIFF\x0c\x00\x00\x00WEBPEXIF\x00\x00\x00\x00"
+        )
