@@ -311,6 +311,10 @@ HEADLINE = [
     # r17 tenth registration: sitemap-index frontier explode (200
     # built index docs). Pin after its first two idle sessions.
     "web_sitemap_index",
+    # r17 eleventh registration: WEBP container triage (200 built
+    # files across three variants — the gif_metadata container
+    # class). Pin after its first two idle sessions.
+    "multimodal_webp_metadata",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite
