@@ -6,14 +6,18 @@ where the exercise is the header format itself), here the stdlib
 ZIP's DEFLATE decompression runs for real, so the manifest's content
 digests prove true extraction, not just directory listing.
 
-Scope: ZIP (stored + deflated entries, traditional-ZipCrypto
+Scope: ZIP (stored + deflated + bzip2 + LZMA entries — methods 0,
+8, 12, 14, all stdlib-native — plus traditional-ZipCrypto
 encrypted entries given a password — r17: stdlib ``zipfile``
 decrypts them natively, and the fixture writer hand-rolls the
 PKWARE APPNOTE §6.1 cipher for the write side stdlib lacks) and
-POSIX tar. Encrypted entries WITHOUT a password, wrong passwords,
-and corrupt archives surface as typed ``ValueError`` with the doc
-context; AES-encrypted (WinZip AE-x) entries remain the one
-genuinely library-bound refusal.
+POSIX tar, bare or stream-compressed as tar.gz / tar.bz2 / tar.xz
+(sniffed by magic, inflated via stdlib ``zlib``/``bz2``/``lzma`` —
+the forms academic corpus releases actually ship). Encrypted
+entries WITHOUT a password, wrong passwords, and corrupt archives
+surface as typed ``ValueError`` with the doc context; AES-encrypted
+(WinZip AE-x) entries remain the one genuinely library-bound
+refusal.
 
 Scale shape: one input archive row → one output row per entry,
 Arrow-batched mapInPandas, map-only. Archives are whole-file units
@@ -65,27 +69,44 @@ class _ZipCryptoKeys:
 
 
 def build_zip_stub(
-    entries: list[tuple[str, bytes, bool]],
+    entries: list[tuple[str, bytes, bool | int]],
     password: bytes | None = None,
 ) -> bytes:
-    """Deterministic ZIP fixture: (name, content, deflate?) per entry,
+    """Deterministic ZIP fixture: (name, content, method) per entry —
+    method is the historical bool (deflate?) or an explicit stdlib
+    compress_type (0 stored, 8 deflate, 12 bzip2, 14 LZMA) — with
     fixed timestamps so the bytes are stable across runs. With a
     ``password`` the archive is written by hand (stdlib zipfile has
     no encrypting writer): local headers + central directory + EOCD,
     each entry traditional-ZipCrypto encrypted with a deterministic
-    11-byte header (md5 of the name) and the CRC-high check byte."""
+    11-byte header (md5 of the name) and the CRC-high check byte;
+    the hand-rolled writer supports stored/deflated entries only."""
     import zipfile
 
     if password is None:
         buf = io.BytesIO()
         with zipfile.ZipFile(buf, "w") as zf:
-            for name, content, deflate in entries:
+            for name, content, method in entries:
                 info = zipfile.ZipInfo(
                     name, date_time=(2024, 1, 1, 0, 0, 0)
                 )
-                info.compress_type = (
-                    zipfile.ZIP_DEFLATED if deflate else zipfile.ZIP_STORED
-                )
+                if isinstance(method, bool):
+                    info.compress_type = (
+                        zipfile.ZIP_DEFLATED
+                        if method
+                        else zipfile.ZIP_STORED
+                    )
+                elif method in (
+                    zipfile.ZIP_STORED,
+                    zipfile.ZIP_DEFLATED,
+                    zipfile.ZIP_BZIP2,
+                    zipfile.ZIP_LZMA,
+                ):
+                    info.compress_type = method
+                else:
+                    raise ValueError(
+                        f"unsupported zip compress method {method!r}"
+                    )
                 zf.writestr(info, content)
         return buf.getvalue()
 
@@ -98,6 +119,11 @@ def build_zip_stub(
     out = bytearray()
     central = bytearray()
     for name, content, deflate in entries:
+        if not isinstance(deflate, bool):
+            raise ValueError(
+                "the hand-rolled ZipCrypto writer supports "
+                "stored/deflated entries only (bool method)"
+            )
         crc = zlib.crc32(content) & 0xFFFFFFFF
         if deflate:
             c = zlib.compressobj(6, zlib.DEFLATED, -15)
@@ -132,8 +158,13 @@ def build_zip_stub(
     return bytes(out)
 
 
-def build_tar_stub(entries: list[tuple[str, bytes]]) -> bytes:
-    """Deterministic POSIX-tar fixture with fixed mtimes."""
+def build_tar_stub(
+    entries: list[tuple[str, bytes]], compression: str | None = None
+) -> bytes:
+    """Deterministic POSIX-tar fixture with fixed mtimes; with
+    ``compression`` in {"gz", "bz2", "xz"} the tar stream is wrapped
+    deterministically (gzip written with mtime=0 — tarfile's own
+    ``w:gz`` would stamp wall-clock time into the bytes)."""
     import tarfile
 
     buf = io.BytesIO()
@@ -143,7 +174,25 @@ def build_tar_stub(entries: list[tuple[str, bytes]]) -> bytes:
             info.size = len(content)
             info.mtime = 1_700_000_000
             tf.addfile(info, io.BytesIO(content))
-    return buf.getvalue()
+    raw = buf.getvalue()
+    if compression is None:
+        return raw
+    if compression == "gz":
+        import gzip
+
+        out = io.BytesIO()
+        with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
+            gz.write(raw)
+        return out.getvalue()
+    if compression == "bz2":
+        import bz2
+
+        return bz2.compress(raw)
+    if compression == "xz":
+        import lzma
+
+        return lzma.compress(raw, check=lzma.CHECK_CRC64)
+    raise ValueError(f"unknown tar compression {compression!r}")
 
 
 def parse_archive_manifest(
@@ -155,12 +204,57 @@ def parse_archive_manifest(
     decrypt when ``password`` is given (stdlib zipfile's native
     support — r17); without one, or with a wrong one, the refusal
     is a typed ``ValueError`` naming the entry. WinZip AES entries
-    (compress_type 99) stay ``NotImplementedError``."""
+    (compress_type 99) stay ``NotImplementedError``. ZIP bzip2 and
+    LZMA entries (methods 12/14) decompress via stdlib natively,
+    as do gzip/bz2/xz stream-compressed tars (sniffed by magic;
+    ``archive_fmt`` reports ``tar.gz``/``tar.bz2``/``tar.xz`` and
+    members carry ``compressed=True`` — the stream is compressed
+    as a whole, the way these releases actually ship)."""
     import hashlib
     import tarfile
     import zipfile
 
     out = []
+    # stream-compressed tar wrappers: inflate, then re-enter on the
+    # inner payload. A compressed payload whose inner stream is NOT
+    # a tar is a typed refusal (this parser's scope is archives, not
+    # bare compressed files — those route through the gzip/JSONL EL
+    # paths).
+    for magic, fmt, opener in (
+        (b"\x1f\x8b", "tar.gz", "gzip"),
+        (b"BZh", "tar.bz2", "bz2"),
+        (b"\xfd7zXZ\x00", "tar.xz", "lzma"),
+    ):
+        if payload[: len(magic)] == magic:
+            try:
+                if opener == "gzip":
+                    import gzip
+
+                    inner = gzip.decompress(payload)
+                elif opener == "bz2":
+                    import bz2
+
+                    inner = bz2.decompress(payload)
+                else:
+                    import lzma
+
+                    inner = lzma.decompress(payload)
+            except Exception as err:
+                raise ValueError(
+                    f"corrupt {fmt} stream: {err}"
+                ) from err
+            if not (
+                inner[257:262] == b"ustar"
+                or (len(inner) >= 1024 and inner[:1024] == b"\x00" * 1024)
+            ):
+                raise ValueError(
+                    f"{opener}-compressed payload is not a tar archive"
+                )
+            for rec in parse_archive_manifest(inner):
+                rec["archive_fmt"] = fmt
+                rec["compressed"] = True
+                out.append(rec)
+            return out
     if payload[:4] == ZIP_MAGIC or payload[:4] == b"PK\x05\x06":
         try:
             zf = zipfile.ZipFile(io.BytesIO(payload))

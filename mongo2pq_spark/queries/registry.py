@@ -164,6 +164,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "multimodal_tiff_pixel_roundtrip",
     "web_sitemap_index",
     "multimodal_webp_metadata",
+    # r17 session 2: compressed-archive matrix (tar.gz/bz2/xz +
+    # ZIP bzip2/LZMA), registered after the r17 window was staged —
+    # full pytest-oracle parity until the r18 front covers it.
+    "multimodal_archive_compression_matrix",
 ]
 
 

@@ -4479,7 +4479,10 @@ def test_archive_manifest_real_inflate_and_fail_louds():
 
     with pytest.raises(ValueError, match="corrupt zip"):
         parse_archive_manifest(z[:40])
-    with pytest.raises(ValueError, match="unrecognized archive"):
+    # r17: gzip magic now routes into the tar.gz branch, so a
+    # corrupt gzip stream gets the wrapper-specific diagnosis
+    # rather than 'unrecognized container'
+    with pytest.raises(ValueError, match="corrupt tar.gz"):
         parse_archive_manifest(b"\x1f\x8b" + bytes(600))
     # ADVICE r11: arbitrary binary garbage must report as an
     # unrecognized container — the old `or not-gzip` guard routed it
@@ -4498,6 +4501,61 @@ def test_archive_manifest_real_inflate_and_fail_louds():
     enc[cd + 8] |= 0x1
     with pytest.raises(ValueError, match="no password"):
         parse_archive_manifest(bytes(enc))
+
+
+def test_archive_compression_matrix_roundtrip():
+    """r17: the compressed-archive matrix — tar.gz / tar.bz2 /
+    tar.xz stream wrappers (magic-sniffed, stdlib-inflated) and ZIP
+    bzip2/LZMA entries (methods 12/14, stdlib-native) all recover
+    byte-identical member content, proven by digests; fixtures are
+    byte-deterministic (gzip written with mtime=0); a compressed
+    stream whose inner payload is not a tar, and corrupt streams,
+    are typed refusals; the hand-rolled ZipCrypto writer refuses
+    non-bool methods."""
+    import gzip
+    import hashlib
+
+    import pytest
+
+    from mongo2pq_spark.operators.archives import (
+        build_tar_stub,
+        build_zip_stub,
+        parse_archive_manifest,
+    )
+
+    entries = [("a.txt", b"hello-world" * 20), ("d/b.bin", b"\x00\x01" * 64)]
+    for comp, fmt in (("gz", "tar.gz"), ("bz2", "tar.bz2"), ("xz", "tar.xz")):
+        p = build_tar_stub(entries, compression=comp)
+        assert p == build_tar_stub(entries, compression=comp), (
+            f"{comp} fixture bytes must be deterministic"
+        )
+        recs = parse_archive_manifest(p)
+        assert [r["archive_fmt"] for r in recs] == [fmt, fmt]
+        assert all(r["compressed"] for r in recs)
+        assert recs[0]["content_md5"] == hashlib.md5(
+            entries[0][1]
+        ).hexdigest()
+        # the wrapper genuinely shrinks the 10 KiB tar blocksize —
+        # proving the digest required a real inflate
+        assert len(p) < len(build_tar_stub(entries))
+
+    z = build_zip_stub([("b.txt", b"bz-body" * 40, 12),
+                        ("l.txt", b"lz-body" * 40, 14)])
+    zrecs = parse_archive_manifest(z)
+    assert [r["compressed"] for r in zrecs] == [True, True]
+    assert zrecs[0]["content_md5"] == hashlib.md5(b"bz-body" * 40).hexdigest()
+    assert zrecs[1]["content_md5"] == hashlib.md5(b"lz-body" * 40).hexdigest()
+
+    with pytest.raises(ValueError, match="not a tar archive"):
+        parse_archive_manifest(gzip.compress(b"plain text, no tar"))
+    with pytest.raises(ValueError, match="corrupt tar.bz2"):
+        parse_archive_manifest(b"BZh" + bytes(64))
+    with pytest.raises(ValueError, match="corrupt tar.xz"):
+        parse_archive_manifest(b"\xfd7zXZ\x00" + bytes(64))
+    with pytest.raises(ValueError, match="unsupported zip compress"):
+        build_zip_stub([("x.txt", b"y", 97)])
+    with pytest.raises(ValueError, match="stored/deflated entries only"):
+        build_zip_stub([("x.txt", b"y", 12)], password=b"pw")
 
 
 def test_zipcrypto_encrypted_entries_roundtrip():
