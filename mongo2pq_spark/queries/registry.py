@@ -165,9 +165,12 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "web_sitemap_index",
     "multimodal_webp_metadata",
     # r17 session 2: compressed-archive matrix (tar.gz/bz2/xz +
-    # ZIP bzip2/LZMA), registered after the r17 window was staged —
-    # full pytest-oracle parity until the r18 front covers it.
+    # ZIP bzip2/LZMA) and the full-legal-space PNG variant matrix
+    # (palette/sub-byte/16-bit/Adam7), registered after the r17
+    # window was staged — full pytest-oracle parity until the r18
+    # front covers them.
     "multimodal_archive_compression_matrix",
+    "multimodal_png_variant_matrix",
 ]
 
 

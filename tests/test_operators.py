@@ -1231,11 +1231,20 @@ def test_png_decoder_fails_loud():
 
     with _pytest.raises(ValueError, match="not a PNG"):
         decode_png_pixels(b"GIF89a...")
-    # 16-bit depth: declared unsupported, not silently misdecoded
+    # r17: depth 16 now DECODES (see the variant-matrix test); the
+    # fail-loud boundary moved to SPEC-ILLEGAL depth/color combos —
+    # depth 3 is legal for no color type
     ok = bytearray(encode_png(np.zeros((2, 2, 3), dtype="uint8")))
-    ok[24] = 16  # IHDR bit-depth byte
-    with _pytest.raises(NotImplementedError):
+    ok[24] = 3  # IHDR bit-depth byte
+    with _pytest.raises(ValueError, match="spec-illegal"):
         decode_png_pixels(bytes(ok))
+    # a LEGAL header whose scanline stream doesn't match its declared
+    # geometry (8-bit data relabeled 16-bit) is a typed ValueError,
+    # never a silent misdecode
+    relabeled = bytearray(encode_png(np.zeros((2, 2, 3), dtype="uint8")))
+    relabeled[24] = 16
+    with _pytest.raises(ValueError, match="wrong length"):
+        decode_png_pixels(bytes(relabeled))
     # truncated chunk stream / corrupt IDAT: the documented ValueError,
     # never a leaked struct.error/zlib.error
     whole = encode_png(np.zeros((2, 2, 3), dtype="uint8"))
@@ -1250,6 +1259,96 @@ def test_png_decoder_fails_loud():
         encode_png(np.zeros((2, 2, 5), dtype="uint8"))
     with _pytest.raises(ValueError, match="shape"):
         encode_png(np.zeros(8, dtype="uint8"))
+
+
+def test_png_variant_matrix_roundtrip():
+    """r17: the FULL legal PNG variant space round-trips — every
+    (color type, bit depth) pair the spec allows, non-interlaced AND
+    Adam7, palette expansion through PLTE, 16-bit big-endian
+    samples, sub-byte MSB-first packing, and pass grids where some
+    Adam7 passes are empty. Spec-illegal combos and out-of-PLTE
+    indices are typed ValueErrors — no NotImplementedError remains
+    in the PNG path."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mongo2pq_spark.operators.multimodal import (
+        _ADAM7,
+        decode_png_pixels,
+        encode_png_variant,
+    )
+
+    # the pass grid must tile an 8×8 cell exactly once — the bug
+    # class where encoder and decoder AGREE on a wrong grid still
+    # breaks here
+    cov = np.zeros((8, 8), dtype=int)
+    for x0, y0, dx, dy in _ADAM7:
+        cov[y0::dy, x0::dx] += 1
+    assert (cov == 1).all()
+
+    rng = np.random.RandomState(7)
+    nsamp_of = {0: 1, 2: 3, 4: 2, 6: 4}
+    for color, depths in (
+        (0, (1, 2, 4, 8, 16)), (2, (8, 16)), (4, (8, 16)), (6, (8, 16)),
+    ):
+        for depth in depths:
+            for interlace in (0, 1):
+                ns = nsamp_of[color]
+                shape = (11, 17) if ns == 1 else (11, 17, ns)
+                arr = rng.randint(0, 1 << depth, size=shape).astype(
+                    "uint16" if depth == 16 else "uint8"
+                )
+                h, w, cc, back = decode_png_pixels(
+                    encode_png_variant(
+                        arr, depth=depth, color=color, interlace=interlace
+                    )
+                )
+                assert (h, w, cc) == (11, 17, ns)
+                exp = arr if arr.ndim == 3 else arr[:, :, None]
+                assert (back == exp).all(), (color, depth, interlace)
+
+    for depth in (1, 2, 4, 8):
+        for interlace in (0, 1):
+            n = 1 << depth
+            pal = rng.randint(0, 256, size=(n, 3)).astype("uint8")
+            idx = rng.randint(0, n, size=(10, 14)).astype("uint8")
+            h, w, cc, back = decode_png_pixels(
+                encode_png_variant(
+                    idx, depth=depth, color=3, palette=pal,
+                    interlace=interlace,
+                )
+            )
+            assert (h, w, cc) == (10, 14, 3)
+            assert (back == pal[idx.astype(int)]).all(), (depth, interlace)
+
+    # shapes where several Adam7 passes are EMPTY
+    for hw in ((1, 1), (2, 3), (5, 5), (3, 9)):
+        arr = rng.randint(0, 256, size=hw).astype("uint8")
+        _, _, _, back = decode_png_pixels(
+            encode_png_variant(arr, depth=8, color=0, interlace=1)
+        )
+        assert (back[:, :, 0] == arr).all(), hw
+
+    with _pytest.raises(ValueError, match="out of PLTE range"):
+        decode_png_pixels(
+            encode_png_variant(
+                np.full((2, 2), 3, dtype="uint8"), depth=2, color=3,
+                palette=rng.randint(0, 256, size=(2, 3)).astype("uint8"),
+            )
+        )
+    with _pytest.raises(ValueError, match="spec-illegal"):
+        encode_png_variant(np.zeros((4, 4, 3), dtype="uint8"),
+                           depth=4, color=2)
+    with _pytest.raises(ValueError, match="out of range for depth"):
+        encode_png_variant(np.full((4, 4), 9, dtype="uint8"),
+                           depth=2, color=0)
+    with _pytest.raises(ValueError, match="missing a valid PLTE"):
+        decode_png_pixels(
+            encode_png_variant(
+                np.zeros((2, 2), dtype="uint8"), depth=8, color=3,
+                palette=np.zeros((0, 3), dtype="uint8"),
+            )
+        )
 
 
 def test_semdedup_prune_matches_bruteforce_rule(spark, sf_dir):
