@@ -958,13 +958,183 @@ def encode_bmp(arr) -> bytes:
     )
 
 
+def encode_bmp_variant(
+    samples,
+    bpp: int,
+    palette=None,
+    rle: bool = False,
+) -> bytes:
+    """Variant-space BMP writer (fixture side): paletted 1/4/8-bit
+    (``samples`` = h×w indices, ``palette`` n×3 RGB written as BGRX
+    quads), optionally RLE8/RLE4-compressed (run-length per row,
+    end-of-line/end-of-bitmap escapes; absolute/delta modes are
+    exercised by hand-built unit fixtures), 16-bit X1R5G5B5
+    (``samples`` = h×w×3 with 5-bit channel values), or 32-bit BGRX
+    (``samples`` = h×w×3 8-bit RGB). Bottom-up rows throughout."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples)
+    if bpp in (1, 4, 8):
+        if palette is None or arr.ndim != 2:
+            raise ValueError("paletted BMP needs h×w indices + palette")
+        h, w = arr.shape
+        pal = np.ascontiguousarray(palette, dtype="uint8")
+        if int(arr.max(initial=0)) >= len(pal):
+            raise ValueError("index out of palette range")
+        quads = np.zeros((len(pal), 4), dtype="uint8")
+        quads[:, :3] = pal[:, ::-1]  # RGB -> BGRX
+        pal_bytes = quads.tobytes()
+        if rle:
+            if bpp not in (4, 8):
+                raise ValueError("RLE needs 4 or 8 bpp")
+            body = bytearray()
+            for y in range(h - 1, -1, -1):  # bottom-up
+                x = 0
+                row = arr[y]
+                while x < w:
+                    v = int(row[x])
+                    n = 1
+                    while x + n < w and row[x + n] == v and n < 255:
+                        n += 1
+                    byte = v if bpp == 8 else (v << 4) | v
+                    body += bytes([n, byte])
+                    x += n
+                body += b"\x00\x00"  # end of line
+            body[-2:] = b"\x00\x01"  # end of bitmap
+            compression = 1 if bpp == 8 else 2
+        else:
+            row_len = ((w * bpp + 31) // 32) * 4
+            body = bytearray()
+            for y in range(h - 1, -1, -1):
+                if bpp == 8:
+                    raw = arr[y].astype("uint8").tobytes()
+                else:
+                    bits = (
+                        (arr[y].astype("uint8")[:, None]
+                         >> np.arange(bpp - 1, -1, -1)) & 1
+                    ).reshape(-1)
+                    pad = (-len(bits)) % 8
+                    if pad:
+                        bits = np.concatenate(
+                            [bits, np.zeros(pad, dtype="uint8")]
+                        )
+                    raw = np.packbits(bits).tobytes()
+                body += raw + bytes(row_len - len(raw))
+            compression = 0
+    elif bpp == 16:
+        if arr.ndim != 3 or arr.shape[2] != 3:
+            raise ValueError("16-bit BMP needs h×w×3 5-bit channels")
+        if int(arr.max(initial=0)) >= 32:
+            raise ValueError("16-bit BMP channels are 5-bit (0..31)")
+        h, w = arr.shape[:2]
+        pal_bytes = b""
+        v = (
+            (arr[:, :, 0].astype("uint16") << 10)
+            | (arr[:, :, 1].astype("uint16") << 5)
+            | arr[:, :, 2].astype("uint16")
+        )
+        row_len = (w * 2 + 3) & ~3
+        body = bytearray()
+        for y in range(h - 1, -1, -1):
+            raw = v[y].astype("<u2").tobytes()
+            body += raw + bytes(row_len - len(raw))
+        compression = 0
+    elif bpp == 32:
+        if arr.ndim != 3 or arr.shape[2] != 3:
+            raise ValueError("32-bit BMP needs h×w×3 RGB")
+        h, w = arr.shape[:2]
+        pal_bytes = b""
+        body = bytearray()
+        for y in range(h - 1, -1, -1):
+            bgrx = np.zeros((w, 4), dtype="uint8")
+            bgrx[:, :3] = arr[y, :, ::-1]
+            body += bgrx.tobytes()
+        compression = 0
+    else:
+        raise ValueError(f"unsupported fixture bpp {bpp}")
+    data_offset = 14 + 40 + len(pal_bytes)
+    n_colors = len(pal_bytes) // 4
+    return (
+        BMP_MAGIC
+        + struct.pack(
+            "<IHHI", data_offset + len(body), 0, 0, data_offset
+        )
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, compression, len(body),
+            2835, 2835, n_colors, 0,
+        )
+        + pal_bytes
+        + bytes(body)
+    )
+
+
+def _bmp_decode_rle(data: bytes, w: int, h: int, bpp: int):
+    """Decode an RLE8/RLE4 pixel stream (bottom-up per spec) into an
+    h×w index array. Handles encoded runs, absolute mode (word-
+    padded), end-of-line (0,0), delta (0,2,dx,dy — skipped pixels
+    stay 0 per spec), and end-of-bitmap (0,1)."""
+    import numpy as np
+
+    idx = np.zeros((h, w), dtype="uint8")
+    x, row, pos = 0, 0, 0  # row counts from the BOTTOM scanline
+    while pos + 1 < len(data):
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run
+            if bpp == 8:
+                vals = [v] * n
+            else:
+                vals = [(v >> 4, v & 0xF)[i % 2] for i in range(n)]
+            end = min(x + n, w)
+            if row < h:
+                idx[h - 1 - row, x:end] = vals[: end - x]
+            x += n
+        elif v == 0:  # end of line
+            x, row = 0, row + 1
+        elif v == 1:  # end of bitmap
+            return idx
+        elif v == 2:  # delta
+            if pos + 1 >= len(data):
+                raise ValueError("truncated BMP RLE delta")
+            x += data[pos]
+            row += data[pos + 1]
+            pos += 2
+        else:  # absolute mode: v literal pixels, word-aligned
+            if bpp == 8:
+                need = v
+                raw = data[pos:pos + need]
+                vals = list(raw)
+            else:
+                need = (v + 1) // 2
+                raw = data[pos:pos + need]
+                vals = []
+                for b in raw:
+                    vals += [b >> 4, b & 0xF]
+                vals = vals[:v]
+            if len(raw) < need:
+                raise ValueError("truncated BMP RLE absolute run")
+            pos += need + (need % 2)  # pad to 16-bit boundary
+            end = min(x + v, w)
+            if row < h:
+                idx[h - 1 - row, x:end] = vals[: end - x]
+            x += v
+    raise ValueError("BMP RLE stream ended without end-of-bitmap")
+
+
 def decode_bmp_pixels(payload: bytes):
-    """Decode an uncompressed 24-bit BI_RGB bitmap to the shared
-    ``(h, w, c, uint8 ndarray)`` codec contract (top-down RGB).
-    Handles bottom-up AND top-down (negative height) files.
-    ``NotImplementedError`` on other bit depths / RLE compression
-    (the palette/RLE paths are the library swap); ``ValueError`` on
-    structural corruption."""
+    """Decode a Windows bitmap to the shared ``(h, w, c, uint8
+    ndarray)`` codec contract (top-down RGB).
+
+    r17: the full classic variant space — 24-bit BI_RGB (bottom-up
+    AND top-down), 32-bit BI_RGB (BGRX, the padding byte dropped),
+    16-bit X1R5G5B5 (channels expanded ``(v << 3) | (v >> 2)``),
+    paletted 1/4/8-bit with BGRX color tables, and RLE8/RLE4
+    compression including absolute mode, deltas, and early
+    end-of-bitmap. ``ValueError`` on structural corruption;
+    BI_BITFIELDS custom masks remain the one refusal
+    (``NotImplementedError``) — rare outside alpha-icon BMPs."""
     import struct
 
     import numpy as np
@@ -977,19 +1147,69 @@ def decode_bmp_pixels(payload: bytes):
     hsize, w, h_signed = struct.unpack("<Iii", payload[14:26])
     planes, bpp = struct.unpack("<HH", payload[26:30])
     compression = struct.unpack("<I", payload[30:34])[0]
+    colors_used = struct.unpack("<I", payload[46:50])[0]
     if hsize < 40:
         raise ValueError(f"BITMAPCOREHEADER ({hsize}) not supported")
-    if bpp != 24 or compression != 0:
+    if compression not in (0, 1, 2):
         raise NotImplementedError(
-            f"only uncompressed 24-bit BI_RGB implemented (bpp={bpp}, "
-            f"compression={compression}); palette/RLE/alpha variants "
-            "are the library swap"
+            f"BMP compression {compression} (BI_BITFIELDS custom "
+            "masks / PNG-in-BMP) unsupported"
         )
+    if bpp not in (1, 4, 8, 16, 24, 32):
+        raise ValueError(f"spec-illegal BMP bit depth {bpp}")
+    if compression == 1 and bpp != 8 or compression == 2 and bpp != 4:
+        if compression != 0:
+            raise ValueError(
+                f"spec-illegal BMP RLE{8 if compression == 1 else 4} "
+                f"at {bpp} bpp"
+            )
     top_down = h_signed < 0
     h = -h_signed if top_down else h_signed
     if w <= 0 or h <= 0:
         raise ValueError(f"bad BMP dimensions {w}x{h_signed}")
-    row_len = (w * 3 + 3) & ~3
+    if top_down and compression != 0:
+        raise ValueError("top-down BMP cannot be RLE-compressed")
+
+    if bpp <= 8:  # paletted: color table sits right after the header
+        n_pal = colors_used or (1 << bpp)
+        pal_off = 14 + hsize
+        if len(payload) < pal_off + 4 * n_pal:
+            raise ValueError("truncated BMP color table")
+        pal = np.frombuffer(
+            payload[pal_off:pal_off + 4 * n_pal], dtype="uint8"
+        ).reshape(n_pal, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+        if compression:  # RLE8 / RLE4
+            idx = _bmp_decode_rle(payload[data_offset:], w, h, bpp)
+        else:
+            row_len = ((w * bpp + 31) // 32) * 4
+            if len(payload) < data_offset + row_len * h:
+                raise ValueError("BMP pixel data truncated")
+            idx = np.zeros((h, w), dtype="uint8")
+            for i in range(h):
+                y = i if top_down else h - 1 - i
+                line = payload[
+                    data_offset + y * row_len:
+                    data_offset + y * row_len + row_len
+                ]
+                if bpp == 8:
+                    idx[i] = np.frombuffer(line[:w], dtype="uint8")
+                else:
+                    bits = np.unpackbits(
+                        np.frombuffer(line, dtype="uint8")
+                    )
+                    groups = bits[
+                        : (len(bits) // bpp) * bpp
+                    ].reshape(-1, bpp)
+                    weights = 1 << np.arange(bpp - 1, -1, -1)
+                    idx[i] = (groups * weights).sum(axis=1).astype(
+                        "uint8"
+                    )[:w]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("BMP palette index out of color-table range")
+        return h, w, 3, pal[idx.astype("int64")]
+
+    nbytes = bpp // 8
+    row_len = (w * nbytes + 3) & ~3
     need = data_offset + row_len * h
     if len(payload) < need:
         raise ValueError(f"BMP pixel data truncated ({len(payload)} < {need})")
@@ -997,9 +1217,21 @@ def decode_bmp_pixels(payload: bytes):
     for i in range(h):
         y = i if top_down else h - 1 - i
         start = data_offset + y * row_len
-        row = np.frombuffer(
-            payload[start:start + w * 3], dtype="uint8"
-        ).reshape(w, 3)[:, ::-1]  # BGR -> RGB
+        line = payload[start:start + w * nbytes]
+        if bpp == 24:
+            row = np.frombuffer(line, dtype="uint8").reshape(w, 3)[:, ::-1]
+        elif bpp == 32:
+            row = np.frombuffer(line, dtype="uint8").reshape(w, 4)[
+                :, [2, 1, 0]
+            ]
+        else:  # 16-bit X1R5G5B5
+            v = np.frombuffer(line, dtype="<u2").astype("uint16")
+            r5 = (v >> 10) & 0x1F
+            g5 = (v >> 5) & 0x1F
+            b5 = v & 0x1F
+            row = np.stack(
+                [(c5 << 3) | (c5 >> 2) for c5 in (r5, g5, b5)], axis=1
+            ).astype("uint8")
         rows.append(row)
     return h, w, 3, np.stack(rows, axis=0)
 

@@ -3524,6 +3524,150 @@ def multimodal_bmp_pixel_roundtrip(spark, sf_dir):
 
 
 @register(
+    "multimodal_bmp_variant_matrix",
+    """
+    WITH d AS (
+        SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS v
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT d.doc_id, d.v,
+               SUM(CASE d.v
+                   WHEN 0 THEN
+                         (7 * ((d.doc_id + x.i // 4 + 2 * (y.i // 2)) % 32)
+                          + 1) % 256
+                       + (11 * ((d.doc_id + x.i // 4 + 2 * (y.i // 2)) % 32)
+                          + 3) % 256
+                       + (13 * ((d.doc_id + x.i // 4 + 2 * (y.i // 2)) % 32)
+                          + 5) % 256
+                   WHEN 1 THEN
+                         (7 * ((d.doc_id + x.i // 4 + y.i // 3) % 16)
+                          + 1) % 256
+                       + (11 * ((d.doc_id + x.i // 4 + y.i // 3) % 16)
+                          + 3) % 256
+                       + (13 * ((d.doc_id + x.i // 4 + y.i // 3) % 16)
+                          + 5) % 256
+                   WHEN 2 THEN
+                         (7 * ((d.doc_id + x.i + y.i) % 2) + 1) % 256
+                       + (11 * ((d.doc_id + x.i + y.i) % 2) + 3) % 256
+                       + (13 * ((d.doc_id + x.i + y.i) % 2) + 5) % 256
+                   WHEN 3 THEN
+                         8 * ((d.doc_id + 3 * x.i + 5 * y.i) % 32)
+                       + ((d.doc_id + 3 * x.i + 5 * y.i) % 32) // 4
+                       + 8 * ((d.doc_id + 3 * x.i + 5 * y.i + 7) % 32)
+                       + ((d.doc_id + 3 * x.i + 5 * y.i + 7) % 32) // 4
+                       + 8 * ((d.doc_id + 3 * x.i + 5 * y.i + 14) % 32)
+                       + ((d.doc_id + 3 * x.i + 5 * y.i + 14) % 32) // 4
+                   ELSE (d.doc_id + 13 * x.i + 29 * y.i) % 256
+                      + (d.doc_id + 13 * x.i + 29 * y.i + 31) % 256
+                      + (d.doc_id + 13 * x.i + 29 * y.i + 62) % 256
+                   END) AS ps
+        FROM d, generate_series(0, 15) x(i), generate_series(0, 15) y(i)
+        GROUP BY d.doc_id, d.v
+    )
+    SELECT doc_id,
+           list_extract(['pal8_rle', 'pal4_rle', 'pal1', 'rgb16_555',
+                         'bgrx32'], v + 1) AS variant,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(ps AS BIGINT) AS pixel_sum
+    FROM s
+    """,
+    doc="the classic BMP variant space decodes for real (r17 — "
+        "retires the 24-bit-BI_RGB-only boundary): per-doc 16×16 "
+        "fixtures rotate through RLE8- and RLE4-compressed paletted "
+        "bitmaps (blocky patterns so genuine runs are exercised; "
+        "absolute/delta/early-EOF escapes covered by unit fixtures), "
+        "1-bit paletted (MSB-first packing + 4-byte row pads), "
+        "16-bit X1R5G5B5 (channels expanded (v<<3)|(v>>2)), and "
+        "32-bit BGRX — each pixel a closed form of (doc_id, x, y), "
+        "encoded by the variant writer and decoded back by the pure-"
+        "stdlib decoder inside Arrow-batched mapInPandas. The oracle "
+        "recomputes exact integer pixel sums from the generation "
+        "rule, so a hash match proves decode∘encode = identity "
+        "across the space — RLE run semantics, BGRX color tables, "
+        "bottom-up order and all. BI_BITFIELDS masks remain the one "
+        "refusal. Map-only",
+)
+def multimodal_bmp_variant_matrix(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.multimodal import encode_bmp_variant
+
+        y, x = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+
+        def pal(n):
+            k = np.arange(n)
+            return np.stack(
+                [(7 * k + 1) % 256, (11 * k + 3) % 256, (13 * k + 5) % 256],
+                axis=1,
+            ).astype("uint8")
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = d % 5
+                if v == 0:
+                    idx = ((d + x // 4 + 2 * (y // 2)) % 32).astype("uint8")
+                    p = encode_bmp_variant(
+                        idx, bpp=8, palette=pal(32), rle=True
+                    )
+                elif v == 1:
+                    idx = ((d + x // 4 + y // 3) % 16).astype("uint8")
+                    p = encode_bmp_variant(
+                        idx, bpp=4, palette=pal(16), rle=True
+                    )
+                elif v == 2:
+                    idx = ((d + x + y) % 2).astype("uint8")
+                    p = encode_bmp_variant(idx, bpp=1, palette=pal(2))
+                elif v == 3:
+                    ch = np.arange(3)
+                    c5 = (
+                        (d + 3 * x[:, :, None] + 5 * y[:, :, None] + 7 * ch)
+                        % 32
+                    ).astype("uint8")
+                    p = encode_bmp_variant(c5, bpp=16)
+                else:
+                    ch = np.arange(3)
+                    rgb = (
+                        (d + 13 * x[:, :, None] + 29 * y[:, :, None]
+                         + 31 * ch) % 256
+                    ).astype("uint8")
+                    p = encode_bmp_variant(rgb, bpp=32)
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_bmp = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    names = F.array(
+        *[F.lit(s) for s in
+          ["pal8_rle", "pal4_rle", "pal1", "rgb16_555", "bgrx32"]]
+    )
+    return ops.bmp_pixel_stats(with_bmp).select(
+        "doc_id",
+        F.element_at(
+            names, (F.col("doc_id") % 5).cast("int") + 1
+        ).alias("variant"),
+        "width", "height", "channels", "pixel_sum",
+    )
+
+
+@register(
     "multimodal_gif_metadata",
     """
     WITH d AS (

@@ -171,6 +171,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # front covers them.
     "multimodal_archive_compression_matrix",
     "multimodal_png_variant_matrix",
+    "multimodal_bmp_variant_matrix",
 ]
 
 

@@ -5187,10 +5187,99 @@ def test_bmp_codec_quirks_and_fail_louds():
         decode_bmp_pixels(encode_bmp(img)[:30])
     with pytest.raises(ValueError, match="pixel data truncated"):
         decode_bmp_pixels(encode_bmp(img)[:-3])
+    # r17: 8-bit palette BMPs now DECODE (see the variant-matrix
+    # test); a 24-bit file RELABELED 8-bit has no color table, so
+    # the failure is the structural ValueError, not a refusal
     eight = bytearray(encode_bmp(img))
     eight[28:30] = struct.pack("<H", 8)  # 8-bit palette bmp
-    with pytest.raises(NotImplementedError, match="24-bit BI_RGB"):
+    with pytest.raises(ValueError, match="truncated BMP color table"):
         decode_bmp_pixels(bytes(eight))
+    # BI_BITFIELDS custom masks are the remaining refusal
+    fields = bytearray(encode_bmp(img))
+    fields[30:34] = struct.pack("<I", 3)
+    with pytest.raises(NotImplementedError, match="BI_BITFIELDS"):
+        decode_bmp_pixels(bytes(fields))
+
+
+def test_bmp_variant_matrix_roundtrip():
+    """r17: the classic BMP variant space round-trips — paletted
+    1/4/8-bit (BGRX color tables, MSB-first sub-byte packing,
+    4-byte row pads), RLE8/RLE4 with genuine runs, 16-bit X1R5G5B5
+    channel expansion, and 32-bit BGRX; a hand-built RLE8 stream
+    exercises absolute mode, delta skips, and early end-of-bitmap
+    (skipped pixels stay index 0 per spec)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp_variant,
+    )
+
+    rng = np.random.RandomState(11)
+    for bpp in (1, 4, 8):
+        n = 1 << bpp
+        pal = rng.randint(0, 256, size=(n, 3)).astype("uint8")
+        idx = rng.randint(0, n, size=(10, 15)).astype("uint8")
+        h, w, c, back = decode_bmp_pixels(
+            encode_bmp_variant(idx, bpp=bpp, palette=pal)
+        )
+        assert (h, w, c) == (10, 15, 3)
+        assert (back == pal[idx.astype(int)]).all(), bpp
+
+    for bpp in (8, 4):
+        n = 1 << bpp
+        pal = rng.randint(0, 256, size=(n, 3)).astype("uint8")
+        idx = np.repeat(
+            rng.randint(0, n, size=(10, 4)).astype("uint8"), 4, axis=1
+        )[:, :15]
+        h, w, c, back = decode_bmp_pixels(
+            encode_bmp_variant(idx, bpp=bpp, palette=pal, rle=True)
+        )
+        assert (back == pal[idx.astype(int)]).all(), f"RLE bpp={bpp}"
+
+    five = rng.randint(0, 32, size=(7, 9, 3)).astype("uint8")
+    _, _, _, back = decode_bmp_pixels(encode_bmp_variant(five, bpp=16))
+    assert (back == ((five.astype(int) << 3) | (five.astype(int) >> 2))).all()
+
+    rgb = rng.randint(0, 256, size=(7, 9, 3)).astype("uint8")
+    _, _, _, back = decode_bmp_pixels(encode_bmp_variant(rgb, bpp=32))
+    assert (back == rgb).all()
+
+    # hand-built RLE8: run, absolute mode, EOL, delta, run, early EOF
+    pal = np.arange(256, dtype="uint8").repeat(3).reshape(256, 3)
+    quads = np.zeros((256, 4), dtype="uint8")
+    quads[:, :3] = pal[:, ::-1]
+    body = bytes(
+        [3, 5, 0x00, 3, 7, 8, 9, 0x00,  # run 3×5, abs [7,8,9], pad
+         0, 0,                           # end of line
+         0, 2, 2, 1,                     # delta: x+=2, row+=1
+         2, 1,                           # run 2×1
+         0, 1]                           # end of bitmap
+    )
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + 1024 + len(body), 0, 0,
+                      14 + 40 + 1024)
+        + struct.pack("<IiiHHIIiiII", 40, 6, 4, 1, 8, 1, len(body),
+                      2835, 2835, 256, 0)
+        + quads.tobytes()
+    )
+    _, _, _, back = decode_bmp_pixels(hdr + body)
+    assert list(back[3, :, 0]) == [5, 5, 5, 7, 8, 9]  # bottom scanline
+    assert list(back[1, :, 0]) == [0, 0, 1, 1, 0, 0]  # after delta
+
+    with pytest.raises(ValueError, match="ended without end-of-bitmap"):
+        decode_bmp_pixels(hdr + body[:-2])
+    with pytest.raises(ValueError, match="out of palette range"):
+        encode_bmp_variant(
+            np.full((2, 2), 5, dtype="uint8"), bpp=4,
+            palette=np.zeros((4, 3), dtype="uint8"),
+        )
+    with pytest.raises(ValueError, match="5-bit"):
+        encode_bmp_variant(np.full((2, 2, 3), 40, dtype="uint8"), bpp=16)
 
 
 def test_gif_subblock_walk_and_fail_louds():
