@@ -4,14 +4,17 @@ joining the PNG/JPEG/BMP/GIF matrix: IFD metadata walk (both byte
 orders, multi-page chains) and REAL pixel decode for the compressions
 scanned output actually uses — uncompressed (1), LZW (5, the
 early-change TIFF variant, with the horizontal-differencing
-predictor), and PackBits RLE (32773).
+predictor), Deflate (8 and legacy 32946 — r17, stdlib zlib), and
+PackBits RLE (32773).
 
-Scope (fail-loud outside it): 8 bits per sample, 1 (grayscale) or 3
-(RGB) samples per pixel, photometric 0/1/2 (white-is-zero inverts),
-strip-organized (tiles are the typed refusal), first page decoded
-(multi-page files report ``n_pages`` in metadata — the triage
-contract the GIF/AVI decoders share). JPEG-in-TIFF (compression 6/7)
-and CCITT fax codings raise ``NotImplementedError``.
+Scope (fail-loud outside it): 1 (bilevel scans) / 8 / 16 bits per
+sample, 1 (grayscale) or 3 (RGB) samples per pixel, photometric
+0/1/2 (white-is-zero inverts over the full sample range), strip- OR
+tile-organized (r17 — tiles are how large geo/scan rasters actually
+ship), first page decoded (multi-page files report ``n_pages`` in
+metadata — the triage contract the GIF/AVI decoders share).
+JPEG-in-TIFF (compression 6/7) and CCITT fax codings raise
+``NotImplementedError`` — the genuinely library-bound tails.
 
 Reference parity note: the reference engine (Rahlir/mongo2pq) has no
 image handling at all — this module is part of the mandated
@@ -191,6 +194,38 @@ def _packbits_decode(data: bytes, n_out: int) -> bytes:
     return bytes(out)
 
 
+def _tiff_pack_rows(rows, bits: int, endian: str) -> bytes:
+    """Serialize an (n, w, spp) sample block to TIFF row bytes: each
+    ROW byte-aligned, sub-byte samples MSB-first, 16-bit samples in
+    the file's byte order."""
+    import numpy as np
+
+    if bits == 8:
+        return rows.astype("uint8").tobytes()
+    if bits == 16:
+        return rows.astype(endian + "u2").tobytes()
+    out = bytearray()
+    for r in rows.reshape(rows.shape[0], -1):
+        b = np.asarray(r, dtype="uint8") & 1
+        pad = (-len(b)) % 8
+        if pad:
+            b = np.concatenate([b, np.zeros(pad, dtype="uint8")])
+        out += np.packbits(b).tobytes()
+    return bytes(out)
+
+
+def _tiff_compress(raw: bytes, compression: int) -> bytes:
+    if compression == 5:
+        return _tiff_lzw_encode(raw)
+    if compression == 8:
+        import zlib
+
+        return zlib.compress(raw, 9)
+    if compression == 32773:
+        return _packbits_encode(raw)
+    return raw
+
+
 def build_tiff(
     arr,
     compression: int = 1,
@@ -198,97 +233,120 @@ def build_tiff(
     rows_per_strip: int | None = None,
     endian: str = "<",
     extra_pages: int = 0,
+    bits: int = 8,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """Fixture writer: (h, w) grayscale or (h, w, 3) RGB uint8 array
-    → baseline strip-organized TIFF in either byte order, with
-    compression 1 (none), 5 (LZW; ``predictor=2`` adds horizontal
-    differencing), or 32773 (PackBits). ``extra_pages`` chains
-    additional IFDs reusing the same strips (multi-page triage
-    fixtures)."""
+    """Fixture writer: (h, w) grayscale or (h, w, 3) RGB sample array
+    → TIFF in either byte order, strip-organized or (r17) TILED via
+    ``tile=(tw, th)``, at ``bits`` ∈ {1, 8, 16} per sample, with
+    compression 1 (none), 5 (LZW), 8 (Deflate — r17), or 32773
+    (PackBits); ``predictor=2`` adds horizontal differencing (LZW/
+    Deflate, 8/16-bit). ``extra_pages`` chains additional IFDs
+    reusing the same segments (multi-page triage fixtures)."""
     import numpy as np
 
-    a = np.ascontiguousarray(arr, dtype="uint8")
+    a = np.asarray(arr)
     if a.ndim == 2:
         a = a[:, :, None]
     if a.ndim != 3 or a.shape[2] not in (1, 3):
         raise ValueError(f"expected (h,w) or (h,w,3), got {a.shape}")
     h, w, spp = a.shape
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773):
         raise ValueError(f"fixture compression {compression}")
-    if predictor == 2 and compression != 5:
-        raise ValueError("predictor 2 is an LZW option")
-    rps = rows_per_strip or max(1, h // 3)
-    strips = []
-    for y0 in range(0, h, rps):
-        rows = a[y0:y0 + rps]
-        if predictor == 2:
-            rows = rows.astype(np.int16)
-            rows = np.concatenate(
-                [rows[:, :1, :], np.diff(rows, axis=1)], axis=1
-            ).astype("uint8")  # mod-256 horizontal differencing
-        raw = rows.tobytes()
-        if compression == 5:
-            strips.append(_tiff_lzw_encode(raw))
-        elif compression == 32773:
-            strips.append(_packbits_encode(raw))
-        else:
-            strips.append(raw)
+    if bits not in (1, 8, 16):
+        raise ValueError(f"fixture bits {bits}")
+    if bits == 1 and spp != 1:
+        raise ValueError("1-bit fixtures are bilevel grayscale")
+    if int(a.max(initial=0)) >= (1 << bits):
+        raise ValueError(f"sample value out of range for {bits}-bit")
+    if predictor == 2 and compression not in (5, 8):
+        raise ValueError("predictor 2 is an LZW/Deflate option")
+    if predictor == 2 and bits == 1:
+        raise ValueError("predictor 2 needs 8/16-bit samples")
+
+    def differenced(block):
+        if predictor != 2:
+            return block
+        wide = block.astype(np.int64)
+        d = np.concatenate([wide[:, :1, :], np.diff(wide, axis=1)], axis=1)
+        return d & ((1 << bits) - 1)  # mod-2^bits differencing
+
+    segments = []
+    if tile is None:
+        rps = rows_per_strip or max(1, h // 3)
+        for y0 in range(0, h, rps):
+            raw = _tiff_pack_rows(
+                differenced(a[y0:y0 + rps]), bits, endian
+            )
+            segments.append(_tiff_compress(raw, compression))
+    else:
+        tw, th = tile
+        if tw % 16 or th % 16:
+            raise ValueError("TIFF tile dimensions are multiples of 16")
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                block = np.zeros((th, tw, spp), dtype=a.dtype)
+                part = a[y0:y0 + th, x0:x0 + tw]
+                block[: part.shape[0], : part.shape[1]] = part
+                raw = _tiff_pack_rows(differenced(block), bits, endian)
+                segments.append(_tiff_compress(raw, compression))
 
     e = endian
     out = bytearray()
     out += (b"II*\x00" if e == "<" else b"MM\x00*")
     out += b"\x00\x00\x00\x00"  # first-IFD offset patched below
-    strip_offsets = []
-    for s in strips:
-        strip_offsets.append(len(out))
+    seg_offsets = []
+    for s in segments:
+        seg_offsets.append(len(out))
         out += s
 
-    def entry(tag, typ, count, value):
-        return struct.pack(e + "HHI", tag, typ, count) + value
+    # two-pass IFD layout: collect the tag spec, then materialize
+    # with out-of-line arrays placed after the entry table
+    spec = [
+        (256, 3, "H", [w]),
+        (257, 3, "H", [h]),
+        (258, 3, "H", [bits] * spp),
+        (259, 3, "H", [compression]),
+        (262, 3, "H", [2 if spp == 3 else 1]),
+    ]
+    if tile is None:
+        spec += [
+            (273, 4, "I", seg_offsets),
+            (278, 3, "H", [rps]),
+            (279, 4, "I", [len(s) for s in segments]),
+        ]
+    else:
+        spec += [
+            (322, 3, "H", [tile[0]]),
+            (323, 3, "H", [tile[1]]),
+            (324, 4, "I", seg_offsets),
+            (325, 4, "I", [len(s) for s in segments]),
+        ]
+    if spp == 3:
+        spec.append((277, 3, "H", [spp]))
+    if predictor == 2:
+        spec.append((317, 3, "H", [predictor]))
+    spec.sort(key=lambda t: t[0])
 
-    n_strips = len(strips)
     ifd_offsets = []
-    for page in range(1 + extra_pages):
-        # out-of-line arrays for this IFD
+    for _page in range(1 + extra_pages):
+        ifd_at = len(out)
+        ifd_len = 2 + 12 * len(spec) + 4
         extra = bytearray()
-        extra_at = {}
-
-        def arr_value(key, fmt, values, base):
+        entries = []
+        for tag, typ, fmt, values in spec:
             data = b"".join(struct.pack(e + fmt, v) for v in values)
             if len(data) <= 4:
-                return data.ljust(4, b"\x00")
-            extra_at[key] = base + len(extra)
-            extra.extend(data)
-            return None  # patched after layout
-
-        entries = []
-        ifd_at_guess = len(out)
-        n_entries = 8 + (1 if spp == 3 else 0) + (
-            1 if predictor == 2 else 0
-        )
-        ifd_len = 2 + 12 * n_entries + 4
-        extra_base = ifd_at_guess + ifd_len
-
-        def add(tag, typ, count, fmt, values):
-            inline = arr_value((tag, page), fmt, values, extra_base)
-            if inline is None:
-                inline = struct.pack(e + "I", extra_at[(tag, page)])
-            entries.append(entry(tag, typ, count, inline))
-
-        add(256, 3, 1, "H", [w])
-        add(257, 3, 1, "H", [h])
-        add(258, 3, spp, "H", [8] * spp)
-        add(259, 3, 1, "H", [compression])
-        add(262, 3, 1, "H", [2 if spp == 3 else 1])
-        add(273, 4, n_strips, "I", strip_offsets)
-        if spp == 3:
-            add(277, 3, 1, "H", [spp])
-        add(278, 3, 1, "H", [rps])
-        add(279, 4, n_strips, "I", [len(s) for s in strips])
-        if predictor == 2:
-            add(317, 3, 1, "H", [predictor])
-        entries.sort(key=lambda b: struct.unpack(e + "H", b[:2])[0])
-        ifd_offsets.append(len(out))
+                inline = data.ljust(4, b"\x00")
+            else:
+                inline = struct.pack(
+                    e + "I", ifd_at + ifd_len + len(extra)
+                )
+                extra.extend(data)
+            entries.append(
+                struct.pack(e + "HHI", tag, typ, len(values)) + inline
+            )
+        ifd_offsets.append(ifd_at)
         out += struct.pack(e + "H", len(entries))
         out += b"".join(entries)
         out += b"\x00\x00\x00\x00"  # next-IFD link patched below
@@ -395,31 +453,84 @@ def parse_tiff_metadata(payload: bytes) -> dict:
     }
 
 
+def _tiff_decode_segment(seg: bytes, comp: int, n_out: int, i: int):
+    """One strip/tile through its codec, length-checked."""
+    if comp == 5:
+        return _tiff_lzw_decode(seg, n_out)
+    if comp == 32773:
+        return _packbits_decode(seg, n_out)
+    if comp in (8, 32946):
+        import zlib
+
+        try:
+            raw = zlib.decompress(seg)
+        except zlib.error as exc:
+            raise ValueError(
+                f"corrupt Deflate TIFF segment {i}: {exc}"
+            ) from exc
+        if len(raw) != n_out:
+            raise ValueError(
+                f"Deflate segment {i} decodes {len(raw)} of {n_out}B"
+            )
+        return raw
+    if len(seg) != n_out:
+        raise ValueError(
+            f"uncompressed segment {i} is {len(seg)}B, needs {n_out}"
+        )
+    return seg
+
+
+def _tiff_rows_to_samples(raw, n_rows, w_seg, spp, bits, e):
+    """(n_rows × byte-aligned-row) bytes → (n_rows, w_seg, spp)
+    sample array (MSB-first sub-byte unpacking, file-endian 16-bit)."""
+    import numpy as np
+
+    stride = (w_seg * spp * bits + 7) // 8
+    if bits == 8:
+        return np.frombuffer(raw, dtype="uint8").reshape(
+            n_rows, w_seg, spp
+        )
+    if bits == 16:
+        return np.frombuffer(raw, dtype=e + "u2").reshape(
+            n_rows, w_seg, spp
+        ).astype("uint16")
+    per_row = np.frombuffer(raw, dtype="uint8").reshape(n_rows, stride)
+    bits_arr = np.unpackbits(per_row, axis=1)[:, : w_seg * spp]
+    return bits_arr.reshape(n_rows, w_seg, spp)
+
+
 def decode_tiff_pixels(payload: bytes):
-    """Decode the FIRST page to ``(h, w, c, uint8 ndarray)`` (c = 1
-    or 3): strips reassembled per RowsPerStrip, compression 1 /
-    LZW (+predictor 2 undifferencing) / PackBits, photometric 0
-    inverted to the standard black-is-zero convention. Typed
-    refusals for tiles, JPEG-in-TIFF, CCITT, and non-8-bit depths."""
+    """Decode the FIRST page to ``(h, w, c, ndarray)`` (c = 1 or 3;
+    uint16 output for 16-bit samples, uint8 otherwise — 1-bit
+    bilevel yields raw 0/1 values).
+
+    r17 widened scope: strip- AND tile-organized files, compression
+    1 / LZW / Deflate (8 and legacy 32946) / PackBits, predictor 2
+    undifferencing at 8/16-bit, sample depths 1 (bilevel scans) /
+    8 / 16, photometric 0 inverted to black-is-zero over the full
+    sample range. Typed refusals remain for the genuinely
+    library-bound codings: JPEG-in-TIFF and CCITT fax."""
     import numpy as np
 
     for e, tags in _walk_ifds(payload):
         break
     else:
         raise ValueError("TIFF has no IFDs")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError(
-            "tiled TIFF unsupported (strip organization only)"
-        )
     w = _tag1(tags, 256)
     h = _tag1(tags, 257)
     if w is None or h is None:
         raise ValueError("TIFF IFD lacks width/height")
     spp = int(_tag1(tags, 277, 1))
-    bits = tags.get(258, (3, 1, [8]))[2] or [8]
-    if spp not in (1, 3) or any(b != 8 for b in bits):
+    bits_list = tags.get(258, (3, 1, [8]))[2] or [8]
+    bits = int(bits_list[0])
+    if any(b != bits for b in bits_list):
         raise NotImplementedError(
-            f"{bits}-bit x{spp} TIFF unsupported (8-bit gray/RGB)"
+            f"mixed per-channel bit depths {bits_list}"
+        )
+    if spp not in (1, 3) or bits not in (1, 8, 16):
+        raise NotImplementedError(
+            f"{bits_list}-bit x{spp} TIFF unsupported "
+            "(1/8/16-bit gray, 8/16-bit RGB)"
         )
     comp = int(_tag1(tags, 259, 1))
     if comp in (2, 3, 4):
@@ -429,7 +540,7 @@ def decode_tiff_pixels(payload: bytes):
             "JPEG-in-TIFF unsupported here (extract the JPEG stream "
             "for operators/jpeg.py instead)"
         )
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise NotImplementedError(f"TIFF compression {comp}")
     photometric = int(_tag1(tags, 262, 1))
     if photometric not in (0, 1, 2):
@@ -439,40 +550,77 @@ def decode_tiff_pixels(payload: bytes):
     predictor = int(_tag1(tags, 317, 1))
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
-    rps = int(_tag1(tags, 278, h))
-    offsets = tags.get(273, (4, 0, []))[2] or []
-    counts = tags.get(279, (4, 0, []))[2] or []
-    if not offsets or len(offsets) != len(counts):
-        raise ValueError("TIFF strip offsets/counts missing/mismatched")
-    expect_strips = -(-h // rps)
-    if len(offsets) != expect_strips:
-        raise ValueError(
-            f"TIFF declares {len(offsets)} strips for {expect_strips}"
-        )
-    rows = bytearray()
-    for i, (off, cnt) in enumerate(zip(offsets, counts)):
-        strip = payload[off:off + cnt]
-        if len(strip) < cnt:
-            raise ValueError(f"TIFF strip {i} beyond payload")
-        n_rows = min(rps, h - i * rps)
-        n_out = n_rows * w * spp
-        if comp == 5:
-            raw = _tiff_lzw_decode(strip, n_out)
-        elif comp == 32773:
-            raw = _packbits_decode(strip, n_out)
-        else:
-            if len(strip) != n_out:
-                raise ValueError(
-                    f"uncompressed strip {i} is {len(strip)}B, "
-                    f"needs {n_out}"
-                )
-            raw = strip
-        rows += raw
-    arr = np.frombuffer(bytes(rows), dtype="uint8").reshape(h, w, spp)
-    if predictor == 2:
-        arr = np.cumsum(arr.astype(np.int64), axis=1).astype("uint8")
-    if photometric == 0:  # white-is-zero → invert to black-is-zero
-        arr = (255 - arr.astype(np.int16)).astype("uint8")
+    if predictor == 2 and bits == 1:
+        raise ValueError("predictor 2 on 1-bit samples is spec-illegal")
+
+    tiled = 322 in tags or 323 in tags or 324 in tags or 325 in tags
+    dtype = "uint16" if bits == 16 else "uint8"
+    if tiled:
+        tw = _tag1(tags, 322)
+        th = _tag1(tags, 323)
+        offsets = tags.get(324, (4, 0, []))[2] or []
+        counts = tags.get(325, (4, 0, []))[2] or []
+        if tw is None or th is None or not offsets:
+            raise ValueError("tiled TIFF lacks tile geometry/offsets")
+        if len(offsets) != len(counts):
+            raise ValueError("TIFF tile offsets/counts mismatched")
+        across = -(-w // tw)
+        down = -(-h // th)
+        if len(offsets) != across * down:
+            raise ValueError(
+                f"TIFF declares {len(offsets)} tiles for {across * down}"
+            )
+        arr = np.zeros((h, w, spp), dtype=dtype)
+        stride = (tw * spp * bits + 7) // 8
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            seg = payload[off:off + cnt]
+            if len(seg) < cnt:
+                raise ValueError(f"TIFF tile {i} beyond payload")
+            raw = _tiff_decode_segment(seg, comp, th * stride, i)
+            block = _tiff_rows_to_samples(raw, th, tw, spp, bits, e)
+            if predictor == 2:
+                block = (
+                    np.cumsum(block.astype(np.int64), axis=1)
+                    & ((1 << bits) - 1)
+                ).astype(dtype)
+            y0 = (i // across) * th
+            x0 = (i % across) * tw
+            ny = min(th, h - y0)
+            nx = min(tw, w - x0)
+            arr[y0:y0 + ny, x0:x0 + nx] = block[:ny, :nx]
+    else:
+        rps = int(_tag1(tags, 278, h))
+        offsets = tags.get(273, (4, 0, []))[2] or []
+        counts = tags.get(279, (4, 0, []))[2] or []
+        if not offsets or len(offsets) != len(counts):
+            raise ValueError(
+                "TIFF strip offsets/counts missing/mismatched"
+            )
+        expect_strips = -(-h // rps)
+        if len(offsets) != expect_strips:
+            raise ValueError(
+                f"TIFF declares {len(offsets)} strips for {expect_strips}"
+            )
+        stride = (w * spp * bits + 7) // 8
+        parts = []
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            seg = payload[off:off + cnt]
+            if len(seg) < cnt:
+                raise ValueError(f"TIFF strip {i} beyond payload")
+            n_rows = min(rps, h - i * rps)
+            raw = _tiff_decode_segment(seg, comp, n_rows * stride, i)
+            parts.append(
+                _tiff_rows_to_samples(raw, n_rows, w, spp, bits, e)
+            )
+        arr = np.concatenate(parts, axis=0).astype(dtype)
+        if predictor == 2:
+            arr = (
+                np.cumsum(arr.astype(np.int64), axis=1)
+                & ((1 << bits) - 1)
+            ).astype(dtype)
+    if photometric == 0:  # white-is-zero → invert over the full range
+        maxval = (1 << bits) - 1
+        arr = (maxval - arr.astype(np.int64)).astype(dtype)
     return h, w, spp, arr
 
 

@@ -3082,6 +3082,150 @@ def multimodal_tiff_pixel_roundtrip(spark, sf_dir):
 
 
 @register(
+    "multimodal_tiff_extended_matrix",
+    """
+    WITH d AS (
+        SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS v
+        FROM documents WHERE doc_id < 200
+    ),
+    dim AS (
+        SELECT doc_id, v,
+               list_extract([16, 37, 19, 16, 11], v + 1) AS wd,
+               list_extract([16, 20, 16, 16, 12], v + 1) AS ht,
+               list_extract([3, 1, 1, 1, 3], v + 1) AS ch
+        FROM d
+    ),
+    s AS (
+        SELECT dim.doc_id, dim.v, dim.wd, dim.ht, dim.ch,
+               SUM(CASE dim.v
+                   WHEN 0 THEN
+                         (dim.doc_id + 13 * x.i + 29 * y.i) % 256
+                       + (dim.doc_id + 13 * x.i + 29 * y.i + 31) % 256
+                       + (dim.doc_id + 13 * x.i + 29 * y.i + 62) % 256
+                   WHEN 1 THEN (dim.doc_id + 5 * x.i + 7 * y.i) % 256
+                   WHEN 2 THEN (dim.doc_id + x.i + y.i) % 2
+                   WHEN 3 THEN
+                       (997 * dim.doc_id + 257 * x.i + 513 * y.i) % 65536
+                   ELSE (991 * dim.doc_id + 101 * x.i + 211 * y.i) % 65536
+                      + (991 * dim.doc_id + 101 * x.i + 211 * y.i
+                         + 5001) % 65536
+                      + (991 * dim.doc_id + 101 * x.i + 211 * y.i
+                         + 10002) % 65536
+                   END) AS ps
+        FROM dim,
+             generate_series(0, 36) x(i),
+             generate_series(0, 19) y(i)
+        WHERE x.i < dim.wd AND y.i < dim.ht
+        GROUP BY dim.doc_id, dim.v, dim.wd, dim.ht, dim.ch
+    )
+    SELECT doc_id,
+           list_extract(['deflate_pred', 'tiled_lzw', 'bilevel',
+                         'gray16_be', 'rgb16'], v + 1) AS variant,
+           CAST(wd AS INTEGER) AS width,
+           CAST(ht AS INTEGER) AS height,
+           CAST(ch AS INTEGER) AS channels,
+           CAST(ps AS BIGINT) AS pixel_sum
+    FROM s
+    """,
+    doc="the widened TIFF scope decodes for real (r17 session 2 — "
+        "retires the tiled/Deflate/depth refusals): per-doc fixtures "
+        "rotate through Deflate-compressed RGB with horizontal-"
+        "differencing predictor (stdlib zlib), TILE-organized LZW "
+        "grayscale with padded edge tiles (20×37 under 16×16 tiles — "
+        "how large geo/scan rasters actually ship), 1-bit bilevel "
+        "scans at an odd width (byte-aligned MSB-first rows), 16-bit "
+        "big-endian grayscale under Deflate+predictor (mod-65536 "
+        "differencing), and 16-bit RGB under LZW — each pixel a "
+        "closed form of (doc_id, x, y, channel), variant-specific "
+        "geometry proving dimension decode too. The oracle "
+        "recomputes exact integer sums from the generation rule, so "
+        "a hash match proves decode∘encode = identity across the "
+        "widened space. JPEG-in-TIFF and CCITT fax stay the typed "
+        "library-bound refusals. Map-only",
+)
+def multimodal_tiff_extended_matrix(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import tiff as tiff_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.tiff import build_tiff
+
+        def grid(h, w):
+            return np.meshgrid(
+                np.arange(h), np.arange(w), indexing="ij"
+            )
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = d % 5
+                if v == 0:
+                    y, x = grid(16, 16)
+                    ch = np.arange(3)
+                    img = (
+                        (d + 13 * x[:, :, None] + 29 * y[:, :, None]
+                         + 31 * ch) % 256
+                    ).astype("uint8")
+                    p = build_tiff(img, compression=8, predictor=2)
+                elif v == 1:
+                    y, x = grid(20, 37)
+                    img = ((d + 5 * x + 7 * y) % 256).astype("uint8")
+                    p = build_tiff(img, compression=5, tile=(16, 16))
+                elif v == 2:
+                    y, x = grid(16, 19)
+                    img = ((d + x + y) % 2).astype("uint8")
+                    p = build_tiff(img, compression=32773, bits=1)
+                elif v == 3:
+                    y, x = grid(16, 16)
+                    img = (
+                        (997 * d + 257 * x + 513 * y) % 65536
+                    ).astype("uint16")
+                    p = build_tiff(
+                        img, compression=8, bits=16, predictor=2,
+                        endian=">",
+                    )
+                else:
+                    y, x = grid(12, 11)
+                    ch = np.arange(3)
+                    img = (
+                        (991 * d + 101 * x[:, :, None]
+                         + 211 * y[:, :, None] + 5001 * ch) % 65536
+                    ).astype("uint16")
+                    p = build_tiff(img, compression=5, bits=16)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    names = F.array(
+        *[F.lit(s) for s in
+          ["deflate_pred", "tiled_lzw", "bilevel", "gray16_be", "rgb16"]]
+    )
+    return tiff_ops.tiff_pixel_stats(files).select(
+        "doc_id",
+        F.element_at(
+            names, (F.col("doc_id") % 5).cast("int") + 1
+        ).alias("variant"),
+        "width", "height", "channels", "pixel_sum",
+    )
+
+
+@register(
     "multimodal_webp_metadata",
     """
     WITH d AS (

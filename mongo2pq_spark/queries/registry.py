@@ -172,6 +172,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "multimodal_archive_compression_matrix",
     "multimodal_png_variant_matrix",
     "multimodal_bmp_variant_matrix",
+    "multimodal_tiff_extended_matrix",
 ]
 
 

@@ -7164,8 +7164,9 @@ def test_tiff_codec_roundtrip_and_fail_louds():
     """r17: TIFF joins the image matrix — IFD walk (both byte
     orders, multi-page chains), uncompressed / TIFF-LZW
     (early-change variant) / PackBits strips, horizontal-differencing
-    predictor, white-is-zero inversion; tiles/CCITT/JPEG-in-TIFF and
-    exotic depths fail typed."""
+    predictor, white-is-zero inversion; CCITT/JPEG-in-TIFF and
+    exotic depths fail typed (tiles/Deflate/1-bit/16-bit DECODE as
+    of later r17 — see test_tiff_extended_matrix_roundtrip)."""
     import struct
 
     import numpy as np
@@ -7243,7 +7244,9 @@ def test_tiff_codec_roundtrip_and_fail_louds():
     lzw[10] ^= 0xFF
     with pytest.raises(ValueError):
         decode_tiff_pixels(bytes(lzw))
-    # tiled refusal: inject tag 322 by renumbering 278 (RowsPerStrip)
+    # r17: tiled files now DECODE; a tag-322 marker WITHOUT tile
+    # offsets is structurally broken and fails typed (inject 322 by
+    # renumbering 278 / RowsPerStrip)
     tiled = bytearray(build_tiff(img))
     (ifd_at,) = struct.unpack("<I", tiled[4:8])
     (n,) = struct.unpack("<H", tiled[ifd_at:ifd_at + 2])
@@ -7251,7 +7254,7 @@ def test_tiff_codec_roundtrip_and_fail_louds():
         at = ifd_at + 2 + 12 * k
         if struct.unpack("<H", tiled[at:at + 2])[0] == 278:
             struct.pack_into("<H", tiled, at, 322)
-    with pytest.raises(NotImplementedError, match="tiled"):
+    with pytest.raises(ValueError, match="tile geometry"):
         decode_tiff_pixels(bytes(tiled))
     # CCITT / JPEG-in-TIFF refusals via the compression tag
     for comp, msg in ((4, "CCITT"), (7, "JPEG-in-TIFF")):
@@ -7264,6 +7267,100 @@ def test_tiff_codec_roundtrip_and_fail_louds():
                 struct.pack_into("<H", mod, at + 8, comp)
         with pytest.raises(NotImplementedError, match=msg):
             decode_tiff_pixels(bytes(mod))
+
+
+def test_tiff_extended_matrix_roundtrip():
+    """r17: the widened TIFF scope round-trips — Deflate compression
+    (8 and legacy 32946), tile organization with padded edge tiles,
+    1-bit bilevel rows (byte-aligned, MSB-first), and 16-bit samples
+    in both byte orders with mod-65536 predictor differencing;
+    white-is-zero inverts over the full sample range; structural
+    breakage fails typed."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.tiff import (
+        build_tiff,
+        decode_tiff_pixels,
+        parse_tiff_metadata,
+    )
+
+    rng = np.random.RandomState(31)
+
+    # Deflate strips, both endians, predictor on/off
+    for e in ("<", ">"):
+        for pred in (1, 2):
+            img = rng.randint(0, 256, (9, 13, 3)).astype("uint8")
+            t = build_tiff(img, compression=8, predictor=pred, endian=e)
+            assert (decode_tiff_pixels(t)[3] == img).all(), (e, pred)
+
+    # legacy Deflate code 32946 decodes identically: patch tag 259
+    t = bytearray(build_tiff(img, compression=8))
+    (ifd_at,) = struct.unpack("<I", t[4:8])
+    (n,) = struct.unpack("<H", t[ifd_at:ifd_at + 2])
+    for k in range(n):
+        at = ifd_at + 2 + 12 * k
+        if struct.unpack("<H", t[at:at + 2])[0] == 259:
+            struct.pack_into("<H", t, at + 8, 32946)
+    assert (decode_tiff_pixels(bytes(t))[3] == img).all()
+
+    # 16-bit gray + RGB across compressions/endians, uint16 out
+    for e in ("<", ">"):
+        for comp in (1, 5, 8):
+            for shape in ((7, 11), (7, 11, 3)):
+                a = rng.randint(0, 65536, shape).astype("uint16")
+                want = a if a.ndim == 3 else a[:, :, None]
+                preds = (1, 2) if comp in (5, 8) else (1,)
+                for pred in preds:
+                    t = build_tiff(
+                        a, compression=comp, bits=16,
+                        predictor=pred, endian=e,
+                    )
+                    out = decode_tiff_pixels(t)[3]
+                    assert out.dtype == np.dtype("uint16")
+                    assert (out == want).all(), (e, comp, shape, pred)
+
+    # 1-bit bilevel, odd width forcing per-row bit padding
+    for comp in (1, 5, 8, 32773):
+        a = rng.randint(0, 2, (10, 19)).astype("uint8")
+        t = build_tiff(a, compression=comp, bits=1)
+        assert (decode_tiff_pixels(t)[3][:, :, 0] == a).all(), comp
+
+    # white-is-zero inverts 1-bit over 0..1, not 0..255
+    t = bytearray(build_tiff(a, bits=1))
+    (ifd_at,) = struct.unpack("<I", t[4:8])
+    (n,) = struct.unpack("<H", t[ifd_at:ifd_at + 2])
+    for k in range(n):
+        at = ifd_at + 2 + 12 * k
+        if struct.unpack("<H", t[at:at + 2])[0] == 262:
+            struct.pack_into("<H", t, at + 8, 0)
+    assert (decode_tiff_pixels(bytes(t))[3][:, :, 0] == 1 - a).all()
+
+    # tiles: edge tiles padded, every compression, 16-bit + 1-bit
+    img = rng.randint(0, 256, (20, 37, 3)).astype("uint8")
+    for comp in (1, 5, 8, 32773):
+        t = build_tiff(img, compression=comp, tile=(16, 16))
+        assert (decode_tiff_pixels(t)[3] == img).all(), comp
+        assert parse_tiff_metadata(t)["width"] == 37
+    a16 = rng.randint(0, 65536, (20, 37)).astype("uint16")
+    t = build_tiff(a16, compression=8, bits=16, tile=(16, 32), predictor=2)
+    assert (decode_tiff_pixels(t)[3][:, :, 0] == a16).all()
+    a1 = rng.randint(0, 2, (20, 37)).astype("uint8")
+    t = build_tiff(a1, compression=5, bits=1, tile=(32, 16))
+    assert (decode_tiff_pixels(t)[3][:, :, 0] == a1).all()
+
+    # fail-louds: corrupt Deflate stream, truncated tile array
+    bad = bytearray(build_tiff(img, compression=8, tile=(16, 16)))
+    bad[9] ^= 0xFF
+    bad[10] ^= 0xFF
+    with pytest.raises(ValueError, match="Deflate|wrong length|corrupt"):
+        decode_tiff_pixels(bytes(bad))
+    with pytest.raises(ValueError, match="tile dimensions"):
+        build_tiff(img, tile=(10, 16))
+    with pytest.raises(ValueError, match="out of range"):
+        build_tiff(np.full((4, 4), 3, dtype="uint8"), bits=1)
 
 
 def test_sitemap_index_parse_and_fail_louds():
