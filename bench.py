@@ -315,6 +315,43 @@ HEADLINE = [
     # files across three variants — the gif_metadata container
     # class). Pin after its first two idle sessions.
     "multimodal_webp_metadata",
+    # r17 twelfth registration (session 2): compressed-archive
+    # matrix — tar.gz/bz2/xz + ZIP bzip2/LZMA, real stdlib inflate
+    # per member (200 built archives). Pin after its first two
+    # idle sessions.
+    "multimodal_archive_compression_matrix",
+    # r17 thirteenth registration (session 2): full-legal-space PNG
+    # decode — palette/sub-byte/16-bit/Adam7 (200 built files — the
+    # codec class). Pin after its first two idle sessions.
+    "multimodal_png_variant_matrix",
+    # r17 fourteenth registration (session 2): classic BMP variant
+    # space — palette/RLE8/RLE4/555/BGRX (200 built files). Pin
+    # after its first two idle sessions.
+    "multimodal_bmp_variant_matrix",
+    # r17 fifteenth registration (session 2): widened TIFF scope —
+    # tiles/Deflate/1-bit/16-bit (200 built files). Pin after its
+    # first two idle sessions.
+    "multimodal_tiff_extended_matrix",
+    # r17 sixteenth registration (session 2): studio PCM widths —
+    # 24/32-bit int + float64 WAV (180 built files). Pin after its
+    # first two idle sessions.
+    "multimodal_wav_pcm_widths",
+    # r17 seventeenth registration (session 2): GIF sub-frame
+    # background compositing (200 built files). Pin after its first
+    # two idle sessions.
+    "multimodal_gif_subframe_composite",
+    # r17 eighteenth registration (session 2): full MPEG audio
+    # family triage — MPEG-1/2/2.5 × Layer I/II/III (200 built
+    # streams). Pin after its first two idle sessions.
+    "multimodal_mpeg_family_triage",
+    # r17 nineteenth registration (session 2): BI_BITFIELDS R5G6B5
+    # BMP decode (200 built files). Pin after its first two idle
+    # sessions.
+    "multimodal_bmp_bitfields_roundtrip",
+    # r17 twentieth registration (session 2): ICO favicon directory
+    # explode + per-entry decode (200 built icons). Pin after its
+    # first two idle sessions.
+    "multimodal_ico_manifest",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

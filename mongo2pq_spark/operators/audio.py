@@ -35,11 +35,15 @@ WAV_MAGIC = b"RIFF"
 def encode_wav(
     samples, sample_rate: int = 8000, audio_format: str = "pcm16"
 ) -> bytes:
-    """Minimal WAV writer, three real formats (r16 grew two):
+    """Minimal WAV writer, the real-world format matrix (r16 grew
+    the G.711 pair, r17 the studio integer widths + float64):
 
     - ``pcm16`` (WAV format 1): int16 array → interleaved LE PCM.
-    - ``float32`` (format 3, IEEE float): float array in [-1, 1] →
-      little-endian float32 frames.
+    - ``pcm24`` (format 1): int array in the 24-bit domain →
+      3-byte little-endian signed frames (the studio-master width).
+    - ``pcm32`` (format 1): int32 array → 4-byte LE signed frames.
+    - ``float32`` / ``float64`` (format 3, IEEE float): float array
+      in [-1, 1] → little-endian float frames.
     - ``mulaw`` (format 7, G.711 µ-law): int16-domain array →
       one log-companded byte per sample (telephony corpora).
     - ``alaw`` (format 6, G.711 A-law): the European half of the
@@ -48,14 +52,27 @@ def encode_wav(
     Shape (n_frames,) mono or (n_frames, n_channels)."""
     import numpy as np
 
+    pcm24 = False
     if audio_format == "pcm16":
         arr = np.asarray(samples, dtype="<i2")
         code, bits = 1, 16
-    elif audio_format == "float32":
-        arr = np.asarray(samples, dtype="<f4")
+    elif audio_format == "pcm24":
+        arr = np.asarray(samples, dtype="int64")
+        if arr.size and (
+            arr.min() < -(1 << 23) or arr.max() >= (1 << 23)
+        ):
+            raise ValueError("pcm24 samples must fit 24-bit signed")
+        code, bits, pcm24 = 1, 24, True
+    elif audio_format == "pcm32":
+        arr = np.asarray(samples, dtype="<i4")
+        code, bits = 1, 32
+    elif audio_format in ("float32", "float64"):
+        arr = np.asarray(
+            samples, dtype="<f4" if audio_format == "float32" else "<f8"
+        )
         if arr.size and float(np.abs(arr).max()) > 1.0:
-            raise ValueError("float32 WAV samples must lie in [-1, 1]")
-        code, bits = 3, 32
+            raise ValueError("float WAV samples must lie in [-1, 1]")
+        code, bits = 3, 32 if audio_format == "float32" else 64
     elif audio_format == "mulaw":
         arr = mulaw_encode(np.asarray(samples))
         code, bits = 7, 8
@@ -69,7 +86,12 @@ def encode_wav(
     if arr.ndim != 2:
         raise ValueError(f"expected (frames,) or (frames, channels), got {arr.shape}")
     n_frames, n_ch = arr.shape
-    data = arr.tobytes()  # C-order = interleaved frames
+    if pcm24:
+        flat = (arr.reshape(-1) & 0xFFFFFF).astype("<u4")
+        by = flat.view("u1").reshape(-1, 4)[:, :3]  # low 3 LE bytes
+        data = by.tobytes()
+    else:
+        data = arr.tobytes()  # C-order = interleaved frames
     step = bits // 8
     byte_rate = sample_rate * n_ch * step
     fmt = struct.pack(
@@ -419,11 +441,14 @@ def decode_wav_samples(payload: bytes):
         if rate == 0:
             raise ValueError("WAV declares sample rate 0")
         return n_ch, rate, arr
-    if audio_format == 1 and bits not in (8, 16):
-        raise NotImplementedError(f"{bits}-bit PCM unsupported (8/16 only)")
-    if audio_format == 3 and bits != 32:
+    if audio_format == 1 and bits not in (8, 16, 24, 32):
         raise NotImplementedError(
-            f"{bits}-bit float WAV unsupported (IEEE float32 only)"
+            f"{bits}-bit PCM unsupported (8/16/24/32 — the widths "
+            "real files use — all decode as of r17)"
+        )
+    if audio_format == 3 and bits not in (32, 64):
+        raise NotImplementedError(
+            f"{bits}-bit float WAV unsupported (IEEE float32/float64)"
         )
     if audio_format in (6, 7) and bits != 8:
         raise ValueError(
@@ -441,8 +466,11 @@ def decode_wav_samples(payload: bytes):
         # IEEE float in [-1, 1] → the int16 domain under the
         # documented scale-32768 convention (k/32768 → exactly k,
         # +1.0 clamps to 32767): every downstream sample operator
-        # stays integer-exact and oracle-expressible
-        f = np.frombuffer(data[:usable], dtype="<f4").astype("float64")
+        # stays integer-exact and oracle-expressible (float64 WAV —
+        # r17 — shares the convention)
+        f = np.frombuffer(
+            data[:usable], dtype="<f4" if bits == 32 else "<f8"
+        ).astype("float64")
         if f.size and float(np.abs(f).max()) > 1.0:
             raise ValueError("float WAV sample outside [-1, 1]")
         arr = np.clip(
@@ -458,6 +486,17 @@ def decode_wav_samples(payload: bytes):
         ]
     elif bits == 16:
         arr = np.frombuffer(data[:usable], dtype="<i2").astype("int32")
+    elif bits == 24:
+        # r17: 3-byte little-endian signed — the studio-master width
+        b = np.frombuffer(data[:usable], dtype="u1").reshape(-1, 3)
+        v = (
+            b[:, 0].astype("int64")
+            | (b[:, 1].astype("int64") << 8)
+            | (b[:, 2].astype("int64") << 16)
+        )
+        arr = (v - ((v & 0x800000) << 1)).astype("int32")
+    elif bits == 32:
+        arr = np.frombuffer(data[:usable], dtype="<i4").astype("int32")
     else:
         arr = np.frombuffer(data[:usable], dtype="u1").astype("int32") - 128
     return n_ch, rate, arr.reshape(-1, n_ch)
@@ -678,11 +717,12 @@ def wav_window_features(
 # filter stage an audio pipeline runs on 100% of its corpus before
 # deciding what to hand the (stubbed) decoder. This mirrors the video
 # posture (operators/video.py: container metadata real, frame decode
-# stubbed). Scope: MPEG-1 Layer III, the overwhelming majority of
-# .mp3 files; MPEG-2/2.5 and Layers I/II raise NotImplementedError
-# (the version/layer tables are the library swap), corrupt streams
-# raise ValueError. ISO/IEC 11172-3 frame-header layout; public
-# bitrate/sample-rate index tables.
+# stubbed). Scope (r17 session 2 widened to the FULL MPEG audio
+# family): MPEG-1 / MPEG-2 / MPEG-2.5, Layers I / II / III — the
+# version/layer bitrate and sample-rate tables are published in
+# ISO/IEC 11172-3 / 13818-3 and restated below. Corrupt streams,
+# mid-stream version/layer/rate changes, and free-format bitrate
+# (index 0) raise ValueError/NotImplementedError as documented.
 
 #: MPEG-1 Layer III bitrate table, kbit/s, for header index 1..14
 #: (index 0 = "free format", index 15 = invalid).
@@ -693,6 +733,51 @@ MP3_BITRATES_V1L3 = (
 MP3_SAMPLE_RATES_V1 = (44100, 48000, 32000)
 #: Samples per MPEG-1 Layer III frame.
 MP3_SAMPLES_PER_FRAME = 1152
+
+#: Bitrate tables, kbit/s, index 1..14, keyed (version, layer) with
+#: version in {"1", "2", "2.5"} (2 and 2.5 share tables) — ISO/IEC
+#: 11172-3 / 13818-3.
+MPEG_BITRATES = {
+    ("1", 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+               384, 416, 448),
+    ("1", 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+               320, 384),
+    ("1", 3): MP3_BITRATES_V1L3,
+    ("2", 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+               224, 256),
+    ("2", 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160),
+    ("2", 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160),
+}
+#: Sample-rate tables, Hz, header index 0..2, keyed by version.
+MPEG_SAMPLE_RATES = {
+    "1": MP3_SAMPLE_RATES_V1,
+    "2": (22050, 24000, 16000),
+    "2.5": (11025, 12000, 8000),
+}
+#: Samples per frame, keyed (version-is-1?, layer).
+MPEG_SAMPLES_PER_FRAME = {
+    ("1", 1): 384, ("1", 2): 1152, ("1", 3): 1152,
+    ("2", 1): 384, ("2", 2): 1152, ("2", 3): 576,
+}
+#: Header version bits → version string (bit pattern (b1>>3)&3).
+_MPEG_VERSION_BITS = {0b00: "2.5", 0b10: "2", 0b11: "1"}
+#: Header layer bits → layer number (bit pattern (b1>>1)&3).
+_MPEG_LAYER_BITS = {0b11: 1, 0b10: 2, 0b01: 3}
+
+
+def mpeg_frame_length(
+    version: str, layer: int, bitrate_kbps: int, sample_rate: int,
+    padding: int,
+) -> int:
+    """MPEG audio frame length in bytes (header included), per the
+    public formulas: Layer I counts 4-byte slots; Layer III halves
+    its coefficient for MPEG-2/2.5 (576-sample granule)."""
+    if layer == 1:
+        return (12000 * bitrate_kbps // sample_rate + padding) * 4
+    coeff = 144000 if (layer == 2 or version == "1") else 72000
+    return coeff * bitrate_kbps // sample_rate + padding
 
 
 def mp3_frame_length(bitrate_kbps: int, sample_rate: int, padding: int) -> int:
@@ -708,14 +793,22 @@ def build_mp3_stub(
     mono: bool = False,
     id3v2_body: int = 0,
     id3v1: bool = False,
+    version: str = "1",
+    layer: int = 3,
 ) -> bytes:
-    """Build a structurally real MPEG-1 Layer III stream: optional
-    ID3v2 tag (syncsafe size), one 4-byte header + correctly sized
-    dummy payload per frame, optional trailing 128-byte ID3v1 tag.
-    The parser must honor per-frame bitrate AND padding to land on
-    the next sync word, so a parse that matches a closed-form oracle
-    proves a real frame walk, not a byte-count heuristic."""
-    sr = MP3_SAMPLE_RATES_V1[sample_rate_index]
+    """Build a structurally real MPEG audio stream: optional ID3v2
+    tag (syncsafe size), one 4-byte header + correctly sized dummy
+    payload per frame, optional trailing 128-byte ID3v1 tag. r17:
+    any (version, layer) in the family — MPEG-1/2/2.5 × Layer
+    I/II/III — through the same published frame-size formulas the
+    parser must invert. The parser must honor per-frame bitrate AND
+    padding to land on the next sync word, so a parse that matches
+    a closed-form oracle proves a real frame walk, not a byte-count
+    heuristic."""
+    vbits = {v: b for b, v in _MPEG_VERSION_BITS.items()}[version]
+    lbits = {v: b for b, v in _MPEG_LAYER_BITS.items()}[layer]
+    sr = MPEG_SAMPLE_RATES[version][sample_rate_index]
+    tbl = MPEG_BITRATES[("1" if version == "1" else "2", layer)]
     out = bytearray()
     if id3v2_body:
         # 'ID3', version 2.3.0, no flags, syncsafe 28-bit body size
@@ -732,12 +825,14 @@ def build_mp3_stub(
         hdr = bytes(
             (
                 0xFF,
-                0xFB,  # sync + MPEG-1 + Layer III + no CRC
+                0xE0 | (vbits << 3) | (lbits << 1) | 1,  # no CRC
                 (idx << 4) | (sample_rate_index << 2) | ((pad & 1) << 1),
                 mode << 6,
             )
         )
-        flen = mp3_frame_length(MP3_BITRATES_V1L3[idx - 1], sr, pad & 1)
+        flen = mpeg_frame_length(
+            version, layer, tbl[idx - 1], sr, pad & 1
+        )
         out += hdr + bytes(flen - 4)
     if id3v1:
         out += b"TAG" + bytes(125)
@@ -745,14 +840,18 @@ def build_mp3_stub(
 
 
 def parse_mp3_metadata(payload: bytes) -> dict:
-    """Walk an MP3 stream's frame headers without decoding audio:
-    ``{n_frames, sample_rate, channels, bitrate_min_kbps,
-    bitrate_max_kbps, is_vbr, duration_ms, audio_bytes, has_id3v2}``.
+    """Walk an MPEG audio stream's frame headers without decoding
+    audio: ``{n_frames, sample_rate, channels, bitrate_min_kbps,
+    bitrate_max_kbps, is_vbr, duration_ms, audio_bytes, has_id3v2,
+    mpeg_version, layer}``.
 
-    ``NotImplementedError`` on MPEG-2/2.5 or Layer I/II (outside the
-    implemented table scope), ``ValueError`` on lost sync, truncated
-    frames, invalid table indices, free-format bitrate, or a
-    mid-stream sample-rate change."""
+    r17 session 2: the FULL family — MPEG-1/2/2.5, Layers I/II/III —
+    via the published version/layer bitrate, sample-rate, and
+    frame-size tables (Layer I slot counting, the MPEG-2 Layer III
+    576-sample granule). ``NotImplementedError`` only on free-format
+    bitrate (index 0 — frame size is not derivable from the header);
+    ``ValueError`` on lost sync, truncated frames, invalid table
+    indices, or mid-stream version/layer/sample-rate changes."""
     pos = 0
     has_id3v2 = False
     if payload[:3] == b"ID3":
@@ -770,6 +869,7 @@ def parse_mp3_metadata(payload: bytes) -> dict:
     n_frames = 0
     sample_rate = None
     channels = None
+    version = layer = None
     br_min = br_max = None
     audio_bytes = 0
     end = len(payload)
@@ -781,17 +881,20 @@ def parse_mp3_metadata(payload: bytes) -> dict:
         b0, b1, b2, b3 = payload[pos:pos + 4]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
             raise ValueError(f"lost frame sync at byte {pos}")
-        version = (b1 >> 3) & 0x3
-        layer = (b1 >> 1) & 0x3
-        if version != 0b11:
-            raise NotImplementedError(
-                "only MPEG-1 audio implemented (MPEG-2/2.5 header "
-                "found); swap in a codec library for full coverage"
+        vbits = (b1 >> 3) & 0x3
+        lbits = (b1 >> 1) & 0x3
+        if vbits not in _MPEG_VERSION_BITS:
+            raise ValueError(
+                f"reserved MPEG version bits at byte {pos}"
             )
-        if layer != 0b01:
-            raise NotImplementedError(
-                "only Layer III implemented (Layer I/II header found)"
-            )
+        if lbits not in _MPEG_LAYER_BITS:
+            raise ValueError(f"reserved MPEG layer bits at byte {pos}")
+        ver = _MPEG_VERSION_BITS[vbits]
+        lay = _MPEG_LAYER_BITS[lbits]
+        if version is None:
+            version, layer = ver, lay
+        elif (ver, lay) != (version, layer):
+            raise ValueError("MPEG version/layer changes mid-stream")
         br_idx = b2 >> 4
         sr_idx = (b2 >> 2) & 0x3
         if br_idx == 0:
@@ -802,17 +905,18 @@ def parse_mp3_metadata(payload: bytes) -> dict:
             raise ValueError(f"invalid bitrate index at byte {pos}")
         if sr_idx == 3:
             raise ValueError(f"invalid sample-rate index at byte {pos}")
-        sr = MP3_SAMPLE_RATES_V1[sr_idx]
+        sr = MPEG_SAMPLE_RATES[ver][sr_idx]
         if sample_rate is None:
             sample_rate = sr
         elif sr != sample_rate:
             raise ValueError("sample rate changes mid-stream")
         if channels is None:
             channels = 1 if (b3 >> 6) & 0x3 == 0b11 else 2
-        br = MP3_BITRATES_V1L3[br_idx - 1]
+        tbl_ver = "1" if ver == "1" else "2"
+        br = MPEG_BITRATES[(tbl_ver, lay)][br_idx - 1]
         br_min = br if br_min is None else min(br_min, br)
         br_max = br if br_max is None else max(br_max, br)
-        flen = mp3_frame_length(br, sr, (b2 >> 1) & 1)
+        flen = mpeg_frame_length(ver, lay, br, sr, (b2 >> 1) & 1)
         if pos + flen > end:
             raise ValueError(f"truncated frame at byte {pos}")
         audio_bytes += flen
@@ -820,6 +924,9 @@ def parse_mp3_metadata(payload: bytes) -> dict:
         pos += flen
     if n_frames == 0:
         raise ValueError("no MPEG audio frames in payload")
+    spf = MPEG_SAMPLES_PER_FRAME[
+        ("1" if version == "1" else "2", layer)
+    ]
     return {
         "n_frames": n_frames,
         "sample_rate": sample_rate,
@@ -827,10 +934,11 @@ def parse_mp3_metadata(payload: bytes) -> dict:
         "bitrate_min_kbps": br_min,
         "bitrate_max_kbps": br_max,
         "is_vbr": br_max > br_min,
-        "duration_ms": n_frames * MP3_SAMPLES_PER_FRAME * 1000
-        // sample_rate,
+        "duration_ms": n_frames * spf * 1000 // sample_rate,
         "audio_bytes": audio_bytes,
         "has_id3v2": has_id3v2,
+        "mpeg_version": version,
+        "layer": layer,
     }
 
 
@@ -840,14 +948,22 @@ MP3_META_SCHEMA = (
     "is_vbr boolean, audio_bytes bigint, has_id3v2 boolean"
 )
 
+MP3_META_FULL_SCHEMA = (
+    MP3_META_SCHEMA + ", mpeg_version string, layer int"
+)
 
-def mp3_metadata(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
-) -> DataFrame:
-    """Arrow-batched MP3 frame-header triage: duration / bitrate
-    profile / channel layout / structural integrity for every file,
-    no codec. Map-only, cost ∝ total payload bytes — the same scale
-    shape as the MP4 metadata stage."""
+_MP3_META_COLS = [
+    c.rsplit(" ", 1)[0].strip()
+    for c in MP3_META_SCHEMA.split(",")
+]
+
+_MP3_META_FULL_COLS = [
+    c.rsplit(" ", 1)[0].strip()
+    for c in MP3_META_FULL_SCHEMA.split(",")
+]
+
+
+def _mp3_metadata_with(cols, schema, df, id_col, payload_col):
     from mongo2pq_spark.deploy import ensure_shipped
 
     ensure_shipped(df.sparkSession)
@@ -860,10 +976,36 @@ def mp3_metadata(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 m = parse_mp3_metadata(bytes(payload))
                 m["doc_id"] = doc_id
-                rows.append(m)
-            yield pd.DataFrame(rows)
+                rows.append([m[c] for c in cols])
+            yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(parse_batches, MP3_META_SCHEMA)
+    return df.mapInPandas(parse_batches, schema)
+
+
+def mp3_metadata(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched MP3 frame-header triage: duration / bitrate
+    profile / channel layout / structural integrity for every file,
+    no codec. Map-only, cost ∝ total payload bytes — the same scale
+    shape as the MP4 metadata stage. (Historical column set; the
+    full-family version/layer columns ride on
+    ``mp3_metadata_full`` — r17.)"""
+    return _mp3_metadata_with(
+        _MP3_META_COLS, MP3_META_SCHEMA, df, id_col, payload_col
+    )
+
+
+def mp3_metadata_full(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """The r17 full-family triage: ``mp3_metadata`` plus
+    ``mpeg_version``/``layer`` — the columns that distinguish a
+    22.05 kHz MPEG-2 podcast archive from modern MPEG-1 Layer III."""
+    return _mp3_metadata_with(
+        _MP3_META_FULL_COLS, MP3_META_FULL_SCHEMA, df, id_col,
+        payload_col,
+    )
 
 
 # -- FLAC STREAMINFO triage ---------------------------------------------------

@@ -963,6 +963,7 @@ def encode_bmp_variant(
     bpp: int,
     palette=None,
     rle: bool = False,
+    bitfields=None,
 ) -> bytes:
     """Variant-space BMP writer (fixture side): paletted 1/4/8-bit
     (``samples`` = h×w indices, ``palette`` n×3 RGB written as BGRX
@@ -970,7 +971,10 @@ def encode_bmp_variant(
     end-of-line/end-of-bitmap escapes; absolute/delta modes are
     exercised by hand-built unit fixtures), 16-bit X1R5G5B5
     (``samples`` = h×w×3 with 5-bit channel values), or 32-bit BGRX
-    (``samples`` = h×w×3 8-bit RGB). Bottom-up rows throughout."""
+    (``samples`` = h×w×3 8-bit RGB). r17: ``bitfields=(rm, gm, bm)``
+    writes a BI_BITFIELDS 16-bit file (e.g. the R5G6B5 masks) with
+    ``samples`` = h×w×3 raw channel values fitting each mask width.
+    Bottom-up rows throughout."""
     import struct
 
     import numpy as np
@@ -1025,22 +1029,37 @@ def encode_bmp_variant(
             compression = 0
     elif bpp == 16:
         if arr.ndim != 3 or arr.shape[2] != 3:
-            raise ValueError("16-bit BMP needs h×w×3 5-bit channels")
-        if int(arr.max(initial=0)) >= 32:
-            raise ValueError("16-bit BMP channels are 5-bit (0..31)")
+            raise ValueError("16-bit BMP needs h×w×3 channel values")
         h, w = arr.shape[:2]
         pal_bytes = b""
-        v = (
-            (arr[:, :, 0].astype("uint16") << 10)
-            | (arr[:, :, 1].astype("uint16") << 5)
-            | arr[:, :, 2].astype("uint16")
-        )
+        if bitfields is not None:
+            v = np.zeros((h, w), dtype="uint16")
+            for k, m in enumerate(bitfields):
+                sh = (m & -m).bit_length() - 1
+                wdt = (m >> sh).bit_length()
+                ch = arr[:, :, k].astype("uint32")
+                if int(ch.max(initial=0)) >= (1 << wdt):
+                    raise ValueError(
+                        f"channel {k} exceeds its {wdt}-bit mask"
+                    )
+                v |= (ch << sh).astype("uint16")
+            compression = 3
+        else:
+            if int(arr.max(initial=0)) >= 32:
+                raise ValueError(
+                    "16-bit BMP channels are 5-bit (0..31)"
+                )
+            v = (
+                (arr[:, :, 0].astype("uint16") << 10)
+                | (arr[:, :, 1].astype("uint16") << 5)
+                | arr[:, :, 2].astype("uint16")
+            )
+            compression = 0
         row_len = (w * 2 + 3) & ~3
         body = bytearray()
         for y in range(h - 1, -1, -1):
             raw = v[y].astype("<u2").tobytes()
             body += raw + bytes(row_len - len(raw))
-        compression = 0
     elif bpp == 32:
         if arr.ndim != 3 or arr.shape[2] != 3:
             raise ValueError("32-bit BMP needs h×w×3 RGB")
@@ -1054,7 +1073,10 @@ def encode_bmp_variant(
         compression = 0
     else:
         raise ValueError(f"unsupported fixture bpp {bpp}")
-    data_offset = 14 + 40 + len(pal_bytes)
+    mask_bytes = (
+        struct.pack("<III", *bitfields) if compression == 3 else b""
+    )
+    data_offset = 14 + 40 + len(mask_bytes) + len(pal_bytes)
     n_colors = len(pal_bytes) // 4
     return (
         BMP_MAGIC
@@ -1065,6 +1087,7 @@ def encode_bmp_variant(
             "<IiiHHIIiiII", 40, w, h, 1, bpp, compression, len(body),
             2835, 2835, n_colors, 0,
         )
+        + mask_bytes
         + pal_bytes
         + bytes(body)
     )
@@ -1130,11 +1153,13 @@ def decode_bmp_pixels(payload: bytes):
     r17: the full classic variant space — 24-bit BI_RGB (bottom-up
     AND top-down), 32-bit BI_RGB (BGRX, the padding byte dropped),
     16-bit X1R5G5B5 (channels expanded ``(v << 3) | (v >> 2)``),
-    paletted 1/4/8-bit with BGRX color tables, and RLE8/RLE4
+    paletted 1/4/8-bit with BGRX color tables, RLE8/RLE4
     compression including absolute mode, deltas, and early
-    end-of-bitmap. ``ValueError`` on structural corruption;
-    BI_BITFIELDS custom masks remain the one refusal
-    (``NotImplementedError``) — rare outside alpha-icon BMPs."""
+    end-of-bitmap, and BI_BITFIELDS 16/32-bit with explicit channel
+    masks (the R5G6B5 shape; mask widths 4..8 expand by bit
+    replication). ``ValueError`` on structural corruption; the one
+    refusal left (``NotImplementedError``) is mask widths outside
+    4..8 and PNG/JPEG-in-BMP."""
     import struct
 
     import numpy as np
@@ -1150,11 +1175,36 @@ def decode_bmp_pixels(payload: bytes):
     colors_used = struct.unpack("<I", payload[46:50])[0]
     if hsize < 40:
         raise ValueError(f"BITMAPCOREHEADER ({hsize}) not supported")
-    if compression not in (0, 1, 2):
+    if compression not in (0, 1, 2, 3):
         raise NotImplementedError(
-            f"BMP compression {compression} (BI_BITFIELDS custom "
-            "masks / PNG-in-BMP) unsupported"
+            f"BMP compression {compression} (PNG/JPEG-in-BMP) "
+            "unsupported"
         )
+    masks = None
+    if compression == 3:
+        if bpp not in (16, 32):
+            raise ValueError(
+                f"BI_BITFIELDS at {bpp} bpp is spec-illegal"
+            )
+        # masks: inside the header for V4+ (hsize >= 52), appended
+        # right after a plain BITMAPINFOHEADER otherwise
+        mask_at = 54 if hsize >= 52 else 14 + hsize
+        if len(payload) < mask_at + 12:
+            raise ValueError("truncated BI_BITFIELDS masks")
+        masks = struct.unpack("<III", payload[mask_at:mask_at + 12])
+        for m in masks:
+            if m == 0:
+                raise ValueError("BI_BITFIELDS zero channel mask")
+            mm = m >> ((m & -m).bit_length() - 1)
+            if mm & (mm + 1):
+                raise ValueError(
+                    "BI_BITFIELDS non-contiguous channel mask"
+                )
+            if not 4 <= mm.bit_length() <= 8:
+                raise NotImplementedError(
+                    "BI_BITFIELDS mask width outside 4..8 "
+                    "(bit-replication expansion scope)"
+                )
     if bpp not in (1, 4, 8, 16, 24, 32):
         raise ValueError(f"spec-illegal BMP bit depth {bpp}")
     if compression == 1 and bpp != 8 or compression == 2 and bpp != 4:
@@ -1220,6 +1270,20 @@ def decode_bmp_pixels(payload: bytes):
         line = payload[start:start + w * nbytes]
         if bpp == 24:
             row = np.frombuffer(line, dtype="uint8").reshape(w, 3)[:, ::-1]
+        elif masks is not None:  # BI_BITFIELDS 16/32-bit
+            v = np.frombuffer(
+                line, dtype="<u2" if bpp == 16 else "<u4"
+            ).astype("uint32")
+            chans = []
+            for m in masks:
+                sh = (m & -m).bit_length() - 1
+                wdt = (m >> sh).bit_length()
+                c = (v & m) >> sh
+                chans.append(
+                    ((c << (8 - wdt)) | (c >> (2 * wdt - 8)))
+                    .astype("uint8")
+                )
+            row = np.stack(chans, axis=1)
         elif bpp == 32:
             row = np.frombuffer(line, dtype="uint8").reshape(w, 4)[
                 :, [2, 1, 0]
@@ -1234,6 +1298,192 @@ def decode_bmp_pixels(payload: bytes):
             ).astype("uint8")
         rows.append(row)
     return h, w, 3, np.stack(rows, axis=0)
+
+
+# ------------------------------------------------------------- ICO
+# The favicon container (r17 session 2): an ICONDIR directory of
+# images, each either a PNG (full file, magic-sniffed) or a BMP
+# WITHOUT its file header whose BITMAPINFOHEADER declares DOUBLE
+# height (XOR color plane + 1-bit AND transparency mask). A web
+# crawl meets this format on effectively every host; the decode
+# reuses the PNG/BMP codecs above, so the manifest's pixel sums
+# prove real dispatch + decode per entry.
+
+ICO_MAGIC = b"\x00\x00\x01\x00"
+
+
+def build_ico_stub(entries: list[tuple]) -> bytes:
+    """Fixture ICO: each entry is ``("png", h×w×3 rgb)``,
+    ``("bmp24", h×w×3 rgb)``, or ``("bmp8", h×w indices, n×3
+    palette)`` — PNG entries embedded whole, BMP entries written
+    header-less with doubled height and an all-zero AND mask, per
+    the ICO layout."""
+    import struct
+
+    import numpy as np
+
+    blobs = []
+    dims = []
+    bitcounts = []
+    for e in entries:
+        kind, arr = e[0], np.asarray(e[1])
+        if kind == "png":
+            h, w = arr.shape[:2]
+            blobs.append(encode_png(arr.astype("uint8")))
+            bitcounts.append(32)
+        elif kind == "bmp24":
+            h, w = arr.shape[:2]
+            row_len = (w * 3 + 3) & ~3
+            xor = bytearray()
+            for y in range(h - 1, -1, -1):
+                bgr = arr[y, :, ::-1].astype("uint8").tobytes()
+                xor += bgr + bytes(row_len - len(bgr))
+            and_len = ((w + 31) // 32) * 4 * h
+            blobs.append(
+                struct.pack(
+                    "<IiiHHIIiiII", 40, w, 2 * h, 1, 24, 0,
+                    len(xor) + and_len, 0, 0, 0, 0,
+                )
+                + bytes(xor) + bytes(and_len)
+            )
+            bitcounts.append(24)
+        elif kind == "bmp8":
+            idx, pal = np.asarray(e[1]), np.asarray(e[2])
+            h, w = idx.shape
+            quads = np.zeros((len(pal), 4), dtype="uint8")
+            quads[:, :3] = pal[:, ::-1].astype("uint8")
+            row_len = (w + 3) & ~3
+            xor = bytearray()
+            for y in range(h - 1, -1, -1):
+                raw = idx[y].astype("uint8").tobytes()
+                xor += raw + bytes(row_len - len(raw))
+            and_len = ((w + 31) // 32) * 4 * h
+            blobs.append(
+                struct.pack(
+                    "<IiiHHIIiiII", 40, w, 2 * h, 1, 8, 0,
+                    len(xor) + and_len, 0, 0, len(pal), 0,
+                )
+                + quads.tobytes() + bytes(xor) + bytes(and_len)
+            )
+            bitcounts.append(8)
+        else:
+            raise ValueError(f"unknown ICO fixture kind {kind!r}")
+        dims.append((w, h))
+    out = bytearray(ICO_MAGIC + struct.pack("<H", len(entries)))
+    offset = 6 + 16 * len(entries)
+    for (w, h), bc, blob in zip(dims, bitcounts, blobs):
+        out += struct.pack(
+            "<BBBBHHII",
+            w if w < 256 else 0, h if h < 256 else 0, 0, 0,
+            1, bc, len(blob), offset,
+        )
+        offset += len(blob)
+    for blob in blobs:
+        out += blob
+    return bytes(out)
+
+
+def parse_ico_entries(payload: bytes) -> list[dict]:
+    """Walk an ICO directory and DECODE every image:
+    ``{img_idx, fmt, width, height, bitcount, pixel_sum}`` — PNG
+    entries through ``decode_png_pixels``, header-less BMP entries
+    re-headered (height halved back; the AND mask beyond the XOR
+    plane is transparency scope and is not applied) through
+    ``decode_bmp_pixels``. Typed ``ValueError`` on structural
+    corruption."""
+    import struct
+
+    if payload[:4] != ICO_MAGIC:
+        raise ValueError("not an ICO payload")
+    if len(payload) < 6:
+        raise ValueError("truncated ICONDIR")
+    (count,) = struct.unpack("<H", payload[4:6])
+    if count == 0:
+        raise ValueError("ICO declares zero images")
+    out = []
+    for i in range(count):
+        at = 6 + 16 * i
+        if at + 16 > len(payload):
+            raise ValueError(f"truncated ICONDIRENTRY {i}")
+        _w8, _h8, _colors, _res, _planes, bitcount, size, off = (
+            struct.unpack("<BBBBHHII", payload[at:at + 16])
+        )
+        blob = payload[off:off + size]
+        if len(blob) < size:
+            raise ValueError(f"ICO image {i} beyond payload")
+        if blob[:8] == PNG_MAGIC:
+            h, w, c, arr = decode_png_pixels(blob)
+            fmt = "png"
+        else:
+            if len(blob) < 40:
+                raise ValueError(f"truncated ICO BMP header {i}")
+            hsize, bw, bh2 = struct.unpack("<Iii", blob[:12])
+            if hsize != 40:
+                raise ValueError(
+                    f"ICO BMP {i} header size {hsize} != 40"
+                )
+            if bh2 % 2:
+                raise ValueError(
+                    f"ICO BMP {i} height {bh2} not doubled"
+                )
+            fixed = bytearray(blob)
+            struct.pack_into("<i", fixed, 8, bh2 // 2)
+            bmp = (
+                BMP_MAGIC
+                + struct.pack("<IHHI", 14 + len(blob), 0, 0, 0)
+                + bytes(fixed)
+            )
+            # data offset = file header + info header + color table
+            bpp_i = struct.unpack("<H", blob[14:16])[0]
+            n_pal = 0
+            if bpp_i <= 8:
+                (cu,) = struct.unpack("<I", blob[32:36])
+                n_pal = cu or (1 << bpp_i)
+            bmp = bytearray(bmp)
+            struct.pack_into("<I", bmp, 10, 14 + 40 + 4 * n_pal)
+            h, w, c, arr = decode_bmp_pixels(bytes(bmp))
+            fmt = "bmp"
+        out.append(
+            {
+                "img_idx": i,
+                "fmt": fmt,
+                "width": w,
+                "height": h,
+                "bitcount": bitcount,
+                "pixel_sum": int(arr.astype("int64").sum()),
+            }
+        )
+    return out
+
+
+ICO_SCHEMA = (
+    "doc_id bigint, img_idx int, fmt string, width int, height int, "
+    "bitcount int, pixel_sum bigint"
+)
+
+
+def ico_manifest(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched ICO explode: one icon row → one row per
+    directory entry, every entry DECODED (PNG or header-less BMP)
+    with its exact pixel sum. Map-only."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for rec in parse_ico_entries(bytes(payload)):
+                    rec["doc_id"] = doc_id
+                    rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(parse_batches, ICO_SCHEMA)
 
 
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
@@ -1499,12 +1749,18 @@ def build_gif_pixels(
     palette,
     interlace: bool = False,
     trailing_frames: int = 0,
+    screen: tuple[int, int] | None = None,
+    offset: tuple[int, int] = (0, 0),
+    background: int = 0,
 ) -> bytes:
     """Fixture writer with REAL pixel data: single-frame GIF89a from
     an (h, w) uint8 index array and an RGB palette (padded to the
     next power of two), real LZW data stream, optional interlaced
     row order, optional opaque trailing animation frames (decode
-    reads the FIRST frame; metadata still counts them all)."""
+    reads the FIRST frame; metadata still counts them all). r17:
+    ``screen=(sw, sh)`` + ``offset=(left, top)`` place the frame on
+    a larger logical screen whose ``background`` color index fills
+    the uncovered area (the banner/sprite shape real GIFs use)."""
     import struct
 
     import numpy as np
@@ -1516,6 +1772,10 @@ def build_gif_pixels(
     size = 1 << bits
     if idx.size and int(idx.max()) >= len(palette):
         raise ValueError("index outside the palette")
+    left, top = offset
+    sw, sh = screen if screen is not None else (left + w, top + h)
+    if left + w > sw or top + h > sh:
+        raise ValueError("GIF frame exceeds the logical screen")
     pal = bytearray()
     for r, g, b in palette:
         pal += bytes([r, g, b])
@@ -1532,10 +1792,10 @@ def build_gif_pixels(
     lzw = _gif_lzw_encode(stream, min_code)
 
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HH", w, h)
-    out += bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | ((bits - 1) << 4) | (bits - 1), background, 0])
     out += pal
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += b"\x2c" + struct.pack("<HHHH", left, top, w, h)
     out += bytes([0x40 if interlace else 0x00])
     out += bytes([min_code])
     for off in range(0, len(lzw), 255):
@@ -1559,11 +1819,13 @@ def decode_gif_pixels(payload: bytes):
     ndarray)`` — real LZW decode (r17; the last library-free image
     stub retired): global or local color table, interlaced row
     reordering, sub-block reassembly. Animated files decode frame 0
-    (the triage contract — full compositing is animation territory);
-    a first frame that does not cover the logical screen raises
-    ``NotImplementedError`` (it needs background compositing).
-    ``ValueError`` on structural corruption — the PNG/JPEG/BMP
-    contract."""
+    (the triage contract — MULTI-frame compositing is animation
+    territory); a first frame smaller than the logical screen is
+    composited onto a background-color canvas at its (left, top)
+    offset per spec (r17 session 2 — retires the sub-frame
+    refusal; background defaults to black when the header names no
+    global color table). ``ValueError`` on structural corruption —
+    the PNG/JPEG/BMP contract."""
     import struct
 
     import numpy as np
@@ -1615,10 +1877,9 @@ def decode_gif_pixels(payload: bytes):
             pos += 3 * n
         if pal is None:
             raise ValueError("GIF frame has no color table")
-        if (left, top, w, h) != (0, 0, sw, sh):
-            raise NotImplementedError(
-                "first GIF frame does not cover the logical screen "
-                "(sub-frame compositing is animation-decode scope)"
+        if left + w > sw or top + h > sh:
+            raise ValueError(
+                "GIF frame exceeds the logical screen bounds"
             )
         min_code = payload[pos]
         pos += 1
@@ -1646,6 +1907,22 @@ def decode_gif_pixels(payload: bytes):
         if int(idx.max(initial=0)) >= table.shape[0]:
             raise ValueError("GIF index outside the color table")
         rgb = table[idx].reshape(h, w, 3)
+        if (left, top, w, h) != (0, 0, sw, sh):
+            # sub-frame: composite onto the background-color canvas
+            # (header byte 11 indexes the GLOBAL table; black when
+            # there is none or the index runs past it)
+            bg_idx = payload[11]
+            if gct is not None and 3 * bg_idx + 3 <= len(gct):
+                bg = np.frombuffer(
+                    gct[3 * bg_idx:3 * bg_idx + 3], dtype="uint8"
+                )
+            else:
+                bg = np.zeros(3, dtype="uint8")
+            canvas = np.broadcast_to(
+                bg, (sh, sw, 3)
+            ).copy()
+            canvas[top:top + h, left:left + w] = rgb
+            return sh, sw, 3, canvas
         return h, w, 3, rgb
     raise ValueError("GIF missing trailer")
 

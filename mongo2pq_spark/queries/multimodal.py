@@ -1597,6 +1597,141 @@ def multimodal_mp3_metadata(spark, sf_dir):
 
 
 @register(
+    "multimodal_mpeg_family_triage",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(doc_id % 9 AS INTEGER) AS v9,
+               CAST(doc_id % 9 AS INTEGER) // 3 AS vgrp,
+               1 + CAST(doc_id % 9 AS INTEGER) % 3 AS lay,
+               CAST(doc_id % 3 AS INTEGER) AS sri,
+               10 + doc_id % 20 AS nf,
+               1 + CAST(doc_id % 14 AS INTEGER) AS bri
+        FROM documents WHERE doc_id < 200
+    ),
+    t AS (
+        SELECT d.*,
+               list_extract(
+                   list_extract(
+                       [[44100, 48000, 32000],
+                        [22050, 24000, 16000],
+                        [11025, 12000, 8000]], vgrp + 1),
+                   sri + 1) AS sr,
+               list_extract(
+                   list_extract(
+                       [[32, 64, 96, 128, 160, 192, 224, 256, 288,
+                         320, 352, 384, 416, 448],
+                        [32, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                         224, 256, 320, 384],
+                        [32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                         192, 224, 256, 320],
+                        [32, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+                         176, 192, 224, 256],
+                        [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+                         128, 144, 160]],
+                       CASE WHEN vgrp = 0 THEN lay
+                            WHEN lay = 1 THEN 4 ELSE 5 END),
+                   bri) AS br,
+               CASE WHEN lay = 1 THEN 384
+                    WHEN lay = 2 THEN 1152
+                    WHEN vgrp = 0 THEN 1152 ELSE 576 END AS spf
+        FROM d
+    ),
+    f AS (
+        SELECT t.doc_id, t.sr, t.br,
+               CASE WHEN t.lay = 1
+                    THEN (12000 * t.br // t.sr
+                          + (t.doc_id + i.i) % 2) * 4
+                    ELSE (CASE WHEN t.lay = 3 AND t.vgrp > 0
+                               THEN 72000 ELSE 144000 END)
+                         * t.br // t.sr + (t.doc_id + i.i) % 2
+               END AS flen
+        FROM t, generate_series(0, 29) i(i)
+        WHERE i.i < t.nf
+    )
+    SELECT t.doc_id,
+           list_extract(['1', '2', '2.5'], t.vgrp + 1) AS mpeg_version,
+           CAST(t.lay AS INTEGER) AS layer,
+           CAST(t.sr AS INTEGER) AS sample_rate,
+           CAST(2 - t.doc_id % 2 AS INTEGER) AS channels,
+           CAST(t.nf AS BIGINT) AS n_frames,
+           CAST(t.nf * t.spf * 1000 // t.sr AS BIGINT) AS duration_ms,
+           CAST(t.br AS INTEGER) AS bitrate_min_kbps,
+           CAST(t.br AS INTEGER) AS bitrate_max_kbps,
+           FALSE AS is_vbr,
+           CAST((SELECT sum(flen) FROM f
+                 WHERE f.doc_id = t.doc_id) AS BIGINT) AS audio_bytes,
+           t.doc_id % 5 = 0 AS has_id3v2
+    FROM t
+    """,
+    doc="the FULL MPEG audio family triages (r17 session 2 — "
+        "retires the MPEG-1-Layer-III-only boundary): per-doc "
+        "streams rotate through all NINE (version, layer) combos — "
+        "MPEG-1/2/2.5 × Layer I/II/III — with per-version sample "
+        "rates, per-(version, layer) bitrate tables, Layer I 4-byte "
+        "slot counting, and the MPEG-2 Layer III 576-sample "
+        "granule, all from the published ISO tables. Per-frame "
+        "padding still changes each frame's length, so matching "
+        "the oracle's closed-form duration/byte-count scalars "
+        "proves the walk lands on every sync word under every "
+        "family's size formula. Decode stays the documented "
+        "lossy-audio library boundary. Map-only",
+)
+def multimodal_mpeg_family_triage(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import audio as audio_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import pandas as pd
+
+        from mongo2pq_spark.operators.audio import build_mp3_stub
+
+        combos = [
+            (v, l)
+            for v in ("1", "2", "2.5")
+            for l in (1, 2, 3)
+        ]
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                ver, lay = combos[d % 9]
+                nf = 10 + d % 20
+                payloads.append(
+                    build_mp3_stub(
+                        [1 + d % 14] * nf,
+                        d % 3,
+                        [(d + i) % 2 for i in range(nf)],
+                        mono=d % 2 == 1,
+                        id3v2_body=16 + d % 31 if d % 5 == 0 else 0,
+                        id3v1=d % 7 == 0,
+                        version=ver,
+                        layer=lay,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    with_mp3 = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return audio_ops.mp3_metadata_full(with_mp3).select(
+        "doc_id", "mpeg_version", "layer", "sample_rate", "channels",
+        "n_frames", "duration_ms", "bitrate_min_kbps",
+        "bitrate_max_kbps", "is_vbr", "audio_bytes", "has_id3v2",
+    )
+
+
+@register(
     "multimodal_pdf_metadata",
     """
     WITH d AS (
@@ -2588,6 +2723,112 @@ def multimodal_wav_codec_matrix(spark, sf_dir):
     return audio_ops.wav_audio_stats(files)
 
 
+@register(
+    "multimodal_wav_pcm_widths",
+    """
+    WITH d AS (
+        SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS v,
+               200 + doc_id % 50 AS nf
+        FROM documents WHERE doc_id < 180
+    ),
+    samp AS (
+        SELECT d.doc_id, d.v, d.nf,
+               CASE d.v
+               WHEN 0 THEN
+                   (997 * d.doc_id + 13 * i.i) % 16777216 - 8388608
+               WHEN 1 THEN
+                   (997 * d.doc_id + 13 * i.i) % 4294967296
+                   - 2147483648
+               ELSE (997 * d.doc_id + 13 * i.i) % 65536 - 32768
+               END AS s
+        FROM d, generate_series(0, 249) i(i)
+        WHERE i.i < d.nf
+    ),
+    agg AS (
+        SELECT doc_id, v, nf, SUM(s) AS ss, MAX(ABS(s)) AS pk
+        FROM samp GROUP BY doc_id, v, nf
+    )
+    SELECT doc_id,
+           list_extract(['pcm24', 'pcm32', 'float64'], v + 1) AS fmt,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(list_extract([44100, 48000, 16000], v + 1)
+                AS INTEGER) AS sample_rate,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(nf * 1000 // list_extract([44100, 48000, 16000], v + 1)
+                AS BIGINT) AS duration_ms,
+           CAST(ss AS BIGINT) AS sample_sum,
+           CAST(pk AS INTEGER) AS peak_abs
+    FROM agg
+    """,
+    doc="the remaining real-world WAV sample widths decode (r17 "
+        "session 2 — retires the 8/16-bit-only PCM boundary): "
+        "per-doc fixtures rotate through 24-bit PCM (3-byte "
+        "little-endian signed — the studio-master width), 32-bit "
+        "integer PCM, and IEEE float64 (k/32768 decodes to exactly "
+        "k under the documented scale-32768 convention) — samples a "
+        "closed form of (doc_id, i) spanning the FULL signed domain "
+        "of each width, variant-specific rates and frame counts "
+        "proving geometry decode too. The oracle recomputes exact "
+        "sums/peaks from the generation rule. No integer-PCM width "
+        "remains stubbed; the one WAV refusal left is exotic "
+        "format codes. Map-only through the shared codec-"
+        "dispatching wav_audio_stats",
+)
+def multimodal_wav_pcm_widths(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import audio as audio_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 180
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.audio import encode_wav
+
+        rates = [44100, 48000, 16000]
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = d % 3
+                nf = 200 + d % 50
+                i = np.arange(nf, dtype="int64")
+                base = 997 * d + 13 * i
+                if v == 0:
+                    s = base % (1 << 24) - (1 << 23)
+                    p = encode_wav(s, rates[0], "pcm24")
+                elif v == 1:
+                    s = (base % (1 << 32) - (1 << 31)).astype("int32")
+                    p = encode_wav(s, rates[1], "pcm32")
+                else:
+                    k = base % 65536 - 32768
+                    p = encode_wav(k / 32768.0, rates[2], "float64")
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    names = F.array(*[F.lit(s) for s in ["pcm24", "pcm32", "float64"]])
+    return audio_ops.wav_audio_stats(files).select(
+        "doc_id",
+        F.element_at(
+            names, (F.col("doc_id") % 3).cast("int") + 1
+        ).alias("fmt"),
+        "channels", "sample_rate", "n_frames", "duration_ms",
+        "sample_sum", "peak_abs",
+    )
+
+
 def _ima_adpcm_oracle() -> str:
     """DuckDB mirror of the IMA-ADPCM decoder: the public algorithm
     restated as a RECURSIVE CTE — the step table as VALUES, the
@@ -2916,6 +3157,101 @@ def multimodal_gif_pixel_roundtrip(spark, sf_dir):
         build_batches, "doc_id bigint, payload binary"
     )
     return pixel_stats_with(decode_gif_pixels, files)
+
+
+@register(
+    "multimodal_gif_subframe_composite",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               doc_id % 9 AS lf,
+               doc_id % 7 AS tp,
+               CAST(doc_id % 4 AS INTEGER) AS bg
+        FROM documents WHERE doc_id < 200
+    ),
+    frame AS (
+        SELECT d.doc_id,
+               SUM((7 * ((d.doc_id + 2 * x.i + 3 * y.i) % 8) + 1) % 256
+                 + (11 * ((d.doc_id + 2 * x.i + 3 * y.i) % 8) + 3) % 256
+                 + (13 * ((d.doc_id + 2 * x.i + 3 * y.i) % 8) + 5) % 256)
+                   AS fs
+        FROM d, generate_series(0, 7) x(i), generate_series(0, 9) y(i)
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(24 AS INTEGER) AS width,
+           CAST(18 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(frame.fs
+                + (24 * 18 - 80)
+                  * ((7 * d.bg + 1) % 256 + (11 * d.bg + 3) % 256
+                     + (13 * d.bg + 5) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM d JOIN frame ON frame.doc_id = d.doc_id
+    """,
+    doc="GIF sub-frame compositing (r17 session 2 — retires the "
+        "last GIF decode refusal): 10×8 frames placed at per-doc "
+        "(left, top) offsets on a 24×18 logical screen whose "
+        "background color index varies per doc, odd docs ALSO "
+        "interlaced — decode must fill the uncovered canvas with "
+        "the header's background color and place the frame at its "
+        "offset exactly (the banner/sprite shape real GIFs use). "
+        "The oracle recomputes the canvas sum closed-form as frame "
+        "sum + (screen − frame)·background from the palette rule "
+        "alone, so a hash match proves the compositing geometry "
+        "AND the background lookup. Frames past the screen edge "
+        "fail typed. Map-only",
+)
+def multimodal_gif_subframe_composite(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators.multimodal import (
+        decode_gif_pixels,
+        pixel_stats_with,
+    )
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.multimodal import build_gif_pixels
+
+        pal = [
+            ((7 * k + 1) % 256, (11 * k + 3) % 256, (13 * k + 5) % 256)
+            for k in range(8)
+        ]
+        y, x = np.meshgrid(np.arange(10), np.arange(8), indexing="ij")
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                idx = ((d + 2 * x + 3 * y) % 8).astype("uint8")
+                payloads.append(
+                    build_gif_pixels(
+                        idx, pal,
+                        interlace=d % 2 == 1,
+                        screen=(24, 18),
+                        offset=(d % 9, d % 7),
+                        background=d % 4,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return pixel_stats_with(decode_gif_pixels, files).select(
+        "doc_id", "width", "height", "channels", "pixel_sum"
+    )
 
 
 @register(
@@ -3809,6 +4145,206 @@ def multimodal_bmp_variant_matrix(spark, sf_dir):
         ).alias("variant"),
         "width", "height", "channels", "pixel_sum",
     )
+
+
+@register(
+    "multimodal_bmp_bitfields_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(12 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(sum(
+                 8 * ((doc_id + 3 * x.i + 5 * y.i) % 32)
+               + ((doc_id + 3 * x.i + 5 * y.i) % 32) // 4
+               + 4 * ((doc_id + 7 * x.i + 11 * y.i) % 64)
+               + ((doc_id + 7 * x.i + 11 * y.i) % 64) // 16
+               + 8 * ((doc_id + 13 * x.i + 17 * y.i) % 32)
+               + ((doc_id + 13 * x.i + 17 * y.i) % 32) // 4
+           ) AS BIGINT) AS pixel_sum
+    FROM documents,
+         generate_series(0, 15) x(i),
+         generate_series(0, 11) y(i)
+    WHERE doc_id < 200
+    GROUP BY doc_id
+    """,
+    doc="BI_BITFIELDS BMP decode (r17 session 2 — retires the last "
+        "BMP refusal shape that occurs in practice): 16-bit R5G6B5 "
+        "files — THE high-color format, framebuffer dumps and "
+        "screenshot tools ship it — with explicit channel masks "
+        "read from the header, channels recovered by mask "
+        "shift/width extraction and expanded 5→8/6→8 by bit "
+        "replication ((v<<3)|(v>>2), (v<<2)|(v>>4)). The oracle "
+        "restates the replication arithmetic closed-form (8v + v/4, "
+        "4v + v/16), so a hash match proves the mask walk AND the "
+        "expansion. Zero/non-contiguous masks fail typed; only "
+        "mask widths outside 4..8 and PNG-in-BMP remain refusals. "
+        "Map-only",
+)
+def multimodal_bmp_bitfields_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.multimodal import encode_bmp_variant
+
+        y, x = np.meshgrid(np.arange(12), np.arange(16), indexing="ij")
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                arr = np.stack(
+                    [
+                        (d + 3 * x + 5 * y) % 32,
+                        (d + 7 * x + 11 * y) % 64,
+                        (d + 13 * x + 17 * y) % 32,
+                    ],
+                    axis=2,
+                )
+                payloads.append(
+                    encode_bmp_variant(
+                        arr, bpp=16,
+                        bitfields=(0xF800, 0x07E0, 0x001F),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    with_bmp = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return ops.bmp_pixel_stats(with_bmp).select(
+        "doc_id", "width", "height", "channels", "pixel_sum"
+    )
+
+
+@register(
+    "multimodal_ico_manifest",
+    """
+    WITH e AS (
+        SELECT doc_id,
+               CAST(j.i AS INTEGER) AS img_idx,
+               CAST((doc_id + j.i) % 3 AS INTEGER) AS kind
+        FROM documents, generate_series(0, 2) j(i)
+        WHERE doc_id < 200 AND j.i < 1 + doc_id % 3
+    ),
+    s AS (
+        SELECT e.doc_id, e.img_idx, e.kind,
+               SUM(CASE e.kind
+                   WHEN 0 THEN
+                       (e.doc_id + 2 * x.i + 3 * y.i + e.img_idx) % 256
+                     + (e.doc_id + 2 * x.i + 3 * y.i + e.img_idx + 5)
+                       % 256
+                     + (e.doc_id + 2 * x.i + 3 * y.i + e.img_idx + 10)
+                       % 256
+                   WHEN 1 THEN
+                       (7 * e.doc_id + 13 * x.i + 29 * y.i + e.img_idx)
+                       % 256
+                     + (7 * e.doc_id + 13 * x.i + 29 * y.i + e.img_idx
+                        + 31) % 256
+                     + (7 * e.doc_id + 13 * x.i + 29 * y.i + e.img_idx
+                        + 62) % 256
+                   ELSE
+                       (7 * ((e.doc_id + e.img_idx + x.i + 2 * y.i)
+                             % 16) + 1) % 256
+                     + (11 * ((e.doc_id + e.img_idx + x.i + 2 * y.i)
+                              % 16) + 3) % 256
+                     + (13 * ((e.doc_id + e.img_idx + x.i + 2 * y.i)
+                              % 16) + 5) % 256
+                   END) AS ps
+        FROM e, generate_series(0, 7) x(i), generate_series(0, 7) y(i)
+        GROUP BY e.doc_id, e.img_idx, e.kind
+    )
+    SELECT doc_id, img_idx,
+           list_extract(['bmp', 'png', 'bmp'], kind + 1) AS fmt,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(list_extract([24, 32, 8], kind + 1)
+                AS INTEGER) AS bitcount,
+           CAST(ps AS BIGINT) AS pixel_sum
+    FROM s
+    """,
+    doc="ICO (favicon) containers decode end to end (r17 session 2 "
+        "— a web crawl meets this format on effectively every "
+        "host): per-doc icons carry 1-3 directory entries mixing "
+        "header-less 24-bit BMP (doubled-height XOR+AND layout "
+        "re-headered and halved back), embedded whole PNG, and "
+        "8-bit paletted BMP — every entry DECODED through the "
+        "existing PNG/BMP codecs with its exact pixel sum, so the "
+        "oracle's closed-form per-entry sums prove the directory "
+        "walk, the magic dispatch, AND the decode. Map-only "
+        "explode, the archive-manifest scale shape",
+)
+def multimodal_ico_manifest(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import multimodal as mm
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def build_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.multimodal import build_ico_stub
+
+        y, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        ch = np.arange(3)
+        pal16 = np.stack(
+            [
+                (7 * np.arange(16) + 1) % 256,
+                (11 * np.arange(16) + 3) % 256,
+                (13 * np.arange(16) + 5) % 256,
+            ],
+            axis=1,
+        ).astype("uint8")
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                entries = []
+                for i in range(1 + d % 3):
+                    kind = (d + i) % 3
+                    if kind == 0:
+                        rgb = (
+                            (d + 2 * x[:, :, None] + 3 * y[:, :, None]
+                             + i + 5 * ch) % 256
+                        ).astype("uint8")
+                        entries.append(("bmp24", rgb))
+                    elif kind == 1:
+                        rgb = (
+                            (7 * d + 13 * x[:, :, None]
+                             + 29 * y[:, :, None] + i + 31 * ch) % 256
+                        ).astype("uint8")
+                        entries.append(("png", rgb))
+                    else:
+                        idx = ((d + i + x + 2 * y) % 16).astype("uint8")
+                        entries.append(("bmp8", idx, pal16))
+                payloads.append(build_ico_stub(entries))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return mm.ico_manifest(files)
 
 
 @register(

@@ -173,6 +173,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "multimodal_png_variant_matrix",
     "multimodal_bmp_variant_matrix",
     "multimodal_tiff_extended_matrix",
+    "multimodal_wav_pcm_widths",
+    "multimodal_gif_subframe_composite",
+    "multimodal_mpeg_family_triage",
+    "multimodal_bmp_bitfields_roundtrip",
+    "multimodal_ico_manifest",
 ]
 
 

@@ -1261,6 +1261,53 @@ def test_png_decoder_fails_loud():
         encode_png(np.zeros(8, dtype="uint8"))
 
 
+def test_ico_container_walk_and_decode():
+    """r17: ICO (favicon) directories decode — header-less BMP
+    entries (doubled-height XOR+AND layout) are re-headered and
+    halved back, embedded PNG entries route through the PNG codec,
+    paletted entries get their color tables offset correctly; the
+    per-entry pixel sums prove real decode. Corrupt directories
+    fail typed."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mongo2pq_spark.operators.multimodal import (
+        build_ico_stub,
+        parse_ico_entries,
+    )
+
+    rng = np.random.RandomState(21)
+    rgb1 = rng.randint(0, 256, size=(8, 8, 3)).astype("uint8")
+    rgb2 = rng.randint(0, 256, size=(16, 9, 3)).astype("uint8")  # pad
+    pal = rng.randint(0, 256, size=(16, 3)).astype("uint8")
+    idx = rng.randint(0, 16, size=(8, 8)).astype("uint8")
+    ico = build_ico_stub(
+        [("bmp24", rgb2), ("png", rgb1), ("bmp8", idx, pal)]
+    )
+    recs = parse_ico_entries(ico)
+    assert [r["fmt"] for r in recs] == ["bmp", "png", "bmp"]
+    assert recs[0]["pixel_sum"] == int(rgb2.astype("int64").sum())
+    assert (recs[0]["width"], recs[0]["height"]) == (9, 16)
+    assert recs[1]["pixel_sum"] == int(rgb1.astype("int64").sum())
+    assert recs[2]["pixel_sum"] == int(
+        pal[idx.astype(int)].astype("int64").sum()
+    )
+
+    with _pytest.raises(ValueError, match="not an ICO"):
+        parse_ico_entries(b"\x00\x00\x02\x00\x01\x00")  # cursor type
+    with _pytest.raises(ValueError, match="truncated ICONDIRENTRY"):
+        parse_ico_entries(ico[:20])
+    with _pytest.raises(ValueError, match="zero images"):
+        parse_ico_entries(b"\x00\x00\x01\x00\x00\x00")
+    odd = bytearray(ico)
+    # un-double the first BMP entry's height: now odd → typed failure
+    import struct
+    off = struct.unpack("<I", ico[6 + 12:6 + 16])[0]
+    struct.pack_into("<i", odd, off + 8, 31)
+    with _pytest.raises(ValueError, match="not doubled"):
+        parse_ico_entries(bytes(odd))
+
+
 def test_png_variant_matrix_roundtrip():
     """r17: the FULL legal PNG variant space round-trips — every
     (color type, bit depth) pair the spec allows, non-interlaced AND
@@ -1638,10 +1685,51 @@ def test_wav_codec_roundtrip_and_envelope():
         decode_wav_samples(encode_wav(s)[:30])
     raw = bytearray(encode_wav(s))
     raw[raw.find(b"fmt ") + 8] = 3  # IEEE-float tag on 16-BIT data:
-    # float32 decodes for real as of r16, but a 16-bit float frame
+    # float32/float64 decode for real, but a 16-bit float frame
     # stream is still outside the envelope — typed refusal
-    with _pytest.raises(NotImplementedError, match="float32 only"):
+    with _pytest.raises(NotImplementedError, match="float32/float64"):
         decode_wav_samples(bytes(raw))
+
+
+def test_wav_pcm_width_matrix_roundtrip():
+    """r17: the remaining real-world PCM widths decode — 24-bit
+    (3-byte LE signed, the studio-master width), 32-bit integer,
+    and IEEE float64 under the scale-32768 convention — spanning
+    each width's full signed domain; out-of-domain fixture input
+    fails typed."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mongo2pq_spark.operators.audio import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(5)
+    a24 = rng.randint(-(1 << 23), 1 << 23, size=(500, 2))
+    n, r, back = decode_wav_samples(encode_wav(a24, 44100, "pcm24"))
+    assert (n, r) == (2, 44100) and (back == a24).all()
+    # extremes of the 24-bit domain survive the 3-byte pack
+    ext = np.array([-(1 << 23), (1 << 23) - 1, -1, 0, 1])
+    assert (
+        decode_wav_samples(encode_wav(ext, 8000, "pcm24"))[2][:, 0]
+        == ext
+    ).all()
+
+    a32 = rng.randint(-(1 << 31), 1 << 31, size=300, dtype="int64")
+    back = decode_wav_samples(
+        encode_wav(a32.astype("int32"), 48000, "pcm32")
+    )[2]
+    assert (back[:, 0] == a32.astype("int32")).all()
+
+    k = rng.randint(-32768, 32768, size=400)
+    back = decode_wav_samples(
+        encode_wav(k / 32768.0, 16000, "float64")
+    )[2]
+    assert (back[:, 0] == k).all()
+
+    with _pytest.raises(ValueError, match="24-bit signed"):
+        encode_wav(np.array([1 << 23]), 8000, "pcm24")
 
 
 def test_wav_window_features_hand_traced(spark):
@@ -3592,14 +3680,18 @@ def test_mp3_header_walk_hand_traced():
     free[2] &= 0x0F  # bitrate index 0 = free format
     with pytest.raises(NotImplementedError, match="free-format"):
         parse_mp3_metadata(bytes(free))
+    # r17: MPEG-2/2.5 and Layer I/II now WALK (see the family test);
+    # relabeling frame 1 of an MPEG-1 stream as MPEG-2 changes its
+    # computed frame size, so the walk derails into a typed failure
+    # (lost sync / truncation / mid-stream change), never a refusal
     mpeg2 = bytearray(good)
     mpeg2[1] = 0xF3  # version bits 10 = MPEG-2
-    with pytest.raises(NotImplementedError, match="MPEG-1"):
+    with pytest.raises(ValueError):
         parse_mp3_metadata(bytes(mpeg2))
-    layer2 = bytearray(good)
-    layer2[1] = 0xFD  # layer bits 10 = Layer II
-    with pytest.raises(NotImplementedError, match="Layer III"):
-        parse_mp3_metadata(bytes(layer2))
+    reserved = bytearray(good)
+    reserved[1] = 0xEB  # version bits 01 = reserved
+    with pytest.raises(ValueError, match="reserved MPEG version"):
+        parse_mp3_metadata(bytes(reserved))
     badsize = bytearray(build_mp3_stub([5], 0, [0], id3v2_body=12))
     badsize[6] = 0x80  # non-syncsafe ID3v2 size byte
     with pytest.raises(ValueError, match="syncsafe"):
@@ -3607,6 +3699,50 @@ def test_mp3_header_walk_hand_traced():
     with pytest.raises(ValueError, match="overruns payload"):
         # claimed tag size larger than the whole payload
         parse_mp3_metadata(b"ID3\x03\x00\x00\x00\x00\x07\x00" + bytes(20))
+
+
+def test_mpeg_family_frame_walk():
+    """r17: the FULL MPEG audio family walks — MPEG-1/2/2.5 ×
+    Layer I/II/III through the published bitrate/sample-rate/
+    frame-size tables (Layer I slot counting, the MPEG-2 Layer III
+    576-sample granule); mid-stream version/layer changes and
+    reserved header bits fail typed."""
+    import pytest
+
+    from mongo2pq_spark.operators.audio import (
+        MPEG_SAMPLES_PER_FRAME,
+        build_mp3_stub,
+        mpeg_frame_length,
+        parse_mp3_metadata,
+    )
+
+    for ver in ("1", "2", "2.5"):
+        for lay in (1, 2, 3):
+            p = build_mp3_stub(
+                [3, 7, 3, 9], 1, [0, 1, 0, 1], version=ver, layer=lay
+            )
+            m = parse_mp3_metadata(p)
+            assert m["n_frames"] == 4
+            assert m["mpeg_version"] == ver and m["layer"] == lay
+            spf = MPEG_SAMPLES_PER_FRAME[
+                ("1" if ver == "1" else "2", lay)
+            ]
+            assert m["duration_ms"] == 4 * spf * 1000 // m["sample_rate"]
+            assert m["audio_bytes"] == len(p)
+
+    # Layer I frame sizes are whole 4-byte slots
+    assert mpeg_frame_length("1", 1, 448, 32000, 0) % 4 == 0
+    assert mpeg_frame_length("1", 1, 448, 32000, 1) % 4 == 0
+    # MPEG-2 Layer III uses the halved coefficient
+    assert mpeg_frame_length("2", 3, 64, 22050, 0) == (
+        72000 * 64 // 22050
+    )
+
+    # the walk rail: concatenating two layers fails typed
+    p1 = build_mp3_stub([3], 1, [0], version="1", layer=3)
+    p2 = build_mp3_stub([3], 1, [0], version="1", layer=2)
+    with pytest.raises(ValueError, match="version/layer changes"):
+        parse_mp3_metadata(p1 + p2)
 
 
 def test_dsir_logweights_disjoint_vocab_and_python_model(spark):
@@ -5194,10 +5330,11 @@ def test_bmp_codec_quirks_and_fail_louds():
     eight[28:30] = struct.pack("<H", 8)  # 8-bit palette bmp
     with pytest.raises(ValueError, match="truncated BMP color table"):
         decode_bmp_pixels(bytes(eight))
-    # BI_BITFIELDS custom masks are the remaining refusal
+    # r17: BI_BITFIELDS now DECODES at 16/32 bpp; relabeling a
+    # 24-bit file compression 3 is spec-illegal — typed ValueError
     fields = bytearray(encode_bmp(img))
     fields[30:34] = struct.pack("<I", 3)
-    with pytest.raises(NotImplementedError, match="BI_BITFIELDS"):
+    with pytest.raises(ValueError, match="spec-illegal"):
         decode_bmp_pixels(bytes(fields))
 
 
@@ -5280,6 +5417,37 @@ def test_bmp_variant_matrix_roundtrip():
         )
     with pytest.raises(ValueError, match="5-bit"):
         encode_bmp_variant(np.full((2, 2, 3), 40, dtype="uint8"), bpp=16)
+
+    # r17: BI_BITFIELDS — R5G6B5 and 4444 masks expand by bit
+    # replication; zero/non-contiguous masks and widths outside
+    # 4..8 fail typed
+    r = rng.randint(0, 32, size=(9, 11))
+    g = rng.randint(0, 64, size=(9, 11))
+    b = rng.randint(0, 32, size=(9, 11))
+    p565 = encode_bmp_variant(
+        np.stack([r, g, b], axis=2), bpp=16,
+        bitfields=(0xF800, 0x07E0, 0x001F),
+    )
+    _, _, _, back = decode_bmp_pixels(p565)
+    exp = np.stack(
+        [(r << 3) | (r >> 2), (g << 2) | (g >> 4), (b << 3) | (b >> 2)],
+        axis=2,
+    )
+    assert (back == exp.astype("uint8")).all()
+    a4 = rng.randint(0, 16, size=(5, 7, 3))
+    _, _, _, back = decode_bmp_pixels(
+        encode_bmp_variant(
+            a4, bpp=16, bitfields=(0x0F00, 0x00F0, 0x000F)
+        )
+    )
+    assert (back == ((a4 << 4) | a4).astype("uint8")).all()
+    base565 = bytearray(p565)
+    for mask, err in ((0, ValueError), (0xF801, ValueError),
+                      (0x8000, NotImplementedError)):
+        bad = bytearray(base565)
+        bad[54:58] = struct.pack("<I", mask)
+        with pytest.raises(err):
+            decode_bmp_pixels(bytes(bad))
 
 
 def test_gif_subblock_walk_and_fail_louds():
@@ -7094,12 +7262,27 @@ def test_gif_lzw_codec_roundtrip_and_fail_louds():
     bad[data_at + 2] ^= 0xFF
     with pytest.raises(ValueError):
         decode_gif_pixels(bytes(bad))
-    # sub-frame first image -> compositing boundary
+    # r17: sub-frames now COMPOSITE; shifting the full-screen frame
+    # right by one pushes it PAST the screen edge — the typed
+    # out-of-bounds failure, not a silent crop
     sub = bytearray(good)
     at = sub.index(b"\x2c")
     sub[at + 1:at + 3] = (1).to_bytes(2, "little")  # left = 1
-    with pytest.raises(NotImplementedError, match="compositing"):
+    with pytest.raises(ValueError, match="exceeds the logical screen"):
         decode_gif_pixels(bytes(sub))
+    # genuine sub-frame: composited at its offset onto the
+    # background-color canvas (header background index per spec)
+    comp = build_gif_pixels(
+        idx, pal, screen=(20, 30), offset=(5, 3), background=1
+    )
+    ch, cw, _, canvas = decode_gif_pixels(comp)
+    assert (ch, cw) == (30, 20)
+    assert tuple(canvas[0, 0]) == tuple(pal[1])
+    table = np.array(pal, dtype="uint8")
+    assert (
+        canvas[3:3 + idx.shape[0], 5:5 + idx.shape[1]]
+        == table[idx.astype(int)]
+    ).all()
     with pytest.raises(ValueError, match="palette"):
         build_gif_pixels(np.full((4, 4), 9, dtype="uint8"), pal)
     # encoder refuses out-of-range indices at the LZW layer too
