@@ -13,7 +13,6 @@ cluster (spark-submit --py-files).
 from __future__ import annotations
 
 import os
-import tempfile
 import threading
 import zipfile
 
@@ -33,10 +32,10 @@ def _ensure_shipped_locked(spark: SparkSession) -> None:
     key = id(sc)
     if key in _SHIPPED:
         return
+    from mongo2pq_spark.sources.staging import process_scoped_tmp_path
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(
-        tempfile.gettempdir(), f"mongo2pq_spark_pkg_{os.getpid()}.zip"
-    )
+    zip_path = process_scoped_tmp_path("pkg", ".zip")
     with zipfile.ZipFile(zip_path, "w") as bundle:
         for root, _, files in os.walk(pkg_dir):
             for name in files:

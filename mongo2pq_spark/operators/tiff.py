@@ -12,9 +12,12 @@ sample, 1 (grayscale) or 3 (RGB) samples per pixel, photometric
 0/1/2 (white-is-zero inverts over the full sample range), strip- OR
 tile-organized (r17 — tiles are how large geo/scan rasters actually
 ship), first page decoded (multi-page files report ``n_pages`` in
-metadata — the triage contract the GIF/AVI decoders share).
-JPEG-in-TIFF (compression 6/7) and CCITT fax codings raise
-``NotImplementedError`` — the genuinely library-bound tails.
+metadata — the triage contract the GIF/AVI decoders share). r18
+adds the CCITT fax codings 2 (MH RLE) / 3 (T.4 G3 1-D and 2-D) /
+4 (T.6 G4) via operators/ccitt.py — the scanned-document corpus
+compressions, pure ITU-spec bit-twiddling like the LZW decoder.
+JPEG-in-TIFF (compression 6/7), T.4/T.6 uncompressed mode, tiled
+CCITT, and LSB-first fill order raise ``NotImplementedError``.
 
 Reference parity note: the reference engine (Rahlir/mongo2pq) has no
 image handling at all — this module is part of the mandated
@@ -235,12 +238,15 @@ def build_tiff(
     extra_pages: int = 0,
     bits: int = 8,
     tile: tuple[int, int] | None = None,
+    t4_2d: bool = False,
 ) -> bytes:
     """Fixture writer: (h, w) grayscale or (h, w, 3) RGB sample array
     → TIFF in either byte order, strip-organized or (r17) TILED via
     ``tile=(tw, th)``, at ``bits`` ∈ {1, 8, 16} per sample, with
-    compression 1 (none), 5 (LZW), 8 (Deflate — r17), or 32773
-    (PackBits); ``predictor=2`` adds horizontal differencing (LZW/
+    compression 1 (none), 5 (LZW), 8 (Deflate — r17), 32773
+    (PackBits), or (r18) the CCITT fax codings 2 (MH RLE) / 3 (T.4
+    G3, ``t4_2d`` setting T4Options bit 0) / 4 (T.6 G4) for 1-bit
+    bilevel; ``predictor=2`` adds horizontal differencing (LZW/
     Deflate, 8/16-bit). ``extra_pages`` chains additional IFDs
     reusing the same segments (multi-page triage fixtures)."""
     import numpy as np
@@ -251,12 +257,17 @@ def build_tiff(
     if a.ndim != 3 or a.shape[2] not in (1, 3):
         raise ValueError(f"expected (h,w) or (h,w,3), got {a.shape}")
     h, w, spp = a.shape
-    if compression not in (1, 5, 8, 32773):
+    if compression not in (1, 2, 3, 4, 5, 8, 32773):
         raise ValueError(f"fixture compression {compression}")
     if bits not in (1, 8, 16):
         raise ValueError(f"fixture bits {bits}")
     if bits == 1 and spp != 1:
         raise ValueError("1-bit fixtures are bilevel grayscale")
+    ccitt = compression in (2, 3, 4)
+    if ccitt and (bits != 1 or spp != 1):
+        raise ValueError("CCITT fixtures are 1-bit bilevel")
+    if ccitt and tile is not None:
+        raise ValueError("CCITT fixtures are strip-organized")
     if int(a.max(initial=0)) >= (1 << bits):
         raise ValueError(f"sample value out of range for {bits}-bit")
     if predictor == 2 and compression not in (5, 8):
@@ -275,6 +286,13 @@ def build_tiff(
     if tile is None:
         rps = rows_per_strip or max(1, h // 3)
         for y0 in range(0, h, rps):
+            if ccitt:
+                from mongo2pq_spark.operators.ccitt import ccitt_encode
+
+                segments.append(
+                    ccitt_encode(a[y0:y0 + rps, :, 0], compression, t4_2d)
+                )
+                continue
             raw = _tiff_pack_rows(
                 differenced(a[y0:y0 + rps]), bits, endian
             )
@@ -307,7 +325,10 @@ def build_tiff(
         (257, 3, "H", [h]),
         (258, 3, "H", [bits] * spp),
         (259, 3, "H", [compression]),
-        (262, 3, "H", [2 if spp == 3 else 1]),
+        # CCITT fixtures are photometric 0 (min-is-white, the fax
+        # norm): the input array is INK bits (1=black), and the
+        # decoder's black-is-zero normalization returns 1−input
+        (262, 3, "H", [2 if spp == 3 else (0 if ccitt else 1)]),
     ]
     if tile is None:
         spec += [
@@ -326,6 +347,10 @@ def build_tiff(
         spec.append((277, 3, "H", [spp]))
     if predictor == 2:
         spec.append((317, 3, "H", [predictor]))
+    if compression == 3:
+        spec.append((292, 4, "I", [1 if t4_2d else 0]))
+    if compression == 4:
+        spec.append((293, 4, "I", [0]))
     spec.sort(key=lambda t: t[0])
 
     ifd_offsets = []
@@ -508,8 +533,9 @@ def decode_tiff_pixels(payload: bytes):
     1 / LZW / Deflate (8 and legacy 32946) / PackBits, predictor 2
     undifferencing at 8/16-bit, sample depths 1 (bilevel scans) /
     8 / 16, photometric 0 inverted to black-is-zero over the full
-    sample range. Typed refusals remain for the genuinely
-    library-bound codings: JPEG-in-TIFF and CCITT fax."""
+    sample range. r18: CCITT fax strips (compression 2/3/4 — MH,
+    T.4 G3 1-D/2-D per T4Options, T.6 G4) decode for real through
+    operators/ccitt.py. The typed refusal left: JPEG-in-TIFF."""
     import numpy as np
 
     for e, tags in _walk_ifds(payload):
@@ -533,14 +559,33 @@ def decode_tiff_pixels(payload: bytes):
             "(1/8/16-bit gray, 8/16-bit RGB)"
         )
     comp = int(_tag1(tags, 259, 1))
-    if comp in (2, 3, 4):
-        raise NotImplementedError("CCITT fax TIFF is the library swap")
+    ccitt = comp in (2, 3, 4)
+    t4_2d = False
+    if ccitt:
+        # r18: real CCITT decode (operators/ccitt.py, ITU-T T.4/T.6)
+        if bits != 1 or spp != 1:
+            raise ValueError(
+                f"CCITT TIFF must be 1-bit bilevel, got {bits}x{spp}"
+            )
+        t4opts = int(_tag1(tags, 292, 0))
+        t6opts = int(_tag1(tags, 293, 0))
+        if comp == 3 and t4opts & 2:
+            raise NotImplementedError(
+                "T.4 uncompressed mode (T4Options bit 1)"
+            )
+        if comp == 4 and t6opts & 2:
+            raise NotImplementedError(
+                "T.6 uncompressed mode (T6Options bit 1)"
+            )
+        t4_2d = comp == 3 and bool(t4opts & 1)
+        if int(_tag1(tags, 266, 1)) != 1:
+            raise NotImplementedError("CCITT FillOrder 2 (LSB-first)")
     if comp in (6, 7):
         raise NotImplementedError(
             "JPEG-in-TIFF unsupported here (extract the JPEG stream "
             "for operators/jpeg.py instead)"
         )
-    if comp not in (1, 5, 8, 32946, 32773):
+    if comp not in (1, 2, 3, 4, 5, 8, 32946, 32773):
         raise NotImplementedError(f"TIFF compression {comp}")
     photometric = int(_tag1(tags, 262, 1))
     if photometric not in (0, 1, 2):
@@ -554,6 +599,8 @@ def decode_tiff_pixels(payload: bytes):
         raise ValueError("predictor 2 on 1-bit samples is spec-illegal")
 
     tiled = 322 in tags or 323 in tags or 324 in tags or 325 in tags
+    if ccitt and tiled:
+        raise NotImplementedError("tiled CCITT TIFF")
     dtype = "uint16" if bits == 16 else "uint8"
     if tiled:
         tw = _tag1(tags, 322)
@@ -608,7 +655,14 @@ def decode_tiff_pixels(payload: bytes):
             if len(seg) < cnt:
                 raise ValueError(f"TIFF strip {i} beyond payload")
             n_rows = min(rps, h - i * rps)
-            raw = _tiff_decode_segment(seg, comp, n_rows * stride, i)
+            if ccitt:
+                from mongo2pq_spark.operators.ccitt import ccitt_decode
+
+                raw = ccitt_decode(seg, w, n_rows, comp, t4_2d)
+            else:
+                raw = _tiff_decode_segment(
+                    seg, comp, n_rows * stride, i
+                )
             parts.append(
                 _tiff_rows_to_samples(raw, n_rows, w, spp, bits, e)
             )
@@ -618,6 +672,11 @@ def decode_tiff_pixels(payload: bytes):
                 np.cumsum(arr.astype(np.int64), axis=1)
                 & ((1 << bits) - 1)
             ).astype(dtype)
+    if ccitt and photometric == 1:
+        # T.4/T.6 runs are white/black, decoded as white=0/black=1
+        # (the photometric-0 raw convention); min-is-black files
+        # store white as 1, so flip before the generic normalization
+        arr = (1 - arr.astype(np.int64)).astype(dtype)
     if photometric == 0:  # white-is-zero → invert over the full range
         maxval = (1 << bits) - 1
         arr = (maxval - arr.astype(np.int64)).astype(dtype)

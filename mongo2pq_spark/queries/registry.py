@@ -46,80 +46,70 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # r17 window (pure-freshness rotation, verified against
-    # CORRECTNESS_r01..r16 this session). Order:
-    # (a) the three r17 registrations with NO driver row yet —
-    # WARC gzip/chunked bodies (VERDICT r16 #1), PDF 1.5 xref
-    # streams (#4), progressive JPEG + restart markers (#6);
-    "web_warc_gzip_bodies",
-    "multimodal_pdf_xref_stream",
-    "multimodal_jpeg_progressive_roundtrip",
-    # (a-2) the round's second wave, also row-less: per-page PDF
-    # text extraction and the per-record-member .warc.gz layout
-    # (two r11 image entries defer to the r18 front to make room);
-    "multimodal_pdf_extract_text",
-    "web_warc_gz_members",
-    # (a-3) third wave: GIF LZW pixel decode (one more r11 audio
-    # entry defers to the r18 front);
-    "multimodal_gif_pixel_roundtrip",
-    # (a') the one hash-moved query (doc-note edit: progressive no
-    # longer a stub) — window re-entry per the rotation contract;
-    "multimodal_jpeg_subsampled_roundtrip",
-    # (a'') behavior-path restages: the incremental-ship diff job
-    # gained the actual-shard partitioner rail (ADVICE r16 medium)
-    # under el_tar_incremental_ship and pipeline_incremental_tokenize,
-    # and the streaming checkpoint/sink staging moved onto
-    # generation_tmp_dir(per_process=True) (VERDICT r16 #3) under
-    # streaming_stateful_sessions / streaming_parquet_sink — fn
-    # hashes unchanged, execution paths not;
-    "el_tar_incremental_ship",
-    "pipeline_incremental_tokenize",
-    "streaming_stateful_sessions",
-    "streaming_parquet_sink",
-    # (b) ALL 16 r10-latest entries (VERDICT r16 #2 — seven-round
-    # staleness ceiling; staged for this front since r16);
-    "q1_pricing_summary",
-    "salted_join_revenue",
-    "q6_forecast_revenue",
-    "percentile_approx_values",
-    "theta_overlap_users",
-    "partition_counts",
-    "systematic_sample",
-    "streaming_foreach_batch_upsert",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_language_id",
-    "text_tfidf_top_terms",
-    "text_top_bigrams",
-    "text_fingerprints",
-    "text_winnow_fingerprints",
-    "udf_text_normalize",
-    # (c) the oldest 26 of the 42 r11-latest entries, registry
-    # order (the remaining 16 r11s are the staged r18 front — the
-    # rotation's oldest cohort after this round);
-    "corpus_train_val_split",
-    "text_unigram_logprob",
-    "contamination_overlap_frac",
-    "embedding_norm_outliers",
-    "dedup_exact",
-    "dedup_minhash_containment",
-    "dedup_span_coverage",
-    "math_functions",
-    "array_functions",
-    "case_when_bucketing",
-    "text_gopher_quality_flags",
-    "text_repetition_stats",
-    "docs_pii_redact",
-    "corpus_filter_funnel",
-    "embedding_dim_stats",
-    "corpus_mix_upsample",
-    "corpus_shuffle_shards",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_image_dhash_neardup",
-    "multimodal_mp4_metadata",
-    "scan_projection",
-    "filter_equality",
+    # r18 window (pure-freshness rotation, verified against
+    # CORRECTNESS_r01..r17 this session). Order:
+    # (a) ALL 14 late-wave r17 registrations with NO driver row ever
+    # (VERDICT r17 #1 — the only registry entries without a hard
+    # external correctness signal); the full r17 _NEXT_WINDOW_QUEUE:
+    "multimodal_zip_encrypted_manifest",
+    "multimodal_jpeg12_roundtrip",
+    "multimodal_tiff_pixel_roundtrip",
+    "web_sitemap_index",
+    "multimodal_webp_metadata",
+    "multimodal_archive_compression_matrix",
+    "multimodal_png_variant_matrix",
+    "multimodal_bmp_variant_matrix",
+    "multimodal_tiff_extended_matrix",
+    "multimodal_wav_pcm_widths",
+    "multimodal_gif_subframe_composite",
+    "multimodal_mpeg_family_triage",
+    "multimodal_bmp_bitfields_roundtrip",
+    "multimodal_ico_manifest",
+    # (a') hash-moved re-entries (rotation contract): the stale
+    # encrypted-zip doc note refreshed (VERDICT r17 #6);
+    "multimodal_archive_manifest",
+    # (a'') new r18 registrations — CCITT G3/G4 fax decode for TIFF
+    # (VERDICT r17 #5) and the foreign golden-vector proof queries;
+    "multimodal_tiff_ccitt_roundtrip",
+    # (b) ALL 19 r11-latest entries (VERDICT r17 #3 — they hit the
+    # seven-round staleness ceiling at r18), registry order;
+    "speculative_parse",
+    "epoch_seconds",
+    "falsy_suppression",
+    "column_casts",
+    "rename_projection",
+    "count_rows",
+    "distinct_values",
+    "limit_page",
+    "top_k",
+    "q12_delay_priority",
+    "text_clean",
+    "text_zipf_slope",
+    "text_boilerplate_ngrams",
+    "text_decontaminate",
+    "semdedup_prune_consistency",
+    "embedding_quantize_int8",
+    "multimodal_image_cell_features",
+    "multimodal_image_dhash_incremental",
+    "multimodal_wav_audio_stats",
+    # (c) the oldest 15 of the 42 r12-latest entries, registry order
+    # (the remaining r12s are the staged r19 front — the rotation's
+    # oldest cohort after this round);
+    "events_pivot_daily",
+    "graph_pagerank_interactions",
+    "graph_pagerank_weighted",
+    "events_markov_transitions",
+    "text_bigram_logprob",
+    "text_trigram_backoff",
+    "corpus_perplexity_buckets",
+    "corpus_vocab_growth",
+    "corpus_dsir_select",
+    "dedup_cluster_survivors",
+    "dedup_chunk_reassemble",
+    "dedup_cdc_chunks",
+    "corpus_mix_temperature",
+    "events_cms_estimates",
+    "multimodal_audio_fp_neardup",
 ]
 
 
@@ -152,32 +142,9 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # anchor) or stages here with full pytest-oracle parity until the
     # next round covers it.
     #
-    # r17: the round's six window slots for new work went to the
-    # WARC/PDF/JPEG/GIF registrations; the ZipCrypto retirement
-    # (registered late-round, full oracle parity in
-    # tests/test_queries_oracle.py) stages here for the r18 front —
-    # together with multimodal_archive_manifest, whose doc note
-    # ("encrypted zip = stub") went stale this round and needs the
-    # doc refresh + window re-entry r18 grants.
-    "multimodal_zip_encrypted_manifest",
-    "multimodal_jpeg12_roundtrip",
-    "multimodal_tiff_pixel_roundtrip",
-    "web_sitemap_index",
-    "multimodal_webp_metadata",
-    # r17 session 2: compressed-archive matrix (tar.gz/bz2/xz +
-    # ZIP bzip2/LZMA) and the full-legal-space PNG variant matrix
-    # (palette/sub-byte/16-bit/Adam7), registered after the r17
-    # window was staged — full pytest-oracle parity until the r18
-    # front covers them.
-    "multimodal_archive_compression_matrix",
-    "multimodal_png_variant_matrix",
-    "multimodal_bmp_variant_matrix",
-    "multimodal_tiff_extended_matrix",
-    "multimodal_wav_pcm_widths",
-    "multimodal_gif_subframe_composite",
-    "multimodal_mpeg_family_triage",
-    "multimodal_bmp_bitfields_roundtrip",
-    "multimodal_ico_manifest",
+    # r18: the full r17 queue (14 entries) moved to the window front —
+    # every registry entry now has either a driver row or a window
+    # slot this round. New late-r18 registrations stage here.
 ]
 
 

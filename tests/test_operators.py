@@ -7439,8 +7439,14 @@ def test_tiff_codec_roundtrip_and_fail_louds():
             struct.pack_into("<H", tiled, at, 322)
     with pytest.raises(ValueError, match="tile geometry"):
         decode_tiff_pixels(bytes(tiled))
-    # CCITT / JPEG-in-TIFF refusals via the compression tag
-    for comp, msg in ((4, "CCITT"), (7, "JPEG-in-TIFF")):
+    # JPEG-in-TIFF refusal via the compression tag; CCITT on an
+    # 8-bit file is structurally illegal (fax is 1-bit by spec) and
+    # fails typed since r18 — real CCITT decode is covered in
+    # test_tiff_ccitt_fax_roundtrip
+    for comp, exc, msg in (
+        (4, ValueError, "1-bit bilevel"),
+        (7, NotImplementedError, "JPEG-in-TIFF"),
+    ):
         mod = bytearray(build_tiff(img))
         (ifd_at,) = struct.unpack("<I", mod[4:8])
         (n,) = struct.unpack("<H", mod[ifd_at:ifd_at + 2])
@@ -7448,7 +7454,7 @@ def test_tiff_codec_roundtrip_and_fail_louds():
             at = ifd_at + 2 + 12 * k
             if struct.unpack("<H", mod[at:at + 2])[0] == 259:
                 struct.pack_into("<H", mod, at + 8, comp)
-        with pytest.raises(NotImplementedError, match=msg):
+        with pytest.raises(exc, match=msg):
             decode_tiff_pixels(bytes(mod))
 
 
@@ -7544,6 +7550,382 @@ def test_tiff_extended_matrix_roundtrip():
         build_tiff(img, tile=(10, 16))
     with pytest.raises(ValueError, match="out of range"):
         build_tiff(np.full((4, 4), 3, dtype="uint8"), bits=1)
+
+
+def _pack_bits(bits: str) -> bytes:
+    """MSB-first packing of a hand-written bit string (spaces
+    ignored) — the foreign-fixture assembler: vectors built from the
+    published ITU-T T.4/T.6 code tables BY HAND, never through the
+    repo's own encoder."""
+    bits = bits.replace(" ", "")
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        out.append(int(bits[i:i + 8].ljust(8, "0"), 2))
+    return bytes(out)
+
+
+def test_png_foreign_golden_vectors():
+    """r18 (VERDICT r17 #4): PNG decode proved against HAND-ASSEMBLED
+    files built chunk-by-chunk from the public PNG spec (RFC 2083 /
+    W3C) — filter bytes, pass layouts, and packed samples all worked
+    out by hand in the comments, never through encode_png_variant, so
+    an encoder/decoder shared misreading cannot round-trip away."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mongo2pq_spark.operators.multimodal import decode_png_pixels
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+
+    def png(w, h, depth, color, interlace, idat_raw, plte=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        out = magic + chunk(b"IHDR", ihdr)
+        if plte:
+            out += chunk(b"PLTE", plte)
+        return (
+            out
+            + chunk(b"IDAT", zlib.compress(idat_raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # all five scanline filters on a 3×4 grayscale image; the
+    # filtered bytes are worked out BY HAND from the spec formulas:
+    # rows [10,20,30] Sub→[10,10,10]; [40,50,60] Up→[30,30,30];
+    # [45,55,65] Average→[25,8,8]; [100,110,120] Paeth→[55,10,10]
+    raw = bytes(
+        [1, 10, 10, 10, 2, 30, 30, 30, 3, 25, 8, 8, 4, 55, 10, 10]
+    )
+    h, w, c, arr = decode_png_pixels(png(3, 4, 8, 0, 0, raw))
+    assert (h, w, c) == (4, 3, 1)
+    assert arr[:, :, 0].tolist() == [
+        [10, 20, 30], [40, 50, 60], [45, 55, 65], [100, 110, 120]
+    ]
+
+    # 2-bit palette, 4×1: pixels [0,1,2,3] pack MSB-first into the
+    # single byte 00 01 10 11 = 0x1B; PLTE maps to distinct RGB
+    plte = bytes([9, 8, 7, 99, 98, 97, 199, 198, 197, 250, 251, 252])
+    h, w, c, arr = decode_png_pixels(
+        png(4, 1, 2, 3, 0, bytes([0, 0x1B]), plte=plte)
+    )
+    assert (h, w, c) == (1, 4, 3)
+    assert arr[0].tolist() == [
+        [9, 8, 7], [99, 98, 97], [199, 198, 197], [250, 251, 252]
+    ]
+
+    # 16-bit grayscale, 2×1: network byte order per spec
+    h, w, c, arr = decode_png_pixels(
+        png(2, 1, 16, 0, 0, bytes([0, 0x01, 0x02, 0xFF, 0xFE]))
+    )
+    assert arr.dtype == np.dtype("uint16")
+    assert arr[0, :, 0].tolist() == [0x0102, 0xFFFE]
+
+    # Adam7: 8×8 grayscale with pixel value y*8+x, serialized in the
+    # seven spec passes (pass grid from the spec diagram), each
+    # reduced-image row carrying its own filter-0 byte
+    p = [
+        [0],                       # pass 1: (y0,x0)
+        [4],                       # pass 2: (y0,x4)
+        [32, 36],                  # pass 3: y4, x∈{0,4}
+        [2, 6], [34, 38],          # pass 4: y∈{0,4}, x∈{2,6}
+        [16, 18, 20, 22], [48, 50, 52, 54],   # pass 5: y∈{2,6}
+        [1, 3, 5, 7], [17, 19, 21, 23],       # pass 6: x odd, y even
+        [33, 35, 37, 39], [49, 51, 53, 55],
+        list(range(8, 16)), list(range(24, 32)),      # pass 7: y odd
+        list(range(40, 48)), list(range(56, 64)),
+    ]
+    raw = b"".join(bytes([0] + row) for row in p)
+    h, w, c, arr = decode_png_pixels(png(8, 8, 8, 0, 1, raw))
+    assert (h, w, c) == (8, 8, 1)
+    want = np.arange(64, dtype="uint8").reshape(8, 8)
+    assert (arr[:, :, 0] == want).all()
+
+
+def test_bmp_foreign_golden_vectors():
+    """r18 (VERDICT r17 #4): BMP decode proved against hand-assembled
+    files from the public BITMAPINFOHEADER/RLE8/BITFIELDS layout —
+    bottom-up row order, word-aligned absolute runs, and 565 bit
+    replication all worked out by hand, no in-repo encoder."""
+    import struct
+
+    from mongo2pq_spark.operators.multimodal import decode_bmp_pixels
+
+    def bmp(w, h, bpp, compression, pixel_data, palette=b"", masks=b""):
+        data_at = 54 + len(masks) + len(palette)
+        header = (
+            b"BM"
+            + struct.pack(
+                "<IHHI", data_at + len(pixel_data), 0, 0, data_at
+            )
+            + struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h, 1, bpp, compression, len(pixel_data),
+                2835, 2835, len(palette) // 4, 0,
+            )
+        )
+        return header + masks + palette + pixel_data
+
+    # RLE8, 4×2 bottom-up: target top-down rows [1,1,2,3] / [3,3,3,0].
+    # Encoded bottom row first: run 3×idx3, run 1×idx0, EOL (00 00);
+    # then run 1×idx1, ABSOLUTE mode 3 pixels (00 03 01 02 03 + pad
+    # byte to word-align), end-of-bitmap (00 01)
+    palette = bytes(
+        [10, 11, 12, 0, 20, 21, 22, 0, 30, 31, 32, 0, 40, 41, 42, 0]
+    )  # BGRX entries idx0..3
+    rle = bytes(
+        [3, 3, 1, 0, 0, 0, 1, 1, 0, 3, 1, 2, 3, 0, 0, 1]
+    )
+    h, w, c, arr = decode_bmp_pixels(bmp(4, 2, 8, 1, rle, palette=palette))
+    assert (h, w, c) == (2, 4, 3)
+    # palette entries are BGRX → RGB reverses: idx1=(22,21,20) etc.
+    assert arr[0].tolist() == [
+        [22, 21, 20], [22, 21, 20], [32, 31, 30], [42, 41, 40]
+    ]
+    assert arr[1].tolist() == [
+        [42, 41, 40], [42, 41, 40], [42, 41, 40], [12, 11, 10]
+    ]
+
+    # BI_BITFIELDS 16-bit R5G6B5, 2×1: 0xF800 → pure red 255;
+    # 0x1234 → r=2→16, g=17→(17<<2)|(17>>4)=69, b=20→165 (bit
+    # replication per mask width)
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    px = struct.pack("<HH", 0xF800, 0x1234)
+    h, w, c, arr = decode_bmp_pixels(bmp(2, 1, 16, 3, px, masks=masks))
+    assert (h, w, c) == (1, 2, 3)
+    assert arr[0, 0].tolist() == [255, 0, 0]
+    assert arr[0, 1].tolist() == [16, 69, 165]
+
+    # 1-bit palette, 10×1: bits 1010101010 pack MSB-first into
+    # 0xAA 0x80, row padded to 4 bytes
+    pal2 = bytes([5, 6, 7, 0, 250, 240, 230, 0])
+    px = bytes([0xAA, 0x80, 0, 0])
+    h, w, c, arr = decode_bmp_pixels(bmp(10, 1, 1, 0, px, palette=pal2))
+    assert (h, w, c) == (1, 10, 3)
+    assert arr[0, 0].tolist() == [230, 240, 250]
+    assert arr[0, 1].tolist() == [7, 6, 5]
+    assert arr[0, 8].tolist() == [230, 240, 250]
+    assert arr[0, 9].tolist() == [7, 6, 5]
+
+
+def test_tiff_lzw_foreign_vectors():
+    """r18 (VERDICT r17 #4): TIFF-variant LZW decode proved against
+    bitstreams hand-packed from the TIFF6 §13 coding rules (9-bit
+    MSB-first codes, Clear=256, EOI=257) — table-hit code 258 and
+    the literal path worked out by hand, no in-repo encoder."""
+    from mongo2pq_spark.operators.tiff import _tiff_lzw_decode
+
+    # distinct bytes [10,20,30]: Clear, three literals, EOI
+    enc = _pack_bits(
+        "100000000 000001010 000010100 000011110 100000001"
+    )
+    assert _tiff_lzw_decode(enc, 3) == bytes([10, 20, 30])
+
+    # repeats [5,5,5,5]: Clear, 5 (adds 258=(5,5)), table hit 258,
+    # 5, EOI — exercises the dictionary path
+    enc = _pack_bits(
+        "100000000 000000101 100000010 000000101 100000001"
+    )
+    assert _tiff_lzw_decode(enc, 4) == bytes([5, 5, 5, 5])
+
+
+def test_ccitt_foreign_vectors():
+    """r18: hand-assembled CCITT bitstreams from the public ITU-T
+    T.4/T.6 code tables decode to the worked-out pixels — the
+    foreign-fixture pattern (no round-trip through the in-repo
+    encoder, so a shared misreading of the spec cannot cancel out)."""
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.ccitt import ccitt_decode
+
+    def unpack(raw, w, n):
+        arr = np.frombuffer(raw, dtype="uint8").reshape(n, (w + 7) // 8)
+        return np.unpackbits(arr, axis=1)[:, :w]
+
+    # MH (TIFF compression 2): white4 black3 white2 per T.4 Table 2:
+    # 1011 | 10 | 0111
+    row = unpack(ccitt_decode(_pack_bits("1011 10 0111"), 9, 1, 2), 9, 1)
+    assert row.tolist() == [[0, 0, 0, 0, 1, 1, 1, 0, 0]]
+
+    # row opening black emits the ZERO-length white code 00110101
+    # first: black2 white4 = 00110101 | 11 | 1011
+    row = unpack(
+        ccitt_decode(_pack_bits("00110101 11 1011"), 6, 1, 2), 6, 1
+    )
+    assert row.tolist() == [[1, 1, 0, 0, 0, 0]]
+
+    # makeup + terminating composition: white 70 = makeup64 (11011)
+    # + term6 (1110); black 71 = makeup64 (0000001111) + term7
+    # (00011), then white 1 (000111) pads the 142-wide row
+    row = unpack(
+        ccitt_decode(
+            _pack_bits("11011 1110 0000001111 00011 000111"),
+            142, 1, 2,
+        ),
+        142, 1,
+    )
+    assert row[0, :70].sum() == 0
+    assert row[0, 70:141].sum() == 71
+    assert row[0, 141] == 0
+
+    # compression-2 rows each start on a BYTE boundary: two rows of
+    # white4 black3 white2 with the first row's 10 bits padded to 16
+    two = unpack(
+        ccitt_decode(
+            _pack_bits("1011 10 0111 000000 1011 10 0111"), 9, 2, 2
+        ),
+        9, 2,
+    )
+    assert (two == [[0, 0, 0, 0, 1, 1, 1, 0, 0]] * 2).all()
+
+    # G3 1-D (compression 3): EOL (000000000001) before every row
+    row = unpack(
+        ccitt_decode(
+            _pack_bits("000000000001 1011 10 0111"
+                       "000000000001 1011 10 0111"),
+            9, 2, 3,
+        ),
+        9, 2,
+    )
+    assert (row == [[0, 0, 0, 0, 1, 1, 1, 0, 0]] * 2).all()
+
+    # G4 (T.6) worked example — row1 = white2 black3 white3 against
+    # the imaginary all-white reference: horizontal (001 + white2
+    # 0111 + black3 10) then V0 (1); row2 identical to row1: V0 V0 V0
+    # (111); EOFB closes
+    g4 = _pack_bits(
+        "001 0111 10 1  111  000000000001 000000000001"
+    )
+    got = unpack(ccitt_decode(g4, 8, 2, 4), 8, 2)
+    assert (got == [[0, 0, 1, 1, 1, 0, 0, 0]] * 2).all()
+
+    # all-white G4 rows are a single V0 bit each
+    got = unpack(
+        ccitt_decode(
+            _pack_bits("111 000000000001 000000000001"), 5, 3, 4
+        ),
+        5, 3,
+    )
+    assert got.sum() == 0
+
+    # typed failures: bad Huffman code, run overflowing the row,
+    # truncated stream, missing EOL
+    with pytest.raises(ValueError, match="invalid CCITT white"):
+        ccitt_decode(_pack_bits("00000000" * 3), 8, 1, 2)
+    with pytest.raises(ValueError, match="overflows row"):
+        ccitt_decode(_pack_bits("11011 1110"), 8, 1, 2)  # white 70
+    with pytest.raises(ValueError, match="truncated"):
+        ccitt_decode(_pack_bits("1011"), 9, 1, 2)
+    with pytest.raises(ValueError, match="expected CCITT EOL"):
+        ccitt_decode(_pack_bits("1011 10 0111"), 9, 1, 3)
+
+
+def test_tiff_ccitt_fax_roundtrip():
+    """r18 (VERDICT r17 #5): CCITT fax TIFF decodes for real across
+    all four framings — MH RLE (2), G3 1-D and 2-D (3 with both
+    T4Options), G4/MMR (4) — per-strip coder restart, both byte
+    orders, photometric 0 ink normalization; structural breakage and
+    the remaining variant space fail typed."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.ccitt import ccitt_decode, ccitt_encode
+    from mongo2pq_spark.operators.tiff import (
+        build_tiff,
+        decode_tiff_pixels,
+        parse_tiff_metadata,
+    )
+
+    rng = np.random.RandomState(18)
+
+    # codec-level round-trips: random speckle, blocky runs, solid
+    # rows (zero-length leading white), single-pixel rows
+    for trial in range(12):
+        h = int(rng.randint(1, 22))
+        w = int(rng.randint(1, 75))
+        kind = trial % 4
+        if kind == 0:
+            a = (rng.rand(h, w) < 0.35).astype("uint8")
+        elif kind == 1:
+            y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            a = (((x // 5) + (y // 2)) % 2).astype("uint8")
+        elif kind == 2:
+            a = np.ones((h, w), dtype="uint8")
+        else:
+            a = np.zeros((h, w), dtype="uint8")
+        for mode, two_d in [(2, False), (3, False), (3, True), (4, False)]:
+            raw = ccitt_decode(ccitt_encode(a, mode, two_d), w, h, mode, two_d)
+            got = np.unpackbits(
+                np.frombuffer(raw, dtype="uint8").reshape(h, (w + 7) // 8),
+                axis=1,
+            )[:, :w]
+            assert (got == a).all(), (trial, mode, two_d)
+
+    # container-level: ink input, photometric 0, normalized output is
+    # 1 − ink; strip restart at every RowsPerStrip; both byte orders
+    y, x = np.meshgrid(np.arange(18), np.arange(21), indexing="ij")
+    ink = (((3 + x // 4 + y // 3) % 4) == 0).astype("uint8")
+    for comp, two_d in [(2, False), (3, False), (3, True), (4, False)]:
+        for rps in (1, 4, 18):
+            for e in ("<", ">"):
+                t = build_tiff(
+                    ink, compression=comp, bits=1,
+                    rows_per_strip=rps, endian=e, t4_2d=two_d,
+                )
+                m = parse_tiff_metadata(t)
+                assert m["compression"] == comp
+                h, w, c, out = decode_tiff_pixels(t)
+                assert (h, w, c) == (18, 21, 1)
+                assert (out[:, :, 0] == 1 - ink).all(), (comp, two_d, rps, e)
+
+    def patch_tag(payload, tag, value=None, renumber=None):
+        t = bytearray(payload)
+        (ifd_at,) = struct.unpack("<I", t[4:8])
+        (n,) = struct.unpack("<H", t[ifd_at:ifd_at + 2])
+        for k in range(n):
+            at = ifd_at + 2 + 12 * k
+            if struct.unpack("<H", t[at:at + 2])[0] == tag:
+                if renumber is not None:
+                    struct.pack_into("<H", t, at, renumber)
+                if value is not None:
+                    struct.pack_into("<I", t, at + 8, value)
+        return bytes(t)
+
+    g3 = build_tiff(ink, compression=3, bits=1)
+    g4 = build_tiff(ink, compression=4, bits=1)
+    # T.4/T.6 uncompressed-mode option bits are typed refusals
+    with pytest.raises(NotImplementedError, match="T.4 uncompressed"):
+        decode_tiff_pixels(patch_tag(g3, 292, value=2))
+    with pytest.raises(NotImplementedError, match="T.6 uncompressed"):
+        decode_tiff_pixels(patch_tag(g4, 293, value=2))
+    # LSB-first fill order (renumber T4Options → FillOrder=2)
+    with pytest.raises(NotImplementedError, match="FillOrder 2"):
+        decode_tiff_pixels(patch_tag(g3, 292, value=2, renumber=266))
+    # tiled CCITT (renumber RowsPerStrip → TileWidth marker)
+    with pytest.raises(NotImplementedError, match="tiled CCITT"):
+        decode_tiff_pixels(patch_tag(g4, 278, renumber=322))
+    # corrupt G4 stream fails typed
+    bad = bytearray(g4)
+    bad[9] ^= 0xFF
+    bad[10] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_tiff_pixels(bytes(bad))
+    # builder guards
+    with pytest.raises(ValueError, match="1-bit bilevel"):
+        build_tiff(np.zeros((4, 4), dtype="uint8"), compression=4)
+    with pytest.raises(ValueError, match="strip-organized"):
+        build_tiff(ink, compression=4, bits=1, tile=(16, 16))
 
 
 def test_sitemap_index_parse_and_fail_louds():
