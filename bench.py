@@ -352,6 +352,17 @@ HEADLINE = [
     # explode + per-entry decode (200 built icons). Pin after its
     # first two idle sessions.
     "multimodal_ico_manifest",
+    # r18 first registration: CCITT G3/G4 fax TIFF decode across all
+    # four framings (200 built scans). Pin after its first two idle
+    # sessions.
+    "multimodal_tiff_ccitt_roundtrip",
+    # r18 second registration: JPEG-in-TIFF (old/new style + shared
+    # JPEGTables, 200 built files). Pin after its first two idle
+    # sessions.
+    "multimodal_tiff_jpeg_roundtrip",
+    # r18 third registration: 12-bit color/progressive JPEG (200
+    # built files). Pin after its first two idle sessions.
+    "multimodal_jpeg12_color_roundtrip",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -25,10 +25,14 @@ Scope (fail-loud outside it):
   unstuffing and sequence-validated RSTn restart markers,
   dequantizes, inverse-DCTs (batched), and color-converts — baseline
   sequential, progressive (full T.81 Annex G successive
-  approximation / spectral selection, r17), AND 12-bit extended
-  sequential grayscale (SOF1, uint16 output — the
-  medical/scientific shape; r17). ``NotImplementedError`` on
-  lossless/hierarchical SOFs, 12-bit color, and arithmetic coding;
+  approximation / spectral selection, r17), AND 12-bit precision
+  (SOF1 extended sequential r17; color and progressive too as of
+  r18 — uint16 output, chroma centered at 2048, the widened DC/AC
+  category bounds of T.81 Table F.1). ``NotImplementedError`` on
+  lossless/hierarchical SOFs and arithmetic coding (the QM-coder
+  needs T.81 Table D.3's 113-row state machine verbatim — transcribing
+  it from memory risks a self-consistent-but-nonconforming codec, the
+  exact hazard the foreign-vector tests exist to catch);
   ``ValueError`` on corrupt payloads — the same typed-error
   contract as the PNG decoder.
 
@@ -85,6 +89,12 @@ _DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11
 _DC12_VALS = list(range(16))
 _AC12_BITS = [0] * 7 + [226] + [0] * 8
 _AC12_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 15)
+]
+#: 12-bit progressive AC layout (r18): the 12-bit run/size surface
+#: plus the EOBn symbols, all 8-bit codes (240 symbols)
+_AC12_PROG_BITS = [0] * 7 + [240] + [0] * 8
+_AC12_PROG_VALS = [0x00, 0xF0] + [n << 4 for n in range(1, 15)] + [
     (run << 4) | size for run in range(16) for size in range(1, 15)
 ]
 
@@ -171,24 +181,28 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def _rgb_to_ycbcr(arr):
+def _rgb_to_ycbcr(arr, center: float = 128.0):
+    """JFIF color transform; ``center`` is the chroma zero point —
+    half the sample range (128 at 8-bit, 2048 at 12)."""
     import numpy as np
 
     r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
     return np.stack(
         [
             0.299 * r + 0.587 * g + 0.114 * b,
-            128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b,
-            128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b,
+            center - 0.168735892 * r - 0.331264108 * g + 0.5 * b,
+            center + 0.5 * r - 0.418687589 * g - 0.081312411 * b,
         ],
         axis=2,
     )
 
 
-def _ycbcr_to_rgb(planes):
+def _ycbcr_to_rgb(planes, center: float = 128.0, maxval: int = 255):
     import numpy as np
 
-    y, cb, cr = planes[:, :, 0], planes[:, :, 1] - 128.0, planes[:, :, 2] - 128.0
+    y = planes[:, :, 0]
+    cb = planes[:, :, 1] - center
+    cr = planes[:, :, 2] - center
     rgb = np.stack(
         [
             y + 1.402 * cr,
@@ -197,7 +211,9 @@ def _ycbcr_to_rgb(planes):
         ],
         axis=2,
     )
-    return np.clip(np.rint(rgb), 0, 255).astype("uint8")
+    return np.clip(np.rint(rgb), 0, maxval).astype(
+        "uint8" if maxval <= 255 else "uint16"
+    )
 
 
 _SAMPLING_MODES = {
@@ -256,13 +272,22 @@ def _encode_block(writer, block, q, comp, dc_prev, dc_codes, ac_codes, m,
         writer.write(code, length)
 
 
-def _prepare_planes(arr, qtable, subsampling: str):
+def _prepare_planes(arr, qtable, subsampling: str, precision: int = 8):
     """Shared front half of both encoders: validate, color-convert,
     pad to MCU multiples, box-downsample chroma. Returns
-    (planes, samp, h, w, ph, pw, n_comp, q)."""
+    (planes, samp, h, w, ph, pw, n_comp, q). ``precision=12`` (r18,
+    color too) takes an integer array in 0..4095."""
     import numpy as np
 
-    arr = np.ascontiguousarray(arr, dtype="uint8")
+    if precision == 12:
+        arr = np.asarray(arr)
+        if not np.issubdtype(arr.dtype, np.integer):
+            raise ValueError("12-bit input must be an integer array")
+        if arr.size and (int(arr.min()) < 0 or int(arr.max()) > 4095):
+            raise ValueError("12-bit sample outside 0..4095")
+        arr = np.ascontiguousarray(arr, dtype="int32")
+    else:
+        arr = np.ascontiguousarray(arr, dtype="uint8")
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.ndim != 3 or arr.shape[2] not in (1, 3):
@@ -289,7 +314,7 @@ def _prepare_planes(arr, qtable, subsampling: str):
         raise ValueError("quantization table entries must be in 1..255")
 
     full = (
-        _rgb_to_ycbcr(arr)
+        _rgb_to_ycbcr(arr, center=float(1 << (precision - 1)))
         if n_comp == 3
         else arr[:, :, 0].astype(np.float64)[:, :, None]
     )
@@ -354,42 +379,17 @@ def encode_jpeg(
     output overwhelmingly ships. ``restart_interval`` (r17) emits a
     DRI segment and RSTn markers every that-many MCUs with DC
     predictors reset — the error-resilience framing real encoders
-    add to large images. ``precision=12`` (r17) emits EXTENDED
-    sequential (SOF1) 12-bit GRAYSCALE — the medical/scientific
-    shape — from an integer array in 0..4095, with the widened
-    DC/AC tables (categories to 15, sizes to 14) declared in DHT."""
+    add to large images. ``precision=12`` (r17; color r18) emits
+    EXTENDED sequential (SOF1) 12-bit — grayscale OR YCbCr color
+    with any supported subsampling — from an integer array in
+    0..4095, with the widened DC/AC tables (categories to 15, sizes
+    to 14) declared in DHT."""
     import numpy as np
 
     if precision == 12:
-        a = np.asarray(arr)
-        if a.ndim != 2:
-            raise NotImplementedError(
-                "12-bit JPEG is grayscale-only here (the "
-                "medical/scientific shape); 12-bit color is out of "
-                "scope"
-            )
-        if not np.issubdtype(a.dtype, np.integer):
-            raise ValueError("12-bit input must be an integer array")
-        if a.size and (int(a.min()) < 0 or int(a.max()) > 4095):
-            raise ValueError("12-bit sample outside 0..4095")
-        h, w = a.shape
-        if h == 0 or w == 0:
-            raise ValueError("empty image")
-        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-        plane = np.pad(
-            a.astype(np.float64), ((0, ph - h), (0, pw - w)),
-            mode="edge",
+        planes, samp, h, w, ph, pw, n_comp, q = _prepare_planes(
+            arr, qtable, subsampling, precision=12
         )
-        planes, samp, n_comp = [plane], ((1, 1),), 1
-        q = (
-            np.ones((8, 8), dtype=np.float64)
-            if qtable is None
-            else np.asarray(qtable, dtype=np.float64).reshape(8, 8)
-        )
-        if (q < 1).any() or (q > 255).any():
-            raise ValueError(
-                "quantization table entries must be in 1..255"
-            )
         center, max_ac = 2048.0, 14
         dc_codes = _build_codes(_DC12_BITS, _DC12_VALS)
         ac_codes = _build_codes(_AC12_BITS, _AC12_VALS)
@@ -464,7 +464,7 @@ def encode_jpeg(
     )
 
 
-def _emit_ac_first(bw, blocks, ss, se, al, ac_codes):
+def _emit_ac_first(bw, blocks, ss, se, al, ac_codes, max_size=10):
     """Progressive AC first pass (T.81 G.1.2.2): point-transformed
     band coefficients with EOBn run-length coding across all-zero
     band remainders. ``blocks`` iterates zigzag lists in scan order."""
@@ -504,7 +504,7 @@ def _emit_ac_first(bw, blocks, ss, se, al, ac_codes):
                 bw.write(code, ln)
                 run -= 16
             size = _category(v)
-            if size > 10:
+            if size > max_size:
                 raise ValueError(
                     f"AC coefficient {v} exceeds the declared table"
                 )
@@ -578,7 +578,7 @@ def _emit_ac_refine(bw, blocks, ss, se, al, ac_codes):
 
 
 def encode_jpeg_progressive(
-    arr, qtable=None, subsampling: str = "444"
+    arr, qtable=None, subsampling: str = "444", precision: int = 8
 ) -> bytes:
     """Progressive JPEG writer (SOF2 — r17, VERDICT r16 #6): the same
     pixel contract as ``encode_jpeg`` but emitted as a T.81 Annex G
@@ -589,10 +589,15 @@ def encode_jpeg_progressive(
     final DC refinement. The AC DHT declares the EOBn symbols the
     run-length coding needs. Decodes bit-identically to the baseline
     encoding of the same array (successive approximation is exact
-    once all passes land)."""
+    once all passes land). ``precision=12`` (r18) emits the same
+    scan script at 12-bit — grayscale or color — with the widened
+    DC/AC tables."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
     planes, samp, h, w, ph, pw, n_comp, q = _prepare_planes(
-        arr, qtable, subsampling
+        arr, qtable, subsampling, precision=precision
     )
+    center = float(1 << (precision - 1))
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     m = _dct_matrix()
@@ -606,7 +611,8 @@ def encode_jpeg_progressive(
             [
                 [
                     _block_coef_zz(
-                        pl[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], q, m
+                        pl[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
+                        q, m, center=center,
                     )
                     for bx in range(nbx)
                 ]
@@ -614,8 +620,14 @@ def encode_jpeg_progressive(
             ]
         )
 
-    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _build_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+    if precision == 12:
+        dc_codes = _build_codes(_DC12_BITS, _DC12_VALS)
+        ac_codes = _build_codes(_AC12_PROG_BITS, _AC12_PROG_VALS)
+        ac_bits, ac_vals = _AC12_PROG_BITS, _AC12_PROG_VALS
+    else:
+        dc_codes = _build_codes(_DC_BITS, _DC_VALS)
+        ac_codes = _build_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+        ac_bits, ac_vals = _AC_PROG_BITS, _AC_PROG_VALS
 
     def mcu_dc_blocks():
         """Interleaved DC traversal: every comp's vi×hi blocks per
@@ -639,10 +651,8 @@ def encode_jpeg_progressive(
 
     out = bytearray()
     out += JPEG_MAGIC
-    out += _frame_segments(h, w, n_comp, samp, q, 0xC2)  # SOF2
-    out += _seg(
-        0xC4, bytes([0x10] + _AC_PROG_BITS) + bytes(_AC_PROG_VALS)
-    )
+    out += _frame_segments(h, w, n_comp, samp, q, 0xC2, precision)
+    out += _seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
 
     def sos(comp_ids, ss, se, ah, al):
         body = bytes([len(comp_ids)])
@@ -678,7 +688,10 @@ def encode_jpeg_progressive(
     for ci in range(n_comp):
         for ss, se in bands:
             bw = _BitWriter()
-            _emit_ac_first(bw, comp_blocks(ci), ss, se, al_ac, ac_codes)
+            _emit_ac_first(
+                bw, comp_blocks(ci), ss, se, al_ac, ac_codes,
+                max_size=14 if precision == 12 else 10,
+            )
             bw.flush()
             out += sos([ci], ss, se, 0, al_ac) + bytes(bw.buf)
     for ci in range(n_comp):
@@ -842,11 +855,6 @@ def decode_jpeg_pixels(payload: bytes):
     precision, h, w, n_comp = struct.unpack(">BHHB", sof[:6])
     if precision not in (8, 12):
         raise NotImplementedError(f"{precision}-bit JPEG unsupported")
-    if precision == 12 and n_comp != 1:
-        raise NotImplementedError(
-            "12-bit color JPEG out of scope (grayscale decodes — "
-            "the medical/scientific shape)"
-        )
     if n_comp not in (1, 3):
         raise NotImplementedError(f"{n_comp}-component JPEG unsupported")
     comps = []
@@ -884,7 +892,7 @@ def decode_jpeg_pixels(payload: bytes):
 
     for scan in scans:
         _decode_scan(scan, comps, coefs, nblocks, mcus_y, mcus_x,
-                     progressive)
+                     progressive, max_dc_cat=11 if precision == 8 else 15)
 
     # reconstruct: dequantize + batched IDCT per component
     m = _dct_matrix()
@@ -924,21 +932,27 @@ def decode_jpeg_pixels(payload: bytes):
         if fx > 1:
             plane = np.repeat(plane, fx, axis=1)
         out_planes[:, :, ci] = plane
+    maxval = (1 << precision) - 1
     if n_comp == 1:
-        maxval = (1 << precision) - 1
         out = np.clip(
             np.rint(out_planes[:h, :w, :]), 0, maxval
         ).astype("uint8" if precision == 8 else "uint16")
     else:
-        out = _ycbcr_to_rgb(out_planes[:h, :w, :])
+        out = _ycbcr_to_rgb(
+            out_planes[:h, :w, :],
+            center=float(1 << (precision - 1)),
+            maxval=maxval,
+        )
     return h, w, n_comp, out
 
 
 def _decode_scan(scan, comps, coefs, nblocks, mcus_y, mcus_x,
-                 progressive):
+                 progressive, max_dc_cat=11):
     """Execute one scan against the coefficient accumulators:
     sequential full-block, or one progressive pass (DC/AC ×
-    first/refinement), with restart-interval segment switching."""
+    first/refinement), with restart-interval segment switching.
+    ``max_dc_cat`` is the DC-difference category bound — 11 at 8-bit
+    precision, 15 at 12 (T.81 Table F.1)."""
     huff = scan["huff"]
     ss, se = scan["ss"], scan["se"]
     ah, al = scan["ah"], scan["al"]
@@ -1033,8 +1047,10 @@ def _decode_scan(scan, comps, coefs, nblocks, mcus_y, mcus_x,
                             "SOS references an undeclared DHT"
                         )
                     cat = decode_sym(dc_tbl)
-                    if cat > 11:
-                        raise ValueError("DC category > 11")
+                    if cat > max_dc_cat:
+                        raise ValueError(
+                            f"DC category > {max_dc_cat}"
+                        )
                     diff = _extend(state["reader"].read(cat), cat)
                     state["dc_prev"][pos_in_scan] += diff
                     row[0] = state["dc_prev"][pos_in_scan] << al

@@ -217,6 +217,32 @@ def _tiff_pack_rows(rows, bits: int, endian: str) -> bytes:
     return bytes(out)
 
 
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a complete JPEG interchange stream into (tables stream,
+    abbreviated stream) per TIFF Tech Note 2: DQT/DHT segments move
+    into an SOI…EOI tables stream (the JPEGTables tag 347 payload),
+    everything else — frame header, scans, entropy data — stays in
+    the per-strip abbreviated stream."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray(b"\xff\xd8")
+    abbrev = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("corrupt JPEG segment stream")
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: scan header + entropy to the end
+            abbrev += stream[pos:]
+            break
+        (ln,) = struct.unpack(">H", stream[pos + 2:pos + 4])
+        seg = stream[pos:pos + 2 + ln]
+        (tables if marker in (0xDB, 0xC4) else abbrev).extend(seg)
+        pos += 2 + ln
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(abbrev)
+
+
 def _tiff_compress(raw: bytes, compression: int) -> bytes:
     if compression == 5:
         return _tiff_lzw_encode(raw)
@@ -239,16 +265,21 @@ def build_tiff(
     bits: int = 8,
     tile: tuple[int, int] | None = None,
     t4_2d: bool = False,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Fixture writer: (h, w) grayscale or (h, w, 3) RGB sample array
     → TIFF in either byte order, strip-organized or (r17) TILED via
     ``tile=(tw, th)``, at ``bits`` ∈ {1, 8, 16} per sample, with
     compression 1 (none), 5 (LZW), 8 (Deflate — r17), 32773
-    (PackBits), or (r18) the CCITT fax codings 2 (MH RLE) / 3 (T.4
+    (PackBits), (r18) the CCITT fax codings 2 (MH RLE) / 3 (T.4
     G3, ``t4_2d`` setting T4Options bit 0) / 4 (T.6 G4) for 1-bit
-    bilevel; ``predictor=2`` adds horizontal differencing (LZW/
-    Deflate, 8/16-bit). ``extra_pages`` chains additional IFDs
-    reusing the same segments (multi-page triage fixtures)."""
+    bilevel, or (r18) JPEG-in-TIFF — 7 (new-style Tech Note 2
+    per-strip streams, ``jpeg_tables`` moving DQT/DHT into the
+    shared tag-347 stream) and 6 (old-style single interchange
+    stream via JPEGInterchangeFormat 513/514); ``predictor=2`` adds
+    horizontal differencing (LZW/Deflate, 8/16-bit).
+    ``extra_pages`` chains additional IFDs reusing the same segments
+    (multi-page triage fixtures)."""
     import numpy as np
 
     a = np.asarray(arr)
@@ -257,7 +288,7 @@ def build_tiff(
     if a.ndim != 3 or a.shape[2] not in (1, 3):
         raise ValueError(f"expected (h,w) or (h,w,3), got {a.shape}")
     h, w, spp = a.shape
-    if compression not in (1, 2, 3, 4, 5, 8, 32773):
+    if compression not in (1, 2, 3, 4, 5, 6, 7, 8, 32773):
         raise ValueError(f"fixture compression {compression}")
     if bits not in (1, 8, 16):
         raise ValueError(f"fixture bits {bits}")
@@ -268,6 +299,11 @@ def build_tiff(
         raise ValueError("CCITT fixtures are 1-bit bilevel")
     if ccitt and tile is not None:
         raise ValueError("CCITT fixtures are strip-organized")
+    jpeg = compression in (6, 7)
+    if jpeg and bits != 8:
+        raise ValueError("JPEG-in-TIFF fixtures are 8-bit")
+    if jpeg and (tile is not None or predictor == 2):
+        raise ValueError("JPEG-in-TIFF fixtures are plain strips")
     if int(a.max(initial=0)) >= (1 << bits):
         raise ValueError(f"sample value out of range for {bits}-bit")
     if predictor == 2 and compression not in (5, 8):
@@ -283,15 +319,34 @@ def build_tiff(
         return d & ((1 << bits) - 1)  # mod-2^bits differencing
 
     segments = []
+    jpeg_tables_blob = b""
     if tile is None:
         rps = rows_per_strip or max(1, h // 3)
-        for y0 in range(0, h, rps):
+        if compression == 6:
+            # old-style JPEG-in-TIFF: ONE full interchange stream,
+            # referenced by JPEGInterchangeFormat (513/514)
+            from mongo2pq_spark.operators.jpeg import encode_jpeg
+
+            img = a[:, :, 0] if spp == 1 else a
+            segments.append(encode_jpeg(img))
+            rps = h
+        for y0 in [] if compression == 6 else range(0, h, rps):
             if ccitt:
                 from mongo2pq_spark.operators.ccitt import ccitt_encode
 
                 segments.append(
                     ccitt_encode(a[y0:y0 + rps, :, 0], compression, t4_2d)
                 )
+                continue
+            if compression == 7:
+                from mongo2pq_spark.operators.jpeg import encode_jpeg
+
+                strip = a[y0:y0 + rps]
+                img = strip[:, :, 0] if spp == 1 else strip
+                stream = encode_jpeg(img)
+                if jpeg_tables:
+                    jpeg_tables_blob, stream = _split_jpeg_tables(stream)
+                segments.append(stream)
                 continue
             raw = _tiff_pack_rows(
                 differenced(a[y0:y0 + rps]), bits, endian
@@ -327,9 +382,24 @@ def build_tiff(
         (259, 3, "H", [compression]),
         # CCITT fixtures are photometric 0 (min-is-white, the fax
         # norm): the input array is INK bits (1=black), and the
-        # decoder's black-is-zero normalization returns 1−input
-        (262, 3, "H", [2 if spp == 3 else (0 if ccitt else 1)]),
+        # decoder's black-is-zero normalization returns 1−input.
+        # JPEG RGB is stored as YCbCr (photometric 6) per the spec.
+        (
+            262, 3, "H",
+            [
+                (6 if jpeg else 2)
+                if spp == 3
+                else (0 if ccitt else 1)
+            ],
+        ),
     ]
+    if jpeg_tables_blob:
+        spec.append((347, 7, None, jpeg_tables_blob))
+    if compression == 6:
+        spec += [
+            (513, 4, "I", [seg_offsets[0]]),
+            (514, 4, "I", [len(segments[0])]),
+        ]
     if tile is None:
         spec += [
             (273, 4, "I", seg_offsets),
@@ -360,7 +430,10 @@ def build_tiff(
         extra = bytearray()
         entries = []
         for tag, typ, fmt, values in spec:
-            data = b"".join(struct.pack(e + fmt, v) for v in values)
+            if fmt is None:  # raw bytes (BYTE/UNDEFINED tags)
+                data = bytes(values)
+            else:
+                data = b"".join(struct.pack(e + fmt, v) for v in values)
             if len(data) <= 4:
                 inline = data.ljust(4, b"\x00")
             else:
@@ -388,7 +461,8 @@ def build_tiff(
 def _walk_ifds(payload: bytes):
     """Yield (endian, {tag: (type, count, values)}) per IFD in chain
     order; values resolved through inline/offset layout for SHORT/
-    LONG types (what the baseline tags use)."""
+    LONG types (what the baseline tags use) and, r18, raw ``bytes``
+    for BYTE/UNDEFINED (the JPEGTables tag 347 payload)."""
     if payload[:4] not in TIFF_MAGICS:
         raise ValueError("not a TIFF payload")
     e = "<" if payload[:2] == b"II" else ">"
@@ -413,6 +487,20 @@ def _walk_ifds(payload: bytes):
                 size, fmt = 2, "H"
             elif typ == 4:
                 size, fmt = 4, "I"
+            elif typ in (1, 7):  # BYTE / UNDEFINED → raw bytes
+                if count <= 4:
+                    raw = payload[at + 8:at + 8 + count]
+                else:
+                    (off,) = struct.unpack(
+                        e + "I", payload[at + 8:at + 12]
+                    )
+                    raw = payload[off:off + count]
+                    if len(raw) < count:
+                        raise ValueError(
+                            f"TIFF tag {tag} bytes beyond payload"
+                        )
+                tags[tag] = (typ, count, bytes(raw))
+                continue
             else:
                 tags[tag] = (typ, count, None)
                 continue
@@ -580,15 +668,15 @@ def decode_tiff_pixels(payload: bytes):
         t4_2d = comp == 3 and bool(t4opts & 1)
         if int(_tag1(tags, 266, 1)) != 1:
             raise NotImplementedError("CCITT FillOrder 2 (LSB-first)")
-    if comp in (6, 7):
-        raise NotImplementedError(
-            "JPEG-in-TIFF unsupported here (extract the JPEG stream "
-            "for operators/jpeg.py instead)"
-        )
-    if comp not in (1, 2, 3, 4, 5, 8, 32946, 32773):
+    jpeg = comp in (6, 7)
+    if jpeg and bits != 8:
+        raise NotImplementedError(f"{bits}-bit JPEG-in-TIFF")
+    if comp not in (1, 2, 3, 4, 5, 6, 7, 8, 32946, 32773):
         raise NotImplementedError(f"TIFF compression {comp}")
     photometric = int(_tag1(tags, 262, 1))
-    if photometric not in (0, 1, 2):
+    if photometric not in (0, 1, 2) and not (
+        jpeg and photometric == 6
+    ):
         raise NotImplementedError(
             f"TIFF photometric {photometric} unsupported"
         )
@@ -601,6 +689,70 @@ def decode_tiff_pixels(payload: bytes):
     tiled = 322 in tags or 323 in tags or 324 in tags or 325 in tags
     if ccitt and tiled:
         raise NotImplementedError("tiled CCITT TIFF")
+    if jpeg:
+        # r18: JPEG-in-TIFF decodes through operators/jpeg.py —
+        # old-style (6) via the JPEGInterchangeFormat stream,
+        # new-style (7) per Tech Note 2: each strip an abbreviated
+        # stream completed by the shared JPEGTables (347) DQT/DHT
+        if tiled:
+            raise NotImplementedError("tiled JPEG-in-TIFF")
+        from mongo2pq_spark.operators.jpeg import decode_jpeg_pixels
+
+        if comp == 6:
+            off = _tag1(tags, 513)
+            cnt = _tag1(tags, 514)
+            if off is None or cnt is None:
+                raise NotImplementedError(
+                    "old-style JPEG-in-TIFF without "
+                    "JPEGInterchangeFormat (513/514)"
+                )
+            stream = payload[off:off + cnt]
+            if len(stream) < cnt:
+                raise ValueError("JPEGInterchangeFormat beyond payload")
+            jh, jw, jc, arr = decode_jpeg_pixels(stream)
+            if (jh, jw) != (h, w) or jc != spp:
+                raise ValueError(
+                    f"JPEG stream is {jh}x{jw}x{jc}, IFD says "
+                    f"{h}x{w}x{spp}"
+                )
+            return h, w, spp, arr
+        tables = tags.get(347, (7, 0, b""))[2] or b""
+        if tables and (
+            tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9"
+        ):
+            raise ValueError("JPEGTables is not an SOI…EOI stream")
+        rps = int(_tag1(tags, 278, h))
+        offsets = tags.get(273, (4, 0, []))[2] or []
+        counts = tags.get(279, (4, 0, []))[2] or []
+        if not offsets or len(offsets) != len(counts):
+            raise ValueError(
+                "TIFF strip offsets/counts missing/mismatched"
+            )
+        if len(offsets) != -(-h // rps):
+            raise ValueError(
+                f"TIFF declares {len(offsets)} strips for {-(-h // rps)}"
+            )
+        parts = []
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            seg = payload[off:off + cnt]
+            if len(seg) < cnt:
+                raise ValueError(f"TIFF strip {i} beyond payload")
+            if seg[:2] != b"\xff\xd8":
+                raise ValueError(f"JPEG strip {i} lacks SOI")
+            if tables:
+                seg = b"\xff\xd8" + tables[2:-2] + seg[2:]
+            n_rows = min(rps, h - i * rps)
+            jh, jw, jc, arr = decode_jpeg_pixels(seg)
+            if jw != w or jc != spp or jh < n_rows:
+                raise ValueError(
+                    f"JPEG strip {i} is {jh}x{jw}x{jc}, expected "
+                    f">={n_rows}x{w}x{spp}"
+                )
+            parts.append(arr[:n_rows])
+        out = np.concatenate(parts, axis=0)
+        if photometric == 0:
+            out = (255 - out.astype(np.int64)).astype("uint8")
+        return h, w, spp, out
     dtype = "uint16" if bits == 16 else "uint8"
     if tiled:
         tw = _tag1(tags, 322)

@@ -69,8 +69,17 @@ _DRIVER_WINDOW_FIRST = [
     # encrypted-zip doc note refreshed (VERDICT r17 #6);
     "multimodal_archive_manifest",
     # (a'') new r18 registrations — CCITT G3/G4 fax decode for TIFF
-    # (VERDICT r17 #5) and the foreign golden-vector proof queries;
+    # (VERDICT r17 #5), JPEG-in-TIFF (the last TIFF compression
+    # refusal, old- and new-style framings), and 12-bit
+    # color/progressive JPEG (the named r17 tail);
     "multimodal_tiff_ccitt_roundtrip",
+    "multimodal_tiff_jpeg_roundtrip",
+    "multimodal_jpeg12_color_roundtrip",
+    # (a''') doc-note re-entries (rotation contract — the "remaining
+    # JPEG stubs" notes went stale when 12-bit color/progressive
+    # landed):
+    "multimodal_jpeg_subsampled_roundtrip",
+    "multimodal_jpeg_progressive_roundtrip",
     # (b) ALL 19 r11-latest entries (VERDICT r17 #3 — they hit the
     # seven-round staleness ceiling at r18), registry order;
     "speculative_parse",
@@ -92,7 +101,7 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_image_cell_features",
     "multimodal_image_dhash_incremental",
     "multimodal_wav_audio_stats",
-    # (c) the oldest 15 of the 42 r12-latest entries, registry order
+    # (c) the oldest 11 of the 42 r12-latest entries, registry order
     # (the remaining r12s are the staged r19 front — the rotation's
     # oldest cohort after this round);
     "events_pivot_daily",
@@ -106,10 +115,6 @@ _DRIVER_WINDOW_FIRST = [
     "corpus_dsir_select",
     "dedup_cluster_survivors",
     "dedup_chunk_reassemble",
-    "dedup_cdc_chunks",
-    "corpus_mix_temperature",
-    "events_cms_estimates",
-    "multimodal_audio_fp_neardup",
 ]
 
 

@@ -7323,24 +7323,79 @@ def test_jpeg_12bit_extended_sequential_roundtrip():
     )[3]
     assert (out3 == out2).all()
 
-    with pytest.raises(NotImplementedError, match="grayscale-only"):
-        encode_jpeg(np.zeros((4, 4, 3), dtype=int), precision=12)
+    # 12-bit color encodes too as of r18 — the scope boundary tests
+    # moved to test_jpeg_12bit_color_and_progressive; the numeric
+    # guards stay
     with pytest.raises(ValueError, match="0..4095"):
         encode_jpeg(np.full((4, 4), 4096), precision=12)
     with pytest.raises(ValueError, match="integer"):
         encode_jpeg(np.zeros((4, 4)), precision=12)
     with pytest.raises(ValueError, match="precision"):
         encode_jpeg(np.zeros((4, 4), dtype="uint8"), precision=10)
-    # decoder: 12-bit COLOR stays a typed refusal
+    # forged SOF component count against a 1-component stream still
+    # fails typed (structure mismatch surfaces in parse or decode)
     enc = bytearray(encode_jpeg(img, precision=12))
     sof_at = enc.find(b"\xff\xc1")
-    # forge n_comp=3 in the SOF header (parse-level check fires
-    # before any entropy decode)
     enc[sof_at + 9] = 3
     with pytest.raises(
         (NotImplementedError, ValueError)
     ):
         decode_jpeg_pixels(bytes(enc))
+
+
+def test_jpeg_12bit_color_and_progressive():
+    """r18: 12-bit COLOR (extended sequential SOF1) and 12-bit
+    PROGRESSIVE (SOF2, grayscale and color) decode — the tails the
+    r17 verdict named. Achromatic constant macroblocks round-trip
+    bit-exact at 12-bit (chroma centered at 2048), general content
+    within quantization rounding; the widened T.81 Table F.1
+    category bounds are exercised by values beyond the 8-bit domain."""
+    import numpy as np
+
+    from mongo2pq_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(4095)
+    mac = rng.randint(0, 4096, (2, 2))
+    gray = np.kron(mac, np.ones((16, 16), dtype=int)).astype("int32")
+    rgb = np.stack([gray] * 3, axis=2)
+    assert int(gray.max()) > 255
+
+    # sequential color, all subsamplings, bit-exact on achromatic
+    # constant 16x16 cells
+    for sub in ("444", "422", "420"):
+        h, w, c, out = decode_jpeg_pixels(
+            encode_jpeg(rgb, precision=12, subsampling=sub)
+        )
+        assert (h, w, c) == (32, 32, 3) and out.dtype == np.uint16
+        assert (out == rgb).all(), sub
+
+    # progressive: 12-bit grayscale and color
+    h, w, c, out = decode_jpeg_pixels(
+        encode_jpeg_progressive(gray, precision=12)
+    )
+    assert out.dtype == np.uint16 and (out[:, :, 0] == gray).all()
+    for sub in ("444", "420"):
+        out = decode_jpeg_pixels(
+            encode_jpeg_progressive(rgb, precision=12, subsampling=sub)
+        )[3]
+        assert (out == rgb).all(), sub
+
+    # general 12-bit content: sequential and progressive agree with
+    # the source within quantization rounding at the 12-bit scale
+    img = rng.randint(0, 4096, (21, 19, 3)).astype("int32")
+    for enc in (encode_jpeg, encode_jpeg_progressive):
+        out = decode_jpeg_pixels(enc(img, precision=12))[3]
+        assert np.abs(out.astype(int) - img).max() <= 4, enc.__name__
+
+    # 8-bit progressive unchanged by the precision plumbing
+    img8 = rng.randint(0, 256, (17, 23, 3)).astype("uint8")
+    out8 = decode_jpeg_pixels(encode_jpeg_progressive(img8))[3]
+    assert out8.dtype == np.uint8
+    assert np.abs(out8.astype(int) - img8).max() <= 3
 
 
 def test_tiff_codec_roundtrip_and_fail_louds():
@@ -7439,13 +7494,14 @@ def test_tiff_codec_roundtrip_and_fail_louds():
             struct.pack_into("<H", tiled, at, 322)
     with pytest.raises(ValueError, match="tile geometry"):
         decode_tiff_pixels(bytes(tiled))
-    # JPEG-in-TIFF refusal via the compression tag; CCITT on an
-    # 8-bit file is structurally illegal (fax is 1-bit by spec) and
-    # fails typed since r18 — real CCITT decode is covered in
-    # test_tiff_ccitt_fax_roundtrip
+    # compression-tag patches hit the r18 typed gates: CCITT on an
+    # 8-bit file is structurally illegal (fax is 1-bit by spec), and
+    # compression 7 on non-JPEG strips fails the SOI check — real
+    # CCITT / JPEG-in-TIFF decode is covered in
+    # test_tiff_ccitt_fax_roundtrip / test_tiff_jpeg_in_tiff_roundtrip
     for comp, exc, msg in (
         (4, ValueError, "1-bit bilevel"),
-        (7, NotImplementedError, "JPEG-in-TIFF"),
+        (7, ValueError, "lacks SOI"),
     ):
         mod = bytearray(build_tiff(img))
         (ifd_at,) = struct.unpack("<I", mod[4:8])
@@ -7926,6 +7982,90 @@ def test_tiff_ccitt_fax_roundtrip():
         build_tiff(np.zeros((4, 4), dtype="uint8"), compression=4)
     with pytest.raises(ValueError, match="strip-organized"):
         build_tiff(ink, compression=4, bits=1, tile=(16, 16))
+
+
+def test_tiff_jpeg_in_tiff_roundtrip():
+    """r18: JPEG-in-TIFF decodes through operators/jpeg.py — old
+    style (6, JPEGInterchangeFormat), new style (7, per-strip
+    abbreviated streams + shared JPEGTables DQT/DHT merge); the
+    constant-8×8-macroblock construction survives bit-exactly under
+    the all-ones quantization table. Structural breakage and the
+    out-of-scope variants fail typed."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.tiff import (
+        _split_jpeg_tables,
+        build_tiff,
+        decode_tiff_pixels,
+        parse_tiff_metadata,
+    )
+
+    mac = np.array(
+        [[(31 * mx + 57 * my) % 256 for mx in range(3)]
+         for my in range(4)],
+        dtype="uint8",
+    )
+    gray = np.kron(mac, np.ones((8, 8), dtype="uint8"))
+    rgb = np.stack([gray] * 3, axis=2)
+    for img, spp in [(gray, 1), (rgb, 3)]:
+        want = img if img.ndim == 3 else img[:, :, None]
+        for comp, jt, rps in [
+            (7, False, 8), (7, True, 16), (6, False, 32)
+        ]:
+            for e in ("<", ">"):
+                t = build_tiff(
+                    img, compression=comp, rows_per_strip=rps,
+                    jpeg_tables=jt, endian=e,
+                )
+                assert parse_tiff_metadata(t)["compression"] == comp
+                h, w, c, out = decode_tiff_pixels(t)
+                assert (h, w, c) == (32, 24, spp)
+                assert (out == want).all(), (spp, comp, jt, rps, e)
+
+    # the tables split really moves DQT/DHT out of the strip stream
+    from mongo2pq_spark.operators.jpeg import encode_jpeg
+
+    tables, abbrev = _split_jpeg_tables(encode_jpeg(gray))
+    assert tables[:2] == b"\xff\xd8" and tables[-2:] == b"\xff\xd9"
+    assert b"\xff\xdb" in tables and b"\xff\xc4" in tables
+    assert b"\xff\xdb" not in abbrev and abbrev[:2] == b"\xff\xd8"
+
+    def patch_tag(payload, tag, value=None, renumber=None):
+        t = bytearray(payload)
+        (ifd_at,) = struct.unpack("<I", t[4:8])
+        (n,) = struct.unpack("<H", t[ifd_at:ifd_at + 2])
+        for k in range(n):
+            at = ifd_at + 2 + 12 * k
+            if struct.unpack("<H", t[at:at + 2])[0] == tag:
+                if renumber is not None:
+                    struct.pack_into("<H", t, at, renumber)
+                if value is not None:
+                    struct.pack_into("<I", t, at + 8, value)
+        return bytes(t)
+
+    base = build_tiff(gray, compression=7, rows_per_strip=32)
+    # non-8-bit JPEG-in-TIFF is a typed refusal (BitsPerSample
+    # patches: 12 trips the generic depth gate, 16 the JPEG one)
+    with pytest.raises(NotImplementedError, match="12.*unsupported"):
+        decode_tiff_pixels(patch_tag(base, 258, value=12))
+    with pytest.raises(NotImplementedError, match="16-bit JPEG-in-TIFF"):
+        decode_tiff_pixels(patch_tag(base, 258, value=16))
+    # tiled JPEG-in-TIFF refusal (renumber RowsPerStrip → TileWidth)
+    with pytest.raises(NotImplementedError, match="tiled JPEG-in-TIFF"):
+        decode_tiff_pixels(patch_tag(base, 278, renumber=322))
+    # old-style without the 513 pointer is the documented refusal
+    old = build_tiff(gray, compression=6)
+    with pytest.raises(NotImplementedError, match="JPEGInterchangeFormat"):
+        decode_tiff_pixels(patch_tag(old, 513, renumber=50000))
+    # a strip that is not a JPEG stream fails typed (segments start
+    # right after the 8-byte TIFF header, so bytes 8-9 are its SOI)
+    bad = bytearray(base)
+    bad[8] ^= 0xFF
+    with pytest.raises(ValueError, match="lacks SOI"):
+        decode_tiff_pixels(bytes(bad))
 
 
 def test_sitemap_index_parse_and_fail_louds():

@@ -1106,8 +1106,9 @@ def test_r17_codec_queries_are_map_only(spark, sf_dir):
         "multimodal_gif_pixel_roundtrip",
         "multimodal_tiff_pixel_roundtrip",
         "multimodal_zip_encrypted_manifest",
-        # r18: CCITT fax joins the same map-only shape
+        # r18: CCITT fax and JPEG-in-TIFF join the same map-only shape
         "multimodal_tiff_ccitt_roundtrip",
+        "multimodal_tiff_jpeg_roundtrip",
     ):
         plan = _formatted(spark, sf_dir, name)
         assert "Exchange" not in plan, name
