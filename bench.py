@@ -363,6 +363,10 @@ HEADLINE = [
     # r18 third registration: 12-bit color/progressive JPEG (200
     # built files). Pin after its first two idle sessions.
     "multimodal_jpeg12_color_roundtrip",
+    # r18 fourth registration: PDF embedded-image extraction across
+    # DCT/CCITT/Flate filters (150 built 3-page PDFs). Pin after its
+    # first two idle sessions.
+    "multimodal_pdf_embedded_images",
 ]
 
 #: Registered queries DELIBERATELY excluded from the throughput suite

@@ -144,6 +144,19 @@ _DEC_MODES[(len(_PASS), int(_PASS, 2))] = ("p", 0)
 _DEC_MODES[(len(_HORIZ), int(_HORIZ, 2))] = ("h", 0)
 
 
+_BIT_REVERSE = bytes(
+    int(f"{i:08b}"[::-1], 2) for i in range(256)
+)
+
+
+def reverse_fill_order(data: bytes) -> bytes:
+    """Per-byte bit reversal — TIFF FillOrder 2 (LSB-first) fax
+    payloads become the MSB-first stream the coders here speak.
+    Involutive, so the encoder reuses it to WRITE FillOrder-2
+    fixtures."""
+    return bytes(data).translate(_BIT_REVERSE)
+
+
 class _BitWriter:
     __slots__ = ("out", "acc", "nbits")
 
@@ -429,6 +442,59 @@ def ccitt_encode(
     else:
         raise ValueError(f"CCITT fixture mode {mode}")
     return bw.getvalue()
+
+
+def ccitt_encode_k(
+    rows, k: int, byte_align: bool = False
+) -> bytes:
+    """Encode per the PDF CCITTFaxDecode /K convention (ISO 32000
+    §7.4.6): K < 0 pure 2-D (T.6/G4, EOFB-terminated), K = 0 pure
+    1-D without EOLs (``byte_align`` = /EncodedByteAlign starts each
+    row on a byte boundary), K > 0 mixed mode (EOL + tag bit per
+    row, first row 1-D). Input is ink bits per the BlackIs1=true
+    convention (1 = black); the caller flips for BlackIs1=false."""
+    import numpy as np
+
+    a = np.asarray(rows, dtype="uint8")
+    h, w = a.shape
+    if int(a.max(initial=0)) > 1:
+        raise ValueError("CCITT input must be 0/1 bilevel")
+    if k < 0:
+        return ccitt_encode(a, 4)
+    if k > 0:
+        return ccitt_encode(a, 3, two_d=True)
+    bw = _BitWriter()
+    for y in range(h):
+        _encode_1d_row(bw, a[y].tobytes())
+        if byte_align:
+            bw.byte_align()
+    return bw.getvalue()
+
+
+def ccitt_decode_k(
+    data: bytes, w: int, n_rows: int, k: int,
+    byte_align: bool = False,
+) -> bytes:
+    """Decode a PDF CCITTFaxDecode stream (same K semantics as the
+    encoder above) to byte-aligned packed rows, white=0/black=1
+    (BlackIs1=true); the caller inverts for the PDF default
+    BlackIs1=false where 0 means black."""
+    import numpy as np
+
+    if k < 0:
+        return ccitt_decode(data, w, n_rows, 4)
+    if k > 0:
+        return ccitt_decode(data, w, n_rows, 3, two_d=True)
+    br = _BitReader(data)
+    rows = []
+    for y in range(n_rows):
+        if byte_align and y:
+            br.byte_align()
+        rows.append(_decode_1d_row(br, w))
+    arr = np.frombuffer(b"".join(rows), dtype="uint8").reshape(
+        n_rows, w
+    )
+    return np.packbits(arr, axis=1).tobytes()
 
 
 def ccitt_decode(

@@ -101,6 +101,7 @@ def build_pdf_stub_xrefstream(
     encrypted: bool = False,
     pad: int = 0,
     page_texts: list[bytes] | None = None,
+    page_images: list[dict | None] | None = None,
 ) -> bytes:
     """Minimal structurally real PDF **1.5**: catalog, pages tree and
     Info live INSIDE a FlateDecode'd object stream (/ObjStm, type-2
@@ -112,7 +113,13 @@ def build_pdf_stub_xrefstream(
     builder, so an offset-ignoring parser cannot stay correct.
     ``page_texts`` (optional, one content-stream body per page, raw
     operator bytes) attaches FlateDecode'd /Contents streams — the
-    text-extraction fixture surface."""
+    text-extraction fixture surface. ``page_images`` (r18, optional,
+    one entry or None per page) attaches an /XObject /Image to the
+    page's /Resources: each entry is a dict with ``filter`` (name
+    bytes, e.g. b"DCTDecode"), ``data`` (the already-encoded stream
+    bytes), ``width``/``height``/``bpc``, ``colorspace`` (name
+    bytes) and optional ``parms`` (a /DecodeParms dict literal) —
+    the embedded-image extraction fixture surface."""
     import zlib
 
     out = bytearray(b"%PDF-1.5\n")
@@ -120,6 +127,8 @@ def build_pdf_stub_xrefstream(
         out += b"%" + b"p" * pad + b"\n"
     if page_texts is not None and len(page_texts) != n_pages:
         raise ValueError("page_texts length must equal n_pages")
+    if page_images is not None and len(page_images) != n_pages:
+        raise ValueError("page_images length must equal n_pages")
 
     kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
     in_stream: list[tuple[int, bytes]] = [
@@ -132,6 +141,12 @@ def build_pdf_stub_xrefstream(
         for i in range(n_pages):
             content_refs[3 + i] = next_num
             next_num += 1
+    image_refs: dict[int, int] = {}
+    if page_images is not None:
+        for i in range(n_pages):
+            if page_images[i] is not None:
+                image_refs[3 + i] = next_num
+                next_num += 1
     info_ref = None
     if title is not None:
         info_ref = next_num
@@ -146,10 +161,39 @@ def build_pdf_stub_xrefstream(
             if content_refs
             else ""
         )
+        resources = (
+            f" /Resources << /XObject << /Im0 {image_refs[3 + i]} "
+            "0 R >> >>"
+            if 3 + i in image_refs
+            else ""
+        )
         out += (
             f"{3 + i} 0 obj\n<< /Type /Page /Parent 2 0 R"
-            f"{contents} >>\nendobj\n"
+            f"{contents}{resources} >>\nendobj\n"
         ).encode()
+    for i in range(n_pages):
+        if 3 + i not in image_refs:
+            continue
+        spec = page_images[i]
+        num = image_refs[3 + i]
+        parms = spec.get("parms", b"")
+        parms_part = (
+            b" /DecodeParms " + parms if parms else b""
+        )
+        direct_offsets[num] = len(out)
+        out += (
+            (
+                f"{num} 0 obj\n<< /Type /XObject /Subtype /Image "
+                f"/Width {spec['width']} /Height {spec['height']} "
+                f"/BitsPerComponent {spec['bpc']} "
+            ).encode()
+            + b"/ColorSpace /" + spec["colorspace"]
+            + b" /Filter /" + spec["filter"]
+            + parms_part
+            + f" /Length {len(spec['data'])} >>\nstream\n".encode()
+            + spec["data"]
+            + b"\nendstream\nendobj\n"
+        )
     for i in range(n_pages):
         if not content_refs:
             break
@@ -803,6 +847,180 @@ def extract_pdf_text(payload: bytes) -> list[dict]:
             {"page_idx": page_idx, "text": text, "n_chars": len(text)}
         )
     return out
+
+
+def _parms_int(parms: bytes, key: bytes, default: int) -> int:
+    m = re.search(key + rb"\s+(-?\d+)", parms)
+    return int(m.group(1)) if m else default
+
+
+def extract_pdf_images(payload: bytes) -> list[dict]:
+    """Per-page embedded-image extraction (r18) — the scanned-corpus
+    payoff stage after text extraction: resolve each page's
+    /Resources /XObject image through the xref machinery (classic or
+    1.5+ streams) and DECODE it through the in-repo codec families —
+    /DCTDecode via operators/jpeg.py (baseline / progressive /
+    12-bit), /CCITTFaxDecode via operators/ccitt.py with the ISO
+    32000 §7.4.6 /K convention (K<0 pure 2-D G4, K=0 pure 1-D, K>0
+    mixed; /EncodedByteAlign honored; /BlackIs1 is parsed-and-
+    ignored because T.4/T.6 runs carry the white/black semantics —
+    the normalized output is always black=0/white=1), /FlateDecode
+    raw gray/RGB rasters via stdlib zlib. Scanned-document corpora
+    ship exactly these three. Returns ``[{page_idx, im_filter,
+    width, height, channels, pixel_sum, n_pixels}]`` (pixel stats,
+    the scalarized contract every codec query shares).
+    ``NotImplementedError`` on JPXDecode/JBIG2Decode;
+    ``ValueError`` on structural corruption."""
+    import zlib
+
+    import numpy as np
+
+    _version, entries, trailer, _load = _resolve_xref(payload)
+    if _dict_ref(trailer, rb"/Encrypt") is not None:
+        raise ValueError(
+            "encrypted PDF: image streams are never decrypted here"
+        )
+    root_ref = _dict_ref(trailer, rb"/Root")
+    if root_ref is None:
+        raise ValueError("trailer lacks /Root")
+    pages_ref = _dict_ref(_load(root_ref), rb"/Pages")
+    if pages_ref is None:
+        raise ValueError("catalog has no /Pages")
+    km = re.search(rb"/Kids\s*\[([^\]]*)\]", _load(pages_ref))
+    if km is None:
+        raise ValueError("pages tree has no /Kids")
+    kid_refs = [
+        int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", km.group(1))
+    ]
+    out = []
+    for page_idx, ref in enumerate(kid_refs):
+        page = _load(ref)
+        rm = re.search(
+            rb"/XObject\s*<<([^>]*(?:>(?!>)[^>]*)*)>>", page
+        )
+        if rm is None:
+            continue
+        for img_ref in re.findall(rb"(\d+)\s+\d+\s+R", rm.group(1)):
+            ent = entries.get(int(img_ref))
+            if ent is None or ent[0] != "d":
+                raise ValueError(
+                    f"image object {int(img_ref)} missing or in an "
+                    "object stream (stream objects cannot live there)"
+                )
+            d, raw = _obj_dict_and_stream(payload, ent[1])
+            if re.search(rb"/Subtype\s*/Image\b", d) is None:
+                continue
+            w = _dict_int(d, rb"/Width")
+            h = _dict_int(d, rb"/Height")
+            if w is None or h is None:
+                raise ValueError("image XObject lacks /Width//Height")
+            fm = re.search(rb"/Filter\s*/(\w+)", d)
+            fname = fm.group(1).decode() if fm else "none"
+            pm = re.search(
+                rb"/DecodeParms\s*<<([^>]*(?:>(?!>)[^>]*)*)>>", d
+            )
+            parms = pm.group(1) if pm else b""
+            if fname == "DCTDecode":
+                from mongo2pq_spark.operators.jpeg import (
+                    decode_jpeg_pixels,
+                )
+
+                jh, jw, jc, arr = decode_jpeg_pixels(raw)
+                if (jh, jw) != (h, w):
+                    raise ValueError(
+                        f"JPEG is {jh}x{jw}, dict says {h}x{w}"
+                    )
+            elif fname == "CCITTFaxDecode":
+                from mongo2pq_spark.operators.ccitt import (
+                    ccitt_decode_k,
+                )
+
+                k = _parms_int(parms, rb"/K", 0)
+                cols = _parms_int(parms, rb"/Columns", 1728)
+                if cols != w:
+                    raise ValueError(
+                        f"/Columns {cols} differs from /Width {w}"
+                    )
+                align = (
+                    re.search(
+                        rb"/EncodedByteAlign\s+true", parms
+                    )
+                    is not None
+                )
+                packed = ccitt_decode_k(raw, w, h, k, byte_align=align)
+                bits = np.unpackbits(
+                    np.frombuffer(packed, dtype="uint8").reshape(
+                        h, (w + 7) // 8
+                    ),
+                    axis=1,
+                )[:, :w]
+                arr = (1 - bits)[:, :, None]  # black=0/white=1
+                jc = 1
+            elif fname in ("FlateDecode", "none"):
+                plain = zlib.decompress(raw) if fname != "none" else raw
+                jc = (
+                    3
+                    if re.search(rb"/DeviceRGB\b", d) is not None
+                    else 1
+                )
+                if len(plain) != h * w * jc:
+                    raise ValueError(
+                        f"raster is {len(plain)}B for {h}x{w}x{jc}"
+                    )
+                arr = np.frombuffer(plain, dtype="uint8").reshape(
+                    h, w, jc
+                )
+            else:
+                raise NotImplementedError(
+                    f"image filter {fname} (DCTDecode/CCITTFaxDecode/"
+                    "FlateDecode decode here; JPX/JBIG2 are the "
+                    "library-bound tails)"
+                )
+            out.append(
+                {
+                    "page_idx": page_idx,
+                    "im_filter": fname,
+                    "width": int(w),
+                    "height": int(h),
+                    "channels": int(jc),
+                    "pixel_sum": int(
+                        np.asarray(arr, dtype=np.int64).sum()
+                    ),
+                    "n_pixels": int(h * w * jc),
+                }
+            )
+    return out
+
+
+PDF_IMAGE_SCHEMA = (
+    "doc_id bigint, page_idx int, im_filter string, width int, "
+    "height int, channels int, pixel_sum bigint, n_pixels bigint"
+)
+
+
+def pdf_image_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched embedded-image extraction over a payload column
+    — map-only, the same scale shape as every codec family."""
+    from mongo2pq_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def parse_batches(batches):
+        import pandas as pd
+
+        for pdf_batch in batches:
+            rows = []
+            for doc_id, payload in zip(
+                pdf_batch[id_col], pdf_batch[payload_col]
+            ):
+                for rec in extract_pdf_images(bytes(payload)):
+                    rec["doc_id"] = doc_id
+                    rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(parse_batches, PDF_IMAGE_SCHEMA)
 
 
 PDF_TEXT_SCHEMA = (

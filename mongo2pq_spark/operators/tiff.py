@@ -15,9 +15,12 @@ ship), first page decoded (multi-page files report ``n_pages`` in
 metadata — the triage contract the GIF/AVI decoders share). r18
 adds the CCITT fax codings 2 (MH RLE) / 3 (T.4 G3 1-D and 2-D) /
 4 (T.6 G4) via operators/ccitt.py — the scanned-document corpus
-compressions, pure ITU-spec bit-twiddling like the LZW decoder.
-JPEG-in-TIFF (compression 6/7), T.4/T.6 uncompressed mode, tiled
-CCITT, and LSB-first fill order raise ``NotImplementedError``.
+compressions, pure ITU-spec bit-twiddling like the LZW decoder —
+in both fill orders (FillOrder 2 LSB-first payloads bit-reverse per
+byte), plus JPEG-in-TIFF (6 old-style via JPEGInterchangeFormat,
+7 new-style per Tech Note 2 with the shared JPEGTables merge)
+through operators/jpeg.py. T.4/T.6 uncompressed mode, tiled CCITT,
+and tiled/12-bit JPEG-in-TIFF raise ``NotImplementedError``.
 
 Reference parity note: the reference engine (Rahlir/mongo2pq) has no
 image handling at all — this module is part of the mandated
@@ -266,6 +269,7 @@ def build_tiff(
     tile: tuple[int, int] | None = None,
     t4_2d: bool = False,
     jpeg_tables: bool = False,
+    fill_order: int = 1,
 ) -> bytes:
     """Fixture writer: (h, w) grayscale or (h, w, 3) RGB sample array
     → TIFF in either byte order, strip-organized or (r17) TILED via
@@ -273,10 +277,12 @@ def build_tiff(
     compression 1 (none), 5 (LZW), 8 (Deflate — r17), 32773
     (PackBits), (r18) the CCITT fax codings 2 (MH RLE) / 3 (T.4
     G3, ``t4_2d`` setting T4Options bit 0) / 4 (T.6 G4) for 1-bit
-    bilevel, or (r18) JPEG-in-TIFF — 7 (new-style Tech Note 2
-    per-strip streams, ``jpeg_tables`` moving DQT/DHT into the
-    shared tag-347 stream) and 6 (old-style single interchange
-    stream via JPEGInterchangeFormat 513/514); ``predictor=2`` adds
+    bilevel (``fill_order=2`` bit-reverses CCITT payloads and tags
+    FillOrder 2 — the LSB-first layout real fax files ship), or
+    (r18) JPEG-in-TIFF — 7 (new-style Tech Note 2 per-strip
+    streams, ``jpeg_tables`` moving DQT/DHT into the shared tag-347
+    stream) and 6 (old-style single interchange stream via
+    JPEGInterchangeFormat 513/514); ``predictor=2`` adds
     horizontal differencing (LZW/Deflate, 8/16-bit).
     ``extra_pages`` chains additional IFDs reusing the same segments
     (multi-page triage fixtures)."""
@@ -299,6 +305,8 @@ def build_tiff(
         raise ValueError("CCITT fixtures are 1-bit bilevel")
     if ccitt and tile is not None:
         raise ValueError("CCITT fixtures are strip-organized")
+    if fill_order not in (1, 2) or (fill_order == 2 and not ccitt):
+        raise ValueError("fill_order 2 is a CCITT fixture option")
     jpeg = compression in (6, 7)
     if jpeg and bits != 8:
         raise ValueError("JPEG-in-TIFF fixtures are 8-bit")
@@ -332,11 +340,17 @@ def build_tiff(
             rps = h
         for y0 in [] if compression == 6 else range(0, h, rps):
             if ccitt:
-                from mongo2pq_spark.operators.ccitt import ccitt_encode
-
-                segments.append(
-                    ccitt_encode(a[y0:y0 + rps, :, 0], compression, t4_2d)
+                from mongo2pq_spark.operators.ccitt import (
+                    ccitt_encode,
+                    reverse_fill_order,
                 )
+
+                seg = ccitt_encode(
+                    a[y0:y0 + rps, :, 0], compression, t4_2d
+                )
+                if fill_order == 2:
+                    seg = reverse_fill_order(seg)
+                segments.append(seg)
                 continue
             if compression == 7:
                 from mongo2pq_spark.operators.jpeg import encode_jpeg
@@ -421,6 +435,8 @@ def build_tiff(
         spec.append((292, 4, "I", [1 if t4_2d else 0]))
     if compression == 4:
         spec.append((293, 4, "I", [0]))
+    if fill_order == 2:
+        spec.append((266, 3, "H", [2]))
     spec.sort(key=lambda t: t[0])
 
     ifd_offsets = []
@@ -666,8 +682,9 @@ def decode_tiff_pixels(payload: bytes):
                 "T.6 uncompressed mode (T6Options bit 1)"
             )
         t4_2d = comp == 3 and bool(t4opts & 1)
-        if int(_tag1(tags, 266, 1)) != 1:
-            raise NotImplementedError("CCITT FillOrder 2 (LSB-first)")
+        fill_order = int(_tag1(tags, 266, 1))
+        if fill_order not in (1, 2):
+            raise ValueError(f"TIFF FillOrder {fill_order} is illegal")
     jpeg = comp in (6, 7)
     if jpeg and bits != 8:
         raise NotImplementedError(f"{bits}-bit JPEG-in-TIFF")
@@ -808,8 +825,16 @@ def decode_tiff_pixels(payload: bytes):
                 raise ValueError(f"TIFF strip {i} beyond payload")
             n_rows = min(rps, h - i * rps)
             if ccitt:
-                from mongo2pq_spark.operators.ccitt import ccitt_decode
+                from mongo2pq_spark.operators.ccitt import (
+                    ccitt_decode,
+                    reverse_fill_order,
+                )
 
+                if fill_order == 2:
+                    # r18: LSB-first fax payloads (FillOrder 2 —
+                    # common in real fax TIFFs) bit-reverse per byte
+                    # into the MSB-first stream the coder speaks
+                    seg = reverse_fill_order(seg)
                 raw = ccitt_decode(seg, w, n_rows, comp, t4_2d)
             else:
                 raw = _tiff_decode_segment(

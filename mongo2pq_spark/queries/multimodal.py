@@ -3598,9 +3598,13 @@ def multimodal_tiff_extended_matrix(spark, sf_dir):
         "0 (G3 1-D, EOL-framed), 3 with T4Options 1 (G3 2-D, tag "
         "bits selecting MR lines against the previous row), and 4 "
         "(T.6 G4/MMR, imaginary white reference + EOFB) — with "
-        "per-doc RowsPerStrip 1..5 proving per-strip coder restart "
-        "and both byte orders, photometric 0 (min-is-white, the fax "
-        "norm). operators/ccitt.py implements the ITU-T T.4/T.6 "
+        "per-doc RowsPerStrip 1..5 proving per-strip coder restart, "
+        "both byte orders, photometric 0 (min-is-white, the fax "
+        "norm), and every seventh doc in FillOrder 2 (the LSB-first "
+        "payload layout real fax files ship — bit-reversed per "
+        "byte, same pixels, so the oracle is unchanged while the "
+        "driver hash now covers both fill orders). "
+        "operators/ccitt.py implements the ITU-T T.4/T.6 "
         "Huffman tables and pass/horizontal/vertical READ modes in "
         "pure stdlib, the style of the LZW/rice decoders. The oracle "
         "recomputes the white-pixel count closed-form, so the hash "
@@ -3646,6 +3650,7 @@ def multimodal_tiff_ccitt_roundtrip(spark, sf_dir):
                         rows_per_strip=1 + d % 5,
                         endian=">" if d % 3 == 0 else "<",
                         t4_2d=two_d,
+                        fill_order=2 if d % 7 == 0 else 1,
                     )
                 )
             yield pd.DataFrame(
@@ -3868,6 +3873,163 @@ def multimodal_jpeg12_color_roundtrip(spark, sf_dir):
         ).alias("variant"),
         "width", "height", "channels", "pixel_sum", "n_pixels",
     )
+
+
+@register(
+    "multimodal_pdf_embedded_images",
+    """
+    WITH p0 AS (
+        SELECT doc_id, 0 AS page_idx, 'DCTDecode' AS im_filter,
+               32 AS w, 32 AS h, 3 AS c,
+               3 * 256 * SUM((7 * doc_id + 31 * mx.i + 57 * my.i)
+                             % 256) AS ps
+        FROM documents,
+             generate_series(0, 1) mx(i),
+             generate_series(0, 1) my(i)
+        WHERE doc_id < 150 GROUP BY doc_id
+    ), p1 AS (
+        SELECT doc_id, 1 AS page_idx, 'CCITTFaxDecode' AS im_filter,
+               21 AS w, 18 AS h, 1 AS c,
+               SUM(CASE WHEN (doc_id + x.i // 4 + y.i // 3) % 4 = 0
+                        THEN 0 ELSE 1 END) AS ps
+        FROM documents,
+             generate_series(0, 20) x(i),
+             generate_series(0, 17) y(i)
+        WHERE doc_id < 150 GROUP BY doc_id
+    ), p2 AS (
+        SELECT doc_id, 2 AS page_idx, 'FlateDecode' AS im_filter,
+               9 AS w, 7 AS h, 1 AS c,
+               SUM((3 * doc_id + 5 * x.i + 11 * y.i) % 256) AS ps
+        FROM documents,
+             generate_series(0, 8) x(i),
+             generate_series(0, 6) y(i)
+        WHERE doc_id < 150 GROUP BY doc_id
+    ), u AS (
+        SELECT * FROM p0
+        UNION ALL SELECT * FROM p1
+        UNION ALL SELECT * FROM p2
+    )
+    SELECT doc_id, CAST(page_idx AS INTEGER) AS page_idx, im_filter,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(c AS INTEGER) AS channels,
+           CAST(ps AS BIGINT) AS pixel_sum,
+           CAST(h * w * c AS BIGINT) AS n_pixels
+    FROM u
+    """,
+    doc="PDF embedded-IMAGE extraction, decoded end to end (r18 — "
+        "the scanned-corpus payoff tying the codec families "
+        "together): three-page PDF 1.5 fixtures (xref STREAMS, the "
+        "modern layout) carry per-page /XObject /Image streams in "
+        "exactly the filters scanned archives ship — /DCTDecode "
+        "(achromatic constant-macroblock JPEG, alternating 4:4:4 / "
+        "4:2:0), /CCITTFaxDecode (the ISO 32000 §7.4.6 /K "
+        "convention rotating K=-1 G4 / K=0 pure 1-D with "
+        "/EncodedByteAlign on even docs / K=4 mixed-mode, decoded "
+        "by operators/ccitt.py), and /FlateDecode raw grayscale "
+        "rasters. extract_pdf_images resolves images through the "
+        "xref machinery (never by scanning for obj tokens) and "
+        "returns the scalarized pixel-stats contract every codec "
+        "family shares; the oracle recomputes all three pages' "
+        "exact sums closed-form. JPX/JBIG2 are typed refusals. "
+        "Map-only",
+)
+def multimodal_pdf_embedded_images(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.deploy import ensure_shipped
+    from mongo2pq_spark.operators import pdf as pdf_ops
+    from mongo2pq_spark.sources.registry import read_sf_table
+
+    ensure_shipped(spark)
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 150
+    )
+
+    def build_batches(batches):
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        from mongo2pq_spark.operators.ccitt import ccitt_encode_k
+        from mongo2pq_spark.operators.jpeg import encode_jpeg
+        from mongo2pq_spark.operators.pdf import (
+            build_pdf_stub_xrefstream,
+        )
+
+        ones16 = np.ones((16, 16), dtype="uint8")
+        yc, xc = np.meshgrid(
+            np.arange(18), np.arange(21), indexing="ij"
+        )
+        yf, xf = np.meshgrid(
+            np.arange(7), np.arange(9), indexing="ij"
+        )
+        for pdf_batch in batches:
+            payloads = []
+            for d in pdf_batch["doc_id"]:
+                d = int(d)
+                mac = np.array(
+                    [
+                        [(7 * d + 31 * mx + 57 * my) % 256
+                         for mx in range(2)]
+                        for my in range(2)
+                    ],
+                    dtype="uint8",
+                )
+                rgb = np.stack([np.kron(mac, ones16)] * 3, axis=2)
+                jpg = encode_jpeg(
+                    rgb, subsampling="420" if d % 2 else "444"
+                )
+                ink = (
+                    ((d + xc // 4 + yc // 3) % 4) == 0
+                ).astype("uint8")
+                k = [-1, 0, 4][d % 3]
+                align = k == 0 and d % 2 == 0
+                fax = ccitt_encode_k(ink, k, byte_align=align)
+                parms = (
+                    f"<< /K {k} /Columns 21 /Rows 18"
+                    f"{' /EncodedByteAlign true' if align else ''}"
+                    " >>"
+                ).encode()
+                gray = ((3 * d + 5 * xf + 11 * yf) % 256).astype(
+                    "uint8"
+                )
+                payloads.append(
+                    build_pdf_stub_xrefstream(
+                        3,
+                        page_images=[
+                            {
+                                "filter": b"DCTDecode",
+                                "data": jpg,
+                                "width": 32, "height": 32, "bpc": 8,
+                                "colorspace": b"DeviceRGB",
+                            },
+                            {
+                                "filter": b"CCITTFaxDecode",
+                                "data": fax,
+                                "width": 21, "height": 18, "bpc": 1,
+                                "colorspace": b"DeviceGray",
+                                "parms": parms,
+                            },
+                            {
+                                "filter": b"FlateDecode",
+                                "data": zlib.compress(
+                                    gray.tobytes(), 9
+                                ),
+                                "width": 9, "height": 7, "bpc": 8,
+                                "colorspace": b"DeviceGray",
+                            },
+                        ],
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf_batch["doc_id"], "payload": payloads}
+            )
+
+    files = docs.mapInPandas(
+        build_batches, "doc_id bigint, payload binary"
+    )
+    return pdf_ops.pdf_image_stats(files)
 
 
 @register(

@@ -75,6 +75,7 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_tiff_ccitt_roundtrip",
     "multimodal_tiff_jpeg_roundtrip",
     "multimodal_jpeg12_color_roundtrip",
+    "multimodal_pdf_embedded_images",
     # (a''') doc-note re-entries (rotation contract — the "remaining
     # JPEG stubs" notes went stale when 12-bit color/progressive
     # landed):
@@ -101,7 +102,7 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_image_cell_features",
     "multimodal_image_dhash_incremental",
     "multimodal_wav_audio_stats",
-    # (c) the oldest 11 of the 42 r12-latest entries, registry order
+    # (c) the oldest 10 of the 42 r12-latest entries, registry order
     # (the remaining r12s are the staged r19 front — the rotation's
     # oldest cohort after this round);
     "events_pivot_daily",
@@ -114,7 +115,6 @@ _DRIVER_WINDOW_FIRST = [
     "corpus_vocab_growth",
     "corpus_dsir_select",
     "dedup_cluster_survivors",
-    "dedup_chunk_reassemble",
 ]
 
 

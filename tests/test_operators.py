@@ -7965,9 +7965,16 @@ def test_tiff_ccitt_fax_roundtrip():
         decode_tiff_pixels(patch_tag(g3, 292, value=2))
     with pytest.raises(NotImplementedError, match="T.6 uncompressed"):
         decode_tiff_pixels(patch_tag(g4, 293, value=2))
-    # LSB-first fill order (renumber T4Options → FillOrder=2)
-    with pytest.raises(NotImplementedError, match="FillOrder 2"):
-        decode_tiff_pixels(patch_tag(g3, 292, value=2, renumber=266))
+    # LSB-first fill order (FillOrder 2) DECODES as of late r18 —
+    # the builder writes the tag and bit-reverses the payload
+    for comp, two_d in [(2, False), (3, True), (4, False)]:
+        t = build_tiff(
+            ink, compression=comp, bits=1, t4_2d=two_d, fill_order=2
+        )
+        assert (decode_tiff_pixels(t)[3][:, :, 0] == 1 - ink).all()
+    # an ILLEGAL fill order value fails typed
+    with pytest.raises(ValueError, match="FillOrder 3"):
+        decode_tiff_pixels(patch_tag(g3, 292, value=3, renumber=266))
     # tiled CCITT (renumber RowsPerStrip → TileWidth marker)
     with pytest.raises(NotImplementedError, match="tiled CCITT"):
         decode_tiff_pixels(patch_tag(g4, 278, renumber=322))
@@ -8066,6 +8073,103 @@ def test_tiff_jpeg_in_tiff_roundtrip():
     bad[8] ^= 0xFF
     with pytest.raises(ValueError, match="lacks SOI"):
         decode_tiff_pixels(bytes(bad))
+
+
+def test_pdf_embedded_image_extraction():
+    """r18: embedded /XObject /Image streams decode through the
+    in-repo codec families — DCTDecode (jpeg.py), CCITTFaxDecode
+    with the ISO 32000 /K convention incl. EncodedByteAlign
+    (ccitt.py), FlateDecode raw rasters; JPX stays a typed refusal
+    and encrypted documents refuse before any stream is touched."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from mongo2pq_spark.operators.ccitt import (
+        ccitt_decode_k,
+        ccitt_encode_k,
+    )
+    from mongo2pq_spark.operators.jpeg import encode_jpeg
+    from mongo2pq_spark.operators.pdf import (
+        build_pdf_stub_xrefstream,
+        extract_pdf_images,
+    )
+
+    # K-convention codec round-trips first (incl. the EOL-less pure
+    # 1-D mode PDF defaults to, which TIFF framing never uses)
+    rng = np.random.RandomState(7)
+    ink = (rng.rand(11, 29) < 0.4).astype("uint8")
+    for k, align in [(-1, False), (0, False), (0, True), (4, False)]:
+        packed = ccitt_decode_k(
+            ccitt_encode_k(ink, k, byte_align=align),
+            29, 11, k, byte_align=align,
+        )
+        got = np.unpackbits(
+            np.frombuffer(packed, dtype="uint8").reshape(11, 4),
+            axis=1,
+        )[:, :29]
+        assert (got == ink).all(), (k, align)
+
+    mac = np.array([[10, 200], [90, 155]], dtype="uint8")
+    rgb = np.stack([np.kron(mac, np.ones((16, 16), dtype="uint8"))] * 3,
+                   axis=2)
+    gray = ((np.arange(63) * 37) % 256).astype("uint8").reshape(7, 9)
+    images = [
+        {
+            "filter": b"DCTDecode", "data": encode_jpeg(rgb),
+            "width": 32, "height": 32, "bpc": 8,
+            "colorspace": b"DeviceRGB",
+        },
+        {
+            "filter": b"CCITTFaxDecode",
+            "data": ccitt_encode_k(ink, -1),
+            "width": 29, "height": 11, "bpc": 1,
+            "colorspace": b"DeviceGray",
+            "parms": b"<< /K -1 /Columns 29 /Rows 11 >>",
+        },
+        {
+            "filter": b"FlateDecode",
+            "data": zlib.compress(gray.tobytes(), 9),
+            "width": 9, "height": 7, "bpc": 8,
+            "colorspace": b"DeviceGray",
+        },
+    ]
+    p = build_pdf_stub_xrefstream(3, page_images=images)
+    recs = extract_pdf_images(p)
+    assert [r["im_filter"] for r in recs] == [
+        "DCTDecode", "CCITTFaxDecode", "FlateDecode"
+    ]
+    assert recs[0]["pixel_sum"] == 3 * 256 * int(mac.sum())
+    assert recs[0]["channels"] == 3
+    # CCITT output is normalized black=0/white=1: sum = white count
+    assert recs[1]["pixel_sum"] == int((1 - ink).sum())
+    assert recs[2]["pixel_sum"] == int(gray.sum())
+    assert recs[2]["n_pixels"] == 63
+
+    # pages without images contribute nothing
+    assert extract_pdf_images(
+        build_pdf_stub_xrefstream(2)
+    ) == []
+
+    # JPX is the typed refusal
+    bad = dict(images[2], filter=b"JPXDecode")
+    p = build_pdf_stub_xrefstream(1, page_images=[bad])
+    with pytest.raises(NotImplementedError, match="JPXDecode"):
+        extract_pdf_images(p)
+
+    # /Columns disagreeing with /Width fails typed
+    wrong = dict(images[1], parms=b"<< /K -1 /Columns 31 >>")
+    p = build_pdf_stub_xrefstream(1, page_images=[wrong])
+    with pytest.raises(ValueError, match="Columns"):
+        extract_pdf_images(p)
+
+    # encrypted documents refuse before stream decode
+    p = build_pdf_stub_xrefstream(
+        1, encrypted=True, page_images=[images[2]]
+    )
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_images(p)
 
 
 def test_sitemap_index_parse_and_fail_louds():

@@ -1106,9 +1106,12 @@ def test_r17_codec_queries_are_map_only(spark, sf_dir):
         "multimodal_gif_pixel_roundtrip",
         "multimodal_tiff_pixel_roundtrip",
         "multimodal_zip_encrypted_manifest",
-        # r18: CCITT fax and JPEG-in-TIFF join the same map-only shape
+        # r18: CCITT fax, JPEG-in-TIFF, 12-bit color JPEG, and PDF
+        # embedded-image extraction join the same map-only shape
         "multimodal_tiff_ccitt_roundtrip",
         "multimodal_tiff_jpeg_roundtrip",
+        "multimodal_jpeg12_color_roundtrip",
+        "multimodal_pdf_embedded_images",
     ):
         plan = _formatted(spark, sf_dir, name)
         assert "Exchange" not in plan, name
