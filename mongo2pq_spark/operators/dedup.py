@@ -581,6 +581,10 @@ def near_dup_clusters(
             )
             .select(
                 "node",
+                # prior label rides along so convergence is detectable
+                # from the checkpointed round alone (below) — labels
+                # only ever DECREASE, so new != old ⟺ something moved
+                F.col("label").alias("prev_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("min_neighbor"), F.col("label"))
                 ).alias("label"),
@@ -594,6 +598,7 @@ def near_dup_clusters(
         )
         updated = updated.join(grand, "label", "left").select(
             "node",
+            "prev_label",
             F.least(
                 F.col("label"), F.coalesce(F.col("grand_label"), F.col("label"))
             ).alias("label"),
@@ -601,10 +606,14 @@ def near_dup_clusters(
         # checkpoint per round: truncates the exponentially-growing
         # iterative lineage (standard practice for Spark loop algorithms)
         updated, new_block_ids = _truncate_lineage(updated)
+        # convergence check on the checkpointed blocks themselves: a
+        # filter + limit(1) short-circuit scan — the former shuffle
+        # join against the previous round's labels was a full extra
+        # job PER ROUND (guide §2.4: remove shuffles outright; at
+        # cluster scale the join shuffled the whole label table once
+        # per round just to answer a boolean)
         changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.label") != F.col("l.label"))
+            updated.filter(F.col("label") != F.col("prev_label"))
             .limit(1)
             .count()
         )
@@ -612,7 +621,7 @@ def near_dup_clusters(
         # moment `updated` is materialized and compared — release them
         _unpersist_ids(label_block_ids)
         label_block_ids = new_block_ids
-        labels = updated
+        labels = updated.select("node", "label")
         if changed == 0:
             break
     else:

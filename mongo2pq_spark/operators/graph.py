@@ -69,7 +69,11 @@ def pagerank(
             F.col(dst_col).alias("dst"),
             F.col(weight_col).cast("double").alias("w"),
         )
-    e = cache_stream(e)
+    # `e` itself is deliberately NOT cache_stream-ed: the bounded
+    # registry holds two streams and the two that earn it are the ones
+    # the unrolled loop re-reads every iteration (`nodes`, `e_deg`);
+    # the raw edge projection is consumed exactly twice, once into
+    # each of them.
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -77,6 +81,13 @@ def pagerank(
     )
     nodes = cache_stream(nodes)
     outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
+    # the edge⋈outdeg join is iteration-invariant: do it ONCE and cache
+    # (guide §2.4 — each unrolled iteration used to re-run the join, a
+    # full extra shuffle of the edge list per power step). `w` and
+    # `outdeg` stay separate columns so the per-contribution expression
+    # below keeps the exact IEEE op order (rank·w/outdeg) — values are
+    # bit-identical to the per-iteration-join formulation.
+    e_deg = cache_stream(e.join(outdeg, "src"))
     n_tbl = nodes.agg(F.count("*").alias("n"))
 
     ranks = nodes.crossJoin(F.broadcast(n_tbl)).select(
@@ -84,8 +95,7 @@ def pagerank(
     )
     for _ in range(iterations):
         contrib = (
-            e.join(outdeg, "src")
-            .join(
+            e_deg.join(
                 ranks.select(
                     F.col("node").alias("src"), F.col("rank")
                 ),

@@ -503,9 +503,21 @@ def shard_members(
 
     Note: hashing balances EXPECTED bytes per shard; a single sample
     larger than the target still makes an oversized shard (correct —
-    samples are indivisible)."""
+    samples are indivisible).
+
+    The member table is persisted before the byte-total pass: ``df``
+    is typically an OPAQUE upstream (an Arrow-batched BPE/packing
+    encode), which Catalyst cannot prune down to the byte lengths —
+    uncached, the sizing aggregate ran the entire encode once and the
+    caller's write ran it AGAIN (measured 2 full encode passes per
+    ship at r18 profiling; guide §1.2/§5: don't compute things twice).
+    The cache changes no value: the total (hence the shard count and
+    every member's bucket) is identical either way."""
     from pyspark.sql import functions as F
 
+    from mongo2pq_spark.operators.cache import cache_stream
+
+    df = cache_stream(df)
     total = df.select(
         F.sum(F.octet_length("payload")).alias("b")
     ).first()["b"] or 0
@@ -573,6 +585,14 @@ def write_shards_incremental(
 
     from pyspark.sql import functions as F
 
+    from mongo2pq_spark.operators.cache import cache_stream
+
+    # two full consumers of the member table (the name-level rail job
+    # below, then the dirty-bucket write) — without a persist the
+    # OPAQUE upstream (reuse-read ∪ Arrow encode of the increment)
+    # executes twice per ship (guide §1.2/§5; measured at r18
+    # profiling)
+    df = cache_stream(df)
     spark = df.sparkSession
     manifest_path = _os.path.join(prior_path, "_MANIFEST.json")
     with open(manifest_path) as fh:
