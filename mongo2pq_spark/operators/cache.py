@@ -6,20 +6,21 @@ alias-renamed sides of a self-join — so a computed stream feeding k
 consumers executes k times unless persisted. The contract that keeps
 persists from ACCUMULATING across a long-running session: each
 `cache_stream` call evicts the OLDEST registered cache beyond a
-capacity of ``_MAX_LIVE`` (2), UNLESS a live cache is semantically the
+capacity of ``_MAX_LIVE``, UNLESS a live cache is semantically the
 same plan (`df.sameSemantics`), in which case it is returned as-is —
 repeated invocations of the same operator (a pairs query followed by
 a clusters query built on the same pairs, a bench repeat, a retried
-shard) hit the warm cache instead of recomputing. Capacity 2, not 1,
-because cached streams NEST one level: a query may cache an operator
-RESULT whose plan contains the operator's own internally cached
-sub-stream (semdedup_prune's assignment under
-semdedup_prune_consistency's result — the r11 case that forced this;
-with capacity 1 the outer registration evicted the inner cache before
-the outer ever materialized, and the assignment subtree recomputed
-per branch of the outer plan, measurably SLOWER than no outer cache
-at all). At most TWO streams are resident between calls — O(1), not
-O(#queries); `release_caches()` empties even those.
+shard) hit the warm cache instead of recomputing. Capacity must cover
+cache NESTING (a query may cache an operator RESULT whose plan
+contains the operator's own internally cached sub-stream —
+semdedup_prune's assignment under semdedup_prune_consistency's
+result, the r11 case that forced a floor of 2: with capacity 1 the
+outer registration evicted the inner cache before the outer ever
+materialized, and the assignment subtree recomputed per branch of the
+outer plan, measurably SLOWER than no outer cache at all) and the
+widest real consumer graph (see ``_MAX_LIVE``). At most ``_MAX_LIVE``
+streams are resident between calls — O(1), not O(#queries);
+`release_caches()` empties even those.
 
 The memo is keyed by the logical plan, so like Spark's own
 CacheManager it assumes the underlying source files do not change
@@ -34,9 +35,16 @@ from pyspark.sql import DataFrame
 
 _LIVE_CACHES: list[DataFrame] = []
 
-#: max resident cached streams = max observed cache NESTING depth (an
-#: operator-internal sub-stream under a query-level result cache)
-_MAX_LIVE = 2
+#: max resident cached streams — still O(1), sized to the widest REAL
+#: consumer graph instead of the minimum nesting depth: the
+#: generation-management composition (pipeline_generation_resplit)
+#: legitimately holds four streams to the terminal action (status
+#: diff, gen-A bands, increment bands, gen-A pairs); with capacity 2
+#: the first two were evicted before anything materialized and the
+#: 5-consumer snapshot-diff subtree re-executed per consumer
+#: (measured r18: the query spent ~40% of its wall re-deriving
+#: evicted streams). Eviction remains FIFO with sameSemantics reuse.
+_MAX_LIVE = 4
 
 
 def release_caches() -> None:

@@ -453,10 +453,12 @@ def test_dedup_cache_contract_is_bounded(spark, sf_dir):
     """ngram_jaccard_pairs persists its guarded+windowed shingle stream
     (the two self-join sides would otherwise recompute it — measured 2×
     end-to-end at sf0.1). The bounded contract: the registry holds at
-    most _MAX_LIVE (2) streams — capacity for one level of cache
-    NESTING, not one per query — so a long-running pipeline invoking
-    these per-shard stays O(1), and release_caches() empties even
-    those."""
+    most _MAX_LIVE streams — a FIXED capacity independent of how many
+    queries have run — so a long-running pipeline invoking these
+    per-shard stays O(1), and release_caches() empties even those.
+    The test drives one more query than the capacity so the FIFO
+    eviction is actually exercised."""
+    from mongo2pq_spark.operators.cache import _MAX_LIVE
     from mongo2pq_spark.operators.dedup import (
         minhash_jaccard_estimates,
         ngram_jaccard_pairs,
@@ -466,11 +468,14 @@ def test_dedup_cache_contract_is_bounded(spark, sf_dir):
     docs = read_sf_table(spark, sf_dir, "documents")
     release_caches()
     before = _n_persistent_rdds(spark)
-    ngram_jaccard_pairs(docs, threshold=0.5).collect()
-    ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    for i in range(_MAX_LIVE):
+        # distinct shingle widths → distinct cached-stream plans → no
+        # sameSemantics reuse (threshold does not enter the cached
+        # subtree, so varying it would re-hit one warm cache)
+        ngram_jaccard_pairs(docs, shingle_n=2 + i, threshold=0.5).collect()
     minhash_jaccard_estimates(docs).collect()
-    # three consecutive queries: at most two caches live, not three
-    assert _n_persistent_rdds(spark) - before <= 2
+    # _MAX_LIVE + 1 consecutive queries: at most _MAX_LIVE caches live
+    assert _n_persistent_rdds(spark) - before <= _MAX_LIVE
     release_caches()
     assert _n_persistent_rdds(spark) <= before
 
@@ -499,10 +504,16 @@ def test_cache_stream_nesting_keeps_inner_cache_alive(spark):
     outer = cache_stream(inner.groupBy((F.col("x") % 10).alias("b")).count())
     assert live(inner) and live(outer)
     assert outer.count() == 5  # even x -> 5 residues mod 10
-    # a third registration FIFO-evicts the oldest (inner) only
-    third = cache_stream(spark.range(7).select("id"))
+    # fill the registry past capacity: FIFO evicts the oldest (inner)
+    # first, while the outer (and every newer stream) stays live
+    from mongo2pq_spark.operators.cache import _MAX_LIVE
+
+    extras = [
+        cache_stream(spark.range(7 + i).select("id"))
+        for i in range(_MAX_LIVE - 1)
+    ]
     assert not live(inner)
-    assert live(outer) and live(third)
+    assert live(outer) and all(live(e) for e in extras)
     release_caches()
     assert _LIVE_CACHES == []
 
