@@ -456,21 +456,34 @@ def incremental_encode_payloads(
     closed-form. The diff is ONE digest equi-join; the reuse is a
     projection + semi-join over the prior member table — at 100 TB
     this turns per-crawl-wave retokenization into O(wave)."""
+    from mongo2pq_spark.operators.cache import cache_stream
+
     # coalesce: a NULL text with a non-null prior digest makes
     # md5(NULL) != md5_a NULL, which would drop the row from BOTH
     # branches (neither re-encoded nor reused — silently vanishing
     # from the member table, ADVICE r15). NULL-text rows route to
     # the encode branch, which pins NULL -> empty payload.
-    flagged = gen_b.join(prior_digests, id_col, "left").select(
-        id_col,
-        text_col,
-        F.coalesce(
-            F.col("md5_a").isNull()
-            | (F.md5(F.col(text_col).cast("binary")) != F.col("md5_a")),
-            F.lit(True),
-        ).alias("fresh"),
+    #
+    # The flags are persisted (r18) because the routing decision has
+    # several consumers (encode branch, reuse semi-join, the caller's
+    # dirty-name set and final join) and Catalyst has no cross-branch
+    # CSE — uncached, each consumer re-runs the corpus scan + md5 +
+    # digest join. Only (id, fresh) is cached — O(ids), never the
+    # corpus text — and the encode branch recovers its text with one
+    # semi-join back against ``gen_b``.
+    flagged = cache_stream(
+        gen_b.join(prior_digests, id_col, "left").select(
+            id_col,
+            F.coalesce(
+                F.col("md5_a").isNull()
+                | (F.md5(F.col(text_col).cast("binary")) != F.col("md5_a")),
+                F.lit(True),
+            ).alias("fresh"),
+        )
     )
-    to_encode = flagged.filter(F.col("fresh")).select(id_col, text_col)
+    to_encode = gen_b.join(
+        flagged.filter(F.col("fresh")).select(id_col), id_col, "left_semi"
+    ).select(id_col, text_col)
     unchanged_ids = flagged.filter(~F.col("fresh")).select(id_col)
     reuse = (
         prior_payloads.select(
@@ -487,4 +500,4 @@ def incremental_encode_payloads(
         bpe_encode_payloads(to_encode, merges, text_col=text_col,
                             id_col=id_col)
     )
-    return merged, flagged.select(id_col, "fresh")
+    return merged, flagged

@@ -313,8 +313,16 @@ def nb_crossval(
         .agg(F.count("term").alias("tf"))
     )
     tf_terms = tf_doc.filter(F.col("term").isNotNull())
-    cnt_flt = tf_terms.groupBy("fold", "label", "term").agg(
-        F.sum("tf").alias("c_own")
+    # also persisted: cnt_flt feeds three consumers (cnt_lt, tok_fl,
+    # the model join) and doc_stats two (doc_fl, the scoring base) —
+    # uncached, each consumer re-shuffles the full cached token stream
+    # into the same aggregate (no cross-branch CSE in Catalyst).
+    # Both are far smaller than tf_doc: folds×labels×vocab resp. one
+    # row per document.
+    cnt_flt = cache_stream(
+        tf_terms.groupBy("fold", "label", "term").agg(
+            F.sum("tf").alias("c_own")
+        )
     )
     cnt_lt = cnt_flt.groupBy("label", "term").agg(
         F.sum("c_own").alias("c_all")
@@ -323,8 +331,10 @@ def nb_crossval(
         F.sum("c_own").alias("n_tok_own")
     )
     tok_l = tok_fl.groupBy("label").agg(F.sum("n_tok_own").alias("n_tok_all"))
-    doc_stats = tf_doc.groupBy("_nb_row", "fold", "label").agg(
-        F.sum("tf").alias("n_terms")
+    doc_stats = cache_stream(
+        tf_doc.groupBy("_nb_row", "fold", "label").agg(
+            F.sum("tf").alias("n_terms")
+        )
     )
     doc_fl = doc_stats.groupBy("fold", "label").agg(
         F.count("*").alias("n_doc_own")

@@ -314,8 +314,17 @@ def pack_token_payloads(
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    placed = parsed.select("doc_id", "payload", "n_tokens", shard).withColumn(
-        "start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    # persisted (r18): the placed stream — upstream of which sits the
+    # full (often Arrow-encoded) payload pipeline plus this window —
+    # feeds BOTH return values, and callers drive them with SEPARATE
+    # actions (ship the sequences, write the spans sidecar); uncached,
+    # the second action re-runs the entire encode+window.
+    from mongo2pq_spark.operators.cache import cache_stream
+
+    placed = cache_stream(
+        parsed.select("doc_id", "payload", "n_tokens", shard).withColumn(
+            "start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
     )
     spans = placed.select("doc_id", "shard", "start", "n_tokens")
 
