@@ -437,7 +437,55 @@ def _host_bookend() -> dict:
         snap["threads"] = len(glob.glob("/proc/[0-9]*/task/[0-9]*"))
     except Exception:
         pass
+    try:
+        # FOREIGN threads: total minus this bench's own process
+        # subtree (driver python + its Spark JVM + py4j/worker
+        # children). The r16 rule gated on the box-wide count, but
+        # the post-run bookend always includes our own local[32] JVM
+        # (~850+ threads once the suite has run), so the
+        # `threads < 800` quiet test could NEVER pass at post and
+        # every session self-flagged regardless of actual host state
+        # (measurement bug found r19; OPTIMIZATION_r19.md). The
+        # foreign count is what the rule MEANT: other tenants' storms.
+        own = _own_subtree_pids()
+        snap["threads_foreign"] = sum(
+            len(glob.glob(f"/proc/{pid}/task/[0-9]*"))
+            for pid in (
+                os.path.basename(p) for p in glob.glob("/proc/[0-9]*")
+            )
+            if pid not in own
+        )
+    except Exception:
+        pass
     return snap
+
+
+def _own_subtree_pids() -> set:
+    """PIDs of this process and every live descendant (the Spark JVM,
+    py4j workers, Python UDF workers) — stdlib /proc walk."""
+    import glob
+
+    parent: dict[str, str] = {}
+    for status in glob.glob("/proc/[0-9]*/status"):
+        try:
+            with open(status) as fh:
+                ppid = None
+                for line in fh:
+                    if line.startswith("PPid:"):
+                        ppid = line.split()[1]
+                        break
+            parent[status.split("/")[2]] = ppid
+        except Exception:
+            continue
+    own = {str(os.getpid())}
+    changed = True
+    while changed:
+        changed = False
+        for pid, ppid in parent.items():
+            if ppid in own and pid not in own:
+                own.add(pid)
+                changed = True
+    return own
 
 
 def _bookends_quiet(pre: dict, post: dict) -> bool:

@@ -481,8 +481,17 @@ def incremental_encode_payloads(
             ).alias("fresh"),
         )
     )
+    # eqNullSafe, not a bare column semi-join (ADVICE r18): a NULL
+    # doc_id never matches a plain equi-key, which would silently
+    # drop the row from the encode branch even though ``flagged``
+    # routes it there (fresh=true — md5_a is NULL for an id the
+    # prior generation cannot have). NULL-id rows keep the pre-r18
+    # routing: encoded, never vanished.
+    fresh_ids = flagged.filter(F.col("fresh")).select(
+        F.col(id_col).alias("__fresh_id")
+    )
     to_encode = gen_b.join(
-        flagged.filter(F.col("fresh")).select(id_col), id_col, "left_semi"
+        fresh_ids, F.col(id_col).eqNullSafe(F.col("__fresh_id")), "left_semi"
     ).select(id_col, text_col)
     unchanged_ids = flagged.filter(~F.col("fresh")).select(id_col)
     reuse = (

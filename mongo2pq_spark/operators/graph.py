@@ -69,11 +69,15 @@ def pagerank(
             F.col(dst_col).alias("dst"),
             F.col(weight_col).cast("double").alias("w"),
         )
-    # `e` itself is deliberately NOT cache_stream-ed: the bounded
-    # registry holds two streams and the two that earn it are the ones
-    # the unrolled loop re-reads every iteration (`nodes`, `e_deg`);
-    # the raw edge projection is consumed exactly twice, once into
-    # each of them.
+    # `e` itself is deliberately NOT cache_stream-ed (ADVICE r18): at
+    # materialization the raw edge projection is scanned ~4x (nodes'
+    # union reads it twice, e_deg reads it directly and again through
+    # outdeg) — but for the file-backed upstream of every registered
+    # caller that is 4 cheap parquet scans, and caching it would
+    # occupy a third registry slot (nodes + e_deg + e) for a stream
+    # the unrolled loop itself never re-reads. A caller with an
+    # EXPENSIVE non-file upstream should pre-cache its edges before
+    # calling (the operator contract accepts a cached input).
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -706,6 +706,16 @@ def write_shards_incremental(
         .mode("overwrite")
         .save(path)
     )
+    # the member table's lifetime ends with the ship: its cached plan
+    # reads prior_path (a directory this pipeline family itself
+    # rewrites between generations), and the sameSemantics memo would
+    # otherwise serve those members to a LATER ship that rebuilds the
+    # same logical plan after the snapshot changed (ADVICE r18) —
+    # targeted invalidation, not release_caches, so unrelated live
+    # caches keep their slots
+    from mongo2pq_spark.operators.cache import uncache_stream
+
+    uncache_stream(df)
 
     # extend the committed manifest with the inherited section —
     # atomic replace, same discipline as the committer itself

@@ -518,6 +518,74 @@ def test_cache_stream_nesting_keeps_inner_cache_alive(spark):
     assert _LIVE_CACHES == []
 
 
+def test_cache_eviction_of_unmaterialized_stream_is_counted(spark):
+    """ADVICE r18 / VERDICT r18 #7: a composition registering more
+    simultaneously-live streams than _MAX_LIVE silently FIFO-evicts a
+    cache BEFORE its first materialization — every consumer then
+    re-executes the subtree (the r11 slower-than-no-cache mode). The
+    registry now counts (and warns on) exactly that event, so the
+    contract is observable: this drives the overflow and asserts the
+    counter moves; materialized evictions must NOT count."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators import cache as cache_mod
+    from mongo2pq_spark.operators.cache import (
+        _MAX_LIVE,
+        cache_stream,
+        evicted_unmaterialized_count,
+        release_caches,
+    )
+
+    release_caches()
+    base = evicted_unmaterialized_count()
+    # fill the registry and MATERIALIZE everything: the upcoming
+    # evictions are of warm caches and must not increment the counter
+    warm = [
+        cache_stream(spark.range(11 + i).select("id"))
+        for i in range(_MAX_LIVE)
+    ]
+    for df in warm:
+        df.count()
+    cache_stream(spark.range(1000).withColumn("y", F.col("id") * 3)).count()
+    assert evicted_unmaterialized_count() == base
+    # now overflow with never-materialized registrations: each
+    # eviction past capacity is of a cache with no loaded buffers
+    release_caches()
+    for i in range(_MAX_LIVE + 2):
+        cache_stream(spark.range(31 + i).select("id"))
+    assert evicted_unmaterialized_count() == base + 2
+    release_caches()
+    assert cache_mod._LIVE_CACHES == []  # noqa: SLF001
+
+
+def test_uncache_stream_is_targeted_and_idempotent(spark):
+    """uncache_stream (ADVICE r18, the tarshards stale-snapshot
+    invalidation): drops exactly the named stream from the registry,
+    leaves every other live cache alone, and no-ops on a DataFrame
+    that was never cached."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.cache import (
+        _LIVE_CACHES,
+        cache_stream,
+        release_caches,
+        uncache_stream,
+    )
+
+    release_caches()
+    a = cache_stream(spark.range(50).select("id"))
+    b = cache_stream(spark.range(60).withColumn("z", F.col("id") + 1))
+    assert len(_LIVE_CACHES) == 2
+    uncache_stream(a)
+    assert any(c is b for c in _LIVE_CACHES)
+    assert not any(c is a for c in _LIVE_CACHES)
+    uncache_stream(a)  # idempotent: already gone
+    uncache_stream(spark.range(3).select("id"))  # never cached: no-op
+    assert len(_LIVE_CACHES) == 1
+    release_caches()
+    assert _LIVE_CACHES == []
+
+
 def test_minhash_estimate_self_join_reuses_exchange(spark, sf_dir):
     """minhash_jaccard_estimates stays persist-free: its two self-join
     sides are the identical banded-signature plan and the runtime
