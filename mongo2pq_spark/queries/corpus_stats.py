@@ -839,11 +839,21 @@ def text_trigram_backoff(spark, sf_dir):
 def corpus_perplexity_buckets(spark, sf_dir):
     from pyspark.sql import Window
 
-    scores = text_bigram_logprob(spark, sf_dir).select(
-        "doc_id",
-        F.floor(F.col("avg_neg_logp") * 100).cast("bigint").alias(
-            "ppl_bin"
-        ),
+    from mongo2pq_spark.operators.cache import cache_stream
+
+    # the per-doc binned scores feed TWO consumers — the histogram
+    # aggregate and the final bucket join; uncached, each re-ran the
+    # whole bigram-LM scoring pipeline above the operator-level
+    # (doc, bigram, tf) cache, INCLUDING the vocab aggregate's second
+    # corpus tokenize (guide §1.2/§5; measured r19). The cached table
+    # is (doc_id, ppl_bin) — one narrow row per doc.
+    scores = cache_stream(
+        text_bigram_logprob(spark, sf_dir).select(
+            "doc_id",
+            F.floor(F.col("avg_neg_logp") * 100).cast("bigint").alias(
+                "ppl_bin"
+            ),
+        )
     )
     hist = scores.groupBy("ppl_bin").agg(F.count("*").alias("cnt"))
     # the histogram is bounded (score-range x 100 rows), so the

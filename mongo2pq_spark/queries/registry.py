@@ -46,8 +46,18 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # parity queries rotate to the back. Every name must exist — load_all
 # fails loudly on a typo.
 _DRIVER_WINDOW_FIRST = [
-    # r18 window (pure-freshness rotation, verified against
-    # CORRECTNESS_r01..r17 this session). Order:
+    # r19 window = the r18 window with the two hash-moved re-entries
+    # of the r19 OPTIMIZATION round at the front (rotation contract:
+    # a changed query must re-enter the window or its green driver
+    # row goes stale). Both bodies were restructured to cache a
+    # double-consumed intermediate (results value-identical, proven
+    # by the full DuckDB oracle at sf0.001 AND sf0.01 before
+    # re-entry); corpus_perplexity_buckets was already in the r18
+    # window and keeps its slot, retrieval_eval_metrics re-enters in
+    # place of dedup_cluster_survivors (r12 cohort, green r18 row,
+    # unchanged — the stable-anchor rotation rule).
+    "retrieval_eval_metrics",
+    # (r18 window below, unchanged order:)
     # (a) ALL 14 late-wave r17 registrations with NO driver row ever
     # (VERDICT r17 #1 — the only registry entries without a hard
     # external correctness signal); the full r17 _NEXT_WINDOW_QUEUE:
@@ -114,7 +124,6 @@ _DRIVER_WINDOW_FIRST = [
     "corpus_perplexity_buckets",
     "corpus_vocab_growth",
     "corpus_dsir_select",
-    "dedup_cluster_survivors",
 ]
 
 

@@ -807,11 +807,16 @@ def embedding_label_agreement(spark, sf_dir):
 def retrieval_eval_metrics(spark, sf_dir):
     from pyspark.sql import functions as F
 
+    from mongo2pq_spark.operators.cache import cache_stream
     from mongo2pq_spark.sources.registry import read_sf_table
 
     emb = read_sf_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    truth = ops.cosine_topk(emb, queries, k=5)
+    # truth (queries×k rows) feeds TWO consumers — the relevance join
+    # and the ideal-DCG aggregate; uncached, each re-runs the full
+    # broadcast-cosine corpus scan (guide §1.2/§5; measured r19: the
+    # scan appeared twice in the plan, 17 jobs)
+    truth = cache_stream(ops.cosine_topk(emb, queries, k=5))
     approx = ops.lsh_topk(emb, k=5, dim=_DIM).filter(F.col("query_id") < 10)
     scored = approx.join(
         truth.select(
