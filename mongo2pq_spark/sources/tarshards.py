@@ -512,12 +512,30 @@ def shard_members(
     caller's write ran it AGAIN (measured 2 full encode passes per
     ship at r18 profiling; guide §1.2/§5: don't compute things twice).
     The cache changes no value: the total (hence the shard count and
-    every member's bucket) is identical either way."""
+    every member's bucket) is identical either way.
+
+    Deployment knob (VERDICT r18 #3 — the persist includes ``payload``
+    bytes, so at corpus scale it is a corpus-sized MEMORY_AND_DISK
+    spill): ``SPARK_GRAFT_SHARD_SIZING=recompute`` skips the persist
+    and pays a SECOND full encode pass for the write instead — the
+    right trade when aggregate executor local disk cannot hold the
+    corpus. The default (``persist``) is right when it can (100 TB
+    over 1000 executors is 100 GB of local NVMe each — the standard
+    provisioning), because one encode pass + a spilled read is cheaper
+    than two encode passes, and it is what the local bench measures.
+    A narrow (name, n_bytes) persist would help neither mode: the
+    sizing aggregate is its only consumer, and Catalyst cannot push
+    the length projection through the opaque encode, so the second
+    pass would still run the full encode. Both modes produce the
+    identical shard count and member→bucket mapping."""
+    import os as _os
+
     from pyspark.sql import functions as F
 
     from mongo2pq_spark.operators.cache import cache_stream
 
-    df = cache_stream(df)
+    if _os.environ.get("SPARK_GRAFT_SHARD_SIZING", "persist") != "recompute":
+        df = cache_stream(df)
     total = df.select(
         F.sum(F.octet_length("payload")).alias("b")
     ).first()["b"] or 0

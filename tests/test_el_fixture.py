@@ -1822,6 +1822,58 @@ def test_shard_members_sizing(spark, tmp_path):
         .rdd.getNumPartitions() == 1
 
 
+def test_shard_members_recompute_mode_matches_persist(
+    spark, tmp_path, monkeypatch
+):
+    """SPARK_GRAFT_SHARD_SIZING=recompute (r19, VERDICT r18 #3 — the
+    disk-constrained deployment knob) must produce the IDENTICAL
+    shard count and member→bucket placement as the default persist
+    mode, while registering nothing in the bounded cache registry
+    (the corpus-sized member persist is exactly what the mode
+    exists to avoid)."""
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.operators.cache import _LIVE_CACHES, release_caches
+    from mongo2pq_spark.sources.tarshards import (
+        register_tarshards,
+        shard_members,
+    )
+
+    register_tarshards(spark)
+    rows = [(f"m{i}.bin", bytes(150)) for i in range(30)]
+    df = spark.createDataFrame(rows, "name string, payload binary")
+
+    release_caches()
+    monkeypatch.setenv("SPARK_GRAFT_SHARD_SIZING", "recompute")
+    sized = shard_members(df, target_shard_bytes=1000)
+    assert _LIVE_CACHES == []  # nothing corpus-sized cached
+    out_a = str(tmp_path / "recompute")
+    sized.sortWithinPartitions("name").write.format("tarshards").mode(
+        "overwrite"
+    ).save(out_a)
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARD_SIZING", "persist")
+    out_b = str(tmp_path / "persist")
+    shard_members(df, target_shard_bytes=1000).sortWithinPartitions(
+        "name"
+    ).write.format("tarshards").mode("overwrite").save(out_b)
+    release_caches()
+
+    a = spark.read.format("tarshards").load(out_a)
+    b = spark.read.format("tarshards").load(out_b)
+    pa_rows = sorted(
+        (r["name"], r["shard"]) for r in a.select("name", "shard").collect()
+    )
+    pb_rows = sorted(
+        (r["name"], r["shard"]) for r in b.select("name", "shard").collect()
+    )
+    # identical placement, not just identical counts
+    assert [n for n, _ in pa_rows] == [n for n, _ in pb_rows]
+    assert [s.rsplit("/", 1)[-1] for _, s in pa_rows] == [
+        s.rsplit("/", 1)[-1] for _, s in pb_rows
+    ]
+
+
 def test_tarshards_manifest_integrity(spark, tmp_path):
     """Commit-time _MANIFEST.json + distributed verification: a clean
     snapshot verifies all-ok; a flipped byte reports 'corrupt'; a
