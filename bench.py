@@ -509,6 +509,22 @@ def main() -> None:
     spark = get_spark(app_name="mongo2pq_spark_bench")
     specs = load_all()
 
+    # ADDITIVE scaling-measurement knob (r19, VERDICT r18 #2): a
+    # comma-list of HEADLINE names to run instead of the full suite —
+    # lets the 8-vs-32-core pair run per-query at a larger SF without
+    # a full-suite pass per side. Unset (the driver's invocation) the
+    # suite is exactly the full HEADLINE, unchanged methodology.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    names = HEADLINE
+    if only.strip():
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = sorted(set(wanted) - set(HEADLINE))
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY names not in HEADLINE: {unknown}"
+            )
+        names = [n for n in HEADLINE if n in set(wanted)]
+
     # JVM/session warmup outside the timed region
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
@@ -521,7 +537,7 @@ def main() -> None:
     first_run: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in names:
         spec = specs[name]
         best, first, n = None, None, 0
         try:
