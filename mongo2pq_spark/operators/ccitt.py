@@ -144,6 +144,27 @@ _DEC_MODES[(len(_PASS), int(_PASS, 2))] = ("p", 0)
 _DEC_MODES[(len(_HORIZ), int(_HORIZ, 2))] = ("h", 0)
 
 
+def _first_level_lut(table: dict) -> list:
+    """8-bit first-level decode LUT (r19, guide §4.2 — the per-bit
+    dict-probe loops dominated fax decode): window → (code length,
+    value) for every code of ≤8 bits; longer codes leave None and
+    fall back to the original bitwise walk. Pure reindexing of the
+    (nbits, code)→value table — decode results identical by
+    construction."""
+    lut = [None] * 256
+    for (nbits, code), val in table.items():
+        if nbits <= 8:
+            base = code << (8 - nbits)
+            for i in range(1 << (8 - nbits)):
+                lut[base + i] = (nbits, val)
+    return lut
+
+
+_LUT_WHITE = _first_level_lut(_DEC_WHITE)
+_LUT_BLACK = _first_level_lut(_DEC_BLACK)
+_LUT_MODES = _first_level_lut(_DEC_MODES)  # mode codes are ≤7 bits
+
+
 _BIT_REVERSE = bytes(
     int(f"{i:08b}"[::-1], 2) for i in range(256)
 )
@@ -199,6 +220,14 @@ class _BitReader:
         self.pos = i + 1
         return (self.data[i >> 3] >> (7 - (i & 7))) & 1
 
+    def peek8(self) -> int:
+        """The next 8 bits, NOT consumed (caller guarantees ≥8 bits
+        remain) — feeds the first-level decode LUTs."""
+        p = self.pos
+        end = p + 8
+        chunk = int.from_bytes(self.data[p >> 3:(end + 7) >> 3], "big")
+        return (chunk >> (-end & 7)) & 0xFF
+
     def byte_align(self) -> None:
         self.pos = (self.pos + 7) & ~7
 
@@ -220,23 +249,36 @@ def _emit_run(bw: _BitWriter, run: int, color: int) -> None:
 
 def _decode_run(br: _BitReader, color: int) -> int:
     """MH run for ``color``: makeup codes accumulate until a
-    terminating (<64) code closes the run."""
+    terminating (<64) code closes the run. Fast path: one 8-bit peek
+    through the first-level LUT resolves every ≤8-bit code; a miss
+    (longer code, or <8 bits left in the stream) falls back to the
+    original bitwise walk from the same position."""
     table = _DEC_BLACK if color else _DEC_WHITE
+    lut = _LUT_BLACK if color else _LUT_WHITE
+    total_bits = len(br.data) * 8
     total = 0
     while True:
-        acc = 0
-        nbits = 0
-        while True:
-            acc = (acc << 1) | br.read_bit()
-            nbits += 1
-            if (nbits, acc) in table:
-                break
-            if nbits > 13:
-                raise ValueError(
-                    f"invalid CCITT {'black' if color else 'white'} "
-                    f"code {acc:0{nbits}b}"
-                )
-        val = table[(nbits, acc)]
+        val = None
+        pos = br.pos
+        if pos + 8 <= total_bits:
+            hit = lut[br.peek8()]
+            if hit is not None:
+                nbits, val = hit
+                br.pos = pos + nbits
+        if val is None:
+            acc = 0
+            nbits = 0
+            while True:
+                acc = (acc << 1) | br.read_bit()
+                nbits += 1
+                if (nbits, acc) in table:
+                    break
+                if nbits > 13:
+                    raise ValueError(
+                        f"invalid CCITT {'black' if color else 'white'} "
+                        f"code {acc:0{nbits}b}"
+                    )
+            val = table[(nbits, acc)]
         total += val
         if val < 64:
             return total
@@ -327,8 +369,7 @@ def _decode_1d_row(br: _BitReader, w: int) -> bytes:
                 f"CCITT 1-D run overflows row ({pos}+{run} > {w})"
             )
         if color:
-            for i in range(pos, pos + run):
-                row[i] = 1
+            row[pos:pos + run] = b"\x01" * run
         pos += run
         color ^= 1
     return bytes(row)
@@ -340,23 +381,30 @@ def _decode_2d_row(br: _BitReader, ref: bytes, w: int) -> bytes:
     a0, color = -1, 0
     while a0 < w:
         b1, b2 = _b1_b2(ref_changes, a0, color, w)
-        acc = 0
-        nbits = 0
-        while True:
-            acc = (acc << 1) | br.read_bit()
-            nbits += 1
-            if (nbits, acc) in _DEC_MODES:
-                break
-            if nbits > 7:
-                raise ValueError(
-                    f"invalid CCITT 2-D mode code {acc:0{nbits}b}"
-                )
-        mode, d = _DEC_MODES[(nbits, acc)]
+        hit = None
+        pos = br.pos
+        if pos + 8 <= len(br.data) * 8:
+            hit = _LUT_MODES[br.peek8()]
+        if hit is not None:  # every mode code is ≤7 bits
+            nbits, (mode, d) = hit
+            br.pos = pos + nbits
+        else:  # <8 bits left in the stream: original bitwise walk
+            acc = 0
+            nbits = 0
+            while True:
+                acc = (acc << 1) | br.read_bit()
+                nbits += 1
+                if (nbits, acc) in _DEC_MODES:
+                    break
+                if nbits > 7:
+                    raise ValueError(
+                        f"invalid CCITT 2-D mode code {acc:0{nbits}b}"
+                    )
+            mode, d = _DEC_MODES[(nbits, acc)]
         start = max(a0, 0)
         if mode == "p":
             if color:
-                for i in range(start, b2):
-                    row[i] = 1
+                row[start:b2] = b"\x01" * (b2 - start)
             a0 = b2
         elif mode == "v":
             a1 = b1 + d
@@ -365,8 +413,7 @@ def _decode_2d_row(br: _BitReader, ref: bytes, w: int) -> bytes:
                     f"CCITT vertical mode lands at {a1} outside row"
                 )
             if color:
-                for i in range(start, a1):
-                    row[i] = 1
+                row[start:a1] = b"\x01" * (a1 - start)
             a0 = a1
             color ^= 1
         else:  # horizontal: two MH runs, color unchanged
@@ -378,11 +425,9 @@ def _decode_2d_row(br: _BitReader, ref: bytes, w: int) -> bytes:
                     f"({start}+{r1}+{r2} > {w})"
                 )
             if color:
-                for i in range(start, start + r1):
-                    row[i] = 1
+                row[start:start + r1] = b"\x01" * r1
             else:
-                for i in range(start + r1, start + r1 + r2):
-                    row[i] = 1
+                row[start + r1:start + r1 + r2] = b"\x01" * r2
             a0 = start + r1 + r2
     if a0 != w:
         raise ValueError(f"CCITT 2-D row decodes to {a0} of {w} px")

@@ -154,27 +154,59 @@ class _BitWriter:
 
 
 class _BitReader:
+    """MSB-first bit reader over an un-stuffed entropy segment. The
+    hot paths (r19, guide §4.2 — entropy decoding was the profile's
+    top cost) avoid per-bit Python loops: multi-bit reads slice the
+    covering byte span through one C-level ``int.from_bytes``, and
+    ``peek8`` exposes the next 8 bits without consuming them for the
+    Huffman first-level lookup table. Values are bit-identical to the
+    former per-bit formulation."""
+
+    __slots__ = ("data", "pos", "_nbits")
+
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0
-        self._acc = 0
-        self._n = 0
+        self.pos = 0  # bit position
+        self._nbits = len(data) * 8
 
     def read_bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG entropy stream")
-            self._acc = self.data[self.pos]
-            self.pos += 1
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+        p = self.pos
+        if p >= self._nbits:
+            raise ValueError("truncated JPEG entropy stream")
+        self.pos = p + 1
+        return (self.data[p >> 3] >> (7 - (p & 7))) & 1
 
     def read(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            v = (v << 1) | self.read_bit()
-        return v
+        p = self.pos
+        end = p + length
+        if end > self._nbits:
+            raise ValueError("truncated JPEG entropy stream")
+        chunk = int.from_bytes(self.data[p >> 3:(end + 7) >> 3], "big")
+        self.pos = end
+        return (chunk >> (-end & 7)) & ((1 << length) - 1)
+
+    def peek8(self) -> int:
+        """The next 8 bits, NOT consumed (caller guarantees ≥8 bits
+        remain)."""
+        p = self.pos
+        end = p + 8
+        chunk = int.from_bytes(self.data[p >> 3:(end + 7) >> 3], "big")
+        return (chunk >> (-end & 7)) & 0xFF
+
+
+def _build_huff_lut(table) -> list:
+    """First-level Huffman LUT: 8-bit window → (code length, symbol)
+    for every code of ≤8 bits (each short code fills its 2^(8-len)
+    slots). Codes longer than 8 bits leave None and fall back to the
+    bitwise walk. Pure reindexing of the (length, code)→symbol dict —
+    decode results are identical by construction."""
+    lut = [None] * 256
+    for (length, code), sym in table.items():
+        if length <= 8:
+            base = code << (8 - length)
+            for i in range(1 << (8 - length)):
+                lut[base + i] = (length, sym)
+    return lut
 
 
 def _category(v: int) -> int:
@@ -1010,10 +1042,30 @@ def _decode_scan(scan, comps, coefs, nblocks, mcus_y, mcus_x,
         "eobrun": 0,
     }
 
+    # per-scan first-level LUTs (tables are per-image dicts parsed
+    # from DHT; ≤8 distinct tables per scan, built once each)
+    huff_luts: dict[int, list] = {}
+
     def decode_sym(table) -> int:
         reader = state["reader"]
-        code = 0
-        for length in range(1, 17):
+        lut = huff_luts.get(id(table))
+        if lut is None:
+            lut = huff_luts[id(table)] = _build_huff_lut(table)
+        pos = reader.pos
+        if pos + 8 <= reader._nbits:  # noqa: SLF001
+            window = reader.peek8()
+            hit = lut[window]
+            if hit is not None:  # every ≤8-bit code hits the LUT
+                length, sym = hit
+                reader.pos = pos + length
+                return sym
+            code = window  # consumed below: the code is ≥9 bits
+            reader.pos = pos + 8
+            start = 9
+        else:
+            code = 0
+            start = 1
+        for length in range(start, 17):
             code = (code << 1) | reader.read_bit()
             sym = table.get((length, code))
             if sym is not None:
