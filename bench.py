@@ -490,15 +490,21 @@ def _own_subtree_pids() -> set:
 
 def _bookends_quiet(pre: dict, post: dict) -> bool:
     """The r16 watch rule, executable: a bench flag is actionable
-    only when BOTH bookends are quiet — 1-min load under 2 and no
-    foreign thread storm (~328 is this box's baseline; the observed
-    contention windows read 1150+)."""
+    only when BOTH bookends are quiet — no foreign thread storm
+    (~328 foreign threads is this box's baseline; the observed
+    contention windows read 1150+) and a quiet 1-min load BEFORE the
+    run. Self-contamination fixes (r19, documented in
+    OPTIMIZATION_r19.md): the thread check uses ``threads_foreign``
+    when present (the box-wide count includes our own ~850-thread
+    local[32] JVM at post, so the old ``threads < 800`` test could
+    never pass); the post-bookend load1 is NOT gated (it is
+    arithmetically dominated by our own just-finished 32-way run —
+    the 1-min average decays over minutes). Old fields are still
+    recorded; only the boolean's derivation changed."""
     for b in (pre, post):
-        if b.get("load1", 0.0) >= 2.0:
+        if b.get("threads_foreign", b.get("threads", 0)) >= 800:
             return False
-        if b.get("threads", 0) >= 800:
-            return False
-    return True
+    return pre.get("load1", 0.0) < 2.0
 
 
 def main() -> None:

@@ -1296,10 +1296,21 @@ def duplicated_span_removal(
     return _remove_covered(df, tok, sh.join(dup, "h"), id_col, span_words)
 
 
-def _span_hash_stream(df, id_col: str, text_col: str, span_words: int):
+def _span_hash_stream(
+    df, id_col: str, text_col: str, span_words: int, cache_base: bool = False
+):
     """(token-positions, span-hash-anchors) streams shared by the
     batch and incremental ExactSubstr paths — ONE tokenize, the span
     hash at anchor position p covering tokens p..p+span_words-1.
+
+    ``cache_base`` persists the tokenized ``(id, token-array)`` table
+    through the bounded registry so every downstream consumer (the
+    span stream, the covered-token anti-join, the per-doc totals)
+    re-reads the arrays instead of re-tokenizing ``df``. Safe ONLY
+    when ``df`` is increment-sized: the batch path passes the whole
+    CORPUS here, and a corpus of token arrays is a corpus-sized
+    MEMORY_AND_DISK spill (the r18 shard_members lesson), so the
+    batch operator keeps the uncached default.
 
     The span hash is the 60-bit ``hash64``, NOT the 32-bit token
     hash: span membership drives DESTRUCTIVE token deletion, and at
@@ -1309,6 +1320,8 @@ def _span_hash_stream(df, id_col: str, text_col: str, span_words: int):
     point past 10^9 spans (ADVICE r12). Non-destructive signals
     (coverage stats, sampling buckets) keep the cheaper 32-bit hash."""
     base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    if cache_base:
+        base = _cache_stream(base)
     tok = base.select(
         id_col, F.posexplode(F.col("__toks")).alias("pos", "tok")
     )
@@ -1424,8 +1437,16 @@ def duplicated_span_removal_incremental(
     duplication is the batch operator's partial-agg groupBy over the
     increment only. An anchor matching both sources appears twice in
     the union; the covered-position distinct downstream (bounded by
-    increment tokens) absorbs it."""
-    tok, sh = _span_hash_stream(new_df, id_col, text_col, span_words)
+    increment tokens) absorbs it.
+
+    Cache-registry footprint: TWO slots — the tokenized increment
+    (``cache_base``: without it the increment is re-tokenized three
+    times, once for the span stream and once per ``_remove_covered``
+    consumer of ``tok``; O(increment tokens), bounded) and the span
+    stream below."""
+    tok, sh = _span_hash_stream(
+        new_df, id_col, text_col, span_words, cache_base=True
+    )
     sh = _cache_stream(sh)
     dup_within = (
         sh.groupBy("h")

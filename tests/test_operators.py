@@ -5916,6 +5916,42 @@ def test_duplicated_span_removal_incremental_hand_traced(spark):
     assert got[4]["clean_md5"] == md5("y1")
 
 
+def test_substring_incremental_tokenizes_increment_once(spark, sf_dir):
+    """r19: the incremental ExactSubstr path caches the tokenized
+    increment (base) AND the span stream — exactly two registry
+    slots — so the increment is tokenized ONCE (uncached, the span
+    stream plus the two ``_remove_covered`` consumers of ``tok``
+    re-ran the tokenize three times). The batch operator must KEEP
+    the uncached base: it passes the whole corpus through the same
+    helper, and a corpus of token arrays is a corpus-sized spill."""
+    from mongo2pq_spark.operators.cache import _LIVE_CACHES
+    from mongo2pq_spark.operators.dedup import (
+        duplicated_span_removal,
+        duplicated_span_removal_incremental,
+        release_caches,
+        span_hash_index,
+    )
+
+    docs = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    release_caches()
+    df = duplicated_span_removal_incremental(
+        docs.filter(F.col("doc_id") < 100),
+        span_hash_index(docs.filter(F.col("doc_id") >= 100)),
+    )
+    assert len(_LIVE_CACHES) == 2  # tokenized base + span stream
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "InMemoryTableScan" in plan
+    release_caches()
+    duplicated_span_removal(docs)
+    assert len(_LIVE_CACHES) == 1  # span stream only, never the corpus
+    release_caches()
+
+
 def test_span_hash_store_lifecycle(spark, tmp_path):
     """SpanHashStore end to end: history probe across batches,
     retry idempotency (same content token -> own-partition exclusion
