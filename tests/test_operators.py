@@ -819,6 +819,96 @@ def test_normalized_fingerprint_invariance(spark):
     assert changed == 0
 
 
+def test_lsh_arrow_assignment_bit_identical_to_hof_fold(spark):
+    """The Arrow/NumPy assignment pass (r19) must reproduce the JVM
+    higher-order-function formulation BIT-FOR-BIT: the NumPy side
+    accumulates per dimension sequentially (same float→double casts,
+    same IEEE add order), so the sign of every dot — hence every
+    bucket id — is identical. Pinned here against an inline HOF
+    reference so a future vectorization 'improvement' (einsum/BLAS
+    re-association) that flips a near-zero dot fails loud."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mongo2pq_spark.functions.vectors import dot
+    from mongo2pq_spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket_assignments,
+        lsh_multi_assignments,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n_tables, n_planes, seed = 8, 4, 3, 7
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(300)]
+    # near-zero dots are the risk surface: add vectors orthogonal-ish
+    # to the first hyperplane so a re-associated sum could flip signs
+    p0 = np.asarray(hyperplanes(n_planes, dim, seed)[0])
+    for i in range(50):
+        v = rng.normal(size=dim)
+        v -= (v @ p0) / (p0 @ p0) * p0
+        rows.append((1000 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # inline HOF reference — the pre-r19 formulation
+    planes_2d = [
+        hyperplanes(n_planes, dim, seed + t) for t in range(n_tables)
+    ]
+    planes_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(c) for c in p]) for p in tp])
+            for tp in planes_2d
+        ]
+    )
+    weights_lit = F.array(
+        *[F.lit(1 << h).cast("bigint") for h in range(n_planes)]
+    )
+    buckets = F.transform(
+        planes_lit,
+        lambda tp: F.aggregate(
+            F.zip_with(
+                F.transform(tp, lambda p: dot(F.col("embedding"), p)),
+                weights_lit,
+                lambda d, w: F.when(d > 0, w).otherwise(
+                    F.lit(0).cast("bigint")
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    ref_multi = sorted(
+        tuple(r)
+        for r in emb.select(
+            F.col("vec_id"), F.posexplode(buckets).alias("table_id", "bucket")
+        ).collect()
+    )
+    got_multi = sorted(
+        tuple(r)
+        for r in lsh_multi_assignments(
+            emb, n_tables, n_planes, dim, seed
+        ).collect()
+    )
+    assert got_multi == ref_multi
+
+    # single-table path vs the (unchanged) Column form
+    from mongo2pq_spark.operators.similarity import lsh_bucket_column
+
+    ref_single = sorted(
+        tuple(r)
+        for r in emb.select(
+            "vec_id",
+            lsh_bucket_column(
+                F.col("embedding"), n_planes, dim, seed
+            ).alias("bucket"),
+        ).collect()
+    )
+    got_single = sorted(
+        tuple(r)
+        for r in lsh_bucket_assignments(emb, n_planes, dim, seed).collect()
+    )
+    assert got_single == ref_single
+
+
 def test_cap_buckets_drops_broadcast_hint_on_degenerate_corpus(spark):
     """A pathological corpus where (nearly) every bucket is oversized
     must NOT force-broadcast the oversized set: past the limit the
